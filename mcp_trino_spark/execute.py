@@ -1,0 +1,94 @@
+"""execute_query: gate → spark.sql → timeout → result shaping.
+
+The flagship façade path (SURVEY §2.1 F1, F10-F12; §3.1; reference
+internal/mcp/handlers.go:55-91 + internal/trino/client.go:501-617):
+
+1. trim one trailing ``;``
+2. read-only gate (unless writes are enabled) — rejected queries never
+   reach the engine
+3. run ``spark.sql`` under a per-query timeout: the SQL action is
+   tagged with a job group and a watchdog cancels the group on expiry
+   (Spark's equivalent of the reference's context.WithTimeout)
+4. shape results as the reference does: list of dicts keyed by column
+   name, plus indented-JSON text (client.go:591-597, handlers.go:83-90)
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import uuid
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional
+
+from pyspark.sql import SparkSession
+
+from mcp_trino_spark.config import EngineConfig
+from mcp_trino_spark.validate import is_read_only_query, strip_trailing_semicolon
+
+
+class WriteQueryNotAllowed(PermissionError):
+    pass
+
+
+class QueryTimeout(TimeoutError):
+    pass
+
+
+@dataclass
+class QueryResult:
+    columns: List[str]
+    rows: List[Dict[str, Any]]
+
+    def to_json(self) -> str:
+        """Indented JSON, stringifying non-JSON scalars (dates, decimals)
+        — the reference's marshal-with-indent contract."""
+        return json.dumps(self.rows, indent=2, default=str)
+
+
+def execute_query(
+    spark: SparkSession,
+    query: str,
+    config: Optional[EngineConfig] = None,
+    max_rows: Optional[int] = None,
+) -> QueryResult:
+    config = config or EngineConfig()
+    q = strip_trailing_semicolon(query)
+    if not config.allow_write_queries and not is_read_only_query(q):
+        raise WriteQueryNotAllowed(
+            "query rejected: only read-only queries (SELECT, SHOW, DESCRIBE, "
+            "EXPLAIN, WITH) are allowed; set ALLOW_WRITE_QUERIES=true to enable writes"
+        )
+
+    df = spark.sql(q)
+    if max_rows is not None:
+        df = df.limit(max_rows)
+
+    group = f"execute_query-{uuid.uuid4().hex[:12]}"
+    sc = spark.sparkContext
+    done = threading.Event()
+    cancelled = threading.Event()
+
+    def watchdog() -> None:
+        if not done.wait(config.query_timeout_s):
+            cancelled.set()
+            sc.cancelJobGroup(group)
+
+    watcher = threading.Thread(target=watchdog, daemon=True)
+    sc.setJobGroup(group, q[:100], interruptOnCancel=True)
+    watcher.start()
+    try:
+        collected = df.collect()
+    except Exception as exc:  # noqa: BLE001 — classify cancellation as timeout
+        if cancelled.is_set():
+            raise QueryTimeout(
+                f"query exceeded timeout of {config.query_timeout_s}s"
+            ) from exc
+        raise
+    finally:
+        done.set()
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+    columns = df.columns
+    rows = [row.asDict(recursive=True) for row in collected]
+    return QueryResult(columns=columns, rows=rows)

@@ -1,0 +1,65 @@
+"""Flagship query: revenue per region.
+
+The reference's worked example ("customer count by region",
+reference docs/tools.md:14-17) scaled up to the full star join —
+region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem → revenue rollup.
+Exercises scans, four joins (all dim sides broadcast), expression
+aggregation and sort in one plan: the lineitem fact table is read
+once, never shuffled for a join, and the only exchange is the final
+5-row aggregate — the plan shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mcp_trino_spark.operators._util import T
+from mcp_trino_spark.registry import DSUM, dsum, register
+
+
+def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, nation, customer, orders, lineitem = T(
+        spark, sf_dir, "region", "nation", "customer", "orders", "lineitem"
+    )
+    # price and (1-discount) are 2-decimal quantities stored as doubles,
+    # so the product has ≤4 true decimals: a decimal(25,6) cast rounds
+    # both engines to the same value (scale 12 would sit at the double's
+    # error bound and round differently per engine — see registry.py).
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # lineitem ⋈ orders is fact-fact: shuffle join on the natural key
+    # (bucket both by orderkey in a real deployment); the three dim
+    # joins broadcast.
+    return (
+        lineitem.join(orders.select("o_orderkey", "o_custkey"),
+                      F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            dsum(revenue).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy(F.col("revenue").desc_nulls_last(), F.col("r_name").asc())
+    )
+
+
+register(
+    "q0_flagship_revenue_by_region",
+    oracle=f"""
+    SELECT r_name,
+           {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_lineitems,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY revenue DESC NULLS LAST, r_name ASC
+    """,
+)(flagship_revenue_by_region)

@@ -1,0 +1,385 @@
+"""Scalar function surface — SURVEY §2.8 (X1-X14).
+
+The reference exposes Trino's full scalar library by pass-through
+(reference internal/trino/client.go:305 links the Trino SQL reference;
+``CONTAINS`` appears in a captured user query at
+internal/trino/comment_test.go:72-74).  Each family is declared by one
+query exercising its functions over the testdata with a DuckDB oracle.
+All of these are JVM-side codegen'd expressions — no Python in the hot
+path — so they cost the same as any column arithmetic at 100 TB.
+
+Cross-engine notes (SURVEY §7.4.1) handled here:
+- day-of-week numbering: Spark ``weekday()`` (0=Mon) + 1 == DuckDB ``isodow``.
+- Spark ``date_add(d, n)`` == DuckDB ``d + INTERVAL n DAY``.
+- double→int casts differ (Spark truncates, DuckDB rounds) → only
+  FLOOR/CEIL-mediated casts are declared.
+- format tokens: Spark ``yyyy-MM-dd`` == DuckDB strftime ``%Y-%m-%d``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_trino_spark.operators._util import T
+from mcp_trino_spark.registry import register
+
+
+@register(
+    "x1_string_basics",
+    oracle="""
+    SELECT c_custkey,
+           length(c_name) AS name_len,
+           lower(c_name) AS name_lower,
+           upper(c_mktsegment) AS seg_upper,
+           trim(c_name) AS name_trim,
+           substr(c_name, 1, 8) AS name_prefix,
+           c_name || '-' || c_mktsegment AS name_seg,
+           replace(c_name, 'Customer', 'Cust') AS name_repl,
+           reverse(c_mktsegment) AS seg_rev,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+           strpos(c_name, '#') AS hash_pos,
+           split_part(c_name, '#', 2) AS name_id,
+           starts_with(c_name, 'Customer') AS is_cust
+    FROM customer
+    """,
+)
+def x1_string_basics(spark, sf_dir):
+    (customer,) = T(spark, sf_dir, "customer")
+    c = F.col("c_name")
+    return customer.select(
+        "c_custkey",
+        F.length(c).alias("name_len"),
+        F.lower(c).alias("name_lower"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.trim(c).alias("name_trim"),
+        F.substring(c, 1, 8).alias("name_prefix"),
+        F.concat_ws("-", c, F.col("c_mktsegment")).alias("name_seg"),
+        F.replace(c, F.lit("Customer"), F.lit("Cust")).alias("name_repl"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.instr(c, "#").alias("hash_pos"),
+        F.split_part(c, F.lit("#"), F.lit(2)).alias("name_id"),
+        F.startswith(c, F.lit("Customer")).alias("is_cust"),
+    )
+
+
+@register(
+    "x2_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_matches(p_name, '^[a-m]') AS starts_early,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           len(regexp_extract_all(p_type, '[A-Z]+')) AS n_upper_runs
+    FROM part
+    """,
+)
+def x2_regex(spark, sf_dir):
+    (part,) = T(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_name").rlike("^[a-m]").alias("starts_early"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.regexp_count("p_type", F.lit("[A-Z]+")).alias("n_upper_runs"),
+    )
+
+
+@register(
+    "x3_date_extract",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           month(o_orderdate) AS m,
+           day(o_orderdate) AS d,
+           isodow(o_orderdate) AS dow_iso,
+           dayofyear(o_orderdate) AS doy,
+           quarter(o_orderdate) AS q,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+    FROM orders
+    """,
+)
+def x3_date_extract(spark, sf_dir):
+    (orders,) = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        (F.weekday(d) + 1).alias("dow_iso"),
+        F.dayofyear(d).alias("doy"),
+        F.quarter(d).alias("q"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+    )
+
+
+@register(
+    "x4_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(CAST(o_orderdate AS DATE) - INTERVAL 7 DAY AS DATE) AS week_before,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2099-12-31') AS days_to_eoy,
+           date_diff('month', CAST(o_orderdate AS DATE), DATE '2099-12-31') AS months_to_eoy
+    FROM orders
+    """,
+)
+def x4_date_arith(spark, sf_dir):
+    (orders,) = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    eoy = F.lit("2099-12-31").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_add(d, 30).alias("due_date"),
+        F.date_sub(d, 7).alias("week_before"),
+        F.datediff(eoy, d).alias("days_to_eoy"),
+        F.months_between(eoy, d).cast("long").alias("months_to_eoy"),
+    )
+
+
+@register(
+    "x5_timestamp_fmt",
+    oracle="""
+    SELECT event_id,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day_str,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M') AS minute_str,
+           CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS unix_sec
+    FROM events
+    """,
+)
+def x5_timestamp_fmt(spark, sf_dir):
+    (events,) = T(spark, sf_dir, "events")
+    ts = F.col("ts")
+    return events.select(
+        "event_id",
+        F.date_format(ts, "yyyy-MM-dd").alias("day_str"),
+        F.date_format(ts, "yyyy-MM-dd HH:mm").alias("minute_str"),
+        F.unix_timestamp(ts).alias("unix_sec"),
+    )
+
+
+@register(
+    "x6_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_quantity - 25.0) AS dev_from_25,
+           round(l_extendedprice, 1) AS price_r1,
+           ceil(l_discount * 100.0) AS disc_pct_ceil,
+           floor(l_quantity / 10.0) AS qty_decile,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           round(log10(l_extendedprice), 6) AS price_log10,
+           round(power(l_discount, 2.0), 10) AS disc_sq,
+           mod(CAST(l_quantity AS BIGINT), 7) AS qty_mod7,
+           sign(l_quantity - 25.0) AS dev_sign,
+           greatest(l_tax, l_discount) AS max_rate,
+           least(l_tax, l_discount) AS min_rate
+    FROM lineitem
+    """,
+)
+def x6_math(spark, sf_dir):
+    (li,) = T(spark, sf_dir, "lineitem")
+    q, p, disc, tax = (F.col(c) for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(q - 25.0).alias("dev_from_25"),
+        F.round(p, 1).alias("price_r1"),
+        F.ceil(disc * 100.0).alias("disc_pct_ceil"),
+        F.floor(q / 10.0).alias("qty_decile"),
+        F.round(F.sqrt(p), 6).alias("price_sqrt"),
+        F.round(F.log(p), 6).alias("price_ln"),
+        F.round(F.log10(p), 6).alias("price_log10"),
+        F.round(F.pow(disc, 2.0), 10).alias("disc_sq"),
+        (q.cast("bigint") % 7).alias("qty_mod7"),
+        F.signum(q - 25.0).alias("dev_sign"),
+        F.greatest(tax, disc).alias("max_rate"),
+        F.least(tax, disc).alias("min_rate"),
+    )
+
+
+@register(
+    "x7_conditional",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(c_name, 'unknown') AS name_or_default,
+           nullif(c_mktsegment, 'BUILDING') AS seg_non_building,
+           CASE WHEN c_acctbal < 0 THEN 'debt' ELSE 'credit' END AS bal_class,
+           TRY_CAST(split_part(c_name, '#', 2) AS BIGINT) AS id_from_name
+    FROM customer
+    """,
+)
+def x7_conditional(spark, sf_dir):
+    (customer,) = T(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.coalesce(F.col("c_name"), F.lit("unknown")).alias("name_or_default"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_non_building"),
+        F.when(F.col("c_acctbal") < 0, "debt").otherwise("credit").alias("bal_class"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).try_cast("bigint").alias(
+            "id_from_name"
+        ),
+    )
+
+
+@register(
+    "x8_casting",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_int,
+           CAST(l_linenumber AS DOUBLE) AS ln_dbl,
+           CAST(l_orderkey AS VARCHAR) AS key_str,
+           CAST(l_shipdate AS DATE) AS ship_date,
+           l_quantity / 2 AS half_qty,
+           l_orderkey // 100 AS key_div100
+    FROM lineitem
+    """,
+)
+def x8_casting(spark, sf_dir):
+    """Casting lattice; `/` is double division on both engines, integer
+    division is explicit (Spark DIV == DuckDB //), and double→int goes
+    through FLOOR (Spark truncates but DuckDB rounds on bare casts)."""
+    (li,) = T(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_quantity")).cast("bigint").alias("qty_int"),
+        F.col("l_linenumber").cast("double").alias("ln_dbl"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        (F.col("l_quantity") / 2).alias("half_qty"),
+        F.expr("l_orderkey DIV 100").alias("key_div100"),
+    )
+
+
+@register(
+    "x9_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_elem,
+           CAST(embedding[len(embedding)] AS DOUBLE) AS last_elem,
+           len(list_distinct(embedding)) AS n_distinct,
+           CAST(list_extract(list_sort(embedding), 1) AS DOUBLE) AS min_elem
+    FROM embeddings
+    """,
+)
+def x9_array(spark, sf_dir):
+    (emb,) = T(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.element_at(e, 1).cast("double").alias("first_elem"),
+        F.element_at(e, -1).cast("double").alias("last_elem"),
+        F.size(F.array_distinct(e)).alias("n_distinct"),
+        F.element_at(F.sort_array(e), 1).cast("double").alias("min_elem"),
+    )
+
+
+@register(
+    "x10_array_hof",
+    oracle="""
+    SELECT vec_id,
+           CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE) AS sum_sq,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings
+    """,
+)
+def x10_array_hof(spark, sf_dir):
+    """Higher-order array functions (Trino transform/filter/reduce ==
+    Spark transform/filter/aggregate — identical lambda syntax).
+
+    Sum-of-squares accumulates in float-cast-to-double order-preserving
+    left-to-right on both engines (list order is defined), so values
+    match exactly.
+    """
+    (emb,) = T(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.aggregate(
+            F.transform(e, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_sq"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@register(
+    "x11_map_struct",
+    oracle="""
+    SELECT n_nationkey,
+           struct_pack(k := n_nationkey, region := n_regionkey).k AS packed_key,
+           map_from_entries([('nation', n_name), ('region_id', CAST(n_regionkey AS VARCHAR))])['nation'][1] AS mapped_name
+    FROM nation
+    """,
+)
+def x11_map_struct(spark, sf_dir):
+    (nation,) = T(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        F.struct(
+            F.col("n_nationkey").alias("k"), F.col("n_regionkey").alias("region")
+        )["k"].alias("packed_key"),
+        F.create_map(
+            F.lit("nation"), F.col("n_name"),
+            F.lit("region_id"), F.col("n_regionkey").cast("string"),
+        )["nation"].alias("mapped_name"),
+    )
+
+
+@register(
+    "x12_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.device') AS device,
+           TRY_CAST(json_extract_string(props, '$.dur_ms') AS BIGINT) AS dur_ms
+    FROM events
+    """,
+)
+def x12_json(spark, sf_dir):
+    (events,) = T(spark, sf_dir, "events")
+    p = F.col("props")
+    return events.select(
+        "event_id",
+        F.get_json_object(p, "$.device").alias("device"),
+        F.get_json_object(p, "$.dur_ms").try_cast("bigint").alias("dur_ms"),
+    )
+
+
+@register(
+    "x13_struct_row",
+    oracle="""
+    SELECT t.pair.r AS region_key, t.pair.nm AS region_name
+    FROM (SELECT struct_pack(r := r_regionkey, nm := r_name) AS pair FROM region) t
+    """,
+)
+def x13_struct_row(spark, sf_dir):
+    (region,) = T(spark, sf_dir, "region")
+    pair = F.struct(F.col("r_regionkey").alias("r"), F.col("r_name").alias("nm"))
+    return region.select(pair.alias("pair")).select(
+        F.col("pair.r").alias("region_key"), F.col("pair.nm").alias("region_name")
+    )
+
+
+@register(
+    "x14_hashing",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           lower(to_hex(doc_id)) AS id_hex
+    FROM documents
+    """,
+)
+def x14_hashing(spark, sf_dir):
+    (docs,) = T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.lower(F.hex(F.col("doc_id"))).alias("id_hex"),
+    )

@@ -1,0 +1,319 @@
+"""Aggregation operators — SURVEY §2.5 (A1-A15).
+
+Reference declares "aggregations" in its tool contract (reference
+internal/mcp/handlers.go:290) with worked GROUP BY examples
+(docs/tools.md:14-17).  Trino's partial+final hash aggregation across
+fragments is exactly Spark's HashAggregateExec partial/final pair —
+map-side combine means the shuffle carries one row per (partition ×
+group), which is what keeps grand aggregates and low-cardinality
+groupings cheap at 100 TB.
+
+Float policy: every SUM/AVG over doubles goes through the exact-decimal
+pattern (registry.dsum) so results are order-independent and
+oracle-hashable — see registry.py docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_trino_spark.operators._util import T
+from mcp_trino_spark.registry import DAVG, DSUM, davg, dsum, register
+
+
+@register(
+    "a1_groupby_count",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment
+    """,
+)
+def a1_groupby_count(spark, sf_dir):
+    (customer,) = T(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
+
+
+@register(
+    "a2_sum_avg_min_max",
+    oracle=f"""
+    SELECT l_returnflag,
+           {DSUM('l_quantity')} AS sum_qty,
+           {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+           {DAVG('l_extendedprice')} AS avg_price,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a2_sum_avg_min_max(spark, sf_dir):
+    (li,) = T(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum(revenue).alias("revenue"),
+        davg("l_extendedprice").alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
+    "a3_count_distinct",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_custs
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a3_count_distinct(spark, sf_dir):
+    (orders,) = T(spark, sf_dir, "orders")
+    # COUNT(DISTINCT) expands to a two-phase agg (dedup then count) —
+    # Catalyst plans it; no driver-side set needed.
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs")
+    )
+
+
+@register(
+    "a4_multikey",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {DSUM('l_quantity')} AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a4_multikey(spark, sf_dir):
+    (li,) = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "a5_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+    GROUP BY o_custkey HAVING COUNT(*) > 12
+    """,
+)
+def a5_having(spark, sf_dir):
+    (orders,) = T(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+@register(
+    "a6_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, {DSUM('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def a6_grouping_sets(spark, sf_dir):
+    register_li(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "a7_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a7_rollup(spark, sf_dir):
+    (li,) = T(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@register(
+    "a8_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a8_cube(spark, sf_dir):
+    (li,) = T(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@register(
+    "a9_filtered_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6)))
+                FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS sum_discounted
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a9_filtered_agg(spark, sf_dir):
+    (li,) = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_big"),
+        F.sum(
+            F.when(
+                F.col("l_discount") > 0.05,
+                F.col("l_extendedprice").cast("decimal(25,6)"),
+            )
+        )
+        .cast("double")
+        .alias("sum_discounted"),
+    )
+
+
+@register(
+    "a10_min_by_max_by",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_min
+      FROM orders
+    )
+    SELECT o_custkey,
+           MAX(CASE WHEN rn_max = 1 THEN o_orderkey END) AS best_order,
+           MAX(CASE WHEN rn_min = 1 THEN o_orderkey END) AS worst_order
+    FROM r GROUP BY o_custkey
+    """,
+)
+def a10_min_by_max_by(spark, sf_dir):
+    (orders,) = T(spark, sf_dir, "orders")
+    # Tie-break on o_orderkey inside the ordering struct so both engines
+    # pick the same row when totalprice ties.
+    ordkey = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", ordkey).alias("best_order"),
+        F.min_by("o_orderkey", ordkey).alias("worst_order"),
+    )
+
+
+@register(
+    "a11_stats",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(c_acctbal) AS n,
+           {DSUM('c_acctbal')} AS s1,
+           {DSUM('c_acctbal * c_acctbal', prec=30)} AS s2
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def a11_stats(spark, sf_dir):
+    """Statistical aggregates, exact-checkable formulation.
+
+    stddev/variance/corr differ across engines in accumulation order, so
+    the *declared* check is on exact moment sums (n, Σx, Σx²) from which
+    variance/stddev derive deterministically; a12_stats_native below
+    registers the native stddev/var functions under the rows-only check.
+    """
+    (customer,) = T(spark, sf_dir, "customer")
+    x = F.col("c_acctbal")
+    return customer.groupBy("c_mktsegment").agg(
+        F.count(x).alias("n"),
+        dsum(x).alias("s1"),
+        dsum(x * x, prec=30).alias("s2"),
+    )
+
+
+@register("a11b_stats_native")  # rows-only: float accumulation order differs
+def a11b_stats_native(spark, sf_dir):
+    (customer,) = T(spark, sf_dir, "customer")
+    x = F.col("c_acctbal")
+    return customer.groupBy("c_mktsegment").agg(
+        F.stddev(x).alias("stddev_bal"),
+        F.variance(x).alias("var_bal"),
+        F.skewness(x).alias("skew_bal"),
+        F.kurtosis(x).alias("kurt_bal"),
+        F.corr(x, F.col("c_custkey").cast("double")).alias("corr_bal_key"),
+    )
+
+
+@register(
+    "a12_array_agg",
+    oracle="""
+    SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def a12_array_agg(spark, sf_dir):
+    (nation,) = T(spark, sf_dir, "nation")
+    # collect_list order is undefined → sort_array for determinism, then
+    # join to a string so both engines hash the same scalar value.
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("names")
+    )
+
+
+@register("a13_approx_distinct")  # rows-only: sketches differ across engines
+def a13_approx_distinct(spark, sf_dir):
+    (li,) = T(spark, sf_dir, "lineitem")
+    # HLL++ sketch: mergeable across partitions → single narrow shuffle of
+    # sketch bytes, the 100 TB-safe way to count distincts.
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders")
+    )
+
+
+@register(
+    "a14_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.5) AS DOUBLE), 6) AS p50,
+           ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.9) AS DOUBLE), 6) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a14_percentile(spark, sf_dir):
+    (li,) = T(spark, sf_dir, "lineitem")
+    # Exact interpolated percentile matches DuckDB's quantile_cont up to
+    # interpolation ULPs → ROUND(…,6) both sides; the approx_percentile
+    # twin is a14b (rows-only).
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+    )
+
+
+@register("a14b_approx_percentile")  # rows-only: t-digest vs exact differ
+def a14b_approx_percentile(spark, sf_dir):
+    (li,) = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50_approx")
+    )
+
+
+@register(
+    "a15_grand_agg",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           {DSUM('l_extendedprice')} AS total_price
+    FROM lineitem
+    """,
+)
+def a15_grand_agg(spark, sf_dir):
+    (li,) = T(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum("l_extendedprice").alias("total_price"),
+    )
+
+
+def register_li(spark, sf_dir):
+    from mcp_trino_spark.sources.catalog import load_table
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")

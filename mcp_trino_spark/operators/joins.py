@@ -1,0 +1,262 @@
+"""Join operators — SURVEY §2.4 (J1-J11).
+
+Reference declares "joins" and "cross-system data exploration" in its
+tool contract (reference internal/mcp/handlers.go:290) and its EXPLAIN
+example shows distributed HASH join fragments (docs/tools.md:186-193).
+Trino's broadcast-vs-partitioned decision maps to Catalyst's
+BroadcastHashJoin / SortMergeJoin choice; we declare logical joins and
+hint ``broadcast()`` for bounded dimension tables so the big-fact side
+never shuffles for dim joins — the key scale property at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_trino_spark.operators._util import T
+from mcp_trino_spark.registry import DSUM, dsum, register
+
+
+@register(
+    "j1_inner_equi",
+    oracle="""
+    SELECT c_custkey, c_name, n_name FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def j1_inner_equi(spark, sf_dir):
+    customer, nation = T(spark, sf_dir, "customer", "nation")
+    # nation is 25 rows: always broadcast — no shuffle of customer.
+    return customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner"
+    ).select("c_custkey", "c_name", "n_name")
+
+
+@register(
+    "j2_left_outer",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def j2_left_outer(spark, sf_dir):
+    customer, orders = T(spark, sf_dir, "customer", "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "j3_full_outer",
+    oracle="""
+    SELECT COALESCE(a.k, b.k) AS k, a.n_cust, b.n_supp
+    FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) a
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) b
+    ON a.k = b.k
+    """,
+)
+def j3_full_outer(spark, sf_dir):
+    customer, supplier = T(spark, sf_dir, "customer", "supplier")
+    a = customer.groupBy(F.col("c_nationkey").alias("k")).agg(F.count("*").alias("n_cust"))
+    b = supplier.groupBy(F.col("s_nationkey").alias("k")).agg(F.count("*").alias("n_supp"))
+    return a.join(b, "k", "full").select(
+        F.col("k"), F.col("n_cust"), F.col("n_supp")
+    )
+
+
+@register(
+    "j4_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def j4_cross(spark, sf_dir):
+    region, nation = T(spark, sf_dir, "region", "nation")
+    # Cross joins only ever appear dim×dim here; fact-side cross joins
+    # are rejected at review time (cardinality explosion at scale).
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+@register(
+    "j5_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
+    """,
+)
+def j5_left_semi(spark, sf_dir):
+    customer, orders = T(spark, sf_dir, "customer", "orders")
+    big = orders.filter(F.col("o_totalprice") > 200000.0)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j6_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j6_left_anti(spark, sf_dir):
+    # NOT EXISTS (not NOT IN): null-safe on both engines — SURVEY §7.4.1.
+    customer, orders = T(spark, sf_dir, "customer", "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j7_theta",
+    oracle="""
+    SELECT s.s_suppkey, COUNT(*) AS n_cheaper
+    FROM supplier s JOIN part p ON p.p_retailprice < s.s_acctbal
+    GROUP BY s.s_suppkey
+    """,
+)
+def j7_theta(spark, sf_dir):
+    # Non-equi join → BroadcastNestedLoopJoin; keep the broadcast side the
+    # bounded one (part/supplier are dims).  At 100 TB a theta join against
+    # a fact table would need banding first (see j8).
+    supplier, part = T(spark, sf_dir, "supplier", "part")
+    return (
+        supplier.join(F.broadcast(part), part.p_retailprice < supplier.s_acctbal)
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_cheaper"))
+    )
+
+
+@register(
+    "j8_range_band",
+    oracle="""
+    SELECT b.bucket, COUNT(*) AS n_orders, {sum_price} AS sum_price
+    FROM orders o JOIN (
+        SELECT 0 AS bucket, 0.0 AS lo, 50000.0 AS hi UNION ALL
+        SELECT 1, 50000.0, 150000.0 UNION ALL
+        SELECT 2, 150000.0, 1000000000.0
+    ) b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.bucket
+    """.format(sum_price=DSUM("o.o_totalprice")),
+)
+def j8_range_band(spark, sf_dir):
+    (orders,) = T(spark, sf_dir, "orders")
+    buckets = spark.createDataFrame(
+        [(0, 0.0, 50000.0), (1, 50000.0, 150000.0), (2, 150000.0, 1000000000.0)],
+        "bucket INT, lo DOUBLE, hi DOUBLE",
+    )
+    # Band join: broadcast the (tiny) band table; each orders row probes
+    # the bands without shuffling orders — the standard scale pattern for
+    # range bucketing.
+    return (
+        orders.join(
+            F.broadcast(buckets),
+            (orders.o_totalprice >= buckets.lo) & (orders.o_totalprice < buckets.hi),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+@register(
+    "j9_multiway",
+    oracle="""
+    SELECT r_name, n_name, COUNT(DISTINCT c.c_custkey) AS n_customers,
+           COUNT(o.o_orderkey) AS n_orders
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer c ON c_nationkey = n_nationkey
+    JOIN orders o ON o_custkey = c_custkey
+    GROUP BY r_name, n_name
+    """,
+)
+def j9_multiway(spark, sf_dir):
+    region, nation, customer, orders = T(
+        spark, sf_dir, "region", "nation", "customer", "orders"
+    )
+    # Chain dims smallest-out: region/nation/customer broadcast in turn, so
+    # only the orders fact stays partitioned; Catalyst + CBO reorders
+    # equivalently when stats exist.
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "j10_self_join",
+    oracle="""
+    SELECT a.l_orderkey, a.l_linenumber AS ln_a, b.l_linenumber AS ln_b
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+    """,
+)
+def j10_self_join(spark, sf_dir):
+    (li,) = T(spark, sf_dir, "lineitem")
+    a = li.alias("a")
+    b = li.alias("b")
+    # Self equi-join on the natural key: both sides hash-partition on
+    # l_orderkey (same exchange), pairs expand only within an order.
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+    ).select(
+        F.col("a.l_orderkey").alias("l_orderkey"),
+        F.col("a.l_linenumber").alias("ln_a"),
+        F.col("b.l_linenumber").alias("ln_b"),
+    )
+
+
+@register(
+    "j11_asof",
+    oracle="""
+    WITH ranked AS (
+      SELECT o.o_orderkey, e.ts, e.value,
+             ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+                                ORDER BY epoch_ns(e.ts) DESC, e.event_id DESC) AS rn
+      FROM orders o JOIN events e
+        ON e.user_id = o.o_custkey % 50 AND CAST(e.ts AS TIMESTAMP) <= o.o_orderdate
+    )
+    SELECT o_orderkey, CAST(ts AS DATE) AS asof_date, value AS asof_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def j11_asof(spark, sf_dir):
+    """As-of join: latest event at-or-before each order date, per user.
+
+    Spark has no native as-of join in SQL; the scalable rewrite is an
+    equi-join on the entity key (hash-partitionable) with the time
+    predicate as a join filter, then ``row_number`` to keep the latest
+    match.  The time predicate never forces a nested loop because the
+    equi key carries the partitioning.
+    """
+    from pyspark.sql import Window
+
+    orders, events = T(spark, sf_dir, "orders", "events")
+    joined = orders.join(
+        events,
+        (events.user_id == orders.o_custkey % 50) & (events.ts <= orders.o_orderdate),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("ts_ns").desc(), F.col("event_id").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            F.col("ts").cast("date").alias("asof_date"),
+            F.col("value").alias("asof_value"),
+        )
+    )

@@ -1,0 +1,220 @@
+"""Embedding similarity search — SURVEY §2.10 (L3, L4) plus an
+IVF-bucketed scale variant and embedding-cosine near-dup.
+
+Design for 100 TB / billions of vectors:
+- Brute-force top-k broadcasts the query vector (bytes, not rows) and
+  runs as a scan + TakeOrderedAndProject — no shuffle of the corpus.
+- The IVF variant clusters once (here: deterministic seed centroids),
+  stores cluster_id as a partition-prunable column, and probes only the
+  nearest cluster(s) — the standard ANN recall/cost dial.
+- Dot products accumulate left-to-right over the array on both engines
+  (list order is defined), so values hash-match exactly after a
+  float→double cast; ROUND(…,9) guards interpolation ULPs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from mcp_trino_spark.operators._util import T
+from mcp_trino_spark.registry import register
+
+#: DuckDB-side exact twin of the Spark dot/norm expressions, kept in one
+#: place so every oracle uses the identical accumulation.
+_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)}) / "
+        f"(({_NORM.format(a=a)}) * ({_NORM.format(a=b)}))"
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, sequential accumulation (JVM-side, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+@register(
+    "l3_cosine_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 9) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
+    """,
+)
+def l3_cosine_pairs(spark, sf_dir):
+    """Pairwise cosine within label blocks (sampled to every 10th vector
+    — the full quadratic blow-up is exactly what l4b's IVF avoids)."""
+    (emb,) = T(spark, sf_dir, "embeddings")
+    sampled = emb.filter(F.col("vec_id") % 10 == 0)
+    a = sampled.alias("a")
+    b = sampled.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 9).alias("cos_sim"),
+        )
+    )
+
+
+@register(
+    "l4_topk_similarity",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           ROUND({_cosine_sql('e.embedding', 'q.qv')}, 9) AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC NULLS LAST, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def l4_topk_similarity(spark, sf_dir):
+    """Brute-force cosine top-k against the vec_id=0 query vector.
+
+    The query vector joins in as a broadcast single-row relation; the
+    corpus is scanned once and TakeOrderedAndProject keeps per-partition
+    heaps of k — the exact-baseline ANN shape that scales linearly.
+    """
+    (emb,) = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 9).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc_nulls_last(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "l4b_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8
+    ),
+    assign AS (
+      SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_cosine_sql('e.embedding', 'c.cv')} DESC, c.cent_id ASC) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    clustered AS (SELECT vec_id, label, embedding, cent_id FROM assign WHERE rn = 1),
+    qc AS (SELECT cent_id, embedding FROM clustered WHERE vec_id = 0)
+    SELECT x.vec_id, x.cent_id,
+           ROUND({_cosine_sql('x.embedding', 'qc.embedding')}, 9) AS cos_sim
+    FROM clustered x JOIN qc ON x.cent_id = qc.cent_id
+    WHERE x.vec_id <> 0
+    ORDER BY cos_sim DESC NULLS LAST, x.vec_id ASC
+    LIMIT 10
+    """,
+)
+def l4b_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: assign every vector to its nearest of 8 seed
+    centroids (vec_id < 8, deterministic stand-in for trained k-means),
+    then search only the query's cluster.
+
+    At scale: centroids broadcast; assignment is a map-only pass; the
+    cluster id becomes a storage partition key so a probe prunes ~7/8 of
+    the corpus before any distance math.
+    """
+    (emb,) = T(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", cosine(F.col("embedding"), F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cent_id").asc())
+    clustered = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "cent_id")
+    )
+    qc = clustered.filter(F.col("vec_id") == 0).select(
+        F.col("cent_id").alias("q_cent"), F.col("embedding").alias("qv")
+    )
+    return (
+        clustered.join(F.broadcast(qc), clustered.cent_id == F.col("q_cent"))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "cent_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 9).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc_nulls_last(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "l3b_embedding_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 9) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_cosine_sql('a.embedding', 'b.embedding')} > 0.99
+    """,
+)
+def l3b_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cos > 0.99), blocked by
+    label — the embedding-space analogue of MinHash dedup.  Blocking
+    keys (label here; LSH buckets at scale) keep the join from going
+    quadratic over the corpus."""
+    (emb,) = T(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("sim", sim)
+        .filter(F.col("sim") > 0.99)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(F.col("sim"), 9).alias("cos_sim"),
+        )
+    )

@@ -1,0 +1,311 @@
+"""Text analysis for LLM training-data pipelines — SURVEY §2.10 (L5-L8)
+plus language-ID, quality scoring, token counting, and document
+fingerprinting.
+
+All hot-path expressions are built-in column functions (JVM codegen);
+the only Python-executed operator is the pandas-UDF tokenizer in
+llm_multimodal.py (the declared UDF surface, L10).  Everything here is
+a scan + narrow transforms + one hash aggregate — embarrassingly
+parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_trino_spark.operators._util import T
+from mcp_trino_spark.registry import DAVG, register
+
+#: tiny per-language stopword lists for the n-gram/stopword language
+#: heuristic (public common-word lists, truncated to 8 words each).
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "pour"],
+    "es": ["el", "la", "de", "que", "y", "los", "es", "por"],
+}
+
+TOKEN_REGEX = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"  # BPE-ish: word runs or single punct
+
+
+@register(
+    "l5_text_stats",
+    oracle=f"""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           {DAVG('CAST(n_chars AS DOUBLE)')} AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words
+    FROM documents GROUP BY lang, source
+    """,
+)
+def l5_text_stats(spark, sf_dir):
+    (docs,) = T(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.col("n_chars").cast("double").cast("decimal(25,6)")).cast("double")
+            / F.count(F.col("n_chars").cast("double"))
+        ).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("total_words"),
+    )
+
+
+@register(
+    "l6_regex_search",
+    oracle="""
+    SELECT doc_id, lang,
+           len(regexp_extract_all(lower(text), 'data')) AS n_hits
+    FROM documents
+    WHERE regexp_matches(lower(text), 'data')
+    """,
+)
+def l6_regex_search(spark, sf_dir):
+    (docs,) = T(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.lower(F.col("text")).rlike("data"))
+        .select(
+            "doc_id",
+            "lang",
+            F.regexp_count(F.lower(F.col("text")), F.lit("data")).alias("n_hits"),
+        )
+    )
+
+
+@register(
+    "l7_top_bigrams",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    bigrams AS (
+      SELECT lang, ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1] AS bigram
+      FROM words, LATERAL unnest(range(1, GREATEST(len(ws) - 1, 0) + 1)) AS u(i)
+      WHERE length(ws[CAST(i AS INTEGER)]) > 0 AND length(ws[CAST(i AS INTEGER) + 1]) > 0
+    ),
+    counted AS (
+      SELECT lang, bigram, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, bigram ASC) AS rn
+      FROM bigrams GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, n, rn FROM counted WHERE rn <= 5
+    """,
+)
+def l7_top_bigrams(spark, sf_dir):
+    """Top-5 word bigrams per language: split → adjacent-pair explode →
+    count → windowed top-N.  The bigram explode is narrow; the single
+    shuffle is the (lang, bigram) count — vocabulary-sized, not
+    corpus-sized, thanks to map-side partial aggregation."""
+    from pyspark.sql import Window
+
+    (docs,) = T(spark, sf_dir, "documents")
+    words = docs.select("lang", F.split(F.lower("text"), " ").alias("ws"))
+    n_pairs = F.greatest(F.size("ws") - 1, F.lit(0))
+    bigrams = (
+        words.select("lang", "ws", F.explode(F.sequence(F.lit(1), n_pairs)).alias("i"))
+        .filter(
+            (F.length(F.element_at("ws", F.col("i"))) > 0)
+            & (F.length(F.element_at("ws", F.col("i") + 1)) > 0)
+        )
+        .select(
+            "lang",
+            F.concat_ws(
+                " ", F.element_at("ws", F.col("i")), F.element_at("ws", F.col("i") + 1)
+            ).alias("bigram"),
+        )
+    )
+    counted = bigrams.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "bigram", "n", "rn")
+    )
+
+
+@register(
+    "l8_quality_score",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           len(string_split(text, ' ')) AS n_words,
+           ROUND(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                 / GREATEST(length(text), 1), 6) AS alpha_ratio,
+           ROUND(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                 / GREATEST(length(text), 1), 6) AS punct_ratio,
+           CASE WHEN length(text) BETWEEN 100 AND 20000
+                 AND CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                     / GREATEST(length(text), 1) > 0.7
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM documents
+    """,
+)
+def l8_quality_score(spark, sf_dir):
+    """Heuristic quality filter: length bounds + alphabetic ratio +
+    punctuation ratio — the C4/Gopher-rule shape, as pure column math."""
+    (docs,) = T(spark, sf_dir, "documents")
+    t = F.col("text")
+    tlen = F.greatest(F.length(t), F.lit(1))
+    alpha_ratio = F.length(F.regexp_replace(t, "[^A-Za-z ]", "")).cast("double") / tlen
+    punct_ratio = F.length(F.regexp_replace(t, "[^.!?,;:]", "")).cast("double") / tlen
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars_actual"),
+        F.size(F.split(t, " ")).alias("n_words"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.when(
+            F.length(t).between(100, 20000) & (alpha_ratio > 0.7), 1
+        )
+        .otherwise(0)
+        .alias("passes_quality"),
+    )
+
+
+def _langid_score_sql(lang: str) -> str:
+    words = LANG_STOPWORDS[lang]
+    hits = " + ".join(
+        f"len(list_filter(ws, w -> w = '{w}'))" for w in words
+    )
+    return f"({hits})"
+
+
+@register(
+    "l8b_langid",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    scores AS (
+      SELECT doc_id, lang,
+             {_langid_score_sql('en')} AS score_en,
+             {_langid_score_sql('de')} AS score_de,
+             {_langid_score_sql('fr')} AS score_fr,
+             {_langid_score_sql('es')} AS score_es
+      FROM toks
+    )
+    SELECT doc_id, lang AS lang_true,
+           CASE GREATEST(score_en, score_de, score_fr, score_es)
+                WHEN score_en THEN 'en'
+                WHEN score_de THEN 'de'
+                WHEN score_fr THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM scores
+    """,
+)
+def l8b_langid(spark, sf_dir):
+    """Stopword-vote language ID.  Ties resolve by the fixed en>de>fr>es
+    CASE order on both engines.  Pure column math over the token array —
+    no UDF, no shuffle."""
+    (docs,) = T(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    d = docs.select("doc_id", F.col("lang").alias("lang_true"), ws.alias("ws"))
+
+    def matcher(word: str):
+        # NB: the lambda must be unary — F.filter treats a 2-arg callable
+        # as (element, index) and would pass the index as `word`.
+        return lambda w: w == F.lit(word)
+
+    def score(lang: str):
+        terms = [
+            F.size(F.filter(F.col("ws"), matcher(word)))
+            for word in LANG_STOPWORDS[lang]
+        ]
+        out = terms[0]
+        for term in terms[1:]:
+            out = out + term
+        return out
+
+    scored = d.select(
+        "doc_id",
+        "lang_true",
+        score("en").alias("score_en"),
+        score("de").alias("score_de"),
+        score("fr").alias("score_fr"),
+        score("es").alias("score_es"),
+    )
+    best = F.greatest("score_en", "score_de", "score_fr", "score_es")
+    return scored.select(
+        "doc_id",
+        "lang_true",
+        F.when(F.col("score_en") == best, "en")
+        .when(F.col("score_de") == best, "de")
+        .when(F.col("score_fr") == best, "fr")
+        .otherwise("es")
+        .alias("lang_pred"),
+    )
+
+
+@register(
+    "l8c_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS bpe_ish_tokens,
+           CAST(CEIL(length(text) / 4.0) AS BIGINT) AS chars_div4_estimate
+    FROM documents
+    """,
+)
+def l8c_token_count(spark, sf_dir):
+    """Token counting three ways: whitespace split, a BPE-ish regex
+    (word runs + punctuation singles), and the chars/4 rule of thumb."""
+    (docs,) = T(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(t), r"\s+")).alias("ws_tokens"),
+        F.regexp_count(t, F.lit(TOKEN_REGEX)).alias("bpe_ish_tokens"),
+        F.ceil(F.length(t) / 4.0).cast("bigint").alias("chars_div4_estimate"),
+    )
+
+
+@register(
+    "l8d_fingerprint",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> length(w) > 0) AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(ws, w ->
+                 CAST(strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1 AS BIGINT) * 4096
+                 + CAST(strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1 AS BIGINT) * 256
+                 + CAST(strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1 AS BIGINT) * 16
+                 + CAST(strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1 AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
+    FROM words
+    """,
+)
+def l8d_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling-hash document fingerprint.
+
+    Each word hashes to 16 bits via md5 hex digits (engine-independent);
+    the rolling accumulator (acc*131 + x) mod 1e9+7 runs left-to-right —
+    both engines define list fold order, so fingerprints match exactly.
+    Detects exact and near-prefix duplicates cheaply (one narrow pass).
+    """
+    (docs,) = T(spark, sf_dir, "documents")
+    hexmap = F.lit("0123456789abcdef")
+
+    def hex_digit(w, i):
+        return (F.instr(hexmap, F.substring(F.md5(w), i, 1)) - 1).cast("bigint")
+
+    ws = F.filter(F.split(F.lower("text"), " "), lambda w: F.length(w) > 0)
+    word_vals = F.transform(
+        ws,
+        lambda w: hex_digit(w, 1) * 4096
+        + hex_digit(w, 2) * 256
+        + hex_digit(w, 3) * 16
+        + hex_digit(w, 4),
+    )
+    fingerprint = F.aggregate(
+        word_vals,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 131 + x) % 1000000007,
+    )
+    return docs.select("doc_id", fingerprint.alias("fingerprint"))

@@ -1,0 +1,245 @@
+"""Window functions — SURVEY §2.6 (W1-W10).
+
+Part of the reference's declared Trino SQL surface (its EXPLAIN example
+shows Trino's NULLS LAST default sort at reference docs/tools.md:182).
+Every window here partitions by a real key (order, customer, nation,
+user) — never an empty partition — so at 100 TB each partition's state
+fits one task and the only shuffle is the hash exchange on the
+partition key.  Global-ordering windows are deliberately absent from
+the declared surface (they serialize onto one task).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from mcp_trino_spark.operators._util import T
+from mcp_trino_spark.registry import register
+
+
+@register(
+    "w1_row_number",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_shipdate ASC NULLS LAST, l_linenumber ASC) AS rn
+    FROM lineitem
+    """,
+)
+def w1_row_number(spark, sf_dir):
+    (li,) = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_shipdate").asc_nulls_last(), F.col("l_linenumber").asc()
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", F.row_number().over(w).alias("rn")
+    )
+
+
+@register(
+    "w2_rank_dense_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC NULLS LAST) AS bal_rank,
+           DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC NULLS LAST) AS bal_dense
+    FROM customer
+    """,
+)
+def w2_rank_dense_rank(spark, sf_dir):
+    (customer,) = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc_nulls_last())
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense"),
+    )
+
+
+@register(
+    "w3_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4) OVER (ORDER BY o_totalprice ASC NULLS LAST, o_orderkey ASC) AS quartile
+    FROM orders
+    """,
+)
+def w3_ntile(spark, sf_dir):
+    (orders,) = T(spark, sf_dir, "orders")
+    # Unpartitioned ntile is declared for parity but is single-task by
+    # construction; the scale path buckets by percent_rank over
+    # pre-aggregated distributions instead.
+    w = Window.orderBy(F.col("o_totalprice").asc_nulls_last(), F.col("o_orderkey").asc())
+    return orders.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+
+
+@register(
+    "w4_percent_rank_cume_dist",
+    oracle="""
+    SELECT s_suppkey,
+           ROUND(PERCENT_RANK() OVER (ORDER BY s_acctbal ASC NULLS LAST, s_suppkey ASC), 9) AS pr,
+           ROUND(CUME_DIST()   OVER (ORDER BY s_acctbal ASC NULLS LAST, s_suppkey ASC), 9) AS cd
+    FROM supplier
+    """,
+)
+def w4_percent_rank_cume_dist(spark, sf_dir):
+    (supplier,) = T(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.col("s_acctbal").asc_nulls_last(), F.col("s_suppkey").asc())
+    return supplier.select(
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+    )
+
+
+@register(
+    "w5_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, value,
+           LAG(value)  OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC) AS prev_value,
+           LEAD(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC) AS next_value
+    FROM events
+    """,
+)
+def w5_lag_lead(spark, sf_dir):
+    # order on exact nanos (ts_ns) — µs-truncated ts could tie where the
+    # oracle's ns timestamps don't
+    (events,) = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_ns").asc(), F.col("event_id").asc())
+    return events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@register(
+    "w6_first_last_nth",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)  OVER w AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w6_first_last_nth(spark, sf_dir):
+    (orders,) = T(spark, sf_dir, "orders")
+    # Explicit full frame: LAST_VALUE over the default frame is the
+    # current row — the classic window gotcha on every engine.
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    ).distinct()
+
+
+@register(
+    "w7_window_agg",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_total,
+           COUNT(*) OVER (PARTITION BY o_custkey) AS cust_orders
+    FROM orders
+    """,
+)
+def w7_window_agg(spark, sf_dir):
+    (orders,) = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("cust_total"),
+        F.count("*").over(w).alias("cust_orders"),
+    )
+
+
+@register(
+    "w8_rows_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(25,6)))
+                OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
+    FROM events
+    """,
+)
+def w8_rows_frame(spark, sf_dir):
+    (events,) = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_ns").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double").alias("moving_sum"),
+    )
+
+
+@register(
+    "w9_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def w9_range_frame(spark, sf_dir):
+    (orders,) = T(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderkey").asc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@register(
+    "w10_topn_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC) AS rn
+      FROM customer
+    )
+    SELECT c_nationkey, c_custkey, c_acctbal, rn FROM ranked WHERE rn <= 2
+    """,
+)
+def w10_topn_per_group(spark, sf_dir):
+    (customer,) = T(spark, sf_dir, "customer")
+    # Catalyst's WindowGroupLimit pushes the rn<=2 limit into the window
+    # sort (partial top-k per map task) — the scalable top-N-per-group.
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey").asc()
+    )
+    return (
+        customer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rn")
+    )

@@ -1,0 +1,91 @@
+"""Benchmark runner — driver contract (BASELINE.md).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints exactly one
+JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {...}, "sf": <sf>}
+
+Each query is forced to full materialization through the `noop` sink
+(no driver-side collect — measures the distributed plan, not the
+transfer).  Headliners cover the main cost classes: fact-fact join,
+star join + agg, windows, sessionization, dedup (exact + LSH),
+similarity top-k, text pipeline, UDF path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mcp_trino_spark import registry  # noqa: E402
+from mcp_trino_spark.session import get_spark  # noqa: E402
+
+HEADLINERS = [
+    "q0_flagship_revenue_by_region",
+    "a2_sum_avg_min_max",
+    "a6_grouping_sets",
+    "j9_multiway",
+    "j10_self_join",
+    "j11_asof",
+    "w1_row_number",
+    "w10_topn_per_group",
+    "t3_sessionization",
+    "l1_exact_dedup",
+    "l2_minhash_lsh_pairs",
+    "l4_topk_similarity",
+    "l8c_token_count",
+    "l10_udf_tokenizer",
+]
+
+
+def run_one(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    qs = registry.queries()
+
+    # warm the JVM/codegen path once with the cheapest query, and fork
+    # the Python-UDF worker pool (one worker per core) so UDF queries
+    # measure steady-state execution, not interpreter cold-start
+    run_one(spark, qs["a1_groupby_count"], sf_dir)
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    _noop_udf = F.pandas_udf(lambda s: s, T.LongType())
+
+    spark.range(0, 256, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
+        _noop_udf(F.col("id"))
+    ).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINERS:
+        timings[name] = round(run_one(spark, qs[name], sf_dir), 3)
+
+    out = {
+        "metric": "headline_queries_total_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

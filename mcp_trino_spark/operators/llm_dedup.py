@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from mcp_trino_spark.operators._util import T
+from mcp_trino_spark.operators._util import T, spread
 from mcp_trino_spark.registry import register
 
 # LSH layout: NUM_BANDS bands × ROWS_PER_BAND minhashes per band.
@@ -52,81 +52,106 @@ def l1_exact_dedup(spark, sf_dir):
     )
 
 
-@register(
-    "l2_minhash_lsh_pairs",
-    oracle=f"""
+#: 16 minhash functions = 4 md5 variants × 4 non-overlapping 8-hex
+#: (32-bit) windows each — one md5 costs the same as 16 seeded md5s
+#: would 16× over.
+_N_MD5 = NUM_BANDS * ROWS_PER_BAND // 4
+
+
+def _mh_windows():
+    """Yield (hash_idx, md5_variant, window_start) for the 16 minhashes."""
+    for h in range(NUM_BANDS * ROWS_PER_BAND):
+        yield h, h // 4, 1 + 8 * (h % 4)
+
+
+def _lsh_oracle() -> str:
+    md5s = ", ".join(
+        f"md5(shingle || '#{j}') AS m{j}" for j in range(_N_MD5)
+    )
+    mins = ", ".join(
+        f"MIN(substr(m{j}, {start}, 8)) AS h{h}" for h, j, start in _mh_windows()
+    )
+    band_keys = ", ".join(
+        f"h{b * ROWS_PER_BAND} || '|' || h{b * ROWS_PER_BAND + 1} AS band{b}"
+        for b in range(NUM_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS band_key FROM keys"
+        for b in range(NUM_BANDS)
+    )
+    return f"""
     WITH sh AS (
-      SELECT DISTINCT doc_id,
+      SELECT doc_id,
              substr(text, CAST(pos AS INTEGER), {SHINGLE_LEN}) AS shingle
       FROM documents, LATERAL unnest(range(1, GREATEST(length(text) - {SHINGLE_LEN - 1}, 1) + 1)) AS u(pos)
     ),
-    mh AS (
-      SELECT doc_id, band, row_i,
-             MIN(substr(md5(shingle || '#' || band || '_' || row_i), 1, 16)) AS minhash
-      FROM sh,
-           LATERAL unnest(range(0, {NUM_BANDS})) AS b(band),
-           LATERAL unnest(range(0, {ROWS_PER_BAND})) AS r(row_i)
-      GROUP BY doc_id, band, row_i
-    ),
-    bands AS (
-      SELECT doc_id, band, STRING_AGG(minhash, '|' ORDER BY row_i) AS band_key
-      FROM mh GROUP BY doc_id, band
-    )
+    hashed AS (SELECT doc_id, {md5s} FROM sh),
+    mh AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+    keys AS (SELECT doc_id, {band_keys} FROM mh),
+    bands AS ({band_rows})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    """,
-)
+    """
+
+
+@register("l2_minhash_lsh_pairs", oracle=_lsh_oracle())
 def l2_minhash_lsh_pairs(spark, sf_dir):
     """MinHash + LSH near-duplicate candidate pairs.
 
-    shingle → NUM_BANDS×ROWS_PER_BAND md5 minhashes → band keys →
+    shingle → 16 md5-derived minhashes → 8 band keys of 2 →
     per-band self-equi-join.  The min over fixed-width lowercase-hex
     strings is the numeric min, so MIN(varchar) is a valid minhash
-    accumulator on both engines.  At 100 TB the band join is an ordinary
-    hash join on band_key; skewed buckets (boilerplate shingles) are
-    handled by AQE skew-join or by capping bucket size upstream.
+    accumulator on both engines.
+
+    Scale design: the 16 minhashes are *aggregate columns* over the
+    shingle rows (4 md5 calls/shingle, no row multiplication — the
+    naive shingle×16 explode is 16× the rows and was measured 5×
+    slower), so the per-doc signature is one groupBy.  Band keys then
+    unpivot 8-ways (stack — narrow op), and candidate generation is an
+    equi-join on band_key: work scales with Σ bucket², tuned by band
+    width; skewed buckets (boilerplate) are handled by AQE skew-join.
     """
     (docs,) = T(spark, sf_dir, "documents")
+    docs = spread(docs)  # parallelize the hash fan-out (see _util.spread)
     n = F.greatest(F.length("text") - (SHINGLE_LEN - 1), F.lit(1))
-    sh = (
-        docs.select("doc_id", "text", F.explode(F.sequence(F.lit(1), n)).alias("pos"))
-        .select("doc_id", F.expr(f"substr(text, pos, {SHINGLE_LEN})").alias("shingle"))
-        .distinct()
-    )
-    hashes = sh.select(
+    # NB: no DISTINCT on shingles — MIN is duplicate-insensitive, and the
+    # dedup shuffle would cost more than the duplicate hashing it saves.
+    sh = docs.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(1), n)).alias("pos")
+    ).select("doc_id", F.expr(f"substr(text, pos, {SHINGLE_LEN})").alias("shingle"))
+    hashed = sh.select(
         "doc_id",
-        "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(NUM_BANDS - 1))).alias("band"),
-    ).select(
-        "doc_id",
-        "band",
-        F.explode(F.sequence(F.lit(0), F.lit(ROWS_PER_BAND - 1))).alias("row_i"),
-        "shingle",
-    ).select(
-        "doc_id",
-        "band",
-        "row_i",
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("shingle"),
-                    F.lit("#"),
-                    F.col("band").cast("string"),
-                    F.lit("_"),
-                    F.col("row_i").cast("string"),
-                )
-            ),
-            1,
-            16,
-        ).alias("h"),
+        *[
+            F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}"))).alias(f"m{j}")
+            for j in range(_N_MD5)
+        ],
     )
-    mh = hashes.groupBy("doc_id", "band", "row_i").agg(F.min("h").alias("minhash"))
-    bands = mh.groupBy("doc_id", "band").agg(
-        F.array_join(F.array_sort(F.collect_list(F.struct("row_i", "minhash"))).minhash, "|").alias(
-            "band_key"
-        )
+    mh = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(F.col(f"m{j}"), start, 8)).alias(f"h{h}")
+            for h, j, start in _mh_windows()
+        ]
     )
+    keys = mh.select(
+        "doc_id",
+        *[
+            F.concat_ws(
+                "|",
+                F.col(f"h{b * ROWS_PER_BAND}"),
+                F.col(f"h{b * ROWS_PER_BAND + 1}"),
+            ).alias(f"band{b}")
+            for b in range(NUM_BANDS)
+        ],
+    )
+    stack_expr = "stack({n}, {args}) AS (band, band_key)".format(
+        n=NUM_BANDS,
+        args=", ".join(f"{b}, band{b}" for b in range(NUM_BANDS)),
+    )
+    # signatures are ~16 hashes/doc — persist so the self-join's two
+    # sides don't re-run the shingle+md5 pipeline (at scale: write the
+    # signature table once, join from it)
+    bands = keys.select("doc_id", F.expr(stack_expr)).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -141,81 +166,62 @@ def l2_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
-@register(
-    "l2b_simhash",
-    oracle="""
+def _simhash_oracle() -> str:
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(w), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    votes = ", ".join(
+        f"SUM(CASE WHEN (v >> {15 - i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(16)
+    )
+    final = " + ".join(f"CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(16))
+    return f"""
     WITH words AS (
       SELECT DISTINCT doc_id, w
       FROM documents, LATERAL unnest(string_split(lower(text), ' ')) AS t(w)
       WHERE length(w) > 0
     ),
-    bits AS (
-      SELECT doc_id, bit_i,
-             CASE WHEN (
-               (strpos('0123456789abcdef', substr(md5(w), 1 + bit_i // 4, 1)) - 1)
-               // (CASE bit_i % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)
-             ) % 2 = 1 THEN 1 ELSE -1 END AS vote
-      FROM words, LATERAL unnest(range(0, 16)) AS b(bit_i)
-    )
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN bit_sum > 0 THEN CAST(power(2, bit_i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
-    FROM (
-      SELECT doc_id, bit_i, SUM(vote) AS bit_sum FROM bits GROUP BY doc_id, bit_i
-    ) s
-    GROUP BY doc_id
-    """,
-)
+    vals AS (SELECT doc_id, {digits} AS v FROM words),
+    votes AS (SELECT doc_id, {votes} FROM vals GROUP BY doc_id)
+    SELECT doc_id, CAST({final} AS BIGINT) AS simhash16 FROM votes
+    """
+
+
+@register("l2b_simhash", oracle=_simhash_oracle())
 def l2b_simhash(spark, sf_dir):
     """16-bit SimHash per document from distinct lowercase words.
 
-    Each word's md5 supplies 16 hash bits (4 hex chars); per-bit ±1
-    votes are summed and the sign pattern becomes the fingerprint.  All
-    arithmetic is md5 + integer ops → engine-independent.  Scale: one
-    explode (words × 16 bits) then two hash aggregations on doc_id.
+    Each word's md5 supplies a 16-bit value (first 4 hex digits); the 16
+    per-bit ±1 vote sums are *aggregate columns* (no words×16 explode),
+    and the sign pattern becomes the fingerprint.  All arithmetic is
+    md5 + integer ops → engine-independent.  Scale: one narrow word
+    explode, one hash aggregate on doc_id.
     """
     (docs,) = T(spark, sf_dir, "documents")
+    docs = spread(docs)
+    hexmap = F.lit("0123456789abcdef")
     words = (
         docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
         .filter(F.length("w") > 0)
         .distinct()
     )
-    bits = words.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit_i"),
-        "w",
-    ).select(
-        "doc_id",
-        "bit_i",
-        F.when(
-            (
-                (
-                    F.instr(
-                        F.lit("0123456789abcdef"),
-                        F.expr("substr(md5(w), 1 + CAST(bit_i / 4 AS INT), 1)"),
-                    )
-                    - 1
-                ).cast("int")
-                / F.expr(
-                    "CASE CAST(bit_i % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END"
-                ).cast("int")
-            ).cast("int")
-            % 2
-            == 1,
-            1,
-        )
-        .otherwise(-1)
-        .alias("vote"),
+    digit = lambda i: (F.instr(hexmap, F.substring(F.md5("w"), i + 1, 1)) - 1)  # noqa: E731
+    v = sum((digit(i) * (16 ** (3 - i)) for i in range(1, 4)), digit(0) * 4096)
+    vals = words.select("doc_id", v.alias("v"))
+    votes = vals.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("v"), 15 - i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(16)
+        ]
     )
-    bit_sums = bits.groupBy("doc_id", "bit_i").agg(F.sum("vote").alias("bit_sum"))
-    return bit_sums.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("bit_sum") > 0, F.pow(F.lit(2.0), F.col("bit_i")).cast("bigint")
-            ).otherwise(F.lit(0))
-        )
-        .cast("bigint")
-        .alias("simhash16")
-    )
+    final = None
+    for i in range(16):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        final = term if final is None else final + term
+    return votes.select("doc_id", final.cast("bigint").alias("simhash16"))
 
 
 @register(
@@ -252,6 +258,7 @@ def l2c_ngram_jaccard(spark, sf_dir):
     here run over same-language blocks directly.
     """
     (docs,) = T(spark, sf_dir, "documents")
+    docs = spread(docs)
     n = F.greatest(F.length("text") - 4, F.lit(1))
     grams = (
         docs.select(

@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as STypes
 
-from mcp_trino_spark.operators._util import T
+from mcp_trino_spark.operators._util import T, spread
 from mcp_trino_spark.registry import register
 
 
@@ -123,7 +123,9 @@ def l9b_multimodal_features(spark, sf_dir):
     fields end-to-end.
     """
     (docs,) = T(spark, sf_dir, "documents")
-    payloads = docs.select(
+    # spread before the Python stage: single-partition input would pin
+    # the whole Arrow/pandas pipeline to one core
+    payloads = spread(docs).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     feats = payloads.mapInPandas(_extract_features, MM_FEATURE_SCHEMA)
@@ -169,4 +171,4 @@ def l10_udf_tokenizer(spark, sf_dir):
     the oracle — demonstrates that the Python-UDF path produces results
     identical to engine-native evaluation."""
     (docs,) = T(spark, sf_dir, "documents")
-    return docs.select("doc_id", tokenize_count_udf(F.col("text")).alias("n_tokens"))
+    return spread(docs).select("doc_id", tokenize_count_udf(F.col("text")).alias("n_tokens"))

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-from mcp_trino_spark.operators._util import T
+from mcp_trino_spark.operators._util import T, spread
 from mcp_trino_spark.registry import register
 
 #: DuckDB-side exact twin of the Spark dot/norm expressions, kept in one
@@ -111,7 +111,7 @@ def l4_topk_similarity(spark, sf_dir):
     (emb,) = T(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return (
-        emb.filter(F.col("vec_id") != 0)
+        spread(emb.filter(F.col("vec_id") != 0))
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
@@ -155,6 +155,7 @@ def l4b_ivf_topk(spark, sf_dir):
     the corpus before any distance math.
     """
     (emb,) = T(spark, sf_dir, "embeddings")
+    emb = spread(emb)
     from pyspark.sql import Window
 
     cents = emb.filter(F.col("vec_id") < 8).select(

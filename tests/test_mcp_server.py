@@ -1,0 +1,85 @@
+"""MCP server shell (F15): protocol lifecycle + the six tool contracts
+(reference internal/mcp/handlers.go:289-332), without stdio."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from mcp_trino_spark.config import EngineConfig
+from mcp_trino_spark.sources.catalog import register_tables
+from server.mcp_server import TOOLS, MCPServer
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    register_tables(spark, SF_DIR)
+    return MCPServer(spark=spark, config=EngineConfig())
+
+
+def call(server, method, params=None, msg_id=1):
+    return server.handle_message(
+        {"jsonrpc": "2.0", "id": msg_id, "method": method, "params": params or {}}
+    )
+
+
+def tool(server, name, arguments=None):
+    reply = call(server, "tools/call", {"name": name, "arguments": arguments or {}})
+    result = reply["result"]
+    return result, result["content"][0]["text"]
+
+
+def test_initialize_and_tools_list(server):
+    init = call(server, "initialize")
+    assert init["result"]["serverInfo"]["name"] == "mcp-trino-spark"
+    tools = call(server, "tools/list")["result"]["tools"]
+    assert [t["name"] for t in tools] == [
+        "execute_query",
+        "list_catalogs",
+        "list_schemas",
+        "list_tables",
+        "get_table_schema",
+        "explain_query",
+    ]
+    assert tools is TOOLS or tools == TOOLS
+
+
+def test_notification_returns_none(server):
+    assert server.handle_message({"jsonrpc": "2.0", "method": "notifications/initialized"}) is None
+
+
+def test_unknown_method_is_jsonrpc_error(server):
+    reply = call(server, "no/such/method")
+    assert reply["error"]["code"] == -32601
+
+
+def test_execute_query_roundtrip(server):
+    _, text = tool(server, "execute_query", {"query": "SELECT 1 AS one"})
+    assert json.loads(text) == [{"one": 1}]
+
+
+def test_execute_query_write_rejected_as_tool_error(server):
+    result, text = tool(server, "execute_query", {"query": "DROP TABLE x"})
+    assert result["isError"] is True
+    assert "WriteQueryNotAllowed" in text
+
+
+def test_list_tables_and_schema(server):
+    _, text = tool(server, "list_tables")
+    assert "lineitem" in json.loads(text)
+    _, text = tool(server, "get_table_schema", {"table": "nation"})
+    cols = {c["name"]: c["type"] for c in json.loads(text)}
+    assert cols["n_nationkey"] in ("int", "bigint")
+
+
+def test_explain_validate(server):
+    _, text = tool(server, "explain_query", {"query": "SELECT 1", "format": "VALIDATE"})
+    assert json.loads(text)[0]["valid"] is True
+
+
+def test_unknown_tool_is_tool_error(server):
+    result, _ = tool(server, "bogus_tool")
+    assert result["isError"] is True

@@ -48,7 +48,11 @@ def run_one(spark, fn, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
     df.write.mode("overwrite").format("noop").save()
-    return time.perf_counter() - t0
+    elapsed = time.perf_counter() - t0
+    # drop any DataFrames the query persisted, so no run measures a
+    # previous run's cache
+    spark.catalog.clearCache()
+    return elapsed
 
 
 def run_steady(spark, fn, sf_dir: str, reps: int = 2) -> float:

@@ -235,28 +235,60 @@ def j10_self_join(spark, sf_dir):
 def j11_asof(spark, sf_dir):
     """As-of join: latest event at-or-before each order date, per user.
 
-    Spark has no native as-of join in SQL; the scalable rewrite is an
-    equi-join on the entity key (hash-partitionable) with the time
-    predicate as a join filter, then ``row_number`` to keep the latest
-    match.  The time predicate never forces a nested loop because the
-    equi key carries the partitioning.
+    Spark has no native as-of join in SQL.  The naive rewrite (equi-join
+    on the entity key with the time predicate as a join filter, then
+    row_number) multiplies every order by ALL its earlier events before
+    discarding all but one — O(orders × events/key) intermediate rows,
+    the thing that dies first at 100 TB.  The scalable plan is the
+    union trick: interleave both tables on (key, time) and carry the
+    last-seen event forward with one window pass — O(orders + events)
+    rows, ONE shuffle, no multiplication.
+
+    Skew note: partitioning is by entity key; for low-cardinality keys
+    add a coarse time-bucket to the partition key and carry the last
+    event of the previous bucket in (two-pass); salting alone is wrong
+    here because it hides earlier events from later rows.
     """
     from pyspark.sql import Window
 
     orders, events = T(spark, sf_dir, "orders", "events")
-    joined = orders.join(
-        events,
-        (events.user_id == orders.o_custkey % 50) & (events.ts <= orders.o_orderdate),
+    # one shared schema: (k, ts_ns, is_order, tiebreak, payload…)
+    ev = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts_ns"),
+        F.lit(0).alias("is_order"),
+        F.col("event_id").alias("tiebreak"),
+        F.struct(F.col("ts"), F.col("value")).alias("ev"),
+        F.lit(None).cast("long").alias("o_orderkey"),
     )
-    w = Window.partitionBy("o_orderkey").orderBy(
-        F.col("ts_ns").desc(), F.col("event_id").desc()
+    od = orders.select(
+        (F.col("o_custkey") % 50).alias("k"),
+        # order's time point = its date at midnight UTC, in exact ns
+        (F.col("o_orderdate").cast("timestamp").cast("long") * F.lit(1_000_000_000)).alias(
+            "ts_ns"
+        ),
+        F.lit(1).alias("is_order"),
+        F.col("o_orderkey").alias("tiebreak"),
+        F.lit(None)
+        .cast("struct<ts:timestamp,value:double>")
+        .alias("ev"),
+        F.col("o_orderkey"),
+    )
+    # events sort before orders at the same instant (is_order asc), so an
+    # event at exactly the order's timestamp is matched (ts <= date).
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("ts_ns").asc(), F.col("is_order").asc(), F.col("tiebreak").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = ev.unionByName(od).withColumn(
+        "last_ev", F.last("ev", ignorenulls=True).over(w)
     )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        merged.filter((F.col("is_order") == 1) & F.col("last_ev").isNotNull())
         .select(
             "o_orderkey",
-            F.col("ts").cast("date").alias("asof_date"),
-            F.col("value").alias("asof_value"),
+            F.col("last_ev.ts").cast("date").alias("asof_date"),
+            F.col("last_ev.value").alias("asof_value"),
         )
     )

@@ -172,3 +172,45 @@ def l10_udf_tokenizer(spark, sf_dir):
     identical to engine-native evaluation."""
     (docs,) = T(spark, sf_dir, "documents")
     return spread(docs).select("doc_id", tokenize_count_udf(F.col("text")).alias("n_tokens"))
+
+
+@register(
+    "l10b_udtf_word_counts",
+    oracle="""
+    SELECT doc_id, w AS word, COUNT(*) AS cnt
+    FROM documents, LATERAL unnest(string_split(lower(text), ' ')) AS t(w)
+    WHERE length(w) > 0
+    GROUP BY doc_id, w
+    """,
+)
+def l10b_udtf_word_counts(spark, sf_dir):
+    """Python UDTF (table-valued function) — the third leg of the UDF
+    surface (scalar UDF / pandas UDF / UDTF, SURVEY L10).  One input row
+    expands to one output row per distinct word, via LATERAL join in
+    SQL, exactly how Trino exposes table functions.  Row-fanout happens
+    executor-side (no collect); each task streams its partition through
+    the Python worker.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, cnt: bigint")
+    class WordCounts:
+        def eval(self, text: str):
+            from collections import Counter
+
+            if text:
+                for w, c in Counter(
+                    t for t in text.lower().split(" ") if t
+                ).items():
+                    yield w, c
+
+    spark.udtf.register("word_counts", WordCounts)
+    from mcp_trino_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.word, t.cnt
+        FROM documents d, LATERAL word_counts(d.text) t
+        """
+    )

@@ -74,6 +74,70 @@ def w3_ntile(spark, sf_dir):
 
 
 @register(
+    "w3b_ntile_distributed",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4) OVER (ORDER BY o_totalprice ASC NULLS LAST, o_orderkey ASC) AS quartile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice ASC NULLS LAST, o_orderkey ASC), 9) AS pr
+    FROM orders
+    """,
+)
+def w3b_ntile_distributed(spark, sf_dir):
+    """Distributed global ranking — the 100 TB form of w3/w4.
+
+    An unpartitioned window funnels the whole table through ONE task.
+    The scalable plan: range-repartition on the sort key, rank locally
+    per partition, then add per-partition row-count prefix offsets
+    (metadata-sized driver collect: one count per partition).  Global
+    rank = local rank + offset; NTILE/percent_rank follow closed-form
+    from (rank, total).  No stage touches more than one partition of
+    data, and the only global coordination is the N-row count exchange.
+    """
+    (orders,) = T(spark, sf_dir, "orders")
+    n_parts = spark.sparkContext.defaultParallelism
+    # total order: unique tiebreak key makes range boundaries unambiguous
+    part = orders.select("o_orderkey", "o_totalprice").repartitionByRange(
+        n_parts, F.col("o_totalprice").asc_nulls_last(), F.col("o_orderkey").asc()
+    ).withColumn("pid", F.spark_partition_id())
+    # persist: range boundaries are SAMPLED per job, so the counts job
+    # and the ranking job must share one materialization (at 100 TB:
+    # write the repartitioned table, then rank from it)
+    part = part.persist()
+    # per-partition counts -> prefix offsets; N rows, not data-sized
+    counts = {r["pid"]: r["cnt"] for r in part.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "pid INT, off BIGINT"
+        )
+    )
+    w_local = Window.partitionBy("pid").orderBy(
+        F.col("o_totalprice").asc_nulls_last(), F.col("o_orderkey").asc()
+    )
+    rn = (F.row_number().over(w_local) + F.col("off")).alias("rn")
+    ranked = part.join(off_df, "pid").select("o_orderkey", rn)
+    # exact SQL NTILE(n): first (total % n) buckets hold (total//n)+1 rows
+    n = 4
+    q, r = divmod(total, n)
+    big = r * (q + 1)  # rows covered by the larger leading buckets
+    quartile = (
+        F.when(F.col("rn") <= big, ((F.col("rn") - 1) / (q + 1)).cast("int") + 1)
+        .otherwise(r + ((F.col("rn") - 1 - big) / q).cast("int") + 1)
+        if q > 0
+        else F.col("rn").cast("int")
+    )
+    return ranked.select(
+        "o_orderkey",
+        quartile.alias("quartile"),
+        F.round((F.col("rn") - 1) / F.lit(max(total - 1, 1)), 9).alias("pr"),
+    )
+
+
+@register(
     "w4_percent_rank_cume_dist",
     oracle="""
     SELECT s_suppkey,

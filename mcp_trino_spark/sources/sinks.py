@@ -41,6 +41,15 @@ def s6_ctas_insert(spark, sf_dir):
     """
     register_tables(spark, sf_dir)
     execute_query(spark, "DROP TABLE IF EXISTS sink_nation_r0", _WRITE_CFG)
+    # a fresh session doesn't know the managed table, so DROP alone
+    # leaves an orphaned warehouse dir that would fail the CTAS
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(
+        os.path.join(warehouse.removeprefix("file:"), "sink_nation_r0"),
+        ignore_errors=True,
+    )
     # split region-0 nations between the CTAS and a follow-up INSERT so
     # both write statements contribute rows
     execute_query(

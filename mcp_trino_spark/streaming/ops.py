@@ -118,6 +118,75 @@ def t4_dedup_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> Da
     )
 
 
+def t3b_custom_stateful_sessions(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Custom stateful sessionizer via applyInPandasWithState — the
+    escape hatch for session semantics session_window can't express
+    (here: plain 30-min gap, so the result is checkable against t3).
+
+    Per user, the open session lives in GroupState as
+    (start_ns, last_ns, n_events, sum_value); each micro-batch folds its
+    (sorted) events in, emits every session CLOSED by a gap, and keeps
+    the still-open session in state.  State is per-key and O(1) — the
+    shape that scales to any key cardinality.  (A production variant
+    adds EventTimeTimeout to flush the open session when the watermark
+    passes; kept append-only here for determinism.)
+    """
+    from typing import Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    GAP_NS = 1_800_000_000_000
+
+    def sessionize(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start_ns, last_ns, n, total = state.get
+        else:
+            start_ns = None
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts_ns")
+            for ts_ns, value in zip(pdf["ts_ns"], pdf["value"]):
+                ts_ns = int(ts_ns)
+                if start_ns is None:
+                    start_ns, last_ns, n, total = ts_ns, ts_ns, 0, 0.0
+                elif ts_ns - last_ns > GAP_NS:
+                    closed.append((user_id, start_ns, last_ns, n, total))
+                    start_ns, last_ns, n, total = ts_ns, ts_ns, 0, 0.0
+                last_ns = ts_ns
+                n += 1
+                total += float(value)
+        if start_ns is None:
+            state.remove()
+        else:
+            state.update((start_ns, last_ns, n, total))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "start_ns", "end_ns", "n_events", "session_value"],
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            outputStructType=(
+                "user_id bigint, start_ns bigint, end_ns bigint, "
+                "n_events bigint, session_value double"
+            ),
+            stateStructType="start_ns bigint, last_ns bigint, n bigint, total double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(
     sdf: DataFrame,
     name: str,

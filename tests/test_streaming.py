@@ -101,3 +101,30 @@ def test_t5_watermark_drops_late_data(spark):
     got_starts = {r["hour_start"] for r in got.collect()}
     batch_starts = {r["hour_start"] for r in batch.collect()}
     assert got_starts <= batch_starts
+
+
+def test_t3b_custom_stateful_sessions(spark):
+    """applyInPandasWithState sessionizer: emitted (closed) sessions ==
+    batch sessions minus each user's final (still-open) session."""
+    got = S.run_to_memory(
+        S.t3b_custom_stateful_sessions(S.events_stream(spark, SF_DIR)),
+        "t3b_mem",
+        output_mode="append",
+    )
+    batch = registry.queries()["t3_sessionization"](spark, SF_DIR)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    want = (
+        batch.withColumn("max_sid", F.max("session_id").over(w))
+        .filter(F.col("session_id") < F.col("max_sid"))
+    )
+    got_s = sorted(
+        (r["user_id"], r["n_events"], round(r["session_value"], 6))
+        for r in got.collect()
+    )
+    want_s = sorted(
+        (r["user_id"], r["n_events"], round(r["session_value"], 6))
+        for r in want.collect()
+    )
+    assert got_s == want_s

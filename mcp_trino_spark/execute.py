@@ -51,9 +51,18 @@ def execute_query(
     query: str,
     config: Optional[EngineConfig] = None,
     max_rows: Optional[int] = None,
+    dialect: str = "spark",
 ) -> QueryResult:
+    """``dialect="trino"`` accepts Trino-SQL idioms: compat functions are
+    installed and Trino-only spellings rewritten (trino_compat.py), so
+    reference users' queries run unchanged."""
     config = config or EngineConfig()
     q = strip_trailing_semicolon(query)
+    if dialect == "trino":
+        from mcp_trino_spark.trino_compat import install_compat_functions, translate
+
+        install_compat_functions(spark)
+        q = translate(q)
     if not config.allow_write_queries and not is_read_only_query(q):
         raise WriteQueryNotAllowed(
             "query rejected: only read-only queries (SELECT, SHOW, DESCRIBE, "

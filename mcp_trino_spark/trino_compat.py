@@ -1,0 +1,144 @@
+"""Trino-dialect compatibility layer.
+
+The reference's front door IS Trino SQL (reference
+internal/trino/client.go:501-617 passes queries through verbatim).  Our
+engine's front door is Spark SQL; this module closes the gap for the
+common Trino idioms so a reference user's existing queries run
+unchanged via ``execute_query(..., dialect="trino")``.
+
+Two mechanisms:
+
+1. **Compat SQL UDFs** (`install_compat_functions`) for Trino scalar
+   functions Spark lacks under that name — declared once per session as
+   native SQL functions (Spark 4 SQL UDFs, fully Catalyst-optimizable:
+   they inline into the plan, no Python round-trip).
+2. **Literal-aware rewrites** (`translate`) for the cases a rename
+   can't express: aggregate names (SQL UDFs cannot wrap aggregates) and
+   signature reorders like Trino's 3-arg ``date_add('day', n, x)`` →
+   ``timestampadd(day, n, x)``.  Rewrites never touch string literals,
+   quoted identifiers, or comments.
+
+Deliberately out of scope (documented, not silently wrong): Joda vs
+SimpleDateFormat pattern tokens inside ``format_datetime``, Trino's
+``try(...)``, and type-parametric functions needing overloads
+(``contains(array<T>, T)`` — use Spark's ``array_contains``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, List, Tuple
+
+#: name → (args DDL, return type, body) — installed as Spark SQL UDFs.
+_COMPAT_SQL_UDFS = {
+    # Trino strpos(string, substring) == Spark instr(str, substr)
+    "strpos": ("(a STRING, b STRING)", "INT", "instr(a, b)"),
+    # Trino day_of_week is ISO (Mon=1..Sun=7); Spark dayofweek is Sun=1
+    "day_of_week": ("(d TIMESTAMP)", "INT", "((dayofweek(d) + 5) % 7) + 1"),
+    "day_of_year": ("(d TIMESTAMP)", "INT", "dayofyear(d)"),
+    "day_of_month": ("(d TIMESTAMP)", "INT", "dayofmonth(d)"),
+    "week_of_year": ("(d TIMESTAMP)", "INT", "weekofyear(d)"),
+    "json_extract_scalar": ("(j STRING, p STRING)", "STRING", "get_json_object(j, p)"),
+    "json_extract": ("(j STRING, p STRING)", "STRING", "get_json_object(j, p)"),
+    "to_unixtime": ("(t TIMESTAMP)", "DOUBLE", "CAST(unix_timestamp(t) AS DOUBLE)"),
+    "from_iso8601_timestamp": ("(s STRING)", "TIMESTAMP", "to_timestamp(s)"),
+    # Trino truncate(x): round toward zero
+    "truncate": ("(x DOUBLE)", "DOUBLE", "sign(x) * floor(abs(x))"),
+    "to_hex": ("(x BINARY)", "STRING", "upper(hex(x))"),
+}
+
+#: plain renames applied outside literals (aggregates and exact-arity
+#: synonyms a SQL UDF cannot express)
+_RENAMES = [
+    (re.compile(r"\bapprox_distinct\s*\(", re.IGNORECASE), "approx_count_distinct("),
+    (re.compile(r"\bapprox_percentile\s*\(", re.IGNORECASE), "percentile_approx("),
+    (re.compile(r"\barbitrary\s*\(", re.IGNORECASE), "any_value("),
+    (re.compile(r"\bformat_datetime\s*\(", re.IGNORECASE), "date_format("),
+]
+
+#: Trino 3-arg date arith spans a literal: ``date_add('day', n, x)`` →
+#: ``timestampadd(day, n, x)``.  The function name sits in a code
+#: segment and the unit in the following literal segment, so these are
+#: rewritten across the segment boundary in ``translate``.
+_UNIT_FNS = {
+    re.compile(r"\bdate_add\s*\(\s*$", re.IGNORECASE): "timestampadd(",
+    re.compile(r"\bdate_diff\s*\(\s*$", re.IGNORECASE): "timestampdiff(",
+}
+_UNIT_LITERAL = re.compile(r"^'(\w+)'$")
+
+
+def install_compat_functions(spark) -> None:
+    """Install the Trino-name scalar functions as Spark SQL UDFs (idempotent)."""
+    for name, (args, rtype, body) in _COMPAT_SQL_UDFS.items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{args} RETURNS {rtype} RETURN {body}"
+        )
+
+
+def _segments(q: str) -> Iterator[Tuple[bool, str]]:
+    """Yield (is_code, text) segments: string literals, quoted
+    identifiers, and comments are non-code (same lexical rules as the
+    read-only classifier's sanitizer, reference client.go:386-471)."""
+    i, n = 0, len(q)
+    start = 0
+    while i < n:
+        ch = q[i]
+        if ch == "'" or ch == '"':
+            if start < i:
+                yield True, q[start:i]
+            quote = ch
+            j = i + 1
+            while j < n:
+                if q[j] == quote:
+                    if quote == "'" and j + 1 < n and q[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            j = min(j + 1, n)
+            yield False, q[i:j]
+            i = start = j
+        elif ch == "-" and i + 1 < n and q[i + 1] == "-":
+            if start < i:
+                yield True, q[start:i]
+            j = q.find("\n", i)
+            j = n if j == -1 else j
+            yield False, q[i:j]
+            i = start = j
+        elif ch == "/" and i + 1 < n and q[i + 1] == "*":
+            if start < i:
+                yield True, q[start:i]
+            j = q.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            yield False, q[i:j]
+            i = start = j
+        else:
+            i += 1
+    if start < n:
+        yield True, q[start:n]
+
+
+def translate(query: str) -> str:
+    """Rewrite Trino-only idioms to Spark SQL, outside literals/comments."""
+    segs = list(_segments(query))
+    out: List[str] = []
+    i = 0
+    while i < len(segs):
+        is_code, seg = segs[i]
+        if is_code:
+            for pat, repl in _RENAMES:
+                seg = pat.sub(repl, seg)
+            # date_add('unit', …): fn name in this code segment, unit in
+            # the next (literal) segment — rewrite the pair
+            if i + 1 < len(segs) and not segs[i + 1][0]:
+                unit = _UNIT_LITERAL.match(segs[i + 1][1])
+                if unit:
+                    for fn_pat, fn_repl in _UNIT_FNS.items():
+                        new_seg, n_sub = fn_pat.subn(fn_repl, seg)
+                        if n_sub:
+                            seg = new_seg
+                            segs[i + 1] = (True, unit.group(1))
+                            break
+        out.append(seg)
+        i += 1
+    return "".join(out)

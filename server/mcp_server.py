@@ -34,7 +34,13 @@ TOOLS = [
         ),
         "inputSchema": {
             "type": "object",
-            "properties": {"query": {"type": "string", "description": "SQL query to execute"}},
+            "properties": {
+                "query": {"type": "string", "description": "SQL query to execute"},
+                "dialect": {
+                    "type": "string",
+                    "description": "'spark' (default) or 'trino' (accept Trino idioms)",
+                },
+            },
             "required": ["query"],
         },
     },
@@ -165,7 +171,9 @@ class MCPServer:
         from mcp_trino_spark.plans.explain import explain_query
 
         if name == "execute_query":
-            res = execute_query(self.spark, args["query"], self.config)
+            res = execute_query(
+                self.spark, args["query"], self.config, dialect=args.get("dialect", "spark")
+            )
             text = res.to_json()
         elif name == "list_catalogs":
             text = json.dumps(catalog_api.list_catalogs(self.spark, self.config), indent=2)
@@ -198,6 +206,70 @@ def _error(msg_id, code: int, message: str) -> Dict[str, Any]:
     return {"jsonrpc": "2.0", "id": msg_id, "error": {"code": code, "message": message}}
 
 
+class _HTTPHandler:
+    """StreamableHTTP transport (reference internal/mcp/server.go:71-167):
+    POST /mcp (and legacy /sse) carries one JSON-RPC message per request;
+    GET /status is the health probe; CORS headers match the reference.
+    Built on stdlib http.server — no SDK in this container.
+    """
+
+    @staticmethod
+    def make(server: "MCPServer"):
+        from http.server import BaseHTTPRequestHandler
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _cors(self):
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header("Access-Control-Allow-Methods", "GET, POST, DELETE, OPTIONS")
+                self.send_header("Access-Control-Allow-Headers", "Content-Type, Authorization")
+
+            def _reply(self, code: int, body: bytes, ctype="application/json"):
+                self.send_response(code)
+                self._cors()
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_OPTIONS(self):
+                self._reply(204, b"")
+
+            def do_GET(self):
+                if self.path == "/status":
+                    self._reply(200, b'{"status":"ok","version":"0.1.0"}')
+                else:
+                    self._reply(404, b'{"error":"not found"}')
+
+            def do_POST(self):
+                if self.path not in ("/mcp", "/sse"):
+                    self._reply(404, b'{"error":"not found"}')
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    msg = json.loads(self.rfile.read(n))
+                except json.JSONDecodeError:
+                    self._reply(400, json.dumps(_error(None, -32700, "parse error")).encode())
+                    return
+                reply = server.handle_message(msg)
+                if reply is None:
+                    self._reply(202, b"")
+                else:
+                    self._reply(200, json.dumps(reply, default=str).encode())
+
+        return Handler
+
+
+def serve_http(host: str = "localhost", port: int = 8080) -> None:
+    """Blocking HTTP transport: /mcp, /sse (legacy), /status."""
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer((host, port), _HTTPHandler.make(MCPServer()))
+    httpd.serve_forever()
+
+
 def serve_stdio() -> None:
     """Newline-delimited JSON-RPC over stdin/stdout (MCP stdio transport)."""
     server = MCPServer()
@@ -218,4 +290,14 @@ def serve_stdio() -> None:
 
 
 if __name__ == "__main__":
-    serve_stdio()
+    # transport selection mirrors the reference (MCP_TRANSPORT env,
+    # default stdio; reference cmd/main.go:61-76)
+    import os
+
+    if os.environ.get("MCP_TRANSPORT", "stdio") == "http":
+        serve_http(
+            os.environ.get("MCP_HOST", "localhost"),
+            int(os.environ.get("MCP_PORT", "8080")),
+        )
+    else:
+        serve_stdio()

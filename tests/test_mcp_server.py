@@ -83,3 +83,54 @@ def test_explain_validate(server):
 def test_unknown_tool_is_tool_error(server):
     result, _ = tool(server, "bogus_tool")
     assert result["isError"] is True
+
+
+def test_http_transport(server):
+    """StreamableHTTP transport: /status probe, POST /mcp tool call,
+    CORS preflight, legacy /sse alias."""
+    import json as _json
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from server.mcp_server import _HTTPHandler
+
+    httpd = ThreadingHTTPServer(("localhost", 0), _HTTPHandler.make(server))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://localhost:{port}"
+        with urllib.request.urlopen(f"{base}/status") as r:
+            assert _json.loads(r.read())["status"] == "ok"
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"{base}{path}",
+                data=_json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                return r.status, r.read()
+
+        status, body = post(
+            "/mcp",
+            {
+                "jsonrpc": "2.0",
+                "id": 7,
+                "method": "tools/call",
+                "params": {"name": "execute_query", "arguments": {"query": "SELECT 2 AS two"}},
+            },
+        )
+        assert status == 200
+        reply = _json.loads(body)
+        assert _json.loads(reply["result"]["content"][0]["text"]) == [{"two": 2}]
+
+        status, _ = post("/sse", {"jsonrpc": "2.0", "id": 8, "method": "ping"})
+        assert status == 200
+
+        req = urllib.request.Request(f"{base}/mcp", method="OPTIONS")
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Access-Control-Allow-Origin"] == "*"
+    finally:
+        httpd.shutdown()

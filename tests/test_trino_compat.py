@@ -1,0 +1,108 @@
+"""Trino-dialect compatibility: a reference user's Trino SQL runs
+unchanged through execute_query(dialect='trino')."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from mcp_trino_spark.config import EngineConfig
+from mcp_trino_spark.execute import execute_query
+from mcp_trino_spark.sources.catalog import register_tables
+from mcp_trino_spark.trino_compat import translate
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- pure rewrites ----------------------------------------------------------
+
+
+def test_renames_aggregates_and_signatures():
+    assert (
+        translate("SELECT approx_distinct(x), approx_percentile(x, 0.5) FROM t")
+        == "SELECT approx_count_distinct(x), percentile_approx(x, 0.5) FROM t"
+    )
+    assert (
+        translate("SELECT date_add('day', 3, d), date_diff('hour', a, b) FROM t")
+        == "SELECT timestampadd(day, 3, d), timestampdiff(hour, a, b) FROM t"
+    )
+
+
+def test_rewrite_skips_literals_and_comments():
+    q = "SELECT 'approx_distinct(x)', \"arbitrary\" -- approx_distinct(y)\nFROM t /* date_add('day',1,d) */"
+    assert translate(q) == q
+
+
+def test_case_insensitive():
+    assert translate("SELECT APPROX_DISTINCT(x) FROM t") == "SELECT approx_count_distinct(x) FROM t"
+
+
+# --- end-to-end through execute_query --------------------------------------
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _tables(spark):
+    register_tables(spark, SF_DIR)
+
+
+def run(spark, q):
+    return execute_query(spark, q, EngineConfig(), dialect="trino").rows
+
+
+def test_trino_date_arithmetic(spark):
+    rows = run(
+        spark,
+        "SELECT date_add('day', 7, DATE '2026-01-01') AS d, "
+        "date_diff('day', DATE '2026-01-01', DATE '2026-02-01') AS n",
+    )
+    assert rows[0]["d"] == datetime.datetime(2026, 1, 8)
+    assert rows[0]["n"] == 31
+
+
+def test_trino_scalar_functions(spark):
+    rows = run(
+        spark,
+        "SELECT strpos('hello', 'll') AS p, "
+        "day_of_week(TIMESTAMP '2026-08-13 12:00:00') AS dow, "
+        "json_extract_scalar('{\"k\": 42}', '$.k') AS j",
+    )
+    assert rows[0]["p"] == 3
+    assert rows[0]["dow"] == 4  # 2026-08-13 is a Thursday; ISO Mon=1
+    assert rows[0]["j"] == "42"
+
+
+def test_trino_truncate_function_rejected_by_gate_like_reference(spark):
+    """TRUNCATE is a write keyword in the reference's classifier
+    (client.go:306-310), so `SELECT truncate(x)` is rejected THERE too —
+    gate parity.  The compat function still works below the gate."""
+    from mcp_trino_spark.execute import WriteQueryNotAllowed
+    from mcp_trino_spark.trino_compat import install_compat_functions
+
+    with pytest.raises(WriteQueryNotAllowed):
+        run(spark, "SELECT truncate(-3.7) AS tr")
+    install_compat_functions(spark)
+    assert spark.sql("SELECT truncate(-3.7) AS tr").collect()[0]["tr"] == -3.0
+
+
+def test_trino_aggregate_over_testdata(spark):
+    rows = run(
+        spark,
+        "SELECT approx_distinct(c_nationkey) AS n FROM customer",
+    )
+    assert rows[0]["n"] == pytest.approx(25, abs=3)
+
+
+def test_trino_query_still_gated(spark):
+    from mcp_trino_spark.execute import WriteQueryNotAllowed
+
+    with pytest.raises(WriteQueryNotAllowed):
+        run(spark, "DROP TABLE customer")
+
+
+def test_spark_dialect_untouched(spark):
+    # default dialect must NOT rewrite: Spark's own 2-arg date_add works
+    res = execute_query(
+        spark, "SELECT date_add(DATE '2026-01-01', 3) AS d", EngineConfig()
+    )
+    assert res.rows[0]["d"] == datetime.date(2026, 1, 4)

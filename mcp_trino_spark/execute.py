@@ -52,10 +52,18 @@ def execute_query(
     config: Optional[EngineConfig] = None,
     max_rows: Optional[int] = None,
     dialect: str = "spark",
+    user: Optional[str] = None,
+    client_tags: Optional[List[str]] = None,
 ) -> QueryResult:
     """``dialect="trino"`` accepts Trino-SQL idioms: compat functions are
     installed and Trino-only spellings rewritten (trino_compat.py), so
-    reference users' queries run unchanged."""
+    reference users' queries run unchanged.
+
+    ``user``/``client_tags`` attribute the query in the Spark UI and
+    event logs via thread-local job properties — the engine-side twin of
+    the reference's X-Trino-User / X-Trino-Client-Tags headers (F13,
+    reference internal/trino/client.go:28-50, 531-540).
+    """
     config = config or EngineConfig()
     q = strip_trailing_semicolon(query)
     if dialect == "trino":
@@ -84,7 +92,12 @@ def execute_query(
             sc.cancelJobGroup(group)
 
     watcher = threading.Thread(target=watchdog, daemon=True)
-    sc.setJobGroup(group, q[:100], interruptOnCancel=True)
+    description = f"[user={user}] {q[:100]}" if user else q[:100]
+    sc.setJobGroup(group, description, interruptOnCancel=True)
+    if user:
+        sc.setLocalProperty("mcp.user", user)
+    if client_tags:
+        sc.setLocalProperty("mcp.client.tags", ",".join(client_tags))
     watcher.start()
     try:
         collected = df.collect()
@@ -97,6 +110,8 @@ def execute_query(
     finally:
         done.set()
         sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("mcp.user", None)
+        sc.setLocalProperty("mcp.client.tags", None)
 
     columns = df.columns
     rows = [row.asDict(recursive=True) for row in collected]

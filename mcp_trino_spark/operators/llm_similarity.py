@@ -219,3 +219,57 @@ def l3b_embedding_neardup(spark, sf_dir):
             F.round(F.col("sim"), 9).alias("cos_sim"),
         )
     )
+
+
+@register("l11_kmeans_embeddings")  # rows-only: iterative algorithm (SURVEY §2.10)
+def l11_kmeans_embeddings(spark, sf_dir, k: int = 8, iters: int = 3):
+    """Distributed Lloyd's k-means over the embedding column.
+
+    The canonical iterative-algorithm shape on Spark: per iteration the
+    DATA never moves to the driver — assignment (argmin over k broadcast
+    centroids) and the centroid update (posexplode → per-(cluster,dim)
+    mean → regroup) are distributed; only the k×dim centroid matrix (a
+    few KB, metadata-sized) is collected and re-broadcast as literals.
+    Deterministic: init = embeddings of vec_id 0..k-1, fixed iteration
+    count, no RNG.  At 100 TB: identical loop, centroids still KB-sized;
+    the assignment scan dominates and parallelizes linearly.
+    """
+    (emb,) = T(spark, sf_dir, "embeddings")
+    emb = spread(emb).select("vec_id", "embedding")
+
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+
+    def assign(df, centroids):
+        cent_arr = F.array(
+            *[F.array(*[F.lit(v) for v in c]) for c in centroids]
+        )
+        dists = F.transform(
+            cent_arr,
+            lambda c: F.aggregate(
+                F.zip_with(c, F.col("embedding").cast("array<double>"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return df.withColumn(
+            "cluster", F.array_position(dists, F.array_min(dists)).cast("int")
+        )
+
+    for _ in range(iters):
+        assigned = assign(emb, cents)
+        new_cents = (
+            assigned.select("cluster", F.posexplode(F.col("embedding").cast("array<double>")))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.col("pm.m").alias("centroid"))
+            .collect()
+        )
+        by_cluster = {r["cluster"]: list(r["centroid"]) for r in new_cents}
+        cents = [by_cluster.get(c + 1, cents[c]) for c in range(k)]
+
+    return assign(emb, cents).select("vec_id", "cluster")

@@ -115,3 +115,22 @@ def test_queryresult_json_stringifies_dates():
 
     qr = QueryResult(columns=["d"], rows=[{"d": datetime.date(2020, 1, 1)}])
     assert json.loads(qr.to_json()) == [{"d": "2020-01-01"}]
+
+
+def test_attribution_properties_set_and_cleared(spark):
+    """F13: user/client-tags attribution rides thread-local job
+    properties during the query and is cleared afterwards."""
+    from mcp_trino_spark.config import EngineConfig
+    from mcp_trino_spark.execute import execute_query
+
+    res = execute_query(
+        spark,
+        "SELECT 1 AS one",
+        EngineConfig(),
+        user="alice",
+        client_tags=["etl", "prod"],
+    )
+    assert res.rows == [{"one": 1}]
+    sc = spark.sparkContext
+    assert sc.getLocalProperty("mcp.user") is None
+    assert sc.getLocalProperty("mcp.client.tags") is None

@@ -1,0 +1,100 @@
+"""Scaling evidence: does the flagship plan scale linearly?
+
+Synthesizes ~sf1 (6M lineitem rows) in-memory by unioning the sf0.1
+fact tables 10× with shifted keys (no files written — testdata is
+read-only), then times the flagship star-join+agg at 1× and 10× and
+reports the scaling exponent.  A plan that survives 100 TB shows
+time ratio ≈ data ratio (shuffle and agg state stay bounded per key);
+a superlinear ratio exposes a plan that accumulates state or loses
+partial aggregation.
+
+Usage: python tools/scaling_check.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from mcp_trino_spark.registry import dsum  # noqa: E402
+from mcp_trino_spark.session import get_spark  # noqa: E402
+from mcp_trino_spark.sources.catalog import load_table  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+COPIES = 10
+
+
+def replicate(df: DataFrame, key_cols: list[str], copies: int) -> DataFrame:
+    """Union `copies` key-shifted replicas — same key distribution per
+    replica, distinct key spaces, so join/agg cardinality scales with
+    the data exactly as real growth would."""
+    shift = 10_000_000
+    out = None
+    for i in range(copies):
+        rep = df
+        for k in key_cols:
+            rep = rep.withColumn(k, F.col(k) + F.lit(i * shift))
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+def flagship(lineitem: DataFrame, orders: DataFrame, customer, nation, region) -> DataFrame:
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(dsum(revenue).alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+def timed(df: DataFrame) -> float:
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = get_spark("scaling")
+    li = load_table(spark, SF_DIR, "lineitem")
+    od = load_table(spark, SF_DIR, "orders")
+    cu = load_table(spark, SF_DIR, "customer")
+    na = load_table(spark, SF_DIR, "nation")
+    re = load_table(spark, SF_DIR, "region")
+
+    base = flagship(li, od, cu, na, re)
+    timed(base)  # warm
+    t1 = min(timed(base) for _ in range(2))
+
+    li10 = replicate(li, ["l_orderkey"], COPIES)
+    od10 = replicate(od, ["o_orderkey"], COPIES)  # o_custkey NOT shifted: same dims join
+    big = flagship(li10, od10, cu, na, re)
+    t10 = min(timed(big) for _ in range(2))
+
+    import math
+
+    exponent = math.log(t10 / t1) / math.log(COPIES)
+    print(
+        json.dumps(
+            {
+                "rows_1x": 600_000,
+                "rows_10x": 600_000 * COPIES,
+                "sec_1x": round(t1, 3),
+                "sec_10x": round(t10, 3),
+                "ratio": round(t10 / t1, 2),
+                "scaling_exponent": round(exponent, 3),
+                "verdict": "linear-ish" if exponent < 1.15 else "SUPERLINEAR — investigate",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -118,8 +118,61 @@ def _segments(q: str) -> Iterator[Tuple[bool, str]]:
         yield True, q[start:n]
 
 
+_UNNEST_HEAD = re.compile(r"\bCROSS\s+JOIN\s+UNNEST\s*\(", re.IGNORECASE)
+_UNNEST_TAIL = re.compile(r"\s*(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*\)")
+
+
+def _rewrite_unnest(q: str, code_at: List[bool]) -> str:
+    """``CROSS JOIN UNNEST(expr) AS t(c)`` → ``LATERAL VIEW explode(expr)
+    t AS c``.  Balanced-paren scan over code positions only (the expr
+    itself may contain string literals, e.g. split(text, ' ')).
+    ``WITH ORDINALITY`` is NOT rewritten (posexplode is 0-based where
+    Trino ordinality is 1-based) — such queries fail analysis loudly
+    rather than silently shifting indexes.
+    """
+    while True:
+        m = None
+        for cand in _UNNEST_HEAD.finditer(q):
+            if code_at[cand.start()]:
+                m = cand
+                break
+        if m is None:
+            return q
+        depth, i = 1, m.end()
+        while i < len(q) and depth:
+            if code_at[i]:
+                if q[i] == "(":
+                    depth += 1
+                elif q[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth:
+            return q  # unbalanced — leave untouched
+        expr = q[m.end() : i - 1]
+        tail = _UNNEST_TAIL.match(q, i)
+        if not tail or "ordinality" in q[i : tail.end()].lower():
+            return q
+        alias, col = tail.group(1), tail.group(2)
+        replacement = f"LATERAL VIEW explode({expr}) {alias} AS {col}"
+        q = q[: m.start()] + replacement + q[tail.end() :]
+        # rebuild the code mask for the rewritten region (expr keeps its
+        # own literal spans; the scaffolding we injected is code)
+        code_at = _code_mask(q)
+
+
+def _code_mask(q: str) -> List[bool]:
+    mask = [False] * len(q)
+    pos = 0
+    for is_code, seg in _segments(q):
+        for j in range(len(seg)):
+            mask[pos + j] = is_code
+        pos += len(seg)
+    return mask
+
+
 def translate(query: str) -> str:
     """Rewrite Trino-only idioms to Spark SQL, outside literals/comments."""
+    query = _rewrite_unnest(query, _code_mask(query))
     segs = list(_segments(query))
     out: List[str] = []
     i = 0

@@ -106,3 +106,28 @@ def test_spark_dialect_untouched(spark):
         spark, "SELECT date_add(DATE '2026-01-01', 3) AS d", EngineConfig()
     )
     assert res.rows[0]["d"] == datetime.date(2026, 1, 4)
+
+
+def test_unnest_rewrite():
+    q = "SELECT d.doc_id, t.w FROM documents d CROSS JOIN UNNEST(split(d.text, ' ')) AS t(w)"
+    assert (
+        translate(q)
+        == "SELECT d.doc_id, t.w FROM documents d LATERAL VIEW explode(split(d.text, ' ')) t AS w"
+    )
+    # inside a literal: untouched
+    lit = "SELECT 'CROSS JOIN UNNEST(x) AS t(c)' AS s"
+    assert translate(lit) == lit
+    # WITH ORDINALITY: left alone (0- vs 1-based) so analysis fails loudly
+    qo = "SELECT * FROM t CROSS JOIN UNNEST(arr) WITH ORDINALITY AS u(c, i)"
+    assert "UNNEST" in translate(qo)
+
+
+def test_unnest_end_to_end(spark):
+    rows = run(
+        spark,
+        "SELECT COUNT(*) AS n FROM ("
+        "  SELECT d.doc_id, t.w FROM documents d"
+        "  CROSS JOIN UNNEST(split(d.text, ' ')) AS t(w)"
+        ") WHERE length(w) > 0",
+    )
+    assert rows[0]["n"] > 0

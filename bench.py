@@ -55,7 +55,7 @@ def run_one(spark, fn, sf_dir: str) -> float:
     return elapsed
 
 
-def run_steady(spark, fn, sf_dir: str, reps: int = 2) -> float:
+def run_steady(spark, fn, sf_dir: str, reps: int = 3) -> float:
     """Min over `reps` runs — steady-state plan cost, not first-run JIT /
     file-listing noise (each run still re-plans and re-executes fully)."""
     return min(run_one(spark, fn, sf_dir) for _ in range(reps))

@@ -21,6 +21,10 @@ def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     region, nation, customer, orders, lineitem = T(
         spark, sf_dir, "region", "nation", "customer", "orders", "lineitem"
     )
+    # NB: no repartition before the broadcast-join pipeline — measured
+    # slower here: the codegen'd join+partial-agg over the scan is
+    # cheaper per row than a 600 k-row shuffle round-trip.  spread() is
+    # reserved for heavy per-row work (hashing, UDFs); see _util.py.
     # price and (1-discount) are 2-decimal quantities stored as doubles,
     # so the product has ≤4 true decimals: a decimal(25,6) cast rounds
     # both engines to the same value (scale 12 would sit at the double's

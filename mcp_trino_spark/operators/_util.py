@@ -14,14 +14,20 @@ def T(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
 
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to full parallelism before compute-heavy
-    fan-out (explodes, hashing, vector math, Python UDFs).
+    work (explodes, hashing, vector math, Python UDFs, long
+    broadcast-join pipelines) — but ONLY when the input is actually
+    under-partitioned.
 
-    A small/single-file source scans as one partition; without this,
-    every downstream expression runs on one core.  The shuffle moves
-    only the slim base rows — orders of magnitude cheaper than the
-    work it parallelizes.  (At 100 TB sources are already many-file,
-    but rebalancing before a 100× fan-out is still the right call —
-    matches AQE's own rebalancing heuristics.)
+    A small/single-file source (or single-row-group parquet, like the
+    testdata) scans as ONE task; without this, everything up to the
+    first shuffle runs on one core.  The shuffle moves only the slim
+    base rows — orders of magnitude cheaper than the work it enables.
+    At 100 TB a fact scan is already thousands of partitions, so the
+    condition makes this a no-op there — it never degenerates into
+    re-shuffling big data.
     """
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(target // 2, 2):
+        return df
+    return df.repartition(target)

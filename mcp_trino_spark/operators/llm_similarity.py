@@ -273,3 +273,58 @@ def l11_kmeans_embeddings(spark, sf_dir, k: int = 8, iters: int = 3):
         cents = [by_cluster.get(c + 1, cents[c]) for c in range(k)]
 
     return assign(emb, cents).select("vec_id", "cluster")
+
+
+@register(
+    "l12_grouped_normalize",
+    oracle="""
+    WITH un AS (
+      SELECT label, vec_id, CAST(r.i - 1 AS INTEGER) AS pos,
+             embedding[CAST(r.i AS INTEGER)] AS x
+      FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS r(i)
+    ),
+    stats AS (
+      SELECT label, pos, AVG(x) AS mu, STDDEV_POP(x) AS sigma
+      FROM un GROUP BY label, pos
+    )
+    SELECT un.vec_id, un.label, un.pos,
+           ROUND((un.x - s.mu) / NULLIF(s.sigma, 0), 6) AS z
+    FROM un JOIN stats s ON un.label = s.label AND un.pos = s.pos
+    """,
+)
+def l12_grouped_normalize(spark, sf_dir):
+    """Per-label z-score normalization of embedding dimensions via
+    applyInPandas (grouped-map) — the custom-operator escape hatch for
+    per-group logic the built-ins can't express (here deliberately
+    expressible, so the Arrow path is exactly verifiable against SQL).
+
+    Scale: groups hash-partition by label; each group's matrix is
+    vectorized numpy inside one Arrow batch.  Skewed groups are the
+    caveat at 100 TB — for giant groups switch to the two-pass SQL form
+    (window stats + join) this oracle uses.
+    """
+    import numpy as np
+    import pandas as pd
+
+    (emb,) = T(spark, sf_dir, "embeddings")
+    emb = spread(emb)
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.vstack(pdf["embedding"].values).astype("float64")
+        mu = mat.mean(axis=0)
+        sigma = mat.std(axis=0)  # population std, matches STDDEV_POP
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(sigma == 0, np.nan, (mat - mu) / sigma)
+        n, d = mat.shape
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].values.repeat(d),
+                "label": pdf["label"].values.repeat(d),
+                "pos": np.tile(np.arange(d), n),
+                "z": np.round(z, 6).ravel(),
+            }
+        )
+
+    return emb.select("vec_id", "label", "embedding").groupBy("label").applyInPandas(
+        normalize, "vec_id bigint, label int, pos int, z double"
+    )

@@ -36,11 +36,14 @@ HEADLINERS = [
     "w1_row_number",
     "w10_topn_per_group",
     "t3_sessionization",
+    "w3b_ntile_distributed",
     "l1_exact_dedup",
     "l2_minhash_lsh_pairs",
+    "l2b_simhash",
     "l4_topk_similarity",
     "l8c_token_count",
     "l10_udf_tokenizer",
+    "l12_grouped_normalize",
 ]
 
 

@@ -54,6 +54,16 @@ _RENAMES = [
     (re.compile(r"\bapprox_percentile\s*\(", re.IGNORECASE), "percentile_approx("),
     (re.compile(r"\barbitrary\s*\(", re.IGNORECASE), "any_value("),
     (re.compile(r"\bformat_datetime\s*\(", re.IGNORECASE), "date_format("),
+    # Trino SHOW … FROM catalog ↔ Spark SHOW … IN catalog
+    (
+        re.compile(r"\b(SHOW\s+(?:SCHEMAS|TABLES|COLUMNS))\s+FROM\b", re.IGNORECASE),
+        r"\1 IN",
+    ),
+    # ANSI FETCH FIRST n ROWS ONLY → LIMIT n
+    (
+        re.compile(r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b", re.IGNORECASE),
+        r"LIMIT \1",
+    ),
 ]
 
 #: Trino 3-arg date arith spans a literal: ``date_add('day', n, x)`` →

@@ -131,3 +131,21 @@ def test_unnest_end_to_end(spark):
         ") WHERE length(w) > 0",
     )
     assert rows[0]["n"] > 0
+
+
+def test_show_from_and_fetch_first():
+    assert translate("SHOW SCHEMAS FROM spark_catalog") == "SHOW SCHEMAS IN spark_catalog"
+    assert (
+        translate("SELECT * FROM t ORDER BY x FETCH FIRST 5 ROWS ONLY")
+        == "SELECT * FROM t ORDER BY x LIMIT 5"
+    )
+
+
+def test_show_and_fetch_end_to_end(spark):
+    rows = run(spark, "SHOW SCHEMAS FROM spark_catalog")
+    assert any("default" in str(r.values()) for r in rows)
+    rows = run(
+        spark,
+        "SELECT n_nationkey FROM nation ORDER BY n_nationkey FETCH FIRST 3 ROWS ONLY",
+    )
+    assert [r["n_nationkey"] for r in rows] == [0, 1, 2]

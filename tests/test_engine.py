@@ -134,3 +134,25 @@ def test_attribution_properties_set_and_cleared(spark):
     sc = spark.sparkContext
     assert sc.getLocalProperty("mcp.user") is None
     assert sc.getLocalProperty("mcp.client.tags") is None
+
+
+def test_query_timeout_cancels_job(spark):
+    """F10: the watchdog cancels the job group and classifies the
+    failure as QueryTimeout (a deliberately huge 3-way cross join
+    cannot finish in 3s)."""
+    import time
+
+    from mcp_trino_spark.config import EngineConfig
+    from mcp_trino_spark.execute import QueryTimeout, execute_query
+    from mcp_trino_spark.sources.catalog import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001")
+    t0 = time.perf_counter()
+    with pytest.raises(QueryTimeout):
+        execute_query(
+            spark,
+            "SELECT COUNT(*) AS n FROM lineitem a CROSS JOIN lineitem b CROSS JOIN lineitem c",
+            EngineConfig(query_timeout_s=3),
+        )
+    # cancelled promptly, not after the (hours-long) full product
+    assert time.perf_counter() - t0 < 30

@@ -119,3 +119,27 @@ def test_agg_is_partial_final(spark):
     df = registry.queries()["a1_groupby_count"](spark, SF_DIR)
     plan = physical_plan(df)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_lsh_band_join_is_hash_based(spark):
+    """l2: candidate generation must be an equi-join on band_key
+    (hash/sort-merge), never a nested-loop product."""
+    df = registry.queries()["l2_minhash_lsh_pairs"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()
+
+
+def test_topk_similarity_is_take_ordered(spark):
+    """l4: top-k over similarities must plan as TakeOrderedAndProject."""
+    df = registry.queries()["l4_topk_similarity"](spark, SF_DIR)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_sessionization_single_shuffle_for_windows(spark):
+    """t3: both window passes share the user_id partitioning — exactly
+    one exchange feeds the window stage (plus the final agg exchange)."""
+    df = registry.queries()["t3_sessionization"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2

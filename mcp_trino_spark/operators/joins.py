@@ -292,3 +292,27 @@ def j11_asof(spark, sf_dir):
             F.col("last_ev.value").alias("asof_value"),
         )
     )
+
+
+_LATERAL_SQL = """
+    SELECT n_name, c.c_name, c.c_acctbal
+    FROM nation, LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+    ) c
+"""
+
+
+@register("j12_lateral_topn", oracle=_LATERAL_SQL)
+def j12_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — top-2
+    customers per nation (Trino's per-row derived table idiom).
+    Catalyst decorrelates this into a ranked join, so it scales as a
+    window-over-partition, not N subquery executions; the identical SQL
+    runs on both engines.
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

@@ -143,3 +143,19 @@ def f5_table_schema(spark, sf_dir):
     register_tables(spark, sf_dir)
     cols = get_table_schema(spark, EngineConfig(), "nation")
     return spark.createDataFrame([(c.name,) for c in cols], "column_name STRING")
+
+
+_VALUES_SQL = """
+    SELECT t.id, t.name, n.n_name
+    FROM (VALUES (0, 'zero'), (1, 'one'), (2, 'two')) AS t(id, name)
+    JOIN nation n ON n.n_nationkey = t.id
+"""
+
+
+@register("s3_values_relation", oracle=_VALUES_SQL)
+def s3_values_relation(spark, sf_dir):
+    """VALUES constant relation (SURVEY §2.2 S3) joined against a real
+    table — identical SQL on both engines; the literal relation plans
+    as LocalRelation (no scan)."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_VALUES_SQL)

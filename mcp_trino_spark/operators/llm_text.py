@@ -311,3 +311,65 @@ def l8d_fingerprint(spark, sf_dir):
         lambda acc, x: (acc * 131 + x) % 1000000007,
     )
     return docs.select("doc_id", fingerprint.alias("fingerprint"))
+
+
+@register(
+    "l13_training_pipeline",
+    oracle="""
+    WITH quality AS (
+      SELECT doc_id, text, lang, source,
+             length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_tokens_ws
+      FROM documents
+      WHERE length(text) >= 50
+        AND CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+            / GREATEST(length(text), 1) > 0.5
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT q.*, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+        FROM quality q
+      ) WHERE rn = 1
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens_ws) AS total_tokens,
+           CAST(SUM(CAST(n_chars AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM deduped
+    GROUP BY lang, source
+    """,
+)
+def l13_training_pipeline(spark, sf_dir):
+    """End-to-end training-data pipeline: quality filter → exact dedup →
+    per-(lang, source) corpus stats — the composition the LLM-pipeline
+    operators exist for, as ONE declarative plan.
+
+    Stage shapes at 100 TB: the quality filter is a narrow scan-side
+    predicate (pushes down); dedup is a shuffle on md5(text) (never a
+    sort); the rollup is partial+final agg.  One shuffle for dedup, one
+    for the final agg — nothing else moves.
+    """
+    from pyspark.sql import Window
+
+    (docs,) = T(spark, sf_dir, "documents")
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^A-Za-z ]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    quality = docs.filter((F.length("text") >= 50) & (alpha_ratio > 0.5)).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars"),
+        F.size(F.split("text", " ")).alias("n_tokens_ws"),
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    deduped = quality.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return deduped.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens_ws").alias("total_tokens"),
+        (F.sum(F.col("n_chars").cast("decimal(25,6)")).cast("double") / F.count("*")).alias(
+            "avg_chars"
+        ),
+    )

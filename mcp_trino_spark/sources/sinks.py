@@ -159,3 +159,44 @@ def s3_values_relation(spark, sf_dir):
     as LocalRelation (no scan)."""
     register_tables(spark, sf_dir)
     return spark.sql(_VALUES_SQL)
+
+
+@register(
+    "s2b_multiformat_roundtrip",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n,
+           CAST(SUM(CAST(n_nationkey AS DECIMAL(25,6))) AS DOUBLE) AS key_sum
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def s2b_multiformat_roundtrip(spark, sf_dir):
+    """CSV and JSON sources (the reference's cross-system claim maps to
+    Spark's format-pluggable reader): nation written to both formats,
+    read back with explicit schemas, unioned halves re-aggregated to the
+    parquet-source truth.  Schema-on-read: CSV gets an explicit DDL
+    schema, JSON infers then casts."""
+    base = "/root/repo/.tmp/formats"
+    os.makedirs(base, exist_ok=True)
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    lo = nation.filter(F.col("n_nationkey") % 2 == 0)
+    hi = nation.filter(F.col("n_nationkey") % 2 == 1)
+    lo.write.mode("overwrite").option("header", True).csv(f"{base}/nation_csv")
+    hi.write.mode("overwrite").json(f"{base}/nation_json")
+    csv_back = spark.read.option("header", True).schema(
+        "n_nationkey BIGINT, n_name STRING, n_regionkey INT"
+    ).csv(f"{base}/nation_csv")
+    json_back = (
+        spark.read.json(f"{base}/nation_json")
+        .select(
+            F.col("n_nationkey").cast("bigint"),
+            "n_name",
+            F.col("n_regionkey").cast("int"),
+        )
+    )
+    both = csv_back.unionByName(json_back)
+    return both.groupBy("n_regionkey").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("n_nationkey").cast("decimal(25,6)")).cast("double").alias("key_sum"),
+    )

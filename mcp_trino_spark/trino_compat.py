@@ -54,6 +54,9 @@ _RENAMES = [
     (re.compile(r"\bapprox_percentile\s*\(", re.IGNORECASE), "percentile_approx("),
     (re.compile(r"\barbitrary\s*\(", re.IGNORECASE), "any_value("),
     (re.compile(r"\bformat_datetime\s*\(", re.IGNORECASE), "date_format("),
+    # Trino reduce(arr, init, merge, finish) == Spark aggregate(...)
+    (re.compile(r"\breduce\s*\(", re.IGNORECASE), "aggregate("),
+    (re.compile(r"\blevenshtein_distance\s*\(", re.IGNORECASE), "levenshtein("),
     # Trino SHOW … FROM catalog ↔ Spark SHOW … IN catalog
     (
         re.compile(r"\b(SHOW\s+(?:SCHEMAS|TABLES|COLUMNS))\s+FROM\b", re.IGNORECASE),

@@ -149,3 +149,13 @@ def test_show_and_fetch_end_to_end(spark):
         "SELECT n_nationkey FROM nation ORDER BY n_nationkey FETCH FIRST 3 ROWS ONLY",
     )
     assert [r["n_nationkey"] for r in rows] == [0, 1, 2]
+
+
+def test_reduce_and_levenshtein(spark):
+    rows = run(
+        spark,
+        "SELECT reduce(sequence(1, 4), 0, (s, x) -> s + x, s -> s) AS total, "
+        "levenshtein_distance('kitten', 'sitting') AS lev",
+    )
+    assert rows[0]["total"] == 10
+    assert rows[0]["lev"] == 3

@@ -317,3 +317,39 @@ def register_li(spark, sf_dir):
     from mcp_trino_spark.sources.catalog import load_table
 
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+
+
+@register(
+    "a16_salted_skew_agg",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n, {DSUM('l_quantity')} AS qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a16_salted_skew_agg(spark, sf_dir):
+    """Two-phase salted aggregation for pathologically skewed keys.
+
+    l_returnflag has 3 values over 600 k rows — the worst-case skew
+    shape: a plain groupBy funnels each key through one reducer.  Phase
+    1 salts the key with a random-free deterministic shard (orderkey %
+    SALT), aggregating (key, shard) partials across all cores; phase 2
+    combines SALT partial rows per key — input to the final shuffle is
+    #keys × SALT rows, independent of data size.  (Spark's partial
+    aggregation often achieves this implicitly; explicit salting is the
+    guaranteed form when partial agg degrades — e.g. high-cardinality
+    intermediate state or collect_list-style aggregates.)
+    """
+    SALT = 32
+    (li,) = T(spark, sf_dir, "lineitem")
+    partial = (
+        li.withColumn("shard", (F.col("l_orderkey") % SALT).cast("int"))
+        .groupBy("l_returnflag", "shard")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("pqty"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pqty").cast("double").alias("qty"),
+    )

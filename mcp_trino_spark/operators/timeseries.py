@@ -153,3 +153,58 @@ def t4_event_dedup(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", "value")
     )
+
+
+@register(
+    "t6_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id,
+             date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS lo,
+             date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS hi
+      FROM events WHERE user_id < 20 GROUP BY user_id
+    ),
+    grid AS (
+      SELECT b.user_id, g.h AS hour_start
+      FROM bounds b, LATERAL unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS g(h)
+    ),
+    actual AS (
+      SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+             COUNT(*) AS n
+      FROM events WHERE user_id < 20 GROUP BY 1, 2
+    )
+    SELECT g.user_id, CAST(g.hour_start AS TIMESTAMP) AS hour_start,
+           COALESCE(a.n, 0) AS n_events
+    FROM grid g LEFT JOIN actual a
+      ON a.user_id = g.user_id AND a.hour_start = g.hour_start
+    """,
+)
+def t6_gap_fill(spark, sf_dir):
+    """Gap-filled hourly series per user: dense hour grid from each
+    user's [min, max] via sequence+explode, left-joined to actual
+    counts, zeros filled.  The grid explode is linear in output size and
+    partitions with the user key; no driver-side enumeration.
+    """
+    (events,) = T(spark, sf_dir, "events")
+    ev = events.filter(F.col("user_id") < 20)
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start"),
+    )
+    actual = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.count("*").alias("n"))
+    return (
+        grid.join(actual, ["user_id", "hour_start"], "left")
+        .select(
+            "user_id",
+            "hour_start",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
+    )

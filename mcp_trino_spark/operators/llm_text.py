@@ -373,3 +373,29 @@ def l13_training_pipeline(spark, sf_dir):
             "avg_chars"
         ),
     )
+
+
+@register(
+    "l14_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text,
+           length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS n_chars_norm,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_hash
+    FROM documents
+    """,
+)
+def l14_text_normalize(spark, sf_dir):
+    """Canonical text normalization: lowercase → whitespace collapse →
+    trim, plus the normalized md5 used as the dedup key downstream
+    (normalize-then-dedup catches case/spacing near-dups that byte-exact
+    dedup misses).  Pure narrow column ops — no shuffle at all.
+    """
+    (docs,) = T(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("n_chars_norm"),
+        F.md5(norm).alias("norm_hash"),
+    )

@@ -26,6 +26,18 @@ class InvalidTableName(ValueError):
     pass
 
 
+def _quote_ident(name: str) -> str:
+    """Backtick-quote a client-supplied identifier for SQL interpolation.
+
+    Names come from MCP tool arguments — attacker-shaped strings must
+    never splice into statement text as raw SQL.  Embedded backticks are
+    doubled (Spark's escape); other characters are inert inside quotes.
+    """
+    if not name or "\x00" in name:
+        raise InvalidTableName(f"invalid identifier: {name!r}")
+    return "`" + name.replace("`", "``") + "`"
+
+
 def list_catalogs(spark: SparkSession, config: EngineConfig) -> List[str]:
     names = [c.name for c in spark.catalog.listCatalogs()]
     return config.allowlists.filter_catalogs(sorted(names))
@@ -35,7 +47,7 @@ def list_schemas(
     spark: SparkSession, config: EngineConfig, catalog: Optional[str] = None
 ) -> List[str]:
     catalog = catalog or config.default_catalog
-    rows = spark.sql(f"SHOW SCHEMAS IN {catalog}").collect()
+    rows = spark.sql(f"SHOW SCHEMAS IN {_quote_ident(catalog)}").collect()
     names = sorted(r[0] for r in rows)
     return config.allowlists.filter_schemas(names, catalog)
 
@@ -48,7 +60,9 @@ def list_tables(
 ) -> List[str]:
     catalog = catalog or config.default_catalog
     schema = schema or config.default_schema
-    rows = spark.sql(f"SHOW TABLES IN {catalog}.{schema}").collect()
+    rows = spark.sql(
+        f"SHOW TABLES IN {_quote_ident(catalog)}.{_quote_ident(schema)}"
+    ).collect()
     names = sorted(r["tableName"] for r in rows)
     # temp views surface with an empty namespace; include them (the
     # testdata catalog registers as temp views)
@@ -99,7 +113,11 @@ def get_table_schema(
             f"access to table {cat}.{sch}.{tbl} is not allowed by the configured allowlists"
         )
     # temp views resolve by bare name; catalog tables by qualified name
-    target = tbl if _is_temp_view(spark, tbl) else f"{cat}.{sch}.{tbl}"
+    target = (
+        _quote_ident(tbl)
+        if _is_temp_view(spark, tbl)
+        else f"{_quote_ident(cat)}.{_quote_ident(sch)}.{_quote_ident(tbl)}"
+    )
     df = spark.table(target)
     return [
         ColumnInfo(name=f.name, type=f.dataType.simpleString(), nullable=f.nullable)

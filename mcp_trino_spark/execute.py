@@ -74,12 +74,9 @@ def execute_query(
     if not config.allow_write_queries and not is_read_only_query(q):
         raise WriteQueryNotAllowed(
             "query rejected: only read-only queries (SELECT, SHOW, DESCRIBE, "
-            "EXPLAIN, WITH) are allowed; set ALLOW_WRITE_QUERIES=true to enable writes"
+            "EXPLAIN, WITH) are allowed; set SPARK_ENGINE_ALLOW_WRITE_QUERIES=true "
+            "(or TRINO_ALLOW_WRITE_QUERIES=true) to enable writes"
         )
-
-    df = spark.sql(q)
-    if max_rows is not None:
-        df = df.limit(max_rows)
 
     group = f"execute_query-{uuid.uuid4().hex[:12]}"
     sc = spark.sparkContext
@@ -100,6 +97,12 @@ def execute_query(
         sc.setLocalProperty("mcp.client.tags", ",".join(client_tags))
     watcher.start()
     try:
+        # spark.sql runs commands (DDL/DML/SHOW) EAGERLY, so it must sit
+        # under the watchdog + attribution properties, not before them —
+        # otherwise writes would run untimed and unattributed.
+        df = spark.sql(q)
+        if max_rows is not None:
+            df = df.limit(max_rows)
         collected = df.collect()
     except Exception as exc:  # noqa: BLE001 — classify cancellation as timeout
         if cancelled.is_set():
@@ -109,9 +112,14 @@ def execute_query(
         raise
     finally:
         done.set()
-        sc.setLocalProperty("spark.jobGroup.id", None)
-        sc.setLocalProperty("mcp.user", None)
-        sc.setLocalProperty("mcp.client.tags", None)
+        for prop in (
+            "spark.jobGroup.id",
+            "spark.job.description",
+            "spark.job.interruptOnCancel",
+            "mcp.user",
+            "mcp.client.tags",
+        ):
+            sc.setLocalProperty(prop, None)
 
     columns = df.columns
     rows = [row.asDict(recursive=True) for row in collected]

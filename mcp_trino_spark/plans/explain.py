@@ -36,24 +36,42 @@ class ExplainResult:
 
 
 def explain_query(spark: SparkSession, query: str, format: str = "DISTRIBUTED") -> ExplainResult:
+    """Explain without ever executing: every format routes through
+    Spark's EXPLAIN command (verified: EXPLAIN of DDL/DML does not run
+    it), except IO which must build the DataFrame and is therefore
+    gated read-only — Spark runs commands eagerly inside ``spark.sql``,
+    so an ungated ``spark.sql(query)`` here would be a write-gate
+    bypass."""
+    from mcp_trino_spark.execute import WriteQueryNotAllowed
+    from mcp_trino_spark.validate import is_read_only_query, strip_trailing_semicolon
+
     fmt = (format or "DISTRIBUTED").strip().upper()
     if fmt not in VALID_FORMATS:
         # mirror the reference's error contract (client.go:779-787)
         raise InvalidExplainFormat(
             f"invalid explain format: {format} (valid: LOGICAL, DISTRIBUTED, VALIDATE, IO)"
         )
+    query = strip_trailing_semicolon(query)
     if fmt == "VALIDATE":
         try:
-            spark.sql(query).schema  # parse + analyze, no execution
-            return ExplainResult(fmt, [{"valid": True, "error": None}])
-        except Exception as exc:  # noqa: BLE001 — surface analysis errors as rows
+            plan = spark.sql(f"EXPLAIN {query}").collect()[0][0]
+        except Exception as exc:  # noqa: BLE001 — parse errors raise
             return ExplainResult(fmt, [{"valid": False, "error": str(exc)}])
+        # analysis errors surface as text inside the EXPLAIN output
+        if plan.lstrip().startswith("Error occurred during query planning"):
+            return ExplainResult(fmt, [{"valid": False, "error": plan.strip()}])
+        return ExplainResult(fmt, [{"valid": True, "error": None}])
     if fmt == "LOGICAL":
         plan = spark.sql(f"EXPLAIN EXTENDED {query}").collect()[0][0]
         return ExplainResult(fmt, [{"plan": plan}])
     if fmt == "DISTRIBUTED":
         plan = spark.sql(f"EXPLAIN FORMATTED {query}").collect()[0][0]
         return ExplainResult(fmt, [{"plan": plan}])
+    if not is_read_only_query(query):
+        raise WriteQueryNotAllowed(
+            "explain format IO requires a read-only query (the IO report "
+            "builds the plan via spark.sql, which executes commands eagerly)"
+        )
     return ExplainResult(fmt, io_report(spark, query))
 
 

@@ -80,12 +80,21 @@ _UNIT_FNS = {
 _UNIT_LITERAL = re.compile(r"^'(\w+)'$")
 
 
+_INSTALLED_SESSIONS: set = set()
+
+
 def install_compat_functions(spark) -> None:
-    """Install the Trino-name scalar functions as Spark SQL UDFs (idempotent)."""
+    """Install the Trino-name scalar functions as Spark SQL UDFs, once
+    per SparkSession (12 DDL round-trips would otherwise tax every
+    dialect='trino' call)."""
+    key = id(spark)
+    if key in _INSTALLED_SESSIONS:
+        return
     for name, (args, rtype, body) in _COMPAT_SQL_UDFS.items():
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{args} RETURNS {rtype} RETURN {body}"
         )
+    _INSTALLED_SESSIONS.add(key)
 
 
 def _segments(q: str) -> Iterator[Tuple[bool, str]]:
@@ -103,7 +112,9 @@ def _segments(q: str) -> Iterator[Tuple[bool, str]]:
             j = i + 1
             while j < n:
                 if q[j] == quote:
-                    if quote == "'" and j + 1 < n and q[j + 1] == "'":
+                    # doubled-quote escapes: '' in literals AND "" in
+                    # quoted identifiers (same rules as sanitize())
+                    if j + 1 < n and q[j + 1] == quote:
                         j += 2
                         continue
                     break

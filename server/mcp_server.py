@@ -40,6 +40,10 @@ TOOLS = [
                     "type": "string",
                     "description": "'spark' (default) or 'trino' (accept Trino idioms)",
                 },
+                "max_rows": {
+                    "type": "integer",
+                    "description": "cap the result set (LIMIT applied engine-side)",
+                },
             },
             "required": ["query"],
         },
@@ -131,11 +135,18 @@ class MCPServer:
 
     # --- JSON-RPC dispatch -------------------------------------------------
 
-    def handle_message(self, msg: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+    def handle_message(self, msg: Any) -> Optional[Dict[str, Any]]:
         """Handle one JSON-RPC message; None for notifications."""
+        if not isinstance(msg, dict):
+            # valid JSON but not a request object (batch arrays unsupported)
+            return _error(None, -32600, "invalid request: expected a JSON-RPC object")
         method = msg.get("method")
         msg_id = msg.get("id")
-        if method is None or (msg_id is None and method.startswith("notifications/")):
+        if not isinstance(method, str):
+            if msg_id is None:
+                return None  # malformed notification: nothing to answer
+            return _error(msg_id, -32600, "invalid request: missing method")
+        if msg_id is None and method.startswith("notifications/"):
             return None
         try:
             if method == "initialize":
@@ -172,7 +183,11 @@ class MCPServer:
 
         if name == "execute_query":
             res = execute_query(
-                self.spark, args["query"], self.config, dialect=args.get("dialect", "spark")
+                self.spark,
+                args["query"],
+                self.config,
+                max_rows=args.get("max_rows"),
+                dialect=args.get("dialect", "spark"),
             )
             text = res.to_json()
         elif name == "list_catalogs":

@@ -1,0 +1,109 @@
+"""Regression tests for the round-1 code-review findings."""
+
+from __future__ import annotations
+
+import pytest
+
+from mcp_trino_spark.config import EngineConfig
+from mcp_trino_spark.execute import WriteQueryNotAllowed, execute_query
+from mcp_trino_spark.plans.explain import explain_query
+from mcp_trino_spark.sources.catalog import register_tables
+from mcp_trino_spark.trino_compat import translate
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark):
+    register_tables(spark, "/root/testdata/sf0.001")
+
+
+def test_explain_validate_does_not_execute_ddl(spark):
+    """The write-gate bypass: VALIDATE/IO of DDL must never execute it."""
+    spark.sql("CREATE TABLE IF NOT EXISTS probe_keep (x INT) USING parquet")
+    try:
+        res = explain_query(spark, "DROP TABLE probe_keep", "VALIDATE")
+        # validated (Spark can plan it) but NOT executed
+        assert spark.catalog.tableExists("probe_keep")
+        assert res.rows[0]["valid"] is True
+    finally:
+        spark.sql("DROP TABLE IF EXISTS probe_keep")
+
+
+def test_explain_io_rejects_writes(spark):
+    with pytest.raises(WriteQueryNotAllowed):
+        explain_query(spark, "DROP TABLE nation", "IO")
+
+
+def test_explain_logical_of_ddl_does_not_execute(spark):
+    spark.sql("CREATE TABLE IF NOT EXISTS probe_keep2 (x INT) USING parquet")
+    try:
+        explain_query(spark, "DROP TABLE probe_keep2", "LOGICAL")
+        assert spark.catalog.tableExists("probe_keep2")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS probe_keep2")
+
+
+def test_write_command_runs_under_watchdog_attribution(spark):
+    """Commands execute inside spark.sql — the attribution properties
+    must be set during (and cleared after) the command itself."""
+    cfg = EngineConfig(allow_write_queries=True)
+    execute_query(spark, "DROP TABLE IF EXISTS no_such_table_xyz", cfg, user="bob")
+    assert spark.sparkContext.getLocalProperty("mcp.user") is None
+    assert spark.sparkContext.getLocalProperty("spark.job.description") is None
+    assert spark.sparkContext.getLocalProperty("spark.job.interruptOnCancel") is None
+
+
+def test_segmenter_handles_doubled_quote_identifiers():
+    q = 'SELECT "a""b", approx_distinct(x) FROM t'
+    assert "approx_count_distinct" in translate(q)
+
+
+def test_mcp_non_object_and_missing_method(spark):
+    from server.mcp_server import MCPServer
+
+    server = MCPServer(spark=spark, config=EngineConfig())
+    # JSON array (batch) → -32600 error, not a crash
+    reply = server.handle_message([{"jsonrpc": "2.0", "id": 1, "method": "ping"}])
+    assert reply["error"]["code"] == -32600
+    # id present but method missing → -32600 with the id echoed
+    reply = server.handle_message({"jsonrpc": "2.0", "id": 5})
+    assert reply["error"]["code"] == -32600 and reply["id"] == 5
+    # malformed notification (no id, no method) → silently dropped
+    assert server.handle_message({"jsonrpc": "2.0"}) is None
+
+
+def test_mcp_execute_query_max_rows(spark):
+    import json
+
+    from server.mcp_server import MCPServer
+
+    server = MCPServer(spark=spark, config=EngineConfig())
+    reply = server.handle_message(
+        {
+            "jsonrpc": "2.0",
+            "id": 9,
+            "method": "tools/call",
+            "params": {
+                "name": "execute_query",
+                "arguments": {"query": "SELECT * FROM lineitem", "max_rows": 4},
+            },
+        }
+    )
+    rows = json.loads(reply["result"]["content"][0]["text"])
+    assert len(rows) == 4
+
+
+def test_catalog_identifier_quoting(spark):
+    from mcp_trino_spark.catalog_api import list_schemas
+
+    cfg = EngineConfig()
+    # a hyphenated (quote-requiring) catalog: clean engine error, not a
+    # parse of spliced SQL text
+    with pytest.raises(Exception) as ei:
+        list_schemas(spark, cfg, "no-such-catalog")
+    assert "no-such-catalog" in str(ei.value) or "not found" in str(ei.value).lower()
+
+
+def test_error_message_names_real_env_vars(spark):
+    with pytest.raises(WriteQueryNotAllowed) as ei:
+        execute_query(spark, "DROP TABLE nation", EngineConfig())
+    assert "SPARK_ENGINE_ALLOW_WRITE_QUERIES" in str(ei.value)

@@ -53,7 +53,8 @@ def x1_string_basics(spark, sf_dir):
         F.upper("c_mktsegment").alias("seg_upper"),
         F.trim(c).alias("name_trim"),
         F.substring(c, 1, 8).alias("name_prefix"),
-        F.concat_ws("-", c, F.col("c_mktsegment")).alias("name_seg"),
+        # F.concat (not concat_ws): `||` propagates NULL, concat_ws skips it
+        F.concat(c, F.lit("-"), F.col("c_mktsegment")).alias("name_seg"),
         F.replace(c, F.lit("Customer"), F.lit("Cust")).alias("name_repl"),
         F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
         F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),

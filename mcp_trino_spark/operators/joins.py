@@ -224,7 +224,7 @@ def j10_self_join(spark, sf_dir):
     WITH ranked AS (
       SELECT o.o_orderkey, e.ts, e.value,
              ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
-                                ORDER BY epoch_ns(e.ts) DESC, e.event_id DESC) AS rn
+                                ORDER BY epoch_us(e.ts) DESC, e.event_id DESC) AS rn
       FROM orders o JOIN events e
         ON e.user_id = o.o_custkey % 50 AND CAST(e.ts AS TIMESTAMP) <= o.o_orderdate
     )
@@ -252,10 +252,10 @@ def j11_asof(spark, sf_dir):
     from pyspark.sql import Window
 
     orders, events = T(spark, sf_dir, "orders", "events")
-    # one shared schema: (k, ts_ns, is_order, tiebreak, payload…)
+    # one shared schema: (k, ts_us, is_order, tiebreak, payload…)
     ev = events.select(
         F.col("user_id").alias("k"),
-        F.col("ts_ns"),
+        F.unix_micros("ts").alias("ts_us"),
         F.lit(0).alias("is_order"),
         F.col("event_id").alias("tiebreak"),
         F.struct(F.col("ts"), F.col("value")).alias("ev"),
@@ -263,9 +263,10 @@ def j11_asof(spark, sf_dir):
     )
     od = orders.select(
         (F.col("o_custkey") % 50).alias("k"),
-        # order's time point = its date at midnight UTC, in exact ns
-        (F.col("o_orderdate").cast("timestamp").cast("long") * F.lit(1_000_000_000)).alias(
-            "ts_ns"
+        # order's time point = its date at midnight UTC, in us (the finest
+        # precision the oracle engine sees; see timeseries.py)
+        (F.col("o_orderdate").cast("timestamp").cast("long") * F.lit(1_000_000)).alias(
+            "ts_us"
         ),
         F.lit(1).alias("is_order"),
         F.col("o_orderkey").alias("tiebreak"),
@@ -278,7 +279,7 @@ def j11_asof(spark, sf_dir):
     # event at exactly the order's timestamp is matched (ts <= date).
     w = (
         Window.partitionBy("k")
-        .orderBy(F.col("ts_ns").asc(), F.col("is_order").asc(), F.col("tiebreak").asc())
+        .orderBy(F.col("ts_us").asc(), F.col("is_order").asc(), F.col("tiebreak").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = ev.unionByName(od).withColumn(

@@ -325,6 +325,11 @@ def l12_grouped_normalize(spark, sf_dir):
             }
         )
 
-    return emb.select("vec_id", "label", "embedding").groupBy("label").applyInPandas(
+    out = emb.select("vec_id", "label", "embedding").groupBy("label").applyInPandas(
         normalize, "vec_id bigint, label int, pos int, z double"
+    )
+    # sigma == 0 comes back as float NaN through Arrow; the SQL oracle's
+    # NULLIF(sigma, 0) yields NULL — normalize NaN → NULL for parity
+    return out.withColumn(
+        "z", F.when(F.isnan("z"), F.lit(None).cast("double")).otherwise(F.col("z"))
     )

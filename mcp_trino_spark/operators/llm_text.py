@@ -103,9 +103,15 @@ def l7_top_bigrams(spark, sf_dir):
 
     (docs,) = T(spark, sf_dir, "documents")
     words = spread(docs).select("lang", F.split(F.lower("text"), " ").alias("ws"))
-    n_pairs = F.greatest(F.size("ws") - 1, F.lit(0))
+    # NB: F.sequence(1, 0) yields the DESCENDING [1, 0], not an empty
+    # array, and element_at(ws, 0) then throws — a <2-word document
+    # would crash the query; emit an empty array for it instead.
+    n_pairs = F.size("ws") - 1
+    pair_idx = F.when(n_pairs >= 1, F.sequence(F.lit(1), n_pairs)).otherwise(
+        F.array().cast("array<int>")
+    )
     bigrams = (
-        words.select("lang", "ws", F.explode(F.sequence(F.lit(1), n_pairs)).alias("i"))
+        words.select("lang", "ws", F.explode(pair_idx).alias("i"))
         .filter(
             (F.length(F.element_at("ws", F.col("i"))) > 0)
             & (F.length(F.element_at("ws", F.col("i") + 1)) > 0)

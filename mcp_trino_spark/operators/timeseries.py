@@ -85,17 +85,17 @@ def t2_sliding_window(spark, sf_dir):
     oracle="""
     WITH g AS (
       SELECT user_id, ts, value,
-             CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts))
-                       OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC)
-                       > 1800000000000
-                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC) IS NULL
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+                       >= 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) IS NULL
                   THEN 1 ELSE 0 END AS is_new,
              event_id
       FROM events
     ),
     s AS (
       SELECT user_id, ts, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM g
     )
@@ -109,13 +109,15 @@ def t3_sessionization(spark, sf_dir):
     lag → is_new → running-sum session-id assignment.  Both window passes
     share the user_id hash partitioning → single shuffle."""
     (events,) = T(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts_ns").asc(), F.col("event_id").asc())
-    # gap in integer nanoseconds: exact on both engines (no float, no
-    # truncation at the 30-min boundary)
-    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
-    is_new = F.when(gap.isNull() | (gap > 1_800_000_000_000), 1).otherwise(0)
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts").asc(), F.col("event_id").asc())
+    # gap in integer MICROseconds: DuckDB 1.x reads the ns parquet column
+    # as a us TIMESTAMP, so us is the finest precision both engines see
+    # identically; >= aligns the boundary with session_window semantics
+    # (an exactly-30-min gap starts a new session in batch and stream)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    is_new = F.when(gap.isNull() | (gap >= 1_800_000_000), 1).otherwise(0)
     cum = Window.partitionBy("user_id").orderBy(
-        F.col("ts_ns").asc(), F.col("event_id").asc()
+        F.unix_micros("ts").asc(), F.col("event_id").asc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         events.withColumn("is_new", is_new)
@@ -135,7 +137,7 @@ def t3_sessionization(spark, sf_dir):
       SELECT event_id, user_id, event_type, ts, value,
              ROW_NUMBER() OVER (
                PARTITION BY user_id, event_type, date_trunc('minute', CAST(ts AS TIMESTAMP))
-               ORDER BY epoch_ns(ts) ASC, event_id ASC) AS rn
+               ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn
       FROM events
     )
     SELECT event_id, user_id, event_type, value FROM r WHERE rn = 1
@@ -147,7 +149,7 @@ def t4_event_dedup(spark, sf_dir):
     (events,) = T(spark, sf_dir, "events")
     w = Window.partitionBy(
         "user_id", "event_type", F.date_trunc("minute", F.col("ts"))
-    ).orderBy(F.col("ts_ns").asc(), F.col("event_id").asc())
+    ).orderBy(F.unix_micros("ts").asc(), F.col("event_id").asc())
     return (
         events.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

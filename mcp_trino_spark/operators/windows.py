@@ -160,16 +160,17 @@ def w4_percent_rank_cume_dist(spark, sf_dir):
     "w5_lag_lead",
     oracle="""
     SELECT user_id, event_id, value,
-           LAG(value)  OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC) AS prev_value,
-           LEAD(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC) AS next_value
+           LAG(value)  OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_value,
+           LEAD(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS next_value
     FROM events
     """,
 )
 def w5_lag_lead(spark, sf_dir):
-    # order on exact nanos (ts_ns) — µs-truncated ts could tie where the
-    # oracle's ns timestamps don't
+    # order on µs + event_id: DuckDB reads the ns parquet column as a
+    # µs TIMESTAMP, so µs is the finest precision both engines see
+    # identically; event_id breaks any same-µs ties deterministically
     (events,) = T(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts_ns").asc(), F.col("event_id").asc())
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts").asc(), F.col("event_id").asc())
     return events.select(
         "user_id",
         "event_id",
@@ -237,7 +238,7 @@ def w7_window_agg(spark, sf_dir):
     oracle="""
     SELECT user_id, event_id,
            CAST(SUM(CAST(value AS DECIMAL(25,6)))
-                OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
     FROM events
     """,
@@ -246,7 +247,7 @@ def w8_rows_frame(spark, sf_dir):
     (events,) = T(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts_ns").asc(), F.col("event_id").asc())
+        .orderBy(F.unix_micros("ts").asc(), F.col("event_id").asc())
         .rowsBetween(-2, Window.currentRow)
     )
     return events.select(

@@ -51,9 +51,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is nanosecond-precision in the parquet (TESTDATA /
     FIXTURES); Spark's TimestampType is µs, so the session reads nanos
     as long (session.py) and this layer exposes both views of it:
-    ``ts``  — TimestampType, truncated to µs (what SQL functions want)
-    ``ts_ns`` — the exact int64 nanos (what orderings/gap logic wants —
-    total order with no truncation ties; DuckDB twin: ``epoch_ns(ts)``).
+    ``ts``  — TimestampType, truncated to µs (what SQL functions want;
+    also the finest precision DuckDB 1.x sees — it reads the ns parquet
+    column as a µs TIMESTAMP, so oracle-checked operators order/gap on
+    µs + an id tiebreak, never on ns)
+    ``ts_ns`` — the exact int64 nanos, kept for consumers that need
+    sub-µs exactness (not oracle-comparable).
     """
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

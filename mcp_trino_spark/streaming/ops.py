@@ -84,9 +84,10 @@ def t3_session_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> 
 
     session_window merges events whose gap < SESSION_GAP into one
     growing window per user — the stateful form of the batch
-    lag+cumsum rewrite (same session boundaries: a gap strictly greater
-    than the gap duration starts a new session; sub-µs edge cases are
-    identical because ts is µs-truncated in both paths).
+    lag+cumsum rewrite.  Boundary semantics align exactly: a gap >=
+    SESSION_GAP starts a new session in session_window, in the batch
+    lag+cumsum form (timeseries.py t3), and in the custom stateful
+    sessionizer below, all computed at µs precision.
     """
     return (
         events.withWatermark("ts", watermark)
@@ -138,7 +139,7 @@ def t3b_custom_stateful_sessions(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    GAP_NS = 1_800_000_000_000
+    GAP_US = 1_800_000_000  # µs, matching batch t3 and session_window
 
     def sessionize(
         key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -152,13 +153,13 @@ def t3b_custom_stateful_sessions(
         for pdf in pdfs:
             pdf = pdf.sort_values("ts_ns")
             for ts_ns, value in zip(pdf["ts_ns"], pdf["value"]):
-                ts_ns = int(ts_ns)
+                ts_us = int(ts_ns) // 1000  # µs: see batch t3's precision note
                 if start_ns is None:
-                    start_ns, last_ns, n, total = ts_ns, ts_ns, 0, 0.0
-                elif ts_ns - last_ns > GAP_NS:
+                    start_ns, last_ns, n, total = ts_us, ts_us, 0, 0.0
+                elif ts_us - last_ns >= GAP_US:
                     closed.append((user_id, start_ns, last_ns, n, total))
-                    start_ns, last_ns, n, total = ts_ns, ts_ns, 0, 0.0
-                last_ns = ts_ns
+                    start_ns, last_ns, n, total = ts_us, ts_us, 0, 0.0
+                last_ns = ts_us
                 n += 1
                 total += float(value)
         if start_ns is None:

@@ -107,3 +107,55 @@ def test_error_message_names_real_env_vars(spark):
     with pytest.raises(WriteQueryNotAllowed) as ei:
         execute_query(spark, "DROP TABLE nation", EngineConfig())
     assert "SPARK_ENGINE_ALLOW_WRITE_QUERIES" in str(ei.value)
+
+
+@pytest.fixture(scope="module")
+def mini_sf(spark):
+    """Synthetic mini sf dir exercising data shapes absent from the
+    generated testdata: a one-word document (l7 crash repro) and a
+    single-vector label whose stddev is zero per dimension (l12 NaN)."""
+    import pathlib
+
+    import pandas as pd
+
+    d = pathlib.Path("/root/repo/.tmp/mini_sf")
+    d.mkdir(parents=True, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["word", "two words here and more words"],
+            "lang": ["en", "en"],
+            "source": ["web", "web"],
+            "n_chars": [4, 29],
+        }
+    ).to_parquet(d / "documents.parquet")
+    pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3],
+            "embedding": [[1.0, 2.0], [1.0, 4.0], [9.0, 9.0]],
+            "label": [0, 0, 1],
+        }
+    ).to_parquet(d / "embeddings.parquet")
+    return str(d)
+
+
+def test_l7_survives_one_word_document(spark, mini_sf):
+    from mcp_trino_spark import registry
+
+    rows = registry.queries()["l7_top_bigrams"](spark, mini_sf).collect()
+    # doc 1 contributes no bigrams but must not crash the query
+    assert all("word" not in r["bigram"] or " " in r["bigram"] for r in rows)
+
+
+def test_l12_sigma_zero_yields_null_not_nan(spark, mini_sf):
+    import math
+
+    from mcp_trino_spark import registry
+
+    rows = registry.queries()["l12_grouped_normalize"](spark, mini_sf).collect()
+    by_key = {(r["vec_id"], r["pos"]): r["z"] for r in rows}
+    # label 0, dim 0 is constant (1.0, 1.0): sigma == 0 → NULL, never NaN
+    assert by_key[(1, 0)] is None and by_key[(2, 0)] is None
+    # label 1 has a single vector: both dims NULL
+    assert by_key[(3, 0)] is None and by_key[(3, 1)] is None
+    assert not any(z is not None and math.isnan(z) for z in by_key.values())

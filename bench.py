@@ -66,7 +66,7 @@ def run_steady(spark, fn, sf_dir: str, reps: int = 3) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", sf_dir)
     sf = float(m.group(1)) if m else None
 
     spark = get_spark("bench")

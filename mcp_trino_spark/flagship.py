@@ -17,10 +17,16 @@ from mcp_trino_spark.operators._util import T
 from mcp_trino_spark.registry import DSUM, dsum, register
 
 
-def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    region, nation, customer, orders, lineitem = T(
-        spark, sf_dir, "region", "nation", "customer", "orders", "lineitem"
-    )
+def flagship_plan(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """The flagship plan over caller-supplied inputs — shared by the
+    registry entry below and tools/scaling_check.py, so the scaling
+    evidence always measures exactly the shipped plan."""
     # NB: no repartition before the broadcast-join pipeline — measured
     # slower here: the codegen'd join+partial-agg over the scan is
     # cheaper per row than a 600 k-row shuffle round-trip.  spread() is
@@ -48,6 +54,12 @@ def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_customers"),
         )
         .orderBy(F.col("revenue").desc_nulls_last(), F.col("r_name").asc())
+    )
+
+
+def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flagship_plan(
+        *T(spark, sf_dir, "region", "nation", "customer", "orders", "lineitem")
     )
 
 

@@ -25,9 +25,18 @@ def spread(df: DataFrame) -> DataFrame:
     At 100 TB a fact scan is already thousands of partitions, so the
     condition makes this a no-op there — it never degenerates into
     re-shuffling big data.
+
+    Call this on SCAN-stage DataFrames (before joins/aggregations):
+    ``df.rdd`` under AQE materializes upstream query stages eagerly, so
+    probing the partition count of a post-join DataFrame would execute
+    part of the query outside the caller's timing/cancellation scope.
+    All call sites in this package follow that rule.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(target // 2, 2):
+    parts = df.rdd.getNumPartitions()
+    # no-op when already >= half the target, or when the target itself
+    # is so low the shuffle buys nothing (e.g. local[1])
+    if parts * 2 >= target:
         return df
     return df.repartition(target)

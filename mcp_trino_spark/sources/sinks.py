@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from mcp_trino_spark.config import EngineConfig
 from mcp_trino_spark.execute import execute_query
-from mcp_trino_spark.registry import register
+from mcp_trino_spark.registry import DSUM, dsum, register
 from mcp_trino_spark.sources.catalog import load_table, register_tables
 
 _WRITE_CFG = EngineConfig(allow_write_queries=True)
@@ -70,13 +70,19 @@ def s6_ctas_insert(spark, sf_dir):
         """,
         _WRITE_CFG,
     )
-    return spark.table("sink_nation_r0")
+    # materialize the (dimension-sized) result, then drop the table so
+    # the catalog surface (f4_list_tables, SHOW TABLES) stays
+    # execution-order independent across a shared session
+    result = spark.table("sink_nation_r0")
+    rows, schema = result.collect(), result.schema
+    execute_query(spark, "DROP TABLE sink_nation_r0", _WRITE_CFG)
+    return spark.createDataFrame(rows, schema)
 
 
 @register(
     "s6b_parquet_partitioned_roundtrip",
-    oracle="""
-    SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n, {DSUM('o_totalprice')} AS total
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -96,7 +102,7 @@ def s6b_parquet_partitioned_roundtrip(spark, sf_dir):
     back = spark.read.parquet(out)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("total"),
+        dsum("o_totalprice").alias("total"),
     )
 
 
@@ -163,9 +169,8 @@ def s3_values_relation(spark, sf_dir):
 
 @register(
     "s2b_multiformat_roundtrip",
-    oracle="""
-    SELECT n_regionkey, COUNT(*) AS n,
-           CAST(SUM(CAST(n_nationkey AS DECIMAL(25,6))) AS DOUBLE) AS key_sum
+    oracle=f"""
+    SELECT n_regionkey, COUNT(*) AS n, {DSUM('n_nationkey')} AS key_sum
     FROM nation GROUP BY n_regionkey
     """,
 )
@@ -198,5 +203,5 @@ def s2b_multiformat_roundtrip(spark, sf_dir):
     both = csv_back.unionByName(json_back)
     return both.groupBy("n_regionkey").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("n_nationkey").cast("decimal(25,6)")).cast("double").alias("key_sum"),
+        dsum("n_nationkey").alias("key_sum"),
     )

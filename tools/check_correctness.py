@@ -41,9 +41,11 @@ def norm(v):
     if v is None:
         return None
     if isinstance(v, float) and math.isnan(v):
-        return None
+        # NaN is NOT NULL: the driver's value-hash distinguishes them,
+        # so conflating here would false-PASS a NaN-vs-NULL divergence
+        return "NaN"
     try:
-        if pd.isna(v):  # pandas NaT / pd.NA
+        if pd.isna(v):  # pandas NaT / pd.NA (true missing markers)
             return None
     except (TypeError, ValueError):
         pass

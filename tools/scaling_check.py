@@ -21,7 +21,7 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
-from mcp_trino_spark.registry import dsum  # noqa: E402
+from mcp_trino_spark.flagship import flagship_plan  # noqa: E402
 from mcp_trino_spark.session import get_spark  # noqa: E402
 from mcp_trino_spark.sources.catalog import load_table  # noqa: E402
 
@@ -43,18 +43,6 @@ def replicate(df: DataFrame, key_cols: list[str], copies: int) -> DataFrame:
     return out
 
 
-def flagship(lineitem: DataFrame, orders: DataFrame, customer, nation, region) -> DataFrame:
-    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    return (
-        lineitem.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy("r_name")
-        .agg(dsum(revenue).alias("revenue"), F.count("*").alias("n"))
-    )
-
-
 def timed(df: DataFrame) -> float:
     t0 = time.perf_counter()
     df.write.mode("overwrite").format("noop").save()
@@ -69,13 +57,14 @@ def main() -> None:
     na = load_table(spark, SF_DIR, "nation")
     re = load_table(spark, SF_DIR, "region")
 
-    base = flagship(li, od, cu, na, re)
+    n_rows_1x = li.count()
+    base = flagship_plan(re, na, cu, od, li)
     timed(base)  # warm
     t1 = min(timed(base) for _ in range(2))
 
     li10 = replicate(li, ["l_orderkey"], COPIES)
     od10 = replicate(od, ["o_orderkey"], COPIES)  # o_custkey NOT shifted: same dims join
-    big = flagship(li10, od10, cu, na, re)
+    big = flagship_plan(re, na, cu, od10, li10)
     t10 = min(timed(big) for _ in range(2))
 
     import math
@@ -84,8 +73,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "rows_1x": 600_000,
-                "rows_10x": 600_000 * COPIES,
+                "rows_1x": n_rows_1x,
+                "rows_10x": n_rows_1x * COPIES,
                 "sec_1x": round(t1, 3),
                 "sec_10x": round(t10, 3),
                 "ratio": round(t10 / t1, 2),

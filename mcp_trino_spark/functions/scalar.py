@@ -384,3 +384,32 @@ def x14_hashing(spark, sf_dir):
         F.sha2(F.col("text"), 256).alias("text_sha256"),
         F.lower(F.hex(F.col("doc_id"))).alias("id_hex"),
     )
+
+
+@register(
+    "x15_bitwise",
+    oracle="""
+    SELECT n_nationkey,
+           n_nationkey & 12 AS band,
+           n_nationkey | 5 AS bor,
+           xor(n_nationkey, 9) AS bxor,
+           n_nationkey << 2 AS shl,
+           n_nationkey >> 1 AS shr,
+           ~n_nationkey AS bnot
+    FROM nation
+    """,
+)
+def x15_bitwise(spark, sf_dir):
+    """Bitwise operator family (Trino/Spark: & | ^ << >> ~; DuckDB
+    spells xor() and the shifts identically)."""
+    (nation,) = T(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    return nation.select(
+        "n_nationkey",
+        k.bitwiseAND(12).alias("band"),
+        k.bitwiseOR(5).alias("bor"),
+        k.bitwiseXOR(9).alias("bxor"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 1).alias("shr"),
+        F.expr("~n_nationkey").alias("bnot"),
+    )

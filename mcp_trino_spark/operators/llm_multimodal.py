@@ -214,3 +214,34 @@ def l10b_udtf_word_counts(spark, sf_dir):
         FROM documents d, LATERAL word_counts(d.text) t
         """
     )
+
+
+@register(
+    "l10c_grouped_agg_udf",
+    oracle="""
+    SELECT source,
+           ROUND(exp(avg(ln(CAST(n_chars AS DOUBLE)))), 6) AS geomean_chars
+    FROM documents WHERE n_chars > 0
+    GROUP BY source
+    """,
+)
+def l10c_grouped_agg_udf(spark, sf_dir):
+    """Grouped-aggregate pandas UDF (the Python-UDAF surface): geometric
+    mean of document lengths per source.  Arrow hands each group's
+    column to one vectorized numpy call; usable in groupBy().agg and
+    over windows — the remaining leg of the UDF taxonomy next to
+    scalar/pandas-scalar (l10), UDTF (l10b), grouped-map (l12),
+    mapInPandas (l9b) and applyInPandasWithState (streaming t3b).
+    """
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def geomean(chars: pd.Series) -> float:
+        return float(np.exp(np.log(chars.to_numpy(dtype="float64")).mean()))
+
+    (docs,) = T(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .groupBy("source")
+        .agg(F.round(geomean(F.col("n_chars")), 6).alias("geomean_chars"))
+    )

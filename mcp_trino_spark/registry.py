@@ -36,6 +36,11 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
     (approx sketches, nondeterministic sampling, streaming)."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query name {name!r} — a second registration "
+                "would silently shadow the first in the driver contract"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = " ".join(oracle.split())

@@ -156,3 +156,11 @@ def test_query_timeout_cancels_job(spark):
         )
     # cancelled promptly, not after the (hours-long) full product
     assert time.perf_counter() - t0 < 30
+
+
+def test_registry_rejects_duplicate_names():
+    from mcp_trino_spark import registry
+
+    registry._ensure_loaded()
+    with pytest.raises(ValueError, match="duplicate query name"):
+        registry.register("q0_flagship_revenue_by_region")(lambda spark, sf: None)

@@ -405,3 +405,31 @@ def l14_text_normalize(spark, sf_dir):
         F.length(norm).alias("n_chars_norm"),
         F.md5(norm).alias("norm_hash"),
     )
+
+
+@register(
+    "l15_length_histogram",
+    oracle="""
+    SELECT lang,
+           CAST(LEAST(FLOOR(length(text) / 500.0), 9) AS INTEGER) AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(length(text)) AS min_chars,
+           MAX(length(text)) AS max_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def l15_length_histogram(spark, sf_dir):
+    """Per-language document-length histogram (500-char buckets, top
+    bucket open-ended) — the corpus-shape profile every training-data
+    run starts with.  Plain partial+final aggregation: the histogram is
+    computed in one pass with map-side combine, never a sort or a
+    driver-side value sweep.
+    """
+    (docs,) = T(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.length("text") / 500.0), F.lit(9)).cast("int")
+    return docs.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.min(F.length("text")).alias("min_chars"),
+        F.max(F.length("text")).alias("max_chars"),
+    )

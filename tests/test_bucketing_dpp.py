@@ -80,3 +80,16 @@ def test_dynamic_partition_pruning(spark):
     df = fact.join(dim, "o_orderstatus").groupBy("label").count()
     plan = physical_plan(df)
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_analyze_table_feeds_cbo_stats(spark, bucketed_tables):
+    """SURVEY §4.2's stats hook: ANALYZE TABLE computes row counts /
+    column stats that CBO join reordering consumes."""
+    li, _ = bucketed_tables
+    spark.sql(f"ANALYZE TABLE {li} COMPUTE STATISTICS FOR COLUMNS l_orderkey")
+    detail = spark.sql(f"DESCRIBE TABLE EXTENDED {li}").collect()
+    stats = {r["col_name"]: r["data_type"] for r in detail}
+    assert "Statistics" in stats and "rows" in stats["Statistics"]
+    col = spark.sql(f"DESCRIBE TABLE EXTENDED {li} l_orderkey").collect()
+    info = {r["info_name"]: r["info_value"] for r in col}
+    assert info.get("distinct_count") not in (None, "NULL")

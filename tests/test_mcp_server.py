@@ -134,3 +134,49 @@ def test_http_transport(server):
             assert r.headers["Access-Control-Allow-Origin"] == "*"
     finally:
         httpd.shutdown()
+
+
+def test_reference_doc_examples_run(server):
+    """The worked examples from reference docs/tools.md, adapted to the
+    testdata star schema (the tpch.tiny 'region' column of the doc's
+    denormalized customer view maps to the nation join), all run through
+    the same six tools."""
+    # docs/tools.md:15 — customer count by region, descending
+    _, text = tool(
+        server,
+        "execute_query",
+        {
+            "query": """
+            SELECT n.n_regionkey AS region, COUNT(*) AS customer_count
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_regionkey ORDER BY customer_count DESC, region ASC
+            """
+        },
+    )
+    rows = json.loads(text)
+    assert len(rows) == 5
+    assert rows[0]["customer_count"] >= rows[-1]["customer_count"]
+
+    # docs/tools.md:235 — top-5 customers by balance
+    _, text = tool(
+        server,
+        "execute_query",
+        {
+            "query": "SELECT c_custkey, c_name, c_acctbal FROM customer "
+            "ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 5"
+        },
+    )
+    assert len(json.loads(text)) == 5
+
+    # docs/tools.md:169 — EXPLAIN of the aggregation (DISTRIBUTED)
+    _, text = tool(
+        server,
+        "explain_query",
+        {
+            "query": "SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey",
+            "format": "DISTRIBUTED",
+        },
+    )
+    plan = json.loads(text)[0]["plan"]
+    # Spark's Exchange nodes are the doc's 'Fragment' boundaries
+    assert "Exchange" in plan and "HashAggregate" in plan

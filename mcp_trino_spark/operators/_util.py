@@ -35,8 +35,8 @@ def spread(df: DataFrame) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     parts = df.rdd.getNumPartitions()
-    # no-op when already >= half the target, or when the target itself
-    # is so low the shuffle buys nothing (e.g. local[1])
-    if parts * 2 >= target:
+    # no-op when already at/above the target (repartition buys nothing,
+    # incl. local[1]) or within half of it (marginal gain < shuffle cost)
+    if parts >= target or parts >= max(target // 2, 2):
         return df
     return df.repartition(target)

@@ -237,7 +237,12 @@ def l10c_grouped_agg_udf(spark, sf_dir):
 
     @F.pandas_udf("double")
     def geomean(chars: pd.Series) -> float:
-        return float(np.exp(np.log(chars.to_numpy(dtype="float64")).mean()))
+        # sort before reducing: group values arrive in shuffle order, and
+        # float summation is order-dependent — sorting makes the result
+        # deterministic across runs (cross-engine agreement then rests on
+        # the ROUND(…,6) margin, same policy as the a11 stats oracles)
+        logs = np.sort(np.log(chars.to_numpy(dtype="float64")))
+        return float(np.exp(logs.mean()))
 
     (docs,) = T(spark, sf_dir, "documents")
     return (

@@ -99,6 +99,18 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
+    try:
+        _import_operator_modules()
+    except BaseException:
+        # a partial import left orphaned registrations; clear them so a
+        # retry re-imports cleanly instead of tripping the duplicate guard
+        QUERIES.clear()
+        ORACLES.clear()
+        raise
+    _LOADED = True
+
+
+def _import_operator_modules() -> None:
     from mcp_trino_spark import flagship  # noqa: F401
     from mcp_trino_spark.operators import (  # noqa: F401
         aggregates,
@@ -115,5 +127,3 @@ def _ensure_loaded() -> None:
     from mcp_trino_spark.functions import scalar  # noqa: F401
     from mcp_trino_spark.plans import explain_queries  # noqa: F401
     from mcp_trino_spark.sources import sinks  # noqa: F401
-
-    _LOADED = True

@@ -127,7 +127,7 @@ def t3b_custom_stateful_sessions(
     (here: plain 30-min gap, so the result is checkable against t3).
 
     Per user, the open session lives in GroupState as
-    (start_ns, last_ns, n_events, sum_value); each micro-batch folds its
+    (start_us, last_us, n_events, sum_value); each micro-batch folds its
     (sorted) events in, emits every session CLOSED by a gap, and keeps
     the still-open session in state.  State is per-key and O(1) — the
     shape that scales to any key cardinality.  (A production variant
@@ -146,30 +146,30 @@ def t3b_custom_stateful_sessions(
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.exists:
-            start_ns, last_ns, n, total = state.get
+            start_us, last_us, n, total = state.get
         else:
-            start_ns = None
+            start_us = None
         closed = []
         for pdf in pdfs:
             pdf = pdf.sort_values("ts_ns")
             for ts_ns, value in zip(pdf["ts_ns"], pdf["value"]):
                 ts_us = int(ts_ns) // 1000  # µs: see batch t3's precision note
-                if start_ns is None:
-                    start_ns, last_ns, n, total = ts_us, ts_us, 0, 0.0
-                elif ts_us - last_ns >= GAP_US:
-                    closed.append((user_id, start_ns, last_ns, n, total))
-                    start_ns, last_ns, n, total = ts_us, ts_us, 0, 0.0
-                last_ns = ts_us
+                if start_us is None:
+                    start_us, last_us, n, total = ts_us, ts_us, 0, 0.0
+                elif ts_us - last_us >= GAP_US:
+                    closed.append((user_id, start_us, last_us, n, total))
+                    start_us, last_us, n, total = ts_us, ts_us, 0, 0.0
+                last_us = ts_us
                 n += 1
                 total += float(value)
-        if start_ns is None:
+        if start_us is None:
             state.remove()
         else:
-            state.update((start_ns, last_ns, n, total))
+            state.update((start_us, last_us, n, total))
         if closed:
             yield pd.DataFrame(
                 closed,
-                columns=["user_id", "start_ns", "end_ns", "n_events", "session_value"],
+                columns=["user_id", "start_us", "end_us", "n_events", "session_value"],
             )
 
     return (
@@ -178,10 +178,10 @@ def t3b_custom_stateful_sessions(
         .applyInPandasWithState(
             sessionize,
             outputStructType=(
-                "user_id bigint, start_ns bigint, end_ns bigint, "
+                "user_id bigint, start_us bigint, end_us bigint, "
                 "n_events bigint, session_value double"
             ),
-            stateStructType="start_ns bigint, last_ns bigint, n bigint, total double",
+            stateStructType="start_us bigint, last_us bigint, n bigint, total double",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

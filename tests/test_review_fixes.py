@@ -143,8 +143,16 @@ def test_l7_survives_one_word_document(spark, mini_sf):
     from mcp_trino_spark import registry
 
     rows = registry.queries()["l7_top_bigrams"](spark, mini_sf).collect()
-    # doc 1 contributes no bigrams but must not crash the query
-    assert all("word" not in r["bigram"] or " " in r["bigram"] for r in rows)
+    # the one-word doc contributes NO bigram rows: everything present
+    # must be an adjacent pair from doc 2's text, each seen once
+    got = {(r["bigram"], r["n"]) for r in rows}
+    assert got == {
+        ("two words", 1),
+        ("words here", 1),
+        ("here and", 1),
+        ("and more", 1),
+        ("more words", 1),
+    }
 
 
 def test_l12_sigma_zero_yields_null_not_nan(spark, mini_sf):

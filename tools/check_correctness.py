@@ -53,6 +53,8 @@ def norm(v):
         s = v.isoformat()
         # date vs midnight-datetime (pandas has no date dtype): equal
         return s[:-9] if s.endswith("T00:00:00") else s
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(norm(x) for x in v)
     if isinstance(v, (bytes, bytearray)):
@@ -68,27 +70,31 @@ def norm(v):
     return v
 
 
-def canonicalize(df: pd.DataFrame) -> list[tuple]:
-    """→ sorted list of row tuples, columns in name order."""
-    cols = sorted(df.columns)
-    rows = [
-        tuple(norm(v) for v in row)
-        for row in df[cols].itertuples(index=False, name=None)
-    ]
-    return sorted(rows, key=repr)
+def canonicalize(cols: list, rows: list) -> list[tuple]:
+    """→ sorted list of row tuples, columns reordered by name.
+
+    Operates on raw driver rows (Spark collect / DuckDB fetchall), NOT
+    pandas frames: pandas materializes NULL doubles as NaN, which would
+    erase exactly the NULL-vs-NaN distinction the driver's value-hash
+    enforces."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(row[i]) for i in order) for row in rows]
+    return sorted(out, key=repr)
 
 
-def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+def compare(name: str, spark_res, oracle_res) -> list[str]:
+    (s_raw_cols, s_rows), (o_raw_cols, o_rows) = spark_res, oracle_res
     problems = []
-    if len(spark_df) != len(oracle_df):
-        problems.append(f"row count: spark={len(spark_df)} oracle={len(oracle_df)}")
-    s_cols, o_cols = sorted(spark_df.columns), sorted(oracle_df.columns)
+    if len(s_rows) != len(o_rows):
+        problems.append(f"row count: spark={len(s_rows)} oracle={len(o_rows)}")
+    s_cols, o_cols = sorted(s_raw_cols), sorted(o_raw_cols)
     if s_cols != o_cols:
         problems.append(f"columns: spark={s_cols} oracle={o_cols}")
         return problems
     if problems:
         return problems
-    a, b = canonicalize(spark_df), canonicalize(oracle_df)
+    a = canonicalize(list(s_raw_cols), s_rows)
+    b = canonicalize(list(o_raw_cols), o_rows)
     n_bad = 0
     first = None
     for i, (ra, rb) in enumerate(zip(a, b)):
@@ -126,27 +132,29 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = qs[name](spark, args.sf).toPandas()
+            df = qs[name](spark, args.sf)
+            s_res = (df.columns, [tuple(r) for r in df.collect()])
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {str(exc).splitlines()[0][:200]}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"ROWS  {name}: {len(s_res[1])} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
             continue
         try:
-            odf = con.execute(oracles[name]).fetchdf()
+            cur = con.execute(oracles[name])
+            o_res = ([d[0] for d in cur.description], cur.fetchall())
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {str(exc).splitlines()[0][:200]}")
             n_fail += 1
             continue
-        problems = compare(name, sdf, odf)
+        problems = compare(name, s_res, o_res)
         if problems:
             print(f"FAIL  {name}: " + " | ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS  {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+            print(f"PASS  {name}: {len(s_res[1])} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     return 1 if n_fail else 0

@@ -36,7 +36,9 @@ HEADLINERS = [
     "w1_row_number",
     "w10_topn_per_group",
     "t3_sessionization",
+    "t6_gap_fill",
     "w3b_ntile_distributed",
+    "a16_salted_skew_agg",
     "l1_exact_dedup",
     "l2_minhash_lsh_pairs",
     "l2b_simhash",
@@ -44,6 +46,7 @@ HEADLINERS = [
     "l8c_token_count",
     "l10_udf_tokenizer",
     "l12_grouped_normalize",
+    "l13_training_pipeline",
 ]
 
 

@@ -11,12 +11,17 @@ the registry to the driver contract.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+# import-safe regardless of the driver's cwd / sys.path setup
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from mcp_trino_spark import registry
-from mcp_trino_spark.flagship import flagship_revenue_by_region
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+from mcp_trino_spark import registry  # noqa: E402
+from mcp_trino_spark.flagship import flagship_revenue_by_region  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -54,6 +54,11 @@ _RENAMES = [
     (re.compile(r"\bapprox_percentile\s*\(", re.IGNORECASE), "percentile_approx("),
     (re.compile(r"\barbitrary\s*\(", re.IGNORECASE), "any_value("),
     (re.compile(r"\bformat_datetime\s*\(", re.IGNORECASE), "date_format("),
+    # bare CAST(x AS VARCHAR) / AS CHAR — ubiquitous in Trino, but Spark
+    # demands a length; parameterless forms map to STRING (VARCHAR(n)
+    # stays untouched)
+    (re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE), "STRING"),
+    (re.compile(r"\bCHAR\b(?!\s*\()", re.IGNORECASE), "STRING"),
     # Trino reduce(arr, init, merge, finish) == Spark aggregate(...)
     (re.compile(r"\breduce\s*\(", re.IGNORECASE), "aggregate("),
     (re.compile(r"\blevenshtein_distance\s*\(", re.IGNORECASE), "levenshtein("),

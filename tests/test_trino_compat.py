@@ -159,3 +159,14 @@ def test_reduce_and_levenshtein(spark):
     )
     assert rows[0]["total"] == 10
     assert rows[0]["lev"] == 3
+
+
+def test_bare_varchar_char_casts(spark):
+    rows = run(
+        spark,
+        "SELECT CAST(c_custkey AS VARCHAR) AS k, CAST(c_mktsegment AS CHAR) AS seg "
+        "FROM customer ORDER BY c_custkey LIMIT 1",
+    )
+    assert rows[0]["k"] == "0" and isinstance(rows[0]["seg"], str)
+    # sized VARCHAR(n) passes through untouched
+    assert translate("CAST(x AS VARCHAR(10))") == "CAST(x AS VARCHAR(10))"

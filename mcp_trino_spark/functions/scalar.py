@@ -413,3 +413,42 @@ def x15_bitwise(spark, sf_dir):
         F.shiftright(k, 1).alias("shr"),
         F.expr("~n_nationkey").alias("bnot"),
     )
+
+
+@register(
+    "x17_url",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+             || '?lang=' || lang AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+    FROM urls
+    """,
+)
+def x17_url(spark, sf_dir):
+    """URL decomposition (Trino's url_extract_* family) via Spark's
+    native parse_url — JVM-side, codegen'd.  The oracle rebuilds the
+    same parts with regexes over identical constructed URLs."""
+    (docs,) = T(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
+    )

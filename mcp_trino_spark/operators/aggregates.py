@@ -353,3 +353,26 @@ def a16_salted_skew_agg(spark, sf_dir):
         F.sum("pn").alias("n"),
         F.sum("pqty").cast("double").alias("qty"),
     )
+
+
+@register(
+    "a17_bool_aggs_median",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000.0) AS all_over_1k,
+           bool_or(o_totalprice > 400000.0) AS any_over_400k,
+           median(CAST(o_totalprice AS DOUBLE)) AS median_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a17_bool_aggs_median(spark, sf_dir):
+    """bool_and / bool_or / median — same names on Spark, Trino and
+    DuckDB.  median is exact here (oracle-matchable); the approximate
+    scale path is percentile_approx (a14b)."""
+    (orders,) = T(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return orders.groupBy("o_orderstatus").agg(
+        F.bool_and(p > 1000.0).alias("all_over_1k"),
+        F.bool_or(p > 400000.0).alias("any_over_400k"),
+        F.median(p.cast("double")).alias("median_price"),
+    )

@@ -301,3 +301,69 @@ def l2c_ngram_jaccard(spark, sf_dir):
     return jac.filter(F.col("j") >= 0.4).select(
         "doc_a", "doc_b", F.round(F.col("j"), 9).alias("jaccard")
     )
+
+
+#: benchmark phrases to screen against (stand-in for eval-set text);
+#: decontamination flags any document sharing a character 16-gram.
+BENCHMARK_PHRASES = (
+    "key agg row scan slow fast",
+    "hash value table part a row",
+    "merge batch part value fast spark",
+)
+DECON_GRAM = 16
+
+
+def _decon_oracle() -> str:
+    phrases = ", ".join(f"('{p}')" for p in BENCHMARK_PHRASES)
+    return f"""
+    WITH bench AS (SELECT * FROM (VALUES {phrases}) AS b(phrase)),
+    bgrams AS (
+      SELECT DISTINCT substr(phrase, CAST(i AS INTEGER), {DECON_GRAM}) AS g
+      FROM bench, LATERAL unnest(range(1, GREATEST(length(phrase) - {DECON_GRAM - 1}, 1) + 1)) AS u(i)
+      WHERE length(phrase) >= {DECON_GRAM}
+    ),
+    dgrams AS (
+      SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), {DECON_GRAM}) AS g
+      FROM documents, LATERAL unnest(range(1, GREATEST(length(text) - {DECON_GRAM - 1}, 1) + 1)) AS u(i)
+    )
+    SELECT d.doc_id, COUNT(*) AS n_hit_grams
+    FROM dgrams d JOIN bgrams b ON d.g = b.g
+    GROUP BY d.doc_id
+    """
+
+
+@register("l16_decontamination", oracle=_decon_oracle())
+def l16_decontamination(spark, sf_dir):
+    """Benchmark decontamination: flag documents sharing any character
+    {16}-gram with an eval-set phrase — the screen every training corpus
+    runs before release.
+
+    Scale shape: the benchmark side is tiny (eval sets are KB-MB) so its
+    gram set BROADCASTS; the corpus side streams its grams through a
+    broadcast-hash semi-join — no shuffle of corpus data at all.  The
+    gram explode is narrow and the per-doc hit count is one partial+final
+    aggregate on doc_id.
+    """
+    (docs,) = T(spark, sf_dir, "documents")
+    docs = spread(docs)
+    bench = docs.sparkSession.createDataFrame(
+        [(p,) for p in BENCHMARK_PHRASES], "phrase STRING"
+    )
+    n_b = F.greatest(F.length("phrase") - (DECON_GRAM - 1), F.lit(1))
+    bgrams = (
+        bench.filter(F.length("phrase") >= DECON_GRAM)
+        .select(F.explode(F.sequence(F.lit(1), n_b)).alias("i"), "phrase")
+        .select(F.expr(f"substr(phrase, i, {DECON_GRAM})").alias("g"))
+        .distinct()
+    )
+    n_d = F.greatest(F.length("text") - (DECON_GRAM - 1), F.lit(1))
+    dgrams = (
+        docs.select("doc_id", F.explode(F.sequence(F.lit(1), n_d)).alias("i"), "text")
+        .select("doc_id", F.expr(f"substr(text, i, {DECON_GRAM})").alias("g"))
+        .distinct()
+    )
+    return (
+        dgrams.join(F.broadcast(bgrams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )

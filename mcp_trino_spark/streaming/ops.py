@@ -215,3 +215,44 @@ def run_to_memory(
     if checkpoint_dir is None:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+def t7_stream_stream_join(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the clicks
+    by the same user in the preceding 10 minutes.
+
+    Both sides are watermarked and the join condition carries an
+    explicit event-time bound, so Spark can expire buffered state for
+    rows that can no longer match — the two requirements that make a
+    stream-stream join runnable indefinitely (unbounded state
+    otherwise).  At scale the join partitions by user_id; state per key
+    is bounded by the 10-minute window.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("purchase_id", "purchase_value", "click_id", "p_user")

@@ -128,3 +128,37 @@ def test_t3b_custom_stateful_sessions(spark):
         for r in want.collect()
     )
     assert got_s == want_s
+
+
+def test_t7_stream_stream_join_matches_batch(spark):
+    """Stream-stream time-bounded join == the same join on the batch
+    table (availableNow drains everything, so no row is late)."""
+    got = S.run_to_memory(
+        S.t7_stream_stream_join(S.events_stream(spark, SF_DIR)),
+        "t7_mem",
+        output_mode="append",
+    )
+    from mcp_trino_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    want = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES")),
+    ).select("purchase_id", "click_id")
+    got_pairs = sorted((r["purchase_id"], r["click_id"]) for r in got.collect())
+    want_pairs = sorted((r["purchase_id"], r["click_id"]) for r in want.collect())
+    assert got_pairs == want_pairs
+    assert len(got_pairs) > 0

@@ -452,3 +452,35 @@ def x17_url(spark, sf_dir):
         F.parse_url(url, F.lit("QUERY")).alias("query"),
         F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+@register(
+    "x18_array_setops",
+    oracle="""
+    WITH t AS (
+      SELECT n_nationkey AS k,
+             [n_nationkey, n_nationkey + 1, n_nationkey + 2] AS a,
+             [n_nationkey + 2, n_nationkey + 3] AS b
+      FROM nation
+    )
+    SELECT k,
+           list_sort(list_distinct(list_concat(a, b))) AS u,
+           list_sort(list_intersect(a, b)) AS i,
+           list_sort(list_filter(a, x -> NOT list_contains(b, x))) AS d
+    FROM t
+    """,
+)
+def x18_array_setops(spark, sf_dir):
+    """Array set operations (union / intersect / except).  Both engines
+    return set results in engine-specific order, so each side sorts —
+    the values, not the order, are the contract."""
+    (nation,) = T(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    a = F.array(k, k + 1, k + 2)
+    b = F.array(k + 2, k + 3)
+    return nation.select(
+        k.alias("k"),
+        F.array_sort(F.array_union(a, b)).alias("u"),
+        F.array_sort(F.array_intersect(a, b)).alias("i"),
+        F.array_sort(F.array_except(a, b)).alias("d"),
+    )

@@ -433,3 +433,60 @@ def l15_length_histogram(spark, sf_dir):
         F.min(F.length("text")).alias("min_chars"),
         F.max(F.length("text")).alias("max_chars"),
     )
+
+
+@register(
+    "l17_repetition_score",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1] || ' '
+               || ws[CAST(i AS INTEGER) + 2] AS g
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+           LATERAL unnest(range(1, GREATEST(len(ws) - 2, 0) + 1)) AS u(i)
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS n_distinct
+      FROM grams GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams,
+           ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS repetition,
+           CASE WHEN 1.0 - CAST(n_distinct AS DOUBLE) / n_grams > 0.5
+                THEN 1 ELSE 0 END AS too_repetitive
+    FROM per_doc
+    """,
+)
+def l17_repetition_score(spark, sf_dir):
+    """Within-document repetition (Gopher-style filter): fraction of
+    duplicated word 3-grams.  Highly repetitive documents (templated
+    boilerplate, keyword stuffing) score near 1 and are dropped before
+    training.  One narrow explode + one two-level aggregate per doc —
+    no cross-document work at all.
+    """
+    (docs,) = T(spark, sf_dir, "documents")
+    docs = spread(docs)
+    ws = F.split(F.lower("text"), " ")
+    n_grams_idx = F.greatest(F.size(ws) - 2, F.lit(0))
+    idx = F.when(n_grams_idx >= 1, F.sequence(F.lit(1), n_grams_idx)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = docs.select("doc_id", ws.alias("ws"), F.explode(idx).alias("i")).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at("ws", F.col("i")),
+            F.element_at("ws", F.col("i") + 1),
+            F.element_at("ws", F.col("i") + 2),
+        ).alias("g"),
+    )
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.countDistinct("g").alias("n_distinct"),
+    )
+    rep = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams")
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        F.round(rep, 6).alias("repetition"),
+        F.when(rep > 0.5, 1).otherwise(0).alias("too_repetitive"),
+    )

@@ -490,3 +490,81 @@ def l17_repetition_score(spark, sf_dir):
         F.round(rep, 6).alias("repetition"),
         F.when(rep > 0.5, 1).otherwise(0).alias("too_repetitive"),
     )
+
+
+@register(
+    "l18_mix_weights",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(CAST(n_chars AS BIGINT)) AS n_chars_total
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_chars_total) AS total_chars, COUNT(*) AS n_sources FROM counts)
+    SELECT c.source, c.n_docs, c.n_chars_total,
+           ROUND(CAST(c.n_chars_total AS DOUBLE) / t.total_chars, 9) AS actual_share,
+           ROUND((1.0 / t.n_sources) / (CAST(c.n_chars_total AS DOUBLE) / t.total_chars), 9)
+             AS uniform_weight
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def l18_mix_weights(spark, sf_dir):
+    """Data-mixing weights: per-source char share and the sampling
+    weight that would rebalance the corpus to a uniform source mix —
+    how training mixtures are tuned.  The totals side is one tiny row
+    (broadcast); everything else is a single aggregate over sources.
+    """
+    (docs,) = T(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("n_chars_total"),
+    )
+    tot = counts.agg(
+        F.sum("n_chars_total").alias("total_chars"),
+        F.count("*").alias("n_sources"),
+    )
+    share = F.col("n_chars_total").cast("double") / F.col("total_chars")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_chars_total",
+        F.round(share, 9).alias("actual_share"),
+        F.round((F.lit(1.0) / F.col("n_sources")) / share, 9).alias("uniform_weight"),
+    )
+
+
+@register(
+    "l19_hash_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 230 THEN 'train'
+                WHEN bucket < 243 THEN 'val'
+                ELSE 'test' END AS split
+    FROM tagged
+    """,
+)
+def l19_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (~90/5/5) from the first md5
+    byte of the document id — stable across runs, engines and cluster
+    sizes (no RNG, no ordering dependence), the property an eval split
+    must have.  Pure narrow column math; scales trivially.
+    """
+    (docs,) = T(spark, sf_dir, "documents")
+    hexmap = F.lit("0123456789abcdef")
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (F.instr(hexmap, F.substring(h, 1, 1)) - 1) * 16 + (
+        F.instr(hexmap, F.substring(h, 2, 1)) - 1
+    )
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 230, "train")
+        .when(bucket < 243, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

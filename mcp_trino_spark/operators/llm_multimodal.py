@@ -132,7 +132,19 @@ def l9b_multimodal_features(spark, sf_dir):
     return feats.select("doc_id", "n_bytes", "width", "height")
 
 
-@register("l9c_frame_sample")  # rows-only: synthetic frame explosion
+@register(
+    "l9c_frame_sample",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CAST(FLOOR(LEAST(CAST(octet_length(encode(text)) AS DOUBLE) / 64, 16)) AS INTEGER)
+               AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, CAST(i * 64 AS INTEGER) AS frame_offset
+    FROM p, LATERAL unnest(range(0, GREATEST(n_frames - 1, 0) + 1)) AS u(i)
+    """,
+)
 def l9c_frame_sample(spark, sf_dir):
     """Frame-sampling plumbing for video-like payloads: each payload
     expands to every k-th 'frame offset' (stub for decoded frames).

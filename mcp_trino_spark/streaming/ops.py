@@ -256,3 +256,31 @@ def t7_stream_stream_join(
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES")),
         "inner",
     ).select("purchase_id", "purchase_value", "click_id", "p_user")
+
+
+def run_foreach_batch_to_parquet(sdf: DataFrame, out_dir: str) -> int:
+    """Drain a stream through foreachBatch into parquet — the sink shape
+    for destinations without a native streaming writer (JDBC upserts,
+    MERGE targets).  Each micro-batch arrives as a normal DataFrame with
+    its batch id (exactly-once when the write is idempotent on that id).
+    Returns the number of batches written.
+    """
+    import shutil
+    import tempfile
+
+    batches = []
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        batches.append(batch_id)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt-feb-", dir="/root/repo/.tmp")
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return len(batches)

@@ -162,3 +162,22 @@ def test_t7_stream_stream_join_matches_batch(spark):
     want_pairs = sorted((r["purchase_id"], r["click_id"]) for r in want.collect())
     assert got_pairs == want_pairs
     assert len(got_pairs) > 0
+
+
+def test_foreach_batch_sink(spark):
+    """foreachBatch sink: every source row lands in the per-batch
+    parquet output exactly once."""
+    import shutil
+
+    out = "/root/repo/.tmp/feb_out"
+    shutil.rmtree(out, ignore_errors=True)
+    n_batches = S.run_foreach_batch_to_parquet(
+        S.events_stream(spark, SF_DIR).select("event_id", "user_id", "value"), out
+    )
+    assert n_batches >= 1
+    from mcp_trino_spark.sources.catalog import load_table
+
+    written = spark.read.parquet(out)
+    n_src = load_table(spark, SF_DIR, "events").count()
+    assert written.count() == n_src
+    assert written.select("event_id").distinct().count() == n_src

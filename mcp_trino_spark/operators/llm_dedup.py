@@ -357,13 +357,15 @@ def l16_decontamination(spark, sf_dir):
         .distinct()
     )
     n_d = F.greatest(F.length("text") - (DECON_GRAM - 1), F.lit(1))
-    dgrams = (
-        docs.select("doc_id", F.explode(F.sequence(F.lit(1), n_d)).alias("i"), "text")
-        .select("doc_id", F.expr(f"substr(text, i, {DECON_GRAM})").alias("g"))
-        .distinct()
-    )
+    dgrams = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(1), n_d)).alias("i"), "text"
+    ).select("doc_id", F.expr(f"substr(text, i, {DECON_GRAM})").alias("g"))
+    # join FIRST, dedup the (tiny) hit set after: a corpus-wide
+    # distinct would shuffle ~16x the corpus text before the broadcast
+    # join ever prunes it
     return (
         dgrams.join(F.broadcast(bgrams), "g")
+        .distinct()
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hit_grams"))
     )

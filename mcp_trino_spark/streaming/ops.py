@@ -265,15 +265,17 @@ def run_foreach_batch_to_parquet(sdf: DataFrame, out_dir: str) -> int:
     its batch id (exactly-once when the write is idempotent on that id).
     Returns the number of batches written.
     """
+    import os
     import shutil
     import tempfile
 
-    batches = []
+    batches = set()  # a set: Structured Streaming may retry a batch id
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        batches.append(batch_id)
+        batches.add(batch_id)
 
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
     ckpt = tempfile.mkdtemp(prefix="ckpt-feb-", dir="/root/repo/.tmp")
     q = (
         sdf.writeStream.foreachBatch(write_batch)

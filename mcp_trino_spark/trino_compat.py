@@ -54,11 +54,12 @@ _RENAMES = [
     (re.compile(r"\bapprox_percentile\s*\(", re.IGNORECASE), "percentile_approx("),
     (re.compile(r"\barbitrary\s*\(", re.IGNORECASE), "any_value("),
     (re.compile(r"\bformat_datetime\s*\(", re.IGNORECASE), "date_format("),
-    # bare CAST(x AS VARCHAR) / AS CHAR — ubiquitous in Trino, but Spark
-    # demands a length; parameterless forms map to STRING (VARCHAR(n)
-    # stays untouched)
+    # bare CAST(x AS VARCHAR) — ubiquitous in Trino, and length-less
+    # VARCHAR is unbounded there, so STRING is the faithful mapping
+    # (VARCHAR(n) stays untouched).  Bare CHAR is NOT rewritten: Trino
+    # reads it as CHAR(1), so a STRING rename would silently change
+    # results — it fails Spark analysis loudly instead.
     (re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE), "STRING"),
-    (re.compile(r"\bCHAR\b(?!\s*\()", re.IGNORECASE), "STRING"),
     # Trino reduce(arr, init, merge, finish) == Spark aggregate(...)
     (re.compile(r"\breduce\s*\(", re.IGNORECASE), "aggregate("),
     (re.compile(r"\blevenshtein_distance\s*\(", re.IGNORECASE), "levenshtein("),

@@ -164,9 +164,13 @@ def test_reduce_and_levenshtein(spark):
 def test_bare_varchar_char_casts(spark):
     rows = run(
         spark,
-        "SELECT CAST(c_custkey AS VARCHAR) AS k, CAST(c_mktsegment AS CHAR) AS seg "
-        "FROM customer ORDER BY c_custkey LIMIT 1",
+        "SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer ORDER BY c_custkey LIMIT 1",
     )
-    assert rows[0]["k"] == "0" and isinstance(rows[0]["seg"], str)
+    assert rows[0]["k"] == "0"
     # sized VARCHAR(n) passes through untouched
     assert translate("CAST(x AS VARCHAR(10))") == "CAST(x AS VARCHAR(10))"
+    # bare CHAR is NOT rewritten (Trino means CHAR(1)); it fails
+    # analysis loudly instead of silently returning the full string
+    assert "AS CHAR)" in translate("SELECT CAST(x AS CHAR) FROM t")
+    with pytest.raises(Exception):
+        run(spark, "SELECT CAST(c_mktsegment AS CHAR) AS seg FROM customer LIMIT 1")

@@ -147,3 +147,36 @@ def p9_distinct(spark, sf_dir):
     # distinct = hash-agg on the key pair: map-side partial dedup first,
     # so the shuffle carries only unique pairs — scale-safe.
     return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "p11_null_safe_compare",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey,
+             NULLIF(c_mktsegment, 'BUILDING') AS seg_a,
+             NULLIF(c_mktsegment, 'MACHINERY') AS seg_b
+      FROM customer
+    )
+    SELECT c_custkey,
+           seg_a IS DISTINCT FROM seg_b AS differs,
+           seg_a IS NOT DISTINCT FROM seg_b AS same,
+           seg_a IS NULL AS a_null
+    FROM t
+    """,
+)
+def p11_null_safe_compare(spark, sf_dir):
+    """IS [NOT] DISTINCT FROM — null-safe comparison (NULL vs NULL is
+    'same', NULL vs value 'differs'), the predicate family where plain
+    =/<> silently yields NULL.  Spark's `<=>` operator is the same
+    semantics."""
+    (customer,) = T(spark, sf_dir, "customer")
+    seg_a = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    seg_b = F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY"))
+    same = seg_a.eqNullSafe(seg_b)
+    return customer.select(
+        "c_custkey",
+        (~same).alias("differs"),
+        same.alias("same"),
+        seg_a.isNull().alias("a_null"),
+    )

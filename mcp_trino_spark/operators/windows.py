@@ -308,3 +308,25 @@ def w10_topn_per_group(spark, sf_dir):
         .filter(F.col("rn") <= 2)
         .select("c_nationkey", "c_custkey", "c_acctbal", "rn")
     )
+
+
+@register(
+    "w11_distinct_over_window",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           COUNT(DISTINCT o_orderstatus) OVER (PARTITION BY o_custkey) AS n_statuses
+    FROM orders
+    """,
+)
+def w11_distinct_over_window(spark, sf_dir):
+    """COUNT(DISTINCT) over a window — Spark has no native distinct
+    window aggregate, so the idiomatic rewrite is size(collect_set) over
+    the same window.  State per partition is the distinct-value set
+    (bounded by value cardinality, not row count)."""
+    (orders,) = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.size(F.collect_set("o_orderstatus").over(w)).cast("bigint").alias("n_statuses"),
+    )

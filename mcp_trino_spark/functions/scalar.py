@@ -484,3 +484,28 @@ def x18_array_setops(spark, sf_dir):
         F.array_sort(F.array_intersect(a, b)).alias("i"),
         F.array_sort(F.array_except(a, b)).alias("d"),
     )
+
+
+@register(
+    "x12b_json_structured",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           json_valid(props) AS is_valid
+    FROM events
+    """,
+)
+def x12b_json_structured(spark, sf_dir):
+    """Schema-declared JSON parsing: from_json with an explicit struct
+    schema (vs x12's path extraction) — fields become typed columns the
+    optimizer can prune and push through, instead of per-row string
+    probing."""
+    (events,) = T(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return events.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        (parsed.getField("k") % 10).alias("k_mod"),
+        parsed.isNotNull().alias("is_valid"),
+    )

@@ -568,3 +568,57 @@ def l19_hash_split(spark, sf_dir):
         .otherwise("test")
         .alias("split"),
     )
+
+
+@register(
+    "l20_pii_scrub",
+    oracle="""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@mail.example.com or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS text_pii
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text_pii,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS scrubbed,
+           (length(text_pii) - length(regexp_replace(text_pii,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '', 'g')) > 0) AS had_email
+    FROM synth
+    """,
+)
+def l20_pii_scrub(spark, sf_dir):
+    """PII scrubbing: redact emails, phone numbers and IPs with typed
+    placeholders — the safety-filtering stage of a training pipeline.
+    (Synthetic PII is appended first since the testdata contains none;
+    both engines transform identical inputs.)  Chained regexp_replace
+    is pure codegen'd column work — no Python, no shuffle.
+    """
+    (docs,) = T(spark, sf_dir, "documents")
+    text_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text_pii, email_re, "<EMAIL>"),
+            r"\b\d{3}-\d{4}\b",
+            "<PHONE>",
+        ),
+        r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+        "<IP>",
+    )
+    had_email = F.length(text_pii) - F.length(F.regexp_replace(text_pii, email_re, "")) > 0
+    return docs.select("doc_id", scrubbed.alias("scrubbed"), had_email.alias("had_email"))

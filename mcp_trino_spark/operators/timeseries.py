@@ -210,3 +210,40 @@ def t6_gap_fill(spark, sf_dir):
             F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
         )
     )
+
+
+@register(
+    "t8_ohlc_resample",
+    oracle="""
+    SELECT user_id,
+           CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start,
+           arg_min(value, event_id) AS open_v,
+           MAX(value) AS high_v,
+           MIN(value) AS low_v,
+           arg_max(value, event_id) AS close_v,
+           COUNT(*) AS n_events
+    FROM events WHERE user_id < 50
+    GROUP BY 1, 2
+    """,
+)
+def t8_ohlc_resample(spark, sf_dir):
+    """OHLC downsampling: per (user, hour) open/high/low/close — the
+    classic time-series resample, as ONE hash aggregate via min_by /
+    max_by (no window pass, no sort).  Ordering key is event_id (unique,
+    monotone with ingestion) so open/close are deterministic even with
+    equal timestamps.
+    """
+    (events,) = T(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("user_id") < 50)
+        .groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+        )
+        .agg(
+            F.min_by("value", "event_id").alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", "event_id").alias("close_v"),
+            F.count("*").alias("n_events"),
+        )
+    )

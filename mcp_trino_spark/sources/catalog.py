@@ -58,6 +58,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``ts_ns`` — the exact int64 nanos, kept for consumers that need
     sub-µs exactness (not oracle-comparable).
     """
+    if name == "events":
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS); Spark only
+        # reads that type when nanosAsLong is on.  The conf is runtime-
+        # settable, and callers (the driver) pass their OWN SparkSession
+        # which won't have it — so self-provision here rather than relying
+        # on session.py having built the session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts_ns", F.col("ts")).withColumn(

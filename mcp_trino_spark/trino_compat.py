@@ -86,21 +86,23 @@ _UNIT_FNS = {
 _UNIT_LITERAL = re.compile(r"^'(\w+)'$")
 
 
-_INSTALLED_SESSIONS: set = set()
+#: marker attribute set on the SparkSession instance itself — id(spark)
+#: can be recycled after GC, which would silently skip installation on a
+#: fresh session; an instance attribute dies with the session object.
+_INSTALLED_ATTR = "_mcp_trino_compat_installed"
 
 
 def install_compat_functions(spark) -> None:
     """Install the Trino-name scalar functions as Spark SQL UDFs, once
     per SparkSession (12 DDL round-trips would otherwise tax every
     dialect='trino' call)."""
-    key = id(spark)
-    if key in _INSTALLED_SESSIONS:
+    if getattr(spark, _INSTALLED_ATTR, False):
         return
     for name, (args, rtype, body) in _COMPAT_SQL_UDFS.items():
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{args} RETURNS {rtype} RETURN {body}"
         )
-    _INSTALLED_SESSIONS.add(key)
+    setattr(spark, _INSTALLED_ATTR, True)
 
 
 def _segments(q: str) -> Iterator[Tuple[bool, str]]:
@@ -111,15 +113,16 @@ def _segments(q: str) -> Iterator[Tuple[bool, str]]:
     start = 0
     while i < n:
         ch = q[i]
-        if ch == "'" or ch == '"':
+        if ch == "'" or ch == '"' or ch == "`":
             if start < i:
                 yield True, q[start:i]
             quote = ch
             j = i + 1
             while j < n:
                 if q[j] == quote:
-                    # doubled-quote escapes: '' in literals AND "" in
-                    # quoted identifiers (same rules as sanitize())
+                    # doubled-quote escapes: '' in literals, "" in quoted
+                    # identifiers AND `` in backtick identifiers (Spark
+                    # executes the output — same rules as sanitize())
                     if j + 1 < n and q[j + 1] == quote:
                         j += 2
                         continue

@@ -6,9 +6,15 @@ corpus internal/trino/client_test.go:395-446 and comment_test.go:7-272):
 
 1. Sanitize: strip ``--`` line comments, ``/* */`` block comments
    (unclosed comment ⇒ drop the rest), collapse single-quoted literals
-   to ``'LITERAL'`` (with ``''`` escapes) and double-quoted identifiers
-   to ``"IDENTIFIER"`` — so write keywords hiding inside strings or
-   comments can't cause false accepts/rejects.
+   to ``'LITERAL'`` (with ``''`` escapes), double-quoted segments to
+   ``"IDENTIFIER"`` and backtick-quoted identifiers to ```IDENTIFIER```
+   (with ``` `` ``` doubling) — so write keywords hiding inside strings
+   or comments can't cause false accepts/rejects.  Because the gated
+   string is executed by **Spark**, the sanitizer follows Spark's
+   lexical rules, not Trino's: backticks quote identifiers (a quote
+   character inside a backtick identifier must not open a string — that
+   was a verified write-gate bypass), and backslash escapes are active
+   inside quoted strings (``'it\'s'`` is one literal).
 2. Normalize: lowercase, newlines → spaces, trim.
 3. Reject any remaining ``;`` (multi-statement injection guard).
 4. Accept only queries starting with a read-only verb (``select``,
@@ -58,10 +64,13 @@ def sanitize(query: str) -> str:
             end = query.find("*/", i + 2)
             i = n if end < 0 else end + 2
             continue
-        if ch == "'":  # string literal, '' escapes
+        if ch == "'":  # string literal, '' and \' escapes (Spark lexer)
             out.append("'LITERAL'")
             i += 1
             while i < n:
+                if query[i] == "\\":
+                    i += 2  # backslash escape — skip the escaped char
+                    continue
                 if query[i] == "'":
                     i += 1
                     if i < n and query[i] == "'":
@@ -70,14 +79,29 @@ def sanitize(query: str) -> str:
                     break
                 i += 1
             continue
-        if ch == '"':  # quoted identifier, "" escapes
+        if ch == '"':  # double-quoted (string in Spark), "" and \" escapes
             out.append('"IDENTIFIER"')
             i += 1
             while i < n:
+                if query[i] == "\\":
+                    i += 2
+                    continue
                 if query[i] == '"':
                     i += 1
                     if i < n and query[i] == '"':
                         i += 1
+                        continue
+                    break
+                i += 1
+            continue
+        if ch == "`":  # backtick identifier (Spark), `` doubling escapes
+            out.append("`IDENTIFIER`")
+            i += 1
+            while i < n:
+                if query[i] == "`":
+                    i += 1
+                    if i < n and query[i] == "`":
+                        i += 1  # doubled backtick — stay inside
                         continue
                     break
                 i += 1

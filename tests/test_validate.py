@@ -103,3 +103,25 @@ def test_strip_trailing_semicolon():
     # only one is stripped — ';;' still trips the multi-statement guard
     assert strip_trailing_semicolon("SELECT 1;;").endswith(";")
     assert not is_read_only_query(strip_trailing_semicolon("SELECT 1;;"))
+
+
+def test_sanitize_backtick_identifiers():
+    # backticks are Spark identifier quotes; a quote character inside one
+    # must NOT open a string literal (verified round-1 write-gate bypass:
+    # WITH `a'b` AS (...) INSERT INTO ... slipped past the classifier)
+    assert sanitize("SELECT `my col` FROM t") == "SELECT `IDENTIFIER` FROM t"
+    assert sanitize("SELECT `a``b` FROM t") == "SELECT `IDENTIFIER` FROM t"
+    bypass = "WITH `a'b` AS (SELECT 1 AS v) INSERT INTO tgt SELECT v FROM `a'b`"
+    assert not is_read_only_query(bypass)
+    # and the mirror image: backtick inside a string stays a string
+    assert sanitize("SELECT '`' FROM t") == "SELECT 'LITERAL' FROM t"
+
+
+def test_sanitize_backslash_escapes():
+    # Spark's lexer treats \' as an escaped quote inside a literal — the
+    # classifier must see the same literal extent the executor does
+    assert sanitize(r"SELECT 'it\'s an INSERT' FROM t") == "SELECT 'LITERAL' FROM t"
+    assert is_read_only_query(r"SELECT 'it\'s an INSERT' FROM t")
+    assert sanitize(r'SELECT "a\" DROP" FROM t') == 'SELECT "IDENTIFIER" FROM t'
+    # write verbs outside quotes still rejected
+    assert not is_read_only_query(r"SELECT 'x\'' ; DROP TABLE t")

@@ -100,6 +100,17 @@ def execute_query(
         # spark.sql runs commands (DDL/DML/SHOW) EAGERLY, so it must sit
         # under the watchdog + attribution properties, not before them —
         # otherwise writes would run untimed and unattributed.
+        from mcp_trino_spark.sources.dml import is_dml_statement
+
+        if is_dml_statement(q):
+            # UPDATE/DELETE/MERGE have no native parquet execution in
+            # Spark — route through the copy-on-write DML layer (only
+            # reachable with writes enabled; the gate rejected otherwise)
+            from mcp_trino_spark.sources.dml import execute_dml
+
+            n = execute_dml(spark, q)
+            done.set()
+            return QueryResult(columns=["rows_affected"], rows=[{"rows_affected": n}])
         df = spark.sql(q)
         if max_rows is not None:
             df = df.limit(max_rows)

@@ -1,0 +1,410 @@
+"""Copy-on-write DML: UPDATE / DELETE / MERGE over parquet tables.
+
+The reference declares UPDATE/DELETE/MERGE as gated write statements
+(reference internal/trino/client.go:306-310; keyword tests
+internal/trino/client_test.go:395-446) and passes them to Trino, whose
+connectors implement them.  Spark only executes these statements
+natively on transactional formats (Delta/Iceberg — not in this
+container), so this module supplies the engine-side implementation for
+plain parquet tables, the way every table format does it underneath:
+
+1. **Plan the post-DML table state declaratively** — one DataFrame plan
+   (UPDATE = CASE projection, DELETE = filter, MERGE = full-outer join
+   with per-branch CASE), so Catalyst optimizes it like any query and
+   AQE handles skew at scale.
+2. **Copy-on-write commit** — write the new state to a staging
+   directory next to the table location, then swap directories and
+   REFRESH.  The data is written exactly once; the commit itself is a
+   metadata-only rename (what Delta's transaction log / Hive's rename
+   protocol do).  At 100 TB on a real deployment you'd bound the
+   rewrite to touched partitions (or use Delta); the plan side here is
+   already partition-prunable since untouched rows pass through the
+   same scan.
+
+MERGE plan shape (scale notes): the single shuffle is the full-outer
+join on the ON condition — keep it equi (key = join columns) so it
+hash-partitions; small sources broadcast automatically.  Like Delta,
+multiple source matches for one target row are an error
+(``MergeCardinalityError``); the check rides the same joined frame via
+a window count over a target row-id, costing one extra shuffle, and can
+be skipped with ``check_cardinality=False``.
+
+SQL front door: ``execute_dml`` parses the reference's statement shapes
+(restricted, loudly-failing grammar) and dispatches to the DataFrame
+implementations, so ``execute_query`` accepts the same gated write SQL
+a reference user sends today.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import uuid
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class DmlError(ValueError):
+    """Malformed or out-of-grammar DML statement."""
+
+
+class MergeCardinalityError(RuntimeError):
+    """More than one source row matched a single target row (the SQL
+    standard and Delta both reject this as nondeterministic)."""
+
+
+# ---------------------------------------------------------------------------
+# copy-on-write commit
+
+
+def _table_location(spark: SparkSession, table: str) -> str:
+    """Filesystem path of a (parquet) table's data directory."""
+    rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    for r in rows:
+        if r.col_name.strip() == "Location":
+            loc = r.data_type.strip()
+            return loc.removeprefix("file:")
+    raise DmlError(f"table {table!r} has no Location (not a file-backed table?)")
+
+
+def _commit(spark: SparkSession, table: str, new_state: DataFrame) -> None:
+    """Write ``new_state`` once to a staging dir, then atomically swap it
+    into the table location (rename + REFRESH).  The staging write runs
+    the full Catalyst plan; the swap is metadata-only."""
+    loc = _table_location(spark, table)
+    parent, base = os.path.dirname(loc), os.path.basename(loc)
+    staged = os.path.join(parent, f".{base}.staged-{uuid.uuid4().hex[:8]}")
+    retired = os.path.join(parent, f".{base}.retired-{uuid.uuid4().hex[:8]}")
+    new_state.write.parquet(staged)
+    os.rename(loc, retired)
+    try:
+        os.rename(staged, loc)
+    except BaseException:
+        os.rename(retired, loc)  # roll back — table state untouched
+        raise
+    spark.sql(f"REFRESH TABLE {table}")
+    shutil.rmtree(retired, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-level DML
+
+
+def update_table(
+    spark: SparkSession,
+    table: str,
+    set_clauses: Dict[str, str],
+    where: Optional[str] = None,
+) -> int:
+    """UPDATE = one CASE projection over the table scan: rows matching
+    ``where`` get the SET expressions, others pass through unchanged.
+    Narrow (no shuffle); returns the affected-row count."""
+    t = spark.table(table)
+    unknown = set(set_clauses) - set(t.columns)
+    if unknown:
+        raise DmlError(f"UPDATE SET references unknown columns: {sorted(unknown)}")
+    cond = F.expr(where) if where else F.lit(True)
+    affected = t.filter(cond).count()
+    new_state = t.select(
+        *[
+            (
+                F.when(cond, F.expr(expr).cast(t.schema[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in set_clauses
+                else F.col(c)
+            )
+            for c, expr in [(c, set_clauses.get(c, "")) for c in t.columns]
+        ]
+    )
+    _commit(spark, table, new_state)
+    return affected
+
+
+def delete_from(spark: SparkSession, table: str, where: Optional[str]) -> int:
+    """DELETE = inverted filter over the scan (narrow, no shuffle)."""
+    t = spark.table(table)
+    if where is None:
+        affected = t.count()
+        new_state = t.filter(F.lit(False))
+    else:
+        cond = F.expr(where)
+        affected = t.filter(cond).count()
+        # keep rows where the predicate is false OR null (SQL DELETE
+        # semantics: only true-matching rows are deleted)
+        new_state = t.filter(~F.coalesce(cond.cast("boolean"), F.lit(False)))
+    _commit(spark, table, new_state)
+    return affected
+
+
+def merge_into(
+    spark: SparkSession,
+    target: str,
+    source: DataFrame,
+    on: str,
+    *,
+    target_alias: str = "t",
+    source_alias: str = "s",
+    matched_update: Optional[Dict[str, str]] = None,
+    matched_delete: bool = False,
+    matched_condition: Optional[str] = None,
+    insert_values: Optional[Dict[str, str]] = None,
+    insert_all: bool = False,
+    check_cardinality: bool = True,
+) -> int:
+    """MERGE INTO target USING source ON cond — as ONE declarative plan:
+
+    full-outer join on the ON condition, then per-branch CASE:
+      matched + delete           → row dropped
+      matched + update           → SET expressions (aliases resolve)
+      matched, no action applies → target row unchanged
+      target-only                → target row unchanged
+      source-only + insert       → INSERT expressions
+
+    Returns the number of rows updated+deleted+inserted.
+    """
+    if matched_update and matched_delete:
+        raise DmlError("pass either matched_update or matched_delete, not both")
+    t = (
+        spark.table(target)
+        .withColumn("__t_rowid", F.monotonically_increasing_id())
+        .withColumn("__t_exists", F.lit(True))
+        .alias(target_alias)
+    )
+    s = source.withColumn("__s_exists", F.lit(True)).alias(source_alias)
+    # the joined frame feeds several actions (cardinality check, metric
+    # counts, the staging write) — persist so the shuffle join runs once
+    joined = t.join(s, F.expr(on), "full_outer").persist()
+
+    matched = F.col("__t_exists").isNotNull() & F.col("__s_exists").isNotNull()
+    if matched_condition:
+        acted = matched & F.coalesce(
+            F.expr(matched_condition).cast("boolean"), F.lit(False)
+        )
+    else:
+        acted = matched
+    source_only = F.col("__t_exists").isNull()
+
+    if check_cardinality:
+        # Delta-parity guard: a target row joined to >1 source rows makes
+        # the update nondeterministic.  One window shuffle over the
+        # (matched-subset) row-ids.
+        from pyspark.sql.window import Window
+
+        dup = (
+            joined.filter(matched)
+            .withColumn("__n", F.count("*").over(Window.partitionBy("__t_rowid")))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            joined.unpersist()
+            raise MergeCardinalityError(
+                "MERGE: a target row matches multiple source rows"
+            )
+
+    target_cols = [c for c in spark.table(target).columns]
+    if insert_all:
+        insert_values = {c: f"{source_alias}.{c}" for c in target_cols}
+
+    out_cols: List = []
+    for c in target_cols:
+        keep = F.col(f"{target_alias}.{c}")
+        col = keep
+        if matched_update and c in matched_update:
+            col = F.when(acted, F.expr(matched_update[c]).cast(
+                spark.table(target).schema[c].dataType
+            )).otherwise(keep)
+        if insert_values is not None:
+            ins = (
+                F.expr(insert_values[c]).cast(spark.table(target).schema[c].dataType)
+                if c in insert_values
+                else F.lit(None).cast(spark.table(target).schema[c].dataType)
+            )
+            col = F.when(source_only, ins).otherwise(col)
+        out_cols.append(col.alias(c))
+
+    result = joined
+    if matched_delete:
+        result = result.filter(~acted)
+    if insert_values is None:
+        result = result.filter(~source_only)
+    new_state = result.select(*out_cols)
+
+    try:
+        n_matched = (
+            joined.filter(acted).count() if (matched_update or matched_delete) else 0
+        )
+        n_inserted = (
+            joined.filter(source_only).count() if insert_values is not None else 0
+        )
+        _commit(spark, target, new_state)
+    finally:
+        joined.unpersist()
+    return n_matched + n_inserted
+
+
+# ---------------------------------------------------------------------------
+# SQL front door (restricted, loudly-failing grammar)
+
+
+def _code_mask(q: str) -> List[bool]:
+    from mcp_trino_spark.trino_compat import _code_mask as mask
+
+    return mask(q)
+
+
+def _find_kw(q: str, kw: str, start: int = 0) -> int:
+    """Position of the first occurrence of keyword ``kw`` outside
+    literals/comments/quoted identifiers, or -1."""
+    mask = _code_mask(q)
+    for m in re.finditer(rf"\b{kw}\b", q, re.IGNORECASE):
+        if mask[m.start()] and m.start() >= start:
+            return m.start()
+    return -1
+
+
+def _split_top_commas(s: str) -> List[str]:
+    """Split on commas that sit outside parens and literals."""
+    mask = _code_mask(s)
+    parts, depth, last = [], 0, 0
+    for i, ch in enumerate(s):
+        if not mask[i]:
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[last:i])
+            last = i + 1
+    parts.append(s[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_assignments(s: str) -> Dict[str, str]:
+    out: Dict[str, str] = {}
+    for part in _split_top_commas(s):
+        m = re.match(r"^\s*([\w`.]+)\s*=\s*(.+)$", part, re.DOTALL)
+        if not m:
+            raise DmlError(f"cannot parse SET assignment: {part!r}")
+        col = m.group(1).strip("`")
+        col = col.split(".")[-1]  # tolerate t.col spelling
+        out[col] = m.group(2).strip()
+    return out
+
+
+_UPDATE_RE = re.compile(r"^\s*UPDATE\s+([\w.`]+)\s+SET\s+", re.IGNORECASE)
+_DELETE_RE = re.compile(r"^\s*DELETE\s+FROM\s+([\w.`]+)\s*", re.IGNORECASE)
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+([\w.`]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+([\w.`]+)"
+    r"(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+",
+    re.IGNORECASE,
+)
+
+
+def is_dml_statement(q: str) -> bool:
+    return bool(re.match(r"^\s*(UPDATE|DELETE|MERGE)\b", q, re.IGNORECASE))
+
+
+def execute_dml(spark: SparkSession, q: str) -> int:
+    """Parse one UPDATE / DELETE / MERGE statement and run it
+    copy-on-write.  Returns the affected-row count.  Grammar limits
+    (fail loudly, never guess): UPDATE t SET c=e,… [WHERE p];
+    DELETE FROM t [WHERE p]; MERGE INTO t [alias] USING src [alias]
+    ON cond {WHEN MATCHED [AND p] THEN UPDATE SET …|DELETE}
+    [WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs) | INSERT *].
+    ``src`` must be a table/view name (inline subqueries: register a
+    temp view first)."""
+    q = q.strip().rstrip(";")
+    m = _UPDATE_RE.match(q)
+    if m:
+        table = m.group(1).strip("`")
+        rest = q[m.end():]
+        wpos = _find_kw(rest, "WHERE")
+        set_part, where = (rest[:wpos], rest[wpos + 5:]) if wpos >= 0 else (rest, None)
+        return update_table(spark, table, _parse_assignments(set_part), where)
+
+    m = _DELETE_RE.match(q)
+    if m:
+        table = m.group(1).strip("`")
+        rest = q[m.end():]
+        if not rest.strip():
+            return delete_from(spark, table, None)
+        wm = re.match(r"^\s*WHERE\s+(.+)$", rest, re.IGNORECASE | re.DOTALL)
+        if not wm:
+            raise DmlError(f"cannot parse DELETE tail: {rest!r}")
+        return delete_from(spark, table, wm.group(1))
+
+    m = _MERGE_RE.match(q)
+    if m:
+        return _execute_merge_sql(spark, q, m)
+    raise DmlError(f"not a supported DML statement: {q[:80]!r}")
+
+
+def _execute_merge_sql(spark: SparkSession, q: str, m: "re.Match") -> int:
+    target = m.group(1).strip("`")
+    source_name = m.group(3).strip("`")
+    # SQL semantics: an unaliased table is referenced by its (bare) name
+    t_alias = m.group(2) or target.split(".")[-1]
+    s_alias = m.group(4) or source_name.split(".")[-1]
+    rest = q[m.end():]
+    wpos = _find_kw(rest, "WHEN")
+    if wpos < 0:
+        raise DmlError("MERGE needs at least one WHEN clause")
+    on = rest[:wpos].strip()
+    clauses = rest[wpos:]
+
+    kwargs: dict = {}
+    # split WHEN clauses on top-level WHEN keywords
+    positions = []
+    mask = _code_mask(clauses)
+    for mm in re.finditer(r"\bWHEN\b", clauses, re.IGNORECASE):
+        if mask[mm.start()]:
+            positions.append(mm.start())
+    positions.append(len(clauses))
+    for a, b in zip(positions, positions[1:]):
+        clause = clauses[a:b].strip()
+        cm = re.match(
+            r"^WHEN\s+MATCHED\s*(?:AND\s+(.*?))?\s*THEN\s+(UPDATE\s+SET\s+(?P<set>.*)|DELETE)\s*$",
+            clause,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if cm:
+            if cm.group(1):
+                kwargs["matched_condition"] = cm.group(1)
+            if cm.group("set") is not None:
+                kwargs["matched_update"] = _parse_assignments(cm.group("set"))
+            else:
+                kwargs["matched_delete"] = True
+            continue
+        nm = re.match(
+            r"^WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*"
+            r"(?:\*|\(\s*(?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.*)\))\s*$",
+            clause,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if nm:
+            if nm.group("cols") is None:
+                kwargs["insert_all"] = True
+            else:
+                cols = [c.strip().strip("`").split(".")[-1] for c in nm.group("cols").split(",")]
+                vals = _split_top_commas(nm.group("vals"))
+                if len(cols) != len(vals):
+                    raise DmlError("INSERT column/value count mismatch")
+                kwargs["insert_values"] = dict(zip(cols, vals))
+            continue
+        raise DmlError(f"cannot parse MERGE clause: {clause[:80]!r}")
+
+    return merge_into(
+        spark,
+        target,
+        spark.table(source_name),
+        on,
+        target_alias=t_alias,
+        source_alias=s_alias,
+        **kwargs,
+    )

@@ -28,6 +28,28 @@ from mcp_trino_spark.sources.catalog import load_table, register_tables
 _WRITE_CFG = EngineConfig(allow_write_queries=True)
 
 
+def _fresh_table(spark, name: str) -> None:
+    """DROP IF EXISTS + clear any orphaned warehouse dir (a fresh session
+    doesn't know the managed table, so DROP alone can leave a directory
+    that fails the subsequent CREATE)."""
+    import shutil
+
+    execute_query(spark, f"DROP TABLE IF EXISTS {name}", _WRITE_CFG)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(
+        os.path.join(warehouse.removeprefix("file:"), name), ignore_errors=True
+    )
+
+
+def _collect_and_drop(spark, name: str):
+    """Materialize a (bounded) result table, then drop it so the catalog
+    surface (SHOW TABLES) stays execution-order independent."""
+    result = spark.table(name)
+    rows, schema = result.collect(), result.schema
+    execute_query(spark, f"DROP TABLE {name}", _WRITE_CFG)
+    return spark.createDataFrame(rows, schema)
+
+
 @register(
     "s6_ctas_insert",
     oracle="""
@@ -104,6 +126,124 @@ def s6b_parquet_partitioned_roundtrip(spark, sf_dir):
         F.count("*").alias("n"),
         dsum("o_totalprice").alias("total"),
     )
+
+
+# --- S7: UPDATE / DELETE / MERGE (copy-on-write DML, sources/dml.py) -------
+# The reference gates these keywords behind TRINO_ALLOW_WRITE_QUERIES
+# (client.go:306-310) and lets the engine execute them; our engine-side
+# implementation is the COW layer in dml.py.  Each entry drives the SQL
+# front door through execute_query — the same statement a reference user
+# would send — then returns the post-DML table state for the oracle.
+
+
+@register(
+    "s7_merge_upsert",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 0.5 ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'M' ELSE o_orderstatus END AS o_orderstatus
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice * 0.5 AS o_totalprice, 'M' AS o_orderstatus
+    FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+    """,
+)
+def s7_merge_upsert(spark, sf_dir):
+    """MERGE INTO (upsert): matched rows get UPDATE SET, unmatched source
+    rows INSERT — executed as ONE full-outer-join plan with per-branch
+    CASE plus a copy-on-write commit (dml.py; reference client.go:306-310
+    declares MERGE as a gated write).  Target = orders keys %3==0,
+    source = keys %2==0, so the merge exercises all three branches:
+    update (%6==0), keep (odd %3==0), insert (%2==0, %3!=0)."""
+    register_tables(spark, sf_dir)
+    _fresh_table(spark, "dml_orders")
+    execute_query(
+        spark,
+        """
+        CREATE TABLE dml_orders USING parquet AS
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 3 = 0
+        """,
+        _WRITE_CFG,
+    )
+    spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice * 0.5 AS new_price, 'M' AS new_status
+        FROM orders WHERE o_orderkey % 2 = 0
+        """
+    ).createOrReplaceTempView("dml_orders_src")
+    res = execute_query(
+        spark,
+        """
+        MERGE INTO dml_orders t USING dml_orders_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.new_price, o_orderstatus = s.new_status
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice, o_orderstatus)
+            VALUES (s.o_orderkey, s.new_price, s.new_status)
+        """,
+        _WRITE_CFG,
+    )
+    assert res.rows[0]["rows_affected"] > 0
+    spark.catalog.dropTempView("dml_orders_src")
+    return _collect_and_drop(spark, "dml_orders")
+
+
+@register(
+    "s7b_update",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+    FROM customer
+    """,
+)
+def s7b_update(spark, sf_dir):
+    """UPDATE … SET … WHERE as a CASE projection + COW commit (narrow
+    plan, no shuffle; dml.py).  Reference client.go:306-310 gates the
+    keyword; the engine side is ours."""
+    register_tables(spark, sf_dir)
+    _fresh_table(spark, "dml_customer")
+    execute_query(
+        spark,
+        """
+        CREATE TABLE dml_customer USING parquet AS
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        """,
+        _WRITE_CFG,
+    )
+    res = execute_query(
+        spark,
+        "UPDATE dml_customer SET c_acctbal = c_acctbal + 100.0 WHERE c_mktsegment = 'BUILDING'",
+        _WRITE_CFG,
+    )
+    assert res.rows[0]["rows_affected"] > 0
+    return _collect_and_drop(spark, "dml_customer")
+
+
+@register(
+    "s7c_delete",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE NOT COALESCE(o_orderstatus = 'F', FALSE)
+    """,
+)
+def s7c_delete(spark, sf_dir):
+    """DELETE FROM … WHERE as an inverted filter + COW commit (dml.py).
+    NULL predicate rows are kept — SQL DELETE only removes true matches."""
+    register_tables(spark, sf_dir)
+    _fresh_table(spark, "dml_del_orders")
+    execute_query(
+        spark,
+        """
+        CREATE TABLE dml_del_orders USING parquet AS
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        """,
+        _WRITE_CFG,
+    )
+    res = execute_query(
+        spark, "DELETE FROM dml_del_orders WHERE o_orderstatus = 'F'", _WRITE_CFG
+    )
+    assert res.rows[0]["rows_affected"] > 0
+    return _collect_and_drop(spark, "dml_del_orders")
 
 
 # --- F2-F5 metadata tools as registry entries ------------------------------

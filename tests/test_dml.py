@@ -1,0 +1,238 @@
+"""Copy-on-write DML (sources/dml.py): UPDATE / DELETE / MERGE.
+
+Reference parity: client.go:306-310 declares these as gated write
+statements (keyword tests client_test.go:395-446).  The end-to-end
+oracle checks live in sources/sinks.py (s7/s7b/s7c); these tests cover
+the edge cases the oracle can't: cardinality guards, NULL-predicate
+semantics, rollback, the SQL grammar's loud failures, and the write
+gate in front of the whole thing.
+"""
+
+import pytest
+from pyspark.sql import Row
+
+from mcp_trino_spark.config import EngineConfig
+from mcp_trino_spark.execute import WriteQueryNotAllowed, execute_query
+from mcp_trino_spark.sources.dml import (
+    DmlError,
+    MergeCardinalityError,
+    delete_from,
+    execute_dml,
+    is_dml_statement,
+    merge_into,
+    update_table,
+)
+
+WRITE = EngineConfig(allow_write_queries=True)
+
+
+@pytest.fixture()
+def target(spark, tmp_path, request):
+    """A fresh 3-row parquet-backed table; yields its name."""
+    name = f"dml_t_{request.node.name}"[:60].replace("[", "_").replace("]", "_")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.createDataFrame(
+        [Row(k=1, v=10.0, s="a"), Row(k=2, v=20.0, s="b"), Row(k=3, v=None, s="c")]
+    ).write.mode("overwrite").parquet(str(tmp_path / name))
+    spark.sql(
+        f"CREATE TABLE {name} USING parquet LOCATION '{tmp_path / name}'"
+    )
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def rows(spark, name):
+    return {
+        (r.k, r.v, r.s) for r in spark.table(name).collect()
+    }
+
+
+# ---------------------------------------------------------------------------
+# UPDATE
+
+
+def test_update_where(spark, target):
+    n = update_table(spark, target, {"v": "v * 2"}, "k <= 2")
+    assert n == 2
+    assert rows(spark, target) == {(1, 20.0, "a"), (2, 40.0, "b"), (3, None, "c")}
+
+
+def test_update_no_where_touches_all(spark, target):
+    n = update_table(spark, target, {"s": "upper(s)"})
+    assert n == 3
+    assert {r[2] for r in rows(spark, target)} == {"A", "B", "C"}
+
+
+def test_update_unknown_column_fails_loudly(spark, target):
+    with pytest.raises(DmlError, match="unknown column"):
+        update_table(spark, target, {"nope": "1"})
+    assert rows(spark, target) == {(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c")}
+
+
+def test_update_casts_to_target_type(spark, target):
+    # SET v = integer expr must come back as the column's DOUBLE type
+    update_table(spark, target, {"v": "7"}, "k = 1")
+    t = spark.table(target)
+    assert dict(t.dtypes)["v"] == "double"
+    assert {r.v for r in t.filter("k = 1").collect()} == {7.0}
+
+
+# ---------------------------------------------------------------------------
+# DELETE
+
+
+def test_delete_where(spark, target):
+    n = delete_from(spark, target, "k = 2")
+    assert n == 1
+    assert {r[0] for r in rows(spark, target)} == {1, 3}
+
+
+def test_delete_null_predicate_keeps_row(spark, target):
+    # v is NULL for k=3: "v > 0" is NULL there — SQL DELETE removes only
+    # TRUE matches, so the NULL row must survive.
+    n = delete_from(spark, target, "v > 0")
+    assert n == 2
+    assert {r[0] for r in rows(spark, target)} == {3}
+
+
+def test_delete_all(spark, target):
+    n = delete_from(spark, target, None)
+    assert n == 3
+    assert spark.table(target).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# MERGE
+
+
+def test_merge_update_and_insert(spark, target):
+    src = spark.createDataFrame([Row(k=2, v=99.0, s="B2"), Row(k=4, v=44.0, s="d")])
+    src.createOrReplaceTempView("merge_src")
+    n = merge_into(
+        spark,
+        target,
+        spark.table("merge_src"),
+        "t.k = s.k",
+        matched_update={"v": "s.v", "s": "s.s"},
+        insert_all=True,
+    )
+    assert n == 2  # 1 update + 1 insert
+    assert rows(spark, target) == {
+        (1, 10.0, "a"),
+        (2, 99.0, "B2"),
+        (3, None, "c"),
+        (4, 44.0, "d"),
+    }
+
+
+def test_merge_matched_delete_with_condition(spark, target):
+    src = spark.createDataFrame([Row(k=1), Row(k=2)])
+    n = merge_into(
+        spark,
+        target,
+        src,
+        "t.k = s.k",
+        matched_delete=True,
+        matched_condition="t.v >= 20",
+    )
+    assert n == 1  # only k=2 passes the AND condition
+    assert {r[0] for r in rows(spark, target)} == {1, 3}
+
+
+def test_merge_cardinality_guard(spark, target):
+    src = spark.createDataFrame([Row(k=2, v=1.0), Row(k=2, v=2.0)])
+    with pytest.raises(MergeCardinalityError):
+        merge_into(spark, target, src, "t.k = s.k", matched_update={"v": "s.v"})
+    # table state untouched
+    assert rows(spark, target) == {(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c")}
+
+
+def test_merge_update_and_delete_mutually_exclusive(spark, target):
+    src = spark.createDataFrame([Row(k=1)])
+    with pytest.raises(DmlError):
+        merge_into(
+            spark, target, src, "t.k = s.k",
+            matched_update={"v": "1"}, matched_delete=True,
+        )
+
+
+# ---------------------------------------------------------------------------
+# SQL front door
+
+
+def test_is_dml_statement():
+    assert is_dml_statement("  update t set x=1")
+    assert is_dml_statement("DELETE FROM t")
+    assert is_dml_statement("merge into t using s on t.k=s.k when matched then delete")
+    assert not is_dml_statement("SELECT * FROM t")
+    assert not is_dml_statement("INSERT INTO t VALUES (1)")  # native Spark path
+
+
+def test_sql_update_roundtrip(spark, target):
+    n = execute_dml(spark, f"UPDATE {target} SET v = v + 1, s = 'z' WHERE k = 1;")
+    assert n == 1
+    assert (1, 11.0, "z") in rows(spark, target)
+
+
+def test_sql_merge_full(spark, target):
+    spark.createDataFrame([Row(k=3, v=33.0, s="C"), Row(k=5, v=55.0, s="e")]
+                          ).createOrReplaceTempView("msrc")
+    n = execute_dml(
+        spark,
+        f"""
+        MERGE INTO {target} AS t USING msrc AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (k, v, s) VALUES (s.k, s.v, s.s)
+        """,
+    )
+    assert n == 2
+    assert (3, 33.0, "c") in rows(spark, target)
+    assert (5, 55.0, "e") in rows(spark, target)
+
+
+def test_sql_merge_insert_star(spark, target):
+    spark.createDataFrame([Row(k=9, v=9.0, s="i")]).createOrReplaceTempView("msrc2")
+    # no aliases: unaliased tables are referenced by their bare names
+    n = execute_dml(
+        spark,
+        f"MERGE INTO {target} USING msrc2 ON {target}.k = msrc2.k "
+        f"WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert n == 1
+    assert (9, 9.0, "i") in rows(spark, target)
+
+
+def test_sql_garbage_fails_loudly(spark):
+    with pytest.raises(DmlError):
+        execute_dml(spark, "UPDATE t1 FROB x = 1")
+    with pytest.raises(DmlError):
+        execute_dml(spark, "MERGE INTO t USING s ON t.k = s.k")  # no WHEN
+    with pytest.raises(DmlError):
+        execute_dml(
+            spark,
+            "MERGE INTO t USING s ON t.k=s.k WHEN NOT MATCHED THEN "
+            "INSERT (a, b) VALUES (1)",  # count mismatch
+        )
+
+
+def test_where_keyword_in_string_literal_not_split(spark, target):
+    # the WHERE-finder must skip literals: SET s = 'WHERE' has no filter
+    n = execute_dml(spark, f"UPDATE {target} SET s = 'WHERE x'")
+    assert n == 3
+    assert {r[2] for r in rows(spark, target)} == {"WHERE x"}
+
+
+# ---------------------------------------------------------------------------
+# write gate + façade integration
+
+
+def test_dml_blocked_without_write_flag(spark, target):
+    with pytest.raises(WriteQueryNotAllowed):
+        execute_query(spark, f"DELETE FROM {target}", EngineConfig())
+    assert spark.table(target).count() == 3
+
+
+def test_dml_through_execute_query(spark, target):
+    res = execute_query(spark, f"DELETE FROM {target} WHERE k = 1", WRITE)
+    assert res.rows == [{"rows_affected": 1}]
+    assert spark.table(target).count() == 2

@@ -189,35 +189,113 @@ def l4b_ivf_topk(spark, sf_dir):
 @register(
     "l3b_embedding_neardup",
     oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000000, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01)
+      FROM embeddings
+    )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 9) AS cos_sim
-    FROM embeddings a JOIN embeddings b
+    FROM corpus a JOIN corpus b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {_cosine_sql('a.embedding', 'b.embedding')} > 0.99
     """,
 )
 def l3b_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (cos > 0.99), blocked by
-    label — the embedding-space analogue of MinHash dedup.  Blocking
-    keys (label here; LSH buckets at scale) keep the join from going
-    quadratic over the corpus."""
+    """Embedding-cosine near-duplicate pairs (cos > 0.99) — candidate
+    generation by sign-random-hyperplane LSH, then exact verification.
+    The embedding-space analogue of MinHash dedup (l2), with the same
+    scale shape:
+
+    1. Signatures: 16 fixed random hyperplanes (seeded numpy, broadcast
+       as literals — KB-sized) → 16 sign bits per vector, computed
+       JVM-side in one narrow map pass.
+    2. Banding: 8 bands × 2 bits.  A cos ≥ 0.99 pair (angle ≤ 8.1°)
+       disagrees on one hyperplane w.p. θ/π ≈ 0.026, so it collides in
+       any given band w.p. ≈ 0.949 and misses ALL 8 bands w.p. ≈ 5e-11
+       — candidate recall is exhaustively verified exact in the local
+       gate at every SF (deterministic: fixed seed).
+    3. Candidate join on (band, key, label): only the NARROW signature
+       table (vec_id, band, key, label) self-joins; work is Σ bucket²,
+       never corpus², and the 64-float embeddings stay out of the
+       shuffle.
+    4. Exact verify: distinct candidate pairs join embeddings back by
+       vec_id (hash join on the id) and keep cos > 0.99 — LSH only
+       proposes, the cosine decides, so the output equals the oracle's
+       label-blocked quadratic join.
+
+    The testdata has no natural near-dups (max same-label cosine ≈ 0.51),
+    which would make the check vacuous — so the corpus unions in a
+    deterministically perturbed copy of itself (each vector + 0.01 on
+    every coordinate, cos ≈ 0.997 to its original; IEEE-identical
+    arithmetic on both engines).  Every original↔perturbed pair must
+    survive the LSH bands for the oracle to match, so the comparison
+    verifies candidate recall, not just the verify filter.
+    """
+    import numpy as np
+
     (emb,) = T(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
-    return (
+    base = spread(emb).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    emb = base.unionAll(
+        base.select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            "label",
+            F.transform(F.col("embedding"), lambda x: x + 0.01).alias("embedding"),
+        )
+    )
+
+    dim = 64  # embeddings table schema (TESTDATA.md)
+    n_planes, n_bands = 16, 8
+    planes = np.random.RandomState(42).normal(size=(n_planes, dim))
+    plane_lits = F.array(
+        *[F.array(*[F.lit(float(v)) for v in p]) for p in planes]
+    )
+    bits = F.transform(
+        plane_lits, lambda h: (dot(F.col("embedding"), h) >= 0).cast("int")
+    )
+    band_keys = [
+        F.concat_ws(
+            "",
+            *[F.element_at(F.col("bits"), i + 1) for i in range(b * 2, b * 2 + 2)],
+        ).alias(f"k{b}")
+        for b in range(n_bands)
+    ]
+    sigs = (
+        emb.withColumn("bits", bits)
+        .select("vec_id", "label", *band_keys)
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(F.array(*[F.col(f"k{b}") for b in range(n_bands)])).alias(
+                "band", "key"
+            ),
+        )
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .withColumn("sim", sim)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("sim", cosine(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("sim") > 0.99)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(F.col("sim"), 9).alias("cos_sim"),
-        )
+        .select("vec_a", "vec_b", F.round(F.col("sim"), 9).alias("cos_sim"))
     )
 
 

@@ -56,6 +56,72 @@ def w2_rank_dense_rank(spark, sf_dir):
     )
 
 
+def _global_rank(spark, df, order_cols):
+    """Distributed global row_number over a total order — the 100 TB
+    form of an unpartitioned ranking window.
+
+    An unpartitioned window funnels the whole table through ONE task.
+    The scalable plan: range-repartition on the sort key, rank locally
+    per partition, then add per-partition row-count prefix offsets
+    (metadata-sized driver collect: one count per partition).  Global
+    rank = local rank + offset; NTILE/percent_rank/cume_dist follow
+    closed-form from (rank, total).  No stage touches more than one
+    partition of data, and the only global coordination is the N-row
+    count exchange.
+
+    ``order_cols`` must be a TOTAL order (include a unique tiebreak) so
+    range boundaries are unambiguous and rank functions defined on
+    peer groups degenerate to row-number formulas exactly.
+
+    Returns ``(ranked_df, total)`` where ranked_df = df's columns + a
+    global 1-based ``rn``.  The returned frame is persisted (range
+    boundaries are SAMPLED per job, so the counts job and the ranking
+    job must share one materialization; at 100 TB: write the
+    repartitioned table, then rank from it).  Callers with multiple
+    downstream jobs should unpersist when done.
+    """
+    n_parts = spark.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    part = part.persist()
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in part.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+            "pid INT, off BIGINT",
+        )
+    )
+    w_local = Window.partitionBy("pid").orderBy(*order_cols)
+    ranked = (
+        part.join(off_df, "pid")
+        .withColumn("rn", F.row_number().over(w_local) + F.col("off"))
+        .drop("pid", "off")
+    )
+    return ranked, total
+
+
+def _ntile_expr(n, total):
+    """Exact SQL NTILE(n) from a global 1-based rn: the first
+    (total % n) buckets hold (total // n) + 1 rows."""
+    q, r = divmod(total, n)
+    big = r * (q + 1)  # rows covered by the larger leading buckets
+    if q == 0:
+        return F.col("rn").cast("int")
+    return (
+        F.when(F.col("rn") <= big, ((F.col("rn") - 1) / (q + 1)).cast("int") + 1)
+        .otherwise(r + ((F.col("rn") - 1 - big) / q).cast("int") + 1)
+    )
+
+
 @register(
     "w3_ntile",
     oracle="""
@@ -65,12 +131,16 @@ def w2_rank_dense_rank(spark, sf_dir):
     """,
 )
 def w3_ntile(spark, sf_dir):
+    """Global NTILE — same semantics as the unpartitioned window, but
+    computed via the distributed rank machinery (_global_rank) so no
+    single task ever sees the whole table."""
     (orders,) = T(spark, sf_dir, "orders")
-    # Unpartitioned ntile is declared for parity but is single-task by
-    # construction; the scale path buckets by percent_rank over
-    # pre-aggregated distributions instead.
-    w = Window.orderBy(F.col("o_totalprice").asc_nulls_last(), F.col("o_orderkey").asc())
-    return orders.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+    ranked, total = _global_rank(
+        spark,
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").asc_nulls_last(), F.col("o_orderkey").asc()],
+    )
+    return ranked.select("o_orderkey", _ntile_expr(4, total).alias("quartile"))
 
 
 @register(
@@ -83,56 +153,17 @@ def w3_ntile(spark, sf_dir):
     """,
 )
 def w3b_ntile_distributed(spark, sf_dir):
-    """Distributed global ranking — the 100 TB form of w3/w4.
-
-    An unpartitioned window funnels the whole table through ONE task.
-    The scalable plan: range-repartition on the sort key, rank locally
-    per partition, then add per-partition row-count prefix offsets
-    (metadata-sized driver collect: one count per partition).  Global
-    rank = local rank + offset; NTILE/percent_rank follow closed-form
-    from (rank, total).  No stage touches more than one partition of
-    data, and the only global coordination is the N-row count exchange.
-    """
+    """NTILE + percent_rank together over one distributed global rank
+    (see _global_rank for the 100 TB plan shape)."""
     (orders,) = T(spark, sf_dir, "orders")
-    n_parts = spark.sparkContext.defaultParallelism
-    # total order: unique tiebreak key makes range boundaries unambiguous
-    part = orders.select("o_orderkey", "o_totalprice").repartitionByRange(
-        n_parts, F.col("o_totalprice").asc_nulls_last(), F.col("o_orderkey").asc()
-    ).withColumn("pid", F.spark_partition_id())
-    # persist: range boundaries are SAMPLED per job, so the counts job
-    # and the ranking job must share one materialization (at 100 TB:
-    # write the repartitioned table, then rank from it)
-    part = part.persist()
-    # per-partition counts -> prefix offsets; N rows, not data-sized
-    counts = {r["pid"]: r["cnt"] for r in part.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
-    total = sum(counts.values())
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_df = F.broadcast(
-        spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "pid INT, off BIGINT"
-        )
-    )
-    w_local = Window.partitionBy("pid").orderBy(
-        F.col("o_totalprice").asc_nulls_last(), F.col("o_orderkey").asc()
-    )
-    rn = (F.row_number().over(w_local) + F.col("off")).alias("rn")
-    ranked = part.join(off_df, "pid").select("o_orderkey", rn)
-    # exact SQL NTILE(n): first (total % n) buckets hold (total//n)+1 rows
-    n = 4
-    q, r = divmod(total, n)
-    big = r * (q + 1)  # rows covered by the larger leading buckets
-    quartile = (
-        F.when(F.col("rn") <= big, ((F.col("rn") - 1) / (q + 1)).cast("int") + 1)
-        .otherwise(r + ((F.col("rn") - 1 - big) / q).cast("int") + 1)
-        if q > 0
-        else F.col("rn").cast("int")
+    ranked, total = _global_rank(
+        spark,
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").asc_nulls_last(), F.col("o_orderkey").asc()],
     )
     return ranked.select(
         "o_orderkey",
-        quartile.alias("quartile"),
+        _ntile_expr(4, total).alias("quartile"),
         F.round((F.col("rn") - 1) / F.lit(max(total - 1, 1)), 9).alias("pr"),
     )
 
@@ -147,12 +178,20 @@ def w3b_ntile_distributed(spark, sf_dir):
     """,
 )
 def w4_percent_rank_cume_dist(spark, sf_dir):
+    """percent_rank / cume_dist via the distributed global rank: with a
+    unique tiebreak in the total order every peer group is a singleton,
+    so pr = (rn-1)/(total-1) and cd = rn/total exactly — no
+    single-partition window anywhere in the plan."""
     (supplier,) = T(spark, sf_dir, "supplier")
-    w = Window.orderBy(F.col("s_acctbal").asc_nulls_last(), F.col("s_suppkey").asc())
-    return supplier.select(
+    ranked, total = _global_rank(
+        spark,
+        supplier.select("s_suppkey", "s_acctbal"),
+        [F.col("s_acctbal").asc_nulls_last(), F.col("s_suppkey").asc()],
+    )
+    return ranked.select(
         "s_suppkey",
-        F.round(F.percent_rank().over(w), 9).alias("pr"),
-        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        F.round((F.col("rn") - 1) / F.lit(max(total - 1, 1)), 9).alias("pr"),
+        F.round(F.col("rn") / F.lit(total), 9).alias("cd"),
     )
 
 

@@ -95,14 +95,16 @@ def test_partitioned_window_has_no_single_partition_exchange(spark):
 
 
 def test_distributed_ntile_avoids_single_partition_window(spark):
-    """w3b is the scale path for global ranking: its window runs over
-    hash-partitioned pids, not one global partition."""
-    df = registry.queries()["w3b_ntile_distributed"](spark, SF_DIR)
-    plan = physical_plan(df)
-    assert "rangepartitioning" in plan.lower()
-    # the only window in the plan partitions by pid
-    assert "Window" in plan
-    spark.catalog.clearCache()
+    """w3, w3b, and w4 all ride _global_rank: the only window in each
+    plan partitions by pid over a range-partitioned exchange — no
+    declared query carries a single-partition window."""
+    for name in ("w3_ntile", "w3b_ntile_distributed", "w4_percent_rank_cume_dist"):
+        df = registry.queries()[name](spark, SF_DIR)
+        plan = physical_plan(df)
+        assert "rangepartitioning" in plan.lower(), name
+        assert "Window" in plan, name
+        assert "SinglePartition" not in plan, name
+        spark.catalog.clearCache()
 
 
 def test_asof_join_is_linear_union_not_join(spark):

@@ -18,16 +18,30 @@ Two mechanisms:
    ``timestampadd(day, n, x)``.  Rewrites never touch string literals,
    quoted identifiers, or comments.
 
-Deliberately out of scope (documented, not silently wrong): Joda vs
-SimpleDateFormat pattern tokens inside ``format_datetime``, Trino's
-``try(...)``, and type-parametric functions needing overloads
-(``contains(array<T>, T)`` — use Spark's ``array_contains``).
+Structural rewrites beyond renames (each literal-aware, loud on the
+shapes it can't express):
+
+- ``try(expr)`` → the matching Spark ``try_*`` function (ANSI mode is
+  on, so errors really do throw without it); unsupported bodies raise
+  ``TrinoCompatError`` instead of silently keeping throw-semantics.
+- ``UNNEST … WITH ORDINALITY`` → a LATERAL posexplode subquery with a
+  1-based ordinality column.
+- ``format_datetime(x, 'pattern')`` → ``date_format`` with the Joda
+  pattern tokens translated to Spark's DateTimeFormatter tokens (the
+  notorious one: Joda ``YYYY`` is year-of-era, Spark ``YYYY`` is
+  week-based-year — silently wrong around New Year without this).
+- ``contains(arr, x)`` → ``array_contains(arr, x)``.
 """
 
 from __future__ import annotations
 
 import re
 from typing import Iterator, List, Tuple
+
+
+class TrinoCompatError(ValueError):
+    """A Trino idiom this layer cannot faithfully express in Spark SQL —
+    failing loudly beats running with silently different semantics."""
 
 #: name → (args DDL, return type, body) — installed as Spark SQL UDFs.
 _COMPAT_SQL_UDFS = {
@@ -53,7 +67,9 @@ _RENAMES = [
     (re.compile(r"\bapprox_distinct\s*\(", re.IGNORECASE), "approx_count_distinct("),
     (re.compile(r"\bapprox_percentile\s*\(", re.IGNORECASE), "percentile_approx("),
     (re.compile(r"\barbitrary\s*\(", re.IGNORECASE), "any_value("),
-    (re.compile(r"\bformat_datetime\s*\(", re.IGNORECASE), "date_format("),
+    # Trino contains(array, elem) == Spark array_contains (exact-arity
+    # synonym; Trino's string containment is position/strpos, not this)
+    (re.compile(r"\bcontains\s*\(", re.IGNORECASE), "array_contains("),
     # bare CAST(x AS VARCHAR) — ubiquitous in Trino, and length-less
     # VARCHAR is unbounded there, so STRING is the faithful mapping
     # (VARCHAR(n) stays untouched).  Bare CHAR is NOT rewritten: Trino
@@ -152,16 +168,20 @@ def _segments(q: str) -> Iterator[Tuple[bool, str]]:
 
 
 _UNNEST_HEAD = re.compile(r"\bCROSS\s+JOIN\s+UNNEST\s*\(", re.IGNORECASE)
-_UNNEST_TAIL = re.compile(r"\s*(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*\)")
+_UNNEST_TAIL = re.compile(
+    r"\s*(?P<ord>WITH\s+ORDINALITY\s+)?(?:AS\s+)?(?P<alias>\w+)\s*"
+    r"\(\s*(?P<c1>\w+)\s*(?:,\s*(?P<c2>\w+)\s*)?\)",
+    re.IGNORECASE,
+)
 
 
 def _rewrite_unnest(q: str, code_at: List[bool]) -> str:
     """``CROSS JOIN UNNEST(expr) AS t(c)`` → ``LATERAL VIEW explode(expr)
-    t AS c``.  Balanced-paren scan over code positions only (the expr
-    itself may contain string literals, e.g. split(text, ' ')).
-    ``WITH ORDINALITY`` is NOT rewritten (posexplode is 0-based where
-    Trino ordinality is 1-based) — such queries fail analysis loudly
-    rather than silently shifting indexes.
+    t AS c``; ``… WITH ORDINALITY AS t(c, ord)`` → ``JOIN LATERAL
+    (SELECT col AS c, pos + 1 AS ord FROM posexplode(expr)) t`` (Trino
+    ordinality is 1-based; posexplode's pos is 0-based, hence the +1).
+    Balanced-paren scan over code positions only (the expr itself may
+    contain string literals, e.g. split(text, ' ')).
     """
     while True:
         m = None
@@ -183,14 +203,215 @@ def _rewrite_unnest(q: str, code_at: List[bool]) -> str:
             return q  # unbalanced — leave untouched
         expr = q[m.end() : i - 1]
         tail = _UNNEST_TAIL.match(q, i)
-        if not tail or "ordinality" in q[i : tail.end()].lower():
+        if not tail:
             return q
-        alias, col = tail.group(1), tail.group(2)
-        replacement = f"LATERAL VIEW explode({expr}) {alias} AS {col}"
+        alias, c1, c2 = tail.group("alias"), tail.group("c1"), tail.group("c2")
+        if tail.group("ord"):
+            if not c2:
+                raise TrinoCompatError(
+                    "UNNEST ... WITH ORDINALITY needs two column aliases: "
+                    "AS t(value_col, ordinality_col)"
+                )
+            replacement = (
+                f"JOIN LATERAL (SELECT col AS {c1}, pos + 1 AS {c2} "
+                f"FROM posexplode({expr})) {alias}"
+            )
+        elif c2:
+            return q  # multi-array UNNEST — out of scope, fail analysis loudly
+        else:
+            replacement = f"LATERAL VIEW explode({expr}) {alias} AS {c1}"
         q = q[: m.start()] + replacement + q[tail.end() :]
         # rebuild the code mask for the rewritten region (expr keeps its
         # own literal spans; the scaffolding we injected is code)
         code_at = _code_mask(q)
+
+
+#: try(expr) body shapes → Spark try_* functions.  ANSI mode is enabled
+#: session-wide, so arithmetic/cast errors genuinely throw — try() must
+#: map to a real error-suppressing form, and any body this table can't
+#: express raises TrinoCompatError rather than silently keeping
+#: throw-semantics.
+_TRY_FNS = {
+    "element_at": "try_element_at",
+    "to_timestamp": "try_to_timestamp",
+    "to_number": "try_to_number",
+    "to_binary": "try_to_binary",
+    "from_iso8601_timestamp": "try_to_timestamp",
+}
+_TRY_HEAD = re.compile(r"\btry\s*\(", re.IGNORECASE)
+_TRY_CAST = re.compile(r"^\s*CAST\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL)
+_TRY_CALL = re.compile(r"^\s*(\w+)\s*\((.*)\)\s*$", re.DOTALL)
+_TRY_BINOPS = [("/", "try_divide"), ("%", "try_mod"), ("*", "try_multiply"),
+               ("+", "try_add"), ("-", "try_subtract")]
+
+
+def _split_top_binop(body: str, op: str):
+    """Split ``body`` at the LAST top-level occurrence of ``op`` (left
+    associativity), or None.  '-' at expression start / after another
+    operator is unary, not a split point."""
+    mask = _code_mask(body)
+    depth = 0
+    best = -1
+    for i, ch in enumerate(body):
+        if not mask[i]:
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == op and depth == 0:
+            prev = body[:i].rstrip()
+            if not prev or prev[-1] in "+-*/%(,<>=":
+                continue  # unary sign or operator continuation
+            best = i
+    if best < 0:
+        return None
+    return body[:best], body[best + 1 :]
+
+
+def _try_replacement(body: str) -> str:
+    """Spark equivalent of Trino ``try(body)``."""
+    body = _rewrite_try(body)  # nested try()
+    m = _TRY_CAST.match(body)
+    if m:
+        return f"try_cast({m.group(1)})"
+    m = _TRY_CALL.match(body)
+    if m and m.group(1).lower() in _TRY_FNS:
+        return f"{_TRY_FNS[m.group(1).lower()]}({m.group(2)})"
+    for op, fn in _TRY_BINOPS:
+        parts = _split_top_binop(body, op)
+        if parts:
+            return f"{fn}({parts[0].strip()}, {parts[1].strip()})"
+    raise TrinoCompatError(
+        f"try({body.strip()[:60]}...): no Spark try_* equivalent for this "
+        "expression shape (supported: CAST, element_at, to_timestamp, "
+        "to_number, to_binary, and binary + - * / %)"
+    )
+
+
+def _rewrite_try(q: str) -> str:
+    """Rewrite every Trino ``try(expr)`` to its Spark ``try_*`` form."""
+    while True:
+        code_at = _code_mask(q)
+        m = None
+        for cand in _TRY_HEAD.finditer(q):
+            if code_at[cand.start()]:
+                m = cand
+                break
+        if m is None:
+            return q
+        depth, i = 1, m.end()
+        while i < len(q) and depth:
+            if code_at[i]:
+                if q[i] == "(":
+                    depth += 1
+                elif q[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth:
+            return q  # unbalanced — leave untouched, Spark will reject
+        q = q[: m.start()] + _try_replacement(q[m.end() : i - 1]) + q[i:]
+
+
+#: Joda-Time → Spark DateTimeFormatter pattern letters that DIFFER.
+#: Identical letters (y M d H m s S E a h K k w D G Q) pass through; the
+#: dangerous ones are mapped; Joda letters with no Spark equivalent
+#: (C century, e numeric day-of-week) raise.
+_JODA_RUN = {
+    "Y": "y",    # Joda Y = year-of-era; Spark Y = week-based-year (!)
+    "x": "Y",    # Joda x = week-year
+    "Z": "xx",   # +0800
+    "ZZ": "xxx",  # +08:00
+    "ZZZ": "VV",  # zone id
+}
+_JODA_BAD = set("Ce")
+
+
+def _translate_joda(pattern: str) -> str:
+    """Translate a Joda-Time datetime pattern to Spark's dialect."""
+    out: List[str] = []
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "'":  # quoted literal text (Joda and Spark agree on this)
+            j = i + 1
+            while j < n:
+                if pattern[j] == "'":
+                    if j + 1 < n and pattern[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(pattern[i : j + 1])
+            i = j + 1
+            continue
+        if ch.isalpha():
+            j = i
+            while j < n and pattern[j] == ch:
+                j += 1
+            run = pattern[i:j]
+            if ch in _JODA_BAD:
+                raise TrinoCompatError(
+                    f"format_datetime pattern letter {ch!r} (Joda) has no "
+                    "Spark equivalent"
+                )
+            if ch in ("Y", "x"):
+                out.append(_JODA_RUN[ch] * len(run))
+            elif ch == "Z":
+                out.append(_JODA_RUN[run if len(run) <= 3 else "ZZZ"])
+            else:
+                out.append(run)
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+_FMT_HEAD = re.compile(r"\bformat_datetime\s*\(", re.IGNORECASE)
+
+
+def _rewrite_format_datetime(q: str) -> str:
+    """``format_datetime(x, 'joda-pattern')`` → ``date_format(x,
+    'spark-pattern')``.  The pattern (2nd argument) must be a string
+    literal for token translation; non-literal patterns raise rather
+    than run with silently different tokens."""
+    while True:
+        code_at = _code_mask(q)
+        m = None
+        for cand in _FMT_HEAD.finditer(q):
+            if code_at[cand.start()]:
+                m = cand
+                break
+        if m is None:
+            return q
+        depth, i = 1, m.end()
+        comma = -1
+        while i < len(q) and depth:
+            if code_at[i]:
+                if q[i] == "(":
+                    depth += 1
+                elif q[i] == ")":
+                    depth -= 1
+                elif q[i] == "," and depth == 1:
+                    comma = i
+            i += 1
+        if depth:
+            return q
+        if comma < 0:
+            raise TrinoCompatError("format_datetime needs (value, 'pattern')")
+        pat = q[comma + 1 : i - 1].strip()
+        if not (len(pat) >= 2 and pat[0] == "'" and pat[-1] == "'"):
+            raise TrinoCompatError(
+                "format_datetime pattern must be a string literal for "
+                "Joda→Spark token translation"
+            )
+        translated = _translate_joda(pat[1:-1])
+        q = (
+            q[: m.start()]
+            + f"date_format({q[m.end():comma]}, '{translated}')"
+            + q[i:]
+        )
 
 
 def _code_mask(q: str) -> List[bool]:
@@ -206,6 +427,8 @@ def _code_mask(q: str) -> List[bool]:
 def translate(query: str) -> str:
     """Rewrite Trino-only idioms to Spark SQL, outside literals/comments."""
     query = _rewrite_unnest(query, _code_mask(query))
+    query = _rewrite_try(query)
+    query = _rewrite_format_datetime(query)
     segs = list(_segments(query))
     out: List[str] = []
     i = 0

@@ -117,9 +117,13 @@ def test_unnest_rewrite():
     # inside a literal: untouched
     lit = "SELECT 'CROSS JOIN UNNEST(x) AS t(c)' AS s"
     assert translate(lit) == lit
-    # WITH ORDINALITY: left alone (0- vs 1-based) so analysis fails loudly
+    # WITH ORDINALITY: rewritten to a LATERAL posexplode subquery (1-based)
     qo = "SELECT * FROM t CROSS JOIN UNNEST(arr) WITH ORDINALITY AS u(c, i)"
-    assert "UNNEST" in translate(qo)
+    assert (
+        translate(qo)
+        == "SELECT * FROM t JOIN LATERAL (SELECT col AS c, pos + 1 AS i "
+        "FROM posexplode(arr)) u"
+    )
 
 
 def test_unnest_end_to_end(spark):
@@ -174,3 +178,83 @@ def test_bare_varchar_char_casts(spark):
     assert "AS CHAR)" in translate("SELECT CAST(x AS CHAR) FROM t")
     with pytest.raises(Exception):
         run(spark, "SELECT CAST(c_mktsegment AS CHAR) AS seg FROM customer LIMIT 1")
+
+
+# --- round-2 dialect additions: try(), WITH ORDINALITY, Joda tokens,
+# contains() -----------------------------------------------------------------
+
+
+def test_try_rewrites():
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    assert translate("SELECT try(a / b)") == "SELECT try_divide(a, b)"
+    assert translate("SELECT try(CAST(x AS INT))") == "SELECT try_cast(x AS INT)"
+    assert translate("SELECT try(element_at(arr, 5))") == "SELECT try_element_at(arr, 5)"
+    assert (
+        translate("SELECT try(x + 1) + try(y - 2)")
+        == "SELECT try_add(x, 1) + try_subtract(y, 2)"
+    )
+    # unary minus is not a split point
+    assert translate("SELECT try(-x / y)") == "SELECT try_divide(-x, y)"
+    # literals containing try( are untouched
+    assert translate("SELECT 'try(a/b)'") == "SELECT 'try(a/b)'"
+    with pytest.raises(TrinoCompatError):
+        translate("SELECT try(json_parse(x))")
+
+
+def test_try_end_to_end(spark):
+    rows = run(
+        spark,
+        "SELECT try(1 / 0) AS a, try(CAST('nope' AS INTEGER)) AS b, "
+        "try(2 + 2) AS c, try(element_at(ARRAY(1, 2), 99)) AS d",
+    )
+    assert rows[0] == {"a": None, "b": None, "c": 4, "d": None}
+
+
+def test_with_ordinality_rewrite():
+    q = translate(
+        "SELECT t.w, t.nr FROM documents CROSS JOIN "
+        "UNNEST(split(text, ' ')) WITH ORDINALITY AS t(w, nr)"
+    )
+    assert "JOIN LATERAL" in q and "posexplode" in q and "pos + 1 AS nr" in q
+
+
+def test_with_ordinality_end_to_end(spark):
+    rows = run(
+        spark,
+        "SELECT t.w, t.nr FROM (SELECT 'a b c' AS s) v "
+        "CROSS JOIN UNNEST(split(v.s, ' ')) WITH ORDINALITY AS t(w, nr) "
+        "ORDER BY t.nr",
+    )
+    assert rows == [
+        {"w": "a", "nr": 1},
+        {"w": "b", "nr": 2},
+        {"w": "c", "nr": 3},
+    ]
+
+
+def test_format_datetime_joda_tokens(spark):
+    # Joda YYYY = year-of-era; Spark YYYY = week-based-year.  2027-01-01
+    # falls in ISO week-year 2026 — the untranslated pattern would print
+    # 2026 for Joda's 2027.
+    rows = run(
+        spark,
+        "SELECT format_datetime(TIMESTAMP '2027-01-01 10:30:00', "
+        "'YYYY-MM-dd HH:mm') AS s",
+    )
+    assert rows[0]["s"] == "2027-01-01 10:30"
+
+
+def test_format_datetime_rejects_untranslatable():
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    with pytest.raises(TrinoCompatError):
+        translate("SELECT format_datetime(ts, 'e')")  # Joda day-of-week number
+    with pytest.raises(TrinoCompatError):
+        translate("SELECT format_datetime(ts, some_col)")  # non-literal pattern
+
+
+def test_contains_end_to_end(spark):
+    rows = run(spark, "SELECT contains(ARRAY(1, 2, 3), 2) AS a, "
+                      "contains(ARRAY(1, 2, 3), 9) AS b")
+    assert rows[0] == {"a": True, "b": False}

@@ -226,15 +226,43 @@ class _HTTPHandler:
     POST /mcp (and legacy /sse) carries one JSON-RPC message per request;
     GET /status is the health probe; CORS headers match the reference.
     Built on stdlib http.server — no SDK in this container.
+
+    Auth (reference server.go:170-215 wraps the HTTP transport in OAuth
+    middleware): when ``auth_token`` is set, every MCP endpoint requires
+    ``Authorization: Bearer <token>`` and replies 401 with a
+    ``WWW-Authenticate`` challenge otherwise.  A static shared token
+    stands in for the reference's OAuth/JWT chain — same enforcement
+    point, no identity provider in this environment.  ``/status`` stays
+    open (health probes don't carry credentials).
     """
 
     @staticmethod
-    def make(server: "MCPServer"):
+    def make(server: "MCPServer", auth_token: Optional[str] = None):
+        import hmac
         from http.server import BaseHTTPRequestHandler
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
                 pass
+
+            def _authorized(self) -> bool:
+                if not auth_token:
+                    return True
+                header = self.headers.get("Authorization", "")
+                scheme, _, token = header.partition(" ")
+                return scheme.lower() == "bearer" and hmac.compare_digest(
+                    token.strip(), auth_token
+                )
+
+            def _deny(self):
+                body = b'{"error":"unauthorized"}'
+                self.send_response(401)
+                self._cors()
+                self.send_header("WWW-Authenticate", 'Bearer realm="mcp"')
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
 
             def _cors(self):
                 self.send_header("Access-Control-Allow-Origin", "*")
@@ -262,6 +290,9 @@ class _HTTPHandler:
                 if self.path not in ("/mcp", "/sse"):
                     self._reply(404, b'{"error":"not found"}')
                     return
+                if not self._authorized():
+                    self._deny()
+                    return
                 n = int(self.headers.get("Content-Length", 0))
                 try:
                     msg = json.loads(self.rfile.read(n))
@@ -277,11 +308,19 @@ class _HTTPHandler:
         return Handler
 
 
-def serve_http(host: str = "localhost", port: int = 8080) -> None:
-    """Blocking HTTP transport: /mcp, /sse (legacy), /status."""
+def serve_http(
+    host: str = "localhost", port: int = 8080, auth_token: Optional[str] = None
+) -> None:
+    """Blocking HTTP transport: /mcp, /sse (legacy), /status.  Set
+    ``auth_token`` (env: MCP_AUTH_TOKEN) to require bearer auth."""
+    import os
     from http.server import ThreadingHTTPServer
 
-    httpd = ThreadingHTTPServer((host, port), _HTTPHandler.make(MCPServer()))
+    if auth_token is None:
+        auth_token = os.environ.get("MCP_AUTH_TOKEN") or None
+    httpd = ThreadingHTTPServer(
+        (host, port), _HTTPHandler.make(MCPServer(), auth_token=auth_token)
+    )
     httpd.serve_forever()
 
 

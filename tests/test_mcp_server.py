@@ -180,3 +180,51 @@ def test_reference_doc_examples_run(server):
     plan = json.loads(text)[0]["plan"]
     # Spark's Exchange nodes are the doc's 'Fragment' boundaries
     assert "Exchange" in plan and "HashAggregate" in plan
+
+
+def test_http_bearer_auth(server):
+    """With an auth token configured (reference server.go:170-215 wraps
+    the HTTP transport in auth middleware), MCP endpoints demand
+    `Authorization: Bearer <token>`: missing/wrong token → 401 +
+    WWW-Authenticate; correct token → 200; /status stays open."""
+    import json as _json
+    import threading
+    import urllib.error
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from server.mcp_server import _HTTPHandler
+
+    httpd = ThreadingHTTPServer(
+        ("localhost", 0), _HTTPHandler.make(server, auth_token="s3cret")
+    )
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        base = f"http://localhost:{port}"
+        payload = _json.dumps({"jsonrpc": "2.0", "id": 1, "method": "ping"}).encode()
+
+        def post(headers):
+            req = urllib.request.Request(
+                f"{base}/mcp", data=payload,
+                headers={"Content-Type": "application/json", **headers},
+            )
+            with urllib.request.urlopen(req) as r:
+                return r.status
+
+        # no token / wrong token / wrong scheme → 401 with challenge
+        for hdrs in ({}, {"Authorization": "Bearer wrong"},
+                     {"Authorization": "Basic s3cret"}):
+            try:
+                post(hdrs)
+                raise AssertionError(f"expected 401 for {hdrs}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 401
+                assert e.headers["WWW-Authenticate"].startswith("Bearer")
+
+        assert post({"Authorization": "Bearer s3cret"}) == 200
+        # health probe carries no credentials and must stay open
+        with urllib.request.urlopen(f"{base}/status") as r:
+            assert r.status == 200
+    finally:
+        httpd.shutdown()

@@ -135,7 +135,7 @@ _PRIORITY = [
     "s7_merge_upsert",
     "s7b_update",
     "s7c_delete",
-    "s3_values_relation",
+    "s4_memory_table",
     # façade
     "f5_table_schema",
     "f6_explain_distributed",

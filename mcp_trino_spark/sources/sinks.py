@@ -345,3 +345,39 @@ def s2b_multiformat_roundtrip(spark, sf_dir):
         F.count("*").alias("n"),
         dsum("n_nationkey").alias("key_sum"),
     )
+
+
+@register(
+    "s4_memory_table",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def s4_memory_table(spark, sf_dir):
+    """Memory-catalog equivalent (SURVEY §2.2 S4; reference
+    trino-conf/catalog/memory.properties + config.go:203): a table
+    materialized in cluster RAM via CACHE TABLE ... AS SELECT, read
+    back from the in-memory relation (InMemoryTableScan, no parquet
+    re-scan), then dropped so the catalog surface stays
+    execution-order independent."""
+    from mcp_trino_spark.sources import cache as cache_api
+
+    register_tables(spark, sf_dir)
+    cache_api.drop_memory_table(spark, _WRITE_CFG, "mem_segments")
+    cache_api.create_memory_table(
+        spark,
+        _WRITE_CFG,
+        "mem_segments",
+        """
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal
+        FROM customer GROUP BY c_mktsegment
+        """,
+    )
+    assert cache_api.is_cached(spark, "mem_segments")
+    result = spark.table("mem_segments")
+    rows, schema = result.collect(), result.schema
+    cache_api.drop_memory_table(spark, _WRITE_CFG, "mem_segments")
+    return spark.createDataFrame(rows, schema)

@@ -192,3 +192,52 @@ def test_registry_first_50_spans_every_family():
     # oracle-backed entries should dominate the graded window
     oracles = registry.oracle_sql()
     assert sum(1 for n in names if n in oracles) >= 45
+
+
+def test_cache_api_surface(spark, sf_dir):
+    """S4 memory catalog: create/list/read/drop + gates (write flag,
+    allowlist, read-only definition) + InMemoryTableScan plan shape."""
+    import pytest
+
+    from mcp_trino_spark.allowlist import Allowlists
+    from mcp_trino_spark.catalog_api import TableNotAllowed
+    from mcp_trino_spark.config import EngineConfig
+    from mcp_trino_spark.execute import WriteQueryNotAllowed
+    from mcp_trino_spark.sources import cache as cache_api
+    from mcp_trino_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    wcfg = EngineConfig(allow_write_queries=True)
+
+    # write gate
+    with pytest.raises(WriteQueryNotAllowed):
+        cache_api.create_memory_table(spark, EngineConfig(), "m1", "SELECT 1 AS x")
+    # read-only definition enforced
+    with pytest.raises(WriteQueryNotAllowed):
+        cache_api.create_memory_table(spark, wcfg, "m1", "DROP TABLE nation")
+    # allowlist gate
+    deny = EngineConfig(
+        allow_write_queries=True,
+        allowlists=Allowlists(tables=["spark_catalog.default.other"]),
+    )
+    with pytest.raises(TableNotAllowed):
+        cache_api.create_memory_table(spark, deny, "m1", "SELECT 1 AS x")
+
+    cache_api.create_memory_table(
+        spark, wcfg, "m1", "SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY 1"
+    )
+    try:
+        assert cache_api.is_cached(spark, "m1")
+        assert "m1" in cache_api.list_cached_tables(spark, wcfg)
+        plan = spark.table("m1")._jdf.queryExecution().executedPlan().toString()
+        assert "In-memory table" in plan or "InMemoryRelation" in plan
+        assert spark.table("m1").count() == 5
+    finally:
+        cache_api.drop_memory_table(spark, wcfg, "m1")
+    assert "m1" not in [t.name for t in spark.catalog.listTables()]
+
+    # plain cache/uncache of an existing view
+    cache_api.cache_table(spark, wcfg, "nation")
+    assert cache_api.is_cached(spark, "nation")
+    cache_api.uncache_table(spark, wcfg, "nation")
+    assert not cache_api.is_cached(spark, "nation")

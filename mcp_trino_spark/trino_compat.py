@@ -59,6 +59,19 @@ _COMPAT_SQL_UDFS = {
     # Trino truncate(x): round toward zero
     "truncate": ("(x DOUBLE)", "DOUBLE", "sign(x) * floor(abs(x))"),
     "to_hex": ("(x BINARY)", "STRING", "upper(hex(x))"),
+    # Trino's JSON type round-trips as strings in this engine: parse is
+    # identity (downstream json_extract* already take strings), format
+    # likewise
+    "json_parse": ("(j STRING)", "STRING", "j"),
+    "json_format": ("(j STRING)", "STRING", "j"),
+    "to_iso8601": (
+        "(t TIMESTAMP)",
+        "STRING",
+        "date_format(t, \"yyyy-MM-dd'T'HH:mm:ss.SSS\")",
+    ),
+    "nan": ("()", "DOUBLE", "CAST('NaN' AS DOUBLE)"),
+    "infinity": ("()", "DOUBLE", "CAST('Infinity' AS DOUBLE)"),
+    "is_nan": ("(x DOUBLE)", "BOOLEAN", "isnan(x)"),
 }
 
 #: plain renames applied outside literals (aggregates and exact-arity
@@ -224,6 +237,134 @@ def _rewrite_unnest(q: str, code_at: List[bool]) -> str:
         # rebuild the code mask for the rewritten region (expr keeps its
         # own literal spans; the scaffolding we injected is code)
         code_at = _code_mask(q)
+
+
+def _find_call(q: str, head: "re.Pattern", start: int = 0):
+    """First code-position match of ``head`` (a ``name\\s*\\(`` pattern)
+    at/after ``start``, plus the span of its balanced argument list.
+    Returns ``(match, body_start, body_end)`` with ``q[body_start:body_end]``
+    the text between the parens, or ``None``."""
+    code_at = _code_mask(q)
+    m = None
+    for cand in head.finditer(q, start):
+        if code_at[cand.start()]:
+            m = cand
+            break
+    if m is None:
+        return None
+    depth, i = 1, m.end()
+    while i < len(q) and depth:
+        if code_at[i]:
+            if q[i] == "(":
+                depth += 1
+            elif q[i] == ")":
+                depth -= 1
+        i += 1
+    if depth:
+        return None  # unbalanced — leave untouched, Spark will reject
+    return m, m.end(), i - 1
+
+
+def _split_top_args(body: str) -> List[str]:
+    """Split an argument list on top-level commas (paren/literal-aware)."""
+    mask = _code_mask(body)
+    parts, depth, last = [], 0, 0
+    for i, ch in enumerate(body):
+        if not mask[i]:
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(body[last:i])
+            last = i + 1
+    parts.append(body[last:])
+    return [p.strip() for p in parts]
+
+
+_SPLIT_HEAD = re.compile(r"\bsplit\s*\(", re.IGNORECASE)
+
+
+def _rewrite_split(q: str) -> str:
+    """Trino ``split(s, delim[, limit])`` treats the delimiter as a
+    LITERAL; Spark's is a regex — ``split(s, '.')`` silently returns
+    empty strings.  Literal delimiters get regex-escaped; non-literal
+    delimiters raise (can't escape at translate time)."""
+    import re as _re
+
+    pos = 0
+    while True:
+        found = _find_call(q, _SPLIT_HEAD, pos)
+        if found is None:
+            return q
+        m, b0, b1 = found
+        args = _split_top_args(q[b0:b1])
+        if len(args) not in (2, 3):
+            raise TrinoCompatError("split() takes (string, delimiter[, limit])")
+        delim = args[1]
+        if not (len(delim) >= 2 and delim[0] == "'" and delim[-1] == "'"):
+            raise TrinoCompatError(
+                "split() delimiter must be a string literal (Trino treats "
+                "it literally; Spark as a regex — escape it yourself for "
+                "non-literal delimiters)"
+            )
+        # unescape SQL '' doubling, regex-escape, re-escape for the SQL
+        # literal (backslashes double inside Spark string literals)
+        content = delim[1:-1].replace("''", "'")
+        escaped = _re.escape(content).replace("\\", "\\\\").replace("'", "''")
+        args[1] = f"'{escaped}'"
+        q = q[: m.start()] + f"split({', '.join(args)})" + q[b1 + 1 :]
+        # resume INSIDE the rewritten call (past the open paren): the
+        # call itself is never re-matched, nested calls in args still are
+        pos = m.start() + len("split(")
+
+
+_PARSE_DT_HEAD = re.compile(r"\bparse_datetime\s*\(", re.IGNORECASE)
+
+
+def _rewrite_parse_datetime(q: str) -> str:
+    """Trino ``parse_datetime(s, 'joda-pattern')`` → Spark
+    ``to_timestamp(s, 'spark-pattern')`` via the same Joda token
+    translation as format_datetime."""
+    while True:
+        found = _find_call(q, _PARSE_DT_HEAD)
+        if found is None:
+            return q
+        m, b0, b1 = found
+        args = _split_top_args(q[b0:b1])
+        if len(args) != 2:
+            raise TrinoCompatError("parse_datetime needs (string, 'pattern')")
+        pat = args[1]
+        if not (len(pat) >= 2 and pat[0] == "'" and pat[-1] == "'"):
+            raise TrinoCompatError(
+                "parse_datetime pattern must be a string literal for "
+                "Joda→Spark token translation"
+            )
+        translated = _translate_joda(pat[1:-1])
+        q = q[: m.start()] + f"to_timestamp({args[0]}, '{translated}')" + q[b1 + 1 :]
+
+
+_MAP_AGG_HEAD = re.compile(r"\bmap_agg\s*\(", re.IGNORECASE)
+
+
+def _rewrite_map_agg(q: str) -> str:
+    """Trino ``map_agg(k, v)`` aggregate → Spark
+    ``map_from_entries(collect_list(struct(k, v)))`` (pure composition,
+    still a single grouped aggregate plan-side)."""
+    while True:
+        found = _find_call(q, _MAP_AGG_HEAD)
+        if found is None:
+            return q
+        m, b0, b1 = found
+        args = _split_top_args(q[b0:b1])
+        if len(args) != 2:
+            raise TrinoCompatError("map_agg needs (key, value)")
+        q = (
+            q[: m.start()]
+            + f"map_from_entries(collect_list(struct({args[0]}, {args[1]})))"
+            + q[b1 + 1 :]
+        )
 
 
 #: try(expr) body shapes → Spark try_* functions.  ANSI mode is enabled
@@ -429,6 +570,9 @@ def translate(query: str) -> str:
     query = _rewrite_unnest(query, _code_mask(query))
     query = _rewrite_try(query)
     query = _rewrite_format_datetime(query)
+    query = _rewrite_parse_datetime(query)
+    query = _rewrite_split(query)
+    query = _rewrite_map_agg(query)
     segs = list(_segments(query))
     out: List[str] = []
     i = 0

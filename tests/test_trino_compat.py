@@ -110,9 +110,12 @@ def test_spark_dialect_untouched(spark):
 
 def test_unnest_rewrite():
     q = "SELECT d.doc_id, t.w FROM documents d CROSS JOIN UNNEST(split(d.text, ' ')) AS t(w)"
+    # the split delimiter also gets Trino-literal escaping ('\\ ' in the
+    # SQL literal = regex `\ ` = a literal space)
     assert (
         translate(q)
-        == "SELECT d.doc_id, t.w FROM documents d LATERAL VIEW explode(split(d.text, ' ')) t AS w"
+        == "SELECT d.doc_id, t.w FROM documents d LATERAL VIEW "
+        "explode(split(d.text, '\\\\ ')) t AS w"
     )
     # inside a literal: untouched
     lit = "SELECT 'CROSS JOIN UNNEST(x) AS t(c)' AS s"
@@ -258,3 +261,48 @@ def test_contains_end_to_end(spark):
     rows = run(spark, "SELECT contains(ARRAY(1, 2, 3), 2) AS a, "
                       "contains(ARRAY(1, 2, 3), 9) AS b")
     assert rows[0] == {"a": True, "b": False}
+
+
+def test_split_literal_delimiter(spark):
+    """Trino split() is literal; Spark's is regex — '.' must not split
+    on every character."""
+    rows = run(spark, "SELECT split('a.b.c', '.') AS x, split('a b', ' ') AS y")
+    assert rows[0]["x"] == ["a", "b", "c"]
+    assert rows[0]["y"] == ["a", "b"]
+    # nested split calls both get escaped
+    rows = run(spark, "SELECT split(split('a.b|c.d', '|')[1], '.') AS x")
+    assert rows[0]["x"] == ["c", "d"]
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    with pytest.raises(TrinoCompatError):
+        translate("SELECT split(s, some_col) FROM t")  # non-literal delim
+
+
+def test_parse_datetime_and_iso8601(spark):
+    rows = run(
+        spark,
+        "SELECT parse_datetime('2027/01/05 08:30', 'YYYY/MM/dd HH:mm') AS t, "
+        "to_iso8601(TIMESTAMP '2026-03-04 05:06:07.890') AS s",
+    )
+    assert rows[0]["t"] == datetime.datetime(2027, 1, 5, 8, 30)
+    assert rows[0]["s"] == "2026-03-04T05:06:07.890"
+
+
+def test_map_agg_and_json_roundtrip(spark):
+    rows = run(
+        spark,
+        "SELECT map_agg(k, v) AS m FROM (VALUES (1, 'a'), (2, 'b')) AS t(k, v)",
+    )
+    assert rows[0]["m"] == {1: "a", 2: "b"}
+    rows = run(
+        spark,
+        "SELECT json_extract_scalar(json_parse('{\"k\": 5}'), '$.k') AS x, "
+        "json_format(json_parse('[1,2]')) AS y",
+    )
+    assert rows[0] == {"x": "5", "y": "[1,2]"}
+
+
+def test_nan_infinity(spark):
+    rows = run(spark, "SELECT is_nan(nan()) AS a, infinity() AS b")
+    assert rows[0]["a"] is True
+    assert rows[0]["b"] == float("inf")

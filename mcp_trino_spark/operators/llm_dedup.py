@@ -118,6 +118,13 @@ def l2_minhash_lsh_pairs(spark, sf_dir):
     """
     (docs,) = T(spark, sf_dir, "documents")
     docs = spread(docs)  # parallelize the hash fan-out (see _util.spread)
+    return minhash_lsh_pairs_plan(docs)
+
+
+def minhash_lsh_pairs_plan(docs):
+    """The l2 plan over an arbitrary documents frame (doc_id, text) —
+    parameterized so tools/scaling_check.py can drive it at synthetic
+    10× scale.  See l2_minhash_lsh_pairs for the design rationale."""
     n = F.greatest(F.length("text") - (SHINGLE_LEN - 1), F.lit(1))
     # NB: no DISTINCT on shingles — MIN is duplicate-insensitive, and the
     # dedup shuffle would cost more than the duplicate hashing it saves.

@@ -49,8 +49,27 @@ def timed(df: DataFrame) -> float:
     return time.perf_counter() - t0
 
 
-def main() -> None:
-    spark = get_spark("scaling")
+def report(name: str, n_rows_1x: int, t1: float, t10: float) -> None:
+    import math
+
+    exponent = math.log(t10 / t1) / math.log(COPIES)
+    print(
+        json.dumps(
+            {
+                "plan": name,
+                "rows_1x": n_rows_1x,
+                "rows_10x": n_rows_1x * COPIES,
+                "sec_1x": round(t1, 3),
+                "sec_10x": round(t10, 3),
+                "ratio": round(t10 / t1, 2),
+                "scaling_exponent": round(exponent, 3),
+                "verdict": "linear-ish" if exponent < 1.15 else "SUPERLINEAR — investigate",
+            }
+        )
+    )
+
+
+def check_flagship(spark) -> None:
     li = load_table(spark, SF_DIR, "lineitem")
     od = load_table(spark, SF_DIR, "orders")
     cu = load_table(spark, SF_DIR, "customer")
@@ -66,23 +85,53 @@ def main() -> None:
     od10 = replicate(od, ["o_orderkey"], COPIES)  # o_custkey NOT shifted: same dims join
     big = flagship_plan(re, na, cu, od10, li10)
     t10 = min(timed(big) for _ in range(2))
+    report("flagship_star_join", n_rows_1x, t1, t10)
 
-    import math
 
-    exponent = math.log(t10 / t1) / math.log(COPIES)
-    print(
-        json.dumps(
-            {
-                "rows_1x": n_rows_1x,
-                "rows_10x": n_rows_1x * COPIES,
-                "sec_1x": round(t1, 3),
-                "sec_10x": round(t10, 3),
-                "ratio": round(t10 / t1, 2),
-                "scaling_exponent": round(exponent, 3),
-                "verdict": "linear-ish" if exponent < 1.15 else "SUPERLINEAR — investigate",
-            }
+def check_minhash_lsh(spark) -> None:
+    """LSH dedup at 10×: replicas get a per-copy text suffix so they do
+    NOT near-match each other — candidate-pair cardinality then grows
+    like real corpus growth (×copies), not quadratically, and the
+    measurement isolates the PLAN's scaling (signature agg + band
+    join), not a synthetic-data artifact."""
+    from mcp_trino_spark.operators.llm_dedup import minhash_lsh_pairs_plan
+
+    def timed_fresh(frame) -> float:
+        # the plan persists its signature table — rebuild + clear cache
+        # per run so no timing reuses a previous run's materialization
+        t = timed(minhash_lsh_pairs_plan(frame))
+        spark.catalog.clearCache()
+        return t
+
+    from mcp_trino_spark.operators._util import spread
+
+    # spread() is part of the shipped l2 plan (single-file local scans
+    # otherwise pin the hash fan-out to one task)
+    docs = spread(load_table(spark, SF_DIR, "documents")).select("doc_id", "text")
+    n_rows_1x = docs.count()
+    timed_fresh(docs)  # warm
+    t1 = min(timed_fresh(docs) for _ in range(2))
+
+    shift = 10_000_000
+    reps = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * shift)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" replica-{i}")).alias("text"),
         )
-    )
+        for i in range(COPIES)
+    ]
+    big_docs = reps[0]
+    for r in reps[1:]:
+        big_docs = big_docs.unionByName(r)
+    t10 = min(timed_fresh(big_docs) for _ in range(2))
+    report("minhash_lsh_dedup", n_rows_1x, t1, t10)
+
+
+def main() -> None:
+    spark = get_spark("scaling")
+    check_flagship(spark)
+    spark.catalog.clearCache()
+    check_minhash_lsh(spark)
 
 
 if __name__ == "__main__":

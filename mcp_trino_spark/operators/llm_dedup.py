@@ -376,3 +376,109 @@ def l16_decontamination(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hit_grams"))
     )
+
+
+def _dup_clusters_oracle() -> str:
+    """Connected components of the LSH pair graph by transitive closure
+    (recursive CTE): each node's cluster id = min doc_id it can reach.
+    The pair set is the l2 oracle verbatim, so both engines cluster the
+    IDENTICAL graph."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_lsh_oracle()}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS cluster_id,
+           CAST(MIN(lab) = node AS BOOLEAN) AS is_keeper
+    FROM reach GROUP BY node
+    """
+
+
+@register("l20_dup_clusters", oracle=_dup_clusters_oracle())
+def l20_dup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTER formation: connected components over the
+    MinHash/LSH pair graph — the step that turns pairwise matches into
+    keep/drop decisions (cluster id = min doc_id in the component;
+    ``is_keeper`` marks the one document to retain per cluster).
+
+    Spark shape: iterative min-label propagation with pointer jumping —
+    per round each node takes min(own label, neighbors' labels) via ONE
+    edge join + hash agg, then follows its label's label (path halving),
+    so convergence is O(log component-size) rounds, not O(diameter).
+    Each round ends in ``localCheckpoint`` — MANDATORY for iterative
+    DataFrame algorithms: without it the logical plan nests per round
+    and Catalyst analysis time grows superlinearly (observed: the
+    un-checkpointed loop took >300 s at sf0.01; checkpointed, seconds).
+    The driver sees only a single convergence count per round
+    (metadata-sized), never data rows.  At 100 TB each round is one
+    shuffle on doc_id with state bounded per key — the standard Spark
+    connected-components pattern (cf. large-star/small-star).
+    """
+    (docs,) = T(spark, sf_dir, "documents")
+    return _propagate_clusters(minhash_lsh_pairs_plan(spread(docs)))
+
+
+def _propagate_clusters(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation + pointer jumping over a (doc_a, doc_b)
+    pair frame; returns (doc_id, cluster_id, is_keeper).  See
+    l20_dup_clusters for the scale rationale."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for _ in range(15):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        stepped = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
+            )
+        )
+        # Pointer jump: lab := label-of(lab).  Halves remaining path
+        # lengths each round, turning long chains into O(log) rounds.
+        parents = stepped.select(
+            F.col("node").alias("p_node"), F.col("lab").alias("p_lab")
+        )
+        new_labels = (
+            stepped.join(parents, stepped["lab"] == parents["p_node"], "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce(F.col("p_lab"), F.col("lab"))).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("lab").alias("cluster_id"),
+        (F.col("lab") == F.col("node")).alias("is_keeper"),
+    )

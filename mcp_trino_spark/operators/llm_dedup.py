@@ -401,8 +401,8 @@ def _dup_clusters_oracle() -> str:
     """
 
 
-@register("l20_dup_clusters", oracle=_dup_clusters_oracle())
-def l20_dup_clusters(spark, sf_dir):
+@register("l21_dup_clusters", oracle=_dup_clusters_oracle())
+def l21_dup_clusters(spark, sf_dir):
     """Near-duplicate CLUSTER formation: connected components over the
     MinHash/LSH pair graph — the step that turns pairwise matches into
     keep/drop decisions (cluster id = min doc_id in the component;
@@ -428,7 +428,7 @@ def l20_dup_clusters(spark, sf_dir):
 def _propagate_clusters(pairs: DataFrame) -> DataFrame:
     """Min-label propagation + pointer jumping over a (doc_a, doc_b)
     pair frame; returns (doc_id, cluster_id, is_keeper).  See
-    l20_dup_clusters for the scale rationale."""
+    l21_dup_clusters for the scale rationale."""
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))

@@ -1,7 +1,7 @@
 """Connected-components clustering over the LSH pair graph (l20).
 
 Drives the same iterative min-label/pointer-jump loop as
-l20_dup_clusters but on hand-built graphs where the expected components
+l21_dup_clusters but on hand-built graphs where the expected components
 are obvious — a long chain (worst case for plain label propagation,
 where pointer jumping must converge in O(log n) rounds) and disjoint
 components mixed with singletons implied by the pair graph.

@@ -482,3 +482,66 @@ def _propagate_clusters(pairs: DataFrame) -> DataFrame:
         F.col("lab").alias("cluster_id"),
         (F.col("lab") == F.col("node")).alias("is_keeper"),
     )
+
+
+def _dedup_apply_oracle() -> str:
+    """Kept corpus after near-dup removal: docs outside the pair graph
+    survive as 'unique'; inside a component only the min doc_id
+    survives, as 'cluster_keeper'.  (Exact duplicates shingle to
+    identical signatures, so they land in the same LSH component and
+    the min-id rule subsumes exact dedup.)"""
+    return f"""
+    WITH RECURSIVE pairs AS ({_lsh_oracle()}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, d.source, d.lang,
+           CASE WHEN c.doc_id IS NULL THEN 'unique'
+                ELSE 'cluster_keeper' END AS keep_reason
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    """
+
+
+@register("l22_dedup_apply", oracle=_dedup_apply_oracle())
+def l22_dedup_apply(spark, sf_dir):
+    """END-TO-END dedup application — the step a training pipeline
+    actually ships: documents → LSH pair graph → connected components →
+    keep one doc per near-dup cluster, pass uniques through.
+
+    Spark shape: the corpus joins the (tiny relative to corpus) cluster
+    label table once, left + filter — documents themselves are never
+    shuffled by the clustering loop (labels are doc_id/cluster_id longs
+    only).  At 100 TB the label table is a few % of doc count × 16
+    bytes, broadcastable or a cheap shuffle join on the long key, and
+    the kept corpus streams out without touching text bytes twice.
+    """
+    (docs,) = T(spark, sf_dir, "documents")
+    clusters = _propagate_clusters(minhash_lsh_pairs_plan(spread(docs)))
+    c = clusters.select("doc_id", "cluster_id").alias("c")
+    d = docs.alias("d")
+    return (
+        d.join(c, F.col("d.doc_id") == F.col("c.doc_id"), "left")
+        .filter(
+            F.col("c.doc_id").isNull()
+            | (F.col("c.cluster_id") == F.col("d.doc_id"))
+        )
+        .select(
+            F.col("d.doc_id").alias("doc_id"),
+            F.col("d.source").alias("source"),
+            F.col("d.lang").alias("lang"),
+            F.when(F.col("c.doc_id").isNull(), "unique")
+            .otherwise("cluster_keeper")
+            .alias("keep_reason"),
+        )
+    )

@@ -622,3 +622,70 @@ def l20_pii_scrub(spark, sf_dir):
     )
     had_email = F.length(text_pii) - F.length(F.regexp_replace(text_pii, email_re, "")) > 0
     return docs.select("doc_id", scrubbed.alias("scrubbed"), had_email.alias("had_email"))
+
+
+@register(
+    "l23_stratified_sample",
+    oracle="""
+    WITH rates AS (
+      SELECT DISTINCT source,
+             51 * (1 + ((strpos('0123456789abcdef', substr(md5(source), 1, 1)) - 1) % 4))
+               AS keep_below
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, source,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               AS bucket
+      FROM documents
+    )
+    SELECT b.doc_id, b.source,
+           CAST(r.keep_below AS DOUBLE) / 256 AS sample_rate
+    FROM bucketed b JOIN rates r ON b.source = r.source
+    WHERE b.bucket < r.keep_below
+    """,
+)
+def l23_stratified_sample(spark, sf_dir):
+    """Deterministic per-source stratified sampling — the data-mixing
+    primitive: each source gets its own keep rate (here derived from a
+    hash of the source name so the entry is self-contained; in a real
+    pipeline the rates table comes from l18_mix_weights), and a document
+    survives iff its md5 bucket falls below the source's threshold.
+
+    Properties a 100 TB sampler must have, all held here: no RNG (rerun
+    = same sample, any cluster size), no ordering dependence, no
+    per-partition state; the rates table is per-source (tiny) and
+    BROADCAST to the corpus scan, so sampling is a narrow map over the
+    data — zero shuffles, filter pushes to the scan.
+    """
+    (docs,) = T(spark, sf_dir, "documents")
+    hexmap = F.lit("0123456789abcdef")
+    src_rates = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                51
+                * (
+                    1
+                    + (F.instr(hexmap, F.substring(F.md5("source"), 1, 1)) - 1) % 4
+                )
+            ).alias("keep_below"),
+        )
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (F.instr(hexmap, F.substring(h, 1, 1)) - 1) * 16 + (
+        F.instr(hexmap, F.substring(h, 2, 1)) - 1
+    )
+    return (
+        docs.select("doc_id", "source", bucket.alias("bucket"))
+        .join(F.broadcast(src_rates), "source")
+        .filter(F.col("bucket") < F.col("keep_below"))
+        .select(
+            "doc_id",
+            "source",
+            (F.col("keep_below").cast("double") / 256).alias("sample_rate"),
+        )
+    )

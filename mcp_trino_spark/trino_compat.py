@@ -31,6 +31,14 @@ shapes it can't express):
   notorious one: Joda ``YYYY`` is year-of-era, Spark ``YYYY`` is
   week-based-year — silently wrong around New Year without this).
 - ``contains(arr, x)`` → ``array_contains(arr, x)``.
+- ``ARRAY[...]`` constructor → ``array(...)`` (balanced-bracket scan;
+  bare 1-based subscripts are NOT rewritten — that difference is
+  semantic, not lexical).
+- Type names: bare ``VARCHAR`` → ``STRING``, ``VARBINARY`` → ``BINARY``.
+- Known gaps (fail loudly at Spark analysis rather than silently
+  differ): ``MAP(ARRAY[...], ARRAY[...])`` 2-array constructor, Trino's
+  1-based array subscript, ``chr()`` above codepoint 255, ``normalize``
+  (NFC), multi-arg ``from_unixtime`` timezone forms.
 """
 
 from __future__ import annotations
@@ -72,6 +80,28 @@ _COMPAT_SQL_UDFS = {
     "nan": ("()", "DOUBLE", "CAST('NaN' AS DOUBLE)"),
     "infinity": ("()", "DOUBLE", "CAST('Infinity' AS DOUBLE)"),
     "is_nan": ("(x DOUBLE)", "BOOLEAN", "isnan(x)"),
+    # Trino hamming_distance errors on unequal lengths — mirrored via
+    # raise_error rather than silently counting the shorter prefix
+    "hamming_distance": (
+        "(a STRING, b STRING)",
+        "BIGINT",
+        "CASE WHEN length(a) <> length(b)"
+        " THEN raise_error('hamming_distance: strings have different lengths')"
+        " ELSE aggregate(zip_with(split(a, ''), split(b, ''),"
+        " (x, y) -> CASE WHEN x <> y THEN 1 ELSE 0 END), 0L, (acc, v) -> acc + v)"
+        " END",
+    ),
+    # Trino to_base emits lowercase digits; Spark conv uppercases
+    "to_base": ("(x BIGINT, r INT)", "STRING", "lower(conv(CAST(x AS STRING), 10, r))"),
+    "from_base": ("(s STRING, r INT)", "BIGINT", "CAST(conv(s, r, 10) AS BIGINT)"),
+    # sha256 is not a Spark builtin name (Spark spells it sha2(x, 256)
+    # and returns hex); Trino returns varbinary, hence the unhex
+    "sha256": ("(x BINARY)", "BINARY", "unhex(sha2(x, 256))"),
+    # ISO week-year (Spark's new formatter rejects pattern 'YYYY';
+    # extract(YEAROFWEEK ...) is the supported spelling)
+    "year_of_week": ("(d TIMESTAMP)", "INT", "CAST(extract(YEAROFWEEK FROM d) AS INT)"),
+    "yow": ("(d TIMESTAMP)", "INT", "CAST(extract(YEAROFWEEK FROM d) AS INT)"),
+    "millisecond": ("(t TIMESTAMP)", "INT", "CAST(date_format(t, 'SSS') AS INT)"),
 }
 
 #: plain renames applied outside literals (aggregates and exact-arity
@@ -89,9 +119,36 @@ _RENAMES = [
     # reads it as CHAR(1), so a STRING rename would silently change
     # results — it fails Spark analysis loudly instead.
     (re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE), "STRING"),
+    # Trino's binary type name; Spark spells it BINARY
+    (re.compile(r"\bVARBINARY\b", re.IGNORECASE), "BINARY"),
     # Trino reduce(arr, init, merge, finish) == Spark aggregate(...)
     (re.compile(r"\breduce\s*\(", re.IGNORECASE), "aggregate("),
     (re.compile(r"\blevenshtein_distance\s*\(", re.IGNORECASE), "levenshtein("),
+    # higher-order predicates: Trino any_match/all_match are Spark's
+    # exists/forall (identical lambda syntax both engines)
+    (re.compile(r"\bany_match\s*\(", re.IGNORECASE), "exists("),
+    (re.compile(r"\ball_match\s*\(", re.IGNORECASE), "forall("),
+    # printf-style format (format_datetime is handled separately and
+    # cannot match here — the \( must follow "format" directly)
+    (re.compile(r"\bformat\s*\(", re.IGNORECASE), "format_string("),
+    (re.compile(r"\blast_day_of_month\s*\(", re.IGNORECASE), "last_day("),
+    (re.compile(r"\bsplit_to_map\s*\(", re.IGNORECASE), "str_to_map("),
+    (re.compile(r"\bregexp_split\s*\(", re.IGNORECASE), "split("),
+    (re.compile(r"\bbitwise_and_agg\s*\(", re.IGNORECASE), "bit_and("),
+    (re.compile(r"\bbitwise_or_agg\s*\(", re.IGNORECASE), "bit_or("),
+    # Trino repeat(elem, n) builds an ARRAY (its string-repeat is via
+    # concat); Spark's repeat is string-repeat, so the name must move
+    (re.compile(r"\brepeat\s*\(", re.IGNORECASE), "array_repeat("),
+    # Trino from_unixtime returns a timestamp; Spark's builtin of that
+    # name returns a formatted STRING.  timestamp_seconds is the
+    # faithful 1-arg mapping; Trino's 2/3-arg tz forms then fail Spark
+    # analysis loudly instead of silently changing type.
+    (re.compile(r"\bfrom_unixtime\s*\(", re.IGNORECASE), "timestamp_seconds("),
+    (re.compile(r"\bcodepoint\s*\(", re.IGNORECASE), "ascii("),
+    # at_timezone(ts, zone): under this engine's pinned UTC session,
+    # shifting the wall clock with from_utc_timestamp reproduces the
+    # zone-local rendering Trino users read off the result
+    (re.compile(r"\bat_timezone\s*\(", re.IGNORECASE), "from_utc_timestamp("),
     # Trino SHOW … FROM catalog ↔ Spark SHOW … IN catalog
     (
         re.compile(r"\b(SHOW\s+(?:SCHEMAS|TABLES|COLUMNS))\s+FROM\b", re.IGNORECASE),
@@ -565,8 +622,39 @@ def _code_mask(q: str) -> List[bool]:
     return mask
 
 
+_ARRAY_LIT = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
+
+
+def _rewrite_array_literal(q: str) -> str:
+    """Trino ``ARRAY[...]`` constructor → Spark ``array(...)``.
+
+    Only the bracket pair belonging to the ARRAY keyword is rewritten
+    (balanced scan over code positions — nested ``ARRAY[ARRAY[...]]``
+    handled by re-running until no match).  Bare subscripts ``arr[i]``
+    are untouched: Spark parses them, and Trino's 1-based subscript is
+    a semantic difference a rewrite could only hide, not fix.
+    """
+    while True:
+        code_at = _code_mask(q)
+        m = next((c for c in _ARRAY_LIT.finditer(q) if code_at[c.start()]), None)
+        if m is None:
+            return q
+        depth, i = 1, m.end()
+        while i < len(q) and depth:
+            if code_at[i]:
+                if q[i] == "[":
+                    depth += 1
+                elif q[i] == "]":
+                    depth -= 1
+            i += 1
+        if depth:
+            return q  # unbalanced — leave untouched
+        q = q[: m.start()] + "array(" + q[m.end() : i - 1] + ")" + q[i:]
+
+
 def translate(query: str) -> str:
     """Rewrite Trino-only idioms to Spark SQL, outside literals/comments."""
+    query = _rewrite_array_literal(query)
     query = _rewrite_unnest(query, _code_mask(query))
     query = _rewrite_try(query)
     query = _rewrite_format_datetime(query)

@@ -306,3 +306,91 @@ def test_nan_infinity(spark):
     rows = run(spark, "SELECT is_nan(nan()) AS a, infinity() AS b")
     assert rows[0]["a"] is True
     assert rows[0]["b"] == float("inf")
+
+
+def test_batch3_renames():
+    assert (
+        translate("SELECT any_match(a, x -> x > 1), all_match(a, x -> x > 1) FROM t")
+        == "SELECT exists(a, x -> x > 1), forall(a, x -> x > 1) FROM t"
+    )
+    assert (
+        translate("SELECT format('%s=%d', k, v), repeat(k, 3) FROM t")
+        == "SELECT format_string('%s=%d', k, v), array_repeat(k, 3) FROM t"
+    )
+    # format_datetime / json_format must NOT be caught by the format() rename
+    assert "format_string" not in translate("SELECT format_datetime(d, 'yyyy') FROM t")
+    assert "format_string" not in translate("SELECT json_format(j) FROM t")
+
+
+def test_batch3_end_to_end(spark):
+    rows = run(
+        spark,
+        "SELECT any_match(ARRAY[1, 5], x -> x > 4) AS a,"
+        " all_match(ARRAY[1, 5], x -> x > 0) AS b,"
+        " format('%s-%d', 'v', 7) AS c,"
+        " repeat(2, 3) AS d,"
+        " codepoint('A') AS e,"
+        " last_day_of_month(TIMESTAMP '2024-02-05 10:00:00') AS f,"
+        " split_to_map('a=1,b=2', ',', '=') AS g,"
+        " regexp_split('a1b2c', '[0-9]') AS h",
+    )
+    r = rows[0]
+    assert r["a"] is True and r["b"] is True
+    assert r["c"] == "v-7"
+    assert r["d"] == [2, 2, 2]
+    assert r["e"] == 65
+    assert str(r["f"]) == "2024-02-29"
+    assert r["g"] == {"a": "1", "b": "2"}
+    assert r["h"] == ["a", "b", "c"]
+
+
+def test_batch3_time_and_binary(spark):
+    rows = run(
+        spark,
+        "SELECT from_unixtime(0) AS t0,"
+        " at_timezone(TIMESTAMP '2024-01-01 00:00:00', 'America/New_York') AS tz,"
+        " to_base(255, 16) AS tb, from_base('ff', 16) AS fb,"
+        " to_hex(sha256(CAST('' AS VARBINARY))) AS sh,"
+        " year_of_week(TIMESTAMP '2024-12-30 00:00:00') AS yw,"
+        " millisecond(TIMESTAMP '2024-01-01 00:00:00.123') AS ms,"
+        " hamming_distance('abcde', 'abzde') AS hd",
+    )
+    r = rows[0]
+    assert str(r["t0"]) == "1970-01-01 00:00:00"
+    assert str(r["tz"]).startswith("2023-12-31 19:00:00")
+    assert r["tb"] == "ff" and r["fb"] == 255
+    # sha256 of empty input, uppercase hex (Trino to_hex is uppercase)
+    assert r["sh"] == "E3B0C44298FC1C149AFBF4C8996FB92427AE41E4649B934CA495991B7852B855"
+    assert r["yw"] == 2025  # ISO week-year: 2024-12-30 is week 1 of 2025
+    assert r["ms"] == 123
+    assert r["hd"] == 1
+
+
+def test_hamming_distance_unequal_lengths_errors(spark):
+    with pytest.raises(Exception, match="different lengths"):
+        run(spark, "SELECT hamming_distance('ab', 'abc') AS x")
+
+
+def test_bitwise_aggs_end_to_end(spark):
+    rows = run(
+        spark,
+        "SELECT bitwise_and_agg(v) AS a, bitwise_or_agg(v) AS o"
+        " FROM (VALUES (12), (10)) AS t(v)",
+    )
+    assert rows[0] == {"a": 8, "o": 14}
+
+
+def test_array_literal_rewrite():
+    assert translate("SELECT ARRAY[1, 2, 3] FROM t") == "SELECT array(1, 2, 3) FROM t"
+    assert (
+        translate("SELECT ARRAY[ARRAY[1], ARRAY[2, x[1]]] FROM t")
+        == "SELECT array(array(1), array(2, x[1])) FROM t"
+    )
+    # inside literals/comments: untouched
+    q = "SELECT 'ARRAY[1]' -- ARRAY[2]\nFROM t"
+    assert translate(q) == q
+
+
+def test_varbinary_type_rewrite(spark):
+    rows = run(spark, "SELECT length(CAST('ab' AS VARBINARY)) AS n")
+    assert rows[0]["n"] == 2

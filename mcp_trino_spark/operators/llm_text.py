@@ -689,3 +689,68 @@ def l23_stratified_sample(spark, sf_dir):
             (F.col("keep_below").cast("double") / 256).alias("sample_rate"),
         )
     )
+
+
+@register(
+    "l24_tfidf",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, w AS term, COUNT(*) AS tf
+      FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+      )
+      WHERE length(w) >= 4
+      GROUP BY doc_id, w
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM terms GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT t.doc_id, t.term, t.tf, d.df,
+           ROUND(t.tf * ln((1.0 + n.n_docs) / (1.0 + d.df)), 6) AS tfidf
+    FROM terms t JOIN df d ON t.term = d.term CROSS JOIN n
+    WHERE d.df >= 5
+    """,
+)
+def l24_tfidf(spark, sf_dir):
+    """TF-IDF term weighting over the corpus — the classic retrieval /
+    keyword-extraction primitive of a text pipeline.
+
+    Spark shape: tokenize (narrow explode) → per-(doc, term) counts
+    (one shuffle on the compound key) → document frequencies derived
+    from the SAME aggregate by a second, smaller agg on term → joined
+    back.  The df table is |vocab|-sized — orders of magnitude smaller
+    than the corpus — so the join back is a broadcast at any corpus
+    scale where the vocabulary fits an executor (and a plain shuffle
+    join on the term key beyond that).  The corpus total (n_docs) rides
+    in as a broadcast scalar, never a driver round-trip.
+
+    ROUND(…, 6) on both engines: ln() is IEEE-identical for the same
+    double inputs, but the multiply order isn't guaranteed — rounding
+    to 6 places makes the hash comparison exact.
+    """
+    (docs,) = T(spark, sf_dir, "documents")
+    terms = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+        )
+        .filter(F.length("term") >= 4)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = terms.groupBy("term").agg(F.count("*").alias("df")).filter(F.col("df") >= 5)
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    return (
+        terms.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))),
+                6,
+            ).alias("tfidf"),
+        )
+    )

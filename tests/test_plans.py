@@ -145,3 +145,34 @@ def test_sessionization_single_shuffle_for_windows(spark):
     df = registry.queries()["t3_sessionization"](spark, SF_DIR)
     plan = physical_plan(df)
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_stratified_sample_is_broadcast_no_corpus_shuffle(spark):
+    """l23: the rates table broadcasts; the corpus side must reach the
+    filter without an exchange (sampling is a narrow map over the scan)."""
+    df = registry.queries()["l23_stratified_sample"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the only exchange allowed is the broadcast of the tiny rates side
+    assert plan.count("Exchange hashpartitioning") <= 1  # rates-side distinct only
+
+
+def test_tfidf_df_join_is_broadcast(spark):
+    """l24: the vocab-sized df table and the n_docs scalar both come in
+    as broadcasts — the corpus-sized terms aggregate is never on the
+    build side."""
+    df = registry.queries()["l24_tfidf"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # n_docs scalar cross join
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_apply_corpus_joins_labels_once(spark):
+    """l22: document text reaches the output through exactly one join
+    with the label table; the clustering loop shuffles only long keys."""
+    df = registry.queries()["l22_dedup_apply"](spark, SF_DIR)
+    plan = physical_plan(df)
+    # the kept-corpus join is a hash join on doc_id, not a cartesian
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan

@@ -116,10 +116,26 @@ def compare(name: str, spark_res, oracle_res) -> list[str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a bare SparkSession (no repo session confs) — exactly "
+        "what the driver hands to queries(); catches any entry that "
+        "silently depends on session.py configuration",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
-    spark = get_spark("check_correctness")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("check_correctness_vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check_correctness")
     con = duck_connect(args.sf)
     qs = registry.queries()
     oracles = registry.oracle_sql()

@@ -14,7 +14,7 @@ Design for 100 TB / billions of vectors:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, Window, functions as F
 
 from mcp_trino_spark.operators._util import T, spread
 from mcp_trino_spark.registry import register
@@ -411,3 +411,58 @@ def l12_grouped_normalize(spark, sf_dir):
     return out.withColumn(
         "z", F.when(F.isnan("z"), F.lit(None).cast("double")).otherwise(F.col("z"))
     )
+
+
+@register(
+    "l25_batch_ann",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id, e.label,
+             ROUND({_cosine_sql('e.embedding', 'q.qv')}, 9) AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id >= 8
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, label, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, label, cos_sim, rnk FROM ranked WHERE rnk <= 10
+    """,
+)
+def l25_batch_ann(spark, sf_dir):
+    """Batched multi-query ANN — the serving shape: a small batch of
+    query vectors (here the 8 vecs with vec_id < 8), each wanting its
+    top-10 neighbors, answered in ONE corpus scan.
+
+    Scale design: the query batch broadcasts (KB), the corpus is
+    scanned once and scored against all queries JVM-side, and the
+    rank-≤-k window triggers Spark's WindowGroupLimit pushdown
+    (asserted in tests/test_plans.py): each input partition keeps only
+    its local top-k PER QUERY before the shuffle, so the exchange
+    carries ≤ k × n_queries × n_partitions narrow rows, not
+    corpus × n_queries.  Ordering is on the ROUNDED score with a
+    vec_id tiebreak, so ranks are engine-deterministic.
+    """
+    (emb,) = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        spread(emb.filter(F.col("vec_id") >= 8))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 9).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)

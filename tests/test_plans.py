@@ -176,3 +176,14 @@ def test_dedup_apply_corpus_joins_labels_once(spark):
     # the kept-corpus join is a hash join on doc_id, not a cartesian
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_batch_ann_has_window_group_limit(spark):
+    """l25: the rank-≤-k filter must push WindowGroupLimit below the
+    window exchange — per-partition top-k heaps BEFORE the shuffle, so
+    the exchange carries k×queries×partitions rows, not corpus×queries."""
+    df = registry.queries()["l25_batch_ann"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # query batch broadcast
+    assert "CartesianProduct" not in plan

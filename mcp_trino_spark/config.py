@@ -46,6 +46,9 @@ class EngineConfig:
     query_timeout_s: int = DEFAULT_QUERY_TIMEOUT_S
     allow_write_queries: bool = False
     allowlists: Allowlists = field(default_factory=Allowlists)
+    #: identity queries run as when the transport supplies none
+    #: (reference config.go:201 `TRINO_USER`, default "trino")
+    default_user: str = "trino"
 
     @classmethod
     def from_env(cls) -> "EngineConfig":
@@ -61,4 +64,5 @@ class EngineConfig:
             query_timeout_s=_parse_timeout(_env("QUERY_TIMEOUT", str(DEFAULT_QUERY_TIMEOUT_S))),
             allow_write_queries=_parse_bool(_env("ALLOW_WRITE_QUERIES"), False),
             allowlists=allowlists,
+            default_user=_env("USER", "trino") or "trino",
         )

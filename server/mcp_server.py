@@ -135,8 +135,16 @@ class MCPServer:
 
     # --- JSON-RPC dispatch -------------------------------------------------
 
-    def handle_message(self, msg: Any) -> Optional[Dict[str, Any]]:
-        """Handle one JSON-RPC message; None for notifications."""
+    def handle_message(
+        self, msg: Any, user: Optional[str] = None
+    ) -> Optional[Dict[str, Any]]:
+        """Handle one JSON-RPC message; None for notifications.
+
+        ``user`` is the transport-level identity (HTTP: the reference's
+        own ``X-Trino-User`` header, client.go:173-177 / docs/oauth.md
+        impersonation chain); it attributes the query's Spark jobs and
+        falls back to ``EngineConfig.default_user`` (TRINO_USER).
+        """
         if not isinstance(msg, dict):
             # valid JSON but not a request object (batch arrays unsupported)
             return _error(None, -32600, "invalid request: expected a JSON-RPC object")
@@ -160,7 +168,7 @@ class MCPServer:
             elif method == "tools/list":
                 result = {"tools": TOOLS}
             elif method == "tools/call":
-                result = self._call_tool(msg.get("params") or {})
+                result = self._call_tool(msg.get("params") or {}, user=user)
             else:
                 return _error(msg_id, -32601, f"method not found: {method}")
             return {"jsonrpc": "2.0", "id": msg_id, "result": result}
@@ -174,7 +182,9 @@ class MCPServer:
                 },
             }
 
-    def _call_tool(self, params: Dict[str, Any]) -> Dict[str, Any]:
+    def _call_tool(
+        self, params: Dict[str, Any], user: Optional[str] = None
+    ) -> Dict[str, Any]:
         name = params.get("name")
         args = params.get("arguments") or {}
         from mcp_trino_spark import catalog_api
@@ -188,6 +198,7 @@ class MCPServer:
                 self.config,
                 max_rows=args.get("max_rows"),
                 dialect=args.get("dialect", "spark"),
+                user=user or self.config.default_user,
             )
             text = res.to_json()
         elif name == "list_catalogs":
@@ -267,7 +278,7 @@ class _HTTPHandler:
             def _cors(self):
                 self.send_header("Access-Control-Allow-Origin", "*")
                 self.send_header("Access-Control-Allow-Methods", "GET, POST, DELETE, OPTIONS")
-                self.send_header("Access-Control-Allow-Headers", "Content-Type, Authorization")
+                self.send_header("Access-Control-Allow-Headers", "Content-Type, Authorization, X-Trino-User")
 
             def _reply(self, code: int, body: bytes, ctype="application/json"):
                 self.send_response(code)
@@ -299,7 +310,9 @@ class _HTTPHandler:
                 except json.JSONDecodeError:
                     self._reply(400, json.dumps(_error(None, -32700, "parse error")).encode())
                     return
-                reply = server.handle_message(msg)
+                reply = server.handle_message(
+                    msg, user=(self.headers.get("X-Trino-User") or "").strip() or None
+                )
                 if reply is None:
                     self._reply(202, b"")
                 else:

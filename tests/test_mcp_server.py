@@ -228,3 +228,73 @@ def test_http_bearer_auth(server):
             assert r.status == 200
     finally:
         httpd.shutdown()
+
+
+def test_user_impersonation_chain(server, monkeypatch):
+    """F13: the transport identity reaches execute_query as `user`
+    (reference impersonation: X-Trino-User / JWT subject → Trino
+    session user, client.go + docs/oauth.md); absent an identity the
+    configured default_user (TRINO_USER, config.go:201) applies."""
+    import mcp_trino_spark.execute as ex
+
+    seen = {}
+    real = ex.execute_query
+
+    def spy(spark, query, config=None, **kw):
+        seen["user"] = kw.get("user")
+        return real(spark, query, config, **kw)
+
+    monkeypatch.setattr(ex, "execute_query", spy)
+    call = {
+        "jsonrpc": "2.0",
+        "id": 1,
+        "method": "tools/call",
+        "params": {"name": "execute_query", "arguments": {"query": "SELECT 1 AS one"}},
+    }
+    server.handle_message(call, user="alice")
+    assert seen["user"] == "alice"
+    server.handle_message(call)
+    assert seen["user"] == server.config.default_user == "trino"
+
+
+def test_http_passes_x_trino_user(server, monkeypatch):
+    import json as _json
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    import mcp_trino_spark.execute as ex
+    from server.mcp_server import _HTTPHandler
+
+    seen = {}
+    real = ex.execute_query
+
+    def spy(spark, query, config=None, **kw):
+        seen["user"] = kw.get("user")
+        return real(spark, query, config, **kw)
+
+    monkeypatch.setattr(ex, "execute_query", spy)
+    httpd = ThreadingHTTPServer(("localhost", 0), _HTTPHandler.make(server))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://localhost:{port}/mcp",
+            data=_json.dumps(
+                {
+                    "jsonrpc": "2.0",
+                    "id": 2,
+                    "method": "tools/call",
+                    "params": {
+                        "name": "execute_query",
+                        "arguments": {"query": "SELECT 3 AS three"},
+                    },
+                }
+            ).encode(),
+            headers={"Content-Type": "application/json", "X-Trino-User": "bob"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+        assert seen["user"] == "bob"
+    finally:
+        httpd.shutdown()

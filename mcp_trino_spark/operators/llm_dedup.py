@@ -64,7 +64,10 @@ def _mh_windows():
         yield h, h // 4, 1 + 8 * (h % 4)
 
 
-def _lsh_oracle() -> str:
+def _lsh_ctes() -> str:
+    """The shared CTE chain (shingles → md5 lanes → minhash signatures →
+    band keys → unpivoted bands) — reused by the pair, cluster, and
+    estimate oracles so every stage clusters the IDENTICAL graph."""
     md5s = ", ".join(
         f"md5(shingle || '#{j}') AS m{j}" for j in range(_N_MD5)
     )
@@ -79,8 +82,7 @@ def _lsh_oracle() -> str:
         f"SELECT doc_id, {b} AS band, band{b} AS band_key FROM keys"
         for b in range(NUM_BANDS)
     )
-    return f"""
-    WITH sh AS (
+    return f"""sh AS (
       SELECT doc_id,
              substr(text, CAST(pos AS INTEGER), {SHINGLE_LEN}) AS shingle
       FROM documents, LATERAL unnest(range(1, GREATEST(length(text) - {SHINGLE_LEN - 1}, 1) + 1)) AS u(pos)
@@ -88,11 +90,18 @@ def _lsh_oracle() -> str:
     hashed AS (SELECT doc_id, {md5s} FROM sh),
     mh AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
     keys AS (SELECT doc_id, {band_keys} FROM mh),
-    bands AS ({band_rows})
+    bands AS ({band_rows})"""
+
+
+_LSH_PAIR_SELECT = """
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     """
+
+
+def _lsh_oracle() -> str:
+    return f"WITH {_lsh_ctes()} {_LSH_PAIR_SELECT}"
 
 
 @register("l2_minhash_lsh_pairs", oracle=_lsh_oracle())
@@ -121,10 +130,10 @@ def l2_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs_plan(docs)
 
 
-def minhash_lsh_pairs_plan(docs):
-    """The l2 plan over an arbitrary documents frame (doc_id, text) —
-    parameterized so tools/scaling_check.py can drive it at synthetic
-    10× scale.  See l2_minhash_lsh_pairs for the design rationale."""
+def minhash_signatures_plan(docs):
+    """Per-doc 16-lane minhash signature frame (doc_id, h0..h15) — the
+    artifact a 100 TB pipeline materializes once and reuses for band
+    joins (l2) and signature-based similarity estimation (l26)."""
     n = F.greatest(F.length("text") - (SHINGLE_LEN - 1), F.lit(1))
     # NB: no DISTINCT on shingles — MIN is duplicate-insensitive, and the
     # dedup shuffle would cost more than the duplicate hashing it saves.
@@ -138,12 +147,23 @@ def minhash_lsh_pairs_plan(docs):
             for j in range(_N_MD5)
         ],
     )
-    mh = hashed.groupBy("doc_id").agg(
+    return hashed.groupBy("doc_id").agg(
         *[
             F.min(F.substring(F.col(f"m{j}"), start, 8)).alias(f"h{h}")
             for h, j, start in _mh_windows()
         ]
     )
+
+
+def minhash_lsh_pairs_plan(docs):
+    """The l2 plan over an arbitrary documents frame (doc_id, text) —
+    parameterized so tools/scaling_check.py can drive it at synthetic
+    10× scale.  See l2_minhash_lsh_pairs for the design rationale."""
+    return _band_pairs_from_signatures(minhash_signatures_plan(docs))
+
+
+def _band_pairs_from_signatures(mh):
+    """Banded self-equi-join over a signature frame (doc_id, h0..h15)."""
     keys = mh.select(
         "doc_id",
         *[
@@ -543,5 +563,58 @@ def l22_dedup_apply(spark, sf_dir):
             F.when(F.col("c.doc_id").isNull(), "unique")
             .otherwise("cluster_keeper")
             .alias("keep_reason"),
+        )
+    )
+
+
+def _minhash_estimate_oracle() -> str:
+    lanes = " + ".join(
+        f"CASE WHEN a.h{h} = b.h{h} THEN 1 ELSE 0 END"
+        for h in range(NUM_BANDS * ROWS_PER_BAND)
+    )
+    return f"""
+    WITH {_lsh_ctes()},
+    pairs AS ({_LSH_PAIR_SELECT})
+    SELECT p.doc_a, p.doc_b,
+           CAST(({lanes}) AS DOUBLE) / {NUM_BANDS * ROWS_PER_BAND} AS est_jaccard
+    FROM pairs p
+    JOIN mh a ON a.doc_id = p.doc_a
+    JOIN mh b ON b.doc_id = p.doc_b
+    """
+
+
+@register("l26_minhash_estimate", oracle=_minhash_estimate_oracle())
+def l26_minhash_estimate(spark, sf_dir):
+    """Signature-based Jaccard ESTIMATION for the LSH candidate pairs —
+    the verification stage a 100 TB dedup actually runs first: the
+    matching-lane fraction of two 16-lane minhash signatures is an
+    unbiased Jaccard estimate, computed entirely from the (narrow,
+    materialized-once) signature table.  Exact n-gram verification
+    (l2c) then touches document text only for pairs that survive this
+    screen — signatures are ~100 bytes/doc vs KBs of text, so the
+    expensive re-tokenization join shrinks by the screen's rejection
+    rate.
+
+    Spark shape: the signature frame is computed ONCE and persisted;
+    the band join derives candidates from it and the estimate joins it
+    back by doc_id — three equi-joins over narrow columns, no text in
+    any shuffle.  x/16 is exact in binary, so the DOUBLE hashes
+    identically on both engines.
+    """
+    (docs,) = T(spark, sf_dir, "documents")
+    sigs = minhash_signatures_plan(spread(docs)).persist()
+    pairs = _band_pairs_from_signatures(sigs)
+    n_lanes = NUM_BANDS * ROWS_PER_BAND
+    matches = sum(
+        F.when(F.col(f"a.h{h}") == F.col(f"b.h{h}"), 1).otherwise(0)
+        for h in range(n_lanes)
+    )
+    return (
+        pairs.join(sigs.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(sigs.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / n_lanes).alias("est_jaccard"),
         )
     )

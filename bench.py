@@ -47,6 +47,10 @@ HEADLINERS = [
     "l10_udf_tokenizer",
     "l12_grouped_normalize",
     "l13_training_pipeline",
+    "l23_stratified_sample",
+    "l24_tfidf",
+    "l25_batch_ann",
+    "l26_minhash_estimate",
 ]
 
 

@@ -217,3 +217,44 @@ def register_view(spark, sf_dir, name):
     from mcp_trino_spark.sources.catalog import load_table
 
     load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+_RECURSIVE_SPINE_SQL = """
+    WITH RECURSIVE bounds AS (
+      SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+             date_trunc('month', MAX(o_orderdate)) AS hi
+      FROM orders
+    ),
+    spine(month_start) AS (
+      SELECT lo FROM bounds
+      UNION ALL
+      SELECT month_start + INTERVAL 1 MONTH FROM spine, bounds
+      WHERE month_start < hi
+    ),
+    m AS (
+      SELECT date_trunc('month', o_orderdate) AS ms, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT s.month_start, COALESCE(m.n_orders, 0) AS n_orders
+    FROM spine s LEFT JOIN m ON m.ms = s.month_start
+"""
+
+
+@register("o11_recursive_cte", oracle=_RECURSIVE_SPINE_SQL)
+def o11_recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE (Trino SQL surface, reference client.go pass-through;
+    Spark 4 executes recursive CTEs natively via UnionLoop): a dense
+    month spine generated recursively between the corpus's first and
+    last order month, left-joined to per-month order counts — the
+    gap-preserving calendar shape (cf. t6, which builds the spine with
+    sequence+explode instead; both plans are valid, this one exercises
+    the recursive execution path).
+
+    The recursion depth is bounded by the date RANGE (~80 months), not
+    the data volume — each iteration is a one-row frame, so the loop
+    cost is constant at any corpus scale and the data-sized work stays
+    in the single month aggregate + join.  The IDENTICAL SQL text runs
+    on both engines.
+    """
+    register_view(spark, sf_dir, "orders")
+    return spark.sql(_RECURSIVE_SPINE_SQL)

@@ -35,10 +35,12 @@ shapes it can't express):
   bare 1-based subscripts are NOT rewritten — that difference is
   semantic, not lexical).
 - Type names: bare ``VARCHAR`` → ``STRING``, ``VARBINARY`` → ``BINARY``.
+- ``TABLESAMPLE BERNOULLI/SYSTEM(p)`` → ``TABLESAMPLE (p PERCENT)``.
 - Known gaps (fail loudly at Spark analysis rather than silently
   differ): ``MAP(ARRAY[...], ARRAY[...])`` 2-array constructor, Trino's
   1-based array subscript, ``chr()`` above codepoint 255, ``normalize``
-  (NFC), multi-arg ``from_unixtime`` timezone forms.
+  (NFC), multi-arg ``from_unixtime`` timezone forms, ``MATCH_RECOGNIZE``
+  row-pattern matching (no Spark equivalent).
 """
 
 from __future__ import annotations
@@ -158,6 +160,17 @@ _RENAMES = [
     (
         re.compile(r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b", re.IGNORECASE),
         r"LIMIT \1",
+    ),
+    # Trino TABLESAMPLE BERNOULLI(p) / SYSTEM(p) → Spark (p PERCENT).
+    # Both engines sample non-deterministically; row-level vs
+    # block-level granularity differs for SYSTEM, which only affects
+    # sampling variance, not semantics.
+    (
+        re.compile(
+            r"\bTABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*\(\s*([0-9.]+)\s*\)",
+            re.IGNORECASE,
+        ),
+        r"TABLESAMPLE (\1 PERCENT)",
     ),
 ]
 

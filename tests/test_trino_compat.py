@@ -394,3 +394,13 @@ def test_array_literal_rewrite():
 def test_varbinary_type_rewrite(spark):
     rows = run(spark, "SELECT length(CAST('ab' AS VARBINARY)) AS n")
     assert rows[0]["n"] == 2
+
+
+def test_tablesample_rewrite_and_execution(spark):
+    assert (
+        translate("SELECT * FROM t TABLESAMPLE BERNOULLI(10)")
+        == "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
+    )
+    register_tables(spark, SF_DIR)
+    rows = run(spark, "SELECT COUNT(*) AS n FROM (SELECT * FROM nation TABLESAMPLE SYSTEM(100))")
+    assert rows[0]["n"] == 25  # 100% sample keeps everything

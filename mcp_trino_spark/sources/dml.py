@@ -92,6 +92,27 @@ def _commit(spark: SparkSession, table: str, new_state: DataFrame) -> None:
 # DataFrame-level DML
 
 
+def _resolve_cols(
+    table_columns: List[str], provided: Dict[str, str], context: str
+) -> Dict[str, str]:
+    """Map user-supplied column names onto the table's stored names,
+    case-insensitively (Spark SQL resolution is case-insensitive by
+    default) — a typo or unknown name raises instead of silently
+    no-opping an UPDATE or NULL-filling an INSERT column."""
+    by_lower = {c.lower(): c for c in table_columns}
+    resolved: Dict[str, str] = {}
+    unknown = []
+    for name, expr in provided.items():
+        actual = by_lower.get(name.lower())
+        if actual is None:
+            unknown.append(name)
+        else:
+            resolved[actual] = expr
+    if unknown:
+        raise DmlError(f"{context} references unknown columns: {sorted(unknown)}")
+    return resolved
+
+
 def update_table(
     spark: SparkSession,
     table: str,
@@ -102,9 +123,7 @@ def update_table(
     ``where`` get the SET expressions, others pass through unchanged.
     Narrow (no shuffle); returns the affected-row count."""
     t = spark.table(table)
-    unknown = set(set_clauses) - set(t.columns)
-    if unknown:
-        raise DmlError(f"UPDATE SET references unknown columns: {sorted(unknown)}")
+    set_clauses = _resolve_cols(t.columns, set_clauses, "UPDATE SET")
     cond = F.expr(where) if where else F.lit(True)
     affected = t.filter(cond).count()
     new_state = t.select(
@@ -167,6 +186,11 @@ def merge_into(
     """
     if matched_update and matched_delete:
         raise DmlError("pass either matched_update or matched_delete, not both")
+    _target_cols = spark.table(target).columns
+    if matched_update:
+        matched_update = _resolve_cols(_target_cols, matched_update, "MERGE UPDATE SET")
+    if insert_values:
+        insert_values = _resolve_cols(_target_cols, insert_values, "MERGE INSERT")
     t = (
         spark.table(target)
         .withColumn("__t_rowid", F.monotonically_increasing_id())
@@ -307,7 +331,18 @@ _MERGE_RE = re.compile(
 
 
 def is_dml_statement(q: str) -> bool:
-    return bool(re.match(r"^\s*(UPDATE|DELETE|MERGE)\b", q, re.IGNORECASE))
+    """True if the statement's first code token is UPDATE/DELETE/MERGE.
+
+    Leading comments are skipped via the code mask so the router agrees
+    with the write gate (which also strips comments) — a statement like
+    ``/* ticket */ UPDATE …`` must route to the COW layer, not fall
+    through to spark.sql and die on the v2-tables error."""
+    mask = _code_mask(q)
+    start = next(
+        (i for i, is_code in enumerate(mask) if is_code and not q[i].isspace()),
+        len(q),
+    )
+    return bool(re.match(r"(UPDATE|DELETE|MERGE)\b", q[start:], re.IGNORECASE))
 
 
 def execute_dml(spark: SparkSession, q: str) -> int:
@@ -319,7 +354,11 @@ def execute_dml(spark: SparkSession, q: str) -> int:
     [WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs) | INSERT *].
     ``src`` must be a table/view name (inline subqueries: register a
     temp view first)."""
-    q = q.strip().rstrip(";")
+    mask = _code_mask(q)
+    start = next(
+        (i for i, is_code in enumerate(mask) if is_code and not q[i].isspace()), 0
+    )
+    q = q[start:].strip().rstrip(";")
     m = _UPDATE_RE.match(q)
     if m:
         table = m.group(1).strip("`")

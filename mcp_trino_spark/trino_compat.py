@@ -31,16 +31,23 @@ shapes it can't express):
   notorious one: Joda ``YYYY`` is year-of-era, Spark ``YYYY`` is
   week-based-year — silently wrong around New Year without this).
 - ``contains(arr, x)`` → ``array_contains(arr, x)``.
-- ``ARRAY[...]`` constructor → ``array(...)`` (balanced-bracket scan;
-  bare 1-based subscripts are NOT rewritten — that difference is
-  semantic, not lexical).
+- ``ARRAY[...]`` constructor → ``array(...)`` (balanced-bracket scan);
+  a subscript directly on the literal (``ARRAY[..][k]``, 1-based in
+  Trino) becomes ``element_at(array(..), k)`` which is also 1-based.
+  Bare subscripts on arbitrary array EXPRESSIONS are NOT rewritten —
+  Spark parses them 0-based and a lexical pass cannot tell arrays from
+  maps (where ``[key]`` has no offset): a remaining, documented gap.
+- ``MAP(ka, va)`` (non-empty, not a CAST type) → ``map_from_arrays`` —
+  Spark's variadic ``map()`` would silently read the two arrays as one
+  entry.
 - Type names: bare ``VARCHAR`` → ``STRING``, ``VARBINARY`` → ``BINARY``.
 - ``TABLESAMPLE BERNOULLI/SYSTEM(p)`` → ``TABLESAMPLE (p PERCENT)``.
 - Known gaps (fail loudly at Spark analysis rather than silently
-  differ): ``MAP(ARRAY[...], ARRAY[...])`` 2-array constructor, Trino's
-  1-based array subscript, ``chr()`` above codepoint 255, ``normalize``
-  (NFC), multi-arg ``from_unixtime`` timezone forms, ``MATCH_RECOGNIZE``
-  row-pattern matching (no Spark equivalent).
+  differ): ``chr()`` above codepoint 255, ``normalize`` (NFC),
+  multi-arg ``from_unixtime`` timezone forms, CAST to a ``MAP(...)``
+  type, ``MATCH_RECOGNIZE`` row-pattern matching (no Spark equivalent).
+  Silent-divergence gap: 1-based subscripts on non-literal arrays (see
+  above).
 """
 
 from __future__ import annotations
@@ -141,6 +148,15 @@ _RENAMES = [
     # Trino repeat(elem, n) builds an ARRAY (its string-repeat is via
     # concat); Spark's repeat is string-repeat, so the name must move
     (re.compile(r"\brepeat\s*\(", re.IGNORECASE), "array_repeat("),
+    # Trino's non-empty MAP constructor takes (key_array, value_array);
+    # Spark's variadic map() would silently read the two arrays as ONE
+    # {k_arr: v_arr} entry, so the name must move to map_from_arrays.
+    # `MAP()` (empty) is identical in both and excluded; `AS MAP(...)`
+    # in a CAST is a type, not a call, and excluded by the lookbehind.
+    (
+        re.compile(r"(?<![Aa][Ss]\s)\bMAP\s*\((?!\s*\))", re.IGNORECASE),
+        "map_from_arrays(",
+    ),
     # Trino from_unixtime returns a timestamp; Spark's builtin of that
     # name returns a formatted STRING.  timestamp_seconds is the
     # faithful 1-arg mapping; Trino's 2/3-arg tz forms then fail Spark
@@ -218,6 +234,14 @@ def _segments(q: str) -> Iterator[Tuple[bool, str]]:
             quote = ch
             j = i + 1
             while j < n:
+                # backslash escapes are active inside Spark string
+                # literals (' and ") but NOT backtick identifiers —
+                # same lexical rules as validate.sanitize(); without
+                # this, `'don\'t'` ends early and rewrite passes would
+                # edit inside the literal
+                if quote != "`" and q[j] == "\\":
+                    j += 2
+                    continue
                 if q[j] == quote:
                     # doubled-quote escapes: '' in literals, "" in quoted
                     # identifiers AND `` in backtick identifiers (Spark
@@ -480,19 +504,48 @@ def _split_top_binop(body: str, op: str):
     return body[:best], body[best + 1 :]
 
 
+def _paren_balanced(expr: str) -> bool:
+    """True iff the code-level parens in ``expr`` balance without going
+    negative — guards the greedy ``CAST((.*))`` / ``fn((.*))`` regexes
+    from swallowing ``CAST(a AS INT) + CAST(b AS INT)`` as one call
+    (the capture there is unbalanced: ``a AS INT) + CAST(b AS INT``)."""
+    mask = _code_mask(expr)
+    depth = 0
+    for i, ch in enumerate(expr):
+        if mask[i]:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    return False
+    return depth == 0
+
+
 def _try_replacement(body: str) -> str:
     """Spark equivalent of Trino ``try(body)``."""
     body = _rewrite_try(body)  # nested try()
     m = _TRY_CAST.match(body)
-    if m:
+    if m and _paren_balanced(m.group(1)):
         return f"try_cast({m.group(1)})"
     m = _TRY_CALL.match(body)
-    if m and m.group(1).lower() in _TRY_FNS:
+    if m and m.group(1).lower() in _TRY_FNS and _paren_balanced(m.group(2)):
         return f"{_TRY_FNS[m.group(1).lower()]}({m.group(2)})"
     for op, fn in _TRY_BINOPS:
         parts = _split_top_binop(body, op)
         if parts:
-            return f"{fn}({parts[0].strip()}, {parts[1].strip()})"
+            # each operand that is itself a try-able shape gets its own
+            # NULL-on-error wrapper, so try(CAST(a…)+CAST(b…)) guards
+            # the casts too (NULL operand → NULL result, matching
+            # Trino's whole-expression try semantics); plain operands
+            # pass through
+            def _guard(p: str) -> str:
+                try:
+                    return _try_replacement(p)
+                except TrinoCompatError:
+                    return p.strip()
+
+            return f"{fn}({_guard(parts[0])}, {_guard(parts[1])})"
     raise TrinoCompatError(
         f"try({body.strip()[:60]}...): no Spark try_* equivalent for this "
         "expression shape (supported: CAST, element_at, to_timestamp, "
@@ -662,7 +715,26 @@ def _rewrite_array_literal(q: str) -> str:
             i += 1
         if depth:
             return q  # unbalanced — leave untouched
-        q = q[: m.start()] + "array(" + q[m.end() : i - 1] + ")" + q[i:]
+        head, inner, tail = q[: m.start()], q[m.end() : i - 1], q[i:]
+        # a subscript directly on the literal: Trino ARRAY[..][k] is
+        # 1-based, Spark's [] is 0-based — element_at IS 1-based, so
+        # rewrite the pair instead of leaving a silent off-by-one
+        sub = re.match(r"\s*\[", tail)
+        if sub:
+            sd, j2 = 1, sub.end()
+            t_code = _code_mask(tail)
+            while j2 < len(tail) and sd:
+                if t_code[j2]:
+                    if tail[j2] == "[":
+                        sd += 1
+                    elif tail[j2] == "]":
+                        sd -= 1
+                j2 += 1
+            if sd == 0:
+                idx = tail[sub.end() : j2 - 1]
+                q = f"{head}element_at(array({inner}), {idx}){tail[j2:]}"
+                continue
+        q = head + "array(" + inner + ")" + tail
 
 
 def translate(query: str) -> str:

@@ -236,3 +236,54 @@ def test_dml_through_execute_query(spark, target):
     res = execute_query(spark, f"DELETE FROM {target} WHERE k = 1", WRITE)
     assert res.rows == [{"rows_affected": 1}]
     assert spark.table(target).count() == 2
+
+
+def test_update_case_insensitive_columns(spark, target):
+    """Spark SQL resolution is case-insensitive; the COW layer must be
+    too — `SET V = …` resolves to column v instead of raising."""
+    n = update_table(spark, target, {"V": "v + 1"}, "k = 1")
+    assert n == 1
+    assert (1, 11.0, "a") in rows(spark, target)
+
+
+def test_merge_unknown_update_column_fails_loudly(spark, target):
+    """A typo'd SET column must raise, not commit matched rows
+    unchanged with rows_affected > 0."""
+    src = spark.createDataFrame([Row(k=2, v=99.0, s="x")])
+    with pytest.raises(DmlError, match="unknown column"):
+        merge_into(
+            spark, target, src, "t.k = s.k", matched_update={"vv": "s.v"}
+        )
+    assert rows(spark, target) == {(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c")}
+
+
+def test_merge_unknown_insert_column_fails_loudly(spark, target):
+    """A mis-named INSERT column must raise, not NULL-fill silently."""
+    src = spark.createDataFrame([Row(k=4, v=44.0, s="d")])
+    with pytest.raises(DmlError, match="unknown column"):
+        merge_into(
+            spark, target, src, "t.k = s.k",
+            insert_values={"k": "s.k", "vee": "s.v"},
+        )
+
+
+def test_merge_case_insensitive_columns(spark, target):
+    src = spark.createDataFrame([Row(k=2, v=99.0, s="B2")])
+    n = merge_into(
+        spark, target, src, "t.k = s.k", matched_update={"V": "s.v"}
+    )
+    assert n == 1
+    assert (2, 99.0, "b") in rows(spark, target)
+
+
+def test_commented_dml_routes_to_cow_layer(spark, target):
+    """Leading comments must not break DML routing: the write gate
+    strips comments, so the router must too."""
+    assert is_dml_statement(f"/* ticket-123 */ UPDATE {target} SET v = 0")
+    assert is_dml_statement("-- note\nDELETE FROM t")
+    assert not is_dml_statement("/* UPDATE t SET x=1 */ SELECT 1")
+    n = execute_dml(
+        spark, f"/* ticket-123 */ UPDATE {target} SET v = 0 WHERE k = 1"
+    )
+    assert n == 1
+    assert (1, 0.0, "a") in rows(spark, target)

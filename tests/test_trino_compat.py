@@ -404,3 +404,49 @@ def test_tablesample_rewrite_and_execution(spark):
     register_tables(spark, SF_DIR)
     rows = run(spark, "SELECT COUNT(*) AS n FROM (SELECT * FROM nation TABLESAMPLE SYSTEM(100))")
     assert rows[0]["n"] == 25  # 100% sample keeps everything
+
+
+def test_try_compound_body_guards_both_sides():
+    # greedy CAST regex must not swallow `CAST(..) + CAST(..)` as one
+    got = translate("SELECT try(CAST(a AS INT) + CAST(b AS INT)) FROM t")
+    assert got == "SELECT try_add(try_cast(a AS INT), try_cast(b AS INT)) FROM t"
+
+
+def test_try_compound_end_to_end(spark):
+    rows = run(
+        spark,
+        "SELECT try(CAST(a AS INT) + CAST(b AS INT)) AS x"
+        " FROM (VALUES ('1', '2'), ('1', 'oops')) AS t(a, b)",
+    )
+    assert sorted((r["x"] is None, r["x"]) for r in rows) == [(False, 3), (True, None)]
+
+
+def test_backslash_escape_in_literal_not_rewritten():
+    # `'don\'t repeat(y)'` is ONE literal under Spark's lexer; the
+    # rename pass must not edit inside it
+    q = "SELECT contains(a, x), 'don\\'t repeat(y)' FROM t"
+    got = translate(q)
+    assert "array_repeat" not in got
+    assert "don\\'t repeat(y)" in got
+    assert got.startswith("SELECT array_contains(a, x)")
+
+
+def test_map_constructor_rewrite(spark):
+    assert (
+        translate("SELECT MAP(ARRAY['a','b'], ARRAY[1,2]) FROM t")
+        == "SELECT map_from_arrays(array('a','b'), array(1,2)) FROM t"
+    )
+    # empty MAP() stays Spark's map(); CAST type position untouched
+    assert translate("SELECT MAP() FROM t") == "SELECT MAP() FROM t"
+    assert "map_from_arrays" not in translate("SELECT CAST(m AS MAP(VARCHAR, INT)) FROM t")
+    rows = run(spark, "SELECT MAP(ARRAY['a','b'], ARRAY[1,2]) AS m")
+    assert rows[0]["m"] == {"a": 1, "b": 2}
+
+
+def test_array_literal_subscript_is_one_based(spark):
+    assert (
+        translate("SELECT ARRAY[10, 20][1] FROM t")
+        == "SELECT element_at(array(10, 20), 1) FROM t"
+    )
+    rows = run(spark, "SELECT ARRAY[10, 20][1] AS x")
+    assert rows[0]["x"] == 10  # Trino semantics: 1-based

@@ -154,6 +154,11 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {str(exc).splitlines()[0][:200]}")
             n_fail += 1
             continue
+        finally:
+            # several plans persist() intermediates (LSH signatures,
+            # range-partitioned rank frames); drop them so a full sweep
+            # doesn't accumulate dozens of cached relations
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"ROWS  {name}: {len(s_res[1])} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1

@@ -376,3 +376,88 @@ def a17_bool_aggs_median(spark, sf_dir):
         F.bool_or(p > 400000.0).alias("any_over_400k"),
         F.median(p.cast("double")).alias("median_price"),
     )
+
+
+@register(
+    "a18_pivot",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS status_f,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS status_o,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS status_p
+    FROM orders GROUP BY 1
+    """,
+)
+def a18_pivot(spark, sf_dir):
+    """PIVOT: order totals per year, one column per order status.
+
+    Spark's ``groupBy().pivot(col, values)`` with an EXPLICIT values
+    list — passing the list keeps the plan a single hash aggregate
+    (omit it and Spark runs an extra distinct-collect job to discover
+    the columns, a driver-side round-trip you never want at 100 TB).
+    The pivot compiles to exactly the conditional-aggregation form the
+    oracle spells out, so it scales as a plain groupBy.
+    """
+    (orders,) = T(spark, sf_dir, "orders")
+    piv = (
+        orders.select(
+            F.year("o_orderdate").alias("order_year"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(25,6)").alias("tp"),
+        )
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("tp").cast("double"))
+    )
+    return piv.select(
+        "order_year",
+        F.col("F").alias("status_f"),
+        F.col("O").alias("status_o"),
+        F.col("P").alias("status_p"),
+    )
+
+
+@register(
+    "a19_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT n_name,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS customer_bal,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS supplier_bal
+      FROM nation
+      LEFT JOIN customer ON c_nationkey = n_nationkey
+      LEFT JOIN supplier ON s_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, 'customer_bal' AS side, customer_bal AS total FROM wide
+    UNION ALL
+    SELECT n_name, 'supplier_bal' AS side, supplier_bal AS total FROM wide
+    """,
+)
+def a19_unpivot(spark, sf_dir):
+    """UNPIVOT (Trino users write this as a UNION ALL of projections;
+    Spark 4 has a native ``DataFrame.unpivot`` / SQL UNPIVOT that melts
+    wide columns to (variable, value) rows WITHOUT re-reading the input
+    once per column — one pass, narrow transform, no shuffle beyond the
+    upstream aggregate).
+
+    Note: the upstream double-join inflates the balances (each customer
+    row repeats per supplier in the nation) — deliberate here, it keeps
+    the oracle a verbatim standard-SQL unpivot of the same wide table.
+    """
+    nation, customer, supplier = T(spark, sf_dir, "nation", "customer", "supplier")
+    wide = (
+        nation.join(customer, customer.c_nationkey == nation.n_nationkey, "left")
+        .join(supplier, supplier.s_nationkey == nation.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            dsum("c_acctbal").alias("customer_bal"),
+            dsum("s_acctbal").alias("supplier_bal"),
+        )
+    )
+    return wide.unpivot(
+        ids=["n_name"],
+        values=["customer_bal", "supplier_bal"],
+        variableColumnName="side",
+        valueColumnName="total",
+    )

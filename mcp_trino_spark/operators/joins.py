@@ -317,3 +317,69 @@ def j12_lateral_topn(spark, sf_dir):
 
     register_tables(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "j13_bloom_prefilter_semi",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE o_custkey IN
+          (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def j13_bloom_prefilter_semi(spark, sf_dir):
+    """Semi-join with an explicit bloom-filter prefilter on the fact
+    side — the pattern behind Spark's runtime row-level filtering
+    (spark.sql.optimizer.runtime.bloomFilter.*), built by hand so the
+    plan is visible and tunable.  (Reference parity: Trino's dynamic
+    filtering does the same fact-side pre-pruning for selective joins.)
+
+    Plan shape: the dim side aggregates its keys into a 1-row, 8 KiB
+    bitmap (1024 longs = 65536 bits, k=3 xxhash64 probes); the bitmap
+    broadcasts to every fact partition (BroadcastNestedLoopJoin of ONE
+    row — constant cost), and non-matching fact rows die at the scan
+    stage, BEFORE the shuffle/broadcast of the exact semi-join that
+    removes false positives.  At 100 TB this is the difference between
+    shuffling the full fact table and shuffling the ~selectivity
+    fraction; the bitmap math (shiftleft/OR build, subscript/AND probe)
+    is all whole-stage-codegen JVM work.  Exactness does NOT depend on
+    the hash functions (false positives are re-checked), so xxhash64 is
+    safe here even with a DuckDB oracle.
+    """
+    customer, orders = T(spark, sf_dir, "customer", "orders")
+    keys = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+
+    n_words = 1024  # 65536 bits
+    probes = [F.pmod(F.xxhash64(F.lit(i), F.col("c_custkey")), F.lit(65536)) for i in range(3)]
+    positions = keys.select(F.explode(F.array(*probes)).alias("pos")).distinct()
+    bitmap = positions.agg(F.collect_list("pos").alias("ps")).select(
+        F.expr(
+            f"""
+            transform(sequence(0, {n_words - 1}), w ->
+              aggregate(filter(ps, p -> CAST(p DIV 64 AS INT) = w),
+                        CAST(0 AS BIGINT),
+                        (acc, p) -> acc | shiftleft(CAST(1 AS BIGINT),
+                                                    CAST(p % 64 AS INT))))
+            """
+        ).alias("bitmap")
+    )
+
+    probed = orders.crossJoin(F.broadcast(bitmap))
+    for i in range(3):
+        probed = probed.withColumn(
+            f"_pos{i}", F.pmod(F.xxhash64(F.lit(i), F.col("o_custkey")), F.lit(65536))
+        )
+    bit_ok = " AND ".join(
+        f"(shiftright(bitmap[CAST(_pos{i} DIV 64 AS INT)],"
+        f" CAST(_pos{i} % 64 AS INT)) & 1) = 1"
+        for i in range(3)
+    )
+    prefiltered = probed.filter(F.expr(bit_ok)).drop(
+        "bitmap", "_pos0", "_pos1", "_pos2"
+    )
+    return prefiltered.join(
+        F.broadcast(keys),
+        prefiltered["o_custkey"] == keys["c_custkey"],
+        "left_semi",
+    ).select("o_orderkey", "o_orderstatus")

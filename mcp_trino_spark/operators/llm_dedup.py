@@ -618,3 +618,117 @@ def l26_minhash_estimate(spark, sf_dir):
             (matches.cast("double") / n_lanes).alias("est_jaccard"),
         )
     )
+
+
+@register(
+    "l27_passage_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, tok, ord
+      FROM (SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS ord
+            FROM documents)
+    ),
+    chunks AS (
+      SELECT doc_id, (ord - 1) // 5 AS chunk_idx,
+             string_agg(tok, ' ' ORDER BY ord) AS passage
+      FROM toks GROUP BY doc_id, (ord - 1) // 5
+      HAVING COUNT(*) = 5
+    )
+    SELECT md5(passage) AS passage_hash,
+           COUNT(*) AS n_occurrences,
+           MIN(doc_id) AS first_doc
+    FROM chunks GROUP BY passage HAVING COUNT(*) > 1
+    """,
+)
+def l27_passage_dedup(spark, sf_dir):
+    """Passage-level exact dedup: split every document into fixed
+    5-token passages and report passages that occur more than once
+    across the corpus (hash, occurrence count, earliest doc).  This is
+    the sub-document sibling of l1 exact dedup — training pipelines
+    drop repeated boilerplate passages (headers, licenses, navboxes)
+    that whole-document hashing can't see.
+
+    Scale shape: tokenize+chunk is a narrow explode (~n_tokens rows,
+    but each row is a handful of words); the ONLY shuffles are the two
+    hash aggregates, and the second one keys on the passage string
+    (could key on md5 for a fixed 32-byte shuffle key — kept as the
+    string so Spark and the oracle group identically, and passages are
+    ≤ ~40 bytes anyway).  Chunking is per-document, so no cross-doc
+    coordination; at 100 TB this pipelines per partition with
+    map-side partial aggregation doing most of the dedup.
+
+    Oracle note: the chunk index uses DuckDB's ``//`` integer division —
+    plain ``/`` on integers is FLOAT division there, and its
+    double->BIGINT cast rounds (0.8 -> 1), which would shift chunk
+    boundaries off Spark's truncating ``cast("bigint")``.
+    """
+    (docs,) = T(spark, sf_dir, "documents")
+    docs = spread(docs)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    chunks = (
+        toks.groupBy(
+            "doc_id", (F.col("pos") / 5).cast("bigint").alias("chunk_idx")
+        )
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            ).alias("passage"),
+            F.count("*").alias("n_toks"),
+        )
+        .filter(F.col("n_toks") == 5)
+    )
+    return (
+        chunks.groupBy("passage")
+        .agg(F.count("*").alias("n_occurrences"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_occurrences") > 1)
+        .select(F.md5("passage").alias("passage_hash"), "n_occurrences", "first_doc")
+    )
+
+
+@register(
+    "l28_incremental_dedup",
+    oracle="""
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.source IN ('src0', 'src1')
+      AND NOT EXISTS (
+        SELECT 1 FROM documents c
+        WHERE c.source NOT IN ('src0', 'src1')
+          AND md5(c.text) = md5(d.text)
+      )
+    """,
+)
+def l28_incremental_dedup(spark, sf_dir):
+    """Incremental (cross-snapshot) dedup: admit documents from an
+    incoming batch (sources src0/src1) only if their content hash does
+    not already exist in the standing corpus (every other source) — the
+    day-2 operation of a training-data pipeline, where each new crawl
+    is deduplicated AGAINST the corpus rather than only within itself.
+
+    Plan: corpus side reduces to DISTINCT 32-byte md5 keys FIRST (the
+    cheapest possible representation — at 100 TB the hash set is ~3% of
+    corpus bytes and often broadcastable after the distinct), then a
+    LEFT ANTI join on the hash.  No full-text ever shuffles; AQE turns
+    the anti join into a broadcast when the corpus hash set is small
+    enough.  Interval-idempotent: running it twice admits nothing new.
+    """
+    (docs,) = T(spark, sf_dir, "documents")
+    incoming_src = F.col("source").isin("src0", "src1")
+    incoming = docs.filter(incoming_src).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    corpus_hashes = (
+        docs.filter(~incoming_src).select(F.md5("text").alias("h")).distinct()
+    )
+    return (
+        incoming.join(corpus_hashes, "h", "left_anti")
+        .select("doc_id", "source")
+    )

@@ -247,3 +247,102 @@ def t8_ohlc_resample(spark, sf_dir):
             F.count("*").alias("n_events"),
         )
     )
+
+
+@register(
+    "t9_funnel_pattern",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type,
+             lag(event_type, 2) OVER w AS e1,
+             lag(event_type, 1) OVER w AS e2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS purchase_event_id
+    FROM seq
+    WHERE e1 = 'view' AND e2 = 'click' AND event_type = 'purchase'
+    """,
+)
+def t9_funnel_pattern(spark, sf_dir):
+    """MATCH_RECOGNIZE-lite, fixed pattern: per-user strictly-consecutive
+    ``view -> click -> purchase`` funnels (Trino's MATCH_RECOGNIZE
+    ``PATTERN (V C P)`` with one row per variable; the reference passes
+    MATCH_RECOGNIZE through to Trino — internal/trino/client.go runs any
+    SQL verbatim).  A fixed-length pattern needs no state machine: it is
+    exactly k-1 LAGs over the per-user time ordering, ONE shuffle on
+    user_id, no row multiplication — the right 100 TB plan (window state
+    is 2 rows per partition, streaming-friendly).  Tie-break on event_id
+    keeps the match set deterministic under equal timestamps.
+    """
+    (events,) = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("e1", F.lag("event_type", 2).over(w))
+        .withColumn("e2", F.lag("event_type", 1).over(w))
+        .filter(
+            (F.col("e1") == "view")
+            & (F.col("e2") == "click")
+            & (F.col("event_type") == "purchase")
+        )
+        .select("user_id", F.col("event_id").alias("purchase_event_id"))
+    )
+
+
+@register(
+    "t9b_pattern_regex",
+    oracle="""
+    WITH coded AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                  ELSE 'e' END AS code
+      FROM events
+    ),
+    seqs AS (
+      SELECT user_id, string_agg(code, '' ORDER BY ts, event_id) AS seq
+      FROM coded GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(regexp_extract_all(seq, 'v+c+p')) AS BIGINT) AS n_funnels
+    FROM seqs
+    WHERE len(regexp_extract_all(seq, 'v+c+p')) > 0
+    """,
+)
+def t9b_pattern_regex(spark, sf_dir):
+    """MATCH_RECOGNIZE-lite, general pattern: encode each user's ordered
+    event stream as a one-char-per-event string and count non-overlapping
+    regex matches (here ``v+c+p`` — one-or-more views, one-or-more
+    clicks, then a purchase).  This is the classic scale-out rewrite of
+    MATCH_RECOGNIZE's greedy quantifiers: ONE shuffle on user_id, then
+    JVM regex per user; both Spark (java.util.regex) and the oracle
+    (RE2) use leftmost-greedy non-overlapping scans, so counts agree.
+    Per-user state is the encoded string — bounded by events-per-user,
+    KBs even for power users, so no skew blowup at 100 TB.
+    """
+    (events,) = T(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seqs = (
+        events.select("user_id", "ts", "event_id", code.alias("code"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "code"))),
+                    lambda x: x["code"],
+                ),
+            ).alias("seq")
+        )
+    )
+    n = F.size(F.regexp_extract_all("seq", F.lit("v+c+p"), 0))
+    return (
+        seqs.select("user_id", n.cast("bigint").alias("n_funnels"))
+        .filter(F.col("n_funnels") > 0)
+    )

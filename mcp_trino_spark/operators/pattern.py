@@ -1,0 +1,385 @@
+"""Row-pattern matching (Trino ``MATCH_RECOGNIZE``) as a first-class operator.
+
+The reference passes MATCH_RECOGNIZE through to Trino verbatim
+(internal/trino/client.go:501-617 runs any SQL text); Trino implements the
+SQL:2016 row-pattern-recognition spec.  Spark has no built-in equivalent,
+so this module implements the scale-out rewrite:
+
+1. DEFINE predicates are evaluated **JVM-side** as boolean columns
+   (whole-stage codegen'd) — Python never sees the raw predicate inputs.
+   ``PREV``/``NEXT`` navigation in a DEFINE is expressed by the caller as
+   ``lag``/``lead`` columns over the same (partition, order) window, which
+   is exactly how Trino's own engine pipelines it.
+2. Each row is classified to a single pattern symbol (first DEFINE that
+   matches, in declaration order — symbols are expected to be mutually
+   exclusive, as in every practical MATCH_RECOGNIZE query; Trino's full
+   spec additionally explores per-row symbol *alternatives*, which no
+   scale-out rewrite preserves — documented restriction).
+3. One shuffle on the PARTITION BY key; per key the ordered symbol string
+   is scanned with a compiled regex (leftmost, greedy, non-overlapping ==
+   ``AFTER MATCH SKIP PAST LAST ROW`` with greedy quantifiers), and
+   MEASURES are computed from the matched row span with vectorized pandas
+   reductions inside ``applyInPandas`` (Arrow-batched).
+
+Scale posture (100 TB): the only shuffle is the PARTITION BY hash; the
+projected payload is pruned to partition keys + order keys + measure
+inputs + one classification char BEFORE the shuffle; per-key state is the
+encoded symbol string (KBs even for power users).  Skewed keys behave like
+any other aggregation skew (AQE handles moderate skew; the per-key work is
+O(rows-in-key) regex scan, not quadratic).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as SQLT
+
+from mcp_trino_spark.registry import register
+from mcp_trino_spark.operators._util import T, spread
+
+__all__ = ["match_recognize", "compile_pattern"]
+
+#: safe single-char alphabet assigned to symbols in declaration order
+_ALPHABET = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+#: classification char for rows matching no DEFINE (never in the alphabet,
+#: never a regex metacharacter)
+_UNMATCHED = "0"
+
+#: measure aggregates → (pandas reduction, result type policy)
+_AGGS = {"first", "last", "count", "min", "max", "sum", "avg"}
+
+Measure = Tuple[str, str, Optional[str], Optional[str]]
+# (output_name, agg, symbol or None == whole match, input column or None)
+
+
+def compile_pattern(pattern: str, symbol_chars: Dict[str, str]) -> "re.Pattern[str]":
+    """Compile a MATCH_RECOGNIZE PATTERN body to a Python regex.
+
+    Supported grammar (the practical subset): symbol names, concatenation
+    (whitespace), alternation ``|``, grouping ``( )``, quantifiers ``+ * ?``
+    and ``{m}`` / ``{m,n}`` / ``{m,}``.  Anchors ``^ $``, exclusion
+    ``{- -}``, ``PERMUTE`` and reluctant quantifiers are rejected loudly —
+    silent divergence from Trino semantics is worse than an error.
+    """
+    out: List[str] = []
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch.isspace():
+            i += 1
+            continue
+        if ch in "()|+*?":
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "{":
+            j = pattern.find("}", i)
+            if j < 0:
+                raise ValueError(f"unclosed quantifier in pattern: {pattern!r}")
+            body = pattern[i + 1 : j].replace(" ", "")
+            if body.startswith("-"):
+                raise ValueError("pattern exclusion {- -} is not supported")
+            if not re.fullmatch(r"\d+(,\d*)?", body):
+                raise ValueError(f"unsupported quantifier {{{body}}}")
+            out.append("{" + body + "}")
+            i = j + 1
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (pattern[j].isalnum() or pattern[j] == "_"):
+                j += 1
+            name = pattern[i:j]
+            if name.upper() == "PERMUTE":
+                raise ValueError("PERMUTE is not supported")
+            if name not in symbol_chars:
+                raise ValueError(
+                    f"pattern symbol {name!r} has no DEFINE entry "
+                    f"(defined: {sorted(symbol_chars)})"
+                )
+            out.append(symbol_chars[name])
+            i = j
+            continue
+        raise ValueError(f"unsupported pattern construct {ch!r} in {pattern!r}")
+    return re.compile("".join(out))
+
+
+def _measure_dtype(agg: str, in_type: Optional[SQLT.DataType]) -> SQLT.DataType:
+    if agg == "count":
+        return SQLT.LongType()
+    if agg == "avg":
+        return SQLT.DoubleType()
+    if agg == "sum":
+        if isinstance(in_type, (SQLT.ByteType, SQLT.ShortType, SQLT.IntegerType,
+                                SQLT.LongType)):
+            return SQLT.LongType()
+        return SQLT.DoubleType()
+    assert in_type is not None
+    return in_type
+
+
+def match_recognize(
+    df: DataFrame,
+    *,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    define: Dict[str, Union[Column, str]],
+    pattern: str,
+    measures: Sequence[Measure],
+    match_no_col: str = "match_no",
+) -> DataFrame:
+    """Run SQL:2016 row-pattern recognition, ONE ROW PER MATCH, AFTER
+    MATCH SKIP PAST LAST ROW.
+
+    ``define`` maps symbol → boolean predicate (Column or SQL string)
+    evaluated per row; express PREV/NEXT navigation as lag/lead columns
+    on ``df`` first.  ``measures`` is a list of
+    ``(name, agg, symbol|None, column|None)``:
+    agg in first/last/count/min/max/sum/avg, symbol=None aggregates the
+    whole match, column=None is only valid for count.
+    Output: partition keys + ``match_no`` (1-based per partition) +
+    measures, one row per match.
+    """
+    if not partition_by:
+        raise ValueError("partition_by must be non-empty (global-order "
+                         "pattern matching does not scale out)")
+    syms = list(define)
+    if len(syms) > len(_ALPHABET):
+        raise ValueError("too many pattern symbols")
+    sym_char = {s: _ALPHABET[i] for i, s in enumerate(syms)}
+    rx = compile_pattern(pattern, sym_char)
+
+    # classify: first matching DEFINE wins, else the unmatched char
+    cls: Column = F.lit(_UNMATCHED)
+    for s in reversed(syms):
+        pred = define[s]
+        if isinstance(pred, str):
+            pred = F.expr(pred)
+        cls = F.when(pred, F.lit(sym_char[s])).otherwise(cls)
+
+    # prune to what the matcher needs BEFORE the shuffle
+    measure_cols = sorted({c for (_, _, _, c) in measures if c is not None})
+    for name, agg, sym, col in measures:
+        if agg not in _AGGS:
+            raise ValueError(f"unknown measure aggregate {agg!r}")
+        if col is None and agg != "count":
+            raise ValueError(f"measure {name!r}: column required for {agg}")
+        if sym is not None and sym not in sym_char:
+            raise ValueError(f"measure {name!r} references undefined symbol {sym!r}")
+    keep = list(dict.fromkeys([*partition_by, *order_by, *measure_cols]))
+    slim = df.select(*keep, cls.alias("__sym"))
+
+    in_types = {f.name: f.dataType for f in slim.schema.fields}
+    out_fields = [SQLT.StructField(k, in_types[k]) for k in partition_by]
+    out_fields.append(SQLT.StructField(match_no_col, SQLT.LongType()))
+    for name, agg, _sym, col in measures:
+        out_fields.append(
+            SQLT.StructField(name, _measure_dtype(agg, in_types.get(col)))
+        )
+    out_schema = SQLT.StructType(out_fields)
+    out_names = [f.name for f in out_fields]
+
+    part_keys = list(partition_by)
+    order_keys = list(order_by)
+    meas = list(measures)
+    char_of = dict(sym_char)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_keys, kind="mergesort").reset_index(drop=True)
+        seq = "".join(pdf["__sym"])
+        rows: List[list] = []
+        mno = 0
+        for m in rx.finditer(seq):
+            if m.start() == m.end():  # zero-width (e.g. pattern 'A*'): skip
+                continue
+            mno += 1
+            span = pdf.iloc[m.start() : m.end()]
+            row = [pdf[k].iloc[0] for k in part_keys]
+            row.append(mno)
+            for _name, agg, sym, col in meas:
+                sub = span if sym is None else span[span["__sym"] == char_of[sym]]
+                if agg == "count":
+                    row.append(len(sub) if col is None else sub[col].count())
+                elif len(sub) == 0:
+                    row.append(None)
+                elif agg == "first":
+                    row.append(sub[col].iloc[0])
+                elif agg == "last":
+                    row.append(sub[col].iloc[-1])
+                elif agg == "min":
+                    row.append(sub[col].min())
+                elif agg == "max":
+                    row.append(sub[col].max())
+                elif agg == "sum":
+                    row.append(sub[col].sum())
+                else:  # avg
+                    row.append(float(sub[col].mean()))
+            rows.append(row)
+        return pd.DataFrame(rows, columns=out_names)
+
+    return slim.groupBy(*part_keys).applyInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Registry entries
+
+
+@register(
+    "t10_match_recognize_vshape",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             lag(o_totalprice) OVER w AS prev_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    coded AS (
+      SELECT *, CASE WHEN prev_price IS NULL THEN '0'
+                     WHEN o_totalprice < prev_price THEN 'A'
+                     WHEN o_totalprice > prev_price THEN 'B'
+                     ELSE '0' END AS sym
+      FROM base
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN sym = lag(sym) OVER w THEN 0 ELSE 1 END AS chg
+      FROM coded
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    runs AS (
+      SELECT *, SUM(chg) OVER w AS run_id
+      FROM flagged
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    run_agg AS (
+      SELECT o_custkey, run_id, any_value(sym) AS sym,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(o_totalprice) AS min_price,
+             FIRST(o_orderkey ORDER BY o_orderdate, o_orderkey) AS first_key,
+             LAST(o_orderkey ORDER BY o_orderdate, o_orderkey) AS last_key
+      FROM runs GROUP BY o_custkey, run_id
+    ),
+    pairs AS (
+      SELECT d.o_custkey, d.run_id,
+             d.n AS n_down, u.n AS n_up,
+             LEAST(d.min_price, u.min_price) AS bottom_price,
+             d.first_key AS start_key, u.last_key AS end_key
+      FROM run_agg d JOIN run_agg u
+        ON u.o_custkey = d.o_custkey AND u.run_id = d.run_id + 1
+      WHERE d.sym = 'A' AND u.sym = 'B'
+    )
+    SELECT o_custkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY run_id)
+                AS BIGINT) AS match_no,
+           n_down, n_up, bottom_price, start_key, end_key
+    FROM pairs
+    """,
+)
+def t10_match_recognize_vshape(spark, sf_dir):
+    """Full MATCH_RECOGNIZE with MEASURES: V-shaped spend dips per
+    customer — ``PATTERN (D+ U+)`` where D = price strictly below the
+    previous order, U = strictly above (Trino spelling:
+    ``DEFINE D AS o_totalprice < PREV(o_totalprice), ...``).  PREV
+    navigation becomes a lag column over the same window; the oracle is
+    the islands rewrite (maximal-run pairing), which is provably the
+    same match set for maximal-greedy run patterns under SKIP PAST LAST
+    ROW.  One shuffle for the lag window, reused by the matcher's
+    groupBy (same key).  Reference surface: client.go:501-617 passes
+    MATCH_RECOGNIZE SQL through to Trino verbatim.
+    """
+    (orders,) = T(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    with_prev = spread(orders).select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).withColumn("prev_price", F.lag("o_totalprice").over(w))
+    return match_recognize(
+        with_prev,
+        partition_by=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        define={
+            "D": F.col("o_totalprice") < F.col("prev_price"),
+            "U": F.col("o_totalprice") > F.col("prev_price"),
+        },
+        pattern="D+ U+",
+        measures=[
+            ("n_down", "count", "D", None),
+            ("n_up", "count", "U", None),
+            ("bottom_price", "min", None, "o_totalprice"),
+            ("start_key", "first", None, "o_orderkey"),
+            ("end_key", "last", None, "o_orderkey"),
+        ],
+    )
+
+
+@register(
+    "t10b_match_recognize_funnel",
+    oracle="""
+    WITH coded AS (
+      SELECT user_id, ts, event_id, value,
+             CASE event_type WHEN 'view' THEN 'A' WHEN 'click' THEN 'B'
+                  WHEN 'purchase' THEN 'C' ELSE '0' END AS sym
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN sym = lag(sym) OVER w THEN 0 ELSE 1 END AS chg
+      FROM coded WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT *, SUM(chg) OVER w AS run_id
+      FROM flagged WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    run_agg AS (
+      SELECT user_id, run_id, any_value(sym) AS sym,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             FIRST(event_id ORDER BY ts, event_id) AS first_eid
+      FROM runs GROUP BY user_id, run_id
+    ),
+    triples AS (
+      SELECT v.user_id, v.run_id,
+             v.n AS n_views, c.n AS n_clicks,
+             v.first_eid AS first_view_eid, p.first_eid AS purchase_eid
+      FROM run_agg v
+      JOIN run_agg c ON c.user_id = v.user_id AND c.run_id = v.run_id + 1
+      JOIN run_agg p ON p.user_id = v.user_id AND p.run_id = v.run_id + 2
+      WHERE v.sym = 'A' AND c.sym = 'B' AND p.sym = 'C'
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY run_id)
+                AS BIGINT) AS match_no,
+           n_views, n_clicks, first_view_eid, purchase_eid
+    FROM triples
+    """,
+)
+def t10b_match_recognize_funnel(spark, sf_dir):
+    """MATCH_RECOGNIZE funnel with measures: ``PATTERN (V+ C+ P)`` —
+    a burst of views, then clicks, then the first purchase; MEASURES
+    count each stage and pin the first-view / purchase event ids.  The
+    pattern consumes exactly one ``P`` row, so the oracle's islands
+    rewrite takes the FIRST event of the purchase run (remaining
+    purchases cannot start a new match — the pattern begins with V —
+    matching regex SKIP PAST LAST ROW semantics exactly).
+    """
+    (events,) = T(spark, sf_dir, "events")
+    return match_recognize(
+        spread(events).select("user_id", "ts", "event_id", "value", "event_type"),
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        define={
+            "V": F.col("event_type") == "view",
+            "C": F.col("event_type") == "click",
+            "P": F.col("event_type") == "purchase",
+        },
+        pattern="V+ C+ P",
+        measures=[
+            ("n_views", "count", "V", None),
+            ("n_clicks", "count", "C", None),
+            ("first_view_eid", "first", "V", "event_id"),
+            ("purchase_eid", "first", "P", "event_id"),
+        ],
+    )

@@ -208,6 +208,7 @@ def _import_operator_modules() -> None:
         llm_multimodal,
         llm_similarity,
         llm_text,
+        pattern,
         projection,
         setops,
         timeseries,

@@ -1,0 +1,114 @@
+"""Unit tests for the MATCH_RECOGNIZE operator (operators/pattern.py).
+
+Hand-built sequences with known match sets — the registry entries
+(t10/t10b) cover oracle parity; these cover the matcher's semantics:
+greedy quantifiers, SKIP PAST LAST ROW non-overlap, unmatched rows
+breaking adjacency, alternation, bounded quantifiers, measure aggs,
+and loud rejection of unsupported pattern constructs.
+"""
+
+import pytest
+
+from mcp_trino_spark.operators.pattern import compile_pattern, match_recognize
+
+
+def _events(spark, rows):
+    """rows: (key, seq, kind, val)"""
+    return spark.createDataFrame(rows, "key int, seq int, kind string, val double")
+
+
+DEFINE = {
+    "A": "kind = 'a'",
+    "B": "kind = 'b'",
+    "C": "kind = 'c'",
+}
+
+
+def _run(spark, rows, pattern, measures):
+    out = match_recognize(
+        _events(spark, rows),
+        partition_by=["key"],
+        order_by=["seq"],
+        define=DEFINE,
+        pattern=pattern,
+        measures=measures,
+    )
+    return sorted(tuple(r) for r in out.collect())
+
+
+def test_greedy_non_overlapping(spark):
+    # a a b b a b  ->  (AABB), (AB): two matches, greedy, skip past last row
+    rows = [(1, i, k, float(i)) for i, k in enumerate("aabbab")]
+    got = _run(spark, rows, "A+ B+", [("n", "count", None, None),
+                                      ("first_seq", "first", None, "seq"),
+                                      ("last_seq", "last", None, "seq")])
+    assert got == [(1, 1, 4, 0, 3), (1, 2, 2, 4, 5)]
+
+
+def test_unmatched_breaks_adjacency(spark):
+    # a X b: the unclassified row between a and b prevents A+ B+ matching
+    rows = [(1, 0, "a", 0.0), (1, 1, "x", 0.0), (1, 2, "b", 0.0)]
+    got = _run(spark, rows, "A+ B+", [("n", "count", None, None)])
+    assert got == []
+
+
+def test_alternation_and_bounded_quantifier(spark):
+    # (A|B){2,3} C over "abac": greedy takes aba then c
+    rows = [(1, i, k, 0.0) for i, k in enumerate("abac")]
+    got = _run(spark, rows, "(A | B){2,3} C",
+               [("n", "count", None, None),
+                ("n_a", "count", "A", None)])
+    assert got == [(1, 1, 4, 2)]
+
+
+def test_per_symbol_measures_and_sums(spark):
+    rows = [(1, 0, "a", 1.5), (1, 1, "a", 2.5), (1, 2, "b", 10.0)]
+    got = _run(spark, rows, "A+ B",
+               [("sum_a", "sum", "A", "val"),
+                ("avg_a", "avg", "A", "val"),
+                ("max_all", "max", None, "val"),
+                ("b_val", "first", "B", "val")])
+    assert got == [(1, 1, 4.0, 2.0, 10.0, 10.0)]
+
+
+def test_multiple_partitions_independent(spark):
+    rows = [(1, 0, "a", 0.0), (1, 1, "b", 0.0),
+            (2, 0, "a", 0.0), (2, 1, "a", 0.0), (2, 2, "b", 0.0),
+            (3, 0, "b", 0.0)]
+    got = _run(spark, rows, "A+ B", [("n", "count", None, None)])
+    assert got == [(1, 1, 2), (2, 1, 3)]
+
+
+def test_empty_symbol_subset_yields_null(spark):
+    # optional C never matched: per-symbol first over empty subset -> NULL
+    rows = [(1, 0, "a", 1.0), (1, 1, "b", 2.0)]
+    got = _run(spark, rows, "A B C?",
+               [("c_val", "first", "C", "val")])
+    assert got == [(1, 1, None)]
+
+
+def test_rejects_unsupported_constructs(spark):
+    chars = {"A": "A", "B": "B"}
+    for bad in ["A {- B -}", "PERMUTE(A, B)", "A {1,2,3}", "A ^ B", "Z+"]:
+        with pytest.raises(ValueError):
+            compile_pattern(bad, chars)
+    with pytest.raises(ValueError):
+        match_recognize(
+            _events(spark, [(1, 0, "a", 0.0)]),
+            partition_by=[], order_by=["seq"], define=DEFINE,
+            pattern="A", measures=[("n", "count", None, None)],
+        )
+    with pytest.raises(ValueError):
+        match_recognize(
+            _events(spark, [(1, 0, "a", 0.0)]),
+            partition_by=["key"], order_by=["seq"], define=DEFINE,
+            pattern="A", measures=[("bad", "median", None, "val")],
+        )
+
+
+def test_zero_width_matches_skipped(spark):
+    # pattern B* matches zero-width everywhere on an all-a sequence:
+    # no rows out (and no infinite loop)
+    rows = [(1, 0, "a", 0.0), (1, 1, "a", 0.0)]
+    got = _run(spark, rows, "B*", [("n", "count", None, None)])
+    assert got == []

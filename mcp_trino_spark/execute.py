@@ -71,6 +71,13 @@ def execute_query(
 
         install_compat_functions(spark)
         q = translate(q)
+        from mcp_trino_spark.trino_mr import expand_match_recognize, has_match_recognize
+
+        if has_match_recognize(q):
+            # lifts each MATCH_RECOGNIZE clause into the distributed
+            # pattern operator behind a temp view (lazy — no jobs run
+            # here); the rewritten SQL goes through the normal gate path
+            q = expand_match_recognize(spark, q)
     if not config.allow_write_queries and not is_read_only_query(q):
         raise WriteQueryNotAllowed(
             "query rejected: only read-only queries (SELECT, SHOW, DESCRIBE, "

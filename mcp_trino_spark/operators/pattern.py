@@ -138,7 +138,8 @@ def match_recognize(
 
     ``define`` maps symbol → boolean predicate (Column or SQL string)
     evaluated per row; express PREV/NEXT navigation as lag/lead columns
-    on ``df`` first.  ``measures`` is a list of
+    on ``df`` first.  ``order_by`` entries may carry an ``ASC``/``DESC``
+    suffix (``"ts DESC"``).  ``measures`` is a list of
     ``(name, agg, symbol|None, column|None)``:
     agg in first/last/count/min/max/sum/avg, symbol=None aggregates the
     whole match, column=None is only valid for count.
@@ -153,6 +154,16 @@ def match_recognize(
         raise ValueError("too many pattern symbols")
     sym_char = {s: _ALPHABET[i] for i, s in enumerate(syms)}
     rx = compile_pattern(pattern, sym_char)
+
+    order_keys, ascending = [], []
+    for o in order_by:
+        parts = o.split()
+        if len(parts) == 2 and parts[1].upper() in ("ASC", "DESC"):
+            order_keys.append(parts[0])
+            ascending.append(parts[1].upper() == "ASC")
+        else:
+            order_keys.append(o)
+            ascending.append(True)
 
     # classify: first matching DEFINE wins, else the unmatched char
     cls: Column = F.lit(_UNMATCHED)
@@ -171,7 +182,7 @@ def match_recognize(
             raise ValueError(f"measure {name!r}: column required for {agg}")
         if sym is not None and sym not in sym_char:
             raise ValueError(f"measure {name!r} references undefined symbol {sym!r}")
-    keep = list(dict.fromkeys([*partition_by, *order_by, *measure_cols]))
+    keep = list(dict.fromkeys([*partition_by, *order_keys, *measure_cols]))
     slim = df.select(*keep, cls.alias("__sym"))
 
     in_types = {f.name: f.dataType for f in slim.schema.fields}
@@ -185,12 +196,13 @@ def match_recognize(
     out_names = [f.name for f in out_fields]
 
     part_keys = list(partition_by)
-    order_keys = list(order_by)
     meas = list(measures)
     char_of = dict(sym_char)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_keys, kind="mergesort").reset_index(drop=True)
+        pdf = pdf.sort_values(
+            order_keys, ascending=ascending, kind="mergesort"
+        ).reset_index(drop=True)
         seq = "".join(pdf["__sym"])
         rows: List[list] = []
         mno = 0

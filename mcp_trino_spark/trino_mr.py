@@ -1,0 +1,320 @@
+"""MATCH_RECOGNIZE SQL front-end: parse the Trino/SQL:2016 clause and
+route it through the distributed pattern operator.
+
+The reference passes MATCH_RECOGNIZE text through to Trino verbatim
+(internal/trino/client.go:501-617); Spark SQL has no row-pattern
+clause, so ``expand_match_recognize`` lifts the clause out of the query:
+the base table is run through ``operators.pattern.match_recognize``
+(one shuffle, JVM-side DEFINE evaluation — see that module for the
+scale posture), the result is registered as a temp view, and the
+``<table> MATCH_RECOGNIZE (...)`` span is replaced by the view name so
+the surrounding SQL (projection, WHERE, ORDER BY, joins against other
+tables) still runs through Catalyst unchanged.
+
+Supported clause subset (everything else raises ``TrinoCompatError``
+loudly — silent divergence from Trino is worse than an error):
+
+- ``PARTITION BY`` simple columns (required — global-order matching
+  does not scale out and Trino itself warns on it)
+- ``ORDER BY col [ASC|DESC], ...``
+- ``MEASURES``: ``MATCH_NUMBER()``, ``FIRST/LAST(col)``,
+  ``FIRST/LAST(S.col)``, ``COUNT(*)``, ``COUNT(S.*)``,
+  ``COUNT/MIN/MAX/SUM/AVG([S.]col)`` — each ``AS name``
+- ``ONE ROW PER MATCH`` (default; ALL ROWS PER MATCH rejected)
+- ``AFTER MATCH SKIP PAST LAST ROW`` (default; other skips rejected)
+- ``PATTERN (...)`` — the grammar of ``compile_pattern``
+- ``DEFINE S AS predicate`` where the predicate is any Spark-SQL
+  boolean over the row, plus ``PREV(col[, k])`` / ``NEXT(col[, k])``
+  physical navigation (rewritten to lag/lead columns over the same
+  partition/order window before matching — how Trino pipelines it too)
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+from typing import Dict, List, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mcp_trino_spark.trino_compat import TrinoCompatError, _code_mask
+
+_MR_KW = re.compile(r"\bMATCH_RECOGNIZE\b", re.IGNORECASE)
+#: table reference immediately before the keyword: 1-3 dotted identifiers
+_TABLE_REF = re.compile(r"([A-Za-z_][\w$]*(?:\s*\.\s*[A-Za-z_][\w$]*){0,2})\s*$")
+_ALIAS = re.compile(r"^\s*(?:AS\s+)?([A-Za-z_][\w$]*)", re.IGNORECASE)
+_RESERVED_AFTER = {"WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION",
+                   "EXCEPT", "INTERSECT", "JOIN", "INNER", "LEFT", "RIGHT",
+                   "FULL", "CROSS", "ON", "QUALIFY", "WINDOW"}
+
+_NAV = re.compile(r"\b(PREV|NEXT)\s*\(", re.IGNORECASE)
+_MEASURE = re.compile(
+    r"^(?:(MATCH_NUMBER)\s*\(\s*\)"
+    r"|(FIRST|LAST|COUNT|MIN|MAX|SUM|AVG)\s*\((.*)\))\s+AS\s+([A-Za-z_][\w$]*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def has_match_recognize(query: str) -> bool:
+    mask = _code_mask(query)
+    return any(mask[m.start()] for m in _MR_KW.finditer(query))
+
+
+def _find_clause(query: str) -> Tuple[int, int, str, int, int]:
+    """Locate ``<table> MATCH_RECOGNIZE ( body )`` → (span_start,
+    span_end, table, body_start, body_end) using the literal-aware mask."""
+    mask = _code_mask(query)
+    for m in _MR_KW.finditer(query):
+        if not mask[m.start()]:
+            continue
+        tbl = _TABLE_REF.search(query[: m.start()])
+        if not tbl:
+            raise TrinoCompatError(
+                "MATCH_RECOGNIZE is only supported directly on a table or "
+                "view reference (not a subquery) — register the input as a "
+                "temp view first"
+            )
+        # opening paren
+        i = m.end()
+        while i < len(query) and query[i].isspace():
+            i += 1
+        if i >= len(query) or query[i] != "(":
+            raise TrinoCompatError("MATCH_RECOGNIZE must be followed by (...)")
+        depth, j = 0, i
+        while j < len(query):
+            if mask[j]:
+                if query[j] == "(":
+                    depth += 1
+                elif query[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            j += 1
+        if depth != 0:
+            raise TrinoCompatError("unbalanced parens in MATCH_RECOGNIZE")
+        return tbl.start(1), j + 1, re.sub(r"\s", "", tbl.group(1)), i + 1, j
+    raise TrinoCompatError("no MATCH_RECOGNIZE clause found")
+
+
+_SECTION = re.compile(
+    r"\b(PARTITION\s+BY|ORDER\s+BY|MEASURES|ONE\s+ROW\s+PER\s+MATCH|"
+    r"ALL\s+ROWS\s+PER\s+MATCH|AFTER\s+MATCH|PATTERN|SUBSET|DEFINE)\b",
+    re.IGNORECASE,
+)
+
+
+def _split_sections(body: str) -> Dict[str, str]:
+    """Split the clause body into its keyword sections (literal-aware)."""
+    mask = _code_mask(body)
+    marks = [(m.start(), m.end(), re.sub(r"\s+", " ", m.group(1).upper()))
+             for m in _SECTION.finditer(body) if mask[m.start()]]
+    # PATTERN's (...) may itself contain nothing section-like; DEFINE
+    # predicates may contain parens but no section keywords — safe split.
+    out: Dict[str, str] = {}
+    for k, (start, end, name) in enumerate(marks):
+        nxt = marks[k + 1][0] if k + 1 < len(marks) else len(body)
+        if name in out:
+            raise TrinoCompatError(f"duplicate {name} in MATCH_RECOGNIZE")
+        out[name] = body[end:nxt].strip()
+    return out
+
+
+def _split_top_commas(s: str) -> List[str]:
+    """Split on commas not nested in parens/brackets (literal-aware)."""
+    mask = _code_mask(s)
+    parts, depth, last = [], 0, 0
+    for i, ch in enumerate(s):
+        if not mask[i]:
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[last:i].strip())
+            last = i + 1
+    parts.append(s[last:].strip())
+    return [p for p in parts if p]
+
+
+def _parse_measures(text: str, symbols: List[str]):
+    """→ (measures list for the operator, match_no alias or None)."""
+    measures, match_no_alias = [], None
+    sym_upper = {s.upper(): s for s in symbols}
+    for item in _split_top_commas(text):
+        m = _MEASURE.match(item.strip())
+        if not m:
+            raise TrinoCompatError(
+                f"unsupported MEASURES entry {item!r} (supported: "
+                "MATCH_NUMBER(), FIRST/LAST/COUNT/MIN/MAX/SUM/AVG over "
+                "[symbol.]column, each AS name)"
+            )
+        if m.group(1):  # MATCH_NUMBER()
+            match_no_alias = m.group(4)
+            continue
+        agg, arg, name = m.group(2).lower(), m.group(3).strip(), m.group(4)
+        sym = None
+        if arg == "*":
+            col = None
+        else:
+            dm = re.fullmatch(
+                r"([A-Za-z_][\w$]*)\s*\.\s*([A-Za-z_][\w$]*|\*)", arg
+            )
+            if dm and dm.group(1).upper() in sym_upper:
+                sym = sym_upper[dm.group(1).upper()]
+                col = None if dm.group(2) == "*" else dm.group(2)
+            elif re.fullmatch(r"[A-Za-z_][\w$]*", arg):
+                col = arg
+            else:
+                raise TrinoCompatError(
+                    f"unsupported measure argument {arg!r} — use a plain "
+                    "column or symbol.column (expressions inside measures "
+                    "are not supported; compute them in an outer SELECT)"
+                )
+        if col is None and agg != "count":
+            raise TrinoCompatError(f"{agg.upper()}(*) requires a column")
+        if agg in ("first", "last") and col is None:
+            raise TrinoCompatError(f"{agg.upper()} requires a column")
+        measures.append((name, agg, sym, col))
+    return measures, match_no_alias
+
+
+def _rewrite_navigation(pred: str) -> Tuple[str, Dict[str, Tuple[str, str, int]]]:
+    """Replace PREV/NEXT(col[, k]) with generated lag/lead column refs.
+
+    Returns (rewritten predicate, {gen_col: (fn, col, k)}).
+    """
+    needed: Dict[str, Tuple[str, str, int]] = {}
+
+    out, i = [], 0
+    while True:
+        m = _NAV.search(pred, i)
+        if not m:
+            out.append(pred[i:])
+            break
+        out.append(pred[i : m.start()])
+        # find matching close paren
+        depth, j = 1, m.end()
+        while j < len(pred) and depth:
+            if pred[j] == "(":
+                depth += 1
+            elif pred[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise TrinoCompatError(f"unbalanced parens in DEFINE: {pred!r}")
+        args = [a.strip() for a in pred[m.end() : j - 1].split(",")]
+        fn = m.group(1).lower()
+        if not re.fullmatch(r"[A-Za-z_][\w$]*", args[0]):
+            raise TrinoCompatError(
+                f"{fn.upper()}() supports only a plain column argument, "
+                f"got {args[0]!r}"
+            )
+        k = 1
+        if len(args) == 2:
+            if not args[1].isdigit():
+                raise TrinoCompatError(f"{fn.upper()} offset must be a literal")
+            k = int(args[1])
+        elif len(args) > 2:
+            raise TrinoCompatError(f"too many arguments to {fn.upper()}()")
+        gen = f"__{fn}_{args[0]}_{k}"
+        needed[gen] = (fn, args[0], k)
+        out.append(gen)
+        i = j
+    return "".join(out), needed
+
+
+def expand_match_recognize(spark: SparkSession, query: str) -> str:
+    """Replace every ``<table> MATCH_RECOGNIZE (...)`` span with a temp
+    view holding the operator's output; return the rewritten query."""
+    while has_match_recognize(query):
+        start, end, table, bstart, bend = _find_clause(query)
+        body = query[bstart:bend]
+        sections = _split_sections(body)
+
+        for bad, msg in [
+            ("ALL ROWS PER MATCH", "ALL ROWS PER MATCH is not supported "
+             "(only ONE ROW PER MATCH)"),
+            ("SUBSET", "SUBSET union variables are not supported"),
+        ]:
+            if bad in sections:
+                raise TrinoCompatError(msg)
+        if "AFTER MATCH" in sections:
+            skip = re.sub(r"\s+", " ", sections["AFTER MATCH"].upper()).strip()
+            if skip != "SKIP PAST LAST ROW":
+                raise TrinoCompatError(
+                    f"AFTER MATCH {skip} is not supported (only SKIP PAST "
+                    "LAST ROW)"
+                )
+        for req in ("PARTITION BY", "ORDER BY", "PATTERN", "DEFINE"):
+            if req not in sections:
+                raise TrinoCompatError(f"MATCH_RECOGNIZE requires {req}")
+
+        part_cols = [c.strip() for c in sections["PARTITION BY"].split(",")]
+        order_items = [re.sub(r"\s+", " ", c.strip())
+                       for c in sections["ORDER BY"].split(",")]
+        pattern = sections["PATTERN"].strip()
+        if not (pattern.startswith("(") and pattern.endswith(")")):
+            raise TrinoCompatError("PATTERN must be parenthesized")
+        pattern = pattern[1:-1]
+
+        define: Dict[str, str] = {}
+        nav_cols: Dict[str, Tuple[str, str, int]] = {}
+        for item in _split_top_commas(sections["DEFINE"]):
+            dm = re.match(r"([A-Za-z_][\w$]*)\s+AS\s+(.*)$", item.strip(),
+                          re.IGNORECASE | re.DOTALL)
+            if not dm:
+                raise TrinoCompatError(f"malformed DEFINE entry {item!r}")
+            pred, needed = _rewrite_navigation(dm.group(2).strip())
+            nav_cols.update(needed)
+            define[dm.group(1)] = pred
+
+        measures, match_no_alias = (
+            _parse_measures(sections["MEASURES"], list(define))
+            if "MEASURES" in sections
+            else ([], None)
+        )
+        if not measures and match_no_alias is None:
+            raise TrinoCompatError(
+                "MATCH_RECOGNIZE without MEASURES produces no useful "
+                "ONE-ROW-PER-MATCH output; add a MEASURES clause"
+            )
+
+        df: DataFrame = spark.table(table)
+        if nav_cols:
+            w = Window.partitionBy(*part_cols).orderBy(
+                *[F.col(k).desc() if a.upper().endswith(" DESC")
+                  else F.col(k)
+                  for k, a in ((i.split()[0], i) for i in order_items)]
+            )
+            for gen, (fn, col, k) in nav_cols.items():
+                nav = F.lag(col, k) if fn == "prev" else F.lead(col, k)
+                df = df.withColumn(gen, nav.over(w))
+
+        from mcp_trino_spark.operators.pattern import match_recognize
+
+        out = match_recognize(
+            df,
+            partition_by=part_cols,
+            order_by=order_items,
+            define=define,
+            pattern=pattern,
+            measures=measures,
+            match_no_col=match_no_alias or "__match_no",
+        )
+        if match_no_alias is None:
+            out = out.drop("__match_no")
+
+        view = f"__mr_{uuid.uuid4().hex[:10]}"
+        out.createOrReplaceTempView(view)
+
+        # swallow a trailing alias if present (keep it on the view)
+        rest = query[end:]
+        alias = ""
+        am = _ALIAS.match(rest)
+        if am and am.group(1).upper() not in _RESERVED_AFTER:
+            alias = f" {am.group(1)}"
+            rest = rest[am.end():]
+        query = f"{query[:start]}{view}{alias}{rest}"
+    return query

@@ -466,3 +466,100 @@ def l25_batch_ann(spark, sf_dir):
         F.col("cos_sim").desc(), F.col("vec_id").asc()
     )
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+
+
+@register(
+    "l27_semdedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000000,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01)
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM corpus WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id, embedding FROM (
+        SELECT c.vec_id, k.cent_id, c.embedding,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {_cosine_sql('c.embedding', 'k.cv')} DESC,
+                                           k.cent_id ASC) AS rn
+        FROM corpus c CROSS JOIN cents k
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      WHERE {_cosine_sql('a.embedding', 'b.embedding')} > 0.99
+    )
+    SELECT x.vec_id, x.cent_id, d.vec_id IS NULL AS is_kept
+    FROM assigned x LEFT JOIN dropped d ON x.vec_id = d.vec_id
+    """,
+)
+def l27_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then drop any vector
+    whose cosine to a LOWER-ID vector in the SAME cluster exceeds the
+    threshold — the cluster granularity is what bounds the otherwise
+    quadratic pair search, which is exactly the published algorithm's
+    scale story (k ≈ √n clusters keeps per-cluster work ~n).
+
+    Spark shape: centroid assignment is a broadcast cross join + one
+    row_number (map-side; centroids here are seed vectors vec_id<8, the
+    deterministic stand-in for trained k-means — l11 provides training).
+    The within-cluster pair join shuffles only (vec_id, cent_id,
+    embedding) on cent_id; at real scale cent_id has k ≈ √n values, so
+    AQE splits the skewiest clusters.  Keep/drop is a LEFT ANTI-style
+    membership flag, deterministic (lowest vec_id in a dup group wins).
+
+    As in l3b, the corpus unions a +0.01-perturbed copy of itself so
+    genuine near-dups exist (cos ≈ 0.997 to the original, IEEE-identical
+    on both engines); every perturbed vector must then be dropped and
+    every original kept, making the check non-vacuous end-to-end.
+    """
+    (emb,) = T(spark, sf_dir, "embeddings")
+    base = spread(emb).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = base.unionAll(
+        base.select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda x: x + 0.01).alias("embedding"),
+        )
+    )
+    cents = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("sim", cosine(F.col("embedding"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id", "embedding")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cosine(F.col("a.embedding"), F.col("b.embedding")) > 0.99)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cent_id",
+        F.col("is_dropped").isNull().alias("is_kept"),
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mcp_trino_spark.operators._util import T, spread
-from mcp_trino_spark.registry import DAVG, register
+from mcp_trino_spark.registry import DAVG, DSUM, dsum, register
 
 #: tiny per-language stopword lists for the n-gram/stopword language
 #: heuristic (public common-word lists, truncated to 8 words each).
@@ -752,5 +752,77 @@ def l24_tfidf(spark, sf_dir):
                 * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))),
                 6,
             ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "l28_unigram_logprob",
+    oracle=f"""
+    WITH tokens AS (
+      SELECT doc_id, w AS term
+      FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+      )
+      WHERE length(w) > 0
+    ),
+    vocab AS (SELECT term, COUNT(*) AS cnt FROM tokens GROUP BY term),
+    total AS (SELECT SUM(cnt) AS n_tokens FROM vocab),
+    lp AS (
+      SELECT v.term,
+             ROUND(ln(CAST(v.cnt AS DOUBLE) / t.n_tokens), 6) AS logp
+      FROM vocab v CROSS JOIN total t
+    )
+    SELECT k.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST({DSUM('l.logp')} AS DOUBLE) / COUNT(*), 6)
+             AS avg_logprob
+    FROM tokens k JOIN lp l ON k.term = l.term
+    GROUP BY k.doc_id
+    """,
+)
+def l28_unigram_logprob(spark, sf_dir):
+    """Unigram language-model quality score: per-document mean log
+    probability of its tokens under the corpus' own unigram
+    distribution — the classic cheap perplexity proxy used to rank
+    documents for training-data selection (low avg logprob = rare /
+    garbled token mix).
+
+    Spark shape: tokenize (narrow explode) → vocab counts (one shuffle
+    on term) → per-term log-prob (vocab-sized, broadcast back) → per-doc
+    aggregate (one shuffle on doc_id).  The corpus token stream is
+    shuffled exactly twice and the text bytes never leave the scan.  At
+    100 TB the vocab table is MBs (Zipf), so the join back stays a
+    broadcast.
+
+    Cross-engine exactness: ln() is IEEE-identical for identical double
+    inputs (l24 precedent); each per-term logp is rounded to 6 places,
+    the per-doc sum runs in exact DECIMAL on both engines (dsum/DSUM),
+    and the final division result is rounded — so the value hash
+    matches bit-for-bit.
+    """
+    (docs,) = T(spark, sf_dir, "documents")
+    tokens = (
+        spread(docs)
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.length("term") > 0)
+    )
+    vocab = tokens.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_tokens"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("n_tokens")), 6
+        ).alias("logp"),
+    )
+    return (
+        tokens.join(F.broadcast(lp), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round((dsum("logp") / F.count("*")).cast("double"), 6).alias(
+                "avg_logprob"
+            ),
         )
     )

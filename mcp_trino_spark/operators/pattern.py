@@ -306,8 +306,10 @@ def t10_match_recognize_vshape(spark, sf_dir):
     (orders,) = T(spark, sf_dir, "orders")
     from pyspark.sql import Window
 
+    # no spread(): the lag window's hash exchange on o_custkey is the
+    # first operator and already provides full parallelism downstream
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    with_prev = spread(orders).select(
+    with_prev = orders.select(
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
     ).withColumn("prev_price", F.lag("o_totalprice").over(w))
     return match_recognize(
@@ -378,8 +380,10 @@ def t10b_match_recognize_funnel(spark, sf_dir):
     matching regex SKIP PAST LAST ROW semantics exactly).
     """
     (events,) = T(spark, sf_dir, "events")
+    # no spread(): the matcher's hash exchange on user_id comes first and
+    # the pre-shuffle classify projection is trivial column math
     return match_recognize(
-        spread(events).select("user_id", "ts", "event_id", "value", "event_type"),
+        events.select("user_id", "ts", "event_id", "event_type"),
         partition_by=["user_id"],
         order_by=["ts", "event_id"],
         define={

@@ -187,3 +187,42 @@ def test_batch_ann_has_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" in plan  # query batch broadcast
     assert "CartesianProduct" not in plan
+
+
+def test_match_recognize_single_hash_shuffle_pruned_scan(spark):
+    """t10b: the matcher's plan is scan -> codegen classify -> ONE hash
+    exchange on the partition key -> sort -> Arrow FlatMapGroupsInPandas;
+    the text/props/value columns never reach the shuffle (pruned read
+    schema) and there is no single-partition exchange."""
+    df = registry.queries()["t10b_match_recognize_funnel"](spark, SF_DIR)
+    plan = formatted(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange") <= 2  # one hash exchange (+AQE read)
+    assert "hashpartitioning(user_id" in plan
+    # pruned scan: only the four needed columns
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "event_id", "ts", "user_id", "event_type"
+    }
+
+
+def test_semdedup_centroid_join_is_broadcast(spark):
+    """l27: centroid assignment must broadcast the 8-centroid table
+    (BroadcastNestedLoopJoin over the KB-sized cents), never shuffle the
+    corpus for it; the pair join shuffles on cent_id only."""
+    df = registry.queries()["l27_semdedup"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_logprob_vocab_join_is_broadcast(spark):
+    """l28: the per-term logprob table is vocab-sized and must come back
+    to the token stream as a broadcast hash join."""
+    df = registry.queries()["l28_unigram_logprob"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

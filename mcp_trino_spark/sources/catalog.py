@@ -59,16 +59,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     sub-µs exactness (not oracle-comparable).
     """
     if name == "events":
-        # events.parquet stores ts as INT64 TIMESTAMP(NANOS); Spark only
-        # reads that type when nanosAsLong is on.  The conf is runtime-
-        # settable, and callers (the driver) pass their OWN SparkSession
-        # which won't have it — so self-provision here rather than relying
-        # on session.py having built the session.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS).  Spark ≤4.0
+        # only reads that type with nanosAsLong on (else
+        # PARQUET_TYPE_ILLEGAL); newer Spark reads it natively as
+        # timestamp_ntz (µs-truncated) and ignores the conf.  Set it
+        # defensively on the CALLER's session (the driver passes its own,
+        # vanilla SparkSession) — harmless where ignored, required where
+        # not — and let normalize_events handle whichever shape comes back.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
+        df = normalize_events(df)
+    return df
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Normalize the events table to ``ts`` TimestampType (µs) + ``ts_ns`` long.
+
+    Handles both reader behaviors for INT64 TIMESTAMP(NANOS) parquet:
+    - legacy ``nanosAsLong``: ``ts`` arrives as bigint nanos → exact
+      ``ts_ns``, µs-truncated TimestampType ``ts``.
+    - native (Spark 4.1+): ``ts`` arrives as timestamp_ntz already
+      µs-truncated by the reader → cast to session-tz TimestampType
+      (sessions here pin UTC); ``ts_ns`` is reconstructed at µs
+      resolution (sub-µs digits are gone before Spark sees the value,
+      and every oracle-checked operator orders/gaps on µs + id tiebreak
+      by design — see the load_table docstring).
+    """
+    dt = dict(df.dtypes)
+    if dt.get("ts") == "bigint":
         df = df.withColumn("ts_ns", F.col("ts")).withColumn(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    elif dt.get("ts") == "timestamp_ntz":
+        ts_ltz = F.col("ts").cast("timestamp")
+        df = df.withColumn("ts_ns", F.unix_micros(ts_ltz) * F.lit(1000)).withColumn(
+            "ts", ts_ltz
         )
     return df
 

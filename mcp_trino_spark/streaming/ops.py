@@ -38,7 +38,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mirrors sources/catalog.load_table: the parquet stores ns-precision
     int64 ``ts``; expose TimestampType ``ts`` (µs) + exact ``ts_ns``.
     """
-    from mcp_trino_spark.sources.catalog import table_path
+    from mcp_trino_spark.sources.catalog import normalize_events, table_path
 
     path = table_path(sf_dir, "events")
     schema = spark.read.parquet(path).schema
@@ -49,11 +49,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", os.path.basename(path))
         .parquet(os.path.dirname(path))
     )
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
-    return df
+    return normalize_events(df)
 
 
 def t1_tumbling_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:

@@ -5,6 +5,7 @@ speed; full oracle equivalence is tools/check_correctness.py."""
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from mcp_trino_spark import catalog_api
 from mcp_trino_spark.allowlist import Allowlists
@@ -168,8 +169,11 @@ def test_registry_rejects_duplicate_names():
 
 def test_load_table_self_provisions_nanos_conf(spark, sf_dir):
     """Regression (round-1 driver failures j11/j12/l10b): events.parquet is
-    INT64 TIMESTAMP(NANOS); load_table must set nanosAsLong on the CALLER's
-    session at runtime, not assume session.py built it."""
+    INT64 TIMESTAMP(NANOS); load_table must normalize it on the CALLER's
+    session regardless of how the reader surfaces nanos — bigint under the
+    legacy nanosAsLong conf (Spark ≤4.0, which load_table self-provisions)
+    or native timestamp_ntz (Spark 4.1+, conf ignored).  Either way the
+    engine-facing schema is stable: ts TimestampType (µs) + ts_ns long."""
     from mcp_trino_spark.sources.catalog import load_table
 
     spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
@@ -177,6 +181,11 @@ def test_load_table_self_provisions_nanos_conf(spark, sf_dir):
     dt = dict(df.dtypes)
     assert dt["ts"] == "timestamp" and dt["ts_ns"] == "bigint"
     assert df.limit(1).count() == 1
+    # ts_ns must agree with ts at µs resolution in both reader modes
+    row = df.select(
+        (F.unix_micros(F.col("ts")) * F.lit(1000) == F.col("ts_ns") - F.col("ts_ns") % 1000).alias("ok")
+    ).limit(100).agg(F.min("ok").alias("ok")).first()
+    assert row["ok"] is True
 
 
 def test_registry_first_50_spans_every_family():

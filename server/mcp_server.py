@@ -239,24 +239,49 @@ class _HTTPHandler:
     Built on stdlib http.server — no SDK in this container.
 
     Auth (reference server.go:170-215 wraps the HTTP transport in OAuth
-    middleware): when ``auth_token`` is set, every MCP endpoint requires
-    ``Authorization: Bearer <token>`` and replies 401 with a
-    ``WWW-Authenticate`` challenge otherwise.  A static shared token
-    stands in for the reference's OAuth/JWT chain — same enforcement
-    point, no identity provider in this environment.  ``/status`` stays
-    open (health probes don't carry credentials).
+    middleware): two modes, both enforcing at the same point — every MCP
+    endpoint, before any method dispatch, 401 + ``WWW-Authenticate`` on
+    failure; ``/status`` stays open (health probes don't carry
+    credentials).
+
+    - ``jwt_secret`` set → **JWT mode** (reference's ``hmac`` OAuth
+      provider, docs/jwt.md): the bearer token must be a valid HS256 JWT
+      (signature, alg pinning, sub/exp/iat claims — see auth.py).  The
+      token's ``sub`` claim becomes the request user for the
+      impersonation chain, overriding ``X-Trino-User`` (a
+      transport-level identity beats a spoofable plain header).
+    - else ``auth_token`` set → **static-token mode**: constant-time
+      equality against a shared secret.
     """
 
     @staticmethod
-    def make(server: "MCPServer", auth_token: Optional[str] = None):
+    def make(
+        server: "MCPServer",
+        auth_token: Optional[str] = None,
+        jwt_secret: Optional[str] = None,
+    ):
         import hmac
         from http.server import BaseHTTPRequestHandler
+
+        from mcp_trino_spark.auth import JWTError, authenticate_bearer
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
                 pass
 
             def _authorized(self) -> bool:
+                """True if the request may proceed; sets ``self._jwt_user``
+                when a JWT supplied the identity."""
+                self._jwt_user = None
+                if jwt_secret:
+                    try:
+                        claims = authenticate_bearer(
+                            self.headers.get("Authorization", ""), jwt_secret
+                        )
+                    except JWTError:
+                        return False
+                    self._jwt_user = claims.get("preferred_username") or claims["sub"]
+                    return True
                 if not auth_token:
                     return True
                 header = self.headers.get("Authorization", "")
@@ -311,7 +336,10 @@ class _HTTPHandler:
                     self._reply(400, json.dumps(_error(None, -32700, "parse error")).encode())
                     return
                 reply = server.handle_message(
-                    msg, user=(self.headers.get("X-Trino-User") or "").strip() or None
+                    msg,
+                    user=self._jwt_user
+                    or (self.headers.get("X-Trino-User") or "").strip()
+                    or None,
                 )
                 if reply is None:
                     self._reply(202, b"")
@@ -322,17 +350,35 @@ class _HTTPHandler:
 
 
 def serve_http(
-    host: str = "localhost", port: int = 8080, auth_token: Optional[str] = None
+    host: str = "localhost",
+    port: int = 8080,
+    auth_token: Optional[str] = None,
+    jwt_secret: Optional[str] = None,
 ) -> None:
-    """Blocking HTTP transport: /mcp, /sse (legacy), /status.  Set
-    ``auth_token`` (env: MCP_AUTH_TOKEN) to require bearer auth."""
+    """Blocking HTTP transport: /mcp, /sse (legacy), /status.
+
+    Auth config mirrors the reference (config.go:70-76, docs/jwt.md):
+    ``OAUTH_ENABLED=true`` requires ``JWT_SECRET`` (fail fast at startup,
+    like the reference's "server fails without it") and turns on JWT
+    bearer validation; otherwise ``MCP_AUTH_TOKEN`` enables the static
+    shared-token mode."""
     import os
     from http.server import ThreadingHTTPServer
 
+    if jwt_secret is None:
+        oauth_enabled = os.environ.get("OAUTH_ENABLED", "").strip().lower() in (
+            "1", "true", "t", "yes", "y", "on",
+        )
+        jwt_secret = os.environ.get("JWT_SECRET") or None
+        if oauth_enabled and not jwt_secret:
+            raise RuntimeError("OAUTH_ENABLED=true requires JWT_SECRET")
+        if not oauth_enabled:
+            jwt_secret = None
     if auth_token is None:
         auth_token = os.environ.get("MCP_AUTH_TOKEN") or None
     httpd = ThreadingHTTPServer(
-        (host, port), _HTTPHandler.make(MCPServer(), auth_token=auth_token)
+        (host, port),
+        _HTTPHandler.make(MCPServer(), auth_token=auth_token, jwt_secret=jwt_secret),
     )
     httpd.serve_forever()
 

@@ -298,3 +298,140 @@ def test_http_passes_x_trino_user(server, monkeypatch):
         assert seen["user"] == "bob"
     finally:
         httpd.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# JWT auth (reference docs/jwt.md; hmac OAuth provider, server.go:170-215)
+
+
+def test_jwt_decode_contract():
+    """auth.decode_hs256 enforces the reference's validation features:
+    HS256 pinning (reject alg=none), signature check, required
+    sub/exp/iat claims, expiry with leeway, nbf."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from mcp_trino_spark.auth import JWTError, decode_hs256, encode_hs256
+
+    now = _time.time()
+    good = {"sub": "alice", "preferred_username": "alice@corp",
+            "email": "alice@corp.example", "iat": now, "exp": now + 600}
+    token = encode_hs256(good, "k3y")
+    assert decode_hs256(token, "k3y")["sub"] == "alice"
+
+    with _pytest.raises(JWTError, match="signature"):
+        decode_hs256(token, "other-key")
+    with _pytest.raises(JWTError, match="expired"):
+        decode_hs256(encode_hs256({**good, "exp": now - 120}, "k3y"), "k3y")
+    # inside leeway → accepted
+    decode_hs256(encode_hs256({**good, "exp": now - 10}, "k3y"), "k3y")
+    with _pytest.raises(JWTError, match="nbf"):
+        decode_hs256(encode_hs256({**good, "nbf": now + 600}, "k3y"), "k3y")
+    for missing in ("sub", "exp", "iat"):
+        claims = {k: v for k, v in good.items() if k != missing}
+        with _pytest.raises(JWTError, match=missing):
+            decode_hs256(encode_hs256(claims, "k3y"), "k3y")
+
+    # alg-confusion: re-sign the payload under alg=none / alg=HS512-style
+    # headers; both must be rejected before signature logic runs
+    import base64 as _b64
+    import json as _json
+
+    def seg(obj):
+        return _b64.urlsafe_b64encode(_json.dumps(obj).encode()).rstrip(b"=").decode()
+
+    payload = seg(good)
+    with _pytest.raises(JWTError, match="alg"):
+        decode_hs256(f"{seg({'alg': 'none'})}.{payload}.", "k3y")
+    with _pytest.raises(JWTError, match="alg"):
+        decode_hs256(f"{seg({'alg': 'RS256'})}.{payload}.{'x'*43}", "k3y")
+    with _pytest.raises(JWTError):
+        decode_hs256("not-a-jwt", "k3y")
+
+
+def test_http_jwt_auth(server, monkeypatch):
+    """JWT mode end-to-end: valid HS256 token → 200 and the token's sub
+    becomes the attribution user (overriding X-Trino-User — a signed
+    identity beats a spoofable header); expired/garbage/absent → 401."""
+    import json as _json
+    import threading
+    import time as _time
+    import urllib.error
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    import mcp_trino_spark.execute as ex
+    from mcp_trino_spark.auth import encode_hs256
+    from server.mcp_server import _HTTPHandler
+
+    seen = {}
+    real = ex.execute_query
+
+    def spy(spark, query, config=None, **kw):
+        seen["user"] = kw.get("user")
+        return real(spark, query, config, **kw)
+
+    monkeypatch.setattr(ex, "execute_query", spy)
+    httpd = ThreadingHTTPServer(
+        ("localhost", 0), _HTTPHandler.make(server, jwt_secret="jwt-s3cret")
+    )
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        base = f"http://localhost:{port}"
+        payload = _json.dumps({
+            "jsonrpc": "2.0", "id": 1, "method": "tools/call",
+            "params": {"name": "execute_query",
+                       "arguments": {"query": "SELECT 1 AS one"}},
+        }).encode()
+
+        def post(headers):
+            req = urllib.request.Request(
+                f"{base}/mcp", data=payload,
+                headers={"Content-Type": "application/json", **headers},
+            )
+            with urllib.request.urlopen(req) as r:
+                return r.status
+
+        now = _time.time()
+        ok = encode_hs256({"sub": "carol", "iat": now, "exp": now + 300}, "jwt-s3cret")
+        expired = encode_hs256({"sub": "carol", "iat": now - 900, "exp": now - 600}, "jwt-s3cret")
+        wrong_key = encode_hs256({"sub": "carol", "iat": now, "exp": now + 300}, "attacker")
+
+        for hdrs in ({}, {"Authorization": "Bearer garbage"},
+                     {"Authorization": f"Bearer {expired}"},
+                     {"Authorization": f"Bearer {wrong_key}"}):
+            try:
+                post(hdrs)
+                raise AssertionError(f"expected 401 for {hdrs}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 401
+                assert e.headers["WWW-Authenticate"].startswith("Bearer")
+
+        # valid token; X-Trino-User present but must NOT win over sub
+        assert post({"Authorization": f"Bearer {ok}",
+                     "X-Trino-User": "mallory"}) == 200
+        assert seen["user"] == "carol"
+        # preferred_username, when present, is the display identity
+        pu = encode_hs256({"sub": "u-123", "preferred_username": "carol@corp",
+                           "iat": now, "exp": now + 300}, "jwt-s3cret")
+        assert post({"Authorization": f"Bearer {pu}"}) == 200
+        assert seen["user"] == "carol@corp"
+        with urllib.request.urlopen(f"{base}/status") as r:
+            assert r.status == 200
+    finally:
+        httpd.shutdown()
+
+
+def test_serve_http_requires_jwt_secret_when_oauth_enabled(monkeypatch):
+    """Reference parity (docs/jwt.md): 'server fails to start without
+    JWT_SECRET' when OAuth mode is on."""
+    import pytest as _pytest
+
+    from server.mcp_server import serve_http
+
+    monkeypatch.setenv("OAUTH_ENABLED", "true")
+    monkeypatch.delenv("JWT_SECRET", raising=False)
+    with _pytest.raises(RuntimeError, match="JWT_SECRET"):
+        serve_http(port=0)

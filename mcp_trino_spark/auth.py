@@ -73,6 +73,10 @@ def decode_hs256(
 ) -> Dict[str, Any]:
     """Validate ``token`` and return its claims dict, else raise JWTError."""
     key = secret.encode() if isinstance(secret, str) else secret
+    if not all(32 < ord(c) < 127 for c in token):
+        # JWTs are base64url + dots; anything else can't be valid and
+        # must fail as a clean 401, not an encode error mid-validation
+        raise JWTError("token contains non-ASCII or control characters")
     parts = token.split(".")
     if len(parts) != 3:
         raise JWTError("token must have 3 dot-separated segments")

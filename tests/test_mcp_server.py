@@ -348,6 +348,9 @@ def test_jwt_decode_contract():
         decode_hs256(f"{seg({'alg': 'RS256'})}.{payload}.{'x'*43}", "k3y")
     with _pytest.raises(JWTError):
         decode_hs256("not-a-jwt", "k3y")
+    # non-ASCII token must fail as JWTError (clean 401), not an encode crash
+    with _pytest.raises(JWTError, match="ASCII"):
+        decode_hs256("ä.б.✓", "k3y")
 
 
 def test_http_jwt_auth(server, monkeypatch):

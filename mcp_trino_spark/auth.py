@@ -84,7 +84,11 @@ def decode_hs256(
 
     try:
         header = json.loads(_b64url_decode(header_b64))
-    except json.JSONDecodeError as exc:
+    except JWTError:
+        raise
+    except ValueError as exc:
+        # JSONDecodeError, or UnicodeDecodeError when the segment is valid
+        # base64url of non-UTF-8 bytes — both must 401, not crash
         raise JWTError("header is not valid JSON") from exc
     if not isinstance(header, dict) or header.get("alg") != "HS256":
         # reject 'none' and any non-HMAC alg before touching the signature
@@ -97,7 +101,9 @@ def decode_hs256(
 
     try:
         claims = json.loads(_b64url_decode(payload_b64))
-    except json.JSONDecodeError as exc:
+    except JWTError:
+        raise
+    except ValueError as exc:
         raise JWTError("payload is not valid JSON") from exc
     if not isinstance(claims, dict):
         raise JWTError("payload must be a JSON object")

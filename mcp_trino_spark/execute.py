@@ -66,6 +66,7 @@ def execute_query(
     """
     config = config or EngineConfig()
     q = strip_trailing_semicolon(query)
+    mr_views: List[str] = []
     if dialect == "trino":
         from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
@@ -76,8 +77,10 @@ def execute_query(
         if has_match_recognize(q):
             # lifts each MATCH_RECOGNIZE clause into the distributed
             # pattern operator behind a temp view (lazy — no jobs run
-            # here); the rewritten SQL goes through the normal gate path
-            q = expand_match_recognize(spark, q)
+            # here); the rewritten SQL goes through the normal gate path;
+            # the views are dropped in the finally below (a resident
+            # session would otherwise leak one per clause ever run)
+            q = expand_match_recognize(spark, q, created_views=mr_views)
     if not config.allow_write_queries and not is_read_only_query(q):
         raise WriteQueryNotAllowed(
             "query rejected: only read-only queries (SELECT, SHOW, DESCRIBE, "
@@ -138,6 +141,12 @@ def execute_query(
             "mcp.client.tags",
         ):
             sc.setLocalProperty(prop, None)
+        for v in mr_views:
+            # safe after collect(): the view resolved at analysis time
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:  # noqa: BLE001 — cleanup must never mask results
+                pass
 
     columns = df.columns
     rows = [row.asDict(recursive=True) for row in collected]

@@ -87,6 +87,10 @@ def compile_pattern(pattern: str, symbol_chars: Dict[str, str]) -> "re.Pattern[s
                 raise ValueError("pattern exclusion {- -} is not supported")
             if not re.fullmatch(r"\d+(,\d*)?", body):
                 raise ValueError(f"unsupported quantifier {{{body}}}")
+            if "," in body:
+                lo, _, hi = body.partition(",")
+                if hi and int(lo) > int(hi):
+                    raise ValueError(f"inverted quantifier range {{{body}}}")
             out.append("{" + body + "}")
             i = j + 1
             continue
@@ -106,7 +110,12 @@ def compile_pattern(pattern: str, symbol_chars: Dict[str, str]) -> "re.Pattern[s
             i = j
             continue
         raise ValueError(f"unsupported pattern construct {ch!r} in {pattern!r}")
-    return re.compile("".join(out))
+    try:
+        return re.compile("".join(out))
+    except re.error as exc:
+        # surface malformed-but-lexable patterns as the module's typed
+        # error, not an internal sre exception
+        raise ValueError(f"invalid pattern {pattern!r}: {exc}") from exc
 
 
 def _measure_dtype(agg: str, in_type: Optional[SQLT.DataType]) -> SQLT.DataType:
@@ -132,6 +141,7 @@ def match_recognize(
     pattern: str,
     measures: Sequence[Measure],
     match_no_col: str = "match_no",
+    enforce_exclusive: bool = False,
 ) -> DataFrame:
     """Run SQL:2016 row-pattern recognition, ONE ROW PER MATCH, AFTER
     MATCH SKIP PAST LAST ROW.
@@ -145,6 +155,16 @@ def match_recognize(
     whole match, column=None is only valid for count.
     Output: partition keys + ``match_no`` (1-based per partition) +
     measures, one row per match.
+
+    ``order_by`` items accept ``col [ASC|DESC] [NULLS FIRST|LAST]``;
+    null placement defaults to LAST and must agree across keys (pandas
+    sorts with one global na_position — a mix is rejected loudly).
+
+    ``enforce_exclusive=True`` adds a per-row check that no row
+    satisfies two DEFINE predicates (one extra small int column through
+    the shuffle).  Classification is first-DEFINE-wins; Trino's full
+    spec explores per-row symbol alternatives, so overlapping DEFINEs
+    can silently diverge — the SQL passthrough front-end turns this on.
     """
     if not partition_by:
         raise ValueError("partition_by must be non-empty (global-order "
@@ -155,15 +175,28 @@ def match_recognize(
     sym_char = {s: _ALPHABET[i] for i, s in enumerate(syms)}
     rx = compile_pattern(pattern, sym_char)
 
-    order_keys, ascending = [], []
+    order_keys, ascending, na_positions = [], [], []
     for o in order_by:
         parts = o.split()
-        if len(parts) == 2 and parts[1].upper() in ("ASC", "DESC"):
-            order_keys.append(parts[0])
-            ascending.append(parts[1].upper() == "ASC")
+        key, rest = parts[0], [p.upper() for p in parts[1:]]
+        asc = True
+        if rest and rest[0] in ("ASC", "DESC"):
+            asc = rest[0] == "ASC"
+            rest = rest[1:]
+        if rest == ["NULLS", "FIRST"]:
+            na = "first"
+        elif rest == ["NULLS", "LAST"] or not rest:
+            na = "last"
         else:
-            order_keys.append(o)
-            ascending.append(True)
+            raise ValueError(f"unsupported ORDER BY item {o!r} (expected "
+                             "col [ASC|DESC] [NULLS FIRST|LAST])")
+        order_keys.append(key)
+        ascending.append(asc)
+        na_positions.append(na)
+    if len(set(na_positions)) > 1:
+        raise ValueError("mixed NULLS FIRST/LAST across ORDER BY keys is "
+                         "not supported (single na_position per sort)")
+    na_position = na_positions[0] if na_positions else "last"
 
     # classify: first matching DEFINE wins, else the unmatched char
     cls: Column = F.lit(_UNMATCHED)
@@ -183,7 +216,16 @@ def match_recognize(
         if sym is not None and sym not in sym_char:
             raise ValueError(f"measure {name!r} references undefined symbol {sym!r}")
     keep = list(dict.fromkeys([*partition_by, *order_keys, *measure_cols]))
-    slim = df.select(*keep, cls.alias("__sym"))
+    extra: List[Column] = [cls.alias("__sym")]
+    if enforce_exclusive:
+        nmatch: Column = F.lit(0)
+        for s in syms:
+            pred = define[s]
+            if isinstance(pred, str):
+                pred = F.expr(pred)
+            nmatch = nmatch + F.when(pred, 1).otherwise(0)
+        extra.append(nmatch.alias("__nmatch"))
+    slim = df.select(*keep, *extra)
 
     in_types = {f.name: f.dataType for f in slim.schema.fields}
     out_fields = [SQLT.StructField(k, in_types[k]) for k in partition_by]
@@ -199,9 +241,27 @@ def match_recognize(
     meas = list(measures)
     char_of = dict(sym_char)
 
+    check_exclusive = bool(enforce_exclusive)
+
+    def _nullsafe(v):
+        # pandas reductions over all-null spans yield NaN (min/max/mean)
+        # or, with min_count, NaN for sum; SQL semantics want NULL
+        return None if pd.isna(v) else v
+
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if check_exclusive and (pdf["__nmatch"] > 1).any():
+            bad = pdf.loc[pdf["__nmatch"] > 1].iloc[0]
+            raise ValueError(
+                "MATCH_RECOGNIZE DEFINE predicates are not mutually "
+                "exclusive (a row satisfies several symbols; e.g. "
+                f"partition {[bad[k] for k in part_keys]!r}).  This "
+                "engine classifies each row to the first matching DEFINE, "
+                "which can diverge from Trino's per-row symbol "
+                "alternatives — rewrite the DEFINEs to be disjoint."
+            )
         pdf = pdf.sort_values(
-            order_keys, ascending=ascending, kind="mergesort"
+            order_keys, ascending=ascending, kind="mergesort",
+            na_position=na_position,
         ).reset_index(drop=True)
         seq = "".join(pdf["__sym"])
         rows: List[list] = []
@@ -220,17 +280,17 @@ def match_recognize(
                 elif len(sub) == 0:
                     row.append(None)
                 elif agg == "first":
-                    row.append(sub[col].iloc[0])
+                    row.append(_nullsafe(sub[col].iloc[0]))
                 elif agg == "last":
-                    row.append(sub[col].iloc[-1])
+                    row.append(_nullsafe(sub[col].iloc[-1]))
                 elif agg == "min":
-                    row.append(sub[col].min())
+                    row.append(_nullsafe(sub[col].min()))
                 elif agg == "max":
-                    row.append(sub[col].max())
+                    row.append(_nullsafe(sub[col].max()))
                 elif agg == "sum":
-                    row.append(sub[col].sum())
+                    row.append(_nullsafe(sub[col].sum(min_count=1)))
                 else:  # avg
-                    row.append(float(sub[col].mean()))
+                    row.append(_nullsafe(sub[col].mean()))
             rows.append(row)
         return pd.DataFrame(rows, columns=out_names)
 

@@ -41,6 +41,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcp_trino_spark.sources.catalog import normalize_events, table_path
 
     path = table_path(sf_dir, "events")
+    # same defensive conf as load_table: Spark <=4.0 refuses the nanos
+    # parquet type without it (newer Spark ignores it)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     schema = spark.read.parquet(path).schema
     # the file source requires a directory: stream the sf dir filtered
     # down to the events file (at scale: the table's partition root)

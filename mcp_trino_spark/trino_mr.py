@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import re
 import uuid
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -187,20 +187,22 @@ def _rewrite_navigation(pred: str) -> Tuple[str, Dict[str, Tuple[str, str, int]]
     """
     needed: Dict[str, Tuple[str, str, int]] = {}
 
+    mask = _code_mask(pred)  # PREV( inside a string literal is content, not nav
     out, i = [], 0
     while True:
-        m = _NAV.search(pred, i)
+        m = next((c for c in _NAV.finditer(pred, i) if mask[c.start()]), None)
         if not m:
             out.append(pred[i:])
             break
         out.append(pred[i : m.start()])
-        # find matching close paren
+        # find matching close paren (code positions only)
         depth, j = 1, m.end()
         while j < len(pred) and depth:
-            if pred[j] == "(":
-                depth += 1
-            elif pred[j] == ")":
-                depth -= 1
+            if mask[j]:
+                if pred[j] == "(":
+                    depth += 1
+                elif pred[j] == ")":
+                    depth -= 1
             j += 1
         if depth:
             raise TrinoCompatError(f"unbalanced parens in DEFINE: {pred!r}")
@@ -225,9 +227,16 @@ def _rewrite_navigation(pred: str) -> Tuple[str, Dict[str, Tuple[str, str, int]]
     return "".join(out), needed
 
 
-def expand_match_recognize(spark: SparkSession, query: str) -> str:
+def expand_match_recognize(
+    spark: SparkSession, query: str, created_views: Optional[List[str]] = None
+) -> str:
     """Replace every ``<table> MATCH_RECOGNIZE (...)`` span with a temp
-    view holding the operator's output; return the rewritten query."""
+    view holding the operator's output; return the rewritten query.
+
+    Pass ``created_views`` to collect the generated view names — the
+    caller should drop them once the rewritten query has executed, or
+    a long-running session leaks one catalog entry (and its retained
+    analyzed plan) per MATCH_RECOGNIZE clause ever run."""
     while has_match_recognize(query):
         start, end, table, bstart, bend = _find_clause(query)
         body = query[bstart:bend]
@@ -283,11 +292,29 @@ def expand_match_recognize(spark: SparkSession, query: str) -> str:
 
         df: DataFrame = spark.table(table)
         if nav_cols:
-            w = Window.partitionBy(*part_cols).orderBy(
-                *[F.col(k).desc() if a.upper().endswith(" DESC")
-                  else F.col(k)
-                  for k, a in ((i.split()[0], i) for i in order_items)]
-            )
+            # parse col [ASC|DESC] [NULLS FIRST|LAST] exactly like the
+            # operator does, so the lag/lead window and the matcher's
+            # pandas sort see the SAME ordering
+            order_exprs = []
+            for item in order_items:
+                parts = item.split()
+                key, rest = parts[0], [p.upper() for p in parts[1:]]
+                asc = True
+                if rest and rest[0] in ("ASC", "DESC"):
+                    asc = rest[0] == "ASC"
+                    rest = rest[1:]
+                if rest not in ([], ["NULLS", "FIRST"], ["NULLS", "LAST"]):
+                    raise TrinoCompatError(
+                        f"unsupported ORDER BY item {item!r} in MATCH_RECOGNIZE"
+                    )
+                nulls_first = rest == ["NULLS", "FIRST"]
+                c = F.col(key)
+                order_exprs.append(
+                    (c.asc_nulls_first() if nulls_first else c.asc_nulls_last())
+                    if asc
+                    else (c.desc_nulls_first() if nulls_first else c.desc_nulls_last())
+                )
+            w = Window.partitionBy(*part_cols).orderBy(*order_exprs)
             for gen, (fn, col, k) in nav_cols.items():
                 nav = F.lag(col, k) if fn == "prev" else F.lead(col, k)
                 df = df.withColumn(gen, nav.over(w))
@@ -302,12 +329,18 @@ def expand_match_recognize(spark: SparkSession, query: str) -> str:
             pattern=pattern,
             measures=measures,
             match_no_col=match_no_alias or "__match_no",
+            # arbitrary passthrough SQL: fail loudly at execution if the
+            # DEFINEs overlap (first-match-wins could silently diverge
+            # from Trino's per-row symbol alternatives)
+            enforce_exclusive=True,
         )
         if match_no_alias is None:
             out = out.drop("__match_no")
 
         view = f"__mr_{uuid.uuid4().hex[:10]}"
         out.createOrReplaceTempView(view)
+        if created_views is not None:
+            created_views.append(view)
 
         # swallow a trailing alias if present (keep it on the view)
         rest = query[end:]

@@ -286,8 +286,10 @@ class _HTTPHandler:
                     return True
                 header = self.headers.get("Authorization", "")
                 scheme, _, token = header.partition(" ")
+                # compare as bytes: compare_digest on str raises TypeError
+                # for non-ASCII input, which a client controls
                 return scheme.lower() == "bearer" and hmac.compare_digest(
-                    token.strip(), auth_token
+                    token.strip().encode("utf-8"), auth_token.encode("utf-8")
                 )
 
             def _deny(self):

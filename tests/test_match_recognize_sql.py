@@ -102,3 +102,39 @@ def test_next_navigation_and_desc_order(spark, orders_view):
     res = execute_query(spark, q, dialect="trino")
     assert res.columns == ["o_custkey", "n"]
     assert all(r["n"] >= 1 for r in res.rows)
+
+
+def test_prev_inside_string_literal_not_rewritten():
+    """_rewrite_navigation must be literal-aware: PREV( inside a quoted
+    string is content, not navigation (repo invariant: rewrites never
+    edit literal text)."""
+    from mcp_trino_spark.trino_mr import _rewrite_navigation
+
+    pred, needed = _rewrite_navigation(
+        "note <> 'use PREV(price) here' AND price > PREV(price)"
+    )
+    assert "'use PREV(price) here'" in pred
+    assert pred.endswith("price > __prev_price_1")
+    assert needed == {"__prev_price_1": ("prev", "price", 1)}
+
+
+def test_mr_temp_views_dropped_after_execute(spark, sf_dir, orders_view):
+    before = {t.name for t in spark.catalog.listTables() if t.name.startswith("__mr_")}
+    execute_query(spark, VSHAPE_SQL, dialect="trino")
+    after = {t.name for t in spark.catalog.listTables() if t.name.startswith("__mr_")}
+    assert after <= before, f"leaked MATCH_RECOGNIZE views: {after - before}"
+
+
+def test_overlapping_defines_fail_loudly(spark, sf_dir, orders_view):
+    sql = """
+    SELECT o_custkey, mn FROM orders_mr MATCH_RECOGNIZE (
+      PARTITION BY o_custkey
+      ORDER BY o_orderdate, o_orderkey
+      MEASURES MATCH_NUMBER() AS mn
+      PATTERN (A B)
+      DEFINE A AS o_totalprice > 0,
+             B AS o_totalprice > 10
+    )
+    """
+    with pytest.raises(Exception, match="mutually"):
+        execute_query(spark, sql, dialect="trino")

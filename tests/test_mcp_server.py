@@ -438,3 +438,64 @@ def test_serve_http_requires_jwt_secret_when_oauth_enabled(monkeypatch):
     monkeypatch.delenv("JWT_SECRET", raising=False)
     with _pytest.raises(RuntimeError, match="JWT_SECRET"):
         serve_http(port=0)
+
+
+def test_jwt_non_utf8_segments_rejected_cleanly():
+    """Valid base64url of non-UTF-8 bytes in header/payload must raise
+    JWTError (clean 401), not UnicodeDecodeError (handler crash)."""
+    import base64 as _b64
+    import hashlib as _hashlib
+    import hmac as _hmac
+    import json as _json
+    import time as _time
+
+    import pytest as _pytest
+
+    from mcp_trino_spark.auth import JWTError, decode_hs256
+
+    def b64(raw):
+        return _b64.urlsafe_b64encode(raw).rstrip(b"=").decode()
+
+    bad_header = b64(b"\xff\xfe\x00")
+    with _pytest.raises(JWTError, match="JSON"):
+        decode_hs256(f"{bad_header}.e30.x", "k")
+
+    # correctly-signed token whose payload is non-UTF-8 bytes
+    hdr = b64(_json.dumps({"alg": "HS256"}).encode())
+    payload = b64(b"\xff\xfe\x00")
+    signing = f"{hdr}.{payload}".encode()
+    sig = b64(_hmac.new(b"k", signing, _hashlib.sha256).digest())
+    with _pytest.raises(JWTError, match="JSON"):
+        decode_hs256(f"{hdr}.{payload}.{sig}", "k")
+
+
+def test_static_token_non_ascii_is_401(server):
+    """compare_digest(str, str) raises TypeError on non-ASCII — the
+    static-token path must compare bytes and return a clean 401."""
+    import json as _json
+    import threading
+    import urllib.error
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from server.mcp_server import _HTTPHandler
+
+    httpd = ThreadingHTTPServer(
+        ("localhost", 0), _HTTPHandler.make(server, auth_token="s3cret")
+    )
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://localhost:{port}/mcp",
+            data=_json.dumps({"jsonrpc": "2.0", "id": 1, "method": "ping"}).encode(),
+            headers={"Content-Type": "application/json",
+                     "Authorization": "Bearer tok\xe9n"},
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+    finally:
+        httpd.shutdown()

@@ -112,3 +112,75 @@ def test_zero_width_matches_skipped(spark):
     rows = [(1, 0, "a", 0.0), (1, 1, "a", 0.0)]
     got = _run(spark, rows, "B*", [("n", "count", None, None)])
     assert got == []
+
+
+def test_all_null_measure_inputs_yield_null(spark):
+    """SQL semantics over a non-empty span whose measure column is all
+    NULL: SUM/MIN/MAX/AVG -> NULL (not 0 / NaN), COUNT(col) -> 0."""
+    rows = [(1, 0, "a", None), (1, 1, "a", None), (1, 2, "b", None)]
+    out = match_recognize(
+        _events(spark, rows),
+        partition_by=["key"],
+        order_by=["seq"],
+        define=DEFINE,
+        pattern="A+ B+",
+        measures=[("s", "sum", None, "val"), ("mn", "min", None, "val"),
+                  ("mx", "max", None, "val"), ("av", "avg", None, "val"),
+                  ("c", "count", None, "val"),
+                  ("f", "first", None, "val"), ("l", "last", None, "val")],
+    )
+    [r] = out.collect()
+    assert (r["s"], r["mn"], r["mx"], r["av"], r["f"], r["l"]) == (
+        None, None, None, None, None, None)
+    assert r["c"] == 0
+
+
+def test_inverted_quantifier_rejected():
+    with pytest.raises(ValueError, match="inverted"):
+        compile_pattern("A{3,1}", {"A": "A"})
+
+
+def test_order_by_nulls_modifiers(spark):
+    rows = [(1, 0, "a", 0.0), (1, 1, "b", 1.0)]
+    out = match_recognize(
+        _events(spark, rows),
+        partition_by=["key"],
+        order_by=["seq ASC NULLS LAST"],
+        define=DEFINE,
+        pattern="A B",
+        measures=[("n", "count", None, None)],
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, 1, 2)]
+    with pytest.raises(ValueError, match="mixed NULLS"):
+        match_recognize(
+            _events(spark, rows),
+            partition_by=["key"],
+            order_by=["seq NULLS FIRST", "val NULLS LAST"],
+            define=DEFINE,
+            pattern="A B",
+            measures=[("n", "count", None, None)],
+        )
+    with pytest.raises(ValueError, match="unsupported ORDER BY"):
+        match_recognize(
+            _events(spark, rows),
+            partition_by=["key"],
+            order_by=["seq COLLATE x"],
+            define=DEFINE,
+            pattern="A B",
+            measures=[("n", "count", None, None)],
+        )
+
+
+def test_enforce_exclusive_rejects_overlapping_defines(spark):
+    rows = [(1, 0, "a", 5.0), (1, 1, "a", 20.0)]
+    out = match_recognize(
+        _events(spark, rows),
+        partition_by=["key"],
+        order_by=["seq"],
+        define={"A": "val > 0", "B": "val > 10"},  # val=20 satisfies both
+        pattern="A B",
+        measures=[("n", "count", None, None)],
+        enforce_exclusive=True,
+    )
+    with pytest.raises(Exception, match="not mutually.*exclusive|mutually"):
+        out.collect()

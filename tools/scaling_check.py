@@ -127,11 +127,48 @@ def check_minhash_lsh(spark) -> None:
     report("minhash_lsh_dedup", n_rows_1x, t1, t10)
 
 
+def check_match_recognize(spark) -> None:
+    """Row-pattern matcher at 10×: replicas shift user_id, so key
+    cardinality grows ×copies while per-key row counts (and the regex
+    scan per key) stay constant — time must track data volume, the
+    signature of the matcher's single hash shuffle + O(rows-in-key)
+    per-key scan."""
+    from mcp_trino_spark.operators.pattern import match_recognize
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+
+    def plan(frame):
+        return match_recognize(
+            frame,
+            partition_by=["user_id"],
+            order_by=["ts", "event_id"],
+            define={
+                "V": F.col("event_type") == "view",
+                "C": F.col("event_type") == "click",
+                "P": F.col("event_type") == "purchase",
+            },
+            pattern="V+ C+ P",
+            measures=[("n_views", "count", "V", None),
+                      ("purchase_eid", "first", "P", "event_id")],
+        )
+
+    n_rows_1x = ev.count()
+    timed(plan(ev))  # warm
+    t1 = min(timed(plan(ev)) for _ in range(2))
+    ev10 = replicate(ev, ["user_id"], COPIES)
+    t10 = min(timed(plan(ev10)) for _ in range(2))
+    report("match_recognize_funnel", n_rows_1x, t1, t10)
+
+
 def main() -> None:
     spark = get_spark("scaling")
     check_flagship(spark)
     spark.catalog.clearCache()
     check_minhash_lsh(spark)
+    spark.catalog.clearCache()
+    check_match_recognize(spark)
 
 
 if __name__ == "__main__":

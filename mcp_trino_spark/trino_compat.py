@@ -40,14 +40,21 @@ shapes it can't express):
 - ``MAP(ka, va)`` (non-empty, not a CAST type) → ``map_from_arrays`` —
   Spark's variadic ``map()`` would silently read the two arrays as one
   entry.
-- Type names: bare ``VARCHAR`` → ``STRING``, ``VARBINARY`` → ``BINARY``.
+- Type names: bare ``VARCHAR`` → ``STRING``, ``VARBINARY`` → ``BINARY``;
+  CAST type constructors ``ARRAY(T)`` / ``MAP(K,V)`` / ``ROW(n T, …)``
+  → ``ARRAY<T>`` / ``MAP<K,V>`` / ``STRUCT<n: T, …>`` (recursive), with
+  value-position ``ROW(...)`` → ``struct(...)``.
 - ``TABLESAMPLE BERNOULLI/SYSTEM(p)`` → ``TABLESAMPLE (p PERCENT)``.
+- ``chr`` → a true codepoint UDF (Spark's builtin wraps at 256 —
+  silently wrong for chr(955)); ``normalize([s, FORM])`` → an
+  Arrow-vectorized unicodedata UDF; ``from_unixtime(x, zone)`` →
+  ``from_utc_timestamp(timestamp_seconds(x), zone)``.
+- ``MATCH_RECOGNIZE`` routes through the distributed row-pattern
+  operator (trino_mr.py + operators/pattern.py), not this module.
 - Known gaps (fail loudly at Spark analysis rather than silently
-  differ): ``chr()`` above codepoint 255, ``normalize`` (NFC),
-  multi-arg ``from_unixtime`` timezone forms, CAST to a ``MAP(...)``
-  type, ``MATCH_RECOGNIZE`` row-pattern matching (no Spark equivalent).
-  Silent-divergence gap: 1-based subscripts on non-literal arrays (see
-  above).
+  differ): the 3-arg ``from_unixtime(x, hours, minutes)`` offset form,
+  anonymous ``ROW`` type fields.  Silent-divergence gap: 1-based
+  subscripts on non-literal arrays (see above).
 """
 
 from __future__ import annotations
@@ -102,6 +109,38 @@ _COMPAT_SQL_UDFS = {
     ),
     # Trino to_base emits lowercase digits; Spark conv uppercases
     "to_base": ("(x BIGINT, r INT)", "STRING", "lower(conv(CAST(x AS STRING), 10, r))"),
+    # true codepoint→char (Spark's builtin chr wraps at 256); UTF-32BE
+    # big-endian word from the codepoint, decoded as one character
+    "trino_chr": (
+        "(n BIGINT)",
+        "STRING",
+        "decode(to_binary(lpad(hex(n), 8, '0'), 'hex'), 'UTF-32')",
+    ),
+    # Trino bitwise scalar functions (64-bit two's-complement, like
+    # Trino's); right_shift is logical (zero-fill), the _arithmetic
+    # variant sign-extends
+    "bitwise_and": ("(a BIGINT, b BIGINT)", "BIGINT", "a & b"),
+    "bitwise_or": ("(a BIGINT, b BIGINT)", "BIGINT", "a | b"),
+    "bitwise_xor": ("(a BIGINT, b BIGINT)", "BIGINT", "a ^ b"),
+    "bitwise_not": ("(a BIGINT)", "BIGINT", "~a"),
+    "bitwise_left_shift": ("(a BIGINT, s INT)", "BIGINT", "shiftleft(a, s)"),
+    "bitwise_right_shift": (
+        "(a BIGINT, s INT)", "BIGINT", "shiftrightunsigned(a, s)",
+    ),
+    "bitwise_right_shift_arithmetic": (
+        "(a BIGINT, s INT)", "BIGINT", "shiftright(a, s)",
+    ),
+    # Trino cosine_similarity over sparse map vectors (the dense-array
+    # form lives in the similarity operators); iterate a's keys for the
+    # dot product — missing keys contribute 0
+    "cosine_similarity": (
+        "(a MAP<STRING, DOUBLE>, b MAP<STRING, DOUBLE>)",
+        "DOUBLE",
+        "aggregate(map_keys(a), 0D, (s, k) -> s + coalesce(element_at(a, k), 0D)"
+        " * coalesce(element_at(b, k), 0D))"
+        " / (sqrt(aggregate(map_values(a), 0D, (s, v) -> s + v * v))"
+        " * sqrt(aggregate(map_values(b), 0D, (s, v) -> s + v * v)))",
+    ),
     "from_base": ("(s STRING, r INT)", "BIGINT", "CAST(conv(s, r, 10) AS BIGINT)"),
     # sha256 is not a Spark builtin name (Spark spells it sha2(x, 256)
     # and returns hex); Trino returns varbinary, hence the unhex
@@ -163,6 +202,14 @@ _RENAMES = [
     # analysis loudly instead of silently changing type.
     (re.compile(r"\bfrom_unixtime\s*\(", re.IGNORECASE), "timestamp_seconds("),
     (re.compile(r"\bcodepoint\s*\(", re.IGNORECASE), "ascii("),
+    # Spark's builtin chr() wraps at 256 (chr(955) = '»'); Trino's is a
+    # true codepoint→char.  The builtin cannot be shadowed by a SQL UDF,
+    # so the name moves to the compat UDF.
+    (re.compile(r"\bchr\s*\(", re.IGNORECASE), "trino_chr("),
+    # Trino positional ROW(...) constructor == Spark struct(...)
+    # (type-position ROW(...) was already converted to STRUCT<...> by
+    # _rewrite_cast_types, so remaining ROW( are value constructors)
+    (re.compile(r"\bROW\s*\(", re.IGNORECASE), "struct("),
     # at_timezone(ts, zone): under this engine's pinned UTC session,
     # shifting the wall clock with from_utc_timestamp reproduces the
     # zone-local rendering Trino users read off the result
@@ -217,6 +264,28 @@ def install_compat_functions(spark) -> None:
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{args} RETURNS {rtype} RETURN {body}"
         )
+
+    # normalize() needs the unicodedata tables — the one compat function
+    # that cannot be pure SQL.  Arrow-vectorized pandas UDF (dialect
+    # convenience, not a hot-path operator).
+    import pandas as pd
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _normalize_impl(s, form):
+        return pd.Series(
+            [None if x is None else unicodedata.normalize(f, x)
+             for x, f in zip(s, form)]
+        )
+
+    # real annotation objects: this module's `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf's
+    # signature inspection cannot resolve
+    _normalize_impl.__annotations__ = {
+        "s": pd.Series, "form": pd.Series, "return": pd.Series,
+    }
+    spark.udf.register("unicode_normalize", pandas_udf(_normalize_impl, "string"))
     setattr(spark, _INSTALLED_ATTR, True)
 
 
@@ -737,6 +806,143 @@ def _rewrite_array_literal(q: str) -> str:
         q = head + "array(" + inner + ")" + tail
 
 
+_CAST_HEAD = re.compile(r"\b(?:CAST|TRY_CAST)\s*\(", re.IGNORECASE)
+_TYPE_CTOR = re.compile(r"^(ARRAY|MAP|ROW)\s*\((.*)\)$", re.IGNORECASE | re.DOTALL)
+
+
+def _convert_type_syntax(t: str) -> str:
+    """Trino type spelling → Spark: ``ARRAY(T)`` → ``ARRAY<T>``,
+    ``MAP(K, V)`` → ``MAP<K, V>``, ``ROW(name T, …)`` →
+    ``STRUCT<name: T, …>`` — recursive; parameterized scalars
+    (DECIMAL(10,2), VARCHAR(n)) pass through untouched."""
+    s = t.strip()
+    m = _TYPE_CTOR.match(s)
+    if not m:
+        return s
+    kind, inner = m.group(1).upper(), m.group(2)
+    parts = _split_top_args(inner)
+    if kind == "ARRAY":
+        if len(parts) != 1:
+            raise TrinoCompatError(f"ARRAY type takes one parameter: {t!r}")
+        return f"ARRAY<{_convert_type_syntax(parts[0])}>"
+    if kind == "MAP":
+        if len(parts) != 2:
+            raise TrinoCompatError(f"MAP type takes two parameters: {t!r}")
+        return (f"MAP<{_convert_type_syntax(parts[0])}, "
+                f"{_convert_type_syntax(parts[1])}>")
+    fields = []
+    for p in parts:
+        fm = re.match(r"(?s)^([A-Za-z_][\w$]*)\s+(.+)$", p.strip())
+        if not fm:
+            raise TrinoCompatError(
+                f"ROW type fields need 'name TYPE' form, got {p!r} "
+                "(anonymous ROW fields are not supported)"
+            )
+        fields.append(f"{fm.group(1)}: {_convert_type_syntax(fm.group(2))}")
+    return f"STRUCT<{', '.join(fields)}>"
+
+
+def _rewrite_cast_types(q: str) -> str:
+    """Rewrite the type argument of every CAST/TRY_CAST from Trino's
+    constructor spelling to Spark's angle-bracket spelling.  The
+    expression part is untouched (nested CASTs inside it are separate
+    matches of the scan)."""
+    pos = 0
+    while True:
+        found = _find_call(q, _CAST_HEAD, pos)
+        if not found:
+            return q
+        m, bstart, bend = found
+        body = q[bstart:bend]
+        mask = _code_mask(body)
+        # last top-level AS separates expression from type
+        as_at = None
+        depth = 0
+        for am in re.finditer(r"\bAS\b", body, re.IGNORECASE):
+            if not mask[am.start()]:
+                continue
+            depth = 0
+            for i in range(am.start()):
+                if mask[i]:
+                    if body[i] == "(":
+                        depth += 1
+                    elif body[i] == ")":
+                        depth -= 1
+            if depth == 0:
+                as_at = am
+        if as_at is None:
+            pos = m.end()
+            continue
+        type_text = body[as_at.end():]
+        converted = _convert_type_syntax(type_text)
+        if converted != type_text.strip():
+            q = q[:bstart] + body[: as_at.end()] + " " + converted + q[bend:]
+        pos = m.end()
+
+
+_FROM_UNIXTIME_HEAD = re.compile(r"\bfrom_unixtime\s*\(", re.IGNORECASE)
+
+
+def _rewrite_from_unixtime(q: str) -> str:
+    """Trino ``from_unixtime(x, zone)`` → ``from_utc_timestamp(
+    timestamp_seconds(x), zone)`` (the engine pins a UTC session, so the
+    wall-clock shift reproduces Trino's zone-local rendering — same
+    rationale as at_timezone).  The 1-arg form is left for the rename
+    pass (→ timestamp_seconds); the 3-arg hours/minutes offset form is
+    rejected loudly."""
+    pos = 0
+    while True:
+        found = _find_call(q, _FROM_UNIXTIME_HEAD, pos)
+        if not found:
+            return q
+        m, bstart, bend = found
+        args = _split_top_args(q[bstart:bend])
+        if len(args) == 1:
+            pos = bend
+            continue
+        if len(args) == 3:
+            raise TrinoCompatError(
+                "from_unixtime(x, hours, minutes) offset form is not "
+                "supported — use from_unixtime(x, 'zone') or add the "
+                "offset to x"
+            )
+        repl = f"from_utc_timestamp(timestamp_seconds({args[0]}), {args[1]})"
+        q = q[: m.start()] + repl + q[bend + 1:]
+        pos = m.start() + len(repl)
+
+
+_NORMALIZE_HEAD = re.compile(r"\bnormalize\s*\(", re.IGNORECASE)
+_NFC_FORMS = {"NFC", "NFD", "NFKC", "NFKD"}
+
+
+def _rewrite_normalize(q: str) -> str:
+    """Trino ``normalize(s[, FORM])`` (FORM is a bare keyword) →
+    ``unicode_normalize(s, 'FORM')`` — the Arrow-vectorized UDF
+    installed by install_compat_functions."""
+    pos = 0
+    while True:
+        found = _find_call(q, _NORMALIZE_HEAD, pos)
+        if not found:
+            return q
+        m, bstart, bend = found
+        args = _split_top_args(q[bstart:bend])
+        if len(args) == 1:
+            form = "'NFC'"
+        elif len(args) == 2 and args[1].upper() in _NFC_FORMS:
+            form = f"'{args[1].upper()}'"
+        elif len(args) == 2 and re.fullmatch(r"'(NFC|NFD|NFKC|NFKD)'",
+                                             args[1].upper()):
+            form = args[1].upper()
+        else:
+            raise TrinoCompatError(
+                f"unsupported normalize() arguments {args!r} — expected "
+                "normalize(s) or normalize(s, NFC|NFD|NFKC|NFKD)"
+            )
+        repl = f"unicode_normalize({args[0]}, {form})"
+        q = q[: m.start()] + repl + q[bend + 1:]
+        pos = m.start() + len(repl)
+
+
 def translate(query: str) -> str:
     """Rewrite Trino-only idioms to Spark SQL, outside literals/comments."""
     query = _rewrite_array_literal(query)
@@ -746,6 +952,9 @@ def translate(query: str) -> str:
     query = _rewrite_parse_datetime(query)
     query = _rewrite_split(query)
     query = _rewrite_map_agg(query)
+    query = _rewrite_cast_types(query)
+    query = _rewrite_from_unixtime(query)
+    query = _rewrite_normalize(query)
     segs = list(_segments(query))
     out: List[str] = []
     i = 0

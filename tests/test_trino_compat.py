@@ -450,3 +450,87 @@ def test_array_literal_subscript_is_one_based(spark):
     )
     rows = run(spark, "SELECT ARRAY[10, 20][1] AS x")
     assert rows[0]["x"] == 10  # Trino semantics: 1-based
+
+
+# --- dialect batch 4: CAST types, chr, bitwise, cosine, normalize ----------
+
+
+def test_cast_type_constructors(spark):
+    assert (
+        translate("SELECT CAST(x AS ARRAY(BIGINT)) FROM t")
+        == "SELECT CAST(x AS ARRAY<BIGINT>) FROM t"
+    )
+    assert (
+        translate("SELECT CAST(m AS MAP(VARCHAR, BIGINT)) FROM t")
+        == "SELECT CAST(m AS MAP<STRING, BIGINT>) FROM t"
+    )
+    # recursive + ROW → STRUCT with name: type
+    assert (
+        translate("SELECT CAST(r AS ROW(a BIGINT, b ARRAY(VARCHAR))) FROM t")
+        == "SELECT CAST(r AS STRUCT<a: BIGINT, b: ARRAY<STRING>>) FROM t"
+    )
+    # parameterized scalars untouched; literals untouched
+    assert "DECIMAL(10,2)" in translate("SELECT CAST(x AS DECIMAL(10,2)) FROM t")
+    assert "'CAST(x AS ARRAY(INT))'" in translate(
+        "SELECT 'CAST(x AS ARRAY(INT))' FROM t"
+    )
+    rows = run(spark, "SELECT CAST(ROW(1,'x') AS ROW(a BIGINT, b VARCHAR)).a AS r")
+    assert rows[0]["r"] == 1
+    rows = run(spark, "SELECT CAST(MAP(ARRAY['a'], ARRAY[1]) AS MAP(VARCHAR, BIGINT)) AS r")
+    assert rows[0]["r"] == {"a": 1}
+
+
+def test_chr_true_codepoint(spark):
+    # Spark's builtin chr wraps at 256 (chr(955) = '»') — silent wrong
+    # answer; the dialect must route to the true-codepoint UDF
+    rows = run(spark, "SELECT chr(955) AS hi, chr(65) AS lo")
+    assert rows[0] == {"hi": "λ", "lo": "A"}
+
+
+def test_bitwise_functions(spark):
+    rows = run(
+        spark,
+        "SELECT bitwise_and(5,3) AS a, bitwise_or(5,3) AS o,"
+        " bitwise_xor(5,3) AS x, bitwise_not(5) AS n,"
+        " bitwise_left_shift(1,4) AS l,"
+        " bitwise_right_shift(-8, 1) AS rs,"
+        " bitwise_right_shift_arithmetic(-8, 1) AS ra",
+    )
+    assert rows[0] == {"a": 1, "o": 7, "x": 6, "n": -6, "l": 16,
+                       "rs": 9223372036854775804, "ra": -4}
+
+
+def test_cosine_similarity_sparse_maps(spark):
+    rows = run(
+        spark,
+        "SELECT round(cosine_similarity(MAP(ARRAY['a','b'], ARRAY[1.0,2.0]),"
+        " MAP(ARRAY['a','c'], ARRAY[2.0,1.0])), 2) AS r",
+    )
+    assert rows[0]["r"] == 0.4  # dot=2, |a|=|b|=sqrt(5)
+
+
+def test_normalize_forms(spark):
+    rows = run(spark, "SELECT normalize('á') AS nfc")
+    assert rows[0]["nfc"] == "á"
+    rows = run(spark, "SELECT normalize('á', NFD) AS nfd")
+    assert rows[0]["nfd"] == "á"
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+    with pytest.raises(TrinoCompatError, match="normalize"):
+        translate("SELECT normalize(s, BOGUS) FROM t")
+
+
+def test_from_unixtime_zone_form(spark):
+    assert (
+        translate("SELECT from_unixtime(0, 'UTC') FROM t")
+        == "SELECT from_utc_timestamp(timestamp_seconds(0), 'UTC') FROM t"
+    )
+    rows = run(spark, "SELECT from_unixtime(0, 'America/New_York') AS r")
+    assert rows[0]["r"] == datetime.datetime(1969, 12, 31, 19, 0)
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+    with pytest.raises(TrinoCompatError, match="offset form"):
+        translate("SELECT from_unixtime(0, 5, 30) FROM t")
+
+
+def test_row_constructor(spark):
+    rows = run(spark, "SELECT ROW(1, 'don''t (x)') AS r")
+    assert rows[0]["r"] == {"col1": 1, "col2": "don't (x)"}

@@ -109,6 +109,14 @@ _COMPAT_SQL_UDFS = {
     ),
     # Trino to_base emits lowercase digits; Spark conv uppercases
     "to_base": ("(x BIGINT, r INT)", "STRING", "lower(conv(CAST(x AS STRING), 10, r))"),
+    # Trino ngrams(array, n) — over string arrays (the overwhelmingly
+    # common call; other element types fail analysis loudly)
+    "ngrams": (
+        "(a ARRAY<STRING>, n INT)",
+        "ARRAY<ARRAY<STRING>>",
+        "CASE WHEN n >= size(a) THEN array(a)"
+        " ELSE transform(sequence(1, size(a) - n + 1), i -> slice(a, i, n)) END",
+    ),
     # true codepoint→char (Spark's builtin chr wraps at 256); UTF-32BE
     # big-endian word from the codepoint, decoded as one character
     "trino_chr": (
@@ -180,6 +188,9 @@ _RENAMES = [
     # cannot match here — the \( must follow "format" directly)
     (re.compile(r"\bformat\s*\(", re.IGNORECASE), "format_string("),
     (re.compile(r"\blast_day_of_month\s*\(", re.IGNORECASE), "last_day("),
+    # Trino starts_with == Spark startswith (Spark also has a
+    # startswith; only the underscore spelling needs the move)
+    (re.compile(r"\bstarts_with\s*\(", re.IGNORECASE), "startswith("),
     (re.compile(r"\bsplit_to_map\s*\(", re.IGNORECASE), "str_to_map("),
     (re.compile(r"\bregexp_split\s*\(", re.IGNORECASE), "split("),
     (re.compile(r"\bbitwise_and_agg\s*\(", re.IGNORECASE), "bit_and("),
@@ -806,6 +817,181 @@ def _rewrite_array_literal(q: str) -> str:
         q = head + "array(" + inner + ")" + tail
 
 
+_GEOMEAN_HEAD = re.compile(r"\bgeometric_mean\s*\(", re.IGNORECASE)
+_CHECKSUM_HEAD = re.compile(r"\bchecksum\s*\(", re.IGNORECASE)
+_HISTOGRAM_HEAD = re.compile(r"\bhistogram\s*\(", re.IGNORECASE)
+_MULTIMAP_HEAD = re.compile(r"\bmultimap_agg\s*\(", re.IGNORECASE)
+_MINMAX_BY_HEAD = re.compile(r"\b(max_by|min_by)\s*\(", re.IGNORECASE)
+_BIT_COUNT_HEAD = re.compile(r"\bbit_count\s*\(", re.IGNORECASE)
+
+
+def _rewrite_agg_compositions(q: str) -> str:
+    """Trino aggregates Spark lacks, expressed as compositions over
+    Spark's native aggregates (SQL UDFs cannot wrap aggregates, so these
+    are text rewrites; each stays ONE grouped aggregate plan-side —
+    Catalyst dedups the repeated collect_list subexpressions):
+
+    - ``geometric_mean(x)`` → ``exp(avg(ln(x)))``
+    - ``checksum(x)`` → ``sum(xxhash64(x))`` (an engine-local
+      order-independent digest — Trino's exact bit pattern is not
+      reproducible, but the contract users rely on — equal multisets
+      hash equal — holds)
+    - ``histogram(x)`` → map of value → count
+    - ``multimap_agg(k, v)`` → map of key → array of values
+    - ``max_by/min_by(x, y, n)`` (3-arg top-n form; 2-arg is native)
+    - ``bit_count(x, 64)`` → ``bit_count(x)`` (other widths rejected)
+    """
+    for head, builder in (
+        (_GEOMEAN_HEAD, lambda a: (len(a) == 1, f"exp(avg(ln({a[0]})))")),
+        # decimal sum: exact, order-independent, no 64-bit overflow under
+        # ANSI (the digest is engine-local either way)
+        (
+            _CHECKSUM_HEAD,
+            lambda a: (
+                len(a) == 1,
+                f"sum(CAST(xxhash64({a[0]}) AS DECIMAL(38,0)))",
+            ),
+        ),
+        # lambda variables use __-prefixed names so they can never shadow
+        # a user column referenced in the argument expression
+        (
+            _HISTOGRAM_HEAD,
+            lambda a: (
+                len(a) == 1,
+                f"map_from_entries(transform(array_distinct(collect_list({a[0]})),"
+                f" __h_k -> struct(__h_k, CAST(size(filter(collect_list({a[0]}),"
+                f" __h_e -> __h_e = __h_k)) AS BIGINT))))",
+            ),
+        ),
+        (
+            _MULTIMAP_HEAD,
+            lambda a: (
+                len(a) == 2,
+                f"map_from_entries(transform(array_distinct(transform("
+                f"collect_list(struct({a[0]} AS k, {a[1]} AS v)), __m_p -> __m_p.k)),"
+                f" __m_k -> struct(__m_k, transform(filter("
+                f"collect_list(struct({a[0]} AS k, {a[1]} AS v)),"
+                f" __m_p -> __m_p.k = __m_k), __m_p -> __m_p.v))))",
+            ),
+        ),
+    ):
+        while True:
+            found = _find_call(q, head)
+            if found is None:
+                break
+            m, b0, b1 = found
+            args = _split_top_args(q[b0:b1])
+            ok, repl = builder(args)
+            if not ok:
+                raise TrinoCompatError(
+                    f"unsupported argument count for {m.group(0).strip()})"
+                )
+            q = q[: m.start()] + repl + q[b1 + 1 :]
+
+    # 3-arg max_by/min_by: top-n values of x by y (2-arg is native Spark)
+    pos = 0
+    while True:
+        found = _find_call(q, _MINMAX_BY_HEAD, pos)
+        if found is None:
+            break
+        m, b0, b1 = found
+        args = _split_top_args(q[b0:b1])
+        if len(args) != 3:
+            pos = b0  # native 2-arg — skip past the head only
+            continue
+        x, y, n = args
+        pairs = (f"array_sort(filter(collect_list(struct({y} AS s, {x} AS v)),"
+                 f" __t_p -> __t_p.s IS NOT NULL))")
+        if m.group(1).lower() == "max_by":
+            pairs = f"reverse({pairs})"
+        repl = f"transform(slice({pairs}, 1, {n}), __t_p -> __t_p.v)"
+        q = q[: m.start()] + repl + q[b1 + 1 :]
+        pos = m.start() + len(repl)
+
+    # Trino bit_count(x, bits): Spark's is 64-bit only
+    pos = 0
+    while True:
+        found = _find_call(q, _BIT_COUNT_HEAD, pos)
+        if found is None:
+            break
+        m, b0, b1 = found
+        args = _split_top_args(q[b0:b1])
+        if len(args) == 1:
+            pos = b1
+            continue
+        if len(args) == 2 and args[1].strip() == "64":
+            repl = f"bit_count({args[0]})"
+            q = q[: m.start()] + repl + q[b1 + 1 :]
+            pos = m.start() + len(repl)
+            continue
+        raise TrinoCompatError(
+            f"bit_count with bit width {args[1]!r} is not supported "
+            "(only 64-bit)"
+        )
+    return q
+
+
+#: MySQL-style date_parse/date_format tokens → Spark DateTimeFormatter
+_MYSQL_TOKENS = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
+    "H": "HH", "k": "H", "h": "hh", "I": "hh", "i": "mm", "s": "ss",
+    "S": "ss", "f": "SSSSSS", "p": "a", "j": "DDD", "T": "HH:mm:ss",
+    "W": "EEEE", "a": "EEE", "b": "MMM", "M": "MMMM",
+}
+_DATE_PARSE_HEAD = re.compile(r"\bdate_parse\s*\(", re.IGNORECASE)
+
+
+def _translate_mysql_format(fmt: str) -> str:
+    out: List[str] = []
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%":
+            if i + 1 >= len(fmt):
+                raise TrinoCompatError(f"trailing %% in date_parse format {fmt!r}")
+            tok = fmt[i + 1]
+            if tok == "%":
+                out.append("%")
+            elif tok in _MYSQL_TOKENS:
+                out.append(_MYSQL_TOKENS[tok])
+            else:
+                raise TrinoCompatError(
+                    f"unsupported date_parse token %{tok} in {fmt!r}"
+                )
+            i += 2
+        elif ch.isalpha():
+            # a bare letter would be read as a Spark pattern letter
+            raise TrinoCompatError(
+                f"literal letter {ch!r} in date_parse format {fmt!r} — "
+                "quote it as %-tokens or preprocess the string"
+            )
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _rewrite_date_parse(q: str) -> str:
+    """Trino/MySQL ``date_parse(s, '%Y-%m-%d')`` → Spark
+    ``to_timestamp(s, 'yyyy-MM-dd')``."""
+    while True:
+        found = _find_call(q, _DATE_PARSE_HEAD)
+        if found is None:
+            return q
+        m, b0, b1 = found
+        args = _split_top_args(q[b0:b1])
+        if len(args) != 2:
+            raise TrinoCompatError("date_parse needs (string, 'format')")
+        pat = args[1]
+        if not (len(pat) >= 2 and pat[0] == "'" and pat[-1] == "'"):
+            raise TrinoCompatError(
+                "date_parse format must be a string literal for "
+                "MySQL→Spark token translation"
+            )
+        translated = _translate_mysql_format(pat[1:-1])
+        q = q[: m.start()] + f"to_timestamp({args[0]}, '{translated}')" + q[b1 + 1 :]
+
+
 _CAST_HEAD = re.compile(r"\b(?:CAST|TRY_CAST)\s*\(", re.IGNORECASE)
 _TYPE_CTOR = re.compile(r"^(ARRAY|MAP|ROW)\s*\((.*)\)$", re.IGNORECASE | re.DOTALL)
 
@@ -955,6 +1141,8 @@ def translate(query: str) -> str:
     query = _rewrite_cast_types(query)
     query = _rewrite_from_unixtime(query)
     query = _rewrite_normalize(query)
+    query = _rewrite_agg_compositions(query)
+    query = _rewrite_date_parse(query)
     segs = list(_segments(query))
     out: List[str] = []
     i = 0

@@ -534,3 +534,72 @@ def test_from_unixtime_zone_form(spark):
 def test_row_constructor(spark):
     rows = run(spark, "SELECT ROW(1, 'don''t (x)') AS r")
     assert rows[0]["r"] == {"col1": 1, "col2": "don't (x)"}
+
+
+# --- dialect batch 5: aggregate compositions, date_parse, ngrams -----------
+
+
+def test_geometric_mean(spark):
+    rows = run(spark, "SELECT round(geometric_mean(x), 6) AS r"
+                      " FROM (VALUES (1.0), (2.0), (4.0)) t(x)")
+    assert rows[0]["r"] == 2.0
+
+
+def test_checksum_order_independent(spark):
+    rows = run(
+        spark,
+        "SELECT (SELECT checksum(x) FROM (VALUES (1), (2), (3)) a(x))"
+        " = (SELECT checksum(x) FROM (VALUES (3), (1), (2)) b(x)) AS r",
+    )
+    assert rows[0]["r"] is True
+
+
+def test_histogram_and_multimap_agg(spark):
+    V = " FROM (VALUES (1.0, 'a'), (2.0, 'b'), (4.0, 'a')) t(x, k)"
+    rows = run(spark, "SELECT histogram(k) AS r" + V)
+    assert rows[0]["r"] == {"a": 2, "b": 1}
+    rows = run(spark, "SELECT multimap_agg(k, CAST(x AS DOUBLE)) AS r" + V)
+    assert rows[0]["r"] == {"a": [1.0, 4.0], "b": [2.0]}
+    # generated lambda vars must not capture same-named user columns
+    rows = run(spark, "SELECT histogram(e) AS r FROM (VALUES ('z'), ('z')) t(e)")
+    assert rows[0]["r"] == {"z": 2}
+
+
+def test_min_max_by_topn(spark):
+    V = " FROM (VALUES (1.0, 'a'), (2.0, 'b'), (4.0, 'c')) t(x, k)"
+    rows = run(spark, "SELECT max_by(k, x, 2) AS r" + V)
+    assert rows[0]["r"] == ["c", "b"]
+    rows = run(spark, "SELECT min_by(k, x, 2) AS r" + V)
+    assert rows[0]["r"] == ["a", "b"]
+    # 2-arg stays native
+    rows = run(spark, "SELECT max_by(k, x) AS r" + V)
+    assert rows[0]["r"] == "c"
+
+
+def test_ngrams_and_bit_count(spark):
+    rows = run(spark, "SELECT ngrams(ARRAY['a','b','c'], 2) AS r")
+    assert rows[0]["r"] == [["a", "b"], ["b", "c"]]
+    rows = run(spark, "SELECT ngrams(ARRAY['a'], 3) AS r")
+    assert rows[0]["r"] == [["a"]]
+    rows = run(spark, "SELECT bit_count(7, 64) AS r")
+    assert rows[0]["r"] == 3
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+    with pytest.raises(TrinoCompatError, match="bit width"):
+        translate("SELECT bit_count(x, 32) FROM t")
+
+
+def test_date_parse_mysql_tokens(spark):
+    assert (
+        translate("SELECT date_parse(s, '%Y-%m-%d %H:%i:%s') FROM t")
+        == "SELECT to_timestamp(s, 'yyyy-MM-dd HH:mm:ss') FROM t"
+    )
+    rows = run(spark, "SELECT date_parse('2024-01-02 03:04:05', '%Y-%m-%d %H:%i:%s') AS r")
+    assert rows[0]["r"] == datetime.datetime(2024, 1, 2, 3, 4, 5)
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+    with pytest.raises(TrinoCompatError, match="token"):
+        translate("SELECT date_parse(s, '%Q') FROM t")
+
+
+def test_starts_with_rename(spark):
+    rows = run(spark, "SELECT starts_with('hello', 'he') AS r")
+    assert rows[0]["r"] is True

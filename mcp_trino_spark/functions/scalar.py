@@ -509,3 +509,45 @@ def x12b_json_structured(spark, sf_dir):
         (parsed.getField("k") % 10).alias("k_mod"),
         parsed.isNotNull().alias("is_valid"),
     )
+
+
+@register(
+    "x19_trino_dialect",
+    oracle="""
+    SELECT c_custkey,
+           CAST(strpos(c_name, '1') AS BIGINT) AS pos1,
+           chr(CAST(65 + c_custkey % 26 AS INT)) AS letter,
+           'x' AS first_elem,
+           split_part(c_name, '#', 2) AS name_num,
+           CAST(c_custkey & 255 AS BIGINT) AS low_byte,
+           CAST(DATE '2024-01-01' + INTERVAL 5 DAY AS DATE) AS d5
+    FROM customer
+    """,
+)
+def x19_trino_dialect(spark, sf_dir):
+    """The Trino dialect layer itself, under the oracle gate: a query in
+    Trino spelling (strpos, true-codepoint chr, 1-based ARRAY[..][1],
+    split_part, bitwise_and, 3-arg date_add) runs through
+    translate()+compat UDFs and must produce the same values DuckDB
+    computes from native SQL.  Reference surface: client.go:501-617
+    passes exactly this kind of query text through verbatim.
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import install_compat_functions, translate
+
+    install_compat_functions(spark)
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT c_custkey,
+                   CAST(strpos(c_name, '1') AS BIGINT) AS pos1,
+                   chr(65 + c_custkey % 26) AS letter,
+                   ARRAY['x', 'y'][1] AS first_elem,
+                   split_part(c_name, '#', 2) AS name_num,
+                   CAST(bitwise_and(c_custkey, 255) AS BIGINT) AS low_byte,
+                   CAST(date_add('day', 5, DATE '2024-01-01') AS DATE) AS d5
+            FROM customer
+            """
+        )
+    )

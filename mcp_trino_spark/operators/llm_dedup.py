@@ -732,3 +732,45 @@ def l28_incremental_dedup(spark, sf_dir):
         incoming.join(corpus_hashes, "h", "left_anti")
         .select("doc_id", "source")
     )
+
+
+@register(
+    "l29_dedup_stats",
+    oracle="""
+    WITH per_text AS (
+      SELECT source, md5(text) AS h, COUNT(*) AS n, MIN(n_chars) AS c
+      FROM documents GROUP BY source, md5(text)
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_distinct,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dups,
+           CAST(SUM(c * (n - 1)) AS BIGINT) AS dup_chars,
+           CAST(SUM(n) - COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_ratio
+    FROM per_text GROUP BY source
+    """,
+)
+def l29_dedup_stats(spark, sf_dir):
+    """Per-source dedup statistics: doc counts, distinct-text counts,
+    duplicate counts, and duplicated characters (what dedup would save)
+    — the report a pipeline owner reads before deciding dedup settings.
+
+    Plan: two shuffles — (source, md5) partial+final count (shuffle key
+    is source + 32-byte hash, never text), then a per-source rollup
+    whose key cardinality is |sources| (tiny).  At 100 TB both
+    aggregates stay partial/final with bounded state; document text
+    never leaves the scan stage.
+    """
+    (docs,) = T(spark, sf_dir, "documents")
+    per_text = docs.groupBy("source", F.md5("text").alias("h")).agg(
+        F.count("*").alias("n"), F.min("n_chars").alias("c")
+    )
+    n_docs = F.sum("n")
+    n_distinct = F.count("*")
+    return per_text.groupBy("source").agg(
+        n_docs.alias("n_docs"),
+        n_distinct.alias("n_distinct"),
+        (n_docs - n_distinct).alias("n_dups"),
+        F.sum(F.col("c") * (F.col("n") - 1)).alias("dup_chars"),
+        ((n_docs - n_distinct).cast("double") / n_docs.cast("double")).alias("dup_ratio"),
+    )

@@ -226,3 +226,18 @@ def test_unigram_logprob_vocab_join_is_broadcast(spark):
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_stats_no_text_shuffle(spark):
+    """l29: both aggregates are partial+final (HashAggregate pairs) and
+    the shuffled payload is (source, md5, counts) — the text column must
+    not appear beyond the scan stage's hash projection."""
+    df = registry.queries()["l29_dedup_stats"](spark, SF_DIR)
+    plan = formatted(df)
+    # exactly two hash exchanges ((source, md5) then (source)), none single-partition
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert "SinglePartition" not in plan
+    # partial+final pairs on both levels
+    assert plan.count("HashAggregate") >= 4
+    # the shuffle carries the hash; text dies at the pre-shuffle projection
+    assert "md5" in plan

@@ -381,3 +381,71 @@ def s4_memory_table(spark, sf_dir):
     rows, schema = result.collect(), result.schema
     cache_api.drop_memory_table(spark, _WRITE_CFG, "mem_segments")
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "s2c_orc_roundtrip",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def s2c_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink (Spark-native columnar format beyond parquet):
+    supplier written to ORC, read back schema-on-read, re-aggregated to
+    the parquet-source truth.  Same pushdown/pruning machinery as
+    parquet (ORC scans support PushedFilters identically)."""
+    base = "/root/repo/.tmp/formats"
+    os.makedirs(base, exist_ok=True)
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    supplier.write.mode("overwrite").orc(f"{base}/supplier_orc")
+    back = spark.read.orc(f"{base}/supplier_orc")
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"), dsum("s_acctbal").alias("bal")
+    )
+
+
+@register(
+    "s8_bucketed_colocated_join",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_custkey
+    """,
+)
+def s8_bucketed_colocated_join(spark, sf_dir):
+    """Bucketed-table layout end-to-end: both fact tables written
+    bucketBy(8, orderkey) as EXTERNAL tables (explicit paths under the
+    repo — a vanilla driver session's warehouse dir must never be
+    written), then joined on the bucket key and rolled up.
+
+    This is the storage-layout lever SCALE.md prescribes for 100 TB
+    fact-fact joins: with matching bucketing both sides arrive
+    pre-partitioned, so the sort-merge join needs NO exchange
+    (plan-asserted under controlled conf in tests/test_bucketing_dpp.py;
+    here the oracle asserts the bucketed write+read round-trips values
+    exactly)."""
+    base = "/root/repo/.tmp/bucketed"
+    os.makedirs(base, exist_ok=True)
+    for t in ("s8_bkt_lineitem", "s8_bkt_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    ).write.mode("overwrite").option("path", f"{base}/lineitem").bucketBy(
+        8, "l_orderkey"
+    ).sortBy("l_orderkey").saveAsTable("s8_bkt_lineitem")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).write.mode("overwrite").option("path", f"{base}/orders").bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").saveAsTable("s8_bkt_orders")
+    li, od = spark.table("s8_bkt_lineitem"), spark.table("s8_bkt_orders")
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice").alias("revenue"))
+    )

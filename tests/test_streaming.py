@@ -181,3 +181,55 @@ def test_foreach_batch_sink(spark):
     n_src = load_table(spark, SF_DIR, "events").count()
     assert written.count() == n_src
     assert written.select("event_id").distinct().count() == n_src
+
+
+def test_checkpoint_recovery_exactly_once(spark):
+    """Checkpointed restart: a file-source stream drained to a parquet
+    sink, stopped, given MORE input files, and restarted with the SAME
+    checkpoint must (a) resume from the recorded offset — no reprocess
+    of batch-A files — and (b) end with exactly A∪B in the sink.  This
+    is the durability contract a 100 TB ingest pipeline leans on."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    base = "/root/repo/.tmp/ckpt_recovery"
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+
+    from mcp_trino_spark.sources.catalog import load_table
+
+    full = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    a = full.filter(F.col("event_id") % 2 == 0)
+    b = full.filter(F.col("event_id") % 2 == 1)
+    a.write.mode("overwrite").parquet(f"{src}/batch_a")
+
+    schema = spark.read.parquet(f"{src}/batch_a").schema
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", True)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    drain()
+    n_a = spark.read.parquet(sink).count()
+    assert n_a == a.count()
+
+    # second wave lands, stream restarts from the checkpoint
+    b.write.mode("overwrite").parquet(f"{src}/batch_b")
+    drain()
+    got = spark.read.parquet(sink)
+    assert got.count() == full.count()  # exactly-once: no dupes, no gaps
+    assert rows_set(got, ["event_id"]) == rows_set(
+        full.select("event_id"), ["event_id"]
+    )

@@ -383,3 +383,58 @@ def j13_bloom_prefilter_semi(spark, sf_dir):
         prefiltered["o_custkey"] == keys["c_custkey"],
         "left_semi",
     ).select("o_orderkey", "o_orderstatus")
+
+
+@register(
+    "j14_salted_skew_join",
+    oracle="""
+    WITH fact AS (
+      SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS k, value
+      FROM events
+    ),
+    dim AS (
+      SELECT DISTINCT k, 'u' || CAST(k AS VARCHAR) AS label
+      FROM (SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS k
+            FROM events)
+    )
+    SELECT d.label, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(f.value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM fact f JOIN dim d ON f.k = d.k
+    GROUP BY d.label
+    """,
+)
+def j14_salted_skew_join(spark, sf_dir):
+    """Salted join for a skewed key — the join-side twin of
+    a16_salted_skew_agg.  A deterministic hot key (70% of fact rows land
+    on k=0) would pin one reducer in a plain shuffle join; salting
+    splits it: the fact side gets salt = hash(row) % R, the dim side is
+    exploded into R replicas, and the join key becomes (k, salt) — the
+    hot key's rows spread over R tasks.  SHUFFLE_HASH hint models the
+    100 TB case where the dim is too big to broadcast (AQE's skew-join
+    handles moderate skew on its own; explicit salting is the lever
+    when one key exceeds a whole executor).  Oracle: the same join
+    unsalted — salting must be invisible in the result.
+    Reference surface: Trino handles this engine-side (client.go:501-617
+    passes the join; Trino's cost-based optimizer picks the
+    distribution); in Spark the salt is the user-space spelling.
+    """
+    R = 8
+    (events,) = T(spark, sf_dir, "events")
+    skew_k = F.when(F.col("user_id") % 10 < 7, F.lit(0)).otherwise(
+        F.col("user_id")
+    )
+    fact = events.select(
+        skew_k.alias("k").cast("bigint"), "value", "event_id"
+    ).withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(R)).cast("int"))
+    dim = (
+        events.select(skew_k.cast("bigint").alias("k"))
+        .distinct()
+        .withColumn("label", F.concat(F.lit("u"), F.col("k")))
+    )
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(R)]))
+    )
+    joined = fact.hint("shuffle_hash").join(dim_salted, ["k", "salt"])
+    return joined.groupBy("label").agg(
+        F.count("*").alias("n"), dsum("value").alias("sum_value")
+    )

@@ -241,3 +241,13 @@ def test_dedup_stats_no_text_shuffle(spark):
     assert plan.count("HashAggregate") >= 4
     # the shuffle carries the hash; text dies at the pre-shuffle projection
     assert "md5" in plan
+
+
+def test_salted_skew_join_spreads_hot_key(spark):
+    """j14: the join must shuffle on (k, salt) — the hot key's rows land
+    in R different tasks — and the dim side must NOT be broadcast (the
+    100 TB model where salting is the lever)."""
+    df = registry.queries()["j14_salted_skew_join"](spark, SF_DIR)
+    plan = formatted(df)
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "hashpartitioning(k" in plan and "salt" in plan

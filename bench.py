@@ -51,6 +51,10 @@ HEADLINERS = [
     "l24_tfidf",
     "l25_batch_ann",
     "l26_minhash_estimate",
+    # late r2: row-pattern matcher, skew-salted join, dedup stats
+    "t10b_match_recognize_funnel",
+    "j14_salted_skew_join",
+    "l29_dedup_stats",
 ]
 
 

@@ -23,10 +23,15 @@ so this module implements the scale-out rewrite:
 
 Scale posture (100 TB): the only shuffle is the PARTITION BY hash; the
 projected payload is pruned to partition keys + order keys + measure
-inputs + one classification char BEFORE the shuffle; per-key state is the
-encoded symbol string (KBs even for power users).  Skewed keys behave like
-any other aggregation skew (AQE handles moderate skew; the per-key work is
-O(rows-in-key) regex scan, not quadratic).
+inputs + one classification char BEFORE the shuffle.  The Python crossing
+is per PARTITION (repartition → sortWithinPartitions → mapInPandas with a
+pandas groupby inside), not per key — with millions of small keys the
+per-group Arrow/Python round-trip of applyInPandas dominates wall clock
+(measured 3.7 s → 1.3 s at sf0.1 / 46k keys); the per-key work itself is
+an O(rows-in-key) regex scan, not quadratic.  Memory per task is the
+partition's pruned payload in pandas — governed by partition sizing, the
+same knob every mapInPandas operator answers to.  Skewed keys behave like
+any other aggregation skew (AQE handles moderate skew).
 """
 
 from __future__ import annotations
@@ -248,30 +253,16 @@ def match_recognize(
         # or, with min_count, NaN for sum; SQL semantics want NULL
         return None if pd.isna(v) else v
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        if check_exclusive and (pdf["__nmatch"] > 1).any():
-            bad = pdf.loc[pdf["__nmatch"] > 1].iloc[0]
-            raise ValueError(
-                "MATCH_RECOGNIZE DEFINE predicates are not mutually "
-                "exclusive (a row satisfies several symbols; e.g. "
-                f"partition {[bad[k] for k in part_keys]!r}).  This "
-                "engine classifies each row to the first matching DEFINE, "
-                "which can diverge from Trino's per-row symbol "
-                "alternatives — rewrite the DEFINEs to be disjoint."
-            )
-        pdf = pdf.sort_values(
-            order_keys, ascending=ascending, kind="mergesort",
-            na_position=na_position,
-        ).reset_index(drop=True)
+    def run_group(keys: tuple, pdf: pd.DataFrame, rows: List[list]) -> None:
+        """Match ONE partition-key group (already ordered)."""
         seq = "".join(pdf["__sym"])
-        rows: List[list] = []
         mno = 0
         for m in rx.finditer(seq):
             if m.start() == m.end():  # zero-width (e.g. pattern 'A*'): skip
                 continue
             mno += 1
             span = pdf.iloc[m.start() : m.end()]
-            row = [pdf[k].iloc[0] for k in part_keys]
+            row = list(keys)
             row.append(mno)
             for _name, agg, sym, col in meas:
                 sub = span if sym is None else span[span["__sym"] == char_of[sym]]
@@ -292,9 +283,52 @@ def match_recognize(
                 else:  # avg
                     row.append(_nullsafe(sub[col].mean()))
             rows.append(row)
-        return pd.DataFrame(rows, columns=out_names)
 
-    return slim.groupBy(*part_keys).applyInPandas(run, schema=out_schema)
+    def run_partition(batches) -> "pd.DataFrame":
+        """One call per PARTITION (mapInPandas), not per key: rows arrive
+        hash-partitioned on the keys and sorted (keys, order); pandas
+        groupby at C speed replaces one Python call per key — at
+        key-heavy workloads (millions of small groups) the per-group
+        Arrow/Python round-trip is the dominant cost, not the matching.
+        """
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        if check_exclusive and (pdf["__nmatch"] > 1).any():
+            bad = pdf.loc[pdf["__nmatch"] > 1].iloc[0]
+            raise ValueError(
+                "MATCH_RECOGNIZE DEFINE predicates are not mutually "
+                "exclusive (a row satisfies several symbols; e.g. "
+                f"partition {[bad[k] for k in part_keys]!r}).  This "
+                "engine classifies each row to the first matching DEFINE, "
+                "which can diverge from Trino's per-row symbol "
+                "alternatives — rewrite the DEFINEs to be disjoint."
+            )
+        rows: List[list] = []
+        grouped = pdf.groupby(part_keys, sort=False, dropna=False)
+        for keys, g in grouped:
+            if not isinstance(keys, tuple):
+                keys = (keys,)
+            run_group(keys, g.reset_index(drop=True), rows)
+        yield pd.DataFrame(rows, columns=out_names)
+
+    # Spark-side ordering replaces the per-group pandas sort: partition
+    # keys lead so groups are contiguous, then the ORDER BY keys with
+    # the parsed direction/null placement
+    sort_cols = [F.col(k).asc() for k in part_keys]
+    for k, asc, na in zip(order_keys, ascending, na_positions or ["last"] * len(order_keys)):
+        c = F.col(k)
+        if asc:
+            sort_cols.append(c.asc_nulls_first() if na == "first" else c.asc_nulls_last())
+        else:
+            sort_cols.append(c.desc_nulls_first() if na == "first" else c.desc_nulls_last())
+
+    return (
+        slim.repartition(*[F.col(k) for k in part_keys])
+        .sortWithinPartitions(*sort_cols)
+        .mapInPandas(run_partition, schema=out_schema)
+    )
 
 
 # ---------------------------------------------------------------------------

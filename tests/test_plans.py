@@ -196,7 +196,10 @@ def test_match_recognize_single_hash_shuffle_pruned_scan(spark):
     schema) and there is no single-partition exchange."""
     df = registry.queries()["t10b_match_recognize_funnel"](spark, SF_DIR)
     plan = formatted(df)
-    assert "FlatMapGroupsInPandas" in plan
+    # per-PARTITION Arrow crossing (mapInPandas + pandas groupby inside),
+    # not one Python call per key
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
     assert "SinglePartition" not in plan
     assert plan.count("Exchange") <= 2  # one hash exchange (+AQE read)
     assert "hashpartitioning(user_id" in plan

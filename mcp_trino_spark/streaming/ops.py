@@ -288,3 +288,112 @@ def run_foreach_batch_to_parquet(sdf: DataFrame, out_dir: str) -> int:
     q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
     return len(batches)
+
+
+def t10c_pattern_stream(events: DataFrame) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE: the t10b funnel (``V+ C+ P`` per user)
+    as an incremental stateful operator (applyInPandasWithState).
+
+    Incremental soundness: for patterns whose FINAL symbol consumes
+    exactly one row, a completed greedy match is final under AFTER MATCH
+    SKIP PAST LAST ROW — no later row can extend it — PROVIDED batches
+    arrive in event-time order per key (each batch's rows all at-or-after
+    the previous batch's).  Within a batch, rows are merged into the
+    buffer and re-sorted, so intra-batch disorder is fine; CROSS-batch
+    disorder is the one thing eager emission cannot absorb (a
+    yet-earlier V arriving after a match was emitted should have
+    extended it — Flink CEP holds matches back until the watermark for
+    exactly this reason).  The production hardening is watermark-gated
+    emission (state.getCurrentWatermarkMs; emit only matches whose span
+    closed before the watermark) at the price of never emitting the
+    final open tail — the same append-mode trade t3b documents.  Kept
+    eager + NoTimeout here for batch-parity determinism.
+
+    State per user: (ts µs, event_id, symbol) for rows since the last
+    emitted match — the streaming twin of the batch matcher's per-key
+    symbol string.
+    """
+    import re
+    from typing import Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    rx = re.compile("A+B+C")  # V+ C+ P in the matcher's 1-char alphabet
+    sym_col = (
+        F.when(F.col("event_type") == "view", "A")
+        .when(F.col("event_type") == "click", "B")
+        .when(F.col("event_type") == "purchase", "C")
+        .otherwise("0")
+    )
+    slim = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        sym_col.alias("sym"),
+    )
+
+    def matcher(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            ts_l, eid_l, syms, n_matches = state.get
+            ts_l, eid_l = list(ts_l), list(eid_l)
+        else:
+            ts_l, eid_l, syms, n_matches = [], [], "", 0
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                zip(pdf["ts_us"].astype("int64"), pdf["event_id"].astype("int64"),
+                    pdf["sym"])
+            )
+        merged = sorted(
+            list(zip(ts_l, eid_l, syms)) + rows, key=lambda r: (r[0], r[1])
+        )
+        ts_l = [r[0] for r in merged]
+        eid_l = [r[1] for r in merged]
+        syms = "".join(r[2] for r in merged)
+
+        out = []
+        consumed = 0
+        for m in rx.finditer(syms):
+            s, e = m.start(), m.end()
+            n_matches += 1
+            span = syms[s:e]
+            out.append(
+                (
+                    user_id,
+                    n_matches,
+                    span.count("A"),
+                    span.count("B"),
+                    eid_l[s],       # pattern starts with V: first view
+                    eid_l[e - 1],   # final symbol is the purchase row
+                )
+            )
+            consumed = e
+        ts_l, eid_l, syms = ts_l[consumed:], eid_l[consumed:], syms[consumed:]
+        state.update((ts_l, eid_l, syms, n_matches))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "match_no", "n_views", "n_clicks",
+                         "first_view_eid", "purchase_eid"],
+            )
+
+    return (
+        slim.groupBy("user_id")
+        .applyInPandasWithState(
+            matcher,
+            outputStructType=(
+                "user_id bigint, match_no bigint, n_views bigint, "
+                "n_clicks bigint, first_view_eid bigint, purchase_eid bigint"
+            ),
+            stateStructType=(
+                "ts_us array<bigint>, eid array<bigint>, syms string, "
+                "n_matches bigint"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

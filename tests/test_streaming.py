@@ -233,3 +233,61 @@ def test_checkpoint_recovery_exactly_once(spark):
     assert rows_set(got, ["event_id"]) == rows_set(
         full.select("event_id"), ["event_id"]
     )
+
+
+def test_t10c_pattern_stream_matches_batch(spark):
+    """Streaming MATCH_RECOGNIZE == batch matcher when everything
+    arrives (single availableNow drain)."""
+    got = S.run_to_memory(
+        S.t10c_pattern_stream(S.events_stream(spark, SF_DIR)),
+        "t10c_mem",
+        output_mode="append",
+    )
+    want = registry.queries()["t10b_match_recognize_funnel"](spark, SF_DIR)
+    cols = ["user_id", "match_no", "n_views", "n_clicks",
+            "first_view_eid", "purchase_eid"]
+    assert rows_set(got, cols) == rows_set(want, cols)
+    assert got.count() > 0
+
+
+def test_t10c_pattern_stream_incremental_batches(spark):
+    """Cross-batch incrementality: the same events split into 3
+    time-ordered files and drained one file per micro-batch must produce
+    the SAME matches — matches spanning batch boundaries come from
+    buffered state.  (Time-ordered chunks: eager emission requires
+    in-event-time-order batch progression — see the operator docstring;
+    a time-partitioned ingest delivers exactly this.)"""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from mcp_trino_spark.sources.catalog import load_table
+
+    base = "/root/repo/.tmp/t10c_chunks"
+    shutil.rmtree(base, ignore_errors=True)
+    full = load_table(spark, SF_DIR, "events")
+    chunked = full.withColumn(
+        "chunk", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(1, 4):
+        (
+            chunked.filter(F.col("chunk") == i)
+            .drop("chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{base}/chunk_{i}")
+        )
+    schema = spark.read.parquet(f"{base}/chunk_1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", True)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    got = S.run_to_memory(
+        S.t10c_pattern_stream(stream), "t10c_inc_mem", output_mode="append"
+    )
+    want = registry.queries()["t10b_match_recognize_funnel"](spark, SF_DIR)
+    cols = ["user_id", "n_views", "n_clicks", "first_view_eid", "purchase_eid"]
+    # match_no may differ in emission order bookkeeping; content must not
+    assert rows_set(got, cols) == rows_set(want, cols)

@@ -109,6 +109,49 @@ _COMPAT_SQL_UDFS = {
     ),
     # Trino to_base emits lowercase digits; Spark conv uppercases
     "to_base": ("(x BIGINT, r INT)", "STRING", "lower(conv(CAST(x AS STRING), 10, r))"),
+    # binary/varbinary bridge (Trino's string<->bytes pair)
+    "to_utf8": ("(s STRING)", "BINARY", "encode(s, 'UTF-8')"),
+    "from_utf8": ("(b BINARY)", "STRING", "decode(b, 'UTF-8')"),
+    # JSON sizing/indexing over the string-typed JSON this engine uses
+    "json_size": (
+        "(j STRING, p STRING)",
+        "INT",
+        "CASE WHEN get_json_object(j, p) IS NULL THEN NULL"
+        " WHEN startswith(ltrim(get_json_object(j, p)), '[')"
+        " THEN json_array_length(get_json_object(j, p))"
+        " WHEN startswith(ltrim(get_json_object(j, p)), '{')"
+        " THEN size(json_object_keys(get_json_object(j, p)))"
+        " ELSE 0 END",
+    ),
+    # 0-based index like Trino; negative indexes are a documented gap
+    "json_array_get": (
+        "(j STRING, i BIGINT)",
+        "STRING",
+        "get_json_object(j, concat('$[', CAST(i AS STRING), ']'))",
+    ),
+    # null-skipping array reductions (Trino semantics); DOUBLE variants —
+    # integer arrays coerce in, sums come back double (documented)
+    "array_sum": (
+        "(a ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "CASE WHEN size(filter(a, __x -> __x IS NOT NULL)) = 0 THEN NULL"
+        " ELSE aggregate(filter(a, __x -> __x IS NOT NULL), 0D,"
+        " (__s, __x) -> __s + __x) END",
+    ),
+    "array_average": (
+        "(a ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "CASE WHEN size(filter(a, __x -> __x IS NOT NULL)) = 0 THEN NULL"
+        " ELSE aggregate(filter(a, __x -> __x IS NOT NULL), 0D,"
+        " (__s, __x) -> __s + __x)"
+        " / size(filter(a, __x -> __x IS NOT NULL)) END",
+    ),
+    # Trino returns -1 for no match; Spark's regexp_instr returns 0
+    "regexp_position": (
+        "(s STRING, p STRING)",
+        "INT",
+        "CASE WHEN regexp_instr(s, p) = 0 THEN -1 ELSE regexp_instr(s, p) END",
+    ),
     # Trino ngrams(array, n) — over string arrays (the overwhelmingly
     # common call; other element types fail analysis loudly)
     "ngrams": (
@@ -191,6 +234,8 @@ _RENAMES = [
     # Trino starts_with == Spark startswith (Spark also has a
     # startswith; only the underscore spelling needs the move)
     (re.compile(r"\bstarts_with\s*\(", re.IGNORECASE), "startswith("),
+    # bare localtimestamp keyword (Trino) → Spark's function call form
+    (re.compile(r"\blocaltimestamp\b(?!\s*\()", re.IGNORECASE), "localtimestamp()"),
     (re.compile(r"\bsplit_to_map\s*\(", re.IGNORECASE), "str_to_map("),
     (re.compile(r"\bregexp_split\s*\(", re.IGNORECASE), "split("),
     (re.compile(r"\bbitwise_and_agg\s*\(", re.IGNORECASE), "bit_and("),
@@ -817,6 +862,193 @@ def _rewrite_array_literal(q: str) -> str:
         q = head + "array(" + inner + ")" + tail
 
 
+_DEC_LIT = re.compile(r"\bDECIMAL\s*'(-?\d+(?:\.\d+)?)'", re.IGNORECASE)
+
+
+def _rewrite_decimal_literal(q: str) -> str:
+    """Trino typed literal ``DECIMAL '1.23'`` → ``CAST('1.23' AS
+    DECIMAL(p,s))`` with p/s inferred from the text (Trino's own rule:
+    precision = digit count, scale = fraction length)."""
+    while True:
+        mask = _code_mask(q)
+        m = next((c for c in _DEC_LIT.finditer(q) if mask[c.start()]), None)
+        if m is None:
+            return q
+        v = m.group(1)
+        digits = v.lstrip("-")
+        scale = len(digits.split(".")[1]) if "." in digits else 0
+        prec = max(1, len(digits.replace(".", "")))
+        q = q[: m.start()] + f"CAST('{v}' AS DECIMAL({prec},{scale}))" + q[m.end():]
+
+
+_AT_TZ = re.compile(r"\bAT\s+TIME\s+ZONE\s*('(?:[^']|'')*')", re.IGNORECASE)
+_TYPED_LIT_KW = ("TIMESTAMP", "DATE", "TIME")
+
+
+def _rewrite_at_time_zone(q: str) -> str:
+    """``expr AT TIME ZONE 'zone'`` → ``from_utc_timestamp(expr, 'zone')``
+    (the engine pins a UTC session, so the wall-clock shift reproduces
+    Trino's zone-local rendering — same mapping as at_timezone).  The
+    operand is captured right-to-left: a parenthesized call, a typed
+    literal (TIMESTAMP '...'), or an identifier chain."""
+    while True:
+        mask = _code_mask(q)
+        m = next((c for c in _AT_TZ.finditer(q) if mask[c.start()]), None)
+        if m is None:
+            return q
+        tz = m.group(1)
+        i = m.start() - 1
+        while i >= 0 and q[i].isspace():
+            i -= 1
+        if i < 0:
+            raise TrinoCompatError("AT TIME ZONE without an operand")
+        if q[i] == ")":
+            depth, j = 0, i
+            while j >= 0:
+                if mask[j]:
+                    if q[j] == ")":
+                        depth += 1
+                    elif q[j] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                j -= 1
+            if depth:
+                raise TrinoCompatError("unbalanced parens before AT TIME ZONE")
+            k = j - 1
+            while k >= 0 and (q[k].isalnum() or q[k] in "_$."):
+                k -= 1
+            start = k + 1
+        elif not mask[i]:
+            # inside a literal: walk to the start of the non-code run,
+            # then optionally include a typed-literal keyword before it
+            j = i
+            while j >= 0 and not mask[j]:
+                j -= 1
+            start = j + 1
+            k = j
+            while k >= 0 and q[k].isspace():
+                k -= 1
+            e = k
+            while k >= 0 and (q[k].isalnum() or q[k] == "_"):
+                k -= 1
+            if q[k + 1 : e + 1].upper() in _TYPED_LIT_KW:
+                start = k + 1
+        else:
+            j = i
+            while j >= 0 and (q[j].isalnum() or q[j] in "_$."):
+                j -= 1
+            start = j + 1
+        operand = q[start : i + 1]
+        if not operand.strip():
+            raise TrinoCompatError("AT TIME ZONE without an operand")
+        q = (
+            q[:start]
+            + f"from_utc_timestamp({operand}, {tz})"
+            + q[m.end():]
+        )
+
+
+_EXTRACT_EPOCH = re.compile(r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\b", re.IGNORECASE)
+
+
+def _rewrite_extract_epoch(q: str) -> str:
+    """Trino ``extract(epoch FROM ts)`` (fractional seconds, DOUBLE) —
+    Spark has no epoch extract field."""
+    while True:
+        mask = _code_mask(q)
+        m = next((c for c in _EXTRACT_EPOCH.finditer(q) if mask[c.start()]), None)
+        if m is None:
+            return q
+        depth, j = 1, m.end()
+        while j < len(q) and depth:
+            if mask[j]:
+                if q[j] == "(":
+                    depth += 1
+                elif q[j] == ")":
+                    depth -= 1
+            j += 1
+        if depth:
+            raise TrinoCompatError("unbalanced EXTRACT(EPOCH FROM ...)")
+        operand = q[m.end() : j - 1]
+        q = (
+            q[: m.start()]
+            + f"(CAST(unix_micros(CAST({operand} AS TIMESTAMP)) AS DOUBLE) / 1000000.0)"
+            + q[j:]
+        )
+
+
+_REGEXP_ALL_HEAD = re.compile(r"\bregexp_extract_all\s*\(", re.IGNORECASE)
+
+
+def _rewrite_regexp_extract_all(q: str) -> str:
+    """Trino's 2-arg regexp_extract_all returns FULL matches; Spark's
+    default group index is 1 (and errors when the pattern has no
+    groups) — append the explicit 0."""
+    pos = 0
+    while True:
+        found = _find_call(q, _REGEXP_ALL_HEAD, pos)
+        if found is None:
+            return q
+        m, b0, b1 = found
+        args = _split_top_args(q[b0:b1])
+        if len(args) == 2:
+            q = q[:b1] + ", 0" + q[b1:]
+        pos = b1 + 1
+
+
+_ARRAY_AGG_HEAD = re.compile(r"\barray_agg\s*\(", re.IGNORECASE)
+_ORDER_BY_IN = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+
+
+def _rewrite_array_agg_order(q: str) -> str:
+    """Trino ``array_agg(x ORDER BY k [ASC|DESC])`` → sort the collected
+    (k, x) structs and project x — Spark's array_agg takes no ORDER BY."""
+    pos = 0
+    while True:
+        found = _find_call(q, _ARRAY_AGG_HEAD, pos)
+        if found is None:
+            return q
+        m, b0, b1 = found
+        body = q[b0:b1]
+        bmask = _code_mask(body)
+
+        def _depth0(upto: int) -> bool:
+            d = 0
+            for idx in range(upto):
+                if bmask[idx]:
+                    if body[idx] == "(":
+                        d += 1
+                    elif body[idx] == ")":
+                        d -= 1
+            return d == 0
+
+        om = next(
+            (c for c in _ORDER_BY_IN.finditer(body)
+             if bmask[c.start()] and _depth0(c.start())),
+            None,
+        )
+        if om is None:
+            pos = b1
+            continue
+        expr = body[: om.start()].strip()
+        spec = body[om.end():].strip()
+        parts = spec.split()
+        key = parts[0]
+        rest = [p.upper() for p in parts[1:]]
+        if rest not in ([], ["ASC"], ["DESC"]):
+            raise TrinoCompatError(
+                f"unsupported array_agg ORDER BY spec {spec!r} "
+                "(one key, optional ASC/DESC)"
+            )
+        inner = f"array_sort(collect_list(struct({key} AS s, {expr} AS v)))"
+        if rest == ["DESC"]:
+            inner = f"reverse({inner})"
+        repl = f"transform({inner}, __t_p -> __t_p.v)"
+        q = q[: m.start()] + repl + q[b1 + 1 :]
+        pos = m.start() + len(repl)
+
+
 _GEOMEAN_HEAD = re.compile(r"\bgeometric_mean\s*\(", re.IGNORECASE)
 _CHECKSUM_HEAD = re.compile(r"\bchecksum\s*\(", re.IGNORECASE)
 _HISTOGRAM_HEAD = re.compile(r"\bhistogram\s*\(", re.IGNORECASE)
@@ -1143,6 +1375,11 @@ def translate(query: str) -> str:
     query = _rewrite_normalize(query)
     query = _rewrite_agg_compositions(query)
     query = _rewrite_date_parse(query)
+    query = _rewrite_decimal_literal(query)
+    query = _rewrite_at_time_zone(query)
+    query = _rewrite_extract_epoch(query)
+    query = _rewrite_regexp_extract_all(query)
+    query = _rewrite_array_agg_order(query)
     segs = list(_segments(query))
     out: List[str] = []
     i = 0

@@ -603,3 +603,75 @@ def test_date_parse_mysql_tokens(spark):
 def test_starts_with_rename(spark):
     rows = run(spark, "SELECT starts_with('hello', 'he') AS r")
     assert rows[0]["r"] is True
+
+
+# --- dialect batch 6: typed literals, AT TIME ZONE, epoch, array_agg -------
+
+
+def test_decimal_typed_literal(spark):
+    import decimal
+    assert (
+        translate("SELECT DECIMAL '1.23' FROM t")
+        == "SELECT CAST('1.23' AS DECIMAL(3,2)) FROM t"
+    )
+    rows = run(spark, "SELECT DECIMAL '-45' AS r")
+    assert rows[0]["r"] == decimal.Decimal("-45")
+    # inside a string literal: untouched
+    assert "DECIMAL ''1.2''" in translate("SELECT 'DECIMAL ''1.2''' FROM t")
+
+
+def test_at_time_zone_operator(spark):
+    rows = run(
+        spark,
+        "SELECT TIMESTAMP '2024-01-01 12:00:00' AT TIME ZONE"
+        " 'America/New_York' AS r",
+    )
+    assert rows[0]["r"] == datetime.datetime(2024, 1, 1, 7, 0)
+    # parenthesized-call operand
+    assert "from_utc_timestamp(from_iso8601_timestamp('x'), 'UTC')" in translate(
+        "SELECT from_iso8601_timestamp('x') AT TIME ZONE 'UTC' FROM t"
+    )
+
+
+def test_extract_epoch(spark):
+    rows = run(
+        spark,
+        "SELECT extract(epoch FROM TIMESTAMP '2024-01-01 00:00:10.5') AS r",
+    )
+    assert rows[0]["r"] == 1704067210.5
+
+
+def test_regexp_extract_all_two_arg(spark):
+    rows = run(spark, "SELECT regexp_extract_all('a1b22', '[0-9]+') AS r")
+    assert rows[0]["r"] == ["1", "22"]
+
+
+def test_array_agg_order_by(spark):
+    rows = run(
+        spark,
+        "SELECT array_agg(x ORDER BY x DESC) AS r FROM (VALUES (1),(3),(2)) t(x)",
+    )
+    assert rows[0]["r"] == [3, 2, 1]
+    # plain array_agg untouched
+    rows = run(spark, "SELECT size(array_agg(x)) AS r FROM (VALUES (1),(3)) t(x)")
+    assert rows[0]["r"] == 2
+
+
+def test_utf8_json_array_udfs(spark):
+    rows = run(
+        spark,
+        "SELECT from_utf8(to_utf8('héllo')) AS s,"
+        " json_size('{\"a\":[1,2]}', '$.a') AS jsz,"
+        " json_array_get('[10,20]', 1) AS jag,"
+        " array_sum(ARRAY[1.0, 2.0, NULL]) AS asum,"
+        " array_average(ARRAY[1.0, 3.0, NULL]) AS aavg,"
+        " regexp_position('ab1', '[0-9]') AS rpos,"
+        " regexp_position('ab', '[0-9]') AS rmiss",
+    )
+    assert rows[0] == {"s": "héllo", "jsz": 2, "jag": "20", "asum": 3.0,
+                       "aavg": 2.0, "rpos": 3, "rmiss": -1}
+
+
+def test_localtimestamp_bare(spark):
+    rows = run(spark, "SELECT localtimestamp IS NOT NULL AS r")
+    assert rows[0]["r"] is True

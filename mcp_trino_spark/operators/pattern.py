@@ -161,9 +161,10 @@ def match_recognize(
     Output: partition keys + ``match_no`` (1-based per partition) +
     measures, one row per match.
 
-    ``order_by`` items accept ``col [ASC|DESC] [NULLS FIRST|LAST]``;
-    null placement defaults to LAST and must agree across keys (pandas
-    sorts with one global na_position — a mix is rejected loudly).
+    ``order_by`` items accept ``col [ASC|DESC] [NULLS FIRST|LAST]``
+    per key (null placement defaults to LAST); the ordering runs
+    Spark-side (sortWithinPartitions), so each key carries its own
+    direction and null placement.
 
     ``enforce_exclusive=True`` adds a per-row check that no row
     satisfies two DEFINE predicates (one extra small int column through
@@ -198,10 +199,6 @@ def match_recognize(
         order_keys.append(key)
         ascending.append(asc)
         na_positions.append(na)
-    if len(set(na_positions)) > 1:
-        raise ValueError("mixed NULLS FIRST/LAST across ORDER BY keys is "
-                         "not supported (single na_position per sort)")
-    na_position = na_positions[0] if na_positions else "last"
 
     # classify: first matching DEFINE wins, else the unmatched char
     cls: Column = F.lit(_UNMATCHED)
@@ -317,7 +314,7 @@ def match_recognize(
     # keys lead so groups are contiguous, then the ORDER BY keys with
     # the parsed direction/null placement
     sort_cols = [F.col(k).asc() for k in part_keys]
-    for k, asc, na in zip(order_keys, ascending, na_positions or ["last"] * len(order_keys)):
+    for k, asc, na in zip(order_keys, ascending, na_positions):
         c = F.col(k)
         if asc:
             sort_cols.append(c.asc_nulls_first() if na == "first" else c.asc_nulls_last())

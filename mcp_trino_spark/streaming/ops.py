@@ -310,8 +310,11 @@ def t10c_pattern_stream(events: DataFrame) -> DataFrame:
     eager + NoTimeout here for batch-parity determinism.
 
     State per user: (ts µs, event_id, symbol) for rows since the last
-    emitted match — the streaming twin of the batch matcher's per-key
-    symbol string.
+    emitted match, pruned to the suffix after the last non-funnel symbol
+    (a match span is contiguous, so nothing at or before a '0' can join
+    a future match).  What remains is exactly the rows that could still
+    extend into a match — state a pattern matcher cannot do without;
+    an EventTimeTimeout eviction bounds even that for abandoned keys.
     """
     import re
     from typing import Iterator, Tuple
@@ -373,6 +376,14 @@ def t10c_pattern_stream(events: DataFrame) -> DataFrame:
             )
             consumed = e
         ts_l, eid_l, syms = ts_l[consumed:], eid_l[consumed:], syms[consumed:]
+        # prune provably-dead prefix: a match span is contiguous and can
+        # never contain the unmatched symbol, so (under the in-order
+        # precondition) everything at or before the LAST '0' can never
+        # join a future match — without this, any key whose stream
+        # contains non-funnel events accumulates state forever
+        dead = syms.rfind("0")
+        if dead >= 0:
+            ts_l, eid_l, syms = ts_l[dead + 1:], eid_l[dead + 1:], syms[dead + 1:]
         state.update((ts_l, eid_l, syms, n_matches))
         if out:
             yield pd.DataFrame(

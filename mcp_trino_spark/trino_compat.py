@@ -161,11 +161,16 @@ _COMPAT_SQL_UDFS = {
         " ELSE transform(sequence(1, size(a) - n + 1), i -> slice(a, i, n)) END",
     ),
     # true codepoint→char (Spark's builtin chr wraps at 256); UTF-32BE
-    # big-endian word from the codepoint, decoded as one character
+    # big-endian word from the codepoint, decoded as one character.
+    # Out-of-range and surrogate codepoints raise like Trino's
+    # INVALID_FUNCTION_ARGUMENT — lpad would otherwise truncate hex(n)
+    # into a silently wrong character
     "trino_chr": (
         "(n BIGINT)",
         "STRING",
-        "decode(to_binary(lpad(hex(n), 8, '0'), 'hex'), 'UTF-32')",
+        "CASE WHEN n < 0 OR n > 1114111 OR (n >= 55296 AND n <= 57343)"
+        " THEN raise_error(concat('chr: invalid code point ', CAST(n AS STRING)))"
+        " ELSE decode(to_binary(lpad(hex(n), 8, '0'), 'hex'), 'UTF-32') END",
     ),
     # Trino bitwise scalar functions (64-bit two's-complement, like
     # Trino's); right_shift is logical (zero-fill), the _arithmetic
@@ -902,24 +907,7 @@ def _rewrite_at_time_zone(q: str) -> str:
             i -= 1
         if i < 0:
             raise TrinoCompatError("AT TIME ZONE without an operand")
-        if q[i] == ")":
-            depth, j = 0, i
-            while j >= 0:
-                if mask[j]:
-                    if q[j] == ")":
-                        depth += 1
-                    elif q[j] == "(":
-                        depth -= 1
-                        if depth == 0:
-                            break
-                j -= 1
-            if depth:
-                raise TrinoCompatError("unbalanced parens before AT TIME ZONE")
-            k = j - 1
-            while k >= 0 and (q[k].isalnum() or q[k] in "_$."):
-                k -= 1
-            start = k + 1
-        elif not mask[i]:
+        if not mask[i]:
             # inside a literal: walk to the start of the non-code run,
             # then optionally include a typed-literal keyword before it
             j = i
@@ -935,13 +923,41 @@ def _rewrite_at_time_zone(q: str) -> str:
             if q[k + 1 : e + 1].upper() in _TYPED_LIT_KW:
                 start = k + 1
         else:
+            # identifier chains interleaved with call/paren groups:
+            # walk `ident`, `.field`, and `(...)` segments right-to-left
+            # so `fn(x).f` captures the whole expression, not just `.f`
             j = i
-            while j >= 0 and (q[j].isalnum() or q[j] in "_$."):
-                j -= 1
+            while j >= 0:
+                if q[j] == ")" and mask[j]:
+                    depth = 0
+                    while j >= 0:
+                        if mask[j]:
+                            if q[j] == ")":
+                                depth += 1
+                            elif q[j] == "(":
+                                depth -= 1
+                                if depth == 0:
+                                    break
+                        j -= 1
+                    if depth:
+                        raise TrinoCompatError(
+                            "unbalanced parens before AT TIME ZONE"
+                        )
+                    j -= 1
+                elif j >= 0 and mask[j] and (q[j].isalnum() or q[j] in "_$."):
+                    while j >= 0 and mask[j] and (q[j].isalnum() or q[j] in "_$."):
+                        j -= 1
+                else:
+                    break
             start = j + 1
         operand = q[start : i + 1]
-        if not operand.strip():
-            raise TrinoCompatError("AT TIME ZONE without an operand")
+        if not operand.strip() or operand.strip().upper() in (
+            "END", "NULL", "ELSE", "THEN", "CASE",
+        ):
+            raise TrinoCompatError(
+                "cannot determine the AT TIME ZONE operand — parenthesize "
+                f"the expression before AT TIME ZONE (got {operand.strip()!r})"
+            )
         q = (
             q[:start]
             + f"from_utc_timestamp({operand}, {tz})"
@@ -1041,7 +1057,12 @@ def _rewrite_array_agg_order(q: str) -> str:
                 f"unsupported array_agg ORDER BY spec {spec!r} "
                 "(one key, optional ASC/DESC)"
             )
-        inner = f"array_sort(collect_list(struct({key} AS s, {expr} AS v)))"
+        # leading null-flag gives Trino's default null placement: sorted
+        # ascending non-nulls come first (NULLS LAST for ASC); reversing
+        # for DESC puts them first (Trino's DESC default) — array_sort
+        # alone would place null-keyed structs FIRST, silently diverging
+        inner = (f"array_sort(collect_list(struct(({key}) IS NULL AS n,"
+                 f" {key} AS s, {expr} AS v)))")
         if rest == ["DESC"]:
             inner = f"reverse({inner})"
         repl = f"transform({inner}, __t_p -> __t_p.v)"

@@ -151,15 +151,16 @@ def test_order_by_nulls_modifiers(spark):
         measures=[("n", "count", None, None)],
     )
     assert [tuple(r) for r in out.collect()] == [(1, 1, 2)]
-    with pytest.raises(ValueError, match="mixed NULLS"):
-        match_recognize(
-            _events(spark, rows),
-            partition_by=["key"],
-            order_by=["seq NULLS FIRST", "val NULLS LAST"],
-            define=DEFINE,
-            pattern="A B",
-            measures=[("n", "count", None, None)],
-        )
+    # per-key null placement (Spark-side sort): mixed specs are fine
+    out = match_recognize(
+        _events(spark, rows),
+        partition_by=["key"],
+        order_by=["seq NULLS FIRST", "val NULLS LAST"],
+        define=DEFINE,
+        pattern="A B",
+        measures=[("n", "count", None, None)],
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, 1, 2)]
     with pytest.raises(ValueError, match="unsupported ORDER BY"):
         match_recognize(
             _events(spark, rows),

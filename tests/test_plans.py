@@ -242,8 +242,14 @@ def test_dedup_stats_no_text_shuffle(spark):
     assert "SinglePartition" not in plan
     # partial+final pairs on both levels
     assert plan.count("HashAggregate") >= 4
-    # the shuffle carries the hash; text dies at the pre-shuffle projection
+    # the shuffle carries the hash; text dies at the pre-shuffle projection:
+    # no Exchange block may list the text column among its inputs
     assert "md5" in plan
+    import re as _re
+
+    for block in _re.split(r"\n\n", plan):
+        if _re.match(r"\(\d+\) Exchange", block.strip()):
+            assert "text#" not in block, f"text crossed a shuffle:\n{block}"
 
 
 def test_salted_skew_join_spreads_hot_key(spark):

@@ -675,3 +675,39 @@ def test_utf8_json_array_udfs(spark):
 def test_localtimestamp_bare(spark):
     rows = run(spark, "SELECT localtimestamp IS NOT NULL AS r")
     assert rows[0]["r"] is True
+
+
+# --- review fixes: null ordering, chr range, AT TIME ZONE capture ----------
+
+
+def test_array_agg_order_by_null_keys_last(spark):
+    """Trino default null ordering: ASC → nulls last, DESC → nulls first."""
+    V = " FROM (VALUES (1, 10), (NULL, 20), (2, 30)) t(k, x)"
+    rows = run(spark, "SELECT array_agg(x ORDER BY k) AS r" + V)
+    assert rows[0]["r"] == [10, 30, 20]
+    rows = run(spark, "SELECT array_agg(x ORDER BY k DESC) AS r" + V)
+    assert rows[0]["r"] == [20, 30, 10]
+
+
+def test_chr_invalid_codepoints_raise(spark):
+    import pytest as _pytest
+
+    for bad in ("-1", "1114112", "55296"):
+        with _pytest.raises(Exception, match="invalid code point"):
+            run(spark, f"SELECT chr({bad}) AS r")
+
+
+def test_at_time_zone_compound_operands(spark):
+    # call-then-field-access must capture the whole chain
+    assert (
+        translate("SELECT f(x).g AT TIME ZONE 'UTC' FROM t")
+        == "SELECT from_utc_timestamp(f(x).g, 'UTC') FROM t"
+    )
+    # un-capturable operand (CASE ... END) fails loudly, not as garbage SQL
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+    with pytest.raises(TrinoCompatError, match="parenthesize"):
+        translate("SELECT CASE WHEN a THEN b ELSE c END AT TIME ZONE 'UTC' FROM t")
+    # ...and the parenthesized form works
+    assert "from_utc_timestamp((CASE WHEN a THEN b ELSE c END), 'UTC')" in translate(
+        "SELECT (CASE WHEN a THEN b ELSE c END) AT TIME ZONE 'UTC' FROM t"
+    )

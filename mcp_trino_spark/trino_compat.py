@@ -285,6 +285,11 @@ _RENAMES = [
         re.compile(r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b", re.IGNORECASE),
         r"LIMIT \1",
     ),
+    # Trino clause order is OFFSET then LIMIT; Spark parses LIMIT first
+    (
+        re.compile(r"\bOFFSET\s+(\d+)\s+LIMIT\s+(\d+)\b", re.IGNORECASE),
+        r"LIMIT \2 OFFSET \1",
+    ),
     # Trino TABLESAMPLE BERNOULLI(p) / SYSTEM(p) → Spark (p PERCENT).
     # Both engines sample non-deterministically; row-level vs
     # block-level granularity differs for SYSTEM, which only affects
@@ -1382,8 +1387,24 @@ def _rewrite_normalize(q: str) -> str:
         pos = m.start() + len(repl)
 
 
+_WITH_TIES = re.compile(r"\bFETCH\s+(?:FIRST|NEXT)\s+\d+\s+ROWS?\s+WITH\s+TIES\b",
+                        re.IGNORECASE)
+_GROUPS_FRAME = re.compile(r"\bGROUPS\s+BETWEEN\b", re.IGNORECASE)
+
+
 def translate(query: str) -> str:
     """Rewrite Trino-only idioms to Spark SQL, outside literals/comments."""
+    mask0 = _code_mask(query)
+    for pat, what, hint in (
+        (_WITH_TIES, "FETCH ... WITH TIES",
+         "rewrite with rank() OVER (...) <= n"),
+        (_GROUPS_FRAME, "GROUPS window frames",
+         "use ROWS or RANGE frames"),
+    ):
+        if any(mask0[m.start()] for m in pat.finditer(query)):
+            raise TrinoCompatError(
+                f"{what} is not expressible in Spark SQL — {hint}"
+            )
     query = _rewrite_array_literal(query)
     query = _rewrite_unnest(query, _code_mask(query))
     query = _rewrite_try(query)

@@ -711,3 +711,20 @@ def test_at_time_zone_compound_operands(spark):
     assert "from_utc_timestamp((CASE WHEN a THEN b ELSE c END), 'UTC')" in translate(
         "SELECT (CASE WHEN a THEN b ELSE c END) AT TIME ZONE 'UTC' FROM t"
     )
+
+
+def test_offset_limit_order_swap(spark):
+    rows = run(
+        spark,
+        "SELECT i FROM (VALUES (1), (2), (3)) t(i) ORDER BY i OFFSET 1 LIMIT 1",
+    )
+    assert rows == [{"i": 2}]
+
+
+def test_with_ties_and_groups_frames_fail_loudly():
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+    with pytest.raises(TrinoCompatError, match="WITH TIES"):
+        translate("SELECT i FROM t ORDER BY i FETCH FIRST 2 ROWS WITH TIES")
+    with pytest.raises(TrinoCompatError, match="GROUPS"):
+        translate("SELECT sum(x) OVER (ORDER BY i GROUPS BETWEEN 1 PRECEDING"
+                  " AND CURRENT ROW) FROM t")

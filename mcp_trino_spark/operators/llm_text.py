@@ -826,3 +826,109 @@ def l28_unigram_logprob(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "l31_sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, CAST(doc_id // 10000 AS BIGINT) AS shard,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    cums AS (
+      SELECT doc_id, source, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    )
+    SELECT doc_id, source, shard, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+    FROM cums
+    """,
+)
+def l31_sequence_packing(spark, sf_dir):
+    """Sequence packing for LLM training: assign documents to
+    ~2048-token training bins by contiguous fill — the deterministic,
+    shuffle-light packing used when building fixed-length batches from
+    variable-length documents (first-fit-by-order: a doc starts the bin
+    its cumulative offset falls in).
+
+    Plan: ONE hash shuffle on (source, shard) for the running-sum
+    window; the assignment itself is narrow column math.  The shard key
+    (contiguous 10k-doc-id ranges) is the scale lever: source
+    cardinality alone may be single-digit at 100 TB, so each source is
+    cut into deterministic id ranges that pack independently — bins
+    never straddle a shard, parallelism is |sources| x |shards|, and
+    the assignment stays rerun-stable at any cluster size.
+    """
+    from pyspark.sql import Window
+
+    (docs,) = T(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = Window.partitionBy("source", "shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.floor(F.col("doc_id") / 10000).cast("bigint").alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
+    return toks.select(
+        "doc_id",
+        "source",
+        "shard",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0)
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+
+
+@register(
+    "l32_doc_chunking",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, text,
+             unnest(range(0,
+               GREATEST(CAST(CEIL((n_chars - 500) / 250.0) AS BIGINT), 0) + 1)) AS i
+      FROM documents
+    )
+    SELECT doc_id,
+           i AS chunk_id,
+           i * 250 + 1 AS start_pos,
+           substr(text, CAST(i * 250 + 1 AS INT), 500) AS chunk_text
+    FROM c
+    """,
+)
+def l32_doc_chunking(spark, sf_dir):
+    """Sliding-window document chunking (size 500 chars, stride 250):
+    every long document becomes overlapping training windows with
+    recorded offsets — the context-window preparation step between raw
+    documents and tokenized sequences.
+
+    Plan: zero shuffles — sequence()+explode is a narrow generator, the
+    substring math is codegen'd, and output rows stay co-partitioned
+    with their source document.  Chunk count scales with document
+    length, not corpus size; nothing is collected or re-keyed.
+    """
+    (docs,) = T(spark, sf_dir, "documents")
+    n_chunks_last_idx = F.greatest(
+        F.ceil((F.col("n_chars") - 500) / 250.0).cast("bigint"), F.lit(0)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks_last_idx)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").alias("chunk_id"),
+            (F.col("i") * 250 + 1).alias("start_pos"),
+            F.substring(F.col("text"), (F.col("i") * 250 + 1).cast("int"), 500).alias(
+                "chunk_text"
+            ),
+        )
+    )

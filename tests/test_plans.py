@@ -260,3 +260,21 @@ def test_salted_skew_join_spreads_hot_key(spark):
     plan = formatted(df)
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
     assert "hashpartitioning(k" in plan and "salt" in plan
+
+
+def test_sequence_packing_single_shuffle(spark):
+    """l31: one hash exchange on (source, shard) for the cumsum window;
+    no single-partition stage."""
+    df = registry.queries()["l31_sequence_packing"](spark, SF_DIR)
+    plan = formatted(df)
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+    assert "shard" in plan
+
+
+def test_doc_chunking_no_shuffle(spark):
+    """l32: generator + narrow substring math — zero exchanges."""
+    df = registry.queries()["l32_doc_chunking"](spark, SF_DIR)
+    plan = formatted(df)
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # sequence+explode

@@ -100,50 +100,50 @@ _PRIORITY = [
     "j8_range_band",
     "j11_asof",
     "j12_lateral_topn",
+    "j14_salted_skew_join",
     # aggregates (core shapes)
     "a1_groupby_count",
     "a2_sum_avg_min_max",
     "a6_grouping_sets",
-    "a14_percentile",
     "a16_salted_skew_agg",
     # windows
     "w1_row_number",
     "w5_lag_lead",
-    "w8_rows_frame",
     "w10_topn_per_group",
     "w3b_ntile_distributed",
     # sort/limit/set-ops/subqueries
     "o1_order_by",
     "o2_topk",
-    "o7_intersect",
     "o9_cte",
     "o10b_correlated_subquery",
     # scalar functions
     "x1_string_basics",
     "x3_date_extract",
-    "x9_array",
     "x11_map_struct",
     "x12_json",
     "x14_hashing",
+    "x19_trino_dialect",
     # time-series
     "t1_tumbling_window",
     "t3_sessionization",
     "t4_event_dedup",
     "t8_ohlc_resample",
+    "t10b_match_recognize_funnel",
     # sinks / gated writes (s7* = merge/update/delete, added round 2)
     "s6_ctas_insert",
     "s7_merge_upsert",
     "s7b_update",
     "s7c_delete",
     "s4_memory_table",
+    "s8_bucketed_colocated_join",
     # façade
     "f5_table_schema",
     "f6_explain_distributed",
     # LLM-pipeline
     "l1_exact_dedup",
     "l2_minhash_lsh_pairs",
-    "l2c_ngram_jaccard",
     "l16_decontamination",
+    "l31_sequence_packing",
     "l3b_embedding_neardup",
     "l4_topk_similarity",
     "l4b_ivf_topk",

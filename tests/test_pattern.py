@@ -185,3 +185,63 @@ def test_enforce_exclusive_rejects_overlapping_defines(spark):
     )
     with pytest.raises(Exception, match="not mutually.*exclusive|mutually"):
         out.collect()
+
+
+def test_matcher_handles_multiple_arrow_batches(spark):
+    """mapInPandas receives a partition as SEVERAL pandas batches when it
+    exceeds arrow.maxRecordsPerBatch; groups straddling batch boundaries
+    must still match identically (the matcher concatenates before
+    grouping).  Run the funnel with a tiny batch size and compare to the
+    default-config result."""
+    from mcp_trino_spark import registry
+
+    name = "t10b_match_recognize_funnel"
+    sf = "/root/testdata/sf0.001"
+    want = sorted(tuple(r) for r in registry.queries()[name](spark, sf).collect())
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        got = sorted(tuple(r) for r in registry.queries()[name](spark, sf).collect())
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == want and len(got) > 0
+
+
+def test_matcher_against_local_reference(spark):
+    """Property-style check: random symbol streams over several keys —
+    the distributed matcher must agree with a direct local regex
+    reference computing the same (greedy, SKIP PAST LAST ROW, ONE ROW
+    PER MATCH) semantics."""
+    import random
+    import re as _re
+
+    rng = random.Random(20260813)
+    rows = []
+    for key in range(40):
+        for seq in range(rng.randint(0, 30)):
+            rows.append((key, seq, rng.choice("aabbcx"), float(rng.randint(0, 9))))
+    if not rows:
+        rows = [(0, 0, "a", 1.0)]
+
+    pattern, rx = "A+ B+ C?", _re.compile("A+B+C?")
+    got = _run(spark, rows, pattern,
+               [("n", "count", None, None),
+                ("first_seq", "first", None, "seq"),
+                ("sum_val", "sum", None, "val")])
+
+    sym_of = {"a": "A", "b": "B", "c": "C"}
+    want = []
+    by_key = {}
+    for key, seq, kind, val in sorted(rows):
+        by_key.setdefault(key, []).append((seq, sym_of.get(kind, "0"), val))
+    for key, items in by_key.items():
+        s = "".join(sym for _, sym, _ in items)
+        mno = 0
+        for m in rx.finditer(s):
+            if m.start() == m.end():
+                continue
+            mno += 1
+            span = items[m.start():m.end()]
+            want.append((key, mno, len(span), span[0][0],
+                         sum(v for _, _, v in span)))
+    assert got == sorted(want)

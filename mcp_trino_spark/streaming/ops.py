@@ -408,3 +408,121 @@ def t10c_pattern_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def t10d_pattern_stream_watermarked(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Watermark-gated streaming MATCH_RECOGNIZE — the out-of-order-safe
+    variant of t10c.
+
+    Soundness without the in-order precondition: rows later than the
+    watermark bound are dropped by Spark before the operator; every row
+    that will ever arrive therefore has event time ≥ the current
+    watermark.  So the buffer prefix with ts < watermark is FINAL — no
+    future row can land inside it — and matching runs on exactly that
+    prefix each batch.  Completed matches emit; unconsumed prefix rows
+    stay buffered (they may extend with suffix rows later, e.g. a
+    pending ``V+ C+`` waiting for its ``P``); provably-dead rows
+    (at or before the last non-funnel symbol in the finalized region)
+    are pruned.  The cost of the guarantee is latency — a match emits
+    only once the watermark passes its last row — and the final open
+    tail never emits, the same append-mode trade as t3b.  This is the
+    Flink-CEP-style discipline; t10c is the low-latency variant for
+    in-order feeds.
+    """
+    import re
+    from typing import Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    rx = re.compile("A+B+C")
+    sym_col = (
+        F.when(F.col("event_type") == "view", "A")
+        .when(F.col("event_type") == "click", "B")
+        .when(F.col("event_type") == "purchase", "C")
+        .otherwise("0")
+    )
+    slim = events.withWatermark("ts", watermark).select(
+        "user_id",
+        F.col("ts"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        sym_col.alias("sym"),
+    )
+
+    def matcher(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            ts_l, eid_l, syms, n_matches = state.get
+            ts_l, eid_l = list(ts_l), list(eid_l)
+        else:
+            ts_l, eid_l, syms, n_matches = [], [], "", 0
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                zip(pdf["ts_us"].astype("int64"), pdf["event_id"].astype("int64"),
+                    pdf["sym"])
+            )
+        merged = sorted(
+            list(zip(ts_l, eid_l, syms)) + rows, key=lambda r: (r[0], r[1])
+        )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        # the finalized region: strictly before the watermark
+        n_final = 0
+        while n_final < len(merged) and merged[n_final][0] < wm_us:
+            n_final += 1
+        final = merged[:n_final]
+        syms_final = "".join(r[2] for r in final)
+
+        out = []
+        consumed = 0
+        for m in rx.finditer(syms_final):
+            s, e = m.start(), m.end()
+            n_matches += 1
+            span = syms_final[s:e]
+            out.append(
+                (user_id, n_matches, span.count("A"), span.count("B"),
+                 final[s][1], final[e - 1][1])
+            )
+            consumed = e
+        keep = final[consumed:]
+        # dead prefix within the finalized remainder: nothing at or
+        # before its last '0' can join a future (contiguous) match
+        keep_syms = "".join(r[2] for r in keep)
+        dead = keep_syms.rfind("0")
+        if dead >= 0:
+            keep = keep[dead + 1:]
+        keep = keep + merged[n_final:]
+        state.update((
+            [r[0] for r in keep],
+            [r[1] for r in keep],
+            "".join(r[2] for r in keep),
+            n_matches,
+        ))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "match_no", "n_views", "n_clicks",
+                         "first_view_eid", "purchase_eid"],
+            )
+
+    return (
+        slim.groupBy("user_id")
+        .applyInPandasWithState(
+            matcher,
+            outputStructType=(
+                "user_id bigint, match_no bigint, n_views bigint, "
+                "n_clicks bigint, first_view_eid bigint, purchase_eid bigint"
+            ),
+            stateStructType=(
+                "ts_us array<bigint>, eid array<bigint>, syms string, "
+                "n_matches bigint"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

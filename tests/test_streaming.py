@@ -291,3 +291,59 @@ def test_t10c_pattern_stream_incremental_batches(spark):
     cols = ["user_id", "n_views", "n_clicks", "first_view_eid", "purchase_eid"]
     # match_no may differ in emission order bookkeeping; content must not
     assert rows_set(got, cols) == rows_set(want, cols)
+
+
+def test_t10d_watermarked_pattern_stream(spark):
+    """Watermark-gated streaming matcher: drained over 3 time-ordered
+    micro-batches, every emitted match is a batch match (no spurious
+    emissions), and every batch match finalized by the pre-last-batch
+    watermark MUST have been emitted (gating delays, it must not drop)."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from mcp_trino_spark.sources.catalog import load_table
+
+    base = "/root/repo/.tmp/t10d_chunks"
+    shutil.rmtree(base, ignore_errors=True)
+    full = load_table(spark, SF_DIR, "events")
+    chunked = full.withColumn(
+        "chunk", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(1, 4):
+        (
+            chunked.filter(F.col("chunk") == i)
+            .drop("chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{base}/chunk_{i}")
+        )
+    schema = spark.read.parquet(f"{base}/chunk_1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", True)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    got = S.run_to_memory(
+        S.t10d_pattern_stream_watermarked(stream), "t10d_mem",
+        output_mode="append",
+    )
+    want = registry.queries()["t10b_match_recognize_funnel"](spark, SF_DIR)
+    cols = ["user_id", "n_views", "n_clicks", "first_view_eid", "purchase_eid"]
+    got_set = set(rows_set(got, cols))
+    want_set = set(rows_set(want, cols))
+    assert got_set <= want_set
+
+    # watermark before the LAST batch = max ts of chunks 1-2 minus 10 min;
+    # matches whose purchase row is older than that must have emitted
+    import datetime
+
+    t12_max = (
+        chunked.filter(F.col("chunk") <= 2).agg(F.max("ts").alias("m")).first()["m"]
+    )
+    wm = t12_max - datetime.timedelta(minutes=10)
+    ev_ts = {r["event_id"]: r["ts"] for r in full.select("event_id", "ts").collect()}
+    must_emit = {w for w in want_set if ev_ts[w[4]] < wm}
+    assert must_emit <= got_set
+    assert len(got_set) > 0

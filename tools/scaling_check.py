@@ -162,6 +162,41 @@ def check_match_recognize(spark) -> None:
     report("match_recognize_funnel", n_rows_1x, t1, t10)
 
 
+def check_sessionization(spark) -> None:
+    """lag+cumsum sessionization at 10×: user_id-shifted replicas grow
+    key cardinality with data; both window passes share one hash
+    partitioning, so time must track volume."""
+    from mcp_trino_spark.operators.timeseries import t3_sessionization
+
+    from mcp_trino_spark import registry
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+    def plan(frame):
+        # inline the registered t3 logic over an arbitrary frame: same
+        # lag+cumsum shape (import kept for the cross-reference)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        new_sess = (gap.isNull() | (gap >= 1800)).cast("long")
+        sess = frame.withColumn("sid", F.sum(new_sess).over(w))
+        return sess.groupBy("user_id", "sid").agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+
+    n_rows_1x = ev.count()
+    timed(plan(ev))  # warm
+    t1 = min(timed(plan(ev)) for _ in range(2))
+    ev10 = replicate(ev, ["user_id"], COPIES)
+    t10 = min(timed(plan(ev10)) for _ in range(2))
+    report("sessionization_lag_cumsum", n_rows_1x, t1, t10)
+
+
 def main() -> None:
     spark = get_spark("scaling")
     check_flagship(spark)
@@ -169,6 +204,8 @@ def main() -> None:
     check_minhash_lsh(spark)
     spark.catalog.clearCache()
     check_match_recognize(spark)
+    spark.catalog.clearCache()
+    check_sessionization(spark)
 
 
 if __name__ == "__main__":

@@ -16,6 +16,7 @@ internal/mcp/handlers.go:55-91 + internal/trino/client.go:501-617):
 from __future__ import annotations
 
 import json
+import re
 import threading
 import uuid
 from dataclasses import dataclass
@@ -25,6 +26,17 @@ from pyspark.sql import SparkSession
 
 from mcp_trino_spark.config import EngineConfig
 from mcp_trino_spark.validate import is_read_only_query, strip_trailing_semicolon
+
+
+#: Trino statement spellings intercepted on the dialect path
+_EXPLAIN_TYPE = re.compile(
+    r"^\s*EXPLAIN\s*\(\s*TYPE\s+(LOGICAL|DISTRIBUTED|VALIDATE|IO)\s*\)\s*(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SHOW_STATS = re.compile(
+    r"^\s*SHOW\s+STATS\s+FOR\s+([A-Za-z_][\w$]*(?:\.[A-Za-z_][\w$]*)*)\s*$",
+    re.IGNORECASE,
+)
 
 
 class WriteQueryNotAllowed(PermissionError):
@@ -67,7 +79,26 @@ def execute_query(
     config = config or EngineConfig()
     q = strip_trailing_semicolon(query)
     mr_views: List[str] = []
+    explain_fmt: Optional[str] = None
+    show_stats_table: Optional[str] = None
     if dialect == "trino":
+        # statement forms the reference itself generates / passes through:
+        # EXPLAIN (TYPE …) — client.go:783 builds exactly this text —
+        # and SHOW STATS FOR <table>
+        em = _EXPLAIN_TYPE.match(q)
+        if em:
+            explain_fmt, q = em.group(1).upper(), em.group(2)
+        elif re.match(r"^\s*EXPLAIN\s*\(", q):
+            from mcp_trino_spark.trino_compat import TrinoCompatError
+
+            raise TrinoCompatError(
+                "unsupported EXPLAIN option — supported: "
+                "EXPLAIN (TYPE LOGICAL|DISTRIBUTED|VALIDATE|IO) <query>"
+            )
+        sm = _SHOW_STATS.match(q)
+        if sm:
+            show_stats_table = sm.group(1)
+    if dialect == "trino" and show_stats_table is None:
         from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
         install_compat_functions(spark)
@@ -121,6 +152,19 @@ def execute_query(
             n = execute_dml(spark, q)
             done.set()
             return QueryResult(columns=["rows_affected"], rows=[{"rows_affected": n}])
+        if show_stats_table is not None:
+            from mcp_trino_spark.stats import show_stats
+
+            cols, srows = show_stats(spark, show_stats_table)
+            done.set()
+            return QueryResult(columns=cols, rows=srows)
+        if explain_fmt is not None:
+            from mcp_trino_spark.plans.explain import explain_query
+
+            res = explain_query(spark, q, explain_fmt)
+            done.set()
+            keys = sorted({k for r in res.rows for k in r})
+            return QueryResult(columns=keys, rows=res.rows)
         df = spark.sql(q)
         if max_rows is not None:
             df = df.limit(max_rows)

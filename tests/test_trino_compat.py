@@ -728,3 +728,42 @@ def test_with_ties_and_groups_frames_fail_loudly():
     with pytest.raises(TrinoCompatError, match="GROUPS"):
         translate("SELECT sum(x) OVER (ORDER BY i GROUPS BETWEEN 1 PRECEDING"
                   " AND CURRENT ROW) FROM t")
+
+
+# --- Trino statement forms: SHOW STATS, EXPLAIN (TYPE ...) -----------------
+
+
+def test_show_stats_statement(spark):
+    """SHOW STATS FOR t (Trino statement): per-column ndv/nulls/min/max
+    rows plus the row_count summary row, computed in one aggregate."""
+    res = execute_query(spark, "SHOW STATS FOR nation", dialect="trino")
+    assert res.columns[0] == "column_name" and "row_count" in res.columns
+    by_col = {r["column_name"]: r for r in res.rows}
+    assert by_col[None]["row_count"] == 25.0
+    assert by_col["n_regionkey"]["distinct_values_count"] == 5.0
+    assert by_col["n_regionkey"]["low_value"] == "0"
+    assert by_col["n_regionkey"]["high_value"] == "4"
+    assert by_col["n_name"]["data_size"] is not None  # string byte size
+
+
+def test_explain_type_statement(spark):
+    """EXPLAIN (TYPE fmt) — the exact text the reference generates
+    (client.go:783) — routes through the explain façade."""
+    res = execute_query(
+        spark,
+        "EXPLAIN (TYPE DISTRIBUTED) SELECT n_regionkey, count(*) AS n"
+        " FROM nation GROUP BY n_regionkey",
+        dialect="trino",
+    )
+    assert "Exchange" in res.rows[0]["plan"]
+    res = execute_query(spark, "EXPLAIN (TYPE VALIDATE) SELECT 1", dialect="trino")
+    assert res.rows[0]["valid"] is True
+    res = execute_query(
+        spark,
+        "EXPLAIN (TYPE IO) SELECT n_name FROM nation WHERE n_regionkey = 1",
+        dialect="trino",
+    )
+    assert any(r.get("kind") == "file" for r in res.rows)
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+    with pytest.raises(TrinoCompatError, match="EXPLAIN option"):
+        execute_query(spark, "EXPLAIN (TYPE COST) SELECT 1", dialect="trino")

@@ -98,6 +98,13 @@ def execute_query(
         sm = _SHOW_STATS.match(q)
         if sm:
             show_stats_table = sm.group(1)
+        elif re.match(r"^\s*SHOW\s+STATS\b", q, re.IGNORECASE):
+            from mcp_trino_spark.trino_compat import TrinoCompatError
+
+            raise TrinoCompatError(
+                "unsupported SHOW STATS form — supported: SHOW STATS FOR "
+                "<table> (query form and quoted identifiers are not)"
+            )
     if dialect == "trino" and show_stats_table is None:
         from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
@@ -143,6 +150,22 @@ def execute_query(
         # otherwise writes would run untimed and unattributed.
         from mcp_trino_spark.sources.dml import is_dml_statement
 
+        if explain_fmt is not None:
+            # MUST precede DML routing: q is already the stripped inner
+            # statement, and EXPLAIN of a DML must never execute it —
+            # the explain façade applies its own policy
+            from mcp_trino_spark.plans.explain import explain_query
+
+            res = explain_query(spark, q, explain_fmt)
+            done.set()
+            keys = sorted({k for r in res.rows for k in r})
+            return QueryResult(columns=keys, rows=res.rows)
+        if show_stats_table is not None:
+            from mcp_trino_spark.stats import show_stats
+
+            cols, srows = show_stats(spark, show_stats_table)
+            done.set()
+            return QueryResult(columns=cols, rows=srows)
         if is_dml_statement(q):
             # UPDATE/DELETE/MERGE have no native parquet execution in
             # Spark — route through the copy-on-write DML layer (only
@@ -152,19 +175,6 @@ def execute_query(
             n = execute_dml(spark, q)
             done.set()
             return QueryResult(columns=["rows_affected"], rows=[{"rows_affected": n}])
-        if show_stats_table is not None:
-            from mcp_trino_spark.stats import show_stats
-
-            cols, srows = show_stats(spark, show_stats_table)
-            done.set()
-            return QueryResult(columns=cols, rows=srows)
-        if explain_fmt is not None:
-            from mcp_trino_spark.plans.explain import explain_query
-
-            res = explain_query(spark, q, explain_fmt)
-            done.set()
-            keys = sorted({k for r in res.rows for k in r})
-            return QueryResult(columns=keys, rows=res.rows)
         df = spark.sql(q)
         if max_rows is not None:
             df = df.limit(max_rows)

@@ -41,41 +41,54 @@ def show_stats(spark: SparkSession, table: str) -> "tuple[List[str], List[dict]]
     df: DataFrame = spark.table(table)
     aggs = [F.count(F.lit(1)).alias("__rc")]
     fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
-    for name, dtype in fields:
-        c = F.col(name)
-        aggs.append(F.approx_count_distinct(c).alias(f"__ndv__{name}"))
-        aggs.append(F.count(F.when(c.isNull(), 1)).alias(f"__nulls__{name}"))
+    simple = {}  # name -> whether per-column stats are computable
+    for i, (name, dtype) in enumerate(fields):
+        c = df[name]  # not F.col: a dotted column name must not parse as a field path
+        # complex types (map/array/struct) are not hashable/orderable for
+        # NDV/min-max — Trino likewise reports null stats for them
+        simple[name] = not dtype.startswith(("map<", "array<", "struct<"))
+        if not simple[name]:
+            continue
+        aggs.append(F.approx_count_distinct(c).alias(f"__ndv__{i}"))
+        aggs.append(F.count(F.when(c.isNull(), 1)).alias(f"__nulls__{i}"))
         if dtype in _NUMERIC or dtype.startswith("decimal"):
-            aggs.append(F.min(c).cast("string").alias(f"__lo__{name}"))
-            aggs.append(F.max(c).cast("string").alias(f"__hi__{name}"))
+            aggs.append(F.min(c).cast("string").alias(f"__lo__{i}"))
+            aggs.append(F.max(c).cast("string").alias(f"__hi__{i}"))
         else:
-            aggs.append(F.lit(None).cast("string").alias(f"__lo__{name}"))
-            aggs.append(F.lit(None).cast("string").alias(f"__hi__{name}"))
-        if dtype == "string":
-            aggs.append(
-                F.sum(F.length(c)).cast("double").alias(f"__sz__{name}")
-            )
-        elif dtype == "binary":
-            aggs.append(
-                F.sum(F.length(c)).cast("double").alias(f"__sz__{name}")
-            )
+            aggs.append(F.lit(None).cast("string").alias(f"__lo__{i}"))
+            aggs.append(F.lit(None).cast("string").alias(f"__hi__{i}"))
+        if dtype in ("string", "binary"):
+            aggs.append(F.sum(F.length(c)).cast("double").alias(f"__sz__{i}"))
         else:
-            aggs.append(F.lit(None).cast("double").alias(f"__sz__{name}"))
+            aggs.append(F.lit(None).cast("double").alias(f"__sz__{i}"))
     row = df.agg(*aggs).first()
 
     rc = row["__rc"]
     out = []
-    for name, _dtype in fields:
-        nulls = row[f"__nulls__{name}"]
+    for i, (name, _dtype) in enumerate(fields):
+        if not simple[name]:
+            out.append(
+                {
+                    "column_name": name,
+                    "data_size": None,
+                    "distinct_values_count": None,
+                    "nulls_fraction": None,
+                    "row_count": None,
+                    "low_value": None,
+                    "high_value": None,
+                }
+            )
+            continue
+        nulls = row[f"__nulls__{i}"]
         out.append(
             {
                 "column_name": name,
-                "data_size": row[f"__sz__{name}"],
-                "distinct_values_count": float(row[f"__ndv__{name}"]),
+                "data_size": row[f"__sz__{i}"],
+                "distinct_values_count": float(row[f"__ndv__{i}"]),
                 "nulls_fraction": (float(nulls) / rc) if rc else None,
                 "row_count": None,
-                "low_value": row[f"__lo__{name}"],
-                "high_value": row[f"__hi__{name}"],
+                "low_value": row[f"__lo__{i}"],
+                "high_value": row[f"__hi__{i}"],
             }
         )
     # Trino's summary row: only row_count populated

@@ -430,6 +430,11 @@ def t10d_pattern_stream_watermarked(
     tail never emits, the same append-mode trade as t3b.  This is the
     Flink-CEP-style discipline; t10c is the low-latency variant for
     in-order feeds.
+
+    Emission does NOT depend on the key receiving more input: an
+    EventTimeTimeout is armed for the newest buffered row, so a key
+    whose funnel completed in an early batch still flushes when OTHER
+    keys advance the watermark.
     """
     import re
     from typing import Iterator, Tuple
@@ -497,12 +502,25 @@ def t10d_pattern_stream_watermarked(
         if dead >= 0:
             keep = keep[dead + 1:]
         keep = keep + merged[n_final:]
-        state.update((
-            [r[0] for r in keep],
-            [r[1] for r in keep],
-            "".join(r[2] for r in keep),
-            n_matches,
-        ))
+        if keep:
+            state.update((
+                [r[0] for r in keep],
+                [r[1] for r in keep],
+                "".join(r[2] for r in keep),
+                n_matches,
+            ))
+            # re-invoke when the watermark passes the newest buffered row
+            # — WITHOUT this (NoTimeout), a key absent from later batches
+            # never runs again and its finalized matches never emit
+            last_ms = keep[-1][0] // 1000
+            state.setTimeoutTimestamp(
+                max(last_ms + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        elif n_matches:
+            # empty buffer: keep only the match counter (cheap), no wakeup
+            state.update(([], [], "", n_matches))
+        else:
+            state.remove()
         if out:
             yield pd.DataFrame(
                 out,
@@ -523,6 +541,6 @@ def t10d_pattern_stream_watermarked(
                 "n_matches bigint"
             ),
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

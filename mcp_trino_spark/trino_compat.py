@@ -1387,9 +1387,15 @@ def _rewrite_normalize(q: str) -> str:
         pos = m.start() + len(repl)
 
 
-_WITH_TIES = re.compile(r"\bFETCH\s+(?:FIRST|NEXT)\s+\d+\s+ROWS?\s+WITH\s+TIES\b",
-                        re.IGNORECASE)
-_GROUPS_FRAME = re.compile(r"\bGROUPS\s+BETWEEN\b", re.IGNORECASE)
+#: count is optional in Trino (FETCH FIRST ROW WITH TIES defaults to 1)
+_WITH_TIES = re.compile(
+    r"\bFETCH\s+(?:FIRST|NEXT)\s+(?:\d+\s+)?ROWS?\s+WITH\s+TIES\b", re.IGNORECASE
+)
+#: both BETWEEN and single-bound frame spellings
+_GROUPS_FRAME = re.compile(
+    r"\bGROUPS\s+(?:BETWEEN|\d+\s+PRECEDING|CURRENT\s+ROW|UNBOUNDED\s+PRECEDING)\b",
+    re.IGNORECASE,
+)
 
 
 def translate(query: str) -> str:

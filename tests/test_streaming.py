@@ -347,3 +347,47 @@ def test_t10d_watermarked_pattern_stream(spark):
     must_emit = {w for w in want_set if ev_ts[w[4]] < wm}
     assert must_emit <= got_set
     assert len(got_set) > 0
+
+
+def test_t10d_emits_without_further_rows_for_key(spark):
+    """A key whose funnel completed in an EARLY batch and never appears
+    again must still emit once other keys advance the watermark — the
+    EventTimeTimeout contract (NoTimeout would strand the match in
+    state forever)."""
+    import datetime
+    import shutil
+
+    base = "/root/repo/.tmp/t10d_timeout"
+    shutil.rmtree(base, ignore_errors=True)
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(eid, ts, uid, et, 1.0, "{}") for eid, ts, uid, et in rows],
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        )
+
+    m = datetime.timedelta(minutes=1)
+    h = datetime.timedelta(hours=1)
+    # chunk 1: user 1's complete funnel; user 1 never appears again
+    mk([(1, t0, 1, "view"), (2, t0 + m, 1, "click"),
+        (3, t0 + 2 * m, 1, "purchase")]).coalesce(1).write.parquet(f"{base}/c1")
+    # chunks 2-3: user 2 drives the watermark far past user 1's purchase
+    mk([(10, t0 + 3 * h, 2, "view")]).coalesce(1).write.parquet(f"{base}/c2")
+    mk([(11, t0 + 6 * h, 2, "view")]).coalesce(1).write.parquet(f"{base}/c3")
+
+    schema = spark.read.parquet(f"{base}/c1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", True)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    got = S.run_to_memory(
+        S.t10d_pattern_stream_watermarked(stream), "t10d_to_mem",
+        output_mode="append",
+    )
+    rows = got.collect()
+    assert [(r["user_id"], r["n_views"], r["n_clicks"], r["first_view_eid"],
+             r["purchase_eid"]) for r in rows] == [(1, 1, 1, 1, 3)]

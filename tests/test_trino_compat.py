@@ -767,3 +767,51 @@ def test_explain_type_statement(spark):
     from mcp_trino_spark.trino_compat import TrinoCompatError
     with pytest.raises(TrinoCompatError, match="EXPLAIN option"):
         execute_query(spark, "EXPLAIN (TYPE COST) SELECT 1", dialect="trino")
+
+
+def test_explain_type_of_dml_never_executes(spark, tmp_path):
+    """EXPLAIN (TYPE ...) of a DML statement must explain (or reject),
+    NEVER execute — regression for the branch-order bug where the
+    stripped inner UPDATE hit the DML router first and mutated the
+    table."""
+    import os
+
+    from mcp_trino_spark.config import EngineConfig
+
+    base = "/root/repo/.tmp/explain_dml"
+    os.makedirs(base, exist_ok=True)
+    src = spark.createDataFrame([(1, 10), (2, 20)], "id bigint, x bigint")
+    path = f"{base}/t_explain_dml"
+    src.write.mode("overwrite").parquet(path)
+    spark.sql("DROP TABLE IF EXISTS t_explain_dml")
+    spark.sql(f"CREATE TABLE t_explain_dml USING parquet LOCATION '{path}'")
+    cfg = EngineConfig(allow_write_queries=True)
+    try:
+        before = sorted(tuple(r) for r in spark.table("t_explain_dml").collect())
+        try:
+            execute_query(
+                spark,
+                "EXPLAIN (TYPE VALIDATE) UPDATE t_explain_dml SET x = 99",
+                cfg,
+                dialect="trino",
+            )
+        except Exception:
+            pass  # rejecting is acceptable; executing is not
+        after = sorted(tuple(r) for r in spark.table("t_explain_dml").collect())
+        assert after == before, "EXPLAIN executed the DML it was asked to explain"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_explain_dml")
+
+
+def test_show_stats_unsupported_forms_fail_loudly(spark):
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+    with pytest.raises(TrinoCompatError, match="SHOW STATS"):
+        execute_query(spark, "SHOW STATS FOR (SELECT 1)", dialect="trino")
+
+
+def test_with_ties_countless_and_single_bound_groups_rejected():
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+    with pytest.raises(TrinoCompatError, match="WITH TIES"):
+        translate("SELECT i FROM t ORDER BY i FETCH FIRST ROW WITH TIES")
+    with pytest.raises(TrinoCompatError, match="GROUPS"):
+        translate("SELECT sum(x) OVER (ORDER BY i GROUPS 2 PRECEDING) FROM t")

@@ -166,17 +166,13 @@ def check_sessionization(spark) -> None:
     """lag+cumsum sessionization at 10×: user_id-shifted replicas grow
     key cardinality with data; both window passes share one hash
     partitioning, so time must track volume."""
-    from mcp_trino_spark.operators.timeseries import t3_sessionization
-
-    from mcp_trino_spark import registry
-
     ev = load_table(spark, SF_DIR, "events").select(
         "user_id", "ts", "event_id", "value"
     )
 
     def plan(frame):
-        # inline the registered t3 logic over an arbitrary frame: same
-        # lag+cumsum shape (import kept for the cross-reference)
+        # the registered t3's lag+cumsum shape, re-built over an
+        # arbitrary (replicated) frame — t3 itself is path-bound
         from pyspark.sql import Window
 
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")

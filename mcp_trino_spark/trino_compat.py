@@ -80,6 +80,7 @@ _COMPAT_SQL_UDFS = {
     "json_extract": ("(j STRING, p STRING)", "STRING", "get_json_object(j, p)"),
     "to_unixtime": ("(t TIMESTAMP)", "DOUBLE", "CAST(unix_timestamp(t) AS DOUBLE)"),
     "from_iso8601_timestamp": ("(s STRING)", "TIMESTAMP", "to_timestamp(s)"),
+    "from_iso8601_date": ("(s STRING)", "DATE", "to_date(s)"),
     # Trino truncate(x): round toward zero
     "truncate": ("(x DOUBLE)", "DOUBLE", "sign(x) * floor(abs(x))"),
     "to_hex": ("(x BINARY)", "STRING", "upper(hex(x))"),
@@ -1200,13 +1201,20 @@ _DATE_PARSE_HEAD = re.compile(r"\bdate_parse\s*\(", re.IGNORECASE)
 
 
 def _translate_mysql_format(fmt: str) -> str:
+    """MySQL %-token format → Java DateTimeFormatter pattern.  Bare
+    letters are literal text in MySQL formats but pattern letters in
+    Java — they come out quoted ('T')."""
+    if "'" in fmt:
+        raise TrinoCompatError(
+            f"quote character inside date format {fmt!r} is not supported"
+        )
     out: List[str] = []
     i = 0
     while i < len(fmt):
         ch = fmt[i]
         if ch == "%":
             if i + 1 >= len(fmt):
-                raise TrinoCompatError(f"trailing %% in date_parse format {fmt!r}")
+                raise TrinoCompatError(f"trailing %% in date format {fmt!r}")
             tok = fmt[i + 1]
             if tok == "%":
                 out.append("%")
@@ -1214,15 +1222,15 @@ def _translate_mysql_format(fmt: str) -> str:
                 out.append(_MYSQL_TOKENS[tok])
             else:
                 raise TrinoCompatError(
-                    f"unsupported date_parse token %{tok} in {fmt!r}"
+                    f"unsupported date format token %{tok} in {fmt!r}"
                 )
             i += 2
         elif ch.isalpha():
-            # a bare letter would be read as a Spark pattern letter
-            raise TrinoCompatError(
-                f"literal letter {ch!r} in date_parse format {fmt!r} — "
-                "quote it as %-tokens or preprocess the string"
-            )
+            j = i
+            while j < len(fmt) and fmt[j].isalpha() and fmt[j] != "%":
+                j += 1
+            out.append(f"'{fmt[i:j]}'")
+            i = j
         else:
             out.append(ch)
             i += 1
@@ -1246,8 +1254,39 @@ def _rewrite_date_parse(q: str) -> str:
                 "date_parse format must be a string literal for "
                 "MySQL→Spark token translation"
             )
-        translated = _translate_mysql_format(pat[1:-1])
+        translated = _translate_mysql_format(pat[1:-1]).replace("'", "''")
         q = q[: m.start()] + f"to_timestamp({args[0]}, '{translated}')" + q[b1 + 1 :]
+
+
+_DATE_FORMAT_HEAD = re.compile(r"\bdate_format\s*\(", re.IGNORECASE)
+
+
+def _rewrite_date_format(q: str) -> str:
+    """Trino ``date_format(ts, '%Y-%m')`` uses MySQL %-tokens; Spark's
+    same-named builtin takes Java patterns, where ``%d`` is a literal
+    ``%`` plus day-of-month — silently wrong output, not an error.
+    Translate literal formats token-for-token (the Joda spelling is
+    format_datetime, handled separately); non-literal format expressions
+    are rejected loudly."""
+    pos = 0
+    while True:
+        found = _find_call(q, _DATE_FORMAT_HEAD, pos)
+        if found is None:
+            return q
+        m, b0, b1 = found
+        args = _split_top_args(q[b0:b1])
+        if len(args) != 2:
+            raise TrinoCompatError("date_format needs (timestamp, 'format')")
+        pat = args[1]
+        if not (len(pat) >= 2 and pat[0] == "'" and pat[-1] == "'"):
+            raise TrinoCompatError(
+                "date_format format must be a string literal for "
+                "MySQL→Spark token translation"
+            )
+        translated = _translate_mysql_format(pat[1:-1]).replace("'", "''")
+        repl = f"date_format({args[0]}, '{translated}')"
+        q = q[: m.start()] + repl + q[b1 + 1 :]
+        pos = m.start() + len(repl)
 
 
 _CAST_HEAD = re.compile(r"\b(?:CAST|TRY_CAST)\s*\(", re.IGNORECASE)
@@ -1414,6 +1453,9 @@ def translate(query: str) -> str:
     query = _rewrite_array_literal(query)
     query = _rewrite_unnest(query, _code_mask(query))
     query = _rewrite_try(query)
+    # MUST precede the Joda pass: format_datetime rewrites INTO
+    # date_format(...) calls whose patterns are already Java-style
+    query = _rewrite_date_format(query)
     query = _rewrite_format_datetime(query)
     query = _rewrite_parse_datetime(query)
     query = _rewrite_split(query)

@@ -815,3 +815,27 @@ def test_with_ties_countless_and_single_bound_groups_rejected():
         translate("SELECT i FROM t ORDER BY i FETCH FIRST ROW WITH TIES")
     with pytest.raises(TrinoCompatError, match="GROUPS"):
         translate("SELECT sum(x) OVER (ORDER BY i GROUPS 2 PRECEDING) FROM t")
+
+
+def test_date_format_mysql_tokens(spark):
+    """Trino date_format uses MySQL %-tokens; Spark's same-named builtin
+    reads Java patterns where %d is literal-% + day — silent divergence
+    without translation.  Bare literal letters come out Java-quoted."""
+    rows = run(
+        spark,
+        "SELECT date_format(TIMESTAMP '2024-03-05 07:08:09', '%Y-%m-%dT%H:%i') AS r",
+    )
+    assert rows[0]["r"] == "2024-03-05T07:08"
+    rows = run(
+        spark,
+        "SELECT date_format(TIMESTAMP '2024-03-05 07:08:09', '%W %d %b') AS r",
+    )
+    assert rows[0]["r"] == "Tuesday 05 Mar"
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+    with pytest.raises(TrinoCompatError, match="token"):
+        translate("SELECT date_format(ts, '%Q') FROM t")
+
+
+def test_from_iso8601_date(spark):
+    rows = run(spark, "SELECT from_iso8601_date('2024-03-05') AS r")
+    assert rows[0]["r"] == datetime.date(2024, 3, 5)

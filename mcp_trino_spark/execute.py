@@ -98,12 +98,32 @@ def execute_query(
         sm = _SHOW_STATS.match(q)
         if sm:
             show_stats_table = sm.group(1)
+        elif re.match(r"^\s*SHOW\s+STATS\s+FOR\s*\(", q, re.IGNORECASE):
+            # Trino's query form: SHOW STATS FOR (SELECT ...) — register
+            # the (translated) subquery as a throwaway view and stat that
+            qm = re.match(r"^\s*SHOW\s+STATS\s+FOR\s*\((.*)\)\s*$", q,
+                          re.IGNORECASE | re.DOTALL)
+            if not qm:
+                from mcp_trino_spark.trino_compat import TrinoCompatError
+
+                raise TrinoCompatError("malformed SHOW STATS FOR (query)")
+            from mcp_trino_spark.trino_compat import translate as _tr
+
+            inner = _tr(qm.group(1))
+            if not is_read_only_query(inner):
+                raise WriteQueryNotAllowed(
+                    "SHOW STATS subquery must be read-only"
+                )
+            view = f"__stats_{uuid.uuid4().hex[:10]}"
+            spark.sql(inner).createOrReplaceTempView(view)
+            mr_views.append(view)  # dropped in the finally below
+            show_stats_table = view
         elif re.match(r"^\s*SHOW\s+STATS\b", q, re.IGNORECASE):
             from mcp_trino_spark.trino_compat import TrinoCompatError
 
             raise TrinoCompatError(
                 "unsupported SHOW STATS form — supported: SHOW STATS FOR "
-                "<table> (query form and quoted identifiers are not)"
+                "<table> or SHOW STATS FOR (SELECT ...)"
             )
     if dialect == "trino" and show_stats_table is None:
         from mcp_trino_spark.trino_compat import install_compat_functions, translate

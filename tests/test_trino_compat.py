@@ -806,7 +806,7 @@ def test_explain_type_of_dml_never_executes(spark, tmp_path):
 def test_show_stats_unsupported_forms_fail_loudly(spark):
     from mcp_trino_spark.trino_compat import TrinoCompatError
     with pytest.raises(TrinoCompatError, match="SHOW STATS"):
-        execute_query(spark, "SHOW STATS FOR (SELECT 1)", dialect="trino")
+        execute_query(spark, 'SHOW STATS FOR "quoted name"', dialect="trino")
 
 
 def test_with_ties_countless_and_single_bound_groups_rejected():
@@ -839,3 +839,20 @@ def test_date_format_mysql_tokens(spark):
 def test_from_iso8601_date(spark):
     rows = run(spark, "SELECT from_iso8601_date('2024-03-05') AS r")
     assert rows[0]["r"] == datetime.date(2024, 3, 5)
+
+
+def test_show_stats_query_form(spark):
+    res = execute_query(
+        spark,
+        "SHOW STATS FOR (SELECT n_regionkey FROM nation WHERE n_regionkey < 2)",
+        dialect="trino",
+    )
+    by_col = {r["column_name"]: r for r in res.rows}
+    assert by_col[None]["row_count"] == 10.0
+    assert by_col["n_regionkey"]["distinct_values_count"] == 2.0
+    # the throwaway view is dropped
+    assert not [t.name for t in spark.catalog.listTables()
+                if t.name.startswith("__stats_")]
+    from mcp_trino_spark.execute import WriteQueryNotAllowed
+    with pytest.raises(WriteQueryNotAllowed):
+        execute_query(spark, "SHOW STATS FOR (DROP TABLE nation)", dialect="trino")

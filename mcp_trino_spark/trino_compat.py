@@ -110,6 +110,17 @@ _COMPAT_SQL_UDFS = {
     ),
     # Trino to_base emits lowercase digits; Spark conv uppercases
     "to_base": ("(x BIGINT, r INT)", "STRING", "lower(conv(CAST(x AS STRING), 10, r))"),
+    # bare week() == week_of_year (Trino alias)
+    "week": ("(d TIMESTAMP)", "INT", "weekofyear(d)"),
+    # url_extract_* family over Spark's codegen'd parse_url
+    "url_extract_parameter": (
+        "(u STRING, p STRING)", "STRING", "parse_url(u, 'QUERY', p)",
+    ),
+    "url_extract_path": ("(u STRING)", "STRING", "parse_url(u, 'PATH')"),
+    "url_extract_host": ("(u STRING)", "STRING", "parse_url(u, 'HOST')"),
+    "url_extract_protocol": ("(u STRING)", "STRING", "parse_url(u, 'PROTOCOL')"),
+    "url_extract_query": ("(u STRING)", "STRING", "parse_url(u, 'QUERY')"),
+    "url_extract_fragment": ("(u STRING)", "STRING", "parse_url(u, 'REF')"),
     # binary/varbinary bridge (Trino's string<->bytes pair)
     "to_utf8": ("(s STRING)", "BINARY", "encode(s, 'UTF-8')"),
     "from_utf8": ("(b BINARY)", "STRING", "decode(b, 'UTF-8')"),

@@ -856,3 +856,18 @@ def test_show_stats_query_form(spark):
     from mcp_trino_spark.execute import WriteQueryNotAllowed
     with pytest.raises(WriteQueryNotAllowed):
         execute_query(spark, "SHOW STATS FOR (DROP TABLE nation)", dialect="trino")
+
+
+def test_week_and_url_extract_family(spark):
+    rows = run(
+        spark,
+        "SELECT week(DATE '2024-01-15') AS w,"
+        " url_extract_parameter('http://x.com/p?a=1&b=2', 'b') AS p,"
+        " url_extract_path('http://x.com/p/q?a=1') AS pa,"
+        " url_extract_host('http://x.com/p') AS h,"
+        " url_extract_protocol('https://x.com') AS pr,"
+        " url_extract_query('http://x.com/p?a=1') AS q,"
+        " url_extract_fragment('http://x.com/p#frag') AS f",
+    )
+    assert rows[0] == {"w": 3, "p": "2", "pa": "/p/q", "h": "x.com",
+                       "pr": "https", "q": "a=1", "f": "frag"}

@@ -932,3 +932,93 @@ def l32_doc_chunking(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "l30_prep_pipeline",
+    oracle="""
+    WITH quality AS (
+      SELECT doc_id, source, text
+      FROM documents
+      WHERE length(text) >= 50
+        AND CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+            / GREATEST(length(text), 1) > 0.5
+    ),
+    normed AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
+      FROM quality
+    ),
+    deduped AS (
+      SELECT doc_id, source, norm_text
+      FROM (
+        SELECT doc_id, source, norm_text,
+               ROW_NUMBER() OVER (PARTITION BY md5(norm_text)
+                                  ORDER BY doc_id) AS rn
+        FROM normed
+      ) WHERE rn = 1
+    ),
+    toks AS (
+      SELECT doc_id, source, CAST(doc_id // 10000 AS BIGINT) AS shard,
+             len(string_split_regex(norm_text, '\\s+')) AS n_tokens
+      FROM deduped
+    ),
+    cums AS (
+      SELECT doc_id, source, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    )
+    SELECT doc_id, source, shard, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+    FROM cums
+    """,
+)
+def l30_prep_pipeline(spark, sf_dir):
+    """The full training-data preparation pipeline as ONE declarative
+    plan: quality filter → text normalization → exact dedup on the
+    normalized hash → token count → sequence packing.  This is the
+    composition the individual operators (l8, l14, l1, l8c, l31) exist
+    for, end-to-end under the oracle gate.
+
+    Shuffle budget at 100 TB: exactly TWO — the dedup window on
+    md5(norm_text) (32-byte key) and the packing cumsum on
+    (source, shard); the quality filter is scan-side, normalization and
+    token count are narrow column math riding those exchanges.  Document
+    text never shuffles raw: the dedup exchange carries the normalized
+    text only because the pack stage re-tokenizes it — at scale one
+    would carry (hash, n_tokens) and re-join, traded here for one fewer
+    join at testdata sizes.
+    """
+    from pyspark.sql import Window
+
+    (docs,) = T(spark, sf_dir, "documents")
+    t = F.col("text")
+    alpha = (F.length(F.regexp_replace(t, "[^A-Za-z ]", "")).cast("double")
+             / F.greatest(F.length(t), F.lit(1)))
+    quality = docs.filter((F.length(t) >= 50) & (alpha > 0.5))
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    normed = quality.select("doc_id", "source", norm.alias("norm_text"))
+    w_dedup = Window.partitionBy(F.md5("norm_text")).orderBy("doc_id")
+    deduped = (
+        normed.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+    )
+    toks = deduped.select(
+        "doc_id",
+        "source",
+        F.floor(F.col("doc_id") / 10000).cast("bigint").alias("shard"),
+        F.size(F.split(F.col("norm_text"), r"\s+")).alias("n_tokens"),
+    )
+    w_pack = Window.partitionBy("source", "shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return toks.select(
+        "doc_id",
+        "source",
+        "shard",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w_pack) - F.col("n_tokens")) / 2048.0)
+        .cast("bigint")
+        .alias("bin_id"),
+    )

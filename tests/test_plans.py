@@ -278,3 +278,12 @@ def test_doc_chunking_no_shuffle(spark):
     plan = formatted(df)
     assert "Exchange" not in plan
     assert "Generate" in plan  # sequence+explode
+
+
+def test_prep_pipeline_two_shuffles(spark):
+    """l30: the whole prep pipeline rides exactly two hash exchanges —
+    dedup on md5(norm_text), packing cumsum on (source, shard)."""
+    df = registry.queries()["l30_prep_pipeline"](spark, SF_DIR)
+    plan = formatted(df)
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert "SinglePartition" not in plan

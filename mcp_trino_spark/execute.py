@@ -107,9 +107,25 @@ def execute_query(
                 from mcp_trino_spark.trino_compat import TrinoCompatError
 
                 raise TrinoCompatError("malformed SHOW STATS FOR (query)")
-            from mcp_trino_spark.trino_compat import translate as _tr
+            from mcp_trino_spark.trino_compat import (
+                install_compat_functions,
+                translate as _tr,
+            )
 
+            # same dialect setup as the top-level path: compat UDFs must
+            # exist before the subquery is analyzed, and MATCH_RECOGNIZE
+            # must expand (both were skipped here before — a fresh
+            # session's first SHOW STATS(query) using week()/chr()/...
+            # failed with unresolved-function)
+            install_compat_functions(spark)
             inner = _tr(qm.group(1))
+            from mcp_trino_spark.trino_mr import (
+                expand_match_recognize,
+                has_match_recognize,
+            )
+
+            if has_match_recognize(inner):
+                inner = expand_match_recognize(spark, inner, created_views=mr_views)
             if not is_read_only_query(inner):
                 raise WriteQueryNotAllowed(
                     "SHOW STATS subquery must be read-only"

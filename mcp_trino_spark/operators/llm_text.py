@@ -27,6 +27,42 @@ LANG_STOPWORDS = {
 
 TOKEN_REGEX = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"  # BPE-ish: word runs or single punct
 
+#: packing constants shared by l31 and the composed l30 pipeline —
+#: change here, not in one operator
+PACK_BIN_TOKENS = 2048
+PACK_SHARD_DOCS = 10_000
+
+
+def _norm_expr(col: str = "text"):
+    """Canonical normalization (l14 and l30 must stay in lockstep):
+    lowercase -> whitespace collapse -> trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def _pack_bins(toks):
+    """Contiguous-fill packing over (source, shard): shared by l31 and
+    l30.  ``toks`` needs doc_id, source, shard, n_tokens."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source", "shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return toks.select(
+        "doc_id",
+        "source",
+        "shard",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / float(PACK_BIN_TOKENS)
+        )
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+
+
+def _shard_col():
+    return F.floor(F.col("doc_id") / PACK_SHARD_DOCS).cast("bigint").alias("shard")
+
 
 @register(
     "l5_text_stats",
@@ -398,7 +434,7 @@ def l14_text_normalize(spark, sf_dir):
     dedup misses).  Pure narrow column ops — no shuffle at all.
     """
     (docs,) = T(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    norm = _norm_expr()
     return docs.select(
         "doc_id",
         norm.alias("norm_text"),
@@ -862,28 +898,10 @@ def l31_sequence_packing(spark, sf_dir):
     never straddle a shard, parallelism is |sources| x |shards|, and
     the assignment stays rerun-stable at any cluster size.
     """
-    from pyspark.sql import Window
-
     (docs,) = T(spark, sf_dir, "documents")
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    w = Window.partitionBy("source", "shard").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.floor(F.col("doc_id") / 10000).cast("bigint").alias("shard"),
-        n_tokens.alias("n_tokens"),
-    )
-    return toks.select(
-        "doc_id",
-        "source",
-        "shard",
-        "n_tokens",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0)
-        .cast("bigint")
-        .alias("bin_id"),
-    )
+    toks = docs.select("doc_id", "source", _shard_col(), n_tokens.alias("n_tokens"))
+    return _pack_bins(toks)
 
 
 @register(
@@ -997,8 +1015,7 @@ def l30_prep_pipeline(spark, sf_dir):
     alpha = (F.length(F.regexp_replace(t, "[^A-Za-z ]", "")).cast("double")
              / F.greatest(F.length(t), F.lit(1)))
     quality = docs.filter((F.length(t) >= 50) & (alpha > 0.5))
-    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
-    normed = quality.select("doc_id", "source", norm.alias("norm_text"))
+    normed = quality.select("doc_id", "source", _norm_expr().alias("norm_text"))
     w_dedup = Window.partitionBy(F.md5("norm_text")).orderBy("doc_id")
     deduped = (
         normed.withColumn("rn", F.row_number().over(w_dedup))
@@ -1007,18 +1024,7 @@ def l30_prep_pipeline(spark, sf_dir):
     toks = deduped.select(
         "doc_id",
         "source",
-        F.floor(F.col("doc_id") / 10000).cast("bigint").alias("shard"),
+        _shard_col(),
         F.size(F.split(F.col("norm_text"), r"\s+")).alias("n_tokens"),
     )
-    w_pack = Window.partitionBy("source", "shard").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return toks.select(
-        "doc_id",
-        "source",
-        "shard",
-        "n_tokens",
-        F.floor((F.sum("n_tokens").over(w_pack) - F.col("n_tokens")) / 2048.0)
-        .cast("bigint")
-        .alias("bin_id"),
-    )
+    return _pack_bins(toks)

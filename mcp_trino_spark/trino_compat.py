@@ -112,9 +112,15 @@ _COMPAT_SQL_UDFS = {
     "to_base": ("(x BIGINT, r INT)", "STRING", "lower(conv(CAST(x AS STRING), 10, r))"),
     # bare week() == week_of_year (Trino alias)
     "week": ("(d TIMESTAMP)", "INT", "weekofyear(d)"),
-    # url_extract_* family over Spark's codegen'd parse_url
+    # url_extract_* family over Spark's codegen'd parse_url.  parse_url
+    # interprets the key as a Java REGEX; Trino matches it literally, so
+    # metachars are escaped ('a.b' must not match 'axb', 'a[]' must not
+    # throw)
     "url_extract_parameter": (
-        "(u STRING, p STRING)", "STRING", "parse_url(u, 'QUERY', p)",
+        "(u STRING, p STRING)",
+        "STRING",
+        r"parse_url(u, 'QUERY', regexp_replace(p,"
+        r" '([\\^$.|?*+()\\[\\]{}])', '\\\\$1'))",
     ),
     "url_extract_path": ("(u STRING)", "STRING", "parse_url(u, 'PATH')"),
     "url_extract_host": ("(u STRING)", "STRING", "parse_url(u, 'HOST')"),

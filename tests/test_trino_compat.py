@@ -871,3 +871,11 @@ def test_week_and_url_extract_family(spark):
     )
     assert rows[0] == {"w": 3, "p": "2", "pa": "/p/q", "h": "x.com",
                        "pr": "https", "q": "a=1", "f": "frag"}
+    # parse_url reads the key as a regex; Trino matches literally —
+    # dots must not wildcard, metachars must not throw
+    rows = run(
+        spark,
+        "SELECT url_extract_parameter('http://x.com/p?axb=1&a.b=2', 'a.b') AS d,"
+        " url_extract_parameter('http://x.com/p?a(=9', 'a(') AS m",
+    )
+    assert rows[0] == {"d": "2", "m": "9"}

@@ -37,3 +37,34 @@ def test_disjoint_components(spark):
         1: 1, 2: 1, 3: 1, 10: 10, 11: 10
     }
     assert sorted(d for d, (_, keep) in got.items() if keep) == [1, 10]
+
+
+def test_lsh_recall_against_exact_jaccard(spark):
+    """Quality guarantee the oracle CANNOT give (it mirrors the same
+    banding construction): against independently computed exact char-8-
+    shingle Jaccard over ALL document pairs, the LSH candidate pairs
+    must contain ≥95% of true pairs with J ≥ 0.8 (the banding s-curve
+    predicts ~99.97% hit rate at 8 bands × 2 rows for J = 0.8)."""
+    from itertools import combinations
+
+    from mcp_trino_spark import registry
+    from mcp_trino_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = {r["doc_id"]: r["text"] for r in
+            load_table(spark, sf, "documents").select("doc_id", "text").collect()}
+    shingles = {d: {t[i:i + 8] for i in range(max(len(t) - 7, 1))}
+                for d, t in docs.items()}
+    true_pairs = set()
+    for a, b in combinations(sorted(docs), 2):
+        sa, sb = shingles[a], shingles[b]
+        inter = len(sa & sb)
+        if inter and inter / (len(sa) + len(sb) - inter) >= 0.8:
+            true_pairs.add((a, b))
+    assert true_pairs, "testdata should contain high-similarity near-dups"
+
+    got = {(min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+           for r in registry.queries()["l2_minhash_lsh_pairs"](spark, sf).collect()}
+    found = len(true_pairs & got)
+    recall = found / len(true_pairs)
+    assert recall >= 0.95, f"LSH recall {recall:.3f} over {len(true_pairs)} true pairs"

@@ -250,3 +250,19 @@ def test_cache_api_surface(spark, sf_dir):
     assert cache_api.is_cached(spark, "nation")
     cache_api.uncache_table(spark, wcfg, "nation")
     assert not cache_api.is_cached(spark, "nation")
+
+
+def test_ivf_ann_recall_vs_exact(spark, sf_dir):
+    """IVF top-k (probing 1/8 of the corpus) must recover most of the
+    exact brute-force top-10 — quality evidence the rows-only driver
+    check cannot give.  Deterministic: fixed query vector, seed
+    centroids, no RNG."""
+    from mcp_trino_spark import registry
+
+    exact = [r["vec_id"] for r in
+             registry.queries()["l4_topk_similarity"](spark, sf_dir).collect()]
+    ivf = [r["vec_id"] for r in
+           registry.queries()["l4b_ivf_topk"](spark, sf_dir).collect()]
+    assert len(exact) == len(ivf) == 10
+    recall = len(set(exact) & set(ivf)) / 10
+    assert recall >= 0.5, f"IVF recall@10 = {recall} (exact {exact}, ivf {ivf})"

@@ -68,3 +68,35 @@ def test_lsh_recall_against_exact_jaccard(spark):
     found = len(true_pairs & got)
     recall = found / len(true_pairs)
     assert recall >= 0.95, f"LSH recall {recall:.3f} over {len(true_pairs)} true pairs"
+
+
+def test_simhash_hamming_small_for_true_neardups(spark):
+    """SimHash quality: for independently verified near-dup pairs
+    (exact char-8-shingle Jaccard ≥ 0.8), the 16-bit simhash Hamming
+    distance must be small (≤ 4 bits for ≥ 90% of pairs) — evidence the
+    bit-vote construction actually embeds similarity, which the
+    value-exact oracle cannot establish."""
+    from itertools import combinations
+
+    from mcp_trino_spark import registry
+    from mcp_trino_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = {r["doc_id"]: r["text"] for r in
+            load_table(spark, sf, "documents").select("doc_id", "text").collect()}
+    shingles = {d: {t[i:i + 8] for i in range(max(len(t) - 7, 1))}
+                for d, t in docs.items()}
+    true_pairs = []
+    for a, b in combinations(sorted(docs), 2):
+        sa, sb = shingles[a], shingles[b]
+        inter = len(sa & sb)
+        if inter and inter / (len(sa) + len(sb) - inter) >= 0.8:
+            true_pairs.append((a, b))
+    assert true_pairs
+
+    sh = {r["doc_id"]: r["simhash16"] for r in
+          registry.queries()["l2b_simhash"](spark, sf).collect()}
+    close = sum(1 for a, b in true_pairs
+                if bin(sh[a] ^ sh[b]).count("1") <= 4)
+    assert close / len(true_pairs) >= 0.9, (
+        f"only {close}/{len(true_pairs)} near-dup pairs within 4 bits")

@@ -88,7 +88,7 @@ def execute_query(
         em = _EXPLAIN_TYPE.match(q)
         if em:
             explain_fmt, q = em.group(1).upper(), em.group(2)
-        elif re.match(r"^\s*EXPLAIN\s*\(", q):
+        elif re.match(r"^\s*EXPLAIN\s*\(", q, re.IGNORECASE):
             from mcp_trino_spark.trino_compat import TrinoCompatError
 
             raise TrinoCompatError(

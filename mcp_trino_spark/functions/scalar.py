@@ -166,14 +166,14 @@ def x5_timestamp_fmt(spark, sf_dir):
     SELECT l_orderkey, l_linenumber,
            abs(l_quantity - 25.0) AS dev_from_25,
            round(l_extendedprice, 1) AS price_r1,
-           ceil(l_discount * 100.0) AS disc_pct_ceil,
-           floor(l_quantity / 10.0) AS qty_decile,
+           CAST(ceil(l_discount * 100.0) AS BIGINT) AS disc_pct_ceil,
+           CAST(floor(l_quantity / 10.0) AS BIGINT) AS qty_decile,
            round(sqrt(l_extendedprice), 6) AS price_sqrt,
            round(ln(l_extendedprice), 6) AS price_ln,
            round(log10(l_extendedprice), 6) AS price_log10,
            round(power(l_discount, 2.0), 10) AS disc_sq,
            mod(CAST(l_quantity AS BIGINT), 7) AS qty_mod7,
-           sign(l_quantity - 25.0) AS dev_sign,
+           CAST(sign(l_quantity - 25.0) AS DOUBLE) AS dev_sign,
            greatest(l_tax, l_discount) AS max_rate,
            least(l_tax, l_discount) AS min_rate
     FROM lineitem

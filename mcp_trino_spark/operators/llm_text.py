@@ -375,7 +375,7 @@ def l8d_fingerprint(spark, sf_dir):
     )
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(n_tokens_ws) AS total_tokens,
+           CAST(SUM(n_tokens_ws) AS BIGINT) AS total_tokens,
            CAST(SUM(CAST(n_chars AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM deduped
     GROUP BY lang, source

@@ -191,8 +191,13 @@ def match_recognize(
             rest = rest[1:]
         if rest == ["NULLS", "FIRST"]:
             na = "first"
-        elif rest == ["NULLS", "LAST"] or not rest:
+        elif rest == ["NULLS", "LAST"]:
             na = "last"
+        elif not rest:
+            # Trino sorts NULL as the largest value: ASC → NULLS LAST,
+            # DESC → NULLS FIRST (docs/tools.md:182 shows the Trino
+            # default; a bare DESC key must not inherit ASC's placement)
+            na = "last" if asc else "first"
         else:
             raise ValueError(f"unsupported ORDER BY item {o!r} (expected "
                              "col [ASC|DESC] [NULLS FIRST|LAST])")

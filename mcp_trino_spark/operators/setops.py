@@ -221,18 +221,18 @@ def register_view(spark, sf_dir, name):
 
 _RECURSIVE_SPINE_SQL = """
     WITH RECURSIVE bounds AS (
-      SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
-             date_trunc('month', MAX(o_orderdate)) AS hi
+      SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+             CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
       FROM orders
     ),
     spine(month_start) AS (
       SELECT lo FROM bounds
       UNION ALL
-      SELECT month_start + INTERVAL 1 MONTH FROM spine, bounds
+      SELECT CAST(month_start + INTERVAL 1 MONTH AS DATE) FROM spine, bounds
       WHERE month_start < hi
     ),
     m AS (
-      SELECT date_trunc('month', o_orderdate) AS ms, COUNT(*) AS n_orders
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ms, COUNT(*) AS n_orders
       FROM orders GROUP BY 1
     )
     SELECT s.month_start, COALESCE(m.n_orders, 0) AS n_orders

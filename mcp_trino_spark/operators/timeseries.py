@@ -95,8 +95,8 @@ def t2_sliding_window(spark, sf_dir):
     ),
     s AS (
       SELECT user_id, ts, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM g
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,

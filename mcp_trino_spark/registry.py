@@ -136,9 +136,11 @@ _PRIORITY = [
     "s7c_delete",
     "s4_memory_table",
     "s8_bucketed_colocated_join",
-    # façade
+    # façade + recursive CTE (r3: f6_explain_distributed moved behind the
+    # fold — plan text has no DuckDB oracle, so it burned a verifiable slot
+    # in the driver's 50-entry window; o11 is hash-checkable)
     "f5_table_schema",
-    "f6_explain_distributed",
+    "o11_recursive_cte",
     # LLM-pipeline
     "l1_exact_dedup",
     "l2_minhash_lsh_pairs",

@@ -16,10 +16,13 @@ plain parquet tables, the way every table format does it underneath:
    directory next to the table location, then swap directories and
    REFRESH.  The data is written exactly once; the commit itself is a
    metadata-only rename (what Delta's transaction log / Hive's rename
-   protocol do).  At 100 TB on a real deployment you'd bound the
-   rewrite to touched partitions (or use Delta); the plan side here is
-   already partition-prunable since untouched rows pass through the
-   same scan.
+   protocol do).  On hive-partitioned tables UPDATE/DELETE are
+   **partition-bounded** (r3): the touched-partition set is computed
+   from the predicate, the staging plan statically prunes to those
+   partitions, and only their directories are swapped — an UPDATE
+   touching one partition of a 100 TB table pays one partition's
+   read+write.  Full-table rewrite remains the fallback for
+   unpartitioned tables and partition-column reassignment.
 
 MERGE plan shape (scale notes): the single shuffle is the full-outer
 join on the ON condition — keep it equi (key = join columns) so it
@@ -77,14 +80,137 @@ def _commit(spark: SparkSession, table: str, new_state: DataFrame) -> None:
     parent, base = os.path.dirname(loc), os.path.basename(loc)
     staged = os.path.join(parent, f".{base}.staged-{uuid.uuid4().hex[:8]}")
     retired = os.path.join(parent, f".{base}.retired-{uuid.uuid4().hex[:8]}")
-    new_state.write.parquet(staged)
+    pcols = _partition_columns(spark, table)
+    writer = new_state.write
+    if pcols:
+        # preserve the hive layout — a flat write under a partitioned
+        # table's location would orphan every row from the catalog
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(staged)
     os.rename(loc, retired)
     try:
         os.rename(staged, loc)
     except BaseException:
         os.rename(retired, loc)  # roll back — table state untouched
         raise
+    if pcols:
+        spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
     spark.sql(f"REFRESH TABLE {table}")
+    shutil.rmtree(retired, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# partition-bounded copy-on-write (hive-layout tables)
+
+
+def _partition_columns(spark: SparkSession, table: str) -> List[str]:
+    """Partition columns of ``table`` (catalog metadata), [] if none."""
+    try:
+        return [c.name for c in spark.catalog.listColumns(table) if c.isPartition]
+    except Exception:  # temp view or non-catalog relation → unpartitioned
+        return []
+
+
+# chars Spark's ExternalCatalogUtils.escapePathName percent-encodes in
+# hive partition directory names (plus ASCII control chars)
+_HIVE_UNSAFE = set('"#%\'*/:=?\\{[]^\x7f')
+
+
+def _escape_partition_value(v) -> str:
+    """Render one partition value exactly as Spark names its directory."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        s = "true" if v else "false"
+    else:
+        s = str(v)
+    out = []
+    for ch in s:
+        if ch in _HIVE_UNSAFE or ord(ch) < 32:
+            out.append(f"%{ord(ch):02X}")
+        else:
+            out.append(ch)
+    return "".join(out) or "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_relpath(pcols: List[str], values: Tuple) -> str:
+    return "/".join(
+        f"{c}={_escape_partition_value(v)}" for c, v in zip(pcols, values)
+    )
+
+
+def _partition_predicate(pcols: List[str], touched: List[Tuple]):
+    """Column predicate selecting exactly the touched partitions — a
+    disjunction of per-partition conjunctions, which Catalyst turns into
+    static partition pruning on the scan."""
+    pred = F.lit(False)
+    for values in touched:
+        conj = F.lit(True)
+        for c, v in zip(pcols, values):
+            conj = conj & (F.col(c).isNull() if v is None else (F.col(c) == F.lit(v)))
+        pred = pred | conj
+    return pred
+
+
+def _commit_partitions(
+    spark: SparkSession,
+    table: str,
+    new_touched_state: DataFrame,
+    pcols: List[str],
+    touched: List[Tuple],
+) -> None:
+    """Partition-bounded copy-on-write: rewrite ONLY the partitions in
+    ``touched``; every other partition directory is never read for the
+    write and never replaced.  This is the 100 TB answer the full-table
+    ``_commit`` documents: an UPDATE touching one partition pays one
+    partition's write, not the table's.
+
+    Protocol: stage the touched partitions' new state (hive layout via
+    ``partitionBy``), then per touched partition swap live → retired and
+    staged → live; a touched partition absent from staging (all rows
+    deleted) has its live directory retired with no replacement.  On any
+    failure every completed swap is rolled back before re-raising, so
+    readers see either the full old state or the full new state."""
+    loc = _table_location(spark, table)
+    parent, base = os.path.dirname(loc), os.path.basename(loc)
+    staged = os.path.join(parent, f".{base}.staged-{uuid.uuid4().hex[:8]}")
+    retired = os.path.join(parent, f".{base}.retired-{uuid.uuid4().hex[:8]}")
+    new_touched_state.write.partitionBy(*pcols).parquet(staged)
+    os.makedirs(retired, exist_ok=True)
+    done: List[Tuple[str, str, bool]] = []  # (live, retired, had_staged)
+    try:
+        for i, values in enumerate(touched):
+            rel = _partition_relpath(pcols, values)
+            live_p = os.path.join(loc, rel)
+            staged_p = os.path.join(staged, rel)
+            retired_p = os.path.join(retired, str(i))
+            had_staged = os.path.isdir(staged_p)
+            if os.path.isdir(live_p):
+                os.rename(live_p, retired_p)
+            else:
+                retired_p = ""
+            if had_staged:
+                os.makedirs(os.path.dirname(live_p), exist_ok=True)
+                os.rename(staged_p, live_p)
+            done.append((live_p, retired_p, had_staged))
+        layout_changed = any(
+            (had and not ret) or (ret and not had) for _, ret, had in done
+        )
+    except BaseException:
+        for live_p, retired_p, had_staged in reversed(done):
+            if had_staged and os.path.isdir(live_p):
+                shutil.rmtree(live_p, ignore_errors=True)
+            if retired_p:
+                os.rename(retired_p, live_p)
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(retired, ignore_errors=True)
+        raise
+    if layout_changed:
+        # a partition directory appeared or vanished: re-sync catalog
+        # partition metadata (metadata-only; cost ∝ #partitions)
+        spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
+    spark.sql(f"REFRESH TABLE {table}")
+    shutil.rmtree(staged, ignore_errors=True)
     shutil.rmtree(retired, ignore_errors=True)
 
 
@@ -121,7 +247,14 @@ def update_table(
 ) -> int:
     """UPDATE = one CASE projection over the table scan: rows matching
     ``where`` get the SET expressions, others pass through unchanged.
-    Narrow (no shuffle); returns the affected-row count."""
+    Narrow (no shuffle); returns the affected-row count.
+
+    On a hive-partitioned table the rewrite is **partition-bounded**:
+    only partitions containing matched rows are re-read and re-written
+    (the touched-partition predicate prunes the scan statically), the
+    rest of the table is untouched on disk.  Full-table rewrite remains
+    the fallback for unpartitioned tables and for a SET that reassigns
+    a partition column (rows can migrate between partitions)."""
     t = spark.table(table)
     set_clauses = _resolve_cols(t.columns, set_clauses, "UPDATE SET")
     cond = F.expr(where) if where else F.lit(True)
@@ -138,22 +271,45 @@ def update_table(
             for c, expr in [(c, set_clauses.get(c, "")) for c in t.columns]
         ]
     )
+    pcols = _partition_columns(spark, table)
+    if pcols and not (set(pcols) & set(set_clauses)):
+        if not affected:
+            return 0  # nothing matched → nothing to rewrite at all
+        touched = [tuple(r) for r in t.filter(cond).select(*pcols).distinct().collect()]
+        _commit_partitions(
+            spark, table, new_state.filter(_partition_predicate(pcols, touched)),
+            pcols, touched,
+        )
+        return affected
     _commit(spark, table, new_state)
     return affected
 
 
 def delete_from(spark: SparkSession, table: str, where: Optional[str]) -> int:
-    """DELETE = inverted filter over the scan (narrow, no shuffle)."""
+    """DELETE = inverted filter over the scan (narrow, no shuffle).
+    Partition-bounded on hive-partitioned tables, like ``update_table``;
+    a partition whose rows are all deleted has its directory retired."""
     t = spark.table(table)
     if where is None:
         affected = t.count()
         new_state = t.filter(F.lit(False))
+        cond = None
     else:
         cond = F.expr(where)
         affected = t.filter(cond).count()
         # keep rows where the predicate is false OR null (SQL DELETE
         # semantics: only true-matching rows are deleted)
         new_state = t.filter(~F.coalesce(cond.cast("boolean"), F.lit(False)))
+    pcols = _partition_columns(spark, table)
+    if pcols and cond is not None:
+        if not affected:
+            return 0
+        touched = [tuple(r) for r in t.filter(cond).select(*pcols).distinct().collect()]
+        _commit_partitions(
+            spark, table, new_state.filter(_partition_predicate(pcols, touched)),
+            pcols, touched,
+        )
+        return affected
     _commit(spark, table, new_state)
     return affected
 

@@ -58,7 +58,9 @@ def show_stats(spark: SparkSession, table: str) -> "tuple[List[str], List[dict]]
             aggs.append(F.lit(None).cast("string").alias(f"__lo__{i}"))
             aggs.append(F.lit(None).cast("string").alias(f"__hi__{i}"))
         if dtype in ("string", "binary"):
-            aggs.append(F.sum(F.length(c)).cast("double").alias(f"__sz__{i}"))
+            # octet_length = bytes (Trino reports data size in bytes;
+            # length() is characters and under-reports multi-byte UTF-8)
+            aggs.append(F.sum(F.octet_length(c)).cast("double").alias(f"__sz__{i}"))
         else:
             aggs.append(F.lit(None).cast("double").alias(f"__sz__{i}"))
     row = df.agg(*aggs).first()

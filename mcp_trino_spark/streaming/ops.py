@@ -313,8 +313,10 @@ def t10c_pattern_stream(events: DataFrame) -> DataFrame:
     emitted match, pruned to the suffix after the last non-funnel symbol
     (a match span is contiguous, so nothing at or before a '0' can join
     a future match).  What remains is exactly the rows that could still
-    extend into a match — state a pattern matcher cannot do without;
-    an EventTimeTimeout eviction bounds even that for abandoned keys.
+    extend into a match — state a pattern matcher cannot do without.
+    This operator runs with NoTimeout for batch-parity determinism, so
+    an abandoned key's suffix state is retained; t10d is the variant
+    that arms an event-time timeout to evict abandoned keys.
     """
     import re
     from typing import Iterator, Tuple

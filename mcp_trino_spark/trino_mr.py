@@ -307,7 +307,11 @@ def expand_match_recognize(
                     raise TrinoCompatError(
                         f"unsupported ORDER BY item {item!r} in MATCH_RECOGNIZE"
                     )
-                nulls_first = rest == ["NULLS", "FIRST"]
+                # Trino sorts NULL as largest: bare ASC → NULLS LAST,
+                # bare DESC → NULLS FIRST (matches pattern.py's default)
+                nulls_first = (
+                    rest == ["NULLS", "FIRST"] if rest else not asc
+                )
                 c = F.col(key)
                 order_exprs.append(
                     (c.asc_nulls_first() if nulls_first else c.asc_nulls_last())

@@ -244,12 +244,16 @@ class _HTTPHandler:
     failure; ``/status`` stays open (health probes don't carry
     credentials).
 
+    - ``oidc_validator`` set → **OIDC mode** (reference's okta/google/
+      azure providers, docs/oauth.md "Native Mode"): the bearer token
+      must be a valid RS256 JWT against the provider's JWKS, with
+      issuer/audience claim checks — see oidc.py.
     - ``jwt_secret`` set → **JWT mode** (reference's ``hmac`` OAuth
       provider, docs/jwt.md): the bearer token must be a valid HS256 JWT
-      (signature, alg pinning, sub/exp/iat claims — see auth.py).  The
-      token's ``sub`` claim becomes the request user for the
-      impersonation chain, overriding ``X-Trino-User`` (a
-      transport-level identity beats a spoofable plain header).
+      (signature, alg pinning, sub/exp/iat claims — see auth.py).
+    In both JWT modes the token's ``sub`` claim becomes the request
+    user for the impersonation chain, overriding ``X-Trino-User`` (a
+    transport-level identity beats a spoofable plain header).
     - else ``auth_token`` set → **static-token mode**: constant-time
       equality against a shared secret.
     """
@@ -259,6 +263,7 @@ class _HTTPHandler:
         server: "MCPServer",
         auth_token: Optional[str] = None,
         jwt_secret: Optional[str] = None,
+        oidc_validator=None,
     ):
         import hmac
         from http.server import BaseHTTPRequestHandler
@@ -273,14 +278,27 @@ class _HTTPHandler:
                 """True if the request may proceed; sets ``self._jwt_user``
                 when a JWT supplied the identity."""
                 self._jwt_user = None
-                if jwt_secret:
+                if oidc_validator is not None or jwt_secret:
                     try:
-                        claims = authenticate_bearer(
-                            self.headers.get("Authorization", ""), jwt_secret
-                        )
+                        if oidc_validator is not None:
+                            claims = oidc_validator.authenticate_bearer(
+                                self.headers.get("Authorization", "")
+                            )
+                        else:
+                            claims = authenticate_bearer(
+                                self.headers.get("Authorization", ""), jwt_secret
+                            )
                     except JWTError:
                         return False
-                    self._jwt_user = claims.get("preferred_username") or claims["sub"]
+                    # only honor preferred_username when it is a non-empty
+                    # string — a token may carry a number/object there,
+                    # and sub is the claim auth.py validates as non-empty
+                    preferred = claims.get("preferred_username")
+                    self._jwt_user = (
+                        preferred
+                        if isinstance(preferred, str) and preferred
+                        else claims["sub"]
+                    )
                     return True
                 if not auth_token:
                     return True
@@ -356,33 +374,78 @@ def serve_http(
     port: int = 8080,
     auth_token: Optional[str] = None,
     jwt_secret: Optional[str] = None,
+    oidc_validator=None,
+    tls_cert: Optional[str] = None,
+    tls_key: Optional[str] = None,
 ) -> None:
-    """Blocking HTTP transport: /mcp, /sse (legacy), /status.
+    """Blocking HTTP(S) transport: /mcp, /sse (legacy), /status.
 
-    Auth config mirrors the reference (config.go:70-76, docs/jwt.md):
-    ``OAUTH_ENABLED=true`` requires ``JWT_SECRET`` (fail fast at startup,
-    like the reference's "server fails without it") and turns on JWT
-    bearer validation; otherwise ``MCP_AUTH_TOKEN`` enables the static
-    shared-token mode."""
+    Auth config mirrors the reference (config.go:70-78, docs/jwt.md,
+    docs/oauth.md): ``OAUTH_ENABLED=true`` with ``OAUTH_PROVIDER`` in
+    {okta, google, azure} turns on OIDC/JWKS RS256 validation
+    (``OIDC_ISSUER``/``OIDC_AUDIENCE`` required, fail fast at startup —
+    config.go:157-160); with the default ``hmac`` provider it requires
+    ``JWT_SECRET`` and validates HS256.  Otherwise ``MCP_AUTH_TOKEN``
+    enables the static shared-token mode.
+
+    TLS mirrors the reference's TLS transport config
+    (internal/trino/client_test.go:500-647): set ``MCP_TLS_CERT`` /
+    ``MCP_TLS_KEY`` (or the tls_cert/tls_key args) to serve HTTPS;
+    both-or-neither is enforced at startup."""
     import os
     from http.server import ThreadingHTTPServer
 
-    if jwt_secret is None:
-        oauth_enabled = os.environ.get("OAUTH_ENABLED", "").strip().lower() in (
-            "1", "true", "t", "yes", "y", "on",
-        )
+    oauth_enabled = os.environ.get("OAUTH_ENABLED", "").strip().lower() in (
+        "1", "true", "t", "yes", "y", "on",
+    )
+    if oidc_validator is None and oauth_enabled:
+        from mcp_trino_spark.oidc import OidcConfig, OidcValidator
+
+        oidc_cfg = OidcConfig.from_env()  # raises on bad provider/env combo
+        if oidc_cfg.oidc_enabled:
+            oidc_validator = OidcValidator(oidc_cfg)
+    if jwt_secret is None and oidc_validator is None:
         jwt_secret = os.environ.get("JWT_SECRET") or None
         if oauth_enabled and not jwt_secret:
-            raise RuntimeError("OAUTH_ENABLED=true requires JWT_SECRET")
+            raise RuntimeError(
+                "OAUTH_ENABLED=true requires JWT_SECRET (hmac provider) "
+                "or OAUTH_PROVIDER=okta|google|azure with OIDC_ISSUER/"
+                "OIDC_AUDIENCE"
+            )
         if not oauth_enabled:
             jwt_secret = None
     if auth_token is None:
         auth_token = os.environ.get("MCP_AUTH_TOKEN") or None
+    if tls_cert is None:
+        tls_cert = os.environ.get("MCP_TLS_CERT") or None
+    if tls_key is None:
+        tls_key = os.environ.get("MCP_TLS_KEY") or None
+    if bool(tls_cert) != bool(tls_key):
+        raise RuntimeError("MCP_TLS_CERT and MCP_TLS_KEY must be set together")
     httpd = ThreadingHTTPServer(
         (host, port),
-        _HTTPHandler.make(MCPServer(), auth_token=auth_token, jwt_secret=jwt_secret),
+        _HTTPHandler.make(
+            MCPServer(),
+            auth_token=auth_token,
+            jwt_secret=jwt_secret,
+            oidc_validator=oidc_validator,
+        ),
     )
+    if tls_cert:
+        httpd.socket = _tls_context(tls_cert, tls_key).wrap_socket(
+            httpd.socket, server_side=True
+        )
     httpd.serve_forever()
+
+
+def _tls_context(cert_file: str, key_file: str):
+    """Server-side SSLContext with modern defaults (TLS ≥ 1.2)."""
+    import ssl
+
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.minimum_version = ssl.TLSVersion.TLSv1_2
+    ctx.load_cert_chain(certfile=cert_file, keyfile=key_file)
+    return ctx
 
 
 def serve_stdio() -> None:

@@ -287,3 +287,104 @@ def test_commented_dml_routes_to_cow_layer(spark, target):
     )
     assert n == 1
     assert (1, 0.0, "a") in rows(spark, target)
+
+
+# ---------------------------------------------------------------------------
+# Partition-bounded copy-on-write (r3): an UPDATE/DELETE whose predicate
+# touches one hive partition must rewrite ONLY that partition's
+# directory — the other partitions' files stay byte-identical on disk.
+
+
+def _snapshot(root):
+    """{relative file path: (size, mtime_ns)} for every data file."""
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+@pytest.fixture()
+def ptarget(spark, tmp_path, request):
+    """A parquet table hive-partitioned by ``status`` (3 partitions)."""
+    name = f"dml_p_{request.node.name}"[:60].replace("[", "_").replace("]", "_")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    loc = str(tmp_path / name)
+    spark.createDataFrame(
+        [
+            Row(k=1, v=10.0, status="F"),
+            Row(k=2, v=20.0, status="F"),
+            Row(k=3, v=30.0, status="O"),
+            Row(k=4, v=40.0, status="O"),
+            Row(k=5, v=50.0, status="P"),
+        ]
+    ).write.partitionBy("status").parquet(loc)
+    spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{loc}'")
+    spark.sql(f"MSCK REPAIR TABLE {name}")
+    yield name, loc
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_partitioned_update_rewrites_only_touched_partition(spark, ptarget):
+    name, loc = ptarget
+    before = _snapshot(loc)
+    n = update_table(spark, name, {"v": "v + 1"}, "status = 'F' AND k = 1")
+    assert n == 1
+    after = _snapshot(loc)
+    untouched = {p: s for p, s in before.items() if "status=F" not in p}
+    assert untouched == {
+        p: s for p, s in after.items() if "status=F" not in p
+    }, "files outside the touched partition changed"
+    assert {p for p in before if "status=F" in p} != {
+        p for p in after if "status=F" in p
+    } or before != after, "touched partition was not rewritten"
+    got = {(r.k, r.v, r.status) for r in spark.table(name).collect()}
+    assert got == {
+        (1, 11.0, "F"), (2, 20.0, "F"), (3, 30.0, "O"),
+        (4, 40.0, "O"), (5, 50.0, "P"),
+    }
+
+
+def test_partitioned_update_no_match_is_noop_on_disk(spark, ptarget):
+    name, loc = ptarget
+    before = _snapshot(loc)
+    assert update_table(spark, name, {"v": "0"}, "k = 999") == 0
+    assert _snapshot(loc) == before
+
+
+def test_partitioned_delete_retires_empty_partition(spark, ptarget):
+    name, loc = ptarget
+    before = _snapshot(loc)
+    n = delete_from(spark, name, "status = 'P'")
+    assert n == 1
+    after = _snapshot(loc)
+    assert not any("status=P" in p for p in after), "emptied partition remains"
+    assert {p: s for p, s in before.items() if "status=P" not in p} == {
+        p: s for p, s in after.items() if "status=P" not in p
+    }
+    assert spark.table(name).count() == 4
+    # catalog partition metadata re-synced: a full scan must not error
+    assert {r.status for r in spark.table(name).select("status").distinct().collect()} == {"F", "O"}
+
+
+def test_partitioned_update_of_partition_column_falls_back(spark, ptarget):
+    """SET on a partition column migrates rows between partitions —
+    correctness requires the full-rewrite path."""
+    name, loc = ptarget
+    n = update_table(spark, name, {"status": "'X'"}, "k = 5")
+    assert n == 1
+    got = {(r.k, r.status) for r in spark.table(name).collect()}
+    assert (5, "X") in got and len(got) == 5
+
+
+def test_partitioned_delete_null_safe_predicate(spark, ptarget):
+    name, loc = ptarget
+    # predicate NULL for every row of partition O (v IS NULL nowhere):
+    # DELETE must only drop true-matching rows
+    n = delete_from(spark, name, "CASE WHEN status = 'F' THEN k = 1 ELSE NULL END")
+    assert n == 1
+    assert spark.table(name).count() == 4

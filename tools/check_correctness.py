@@ -37,37 +37,47 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def norm(v):
-    """Normalize a cell to a comparable primitive."""
+    """Serialize a cell to a type-tagged token — NO tolerant coercions.
+
+    Round-2 lesson (t3_sessionization): the driver hashes *serialized*
+    cells, so representation-level divergence the old comparator healed
+    (int 1 vs float 1.0 after pandas coerces DuckDB HUGEINT to float64,
+    -0.0 vs 0.0, date vs midnight-datetime) produced a driver hash
+    mismatch that passed locally.  Tags make every such divergence a
+    local FAIL: ints and floats never compare equal, float identity is
+    bit-level (hex), temporal types keep their class."""
     if v is None:
-        return None
+        return "∅"
     if isinstance(v, float) and math.isnan(v):
-        # NaN is NOT NULL: the driver's value-hash distinguishes them,
-        # so conflating here would false-PASS a NaN-vs-NULL divergence
-        return "NaN"
+        # NaN is NOT NULL: the driver's value-hash distinguishes them
+        return "f:NaN"
     try:
         if pd.isna(v):  # pandas NaT / pd.NA (true missing markers)
-            return None
+            return "∅"
     except (TypeError, ValueError):
         pass
     if hasattr(v, "isoformat"):
-        s = v.isoformat()
-        # date vs midnight-datetime (pandas has no date dtype): equal
-        return s[:-9] if s.endswith("T00:00:00") else s
+        # tag by temporal class: date ≠ datetime ≠ time under a
+        # serialize-then-hash comparison
+        kind = type(v).__name__
+        tag = {"date": "d", "datetime": "t", "Timestamp": "t", "time": "tt"}.get(kind, "t")
+        return f"{tag}:{v.isoformat()}"
     if isinstance(v, dict):
         return tuple(sorted((k, norm(x)) for k, x in v.items()))
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(norm(x) for x in v)
     if isinstance(v, (bytes, bytearray)):
-        return bytes(v).hex()
+        return "x:" + bytes(v).hex()
     if isinstance(v, bool):
-        return bool(v)
+        return f"b:{v}"
     if isinstance(v, int) or type(v).__name__.startswith(("int", "uint")):
-        return int(v)
+        return f"i:{int(v)}"
     if isinstance(v, float) or type(v).__name__.startswith("float"):
-        return float(v)
+        # hex() is bit-exact: distinguishes -0.0 from 0.0 and every ULP
+        return f"f:{float(v).hex()}"
     if type(v).__name__ == "Decimal":
-        return float(v)
-    return v
+        return f"dec:{v}"
+    return f"s:{v}"
 
 
 def canonicalize(cols: list, rows: list) -> list[tuple]:

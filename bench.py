@@ -55,6 +55,10 @@ HEADLINERS = [
     "t10b_match_recognize_funnel",
     "j14_salted_skew_join",
     "l29_dedup_stats",
+    # r3: cross-catalog federation (JDBC dim broadcast), GROUPS-frame
+    # dialect rewrite (dense_rank + range, one exchange)
+    "s9_cross_catalog_join",
+    "w12_groups_frame",
 ]
 
 

@@ -39,8 +39,13 @@ def _quote_ident(name: str) -> str:
 
 
 def list_catalogs(spark: SparkSession, config: EngineConfig) -> List[str]:
-    names = [c.name for c in spark.catalog.listCatalogs()]
-    return config.allowlists.filter_catalogs(sorted(names))
+    """All catalogs: loaded ones plus configured-but-untouched V2 plugin
+    catalogs (Spark only 'loads' a plugin catalog on first use, but the
+    reference's SHOW CATALOGS lists every configured connector —
+    client.go:640-659)."""
+    from mcp_trino_spark.sources.federation import loaded_catalogs
+
+    return config.allowlists.filter_catalogs(loaded_catalogs(spark))
 
 
 def list_schemas(

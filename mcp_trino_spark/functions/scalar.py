@@ -551,3 +551,92 @@ def x19_trino_dialect(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "o12_fetch_with_ties",
+    oracle="""
+    SELECT c_custkey, c_nationkey FROM (
+      SELECT c_custkey, c_nationkey,
+             RANK() OVER (ORDER BY c_nationkey DESC) AS rk
+      FROM customer
+    ) WHERE rk <= 10
+    """,
+)
+def o12_fetch_with_ties(spark, sf_dir):
+    """ANSI/Trino ``FETCH FIRST n ROWS WITH TIES`` through the dialect
+    layer (translate() rewrites it to the rank() form — the SQL standard
+    defines WITH TIES as exactly rank() <= n over the ORDER BY key).
+    The oracle is the independent rank() spelling in DuckDB, so the
+    rewrite's semantics — every peer of the n-th row is kept — are what
+    is being hash-checked.  Reference surface: client.go:501-617 passes
+    FETCH ... WITH TIES SQL through to Trino verbatim.
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT c_custkey, c_nationkey FROM customer
+            ORDER BY c_nationkey DESC
+            FETCH FIRST 10 ROWS WITH TIES
+            """
+        )
+    ).select("c_custkey", "c_nationkey")
+
+
+@register(
+    "w12_groups_frame",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, value,
+             DENSE_RANK() OVER (
+               PARTITION BY user_id
+               ORDER BY date_trunc('hour', CAST(ts AS TIMESTAMP))
+             ) AS grp
+      FROM events WHERE user_id < 50
+    ),
+    gs AS (
+      SELECT user_id, grp, SUM(CAST(value AS DECIMAL(25,6))) AS s
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT g.user_id, g.event_id, CAST(SUM(gs.s) AS DOUBLE) AS windowed_value
+    FROM g JOIN gs
+      ON gs.user_id = g.user_id AND gs.grp BETWEEN g.grp - 1 AND g.grp + 1
+    GROUP BY g.user_id, g.event_id
+    """,
+)
+def w12_groups_frame(spark, sf_dir):
+    """SQL GROUPS window frames through the dialect layer: translate()
+    rewrites the frame to RANGE over a precomputed DENSE_RANK group
+    number (a GROUPS frame counts peer groups of the sort key — exactly
+    a RANGE frame over the key's dense rank).  The oracle computes the
+    same semantics by an independent construction — per-peer-group sums
+    band-joined on adjacent group numbers — so the hash-match proves the
+    rewrite, not the rewrite's own spelling (this DuckDB build has no
+    native GROUPS mode).  Peer groups are real here (many events share a
+    user-hour), so GROUPS genuinely differs from ROWS.
+
+    Scale: the dense_rank pass and the frame aggregation share the
+    (user_id) hash partitioning and sort — one exchange total, same as
+    the native frame would cost.
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT user_id, event_id,
+                   CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+                     PARTITION BY user_id
+                     ORDER BY date_trunc('hour', ts)
+                     GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                   ) AS DOUBLE) AS windowed_value
+            FROM events WHERE user_id < 50
+            """
+        )
+    )

@@ -121,7 +121,6 @@ _PRIORITY = [
     "x3_date_extract",
     "x11_map_struct",
     "x12_json",
-    "x14_hashing",
     "x19_trino_dialect",
     # time-series
     "t1_tumbling_window",
@@ -136,6 +135,7 @@ _PRIORITY = [
     "s7c_delete",
     "s4_memory_table",
     "s8_bucketed_colocated_join",
+    "s9_cross_catalog_join",
     # façade + recursive CTE (r3: f6_explain_distributed moved behind the
     # fold — plan text has no DuckDB oracle, so it burned a verifiable slot
     # in the driver's 50-entry window; o11 is hash-checkable)
@@ -218,4 +218,4 @@ def _import_operator_modules() -> None:
     )
     from mcp_trino_spark.functions import scalar  # noqa: F401
     from mcp_trino_spark.plans import explain_queries  # noqa: F401
-    from mcp_trino_spark.sources import sinks  # noqa: F401
+    from mcp_trino_spark.sources import federation, sinks  # noqa: F401

@@ -60,7 +60,7 @@ shapes it can't express):
 from __future__ import annotations
 
 import re
-from typing import Iterator, List, Tuple
+from typing import Dict, Iterator, List, Tuple
 
 
 class TrinoCompatError(ValueError):
@@ -1445,7 +1445,7 @@ def _rewrite_normalize(q: str) -> str:
 
 #: count is optional in Trino (FETCH FIRST ROW WITH TIES defaults to 1)
 _WITH_TIES = re.compile(
-    r"\bFETCH\s+(?:FIRST|NEXT)\s+(?:\d+\s+)?ROWS?\s+WITH\s+TIES\b", re.IGNORECASE
+    r"\bFETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+WITH\s+TIES\b", re.IGNORECASE
 )
 #: both BETWEEN and single-bound frame spellings
 _GROUPS_FRAME = re.compile(
@@ -1454,19 +1454,195 @@ _GROUPS_FRAME = re.compile(
 )
 
 
+def _depths(q: str, mask: List[bool]) -> List[int]:
+    """Paren depth at each index, counting only code characters."""
+    out, d = [], 0
+    for i, ch in enumerate(q):
+        if mask[i] and ch == ")":
+            d -= 1
+        out.append(d)
+        if mask[i] and ch == "(":
+            d += 1
+    return out
+
+
+def _rewrite_with_ties(query: str) -> str:
+    """ANSI/Trino ``ORDER BY k FETCH FIRST n ROWS WITH TIES`` → the
+    mechanical rank() rewrite (Spark SQL has no WITH TIES):
+
+        SELECT * EXCEPT (__ties_rk) FROM (
+          SELECT __tq.*, RANK() OVER (ORDER BY k) AS __ties_rk
+          FROM ( <body> ) AS __tq
+        ) WHERE __ties_rk <= n
+
+    Supported shape: the FETCH sits at the top level at the end of the
+    statement with a top-level ORDER BY before it (the standard's own
+    grammar position).  Anything fancier (FETCH inside a subquery,
+    OFFSET combinations) fails loudly rather than guessing."""
+    mask = _code_mask(query)
+    hits = [m for m in _WITH_TIES.finditer(query) if mask[m.start()]]
+    if not hits:
+        return query
+    depth = _depths(query, mask)
+    m = hits[-1]
+    if len(hits) > 1 or depth[m.start()] != 0 or query[m.end():].strip().rstrip(";"):
+        raise TrinoCompatError(
+            "FETCH ... WITH TIES is only supported as the final top-level "
+            "clause — rewrite inner occurrences with rank() OVER (...) <= n"
+        )
+    n = int(m.group(1) or 1)
+    ob = [
+        om
+        for om in re.finditer(r"\bORDER\s+BY\b", query, re.IGNORECASE)
+        if mask[om.start()] and depth[om.start()] == 0 and om.start() < m.start()
+    ]
+    if not ob:
+        raise TrinoCompatError(
+            "FETCH ... WITH TIES needs a top-level ORDER BY (ties are "
+            "defined by the sort key)"
+        )
+    keys = query[ob[-1].end():m.start()].strip()
+    if not keys or re.fullmatch(r"\d+(\s*,\s*\d+)*", keys):
+        raise TrinoCompatError(
+            "FETCH ... WITH TIES with positional ORDER BY is not supported — "
+            "name the sort columns"
+        )
+    body = query[: ob[-1].start()].rstrip()
+    return (
+        f"SELECT * EXCEPT (__ties_rk) FROM ("
+        f"SELECT __tq.*, RANK() OVER (ORDER BY {keys}) AS __ties_rk "
+        f"FROM ( {body} ) AS __tq"
+        f") WHERE __ties_rk <= {n} ORDER BY {keys}"
+    )
+
+
+_OVER_HEAD = re.compile(r"\bOVER\s*\(", re.IGNORECASE)
+_GROUPS_SPEC = re.compile(
+    r"^(?:PARTITION\s+BY\s+(?P<part>.*?)\s+)?ORDER\s+BY\s+(?P<key>.*?)\s+"
+    r"GROUPS\s+(?P<frame>BETWEEN\s+.+?|\S+\s+PRECEDING|CURRENT\s+ROW|"
+    r"UNBOUNDED\s+PRECEDING)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_groups_frames(query: str) -> str:
+    """SQL GROUPS window frames → RANGE over a dense_rank group number
+    (Spark SQL has ROWS/RANGE only).  A GROUPS frame counts *peer
+    groups* of the ORDER BY key, which is exactly a RANGE frame over
+    ``DENSE_RANK() OVER (same partition, same order)``:
+
+        AGG(x) OVER (PARTITION BY p ORDER BY k GROUPS BETWEEN 1 PRECEDING
+                     AND 1 FOLLOWING)
+      ≡ AGG(x) OVER (PARTITION BY p ORDER BY __grp RANGE BETWEEN 1
+                     PRECEDING AND 1 FOLLOWING)
+        with __grp = DENSE_RANK() OVER (PARTITION BY p ORDER BY k)
+
+    The group number is precomputed in a wrapping subquery (a window
+    function cannot nest inside another window's ORDER BY).  Supported
+    shape: GROUPS windows in the top-level select list of a query whose
+    top level has a FROM and no GROUP BY/DISTINCT; single-bound frames
+    normalize to BETWEEN ... AND CURRENT ROW.  Same hash partitioning as
+    the original window → the rewrite adds no extra shuffle (the
+    dense_rank pass and the frame pass share one sort within one
+    exchange)."""
+    mask = _code_mask(query)
+    if not any(mask[m.start()] for m in _GROUPS_FRAME.finditer(query)):
+        return query
+    depth = _depths(query, mask)
+
+    # locate every top-level OVER (...) span containing a GROUPS frame
+    spans = []  # (over_start, inner_start, inner_end_exclusive)
+    for om in _OVER_HEAD.finditer(query):
+        if not mask[om.start()]:
+            continue
+        bstart = om.end()  # first char inside the paren
+        d = 1
+        i = bstart
+        while i < len(query) and d:
+            if mask[i] and query[i] == "(":
+                d += 1
+            elif mask[i] and query[i] == ")":
+                d -= 1
+            i += 1
+        inner = query[bstart : i - 1]
+        if _GROUPS_FRAME.search(inner):
+            spans.append((om.start(), bstart, i - 1))
+    if not spans:
+        raise TrinoCompatError(
+            "GROUPS window frames are only supported inside OVER (...) — "
+            "use ROWS or RANGE frames"
+        )
+
+    fm = [
+        f
+        for f in re.finditer(r"\bFROM\b", query, re.IGNORECASE)
+        if mask[f.start()] and depth[f.start()] == 0
+    ]
+    sel = [
+        s
+        for s in re.finditer(r"\bSELECT\b", query, re.IGNORECASE)
+        if mask[s.start()] and depth[s.start()] == 0
+    ]
+    bad_clause = [
+        g
+        for g in re.finditer(r"\bGROUP\s+BY\b|\bSELECT\s+DISTINCT\b", query, re.IGNORECASE)
+        if mask[g.start()] and depth[g.start()] == 0
+    ]
+    if not fm or not sel or bad_clause or any(s < sel[0].start() for s, _b, _e in [
+        (sp[0], sp[1], sp[2]) for sp in spans
+    ]) or any(sp[0] > fm[0].start() for sp in spans):
+        raise TrinoCompatError(
+            "GROUPS window frames are supported only in the top-level "
+            "select list of a plain SELECT ... FROM query — use ROWS or "
+            "RANGE frames otherwise"
+        )
+
+    # rewrite each OVER body; collect distinct (partition, order) groups
+    grp_defs: Dict[Tuple[str, str], str] = {}
+    new_query = query
+    for over_start, bstart, bend in sorted(spans, reverse=True):
+        spec = query[bstart:bend].strip()
+        sm = _GROUPS_SPEC.match(spec)
+        if not sm:
+            raise TrinoCompatError(
+                f"unsupported GROUPS window spec {spec!r} — expected "
+                "[PARTITION BY ...] ORDER BY ... GROUPS <frame>"
+            )
+        part = (sm.group("part") or "").strip()
+        key = sm.group("key").strip()
+        frame = " ".join(sm.group("frame").split()).upper()
+        if not frame.startswith("BETWEEN"):
+            frame = f"BETWEEN {frame} AND CURRENT ROW"
+        gkey = (part, key)
+        if gkey not in grp_defs:
+            grp_defs[gkey] = f"__grp{len(grp_defs)}"
+        alias = grp_defs[gkey]
+        part_sql = f"PARTITION BY {part} " if part else ""
+        new_spec = f"{part_sql}ORDER BY {alias} RANGE {frame}"
+        new_query = new_query[:bstart] + new_spec + new_query[bend:]
+
+    # wrap the FROM tail so the group numbers exist as columns
+    mask2 = _code_mask(new_query)
+    depth2 = _depths(new_query, mask2)
+    fm2 = [
+        f
+        for f in re.finditer(r"\bFROM\b", new_query, re.IGNORECASE)
+        if mask2[f.start()] and depth2[f.start()] == 0
+    ][0]
+    tail = new_query[fm2.end():].strip().rstrip(";")
+    head = new_query[: fm2.start()].rstrip()
+    grp_cols = ", ".join(
+        f"DENSE_RANK() OVER ({'PARTITION BY ' + p + ' ' if p else ''}"
+        f"ORDER BY {k}) AS {alias}"
+        for (p, k), alias in grp_defs.items()
+    )
+    return f"{head} FROM (SELECT *, {grp_cols} FROM {tail}) __gsrc"
+
+
 def translate(query: str) -> str:
     """Rewrite Trino-only idioms to Spark SQL, outside literals/comments."""
-    mask0 = _code_mask(query)
-    for pat, what, hint in (
-        (_WITH_TIES, "FETCH ... WITH TIES",
-         "rewrite with rank() OVER (...) <= n"),
-        (_GROUPS_FRAME, "GROUPS window frames",
-         "use ROWS or RANGE frames"),
-    ):
-        if any(mask0[m.start()] for m in pat.finditer(query)):
-            raise TrinoCompatError(
-                f"{what} is not expressible in Spark SQL — {hint}"
-            )
+    query = _rewrite_with_ties(query)
+    query = _rewrite_groups_frames(query)
     query = _rewrite_array_literal(query)
     query = _rewrite_unnest(query, _code_mask(query))
     query = _rewrite_try(query)

@@ -1,0 +1,99 @@
+"""Cross-system federation (sources/federation.py): second JDBC catalog,
+3-part names, cross-catalog joins.
+
+Parity target: the reference federates external systems through Trino
+catalogs (reference README.md:47-50, handlers.go:290-297) and resolves
+1/2/3-part names against defaults (client.go:736-757).  Here the second
+catalog is Spark's built-in JDBCTableCatalog over embedded Derby.
+"""
+
+import pytest
+
+from mcp_trino_spark.catalog_api import get_table_schema, list_catalogs
+from mcp_trino_spark.config import EngineConfig
+from mcp_trino_spark.sources.federation import (
+    DIM_CATALOG,
+    DIM_SCHEMA,
+    ensure_dim_catalog,
+    loaded_catalogs,
+)
+
+
+@pytest.fixture(scope="module")
+def dim(spark, sf_dir):
+    ensure_dim_catalog(spark, sf_dir)
+    return f"{DIM_CATALOG}.{DIM_SCHEMA}.nation"
+
+
+def test_list_catalogs_returns_more_than_one(spark, dim):
+    cats = list_catalogs(spark, EngineConfig())
+    assert DIM_CATALOG in cats and "spark_catalog" in cats
+    assert len(cats) >= 2
+
+
+def test_loaded_catalogs_sees_configured_but_untouched(spark, dim):
+    assert DIM_CATALOG in loaded_catalogs(spark)
+
+
+def test_three_part_name_resolves(spark, dim):
+    assert spark.table(dim).count() == 25
+
+
+def test_get_table_schema_across_catalogs(spark, dim):
+    cols = get_table_schema(spark, EngineConfig(), dim)
+    names = [c.name for c in cols]
+    assert "n_nationkey" in names and "n_name" in names
+
+
+def test_catalog_allowlist_filters_jdbc_catalog(spark, dim):
+    from mcp_trino_spark.allowlist import Allowlists
+
+    cfg = EngineConfig(allowlists=Allowlists(catalogs=["spark_catalog"]))
+    assert DIM_CATALOG not in list_catalogs(spark, cfg)
+    assert "spark_catalog" in list_catalogs(spark, cfg)
+
+
+def test_cross_catalog_join_in_sql(spark, sf_dir, dim):
+    """One SQL statement spanning both catalogs (the reference's
+    headline federation shape)."""
+    from mcp_trino_spark.sources.catalog import load_table
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    got = spark.sql(
+        f"""
+        SELECT n.n_name, COUNT(*) AS n
+        FROM customer c JOIN {dim} n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+    assert got.count() == 25
+
+
+def test_jdbc_dimension_broadcasts_and_fact_scan_prunes(spark, sf_dir, dim):
+    """Scale shape: the parquet fact side must keep pushed filters and
+    pruned columns; the JDBC dimension must be the broadcast build side
+    with its own pushdown — the only federation plan that survives a
+    100 TB fact table."""
+    from mcp_trino_spark.registry import queries
+
+    df = queries()["s9_cross_catalog_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(c_nationkey)]" in plan
+    assert "ReadSchema: struct<c_nationkey:int,c_acctbal:double>" in plan
+    assert "JDBC" in plan and "PushedFilters: [n_nationkey IS NOT NULL]" in plan
+
+
+def test_jdbc_predicate_pushdown_reaches_remote(spark, dim):
+    """A filter on the JDBC table must appear as a pushed predicate in
+    the DSv2 scan (Spark ships it inside the remote SELECT)."""
+    df = spark.table(dim).filter("n_nationkey = 7").select("n_name")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "JDBC" in plan
+    assert "n_nationkey = 7" in plan.split("PushedFilters", 1)[-1]
+    assert df.count() == 1
+
+
+def test_dim_catalog_is_idempotent(spark, sf_dir, dim):
+    assert ensure_dim_catalog(spark, sf_dir) == DIM_CATALOG
+    assert spark.table(dim).count() == 25

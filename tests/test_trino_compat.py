@@ -721,13 +721,64 @@ def test_offset_limit_order_swap(spark):
     assert rows == [{"i": 2}]
 
 
-def test_with_ties_and_groups_frames_fail_loudly():
+def test_with_ties_rewrites_to_rank(spark):
+    q = translate("SELECT i FROM t ORDER BY i FETCH FIRST 2 ROWS WITH TIES")
+    assert "RANK() OVER (ORDER BY i)" in q and "__ties_rk <= 2" in q
+    rows = run(
+        spark,
+        "SELECT i FROM (VALUES (1), (1), (2), (3)) t(i) "
+        "ORDER BY i FETCH FIRST 2 ROWS WITH TIES",
+    )
+    # the 2nd row's peer (the duplicate 1) is kept: WITH TIES semantics
+    assert sorted(r["i"] for r in rows) == [1, 1]
+    rows = run(
+        spark,
+        "SELECT i FROM (VALUES (1), (2), (2), (3)) t(i) "
+        "ORDER BY i FETCH FIRST 2 ROWS WITH TIES",
+    )
+    assert sorted(r["i"] for r in rows) == [1, 2, 2]
+
+
+def test_groups_frame_rewrites_to_range_over_dense_rank(spark):
+    q = translate(
+        "SELECT sum(x) OVER (ORDER BY i GROUPS BETWEEN 1 PRECEDING"
+        " AND CURRENT ROW) AS s FROM t"
+    )
+    assert "DENSE_RANK() OVER (ORDER BY i)" in q
+    assert "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW" in q
+    rows = run(
+        spark,
+        "SELECT i, sum(x) OVER (ORDER BY i GROUPS BETWEEN 1 PRECEDING "
+        "AND CURRENT ROW) AS s "
+        "FROM (VALUES (1, 10), (1, 20), (2, 5), (3, 1)) t(i, x)",
+    )
+    # peer group {i=1} sums both rows; i=2's frame spans groups 1+2
+    got = {(r["i"], r["s"]) for r in rows}
+    assert got == {(1, 30), (2, 35), (3, 6)}
+
+
+def test_with_ties_and_groups_unsupported_shapes_fail_loudly():
     from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    # FETCH ... WITH TIES inside a subquery (not the final clause)
     with pytest.raises(TrinoCompatError, match="WITH TIES"):
-        translate("SELECT i FROM t ORDER BY i FETCH FIRST 2 ROWS WITH TIES")
+        translate(
+            "SELECT * FROM (SELECT i FROM t ORDER BY i "
+            "FETCH FIRST 2 ROWS WITH TIES) q JOIN u ON q.i = u.i"
+        )
+    # positional ORDER BY: rank() over a constant would be wrong
+    with pytest.raises(TrinoCompatError, match="positional"):
+        translate("SELECT i FROM t ORDER BY 1 FETCH FIRST 2 ROWS WITH TIES")
+    # no ORDER BY → ties undefined
+    with pytest.raises(TrinoCompatError, match="ORDER BY"):
+        translate("SELECT i FROM t FETCH FIRST 2 ROWS WITH TIES")
+    # GROUPS window over an aggregated query needs restructuring we
+    # refuse to guess at
     with pytest.raises(TrinoCompatError, match="GROUPS"):
-        translate("SELECT sum(x) OVER (ORDER BY i GROUPS BETWEEN 1 PRECEDING"
-                  " AND CURRENT ROW) FROM t")
+        translate(
+            "SELECT k, sum(sum(x)) OVER (ORDER BY k GROUPS 1 PRECEDING) "
+            "FROM t GROUP BY k"
+        )
 
 
 # --- Trino statement forms: SHOW STATS, EXPLAIN (TYPE ...) -----------------
@@ -809,12 +860,13 @@ def test_show_stats_unsupported_forms_fail_loudly(spark):
         execute_query(spark, 'SHOW STATS FOR "quoted name"', dialect="trino")
 
 
-def test_with_ties_countless_and_single_bound_groups_rejected():
-    from mcp_trino_spark.trino_compat import TrinoCompatError
-    with pytest.raises(TrinoCompatError, match="WITH TIES"):
-        translate("SELECT i FROM t ORDER BY i FETCH FIRST ROW WITH TIES")
-    with pytest.raises(TrinoCompatError, match="GROUPS"):
-        translate("SELECT sum(x) OVER (ORDER BY i GROUPS 2 PRECEDING) FROM t")
+def test_with_ties_countless_and_single_bound_groups_translate():
+    # FETCH FIRST ROW WITH TIES: count defaults to 1 (Trino grammar)
+    q = translate("SELECT i FROM t ORDER BY i FETCH FIRST ROW WITH TIES")
+    assert "__ties_rk <= 1" in q
+    # single-bound GROUPS frame normalizes to BETWEEN ... AND CURRENT ROW
+    q = translate("SELECT sum(x) OVER (ORDER BY i GROUPS 2 PRECEDING) AS s FROM t")
+    assert "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW" in q
 
 
 def test_date_format_mysql_tokens(spark):

@@ -595,28 +595,62 @@ def l26_minhash_estimate(spark, sf_dir):
     expensive re-tokenization join shrinks by the screen's rejection
     rate.
 
-    Spark shape: the signature frame is computed ONCE and persisted;
-    the band join derives candidates from it and the estimate joins it
-    back by doc_id — three equi-joins over narrow columns, no text in
-    any shuffle.  x/16 is exact in binary, so the DOUBLE hashes
-    identically on both engines.
+    Spark shape (r3): signatures ride the band unpivot, so the banded
+    self-join yields both sides' lanes in-row and the estimate is a
+    column expression over the joined frame — ONE shuffle join + one
+    distinct, no text in any shuffle.  x/16 is exact in binary, so the
+    DOUBLE hashes identically on both engines.
     """
     (docs,) = T(spark, sf_dir, "documents")
-    sigs = minhash_signatures_plan(spread(docs)).persist()
-    pairs = _band_pairs_from_signatures(sigs)
+    sigs = minhash_signatures_plan(spread(docs))
     n_lanes = NUM_BANDS * ROWS_PER_BAND
+    # Carry the full signature THROUGH the band unpivot instead of
+    # joining it back by doc_id afterwards: the banded self-join then
+    # delivers both sides' signatures in-row and the estimate is a
+    # column expression — one shuffle join + one distinct, versus the
+    # join-back shape's three shuffle joins (which also tripped Spark's
+    # no-in-flight-cache-dedup behavior: three subtrees of one job
+    # racing to compute the persisted signature pipeline, measured 17 s
+    # vs ~2 s at sf0.1).  Payload cost: 16×8-char lanes ≈ 130 B/row
+    # through the band exchange — noise next to the join itself.
+    sig = F.struct(*[F.col(f"h{h}") for h in range(n_lanes)])
+    keys = sigs.select(
+        "doc_id",
+        sig.alias("sig"),
+        *[
+            F.concat_ws(
+                "|",
+                F.col(f"h{b * ROWS_PER_BAND}"),
+                F.col(f"h{b * ROWS_PER_BAND + 1}"),
+            ).alias(f"band{b}")
+            for b in range(NUM_BANDS)
+        ],
+    )
+    stack_expr = "stack({n}, {args}) AS (band, band_key)".format(
+        n=NUM_BANDS,
+        args=", ".join(f"{b}, band{b}" for b in range(NUM_BANDS)),
+    )
+    bands = keys.select("doc_id", "sig", F.expr(stack_expr)).persist()
+    a, b = bands.alias("a"), bands.alias("b")
     matches = sum(
-        F.when(F.col(f"a.h{h}") == F.col(f"b.h{h}"), 1).otherwise(0)
+        F.when(
+            F.col("a.sig").getField(f"h{h}") == F.col("b.sig").getField(f"h{h}"), 1
+        ).otherwise(0)
         for h in range(n_lanes)
     )
     return (
-        pairs.join(sigs.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
-        .join(sigs.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
             (matches.cast("double") / n_lanes).alias("est_jaccard"),
         )
+        .distinct()
     )
 
 

@@ -421,7 +421,43 @@ def merge_into(
         n_inserted = (
             joined.filter(source_only).count() if insert_values is not None else 0
         )
-        _commit(spark, target, new_state)
+        pcols = _partition_columns(spark, target)
+        part_reassigned = bool(matched_update and set(pcols) & set(matched_update))
+        if pcols and not part_reassigned:
+            # partition-bounded MERGE: touched = partitions holding acted
+            # target rows ∪ partitions the inserted rows land in (their
+            # values come from the final projection, so new partitions
+            # are discovered here too)
+            touched = set()
+            if matched_update or matched_delete:
+                touched.update(
+                    tuple(r)
+                    for r in joined.filter(acted)
+                    .select(*[F.col(f"{target_alias}.{c}") for c in pcols])
+                    .distinct()
+                    .collect()
+                )
+            if insert_values is not None:
+                by_name = dict(zip(target_cols, out_cols))
+                touched.update(
+                    tuple(r)
+                    for r in joined.filter(source_only)
+                    .select(*[by_name[c] for c in pcols])
+                    .distinct()
+                    .collect()
+                )
+            if not touched:
+                return 0  # no action matched → table untouched on disk
+            touched_list = sorted(touched, key=repr)
+            _commit_partitions(
+                spark,
+                target,
+                new_state.filter(_partition_predicate(pcols, touched_list)),
+                pcols,
+                touched_list,
+            )
+        else:
+            _commit(spark, target, new_state)
     finally:
         joined.unpersist()
     return n_matched + n_inserted

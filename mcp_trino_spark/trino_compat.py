@@ -1550,8 +1550,37 @@ def _rewrite_groups_frames(query: str) -> str:
         return query
     depth = _depths(query, mask)
 
-    # locate every top-level OVER (...) span containing a GROUPS frame
+    # locate every OVER (...) span containing a GROUPS frame.  A window
+    # wrapped in EXPRESSION parens (CAST(...), ROUND(...)) is fine; one
+    # inside a SUBQUERY/CTE is not — the FROM-wrap below would attach
+    # the dense_rank to the wrong relation — so reject when any paren
+    # enclosing the OVER opens a SELECT/WITH.
+    over_positions = {
+        om.start() for om in _OVER_HEAD.finditer(query) if mask[om.start()]
+    }
+    open_stack: List[int] = []
+    opens_at: Dict[int, List[int]] = {}
+    for i, ch in enumerate(query):
+        if i in over_positions:
+            opens_at[i] = list(open_stack)
+        if not mask[i]:
+            continue
+        if ch == "(":
+            open_stack.append(i)
+        elif ch == ")" and open_stack:
+            open_stack.pop()
+
+    def _in_subquery(pos: int) -> bool:
+        for op in opens_at.get(pos, []):
+            j = op + 1
+            while j < len(query) and (not mask[j] or query[j].isspace()):
+                j += 1
+            if re.match(r"(SELECT|WITH)\b", query[j : j + 6], re.IGNORECASE):
+                return True
+        return False
+
     spans = []  # (over_start, inner_start, inner_end_exclusive)
+    nested = False
     for om in _OVER_HEAD.finditer(query):
         if not mask[om.start()]:
             continue
@@ -1566,11 +1595,15 @@ def _rewrite_groups_frames(query: str) -> str:
             i += 1
         inner = query[bstart : i - 1]
         if _GROUPS_FRAME.search(inner):
-            spans.append((om.start(), bstart, i - 1))
-    if not spans:
+            if _in_subquery(om.start()):
+                nested = True
+            else:
+                spans.append((om.start(), bstart, i - 1))
+    if nested or not spans:
         raise TrinoCompatError(
-            "GROUPS window frames are only supported inside OVER (...) — "
-            "use ROWS or RANGE frames"
+            "GROUPS window frames are only supported in the top-level "
+            "select list (not inside subqueries/CTEs) — use ROWS or "
+            "RANGE frames"
         )
 
     fm = [

@@ -18,6 +18,7 @@ reference marshals (reference internal/mcp/handlers.go:83-90).
 from __future__ import annotations
 
 import json
+import os
 import sys
 from dataclasses import asdict
 from typing import Any, Dict, Optional
@@ -311,14 +312,49 @@ class _HTTPHandler:
                 )
 
             def _deny(self):
-                body = b'{"error":"unauthorized"}'
+                """401 with OAuth discovery info (reference
+                server.go:187-204: WWW-Authenticate invalid_token +
+                RFC 9728 resource_metadata pointer)."""
+                body = (
+                    b'{"error":"invalid_token","error_description":'
+                    b'"Missing or invalid access token"}'
+                )
                 self.send_response(401)
                 self._cors()
-                self.send_header("WWW-Authenticate", 'Bearer realm="mcp"')
+                self.send_header(
+                    "WWW-Authenticate",
+                    'Bearer realm="OAuth", error="invalid_token", '
+                    'error_description="Missing or invalid access token"',
+                )
+                if oidc_validator is not None or jwt_secret:
+                    mcp_url = os.environ.get("MCP_URL", "http://localhost:8080")
+                    self.send_header(
+                        "WWW-Authenticate",
+                        f'resource_metadata="{mcp_url}'
+                        '/.well-known/oauth-protected-resource"',
+                    )
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+            def _protected_resource_metadata(self) -> bytes:
+                """RFC 9728 protected-resource metadata (reference
+                docs/oauth.md "Metadata Endpoints"): in native/OIDC mode
+                authorization_servers points at the IdP issuer; in
+                hmac-JWT mode at this server itself."""
+                mcp_url = os.environ.get("MCP_URL", "http://localhost:8080")
+                if oidc_validator is not None:
+                    auth_servers = [oidc_validator.config.issuer]
+                else:
+                    auth_servers = [mcp_url]
+                return json.dumps(
+                    {
+                        "resource": mcp_url,
+                        "authorization_servers": auth_servers,
+                        "bearer_methods_supported": ["header"],
+                    }
+                ).encode()
 
             def _cors(self):
                 self.send_header("Access-Control-Allow-Origin", "*")
@@ -339,6 +375,12 @@ class _HTTPHandler:
             def do_GET(self):
                 if self.path == "/status":
                     self._reply(200, b'{"status":"ok","version":"0.1.0"}')
+                elif self.path == "/.well-known/oauth-protected-resource" and (
+                    oidc_validator is not None or jwt_secret
+                ):
+                    # discovery stays open: clients fetch it precisely
+                    # when they do not yet hold a token
+                    self._reply(200, self._protected_resource_metadata())
                 else:
                     self._reply(404, b'{"error":"not found"}')
 

@@ -388,3 +388,54 @@ def test_partitioned_delete_null_safe_predicate(spark, ptarget):
     n = delete_from(spark, name, "CASE WHEN status = 'F' THEN k = 1 ELSE NULL END")
     assert n == 1
     assert spark.table(name).count() == 4
+
+
+def test_partitioned_merge_rewrites_only_touched_partitions(spark, ptarget):
+    name, loc = ptarget
+    before = _snapshot(loc)
+    src = spark.createDataFrame([Row(k=3, v=333.0, status="O")])
+    n = merge_into(
+        spark, name, src, "t.k = s.k AND t.status = s.status",
+        target_alias="t", source_alias="s",
+        matched_update={"v": "s.v"},
+    )
+    assert n == 1
+    after = _snapshot(loc)
+    assert {p: s for p, s in before.items() if "status=O" not in p} == {
+        p: s for p, s in after.items() if "status=O" not in p
+    }, "files outside the matched partition changed"
+    got = {(r.k, r.v) for r in spark.table(name).collect()}
+    assert (3, 333.0) in got and len(got) == 5
+
+
+def test_partitioned_merge_insert_creates_new_partition_only(spark, ptarget):
+    name, loc = ptarget
+    before = _snapshot(loc)
+    src = spark.createDataFrame([Row(k=9, v=90.0, status="X")])
+    n = merge_into(
+        spark, name, src, "t.k = s.k",
+        target_alias="t", source_alias="s",
+        insert_all=True,
+    )
+    assert n == 1
+    after = _snapshot(loc)
+    assert any("status=X" in p for p in after), "new partition missing"
+    assert before == {p: s for p, s in after.items() if "status=X" not in p}, (
+        "existing partitions must be untouched by an insert-only MERGE"
+    )
+    assert spark.table(name).count() == 6
+    # catalog sees the new partition
+    assert {r.status for r in spark.table(name).select("status").distinct().collect()} == {
+        "F", "O", "P", "X",
+    }
+
+
+def test_partitioned_merge_no_match_no_disk_change(spark, ptarget):
+    name, loc = ptarget
+    before = _snapshot(loc)
+    src = spark.createDataFrame([Row(k=999, v=0.0, status="F")])
+    n = merge_into(
+        spark, name, src, "t.k = s.k", matched_update={"v": "s.v"}
+    )
+    assert n == 0
+    assert _snapshot(loc) == before

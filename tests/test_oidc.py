@@ -296,3 +296,50 @@ def test_http_handler_oidc_mode(validator, keypair):
             assert r.status == 200
     finally:
         httpd.shutdown()
+
+
+def test_protected_resource_metadata_endpoint(validator, monkeypatch):
+    """RFC 9728 discovery (reference docs/oauth.md "Metadata Endpoints",
+    server.go:187-204): /.well-known/oauth-protected-resource stays open
+    and points clients at the IdP; 401s carry the resource_metadata
+    pointer in WWW-Authenticate."""
+    import json as _json
+    import threading
+    import urllib.error
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from server.mcp_server import MCPServer, _HTTPHandler
+
+    monkeypatch.setenv("MCP_URL", "https://mcp.example.com")
+    httpd = ThreadingHTTPServer(
+        ("localhost", 0),
+        _HTTPHandler.make(MCPServer(spark=None), oidc_validator=validator),
+    )
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://localhost:{port}/.well-known/oauth-protected-resource"
+        ) as r:
+            meta = _json.loads(r.read())
+        assert meta["authorization_servers"] == [ISSUER]
+        assert meta["resource"] == "https://mcp.example.com"
+        # a tokenless POST carries the discovery pointer
+        req = urllib.request.Request(
+            f"http://localhost:{port}/mcp",
+            data=b'{"jsonrpc":"2.0","id":1,"method":"tools/list"}',
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+            www = ",".join(
+                v for k, v in e.headers.items() if k == "WWW-Authenticate"
+            )
+            assert "resource_metadata=" in www and "invalid_token" in www
+            assert _json.loads(e.read())["error"] == "invalid_token"
+    finally:
+        httpd.shutdown()

@@ -779,6 +779,18 @@ def test_with_ties_and_groups_unsupported_shapes_fail_loudly():
             "SELECT k, sum(sum(x)) OVER (ORDER BY k GROUPS 1 PRECEDING) "
             "FROM t GROUP BY k"
         )
+    # GROUPS inside a subquery/CTE: the FROM-wrap would attach the
+    # dense_rank to the wrong relation — must refuse, never mis-rewrite
+    with pytest.raises(TrinoCompatError, match="GROUPS"):
+        translate(
+            "SELECT (SELECT sum(x) OVER (ORDER BY k GROUPS 1 PRECEDING) "
+            "FROM u) AS s FROM t"
+        )
+    with pytest.raises(TrinoCompatError, match="GROUPS"):
+        translate(
+            "WITH c AS (SELECT sum(x) OVER (ORDER BY k GROUPS 1 PRECEDING)"
+            " AS s FROM u) SELECT * FROM c"
+        )
 
 
 # --- Trino statement forms: SHOW STATS, EXPLAIN (TYPE ...) -----------------

@@ -181,8 +181,14 @@ def _band_pairs_from_signatures(mh):
     )
     # signatures are ~16 hashes/doc — persist so the self-join's two
     # sides don't re-run the shingle+md5 pipeline (at scale: write the
-    # signature table once, join from it)
+    # signature table once, join from it).  The count() materializes the
+    # cache BEFORE the join job: Spark does not dedupe in-flight
+    # computation, so without it the self-join's two subtrees can run
+    # the shingle+md5 pipeline twice concurrently (the 10× scaling
+    # probe measured exponent 1.26 from exactly this; with
+    # materialization the band join dominates as designed).
     bands = keys.select("doc_id", F.expr(stack_expr)).persist()
+    bands.count()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -631,6 +637,7 @@ def l26_minhash_estimate(spark, sf_dir):
         args=", ".join(f"{b}, band{b}" for b in range(NUM_BANDS)),
     )
     bands = keys.select("doc_id", "sig", F.expr(stack_expr)).persist()
+    bands.count()  # materialize before the self-join (see l2's note)
     a, b = bands.alias("a"), bands.alias("b")
     matches = sum(
         F.when(

@@ -439,3 +439,19 @@ def test_partitioned_merge_no_match_no_disk_change(spark, ptarget):
     )
     assert n == 0
     assert _snapshot(loc) == before
+
+
+def test_partitioned_merge_of_partition_column_falls_back(spark, ptarget):
+    """A MERGE whose UPDATE reassigns the partition column migrates rows
+    between partitions — must take the full-rewrite path and stay
+    correct."""
+    name, loc = ptarget
+    src = spark.createDataFrame([Row(k=5, status="Z")])
+    n = merge_into(
+        spark, name, src, "t.k = s.k",
+        target_alias="t", source_alias="s",
+        matched_update={"status": "s.status"},
+    )
+    assert n == 1
+    got = {(r.k, r.status) for r in spark.table(name).collect()}
+    assert (5, "Z") in got and len(got) == 5

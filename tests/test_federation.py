@@ -97,3 +97,36 @@ def test_jdbc_predicate_pushdown_reaches_remote(spark, dim):
 def test_dim_catalog_is_idempotent(spark, sf_dir, dim):
     assert ensure_dim_catalog(spark, sf_dir) == DIM_CATALOG
     assert spark.table(dim).count() == 25
+
+
+def test_list_schemas_and_tables_in_jdbc_catalog(spark, dim):
+    """F3/F4 against the second catalog: SHOW SCHEMAS/TABLES route
+    through the JDBC catalog's namespace listing (client.go:667-726
+    semantics over a real second connector)."""
+    from mcp_trino_spark.catalog_api import list_schemas, list_tables
+
+    cfg = EngineConfig()
+    assert DIM_SCHEMA in list_schemas(spark, cfg, catalog=DIM_CATALOG)
+    assert "nation" in list_tables(
+        spark, cfg, catalog=DIM_CATALOG, schema=DIM_SCHEMA
+    )
+
+
+def test_gated_write_into_jdbc_catalog(spark, sf_dir, dim):
+    """Write federation: a gated CTAS can land a table in the second
+    catalog (the reference's write path goes wherever the catalog's
+    connector points; client.go:306-310)."""
+    from mcp_trino_spark.config import EngineConfig as EC
+    from mcp_trino_spark.execute import WriteQueryNotAllowed, execute_query
+
+    target = f"{DIM_CATALOG}.{DIM_SCHEMA}.nation_copy"
+    spark.sql(f"DROP TABLE IF EXISTS {target}")
+    with pytest.raises(WriteQueryNotAllowed):
+        execute_query(spark, f"CREATE TABLE {target} AS SELECT * FROM {dim}")
+    execute_query(
+        spark,
+        f"CREATE TABLE {target} AS SELECT n_nationkey, n_name FROM {dim}",
+        config=EC(allow_write_queries=True),
+    )
+    assert spark.table(target).count() == 25
+    spark.sql(f"DROP TABLE {target}")

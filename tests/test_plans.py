@@ -287,3 +287,15 @@ def test_prep_pipeline_two_shuffles(spark):
     plan = formatted(df)
     assert plan.count("Arguments: hashpartitioning") == 2
     assert "SinglePartition" not in plan
+
+
+def test_groups_frame_rewrite_single_exchange(spark):
+    """w12 (GROUPS → RANGE over dense_rank): both window passes must
+    share ONE hash exchange on user_id — the rewrite may not add a
+    shuffle over the native frame's cost — and the user_id filter must
+    reach the parquet scan."""
+    df = registry.queries()["w12_groups_frame"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "PushedFilters: [IsNotNull(user_id), LessThan(user_id,50)]" in plan
+    assert plan.count("Window ") == 2  # dense_rank pass + frame pass

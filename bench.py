@@ -59,6 +59,7 @@ HEADLINERS = [
     # dialect rewrite (dense_rank + range, one exchange)
     "s9_cross_catalog_join",
     "w12_groups_frame",
+    "l33_editdist_verify",
 ]
 
 

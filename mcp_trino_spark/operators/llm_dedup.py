@@ -815,3 +815,72 @@ def l29_dedup_stats(spark, sf_dir):
         F.sum(F.col("c") * (F.col("n") - 1)).alias("dup_chars"),
         ((n_docs - n_distinct).cast("double") / n_docs.cast("double")).alias("dup_ratio"),
     )
+
+
+def _editdist_oracle() -> str:
+    return f"""
+    WITH {_lsh_ctes()},
+    pairs AS ({_LSH_PAIR_SELECT}),
+    j AS (
+      SELECT p.doc_a, p.doc_b,
+             levenshtein(substr(da.text, 1, 200), substr(db.text, 1, 200)) AS edit_dist,
+             GREATEST(LEAST(length(da.text), 200), LEAST(length(db.text), 200), 1) AS max_len
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(edit_dist AS BIGINT) AS edit_dist,
+           1.0 - CAST(edit_dist AS DOUBLE) / max_len AS edit_sim
+    FROM j
+    WHERE 1.0 - CAST(edit_dist AS DOUBLE) / max_len >= 0.5
+    """
+
+
+@register("l33_editdist_verify", oracle=_editdist_oracle())
+def l33_editdist_verify(spark, sf_dir):
+    """Edit-distance VERIFICATION of the LSH candidate pairs — the final
+    stage of the classic dedup funnel (screen by signature → estimate by
+    lanes → verify by text): normalized Levenshtein similarity over the
+    first 200 chars, keeping pairs at >= 0.5 similarity.  Reference
+    surface: beyond the reference (BASELINE.json north_star dedup
+    family); Trino itself ships levenshtein_distance as a builtin.
+
+    Scale design: Levenshtein is O(len²) PER PAIR, so it must only ever
+    run on the LSH-screened candidate set, never the corpus² — and on a
+    bounded prefix (200 chars → ≤40k cell DP, JVM codegen via
+    F.levenshtein, no Python).  The texts join back by doc_id is two
+    hash joins sized by the candidate count, and only the 200-char
+    prefix (not the full document) enters the shuffle.  Both engines
+    compute the same unit-cost DP, and the similarity arithmetic is
+    exact IEEE division → hash-identical.
+    """
+    (docs,) = T(spark, sf_dir, "documents")
+    docs = spread(docs)
+    pairs = minhash_lsh_pairs_plan(docs)
+    prefixes = docs.select(
+        "doc_id",
+        F.substring("text", 1, 200).alias("t200"),
+        F.least(F.length("text"), F.lit(200)).alias("tlen"),
+    )
+    j = (
+        pairs.join(
+            prefixes.alias("da"), F.col("doc_a") == F.col("da.doc_id")
+        )
+        .join(prefixes.alias("db"), F.col("doc_b") == F.col("db.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("da.t200"), F.col("db.t200"))
+            .cast("bigint")
+            .alias("edit_dist"),
+            F.greatest(F.col("da.tlen"), F.col("db.tlen"), F.lit(1)).alias(
+                "max_len"
+            ),
+        )
+    )
+    sim = F.lit(1.0) - F.col("edit_dist").cast("double") / F.col("max_len")
+    return (
+        j.select("doc_a", "doc_b", "edit_dist", sim.alias("edit_sim"))
+        .filter(F.col("edit_sim") >= 0.5)
+    )

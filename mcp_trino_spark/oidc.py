@@ -120,15 +120,25 @@ class OidcConfig:
 
 
 def _fetch_jwks(uri: str) -> Dict[str, Dict[str, Any]]:
-    """Fetch a JWKS document and index its RSA signing keys by kid."""
-    if uri.startswith("file://"):
-        with open(uri[len("file://"):], "rb") as f:
-            doc = json.load(f)
-    elif uri.startswith(("http://", "https://")):
-        with urllib.request.urlopen(uri, timeout=10) as resp:  # noqa: S310
-            doc = json.load(resp)
-    else:
-        raise JWTError(f"unsupported JWKS URI scheme: {uri!r}")
+    """Fetch a JWKS document and index its RSA signing keys by kid.
+
+    Every failure mode — unreachable endpoint, missing file, non-JSON
+    body — surfaces as JWTError: the HTTP transport catches exactly that
+    type to produce a clean 401, and anything else would escape the
+    handler and reset the client connection with no response."""
+    try:
+        if uri.startswith("file://"):
+            with open(uri[len("file://"):], "rb") as f:
+                doc = json.load(f)
+        elif uri.startswith(("http://", "https://")):
+            with urllib.request.urlopen(uri, timeout=10) as resp:  # noqa: S310
+                doc = json.load(resp)
+        else:
+            raise JWTError(f"unsupported JWKS URI scheme: {uri!r}")
+    except JWTError:
+        raise
+    except (OSError, ValueError) as exc:  # URLError/IO/JSONDecodeError
+        raise JWTError(f"JWKS fetch failed: {exc}") from exc
     keys = doc.get("keys")
     if not isinstance(keys, list):
         raise JWTError("JWKS document has no 'keys' array")
@@ -160,6 +170,13 @@ class OidcValidator:
     Thread-safe: the HTTP transport serves from a ThreadingHTTPServer,
     so the JWKS cache refresh is guarded by a lock."""
 
+    #: minimum seconds between forced (unknown-kid) JWKS refetches —
+    #: without a cooldown, unauthenticated requests carrying random kids
+    #: would each fire a synchronous IdP fetch while holding the lock
+    #: (serializing all auth behind network timeouts and hammering the
+    #: provider — a classic JWKS-refresh DoS amplifier)
+    MIN_REFETCH_INTERVAL_S = 30.0
+
     def __init__(self, config: OidcConfig):
         if not config.oidc_enabled:
             raise ValueError("OidcValidator needs a non-hmac provider config")
@@ -177,9 +194,14 @@ class OidcValidator:
                 self._keys = _fetch_jwks(self.config.jwks_uri)
                 self._fetched_at = now
             key = self._pick(kid)
-            if key is None and not stale:
+            if (
+                key is None
+                and not stale
+                and now - self._fetched_at >= self.MIN_REFETCH_INTERVAL_S
+            ):
                 # unknown kid on a fresh-ish cache → one refresh, in case
-                # the provider rotated keys (standard JWKS practice)
+                # the provider rotated keys (standard JWKS practice),
+                # rate-limited by the cooldown above
                 self._keys = _fetch_jwks(self.config.jwks_uri)
                 self._fetched_at = now
                 key = self._pick(kid)

@@ -169,8 +169,17 @@ def _commit_partitions(
     ``partitionBy``), then per touched partition swap live → retired and
     staged → live; a touched partition absent from staging (all rows
     deleted) has its live directory retired with no replacement.  On any
-    failure every completed swap is rolled back before re-raising, so
-    readers see either the full old state or the full new state."""
+    failure every swap — including a half-finished one — is rolled back
+    before re-raising, so the commit as a whole is all-or-nothing.
+
+    Isolation caveat (weaker than the single-rename ``_commit``): the
+    per-partition renames are individually atomic but not atomic as a
+    SET — a concurrent reader listing files mid-commit can see partition
+    A's new state next to partition B's old state.  That matches the
+    non-transactional multi-partition semantics of hive-layout tables
+    (and of Hive's own rename protocol); deployments needing snapshot
+    isolation across partitions want a log-based table format, whose
+    plan-side shapes are identical to these."""
     loc = _table_location(spark, table)
     parent, base = os.path.dirname(loc), os.path.basename(loc)
     staged = os.path.join(parent, f".{base}.staged-{uuid.uuid4().hex[:8]}")
@@ -189,15 +198,21 @@ def _commit_partitions(
                 os.rename(live_p, retired_p)
             else:
                 retired_p = ""
+            # record the retire BEFORE attempting staged→live: if that
+            # rename (or makedirs) fails, rollback must still restore
+            # this partition's original data — appending only after a
+            # full swap would let the final rmtree(retired) destroy it
+            done.append((live_p, retired_p, had_staged))
             if had_staged:
                 os.makedirs(os.path.dirname(live_p), exist_ok=True)
                 os.rename(staged_p, live_p)
-            done.append((live_p, retired_p, had_staged))
         layout_changed = any(
             (had and not ret) or (ret and not had) for _, ret, had in done
         )
     except BaseException:
         for live_p, retired_p, had_staged in reversed(done):
+            # rmtree only when the staged→live rename actually landed
+            # (rename is atomic: live_p exists iff it completed)
             if had_staged and os.path.isdir(live_p):
                 shutil.rmtree(live_p, ignore_errors=True)
             if retired_p:

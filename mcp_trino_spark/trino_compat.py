@@ -1654,7 +1654,11 @@ def _rewrite_groups_frames(query: str) -> str:
         new_spec = f"{part_sql}ORDER BY {alias} RANGE {frame}"
         new_query = new_query[:bstart] + new_spec + new_query[bend:]
 
-    # wrap the FROM tail so the group numbers exist as columns
+    # wrap the FROM tail so the group numbers exist as columns.  Only
+    # the relation part of the tail may move into the subquery:
+    # trailing top-level ORDER BY / LIMIT / OFFSET must stay OUTSIDE it
+    # (a LIMIT folded under the window would truncate frames — wrong
+    # values, silently), and set operators can't be wrapped at all.
     mask2 = _code_mask(new_query)
     depth2 = _depths(new_query, mask2)
     fm2 = [
@@ -1662,14 +1666,34 @@ def _rewrite_groups_frames(query: str) -> str:
         for f in re.finditer(r"\bFROM\b", new_query, re.IGNORECASE)
         if mask2[f.start()] and depth2[f.start()] == 0
     ][0]
-    tail = new_query[fm2.end():].strip().rstrip(";")
+    if any(
+        mask2[m.start()] and depth2[m.start()] == 0
+        for m in re.finditer(
+            r"\b(UNION|INTERSECT|EXCEPT)\b", new_query, re.IGNORECASE
+        )
+    ):
+        raise TrinoCompatError(
+            "GROUPS window frames over a set operation (UNION/INTERSECT/"
+            "EXCEPT) are not supported — use ROWS or RANGE frames"
+        )
+    trailing_m = [
+        m
+        for m in re.finditer(
+            r"\b(ORDER\s+BY|LIMIT|OFFSET)\b", new_query, re.IGNORECASE
+        )
+        if mask2[m.start()] and depth2[m.start()] == 0 and m.start() > fm2.end()
+    ]
+    cut = trailing_m[0].start() if trailing_m else len(new_query)
+    tail = new_query[fm2.end():cut].strip().rstrip(";")
+    trailing = new_query[cut:].strip().rstrip(";")
     head = new_query[: fm2.start()].rstrip()
     grp_cols = ", ".join(
         f"DENSE_RANK() OVER ({'PARTITION BY ' + p + ' ' if p else ''}"
         f"ORDER BY {k}) AS {alias}"
         for (p, k), alias in grp_defs.items()
     )
-    return f"{head} FROM (SELECT *, {grp_cols} FROM {tail}) __gsrc"
+    out = f"{head} FROM (SELECT *, {grp_cols} FROM {tail}) __gsrc"
+    return f"{out} {trailing}" if trailing else out
 
 
 def translate(query: str) -> str:

@@ -321,18 +321,21 @@ class _HTTPHandler:
                 )
                 self.send_response(401)
                 self._cors()
-                self.send_header(
-                    "WWW-Authenticate",
+                challenge = (
                     'Bearer realm="OAuth", error="invalid_token", '
-                    'error_description="Missing or invalid access token"',
+                    'error_description="Missing or invalid access token"'
                 )
                 if oidc_validator is not None or jwt_secret:
+                    # RFC 9728 §5.1: resource_metadata is a PARAMETER of
+                    # the Bearer challenge — one well-formed header (a
+                    # bare-parameter second header is not a valid RFC
+                    # 7235 challenge and strict clients drop it)
                     mcp_url = os.environ.get("MCP_URL", "http://localhost:8080")
-                    self.send_header(
-                        "WWW-Authenticate",
-                        f'resource_metadata="{mcp_url}'
-                        '/.well-known/oauth-protected-resource"',
+                    challenge += (
+                        f', resource_metadata="{mcp_url}'
+                        '/.well-known/oauth-protected-resource"'
                     )
+                self.send_header("WWW-Authenticate", challenge)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()

@@ -226,14 +226,25 @@ def test_key_rotation_refreshes_jwks(tmp_path, keypair, other_keypair):
         OidcConfig(provider="okta", issuer=ISSUER, audience=AUDIENCE,
                    jwks_uri=f"file://{p}")
     )
-    assert v.decode(encode_rs256(claims(), keypair, "kid-1"))["sub"] == "alice"
+    t0 = time.time()
+    assert (
+        v.decode(encode_rs256(claims(), keypair, "kid-1"), now=t0)["sub"]
+        == "alice"
+    )
     # provider rotates: kid-2 replaces kid-1 → unknown kid triggers one
-    # refetch and the new key validates
+    # refetch and the new key validates — but only after the refetch
+    # cooldown (unauthenticated random-kid requests must not be able to
+    # hammer the IdP)
     p.write_text(
         json.dumps({"keys": [jwk_from_private_key(other_keypair, "kid-2")]})
     )
     tok2 = encode_rs256(claims(), other_keypair, "kid-2")
-    assert v.decode(tok2)["sub"] == "alice"
+    with pytest.raises(JWTError, match="kid"):
+        v.decode(tok2, now=t0 + 1)  # inside the cooldown → no refetch
+    later = t0 + v.MIN_REFETCH_INTERVAL_S + 1
+    tok2_later = encode_rs256(claims(iat=later, exp=later + 600),
+                              other_keypair, "kid-2")
+    assert v.decode(tok2_later, now=later)["sub"] == "alice"
 
 
 def test_jwks_without_rsa_keys_fails_loudly(tmp_path):

@@ -943,3 +943,36 @@ def test_week_and_url_extract_family(spark):
         " url_extract_parameter('http://x.com/p?a(=9', 'a(') AS m",
     )
     assert rows[0] == {"d": "2", "m": "9"}
+
+
+def test_groups_frame_trailing_clauses_stay_outside_subquery(spark):
+    """Review fix: a trailing top-level ORDER BY/LIMIT must NOT fold
+    into the dense_rank subquery — a LIMIT under the window would
+    truncate frames and silently change values."""
+    q = translate(
+        "SELECT i, sum(x) OVER (ORDER BY i GROUPS BETWEEN CURRENT ROW "
+        "AND 1 FOLLOWING) AS s FROM t ORDER BY i LIMIT 5"
+    )
+    inner = q.split("__gsrc")[0]
+    assert "LIMIT" not in inner and q.rstrip().endswith("LIMIT 5")
+    # executable proof: the last selected row's frame still sees the
+    # row BEYOND the limit (6th row), so LIMIT ran after the window
+    rows = run(
+        spark,
+        "SELECT i, sum(x) OVER (ORDER BY i GROUPS BETWEEN CURRENT ROW "
+        "AND 1 FOLLOWING) AS s "
+        "FROM (VALUES (1,1),(2,2),(3,3),(4,4),(5,5),(6,6)) t(i,x) "
+        "ORDER BY i LIMIT 5",
+    )
+    by_i = {r["i"]: r["s"] for r in rows}
+    assert len(rows) == 5 and by_i[5] == 11  # 5 + the 6th row's 6
+
+
+def test_groups_frame_over_set_operation_rejected():
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    with pytest.raises(TrinoCompatError, match="set operation"):
+        translate(
+            "SELECT sum(x) OVER (ORDER BY i GROUPS 1 PRECEDING) AS s "
+            "FROM t UNION ALL SELECT y FROM u"
+        )

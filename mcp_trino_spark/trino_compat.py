@@ -254,6 +254,12 @@ _RENAMES = [
     # cannot match here — the \( must follow "format" directly)
     (re.compile(r"\bformat\s*\(", re.IGNORECASE), "format_string("),
     (re.compile(r"\blast_day_of_month\s*\(", re.IGNORECASE), "last_day("),
+    # Trino zip(a, b, ...) == Spark arrays_zip (pairwise struct rows;
+    # Spark names the struct fields after the inputs instead of Trino's
+    # positional row fields — values are identical)
+    (re.compile(r"\bzip\s*\(", re.IGNORECASE), "arrays_zip("),
+    # Trino index(string, substring) == strpos == Spark instr
+    (re.compile(r"\bindex\s*\(", re.IGNORECASE), "instr("),
     # Trino starts_with == Spark startswith (Spark also has a
     # startswith; only the underscore spelling needs the move)
     (re.compile(r"\bstarts_with\s*\(", re.IGNORECASE), "startswith("),
@@ -907,6 +913,40 @@ def _rewrite_decimal_literal(q: str) -> str:
         scale = len(digits.split(".")[1]) if "." in digits else 0
         prec = max(1, len(digits.replace(".", "")))
         q = q[: m.start()] + f"CAST('{v}' AS DECIMAL({prec},{scale}))" + q[m.end():]
+
+
+#: Trino parse_duration units → seconds (docs: ns us ms s m h d)
+_DURATION_UNITS = {
+    "ns": 1e-9, "us": 1e-6, "ms": 1e-3, "s": 1.0,
+    "m": 60.0, "h": 3600.0, "d": 86400.0,
+}
+_PARSE_DURATION = re.compile(
+    r"\bparse_duration\s*\(\s*'\s*([0-9]+(?:\.[0-9]+)?)\s*(ns|us|ms|s|m|h|d)\s*'\s*\)",
+    re.IGNORECASE,
+)
+_PARSE_DURATION_HEAD = re.compile(r"\bparse_duration\s*\(", re.IGNORECASE)
+
+
+def _rewrite_parse_duration(q: str) -> str:
+    """Trino ``parse_duration('5m')`` → a Spark day-time interval
+    literal (``INTERVAL '300' SECOND``).  Literal-only, like Trino's
+    own typed literals; a non-literal argument fails loudly rather than
+    guessing at runtime parsing."""
+    while True:
+        mask = _code_mask(q)
+        m = next((c for c in _PARSE_DURATION.finditer(q) if mask[c.start()]), None)
+        if m is None:
+            break
+        secs = float(m.group(1)) * _DURATION_UNITS[m.group(2).lower()]
+        lit = f"{secs:.9f}".rstrip("0").rstrip(".")
+        q = q[: m.start()] + f"INTERVAL '{lit}' SECOND" + q[m.end():]
+    mask = _code_mask(q)
+    if any(mask[c.start()] for c in _PARSE_DURATION_HEAD.finditer(q)):
+        raise TrinoCompatError(
+            "parse_duration() supports only a literal argument like "
+            "'5m' (units ns|us|ms|s|m|h|d)"
+        )
+    return q
 
 
 _AT_TZ = re.compile(r"\bAT\s+TIME\s+ZONE\s*('(?:[^']|'')*')", re.IGNORECASE)
@@ -1716,6 +1756,7 @@ def translate(query: str) -> str:
     query = _rewrite_agg_compositions(query)
     query = _rewrite_date_parse(query)
     query = _rewrite_decimal_literal(query)
+    query = _rewrite_parse_duration(query)
     query = _rewrite_at_time_zone(query)
     query = _rewrite_extract_epoch(query)
     query = _rewrite_regexp_extract_all(query)

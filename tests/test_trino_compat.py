@@ -976,3 +976,35 @@ def test_groups_frame_over_set_operation_rejected():
             "SELECT sum(x) OVER (ORDER BY i GROUPS 1 PRECEDING) AS s "
             "FROM t UNION ALL SELECT y FROM u"
         )
+
+
+def test_zip_index_parse_duration(spark):
+    """Dialect batch 6 (gap-hunt probes): zip → arrays_zip, index →
+    instr, parse_duration literal → day-time interval."""
+    assert translate("SELECT zip(a, b) FROM t") == "SELECT arrays_zip(a, b) FROM t"
+    # zip_with is its own (identical) function — must stay untouched
+    q = "SELECT zip_with(a, b, (x, y) -> x + y) FROM t"
+    assert translate(q) == q
+    rows = run(
+        spark,
+        "SELECT zip(ARRAY[1,2], ARRAY['a','b']) AS z, "
+        "index('hello', 'll') AS p, "
+        "parse_duration('5m') AS d, "
+        "TIMESTAMP '2026-01-01 00:00:00' + parse_duration('1.5h') AS t2",
+    )
+    import datetime as _dt
+
+    assert rows[0]["p"] == 3
+    assert rows[0]["d"] == _dt.timedelta(minutes=5)
+    assert rows[0]["t2"] == _dt.datetime(2026, 1, 1, 1, 30)
+    assert [tuple(e.values()) for e in rows[0]["z"]] == [(1, "a"), (2, "b")]
+
+
+def test_parse_duration_non_literal_fails_loudly():
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    with pytest.raises(TrinoCompatError, match="parse_duration"):
+        translate("SELECT parse_duration(colx) FROM t")
+    # inside a literal: untouched
+    lit = "SELECT 'parse_duration(colx)' AS s"
+    assert translate(lit) == lit

@@ -266,3 +266,35 @@ def test_ivf_ann_recall_vs_exact(spark, sf_dir):
     assert len(exact) == len(ivf) == 10
     recall = len(set(exact) & set(ivf)) / 10
     assert recall >= 0.5, f"IVF recall@10 = {recall} (exact {exact}, ivf {ivf})"
+
+
+def test_show_family_metadata_sql_passes_gate(spark, sf_dir):
+    """The reference's classifier allows the whole SHOW family
+    (client.go:284-290 incl. SHOW CREATE *); every spelling must clear
+    our gate AND execute on Spark's metadata SQL."""
+    from mcp_trino_spark.config import EngineConfig
+    from mcp_trino_spark.execute import execute_query
+    from mcp_trino_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    spark.sql(
+        "CREATE TABLE IF NOT EXISTS show_family_t USING parquet AS SELECT 1 AS a"
+    )
+    try:
+        cases = {
+            "SHOW COLUMNS IN nation": lambda rows: len(rows) == 3,
+            "SHOW FUNCTIONS LIKE 'array*'": lambda rows: len(rows) > 5,
+            "SHOW CREATE TABLE show_family_t": lambda rows: "CREATE TABLE"
+            in rows[0]["createtab_stmt"],
+            "SHOW VIEWS": lambda rows: any(
+                r["viewName"] == "nation" for r in rows
+            ),
+            "DESCRIBE FUNCTION abs": lambda rows: any(
+                "abs" in str(r) for r in rows
+            ),
+        }
+        for q, check in cases.items():
+            rows = execute_query(spark, q, EngineConfig()).rows
+            assert check(rows), q
+    finally:
+        spark.sql("DROP TABLE IF EXISTS show_family_t")

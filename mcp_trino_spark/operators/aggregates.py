@@ -461,3 +461,39 @@ def a19_unpivot(spark, sf_dir):
         variableColumnName="side",
         valueColumnName="total",
     )
+
+
+@register("a20_sketch_reaggregate")  # rows-only: sketch estimates are engine-local
+def a20_sketch_reaggregate(spark, sf_dir):
+    """Reaggregatable distinct-count sketches (Trino approx_set → merge
+    → cardinality; reference passes that SQL through, client.go:501-617;
+    the dialect layer rewrites it to this exact plan): per-nation HLL
+    sketches of customer keys, UNIONED up to region level without ever
+    reshuffling raw keys.
+
+    This is the 100 TB rollup pattern a plain approx_count_distinct
+    (a13) can't express: the nation-level sketch table is tiny
+    (~KB/sketch) and materializable, and any coarser rollup — region,
+    global, time-windowed — reaggregates the sketches instead of
+    re-scanning the fact table.  Plan: one partial+final sketch agg on
+    nationkey, broadcast nation dim, then a sketch-union agg whose
+    shuffle carries |nations| sketch blobs.
+    """
+    customer, nation = T(spark, sf_dir, "customer", "nation")
+    per_nation = customer.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sketch"),
+        F.count("*").alias("n_rows"),
+    )
+    return (
+        per_nation.join(
+            F.broadcast(nation),
+            per_nation.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy("n_regionkey")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+            .cast("bigint")
+            .alias("approx_distinct_customers"),
+            F.sum("n_rows").alias("n_customers"),
+        )
+    )

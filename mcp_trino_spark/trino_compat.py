@@ -1133,6 +1133,82 @@ def _rewrite_array_agg_order(q: str) -> str:
         pos = m.start() + len(repl)
 
 
+#: Trino HLL sketch surface → Spark Datasketches HLL.  approx_set
+#: builds a sketch, merge() unions sketches (reaggregation — the
+#: pattern that lets a 100 TB rollup combine per-partition sketches
+#: without reshuffling raw values), cardinality() reads the estimate.
+#: cardinality(...) itself is type-overloaded in Trino (arrays, maps,
+#: HLL); only the sketch-composed spellings rewrite — array/map
+#: cardinality exists natively in Spark under the same name.
+_HLL_CARD_SET = re.compile(
+    r"\bcardinality\s*\(\s*approx_set\s*\(", re.IGNORECASE
+)
+_HLL_CARD_MERGE = re.compile(
+    r"\bcardinality\s*\(\s*merge\s*\(", re.IGNORECASE
+)
+_APPROX_SET_HEAD = re.compile(r"\bapprox_set\s*\(", re.IGNORECASE)
+_MERGE_AGG_HEAD = re.compile(r"\bmerge\s*\(", re.IGNORECASE)
+
+
+def _rewrite_hll_sketches(q: str) -> str:
+    """Trino approx_set/merge/cardinality → hll_sketch_agg /
+    hll_union_agg / hll_sketch_estimate.  The composed
+    ``cardinality(approx_set|merge(...))`` spellings rewrite first so
+    the overloaded array/map cardinality stays untouched; the estimate
+    is cast to BIGINT (Trino returns bigint)."""
+    mask = _code_mask(q)
+    if not (
+        any(mask[m.start()] for m in _APPROX_SET_HEAD.finditer(q))
+        or any(mask[m.start()] for m in _MERGE_AGG_HEAD.finditer(q))
+    ):
+        return q
+
+    def _close(s: str, start: int) -> int:
+        """index just past the ')' matching the '(' at start-1."""
+        smask = _code_mask(s)
+        d, i = 1, start
+        while i < len(s) and d:
+            if smask[i] and s[i] == "(":
+                d += 1
+            elif smask[i] and s[i] == ")":
+                d -= 1
+            i += 1
+        return i
+
+    for pat, inner_fn in (
+        (_HLL_CARD_SET, "hll_sketch_agg"),
+        (_HLL_CARD_MERGE, "hll_union_agg"),
+    ):
+        while True:
+            mask = _code_mask(q)
+            m = next((c for c in pat.finditer(q) if mask[c.start()]), None)
+            if m is None:
+                break
+            inner_end = _close(q, m.end())  # past the inner fn's ')'
+            outer_end = _close(q, inner_end)  # past cardinality's ')'
+            arg = q[m.end() : inner_end - 1]
+            q = (
+                q[: m.start()]
+                + f"CAST(hll_sketch_estimate({inner_fn}({arg})) AS BIGINT)"
+                + q[outer_end:]
+            )
+    # bare (un-composed) spellings — mask-aware so literals/comments
+    # stay untouched.  merge() is unambiguous in Trino (the sketch
+    # union aggregate); MERGE INTO statements never reach translate
+    # with a call-shaped merge(
+    for head, repl in (
+        (_APPROX_SET_HEAD, "hll_sketch_agg("),
+        (_MERGE_AGG_HEAD, "hll_union_agg("),
+    ):
+        while True:
+            mask = _code_mask(q)
+            m = next((c for c in head.finditer(q) if mask[c.start()]), None)
+            if m is None:
+                break
+            q = q[: m.start()] + repl + q[m.end():]
+    return q
+
+
 _GEOMEAN_HEAD = re.compile(r"\bgeometric_mean\s*\(", re.IGNORECASE)
 _CHECKSUM_HEAD = re.compile(r"\bchecksum\s*\(", re.IGNORECASE)
 _HISTOGRAM_HEAD = re.compile(r"\bhistogram\s*\(", re.IGNORECASE)
@@ -1757,6 +1833,7 @@ def translate(query: str) -> str:
     query = _rewrite_date_parse(query)
     query = _rewrite_decimal_literal(query)
     query = _rewrite_parse_duration(query)
+    query = _rewrite_hll_sketches(query)
     query = _rewrite_at_time_zone(query)
     query = _rewrite_extract_epoch(query)
     query = _rewrite_regexp_extract_all(query)

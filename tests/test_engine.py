@@ -298,3 +298,33 @@ def test_show_family_metadata_sql_passes_gate(spark, sf_dir):
             assert check(rows), q
     finally:
         spark.sql("DROP TABLE IF EXISTS show_family_t")
+
+
+def test_sketch_reaggregation_accuracy(spark, sf_dir):
+    """a20: region-level estimates from UNIONED per-nation sketches must
+    track the exact distinct counts (±5%) — the reaggregation must not
+    double-count customers that appear under one nation."""
+    from mcp_trino_spark import registry
+
+    got = {
+        r["n_regionkey"]: r["approx_distinct_customers"]
+        for r in registry.queries()["a20_sketch_reaggregate"](
+            spark, sf_dir
+        ).collect()
+    }
+    from pyspark.sql import functions as F
+
+    from mcp_trino_spark.sources.catalog import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    exact = {
+        r["n_regionkey"]: r["n"]
+        for r in c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey")
+        .agg(F.countDistinct("c_custkey").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k in exact:
+        assert abs(got[k] - exact[k]) <= max(2, 0.05 * exact[k]), (k, got[k], exact[k])

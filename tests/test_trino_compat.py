@@ -1008,3 +1008,28 @@ def test_parse_duration_non_literal_fails_loudly():
     # inside a literal: untouched
     lit = "SELECT 'parse_duration(colx)' AS s"
     assert translate(lit) == lit
+
+
+def test_hll_sketch_dialect(spark):
+    """Trino approx_set / merge / cardinality → Spark Datasketches HLL;
+    array/map cardinality stays native."""
+    assert (
+        translate("SELECT cardinality(approx_set(x)) FROM t")
+        == "SELECT CAST(hll_sketch_estimate(hll_sketch_agg(x)) AS BIGINT) FROM t"
+    )
+    assert (
+        translate("SELECT cardinality(merge(s)) FROM g")
+        == "SELECT CAST(hll_sketch_estimate(hll_union_agg(s)) AS BIGINT) FROM g"
+    )
+    q = "SELECT cardinality(arr) FROM t"
+    assert translate(q) == q
+    lit = "SELECT 'cardinality(approx_set(x))' AS s"
+    assert translate(lit) == lit
+    rows = run(
+        spark,
+        "SELECT cardinality(merge(s)) AS n FROM "
+        "(SELECT c_nationkey, approx_set(c_custkey) AS s "
+        "FROM customer GROUP BY c_nationkey)",
+    )
+    n_exact = run(spark, "SELECT COUNT(DISTINCT c_custkey) AS n FROM customer")[0]["n"]
+    assert abs(rows[0]["n"] - n_exact) <= max(2, 0.05 * n_exact)

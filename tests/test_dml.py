@@ -455,3 +455,53 @@ def test_partitioned_merge_of_partition_column_falls_back(spark, ptarget):
     assert n == 1
     got = {(r.k, r.status) for r in spark.table(name).collect()}
     assert (5, "Z") in got and len(got) == 5
+
+
+def test_partition_value_escaping_matches_spark_writer(spark, tmp_path):
+    """_escape_partition_value must reproduce EXACTLY the directory name
+    Spark's writer creates — a mismatch would make the bounded commit
+    rename the wrong (or no) directory.  Covers the full unsafe-char
+    set, unicode, spaces, and NULL."""
+    import os
+
+    from mcp_trino_spark.sources.dml import _escape_partition_value
+
+    values = [
+        "plain", "has space", 'quo"te', "pct%20", "hash#1", "apo'x",
+        "star*", "slash/es", "colon:y", "eq=z", "q?m", "back\\s",
+        "brace{b", "brack[x]", "caret^v", "uni-héllo", "tab\tchar",
+        "newline\nx", None, "__HIVE_DEFAULT_PARTITION__x", "dot.dot",
+    ]
+    loc = str(tmp_path / "esc_t")
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "i int, p string"
+    ).write.partitionBy("p").parquet(loc)
+    dirs = {d for d in os.listdir(loc) if d.startswith("p=")}
+    for v in values:
+        # NULL also writes as p=<marker> (matches _partition_relpath)
+        expect = f"p={_escape_partition_value(v)}"
+        assert expect in dirs, (v, expect, sorted(dirs))
+
+
+def test_partitioned_update_with_special_char_value(spark, tmp_path, request):
+    """End-to-end: bounded UPDATE on a partition whose value needs
+    percent-escaping must rewrite exactly that directory."""
+    name = "dml_esc_upd"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    loc = str(tmp_path / name)
+    spark.createDataFrame(
+        [Row(k=1, v=1.0, status="a:b"), Row(k=2, v=2.0, status="plain")]
+    ).write.partitionBy("status").parquet(loc)
+    spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{loc}'")
+    spark.sql(f"MSCK REPAIR TABLE {name}")
+    try:
+        before = _snapshot(loc)
+        assert update_table(spark, name, {"v": "9.0"}, "status = 'a:b'") == 1
+        after = _snapshot(loc)
+        assert {p: s for p, s in before.items() if "plain" in p} == {
+            p: s for p, s in after.items() if "plain" in p
+        }
+        got = {(r.k, r.v, r.status) for r in spark.table(name).collect()}
+        assert got == {(1, 9.0, "a:b"), (2, 2.0, "plain")}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -505,3 +505,28 @@ def test_partitioned_update_with_special_char_value(spark, tmp_path, request):
         assert got == {(1, 9.0, "a:b"), (2, 2.0, "plain")}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_partition_escaping_int_and_date_types(spark, tmp_path):
+    """Int and date partition columns — the two most common real-world
+    partition types — must also round-trip through the bounded commit's
+    path builder."""
+    import datetime
+    import os
+
+    from mcp_trino_spark.sources.dml import _partition_relpath
+
+    loc = str(tmp_path / "esc_int")
+    spark.createDataFrame([(1, 10), (2, 20)], "i int, p int").write.partitionBy(
+        "p"
+    ).parquet(loc)
+    for v in (10, 20):
+        assert _partition_relpath(["p"], (v,)) in os.listdir(loc)
+
+    loc2 = str(tmp_path / "esc_date")
+    spark.createDataFrame(
+        [(1, datetime.date(2026, 8, 14)), (2, datetime.date(2026, 1, 2))],
+        "i int, p date",
+    ).write.partitionBy("p").parquet(loc2)
+    for v in (datetime.date(2026, 8, 14), datetime.date(2026, 1, 2)):
+        assert _partition_relpath(["p"], (v,)) in os.listdir(loc2)

@@ -76,9 +76,14 @@ _COMPAT_SQL_UDFS = {
     "day_of_year": ("(d TIMESTAMP)", "INT", "dayofyear(d)"),
     "day_of_month": ("(d TIMESTAMP)", "INT", "dayofmonth(d)"),
     "week_of_year": ("(d TIMESTAMP)", "INT", "weekofyear(d)"),
-    "json_extract_scalar": ("(j STRING, p STRING)", "STRING", "get_json_object(j, p)"),
-    "json_extract": ("(j STRING, p STRING)", "STRING", "get_json_object(j, p)"),
-    "to_unixtime": ("(t TIMESTAMP)", "DOUBLE", "CAST(unix_timestamp(t) AS DOUBLE)"),
+    # json_extract_scalar / json_extract are Arrow UDFs (installed in
+    # install_compat_functions): get_json_object returns serialized JSON
+    # for object/array matches where Trino's _scalar returns NULL, and
+    # returns UNQUOTED strings where Trino's json_extract returns JSON
+    # text — exact semantics need a real JSON walk
+    # fractional seconds preserved: unix_timestamp() truncates to whole
+    # seconds, Trino to_unixtime returns a DOUBLE with sub-second part
+    "to_unixtime": ("(t TIMESTAMP)", "DOUBLE", "CAST(unix_micros(t) AS DOUBLE) / 1e6"),
     "from_iso8601_timestamp": ("(s STRING)", "TIMESTAMP", "to_timestamp(s)"),
     "from_iso8601_date": ("(s STRING)", "DATE", "to_date(s)"),
     # Trino truncate(x): round toward zero
@@ -109,7 +114,13 @@ _COMPAT_SQL_UDFS = {
         " END",
     ),
     # Trino to_base emits lowercase digits; Spark conv uppercases
-    "to_base": ("(x BIGINT, r INT)", "STRING", "lower(conv(CAST(x AS STRING), 10, r))"),
+    "to_base": (
+        "(x BIGINT, r INT)", "STRING",
+        # signed form: Trino renders -255 as '-ff'; Spark conv would
+        # emit the unsigned two's-complement digits
+        "IF(x < 0, concat('-', lower(conv(CAST(-x AS STRING), 10, r))),"
+        " lower(conv(CAST(x AS STRING), 10, r)))",
+    ),
     # bare week() == week_of_year (Trino alias)
     "week": ("(d TIMESTAMP)", "INT", "weekofyear(d)"),
     # url_extract_* family over Spark's codegen'd parse_url.  parse_url
@@ -197,12 +208,21 @@ _COMPAT_SQL_UDFS = {
     "bitwise_or": ("(a BIGINT, b BIGINT)", "BIGINT", "a | b"),
     "bitwise_xor": ("(a BIGINT, b BIGINT)", "BIGINT", "a ^ b"),
     "bitwise_not": ("(a BIGINT)", "BIGINT", "~a"),
-    "bitwise_left_shift": ("(a BIGINT, s INT)", "BIGINT", "shiftleft(a, s)"),
+    # shift >= 64 yields 0 in Trino; Java (Spark) masks the shift to
+    # s & 63, silently returning the unshifted value
+    "bitwise_left_shift": (
+        "(a BIGINT, s INT)", "BIGINT",
+        "IF(s >= 64, CAST(0 AS BIGINT), shiftleft(a, s))",
+    ),
     "bitwise_right_shift": (
-        "(a BIGINT, s INT)", "BIGINT", "shiftrightunsigned(a, s)",
+        "(a BIGINT, s INT)", "BIGINT",
+        "IF(s >= 64, CAST(0 AS BIGINT), shiftrightunsigned(a, s))",
     ),
     "bitwise_right_shift_arithmetic": (
-        "(a BIGINT, s INT)", "BIGINT", "shiftright(a, s)",
+        "(a BIGINT, s INT)", "BIGINT",
+        # arithmetic shift sign-fills: >= 64 collapses to all-sign bits
+        "IF(s >= 64, IF(a < 0, CAST(-1 AS BIGINT), CAST(0 AS BIGINT)),"
+        " shiftright(a, s))",
     ),
     # Trino cosine_similarity over sparse map vectors (the dense-array
     # form lives in the similarity operators); iterate a's keys for the
@@ -215,7 +235,11 @@ _COMPAT_SQL_UDFS = {
         " / (sqrt(aggregate(map_values(a), 0D, (s, v) -> s + v * v))"
         " * sqrt(aggregate(map_values(b), 0D, (s, v) -> s + v * v)))",
     ),
-    "from_base": ("(s STRING, r INT)", "BIGINT", "CAST(conv(s, r, 10) AS BIGINT)"),
+    "from_base": (
+        "(s STRING, r INT)", "BIGINT",
+        "IF(s LIKE '-%', -CAST(conv(substr(s, 2), r, 10) AS BIGINT),"
+        " CAST(conv(s, r, 10) AS BIGINT))",
+    ),
     # sha256 is not a Spark builtin name (Spark spells it sha2(x, 256)
     # and returns hex); Trino returns varbinary, hence the unhex
     "sha256": ("(x BINARY)", "BINARY", "unhex(sha2(x, 256))"),
@@ -265,7 +289,6 @@ _RENAMES = [
     (re.compile(r"\bstarts_with\s*\(", re.IGNORECASE), "startswith("),
     # bare localtimestamp keyword (Trino) → Spark's function call form
     (re.compile(r"\blocaltimestamp\b(?!\s*\()", re.IGNORECASE), "localtimestamp()"),
-    (re.compile(r"\bsplit_to_map\s*\(", re.IGNORECASE), "str_to_map("),
     (re.compile(r"\bregexp_split\s*\(", re.IGNORECASE), "split("),
     (re.compile(r"\bbitwise_and_agg\s*\(", re.IGNORECASE), "bit_and("),
     (re.compile(r"\bbitwise_or_agg\s*\(", re.IGNORECASE), "bit_or("),
@@ -306,8 +329,11 @@ _RENAMES = [
     ),
     # ANSI FETCH FIRST n ROWS ONLY → LIMIT n
     (
-        re.compile(r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b", re.IGNORECASE),
-        r"LIMIT \1",
+        re.compile(
+            r"\bFETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+ONLY\b",
+            re.IGNORECASE,
+        ),
+        lambda m: f"LIMIT {m.group(1) or 1}",
     ),
     # Trino clause order is OFFSET then LIMIT; Spark parses LIMIT first
     (
@@ -376,7 +402,96 @@ def install_compat_functions(spark) -> None:
         "s": pd.Series, "form": pd.Series, "return": pd.Series,
     }
     spark.udf.register("unicode_normalize", pandas_udf(_normalize_impl, "string"))
+
+    # Exact Trino JSON-path semantics (see the note in _COMPAT_SQL_UDFS):
+    # json_extract_scalar → NULL for object/array matches, scalar text
+    # otherwise; json_extract → JSON-serialized value (strings QUOTED).
+    # Malformed JSON documents yield NULL (Trino json functions treat
+    # undecodable input as no-match); malformed PATHS raise — a path is
+    # query text, not data.
+    import json as _json
+
+    def _walk(doc: str, path: str):
+        toks = _json_path_tokens(path)  # raises on bad path
+        try:
+            v = _json.loads(doc)
+        except (ValueError, TypeError):
+            return False, None
+        for t in toks:
+            if isinstance(t, str) and isinstance(v, dict) and t in v:
+                v = v[t]
+            elif isinstance(t, int) and isinstance(v, list) and 0 <= t < len(v):
+                v = v[t]
+            else:
+                return False, None
+        return True, v
+
+    def _jes_impl(j, p):
+        out = []
+        for doc, path in zip(j, p):
+            if doc is None or path is None:
+                out.append(None)
+                continue
+            found, v = _walk(doc, path)
+            if not found or v is None or isinstance(v, (dict, list)):
+                out.append(None)
+            elif isinstance(v, bool):
+                out.append("true" if v else "false")
+            elif isinstance(v, str):
+                out.append(v)
+            else:
+                out.append(_json.dumps(v))
+        return pd.Series(out, dtype="object")
+
+    def _je_impl(j, p):
+        out = []
+        for doc, path in zip(j, p):
+            if doc is None or path is None:
+                out.append(None)
+                continue
+            found, v = _walk(doc, path)
+            out.append(
+                _json.dumps(v, separators=(",", ":")) if found else None
+            )
+        return pd.Series(out, dtype="object")
+
+    for fn in (_jes_impl, _je_impl):
+        fn.__annotations__ = {"j": pd.Series, "p": pd.Series, "return": pd.Series}
+    spark.udf.register("json_extract_scalar", pandas_udf(_jes_impl, "string"))
+    spark.udf.register("json_extract", pandas_udf(_je_impl, "string"))
     setattr(spark, _INSTALLED_ATTR, True)
+
+
+_JSON_PATH_STEP = re.compile(
+    r"\.(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
+    r"|\[\s*(?P<idx>\d+)\s*\]"
+    r'|\[\s*"(?P<qname>[^"]*)"\s*\]'
+)
+
+
+def _json_path_tokens(path: str):
+    """Parse the supported JSON-path subset ``$.k[0]["q"]...`` into
+    key/index tokens; anything else raises (a malformed path is a query
+    bug, never data)."""
+    if not isinstance(path, str) or not path.startswith("$"):
+        raise ValueError(f"unsupported JSON path {path!r} (must start with $)")
+    toks: list = []
+    i = 1
+    while i < len(path):
+        m = _JSON_PATH_STEP.match(path, i)
+        if m is None:
+            raise ValueError(
+                f"unsupported JSON path step at {path[i:]!r} "
+                "(supported: $.name, [idx], [\"name\"])"
+            )
+        if m.group("name") is not None:
+            toks.append(m.group("name"))
+        elif m.group("qname") is not None:
+            toks.append(m.group("qname"))
+        else:
+            toks.append(int(m.group("idx")))
+        i = m.end()
+    return toks
 
 
 def _segments(q: str) -> Iterator[Tuple[bool, str]]:
@@ -573,6 +688,43 @@ def _rewrite_split(q: str) -> str:
         pos = m.start() + len("split(")
 
 
+_SPLIT_TO_MAP_HEAD = re.compile(r"\bsplit_to_map\s*\(", re.IGNORECASE)
+
+
+def _rewrite_split_to_map(q: str) -> str:
+    """Trino ``split_to_map(s, entryDelim, kvDelim)`` treats both
+    delimiters as LITERALS; Spark's same-arity ``str_to_map`` reads
+    them as regexes (``'|'`` would match the empty string and explode
+    every character).  Literal delimiters get regex-escaped, exactly
+    like _rewrite_split; non-literal delimiters raise."""
+    import re as _re
+
+    pos = 0
+    while True:
+        found = _find_call(q, _SPLIT_TO_MAP_HEAD, pos)
+        if found is None:
+            return q
+        m, b0, b1 = found
+        args = _split_top_args(q[b0:b1])
+        if len(args) != 3:
+            raise TrinoCompatError(
+                "split_to_map() takes (string, entryDelimiter, keyValueDelimiter)"
+            )
+        for k in (1, 2):
+            delim = args[k]
+            if not (len(delim) >= 2 and delim[0] == "'" and delim[-1] == "'"):
+                raise TrinoCompatError(
+                    "split_to_map() delimiters must be string literals "
+                    "(Trino treats them literally; Spark str_to_map as "
+                    "regexes)"
+                )
+            content = delim[1:-1].replace("''", "'")
+            escaped = _re.escape(content).replace("\\", "\\\\").replace("'", "''")
+            args[k] = f"'{escaped}'"
+        q = q[: m.start()] + f"str_to_map({', '.join(args)})" + q[b1 + 1 :]
+        pos = m.start() + len("str_to_map(")
+
+
 _PARSE_DT_HEAD = re.compile(r"\bparse_datetime\s*\(", re.IGNORECASE)
 
 
@@ -635,17 +787,40 @@ _TRY_FNS = {
 _TRY_HEAD = re.compile(r"\btry\s*\(", re.IGNORECASE)
 _TRY_CAST = re.compile(r"^\s*CAST\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL)
 _TRY_CALL = re.compile(r"^\s*(\w+)\s*\((.*)\)\s*$", re.DOTALL)
-_TRY_BINOPS = [("/", "try_divide"), ("%", "try_mod"), ("*", "try_multiply"),
-               ("+", "try_add"), ("-", "try_subtract")]
+_TRY_BINOP_FN = {"+": "try_add", "-": "try_subtract", "*": "try_multiply",
+                 "/": "try_divide", "%": "try_mod"}
+_TRY_BINOP_PREC = {"+": 1, "-": 1, "*": 2, "/": 2, "%": 2}
 
 
-def _split_top_binop(body: str, op: str):
-    """Split ``body`` at the LAST top-level occurrence of ``op`` (left
-    associativity), or None.  '-' at expression start / after another
-    operator is unary, not a split point."""
+def _is_exponent_sign(body: str, i: int) -> bool:
+    """True iff the +/- at ``i`` is the exponent sign of a numeric
+    literal like ``1e-3`` (the preceding token is digits[.digits] + e/E
+    and a digit follows) — splitting there would corrupt the literal."""
+    if i + 1 >= len(body) or not body[i + 1].isdigit():
+        return False
+    prev = body[:i].rstrip()
+    if not prev or prev[-1] not in "eE":
+        return False
+    j = len(prev) - 2
+    saw_digit = False
+    while j >= 0 and (prev[j].isdigit() or prev[j] == "."):
+        saw_digit = saw_digit or prev[j].isdigit()
+        j -= 1
+    # the char before the mantissa must not extend an identifier
+    # (column ``x2e`` minus 3 is subtraction, not an exponent)
+    return saw_digit and (j < 0 or not (prev[j].isalnum() or prev[j] == "_"))
+
+
+def _split_top_binop_any(body: str):
+    """Split ``body`` at its top-level ROOT operator: the
+    lowest-precedence binary op, rightmost among equals (left
+    associativity) — `1 + 4 / 2` roots at '+', never at '/'.
+    Returns (left, op, right) or None.  '-'/'+' at expression start,
+    after another operator, or as a literal's exponent sign are not
+    split points."""
     mask = _code_mask(body)
     depth = 0
-    best = -1
+    best = None  # (precedence, index, op); lowest prec wins, then rightmost
     for i, ch in enumerate(body):
         if not mask[i]:
             continue
@@ -653,14 +828,19 @@ def _split_top_binop(body: str, op: str):
             depth += 1
         elif ch == ")":
             depth -= 1
-        elif ch == op and depth == 0:
+        elif ch in _TRY_BINOP_FN and depth == 0:
             prev = body[:i].rstrip()
             if not prev or prev[-1] in "+-*/%(,<>=":
                 continue  # unary sign or operator continuation
-            best = i
-    if best < 0:
+            if ch in "+-" and _is_exponent_sign(body, i):
+                continue
+            p = _TRY_BINOP_PREC[ch]
+            if best is None or p < best[0] or (p == best[0] and i > best[1]):
+                best = (p, i, ch)
+    if best is None:
         return None
-    return body[:best], body[best + 1 :]
+    _, i, ch = best
+    return body[:i], ch, body[i + 1 :]
 
 
 def _paren_balanced(expr: str) -> bool:
@@ -690,21 +870,21 @@ def _try_replacement(body: str) -> str:
     m = _TRY_CALL.match(body)
     if m and m.group(1).lower() in _TRY_FNS and _paren_balanced(m.group(2)):
         return f"{_TRY_FNS[m.group(1).lower()]}({m.group(2)})"
-    for op, fn in _TRY_BINOPS:
-        parts = _split_top_binop(body, op)
-        if parts:
-            # each operand that is itself a try-able shape gets its own
-            # NULL-on-error wrapper, so try(CAST(a…)+CAST(b…)) guards
-            # the casts too (NULL operand → NULL result, matching
-            # Trino's whole-expression try semantics); plain operands
-            # pass through
-            def _guard(p: str) -> str:
-                try:
-                    return _try_replacement(p)
-                except TrinoCompatError:
-                    return p.strip()
+    parts = _split_top_binop_any(body)
+    if parts:
+        left, op, right = parts
+        # each operand that is itself a try-able shape gets its own
+        # NULL-on-error wrapper, so try(CAST(a…)+CAST(b…)) guards
+        # the casts too (NULL operand → NULL result, matching
+        # Trino's whole-expression try semantics); plain operands
+        # pass through
+        def _guard(p: str) -> str:
+            try:
+                return _try_replacement(p)
+            except TrinoCompatError:
+                return p.strip()
 
-            return f"{fn}({_guard(parts[0])}, {_guard(parts[1])})"
+        return f"{_TRY_BINOP_FN[op]}({_guard(left)}, {_guard(right)})"
     raise TrinoCompatError(
         f"try({body.strip()[:60]}...): no Spark try_* equivalent for this "
         "expression shape (supported: CAST, element_at, to_timestamp, "
@@ -742,7 +922,6 @@ def _rewrite_try(q: str) -> str:
 #: (C century, e numeric day-of-week) raise.
 _JODA_RUN = {
     "Y": "y",    # Joda Y = year-of-era; Spark Y = week-based-year (!)
-    "x": "Y",    # Joda x = week-year
     "Z": "xx",   # +0800
     "ZZ": "xxx",  # +08:00
     "ZZZ": "VV",  # zone id
@@ -778,7 +957,15 @@ def _translate_joda(pattern: str) -> str:
                     f"format_datetime pattern letter {ch!r} (Joda) has no "
                     "Spark equivalent"
                 )
-            if ch in ("Y", "x"):
+            if ch == "x":
+                # Joda week-year: Spark's formatter rejects week-based
+                # year patterns outright — fail with a real message
+                # instead of an opaque runtime formatter error
+                raise TrinoCompatError(
+                    "Joda week-year pattern 'x' has no Spark formatter "
+                    "equivalent (use year_of_week()/yow() instead)"
+                )
+            if ch == "Y":
                 out.append(_JODA_RUN[ch] * len(run))
             elif ch == "Z":
                 out.append(_JODA_RUN[run if len(run) <= 3 else "ZZZ"])
@@ -1825,6 +2012,7 @@ def translate(query: str) -> str:
     query = _rewrite_format_datetime(query)
     query = _rewrite_parse_datetime(query)
     query = _rewrite_split(query)
+    query = _rewrite_split_to_map(query)
     query = _rewrite_map_agg(query)
     query = _rewrite_cast_types(query)
     query = _rewrite_from_unixtime(query)

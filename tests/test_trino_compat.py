@@ -1033,3 +1033,102 @@ def test_hll_sketch_dialect(spark):
     )
     n_exact = run(spark, "SELECT COUNT(DISTINCT c_custkey) AS n FROM customer")[0]["n"]
     assert abs(rows[0]["n"] - n_exact) <= max(2, 0.05 * n_exact)
+
+
+# --- round-3 review fixes: precedence, literal delimiters, exact edge
+# semantics ------------------------------------------------------------------
+
+
+def test_try_mixed_operator_precedence(spark):
+    """try() must split at the ROOT (lowest-precedence) operator —
+    splitting at '/' first turned 1 + 4/2 into (1+4)/2."""
+    assert (
+        translate("SELECT try(1 + 4 / 2)")
+        == "SELECT try_add(1, try_divide(4, 2))"
+    )
+    assert (
+        translate("SELECT try(a / b % c)")
+        == "SELECT try_mod(try_divide(a, b), c)"
+    )
+    rows = run(spark, "SELECT try(1 + 4 / 2) AS v, try(10 - 2 * 3) AS w")
+    assert rows[0] == {"v": 3.0, "w": 4}
+
+
+def test_try_scientific_notation_not_split(spark):
+    assert translate("SELECT try(x - 1e-3)") == "SELECT try_subtract(x, 1e-3)"
+    rows = run(spark, "SELECT try(1.0 - 1e-3) AS v")
+    assert rows[0]["v"] == pytest.approx(0.999)
+
+
+def test_split_to_map_literal_delimiters(spark):
+    """Trino's delimiters are literal; '|' as a Spark regex would match
+    the empty string and explode every character."""
+    rows = run(spark, "SELECT split_to_map('a=1|b=2', '|', '=') AS v")
+    assert rows[0]["v"] == {"a": "1", "b": "2"}
+    rows = run(spark, "SELECT split_to_map('a.1,b.2', ',', '.') AS v")
+    assert rows[0]["v"] == {"a": "1", "b": "2"}
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    with pytest.raises(TrinoCompatError, match="literal"):
+        translate("SELECT split_to_map(s, d1, d2) FROM t")
+
+
+def test_bitwise_shift_ge_64(spark):
+    """Trino: shifts >= 64 collapse; Java masks the shift to s & 63."""
+    rows = run(
+        spark,
+        "SELECT bitwise_left_shift(1, 64) AS a, "
+        "bitwise_right_shift(-8, 64) AS b, "
+        "bitwise_right_shift_arithmetic(-8, 64) AS c, "
+        "bitwise_right_shift_arithmetic(8, 64) AS d",
+    )
+    assert rows[0] == {"a": 0, "b": 0, "c": -1, "d": 0}
+
+
+def test_to_base_from_base_signed(spark):
+    rows = run(
+        spark,
+        "SELECT to_base(-255, 16) AS a, to_base(255, 16) AS b, "
+        "from_base('-ff', 16) AS c, from_base('ff', 16) AS d",
+    )
+    assert rows[0] == {"a": "-ff", "b": "ff", "c": -255, "d": 255}
+
+
+def test_to_unixtime_subsecond(spark):
+    rows = run(
+        spark, "SELECT to_unixtime(TIMESTAMP '2024-01-01 00:00:00.123') AS v"
+    )
+    assert rows[0]["v"] == pytest.approx(1704067200.123, abs=1e-6)
+
+
+def test_json_extract_scalar_exact_semantics(spark):
+    """Trino: _scalar is NULL for object/array matches; json_extract
+    returns JSON text (strings quoted); malformed docs yield NULL."""
+    rows = run(
+        spark,
+        'SELECT json_extract_scalar(\'{"a":{"b":1}}\', \'$.a\') AS nonscalar, '
+        'json_extract_scalar(\'{"a":{"b":1}}\', \'$.a.b\') AS scalar, '
+        'json_extract(\'{"a":"x"}\', \'$.a\') AS quoted, '
+        'json_extract_scalar(\'{"arr":[10,20]}\', \'$.arr[1]\') AS idx, '
+        "json_extract_scalar('not json', '$.a') AS bad, "
+        'json_extract_scalar(\'{"t":true}\', \'$.t\') AS boolean'
+    )
+    assert rows[0] == {
+        "nonscalar": None, "scalar": "1", "quoted": '"x"',
+        "idx": "20", "bad": None, "boolean": "true",
+    }
+
+
+def test_fetch_first_row_only_countless(spark):
+    rows = run(
+        spark,
+        "SELECT n_nationkey FROM nation ORDER BY n_nationkey FETCH FIRST ROW ONLY",
+    )
+    assert [r["n_nationkey"] for r in rows] == [0]
+
+
+def test_joda_week_year_fails_loudly():
+    from mcp_trino_spark.trino_compat import TrinoCompatError, _translate_joda
+
+    with pytest.raises(TrinoCompatError, match="week-year"):
+        _translate_joda("xxxx-ww")

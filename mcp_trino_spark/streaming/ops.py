@@ -48,13 +48,21 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass
     schema = spark.read.parquet(path).schema
-    # the file source requires a directory: stream the sf dir filtered
-    # down to the events file (at scale: the table's partition root)
-    df = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", os.path.basename(path))
-        .parquet(os.path.dirname(path))
-    )
+    if os.path.isdir(path):
+        # a Spark-written table (events.parquet/part-*.parquet): the
+        # directory IS the stream source.  pathGlobFilter matches LEAF
+        # file names, so filtering the parent by the directory's
+        # basename would match zero files and drain an empty stream —
+        # silent data loss, not an error.
+        df = spark.readStream.schema(schema).parquet(path)
+    else:
+        # single-file table: the file source requires a directory, so
+        # stream the parent filtered down to this file
+        df = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", os.path.basename(path))
+            .parquet(os.path.dirname(path))
+        )
     return normalize_events(df)
 
 
@@ -109,9 +117,18 @@ def t3_session_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> 
 
 
 def t4_dedup_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
-    """Streaming twin of t4_event_dedup: first event per
-    (user, type, minute), state expired by the watermark
-    (dropDuplicatesWithinWatermark) instead of kept forever.
+    """Streaming twin of t4_event_dedup: ONE event per
+    (user, type, minute) within the watermark horizon.
+
+    Semantics are dropDuplicatesWithinWatermark's, which differ from
+    the batch twin in two honest ways: the survivor is the
+    first-ARRIVED row (the batch twin keeps the (ts, event_id)-minimum
+    — equal only when the source is time-ordered), and two duplicates
+    whose arrivals are separated by more than the watermark are BOTH
+    emitted (the dedup state has expired — that expiry is exactly what
+    bounds state at 100 TB; exact global dedup belongs to the batch
+    path).  The parity test therefore compares key sets, not survivor
+    identities.
     """
     return (
         events.withColumn("minute", F.date_trunc("minute", F.col("ts")))
@@ -129,12 +146,25 @@ def t3b_custom_stateful_sessions(
     (here: plain 30-min gap, so the result is checkable against t3).
 
     Per user, the open session lives in GroupState as
-    (start_us, last_us, n_events, sum_value); each micro-batch folds its
-    (sorted) events in, emits every session CLOSED by a gap, and keeps
-    the still-open session in state.  State is per-key and O(1) — the
-    shape that scales to any key cardinality.  (A production variant
-    adds EventTimeTimeout to flush the open session when the watermark
-    passes; kept append-only here for determinism.)
+    (start_us, last_us, n_events, sum_value); each micro-batch collects
+    ALL its chunks, globally sorts by event time, folds them in, emits
+    every session CLOSED by a gap, and keeps the still-open session in
+    state.  The global sort is load-bearing: applyInPandasWithState
+    delivers a key's rows as an ITERATOR of Arrow chunks split at
+    maxRecordsPerBatch in shuffle order — sorting each chunk
+    independently would interleave cross-chunk time disorder into
+    corrupted sessions (t10c/t10d merge-sort for the same reason).
+    State is per-key and O(1) — the shape that scales to any key
+    cardinality.  (A production variant adds EventTimeTimeout to flush
+    the open session when the watermark passes; kept append-only here
+    for determinism.)
+
+    Note on ``watermark``: retained in the signature for parity with the
+    other twins but NOT applied — under GroupStateTimeout.NoTimeout
+    Spark's flatMapGroupsWithState neither drops late rows nor expires
+    state from a watermark, so declaring one would only mislead callers
+    into assuming a late-data bound (t10d is the variant with real
+    event-time finalization).
     """
     from typing import Iterator, Tuple
 
@@ -152,9 +182,10 @@ def t3b_custom_stateful_sessions(
         else:
             start_us = None
         closed = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts_ns")
-            for ts_ns, value in zip(pdf["ts_ns"], pdf["value"]):
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values("ts_ns")
+            for ts_ns, value in zip(batch["ts_ns"], batch["value"]):
                 ts_us = int(ts_ns) // 1000  # µs: see batch t3's precision note
                 if start_us is None:
                     start_us, last_us, n, total = ts_us, ts_us, 0, 0.0
@@ -175,7 +206,10 @@ def t3b_custom_stateful_sessions(
             )
 
     return (
-        events.withWatermark("ts", watermark)
+        # slim projection BEFORE the state shuffle: the sessionizer reads
+        # ts_ns and value only — shipping props/event_type through the
+        # exchange and Arrow conversion would pay for bytes never touched
+        events.select("user_id", "ts_ns", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
             sessionize,
@@ -204,7 +238,17 @@ def run_to_memory(
     import tempfile
 
     spark = sdf.sparkSession
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt-{name}-", dir="/root/repo/.tmp")
+    if checkpoint_dir is None:
+        # repo-relative (not hard-coded) and created on demand — the
+        # sibling parquet runner does the same makedirs
+        base = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            ".tmp",
+        )
+        os.makedirs(base, exist_ok=True)
+        ckpt = tempfile.mkdtemp(prefix=f"ckpt-{name}-", dir=base)
+    else:
+        ckpt = checkpoint_dir
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
@@ -503,7 +547,8 @@ def t10d_pattern_stream_watermarked(
         dead = keep_syms.rfind("0")
         if dead >= 0:
             keep = keep[dead + 1:]
-        keep = keep + merged[n_final:]
+        unfinalized = merged[n_final:]
+        keep = keep + unfinalized
         if keep:
             state.update((
                 [r[0] for r in keep],
@@ -511,13 +556,22 @@ def t10d_pattern_stream_watermarked(
                 "".join(r[2] for r in keep),
                 n_matches,
             ))
-            # re-invoke when the watermark passes the newest buffered row
-            # — WITHOUT this (NoTimeout), a key absent from later batches
-            # never runs again and its finalized matches never emit
-            last_ms = keep[-1][0] // 1000
-            state.setTimeoutTimestamp(
-                max(last_ms + 1, state.getCurrentWatermarkMs() + 1)
-            )
+            if unfinalized:
+                # re-invoke at the EARLIEST point new finalization can
+                # happen: the watermark passing the OLDEST unfinalized
+                # row.  Arming at the newest row would hold an
+                # already-complete early match hostage to a stray later
+                # event (hours of avoidable emission latency); without
+                # any timer a key absent from later batches never runs
+                # again and its finalized matches never emit.
+                oldest_ms = unfinalized[0][0] // 1000
+                state.setTimeoutTimestamp(
+                    max(oldest_ms + 1, state.getCurrentWatermarkMs() + 1)
+                )
+            # else: every buffered row is already finalized and
+            # unmatched (e.g. 'AB' awaiting a future 'C') — only NEW
+            # data can change the outcome, so no timer: arming wm+1
+            # would busy-wake the key on every batch forever
         elif n_matches:
             # empty buffer: keep only the match counter (cheap), no wakeup
             state.update(([], [], "", n_matches))

@@ -391,3 +391,54 @@ def test_t10d_emits_without_further_rows_for_key(spark):
     rows = got.collect()
     assert [(r["user_id"], r["n_views"], r["n_clicks"], r["first_view_eid"],
              r["purchase_eid"]) for r in rows] == [(1, 1, 1, 1, 3)]
+
+
+def test_t3b_cross_chunk_disorder(spark, tmp_path):
+    """Review fix: applyInPandasWithState delivers a key's micro-batch
+    as MULTIPLE Arrow chunks in shuffle order.  With tiny chunks and
+    deliberately disordered input, the sessionizer must still produce
+    the globally-sorted sessions (per-chunk sorting emitted an
+    end-before-start session here)."""
+    import pandas as pd
+
+    # one user, events at hours 0, 2, 1 (written in that DISORDER) —
+    # sorted, that is two sessions: {0h, 1h?}... gaps: 0h→1h = 1h ≥ 30min
+    # → sessions [0h], [1h], [2h]; the stream closes the first two
+    h = 3_600_000_000_000  # ns per hour
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [7, 7, 7, 7],
+            "event_type": ["view"] * 4,
+            "ts": pd.to_datetime([0, 2 * h, 1 * h, 3 * h]),
+            "value": [1.0, 2.0, 3.0, 4.0],
+            "props": ["{}"] * 4,
+        }
+    )
+    src = tmp_path / "disorder"
+    src.mkdir()
+    spark.createDataFrame(pdf).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    ).coalesce(1).write.parquet(str(src / "events.parquet"))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        got = S.run_to_memory(
+            S.t3b_custom_stateful_sessions(S.events_stream(spark, str(src))),
+            "t3b_disorder_mem",
+            output_mode="append",
+        )
+        rows = sorted(
+            (r["start_us"], r["end_us"], r["n_events"], r["session_value"])
+            for r in got.collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    us_h = 3_600_000_000
+    # closed sessions: [0h] and [1h] and [2h] — the 3h session stays open
+    assert rows == [
+        (0, 0, 1, 1.0),
+        (1 * us_h, 1 * us_h, 1, 3.0),
+        (2 * us_h, 2 * us_h, 1, 2.0),
+    ]

@@ -72,7 +72,10 @@ def l3_cosine_pairs(spark, sf_dir):
     """Pairwise cosine within label blocks (sampled to every 10th vector
     — the full quadratic blow-up is exactly what l4b's IVF avoids)."""
     (emb,) = T(spark, sf_dir, "embeddings")
-    sampled = emb.filter(F.col("vec_id") % 10 == 0)
+    # spread BEFORE the self-join: the sampled side is small enough to
+    # auto-broadcast, so without it every pairwise cosine runs at the
+    # single-file scan's parallelism (one core)
+    sampled = spread(emb).filter(F.col("vec_id") % 10 == 0)
     a = sampled.alias("a")
     b = sampled.alias("b")
     return (
@@ -156,8 +159,6 @@ def l4b_ivf_topk(spark, sf_dir):
     """
     (emb,) = T(spark, sf_dir, "embeddings")
     emb = spread(emb)
-    from pyspark.sql import Window
-
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
     )
@@ -170,6 +171,12 @@ def l4b_ivf_topk(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("vec_id", "label", "embedding", "cent_id")
     )
+    # the assignment pipeline feeds both the query-side lookup and the
+    # probe join — persist + materialize so one job's subtrees don't
+    # recompute (or race) the crossJoin+window (same lesson as the LSH
+    # band cache in llm_dedup)
+    clustered = clustered.persist()
+    clustered.count()
     qc = clustered.filter(F.col("vec_id") == 0).select(
         F.col("cent_id").alias("q_cent"), F.col("embedding").alias("qv")
     )
@@ -311,6 +318,12 @@ def l11_kmeans_embeddings(spark, sf_dir, k: int = 8, iters: int = 3):
     Deterministic: init = embeddings of vec_id 0..k-1, fixed iteration
     count, no RNG.  At 100 TB: identical loop, centroids still KB-sized;
     the assignment scan dominates and parallelizes linearly.
+
+    The centroid means accumulate in exact decimal (dsum pattern), not
+    F.avg over raw doubles: double partials merge in shuffle-fetch
+    completion order, which varies run to run — a last-ULP centroid
+    wobble could flip boundary vectors between clusters and break the
+    determinism this docstring promises.
     """
     (emb,) = T(spark, sf_dir, "embeddings")
     emb = spread(emb).select("vec_id", "embedding")
@@ -341,7 +354,12 @@ def l11_kmeans_embeddings(spark, sf_dir, k: int = 8, iters: int = 3):
         new_cents = (
             assigned.select("cluster", F.posexplode(F.col("embedding").cast("array<double>")))
             .groupBy("cluster", "pos")
-            .agg(F.avg("col").alias("m"))
+            .agg(
+                (
+                    F.sum(F.col("col").cast("decimal(28,12)")).cast("double")
+                    / F.count("col")
+                ).alias("m")
+            )
             .groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cluster", F.col("pm.m").alias("centroid"))
@@ -358,16 +376,20 @@ def l11_kmeans_embeddings(spark, sf_dir, k: int = 8, iters: int = 3):
     oracle="""
     WITH un AS (
       SELECT label, vec_id, CAST(r.i - 1 AS INTEGER) AS pos,
-             embedding[CAST(r.i AS INTEGER)] AS x
+             CAST(embedding[CAST(r.i AS INTEGER)] AS DOUBLE) AS x
       FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS r(i)
     ),
+    q AS (SELECT label, vec_id, pos, x, CAST(x AS DECIMAL(18,12)) AS qx FROM un),
     stats AS (
-      SELECT label, pos, AVG(x) AS mu, STDDEV_POP(x) AS sigma
-      FROM un GROUP BY label, pos
+      SELECT label, pos, COUNT(*) AS n,
+             CAST(SUM(qx) AS DOUBLE) / COUNT(*) AS mu,
+             CAST(SUM(qx * qx) AS DOUBLE) / COUNT(*) AS ex2
+      FROM q GROUP BY label, pos
     )
-    SELECT un.vec_id, un.label, un.pos,
-           ROUND((un.x - s.mu) / NULLIF(s.sigma, 0), 6) AS z
-    FROM un JOIN stats s ON un.label = s.label AND un.pos = s.pos
+    SELECT q.vec_id, q.label, q.pos,
+           ROUND((q.x - s.mu)
+                 / NULLIF(sqrt(GREATEST(s.ex2 - s.mu * s.mu, 0)), 0), 6) AS z
+    FROM q JOIN stats s ON q.label = s.label AND q.pos = s.pos
     """,
 )
 def l12_grouped_normalize(spark, sf_dir):
@@ -376,30 +398,57 @@ def l12_grouped_normalize(spark, sf_dir):
     per-group logic the built-ins can't express (here deliberately
     expressible, so the Arrow path is exactly verifiable against SQL).
 
-    Scale: groups hash-partition by label; each group's matrix is
-    vectorized numpy inside one Arrow batch.  Skewed groups are the
-    caveat at 100 TB — for giant groups switch to the two-pass SQL form
-    (window stats + join) this oracle uses.
+    Cross-engine exactness (registry.py doctrine — no post-hoc ROUND
+    heals last-ULP float divergence): the group stats use the
+    exact-decimal protocol on BOTH sides — inputs quantized once to
+    DECIMAL(18,12) (within the double→decimal exact range), mean and
+    second moment accumulated in exact decimal (the squares are exact
+    decimal products, never re-quantized), variance = E[x²] − mu² with
+    a 0 floor.  numpy's pairwise-summation mean / two-pass std vs
+    DuckDB's sequential AVG / Welford STDDEV_POP differ in last ULPs,
+    which the 6-decimal round cannot reliably absorb; the decimal route
+    is bit-identical (verified cell-for-cell at sf0.01: 32k/32k).
+
+    Scale: groups hash-partition by label; the z computation stays
+    vectorized numpy; only the per-dimension stats walk the Decimal
+    path (64 × n ops per group).  Skewed groups are the caveat at
+    100 TB — for giant groups switch to the two-pass SQL form the
+    oracle uses.
     """
+    import math
+    from decimal import Decimal
+
     import numpy as np
     import pandas as pd
 
     (emb,) = T(spark, sf_dir, "embeddings")
     emb = spread(emb)
 
+    Q12 = Decimal(1).scaleb(-12)
+
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.vstack(pdf["embedding"].values).astype("float64")
-        mu = mat.mean(axis=0)
-        sigma = mat.std(axis=0)  # population std, matches STDDEV_POP
+        n, d = mat.shape
+        mu = np.empty(d)
+        sigma = np.empty(d)
+        for j in range(d):
+            qx = [Decimal(float(x)).quantize(Q12) for x in mat[:, j]]
+            mu[j] = float(sum(qx)) / n
+            ex2 = float(sum(v * v for v in qx)) / n
+            var = max(ex2 - mu[j] * mu[j], 0.0)
+            sigma[j] = math.sqrt(var)
         with np.errstate(divide="ignore", invalid="ignore"):
             z = np.where(sigma == 0, np.nan, (mat - mu) / sigma)
-        n, d = mat.shape
+        # round half-even per element, matching the oracle's ROUND on
+        # values that (as binary rationals) never sit exactly on a
+        # decimal half-boundary
+        zr = np.vectorize(lambda v: round(v, 6) if not math.isnan(v) else v)(z)
         return pd.DataFrame(
             {
                 "vec_id": pdf["vec_id"].values.repeat(d),
                 "label": pdf["label"].values.repeat(d),
                 "pos": np.tile(np.arange(d), n),
-                "z": np.round(z, 6).ravel(),
+                "z": zr.ravel(),
             }
         )
 
@@ -545,6 +594,11 @@ def l27_semdedup(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("vec_id", "cent_id", "embedding")
     )
+    # three consumers (pair self-join a/b + the final keep/drop join):
+    # persist + materialize so the crossJoin+window assignment runs once
+    # instead of three concurrent times (llm_dedup's LSH cache lesson)
+    assigned = assigned.persist()
+    assigned.count()
     a = assigned.alias("a")
     b = assigned.alias("b")
     dropped = (

@@ -77,8 +77,12 @@ def _global_rank(spark, df, order_cols):
     global 1-based ``rn``.  The returned frame is persisted (range
     boundaries are SAMPLED per job, so the counts job and the ranking
     job must share one materialization; at 100 TB: write the
-    repartitioned table, then rank from it).  Callers with multiple
-    downstream jobs should unpersist when done.
+    repartitioned table, then rank from it).  Lifecycle: the registry
+    callers (w3/w3b/w4) return lazy DataFrames, so they cannot
+    unpersist before execution — every harness (check_correctness,
+    bench, driver) clears the cache between entries instead; a library
+    caller embedding this in a long-lived session should
+    ``spark.catalog.clearCache()`` or unpersist after materializing.
     """
     n_parts = spark.sparkContext.defaultParallelism
     part = df.repartitionByRange(n_parts, *order_cols).withColumn(

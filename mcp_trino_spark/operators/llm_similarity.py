@@ -416,7 +416,7 @@ def l12_grouped_normalize(spark, sf_dir):
     oracle uses.
     """
     import math
-    from decimal import Decimal
+    from fractions import Fraction
 
     import numpy as np
     import pandas as pd
@@ -424,7 +424,19 @@ def l12_grouped_normalize(spark, sf_dir):
     (emb,) = T(spark, sf_dir, "embeddings")
     emb = spread(emb)
 
-    Q12 = Decimal(1).scaleb(-12)
+    TEN12 = 10 ** 12
+    TEN24 = 10 ** 24
+
+    def q12_int(x: float) -> int:
+        """round-half-even of x·10¹², computed EXACTLY via the double's
+        integer ratio — bit-identical to DECIMAL(18,12) quantization
+        (a float·1e12 product would double-round ~5e-4 of values)."""
+        p, q = x.as_integer_ratio()
+        m, r = divmod(p * TEN12, q)
+        r2 = r * 2
+        if r2 > q or (r2 == q and (m & 1)):
+            m += 1
+        return m
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.vstack(pdf["embedding"].values).astype("float64")
@@ -432,17 +444,26 @@ def l12_grouped_normalize(spark, sf_dir):
         mu = np.empty(d)
         sigma = np.empty(d)
         for j in range(d):
-            qx = [Decimal(float(x)).quantize(Q12) for x in mat[:, j]]
-            mu[j] = float(sum(qx)) / n
-            ex2 = float(sum(v * v for v in qx)) / n
+            ms = [q12_int(float(x)) for x in mat[:, j]]
+            # Fraction→float is a single correct rounding, matching
+            # DuckDB's one-step DECIMAL→DOUBLE conversion (int(S) then
+            # /1e12 would round twice)
+            mu[j] = float(Fraction(sum(ms), TEN12)) / n
+            ex2 = float(Fraction(sum(m * m for m in ms), TEN24)) / n
             var = max(ex2 - mu[j] * mu[j], 0.0)
             sigma[j] = math.sqrt(var)
         with np.errstate(divide="ignore", invalid="ignore"):
             z = np.where(sigma == 0, np.nan, (mat - mu) / sigma)
-        # round half-even per element, matching the oracle's ROUND on
-        # values that (as binary rationals) never sit exactly on a
-        # decimal half-boundary
-        zr = np.vectorize(lambda v: round(v, 6) if not math.isnan(v) else v)(z)
+        # round half-even per element via Python's correctly-rounded
+        # round() (np.round scales by 1e6 and double-rounds), matching
+        # the oracle's ROUND on values that (as binary rationals) never
+        # sit exactly on a decimal half-boundary
+        flat = z.ravel()
+        zr = np.fromiter(
+            (v if v != v else round(v, 6) for v in flat.tolist()),
+            dtype="float64",
+            count=flat.size,
+        )
         return pd.DataFrame(
             {
                 "vec_id": pdf["vec_id"].values.repeat(d),

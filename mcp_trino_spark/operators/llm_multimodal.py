@@ -78,7 +78,11 @@ def decode_stub(payload: bytes) -> dict:
     shape is exercised).  Raise NotImplementedError for real decoding.
     """
     if payload is None:
-        return {"n_bytes": 0, "byte_sum": 0, "first_byte": -1, "width": 0, "height": 0}
+        # NULL payload → NULL features (matching the SQL oracle, where
+        # every octet_length-derived column of a NULL input is NULL —
+        # zeros here would be a fabricated decode of nothing)
+        return {"n_bytes": None, "byte_sum": None, "first_byte": None,
+                "width": None, "height": None}
     n = len(payload)
     return {
         "n_bytes": n,
@@ -96,11 +100,16 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     Runs once per partition batch on executors — the shape a real
     GPU/codec stage would take (per-batch setup amortized, columnar
     transfer both ways)."""
+    cols = [f.name for f in MM_FEATURE_SCHEMA.fields]
     for pdf in batches:
+        if not len(pdf):
+            # a zero-row Arrow batch would make pd.DataFrame([]) have NO
+            # feature columns and the reindex below raise KeyError
+            continue
         feats = pdf["payload"].map(decode_stub)
         out = pd.DataFrame(list(feats))
         out.insert(0, "doc_id", pdf["doc_id"].values)
-        yield out[[f.name for f in MM_FEATURE_SCHEMA.fields]]
+        yield out[cols]
 
 
 @register(
@@ -166,18 +175,28 @@ def l9c_frame_sample(spark, sf_dir):
 def tokenize_count_udf(texts: pd.Series) -> pd.Series:
     """Vectorized (Arrow-batched) tokenizer UDF — the declared UDF
     surface.  A row-at-a-time @udf would be 10-100× slower; at 100 TB
-    the difference is the job."""
-    return texts.str.count(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]").astype("int64")
+    the difference is the job.
+
+    Uses the SHARED TOKEN_REGEX (llm_text), whose explicit whitespace
+    class makes Python re, Java regex and RE2 agree (\\s alone differs
+    across all three); NULL text stays NULL (str.count yields NaN and a
+    plain int64 cast would crash the job) — Int64 keeps the hole."""
+    from mcp_trino_spark.operators.llm_text import TOKEN_REGEX
+
+    return texts.str.count(TOKEN_REGEX).astype("Int64")
 
 
-@register(
-    "l10_udf_tokenizer",
-    oracle="""
+def _l10_oracle() -> str:
+    from mcp_trino_spark.operators.llm_text import TOKEN_REGEX
+
+    return f"""
     SELECT doc_id,
-           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
+           len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_tokens
     FROM documents
-    """,
-)
+    """
+
+
+@register("l10_udf_tokenizer", oracle=_l10_oracle())
 def l10_udf_tokenizer(spark, sf_dir):
     """pandas UDF tokenizer checked against the same regex evaluated by
     the oracle — demonstrates that the Python-UDF path produces results
@@ -217,13 +236,15 @@ def l10b_udtf_word_counts(spark, sf_dir):
                     yield w, c
 
     spark.udtf.register("word_counts", WordCounts)
-    from mcp_trino_spark.sources.catalog import register_tables
-
-    register_tables(spark, sf_dir)
+    (docs,) = T(spark, sf_dir, "documents")
+    # spread BEFORE the Python fan-out: the raw single-file view would
+    # pin the whole UDTF stage to one task (the exact hazard l9b/l10
+    # guard against); register the spread frame as the LATERAL source
+    spread(docs).createOrReplaceTempView("documents_spread")
     return spark.sql(
         """
         SELECT d.doc_id, t.word, t.cnt
-        FROM documents d, LATERAL word_counts(d.text) t
+        FROM documents_spread d, LATERAL word_counts(d.text) t
         """
     )
 

@@ -25,7 +25,14 @@ LANG_STOPWORDS = {
     "es": ["el", "la", "de", "que", "y", "los", "es", "por"],
 }
 
-TOKEN_REGEX = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"  # BPE-ish: word runs or single punct
+#: ASCII whitespace, spelled as an explicit class: Java \s includes
+#: \x0B where RE2 (DuckDB) does not, and Python \s adds Unicode
+#: spaces — three engines, three answers.  Every tokenizer/normalizer
+#: regex (Spark, oracle, pandas UDF) uses this class so all paths
+#: split identically on any input, not just the ASCII testdata.
+WS_CLASS = r" \t\n\x0B\f\r"
+WS_RE = rf"[{WS_CLASS}]+"
+TOKEN_REGEX = rf"[A-Za-z0-9]+|[^A-Za-z0-9{WS_CLASS}]"  # BPE-ish: word runs or single punct
 
 #: packing constants shared by l31 and the composed l30 pipeline —
 #: change here, not in one operator
@@ -36,7 +43,7 @@ PACK_SHARD_DOCS = 10_000
 def _norm_expr(col: str = "text"):
     """Canonical normalization (l14 and l30 must stay in lockstep):
     lowercase -> whitespace collapse -> trim."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(col), WS_RE, " "))
 
 
 def _pack_bins(toks):
@@ -60,8 +67,45 @@ def _pack_bins(toks):
     )
 
 
+def _md5_bucket(col):
+    """0-255 bucket from the first md5 byte of ``col`` (as a string
+    expression) — the shared deterministic-bucketing primitive behind
+    l19's split and l23's stratified sampling.  Hand-expanded hex-digit
+    math instead of conv() so the identical expression exists in the
+    DuckDB oracles; one definition here, the SQL twins must mirror it."""
+    hexmap = F.lit("0123456789abcdef")
+    h = F.md5(col)
+    return (F.instr(hexmap, F.substring(h, 1, 1)) - 1) * 16 + (
+        F.instr(hexmap, F.substring(h, 2, 1)) - 1
+    )
+
+
+#: quality-filter thresholds shared by l13 and the composed l30
+#: pipeline (mirrored in their oracles) — change here, not in one
+QUALITY_MIN_CHARS = 50
+QUALITY_MIN_ALPHA = 0.5
+
+
+def _alpha_ratio(col: str = "text"):
+    t = F.col(col)
+    return F.length(F.regexp_replace(t, "[^A-Za-z ]", "")).cast(
+        "double"
+    ) / F.greatest(F.length(t), F.lit(1))
+
+
+def _quality_pred(col: str = "text"):
+    """The l13/l30 quality gate: length ≥ QUALITY_MIN_CHARS and
+    alphabetic ratio > QUALITY_MIN_ALPHA (C4/Gopher-rule shape)."""
+    return (F.length(F.col(col)) >= QUALITY_MIN_CHARS) & (
+        _alpha_ratio(col) > QUALITY_MIN_ALPHA
+    )
+
+
 def _shard_col():
-    return F.floor(F.col("doc_id") / PACK_SHARD_DOCS).cast("bigint").alias("shard")
+    # exact integer division (DIV), matching the oracle's `//`: the
+    # float path (doc_id/10000 in double, then floor) loses exactness
+    # past 2^53 — 64-bit snowflake-style ids would shard-misassign
+    return F.expr(f"doc_id DIV {PACK_SHARD_DOCS}").cast("bigint").alias("shard")
 
 
 @register(
@@ -286,7 +330,7 @@ def l8b_langid(spark, sf_dir):
     "l8c_token_count",
     oracle=f"""
     SELECT doc_id,
-           len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+           len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS ws_tokens,
            len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS bpe_ish_tokens,
            CAST(CEIL(length(text) / 4.0) AS BIGINT) AS chars_div4_estimate
     FROM documents
@@ -299,7 +343,7 @@ def l8c_token_count(spark, sf_dir):
     t = F.col("text")
     return docs.select(
         "doc_id",
-        F.size(F.split(F.trim(t), r"\s+")).alias("ws_tokens"),
+        F.size(F.split(F.trim(t), WS_RE)).alias("ws_tokens"),
         F.regexp_count(t, F.lit(TOKEN_REGEX)).alias("bpe_ish_tokens"),
         F.ceil(F.length(t) / 4.0).cast("bigint").alias("chars_div4_estimate"),
     )
@@ -394,11 +438,7 @@ def l13_training_pipeline(spark, sf_dir):
     from pyspark.sql import Window
 
     (docs,) = T(spark, sf_dir, "documents")
-    alpha_ratio = (
-        F.length(F.regexp_replace("text", "[^A-Za-z ]", "")).cast("double")
-        / F.greatest(F.length("text"), F.lit(1))
-    )
-    quality = docs.filter((F.length("text") >= 50) & (alpha_ratio > 0.5)).select(
+    quality = docs.filter(_quality_pred()).select(
         "doc_id",
         "text",
         "lang",
@@ -421,9 +461,9 @@ def l13_training_pipeline(spark, sf_dir):
     "l14_text_normalize",
     oracle="""
     SELECT doc_id,
-           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text,
-           length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS n_chars_norm,
-           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_hash
+           trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm_text,
+           length(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS n_chars_norm,
+           md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS norm_hash
     FROM documents
     """,
 )
@@ -592,11 +632,7 @@ def l19_hash_split(spark, sf_dir):
     must have.  Pure narrow column math; scales trivially.
     """
     (docs,) = T(spark, sf_dir, "documents")
-    hexmap = F.lit("0123456789abcdef")
-    h = F.md5(F.col("doc_id").cast("string"))
-    bucket = (F.instr(hexmap, F.substring(h, 1, 1)) - 1) * 16 + (
-        F.instr(hexmap, F.substring(h, 2, 1)) - 1
-    )
+    bucket = _md5_bucket(F.col("doc_id").cast("string"))
     return docs.select(
         "doc_id",
         F.when(bucket < 230, "train")
@@ -711,10 +747,7 @@ def l23_stratified_sample(spark, sf_dir):
             ).alias("keep_below"),
         )
     )
-    h = F.md5(F.col("doc_id").cast("string"))
-    bucket = (F.instr(hexmap, F.substring(h, 1, 1)) - 1) * 16 + (
-        F.instr(hexmap, F.substring(h, 2, 1)) - 1
-    )
+    bucket = _md5_bucket(F.col("doc_id").cast("string"))
     return (
         docs.select("doc_id", "source", bucket.alias("bucket"))
         .join(F.broadcast(src_rates), "source")
@@ -869,7 +902,7 @@ def l28_unigram_logprob(spark, sf_dir):
     oracle="""
     WITH toks AS (
       SELECT doc_id, source, CAST(doc_id // 10000 AS BIGINT) AS shard,
-             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+             len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_tokens
       FROM documents
     ),
     cums AS (
@@ -899,7 +932,7 @@ def l31_sequence_packing(spark, sf_dir):
     the assignment stays rerun-stable at any cluster size.
     """
     (docs,) = T(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_tokens = F.size(F.split(F.trim(F.col("text")), WS_RE))
     toks = docs.select("doc_id", "source", _shard_col(), n_tokens.alias("n_tokens"))
     return _pack_bins(toks)
 
@@ -964,7 +997,7 @@ def l32_doc_chunking(spark, sf_dir):
     ),
     normed AS (
       SELECT doc_id, source,
-             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
+             trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm_text
       FROM quality
     ),
     deduped AS (
@@ -978,7 +1011,7 @@ def l32_doc_chunking(spark, sf_dir):
     ),
     toks AS (
       SELECT doc_id, source, CAST(doc_id // 10000 AS BIGINT) AS shard,
-             len(string_split_regex(norm_text, '\\s+')) AS n_tokens
+             len(string_split_regex(norm_text, '[ \\t\\n\\x0B\\f\\r]+')) AS n_tokens
       FROM deduped
     ),
     cums AS (
@@ -1011,10 +1044,7 @@ def l30_prep_pipeline(spark, sf_dir):
     from pyspark.sql import Window
 
     (docs,) = T(spark, sf_dir, "documents")
-    t = F.col("text")
-    alpha = (F.length(F.regexp_replace(t, "[^A-Za-z ]", "")).cast("double")
-             / F.greatest(F.length(t), F.lit(1)))
-    quality = docs.filter((F.length(t) >= 50) & (alpha > 0.5))
+    quality = docs.filter(_quality_pred())
     normed = quality.select("doc_id", "source", _norm_expr().alias("norm_text"))
     w_dedup = Window.partitionBy(F.md5("norm_text")).orderBy("doc_id")
     deduped = (
@@ -1025,6 +1055,6 @@ def l30_prep_pipeline(spark, sf_dir):
         "doc_id",
         "source",
         _shard_col(),
-        F.size(F.split(F.col("norm_text"), r"\s+")).alias("n_tokens"),
+        F.size(F.split(F.col("norm_text"), WS_RE)).alias("n_tokens"),
     )
     return _pack_bins(toks)

@@ -108,7 +108,9 @@ def test_decode_stub_deterministic():
     a = decode_stub(b"hello")
     assert a == decode_stub(b"hello")
     assert a["n_bytes"] == 5 and a["byte_sum"] == sum(b"hello")
-    assert decode_stub(None)["first_byte"] == -1
+    # NULL payload → NULL features, matching the l9b oracle (zeros
+    # would fabricate a decode of nothing and hash-mismatch)
+    assert all(v is None for v in decode_stub(None).values())
 
 
 def test_queryresult_json_stringifies_dates():
@@ -328,3 +330,41 @@ def test_sketch_reaggregation_accuracy(spark, sf_dir):
     assert set(got) == set(exact)
     for k in exact:
         assert abs(got[k] - exact[k]) <= max(2, 0.05 * exact[k]), (k, got[k], exact[k])
+
+
+def test_tokenizer_regex_engine_agreement():
+    """Review fix: Java, RE2 (DuckDB) and Python \\s disagree on \\x0B
+    and Unicode spaces; the shared TOKEN_REGEX spells the class out so
+    all three engines tokenize identically on the divergent inputs."""
+    import re
+
+    import duckdb
+
+    from mcp_trino_spark.operators.llm_text import TOKEN_REGEX
+
+    con = duckdb.connect()
+    for text in ["a\x0bb", "a b", "plain text!", "x,y;z"]:
+        py = len(re.findall(TOKEN_REGEX, text))
+        duck = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [text, TOKEN_REGEX]
+        ).fetchone()[0]
+        assert py == duck, (text, py, duck)
+
+
+def test_tokenize_udf_null_text_yields_null(spark, sf_dir):
+    """Review fix: NULL text must produce a NULL count, not crash the
+    Arrow worker with an int-cast-of-NaN error."""
+    from pyspark.sql import Row
+
+    from mcp_trino_spark.operators.llm_multimodal import tokenize_count_udf
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="two words"), Row(doc_id=2, text=None)]
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", tokenize_count_udf("text").alias("n")
+        ).collect()
+    }
+    assert got == {1: 2, 2: None}

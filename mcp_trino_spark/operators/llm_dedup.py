@@ -55,6 +55,11 @@ def l1_exact_dedup(spark, sf_dir):
 #: 16 minhash functions = 4 md5 variants × 4 non-overlapping 8-hex
 #: (32-bit) windows each — one md5 costs the same as 16 seeded md5s
 #: would 16× over.
+assert (NUM_BANDS * ROWS_PER_BAND) % 4 == 0, (
+    "LSH layout: NUM_BANDS x ROWS_PER_BAND must be divisible by 4 "
+    "(each md5 supplies 4 hash windows); anything else silently "
+    "truncates lanes"
+)
 _N_MD5 = NUM_BANDS * ROWS_PER_BAND // 4
 
 
@@ -75,7 +80,8 @@ def _lsh_ctes() -> str:
         f"MIN(substr(m{j}, {start}, 8)) AS h{h}" for h, j, start in _mh_windows()
     )
     band_keys = ", ".join(
-        f"h{b * ROWS_PER_BAND} || '|' || h{b * ROWS_PER_BAND + 1} AS band{b}"
+        " || '|' || ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + f" AS band{b}"
         for b in range(NUM_BANDS)
     )
     band_rows = " UNION ALL ".join(
@@ -162,33 +168,51 @@ def minhash_lsh_pairs_plan(docs):
     return _band_pairs_from_signatures(minhash_signatures_plan(docs))
 
 
-def _band_pairs_from_signatures(mh):
-    """Banded self-equi-join over a signature frame (doc_id, h0..h15)."""
+def _band_frame(mh, carry=()):
+    """Unpivot a signature frame (doc_id, h0..h{n-1}[, carry...]) into
+    (doc_id, *carry, band, band_key) rows — THE banding step, shared by
+    the pair plan (l2/l21/l22/l33) and the estimate plan (l26) so the
+    candidate graph is identical everywhere.
+
+    Band keys concatenate with NULL-PROPAGATING F.concat, matching the
+    oracle's ``||``: a NULL-text document has all-NULL minhash lanes,
+    and concat_ws's NULL-skipping '' key would pair every such doc with
+    every other (live-reproduced divergence) — NULL keys never
+    equi-join, on either engine.
+
+    The frame is persisted AND materialized (count()): Spark does not
+    dedupe in-flight computation, so without it a self-join's two
+    subtrees can run the shingle+md5 pipeline twice concurrently (the
+    10× scaling probe measured exponent 1.26 from exactly this).
+    Lifecycle: never unpersisted here — the returned plan is lazy, so
+    the harnesses' per-entry clearCache is the cleanup point (a
+    resident service should clearCache after materializing)."""
+    import functools
+
+    def band_key(b):
+        return functools.reduce(
+            lambda acc, c: F.concat(acc, F.lit("|"), c),
+            [F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(1, ROWS_PER_BAND)],
+            F.col(f"h{b * ROWS_PER_BAND}"),
+        )
+
     keys = mh.select(
         "doc_id",
-        *[
-            F.concat_ws(
-                "|",
-                F.col(f"h{b * ROWS_PER_BAND}"),
-                F.col(f"h{b * ROWS_PER_BAND + 1}"),
-            ).alias(f"band{b}")
-            for b in range(NUM_BANDS)
-        ],
+        *carry,
+        *[band_key(b).alias(f"band{b}") for b in range(NUM_BANDS)],
     )
     stack_expr = "stack({n}, {args}) AS (band, band_key)".format(
         n=NUM_BANDS,
         args=", ".join(f"{b}, band{b}" for b in range(NUM_BANDS)),
     )
-    # signatures are ~16 hashes/doc — persist so the self-join's two
-    # sides don't re-run the shingle+md5 pipeline (at scale: write the
-    # signature table once, join from it).  The count() materializes the
-    # cache BEFORE the join job: Spark does not dedupe in-flight
-    # computation, so without it the self-join's two subtrees can run
-    # the shingle+md5 pipeline twice concurrently (the 10× scaling
-    # probe measured exponent 1.26 from exactly this; with
-    # materialization the band join dominates as designed).
-    bands = keys.select("doc_id", F.expr(stack_expr)).persist()
+    bands = keys.select("doc_id", *carry, F.expr(stack_expr)).persist()
     bands.count()
+    return bands
+
+
+def _band_pairs_from_signatures(mh):
+    """Banded self-equi-join over a signature frame (doc_id, h0..h15)."""
+    bands = _band_frame(mh)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -404,13 +428,10 @@ def l16_decontamination(spark, sf_dir):
     )
 
 
-def _dup_clusters_oracle() -> str:
-    """Connected components of the LSH pair graph by transitive closure
-    (recursive CTE): each node's cluster id = min doc_id it can reach.
-    The pair set is the l2 oracle verbatim, so both engines cluster the
-    IDENTICAL graph."""
-    return f"""
-    WITH RECURSIVE pairs AS ({_lsh_oracle()}),
+#: transitive-closure CTE block over the LSH pair graph — ONE
+#: definition shared by the l21 and l22 oracles (a drifted copy would
+#: silently cluster two different graphs)
+_CLOSURE_CTES = """
     edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION ALL SELECT doc_b, doc_a FROM pairs
@@ -420,7 +441,17 @@ def _dup_clusters_oracle() -> str:
       SELECT node, node FROM nodes
       UNION
       SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
-    )
+    )"""
+
+
+def _dup_clusters_oracle() -> str:
+    """Connected components of the LSH pair graph by transitive closure
+    (recursive CTE): each node's cluster id = min doc_id it can reach.
+    The pair set is the l2 oracle verbatim, so both engines cluster the
+    IDENTICAL graph."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_lsh_oracle()}),
+    {_CLOSURE_CTES}
     SELECT node AS doc_id, MIN(lab) AS cluster_id,
            CAST(MIN(lab) = node AS BOOLEAN) AS is_keeper
     FROM reach GROUP BY node
@@ -503,6 +534,15 @@ def _propagate_clusters(pairs: DataFrame) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # pointer jumping converges in O(log component-size) rounds —
+        # 15 rounds covers astronomically large components; exhausting
+        # them means something is wrong, and returning unconverged
+        # labels would silently mis-cluster (wrong keep/drop decisions)
+        raise RuntimeError(
+            "cluster propagation did not converge within 15 rounds — "
+            "labels would be incorrect; investigate the pair graph"
+        )
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("lab").alias("cluster_id"),
@@ -518,16 +558,7 @@ def _dedup_apply_oracle() -> str:
     the min-id rule subsumes exact dedup.)"""
     return f"""
     WITH RECURSIVE pairs AS ({_lsh_oracle()}),
-    edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION ALL SELECT doc_b, doc_a FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT a AS node FROM edges),
-    reach(node, lab) AS (
-      SELECT node, node FROM nodes
-      UNION
-      SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
-    ),
+    {_CLOSURE_CTES},
     clusters AS (
       SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
     )
@@ -620,24 +651,12 @@ def l26_minhash_estimate(spark, sf_dir):
     # vs ~2 s at sf0.1).  Payload cost: 16×8-char lanes ≈ 130 B/row
     # through the band exchange — noise next to the join itself.
     sig = F.struct(*[F.col(f"h{h}") for h in range(n_lanes)])
-    keys = sigs.select(
-        "doc_id",
-        sig.alias("sig"),
-        *[
-            F.concat_ws(
-                "|",
-                F.col(f"h{b * ROWS_PER_BAND}"),
-                F.col(f"h{b * ROWS_PER_BAND + 1}"),
-            ).alias(f"band{b}")
-            for b in range(NUM_BANDS)
-        ],
+    with_sig = sigs.select(
+        "doc_id", sig.alias("sig"), *[f"h{h}" for h in range(n_lanes)]
     )
-    stack_expr = "stack({n}, {args}) AS (band, band_key)".format(
-        n=NUM_BANDS,
-        args=", ".join(f"{b}, band{b}" for b in range(NUM_BANDS)),
-    )
-    bands = keys.select("doc_id", "sig", F.expr(stack_expr)).persist()
-    bands.count()  # materialize before the self-join (see l2's note)
+    # shared banding step (null-propagating keys, persist+materialize),
+    # with the signature struct carried through the unpivot
+    bands = _band_frame(with_sig, carry=("sig",))
     a, b = bands.alias("a"), bands.alias("b")
     matches = sum(
         F.when(

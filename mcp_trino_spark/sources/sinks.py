@@ -62,16 +62,7 @@ def s6_ctas_insert(spark, sf_dir):
     disabled) is unit-tested in tests/test_engine.py.
     """
     register_tables(spark, sf_dir)
-    execute_query(spark, "DROP TABLE IF EXISTS sink_nation_r0", _WRITE_CFG)
-    # a fresh session doesn't know the managed table, so DROP alone
-    # leaves an orphaned warehouse dir that would fail the CTAS
-    import shutil
-
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    shutil.rmtree(
-        os.path.join(warehouse.removeprefix("file:"), "sink_nation_r0"),
-        ignore_errors=True,
-    )
+    _fresh_table(spark, "sink_nation_r0")
     # split region-0 nations between the CTAS and a follow-up INSERT so
     # both write statements contribute rows
     execute_query(
@@ -92,13 +83,7 @@ def s6_ctas_insert(spark, sf_dir):
         """,
         _WRITE_CFG,
     )
-    # materialize the (dimension-sized) result, then drop the table so
-    # the catalog surface (f4_list_tables, SHOW TABLES) stays
-    # execution-order independent across a shared session
-    result = spark.table("sink_nation_r0")
-    rows, schema = result.collect(), result.schema
-    execute_query(spark, "DROP TABLE sink_nation_r0", _WRITE_CFG)
-    return spark.createDataFrame(rows, schema)
+    return _collect_and_drop(spark, "sink_nation_r0")
 
 
 @register(
@@ -444,8 +429,16 @@ def s8_bucketed_colocated_join(spark, sf_dir):
         8, "o_orderkey"
     ).sortBy("o_orderkey").saveAsTable("s8_bkt_orders")
     li, od = spark.table("s8_bkt_lineitem"), spark.table("s8_bkt_orders")
-    return (
+    joined = (
         li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
         .agg(F.count("*").alias("n_items"), dsum("l_extendedprice").alias("revenue"))
     )
+    # materialize, then drop the bucketed tables: every other sink entry
+    # keeps the catalog surface execution-order independent (s6/s4/s7*),
+    # and leaving these registered would make f4_list_tables' output
+    # depend on whether s8 ran first.  The result is |customers|-sized.
+    rows, schema = joined.collect(), joined.schema
+    for t in ("s8_bkt_lineitem", "s8_bkt_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return spark.createDataFrame(rows, schema)

@@ -40,3 +40,13 @@ def spread(df: DataFrame) -> DataFrame:
     if parts >= target or parts >= max(target // 2, 2):
         return df
     return df.repartition(target)
+
+
+def register_view(spark, sf_dir, name):
+    """Register ONE testdata table as a temp view (normalized via
+    load_table).  Shared by the SQL-text operators (a6, o10/o10b/o11)
+    — previously each module carried its own copy, which could drift
+    from any future hook added here."""
+    from mcp_trino_spark.sources.catalog import load_table
+
+    load_table(spark, sf_dir, name).createOrReplaceTempView(name)

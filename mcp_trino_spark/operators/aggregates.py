@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mcp_trino_spark.operators._util import T
+from mcp_trino_spark.operators._util import T, register_view
 from mcp_trino_spark.registry import DAVG, DSUM, davg, dsum, register
 
 
@@ -216,7 +216,7 @@ def a11_stats(spark, sf_dir):
 
     stddev/variance/corr differ across engines in accumulation order, so
     the *declared* check is on exact moment sums (n, Σx, Σx²) from which
-    variance/stddev derive deterministically; a12_stats_native below
+    variance/stddev derive deterministically; a11b_stats_native below
     registers the native stddev/var functions under the rows-only check.
     """
     (customer,) = T(spark, sf_dir, "customer")
@@ -314,9 +314,7 @@ def a15_grand_agg(spark, sf_dir):
 
 
 def register_li(spark, sf_dir):
-    from mcp_trino_spark.sources.catalog import load_table
-
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    register_view(spark, sf_dir, "lineitem")
 
 
 @register(

@@ -100,14 +100,21 @@ def j5_left_semi(spark, sf_dir):
     "j6_left_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
     """,
 )
 def j6_left_anti(spark, sf_dir):
-    # NOT EXISTS (not NOT IN): null-safe on both engines — SURVEY §7.4.1.
+    """Customers with NO high-value (>300k) order.  NOT EXISTS (not
+    NOT IN): null-safe on both engines — SURVEY §7.4.1.  The threshold
+    exists so the result is NON-EMPTY at the oracle scale factors
+    (every customer has some order in the testdata — an anti-join on
+    raw orders verified only that empty == empty)."""
     customer, orders = T(spark, sf_dir, "customer", "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000)
     return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        big, customer.c_custkey == big.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 
@@ -222,75 +229,94 @@ def j10_self_join(spark, sf_dir):
     "j11_asof",
     oracle="""
     WITH ranked AS (
-      SELECT o.o_orderkey, e.ts, e.value,
-             ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
-                                ORDER BY epoch_us(e.ts) DESC, e.event_id DESC) AS rn
-      FROM orders o JOIN events e
-        ON e.user_id = o.o_custkey % 50 AND CAST(e.ts AS TIMESTAMP) <= o.o_orderdate
+      SELECT e.event_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e JOIN orders o
+        ON o.o_custkey % 50 = e.user_id
+       AND CAST(o.o_orderdate AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)
     )
-    SELECT o_orderkey, CAST(ts AS DATE) AS asof_date, value AS asof_value
+    SELECT event_id, o_orderkey AS asof_orderkey,
+           CAST(o_orderdate AS DATE) AS asof_date,
+           o_totalprice AS asof_price
     FROM ranked WHERE rn = 1
     """,
 )
 def j11_asof(spark, sf_dir):
-    """As-of join: latest event at-or-before each order date, per user.
+    """As-of join: the latest ORDER at-or-before each event's time, per
+    entity key — the trades-vs-quotes shape (probe side = events,
+    reference side = orders).  The testdata's orders all precede its
+    events, so every in-domain event finds a match — ~3.4k rows at
+    sf0.01; the previous orientation matched events *before* orders,
+    which is the empty set on this data, so the oracle verified only
+    that empty == empty.
 
     Spark has no native as-of join in SQL.  The naive rewrite (equi-join
     on the entity key with the time predicate as a join filter, then
-    row_number) multiplies every order by ALL its earlier events before
-    discarding all but one — O(orders × events/key) intermediate rows,
-    the thing that dies first at 100 TB.  The scalable plan is the
-    union trick: interleave both tables on (key, time) and carry the
-    last-seen event forward with one window pass — O(orders + events)
-    rows, ONE shuffle, no multiplication.
+    row_number) multiplies every probe by ALL its earlier reference
+    rows before discarding all but one — O(probes × refs/key)
+    intermediate rows, the thing that dies first at 100 TB.  The
+    scalable plan is the union trick: interleave both tables on
+    (key, time) and carry the last-seen reference forward with one
+    window pass — O(probes + refs) rows, ONE shuffle, no
+    multiplication.
 
     Skew note: partitioning is by entity key; for low-cardinality keys
     add a coarse time-bucket to the partition key and carry the last
-    event of the previous bucket in (two-pass); salting alone is wrong
-    here because it hides earlier events from later rows.
+    reference of the previous bucket in (two-pass); salting alone is
+    wrong here because it hides earlier references from later rows.
     """
     from pyspark.sql import Window
 
     orders, events = T(spark, sf_dir, "orders", "events")
-    # one shared schema: (k, ts_us, is_order, tiebreak, payload…)
-    ev = events.select(
-        F.col("user_id").alias("k"),
-        F.unix_micros("ts").alias("ts_us"),
-        F.lit(0).alias("is_order"),
-        F.col("event_id").alias("tiebreak"),
-        F.struct(F.col("ts"), F.col("value")).alias("ev"),
-        F.lit(None).cast("long").alias("o_orderkey"),
-    )
+    # one shared schema: (k, ts_us, is_probe, tiebreak, payload…)
     od = orders.select(
         (F.col("o_custkey") % 50).alias("k"),
-        # order's time point = its date at midnight UTC, in us (the finest
+        # order's time point = its date at midnight UTC, in µs (the finest
         # precision the oracle engine sees; see timeseries.py)
         (F.col("o_orderdate").cast("timestamp").cast("long") * F.lit(1_000_000)).alias(
             "ts_us"
         ),
-        F.lit(1).alias("is_order"),
+        F.lit(0).alias("is_probe"),
         F.col("o_orderkey").alias("tiebreak"),
-        F.lit(None)
-        .cast("struct<ts:timestamp,value:double>")
-        .alias("ev"),
-        F.col("o_orderkey"),
+        F.struct(
+            F.col("o_orderkey"),
+            # parquet stores o_orderdate as a timestamp; the output
+            # contract (and the oracle) is DATE
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.col("o_totalprice"),
+        ).alias("ref"),
+        F.lit(None).cast("long").alias("event_id"),
     )
-    # events sort before orders at the same instant (is_order asc), so an
-    # event at exactly the order's timestamp is matched (ts <= date).
+    ev = events.select(
+        F.col("user_id").alias("k"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.lit(1).alias("is_probe"),
+        F.col("event_id").alias("tiebreak"),
+        F.lit(None)
+        .cast("struct<o_orderkey:bigint,o_orderdate:date,o_totalprice:double>")
+        .alias("ref"),
+        F.col("event_id"),
+    )
+    # references sort before probes at the same instant (is_probe asc),
+    # so an order dated exactly at the event's timestamp matches (<=);
+    # among same-key same-date orders the LAST in sort order (max
+    # o_orderkey) wins, matching the oracle's o_orderkey DESC tiebreak.
     w = (
         Window.partitionBy("k")
-        .orderBy(F.col("ts_us").asc(), F.col("is_order").asc(), F.col("tiebreak").asc())
+        .orderBy(F.col("ts_us").asc(), F.col("is_probe").asc(), F.col("tiebreak").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    merged = ev.unionByName(od).withColumn(
-        "last_ev", F.last("ev", ignorenulls=True).over(w)
+    merged = od.unionByName(ev).withColumn(
+        "last_ref", F.last("ref", ignorenulls=True).over(w)
     )
     return (
-        merged.filter((F.col("is_order") == 1) & F.col("last_ev").isNotNull())
+        merged.filter((F.col("is_probe") == 1) & F.col("last_ref").isNotNull())
         .select(
-            "o_orderkey",
-            F.col("last_ev.ts").cast("date").alias("asof_date"),
-            F.col("last_ev.value").alias("asof_value"),
+            "event_id",
+            F.col("last_ref.o_orderkey").alias("asof_orderkey"),
+            F.col("last_ref.o_orderdate").alias("asof_date"),
+            F.col("last_ref.o_totalprice").alias("asof_price"),
         )
     )
 

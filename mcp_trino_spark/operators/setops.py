@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mcp_trino_spark.operators._util import T
+from mcp_trino_spark.operators._util import T, register_view
 from mcp_trino_spark.registry import DSUM, dsum, register
 
 
@@ -137,15 +137,20 @@ def o7_intersect(spark, sf_dir):
 @register(
     "o8_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT c_custkey AS custkey FROM customer
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
     """,
 )
 def o8_except(spark, sf_dir):
-    customer, supplier = T(spark, sf_dir, "customer", "supplier")
-    a = customer.select(F.col("c_nationkey").alias("nationkey"))
-    b = supplier.select(F.col("s_nationkey").alias("nationkey"))
+    """Customers minus high-value purchasers.  The >300k predicate makes
+    the difference NON-EMPTY at the oracle scale factors (the old
+    nationkey EXCEPT was the empty set at sf0.01 — verifying nothing)."""
+    customer, orders = T(spark, sf_dir, "customer", "orders")
+    a = customer.select(F.col("c_custkey").alias("custkey"))
+    b = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
     # subtract == SQL EXCEPT (set semantics); exceptAll is bag-EXCEPT ALL
     return a.subtract(b)
 
@@ -179,16 +184,19 @@ def o9_cte(spark, sf_dir):
     "o10_scalar_subquery",
     oracle="""
     SELECT c_custkey, c_acctbal FROM customer
-    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(c_acctbal) FROM customer)
     """,
 )
 def o10_scalar_subquery(spark, sf_dir):
     register_view(spark, sf_dir, "customer")
     # Catalyst plans the scalar subquery as a broadcast single-row join;
-    # the correlated variant decorrelates to an aggregate+join.
+    # the correlated variant decorrelates to an aggregate+join.  The
+    # threshold mean uses the exact-decimal pattern (registry.py
+    # doctrine) — a raw double AVG differs in last ULPs between engines
+    # and any row AT the boundary would flip.
     return spark.sql(
         "SELECT c_custkey, c_acctbal FROM customer "
-        "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)"
+        "WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(c_acctbal) FROM customer)"
     )
 
 
@@ -196,27 +204,19 @@ def o10_scalar_subquery(spark, sf_dir):
     "o10b_correlated_subquery",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
-    WHERE o_totalprice > (
-      SELECT 2 * AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
-    )
+    WHERE o_totalprice > (SELECT 2 * CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
     """,
 )
 def o10b_correlated_subquery(spark, sf_dir):
+    """Correlated-subquery filter with an exact-decimal per-customer
+    mean threshold — identical SQL both engines (a raw double AVG's
+    partial-merge order differs, and a price at the 2x-mean boundary
+    would flip the row set)."""
     register_view(spark, sf_dir, "orders")
     return spark.sql(
-        """
-        SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
-        WHERE o_totalprice > (
-          SELECT 2 * AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
-        )
-        """
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders o "
+        "WHERE o_totalprice > (SELECT 2 * CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"
     )
-
-
-def register_view(spark, sf_dir, name):
-    from mcp_trino_spark.sources.catalog import load_table
-
-    load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
 _RECURSIVE_SPINE_SQL = """
@@ -225,10 +225,10 @@ _RECURSIVE_SPINE_SQL = """
              CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
       FROM orders
     ),
-    spine(month_start) AS (
-      SELECT lo FROM bounds
+    spine(month_start, hi) AS (
+      SELECT lo, hi FROM bounds
       UNION ALL
-      SELECT CAST(month_start + INTERVAL 1 MONTH AS DATE) FROM spine, bounds
+      SELECT CAST(month_start + INTERVAL 1 MONTH AS DATE), hi FROM spine
       WHERE month_start < hi
     ),
     m AS (

@@ -105,13 +105,19 @@ def p6_null_predicates(spark, sf_dir):
     "p7_like",
     oracle="""
     SELECT p_partkey, p_name, p_type FROM part
-    WHERE p_type LIKE '%BRASS%' OR p_name LIKE 'a%'
+    WHERE p_type LIKE '%ECON%' OR p_name LIKE 'red%' OR p_name LIKE 'h_t%'
     """,
 )
 def p7_like(spark, sf_dir):
+    """LIKE with %-wildcards AND the single-char _ wildcard ('h_t%'
+    matches 'hot ...').  Patterns chosen to MATCH this testdata's
+    vocabulary — the old TPC-H-style '%BRASS%' matched zero rows at
+    every scale factor, so the oracle verified only empty == empty."""
     (part,) = T(spark, sf_dir, "part")
     return part.filter(
-        F.col("p_type").like("%BRASS%") | F.col("p_name").like("a%")
+        F.col("p_type").like("%ECON%")
+        | F.col("p_name").like("red%")
+        | F.col("p_name").like("h_t%")
     ).select("p_partkey", "p_name", "p_type")
 
 

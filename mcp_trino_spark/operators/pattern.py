@@ -46,9 +46,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as SQLT
 
 from mcp_trino_spark.registry import register
-from mcp_trino_spark.operators._util import T, spread
+from mcp_trino_spark.operators._util import T
 
-__all__ = ["match_recognize", "compile_pattern"]
+__all__ = ["match_recognize", "compile_pattern", "parse_order_item"]
 
 #: safe single-char alphabet assigned to symbols in declaration order
 _ALPHABET = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
@@ -72,7 +72,19 @@ def compile_pattern(pattern: str, symbol_chars: Dict[str, str]) -> "re.Pattern[s
     ``{- -}``, ``PERMUTE`` and reluctant quantifiers are rejected loudly —
     silent divergence from Trino semantics is worse than an error.
     """
+    # unquoted SQL identifiers are case-insensitive: PATTERN (DOWN+) must
+    # find DEFINE down (the MEASURES parser already folds case — the two
+    # lookup paths in one pipeline cannot disagree)
+    by_ci: Dict[str, str] = {}
+    for k, v in symbol_chars.items():
+        if k.upper() in by_ci:
+            raise ValueError(
+                f"DEFINE symbols {k!r} and its case-variant collide — "
+                "unquoted identifiers are case-insensitive"
+            )
+        by_ci[k.upper()] = v
     out: List[str] = []
+    prev_quant = False  # last emitted token was a quantifier
     i, n = 0, len(pattern)
     while i < n:
         ch = pattern[i]
@@ -80,10 +92,22 @@ def compile_pattern(pattern: str, symbol_chars: Dict[str, str]) -> "re.Pattern[s
             i += 1
             continue
         if ch in "()|+*?":
+            if ch in "+*?" and prev_quant:
+                raise ValueError(
+                    f"quantifier sequence {pattern[i-1]}{ch!s} in "
+                    f"{pattern!r}: reluctant (+?) and possessive (++) "
+                    "quantifiers are not supported — Python-regex "
+                    "semantics would silently diverge from Trino's"
+                )
+            prev_quant = ch in "+*?"
             out.append(ch)
             i += 1
             continue
         if ch == "{":
+            if prev_quant:
+                raise ValueError(
+                    f"quantifier after quantifier in {pattern!r}"
+                )
             j = pattern.find("}", i)
             if j < 0:
                 raise ValueError(f"unclosed quantifier in pattern: {pattern!r}")
@@ -97,6 +121,7 @@ def compile_pattern(pattern: str, symbol_chars: Dict[str, str]) -> "re.Pattern[s
                 if hi and int(lo) > int(hi):
                     raise ValueError(f"inverted quantifier range {{{body}}}")
             out.append("{" + body + "}")
+            prev_quant = True
             i = j + 1
             continue
         if ch.isalpha() or ch == "_":
@@ -106,26 +131,70 @@ def compile_pattern(pattern: str, symbol_chars: Dict[str, str]) -> "re.Pattern[s
             name = pattern[i:j]
             if name.upper() == "PERMUTE":
                 raise ValueError("PERMUTE is not supported")
-            if name not in symbol_chars:
+            if name.upper() not in by_ci:
                 raise ValueError(
                     f"pattern symbol {name!r} has no DEFINE entry "
                     f"(defined: {sorted(symbol_chars)})"
                 )
-            out.append(symbol_chars[name])
+            out.append(by_ci[name.upper()])
+            prev_quant = False
             i = j
             continue
         raise ValueError(f"unsupported pattern construct {ch!r} in {pattern!r}")
     try:
-        return re.compile("".join(out))
+        rx = re.compile("".join(out))
     except re.error as exc:
         # surface malformed-but-lexable patterns as the module's typed
         # error, not an internal sre exception
         raise ValueError(f"invalid pattern {pattern!r}: {exc}") from exc
+    if rx.match("") is not None:
+        # SQL:2016 emits an output row for every EMPTY match and counts
+        # it in MATCH_NUMBER; this engine's scanner skips zero-width
+        # matches — rejecting the pattern is honest, silently dropping
+        # rows is not
+        raise ValueError(
+            f"pattern {pattern!r} can match zero rows (e.g. A*) — "
+            "empty-match semantics are not supported; anchor with a "
+            "one-or-more element (A+, A B*, ...)"
+        )
+    return rx
+
+
+def parse_order_item(o: str) -> Tuple[str, bool, str]:
+    """Parse ``col [ASC|DESC] [NULLS FIRST|LAST]`` → (key, asc,
+    na_position).  Default null placement follows Trino (NULL sorts as
+    the LARGEST value: ASC → last, DESC → first).  ONE parser shared by
+    the matcher's sort and trino_mr's lag/lead window — two copies of
+    this rule once had to carry a stay-in-lockstep comment."""
+    parts = o.split()
+    key, rest = parts[0], [p.upper() for p in parts[1:]]
+    asc = True
+    if rest and rest[0] in ("ASC", "DESC"):
+        asc = rest[0] == "ASC"
+        rest = rest[1:]
+    if rest == ["NULLS", "FIRST"]:
+        na = "first"
+    elif rest == ["NULLS", "LAST"]:
+        na = "last"
+    elif not rest:
+        na = "last" if asc else "first"
+    else:
+        raise ValueError(f"unsupported ORDER BY item {o!r} (expected "
+                         "col [ASC|DESC] [NULLS FIRST|LAST])")
+    return key, asc, na
 
 
 def _measure_dtype(agg: str, in_type: Optional[SQLT.DataType]) -> SQLT.DataType:
     if agg == "count":
         return SQLT.LongType()
+    if agg in ("sum", "avg") and isinstance(in_type, SQLT.DecimalType):
+        # the pandas reduction yields decimal.Decimal objects that the
+        # declared double field rejects at Arrow serialization — fail at
+        # plan time with an actionable message, not mid-job
+        raise ValueError(
+            f"{agg.upper()} over a DECIMAL measure column is not "
+            "supported — CAST the column to DOUBLE in the query"
+        )
     if agg == "avg":
         return SQLT.DoubleType()
     if agg == "sum":
@@ -183,24 +252,7 @@ def match_recognize(
 
     order_keys, ascending, na_positions = [], [], []
     for o in order_by:
-        parts = o.split()
-        key, rest = parts[0], [p.upper() for p in parts[1:]]
-        asc = True
-        if rest and rest[0] in ("ASC", "DESC"):
-            asc = rest[0] == "ASC"
-            rest = rest[1:]
-        if rest == ["NULLS", "FIRST"]:
-            na = "first"
-        elif rest == ["NULLS", "LAST"]:
-            na = "last"
-        elif not rest:
-            # Trino sorts NULL as the largest value: ASC → NULLS LAST,
-            # DESC → NULLS FIRST (docs/tools.md:182 shows the Trino
-            # default; a bare DESC key must not inherit ASC's placement)
-            na = "last" if asc else "first"
-        else:
-            raise ValueError(f"unsupported ORDER BY item {o!r} (expected "
-                             "col [ASC|DESC] [NULLS FIRST|LAST])")
+        key, asc, na = parse_order_item(o)
         order_keys.append(key)
         ascending.append(asc)
         na_positions.append(na)

@@ -112,11 +112,28 @@ def _split_sections(body: str) -> Dict[str, str]:
     # PATTERN's (...) may itself contain nothing section-like; DEFINE
     # predicates may contain parens but no section keywords — safe split.
     out: Dict[str, str] = {}
+    lead = body[: marks[0][0]].strip() if marks else body.strip()
+    if lead:
+        # text before the first recognized keyword would otherwise be
+        # silently dropped (e.g. a typo'd clause) — loud beats lossy
+        raise TrinoCompatError(
+            f"unrecognized MATCH_RECOGNIZE content before first clause: "
+            f"{lead[:60]!r}"
+        )
     for k, (start, end, name) in enumerate(marks):
         nxt = marks[k + 1][0] if k + 1 < len(marks) else len(body)
         if name in out:
             raise TrinoCompatError(f"duplicate {name} in MATCH_RECOGNIZE")
         out[name] = body[end:nxt].strip()
+    # keyword-only sections must be EMPTY: Trino modifiers like SEEK or
+    # WITH UNMATCHED ROWS would otherwise be dropped without error,
+    # silently running INITIAL/default semantics
+    for kw in ("ONE ROW PER MATCH",):
+        if out.get(kw):
+            raise TrinoCompatError(
+                f"unsupported modifier after {kw}: {out[kw][:40]!r} "
+                "(SEEK / unmatched-row modes are not supported)"
+            )
     return out
 
 
@@ -139,8 +156,11 @@ def _split_top_commas(s: str) -> List[str]:
 
 
 def _parse_measures(text: str, symbols: List[str]):
-    """→ (measures list for the operator, match_no alias or None)."""
-    measures, match_no_alias = [], None
+    """→ (measures, match_no alias or None, declared output-name order).
+    The declared order matters: SELECT * over the rewritten view must
+    present MEASURES columns in their declared positions — including
+    MATCH_NUMBER() wherever the user put it."""
+    measures, match_no_alias, declared = [], None, []
     sym_upper = {s.upper(): s for s in symbols}
     for item in _split_top_commas(text):
         m = _MEASURE.match(item.strip())
@@ -152,6 +172,7 @@ def _parse_measures(text: str, symbols: List[str]):
             )
         if m.group(1):  # MATCH_NUMBER()
             match_no_alias = m.group(4)
+            declared.append(m.group(4))
             continue
         agg, arg, name = m.group(2).lower(), m.group(3).strip(), m.group(4)
         sym = None
@@ -177,7 +198,8 @@ def _parse_measures(text: str, symbols: List[str]):
         if agg in ("first", "last") and col is None:
             raise TrinoCompatError(f"{agg.upper()} requires a column")
         measures.append((name, agg, sym, col))
-    return measures, match_no_alias
+        declared.append(name)
+    return measures, match_no_alias, declared
 
 
 def _rewrite_navigation(pred: str) -> Tuple[str, Dict[str, Tuple[str, str, int]]]:
@@ -279,10 +301,10 @@ def expand_match_recognize(
             nav_cols.update(needed)
             define[dm.group(1)] = pred
 
-        measures, match_no_alias = (
+        measures, match_no_alias, declared = (
             _parse_measures(sections["MEASURES"], list(define))
             if "MEASURES" in sections
-            else ([], None)
+            else ([], None, [])
         )
         if not measures and match_no_alias is None:
             raise TrinoCompatError(
@@ -295,23 +317,17 @@ def expand_match_recognize(
             # parse col [ASC|DESC] [NULLS FIRST|LAST] exactly like the
             # operator does, so the lag/lead window and the matcher's
             # pandas sort see the SAME ordering
+            from mcp_trino_spark.operators.pattern import parse_order_item
+
             order_exprs = []
             for item in order_items:
-                parts = item.split()
-                key, rest = parts[0], [p.upper() for p in parts[1:]]
-                asc = True
-                if rest and rest[0] in ("ASC", "DESC"):
-                    asc = rest[0] == "ASC"
-                    rest = rest[1:]
-                if rest not in ([], ["NULLS", "FIRST"], ["NULLS", "LAST"]):
+                try:
+                    key, asc, na = parse_order_item(item)
+                except ValueError as exc:
                     raise TrinoCompatError(
                         f"unsupported ORDER BY item {item!r} in MATCH_RECOGNIZE"
-                    )
-                # Trino sorts NULL as largest: bare ASC → NULLS LAST,
-                # bare DESC → NULLS FIRST (matches pattern.py's default)
-                nulls_first = (
-                    rest == ["NULLS", "FIRST"] if rest else not asc
-                )
+                    ) from exc
+                nulls_first = na == "first"
                 c = F.col(key)
                 order_exprs.append(
                     (c.asc_nulls_first() if nulls_first else c.asc_nulls_last())
@@ -340,6 +356,12 @@ def expand_match_recognize(
         )
         if match_no_alias is None:
             out = out.drop("__match_no")
+        if declared:
+            # present MEASURES columns in their DECLARED order (incl.
+            # MATCH_NUMBER() at its declared slot) — the operator emits
+            # match_no right after the keys, so SELECT * would otherwise
+            # swap columns relative to Trino
+            out = out.select(*part_cols, *declared)
 
         view = f"__mr_{uuid.uuid4().hex[:10]}"
         out.createOrReplaceTempView(view)

@@ -138,3 +138,47 @@ def test_overlapping_defines_fail_loudly(spark, sf_dir, orders_view):
     """
     with pytest.raises(Exception, match="mutually"):
         execute_query(spark, sql, dialect="trino")
+
+
+def test_measures_columns_in_declared_order(spark, sf_dir, orders_view):
+    """Review fix: SELECT * must present MEASURES columns in their
+    DECLARED positions — including MATCH_NUMBER() mid-list, which the
+    operator otherwise emits right after the partition keys."""
+    res = execute_query(
+        spark,
+        """
+        SELECT * FROM orders_mr MATCH_RECOGNIZE (
+          PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey
+          MEASURES FIRST(o_orderkey) AS fk,
+                   MATCH_NUMBER() AS mn,
+                   COUNT(*) AS n
+          PATTERN (D+ U+)
+          DEFINE D AS o_totalprice < PREV(o_totalprice),
+                 U AS o_totalprice > PREV(o_totalprice)
+        ) LIMIT 1
+        """,
+        dialect="trino",
+    )
+    assert res.columns == ["o_custkey", "fk", "mn", "n"]
+
+
+def test_seek_modifier_fails_loudly(spark, orders_view):
+    """Review fix: Trino modifiers after ONE ROW PER MATCH (SEEK, ...)
+    were silently dropped — they must raise, since running INITIAL
+    semantics instead would silently change the match set."""
+    with pytest.raises(TrinoCompatError, match="SEEK|modifier"):
+        execute_query(
+            spark,
+            """
+            SELECT * FROM orders_mr MATCH_RECOGNIZE (
+              PARTITION BY o_custkey
+              ORDER BY o_orderdate
+              MEASURES COUNT(*) AS n
+              ONE ROW PER MATCH SEEK
+              PATTERN (D+)
+              DEFINE D AS o_totalprice < PREV(o_totalprice)
+            )
+            """,
+            dialect="trino",
+        )

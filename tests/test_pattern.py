@@ -106,12 +106,35 @@ def test_rejects_unsupported_constructs(spark):
         )
 
 
-def test_zero_width_matches_skipped(spark):
-    # pattern B* matches zero-width everywhere on an all-a sequence:
-    # no rows out (and no infinite loop)
+def test_zero_width_pattern_rejected(spark):
+    """Review fix: SQL:2016 emits an output row per EMPTY match, which
+    this engine's scanner cannot produce — a pattern that can match
+    zero rows must be rejected loudly, not silently drop those rows."""
     rows = [(1, 0, "a", 0.0), (1, 1, "a", 0.0)]
-    got = _run(spark, rows, "B*", [("n", "count", None, None)])
-    assert got == []
+    with pytest.raises(ValueError, match="zero rows"):
+        _run(spark, rows, "B*", [("n", "count", None, None)])
+    with pytest.raises(ValueError, match="zero rows"):
+        _run(spark, rows, "A? B*", [("n", "count", None, None)])
+
+
+def test_quantifier_sequences_rejected():
+    """Reluctant (+?) and possessive (++) quantifiers silently diverge
+    from Trino's greedy semantics — must be rejected at compile time."""
+    from mcp_trino_spark.operators.pattern import compile_pattern
+
+    chars = {"A": "A", "B": "B"}
+    for bad in ("A+?", "A*+", "A?? B", "A{1,2}?", "A+ {2}"):
+        with pytest.raises(ValueError):
+            compile_pattern(bad, chars)
+
+
+def test_pattern_symbols_case_insensitive():
+    """Unquoted SQL identifiers are case-insensitive: PATTERN (DOWN+)
+    must find DEFINE down, consistently with the MEASURES parser."""
+    from mcp_trino_spark.operators.pattern import compile_pattern
+
+    rx = compile_pattern("DOWN+ UP+", {"down": "A", "up": "B"})
+    assert rx.fullmatch("AAB")
 
 
 def test_all_null_measure_inputs_yield_null(spark):

@@ -149,8 +149,16 @@ def _fetch_jwks(uri: str) -> Dict[str, Dict[str, Any]]:
         if k.get("use") not in (None, "sig"):
             continue
         kid = k.get("kid")
-        if isinstance(kid, str) and "n" in k and "e" in k:
+        if "n" not in k or "e" not in k:
+            continue
+        if isinstance(kid, str):
             out[kid] = k
+        elif kid is None:
+            # RFC 7517 makes kid OPTIONAL — index kid-less keys under a
+            # synthetic name so a single-key JWKS still authenticates
+            # via _pick's single-key fallback (key selection is only a
+            # routing hint; the signature check is what gates access)
+            out[f"\x00nokid{len(out)}"] = k
     if not out:
         raise JWTError("JWKS document contains no usable RSA signing keys")
     return out
@@ -159,9 +167,18 @@ def _fetch_jwks(uri: str) -> Dict[str, Dict[str, Any]]:
 def _rsa_public_key(jwk: Dict[str, Any]):
     from cryptography.hazmat.primitives.asymmetric.rsa import RSAPublicNumbers
 
-    n = int.from_bytes(_b64url_decode(jwk["n"]), "big")
-    e = int.from_bytes(_b64url_decode(jwk["e"]), "big")
-    return RSAPublicNumbers(e, n).public_key()
+    try:
+        n = int.from_bytes(_b64url_decode(jwk["n"]), "big")
+        e = int.from_bytes(_b64url_decode(jwk["e"]), "big")
+        return RSAPublicNumbers(e, n).public_key()
+    except JWTError:
+        raise
+    except (ValueError, TypeError) as exc:
+        # RSAPublicNumbers rejects invalid RSA material (e=0, even
+        # modulus, ...) with ValueError — surface it as JWTError so the
+        # HTTP handler's catch produces a clean 401 instead of an
+        # unhandled exception resetting the connection
+        raise JWTError(f"invalid RSA key material in JWKS: {exc}") from exc
 
 
 class OidcValidator:
@@ -210,10 +227,20 @@ class OidcValidator:
         return key
 
     def _pick(self, kid: Optional[str]) -> Optional[Dict[str, Any]]:
-        if kid is not None:
-            return self._keys.get(kid)
-        if len(self._keys) == 1:  # kid optional when the set has one key
-            return next(iter(self._keys.values()))
+        if kid is not None and kid in self._keys:
+            return self._keys[kid]
+        if len(self._keys) == 1:
+            only_kid, only = next(iter(self._keys.items()))
+            if kid is None:
+                # kid optional in the token (RFC 7517): one key → no
+                # ambiguity
+                return only
+            if only_kid.startswith("\x00nokid"):
+                # token names a kid but the single JWKS key has none —
+                # no basis for a mismatch; the signature check gates.
+                # (A kid-BEARING key with a different kid stays a
+                # rejection: that is a real rotated-away mismatch.)
+                return only
         return None
 
     # -- validation ---------------------------------------------------------

@@ -55,11 +55,12 @@ def l1_exact_dedup(spark, sf_dir):
 #: 16 minhash functions = 4 md5 variants × 4 non-overlapping 8-hex
 #: (32-bit) windows each — one md5 costs the same as 16 seeded md5s
 #: would 16× over.
-assert (NUM_BANDS * ROWS_PER_BAND) % 4 == 0, (
-    "LSH layout: NUM_BANDS x ROWS_PER_BAND must be divisible by 4 "
-    "(each md5 supplies 4 hash windows); anything else silently "
-    "truncates lanes"
-)
+if (NUM_BANDS * ROWS_PER_BAND) % 4 != 0:  # not assert: survives python -O
+    raise ValueError(
+        "LSH layout: NUM_BANDS x ROWS_PER_BAND must be divisible by 4 "
+        "(each md5 supplies 4 hash windows); anything else silently "
+        "truncates lanes"
+    )
 _N_MD5 = NUM_BANDS * ROWS_PER_BAND // 4
 
 

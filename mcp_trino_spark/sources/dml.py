@@ -273,7 +273,6 @@ def update_table(
     t = spark.table(table)
     set_clauses = _resolve_cols(t.columns, set_clauses, "UPDATE SET")
     cond = F.expr(where) if where else F.lit(True)
-    affected = t.filter(cond).count()
     new_state = t.select(
         *[
             (
@@ -288,14 +287,21 @@ def update_table(
     )
     pcols = _partition_columns(spark, table)
     if pcols and not (set(pcols) & set(set_clauses)):
+        # ONE aggregation job yields both the affected count and the
+        # touched-partition set (|partitions| rows to the driver) — the
+        # separate count + distinct-collect pair scanned the predicate
+        # twice and widened the non-atomic read-then-swap window
+        per_part = t.filter(cond).groupBy(*pcols).agg(F.count("*").alias("__n")).collect()
+        affected = sum(r["__n"] for r in per_part)
         if not affected:
             return 0  # nothing matched → nothing to rewrite at all
-        touched = [tuple(r) for r in t.filter(cond).select(*pcols).distinct().collect()]
+        touched = [tuple(r[c] for c in pcols) for r in per_part]
         _commit_partitions(
             spark, table, new_state.filter(_partition_predicate(pcols, touched)),
             pcols, touched,
         )
         return affected
+    affected = t.filter(cond).count()
     _commit(spark, table, new_state)
     return affected
 
@@ -306,25 +312,27 @@ def delete_from(spark: SparkSession, table: str, where: Optional[str]) -> int:
     a partition whose rows are all deleted has its directory retired."""
     t = spark.table(table)
     if where is None:
-        affected = t.count()
-        new_state = t.filter(F.lit(False))
         cond = None
+        new_state = t.filter(F.lit(False))
     else:
         cond = F.expr(where)
-        affected = t.filter(cond).count()
         # keep rows where the predicate is false OR null (SQL DELETE
         # semantics: only true-matching rows are deleted)
         new_state = t.filter(~F.coalesce(cond.cast("boolean"), F.lit(False)))
     pcols = _partition_columns(spark, table)
     if pcols and cond is not None:
+        # one job for count + touched partitions (see update_table)
+        per_part = t.filter(cond).groupBy(*pcols).agg(F.count("*").alias("__n")).collect()
+        affected = sum(r["__n"] for r in per_part)
         if not affected:
             return 0
-        touched = [tuple(r) for r in t.filter(cond).select(*pcols).distinct().collect()]
+        touched = [tuple(r[c] for c in pcols) for r in per_part]
         _commit_partitions(
             spark, table, new_state.filter(_partition_predicate(pcols, touched)),
             pcols, touched,
         )
         return affected
+    affected = t.count() if cond is None else t.filter(cond).count()
     _commit(spark, table, new_state)
     return affected
 

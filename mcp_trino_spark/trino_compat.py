@@ -60,7 +60,7 @@ shapes it can't express):
 from __future__ import annotations
 
 import re
-from typing import Dict, Iterator, List, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 
 class TrinoCompatError(ValueError):
@@ -1380,9 +1380,28 @@ def _rewrite_hll_sketches(q: str) -> str:
                 + q[outer_end:]
             )
     # bare (un-composed) spellings — mask-aware so literals/comments
-    # stay untouched.  merge() is unambiguous in Trino (the sketch
-    # union aggregate); MERGE INTO statements never reach translate
-    # with a call-shaped merge(
+    # stay untouched.  Trino's merge() is overloaded for HLL, qdigest
+    # and tdigest; only the HLL form maps to Spark, so a query that
+    # also mentions the digest types (or their accessors) gets a loud
+    # unsupported error instead of a confusing sketch-buffer type error
+    # after a blind hll_union_agg rewrite.
+    mask0 = _code_mask(q)
+    if any(mask0[m.start()] for m in _MERGE_AGG_HEAD.finditer(q)) and any(
+        mask0[m.start()]
+        for m in re.finditer(
+            r"\b(qdigest|tdigest|value_at_quantile|values_at_quantiles|"
+            r"quantile_at_value|trimmed_mean)\b",
+            q,
+            re.IGNORECASE,
+        )
+    ):
+        raise TrinoCompatError(
+            "merge() over qdigest/tdigest sketches is not supported — only "
+            "the HLL merge() maps to Spark (hll_union_agg); use "
+            "approx_percentile for quantile estimates"
+        )
+    # MERGE INTO statements never reach translate with a call-shaped
+    # merge(
     for head, repl in (
         (_APPROX_SET_HEAD, "hll_sketch_agg("),
         (_MERGE_AGG_HEAD, "hll_union_agg("),
@@ -1769,6 +1788,83 @@ def _depths(q: str, mask: List[bool]) -> List[int]:
     return out
 
 
+def _ties_pushdown(body: str, keys: str, n: int) -> Optional[str]:
+    """WITH TIES rewrite for a *simple* body (single top-level
+    SELECT ... FROM with no GROUP BY/HAVING/DISTINCT/set-op/CTE/LIMIT):
+    push the RANK() under the projection so sort keys that are base
+    columns NOT in the select list still resolve (ANSI allows
+    ``SELECT c_name FROM t ORDER BY c_acctbal FETCH ... WITH TIES``):
+
+        SELECT <list'> FROM (
+          SELECT *, RANK() OVER (ORDER BY k') AS __ties_rk FROM <tail>
+        ) __tq WHERE __ties_rk <= n ORDER BY k
+
+    ``k'`` substitutes select-list aliases with their expressions (the
+    alias does not exist under the projection); ``<list'>`` replaces a
+    bare ``*`` item with ``* EXCEPT (__ties_rk)`` so the helper column
+    never leaks into the output.  Returns None when the body is not
+    simple (grouped/distinct/set-op/CTE bodies keep the wrap-the-body
+    form, whose keys ANSI requires to be output columns anyway) or has
+    a qualified star (``t.*`` only resolves in the wrap form)."""
+    mask = _code_mask(body)
+    depth = _depths(body, mask)
+
+    def _top(pat: str):
+        return [
+            m
+            for m in re.finditer(pat, body, re.IGNORECASE)
+            if mask[m.start()] and depth[m.start()] == 0
+        ]
+
+    sel = _top(r"\bSELECT\b")
+    fm = _top(r"\bFROM\b")
+    if len(sel) != 1 or not fm or body[: sel[0].start()].strip():
+        return None  # CTE prefix, set-op second SELECT, or no FROM
+    if _top(
+        r"\bGROUP\s+BY\b|\bHAVING\b|\bSELECT\s+DISTINCT\b|\bUNION\b|"
+        r"\bINTERSECT\b|\bEXCEPT\b|\bLIMIT\b|\bOFFSET\b|\bWINDOW\b"
+    ):
+        return None
+    sel_list = body[sel[0].end() : fm[0].start()]
+    tail = body[fm[0].end() :].strip()
+    items = _split_top_args(sel_list)
+    aliases: Dict[str, str] = {}
+    out_items = []
+    for it in items:
+        if it == "*":
+            out_items.append("* EXCEPT (__ties_rk)")
+            continue
+        if re.search(r"\.\s*\*\s*$", it):
+            return None  # qualified star: only the wrap form resolves it
+        # record `expr AS alias` (last top-level AS only — one inside
+        # parens/literals is not an alias)
+        imask = _code_mask(it)
+        idepth = _depths(it, imask)
+        as_pos = it.upper().rfind(" AS ")
+        while as_pos != -1 and not (imask[as_pos + 1] and idepth[as_pos + 1] == 0):
+            as_pos = it.upper().rfind(" AS ", 0, as_pos)
+        if as_pos != -1:
+            alias = it[as_pos + 4 :].strip()
+            if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", alias):
+                aliases[alias.lower()] = it[:as_pos].strip()
+        out_items.append(it)
+    rank_keys = []
+    for k in _split_top_args(keys):
+        km = re.match(
+            r"(?is)^(.*?)(\s+(?:ASC|DESC))?(\s+NULLS\s+(?:FIRST|LAST))?\s*$", k
+        )
+        expr, suffix = km.group(1).strip(), (km.group(2) or "") + (km.group(3) or "")
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", expr) and expr.lower() in aliases:
+            expr = aliases[expr.lower()]
+        rank_keys.append(f"{expr}{suffix}")
+    return (
+        f"SELECT {', '.join(out_items)} FROM ("
+        f"SELECT *, RANK() OVER (ORDER BY {', '.join(rank_keys)}) AS __ties_rk "
+        f"FROM {tail}"
+        f") __tq WHERE __ties_rk <= {n} ORDER BY {keys}"
+    )
+
+
 def _rewrite_with_ties(query: str) -> str:
     """ANSI/Trino ``ORDER BY k FETCH FIRST n ROWS WITH TIES`` → the
     mechanical rank() rewrite (Spark SQL has no WITH TIES):
@@ -1778,10 +1874,12 @@ def _rewrite_with_ties(query: str) -> str:
           FROM ( <body> ) AS __tq
         ) WHERE __ties_rk <= n
 
-    Supported shape: the FETCH sits at the top level at the end of the
-    statement with a top-level ORDER BY before it (the standard's own
-    grammar position).  Anything fancier (FETCH inside a subquery,
-    OFFSET combinations) fails loudly rather than guessing."""
+    Simple bodies use the pushed-down variant (`_ties_pushdown`) so
+    sort keys need not appear in the select list.  Supported shape: the
+    FETCH sits at the top level at the end of the statement with a
+    top-level ORDER BY before it (the standard's own grammar position).
+    Anything fancier (FETCH inside a subquery, OFFSET combinations)
+    fails loudly rather than guessing."""
     mask = _code_mask(query)
     hits = [m for m in _WITH_TIES.finditer(query) if mask[m.start()]]
     if not hits:
@@ -1811,6 +1909,9 @@ def _rewrite_with_ties(query: str) -> str:
             "name the sort columns"
         )
     body = query[: ob[-1].start()].rstrip()
+    pushed = _ties_pushdown(body, keys, n)
+    if pushed is not None:
+        return pushed
     return (
         f"SELECT * EXCEPT (__ties_rk) FROM ("
         f"SELECT __tq.*, RANK() OVER (ORDER BY {keys}) AS __ties_rk "
@@ -1995,7 +2096,34 @@ def _rewrite_groups_frames(query: str) -> str:
         f"ORDER BY {k}) AS {alias}"
         for (p, k), alias in grp_defs.items()
     )
+    # a bare `*` in the user's select list would silently expand to
+    # include the injected __grp columns (an extra-column divergence vs
+    # Trino) — wrap the output in `* EXCEPT (...)` to strip them.  A
+    # qualified star (alias.*) cannot resolve through the __gsrc wrap at
+    # all, so it fails loudly instead.
+    hmask = _code_mask(head)
+    hdepth = _depths(head, hmask)
+    sel_kw = re.match(r"\s*SELECT\b", head, re.IGNORECASE)
+    star_bare = False
+    for i, ch in enumerate(head):
+        if ch != "*" or not hmask[i] or hdepth[i] != 0 or i < sel_kw.end():
+            continue
+        j = i - 1
+        while j >= 0 and (head[j].isspace() or not hmask[j]):
+            j -= 1
+        prev = head[j] if j >= 0 else ""
+        if prev == ".":
+            raise TrinoCompatError(
+                "GROUPS window frames with a qualified star (alias.*) in "
+                "the select list are not supported — name the columns or "
+                "use a bare *"
+            )
+        if j < sel_kw.end() or prev == ",":
+            star_bare = True
     out = f"{head} FROM (SELECT *, {grp_cols} FROM {tail}) __gsrc"
+    if star_bare:
+        grp_aliases = ", ".join(grp_defs.values())
+        out = f"SELECT * EXCEPT ({grp_aliases}) FROM ({out}) __gout"
     return f"{out} {trailing}" if trailing else out
 
 

@@ -354,3 +354,52 @@ def test_protected_resource_metadata_endpoint(validator, monkeypatch):
             assert _json.loads(e.read())["error"] == "invalid_token"
     finally:
         httpd.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# JWKS edge cases: kid-less keys (RFC 7517 makes kid OPTIONAL), corrupt
+# key material
+
+
+def test_kidless_single_key_jwks_accepts_kidless_token(tmp_path, keypair):
+    jwk = jwk_from_private_key(keypair, "ignored")
+    del jwk["kid"]
+    p = tmp_path / "jwks.json"
+    p.write_text(json.dumps({"keys": [jwk]}))
+    v = OidcValidator(
+        OidcConfig(provider="okta", issuer=ISSUER, audience=AUDIENCE,
+                   jwks_uri=f"file://{p}")
+    )
+    got = v.decode(encode_rs256(claims(), keypair))  # no kid in header
+    assert got["sub"] == "alice"
+
+
+def test_kidless_single_key_jwks_accepts_kid_bearing_token(tmp_path, keypair):
+    # common IdP shape: token carries a kid but the single JWKS key has
+    # none — with one key there is no ambiguity (signature still gates)
+    jwk = jwk_from_private_key(keypair, "ignored")
+    del jwk["kid"]
+    p = tmp_path / "jwks.json"
+    p.write_text(json.dumps({"keys": [jwk]}))
+    v = OidcValidator(
+        OidcConfig(provider="okta", issuer=ISSUER, audience=AUDIENCE,
+                   jwks_uri=f"file://{p}")
+    )
+    got = v.decode(encode_rs256(claims(), keypair, kid="kid-9"))
+    assert got["sub"] == "alice"
+
+
+def test_corrupt_jwks_key_material_is_jwt_error(tmp_path, keypair):
+    # invalid RSA numbers (even modulus) must surface as JWTError — the
+    # HTTP handler catches exactly that type to produce a clean 401
+    jwk = jwk_from_private_key(keypair, "kid-1")
+    jwk["n"] = "BAD0"  # decodes, but is not a valid modulus for e=65537
+    jwk["e"] = "AA"    # e = 0 → RSAPublicNumbers rejects
+    p = tmp_path / "jwks.json"
+    p.write_text(json.dumps({"keys": [jwk]}))
+    v = OidcValidator(
+        OidcConfig(provider="okta", issuer=ISSUER, audience=AUDIENCE,
+                   jwks_uri=f"file://{p}")
+    )
+    with pytest.raises(JWTError, match="invalid RSA key material"):
+        v.decode(encode_rs256(claims(), keypair, kid="kid-1"))

@@ -739,6 +739,70 @@ def test_with_ties_rewrites_to_rank(spark):
     assert sorted(r["i"] for r in rows) == [1, 2, 2]
 
 
+def test_with_ties_sort_key_not_in_select_list(spark):
+    # valid ANSI: the ties key need not be projected — the rank pushes
+    # under the projection for simple bodies
+    rows = run(
+        spark,
+        "SELECT n FROM (VALUES ('a', 1), ('b', 1), ('c', 2), ('d', 3)) t(n, i) "
+        "ORDER BY i FETCH FIRST 2 ROWS WITH TIES",
+    )
+    assert sorted(r["n"] for r in rows) == ["a", "b"]
+
+
+def test_with_ties_alias_sort_key(spark):
+    # the sort key is a select-list ALIAS: the inner rank must use the
+    # underlying expression (the alias does not exist under the project)
+    rows = run(
+        spark,
+        "SELECT i * 10 AS tens FROM (VALUES (1), (1), (2), (3)) t(i) "
+        "ORDER BY tens FETCH FIRST 2 ROWS WITH TIES",
+    )
+    assert sorted(r["tens"] for r in rows) == [10, 10]
+
+
+def test_with_ties_star_body_keeps_schema(spark):
+    rows = run(
+        spark,
+        "SELECT * FROM (VALUES (1, 'x'), (2, 'y'), (2, 'z')) t(i, s) "
+        "ORDER BY i DESC FETCH FIRST 1 ROWS WITH TIES",
+    )
+    # the helper rank column must not leak through SELECT *
+    assert sorted(rows[0]) == ["i", "s"]
+    assert sorted(r["i"] for r in rows) == [2, 2]
+
+
+def test_groups_frame_select_star_keeps_schema(spark):
+    # a bare * must not pick up the injected __grp dense-rank column
+    rows = run(
+        spark,
+        "SELECT *, sum(x) OVER (ORDER BY i GROUPS BETWEEN 1 PRECEDING "
+        "AND CURRENT ROW) AS s FROM (VALUES (1, 10), (1, 20), (2, 5)) t(i, x)",
+    )
+    assert sorted(rows[0]) == ["i", "s", "x"]
+    got = {(r["i"], r["x"], r["s"]) for r in rows}
+    assert got == {(1, 10, 30), (1, 20, 30), (2, 5, 35)}
+
+
+def test_groups_frame_qualified_star_fails_loudly():
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    with pytest.raises(TrinoCompatError, match="qualified star"):
+        translate(
+            "SELECT e.*, sum(x) OVER (ORDER BY i GROUPS 1 PRECEDING) "
+            "FROM events e"
+        )
+
+
+def test_merge_over_digest_sketches_fails_loudly():
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    with pytest.raises(TrinoCompatError, match="qdigest/tdigest"):
+        translate("SELECT value_at_quantile(merge(qd), 0.5) FROM t")
+    # HLL merge still rewrites
+    assert "hll_union_agg" in translate("SELECT merge(h) FROM t")
+
+
 def test_groups_frame_rewrites_to_range_over_dense_rank(spark):
     q = translate(
         "SELECT sum(x) OVER (ORDER BY i GROUPS BETWEEN 1 PRECEDING"

@@ -1,0 +1,261 @@
+"""Mergeable quantile sketches — the Trino qdigest surface, Spark-first.
+
+Reference surface: Trino's quantile-digest family — ``qdigest_agg(x)``,
+``merge(qdigest)``, ``value_at_quantile(qdigest, q)``,
+``values_at_quantiles``, ``quantile_at_value`` (the reference passes
+that SQL through to Trino verbatim, client.go:501-617).  Spark has
+``percentile_approx`` for direct quantiles but NO reaggregatable
+quantile sketch: a per-day percentile cannot be rolled up to a
+per-month percentile without re-scanning the fact table.  This module
+closes that gap the same way ``a20_sketch_reaggregate`` does for
+distinct counts with HLL: per-group sketches are small (≤ K centroid
+pairs), materializable, and any coarser rollup — region, global,
+time-windowed — merges sketches instead of re-reading 100 TB.
+
+Sketch representation and guarantees
+------------------------------------
+A sketch is an equi-depth centroid list: values sorted ascending,
+clustered into at most ``K`` (default 200) centroids of near-equal
+weight, each kept as ``(mean value, weight)``.  Build and merge use
+the same deterministic one-pass clustering primitive (no randomness,
+no order dependence beyond the value sort), so the same data always
+yields the same sketch — unlike t-digest, whose result depends on
+arrival order.
+
+Rank-error bound: one clustering pass over total weight ``W`` moves
+any value's rank estimate by at most one cluster, i.e. ``≈ W/K``
+(cluster weights are ``ceil``-balanced).  A two-level build (shards →
+merge) compounds two passes: error ``≤ 2·W/K`` — at K=200 that is
+1% of rank, comparable to Trino's default qdigest accuracy (0.01).
+``tests/test_qdigest.py`` asserts the bound empirically against exact
+quantiles, plus build determinism and shard-count invariance.
+
+Distributed shape (the part that must survive 100 TB)
+-----------------------------------------------------
+``qdigest_by`` builds per-key sketches in TWO levels, mirroring
+partial+final aggregation:
+
+1. partial: group by ``(key, shard)`` where ``shard = pmod(xxhash64(x),
+   n_shards)`` — every partial group is ``|group|/n_shards`` rows, so
+   no single Python worker ever materializes a whole key's values
+   (``applyInPandas`` hands a worker the full group; sharding is what
+   keeps that bounded on skewed keys);
+2. final: merge the ≤ ``n_shards`` partial sketches per key — each a
+   ≤ K centroid list, so the final groups are KB-sized regardless of
+   the fact table's size.
+
+Python crossings are Arrow-batched (``applyInPandas``); the fact-table
+shuffle carries ``(key, shard, value)`` — never whole rows.
+
+SQL note: Trino's ``merge()`` over qdigest in *SQL* stays a loud
+``TrinoCompatError`` in the dialect layer (an aggregate over this
+sketch type is not expressible as a registered SQL UDF); this module
+is the engine's DataFrame-level equivalent, used by the ``a21*``
+registry entries.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, List, Sequence, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+#: default sketch size (number of centroids) — rank error ≈ W/K per
+#: clustering pass; 200 matches Trino's default qdigest accuracy (1%)
+DEFAULT_K = 200
+
+
+# ---------------------------------------------------------------------------
+# pure sketch core (deterministic, order-independent, mergeable)
+
+
+def _cluster(
+    pairs: Sequence[Tuple[float, int]], k: int
+) -> List[Tuple[float, int]]:
+    """One-pass equi-depth clustering of value-sorted ``(v, w)`` pairs
+    into ≤ k centroids of near-equal weight.  Deterministic: the cut
+    points depend only on the sorted weights, never on input order."""
+    if not pairs:
+        return []
+    if len(pairs) <= k:
+        return list(pairs)
+    total = sum(w for _, w in pairs)
+    target = math.ceil(total / k)
+    out: List[Tuple[float, int]] = []
+    acc_vw = 0.0  # Σ v*w of the open cluster
+    acc_w = 0
+    for v, w in pairs:
+        acc_vw += v * w
+        acc_w += w
+        if acc_w >= target:
+            out.append((acc_vw / acc_w, acc_w))
+            acc_vw, acc_w = 0.0, 0
+    if acc_w:
+        out.append((acc_vw / acc_w, acc_w))
+    return out
+
+
+def build_sketch(values: Iterable[float], k: int = DEFAULT_K) -> List[Tuple[float, int]]:
+    """Sketch raw values: sort, then cluster to ≤ k centroids."""
+    pairs = [(float(v), 1) for v in values if v is not None and not (
+        isinstance(v, float) and math.isnan(v)
+    )]
+    pairs.sort(key=lambda p: p[0])
+    return _cluster(pairs, k)
+
+
+def merge_sketches(
+    sketches: Iterable[Sequence[Tuple[float, int]]], k: int = DEFAULT_K
+) -> List[Tuple[float, int]]:
+    """Merge any number of sketches: concatenate centroids, re-sort by
+    value, re-cluster.  Associative up to the documented rank-error
+    bound; deterministic regardless of merge order (the concatenated
+    multiset is what gets sorted)."""
+    pairs = [(float(v), int(w)) for s in sketches for v, w in s]
+    pairs.sort(key=lambda p: p[0])
+    return _cluster(pairs, k)
+
+
+def value_at_quantile(sketch: Sequence[Tuple[float, int]], q: float) -> float:
+    """Estimate the q-quantile (0 ≤ q ≤ 1) from a sketch: walk the
+    cumulative weights to the target rank, interpolating linearly
+    between neighboring centroid means (t-digest-style midpoint rule:
+    a centroid's mean sits at the midpoint of its weight span)."""
+    if not sketch:
+        return float("nan")
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"quantile must be in [0, 1], got {q}")
+    total = sum(w for _, w in sketch)
+    rank = q * total
+    # centroid i's mean represents rank position cum_before + w/2
+    cum = 0.0
+    prev_pos, prev_v = None, None
+    for v, w in sketch:
+        pos = cum + w / 2.0
+        if rank <= pos:
+            if prev_pos is None:
+                return v  # below the first midpoint → first mean
+            frac = (rank - prev_pos) / (pos - prev_pos)
+            return prev_v + frac * (v - prev_v)
+        cum += w
+        prev_pos, prev_v = pos, v
+    return sketch[-1][0]
+
+
+def quantile_at_value(sketch: Sequence[Tuple[float, int]], v: float) -> float:
+    """Inverse of ``value_at_quantile``: the estimated rank fraction of
+    ``v`` (Trino's quantile_at_value)."""
+    if not sketch:
+        return float("nan")
+    total = sum(w for _, w in sketch)
+    cum = 0.0
+    prev_pos, prev_v = None, None
+    x = float(v)
+    for cv, w in sketch:
+        pos = cum + w / 2.0
+        if x <= cv:
+            if prev_pos is None:
+                return 0.0 if x < cv else pos / total
+            frac = (x - prev_v) / (cv - prev_v) if cv != prev_v else 1.0
+            return (prev_pos + frac * (pos - prev_pos)) / total
+        cum += w
+        prev_pos, prev_v = pos, cv
+    return 1.0
+
+# ---------------------------------------------------------------------------
+# Spark plumbing: sketch columns are two parallel arrays (vs: array<double>,
+# ws: array<long>) — Arrow moves them as columnar buffers, and pandas sees
+# plain lists (no per-centroid struct boxing)
+
+
+def _sketch_schema(key_fields: str) -> str:
+    return f"{key_fields}, vs array<double>, ws array<long>"
+
+
+def qdigest_partial(
+    df: DataFrame, value_col: str, keys: Sequence[str],
+    k: int = DEFAULT_K, n_shards: int = 32,
+) -> DataFrame:
+    """Level 1: per-(key, shard) sketches.  The shard key bounds the
+    size of every ``applyInPandas`` group to |group|/n_shards rows, so
+    a skewed key never lands a whole group on one Python worker."""
+    key_fields = ", ".join(
+        f"{kc} {df.schema[kc].dataType.simpleString()}" for kc in keys
+    )
+    out_schema = _sketch_schema(key_fields)
+    kk = int(k)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = build_sketch(pdf["__qv"].dropna().tolist(), kk)
+        row = {kc: pdf[kc].iloc[0] for kc in keys}
+        row["vs"] = [v for v, _ in sk]
+        row["ws"] = [w for _, w in sk]
+        return pd.DataFrame([row])
+
+    return (
+        df.select(*keys, F.col(value_col).cast("double").alias("__qv"))
+        .withColumn("__shard", F.pmod(F.xxhash64(F.col("__qv")), F.lit(n_shards)))
+        .groupBy(*keys, "__shard")
+        .applyInPandas(build, out_schema)
+    )
+
+
+def qdigest_merge_by(
+    df: DataFrame, keys: Sequence[str], k: int = DEFAULT_K
+) -> DataFrame:
+    """Merge sketch rows (vs/ws columns) grouped by ``keys`` — the
+    final level of a build, or any coarser rollup.  Input groups are
+    ≤ K-centroid lists, so this stage shuffles KB-sized rows only."""
+    key_fields = ", ".join(
+        f"{kc} {df.schema[kc].dataType.simpleString()}" for kc in keys
+    )
+    out_schema = _sketch_schema(key_fields)
+    kk = int(k)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        sketches = [
+            list(zip(vs, ws)) for vs, ws in zip(pdf["vs"], pdf["ws"])
+        ]
+        sk = merge_sketches(sketches, kk)
+        row = {kc: pdf[kc].iloc[0] for kc in keys}
+        row["vs"] = [v for v, _ in sk]
+        row["ws"] = [w for _, w in sk]
+        return pd.DataFrame([row])
+
+    return df.groupBy(*keys).applyInPandas(merge, out_schema)
+
+
+def qdigest_by(
+    df: DataFrame, value_col: str, keys: Sequence[str],
+    k: int = DEFAULT_K, n_shards: int = 32,
+) -> DataFrame:
+    """Per-key sketches via the two-level (partial → merge) build."""
+    return qdigest_merge_by(
+        qdigest_partial(df, value_col, keys, k=k, n_shards=n_shards), keys, k=k
+    )
+
+
+def with_quantiles(df: DataFrame, quantiles: Sequence[float]) -> DataFrame:
+    """Append ``p<q>`` columns estimated from the vs/ws sketch columns
+    (vectorized pandas UDF — one Arrow batch per partition)."""
+    def make_udf(q: float):
+        @F.pandas_udf("double")
+        def est(vs: pd.Series, ws: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    value_at_quantile(list(zip(v, w)), q)
+                    if v is not None and len(v)
+                    else float("nan")
+                    for v, w in zip(vs, ws)
+                ]
+            )
+
+        return est
+
+    for q in (float(q) for q in quantiles):
+        name = f"p{int(q * 100):02d}" if (q * 100).is_integer() else f"p{q}"
+        df = df.withColumn(name, make_udf(q)("vs", "ws"))
+    return df

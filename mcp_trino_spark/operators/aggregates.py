@@ -495,3 +495,36 @@ def a20_sketch_reaggregate(spark, sf_dir):
             F.sum("n_rows").alias("n_customers"),
         )
     )
+
+
+@register("a21_qdigest_rollup")  # rows-only: sketch estimates are engine-local
+def a21_qdigest_rollup(spark, sf_dir):
+    """Reaggregatable QUANTILE sketches — the Trino qdigest family
+    (``qdigest_agg`` → ``merge`` → ``value_at_quantile``; the reference
+    passes that SQL through, client.go:501-617): per-nation sketches of
+    customer balances, merged up to region level without ever
+    re-scanning or reshuffling raw balances.
+
+    The quantile twin of a20's HLL rollup, and the pattern Spark's own
+    ``percentile_approx`` cannot express (it is not reaggregatable):
+    the nation-level sketch table is KB-sized and materializable, and
+    any coarser rollup — region, global, time-windowed — merges
+    sketches instead of re-reading the fact table.  Plan: two-level
+    sketch build on (nationkey, value-shard) so no Python worker ever
+    holds a whole nation's values, broadcast nation dim, then a
+    |nations|-row sketch merge per region.  Accuracy and determinism
+    are asserted in tests/test_qdigest.py (rank error ≤ 2·W/K).
+    """
+    from mcp_trino_spark.functions.qdigest import (
+        qdigest_by, qdigest_merge_by, with_quantiles,
+    )
+
+    customer, nation = T(spark, sf_dir, "customer", "nation")
+    per_nation = qdigest_by(customer, "c_acctbal", ["c_nationkey"])
+    tagged = per_nation.join(
+        F.broadcast(nation), per_nation.c_nationkey == nation.n_nationkey
+    ).select("n_regionkey", "vs", "ws")
+    per_region = qdigest_merge_by(tagged, ["n_regionkey"])
+    return with_quantiles(per_region, [0.5, 0.9, 0.99]).select(
+        "n_regionkey", "p50", "p90", "p99"
+    )

@@ -1396,9 +1396,12 @@ def _rewrite_hll_sketches(q: str) -> str:
         )
     ):
         raise TrinoCompatError(
-            "merge() over qdigest/tdigest sketches is not supported — only "
-            "the HLL merge() maps to Spark (hll_union_agg); use "
-            "approx_percentile for quantile estimates"
+            "merge() over qdigest/tdigest sketches is not supported in SQL "
+            "— only the HLL merge() maps to Spark (hll_union_agg).  Use "
+            "approx_percentile for direct quantile estimates, or the "
+            "engine's mergeable quantile sketches "
+            "(mcp_trino_spark.functions.qdigest, a21_qdigest_rollup) for "
+            "reaggregatable rollups"
         )
     # MERGE INTO statements never reach translate with a call-shaped
     # merge(

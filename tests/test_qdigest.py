@@ -1,0 +1,169 @@
+"""Mergeable quantile sketches — mcp_trino_spark/functions/qdigest.py.
+
+Parity target: Trino's qdigest family (qdigest_agg / merge /
+value_at_quantile / quantile_at_value), re-expressed as a
+deterministic equi-depth centroid sketch with a two-level
+(shard → merge) distributed build.  The correctness contract is the
+documented rank-error bound (≤ 2·W/K over two clustering passes),
+asserted here against exact quantiles — plus determinism and
+merge-order invariance, which Trino's qdigest also guarantees for
+fixed input multisets.
+"""
+
+import bisect
+import random
+
+import pytest
+
+from mcp_trino_spark.functions.qdigest import (
+    DEFAULT_K,
+    build_sketch,
+    merge_sketches,
+    quantile_at_value,
+    value_at_quantile,
+)
+
+QS = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def rank_of(sorted_vals, v):
+    return bisect.bisect_left(sorted_vals, v) / len(sorted_vals)
+
+
+@pytest.fixture(scope="module")
+def gauss_50k():
+    rng = random.Random(20260814)
+    return [rng.gauss(0.0, 1.0) for _ in range(50_000)]
+
+
+# ---------------------------------------------------------------------------
+# pure core
+
+
+def test_small_input_sketch_is_exact():
+    vals = [5.0, 1.0, 3.0, 2.0, 4.0]
+    sk = build_sketch(vals)
+    # below K centroids the sketch IS the sorted data
+    assert sk == [(1.0, 1), (2.0, 1), (3.0, 1), (4.0, 1), (5.0, 1)]
+    assert value_at_quantile(sk, 0.5) == 3.0
+    assert value_at_quantile(sk, 0.0) == 1.0
+    assert value_at_quantile(sk, 1.0) == 5.0
+
+
+def test_rank_error_bound_single_build(gauss_50k):
+    sk = build_sketch(gauss_50k)
+    assert len(sk) <= DEFAULT_K
+    exact = sorted(gauss_50k)
+    for q in QS:
+        est = value_at_quantile(sk, q)
+        # documented bound: one clustering pass ≈ W/K rank error; allow 2×
+        assert abs(rank_of(exact, est) - q) <= 2.0 / DEFAULT_K
+
+
+def test_rank_error_bound_after_sharded_merge(gauss_50k):
+    shards = [build_sketch(gauss_50k[i::8]) for i in range(8)]
+    merged = merge_sketches(shards)
+    assert len(merged) <= DEFAULT_K
+    exact = sorted(gauss_50k)
+    for q in QS:
+        est = value_at_quantile(merged, q)
+        # two clustering passes: 2·W/K, allow 2×
+        assert abs(rank_of(exact, est) - q) <= 4.0 / DEFAULT_K
+
+
+def test_merge_is_order_invariant(gauss_50k):
+    shards = [build_sketch(gauss_50k[i::4]) for i in range(4)]
+    assert merge_sketches(shards) == merge_sketches(list(reversed(shards)))
+
+
+def test_build_is_input_order_invariant(gauss_50k):
+    shuffled = list(gauss_50k)
+    random.Random(1).shuffle(shuffled)
+    assert build_sketch(shuffled) == build_sketch(gauss_50k)
+
+
+def test_quantile_at_value_inverts(gauss_50k):
+    sk = build_sketch(gauss_50k)
+    for q in (0.1, 0.5, 0.9):
+        v = value_at_quantile(sk, q)
+        assert abs(quantile_at_value(sk, v) - q) <= 4.0 / DEFAULT_K
+    assert quantile_at_value(sk, -1e9) == 0.0
+    assert quantile_at_value(sk, 1e9) == 1.0
+
+
+def test_weights_conserved(gauss_50k):
+    sk = build_sketch(gauss_50k)
+    assert sum(w for _, w in sk) == len(gauss_50k)
+    merged = merge_sketches([sk, sk])
+    assert sum(w for _, w in merged) == 2 * len(gauss_50k)
+
+
+def test_nan_and_none_dropped():
+    sk = build_sketch([1.0, float("nan"), 2.0, None, 3.0])
+    assert sum(w for _, w in sk) == 3
+
+
+def test_empty_and_bad_quantile():
+    assert value_at_quantile([], 0.5) != value_at_quantile([], 0.5)  # NaN
+    with pytest.raises(ValueError, match="quantile"):
+        value_at_quantile([(1.0, 1)], 1.5)
+
+
+# ---------------------------------------------------------------------------
+# Spark path (two-level build, rollup merge, determinism)
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_spark_two_level_build_matches_exact_quantiles(spark):
+    from mcp_trino_spark.functions.qdigest import qdigest_by, with_quantiles
+    from mcp_trino_spark.sources.catalog import load_table
+
+    cust = load_table(spark, SF, "customer")
+    sk = qdigest_by(cust, "c_acctbal", ["c_nationkey"])
+    got = {
+        r["c_nationkey"]: r["p50"]
+        for r in with_quantiles(sk, [0.5]).select("c_nationkey", "p50").collect()
+    }
+    pdf = cust.select("c_nationkey", "c_acctbal").toPandas()
+    for nk, grp in pdf.groupby("c_nationkey"):
+        vals = sorted(grp["c_acctbal"].tolist())
+        # groups here are far below K → sketch is exact; the estimate
+        # must land within one value of the exact median rank
+        r = rank_of(vals, got[nk])
+        assert abs(r - 0.5) <= 0.5 / max(len(vals), 1) + 2.0 / DEFAULT_K
+
+
+def test_spark_build_is_deterministic_and_shard_invariant(spark):
+    from mcp_trino_spark.functions.qdigest import qdigest_by, with_quantiles
+    from mcp_trino_spark.sources.catalog import load_table
+
+    cust = load_table(spark, SF, "customer")
+
+    def run(n_shards):
+        df = with_quantiles(
+            qdigest_by(cust, "c_acctbal", ["c_nationkey"], n_shards=n_shards),
+            [0.5, 0.9],
+        ).select("c_nationkey", "p50", "p90")
+        return {r["c_nationkey"]: (r["p50"], r["p90"]) for r in df.collect()}
+
+    a, b = run(32), run(32)
+    assert a == b  # same plan → bit-identical (no order dependence)
+    c = run(4)
+    # different sharding → same rank-error contract, not bit equality
+    pdf = cust.select("c_nationkey", "c_acctbal").toPandas()
+    for nk, grp in pdf.groupby("c_nationkey"):
+        vals = sorted(grp["c_acctbal"].tolist())
+        for est in (a[nk][0], c[nk][0]):
+            assert abs(rank_of(vals, est) - 0.5) <= 0.5 / max(len(vals), 1) + 4.0 / DEFAULT_K
+
+
+def test_a21_registry_entry_shape(spark):
+    from mcp_trino_spark import registry
+
+    df = registry.queries()["a21_qdigest_rollup"](spark, SF)
+    rows = df.collect()
+    assert len(rows) == 5  # one row per region
+    for r in rows:
+        assert r["p50"] <= r["p90"] <= r["p99"]

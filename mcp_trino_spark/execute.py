@@ -145,6 +145,12 @@ def execute_query(
         from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
         install_compat_functions(spark)
+        if re.search(r"\bFOR\s+VERSION\s+AS\s+OF\b", q, re.IGNORECASE):
+            # Trino/Iceberg time travel over the DML version store —
+            # each clause materializes a temp view (dropped in finally)
+            from mcp_trino_spark.sources.timetravel import rewrite_version_as_of
+
+            q = rewrite_version_as_of(spark, q, created_views=mr_views)
         q = translate(q)
         from mcp_trino_spark.trino_mr import expand_match_recognize, has_match_recognize
 

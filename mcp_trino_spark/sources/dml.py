@@ -40,10 +40,12 @@ a reference user sends today.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
 import uuid
+from datetime import datetime, timezone
 from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -56,6 +58,90 @@ class DmlError(ValueError):
 class MergeCardinalityError(RuntimeError):
     """More than one source row matched a single target row (the SQL
     standard and Delta both reject this as nondeterministic)."""
+
+
+# ---------------------------------------------------------------------------
+# version store (time travel)
+#
+# Copy-on-write makes snapshots FREE: every commit already moves the
+# replaced data aside before deleting it.  Retaining those directories
+# in a hidden store next to the table — instead of rmtree-ing them —
+# gives Trino/Iceberg-style time travel (``FOR VERSION AS OF n``,
+# sources/timetravel.py) with zero extra write amplification: version
+# N's store holds exactly the data commit N replaced, partition-bounded
+# commits retire only the touched partitions' old directories.
+# ``vacuum_table_versions`` reclaims space by raising the readable
+# floor.  Out-of-band appends (INSERT INTO writes files directly into
+# live directories) show through in untouched partitions of historical
+# reads — the standard hive-layout caveat; DML commits are exact.
+
+
+def _store_root(loc: str) -> str:
+    parent, base = os.path.dirname(loc), os.path.basename(loc)
+    return os.path.join(parent, f".{base}.versions")
+
+
+def _history_path(loc: str) -> str:
+    return os.path.join(_store_root(loc), "history.json")
+
+
+def _load_history(loc: str) -> Dict:
+    p = _history_path(loc)
+    if not os.path.exists(p):
+        return {"floor": 0, "commits": []}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _save_history(loc: str, hist: Dict) -> None:
+    os.makedirs(_store_root(loc), exist_ok=True)
+    tmp = _history_path(loc) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(hist, f, indent=1)
+    os.replace(tmp, _history_path(loc))
+
+
+def current_table_version(loc: str) -> int:
+    """Version of the LIVE state: 0 before any DML commit, else the
+    newest commit's version."""
+    commits = _load_history(loc)["commits"]
+    return commits[-1]["version"] if commits else 0
+
+
+def _next_commit_record(loc: str, op: str, kind: str) -> Dict:
+    return {
+        "version": current_table_version(loc) + 1,
+        "op": op,
+        "kind": kind,
+        "ts": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+    }
+
+
+def vacuum_table_versions(spark: SparkSession, table: str, keep_last: int) -> int:
+    """Drop version data older than the last ``keep_last`` commits;
+    returns the new readable floor (the oldest version still
+    reconstructible).  Keep_last=0 drops all history."""
+    if keep_last < 0:
+        raise DmlError("keep_last must be >= 0")
+    loc = _table_location(spark, table)
+    hist = _load_history(loc)
+    commits = hist["commits"]
+    if not commits:
+        return 0
+    cur = commits[-1]["version"]
+    floor = max(hist["floor"], cur - keep_last)
+    for c in commits:
+        # commit N holds the data needed to read states < N; versions
+        # below the floor are unreadable, so commits ≤ floor can go
+        if c["version"] <= floor:
+            shutil.rmtree(
+                os.path.join(_store_root(loc), f"v{c['version']}"),
+                ignore_errors=True,
+            )
+    hist["commits"] = [c for c in commits if c["version"] > floor]
+    hist["floor"] = floor
+    _save_history(loc, hist)
+    return floor
 
 
 # ---------------------------------------------------------------------------
@@ -72,10 +158,14 @@ def _table_location(spark: SparkSession, table: str) -> str:
     raise DmlError(f"table {table!r} has no Location (not a file-backed table?)")
 
 
-def _commit(spark: SparkSession, table: str, new_state: DataFrame) -> None:
+def _commit(
+    spark: SparkSession, table: str, new_state: DataFrame, op: str = "dml"
+) -> None:
     """Write ``new_state`` once to a staging dir, then atomically swap it
     into the table location (rename + REFRESH).  The staging write runs
-    the full Catalyst plan; the swap is metadata-only."""
+    the full Catalyst plan; the swap is metadata-only.  The replaced
+    data moves into the version store (time travel) instead of being
+    deleted — the snapshot costs no extra write."""
     loc = _table_location(spark, table)
     parent, base = os.path.dirname(loc), os.path.basename(loc)
     staged = os.path.join(parent, f".{base}.staged-{uuid.uuid4().hex[:8]}")
@@ -96,7 +186,14 @@ def _commit(spark: SparkSession, table: str, new_state: DataFrame) -> None:
     if pcols:
         spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
     spark.sql(f"REFRESH TABLE {table}")
-    shutil.rmtree(retired, ignore_errors=True)
+    rec = _next_commit_record(loc, op, "full")
+    vdir = os.path.join(_store_root(loc), f"v{rec['version']}")
+    os.makedirs(os.path.dirname(vdir), exist_ok=True)
+    os.rename(retired, vdir)
+    rec["data"] = f"v{rec['version']}"
+    hist = _load_history(loc)
+    hist["commits"].append(rec)
+    _save_history(loc, hist)
 
 
 # ---------------------------------------------------------------------------
@@ -158,6 +255,7 @@ def _commit_partitions(
     new_touched_state: DataFrame,
     pcols: List[str],
     touched: List[Tuple],
+    op: str = "dml",
 ) -> None:
     """Partition-bounded copy-on-write: rewrite ONLY the partitions in
     ``touched``; every other partition directory is never read for the
@@ -226,6 +324,28 @@ def _commit_partitions(
         spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
     spark.sql(f"REFRESH TABLE {table}")
     shutil.rmtree(staged, ignore_errors=True)
+    # retire the replaced partition directories into the version store:
+    # touched→null records a partition that did NOT exist before this
+    # commit (so historical reads know to exclude it)
+    rec = _next_commit_record(loc, op, "partitions")
+    vrel = f"v{rec['version']}"
+    vdir = os.path.join(_store_root(loc), vrel)
+    os.makedirs(vdir, exist_ok=True)
+    touched_map: Dict[str, Optional[str]] = {}
+    for i, values in enumerate(touched):
+        rel = _partition_relpath(pcols, values)
+        retired_p = os.path.join(retired, str(i))
+        if os.path.isdir(retired_p):
+            dest = os.path.join(vdir, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.rename(retired_p, dest)
+            touched_map[rel] = f"{vrel}/{rel}"
+        else:
+            touched_map[rel] = None
+    rec["touched"] = touched_map
+    hist = _load_history(loc)
+    hist["commits"].append(rec)
+    _save_history(loc, hist)
     shutil.rmtree(retired, ignore_errors=True)
 
 
@@ -298,11 +418,11 @@ def update_table(
         touched = [tuple(r[c] for c in pcols) for r in per_part]
         _commit_partitions(
             spark, table, new_state.filter(_partition_predicate(pcols, touched)),
-            pcols, touched,
+            pcols, touched, op="update",
         )
         return affected
     affected = t.filter(cond).count()
-    _commit(spark, table, new_state)
+    _commit(spark, table, new_state, op="update")
     return affected
 
 
@@ -329,11 +449,11 @@ def delete_from(spark: SparkSession, table: str, where: Optional[str]) -> int:
         touched = [tuple(r[c] for c in pcols) for r in per_part]
         _commit_partitions(
             spark, table, new_state.filter(_partition_predicate(pcols, touched)),
-            pcols, touched,
+            pcols, touched, op="delete",
         )
         return affected
     affected = t.count() if cond is None else t.filter(cond).count()
-    _commit(spark, table, new_state)
+    _commit(spark, table, new_state, op="delete")
     return affected
 
 
@@ -478,9 +598,10 @@ def merge_into(
                 new_state.filter(_partition_predicate(pcols, touched_list)),
                 pcols,
                 touched_list,
+                op="merge",
             )
         else:
-            _commit(spark, target, new_state)
+            _commit(spark, target, new_state, op="merge")
     finally:
         joined.unpersist()
     return n_matched + n_inserted

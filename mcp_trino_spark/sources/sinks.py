@@ -39,6 +39,13 @@ def _fresh_table(spark, name: str) -> None:
     shutil.rmtree(
         os.path.join(warehouse.removeprefix("file:"), name), ignore_errors=True
     )
+    # DML version store lives NEXT to the table dir (dml.py) — Spark's
+    # DROP TABLE knows nothing about it, so a recreated table would
+    # inherit the old table's history
+    shutil.rmtree(
+        os.path.join(warehouse.removeprefix("file:"), f".{name}.versions"),
+        ignore_errors=True,
+    )
 
 
 def _collect_and_drop(spark, name: str):
@@ -441,4 +448,54 @@ def s8_bucketed_colocated_join(spark, sf_dir):
     rows, schema = joined.collect(), joined.schema
     for t in ("s8_bkt_lineitem", "s8_bkt_orders"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "s10_time_travel",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """,
+)
+def s10_time_travel(spark, sf_dir):
+    """Trino/Iceberg time travel (``FOR VERSION AS OF``; the reference
+    passes that SELECT through like any other, client.go:501-617) over
+    the DML version store: CTAS a scratch table, UPDATE it (commit →
+    version 1), then read version 0 back through the SQL front door.
+    The historical read must reproduce the pre-UPDATE data exactly —
+    which the oracle (a plain scan of orders) asserts hash-exactly,
+    making this a stronger check than any row-count: one misplaced
+    partition directory or missed commit record diverges the hash.
+
+    Scale: the snapshot is the copy-on-write commit's retired data —
+    zero extra write amplification; reconstruction walks commit
+    metadata (KB of JSON) and unions per-partition scans, so a
+    filtered historical query reads only the partitions it keeps
+    (sources/timetravel.py docstring)."""
+    from mcp_trino_spark.sources.timetravel import rewrite_version_as_of
+
+    register_tables(spark, sf_dir)
+    _fresh_table(spark, "tt_orders")
+    execute_query(
+        spark,
+        """
+        CREATE TABLE tt_orders USING parquet AS
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        """,
+        _WRITE_CFG,
+    )
+    res = execute_query(
+        spark,
+        "UPDATE tt_orders SET o_totalprice = 0.0 WHERE o_orderstatus = 'F'",
+        _WRITE_CFG,
+    )
+    assert res.rows[0]["rows_affected"] > 0
+    q = rewrite_version_as_of(
+        spark,
+        "SELECT o_orderkey, o_orderstatus, o_totalprice "
+        "FROM tt_orders FOR VERSION AS OF 0",
+    )
+    hist = spark.sql(q)
+    rows, schema = hist.collect(), hist.schema
+    _fresh_table(spark, "tt_orders")  # drop table AND its version store
     return spark.createDataFrame(rows, schema)

@@ -1,0 +1,226 @@
+"""Time travel over copy-on-write DML tables — Trino's ``FOR VERSION
+AS OF`` (the Iceberg connector's time-travel syntax, which the
+reference passes through to Trino like any other SELECT,
+client.go:501-617), re-expressed over sources/dml.py's version store.
+
+How a version is reconstructed
+------------------------------
+Commit N replaced some data and retired exactly that data into
+``.{table}.versions/vN`` (the whole table for full commits, only the
+touched partition directories for partition-bounded ones).  So the
+state at version ``v`` is, per partition:
+
+* the retired copy from the EARLIEST commit ``> v`` that touched it
+  (that commit replaced the data that had been live since ≤ v), or
+* the live directory, if no later commit touched it, or
+* absent, if the earliest touch ``> v`` records ``null`` (the
+  partition was CREATED by that commit).
+
+A full commit touches everything, so its retired tree resolves any
+partition not already resolved by an earlier-after-v partition commit.
+The walk is over commit metadata (KB of JSON), never data; the read
+itself unions per-partition parquet scans with the partition values
+re-injected from the directory names — at 100 TB this reads only the
+partitions the historical query's filters keep (each partition is its
+own scan; Catalyst prunes unions of filtered scans).
+
+Out-of-band appends (INSERT INTO writes files straight into live
+directories) show through in partitions no later commit touched — the
+standard hive-layout caveat, documented in dml.py; DML history is
+exact.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mcp_trino_spark.sources.dml import (
+    DmlError,
+    _load_history,
+    _partition_columns,
+    _store_root,
+    _table_location,
+    current_table_version,
+)
+
+
+def _unescape_partition_value(s: str) -> Optional[str]:
+    """Inverse of dml._escape_partition_value (string form; casting to
+    the column type happens in Spark)."""
+    if s == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    return re.sub("%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), s)
+
+
+def table_history(spark: SparkSession, table: str) -> DataFrame:
+    """Commit history of a DML table: one row per commit (version, op,
+    kind, ts, touched-partition count; NULL count for full commits) —
+    Trino's ``$snapshots`` metadata-table idea for this store."""
+    loc = _table_location(spark, table)
+    hist = _load_history(loc)
+    rows = [
+        (
+            c["version"],
+            c["op"],
+            c["kind"],
+            c["ts"],
+            len(c["touched"]) if c.get("kind") == "partitions" else None,
+        )
+        for c in hist["commits"]
+    ]
+    return spark.createDataFrame(
+        rows, "version bigint, op string, kind string, ts string, n_partitions_touched int"
+    )
+
+
+def _live_partition_rels(loc: str, n_levels: int) -> List[str]:
+    """Relative hive paths (``a=1/b=2``) of the live partition dirs."""
+    rels = [""]
+    for _ in range(n_levels):
+        nxt = []
+        for r in rels:
+            d = os.path.join(loc, r) if r else loc
+            if not os.path.isdir(d):
+                continue
+            for name in os.listdir(d):
+                if "=" in name and not name.startswith((".", "_")):
+                    nxt.append(os.path.join(r, name) if r else name)
+        rels = nxt
+    return rels
+
+
+def read_table_version(spark: SparkSession, table: str, version: int) -> DataFrame:
+    """DataFrame of ``table`` as of DML ``version`` (0 = the state
+    before the first DML commit; the current version is
+    ``current_table_version``)."""
+    loc = _table_location(spark, table)
+    hist = _load_history(loc)
+    cur = current_table_version(loc)
+    if version > cur or version < 0:
+        raise DmlError(
+            f"version {version} does not exist for {table!r} (current: {cur})"
+        )
+    if version < hist["floor"]:
+        raise DmlError(
+            f"version {version} of {table!r} was vacuumed (floor: {hist['floor']})"
+        )
+    if version == cur:
+        return spark.table(table)
+    store = _store_root(loc)
+    after = [c for c in hist["commits"] if c["version"] > version]
+    pcols = _partition_columns(spark, table)
+
+    schema = spark.table(table).schema
+    if not pcols:
+        # unpartitioned tables only ever take full commits: state v is
+        # the data retired by the first commit after v
+        first = after[0]
+        return _read_dir(spark, schema, os.path.join(store, first["data"]), {}, pcols)
+
+    # candidate partitions = live dirs ∪ every rel any later commit knows
+    rels = set(_live_partition_rels(loc, len(pcols)))
+    for c in after:
+        if c["kind"] == "partitions":
+            rels.update(c["touched"])
+        else:  # full commit retired a whole hive tree
+            rels.update(
+                _live_partition_rels(os.path.join(store, c["data"]), len(pcols))
+            )
+
+    parts: List[DataFrame] = []
+    for rel in sorted(rels):
+        d = _resolve_partition_dir(loc, store, after, rel)
+        if d is not None:
+            parts.append(_read_dir(spark, schema, d, _rel_values(rel, pcols), pcols))
+    if not parts:
+        return spark.table(table).filter(F.lit(False))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _resolve_partition_dir(
+    loc: str, store: str, after: List[Dict], rel: str
+) -> Optional[str]:
+    """Directory holding ``rel``'s data at the requested version, or
+    None if the partition did not exist then."""
+    for c in after:  # ascending versions: earliest touch after v wins
+        if c["kind"] == "partitions":
+            if rel in c["touched"]:
+                t = c["touched"][rel]
+                return os.path.join(store, t) if t else None
+        else:
+            d = os.path.join(store, c["data"], rel)
+            return d if os.path.isdir(d) else None
+    d = os.path.join(loc, rel)
+    return d if os.path.isdir(d) else None
+
+
+def _rel_values(rel: str, pcols: List[str]) -> Dict[str, Optional[str]]:
+    out: Dict[str, Optional[str]] = {}
+    for seg in rel.split("/"):
+        name, _, raw = seg.partition("=")
+        out[name] = _unescape_partition_value(raw)
+    if list(out) != pcols:
+        raise DmlError(f"partition path {rel!r} does not match columns {pcols}")
+    return out
+
+
+def _read_dir(
+    spark: SparkSession,
+    schema,
+    d: str,
+    pvalues: Dict[str, Optional[str]],
+    pcols: List[str],
+) -> DataFrame:
+    """Read one data directory and re-inject partition values (files in
+    hive layout do not store partition columns), aligned to the table's
+    schema and column order."""
+    df = spark.read.parquet(d)
+    for c in pcols:
+        v = pvalues.get(c)
+        col = F.lit(v).cast(schema[c].dataType)
+        df = df.withColumn(c, col)
+    return df.select(*[f.name for f in schema.fields])
+
+
+# ---------------------------------------------------------------------------
+# SQL front door: `... FROM <table> FOR VERSION AS OF <n> ...`
+
+_VERSION_AS_OF = re.compile(
+    r"\b([A-Za-z_][A-Za-z0-9_.]*)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)\b",
+    re.IGNORECASE,
+)
+
+
+def rewrite_version_as_of(
+    spark: SparkSession, q: str, created_views: Optional[List[str]] = None
+) -> str:
+    """Rewrite every ``<table> FOR VERSION AS OF <n>`` reference to a
+    temp view materialized from the version store (Trino/Iceberg
+    time-travel syntax; Spark SQL has ``VERSION AS OF`` only for v2
+    sources).  Mask-aware: occurrences inside string literals or
+    comments are left untouched.  No-op for queries without the
+    clause."""
+    from mcp_trino_spark.trino_compat import _code_mask
+
+    mask = _code_mask(q)
+    out, last = [], 0
+    for m in _VERSION_AS_OF.finditer(q):
+        if not mask[m.start()]:
+            continue
+        table, version = m.group(1), int(m.group(2))
+        view = f"{table.replace('.', '_')}__v{version}"
+        read_table_version(spark, table, version).createOrReplaceTempView(view)
+        if created_views is not None:
+            created_views.append(view)
+        out.append(q[last : m.start()])
+        out.append(view)
+        last = m.end()
+    out.append(q[last:])
+    return "".join(out)

@@ -1,0 +1,162 @@
+"""Time travel over the DML version store — sources/timetravel.py.
+
+Parity target: Trino's Iceberg time-travel syntax (``FOR VERSION AS
+OF``), which the reference passes through like any SELECT
+(client.go:501-617).  The end-to-end hash-exact check is the
+s10_time_travel oracle entry; these tests cover the reconstruction
+edge cases the oracle can't: partition-bounded commits, partitions
+created/deleted mid-history, vacuum floors, and the SQL rewrite's
+literal-masking.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from mcp_trino_spark.config import EngineConfig
+from mcp_trino_spark.execute import execute_query
+from mcp_trino_spark.sources.dml import (
+    DmlError,
+    delete_from,
+    merge_into,
+    update_table,
+    vacuum_table_versions,
+)
+from mcp_trino_spark.sources.timetravel import (
+    read_table_version,
+    rewrite_version_as_of,
+    table_history,
+)
+
+WRITE = EngineConfig(allow_write_queries=True)
+
+
+@pytest.fixture()
+def flat(spark, tmp_path, request):
+    """Fresh unpartitioned 5-row table; yields its name."""
+    name = f"tt_flat_{request.node.name}"[:60].replace("[", "_").replace("]", "_")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.createDataFrame(
+        [Row(k=i, v=float(i)) for i in range(1, 6)]
+    ).write.parquet(str(tmp_path / name))
+    spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{tmp_path / name}'")
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+@pytest.fixture()
+def parted(spark, tmp_path, request):
+    """Fresh hive-partitioned table (p in 0..2, 3 rows each)."""
+    name = f"tt_part_{request.node.name}"[:60].replace("[", "_").replace("]", "_")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.createDataFrame(
+        [Row(p=i % 3, k=i, v=float(i)) for i in range(9)]
+    ).write.partitionBy("p").parquet(str(tmp_path / name))
+    spark.sql(
+        f"CREATE TABLE {name} (k bigint, v double, p bigint) USING parquet "
+        f"PARTITIONED BY (p) LOCATION '{tmp_path / name}'"
+    )
+    spark.sql(f"MSCK REPAIR TABLE {name}")
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def snap(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_versions_accumulate_and_reconstruct(spark, flat):
+    v0 = snap(spark.table(flat))
+    update_table(spark, flat, {"v": "v * 10"}, "k <= 2")
+    v1 = snap(spark.table(flat))
+    delete_from(spark, flat, "k = 5")
+    assert snap(read_table_version(spark, flat, 0)) == v0
+    assert snap(read_table_version(spark, flat, 1)) == v1
+    assert snap(read_table_version(spark, flat, 2)) == snap(spark.table(flat))
+
+
+def test_history_records_ops(spark, flat):
+    update_table(spark, flat, {"v": "0.0"}, "k = 1")
+    delete_from(spark, flat, "k = 2")
+    hist = table_history(spark, flat).collect()
+    assert [(r["version"], r["op"]) for r in hist] == [(1, "update"), (2, "delete")]
+
+
+def test_nonexistent_version_rejected(spark, flat):
+    with pytest.raises(DmlError, match="does not exist"):
+        read_table_version(spark, flat, 1)
+    with pytest.raises(DmlError, match="does not exist"):
+        read_table_version(spark, flat, -1)
+
+
+def test_partition_bounded_commit_reconstructs(spark, parted):
+    v0 = snap(spark.table(parted))
+    update_table(spark, parted, {"v": "v + 100"}, "p = 1")  # bounded to p=1
+    v1 = snap(spark.table(parted))
+    delete_from(spark, parted, "p = 2")  # retires p=2 entirely
+    assert snap(read_table_version(spark, parted, 0)) == v0
+    assert snap(read_table_version(spark, parted, 1)) == v1
+    assert snap(read_table_version(spark, parted, 2)) == snap(spark.table(parted))
+    # untouched partition p=0 was never rewritten: still served live
+    hist = table_history(spark, parted).collect()
+    assert hist[0]["kind"] == "partitions" and hist[0]["n_partitions_touched"] == 1
+
+
+def test_partition_created_by_merge_absent_in_history(spark, parted):
+    src = spark.createDataFrame([Row(p=9, k=90, v=900.0)])
+    merge_into(
+        spark, parted, src, "t.k = s.k", insert_all=True,
+    )
+    # table column order is (k, v, p) — partition column last
+    assert (90, 900.0, 9) in {tuple(r) for r in spark.table(parted).collect()}
+    # version 0 must NOT contain the created partition
+    v0 = snap(read_table_version(spark, parted, 0))
+    assert all(r[2] != 9 for r in v0) and len(v0) == 9
+
+
+def test_vacuum_raises_floor(spark, flat):
+    update_table(spark, flat, {"v": "1.0"}, "k = 1")
+    update_table(spark, flat, {"v": "2.0"}, "k = 1")
+    floor = vacuum_table_versions(spark, flat, keep_last=1)
+    assert floor == 1
+    with pytest.raises(DmlError, match="vacuumed"):
+        read_table_version(spark, flat, 0)
+    assert len(snap(read_table_version(spark, flat, 1))) == 5
+    # store dir for the dropped commit is gone
+    loc = str(spark.sql(f"DESCRIBE FORMATTED {flat}").filter("col_name = 'Location'")
+              .collect()[0].data_type).removeprefix("file:")
+    store = os.path.join(os.path.dirname(loc), f".{os.path.basename(loc)}.versions")
+    assert not os.path.isdir(os.path.join(store, "v1"))
+    assert os.path.isdir(os.path.join(store, "v2"))
+
+
+def test_sql_front_door(spark, flat):
+    update_table(spark, flat, {"v": "v * 10"}, "k <= 2")
+    r = execute_query(
+        spark, f"SELECT sum(v) AS s FROM {flat} FOR VERSION AS OF 0",
+        dialect="trino",
+    )
+    assert r.rows[0]["s"] == 15.0
+    r = execute_query(
+        spark, f"SELECT sum(v) AS s FROM {flat} FOR VERSION AS OF 1",
+        dialect="trino",
+    )
+    assert r.rows[0]["s"] == 42.0
+    # the temp view is dropped after the query (no catalog leak)
+    assert not any(
+        v.name.endswith("__v0") for v in spark.catalog.listTables()
+    )
+
+
+def test_sql_rewrite_masks_literals(spark, flat):
+    q = rewrite_version_as_of(
+        spark, f"SELECT '{flat} FOR VERSION AS OF 0' AS s FROM {flat}"
+    )
+    # inside a string literal → untouched
+    assert f"'{flat} FOR VERSION AS OF 0'" in q
+
+
+def test_current_version_read_is_plain_table(spark, flat):
+    # version == current short-circuits to spark.table (no store I/O)
+    assert snap(read_table_version(spark, flat, 0)) == snap(spark.table(flat))

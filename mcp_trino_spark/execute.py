@@ -145,7 +145,7 @@ def execute_query(
         from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
         install_compat_functions(spark)
-        if re.search(r"\bFOR\s+VERSION\s+AS\s+OF\b", q, re.IGNORECASE):
+        if re.search(r"\bFOR\s+(VERSION|TIMESTAMP)\s+AS\s+OF\b", q, re.IGNORECASE):
             # Trino/Iceberg time travel over the DML version store —
             # each clause materializes a temp view (dropped in finally)
             from mcp_trino_spark.sources.timetravel import rewrite_version_as_of

@@ -93,6 +93,27 @@ def _live_partition_rels(loc: str, n_levels: int) -> List[str]:
     return rels
 
 
+def version_at_timestamp(spark: SparkSession, table: str, ts: str) -> int:
+    """Version that was live at ``ts`` (ISO-8601, UTC assumed when
+    offset-less): the newest commit with commit-ts ≤ ts; 0 when every
+    commit is later (Trino's ``FOR TIMESTAMP AS OF`` resolution rule).
+    The pre-history state (version 0) has no recorded creation time, so
+    a timestamp before the first commit maps to version 0 rather than
+    erroring — matching a reader asking "what did this table look like
+    back then"."""
+    from datetime import datetime, timezone
+
+    t = datetime.fromisoformat(ts)
+    if t.tzinfo is None:
+        t = t.replace(tzinfo=timezone.utc)
+    loc = _table_location(spark, table)
+    v = 0
+    for c in _load_history(loc)["commits"]:
+        if datetime.fromisoformat(c["ts"]) <= t:
+            v = c["version"]
+    return v
+
+
 def read_table_version(spark: SparkSession, table: str, version: int) -> DataFrame:
     """DataFrame of ``table`` as of DML ``version`` (0 = the state
     before the first DML commit; the current version is
@@ -196,6 +217,11 @@ _VERSION_AS_OF = re.compile(
     r"\b([A-Za-z_][A-Za-z0-9_.]*)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)\b",
     re.IGNORECASE,
 )
+_TIMESTAMP_AS_OF = re.compile(
+    r"\b([A-Za-z_][A-Za-z0-9_.]*)\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+"
+    r"(?:TIMESTAMP\s+)?'([^']+)'",
+    re.IGNORECASE,
+)
 
 
 def rewrite_version_as_of(
@@ -209,18 +235,28 @@ def rewrite_version_as_of(
     clause."""
     from mcp_trino_spark.trino_compat import _code_mask
 
-    mask = _code_mask(q)
-    out, last = [], 0
-    for m in _VERSION_AS_OF.finditer(q):
-        if not mask[m.start()]:
-            continue
-        table, version = m.group(1), int(m.group(2))
-        view = f"{table.replace('.', '_')}__v{version}"
-        read_table_version(spark, table, version).createOrReplaceTempView(view)
-        if created_views is not None:
-            created_views.append(view)
-        out.append(q[last : m.start()])
-        out.append(view)
-        last = m.end()
-    out.append(q[last:])
-    return "".join(out)
+    def sub(pattern, to_version, q):
+        mask = _code_mask(q)
+        out, last = [], 0
+        for m in pattern.finditer(q):
+            if not mask[m.start()]:
+                continue
+            table = m.group(1)
+            version = to_version(table, m.group(2))
+            view = f"{table.replace('.', '_')}__v{version}"
+            read_table_version(spark, table, version).createOrReplaceTempView(view)
+            if created_views is not None:
+                created_views.append(view)
+            out.append(q[last : m.start()])
+            out.append(view)
+            last = m.end()
+        out.append(q[last:])
+        return "".join(out)
+
+    # TIMESTAMP first: its operand is a quoted literal, which the
+    # VERSION pattern can never match, but running VERSION first would
+    # leave `FOR TIMESTAMP AS OF` untouched inside an already-spliced
+    # string only if both named the same table — order just keeps the
+    # two passes independent
+    q = sub(_TIMESTAMP_AS_OF, lambda t, ts: version_at_timestamp(spark, t, ts), q)
+    return sub(_VERSION_AS_OF, lambda t, v: int(v), q)

@@ -160,3 +160,39 @@ def test_sql_rewrite_masks_literals(spark, flat):
 def test_current_version_read_is_plain_table(spark, flat):
     # version == current short-circuits to spark.table (no store I/O)
     assert snap(read_table_version(spark, flat, 0)) == snap(spark.table(flat))
+
+
+def test_timestamp_as_of(spark, flat):
+    import json
+    from mcp_trino_spark.sources.dml import _history_path, _table_location
+    from mcp_trino_spark.sources.timetravel import version_at_timestamp
+
+    update_table(spark, flat, {"v": "v * 10"}, "k <= 2")
+    update_table(spark, flat, {"v": "v + 1"}, "k = 3")
+    # pin commit timestamps so the test is time-independent
+    loc = _table_location(spark, flat)
+    with open(_history_path(loc)) as f:
+        hist = json.load(f)
+    hist["commits"][0]["ts"] = "2026-01-01T10:00:00+00:00"
+    hist["commits"][1]["ts"] = "2026-01-02T10:00:00+00:00"
+    with open(_history_path(loc), "w") as f:
+        json.dump(hist, f)
+
+    assert version_at_timestamp(spark, flat, "2025-12-31T00:00:00") == 0
+    assert version_at_timestamp(spark, flat, "2026-01-01T10:00:00") == 1
+    assert version_at_timestamp(spark, flat, "2026-01-01T23:00:00") == 1
+    assert version_at_timestamp(spark, flat, "2026-03-01T00:00:00") == 2
+
+    r = execute_query(
+        spark,
+        f"SELECT sum(v) AS s FROM {flat} "
+        "FOR TIMESTAMP AS OF TIMESTAMP '2026-01-01 12:00:00'",
+        dialect="trino",
+    )
+    assert r.rows[0]["s"] == 42.0  # version 1: 10+20+3+4+5
+    r = execute_query(
+        spark,
+        f"SELECT sum(v) AS s FROM {flat} FOR TIMESTAMP AS OF '2025-01-01'",
+        dialect="trino",
+    )
+    assert r.rows[0]["s"] == 15.0  # version 0

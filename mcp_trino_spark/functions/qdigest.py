@@ -35,11 +35,14 @@ Distributed shape (the part that must survive 100 TB)
 ``qdigest_by`` builds per-key sketches in TWO levels, mirroring
 partial+final aggregation:
 
-1. partial: group by ``(key, shard)`` where ``shard = pmod(xxhash64(x),
-   n_shards)`` — every partial group is ``|group|/n_shards`` rows, so
-   no single Python worker ever materializes a whole key's values
-   (``applyInPandas`` hands a worker the full group; sharding is what
-   keeps that bounded on skewed keys);
+1. partial: group by ``(key, shard)`` where ``shard`` is the input
+   partition id (mod n_shards) — a partial group holds at most the
+   rows one scan partition contributes for that key (bounded by
+   ``spark.sql.files.maxPartitionBytes``), so no single Python worker
+   ever materializes a whole key's values (``applyInPandas`` hands a
+   worker the full group; sharding is what keeps that bounded on
+   skewed keys — and a ROW-based shard stays bounded even when one
+   heavy-hitter VALUE dominates, which a value-hash shard does not);
 2. final: merge the ≤ ``n_shards`` partial sketches per key — each a
    ≤ K centroid list, so the final groups are KB-sized regardless of
    the fact table's size.
@@ -179,9 +182,10 @@ def qdigest_partial(
     df: DataFrame, value_col: str, keys: Sequence[str],
     k: int = DEFAULT_K, n_shards: int = 32,
 ) -> DataFrame:
-    """Level 1: per-(key, shard) sketches.  The shard key bounds the
-    size of every ``applyInPandas`` group to |group|/n_shards rows, so
-    a skewed key never lands a whole group on one Python worker."""
+    """Level 1: per-(key, shard) sketches.  The shard key bounds every
+    ``applyInPandas`` group to what one scan partition contributes for
+    that key, so a skewed key never lands a whole group on one Python
+    worker (see the sharding comment below)."""
     key_fields = ", ".join(
         f"{kc} {df.schema[kc].dataType.simpleString()}" for kc in keys
     )
@@ -195,9 +199,16 @@ def qdigest_partial(
         row["ws"] = [w for _, w in sk]
         return pd.DataFrame([row])
 
+    # shard by INPUT PARTITION, not by value hash: hashing the value
+    # sends every duplicate of a heavy-hitter value (and every NULL) to
+    # one shard, un-bounding the group a single Python worker holds.
+    # spark_partition_id caps a (key, shard) group at the rows one scan
+    # partition contributes for that key — bounded by
+    # spark.sql.files.maxPartitionBytes — and is deterministic for a
+    # fixed file layout, keeping repeated builds bit-identical.
     return (
         df.select(*keys, F.col(value_col).cast("double").alias("__qv"))
-        .withColumn("__shard", F.pmod(F.xxhash64(F.col("__qv")), F.lit(n_shards)))
+        .withColumn("__shard", F.pmod(F.spark_partition_id(), F.lit(n_shards)))
         .groupBy(*keys, "__shard")
         .applyInPandas(build, out_schema)
     )
@@ -256,6 +267,13 @@ def with_quantiles(df: DataFrame, quantiles: Sequence[float]) -> DataFrame:
         return est
 
     for q in (float(q) for q in quantiles):
-        name = f"p{int(q * 100):02d}" if (q * 100).is_integer() else f"p{q}"
+        # round before is_integer: 0.29*100 is 28.999…96 in binary;
+        # the fallback replaces '.' (a dot in a column name parses as
+        # struct-field access downstream)
+        pct = round(q * 100, 9)
+        name = (
+            f"p{int(pct):02d}" if pct.is_integer()
+            else "p" + str(q).replace(".", "_")
+        )
         df = df.withColumn(name, make_udf(q)("vs", "ws"))
     return df

@@ -103,9 +103,13 @@ def _save_history(loc: str, hist: Dict) -> None:
 
 def current_table_version(loc: str) -> int:
     """Version of the LIVE state: 0 before any DML commit, else the
-    newest commit's version."""
-    commits = _load_history(loc)["commits"]
-    return commits[-1]["version"] if commits else 0
+    newest commit's version.  The floor participates so a full vacuum
+    (which empties the commit list) does NOT reset the counter — a
+    reused version number would alias fresh history onto vacuumed
+    versions and let a later vacuum destroy live store data."""
+    hist = _load_history(loc)
+    commits = hist["commits"]
+    return max(hist["floor"], commits[-1]["version"] if commits else 0)
 
 
 def _next_commit_record(loc: str, op: str, kind: str) -> Dict:

@@ -214,7 +214,9 @@ def _read_dir(
 # SQL front door: `... FROM <table> FOR VERSION AS OF <n> ...`
 
 _VERSION_AS_OF = re.compile(
-    r"\b([A-Za-z_][A-Za-z0-9_.]*)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)\b",
+    # the lookahead rejects `1+1`-style expressions so they reach the
+    # loud leftover check instead of half-rewriting
+    r"\b([A-Za-z_][A-Za-z0-9_.]*)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)(?!\s*[.+\-*/])",
     re.IGNORECASE,
 )
 _TIMESTAMP_AS_OF = re.compile(
@@ -233,7 +235,9 @@ def rewrite_version_as_of(
     sources).  Mask-aware: occurrences inside string literals or
     comments are left untouched.  No-op for queries without the
     clause."""
-    from mcp_trino_spark.trino_compat import _code_mask
+    import uuid
+
+    from mcp_trino_spark.trino_compat import TrinoCompatError, _code_mask
 
     def sub(pattern, to_version, q):
         mask = _code_mask(q)
@@ -243,7 +247,11 @@ def rewrite_version_as_of(
                 continue
             table = m.group(1)
             version = to_version(table, m.group(2))
-            view = f"{table.replace('.', '_')}__v{version}"
+            # uuid suffix: a deterministic session-global name would
+            # race between concurrent queries (one finally-drop deleting
+            # the view the other is analyzing) — same convention as
+            # execute.py's __mr_/__stats_ views
+            view = f"{table.replace('.', '_')}__v{version}_{uuid.uuid4().hex[:8]}"
             read_table_version(spark, table, version).createOrReplaceTempView(view)
             if created_views is not None:
                 created_views.append(view)
@@ -259,4 +267,22 @@ def rewrite_version_as_of(
     # string only if both named the same table — order just keeps the
     # two passes independent
     q = sub(_TIMESTAMP_AS_OF, lambda t, ts: version_at_timestamp(spark, t, ts), q)
-    return sub(_VERSION_AS_OF, lambda t, v: int(v), q)
+    q = sub(_VERSION_AS_OF, lambda t, v: int(v), q)
+    mask = _code_mask(q)
+    leftover = [
+        m
+        for m in re.finditer(
+            r"\bFOR\s+(VERSION|TIMESTAMP)\s+AS\s+OF\b", q, re.IGNORECASE
+        )
+        if mask[m.start()]
+    ]
+    if leftover:
+        # a clause with a non-literal operand (expression, interval
+        # arithmetic) matched neither pattern — fail loudly instead of
+        # letting the raw text reach spark.sql as a cryptic ParseException
+        raise TrinoCompatError(
+            "FOR VERSION AS OF takes an integer literal and FOR TIMESTAMP "
+            "AS OF a quoted timestamp literal — expressions are not "
+            "supported; compute the value client-side"
+        )
+    return q

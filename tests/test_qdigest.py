@@ -167,3 +167,27 @@ def test_a21_registry_entry_shape(spark):
     assert len(rows) == 5  # one row per region
     for r in rows:
         assert r["p50"] <= r["p90"] <= r["p99"]
+
+
+def test_with_quantiles_column_naming(spark):
+    from mcp_trino_spark.functions.qdigest import qdigest_by, with_quantiles
+    from mcp_trino_spark.sources.catalog import load_table
+
+    cust = load_table(spark, SF, "customer")
+    sk = qdigest_by(cust, "c_acctbal", ["c_nationkey"])
+    # 0.29*100 = 28.999…96 in binary: must still name the column p29
+    cols = with_quantiles(sk, [0.29, 0.5, 0.123]).columns
+    assert "p29" in cols and "p50" in cols and "p0_123" in cols
+
+
+def test_heavy_hitter_value_does_not_collapse_shards(spark):
+    # a constant column is the worst case for value-hash sharding: every
+    # row has one value; row-based sharding must still split the groups
+    from pyspark.sql import functions as F
+    from mcp_trino_spark.functions.qdigest import qdigest_partial
+
+    df = spark.range(0, 100_000, 1, 16).select(
+        F.lit(1).alias("g"), F.lit(42.0).alias("x")
+    )
+    partials = qdigest_partial(df, "x", ["g"], n_shards=16)
+    assert partials.count() > 1  # multiple partial groups, not one giant

@@ -143,10 +143,9 @@ def test_sql_front_door(spark, flat):
         dialect="trino",
     )
     assert r.rows[0]["s"] == 42.0
-    # the temp view is dropped after the query (no catalog leak)
-    assert not any(
-        v.name.endswith("__v0") for v in spark.catalog.listTables()
-    )
+    # the temp view is dropped after the query (no catalog leak);
+    # names carry a uuid suffix, so match the __v<n>_ prefix
+    assert not any("__v0_" in v.name for v in spark.catalog.listTables())
 
 
 def test_sql_rewrite_masks_literals(spark, flat):
@@ -196,3 +195,30 @@ def test_timestamp_as_of(spark, flat):
         dialect="trino",
     )
     assert r.rows[0]["s"] == 15.0  # version 0
+
+
+def test_vacuum_does_not_reset_version_counter(spark, flat):
+    update_table(spark, flat, {"v": "1.0"}, "k = 1")
+    update_table(spark, flat, {"v": "2.0"}, "k = 1")
+    vacuum_table_versions(spark, flat, keep_last=0)  # floor = 2, no commits
+    update_table(spark, flat, {"v": "3.0"}, "k = 1")  # must be version 3
+    hist = table_history(spark, flat).collect()
+    assert [r["version"] for r in hist] == [3]
+    # state 2 (the vacuum-time live state) is reconstructible from v3's
+    # retired data; a generous vacuum keeps the fresh commit intact
+    assert (1, 2.0) in {(r.k, r.v) for r in read_table_version(spark, flat, 2).collect()}
+    vacuum_table_versions(spark, flat, keep_last=5)
+    assert [r["version"] for r in table_history(spark, flat).collect()] == [3]
+
+
+def test_non_literal_as_of_fails_loudly(spark, flat):
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    update_table(spark, flat, {"v": "0.0"}, "k = 1")
+    for q in (
+        f"SELECT * FROM {flat} FOR TIMESTAMP AS OF CURRENT_TIMESTAMP",
+        f"SELECT * FROM {flat} FOR VERSION AS OF 1+1",
+        f"SELECT * FROM {flat} FOR VERSION AS OF (1)",
+    ):
+        with pytest.raises(TrinoCompatError, match="literal"):
+            execute_query(spark, q, dialect="trino")

@@ -217,6 +217,19 @@ def execute_query(
             n = execute_dml(spark, q)
             done.set()
             return QueryResult(columns=["rows_affected"], rows=[{"rows_affected": n}])
+        from mcp_trino_spark.sources.dml import is_optimize_statement
+
+        if is_optimize_statement(q):
+            # Trino's ALTER TABLE t EXECUTE optimize — small-file
+            # compaction as a versioned COW commit (also write-gated:
+            # ALTER is a write keyword in the classifier)
+            from mcp_trino_spark.sources.dml import execute_optimize
+
+            n = execute_optimize(spark, q)
+            done.set()
+            return QueryResult(
+                columns=["rows_rewritten"], rows=[{"rows_rewritten": n}]
+            )
         df = spark.sql(q)
         if max_rows is not None:
             df = df.limit(max_rows)

@@ -787,3 +787,146 @@ def _execute_merge_sql(spark: SparkSession, q: str, m: "re.Match") -> int:
         source_alias=s_alias,
         **kwargs,
     )
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE: small-file compaction as a versioned COW commit
+# (Trino: ALTER TABLE t EXECUTE optimize(file_size_threshold => '128MB'),
+# the Iceberg connector's bin-packing procedure — at 100 TB the
+# small-files problem is the #1 operational scan-cost issue: a partition
+# accumulating one file per micro-batch/INSERT pays per-file open +
+# footer-read + task-scheduling overhead on every query.)
+
+
+def _parquet_files(d: str) -> List[str]:
+    try:
+        return [
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+    except FileNotFoundError:
+        return []
+
+
+def _needs_compaction(files: List[str], threshold_bytes: int) -> bool:
+    """Trino's rule: rewrite when several files sit below the size
+    threshold (bin-packing).  One file — or files already at/above the
+    threshold — are left alone."""
+    small = [f for f in files if os.path.getsize(f) < threshold_bytes]
+    return len(files) > 1 and len(small) >= 2
+
+
+def optimize_table(
+    spark: SparkSession,
+    table: str,
+    file_size_threshold_mb: float = 128.0,
+    op: str = "optimize",
+) -> int:
+    """Compact small files; returns the number of rows rewritten (0 =
+    nothing needed compaction, no commit recorded).
+
+    Partitioned tables compact per partition — only partitions with ≥2
+    sub-threshold files are rewritten (partition-bounded commit: one
+    file per partition afterwards, untouched partitions stay
+    byte-identical on disk).  Unpartitioned tables coalesce to
+    ceil(bytes/threshold) files.  Either way the rewrite is a versioned
+    copy-on-write commit: time travel still reads the pre-compaction
+    state, and the data content is unchanged (asserted by tests and the
+    fact that the staged plan is a pure re-read of the live table)."""
+    threshold = int(file_size_threshold_mb * 1024 * 1024)
+    loc = _table_location(spark, table)
+    t = spark.table(table)
+    pcols = _partition_columns(spark, table)
+
+    if not pcols:
+        files = _parquet_files(loc)
+        if not _needs_compaction(files, threshold):
+            return 0
+        total = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, -(-total // threshold))  # ceil
+        rows = t.count()
+        _commit(spark, table, t.repartition(int(n_out)), op=op)
+        return rows
+
+    touched: List[Tuple] = []
+    rows_by_rel: Dict[str, None] = {}
+    # walk live partition dirs; parse values back from the hive paths
+    from mcp_trino_spark.sources.timetravel import _unescape_partition_value
+
+    def _walk(rel: str, depth: int):
+        d = os.path.join(loc, rel) if rel else loc
+        if depth == len(pcols):
+            if _needs_compaction(_parquet_files(d), threshold):
+                rows_by_rel[rel] = None
+            return
+        for name in sorted(os.listdir(d)):
+            if "=" in name and not name.startswith((".", "_")):
+                _walk(os.path.join(rel, name) if rel else name, depth + 1)
+
+    _walk("", 0)
+    if not rows_by_rel:
+        return 0
+    schema = t.schema
+    for rel in rows_by_rel:
+        values = []
+        for seg in rel.split("/"):
+            c, _, raw = seg.partition("=")
+            s = _unescape_partition_value(raw)
+            if s is None:
+                values.append(None)
+            else:
+                # round-trip through Spark's own cast for the column type
+                values.append(
+                    spark.createDataFrame([(s,)], "v string")
+                    .select(F.col("v").cast(schema[c].dataType))
+                    .collect()[0][0]
+                )
+        touched.append(tuple(values))
+    pred = _partition_predicate(pcols, touched)
+    rows = t.filter(pred).count()
+    # one task (→ one output file) per touched partition
+    _commit_partitions(
+        spark, table, t.filter(pred).repartition(*[F.col(c) for c in pcols]),
+        pcols, touched, op=op,
+    )
+    return rows
+
+
+_OPTIMIZE_RE = re.compile(
+    r"^ALTER\s+TABLE\s+([A-Za-z_][\w.]*|`[^`]+`)\s+EXECUTE\s+optimize"
+    r"\s*(?:\(\s*file_size_threshold\s*=>\s*'(\d+(?:\.\d+)?)\s*(KB|MB|GB)'\s*\))?\s*$",
+    re.IGNORECASE,
+)
+
+
+def is_optimize_statement(q: str) -> bool:
+    mask = _code_mask(q)
+    start = next(
+        (i for i, is_code in enumerate(mask) if is_code and not q[i].isspace()),
+        len(q),
+    )
+    return bool(re.match(r"ALTER\s+TABLE\s+.+\bEXECUTE\b", q[start:].rstrip().rstrip(";"),
+                         re.IGNORECASE | re.DOTALL))
+
+
+def execute_optimize(spark: SparkSession, q: str) -> int:
+    """Parse Trino's ``ALTER TABLE t EXECUTE optimize
+    [(file_size_threshold => '<n>MB')]`` and run the compaction."""
+    mask = _code_mask(q)
+    start = next(
+        (i for i, is_code in enumerate(mask) if is_code and not q[i].isspace()), 0
+    )
+    m = _OPTIMIZE_RE.match(q[start:].strip().rstrip(";"))
+    if not m:
+        raise DmlError(
+            "unsupported ALTER TABLE EXECUTE form — supported: ALTER TABLE "
+            "<t> EXECUTE optimize [(file_size_threshold => '<n>MB')]"
+        )
+    table = m.group(1).strip("`")
+    mb = 128.0
+    if m.group(2):
+        mb = float(m.group(2)) * {"KB": 1 / 1024, "MB": 1.0, "GB": 1024.0}[
+            m.group(3).upper()
+        ]
+    return optimize_table(spark, table, file_size_threshold_mb=mb)

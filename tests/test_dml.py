@@ -530,3 +530,116 @@ def test_partition_escaping_int_and_date_types(spark, tmp_path):
     ).write.partitionBy("p").parquet(loc2)
     for v in (datetime.date(2026, 8, 14), datetime.date(2026, 1, 2)):
         assert _partition_relpath(["p"], (v,)) in os.listdir(loc2)
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE (small-file compaction as a versioned commit)
+
+
+def _parquet_count(d):
+    import os
+
+    return sum(
+        1
+        for root, _dirs, files in os.walk(d)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def test_optimize_unpartitioned_compacts_files(spark, tmp_path, request):
+    import os
+    from pyspark.sql import functions as F
+    from mcp_trino_spark.sources.dml import optimize_table
+    from mcp_trino_spark.sources.timetravel import read_table_version, table_history
+
+    name = "opt_flat"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    loc = str(tmp_path / name)
+    spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).cast("double").alias("v")
+    ).repartition(8).write.parquet(loc)
+    spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{loc}'")
+    try:
+        before = {(r.k, r.v) for r in spark.table(name).collect()}
+        assert _parquet_count(loc) == 8
+        n = optimize_table(spark, name)
+        assert n == 1000
+        assert _parquet_count(loc) == 1
+        assert {(r.k, r.v) for r in spark.table(name).collect()} == before
+        # versioned: the pre-compaction state is still readable
+        hist = table_history(spark, name).collect()
+        assert [(r["version"], r["op"]) for r in hist] == [(1, "optimize")]
+        assert {(r.k, r.v) for r in read_table_version(spark, name, 0).collect()} == before
+        # idempotent: a second optimize is a no-op (no new version)
+        assert optimize_table(spark, name) == 0
+        assert len(table_history(spark, name).collect()) == 1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_optimize_partitioned_is_partition_bounded(spark, tmp_path):
+    import os
+    from pyspark.sql import Row, functions as F
+    from mcp_trino_spark.sources.dml import optimize_table
+
+    name = "opt_part"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    loc = str(tmp_path / name)
+    # p=0 fragmented (4 files), p=1 already compact (1 file)
+    spark.createDataFrame([Row(p=0, k=i) for i in range(100)]).repartition(
+        4
+    ).write.partitionBy("p").parquet(loc)
+    spark.createDataFrame([Row(p=1, k=i) for i in range(100)]).coalesce(
+        1
+    ).write.mode("append").partitionBy("p").parquet(loc)
+    spark.sql(
+        f"CREATE TABLE {name} (k bigint, p bigint) USING parquet "
+        f"PARTITIONED BY (p) LOCATION '{loc}'"
+    )
+    spark.sql(f"MSCK REPAIR TABLE {name}")
+    try:
+        before = {(r.k, r.p) for r in spark.table(name).collect()}
+        p1_files = sorted(os.listdir(os.path.join(loc, "p=1")))
+        p1_stat = os.stat(
+            os.path.join(loc, "p=1", [f for f in p1_files if f.endswith(".parquet")][0])
+        )
+        n = optimize_table(spark, name)
+        assert n == 100  # only p=0's rows rewritten
+        assert _parquet_count(os.path.join(loc, "p=0")) == 1
+        # p=1 untouched — same inode/mtime, byte-identical directory
+        assert sorted(os.listdir(os.path.join(loc, "p=1"))) == p1_files
+        assert os.stat(
+            os.path.join(loc, "p=1", [f for f in p1_files if f.endswith(".parquet")][0])
+        ).st_mtime == p1_stat.st_mtime
+        assert {(r.k, r.p) for r in spark.table(name).collect()} == before
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_optimize_sql_front_door_and_gate(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from mcp_trino_spark.sources.dml import is_optimize_statement
+
+    name = "opt_sql"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    loc = str(tmp_path / name)
+    spark.range(0, 500).select(F.col("id").alias("k")).repartition(5).write.parquet(loc)
+    spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{loc}'")
+    try:
+        q = f"ALTER TABLE {name} EXECUTE optimize(file_size_threshold => '64MB')"
+        assert is_optimize_statement(q)
+        with pytest.raises(WriteQueryNotAllowed):
+            execute_query(spark, q)  # gated like every write
+        r = execute_query(spark, q, WRITE)
+        assert r.rows[0]["rows_rewritten"] == 500
+        assert _parquet_count(loc) == 1
+        # malformed EXECUTE form fails loudly
+        from mcp_trino_spark.sources.dml import DmlError
+
+        with pytest.raises(DmlError, match="EXECUTE"):
+            execute_query(
+                spark, f"ALTER TABLE {name} EXECUTE expire_snapshots", WRITE
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

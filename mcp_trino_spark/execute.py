@@ -227,9 +227,14 @@ def execute_query(
 
             n = execute_optimize(spark, q)
             done.set()
-            return QueryResult(
-                columns=["rows_rewritten"], rows=[{"rows_rewritten": n}]
+            # expire_snapshots returns the new readable floor, optimize
+            # the rewritten row count — label the single cell accordingly
+            col = (
+                "floor"
+                if re.search(r"\bexpire_snapshots\b", q, re.IGNORECASE)
+                else "rows_rewritten"
             )
+            return QueryResult(columns=[col], rows=[{col: n}])
         df = spark.sql(q)
         if max_rows is not None:
             df = df.limit(max_rows)

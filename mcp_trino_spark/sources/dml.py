@@ -917,11 +917,20 @@ def execute_optimize(spark: SparkSession, q: str) -> int:
     start = next(
         (i for i, is_code in enumerate(mask) if is_code and not q[i].isspace()), 0
     )
-    m = _OPTIMIZE_RE.match(q[start:].strip().rstrip(";"))
+    stmt = q[start:].strip().rstrip(";")
+    em = _EXPIRE_RE.match(stmt)
+    if em:
+        table = em.group(1).strip("`")
+        seconds = 7 * 86400.0  # Trino's default retention: 7d
+        if em.group(2):
+            seconds = float(em.group(2)) * _RETENTION_UNIT_S[em.group(3).lower()]
+        return expire_snapshots(spark, table, seconds)
+    m = _OPTIMIZE_RE.match(stmt)
     if not m:
         raise DmlError(
             "unsupported ALTER TABLE EXECUTE form — supported: ALTER TABLE "
-            "<t> EXECUTE optimize [(file_size_threshold => '<n>MB')]"
+            "<t> EXECUTE optimize [(file_size_threshold => '<n>MB')] | "
+            "expire_snapshots [(retention_threshold => '<n>d')]"
         )
     table = m.group(1).strip("`")
     mb = 128.0
@@ -930,3 +939,43 @@ def execute_optimize(spark: SparkSession, q: str) -> int:
             m.group(3).upper()
         ]
     return optimize_table(spark, table, file_size_threshold_mb=mb)
+
+
+def expire_snapshots(
+    spark: SparkSession, table: str, retention_threshold_s: float
+) -> int:
+    """Trino's ``ALTER TABLE t EXECUTE expire_snapshots(
+    retention_threshold => '7d')``: drop version-store data for commits
+    OLDER than the threshold; returns the new readable floor.  Same
+    floor semantics as ``vacuum_table_versions`` (count-based), so the
+    version counter never resets and newer history stays intact."""
+    if retention_threshold_s < 0:
+        raise DmlError("retention_threshold must be >= 0")
+    loc = _table_location(spark, table)
+    hist = _load_history(loc)
+    commits = hist["commits"]
+    if not commits:
+        return hist["floor"]
+    cutoff = datetime.now(timezone.utc).timestamp() - retention_threshold_s
+    floor = hist["floor"]
+    for c in commits:
+        if datetime.fromisoformat(c["ts"]).timestamp() < cutoff:
+            floor = max(floor, c["version"])
+    for c in commits:
+        if c["version"] <= floor:
+            shutil.rmtree(
+                os.path.join(_store_root(loc), f"v{c['version']}"),
+                ignore_errors=True,
+            )
+    hist["commits"] = [c for c in commits if c["version"] > floor]
+    hist["floor"] = floor
+    _save_history(loc, hist)
+    return floor
+
+
+_EXPIRE_RE = re.compile(
+    r"^ALTER\s+TABLE\s+([A-Za-z_][\w.]*|`[^`]+`)\s+EXECUTE\s+expire_snapshots"
+    r"\s*(?:\(\s*retention_threshold\s*=>\s*'(\d+(?:\.\d+)?)\s*(s|m|h|d)'\s*\))?\s*$",
+    re.IGNORECASE,
+)
+_RETENTION_UNIT_S = {"s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}

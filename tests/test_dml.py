@@ -639,7 +639,52 @@ def test_optimize_sql_front_door_and_gate(spark, tmp_path):
 
         with pytest.raises(DmlError, match="EXECUTE"):
             execute_query(
-                spark, f"ALTER TABLE {name} EXECUTE expire_snapshots", WRITE
+                spark, f"ALTER TABLE {name} EXECUTE remove_orphan_files", WRITE
             )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_expire_snapshots_by_age(spark, tmp_path):
+    import json
+    from pyspark.sql import functions as F
+    from mcp_trino_spark.sources.dml import (
+        _history_path, _table_location, update_table,
+    )
+    from mcp_trino_spark.sources.timetravel import read_table_version, table_history
+    from mcp_trino_spark.sources.dml import DmlError as _DmlError
+
+    name = "exp_t"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    loc = str(tmp_path / name)
+    spark.range(0, 10).select(F.col("id").alias("k")).write.parquet(loc)
+    spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{loc}'")
+    try:
+        update_table(spark, name, {"k": "k + 100"}, "k = 0")   # v1
+        update_table(spark, name, {"k": "k + 100"}, "k = 1")   # v2
+        # age commit 1 artificially: 10 days old
+        tloc = _table_location(spark, name)
+        with open(_history_path(tloc)) as f:
+            hist = json.load(f)
+        from datetime import datetime, timedelta, timezone
+        old = (datetime.now(timezone.utc) - timedelta(days=10)).isoformat(
+            timespec="seconds"
+        )
+        hist["commits"][0]["ts"] = old
+        with open(_history_path(tloc), "w") as f:
+            json.dump(hist, f)
+
+        r = execute_query(
+            spark,
+            f"ALTER TABLE {name} EXECUTE expire_snapshots(retention_threshold => '7d')",
+            WRITE,
+        )
+        assert r.rows[0]["floor"] == 1
+        hist_rows = table_history(spark, name).collect()
+        assert [h["version"] for h in hist_rows] == [2]
+        with pytest.raises(_DmlError, match="vacuumed"):
+            read_table_version(spark, name, 0)
+        # version 1 (the floor) still reconstructible from v2's data
+        assert len(read_table_version(spark, name, 1).collect()) == 10
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")

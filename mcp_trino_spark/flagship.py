@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mcp_trino_spark.operators._util import T
-from mcp_trino_spark.registry import DSUM, dsum, register
+from mcp_trino_spark.registry import ISUM, isum, register
 
 
 def flagship_plan(
@@ -32,9 +32,10 @@ def flagship_plan(
     # cheaper per row than a 600 k-row shuffle round-trip.  spread() is
     # reserved for heavy per-row work (hashing, UDFs); see _util.py.
     # price and (1-discount) are 2-decimal quantities stored as doubles,
-    # so the product has ≤4 true decimals: a decimal(25,6) cast rounds
-    # both engines to the same value (scale 12 would sit at the double's
-    # error bound and round differently per engine — see registry.py).
+    # so the product has ≤4 true decimals: the integer-scaled exact-sum
+    # protocol (isum, scale 4 — registry.py) recovers the true scaled
+    # integer per row and sums in int64, ~2× faster than decimal(25,6)
+    # with the same order-independent cross-engine exactness.
     revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     # lineitem ⋈ orders is fact-fact: shuffle join on the natural key
     # (bucket both by orderkey in a real deployment); the three dim
@@ -49,7 +50,7 @@ def flagship_plan(
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
         .agg(
-            dsum(revenue).alias("revenue"),
+            isum(revenue, 4).alias("revenue"),
             F.count("*").alias("n_lineitems"),
             F.countDistinct("o_custkey").alias("n_customers"),
         )
@@ -67,7 +68,7 @@ register(
     "q0_flagship_revenue_by_region",
     oracle=f"""
     SELECT r_name,
-           {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+           {ISUM('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
            COUNT(*) AS n_lineitems,
            COUNT(DISTINCT o_custkey) AS n_customers
     FROM lineitem

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mcp_trino_spark.operators._util import T, register_view
-from mcp_trino_spark.registry import DAVG, DSUM, davg, dsum, register
+from mcp_trino_spark.registry import DAVG, DSUM, IAVG, ISUM, davg, dsum, iavg, isum, register
 
 
 @register(
@@ -36,9 +36,9 @@ def a1_groupby_count(spark, sf_dir):
     "a2_sum_avg_min_max",
     oracle=f"""
     SELECT l_returnflag,
-           {DSUM('l_quantity')} AS sum_qty,
-           {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
-           {DAVG('l_extendedprice')} AS avg_price,
+           {ISUM('l_quantity')} AS sum_qty,
+           {ISUM('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           {IAVG('l_extendedprice')} AS avg_price,
            MIN(l_extendedprice) AS min_price,
            MAX(l_extendedprice) AS max_price
     FROM lineitem GROUP BY l_returnflag
@@ -48,9 +48,9 @@ def a2_sum_avg_min_max(spark, sf_dir):
     (li,) = T(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return li.groupBy("l_returnflag").agg(
-        dsum("l_quantity").alias("sum_qty"),
-        dsum(revenue).alias("revenue"),
-        davg("l_extendedprice").alias("avg_price"),
+        isum("l_quantity").alias("sum_qty"),
+        isum(revenue, 4).alias("revenue"),
+        iavg("l_extendedprice").alias("avg_price"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
     )
@@ -107,7 +107,7 @@ def a5_having(spark, sf_dir):
 @register(
     "a6_grouping_sets",
     oracle=f"""
-    SELECT l_returnflag, l_linestatus, {DSUM('l_quantity')} AS sum_qty
+    SELECT l_returnflag, l_linestatus, {ISUM('l_quantity')} AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """,
@@ -117,7 +117,7 @@ def a6_grouping_sets(spark, sf_dir):
     return spark.sql(
         f"""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+               CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """

@@ -81,6 +81,41 @@ def DAVG(expr: str, prec: int = 25, scale: int = 6) -> str:
     return f"{DSUM(expr, prec, scale)} / COUNT({expr})"
 
 
+# Integer-scaled exact sums — the FAST exactness protocol for columns
+# with a KNOWN small decimal scale (TPC-H money/quantity columns: 2;
+# price*(1-discount) products: 4).  ``round(x·10^s)`` recovers the true
+# scaled integer (both engines compute the identical IEEE double
+# x·10^s, whose error is ~1e-9 of an integer — far from any rounding
+# boundary), the BIGINT sum is exact and order-independent up to
+# ±9.2e18 (covers 100 TB of money), and the final bigint→double cast +
+# division are the same deterministic operations in both engines.
+# Measured ~2× faster than the decimal(25,6) protocol (no Decimal128
+# arithmetic in the agg loop).  Use dsum for columns whose scale is
+# unknown or unbounded — rounding those would CHANGE the answer.
+
+
+def isum(col: Column | str, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    m = 10 ** scale
+    return (F.sum(F.round(c * m).cast("bigint")).cast("double") / F.lit(float(m)))
+
+
+def iavg(col: Column | str, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return isum(c, scale) / F.count(c)
+
+
+def ISUM(expr: str, scale: int = 2) -> str:
+    m = 10 ** scale
+    return (
+        f"CAST(SUM(CAST(round(({expr}) * {m}) AS BIGINT)) AS DOUBLE) / {float(m)}"
+    )
+
+
+def IAVG(expr: str, scale: int = 2) -> str:
+    return f"{ISUM(expr, scale)} / COUNT({expr})"
+
+
 #: Driver-facing ordering: the per-round correctness harness verifies the
 #: FIRST 50 registry entries, so this list hand-picks a 50-entry window that
 #: spans every SURVEY §2 family (flagship, projection, joins, aggregates,

@@ -248,6 +248,22 @@ _COMPAT_SQL_UDFS = {
     "year_of_week": ("(d TIMESTAMP)", "INT", "CAST(extract(YEAROFWEEK FROM d) AS INT)"),
     "yow": ("(d TIMESTAMP)", "INT", "CAST(extract(YEAROFWEEK FROM d) AS INT)"),
     "millisecond": ("(t TIMESTAMP)", "INT", "CAST(date_format(t, 'SSS') AS INT)"),
+    # Wilson score interval bounds (Trino ML/stats helpers) — closed-form
+    # arithmetic, so a SQL UDF reproduces Trino's doubles exactly
+    "wilson_interval_lower": (
+        "(s BIGINT, n BIGINT, z DOUBLE)",
+        "DOUBLE",
+        "(CAST(s AS DOUBLE)/n + z*z/(2*n)"
+        " - z * sqrt((CAST(s AS DOUBLE)/n) * (1 - CAST(s AS DOUBLE)/n)/n"
+        " + z*z/(4.0*n*n))) / (1 + z*z/n)",
+    ),
+    "wilson_interval_upper": (
+        "(s BIGINT, n BIGINT, z DOUBLE)",
+        "DOUBLE",
+        "(CAST(s AS DOUBLE)/n + z*z/(2*n)"
+        " + z * sqrt((CAST(s AS DOUBLE)/n) * (1 - CAST(s AS DOUBLE)/n)/n"
+        " + z*z/(4.0*n*n))) / (1 + z*z/n)",
+    ),
 }
 
 #: plain renames applied outside literals (aggregates and exact-arity
@@ -271,9 +287,12 @@ _RENAMES = [
     (re.compile(r"\breduce\s*\(", re.IGNORECASE), "aggregate("),
     (re.compile(r"\blevenshtein_distance\s*\(", re.IGNORECASE), "levenshtein("),
     # higher-order predicates: Trino any_match/all_match are Spark's
-    # exists/forall (identical lambda syntax both engines)
+    # exists/forall (identical lambda syntax both engines); none_match
+    # is the negation — NOT binds tighter than AND/OR, so the bare
+    # prefix is safe in any expression position
     (re.compile(r"\bany_match\s*\(", re.IGNORECASE), "exists("),
     (re.compile(r"\ball_match\s*\(", re.IGNORECASE), "forall("),
+    (re.compile(r"\bnone_match\s*\(", re.IGNORECASE), "NOT exists("),
     # printf-style format (format_datetime is handled separately and
     # cannot match here — the \( must follow "format" directly)
     (re.compile(r"\bformat\s*\(", re.IGNORECASE), "format_string("),
@@ -1418,6 +1437,43 @@ def _rewrite_hll_sketches(q: str) -> str:
     return q
 
 
+_NUMHIST_HEAD = re.compile(r"\bnumeric_histogram\s*\(", re.IGNORECASE)
+
+
+def _rewrite_numeric_histogram(q: str) -> str:
+    """Trino ``numeric_histogram(n, x)`` → Spark ``histogram_numeric(x,
+    n)`` reshaped to Trino's ``map<double, double>`` return (Spark
+    yields ``array<struct<x, y>>``).  Both are approximate streaming
+    histograms (bucket centers × weights) of the same Ben-Haim/
+    Tom-Tov family — bucket PLACEMENT is engine-local, so like the
+    other sketches this maps the surface, not bit-identical output."""
+    while True:
+        mask = _code_mask(q)
+        m = next((c for c in _NUMHIST_HEAD.finditer(q) if mask[c.start()]), None)
+        if m is None:
+            return q
+        d, i = 1, m.end()
+        while i < len(q) and d:
+            if mask[i] and q[i] == "(":
+                d += 1
+            elif mask[i] and q[i] == ")":
+                d -= 1
+            i += 1
+        args = _split_top_args(q[m.end() : i - 1])
+        if len(args) != 2:
+            raise TrinoCompatError(
+                "numeric_histogram takes (buckets, value) — the weighted "
+                "3-arg form is not supported"
+            )
+        n, x = args
+        q = (
+            q[: m.start()]
+            + f"map_from_entries(transform(histogram_numeric({x}, {n}), "
+            f"e -> struct(CAST(e.x AS DOUBLE), e.y)))"
+            + q[i:]
+        )
+
+
 _GEOMEAN_HEAD = re.compile(r"\bgeometric_mean\s*\(", re.IGNORECASE)
 _CHECKSUM_HEAD = re.compile(r"\bchecksum\s*\(", re.IGNORECASE)
 _HISTOGRAM_HEAD = re.compile(r"\bhistogram\s*\(", re.IGNORECASE)
@@ -2149,6 +2205,7 @@ def translate(query: str) -> str:
     query = _rewrite_from_unixtime(query)
     query = _rewrite_normalize(query)
     query = _rewrite_agg_compositions(query)
+    query = _rewrite_numeric_histogram(query)
     query = _rewrite_date_parse(query)
     query = _rewrite_decimal_literal(query)
     query = _rewrite_parse_duration(query)

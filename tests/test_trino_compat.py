@@ -1196,3 +1196,50 @@ def test_joda_week_year_fails_loudly():
 
     with pytest.raises(TrinoCompatError, match="week-year"):
         _translate_joda("xxxx-ww")
+
+
+# --- dialect batch 7 (gap-hunt round 2: 40 idioms probed, 29 already
+# passing; none_match / wilson intervals / numeric_histogram closed) ---
+
+
+def test_none_match_is_negated_exists(spark):
+    rows = run(
+        spark,
+        "SELECT none_match(ARRAY[1,2], x -> x > 5) AS a, "
+        "none_match(ARRAY[1,2], x -> x > 1) AS b",
+    )
+    assert rows[0] == {"a": True, "b": False}
+
+
+def test_wilson_interval_bounds(spark):
+    rows = run(
+        spark,
+        "SELECT round(wilson_interval_lower(100, 200, 1.96), 6) AS lo, "
+        "round(wilson_interval_upper(100, 200, 1.96), 6) AS hi",
+    )
+    # closed-form Wilson score interval at p̂=0.5, n=200, z=1.96
+    assert rows[0] == {"lo": 0.43136, "hi": 0.56864}
+    # bounds bracket the point estimate and stay in [0, 1]
+    rows = run(
+        spark,
+        "SELECT wilson_interval_lower(1, 10, 1.96) AS lo, "
+        "wilson_interval_upper(1, 10, 1.96) AS hi",
+    )
+    assert 0.0 <= rows[0]["lo"] <= 0.1 <= rows[0]["hi"] <= 1.0
+
+
+def test_numeric_histogram_maps_to_histogram_numeric(spark):
+    q = translate("SELECT numeric_histogram(4, x) FROM t")
+    assert "histogram_numeric(x, 4)" in q and "map_from_entries" in q
+    rows = run(
+        spark,
+        "SELECT numeric_histogram(2, x) AS h "
+        "FROM (VALUES (1.0),(1.0),(9.0)) t(x)",
+    )
+    h = rows[0]["h"]
+    # weights conserved; Trino-shaped map<double,double> return
+    assert sum(h.values()) == 3.0 and all(isinstance(k, float) for k in h)
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    with pytest.raises(TrinoCompatError, match="numeric_histogram"):
+        translate("SELECT numeric_histogram(4, x, w) FROM t")

@@ -202,7 +202,31 @@ def main() -> None:
     check_match_recognize(spark)
     spark.catalog.clearCache()
     check_sessionization(spark)
+    spark.catalog.clearCache()
+    check_qdigest(spark)
 
 
 if __name__ == "__main__":
     main()
+
+
+def check_qdigest(spark) -> None:
+    """Two-level quantile-sketch build at 10×: key-shifted replicas grow
+    both key cardinality and per-key volume; the partial stage is
+    bounded per (key, scan-partition) and the merge stage shuffles only
+    KB-sized sketch rows, so time must track volume."""
+    from mcp_trino_spark.functions.qdigest import qdigest_by, with_quantiles
+
+    cust = load_table(spark, SF_DIR, "customer").select("c_nationkey", "c_acctbal")
+
+    def plan(frame):
+        return with_quantiles(
+            qdigest_by(frame, "c_acctbal", ["c_nationkey"]), [0.5, 0.99]
+        )
+
+    n_rows_1x = cust.count()
+    timed(plan(cust))  # warm (forks the Python worker pool)
+    t1 = min(timed(plan(cust)) for _ in range(2))
+    c10 = replicate(cust, ["c_nationkey"], COPIES)
+    t10 = min(timed(plan(c10)) for _ in range(2))
+    report("qdigest_two_level_build", n_rows_1x, t1, t10)

@@ -191,3 +191,59 @@ def test_heavy_hitter_value_does_not_collapse_shards(spark):
     )
     partials = qdigest_partial(df, "x", ["g"], n_shards=16)
     assert partials.count() > 1  # multiple partial groups, not one giant
+
+
+# ---------------------------------------------------------------------------
+# property-based invariants (hypothesis)
+
+
+from hypothesis import given, settings, strategies as st
+
+finite_floats = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(finite_floats, min_size=1, max_size=3000))
+def test_prop_weights_conserved_and_bounded(vals):
+    sk = build_sketch(vals)
+    assert len(sk) <= DEFAULT_K
+    assert sum(w for _, w in sk) == len(vals)
+    # centroid means stay inside the data range and sorted
+    assert min(vals) <= sk[0][0] and sk[-1][0] <= max(vals)
+    assert all(sk[i][0] <= sk[i + 1][0] for i in range(len(sk) - 1))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(finite_floats, min_size=10, max_size=2000),
+    st.floats(min_value=0.0, max_value=1.0),
+)
+def test_prop_rank_error_bound(vals, q):
+    sk = build_sketch(vals)
+    est = value_at_quantile(sk, q)
+    exact = sorted(vals)
+    # rank of the estimate within the documented bound (duplicates can
+    # widen the bisect window: compare against the closed rank interval)
+    lo = bisect.bisect_left(exact, est) / len(exact)
+    hi = bisect.bisect_right(exact, est) / len(exact)
+    slack = 2.0 / DEFAULT_K + 1.0 / len(exact)
+    assert lo - slack <= q <= hi + slack
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(finite_floats, min_size=1, max_size=1000), st.integers(2, 6))
+def test_prop_sharded_merge_conserves_weight(vals, shards):
+    parts = [build_sketch(vals[i::shards]) for i in range(shards)]
+    merged = merge_sketches(parts)
+    assert sum(w for _, w in merged) == len(vals)
+    assert len(merged) <= DEFAULT_K
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(finite_floats, min_size=1, max_size=500), st.randoms())
+def test_prop_build_order_invariant(vals, rnd):
+    shuffled = list(vals)
+    rnd.shuffle(shuffled)
+    assert build_sketch(shuffled) == build_sketch(vals)

@@ -883,24 +883,35 @@ def l33_editdist_verify(spark, sf_dir):
         F.substring("text", 1, 200).alias("t200"),
         F.least(F.length("text"), F.lit(200)).alias("tlen"),
     )
+    max_len = F.greatest(F.col("da.tlen"), F.col("db.tlen"), F.lit(1))
     j = (
         pairs.join(
             prefixes.alias("da"), F.col("doc_a") == F.col("da.doc_id")
         )
         .join(prefixes.alias("db"), F.col("doc_b") == F.col("db.doc_id"))
+        # Spark-side DP pruning, IMPLIED by the final sim >= 0.5 filter
+        # (so the kept rows — and the oracle — are unchanged):
+        # 1. edit_dist >= |len_a - len_b|, so a pair whose length gap
+        #    alone exceeds 0.5*max_len can never pass — skip its DP;
+        .filter(
+            (F.abs(F.col("da.tlen") - F.col("db.tlen")) * 2) <= max_len
+        )
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein(F.col("da.t200"), F.col("db.t200"))
+            # 2. banded DP: prefixes are <= 200 chars, so every passing
+            #    pair has dist <= 0.5*max_len <= 100 — the threshold
+            #    form computes a 2*100+1 band and early-exits, returning
+            #    -1 above it (those rows fail sim >= 0.5 by construction
+            #    and are dropped by the dist >= 0 guard below)
+            F.levenshtein(F.col("da.t200"), F.col("db.t200"), 100)
             .cast("bigint")
             .alias("edit_dist"),
-            F.greatest(F.col("da.tlen"), F.col("db.tlen"), F.lit(1)).alias(
-                "max_len"
-            ),
+            max_len.alias("max_len"),
         )
     )
     sim = F.lit(1.0) - F.col("edit_dist").cast("double") / F.col("max_len")
     return (
         j.select("doc_a", "doc_b", "edit_dist", sim.alias("edit_sim"))
-        .filter(F.col("edit_sim") >= 0.5)
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_sim") >= 0.5))
     )

@@ -76,6 +76,79 @@ class MergeCardinalityError(RuntimeError):
 # reads — the standard hive-layout caveat; DML commits are exact.
 
 
+# -- per-table commit lock ---------------------------------------------------
+# The HTTP transport is a ThreadingHTTPServer, so two clients can issue
+# DML against one table concurrently.  The commit protocol is a
+# read-modify-write over shared state (history.json version counter +
+# the live directory swap): unsynchronized, both commits read version N
+# and write N+1 — one snapshot silently lost and the swap sequences
+# interleave.  A per-table lock serializes commits (process-local
+# threading.Lock; an fcntl flock on a sidecar file extends the guard to
+# cooperating processes sharing a warehouse).  Reads are lock-free:
+# they see either the pre- or post-commit state of the atomic renames.
+
+import threading
+
+
+class _TableLockState:
+    __slots__ = ("lock", "depth", "fd")
+
+    def __init__(self):
+        self.lock = threading.RLock()
+        self.depth = 0
+        self.fd: Optional[int] = None
+
+
+_TABLE_LOCKS: Dict[str, _TableLockState] = {}
+_TABLE_LOCKS_GUARD = threading.Lock()
+
+
+class _table_commit_lock:
+    """Reentrant per-table lock: the public DML entry points take it
+    around the WHOLE operation (plan execution included — a lazy plan
+    that lists the table's files mid-way through another thread's swap
+    reads half-deleted directories), and the commit helpers re-enter
+    it.  The flock sidecar is taken only at the outermost depth."""
+
+    def __init__(self, loc: str):
+        norm = os.path.normpath(loc)
+        with _TABLE_LOCKS_GUARD:
+            self._state = _TABLE_LOCKS.setdefault(norm, _TableLockState())
+        self._lockfile_path = os.path.join(
+            os.path.dirname(norm), f".{os.path.basename(norm)}.commitlock"
+        )
+
+    def __enter__(self):
+        st = self._state
+        st.lock.acquire()
+        st.depth += 1  # mutated only while holding the rlock
+        if st.depth == 1:
+            try:
+                import fcntl
+
+                st.fd = os.open(self._lockfile_path, os.O_CREAT | os.O_RDWR, 0o644)
+                fcntl.flock(st.fd, fcntl.LOCK_EX)
+            except OSError:
+                # read-only parent dir or non-posix: the in-process lock
+                # still serializes the threaded server's commits
+                if st.fd is not None:
+                    os.close(st.fd)
+                    st.fd = None
+        return self
+
+    def __exit__(self, *exc):
+        st = self._state
+        if st.depth == 1 and st.fd is not None:
+            import fcntl
+
+            fcntl.flock(st.fd, fcntl.LOCK_UN)
+            os.close(st.fd)
+            st.fd = None
+        st.depth -= 1
+        st.lock.release()
+        return False
+
+
 def _store_root(loc: str) -> str:
     parent, base = os.path.dirname(loc), os.path.basename(loc)
     return os.path.join(parent, f".{base}.versions")
@@ -128,24 +201,25 @@ def vacuum_table_versions(spark: SparkSession, table: str, keep_last: int) -> in
     if keep_last < 0:
         raise DmlError("keep_last must be >= 0")
     loc = _table_location(spark, table)
-    hist = _load_history(loc)
-    commits = hist["commits"]
-    if not commits:
-        return 0
-    cur = commits[-1]["version"]
-    floor = max(hist["floor"], cur - keep_last)
-    for c in commits:
-        # commit N holds the data needed to read states < N; versions
-        # below the floor are unreadable, so commits ≤ floor can go
-        if c["version"] <= floor:
-            shutil.rmtree(
-                os.path.join(_store_root(loc), f"v{c['version']}"),
-                ignore_errors=True,
-            )
-    hist["commits"] = [c for c in commits if c["version"] > floor]
-    hist["floor"] = floor
-    _save_history(loc, hist)
-    return floor
+    with _table_commit_lock(loc):
+        hist = _load_history(loc)
+        commits = hist["commits"]
+        if not commits:
+            return 0
+        cur = commits[-1]["version"]
+        floor = max(hist["floor"], cur - keep_last)
+        for c in commits:
+            # commit N holds the data needed to read states < N; versions
+            # below the floor are unreadable, so commits ≤ floor can go
+            if c["version"] <= floor:
+                shutil.rmtree(
+                    os.path.join(_store_root(loc), f"v{c['version']}"),
+                    ignore_errors=True,
+                )
+        hist["commits"] = [c for c in commits if c["version"] > floor]
+        hist["floor"] = floor
+        _save_history(loc, hist)
+        return floor
 
 
 # ---------------------------------------------------------------------------
@@ -171,33 +245,39 @@ def _commit(
     data moves into the version store (time travel) instead of being
     deleted — the snapshot costs no extra write."""
     loc = _table_location(spark, table)
-    parent, base = os.path.dirname(loc), os.path.basename(loc)
-    staged = os.path.join(parent, f".{base}.staged-{uuid.uuid4().hex[:8]}")
-    retired = os.path.join(parent, f".{base}.retired-{uuid.uuid4().hex[:8]}")
-    pcols = _partition_columns(spark, table)
-    writer = new_state.write
-    if pcols:
-        # preserve the hive layout — a flat write under a partitioned
-        # table's location would orphan every row from the catalog
-        writer = writer.partitionBy(*pcols)
-    writer.parquet(staged)
-    os.rename(loc, retired)
-    try:
-        os.rename(staged, loc)
-    except BaseException:
-        os.rename(retired, loc)  # roll back — table state untouched
-        raise
-    if pcols:
-        spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
-    spark.sql(f"REFRESH TABLE {table}")
-    rec = _next_commit_record(loc, op, "full")
-    vdir = os.path.join(_store_root(loc), f"v{rec['version']}")
-    os.makedirs(os.path.dirname(vdir), exist_ok=True)
-    os.rename(retired, vdir)
-    rec["data"] = f"v{rec['version']}"
-    hist = _load_history(loc)
-    hist["commits"].append(rec)
-    _save_history(loc, hist)
+    with _table_commit_lock(loc):
+        parent, base = os.path.dirname(loc), os.path.basename(loc)
+        staged = os.path.join(parent, f".{base}.staged-{uuid.uuid4().hex[:8]}")
+        retired = os.path.join(parent, f".{base}.retired-{uuid.uuid4().hex[:8]}")
+        pcols = _partition_columns(spark, table)
+        writer = new_state.write
+        if pcols:
+            # preserve the hive layout — a flat write under a partitioned
+            # table's location would orphan every row from the catalog
+            writer = writer.partitionBy(*pcols)
+        # the staged write sits INSIDE the lock: the lazy plan reads the
+        # live table when it executes, so serializing plan-execution +
+        # swap makes concurrent commits read-committed (the second
+        # commit's scan sees the first one's result, not the common
+        # ancestor — no lost update)
+        writer.parquet(staged)
+        os.rename(loc, retired)
+        try:
+            os.rename(staged, loc)
+        except BaseException:
+            os.rename(retired, loc)  # roll back — table state untouched
+            raise
+        if pcols:
+            spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
+        spark.sql(f"REFRESH TABLE {table}")
+        rec = _next_commit_record(loc, op, "full")
+        vdir = os.path.join(_store_root(loc), f"v{rec['version']}")
+        os.makedirs(os.path.dirname(vdir), exist_ok=True)
+        os.rename(retired, vdir)
+        rec["data"] = f"v{rec['version']}"
+        hist = _load_history(loc)
+        hist["commits"].append(rec)
+        _save_history(loc, hist)
 
 
 # ---------------------------------------------------------------------------
@@ -283,74 +363,75 @@ def _commit_partitions(
     isolation across partitions want a log-based table format, whose
     plan-side shapes are identical to these."""
     loc = _table_location(spark, table)
-    parent, base = os.path.dirname(loc), os.path.basename(loc)
-    staged = os.path.join(parent, f".{base}.staged-{uuid.uuid4().hex[:8]}")
-    retired = os.path.join(parent, f".{base}.retired-{uuid.uuid4().hex[:8]}")
-    new_touched_state.write.partitionBy(*pcols).parquet(staged)
-    os.makedirs(retired, exist_ok=True)
-    done: List[Tuple[str, str, bool]] = []  # (live, retired, had_staged)
-    try:
+    with _table_commit_lock(loc):
+        parent, base = os.path.dirname(loc), os.path.basename(loc)
+        staged = os.path.join(parent, f".{base}.staged-{uuid.uuid4().hex[:8]}")
+        retired = os.path.join(parent, f".{base}.retired-{uuid.uuid4().hex[:8]}")
+        new_touched_state.write.partitionBy(*pcols).parquet(staged)
+        os.makedirs(retired, exist_ok=True)
+        done: List[Tuple[str, str, bool]] = []  # (live, retired, had_staged)
+        try:
+            for i, values in enumerate(touched):
+                rel = _partition_relpath(pcols, values)
+                live_p = os.path.join(loc, rel)
+                staged_p = os.path.join(staged, rel)
+                retired_p = os.path.join(retired, str(i))
+                had_staged = os.path.isdir(staged_p)
+                if os.path.isdir(live_p):
+                    os.rename(live_p, retired_p)
+                else:
+                    retired_p = ""
+                # record the retire BEFORE attempting staged→live: if that
+                # rename (or makedirs) fails, rollback must still restore
+                # this partition's original data — appending only after a
+                # full swap would let the final rmtree(retired) destroy it
+                done.append((live_p, retired_p, had_staged))
+                if had_staged:
+                    os.makedirs(os.path.dirname(live_p), exist_ok=True)
+                    os.rename(staged_p, live_p)
+            layout_changed = any(
+                (had and not ret) or (ret and not had) for _, ret, had in done
+            )
+        except BaseException:
+            for live_p, retired_p, had_staged in reversed(done):
+                # rmtree only when the staged→live rename actually landed
+                # (rename is atomic: live_p exists iff it completed)
+                if had_staged and os.path.isdir(live_p):
+                    shutil.rmtree(live_p, ignore_errors=True)
+                if retired_p:
+                    os.rename(retired_p, live_p)
+            shutil.rmtree(staged, ignore_errors=True)
+            shutil.rmtree(retired, ignore_errors=True)
+            raise
+        if layout_changed:
+            # a partition directory appeared or vanished: re-sync catalog
+            # partition metadata (metadata-only; cost ∝ #partitions)
+            spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
+        spark.sql(f"REFRESH TABLE {table}")
+        shutil.rmtree(staged, ignore_errors=True)
+        # retire the replaced partition directories into the version store:
+        # touched→null records a partition that did NOT exist before this
+        # commit (so historical reads know to exclude it)
+        rec = _next_commit_record(loc, op, "partitions")
+        vrel = f"v{rec['version']}"
+        vdir = os.path.join(_store_root(loc), vrel)
+        os.makedirs(vdir, exist_ok=True)
+        touched_map: Dict[str, Optional[str]] = {}
         for i, values in enumerate(touched):
             rel = _partition_relpath(pcols, values)
-            live_p = os.path.join(loc, rel)
-            staged_p = os.path.join(staged, rel)
             retired_p = os.path.join(retired, str(i))
-            had_staged = os.path.isdir(staged_p)
-            if os.path.isdir(live_p):
-                os.rename(live_p, retired_p)
+            if os.path.isdir(retired_p):
+                dest = os.path.join(vdir, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.rename(retired_p, dest)
+                touched_map[rel] = f"{vrel}/{rel}"
             else:
-                retired_p = ""
-            # record the retire BEFORE attempting staged→live: if that
-            # rename (or makedirs) fails, rollback must still restore
-            # this partition's original data — appending only after a
-            # full swap would let the final rmtree(retired) destroy it
-            done.append((live_p, retired_p, had_staged))
-            if had_staged:
-                os.makedirs(os.path.dirname(live_p), exist_ok=True)
-                os.rename(staged_p, live_p)
-        layout_changed = any(
-            (had and not ret) or (ret and not had) for _, ret, had in done
-        )
-    except BaseException:
-        for live_p, retired_p, had_staged in reversed(done):
-            # rmtree only when the staged→live rename actually landed
-            # (rename is atomic: live_p exists iff it completed)
-            if had_staged and os.path.isdir(live_p):
-                shutil.rmtree(live_p, ignore_errors=True)
-            if retired_p:
-                os.rename(retired_p, live_p)
-        shutil.rmtree(staged, ignore_errors=True)
+                touched_map[rel] = None
+        rec["touched"] = touched_map
+        hist = _load_history(loc)
+        hist["commits"].append(rec)
+        _save_history(loc, hist)
         shutil.rmtree(retired, ignore_errors=True)
-        raise
-    if layout_changed:
-        # a partition directory appeared or vanished: re-sync catalog
-        # partition metadata (metadata-only; cost ∝ #partitions)
-        spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
-    spark.sql(f"REFRESH TABLE {table}")
-    shutil.rmtree(staged, ignore_errors=True)
-    # retire the replaced partition directories into the version store:
-    # touched→null records a partition that did NOT exist before this
-    # commit (so historical reads know to exclude it)
-    rec = _next_commit_record(loc, op, "partitions")
-    vrel = f"v{rec['version']}"
-    vdir = os.path.join(_store_root(loc), vrel)
-    os.makedirs(vdir, exist_ok=True)
-    touched_map: Dict[str, Optional[str]] = {}
-    for i, values in enumerate(touched):
-        rel = _partition_relpath(pcols, values)
-        retired_p = os.path.join(retired, str(i))
-        if os.path.isdir(retired_p):
-            dest = os.path.join(vdir, rel)
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
-            os.rename(retired_p, dest)
-            touched_map[rel] = f"{vrel}/{rel}"
-        else:
-            touched_map[rel] = None
-    rec["touched"] = touched_map
-    hist = _load_history(loc)
-    hist["commits"].append(rec)
-    _save_history(loc, hist)
-    shutil.rmtree(retired, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -394,71 +475,75 @@ def update_table(
     rest of the table is untouched on disk.  Full-table rewrite remains
     the fallback for unpartitioned tables and for a SET that reassigns
     a partition column (rows can migrate between partitions)."""
-    t = spark.table(table)
-    set_clauses = _resolve_cols(t.columns, set_clauses, "UPDATE SET")
-    cond = F.expr(where) if where else F.lit(True)
-    new_state = t.select(
-        *[
-            (
-                F.when(cond, F.expr(expr).cast(t.schema[c].dataType))
-                .otherwise(F.col(c))
-                .alias(c)
-                if c in set_clauses
-                else F.col(c)
-            )
-            for c, expr in [(c, set_clauses.get(c, "")) for c in t.columns]
-        ]
-    )
-    pcols = _partition_columns(spark, table)
-    if pcols and not (set(pcols) & set(set_clauses)):
-        # ONE aggregation job yields both the affected count and the
-        # touched-partition set (|partitions| rows to the driver) — the
-        # separate count + distinct-collect pair scanned the predicate
-        # twice and widened the non-atomic read-then-swap window
-        per_part = t.filter(cond).groupBy(*pcols).agg(F.count("*").alias("__n")).collect()
-        affected = sum(r["__n"] for r in per_part)
-        if not affected:
-            return 0  # nothing matched → nothing to rewrite at all
-        touched = [tuple(r[c] for c in pcols) for r in per_part]
-        _commit_partitions(
-            spark, table, new_state.filter(_partition_predicate(pcols, touched)),
-            pcols, touched, op="update",
+    loc = _table_location(spark, table)
+    with _table_commit_lock(loc):
+        t = spark.table(table)
+        set_clauses = _resolve_cols(t.columns, set_clauses, "UPDATE SET")
+        cond = F.expr(where) if where else F.lit(True)
+        new_state = t.select(
+            *[
+                (
+                    F.when(cond, F.expr(expr).cast(t.schema[c].dataType))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in set_clauses
+                    else F.col(c)
+                )
+                for c, expr in [(c, set_clauses.get(c, "")) for c in t.columns]
+            ]
         )
+        pcols = _partition_columns(spark, table)
+        if pcols and not (set(pcols) & set(set_clauses)):
+            # ONE aggregation job yields both the affected count and the
+            # touched-partition set (|partitions| rows to the driver) — the
+            # separate count + distinct-collect pair scanned the predicate
+            # twice and widened the non-atomic read-then-swap window
+            per_part = t.filter(cond).groupBy(*pcols).agg(F.count("*").alias("__n")).collect()
+            affected = sum(r["__n"] for r in per_part)
+            if not affected:
+                return 0  # nothing matched → nothing to rewrite at all
+            touched = [tuple(r[c] for c in pcols) for r in per_part]
+            _commit_partitions(
+                spark, table, new_state.filter(_partition_predicate(pcols, touched)),
+                pcols, touched, op="update",
+            )
+            return affected
+        affected = t.filter(cond).count()
+        _commit(spark, table, new_state, op="update")
         return affected
-    affected = t.filter(cond).count()
-    _commit(spark, table, new_state, op="update")
-    return affected
 
 
 def delete_from(spark: SparkSession, table: str, where: Optional[str]) -> int:
     """DELETE = inverted filter over the scan (narrow, no shuffle).
     Partition-bounded on hive-partitioned tables, like ``update_table``;
     a partition whose rows are all deleted has its directory retired."""
-    t = spark.table(table)
-    if where is None:
-        cond = None
-        new_state = t.filter(F.lit(False))
-    else:
-        cond = F.expr(where)
-        # keep rows where the predicate is false OR null (SQL DELETE
-        # semantics: only true-matching rows are deleted)
-        new_state = t.filter(~F.coalesce(cond.cast("boolean"), F.lit(False)))
-    pcols = _partition_columns(spark, table)
-    if pcols and cond is not None:
-        # one job for count + touched partitions (see update_table)
-        per_part = t.filter(cond).groupBy(*pcols).agg(F.count("*").alias("__n")).collect()
-        affected = sum(r["__n"] for r in per_part)
-        if not affected:
-            return 0
-        touched = [tuple(r[c] for c in pcols) for r in per_part]
-        _commit_partitions(
-            spark, table, new_state.filter(_partition_predicate(pcols, touched)),
-            pcols, touched, op="delete",
-        )
+    loc = _table_location(spark, table)
+    with _table_commit_lock(loc):
+        t = spark.table(table)
+        if where is None:
+            cond = None
+            new_state = t.filter(F.lit(False))
+        else:
+            cond = F.expr(where)
+            # keep rows where the predicate is false OR null (SQL DELETE
+            # semantics: only true-matching rows are deleted)
+            new_state = t.filter(~F.coalesce(cond.cast("boolean"), F.lit(False)))
+        pcols = _partition_columns(spark, table)
+        if pcols and cond is not None:
+            # one job for count + touched partitions (see update_table)
+            per_part = t.filter(cond).groupBy(*pcols).agg(F.count("*").alias("__n")).collect()
+            affected = sum(r["__n"] for r in per_part)
+            if not affected:
+                return 0
+            touched = [tuple(r[c] for c in pcols) for r in per_part]
+            _commit_partitions(
+                spark, table, new_state.filter(_partition_predicate(pcols, touched)),
+                pcols, touched, op="delete",
+            )
+            return affected
+        affected = t.count() if cond is None else t.filter(cond).count()
+        _commit(spark, table, new_state, op="delete")
         return affected
-    affected = t.count() if cond is None else t.filter(cond).count()
-    _commit(spark, table, new_state, op="delete")
-    return affected
 
 
 def merge_into(
@@ -487,128 +572,130 @@ def merge_into(
 
     Returns the number of rows updated+deleted+inserted.
     """
-    if matched_update and matched_delete:
-        raise DmlError("pass either matched_update or matched_delete, not both")
-    _target_cols = spark.table(target).columns
-    if matched_update:
-        matched_update = _resolve_cols(_target_cols, matched_update, "MERGE UPDATE SET")
-    if insert_values:
-        insert_values = _resolve_cols(_target_cols, insert_values, "MERGE INSERT")
-    t = (
-        spark.table(target)
-        .withColumn("__t_rowid", F.monotonically_increasing_id())
-        .withColumn("__t_exists", F.lit(True))
-        .alias(target_alias)
-    )
-    s = source.withColumn("__s_exists", F.lit(True)).alias(source_alias)
-    # the joined frame feeds several actions (cardinality check, metric
-    # counts, the staging write) — persist so the shuffle join runs once
-    joined = t.join(s, F.expr(on), "full_outer").persist()
-
-    matched = F.col("__t_exists").isNotNull() & F.col("__s_exists").isNotNull()
-    if matched_condition:
-        acted = matched & F.coalesce(
-            F.expr(matched_condition).cast("boolean"), F.lit(False)
+    _lock_loc = _table_location(spark, target)
+    with _table_commit_lock(_lock_loc):
+        if matched_update and matched_delete:
+            raise DmlError("pass either matched_update or matched_delete, not both")
+        _target_cols = spark.table(target).columns
+        if matched_update:
+            matched_update = _resolve_cols(_target_cols, matched_update, "MERGE UPDATE SET")
+        if insert_values:
+            insert_values = _resolve_cols(_target_cols, insert_values, "MERGE INSERT")
+        t = (
+            spark.table(target)
+            .withColumn("__t_rowid", F.monotonically_increasing_id())
+            .withColumn("__t_exists", F.lit(True))
+            .alias(target_alias)
         )
-    else:
-        acted = matched
-    source_only = F.col("__t_exists").isNull()
+        s = source.withColumn("__s_exists", F.lit(True)).alias(source_alias)
+        # the joined frame feeds several actions (cardinality check, metric
+        # counts, the staging write) — persist so the shuffle join runs once
+        joined = t.join(s, F.expr(on), "full_outer").persist()
 
-    if check_cardinality:
-        # Delta-parity guard: a target row joined to >1 source rows makes
-        # the update nondeterministic.  One window shuffle over the
-        # (matched-subset) row-ids.
-        from pyspark.sql.window import Window
-
-        dup = (
-            joined.filter(matched)
-            .withColumn("__n", F.count("*").over(Window.partitionBy("__t_rowid")))
-            .filter(F.col("__n") > 1)
-            .limit(1)
-            .count()
-        )
-        if dup:
-            joined.unpersist()
-            raise MergeCardinalityError(
-                "MERGE: a target row matches multiple source rows"
-            )
-
-    target_cols = [c for c in spark.table(target).columns]
-    if insert_all:
-        insert_values = {c: f"{source_alias}.{c}" for c in target_cols}
-
-    out_cols: List = []
-    for c in target_cols:
-        keep = F.col(f"{target_alias}.{c}")
-        col = keep
-        if matched_update and c in matched_update:
-            col = F.when(acted, F.expr(matched_update[c]).cast(
-                spark.table(target).schema[c].dataType
-            )).otherwise(keep)
-        if insert_values is not None:
-            ins = (
-                F.expr(insert_values[c]).cast(spark.table(target).schema[c].dataType)
-                if c in insert_values
-                else F.lit(None).cast(spark.table(target).schema[c].dataType)
-            )
-            col = F.when(source_only, ins).otherwise(col)
-        out_cols.append(col.alias(c))
-
-    result = joined
-    if matched_delete:
-        result = result.filter(~acted)
-    if insert_values is None:
-        result = result.filter(~source_only)
-    new_state = result.select(*out_cols)
-
-    try:
-        n_matched = (
-            joined.filter(acted).count() if (matched_update or matched_delete) else 0
-        )
-        n_inserted = (
-            joined.filter(source_only).count() if insert_values is not None else 0
-        )
-        pcols = _partition_columns(spark, target)
-        part_reassigned = bool(matched_update and set(pcols) & set(matched_update))
-        if pcols and not part_reassigned:
-            # partition-bounded MERGE: touched = partitions holding acted
-            # target rows ∪ partitions the inserted rows land in (their
-            # values come from the final projection, so new partitions
-            # are discovered here too)
-            touched = set()
-            if matched_update or matched_delete:
-                touched.update(
-                    tuple(r)
-                    for r in joined.filter(acted)
-                    .select(*[F.col(f"{target_alias}.{c}") for c in pcols])
-                    .distinct()
-                    .collect()
-                )
-            if insert_values is not None:
-                by_name = dict(zip(target_cols, out_cols))
-                touched.update(
-                    tuple(r)
-                    for r in joined.filter(source_only)
-                    .select(*[by_name[c] for c in pcols])
-                    .distinct()
-                    .collect()
-                )
-            if not touched:
-                return 0  # no action matched → table untouched on disk
-            touched_list = sorted(touched, key=repr)
-            _commit_partitions(
-                spark,
-                target,
-                new_state.filter(_partition_predicate(pcols, touched_list)),
-                pcols,
-                touched_list,
-                op="merge",
+        matched = F.col("__t_exists").isNotNull() & F.col("__s_exists").isNotNull()
+        if matched_condition:
+            acted = matched & F.coalesce(
+                F.expr(matched_condition).cast("boolean"), F.lit(False)
             )
         else:
-            _commit(spark, target, new_state, op="merge")
-    finally:
-        joined.unpersist()
-    return n_matched + n_inserted
+            acted = matched
+        source_only = F.col("__t_exists").isNull()
+
+        if check_cardinality:
+            # Delta-parity guard: a target row joined to >1 source rows makes
+            # the update nondeterministic.  One window shuffle over the
+            # (matched-subset) row-ids.
+            from pyspark.sql.window import Window
+
+            dup = (
+                joined.filter(matched)
+                .withColumn("__n", F.count("*").over(Window.partitionBy("__t_rowid")))
+                .filter(F.col("__n") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                joined.unpersist()
+                raise MergeCardinalityError(
+                    "MERGE: a target row matches multiple source rows"
+                )
+
+        target_cols = [c for c in spark.table(target).columns]
+        if insert_all:
+            insert_values = {c: f"{source_alias}.{c}" for c in target_cols}
+
+        out_cols: List = []
+        for c in target_cols:
+            keep = F.col(f"{target_alias}.{c}")
+            col = keep
+            if matched_update and c in matched_update:
+                col = F.when(acted, F.expr(matched_update[c]).cast(
+                    spark.table(target).schema[c].dataType
+                )).otherwise(keep)
+            if insert_values is not None:
+                ins = (
+                    F.expr(insert_values[c]).cast(spark.table(target).schema[c].dataType)
+                    if c in insert_values
+                    else F.lit(None).cast(spark.table(target).schema[c].dataType)
+                )
+                col = F.when(source_only, ins).otherwise(col)
+            out_cols.append(col.alias(c))
+
+        result = joined
+        if matched_delete:
+            result = result.filter(~acted)
+        if insert_values is None:
+            result = result.filter(~source_only)
+        new_state = result.select(*out_cols)
+
+        try:
+            n_matched = (
+                joined.filter(acted).count() if (matched_update or matched_delete) else 0
+            )
+            n_inserted = (
+                joined.filter(source_only).count() if insert_values is not None else 0
+            )
+            pcols = _partition_columns(spark, target)
+            part_reassigned = bool(matched_update and set(pcols) & set(matched_update))
+            if pcols and not part_reassigned:
+                # partition-bounded MERGE: touched = partitions holding acted
+                # target rows ∪ partitions the inserted rows land in (their
+                # values come from the final projection, so new partitions
+                # are discovered here too)
+                touched = set()
+                if matched_update or matched_delete:
+                    touched.update(
+                        tuple(r)
+                        for r in joined.filter(acted)
+                        .select(*[F.col(f"{target_alias}.{c}") for c in pcols])
+                        .distinct()
+                        .collect()
+                    )
+                if insert_values is not None:
+                    by_name = dict(zip(target_cols, out_cols))
+                    touched.update(
+                        tuple(r)
+                        for r in joined.filter(source_only)
+                        .select(*[by_name[c] for c in pcols])
+                        .distinct()
+                        .collect()
+                    )
+                if not touched:
+                    return 0  # no action matched → table untouched on disk
+                touched_list = sorted(touched, key=repr)
+                _commit_partitions(
+                    spark,
+                    target,
+                    new_state.filter(_partition_predicate(pcols, touched_list)),
+                    pcols,
+                    touched_list,
+                    op="merge",
+                )
+            else:
+                _commit(spark, target, new_state, op="merge")
+        finally:
+            joined.unpersist()
+        return n_matched + n_inserted
 
 
 # ---------------------------------------------------------------------------
@@ -834,63 +921,65 @@ def optimize_table(
     copy-on-write commit: time travel still reads the pre-compaction
     state, and the data content is unchanged (asserted by tests and the
     fact that the staged plan is a pure re-read of the live table)."""
-    threshold = int(file_size_threshold_mb * 1024 * 1024)
-    loc = _table_location(spark, table)
-    t = spark.table(table)
-    pcols = _partition_columns(spark, table)
+    _lock_loc = _table_location(spark, table)
+    with _table_commit_lock(_lock_loc):
+        threshold = int(file_size_threshold_mb * 1024 * 1024)
+        loc = _table_location(spark, table)
+        t = spark.table(table)
+        pcols = _partition_columns(spark, table)
 
-    if not pcols:
-        files = _parquet_files(loc)
-        if not _needs_compaction(files, threshold):
+        if not pcols:
+            files = _parquet_files(loc)
+            if not _needs_compaction(files, threshold):
+                return 0
+            total = sum(os.path.getsize(f) for f in files)
+            n_out = max(1, -(-total // threshold))  # ceil
+            rows = t.count()
+            _commit(spark, table, t.repartition(int(n_out)), op=op)
+            return rows
+
+        touched: List[Tuple] = []
+        rows_by_rel: Dict[str, None] = {}
+        # walk live partition dirs; parse values back from the hive paths
+        from mcp_trino_spark.sources.timetravel import _unescape_partition_value
+
+        def _walk(rel: str, depth: int):
+            d = os.path.join(loc, rel) if rel else loc
+            if depth == len(pcols):
+                if _needs_compaction(_parquet_files(d), threshold):
+                    rows_by_rel[rel] = None
+                return
+            for name in sorted(os.listdir(d)):
+                if "=" in name and not name.startswith((".", "_")):
+                    _walk(os.path.join(rel, name) if rel else name, depth + 1)
+
+        _walk("", 0)
+        if not rows_by_rel:
             return 0
-        total = sum(os.path.getsize(f) for f in files)
-        n_out = max(1, -(-total // threshold))  # ceil
-        rows = t.count()
-        _commit(spark, table, t.repartition(int(n_out)), op=op)
+        schema = t.schema
+        for rel in rows_by_rel:
+            values = []
+            for seg in rel.split("/"):
+                c, _, raw = seg.partition("=")
+                s = _unescape_partition_value(raw)
+                if s is None:
+                    values.append(None)
+                else:
+                    # round-trip through Spark's own cast for the column type
+                    values.append(
+                        spark.createDataFrame([(s,)], "v string")
+                        .select(F.col("v").cast(schema[c].dataType))
+                        .collect()[0][0]
+                    )
+            touched.append(tuple(values))
+        pred = _partition_predicate(pcols, touched)
+        rows = t.filter(pred).count()
+        # one task (→ one output file) per touched partition
+        _commit_partitions(
+            spark, table, t.filter(pred).repartition(*[F.col(c) for c in pcols]),
+            pcols, touched, op=op,
+        )
         return rows
-
-    touched: List[Tuple] = []
-    rows_by_rel: Dict[str, None] = {}
-    # walk live partition dirs; parse values back from the hive paths
-    from mcp_trino_spark.sources.timetravel import _unescape_partition_value
-
-    def _walk(rel: str, depth: int):
-        d = os.path.join(loc, rel) if rel else loc
-        if depth == len(pcols):
-            if _needs_compaction(_parquet_files(d), threshold):
-                rows_by_rel[rel] = None
-            return
-        for name in sorted(os.listdir(d)):
-            if "=" in name and not name.startswith((".", "_")):
-                _walk(os.path.join(rel, name) if rel else name, depth + 1)
-
-    _walk("", 0)
-    if not rows_by_rel:
-        return 0
-    schema = t.schema
-    for rel in rows_by_rel:
-        values = []
-        for seg in rel.split("/"):
-            c, _, raw = seg.partition("=")
-            s = _unescape_partition_value(raw)
-            if s is None:
-                values.append(None)
-            else:
-                # round-trip through Spark's own cast for the column type
-                values.append(
-                    spark.createDataFrame([(s,)], "v string")
-                    .select(F.col("v").cast(schema[c].dataType))
-                    .collect()[0][0]
-                )
-        touched.append(tuple(values))
-    pred = _partition_predicate(pcols, touched)
-    rows = t.filter(pred).count()
-    # one task (→ one output file) per touched partition
-    _commit_partitions(
-        spark, table, t.filter(pred).repartition(*[F.col(c) for c in pcols]),
-        pcols, touched, op=op,
-    )
-    return rows
 
 
 _OPTIMIZE_RE = re.compile(
@@ -952,25 +1041,26 @@ def expire_snapshots(
     if retention_threshold_s < 0:
         raise DmlError("retention_threshold must be >= 0")
     loc = _table_location(spark, table)
-    hist = _load_history(loc)
-    commits = hist["commits"]
-    if not commits:
-        return hist["floor"]
-    cutoff = datetime.now(timezone.utc).timestamp() - retention_threshold_s
-    floor = hist["floor"]
-    for c in commits:
-        if datetime.fromisoformat(c["ts"]).timestamp() < cutoff:
-            floor = max(floor, c["version"])
-    for c in commits:
-        if c["version"] <= floor:
-            shutil.rmtree(
-                os.path.join(_store_root(loc), f"v{c['version']}"),
-                ignore_errors=True,
-            )
-    hist["commits"] = [c for c in commits if c["version"] > floor]
-    hist["floor"] = floor
-    _save_history(loc, hist)
-    return floor
+    with _table_commit_lock(loc):
+        hist = _load_history(loc)
+        commits = hist["commits"]
+        if not commits:
+            return hist["floor"]
+        cutoff = datetime.now(timezone.utc).timestamp() - retention_threshold_s
+        floor = hist["floor"]
+        for c in commits:
+            if datetime.fromisoformat(c["ts"]).timestamp() < cutoff:
+                floor = max(floor, c["version"])
+        for c in commits:
+            if c["version"] <= floor:
+                shutil.rmtree(
+                    os.path.join(_store_root(loc), f"v{c['version']}"),
+                    ignore_errors=True,
+                )
+        hist["commits"] = [c for c in commits if c["version"] > floor]
+        hist["floor"] = floor
+        _save_history(loc, hist)
+        return floor
 
 
 _EXPIRE_RE = re.compile(

@@ -688,3 +688,47 @@ def test_expire_snapshots_by_age(spark, tmp_path):
         assert len(read_table_version(spark, name, 1).collect()) == 10
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_concurrent_updates_serialize(spark, tmp_path):
+    """Two threads committing UPDATEs on one table must serialize: both
+    versions recorded, both effects applied, both historical states
+    readable (unsynchronized, both read version N and one snapshot is
+    silently lost)."""
+    import threading
+    from pyspark.sql import functions as F
+    from mcp_trino_spark.sources.dml import update_table
+    from mcp_trino_spark.sources.timetravel import read_table_version, table_history
+
+    name = "conc_t"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    loc = str(tmp_path / name)
+    spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit(0.0).alias("a"), F.lit(0.0).alias("b")
+    ).write.parquet(loc)
+    spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{loc}'")
+    try:
+        errs = []
+
+        def upd(col):
+            try:
+                update_table(spark, name, {col: "1.0"}, None)
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        ts = [threading.Thread(target=upd, args=(c,)) for c in ("a", "b")]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
+        hist = table_history(spark, name).collect()
+        assert [r["version"] for r in hist] == [1, 2]
+        # both effects present in the live state (no lost update)
+        row = spark.table(name).filter("k = 0").collect()[0]
+        assert row["a"] == 1.0 and row["b"] == 1.0
+        # every historical state reconstructible
+        assert read_table_version(spark, name, 0).count() == 100
+        assert read_table_version(spark, name, 1).count() == 100
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

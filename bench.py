@@ -60,6 +60,9 @@ HEADLINERS = [
     "s9_cross_catalog_join",
     "w12_groups_frame",
     "l33_editdist_verify",
+    # late r3: mergeable quantile-sketch rollup (two-level sharded
+    # build + region merge — the reaggregatable-percentile pattern)
+    "a21_qdigest_rollup",
 ]
 
 

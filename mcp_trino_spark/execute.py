@@ -225,15 +225,10 @@ def execute_query(
             # ALTER is a write keyword in the classifier)
             from mcp_trino_spark.sources.dml import execute_optimize
 
-            n = execute_optimize(spark, q)
+            # the parse decides the label (expire_snapshots → floor,
+            # optimize → rows_rewritten) — never re-derived from text
+            col, n = execute_optimize(spark, q)
             done.set()
-            # expire_snapshots returns the new readable floor, optimize
-            # the rewritten row count — label the single cell accordingly
-            col = (
-                "floor"
-                if re.search(r"\bexpire_snapshots\b", q, re.IGNORECASE)
-                else "rows_rewritten"
-            )
             return QueryResult(columns=[col], rows=[{col: n}])
         df = spark.sql(q)
         if max_rows is not None:

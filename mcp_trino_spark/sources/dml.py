@@ -128,8 +128,11 @@ class _table_commit_lock:
 
                 st.fd = os.open(self._lockfile_path, os.O_CREAT | os.O_RDWR, 0o644)
                 fcntl.flock(st.fd, fcntl.LOCK_EX)
-            except OSError:
-                # read-only parent dir or non-posix: the in-process lock
+            except (OSError, ImportError):
+                # read-only parent dir, or non-posix (no fcntl module —
+                # an ImportError, which a bare OSError catch would let
+                # escape __enter__ with the RLock held, deadlocking
+                # every later DML on the table): the in-process lock
                 # still serializes the threaded server's commits
                 if st.fd is not None:
                     os.close(st.fd)
@@ -194,6 +197,24 @@ def _next_commit_record(loc: str, op: str, kind: str) -> Dict:
     }
 
 
+def _apply_floor(loc: str, hist: Dict, floor: int) -> int:
+    """Shared prune-and-save tail of vacuum_table_versions and
+    expire_snapshots: drop store data for commits at/below ``floor``,
+    filter them out of the history, persist, return the floor."""
+    for c in hist["commits"]:
+        # commit N holds the data needed to read states < N; versions
+        # below the floor are unreadable, so commits ≤ floor can go
+        if c["version"] <= floor:
+            shutil.rmtree(
+                os.path.join(_store_root(loc), f"v{c['version']}"),
+                ignore_errors=True,
+            )
+    hist["commits"] = [c for c in hist["commits"] if c["version"] > floor]
+    hist["floor"] = floor
+    _save_history(loc, hist)
+    return floor
+
+
 def vacuum_table_versions(spark: SparkSession, table: str, keep_last: int) -> int:
     """Drop version data older than the last ``keep_last`` commits;
     returns the new readable floor (the oldest version still
@@ -208,18 +229,7 @@ def vacuum_table_versions(spark: SparkSession, table: str, keep_last: int) -> in
             return 0
         cur = commits[-1]["version"]
         floor = max(hist["floor"], cur - keep_last)
-        for c in commits:
-            # commit N holds the data needed to read states < N; versions
-            # below the floor are unreadable, so commits ≤ floor can go
-            if c["version"] <= floor:
-                shutil.rmtree(
-                    os.path.join(_store_root(loc), f"v{c['version']}"),
-                    ignore_errors=True,
-                )
-        hist["commits"] = [c for c in commits if c["version"] > floor]
-        hist["floor"] = floor
-        _save_history(loc, hist)
-        return floor
+        return _apply_floor(loc, hist, floor)
 
 
 # ---------------------------------------------------------------------------
@@ -957,21 +967,28 @@ def optimize_table(
         if not rows_by_rel:
             return 0
         schema = t.schema
-        for rel in rows_by_rel:
-            values = []
+        # cast every partition's raw path values back to the column
+        # types in ONE local job (a per-segment createDataFrame+collect
+        # would run |partitions|·|pcols| driver round-trips)
+        raw_rows = []
+        for rel in sorted(rows_by_rel):
+            segs = []
             for seg in rel.split("/"):
-                c, _, raw = seg.partition("=")
-                s = _unescape_partition_value(raw)
-                if s is None:
-                    values.append(None)
-                else:
-                    # round-trip through Spark's own cast for the column type
-                    values.append(
-                        spark.createDataFrame([(s,)], "v string")
-                        .select(F.col("v").cast(schema[c].dataType))
-                        .collect()[0][0]
-                    )
-            touched.append(tuple(values))
+                _c, _, raw = seg.partition("=")
+                segs.append(_unescape_partition_value(raw))
+            raw_rows.append(tuple(segs))
+        cast_schema = ", ".join(f"c{i} string" for i in range(len(pcols)))
+        casted = (
+            spark.createDataFrame(raw_rows, cast_schema)
+            .select(
+                *[
+                    F.col(f"c{i}").cast(schema[c].dataType)
+                    for i, c in enumerate(pcols)
+                ]
+            )
+            .collect()
+        )
+        touched.extend(tuple(r) for r in casted)
         pred = _partition_predicate(pcols, touched)
         rows = t.filter(pred).count()
         # one task (→ one output file) per touched partition
@@ -989,19 +1006,32 @@ _OPTIMIZE_RE = re.compile(
 )
 
 
-def is_optimize_statement(q: str) -> bool:
+#: EXECUTE must follow the table name DIRECTLY — `ALTER TABLE t ADD
+#: COLUMNS (execute INT)` or a literal containing the word must stay on
+#: Spark's native ALTER path
+_ALTER_EXECUTE_HEAD = re.compile(
+    r"^ALTER\s+TABLE\s+(?:[A-Za-z_][\w.]*|`[^`]+`)\s+EXECUTE\b", re.IGNORECASE
+)
+
+
+def _stripped_statement(q: str) -> str:
+    """Statement text with leading comments removed and literals/
+    comments blanked (so keyword matching never fires inside them)."""
     mask = _code_mask(q)
-    start = next(
-        (i for i, is_code in enumerate(mask) if is_code and not q[i].isspace()),
-        len(q),
-    )
-    return bool(re.match(r"ALTER\s+TABLE\s+.+\bEXECUTE\b", q[start:].rstrip().rstrip(";"),
-                         re.IGNORECASE | re.DOTALL))
+    code = "".join(c if mask[i] else " " for i, c in enumerate(q))
+    return code.strip().rstrip(";").strip()
 
 
-def execute_optimize(spark: SparkSession, q: str) -> int:
+def is_optimize_statement(q: str) -> bool:
+    return bool(_ALTER_EXECUTE_HEAD.match(_stripped_statement(q)))
+
+
+def execute_optimize(spark: SparkSession, q: str) -> Tuple[str, int]:
     """Parse Trino's ``ALTER TABLE t EXECUTE optimize
-    [(file_size_threshold => '<n>MB')]`` and run the compaction."""
+    [(file_size_threshold => '<n>MB')]`` / ``expire_snapshots
+    [(retention_threshold => '<n>d')]`` and run it.  Returns
+    ``(result_label, value)`` — the label is decided by the parse, so
+    callers never re-derive it from the query text."""
     mask = _code_mask(q)
     start = next(
         (i for i, is_code in enumerate(mask) if is_code and not q[i].isspace()), 0
@@ -1013,7 +1043,7 @@ def execute_optimize(spark: SparkSession, q: str) -> int:
         seconds = 7 * 86400.0  # Trino's default retention: 7d
         if em.group(2):
             seconds = float(em.group(2)) * _RETENTION_UNIT_S[em.group(3).lower()]
-        return expire_snapshots(spark, table, seconds)
+        return "floor", expire_snapshots(spark, table, seconds)
     m = _OPTIMIZE_RE.match(stmt)
     if not m:
         raise DmlError(
@@ -1027,7 +1057,7 @@ def execute_optimize(spark: SparkSession, q: str) -> int:
         mb = float(m.group(2)) * {"KB": 1 / 1024, "MB": 1.0, "GB": 1024.0}[
             m.group(3).upper()
         ]
-    return optimize_table(spark, table, file_size_threshold_mb=mb)
+    return "rows_rewritten", optimize_table(spark, table, file_size_threshold_mb=mb)
 
 
 def expire_snapshots(
@@ -1051,16 +1081,7 @@ def expire_snapshots(
         for c in commits:
             if datetime.fromisoformat(c["ts"]).timestamp() < cutoff:
                 floor = max(floor, c["version"])
-        for c in commits:
-            if c["version"] <= floor:
-                shutil.rmtree(
-                    os.path.join(_store_root(loc), f"v{c['version']}"),
-                    ignore_errors=True,
-                )
-        hist["commits"] = [c for c in commits if c["version"] > floor]
-        hist["floor"] = floor
-        _save_history(loc, hist)
-        return floor
+        return _apply_floor(loc, hist, floor)
 
 
 _EXPIRE_RE = re.compile(

@@ -249,20 +249,28 @@ _COMPAT_SQL_UDFS = {
     "yow": ("(d TIMESTAMP)", "INT", "CAST(extract(YEAROFWEEK FROM d) AS INT)"),
     "millisecond": ("(t TIMESTAMP)", "INT", "CAST(date_format(t, 'SSS') AS INT)"),
     # Wilson score interval bounds (Trino ML/stats helpers) — closed-form
-    # arithmetic, so a SQL UDF reproduces Trino's doubles exactly
+    # arithmetic, so a SQL UDF reproduces Trino's doubles exactly; the
+    # domain guard fails loudly like Trino does (n <= 0 would otherwise
+    # silently divide by zero, s > n yields sqrt of a negative → NaN)
     "wilson_interval_lower": (
         "(s BIGINT, n BIGINT, z DOUBLE)",
         "DOUBLE",
-        "(CAST(s AS DOUBLE)/n + z*z/(2*n)"
+        "CASE WHEN n <= 0 OR s < 0 OR s > n OR z < 0 THEN"
+        " CAST(raise_error('wilson_interval: need 0 <= successes <= trials,"
+        " trials > 0, z >= 0') AS DOUBLE)"
+        " ELSE (CAST(s AS DOUBLE)/n + z*z/(2*n)"
         " - z * sqrt((CAST(s AS DOUBLE)/n) * (1 - CAST(s AS DOUBLE)/n)/n"
-        " + z*z/(4.0*n*n))) / (1 + z*z/n)",
+        " + z*z/(4.0*n*n))) / (1 + z*z/n) END",
     ),
     "wilson_interval_upper": (
         "(s BIGINT, n BIGINT, z DOUBLE)",
         "DOUBLE",
-        "(CAST(s AS DOUBLE)/n + z*z/(2*n)"
+        "CASE WHEN n <= 0 OR s < 0 OR s > n OR z < 0 THEN"
+        " CAST(raise_error('wilson_interval: need 0 <= successes <= trials,"
+        " trials > 0, z >= 0') AS DOUBLE)"
+        " ELSE (CAST(s AS DOUBLE)/n + z*z/(2*n)"
         " + z * sqrt((CAST(s AS DOUBLE)/n) * (1 - CAST(s AS DOUBLE)/n)/n"
-        " + z*z/(4.0*n*n))) / (1 + z*z/n)",
+        " + z*z/(4.0*n*n))) / (1 + z*z/n) END",
     ),
 }
 
@@ -288,11 +296,11 @@ _RENAMES = [
     (re.compile(r"\blevenshtein_distance\s*\(", re.IGNORECASE), "levenshtein("),
     # higher-order predicates: Trino any_match/all_match are Spark's
     # exists/forall (identical lambda syntax both engines); none_match
-    # is the negation — NOT binds tighter than AND/OR, so the bare
-    # prefix is safe in any expression position
+    # needs a parenthesized negation (composed rewrite below — a bare
+    # `NOT exists(...)` prefix inverts under postfix operators like
+    # IS NULL, which bind tighter than NOT)
     (re.compile(r"\bany_match\s*\(", re.IGNORECASE), "exists("),
     (re.compile(r"\ball_match\s*\(", re.IGNORECASE), "forall("),
-    (re.compile(r"\bnone_match\s*\(", re.IGNORECASE), "NOT exists("),
     # printf-style format (format_datetime is handled separately and
     # cannot match here — the \( must follow "format" directly)
     (re.compile(r"\bformat\s*\(", re.IGNORECASE), "format_string("),
@@ -1437,6 +1445,30 @@ def _rewrite_hll_sketches(q: str) -> str:
     return q
 
 
+_NONE_MATCH_HEAD = re.compile(r"\bnone_match\s*\(", re.IGNORECASE)
+
+
+def _rewrite_none_match(q: str) -> str:
+    """Trino ``none_match(arr, pred)`` → ``(NOT exists(arr, pred))``.
+    The wrapping parens matter: postfix predicates (``IS NULL``) bind
+    tighter than NOT, so a bare prefix would silently invert
+    ``none_match(...) IS NULL``; comparisons (``x = none_match(...)``)
+    would not even parse."""
+    while True:
+        mask = _code_mask(q)
+        m = next((c for c in _NONE_MATCH_HEAD.finditer(q) if mask[c.start()]), None)
+        if m is None:
+            return q
+        d, i = 1, m.end()
+        while i < len(q) and d:
+            if mask[i] and q[i] == "(":
+                d += 1
+            elif mask[i] and q[i] == ")":
+                d -= 1
+            i += 1
+        q = q[: m.start()] + f"(NOT exists({q[m.end() : i - 1]}))" + q[i:]
+
+
 _NUMHIST_HEAD = re.compile(r"\bnumeric_histogram\s*\(", re.IGNORECASE)
 
 
@@ -2205,6 +2237,7 @@ def translate(query: str) -> str:
     query = _rewrite_from_unixtime(query)
     query = _rewrite_normalize(query)
     query = _rewrite_agg_compositions(query)
+    query = _rewrite_none_match(query)
     query = _rewrite_numeric_histogram(query)
     query = _rewrite_date_parse(query)
     query = _rewrite_decimal_literal(query)

@@ -732,3 +732,30 @@ def test_concurrent_updates_serialize(spark, tmp_path):
         assert read_table_version(spark, name, 1).count() == 100
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_alter_without_execute_goes_to_native_path(spark, tmp_path):
+    """ALTER statements that are not EXECUTE procedures must keep
+    Spark's native path — including when the word 'execute' appears in
+    a literal or as an identifier."""
+    from mcp_trino_spark.sources.dml import is_optimize_statement
+
+    assert not is_optimize_statement(
+        "ALTER TABLE t SET TBLPROPERTIES ('comment' = 'execute nightly')"
+    )
+    assert not is_optimize_statement("ALTER TABLE t ADD COLUMNS (execute INT)")
+    assert is_optimize_statement("  /* c */ alter table db.t execute optimize")
+    # end-to-end: a TBLPROPERTIES ALTER still works through the façade
+    name = "alt_nat"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.range(3).write.parquet(str(tmp_path / name))
+    spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{tmp_path / name}'")
+    try:
+        r = execute_query(
+            spark,
+            f"ALTER TABLE {name} SET TBLPROPERTIES ('comment' = 'execute nightly')",
+            WRITE,
+        )
+        assert r is not None
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

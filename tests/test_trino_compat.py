@@ -1243,3 +1243,28 @@ def test_numeric_histogram_maps_to_histogram_numeric(spark):
 
     with pytest.raises(TrinoCompatError, match="numeric_histogram"):
         translate("SELECT numeric_histogram(4, x, w) FROM t")
+
+
+def test_none_match_parenthesized_under_postfix_operators(spark):
+    q = translate("SELECT none_match(arr, x -> x > 5) IS NULL FROM t")
+    assert "(NOT exists(arr, x -> x > 5)) IS NULL" in q
+    # NULL array: none_match is NULL, so IS NULL must be true (a bare
+    # NOT-prefix would invert this to false)
+    rows = run(
+        spark,
+        "SELECT none_match(CAST(NULL AS ARRAY<INT>), x -> x > 5) IS NULL AS a",
+    )
+    assert rows[0]["a"] is True
+
+
+def test_wilson_interval_domain_validation(spark):
+    import pytest as _pytest
+
+    for bad in (
+        "wilson_interval_lower(5, 0, 1.96)",    # trials = 0
+        "wilson_interval_lower(-1, 10, 1.96)",  # negative successes
+        "wilson_interval_upper(11, 10, 1.96)",  # successes > trials
+        "wilson_interval_upper(1, 10, -0.5)",   # negative z
+    ):
+        with _pytest.raises(Exception, match="wilson_interval"):
+            run(spark, f"SELECT {bad}")

@@ -206,8 +206,6 @@ def main() -> None:
     check_qdigest(spark)
 
 
-if __name__ == "__main__":
-    main()
 
 
 def check_qdigest(spark) -> None:
@@ -230,3 +228,7 @@ def check_qdigest(spark) -> None:
     c10 = replicate(cust, ["c_nationkey"], COPIES)
     t10 = min(timed(plan(c10)) for _ in range(2))
     report("qdigest_two_level_build", n_rows_1x, t1, t10)
+
+
+if __name__ == "__main__":
+    main()

@@ -208,6 +208,32 @@ def execute_query(
             cols, srows = show_stats(spark, show_stats_table)
             done.set()
             return QueryResult(columns=cols, rows=srows)
+        sct = re.match(r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+|`[^`]+`)\s*$", q,
+                       re.IGNORECASE)
+        if dialect == "trino" and sct:
+            # Trino's SHOW CREATE TABLE works on every table; our
+            # testdata tables are parquet-backed TEMP VIEWS, which
+            # Spark's native statement rejects — synthesize the DDL from
+            # the schema for those (permanent tables keep the native
+            # path, below)
+            name = sct.group(1).strip("`")
+            try:
+                is_temp = any(
+                    t.name == name.split(".")[-1] and t.isTemporary
+                    for t in spark.catalog.listTables()
+                )
+            except Exception:
+                is_temp = False
+            if is_temp:
+                fields = ", ".join(
+                    f"{f.name} {f.dataType.simpleString().upper()}"
+                    for f in spark.table(name).schema.fields
+                )
+                ddl = f"CREATE TABLE {name} ({fields}) USING parquet"
+                done.set()
+                return QueryResult(
+                    columns=["createtab_stmt"], rows=[{"createtab_stmt": ddl}]
+                )
         if is_dml_statement(q):
             # UPDATE/DELETE/MERGE have no native parquet execution in
             # Spark — route through the copy-on-write DML layer (only

@@ -1268,3 +1268,20 @@ def test_wilson_interval_domain_validation(spark):
     ):
         with _pytest.raises(Exception, match="wilson_interval"):
             run(spark, f"SELECT {bad}")
+
+
+def test_show_create_table_on_view_backed_tables(spark):
+    # Trino's SHOW CREATE TABLE works on every table; the testdata
+    # tables are parquet-backed temp views, so the DDL is synthesized
+    rows = run(spark, "SHOW CREATE TABLE nation")
+    ddl = rows[0]["createtab_stmt"]
+    assert ddl.startswith("CREATE TABLE nation (")
+    assert "n_nationkey INT" in ddl and "n_name STRING" in ddl
+    # a permanent table keeps Spark's native statement
+    spark.sql("DROP TABLE IF EXISTS sct_perm")
+    spark.sql("CREATE TABLE sct_perm (x INT) USING parquet")
+    try:
+        rows = run(spark, "SHOW CREATE TABLE sct_perm")
+        assert "CREATE TABLE" in list(rows[0].values())[0]
+    finally:
+        spark.sql("DROP TABLE sct_perm")

@@ -95,6 +95,21 @@ def execute_query(
                 "unsupported EXPLAIN option — supported: "
                 "EXPLAIN (TYPE LOGICAL|DISTRIBUTED|VALIDATE|IO) <query>"
             )
+        elif re.match(r"^\s*EXPLAIN\s+ANALYZE\b", q, re.IGNORECASE):
+            from mcp_trino_spark.trino_compat import TrinoCompatError
+
+            raise TrinoCompatError(
+                "EXPLAIN ANALYZE (execute + runtime profile) is not "
+                "supported — use EXPLAIN (TYPE DISTRIBUTED) for the plan"
+            )
+        if re.match(r"^\s*SHOW\s+SESSION\s*$", q, re.IGNORECASE):
+            # Trino's session-property listing ↔ Spark's SET -v.  Runs
+            # here (not via translate) because the rewritten text would
+            # start with SET, which the write gate rightly blocks — the
+            # listing form is read-only, assignment SET is not
+            rows = [r.asDict() for r in spark.sql("SET -v").collect()]
+            cols = sorted({k for r in rows for k in r})
+            return QueryResult(columns=cols, rows=rows)
         sm = _SHOW_STATS.match(q)
         if sm:
             show_stats_table = sm.group(1)

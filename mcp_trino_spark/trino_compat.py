@@ -362,6 +362,9 @@ _RENAMES = [
         ),
         lambda m: f"LIMIT {m.group(1) or 1}",
     ),
+    # ANSI OFFSET n ROW[S] → Spark's bare OFFSET n (must precede the
+    # clause-order swap below so `OFFSET 2 ROWS LIMIT 3` normalizes)
+    (re.compile(r"\bOFFSET\s+(\d+)\s+ROWS?\b", re.IGNORECASE), r"OFFSET \1"),
     # Trino clause order is OFFSET then LIMIT; Spark parses LIMIT first
     (
         re.compile(r"\bOFFSET\s+(\d+)\s+LIMIT\s+(\d+)\b", re.IGNORECASE),

@@ -1285,3 +1285,26 @@ def test_show_create_table_on_view_backed_tables(spark):
         assert "CREATE TABLE" in list(rows[0].values())[0]
     finally:
         spark.sql("DROP TABLE sct_perm")
+
+
+def test_ansi_offset_rows_and_fetch_next(spark):
+    rows = run(
+        spark,
+        "SELECT n_nationkey FROM nation ORDER BY n_nationkey "
+        "OFFSET 2 ROWS FETCH NEXT 3 ROWS ONLY",
+    )
+    assert [r["n_nationkey"] for r in rows] == [2, 3, 4]
+    rows = run(
+        spark,
+        "SELECT n_nationkey FROM nation ORDER BY n_nationkey OFFSET 23 ROWS",
+    )
+    assert [r["n_nationkey"] for r in rows] == [23, 24]
+
+
+def test_show_session_and_explain_analyze(spark):
+    rows = run(spark, "SHOW SESSION")
+    assert len(rows) > 10  # session property listing (Spark SET -v)
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    with pytest.raises(TrinoCompatError, match="EXPLAIN ANALYZE"):
+        run(spark, "EXPLAIN ANALYZE SELECT count(*) FROM nation")

@@ -222,3 +222,15 @@ def test_non_literal_as_of_fails_loudly(spark, flat):
     ):
         with pytest.raises(TrinoCompatError, match="literal"):
             execute_query(spark, q, dialect="trino")
+
+
+def test_multiple_as_of_clauses_in_one_query(spark, flat):
+    update_table(spark, flat, {"v": "v * 10"}, "k <= 2")  # v1
+    r = execute_query(
+        spark,
+        f"SELECT a.s AS s0, b.s AS s1 FROM "
+        f"(SELECT sum(v) AS s FROM {flat} FOR VERSION AS OF 0) a "
+        f"CROSS JOIN (SELECT sum(v) AS s FROM {flat} FOR VERSION AS OF 1) b",
+        dialect="trino",
+    )
+    assert r.rows[0] == {"s0": 15.0, "s1": 42.0}

@@ -152,11 +152,26 @@ def read_table_version(spark: SparkSession, table: str, version: int) -> DataFra
                 _live_partition_rels(os.path.join(store, c["data"]), len(pcols))
             )
 
-    parts: List[DataFrame] = []
+    # group resolved dirs by their hive ROOT (live table, or one store
+    # version dir) and read each group as ONE multi-path scan with
+    # basePath partition discovery — the plan stays O(commits) unions
+    # wide, not O(partitions): a 10k-partition table reconstructs as a
+    # handful of scans, each internally pruned/parallelized by Spark
+    by_root: Dict[str, List[str]] = {}
     for rel in sorted(rels):
         d = _resolve_partition_dir(loc, store, after, rel)
-        if d is not None:
-            parts.append(_read_dir(spark, schema, d, _rel_values(rel, pcols), pcols))
+        if d is None:
+            continue
+        root = d[: len(d) - len(rel) - 1]  # strip "/<rel>"
+        by_root.setdefault(root, []).append(d)
+    parts: List[DataFrame] = []
+    for root in sorted(by_root):
+        df = spark.read.option("basePath", root).parquet(*by_root[root])
+        # path-inferred partition types can differ from the catalog's
+        # (e.g. int vs bigint) — align types and column order
+        parts.append(
+            df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
+        )
     if not parts:
         return spark.table(table).filter(F.lit(False))
     out = parts[0]
@@ -180,16 +195,6 @@ def _resolve_partition_dir(
             return d if os.path.isdir(d) else None
     d = os.path.join(loc, rel)
     return d if os.path.isdir(d) else None
-
-
-def _rel_values(rel: str, pcols: List[str]) -> Dict[str, Optional[str]]:
-    out: Dict[str, Optional[str]] = {}
-    for seg in rel.split("/"):
-        name, _, raw = seg.partition("=")
-        out[name] = _unescape_partition_value(raw)
-    if list(out) != pcols:
-        raise DmlError(f"partition path {rel!r} does not match columns {pcols}")
-    return out
 
 
 def _read_dir(

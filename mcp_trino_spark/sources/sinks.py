@@ -469,7 +469,7 @@ def s10_time_travel(spark, sf_dir):
 
     Scale: the snapshot is the copy-on-write commit's retired data —
     zero extra write amplification; reconstruction walks commit
-    metadata (KB of JSON) and unions per-partition scans, so a
+    metadata (KB of JSON) and reads O(commits) grouped scans, so a
     filtered historical query reads only the partitions it keeps
     (sources/timetravel.py docstring)."""
     from mcp_trino_spark.sources.timetravel import rewrite_version_as_of

@@ -19,10 +19,12 @@ state at version ``v`` is, per partition:
 A full commit touches everything, so its retired tree resolves any
 partition not already resolved by an earlier-after-v partition commit.
 The walk is over commit metadata (KB of JSON), never data; the read
-itself unions per-partition parquet scans with the partition values
-re-injected from the directory names — at 100 TB this reads only the
-partitions the historical query's filters keep (each partition is its
-own scan; Catalyst prunes unions of filtered scans).
+itself groups the resolved directories by hive root (live table, or
+one store version dir) and scans each group as ONE multi-path read
+with basePath partition discovery — the plan is O(commits) unions
+wide regardless of partition count, and at 100 TB a filtered
+historical query reads only the partitions its predicates keep
+(Catalyst prunes within each grouped scan).
 
 Out-of-band appends (INSERT INTO writes files straight into live
 directories) show through in partitions no later commit touched — the

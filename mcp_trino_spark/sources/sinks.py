@@ -3,10 +3,12 @@ registry entries.
 
 The reference gates every write keyword behind
 ``TRINO_ALLOW_WRITE_QUERIES`` (reference internal/trino/client.go:306-310,
-519-522) and otherwise passes CTAS/INSERT through to the engine.  Spark
-executes CTAS/INSERT natively against the session catalog; UPDATE /
-DELETE / MERGE need a transactional format (Delta/Iceberg, not in this
-container) and are declared out of the exact-match scope (SURVEY §2.2).
+519-522) and otherwise passes the statement through to the engine.
+Spark executes CTAS/INSERT natively against the session catalog;
+UPDATE / DELETE / MERGE — which Spark only runs natively on
+transactional formats — are supplied by the copy-on-write DML layer
+(sources/dml.py, r2; partition-bounded + versioned with time travel
+and OPTIMIZE/expire_snapshots by r3), all oracle-checked below.
 
 Scale notes: the parquet round-trip writes ``partitionBy`` so the sink
 lays out one directory per partition value — the layout that gives

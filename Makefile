@@ -1,0 +1,26 @@
+# Local verification targets.  The driver's own gate runs __spark_entry__
+# per-round; these replicate it (and the stricter type-tagged comparison)
+# locally so regressions surface before a round ends.
+
+SF ?= /root/testdata/sf0.01
+
+.PHONY: test check-window check-proven check-all bench
+
+test:
+	python -m pytest tests/ -x -q
+
+# the 50 entries the driver grades this round (registry window)
+check-window:
+	python tools/check_correctness.py --sf $(SF) $$(python -c "from mcp_trino_spark import registry; print(' '.join(registry._PRIORITY))")
+
+# the r02/r03-certified set, pinned as a regression suite after the
+# round-4 window rotation moved it behind the fold
+check-proven:
+	python tools/check_correctness.py --sf $(SF) $$(python -c "from mcp_trino_spark import registry; print(' '.join(registry._PROVEN_R03))")
+
+# full sweep: every registered entry (oracle + rows-only)
+check-all:
+	python tools/check_correctness.py --sf $(SF)
+
+bench:
+	python bench.py

@@ -116,54 +116,42 @@ def IAVG(expr: str, scale: int = 2) -> str:
     return f"{ISUM(expr, scale)} / COUNT({expr})"
 
 
-#: Driver-facing ordering: the per-round correctness harness verifies the
-#: FIRST 50 registry entries, so this list hand-picks a 50-entry window that
-#: spans every SURVEY §2 family (flagship, projection, joins, aggregates,
-#: windows, set-ops, scalar functions, time-series, sinks/writes, façade,
-#: LLM-pipeline).  Variants (a11b, x12b, ...) and the long tail of a family
-#: stay behind the fold — they remain covered by the local DuckDB gate
-#: (tools/check_correctness.py runs all entries).  Names listed here but not
-#: (yet) registered are skipped harmlessly.
-_PRIORITY = [
-    # flagship + projection/filter
+#: Entries certified by the driver in rounds 2-3 (CORRECTNESS_r02/r03:
+#: 50/50 green, rows + schema + hash, two rounds running).  Kept as a named
+#: regression set for the local gate (``make check-proven``) so the round-4
+#: window rotation below can't silently regress them.
+_PROVEN_R03 = [
     "q0_flagship_revenue_by_region",
     "p1_projection",
     "p8_case_when",
-    # joins (incl. the round-1 driver failures j11/j12)
     "j1_inner_equi",
     "j3_full_outer",
     "j8_range_band",
     "j11_asof",
     "j12_lateral_topn",
     "j14_salted_skew_join",
-    # aggregates (core shapes)
     "a1_groupby_count",
     "a2_sum_avg_min_max",
     "a6_grouping_sets",
     "a16_salted_skew_agg",
-    # windows
     "w1_row_number",
     "w5_lag_lead",
     "w10_topn_per_group",
     "w3b_ntile_distributed",
-    # sort/limit/set-ops/subqueries
     "o1_order_by",
     "o2_topk",
     "o9_cte",
     "o10b_correlated_subquery",
-    # scalar functions
     "x1_string_basics",
     "x3_date_extract",
     "x11_map_struct",
     "x12_json",
     "x19_trino_dialect",
-    # time-series
     "t1_tumbling_window",
     "t3_sessionization",
     "t4_event_dedup",
     "t8_ohlc_resample",
     "t10b_match_recognize_funnel",
-    # sinks / gated writes (s7* = merge/update/delete, added round 2)
     "s6_ctas_insert",
     "s7_merge_upsert",
     "s7b_update",
@@ -171,12 +159,8 @@ _PRIORITY = [
     "s4_memory_table",
     "s8_bucketed_colocated_join",
     "s9_cross_catalog_join",
-    # façade + recursive CTE (r3: f6_explain_distributed moved behind the
-    # fold — plan text has no DuckDB oracle, so it burned a verifiable slot
-    # in the driver's 50-entry window; o11 is hash-checkable)
     "f5_table_schema",
     "o11_recursive_cte",
-    # LLM-pipeline
     "l1_exact_dedup",
     "l2_minhash_lsh_pairs",
     "l16_decontamination",
@@ -187,6 +171,77 @@ _PRIORITY = [
     "l9b_multimodal_features",
     "l10b_udtf_word_counts",
     "l5_text_stats",
+]
+
+#: Driver-facing ordering: the per-round correctness harness verifies the
+#: FIRST 50 registry entries.  Rounds 2-3 certified the ``_PROVEN_R03`` set
+#: twice over; its marginal information is now zero, so round 4 ROTATES the
+#: window to 50 oracle entries the driver has never checked — every one of
+#: them already exact-match green under the stricter local gate
+#: (tools/check_correctness.py, type-tagged cells / bit-exact floats).
+#: The proven set moves behind the fold but stays pinned by the local
+#: regression target (``make check-proven``).  Names listed here but not
+#: (yet) registered are skipped harmlessly.
+_PRIORITY = [
+    # round-3 surfaces with no driver evidence yet
+    "o12_fetch_with_ties",
+    "w12_groups_frame",
+    "s10_time_travel",
+    "l33_editdist_verify",
+    # LLM dedup funnel interior + composed pipelines
+    "l21_dup_clusters",
+    "l22_dedup_apply",
+    "l26_minhash_estimate",
+    "l27_passage_dedup",
+    "l30_prep_pipeline",
+    # aggregates (long tail)
+    "a7_rollup",
+    "a8_cube",
+    "a10_min_by_max_by",
+    "a12_array_agg",
+    "a14_percentile",
+    "a17_bool_aggs_median",
+    "a18_pivot",
+    "a19_unpivot",
+    # joins (long tail)
+    "j2_left_outer",
+    "j5_left_semi",
+    "j6_left_anti",
+    "j7_theta",
+    "j9_multiway",
+    "j10_self_join",
+    "j13_bloom_prefilter_semi",
+    # projection/predicates (long tail)
+    "p5_between_in",
+    "p6_null_predicates",
+    "p7_like",
+    "p11_null_safe_compare",
+    # sort/set-ops/subqueries (long tail)
+    "o4_nulls_ordering",
+    "o7_intersect",
+    "o8_except",
+    "o10_scalar_subquery",
+    # windows (long tail)
+    "w2_rank_dense_rank",
+    "w4_percent_rank_cume_dist",
+    "w6_first_last_nth",
+    "w8_rows_frame",
+    "w9_range_frame",
+    "w11_distinct_over_window",
+    # scalar functions (long tail)
+    "x2_regex",
+    "x4_date_arith",
+    "x6_math",
+    "x8_casting",
+    "x9_array",
+    "x10_array_hof",
+    "x13_struct_row",
+    "x14_hashing",
+    "x18_array_setops",
+    # time-series (long tail)
+    "t2_sliding_window",
+    "t6_gap_fill",
+    "t9_funnel_pattern",
 ]
 
 

@@ -565,11 +565,16 @@ def x19_trino_dialect(spark, sf_dir):
 )
 def o12_fetch_with_ties(spark, sf_dir):
     """ANSI/Trino ``FETCH FIRST n ROWS WITH TIES`` through the dialect
-    layer (translate() rewrites it to the rank() form — the SQL standard
-    defines WITH TIES as exactly rank() <= n over the ORDER BY key).
-    The oracle is the independent rank() spelling in DuckDB, so the
-    rewrite's semantics — every peer of the n-th row is kept — are what
-    is being hash-checked.  Reference surface: client.go:501-617 passes
+    layer.  The SQL standard defines WITH TIES as rank() <= n over the
+    ORDER BY key; translate() rewrites it to the equivalent distributed
+    THRESHOLD plan — TakeOrderedAndProject top-n → read the n-th key via
+    a scalar subquery → parallel filter ``key at-or-before threshold``
+    (direction- and NULLS-aware) — because the textbook global RANK()
+    window plans as a single-partition WindowExec that funnels every
+    row through one task at 100 TB.  The oracle is the independent
+    rank() spelling in DuckDB, so the hash-match proves the threshold
+    plan computes exactly rank() <= n semantics — every peer of the
+    n-th row kept.  Reference surface: client.go:501-617 passes
     FETCH ... WITH TIES SQL through to Trino verbatim.
     """
     from mcp_trino_spark.sources.catalog import register_tables

@@ -1882,24 +1882,103 @@ def _depths(q: str, mask: List[bool]) -> List[int]:
     return out
 
 
+def _parse_sort_keys(keys: str) -> List[tuple]:
+    """ORDER BY list → ``[(expr, is_desc, nulls_first)]`` with Spark's
+    defaults filled in (ASC → NULLS FIRST, DESC → NULLS LAST)."""
+    out = []
+    for k in _split_top_args(keys):
+        km = re.match(
+            r"(?is)^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$", k
+        )
+        expr = km.group(1).strip()
+        desc = (km.group(2) or "ASC").upper() == "DESC"
+        nf = km.group(3).upper() == "FIRST" if km.group(3) else not desc
+        out.append((expr, desc, nf))
+    return out
+
+
+def _ties_threshold_filter(keys: List[tuple], n: int, source: str) -> str:
+    """The scale-safe WITH TIES predicate.  ``rank() <= n`` over a global
+    ORDER BY is equivalent to "sort-key tuple lexicographically at or
+    before the n-th row's key tuple" (rank = 1 + #strictly-preceding
+    rows), so instead of a single-partition window over the whole input
+    — the plan Spark produces for ``RANK() OVER (ORDER BY …)`` with no
+    PARTITION BY, which funnels every row through one task at 100 TB —
+    we read the n-th key via scalar subqueries and filter:
+
+        top-n of ``source``     → TakeOrderedAndProject (distributed
+                                  per-partition top-n, driver merges
+                                  n·P rows)
+        n-th key component i    → the FIRST row of that top-n under the
+                                  REVERSED ordering (ORDER BY … LIMIT 1
+                                  over n rows)
+        keep row                ⇔ strict₁ ∨ (eq₁ ∧ (strict₂ ∨ …))
+
+    Direction- and NULLS-aware: strictᵢ places NULLs per the key's
+    NULLS FIRST/LAST position; eqᵢ is null-safe (``<=>`` — NULL keys are
+    sort peers).  Identical threshold subqueries are deduplicated by
+    Spark's ReuseSubquery, so ``source`` is scanned twice total (top-n +
+    the filtered scan), with zero single-partition stages.  When the
+    input has fewer than n rows the threshold is the last row and the
+    filter keeps everything — the FETCH-beyond-cardinality semantics."""
+    sel = ", ".join(f"({e}) AS __tk{i}" for i, (e, _, _) in enumerate(keys))
+
+    def ordl(rev: bool) -> str:
+        parts = []
+        for i, (_, desc, nf) in enumerate(keys):
+            d, f = (not desc, not nf) if rev else (desc, nf)
+            parts.append(
+                f"__tk{i} {'DESC' if d else 'ASC'} NULLS {'FIRST' if f else 'LAST'}"
+            )
+        return ", ".join(parts)
+
+    def thr(i: int) -> str:
+        return (
+            f"(SELECT __tk{i} FROM (SELECT {sel} FROM {source} "
+            f"ORDER BY {ordl(False)} LIMIT {n}) __ties_top "
+            f"ORDER BY {ordl(True)} LIMIT 1)"
+        )
+
+    cond = None
+    for i in reversed(range(len(keys))):
+        e, desc, nf = keys[i]
+        t = thr(i)
+        cmp_ = f"({e}) {'>' if desc else '<'} {t}"
+        null_ = (
+            f"(({e}) IS NULL AND {t} IS NOT NULL)"
+            if nf
+            else f"({t} IS NULL AND ({e}) IS NOT NULL)"
+        )
+        strict = f"({null_} OR {cmp_})"
+        eq = f"(({e}) <=> {t})"
+        cond = (
+            f"({strict} OR {eq})"
+            if cond is None
+            else f"({strict} OR ({eq} AND {cond}))"
+        )
+    return cond
+
+
 def _ties_pushdown(body: str, keys: str, n: int) -> Optional[str]:
     """WITH TIES rewrite for a *simple* body (single top-level
-    SELECT ... FROM with no GROUP BY/HAVING/DISTINCT/set-op/CTE/LIMIT):
-    push the RANK() under the projection so sort keys that are base
-    columns NOT in the select list still resolve (ANSI allows
-    ``SELECT c_name FROM t ORDER BY c_acctbal FETCH ... WITH TIES``):
+    SELECT ... FROM with no GROUP BY/HAVING/DISTINCT/set-op/CTE/LIMIT
+    and no window function in the select list): apply the distributed
+    threshold plan (`_ties_threshold_filter`) directly against the FROM
+    tail, so sort keys that are base columns NOT in the select list
+    still resolve (ANSI allows ``SELECT c_name FROM t ORDER BY
+    c_acctbal FETCH ... WITH TIES``):
 
-        SELECT <list'> FROM (
-          SELECT *, RANK() OVER (ORDER BY k') AS __ties_rk FROM <tail>
-        ) __tq WHERE __ties_rk <= n ORDER BY k
+        SELECT <list> FROM <tail> [WHERE … AND | WHERE] (<threshold
+        filter over k'>) ORDER BY k
 
     ``k'`` substitutes select-list aliases with their expressions (the
-    alias does not exist under the projection); ``<list'>`` replaces a
-    bare ``*`` item with ``* EXCEPT (__ties_rk)`` so the helper column
-    never leaks into the output.  Returns None when the body is not
-    simple (grouped/distinct/set-op/CTE bodies keep the wrap-the-body
-    form, whose keys ANSI requires to be output columns anyway) or has
-    a qualified star (``t.*`` only resolves in the wrap form)."""
+    alias does not exist in WHERE scope).  Returns None when the body
+    is not simple (grouped/distinct/set-op/CTE bodies keep the
+    wrap-the-body form, whose keys ANSI requires to be output columns
+    anyway) or when any select item contains a window function — Trino
+    applies FETCH *after* windows, so filtering the base relation first
+    would change what OVER(...) computes over (the wrap form evaluates
+    the body, windows included, before filtering)."""
     mask = _code_mask(body)
     depth = _depths(body, mask)
 
@@ -1920,16 +1999,12 @@ def _ties_pushdown(body: str, keys: str, n: int) -> Optional[str]:
     ):
         return None
     sel_list = body[sel[0].end() : fm[0].start()]
+    smask = _code_mask(sel_list)
+    if any(smask[m.start()] for m in _OVER_HEAD.finditer(sel_list)):
+        return None  # window in select list: FETCH applies after it
     tail = body[fm[0].end() :].strip()
-    items = _split_top_args(sel_list)
     aliases: Dict[str, str] = {}
-    out_items = []
-    for it in items:
-        if it == "*":
-            out_items.append("* EXCEPT (__ties_rk)")
-            continue
-        if re.search(r"\.\s*\*\s*$", it):
-            return None  # qualified star: only the wrap form resolves it
+    for it in _split_top_args(sel_list):
         # record `expr AS alias` (last top-level AS only — one inside
         # parens/literals is not an alias)
         imask = _code_mask(it)
@@ -1941,39 +2016,48 @@ def _ties_pushdown(body: str, keys: str, n: int) -> Optional[str]:
             alias = it[as_pos + 4 :].strip()
             if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", alias):
                 aliases[alias.lower()] = it[:as_pos].strip()
-        out_items.append(it)
     rank_keys = []
-    for k in _split_top_args(keys):
-        km = re.match(
-            r"(?is)^(.*?)(\s+(?:ASC|DESC))?(\s+NULLS\s+(?:FIRST|LAST))?\s*$", k
-        )
-        expr, suffix = km.group(1).strip(), (km.group(2) or "") + (km.group(3) or "")
+    for expr, desc, nf in _parse_sort_keys(keys):
         if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", expr) and expr.lower() in aliases:
             expr = aliases[expr.lower()]
-        rank_keys.append(f"{expr}{suffix}")
+        rank_keys.append((expr, desc, nf))
+    if n < 1:
+        # FETCH FIRST 0 ROWS: empty by definition, no threshold exists
+        return f"SELECT {sel_list.strip()} FROM {tail} WHERE 1 = 0"
+    cond = _ties_threshold_filter(rank_keys, n, tail)
+    tmask = _code_mask(tail)
+    tdepth = _depths(tail, tmask)
+    has_where = any(
+        tmask[m.start()] and tdepth[m.start()] == 0
+        for m in re.finditer(r"\bWHERE\b", tail, re.IGNORECASE)
+    )
+    glue = "AND" if has_where else "WHERE"
     return (
-        f"SELECT {', '.join(out_items)} FROM ("
-        f"SELECT *, RANK() OVER (ORDER BY {', '.join(rank_keys)}) AS __ties_rk "
-        f"FROM {tail}"
-        f") __tq WHERE __ties_rk <= {n} ORDER BY {keys}"
+        f"SELECT {sel_list.strip()} FROM {tail} {glue} ({cond}) ORDER BY {keys}"
     )
 
 
 def _rewrite_with_ties(query: str) -> str:
     """ANSI/Trino ``ORDER BY k FETCH FIRST n ROWS WITH TIES`` → the
-    mechanical rank() rewrite (Spark SQL has no WITH TIES):
+    distributed threshold plan (Spark SQL has no WITH TIES):
 
-        SELECT * EXCEPT (__ties_rk) FROM (
-          SELECT __tq.*, RANK() OVER (ORDER BY k) AS __ties_rk
-          FROM ( <body> ) AS __tq
-        ) WHERE __ties_rk <= n
+        SELECT * FROM ( <body> ) __tb
+        WHERE (<lex filter: key tuple at-or-before the n-th key>)
+        ORDER BY k
 
-    Simple bodies use the pushed-down variant (`_ties_pushdown`) so
-    sort keys need not appear in the select list.  Supported shape: the
-    FETCH sits at the top level at the end of the statement with a
-    top-level ORDER BY before it (the standard's own grammar position).
-    Anything fancier (FETCH inside a subquery, OFFSET combinations)
-    fails loudly rather than guessing."""
+    ``rank() <= n`` ≡ that filter (see `_ties_threshold_filter`), and
+    unlike the textbook ``RANK() OVER (ORDER BY k)`` rewrite it never
+    plans a single-partition window over the whole input.  Simple
+    bodies use the pushed-down variant (`_ties_pushdown`) so sort keys
+    need not appear in the select list; complex bodies (grouped /
+    distinct / set-op / CTE / windowed select lists) are wrapped, which
+    evaluates the body once per threshold read plus once for the filter
+    — those bodies end in an aggregation/distinct whose output is far
+    smaller than the input, so re-evaluation beats funneling it through
+    one task.  Supported shape: the FETCH sits at the top level at the
+    end of the statement with a top-level ORDER BY before it (the
+    standard's own grammar position).  Anything fancier (FETCH inside a
+    subquery, OFFSET combinations) fails loudly rather than guessing."""
     mask = _code_mask(query)
     hits = [m for m in _WITH_TIES.finditer(query) if mask[m.start()]]
     if not hits:
@@ -2006,12 +2090,12 @@ def _rewrite_with_ties(query: str) -> str:
     pushed = _ties_pushdown(body, keys, n)
     if pushed is not None:
         return pushed
-    return (
-        f"SELECT * EXCEPT (__ties_rk) FROM ("
-        f"SELECT __tq.*, RANK() OVER (ORDER BY {keys}) AS __ties_rk "
-        f"FROM ( {body} ) AS __tq"
-        f") WHERE __ties_rk <= {n} ORDER BY {keys}"
+    if n < 1:
+        return f"SELECT * FROM ( {body} ) __tb WHERE 1 = 0"
+    cond = _ties_threshold_filter(
+        _parse_sort_keys(keys), n, f"( {body} ) __ties_src"
     )
+    return f"SELECT * FROM ( {body} ) __tb WHERE ({cond}) ORDER BY {keys}"
 
 
 _OVER_HEAD = re.compile(r"\bOVER\s*\(", re.IGNORECASE)

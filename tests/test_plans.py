@@ -299,3 +299,15 @@ def test_groups_frame_rewrite_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "PushedFilters: [IsNotNull(user_id), LessThan(user_id,50)]" in plan
     assert plan.count("Window ") == 2  # dense_rank pass + frame pass
+
+
+def test_with_ties_no_single_partition_window(spark):
+    """o12 (FETCH ... WITH TIES): the threshold rewrite must plan a
+    distributed top-n (TakeOrderedAndProject) plus a parallel filter —
+    never the textbook global RANK() window, whose no-PARTITION-BY
+    WindowExec moves every input row through one task at scale."""
+    df = registry.queries()["o12_fetch_with_ties"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -721,9 +721,12 @@ def test_offset_limit_order_swap(spark):
     assert rows == [{"i": 2}]
 
 
-def test_with_ties_rewrites_to_rank(spark):
+def test_with_ties_rewrites_to_threshold_filter(spark):
+    # the scale-safe plan: top-n threshold scalar subquery + filter,
+    # never a global RANK() window (single-partition at scale)
     q = translate("SELECT i FROM t ORDER BY i FETCH FIRST 2 ROWS WITH TIES")
-    assert "RANK() OVER (ORDER BY i)" in q and "__ties_rk <= 2" in q
+    assert "LIMIT 2" in q and "__ties_top" in q
+    assert "RANK()" not in q.upper()
     rows = run(
         spark,
         "SELECT i FROM (VALUES (1), (1), (2), (3)) t(i) "
@@ -767,9 +770,75 @@ def test_with_ties_star_body_keeps_schema(spark):
         "SELECT * FROM (VALUES (1, 'x'), (2, 'y'), (2, 'z')) t(i, s) "
         "ORDER BY i DESC FETCH FIRST 1 ROWS WITH TIES",
     )
-    # the helper rank column must not leak through SELECT *
+    # no helper column may leak through SELECT *
     assert sorted(rows[0]) == ["i", "s"]
     assert sorted(r["i"] for r in rows) == [2, 2]
+
+
+def test_with_ties_window_in_select_list_fetches_last(spark):
+    # Trino applies FETCH *after* window functions: COUNT(*) OVER ()
+    # must see all 4 rows, not just the fetched ones.  The pushdown
+    # path must bail to the wrap form here (filtering the base relation
+    # first would make c = 2).
+    rows = run(
+        spark,
+        "SELECT COUNT(*) OVER () AS c, i FROM (VALUES (1), (1), (2), (3)) t(i) "
+        "ORDER BY i FETCH FIRST 2 ROWS WITH TIES",
+    )
+    assert sorted((r["c"], r["i"]) for r in rows) == [(4, 1), (4, 1)]
+
+
+def test_with_ties_qualified_identifiers(spark):
+    # table-alias-qualified select items and sort keys must survive the
+    # rewrite (the old outer-projection form lost the alias scope)
+    rows = run(
+        spark,
+        "SELECT c.n FROM (VALUES ('a', 1), ('b', 2), ('c', 2)) c(n, i) "
+        "ORDER BY c.i DESC FETCH FIRST 1 ROWS WITH TIES",
+    )
+    assert sorted(r["n"] for r in rows) == ["b", "c"]
+
+
+def test_with_ties_null_keys_are_peers(spark):
+    # NULL sort keys are peers: under Spark's ASC NULLS FIRST default
+    # both NULLs rank 1 and FETCH FIRST 1 keeps exactly them
+    rows = run(
+        spark,
+        "SELECT i FROM (VALUES (1), (2), (NULL), (NULL)) t(i) "
+        "ORDER BY i FETCH FIRST 1 ROWS WITH TIES",
+    )
+    assert [r["i"] for r in rows] == [None, None]
+    # NULLS LAST: threshold never reaches the NULLs
+    rows = run(
+        spark,
+        "SELECT i FROM (VALUES (1), (2), (NULL), (NULL)) t(i) "
+        "ORDER BY i NULLS LAST FETCH FIRST 1 ROWS WITH TIES",
+    )
+    assert [r["i"] for r in rows] == [1]
+
+
+def test_with_ties_multikey_mixed_directions(spark):
+    rows = run(
+        spark,
+        "SELECT a, b FROM (VALUES (1, 1), (1, 2), (2, 1), (2, 1), (2, 2)) "
+        "t(a, b) ORDER BY a DESC, b ASC FETCH FIRST 2 ROWS WITH TIES",
+    )
+    assert sorted((r["a"], r["b"]) for r in rows) == [(2, 1), (2, 1)]
+
+
+def test_with_ties_plans_without_global_window(spark):
+    # the 100 TB guarantee: the rewrite must never produce a
+    # no-partition WindowExec (every row through one task); the top-n
+    # side must be TakeOrderedAndProject
+    df = spark.sql(
+        translate(
+            "SELECT i FROM (VALUES (1), (1), (2), (3)) t(i) "
+            "ORDER BY i DESC FETCH FIRST 2 ROWS WITH TIES"
+        )
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_groups_frame_select_star_keeps_schema(spark):
@@ -939,7 +1008,7 @@ def test_show_stats_unsupported_forms_fail_loudly(spark):
 def test_with_ties_countless_and_single_bound_groups_translate():
     # FETCH FIRST ROW WITH TIES: count defaults to 1 (Trino grammar)
     q = translate("SELECT i FROM t ORDER BY i FETCH FIRST ROW WITH TIES")
-    assert "__ties_rk <= 1" in q
+    assert "LIMIT 1" in q and "__ties_top" in q
     # single-bound GROUPS frame normalizes to BETWEEN ... AND CURRENT ROW
     q = translate("SELECT sum(x) OVER (ORDER BY i GROUPS 2 PRECEDING) AS s FROM t")
     assert "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW" in q

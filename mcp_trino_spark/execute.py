@@ -271,6 +271,17 @@ def execute_query(
             col, n = execute_optimize(spark, q)
             done.set()
             return QueryResult(columns=[col], rows=[{col: n}])
+        from mcp_trino_spark.sources.dml import is_insert_into_statement
+
+        if is_insert_into_statement(q):
+            # gated INSERT INTO on a file-backed table: run natively but
+            # record the added files as an append commit, keeping time
+            # travel exact (only reachable with writes enabled)
+            from mcp_trino_spark.sources.dml import execute_insert
+
+            execute_insert(spark, q)
+            done.set()
+            return QueryResult(columns=[], rows=[])
         df = spark.sql(q)
         if max_rows is not None:
             df = df.limit(max_rows)

@@ -510,9 +510,11 @@ def a21_qdigest_rollup(spark, sf_dir):
     the nation-level sketch table is KB-sized and materializable, and
     any coarser rollup — region, global, time-windowed — merges
     sketches instead of re-reading the fact table.  Plan: two-level
-    sketch build on (nationkey, value-shard) so no Python worker ever
-    holds a whole nation's values, broadcast nation dim, then a
-    |nations|-row sketch merge per region.  Accuracy and determinism
+    sketch build on (nationkey, scan-partition shard) so no Python
+    worker ever holds a whole nation's values (qdigest.py explains why
+    a value-based shard would be exactly wrong for heavy-hitter
+    values), broadcast nation dim, then a |nations|-row sketch merge
+    per region.  Accuracy and determinism
     are asserted in tests/test_qdigest.py (rank error ≤ 2·W/K).
     """
     from mcp_trino_spark.functions.qdigest import (

@@ -71,9 +71,13 @@ class MergeCardinalityError(RuntimeError):
 # N's store holds exactly the data commit N replaced, partition-bounded
 # commits retire only the touched partitions' old directories.
 # ``vacuum_table_versions`` reclaims space by raising the readable
-# floor.  Out-of-band appends (INSERT INTO writes files directly into
-# live directories) show through in untouched partitions of historical
-# reads — the standard hive-layout caveat; DML commits are exact.
+# floor.  Gated INSERT INTO statements are versioned too: they commit
+# as kind="append" records listing the files the insert added (the data
+# itself stays in the live directories — an append retires nothing), and
+# historical reads exclude files appended after the requested version
+# (timetravel.py).  The remaining out-of-band caveat is INSERT OVERWRITE
+# and direct filesystem writes, which bypass the commit log; DML and
+# INSERT INTO history are exact.
 
 
 # -- per-table commit lock ---------------------------------------------------
@@ -277,9 +281,14 @@ def _commit(
         except BaseException:
             os.rename(retired, loc)  # roll back — table state untouched
             raise
-        if pcols:
-            spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
-        spark.sql(f"REFRESH TABLE {table}")
+        # record the commit BEFORE the catalog refresh: if MSCK/REFRESH
+        # threw after the staged→live swap, the table would hold the new
+        # state with no commit record and the retired snapshot orphaned
+        # — the next commit would then reuse this version number and
+        # historical reads would silently reconstruct the wrong state.
+        # With the record written first, a refresh failure leaves a
+        # fully consistent commit plus a stale catalog cache (the
+        # caller sees the exception and can re-run REFRESH).
         rec = _next_commit_record(loc, op, "full")
         vdir = os.path.join(_store_root(loc), f"v{rec['version']}")
         os.makedirs(os.path.dirname(vdir), exist_ok=True)
@@ -288,6 +297,9 @@ def _commit(
         hist = _load_history(loc)
         hist["commits"].append(rec)
         _save_history(loc, hist)
+        if pcols:
+            spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
+        spark.sql(f"REFRESH TABLE {table}")
 
 
 # ---------------------------------------------------------------------------
@@ -413,15 +425,13 @@ def _commit_partitions(
             shutil.rmtree(staged, ignore_errors=True)
             shutil.rmtree(retired, ignore_errors=True)
             raise
-        if layout_changed:
-            # a partition directory appeared or vanished: re-sync catalog
-            # partition metadata (metadata-only; cost ∝ #partitions)
-            spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
-        spark.sql(f"REFRESH TABLE {table}")
-        shutil.rmtree(staged, ignore_errors=True)
-        # retire the replaced partition directories into the version store:
-        # touched→null records a partition that did NOT exist before this
-        # commit (so historical reads know to exclude it)
+        # retire the replaced partition directories into the version store
+        # and append the commit record BEFORE the catalog refresh (same
+        # rationale as _commit: an MSCK/REFRESH failure after the swaps
+        # must not leave the new on-disk state without its commit record
+        # — the next commit would reuse the version number and desync
+        # historical reads).  touched→null records a partition that did
+        # NOT exist before this commit (so historical reads exclude it).
         rec = _next_commit_record(loc, op, "partitions")
         vrel = f"v{rec['version']}"
         vdir = os.path.join(_store_root(loc), vrel)
@@ -441,6 +451,12 @@ def _commit_partitions(
         hist = _load_history(loc)
         hist["commits"].append(rec)
         _save_history(loc, hist)
+        if layout_changed:
+            # a partition directory appeared or vanished: re-sync catalog
+            # partition metadata (metadata-only; cost ∝ #partitions)
+            spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
+        spark.sql(f"REFRESH TABLE {table}")
+        shutil.rmtree(staged, ignore_errors=True)
         shutil.rmtree(retired, ignore_errors=True)
 
 
@@ -780,6 +796,76 @@ def is_dml_statement(q: str) -> bool:
         len(q),
     )
     return bool(re.match(r"(UPDATE|DELETE|MERGE)\b", q[start:], re.IGNORECASE))
+
+
+_INSERT_INTO_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*)",
+    re.IGNORECASE,
+)
+
+
+def is_insert_into_statement(q: str) -> bool:
+    """True for plain ``INSERT INTO`` (appends).  ``INSERT OVERWRITE``
+    deliberately does NOT match: it replaces data in place with no
+    retire step, so it stays on the native path with the documented
+    out-of-band caveat — versioning it would require routing it through
+    the COW commit anyway."""
+    mask = _code_mask(q)
+    start = next(
+        (i for i, is_code in enumerate(mask) if is_code and not q[i].isspace()),
+        len(q),
+    )
+    return bool(_INSERT_INTO_RE.match(q[start:]))
+
+
+def _list_data_files(loc: str) -> set:
+    """Relative paths of the data files under a table location (skips
+    hidden/metadata entries: _SUCCESS, .staged-*, ._committed, …)."""
+    out = set()
+    for dirpath, dirnames, filenames in os.walk(loc):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        for fn in filenames:
+            if not fn.startswith((".", "_")):
+                out.add(os.path.relpath(os.path.join(dirpath, fn), loc))
+    return out
+
+
+def execute_insert(spark: SparkSession, q: str) -> None:
+    """Run a gated ``INSERT INTO`` natively, recording the files it
+    added as a kind="append" commit so time travel stays exact: a
+    ``FOR VERSION AS OF n`` read excludes files appended after commit n
+    (timetravel.py filters them out of the otherwise-unchanged live or
+    retired directories — an append commit costs one history record and
+    zero data movement).  Statements whose target is not a file-backed
+    catalog table (temp views, JDBC catalogs) fall through to the
+    native path unversioned — there is no directory to diff.
+
+    The file diff runs inside the per-table commit lock, serialized
+    against concurrent DML, so the before/after listing attributes
+    every new file to exactly this statement."""
+    m = _INSERT_INTO_RE.match(q.strip())
+    table = m.group(1).strip("`") if m else None
+    loc = None
+    if table is not None:
+        try:
+            loc = _table_location(spark, table)
+        except Exception:  # noqa: BLE001 — non-file target: native path
+            loc = None
+    if loc is None or not os.path.isdir(loc):
+        spark.sql(q)
+        return
+    with _table_commit_lock(loc):
+        before = _list_data_files(loc)
+        spark.sql(q)
+        added = sorted(_list_data_files(loc) - before)
+        if not added:
+            return  # zero-row insert wrote nothing — no commit to record
+        rec = _next_commit_record(loc, "insert", "append")
+        rec["added"] = added
+        hist = _load_history(loc)
+        hist["commits"].append(rec)
+        _save_history(loc, hist)
+        spark.sql(f"REFRESH TABLE {table}")
 
 
 def execute_dml(spark: SparkSession, q: str) -> int:

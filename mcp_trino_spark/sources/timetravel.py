@@ -26,9 +26,12 @@ wide regardless of partition count, and at 100 TB a filtered
 historical query reads only the partitions its predicates keep
 (Catalyst prunes within each grouped scan).
 
-Out-of-band appends (INSERT INTO writes files straight into live
-directories) show through in partitions no later commit touched — the
-standard hive-layout caveat, documented in dml.py; DML history is
+Gated INSERT INTO commits as kind="append" (dml.execute_insert): the
+record lists the files the insert added, and historical reads filter
+those files back out of whichever snapshot (or the live tree) resolves
+each partition — an append costs one history record and zero data
+movement.  Only INSERT OVERWRITE and direct filesystem writes remain
+out-of-band (documented in dml.py); DML and INSERT INTO history are
 exact.
 """
 
@@ -135,24 +138,42 @@ def read_table_version(spark: SparkSession, table: str, version: int) -> DataFra
         return spark.table(table)
     store = _store_root(loc)
     after = [c for c in hist["commits"] if c["version"] > version]
+    appends_after = [c for c in after if c["kind"] == "append"]
     pcols = _partition_columns(spark, table)
 
     schema = spark.table(table).schema
     if not pcols:
-        # unpartitioned tables only ever take full commits: state v is
-        # the data retired by the first commit after v
-        first = after[0]
-        return _read_dir(spark, schema, os.path.join(store, first["data"]), {}, pcols)
+        # unpartitioned state v lives in the data retired by the first
+        # FULL commit after v — or, when only appends followed v, in the
+        # live directory itself.  Either way, files appended between v
+        # and that snapshot (exclusive) must be filtered back out.
+        fulls = [c for c in after if c["kind"] == "full"]
+        if fulls:
+            root, cutoff = os.path.join(store, fulls[0]["data"]), fulls[0]["version"]
+        else:
+            root, cutoff = loc, float("inf")
+        excluded = {
+            os.path.join(root, f)
+            for a in appends_after
+            if a["version"] < cutoff
+            for f in a["added"]
+        }
+        return _exclude_files(
+            _read_dir(spark, schema, root, {}, pcols), excluded
+        )
 
     # candidate partitions = live dirs ∪ every rel any later commit knows
     rels = set(_live_partition_rels(loc, len(pcols)))
     for c in after:
         if c["kind"] == "partitions":
             rels.update(c["touched"])
-        else:  # full commit retired a whole hive tree
+        elif c["kind"] == "full":  # full commit retired a whole hive tree
             rels.update(
                 _live_partition_rels(os.path.join(store, c["data"]), len(pcols))
             )
+        # appends add no candidates: a partition they created either
+        # still exists live (already a candidate) or was later retired
+        # by a commit that lists it
 
     # group resolved dirs by their hive ROOT (live table, or one store
     # version dir) and read each group as ONE multi-path scan with
@@ -160,20 +181,37 @@ def read_table_version(spark: SparkSession, table: str, version: int) -> DataFra
     # wide, not O(partitions): a 10k-partition table reconstructs as a
     # handful of scans, each internally pruned/parallelized by Spark
     by_root: Dict[str, List[str]] = {}
+    cutoffs: Dict[str, float] = {}  # root → version of its resolving commit
     for rel in sorted(rels):
-        d = _resolve_partition_dir(loc, store, after, rel)
+        d, cutoff = _resolve_partition_dir(loc, store, after, rel)
         if d is None:
             continue
         root = d[: len(d) - len(rel) - 1]  # strip "/<rel>"
         by_root.setdefault(root, []).append(d)
+        cutoffs[root] = cutoff
     parts: List[DataFrame] = []
     for root in sorted(by_root):
-        df = spark.read.option("basePath", root).parquet(*by_root[root])
-        # path-inferred partition types can differ from the catalog's
-        # (e.g. int vs bigint) — align types and column order
-        parts.append(
-            df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
+        # a snapshot (or the live tree) contains any files appended
+        # between the requested version and the commit that retired it —
+        # those rows postdate the requested state, filter them out
+        resolved_rels = {d[len(root) + 1 :] for d in by_root[root]}
+        excluded = {
+            os.path.join(root, f)
+            for a in appends_after
+            if a["version"] < cutoffs[root]
+            for f in a["added"]
+            if os.path.dirname(f) in resolved_rels
+        }
+        # read with the CATALOG schema, not path inference: an inferred
+        # partition type can differ from the catalog's in a way the cast
+        # below cannot undo (a string partition value '01' inferred as
+        # int reads back as '1') — the explicit schema keeps partition
+        # values byte-identical to the live-table read
+        df = spark.read.schema(schema).option("basePath", root).parquet(
+            *by_root[root]
         )
+        df = _exclude_files(df, excluded)
+        parts.append(df.select(*[f.name for f in schema.fields]))
     if not parts:
         return spark.table(table).filter(F.lit(False))
     out = parts[0]
@@ -182,21 +220,39 @@ def read_table_version(spark: SparkSession, table: str, version: int) -> DataFra
     return out
 
 
+def _exclude_files(df: DataFrame, excluded: set) -> DataFrame:
+    """Filter out rows originating from ``excluded`` absolute file paths
+    (files recorded by append commits later than the requested version).
+    The comparison normalizes ``input_file_name()``'s URI form
+    (file:///p → /p); the excluded set is small — one entry per file a
+    later INSERT added — so the NOT-IN stays a cheap scan-local
+    predicate."""
+    if not excluded:
+        return df
+    norm = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+    return df.filter(~norm.isin(*sorted(excluded)))
+
+
 def _resolve_partition_dir(
     loc: str, store: str, after: List[Dict], rel: str
-) -> Optional[str]:
-    """Directory holding ``rel``'s data at the requested version, or
-    None if the partition did not exist then."""
+) -> tuple:
+    """(directory holding ``rel``'s data at the requested version,
+    version of the commit that resolved it — inf for the live dir), or
+    (None, None) if the partition did not exist then.  Append commits
+    never resolve (they retire nothing); their files are excluded
+    downstream via the resolving snapshot's cutoff."""
     for c in after:  # ascending versions: earliest touch after v wins
         if c["kind"] == "partitions":
             if rel in c["touched"]:
                 t = c["touched"][rel]
-                return os.path.join(store, t) if t else None
-        else:
+                return (os.path.join(store, t) if t else None), (
+                    c["version"] if t else None
+                )
+        elif c["kind"] == "full":
             d = os.path.join(store, c["data"], rel)
-            return d if os.path.isdir(d) else None
+            return (d, c["version"]) if os.path.isdir(d) else (None, None)
     d = os.path.join(loc, rel)
-    return d if os.path.isdir(d) else None
+    return (d, float("inf")) if os.path.isdir(d) else (None, None)
 
 
 def _read_dir(

@@ -759,3 +759,49 @@ def test_alter_without_execute_goes_to_native_path(spark, tmp_path):
         assert r is not None
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_commit_lock_excludes_across_processes(tmp_path):
+    """Two engine PROCESSES sharing a warehouse must serialize the
+    commit critical section (read version → write version+1) through
+    the flock sidecar — without it both read version N and record N+1,
+    silently losing one commit.  Each child acquires the table commit
+    lock, reads the history, sleeps inside the critical section, then
+    appends version+1; with mutual exclusion the final history is
+    exactly [1, 2]."""
+    import subprocess
+    import sys
+    import textwrap
+
+    loc = tmp_path / "xproc_table"
+    loc.mkdir()
+    child = textwrap.dedent(
+        """
+        import json, sys, time
+        sys.path.insert(0, "/root/repo")
+        from mcp_trino_spark.sources.dml import (
+            _table_commit_lock, _load_history, _save_history,
+            current_table_version,
+        )
+        loc = sys.argv[1]
+        with _table_commit_lock(loc):
+            v = current_table_version(loc)
+            time.sleep(1.0)  # widen the race window
+            hist = _load_history(loc)
+            hist["commits"].append(
+                {"version": v + 1, "op": "test", "kind": "full",
+                 "ts": "2026-01-01T00:00:00+00:00"}
+            )
+            _save_history(loc, hist)
+        """
+    )
+    procs = [
+        subprocess.Popen([sys.executable, "-c", child, str(loc)])
+        for _ in range(2)
+    ]
+    for p in procs:
+        assert p.wait(timeout=60) == 0
+    from mcp_trino_spark.sources.dml import _load_history
+
+    versions = [c["version"] for c in _load_history(str(loc))["commits"]]
+    assert versions == [1, 2], f"lost update across processes: {versions}"

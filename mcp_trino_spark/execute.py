@@ -96,12 +96,21 @@ def execute_query(
                 "EXPLAIN (TYPE LOGICAL|DISTRIBUTED|VALIDATE|IO) <query>"
             )
         elif re.match(r"^\s*EXPLAIN\s+ANALYZE\b", q, re.IGNORECASE):
-            from mcp_trino_spark.trino_compat import TrinoCompatError
-
-            raise TrinoCompatError(
-                "EXPLAIN ANALYZE (execute + runtime profile) is not "
-                "supported — use EXPLAIN (TYPE DISTRIBUTED) for the plan"
+            # execute + per-operator runtime metrics (actual rows, files,
+            # shuffle records) — read-only-gated inside explain_analyze
+            # since the outer EXPLAIN prefix blinds the write classifier
+            from mcp_trino_spark.plans.explain import explain_analyze
+            from mcp_trino_spark.trino_compat import (
+                install_compat_functions,
+                translate as _translate_inner,
             )
+
+            inner = re.sub(
+                r"^\s*EXPLAIN\s+ANALYZE\b", "", q, count=1, flags=re.IGNORECASE
+            ).strip()
+            install_compat_functions(spark)
+            res = explain_analyze(spark, _translate_inner(inner))
+            return QueryResult(columns=["plan"], rows=res.rows)
         if re.match(r"^\s*SHOW\s+SESSION\s*$", q, re.IGNORECASE):
             # Trino's session-property listing ↔ Spark's SET -v.  Runs
             # here (not via translate) because the rewritten text would

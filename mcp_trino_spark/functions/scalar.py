@@ -593,6 +593,48 @@ def o12_fetch_with_ties(spark, sf_dir):
 
 
 @register(
+    "x20_approx_most_frequent",
+    oracle="""
+    SELECT c_nationkey, seg, cnt FROM (
+      SELECT c_nationkey, c_mktsegment AS seg, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY COUNT(*) DESC, c_mktsegment ASC
+             ) AS rk
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ) WHERE rk <= 2
+    """,
+)
+def x20_approx_most_frequent(spark, sf_dir):
+    """Trino ``approx_most_frequent(buckets, value, capacity)`` through
+    the dialect layer: translate() rewrites it to the exact distributed
+    heavy-hitters plan — per-(group, value) counts, rank per group,
+    top-``buckets`` collected into a count-ordered map (trino_compat.py
+    documents why exact is a valid refinement of the sketch contract
+    and the Misra-Gries upgrade path).  The result map is exploded back
+    to rows so the DuckDB oracle — an independent rank() spelling —
+    hash-checks keys AND counts without relying on cross-engine map
+    ordering.  Reference surface: client.go:501-617 passes
+    approx_most_frequent SQL through to Trino.
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    df = spark.sql(
+        translate(
+            """
+            SELECT c_nationkey, approx_most_frequent(2, c_mktsegment, 100) AS hh
+            FROM customer GROUP BY c_nationkey
+            """
+        )
+    )
+    return df.select(
+        "c_nationkey", F.explode("hh").alias("seg", "cnt")
+    )
+
+
+@register(
     "w12_groups_frame",
     oracle="""
     WITH g AS (

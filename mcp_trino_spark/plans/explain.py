@@ -75,6 +75,70 @@ def explain_query(spark: SparkSession, query: str, format: str = "DISTRIBUTED") 
     return ExplainResult(fmt, io_report(spark, query))
 
 
+def explain_analyze(spark: SparkSession, query: str) -> ExplainResult:
+    """Trino's ``EXPLAIN ANALYZE``: execute the query, then render the
+    physical plan annotated with the runtime metrics Spark collected
+    per operator (actual output rows, files/bytes scanned, shuffle
+    records) — the reference forwards EXPLAIN ANALYZE to Trino like any
+    EXPLAIN (client.go:501-617).  Only read-only queries are accepted:
+    the statement EXECUTES its operand, and the outer text starts with
+    EXPLAIN so the write gate's classifier cannot see an inner write —
+    gating here closes that bypass."""
+    from mcp_trino_spark.execute import WriteQueryNotAllowed
+    from mcp_trino_spark.validate import is_read_only_query
+
+    if not is_read_only_query(query):
+        raise WriteQueryNotAllowed(
+            "EXPLAIN ANALYZE executes its query — only read-only "
+            "statements are supported"
+        )
+    df = spark.sql(query)
+    df.collect()  # run it: metrics populate during execution
+    lines: List[str] = []
+
+    def walk(node, depth: int) -> None:
+        name = node.getClass().getSimpleName()
+        # unwrap AQE and materialized query stages to the executed plan
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan(), depth)
+            return
+        if name.endswith("QueryStageExec"):
+            walk(node.plan(), depth)
+            return
+        mets = []
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            mets.append((kv._1(), kv._2().value()))
+        shown = {
+            k: v
+            for k, v in sorted(mets)
+            if k
+            in (
+                "numOutputRows",
+                "numFiles",
+                "filesSize",
+                "numPartitions",
+                "shuffleRecordsWritten",
+                "recordsRead",
+                "spillSize",
+                "peakMemory",
+            )
+        }
+        suffix = (
+            " [" + ", ".join(f"{k}: {v}" for k, v in shown.items()) + "]"
+            if shown
+            else ""
+        )
+        lines.append("  " * depth + node.nodeName() + suffix)
+        cit = node.children().iterator()
+        while cit.hasNext():
+            walk(cit.next(), depth + 1)
+
+    walk(df._jdf.queryExecution().executedPlan(), 0)
+    return ExplainResult("ANALYZE", [{"plan": "\n".join(lines)}])
+
+
 def io_report(spark: SparkSession, query: str) -> List[dict]:
     """Per-scan IO report: input files, total bytes, and the physical
     FileScan lines (which carry PushedFilters / ReadSchema)."""

@@ -272,6 +272,16 @@ _COMPAT_SQL_UDFS = {
         " + z * sqrt((CAST(s AS DOUBLE)/n) * (1 - CAST(s AS DOUBLE)/n)/n"
         " + z*z/(4.0*n*n))) / (1 + z*z/n) END",
     ),
+    # Trino to_milliseconds(interval day to second) → BIGINT ms.
+    # extract(SECOND) carries the fractional part, so sub-second
+    # intervals survive the conversion
+    "to_milliseconds": (
+        "(i INTERVAL DAY TO SECOND)",
+        "BIGINT",
+        "CAST(extract(DAY FROM i) * 86400000 + extract(HOUR FROM i) * 3600000"
+        " + extract(MINUTE FROM i) * 60000 + extract(SECOND FROM i) * 1000"
+        " AS BIGINT)",
+    ),
 }
 
 #: plain renames applied outside literals (aggregates and exact-arity
@@ -489,6 +499,53 @@ def install_compat_functions(spark) -> None:
         fn.__annotations__ = {"j": pd.Series, "p": pd.Series, "return": pd.Series}
     spark.udf.register("json_extract_scalar", pandas_udf(_jes_impl, "string"))
     spark.udf.register("json_extract", pandas_udf(_je_impl, "string"))
+
+    # word_stem: Porter's published algorithm (functions/porter.py) —
+    # Trino's English stemmer is the same algorithm via Lucene/Snowball.
+    # Trino lowercase-stems as-is; non-letter-bearing tokens pass through
+    from mcp_trino_spark.functions.porter import porter_stem
+
+    def _stem_impl(s):
+        return pd.Series(
+            [None if x is None else porter_stem(x.lower()) for x in s]
+        )
+
+    _stem_impl.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    spark.udf.register("word_stem", pandas_udf(_stem_impl, "string"))
+
+    # human_readable_seconds: Trino's week/day/hour/minute/second
+    # formatter (rounds the double; negative/NaN raise like Trino's
+    # INVALID_FUNCTION_ARGUMENT)
+    import math as _math
+
+    def _hrs_one(x):
+        # Arrow hands SQL NULL doubles to pandas as NaN, so NULL and a
+        # literal NaN are indistinguishable here — both map to NULL
+        # (Trino raises on NaN; the distinction is unrecoverable at
+        # this boundary and NULL-in-NULL-out is the safe reading)
+        if x is None or _math.isnan(x):
+            return None
+        if _math.isinf(x) or x < 0:
+            raise ValueError(
+                f"human_readable_seconds: invalid argument {x!r} "
+                "(needs a finite non-negative number of seconds)"
+            )
+        t = int(round(x))
+        parts = []
+        for unit, size in (
+            ("week", 604800), ("day", 86400), ("hour", 3600),
+            ("minute", 60), ("second", 1),
+        ):
+            n, t = divmod(t, size)
+            if n:
+                parts.append(f"{n} {unit}" + ("s" if n != 1 else ""))
+        return ", ".join(parts) if parts else "0 seconds"
+
+    def _hrs_impl(s):
+        return pd.Series([_hrs_one(x) for x in s])
+
+    _hrs_impl.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    spark.udf.register("human_readable_seconds", pandas_udf(_hrs_impl, "string"))
     setattr(spark, _INSTALLED_ATTR, True)
 
 
@@ -2305,8 +2362,162 @@ def _rewrite_groups_frames(query: str) -> str:
     return f"{out} {trailing}" if trailing else out
 
 
+_AMF_HEAD = re.compile(r"\bapprox_most_frequent\s*\(", re.IGNORECASE)
+_AGG_HEAD = re.compile(
+    r"\b(count|sum|avg|min|max|stddev\w*|var\w*|corr|covar\w*|skewness|"
+    r"kurtosis|collect_list|collect_set|array_agg|first|last|any_value|"
+    r"every|some|bool_and|bool_or|percentile\w*|approx_\w+|median|mode|"
+    r"min_by|max_by|count_if|histogram\w*)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_approx_most_frequent(query: str) -> str:
+    """Trino ``approx_most_frequent(buckets, value, capacity)`` → an
+    exact distributed heavy-hitters plan (Spark has no equivalent
+    aggregate).  Trino promises the top-``buckets`` values with counts
+    whose error is bounded by the ``capacity`` sketch size; computing
+    them EXACTLY is a valid refinement of that contract, and the exact
+    plan is fully scalable — so ``capacity`` is accepted and ignored:
+
+        SELECT g, approx_most_frequent(3, v, 100) FROM t GROUP BY g
+      → per-(g, v) COUNT(*)          (partial+final hash agg)
+        → rank per g by count desc   (window PARTITIONED by g)
+        → keep rank <= buckets, collect into a count-ordered map
+
+    A grand aggregate (no GROUP BY) replaces the window with
+    ORDER BY count LIMIT buckets — TakeOrderedAndProject, no
+    single-partition stage.  The upgrade path for inputs whose
+    per-group distinct-value count itself explodes is a Misra-Gries /
+    SpaceSaving partial aggregate (capacity-bounded per-partition
+    summaries merged associatively); the exact plan is preferred until
+    that cardinality wall because it shares one shuffle with ordinary
+    aggregation.  NULL values are ignored (aggregate-function
+    semantics; Spark map keys cannot be NULL).
+
+    Supported shape: one approx_most_frequent call, top-level select
+    list, no other aggregate in the list, simple body (no HAVING /
+    DISTINCT / set-op / LIMIT / window); ``buckets`` must be an integer
+    literal.  Anything else fails loudly."""
+    mask = _code_mask(query)
+    hits = [m for m in _AMF_HEAD.finditer(query) if mask[m.start()]]
+    if not hits:
+        return query
+    if len(hits) > 1:
+        raise TrinoCompatError(
+            "one approx_most_frequent call per query is supported"
+        )
+    m = hits[0]
+    depth = _depths(query, mask)
+
+    def _top(pat: str):
+        return [
+            t
+            for t in re.finditer(pat, query, re.IGNORECASE)
+            if mask[t.start()] and depth[t.start()] == 0
+        ]
+
+    sel = _top(r"\bSELECT\b")
+    fm = _top(r"\bFROM\b")
+    if len(sel) != 1 or not fm or query[: sel[0].start()].strip():
+        raise TrinoCompatError(
+            "approx_most_frequent is supported in the top-level select "
+            "list of a single SELECT ... FROM query"
+        )
+    if _top(
+        r"\bHAVING\b|\bSELECT\s+DISTINCT\b|\bUNION\b|\bINTERSECT\b|"
+        r"\bEXCEPT\b|\bLIMIT\b|\bOFFSET\b|\bWINDOW\b|\bOVER\b"
+    ):
+        raise TrinoCompatError(
+            "approx_most_frequent: HAVING/DISTINCT/set-ops/LIMIT/window "
+            "shapes are not supported — compute the heavy hitters in a "
+            "subquery first"
+        )
+    # args of the call (balanced-paren scan)
+    i = m.end()
+    d = 1
+    while i < len(query) and d:
+        if mask[i]:
+            d += {"(": 1, ")": -1}.get(query[i], 0)
+        i += 1
+    if d:
+        raise TrinoCompatError("unbalanced approx_most_frequent call")
+    args = _split_top_args(query[m.end() : i - 1])
+    if len(args) != 3:
+        raise TrinoCompatError(
+            "approx_most_frequent(buckets, value, capacity) takes 3 arguments"
+        )
+    if not re.fullmatch(r"\d+", args[0]):
+        raise TrinoCompatError(
+            "approx_most_frequent: buckets must be an integer literal"
+        )
+    buckets, value = int(args[0]), args[1].strip()
+
+    sel_list = query[sel[0].end() : fm[0].start()]
+    gb = _top(r"\bGROUP\s+BY\b")
+    ob = _top(r"\bORDER\s+BY\b")
+    gb_end = ob[0].start() if ob else len(query)
+    keys = query[gb[0].end() : gb_end].strip().rstrip(";") if gb else ""
+    order_tail = " " + query[ob[0].start() :].strip().rstrip(";") if ob else ""
+    tail_end = gb[0].start() if gb else (ob[0].start() if ob else len(query))
+    tail = query[fm[0].end() : tail_end].strip().rstrip(";")
+
+    # the call's select item (with optional alias) and the other items
+    items = _split_top_args(sel_list)
+    alias = "approx_most_frequent"
+    others = []
+    for it in items:
+        if _AMF_HEAD.search(it):
+            am = re.search(r"\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", it,
+                           re.IGNORECASE)
+            if am:
+                alias = am.group(1)
+        else:
+            if _AGG_HEAD.search(it):
+                raise TrinoCompatError(
+                    "approx_most_frequent cannot be combined with other "
+                    "aggregates in one select list — split into two "
+                    "queries and join on the group keys"
+                )
+            others.append(it.strip())
+
+    map_expr = (
+        "map_from_entries(transform(array_sort(collect_list("
+        "struct(-__amf_cnt AS __n, __amf_val AS __v, __amf_cnt AS __c))), "
+        "__e -> struct(__e.__v, __e.__c)))"
+    )
+    counts = (
+        f"SELECT {keys + ', ' if keys else ''}{value} AS __amf_val, "
+        f"COUNT(*) AS __amf_cnt FROM {tail} "
+        f"GROUP BY {keys + ', ' if keys else ''}{value} "
+        f"HAVING {value} IS NOT NULL"
+    )
+    out_keys = ", ".join(others) + ", " if others else ""
+    if others and not keys:
+        raise TrinoCompatError(
+            "approx_most_frequent without GROUP BY cannot project other "
+            "columns alongside the aggregate"
+        )
+    if keys:
+        return (
+            f"SELECT {out_keys}{map_expr} AS {alias} FROM ("
+            f"SELECT *, ROW_NUMBER() OVER (PARTITION BY {keys} "
+            f"ORDER BY __amf_cnt DESC, __amf_val ASC) AS __amf_rk "
+            f"FROM ({counts}) __amf_c"
+            f") __amf_r WHERE __amf_rk <= {buckets} "
+            f"GROUP BY {keys}{order_tail}"
+        )
+    return (
+        f"SELECT {map_expr} AS {alias} FROM ("
+        f"SELECT * FROM ({counts}) __amf_c "
+        f"ORDER BY __amf_cnt DESC, __amf_val ASC LIMIT {buckets}"
+        f") __amf_r{order_tail}"
+    )
+
+
 def translate(query: str) -> str:
     """Rewrite Trino-only idioms to Spark SQL, outside literals/comments."""
+    query = _rewrite_approx_most_frequent(query)
     query = _rewrite_with_ties(query)
     query = _rewrite_groups_frames(query)
     query = _rewrite_array_literal(query)

@@ -1370,10 +1370,110 @@ def test_ansi_offset_rows_and_fetch_next(spark):
     assert [r["n_nationkey"] for r in rows] == [23, 24]
 
 
-def test_show_session_and_explain_analyze(spark):
+def test_show_session(spark):
     rows = run(spark, "SHOW SESSION")
     assert len(rows) > 10  # session property listing (Spark SET -v)
+
+
+# ---------------------------------------------------------------------------
+# round-4 dialect batch: approx_most_frequent, word_stem,
+# human_readable_seconds, to_milliseconds
+
+
+def test_approx_most_frequent_grouped(spark):
+    rows = run(
+        spark,
+        "SELECT g, approx_most_frequent(2, v, 100) AS hh FROM "
+        "(VALUES (1,'a'),(1,'a'),(1,'b'),(1,'c'),(2,'x'),(2,'x'),(2,'y'),"
+        "(1,NULL)) t(g, v) GROUP BY g ORDER BY g",
+    )
+    # exact heavy hitters; NULL values ignored; ties broken by value asc
+    assert rows[0]["g"] == 1 and rows[0]["hh"] == {"a": 2, "b": 1}
+    assert rows[1]["g"] == 2 and rows[1]["hh"] == {"x": 2, "y": 1}
+
+
+def test_approx_most_frequent_grand(spark):
+    rows = run(
+        spark,
+        "SELECT approx_most_frequent(1, v, 10) AS hh FROM "
+        "(VALUES ('a'),('a'),('b')) t(v)",
+    )
+    assert rows == [{"hh": {"a": 2}}]
+
+
+def test_approx_most_frequent_unsupported_shapes_fail_loudly():
     from mcp_trino_spark.trino_compat import TrinoCompatError
 
-    with pytest.raises(TrinoCompatError, match="EXPLAIN ANALYZE"):
-        run(spark, "EXPLAIN ANALYZE SELECT count(*) FROM nation")
+    with pytest.raises(TrinoCompatError, match="other aggregates"):
+        translate("SELECT g, COUNT(*) AS n, approx_most_frequent(2, v, 10) "
+                  "FROM t GROUP BY g")
+    with pytest.raises(TrinoCompatError, match="integer literal"):
+        translate("SELECT approx_most_frequent(k, v, 10) FROM t")
+    with pytest.raises(TrinoCompatError, match="3 arguments"):
+        translate("SELECT approx_most_frequent(2, v) FROM t")
+    with pytest.raises(TrinoCompatError, match="HAVING"):
+        translate("SELECT g, approx_most_frequent(2, v, 10) FROM t "
+                  "GROUP BY g HAVING g > 1")
+
+
+def test_word_stem_canonical_porter_pairs(spark):
+    # the published algorithm's own example pairs (Porter 1980) — the
+    # sandbox's DuckDB cannot load its fts stemmer, so these pin
+    # correctness instead of a SQL oracle
+    pairs = {
+        "caresses": "caress", "ponies": "poni", "relational": "relat",
+        "generalization": "gener", "oscillators": "oscil",
+        "hopefulness": "hope", "adjustable": "adjust", "Running": "run",
+        "sky": "sky", "rate": "rate", "electrical": "electr",
+    }
+    sel = ", ".join(
+        f"word_stem('{w}') AS s{i}" for i, w in enumerate(pairs)
+    )
+    row = run(spark, f"SELECT {sel}")[0]
+    got = [row[f"s{i}"] for i in range(len(pairs))]
+    assert got == list(pairs.values())
+
+
+def test_human_readable_seconds_and_to_milliseconds(spark):
+    row = run(
+        spark,
+        "SELECT human_readable_seconds(3762) AS a,"
+        " human_readable_seconds(0) AS b,"
+        " human_readable_seconds(96.4) AS c,"
+        " human_readable_seconds(694861) AS d,"
+        " to_milliseconds(INTERVAL '1 2:03:04.5' DAY TO SECOND) AS e,"
+        " to_milliseconds(INTERVAL '2' SECOND) AS f",
+    )[0]
+    assert row["a"] == "1 hour, 2 minutes, 42 seconds"
+    assert row["b"] == "0 seconds"
+    assert row["c"] == "1 minute, 36 seconds"
+    assert row["d"] == "1 week, 1 day, 1 hour, 1 minute, 1 second"
+    assert row["e"] == 93784500
+    assert row["f"] == 2000
+
+
+def test_explain_analyze_reports_actual_rows(spark):
+    register_tables(spark, "/root/testdata/sf0.001")
+    r = execute_query(
+        spark,
+        "EXPLAIN ANALYZE SELECT c_nationkey, COUNT(*) AS n FROM customer "
+        "WHERE c_acctbal > 0 GROUP BY c_nationkey",
+        dialect="trino",
+    )
+    plan = r.rows[0]["plan"]
+    # actual runtime metrics, not estimates: the filtered scan's real
+    # output row count must appear on the Filter and Scan nodes
+    assert "numOutputRows" in plan
+    assert "Scan parquet" in plan and "numFiles" in plan
+    assert "HashAggregate" in plan
+
+
+def test_explain_analyze_write_is_rejected(spark):
+    from mcp_trino_spark.execute import WriteQueryNotAllowed
+
+    with pytest.raises(WriteQueryNotAllowed):
+        execute_query(
+            spark,
+            "EXPLAIN ANALYZE DELETE FROM customer",
+            dialect="trino",
+        )

@@ -63,6 +63,15 @@ HEADLINERS = [
     # late r3: mergeable quantile-sketch rollup (two-level sharded
     # build + region merge — the reaggregatable-percentile pattern)
     "a21_qdigest_rollup",
+    # r4: the remaining r3 surfaces with no recorded wall-time, plus the
+    # new exact heavy-hitters plan — s10 reconstructs a historical
+    # version (commit-metadata walk + grouped scans), o12 is the
+    # threshold WITH TIES plan (TakeOrderedAndProject + filter, no
+    # global window), a20 merges HLL sketches nation→region
+    "s10_time_travel",
+    "o12_fetch_with_ties",
+    "a20_sketch_reaggregate",
+    "x20_approx_most_frequent",
 ]
 
 

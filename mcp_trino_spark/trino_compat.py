@@ -2515,9 +2515,69 @@ def _rewrite_approx_most_frequent(query: str) -> str:
     )
 
 
+_COMBINATIONS_HEAD = re.compile(r"\bcombinations\s*\(", re.IGNORECASE)
+
+
+def _combinations_sql(arr: str, n: int) -> str:
+    """``combinations(arr, n)`` → nested transform/flatten over index
+    sequences (i₁ < i₂ < … < iₙ), fully JVM-side and type-generic —
+    works for any element type because only element_at/slice touch the
+    elements.  NULL array → NULL; size < n → empty list (Trino
+    semantics); the typed-empty branch reuses slice so the CASE arms
+    agree on ARRAY<ARRAY<elem>> without naming the element type."""
+    if n == 0:
+        return (
+            f"CASE WHEN ({arr}) IS NULL THEN NULL"
+            f" ELSE array(slice({arr}, 1, 0)) END"
+        )
+    elems = ", ".join(f"element_at({arr}, __i{k})" for k in range(1, n + 1))
+    body = f"array({elems})"
+    for k in range(n, 0, -1):
+        lo = "1" if k == 1 else f"__i{k - 1} + 1"
+        hi = f"size({arr}) - {n - k}" if n != k else f"size({arr})"
+        body = f"transform(sequence({lo}, {hi}), __i{k} -> {body})"
+    for _ in range(n - 1):
+        body = f"flatten({body})"
+    return (
+        f"CASE WHEN ({arr}) IS NULL THEN NULL"
+        f" WHEN size({arr}) < {n} THEN slice(array(slice({arr}, 1, 0)), 1, 0)"
+        f" ELSE {body} END"
+    )
+
+
+def _rewrite_combinations(q: str) -> str:
+    """Trino ``combinations(array, n)`` (n-element subsequences, n ≤ 5
+    like Trino's own limit) — rewritten per call site since the
+    expansion depends on the literal n."""
+    while True:
+        mask = _code_mask(q)
+        m = next(
+            (t for t in _COMBINATIONS_HEAD.finditer(q) if mask[t.start()]), None
+        )
+        if m is None:
+            return q
+        i, d = m.end(), 1
+        while i < len(q) and d:
+            if mask[i]:
+                d += {"(": 1, ")": -1}.get(q[i], 0)
+            i += 1
+        if d:
+            raise TrinoCompatError("unbalanced combinations() call")
+        args = _split_top_args(q[m.end() : i - 1])
+        if len(args) != 2 or not re.fullmatch(r"\d+", args[1].strip()):
+            raise TrinoCompatError(
+                "combinations(array, n) requires a literal n in 0..5"
+            )
+        n = int(args[1])
+        if n > 5:
+            raise TrinoCompatError("combinations: n must be <= 5 (Trino's limit)")
+        q = q[: m.start()] + _combinations_sql(args[0].strip(), n) + q[i:]
+
+
 def translate(query: str) -> str:
     """Rewrite Trino-only idioms to Spark SQL, outside literals/comments."""
     query = _rewrite_approx_most_frequent(query)
+    query = _rewrite_combinations(query)
     query = _rewrite_with_ties(query)
     query = _rewrite_groups_frames(query)
     query = _rewrite_array_literal(query)

@@ -1477,3 +1477,29 @@ def test_explain_analyze_write_is_rejected(spark):
             "EXPLAIN ANALYZE DELETE FROM customer",
             dialect="trino",
         )
+
+
+def test_combinations(spark):
+    rows = run(
+        spark,
+        "SELECT combinations(array(1, 2, 3, 4), 2) AS c2,"
+        " combinations(array('a', 'b', 'c'), 3) AS c3,"
+        " combinations(array(1, 2), 5) AS small,"
+        " combinations(array(1, 2), 0) AS zero,"
+        " combinations(CAST(NULL AS ARRAY<INT>), 2) AS n",
+    )
+    r = rows[0]
+    assert r["c2"] == [[1, 2], [1, 3], [1, 4], [2, 3], [2, 4], [3, 4]]
+    assert r["c3"] == [["a", "b", "c"]]
+    assert r["small"] == []
+    assert r["zero"] == [[]]
+    assert r["n"] is None
+
+
+def test_combinations_limits_fail_loudly():
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    with pytest.raises(TrinoCompatError, match="<= 5"):
+        translate("SELECT combinations(a, 6) FROM t")
+    with pytest.raises(TrinoCompatError, match="literal"):
+        translate("SELECT combinations(a, k) FROM t")

@@ -492,16 +492,16 @@ def s10_time_travel(spark, sf_dir):
         _WRITE_CFG,
     )
     assert res.rows[0]["rows_affected"] > 0
-    views: list = []
     q = rewrite_version_as_of(
         spark,
         "SELECT o_orderkey, o_orderstatus, o_totalprice "
         "FROM tt_orders FOR VERSION AS OF 0",
-        created_views=views,
     )
-    hist = spark.sql(q)
-    rows, schema = hist.collect(), hist.schema
-    for v in views:  # drop BEFORE deleting the dirs the view points at
-        spark.catalog.dropTempView(v)
-    _fresh_table(spark, "tt_orders")  # drop table AND its version store
-    return spark.createDataFrame(rows, schema)
+    # returned LAZY: the scratch table and its version store stay on
+    # disk until the next call's _fresh_table purges them, so the
+    # caller (driver collect, bench noop sink) executes the
+    # reconstruction plan distributed — no row ever crosses the driver
+    # here (an earlier revision collected + re-created the frame to
+    # allow same-call cleanup, which moved the whole table through the
+    # driver twice)
+    return spark.sql(q)

@@ -272,6 +272,37 @@ _COMPAT_SQL_UDFS = {
         " + z * sqrt((CAST(s AS DOUBLE)/n) * (1 - CAST(s AS DOUBLE)/n)/n"
         " + z*z/(4.0*n*n))) / (1 + z*z/n) END",
     ),
+    # last occurrence position (1-based; 0 = not found) via the
+    # reversed-string trick — stays in codegen, no regex
+    "strrpos": (
+        "(s STRING, sub STRING)",
+        "BIGINT",
+        "IF(instr(reverse(s), reverse(sub)) = 0, 0,"
+        " length(s) - instr(reverse(s), reverse(sub)) - length(sub) + 2)",
+    ),
+    # Trino split_to_multimap: entry/key delimiters are LITERAL strings
+    # (\\Q..\\E regex-quotes them for Spark's regex-based split); values
+    # for a repeated key aggregate into one array, in input order
+    "split_to_multimap": (
+        "(s STRING, ed STRING, kd STRING)",
+        "MAP<STRING, ARRAY<STRING>>",
+        "map_from_entries(transform(array_distinct(transform("
+        "split(s, concat('\\\\Q', ed, '\\\\E')),"
+        " __e -> element_at(split(__e, concat('\\\\Q', kd, '\\\\E'), 2), 1))),"
+        " __k -> struct(__k, transform(filter("
+        "split(s, concat('\\\\Q', ed, '\\\\E')),"
+        " __e -> element_at(split(__e, concat('\\\\Q', kd, '\\\\E'), 2), 1) = __k),"
+        " __e -> try_element_at(split(__e, concat('\\\\Q', kd, '\\\\E'), 2), 2)))))",
+    ),
+    # membership in a JSON array of scalars; elements and the probe value
+    # compare through their string forms (from_json coerces scalars)
+    "json_array_contains": (
+        "(j STRING, v STRING)",
+        "BOOLEAN",
+        "CASE WHEN j IS NULL OR v IS NULL THEN NULL"
+        " ELSE coalesce(array_contains(from_json(j, 'array<string>'), v),"
+        " false) END",
+    ),
     # Trino to_milliseconds(interval day to second) → BIGINT ms.
     # extract(SECOND) carries the fractional part, so sub-second
     # intervals survive the conversion
@@ -1394,11 +1425,22 @@ def _rewrite_array_agg_order(q: str) -> str:
                 f"unsupported array_agg ORDER BY spec {spec!r} "
                 "(one key, optional ASC/DESC)"
             )
+        distinct = ""
+        dm = re.match(r"(?is)^DISTINCT\s+(.*)$", expr)
+        if dm:
+            distinct, expr = "DISTINCT ", dm.group(1).strip()
+            if key != expr:
+                # Trino itself rejects an ORDER BY key outside the
+                # DISTINCT expressions; with key == expr, DISTINCT over
+                # the (null-flag, key, value) struct equals DISTINCT x
+                raise TrinoCompatError(
+                    "array_agg(DISTINCT x ORDER BY k): k must be x"
+                )
         # leading null-flag gives Trino's default null placement: sorted
         # ascending non-nulls come first (NULLS LAST for ASC); reversing
         # for DESC puts them first (Trino's DESC default) — array_sort
         # alone would place null-keyed structs FIRST, silently diverging
-        inner = (f"array_sort(collect_list(struct(({key}) IS NULL AS n,"
+        inner = (f"array_sort(collect_list({distinct}struct(({key}) IS NULL AS n,"
                  f" {key} AS s, {expr} AS v)))")
         if rest == ["DESC"]:
             inner = f"reverse({inner})"
@@ -2574,8 +2616,24 @@ def _rewrite_combinations(q: str) -> str:
         q = q[: m.start()] + _combinations_sql(args[0].strip(), n) + q[i:]
 
 
+_REDUCE_AGG_HEAD = re.compile(r"\breduce_agg\s*\(", re.IGNORECASE)
+
+
 def translate(query: str) -> str:
     """Rewrite Trino-only idioms to Spark SQL, outside literals/comments."""
+    mask0 = _code_mask(query)
+    if any(mask0[m.start()] for m in _REDUCE_AGG_HEAD.finditer(query)):
+        # deliberate loud gap: Spark has no SQL aggregate lambdas, and
+        # the faithful rewrite (aggregate(collect_list(x), ...)) buffers
+        # every group's values in one task — a silent memory hazard at
+        # scale.  Most reduce_agg uses are expressible with built-ins.
+        raise TrinoCompatError(
+            "reduce_agg is not supported: Spark SQL has no aggregate "
+            "lambdas, and a collect_list-based emulation would buffer "
+            "whole groups in memory. Rewrite with built-in aggregates "
+            "(sum/min/max/bool_and/...), or aggregate(collect_list(x), "
+            "init, fn) if the group sizes are known to be small"
+        )
     query = _rewrite_approx_most_frequent(query)
     query = _rewrite_combinations(query)
     query = _rewrite_with_ties(query)

@@ -1503,3 +1503,41 @@ def test_combinations_limits_fail_loudly():
         translate("SELECT combinations(a, 6) FROM t")
     with pytest.raises(TrinoCompatError, match="literal"):
         translate("SELECT combinations(a, k) FROM t")
+
+
+def test_gaphunt3_batch(spark):
+    # strrpos: last-occurrence position, 1-based, 0 when absent
+    r = run(spark, "SELECT strrpos('hello-world-x', '-') AS a,"
+                   " strrpos('abc', 'z') AS b, strrpos('abcabc', 'bc') AS c")[0]
+    assert (r["a"], r["b"], r["c"]) == (12, 0, 5)
+    # split_to_multimap: literal delimiters, repeated keys aggregate
+    r = run(spark, "SELECT split_to_multimap('a=1;a=2;b=3', ';', '=') AS m")[0]
+    assert r["m"] == {"a": ["1", "2"], "b": ["3"]}
+    r = run(spark, "SELECT split_to_multimap('x.1|y.2', '|', '.') AS m")[0]
+    assert r["m"] == {"x": ["1"], "y": ["2"]}  # regex metachars stay literal
+    # json_array_contains over scalar JSON arrays
+    r = run(spark, "SELECT json_array_contains('[1,2,3]', 2) AS a,"
+                   " json_array_contains('[\"a\",\"b\"]', 'a') AS b,"
+                   " json_array_contains('[1,2]', 5) AS c,"
+                   " json_array_contains('[true]', true) AS d")[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (True, True, False, True)
+
+
+def test_array_agg_distinct_order_by(spark):
+    r = run(spark, "SELECT array_agg(DISTINCT x ORDER BY x) AS a "
+                   "FROM (VALUES (2),(1),(2),(NULL)) t(x)")[0]
+    assert r["a"] == [1, 2, None]  # dedup + ASC NULLS LAST (Trino default)
+    r = run(spark, "SELECT array_agg(DISTINCT x ORDER BY x DESC) AS a "
+                   "FROM (VALUES (2),(1),(2)) t(x)")[0]
+    assert r["a"] == [2, 1]
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    with pytest.raises(TrinoCompatError, match="k must be x"):
+        translate("SELECT array_agg(DISTINCT x ORDER BY y) FROM t")
+
+
+def test_reduce_agg_fails_loudly_with_guidance():
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    with pytest.raises(TrinoCompatError, match="reduce_agg"):
+        translate("SELECT reduce_agg(x, 0, (a, b) -> a + b, (a, b) -> a + b) FROM t")

@@ -81,6 +81,7 @@ def execute_query(
     mr_views: List[str] = []
     explain_fmt: Optional[str] = None
     show_stats_table: Optional[str] = None
+    analyze_mode = False
     if dialect == "trino":
         # statement forms the reference itself generates / passes through:
         # EXPLAIN (TYPE …) — client.go:783 builds exactly this text —
@@ -97,20 +98,16 @@ def execute_query(
             )
         elif re.match(r"^\s*EXPLAIN\s+ANALYZE\b", q, re.IGNORECASE):
             # execute + per-operator runtime metrics (actual rows, files,
-            # shuffle records) — read-only-gated inside explain_analyze
-            # since the outer EXPLAIN prefix blinds the write classifier
-            from mcp_trino_spark.plans.explain import explain_analyze
-            from mcp_trino_spark.trino_compat import (
-                install_compat_functions,
-                translate as _translate_inner,
-            )
-
-            inner = re.sub(
+            # shuffle records).  Only the prefix is stripped here: the
+            # inner statement flows through the SAME dialect pipeline as
+            # a normal query (time travel, translate, MATCH_RECOGNIZE,
+            # read-only gate, timeout watchdog) — a private re-impl of
+            # that pipeline previously broke FOR VERSION AS OF and
+            # MATCH_RECOGNIZE under EXPLAIN ANALYZE
+            analyze_mode = True
+            q = re.sub(
                 r"^\s*EXPLAIN\s+ANALYZE\b", "", q, count=1, flags=re.IGNORECASE
             ).strip()
-            install_compat_functions(spark)
-            res = explain_analyze(spark, _translate_inner(inner))
-            return QueryResult(columns=["plan"], rows=res.rows)
         if re.match(r"^\s*SHOW\s+SESSION\s*$", q, re.IGNORECASE):
             # Trino's session-property listing ↔ Spark's SET -v.  Runs
             # here (not via translate) because the rewritten text would
@@ -226,6 +223,15 @@ def execute_query(
             done.set()
             keys = sorted({k for r in res.rows for k in r})
             return QueryResult(columns=keys, rows=res.rows)
+        if analyze_mode:
+            # MUST also precede DML routing: with writes enabled an
+            # EXPLAIN ANALYZE UPDATE would otherwise silently run the
+            # update; explain_analyze itself rejects non-read-only input
+            from mcp_trino_spark.plans.explain import explain_analyze
+
+            res = explain_analyze(spark, q)
+            done.set()
+            return QueryResult(columns=["plan"], rows=res.rows)
         if show_stats_table is not None:
             from mcp_trino_spark.stats import show_stats
 

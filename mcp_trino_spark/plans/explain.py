@@ -93,7 +93,11 @@ def explain_analyze(spark: SparkSession, query: str) -> ExplainResult:
             "statements are supported"
         )
     df = spark.sql(query)
-    df.collect()  # run it: metrics populate during execution
+    # execute through the noop sink: metrics populate identically, but
+    # no result row ever crosses to the driver (Trino's EXPLAIN ANALYZE
+    # likewise discards output engine-side — a collect() here would OOM
+    # the driver on exactly the large scans worth profiling)
+    df.write.mode("overwrite").format("noop").save()
     lines: List[str] = []
 
     def walk(node, depth: int) -> None:

@@ -799,9 +799,24 @@ def is_dml_statement(q: str) -> bool:
 
 
 _INSERT_INTO_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*)",
+    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?"
+    r"((?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\.(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*))*)",
     re.IGNORECASE,
 )
+
+
+def _code_start(q: str) -> int:
+    """Index of the first code (non-comment, non-literal) non-space
+    character — the classifier and all INSERT parsing must agree on
+    where the statement starts, or a comment-prefixed INSERT would pass
+    ``is_insert_into_statement`` yet fail the re-parse in
+    ``execute_insert`` and silently skip its append commit."""
+    mask = _code_mask(q)
+    return next(
+        (i for i, is_code in enumerate(mask) if is_code and not q[i].isspace()),
+        len(q),
+    )
 
 
 def is_insert_into_statement(q: str) -> bool:
@@ -810,12 +825,7 @@ def is_insert_into_statement(q: str) -> bool:
     retire step, so it stays on the native path with the documented
     out-of-band caveat — versioning it would require routing it through
     the COW commit anyway."""
-    mask = _code_mask(q)
-    start = next(
-        (i for i, is_code in enumerate(mask) if is_code and not q[i].isspace()),
-        len(q),
-    )
-    return bool(_INSERT_INTO_RE.match(q[start:]))
+    return bool(_INSERT_INTO_RE.match(q[_code_start(q):]))
 
 
 def _list_data_files(loc: str) -> set:
@@ -843,8 +853,8 @@ def execute_insert(spark: SparkSession, q: str) -> None:
     The file diff runs inside the per-table commit lock, serialized
     against concurrent DML, so the before/after listing attributes
     every new file to exactly this statement."""
-    m = _INSERT_INTO_RE.match(q.strip())
-    table = m.group(1).strip("`") if m else None
+    m = _INSERT_INTO_RE.match(q[_code_start(q):])
+    table = m.group(1).replace("`", "") if m else None
     loc = None
     if table is not None:
         try:

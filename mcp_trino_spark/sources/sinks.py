@@ -477,6 +477,16 @@ def s10_time_travel(spark, sf_dir):
     from mcp_trino_spark.sources.timetravel import rewrite_version_as_of
 
     register_tables(spark, sf_dir)
+    # drop the PREVIOUS call's reconstruction views before _fresh_table
+    # deletes the version-store dirs they point at (same leak class the
+    # old same-call cleanup guarded; the views must outlive the lazy
+    # return, so the drop moves to the next call's setup)
+    for v in getattr(s10_time_travel, "_views", []):
+        try:
+            spark.catalog.dropTempView(v)
+        except Exception:  # noqa: BLE001 — other-session names are absent
+            pass
+    s10_time_travel._views = []
     _fresh_table(spark, "tt_orders")
     execute_query(
         spark,
@@ -492,11 +502,14 @@ def s10_time_travel(spark, sf_dir):
         _WRITE_CFG,
     )
     assert res.rows[0]["rows_affected"] > 0
+    views: list = []
     q = rewrite_version_as_of(
         spark,
         "SELECT o_orderkey, o_orderstatus, o_totalprice "
         "FROM tt_orders FOR VERSION AS OF 0",
+        created_views=views,
     )
+    s10_time_travel._views = views
     # returned LAZY: the scratch table and its version store stay on
     # disk until the next call's _fresh_table purges them, so the
     # caller (driver collect, bench noop sink) executes the

@@ -229,7 +229,19 @@ def _exclude_files(df: DataFrame, excluded: set) -> DataFrame:
     predicate."""
     if not excluded:
         return df
-    norm = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+    # input_file_name() is URI-encoded (é → %C3%A9) while the excluded
+    # set holds raw filesystem paths — decode before comparing, or
+    # exclusion silently misses any encoded character and appended rows
+    # reappear in historical reads.  A raw '+' in a URI *path* means a
+    # literal plus (query-string semantics don't apply), but
+    # url_decode would turn it into a space — re-encode it first.
+    norm = F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+            r"\+",
+            "%2B",
+        )
+    )
     return df.filter(~norm.isin(*sorted(excluded)))
 
 

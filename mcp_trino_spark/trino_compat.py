@@ -554,14 +554,19 @@ def install_compat_functions(spark) -> None:
         # literal NaN are indistinguishable here — both map to NULL
         # (Trino raises on NaN; the distinction is unrecoverable at
         # this boundary and NULL-in-NULL-out is the safe reading)
-        if x is None or _math.isnan(x):
+        if x is None:
+            return None
+        x = float(x)  # decimal literals arrive as decimal.Decimal
+        if _math.isnan(x):
             return None
         if _math.isinf(x) or x < 0:
             raise ValueError(
                 f"human_readable_seconds: invalid argument {x!r} "
                 "(needs a finite non-negative number of seconds)"
             )
-        t = int(round(x))
+        # half-up like Trino's Math.round — Python round() half-evens
+        # (0.5 → '0 seconds' instead of '1 second')
+        t = int(_math.floor(x + 0.5))
         parts = []
         for unit, size in (
             ("week", 604800), ("day", 86400), ("hour", 3600),
@@ -2031,12 +2036,20 @@ def _ties_threshold_filter(keys: List[tuple], n: int, source: str) -> str:
             )
         return ", ".join(parts)
 
+    # ONE subquery returning the whole key tuple as a struct, field-
+    # accessed per reference: every reference is textually identical,
+    # so ReuseSubquery collapses them to a single execution — a
+    # per-column subquery variant ran k+1 scans of the source for k
+    # sort keys (distinct projections defeat subquery reuse)
+    fields = ", ".join(f"__tk{i}" for i in range(len(keys)))
+    thr_sub = (
+        f"(SELECT struct({fields}) FROM (SELECT {sel} FROM {source} "
+        f"ORDER BY {ordl(False)} LIMIT {n}) __ties_top "
+        f"ORDER BY {ordl(True)} LIMIT 1)"
+    )
+
     def thr(i: int) -> str:
-        return (
-            f"(SELECT __tk{i} FROM (SELECT {sel} FROM {source} "
-            f"ORDER BY {ordl(False)} LIMIT {n}) __ties_top "
-            f"ORDER BY {ordl(True)} LIMIT 1)"
-        )
+        return f"{thr_sub}.__tk{i}"
 
     cond = None
     for i in reversed(range(len(keys))):
@@ -2120,10 +2133,6 @@ def _ties_pushdown(body: str, keys: str, n: int) -> Optional[str]:
         if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", expr) and expr.lower() in aliases:
             expr = aliases[expr.lower()]
         rank_keys.append((expr, desc, nf))
-    if n < 1:
-        # FETCH FIRST 0 ROWS: empty by definition, no threshold exists
-        return f"SELECT {sel_list.strip()} FROM {tail} WHERE 1 = 0"
-    cond = _ties_threshold_filter(rank_keys, n, tail)
     tmask = _code_mask(tail)
     tdepth = _depths(tail, tmask)
     has_where = any(
@@ -2131,6 +2140,10 @@ def _ties_pushdown(body: str, keys: str, n: int) -> Optional[str]:
         for m in re.finditer(r"\bWHERE\b", tail, re.IGNORECASE)
     )
     glue = "AND" if has_where else "WHERE"
+    if n < 1:
+        # FETCH FIRST 0 ROWS: empty by definition, no threshold exists
+        return f"SELECT {sel_list.strip()} FROM {tail} {glue} (1 = 0)"
+    cond = _ties_threshold_filter(rank_keys, n, tail)
     return (
         f"SELECT {sel_list.strip()} FROM {tail} {glue} ({cond}) ORDER BY {keys}"
     )
@@ -2510,6 +2523,33 @@ def _rewrite_approx_most_frequent(query: str) -> str:
     others = []
     for it in items:
         if _AMF_HEAD.search(it):
+            # the item must be the BARE call (+ optional alias): an
+            # enclosing expression (map_keys(...), CAST, arithmetic)
+            # would be silently dropped by the rebuild below — loud
+            # refusal instead
+            it_s = it.strip()
+            hm = _AMF_HEAD.match(it_s)
+            tail_ok = False
+            if hm:
+                imask = _code_mask(it_s)
+                j, d = hm.end(), 1
+                while j < len(it_s) and d:
+                    if imask[j]:
+                        d += {"(": 1, ")": -1}.get(it_s[j], 0)
+                    j += 1
+                rest = it_s[j:].strip()
+                tail_ok = d == 0 and (
+                    rest == ""
+                    or re.fullmatch(
+                        r"AS\s+[A-Za-z_][A-Za-z0-9_]*", rest, re.IGNORECASE
+                    )
+                )
+            if not tail_ok:
+                raise TrinoCompatError(
+                    "approx_most_frequent must be a bare select item "
+                    "(optionally aliased) — wrap further expressions "
+                    "around it in an outer query"
+                )
             am = re.search(r"\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", it,
                            re.IGNORECASE)
             if am:

@@ -351,3 +351,44 @@ def test_string_partition_value_with_leading_zero(spark, tmp_path, request):
         assert snap(read_table_version(spark, name, 0)) == v0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_comment_prefixed_insert_still_versioned(spark, flat):
+    # the classifier and execute_insert must agree on where the
+    # statement starts — a comment-prefixed INSERT previously passed
+    # is_insert_into_statement but failed the re-parse and silently
+    # skipped its append commit
+    update_table(spark, flat, {"v": "v + 1"}, "k = 1")  # v1
+    execute_query(
+        spark, f"-- ticket 42\nINSERT INTO {flat} VALUES (77, 7.7)", config=WRITE
+    )  # must be v2
+    hist = {(r.version, r.kind) for r in table_history(spark, flat).collect()}
+    assert (2, "append") in hist
+    assert (77, 7.7) not in snap(read_table_version(spark, flat, 1))
+
+
+def test_append_exclusion_with_uri_encoded_partition_value(spark, tmp_path, request):
+    # partition value with a non-ASCII char: input_file_name() reports
+    # it URI-encoded; exclusion must still match the raw path
+    name = f"tt_uri_{request.node.name}"[:60].replace("[", "_").replace("]", "_")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.createDataFrame(
+        [Row(k=1, c="café"), Row(k=2, c="plain")]
+    ).write.partitionBy("c").parquet(str(tmp_path / name))
+    spark.sql(
+        f"CREATE TABLE {name} (k bigint, c string) USING parquet "
+        f"PARTITIONED BY (c) LOCATION '{tmp_path / name}'"
+    )
+    spark.sql(f"MSCK REPAIR TABLE {name}")
+    try:
+        update_table(spark, name, {"k": "k + 10"}, "c = 'plain'")  # v1
+        v1 = snap(spark.table(name))
+        execute_query(
+            spark,
+            f"INSERT INTO {name} VALUES (99, 'café')",
+            config=WRITE,
+        )  # v2 appends into the encoded partition
+        assert (99, "café") in snap(spark.table(name))
+        assert snap(read_table_version(spark, name, 1)) == v1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

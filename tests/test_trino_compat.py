@@ -1541,3 +1541,91 @@ def test_reduce_agg_fails_loudly_with_guidance():
 
     with pytest.raises(TrinoCompatError, match="reduce_agg"):
         translate("SELECT reduce_agg(x, 0, (a, b) -> a + b, (a, b) -> a + b) FROM t")
+
+
+# ---------------------------------------------------------------------------
+# round-4 review fixes
+
+
+def test_with_ties_zero_rows_with_where_tail(spark):
+    rows = run(
+        spark,
+        "SELECT i FROM (VALUES (1), (2)) t(i) WHERE i > 0 "
+        "ORDER BY i FETCH FIRST 0 ROWS WITH TIES",
+    )
+    assert rows == []
+
+
+def test_with_ties_multikey_single_threshold_subquery(spark):
+    # one struct-typed threshold subquery shared across all key
+    # references: the physical plan must reuse it, not rescan per key
+    df = spark.sql(
+        translate(
+            "SELECT a, b FROM (VALUES (1, 1), (1, 2), (2, 1)) t(a, b) "
+            "ORDER BY a DESC, b ASC FETCH FIRST 2 ROWS WITH TIES"
+        )
+    )
+    assert sorted((r.a, r.b) for r in df.collect()) == [(1, 1), (2, 1)]
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "ReusedSubquery" in buf.getvalue()
+
+
+def test_approx_most_frequent_wrapped_call_fails_loudly():
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    with pytest.raises(TrinoCompatError, match="bare select item"):
+        translate(
+            "SELECT g, map_keys(approx_most_frequent(2, v, 10)) AS ks "
+            "FROM t GROUP BY g"
+        )
+
+
+def test_human_readable_seconds_rounds_half_up(spark):
+    row = run(
+        spark,
+        "SELECT human_readable_seconds(0.5) AS a,"
+        " human_readable_seconds(2.5) AS b",
+    )[0]
+    assert row["a"] == "1 second"  # Math.round semantics, not half-even
+    assert row["b"] == "3 seconds"
+
+
+def test_explain_analyze_composes_with_time_travel(spark, tmp_path):
+    from pyspark.sql import Row
+    from mcp_trino_spark.config import EngineConfig
+
+    W = EngineConfig(allow_write_queries=True)
+    spark.sql("DROP TABLE IF EXISTS ea_tt")
+    spark.createDataFrame([Row(k=1, v=1.0), Row(k=2, v=2.0)]).write.parquet(
+        str(tmp_path / "ea_tt")
+    )
+    spark.sql(f"CREATE TABLE ea_tt USING parquet LOCATION '{tmp_path / 'ea_tt'}'")
+    try:
+        execute_query(spark, "UPDATE ea_tt SET v = 9.0 WHERE k = 1", config=W)
+        r = execute_query(
+            spark,
+            "EXPLAIN ANALYZE SELECT * FROM ea_tt FOR VERSION AS OF 0",
+            dialect="trino",
+        )
+        assert "numOutputRows" in r.rows[0]["plan"]
+        # and the profiled write must NOT have executed anything: an
+        # EXPLAIN ANALYZE UPDATE is rejected even with writes enabled
+        from mcp_trino_spark.execute import WriteQueryNotAllowed
+
+        with pytest.raises(WriteQueryNotAllowed):
+            execute_query(
+                spark,
+                "EXPLAIN ANALYZE UPDATE ea_tt SET v = 0.0",
+                config=W,
+                dialect="trino",
+            )
+        assert {(r2.k, r2.v) for r2 in spark.table("ea_tt").collect()} == {
+            (1, 9.0), (2, 2.0),
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ea_tt")

@@ -193,6 +193,63 @@ def check_sessionization(spark) -> None:
     report("sessionization_lag_cumsum", n_rows_1x, t1, t10)
 
 
+def check_with_ties_threshold(spark) -> None:
+    """WITH TIES threshold plan at 10×: row count grows ×copies while
+    the key distribution (c_nationkey values) stays fixed, so both the
+    top-n subquery (TakeOrderedAndProject) and the filter scan must
+    track volume — the plan this replaced (global no-partition RANK()
+    window) funnels every row through one task and scales with a
+    single-core sort instead."""
+    from mcp_trino_spark.trino_compat import translate
+
+    cust = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_nationkey")
+    q = translate(
+        "SELECT c_custkey, c_nationkey FROM __ties_scale "
+        "ORDER BY c_nationkey DESC FETCH FIRST 10 ROWS WITH TIES"
+    )
+
+    def plan(frame):
+        frame.createOrReplaceTempView("__ties_scale")
+        return spark.sql(q)
+
+    n_rows_1x = cust.count()
+    timed(plan(cust))  # warm
+    t1 = min(timed(plan(cust)) for _ in range(2))
+    c10 = replicate(cust, ["c_custkey"], COPIES)  # keys fixed, rows ×10
+    t10 = min(timed(plan(c10)) for _ in range(2))
+    spark.catalog.dropTempView("__ties_scale")
+    report("with_ties_threshold", n_rows_1x, t1, t10)
+
+
+def check_heavy_hitters(spark) -> None:
+    """approx_most_frequent exact rewrite at 10×: nationkey-shifted
+    replicas grow group cardinality with data while per-group distinct
+    values stay fixed — the per-(group, value) count is partial+final
+    and the rank window partitions by group, so time must track
+    volume."""
+    from mcp_trino_spark.trino_compat import translate
+
+    cust = load_table(spark, SF_DIR, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    )
+    q = translate(
+        "SELECT c_nationkey, approx_most_frequent(2, c_mktsegment, 100) AS hh "
+        "FROM __amf_scale GROUP BY c_nationkey"
+    )
+
+    def plan(frame):
+        frame.createOrReplaceTempView("__amf_scale")
+        return spark.sql(q)
+
+    n_rows_1x = cust.count()
+    timed(plan(cust))  # warm
+    t1 = min(timed(plan(cust)) for _ in range(2))
+    c10 = replicate(cust, ["c_nationkey"], COPIES)
+    t10 = min(timed(plan(c10)) for _ in range(2))
+    spark.catalog.dropTempView("__amf_scale")
+    report("approx_most_frequent_exact", n_rows_1x, t1, t10)
+
+
 def main() -> None:
     spark = get_spark("scaling")
     check_flagship(spark)
@@ -204,6 +261,10 @@ def main() -> None:
     check_sessionization(spark)
     spark.catalog.clearCache()
     check_qdigest(spark)
+    spark.catalog.clearCache()
+    check_with_ties_threshold(spark)
+    spark.catalog.clearCache()
+    check_heavy_hitters(spark)
 
 
 

@@ -530,3 +530,37 @@ def a21_qdigest_rollup(spark, sf_dir):
     return with_quantiles(per_region, [0.5, 0.9, 0.99]).select(
         "n_regionkey", "p50", "p90", "p99"
     )
+
+
+@register("a22_misra_gries_rollup")  # rows-only: sketch estimates are engine-local
+def a22_misra_gries_rollup(spark, sf_dir):
+    """Reaggregatable HEAVY-HITTER sketches — Misra-Gries summaries
+    (the engine-side design behind Trino's ``approx_most_frequent``,
+    which the reference passes through, client.go:501-617): per-nation
+    market-segment summaries merged up to region level without ever
+    re-scanning or reshuffling raw segment values.
+
+    Completes the mergeable-sketch trio (a20 HLL → distinct counts,
+    a21 qdigest → quantiles, a22 Misra-Gries → frequencies) and is the
+    documented cardinality-wall upgrade path for the EXACT
+    approx_most_frequent rewrite (trino_compat.py): when per-group
+    distinct values explode, capacity-bounded summaries replace the
+    per-(group, value) count shuffle.  Plan: two-level (nationkey,
+    scan-partition shard) build — no worker ever holds more than one
+    scan partition's contribution — then a |nations|-row summary merge
+    per region.  Error bound (undercount ≤ W/(capacity+1)) and
+    merge-order invariance are asserted in tests/test_heavyhitters.py.
+    """
+    from mcp_trino_spark.functions.heavyhitters import (
+        heavy_hitters_by, heavy_hitters_merge_by, top_k,
+    )
+
+    customer, nation = T(spark, sf_dir, "customer", "nation")
+    per_nation = heavy_hitters_by(
+        customer, "c_mktsegment", ["c_nationkey"], capacity=3, n_shards=8
+    )
+    tagged = per_nation.join(
+        F.broadcast(nation), per_nation.c_nationkey == nation.n_nationkey
+    ).select("n_regionkey", "hh_vals", "hh_counts", "hh_err")
+    per_region = heavy_hitters_merge_by(tagged, ["n_regionkey"], capacity=3)
+    return top_k(per_region, 2).orderBy("n_regionkey", "value")

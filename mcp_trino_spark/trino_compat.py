@@ -2443,11 +2443,12 @@ def _rewrite_approx_most_frequent(query: str) -> str:
     A grand aggregate (no GROUP BY) replaces the window with
     ORDER BY count LIMIT buckets — TakeOrderedAndProject, no
     single-partition stage.  The upgrade path for inputs whose
-    per-group distinct-value count itself explodes is a Misra-Gries /
-    SpaceSaving partial aggregate (capacity-bounded per-partition
-    summaries merged associatively); the exact plan is preferred until
-    that cardinality wall because it shares one shuffle with ordinary
-    aggregation.  NULL values are ignored (aggregate-function
+    per-group distinct-value count itself explodes is the Misra-Gries
+    mergeable summary implemented in functions/heavyhitters.py
+    (capacity-bounded per-partition summaries merged associatively —
+    the DataFrame-level ``heavy_hitters_by`` / ``a22`` entry); the
+    exact plan is preferred until that cardinality wall because it
+    shares one shuffle with ordinary aggregation.  NULL values are ignored (aggregate-function
     semantics; Spark map keys cannot be NULL).
 
     Supported shape: one approx_most_frequent call, top-level select

@@ -1,0 +1,134 @@
+"""Misra-Gries heavy-hitter sketches (functions/heavyhitters.py).
+
+The sketch contract, asserted against exact counts: every kept
+counter's estimate satisfies ``est ≤ true ≤ est + err``, every dropped
+value's true count is ``≤ err``, ``err ≤ W/(capacity+1)`` per level,
+and merging is order-independent.  These are the properties that make
+the summary a safe approx_most_frequent backend at cardinalities where
+the exact rewrite's per-(group, value) shuffle stops being viable.
+"""
+
+import random
+from collections import Counter
+
+import pytest
+
+from mcp_trino_spark.functions.heavyhitters import (
+    compress,
+    heavy_hitters_by,
+    heavy_hitters_merge_by,
+    merge_summaries,
+    top_k,
+)
+
+
+def zipfy(n, seed):
+    rng = random.Random(seed)
+    # skewed stream: value v appears with weight ~ 1/rank
+    vals = [f"v{i}" for i in range(50)]
+    return [vals[min(int(rng.paretovariate(1.0)), 49)] for _ in range(n)]
+
+
+def summarize_stream(stream, cap):
+    return compress(dict(Counter(stream)), cap)
+
+
+def test_compress_bounds_and_determinism():
+    stream = zipfy(20_000, seed=7)
+    true = Counter(stream)
+    counters, err = summarize_stream(stream, cap=20)
+    assert len(counters) <= 20
+    assert err <= len(stream) // (20 + 1) + 1
+    kept = dict(counters)
+    for v, c in kept.items():
+        assert c <= true[v] <= c + err, v
+    for v, t in true.items():
+        if v not in kept:
+            assert t <= err, f"dropped {v} with true count {t} > err {err}"
+    # deterministic: same input, same summary
+    assert summarize_stream(stream, cap=20) == (counters, err)
+
+
+def test_merge_preserves_bounds_and_order_invariance():
+    streams = [zipfy(5_000, seed=s) for s in range(6)]
+    true = Counter(x for s in streams for x in s)
+    w = sum(len(s) for s in streams)
+    parts = [summarize_stream(s, cap=15) for s in streams]
+    merged = merge_summaries(parts, capacity=15)
+    counters, err = merged
+    # per-level bounds compound: 6 partials (each ≤ len/16) + one merge
+    assert err <= 2 * (w // 16 + 6)
+    for v, c in counters:
+        assert c <= true[v] <= c + err, v
+    kept = {v for v, _ in counters}
+    for v, t in true.items():
+        if v not in kept:
+            assert t <= err
+    # any permutation of the inputs merges to the identical summary
+    rng = random.Random(0)
+    for _ in range(5):
+        shuffled = parts[:]
+        rng.shuffle(shuffled)
+        assert merge_summaries(shuffled, capacity=15) == merged
+
+
+def test_heavy_value_guaranteed_present():
+    # a value above the total error bound can never be evicted
+    stream = ["hot"] * 3_000 + zipfy(9_000, seed=3)
+    parts = [summarize_stream(stream[i::4], cap=10) for i in range(4)]
+    counters, err = merge_summaries(parts, capacity=10)
+    kept = dict(counters)
+    assert "hot" in kept
+    assert kept["hot"] <= stream.count("hot") <= kept["hot"] + err
+
+
+def test_spark_two_level_build_matches_contract(spark):
+    rows = []
+    rng = random.Random(11)
+    for g in (0, 1):
+        hot = f"hot{g}"
+        vals = [hot] * 2_000 + [f"g{g}v{rng.randrange(40)}" for _ in range(4_000)]
+        rows += [(g, v) for v in vals]
+    df = spark.createDataFrame(rows, "g int, v string").repartition(8)
+    summ = heavy_hitters_by(df, "v", ["g"], capacity=12, n_shards=8)
+    out = {
+        (r.g, r.value): (r.est_count, r.max_count)
+        for r in top_k(summ, 12).collect()
+    }
+    true = Counter(rows)
+    for (g, v), (est, mx) in out.items():
+        assert est <= true[(g, v)] <= mx, (g, v)
+    # the planted heavy hitter survives per group
+    assert any(v == "hot0" for (g, v) in out if g == 0)
+    assert any(v == "hot1" for (g, v) in out if g == 1)
+
+
+def test_spark_rollup_merges_without_rescan(spark):
+    rows = [(0, g, f"x{i % 5}") for g in (0, 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "region int, g int, v string").repartition(4)
+    per_g = heavy_hitters_by(df, "v", ["region", "g"], capacity=10, n_shards=4)
+    per_region = heavy_hitters_merge_by(
+        per_g.select("region", "hh_vals", "hh_counts", "hh_err"),
+        ["region"], capacity=10,
+    )
+    out = {r.value: (r.est_count, r.max_count) for r in top_k(per_region, 10).collect()}
+    true = Counter(v for _, _, v in rows)
+    assert set(out) == set(true)  # 5 distinct ≤ capacity: all kept
+    for v, (est, mx) in out.items():
+        assert est <= true[v] <= mx
+
+
+def test_registry_entry_rows(spark):
+    from mcp_trino_spark import registry
+
+    df = registry.queries()["a22_misra_gries_rollup"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {c for c in df.columns} == {"n_regionkey", "value", "est_count", "max_count"}
+    assert all(r.est_count <= r.max_count for r in rows)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])

@@ -392,3 +392,28 @@ def test_append_exclusion_with_uri_encoded_partition_value(spark, tmp_path, requ
         assert snap(read_table_version(spark, name, 1)) == v1
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_append_then_optimize_preserves_history(spark, tmp_path, request):
+    # the OPTIMIZE snapshot retires the appended file along with the
+    # originals; a pre-append read resolves from that snapshot and must
+    # still filter the appended file out
+    from mcp_trino_spark.sources.dml import optimize_table
+
+    name = f"tt_opt_{request.node.name}"[:60].replace("[", "_").replace("]", "_")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.createDataFrame(
+        [Row(k=i, v=float(i)) for i in range(8)]
+    ).repartition(4).write.parquet(str(tmp_path / name))
+    spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{tmp_path / name}'")
+    try:
+        v0 = snap(spark.table(name))
+        execute_query(spark, f"INSERT INTO {name} VALUES (99, 9.9)", config=WRITE)  # v1
+        v1 = snap(spark.table(name))
+        rewritten = optimize_table(spark, name, file_size_threshold_mb=128.0)  # v2
+        assert rewritten == 9
+        assert snap(spark.table(name)) == v1  # content unchanged by compaction
+        assert snap(read_table_version(spark, name, 1)) == v1
+        assert snap(read_table_version(spark, name, 0)) == v0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -72,6 +72,10 @@ HEADLINERS = [
     "o12_fetch_with_ties",
     "a20_sketch_reaggregate",
     "x20_approx_most_frequent",
+    # late r4: CDC diff (partition-pruned exceptAll over the version
+    # store) and the Misra-Gries sketch rollup
+    "s12_table_changes",
+    "a22_misra_gries_rollup",
 ]
 
 

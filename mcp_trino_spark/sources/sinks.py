@@ -518,3 +518,54 @@ def s10_time_travel(spark, sf_dir):
     # allow same-call cleanup, which moved the whole table through the
     # driver twice)
     return spark.sql(q)
+
+
+@register(
+    "s12_table_changes",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, _change_type FROM (
+      SELECT o_orderkey, o_orderstatus, CAST(0.0 AS DOUBLE) AS o_totalprice,
+             'insert' AS _change_type
+      FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             'delete' AS _change_type
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def s12_table_changes(spark, sf_dir):
+    """Version diff (CDC) — Trino/Iceberg's ``table_changes`` idea over
+    the DML version store: CTAS a scratch table, UPDATE it (commit 1),
+    then diff version 0 → 1.  Every updated row must surface exactly
+    twice — its pre-image as a 'delete' and its post-image as an
+    'insert' — which the oracle constructs independently from the
+    source table, so the hash-match proves row-exact CDC, not just
+    counts.
+
+    Scale: sources/timetravel.py::table_changes prunes both sides to
+    the partitions touched by commits in the version range before the
+    exceptAll — an UPDATE that touched one partition diffs one
+    partition of a 100 TB table (full-rewrite commits legitimately
+    diff everything, matching their write scope)."""
+    from mcp_trino_spark.sources.timetravel import table_changes
+
+    register_tables(spark, sf_dir)
+    _fresh_table(spark, "tc_orders")
+    execute_query(
+        spark,
+        """
+        CREATE TABLE tc_orders USING parquet AS
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        """,
+        _WRITE_CFG,
+    )
+    res = execute_query(
+        spark,
+        "UPDATE tc_orders SET o_totalprice = 0.0 WHERE o_orderstatus = 'F'",
+        _WRITE_CFG,
+    )
+    assert res.rows[0]["rows_affected"] > 0
+    # lazy return: scratch table + version store live until the next
+    # call's _fresh_table (same lifecycle as s10)
+    return table_changes(spark, "tc_orders", 0, 1)

@@ -361,3 +361,82 @@ def rewrite_version_as_of(
             "supported; compute the value client-side"
         )
     return q
+
+
+# ---------------------------------------------------------------------------
+# version diff (CDC): Trino/Iceberg's table_changes idea over the store
+
+
+def table_changes(
+    spark: SparkSession, table: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Row-level diff between two versions — the Trino/Iceberg
+    ``table_changes`` surface for this store: each output row is a
+    table row plus ``_change_type`` ('insert' = present at
+    ``to_version`` but not ``from_version``, 'delete' = the reverse);
+    an UPDATE appears as its delete+insert pair.  Multiset semantics
+    (``exceptAll``), so duplicate rows diff correctly.
+
+    Scale: the naive diff of two 100 TB reconstructions is two full
+    scans + a shuffle on every column.  The commit log already knows
+    better — only partitions TOUCHED by a commit in
+    ``(from_version, to_version]`` can differ, so for hive-partitioned
+    tables both sides are pruned to that partition set (static filter →
+    partition pruning in the scan) before the exceptAll.  An UPDATE
+    that touched one partition diffs one partition, not the table.
+    Append commits contribute their files' partitions; a full-rewrite
+    commit touches everything (no pruning possible, matching its
+    actual write scope)."""
+    if from_version > to_version:
+        raise DmlError(
+            f"table_changes: from_version {from_version} > to_version "
+            f"{to_version}"
+        )
+    old = read_table_version(spark, table, from_version)
+    new = read_table_version(spark, table, to_version)
+    if from_version == to_version:
+        empty = new.filter(F.lit(False))
+        return empty.withColumn("_change_type", F.lit("insert"))
+
+    loc = _table_location(spark, table)
+    pcols = _partition_columns(spark, table)
+    hist = _load_history(loc)
+    in_range = [
+        c for c in hist["commits"] if from_version < c["version"] <= to_version
+    ]
+    if pcols and all(c["kind"] != "full" for c in in_range):
+        rels = set()
+        for c in in_range:
+            if c["kind"] == "partitions":
+                rels.update(c["touched"])
+            else:  # append: the partitions its files landed in
+                rels.update(os.path.dirname(f) for f in c["added"])
+        preds = []
+        for rel in sorted(rels):
+            parts = []
+            for seg in rel.split("/"):
+                col, _, raw = seg.partition("=")
+                v = _unescape_partition_value(raw)
+                parts.append(
+                    F.col(col).isNull()
+                    if v is None
+                    else F.col(col).eqNullSafe(
+                        F.lit(v).cast(old.schema[col].dataType)
+                    )
+                )
+            p = parts[0]
+            for extra in parts[1:]:
+                p = p & extra
+            preds.append(p)
+        if preds:
+            touched_pred = preds[0]
+            for p in preds[1:]:
+                touched_pred = touched_pred | p
+            old = old.filter(touched_pred)
+            new = new.filter(touched_pred)
+        else:  # no commit in range touched anything
+            empty = new.filter(F.lit(False))
+            return empty.withColumn("_change_type", F.lit("insert"))
+    inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+    deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+    return inserts.unionByName(deletes)

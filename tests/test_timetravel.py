@@ -417,3 +417,52 @@ def test_append_then_optimize_preserves_history(spark, tmp_path, request):
         assert snap(read_table_version(spark, name, 0)) == v0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+# ---------------------------------------------------------------------------
+# version diff (CDC): table_changes
+
+
+def test_table_changes_update_is_delete_plus_insert(spark, flat):
+    from mcp_trino_spark.sources.timetravel import table_changes
+
+    update_table(spark, flat, {"v": "v * 10"}, "k = 2")  # v1
+    got = sorted(tuple(r) for r in table_changes(spark, flat, 0, 1).collect())
+    assert got == [(2, 2.0, "delete"), (2, 20.0, "insert")]
+
+
+def test_table_changes_append_and_range_selection(spark, flat):
+    from mcp_trino_spark.sources.timetravel import table_changes
+
+    update_table(spark, flat, {"v": "0.0"}, "k = 1")  # v1
+    execute_query(spark, f"INSERT INTO {flat} VALUES (9, 9.0)", config=WRITE)  # v2
+    assert sorted(tuple(r) for r in table_changes(spark, flat, 1, 2).collect()) == [
+        (9, 9.0, "insert")
+    ]
+    full = sorted(tuple(r) for r in table_changes(spark, flat, 0, 2).collect())
+    assert full == [(1, 0.0, "insert"), (1, 1.0, "delete"), (9, 9.0, "insert")]
+    # empty range and inverted range
+    assert table_changes(spark, flat, 1, 1).count() == 0
+    with pytest.raises(DmlError, match="from_version"):
+        table_changes(spark, flat, 2, 1)
+
+
+def test_table_changes_prunes_to_touched_partitions(spark, parted):
+    from mcp_trino_spark.sources.timetravel import table_changes
+
+    update_table(spark, parted, {"v": "v + 100"}, "p = 1")  # v1 touches p=1 only
+    diff = table_changes(spark, parted, 0, 1)
+    rows = sorted(tuple(r) for r in diff.collect())
+    assert all(r[2] == 1 for r in rows)  # only p=1 rows appear (k, v, p, type)
+    assert len(rows) == 6  # 3 deletes + 3 inserts
+    # the pruning predicate must reach EVERY scan as a partition filter
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        diff.explain("formatted")
+    pf = [
+        ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln
+    ]
+    assert pf and all("<=> 1" in ln for ln in pf), pf

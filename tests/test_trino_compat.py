@@ -1629,3 +1629,47 @@ def test_explain_analyze_composes_with_time_travel(spark, tmp_path):
         }
     finally:
         spark.sql("DROP TABLE IF EXISTS ea_tt")
+
+
+def test_with_ties_randomized_equivalence_vs_rank(spark):
+    """The threshold plan must equal the standard's defining rank()
+    form on randomized inputs: random key counts, directions, NULLS
+    placements, duplicates, and n — 20 seeded configurations."""
+    import random
+
+    rng = random.Random(42)
+    for case in range(20):
+        n_keys = rng.choice([1, 1, 2, 3])
+        n_rows = rng.randrange(0, 30)
+        rows = [
+            tuple(
+                rng.choice([None, 0, 1, 2, 3]) for _ in range(n_keys)
+            ) + (i,)
+            for i in range(n_rows)
+        ]
+        cols = [f"k{j}" for j in range(n_keys)] + ["rid"]
+        schema = ", ".join(f"{c} int" for c in cols)
+        view = f"__ties_rand_{case}"
+        spark.createDataFrame(rows, schema).createOrReplaceTempView(view)
+        keyspec = ", ".join(
+            f"k{j} {rng.choice(['ASC', 'DESC'])} "
+            f"{rng.choice(['', 'NULLS FIRST', 'NULLS LAST'])}".strip()
+            for j in range(n_keys)
+        )
+        n = rng.randrange(1, 6)
+        got = sorted(
+            tuple(r) for r in spark.sql(
+                translate(
+                    f"SELECT rid FROM {view} ORDER BY {keyspec} "
+                    f"FETCH FIRST {n} ROWS WITH TIES"
+                )
+            ).collect()
+        )
+        want = sorted(
+            tuple(r) for r in spark.sql(
+                f"SELECT rid FROM (SELECT rid, RANK() OVER (ORDER BY "
+                f"{keyspec}) AS rk FROM {view}) WHERE rk <= {n}"
+            ).collect()
+        )
+        assert got == want, (case, keyspec, n, got, want)
+        spark.catalog.dropTempView(view)

@@ -172,6 +172,11 @@ def execute_query(
             from mcp_trino_spark.sources.timetravel import rewrite_version_as_of
 
             q = rewrite_version_as_of(spark, q, created_views=mr_views)
+        if re.search(r"\btable_changes\s*\(", q, re.IGNORECASE):
+            # version-diff CDC TVF (Trino/Iceberg table_changes shape)
+            from mcp_trino_spark.sources.timetravel import rewrite_table_changes
+
+            q = rewrite_table_changes(spark, q, created_views=mr_views)
         q = translate(q)
         from mcp_trino_spark.trino_mr import expand_match_recognize, has_match_recognize
 

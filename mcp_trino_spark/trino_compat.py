@@ -2135,17 +2135,30 @@ def _ties_pushdown(body: str, keys: str, n: int) -> Optional[str]:
         rank_keys.append((expr, desc, nf))
     tmask = _code_mask(tail)
     tdepth = _depths(tail, tmask)
-    has_where = any(
-        tmask[m.start()] and tdepth[m.start()] == 0
+    where_hits = [
+        m
         for m in re.finditer(r"\bWHERE\b", tail, re.IGNORECASE)
-    )
-    glue = "AND" if has_where else "WHERE"
+        if tmask[m.start()] and tdepth[m.start()] == 0
+    ]
+    if where_hits:
+        # Parenthesize the existing top-level predicate before ANDing the
+        # threshold filter on: `WHERE a OR b AND (cond)` would parse as
+        # `a OR (b AND cond)` and let earlier OR disjuncts bypass the
+        # filter.  The body has no top-level GROUP BY/HAVING/LIMIT/OFFSET
+        # (rejected above) and ORDER BY was stripped by the caller, so the
+        # predicate runs to the end of the tail.
+        w = where_hits[0]
+        prefix = tail[: w.start()].rstrip()
+        pred = tail[w.end() :].strip()
+        glued = f"{prefix} WHERE ({pred}) AND"
+    else:
+        glued = f"{tail} WHERE"
     if n < 1:
         # FETCH FIRST 0 ROWS: empty by definition, no threshold exists
-        return f"SELECT {sel_list.strip()} FROM {tail} {glue} (1 = 0)"
+        return f"SELECT {sel_list.strip()} FROM {glued} (1 = 0)"
     cond = _ties_threshold_filter(rank_keys, n, tail)
     return (
-        f"SELECT {sel_list.strip()} FROM {tail} {glue} ({cond}) ORDER BY {keys}"
+        f"SELECT {sel_list.strip()} FROM {glued} ({cond}) ORDER BY {keys}"
     )
 
 

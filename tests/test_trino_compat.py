@@ -826,6 +826,30 @@ def test_with_ties_multikey_mixed_directions(spark):
     assert sorted((r["a"], r["b"]) for r in rows) == [(2, 1), (2, 1)]
 
 
+def test_with_ties_or_in_where(spark):
+    # the appended threshold filter must bind to the WHOLE existing
+    # predicate: `WHERE a OR b AND (cond)` parses as `a OR (b AND
+    # cond)`, letting rows matching the first disjunct bypass the
+    # ties filter — the original predicate must be parenthesized
+    rows = run(
+        spark,
+        "SELECT i FROM (VALUES (1), (3)) t(i) WHERE i = 3 OR i = 1 "
+        "ORDER BY i FETCH FIRST 1 ROWS WITH TIES",
+    )
+    assert sorted(r["i"] for r in rows) == [1]
+
+
+def test_with_ties_zero_rows_or_in_where(spark):
+    # the n<1 branch has the same precedence hazard: FETCH FIRST 0
+    # ROWS must return nothing even when the WHERE has a top-level OR
+    rows = run(
+        spark,
+        "SELECT i FROM (VALUES (1), (3)) t(i) WHERE i = 3 OR i = 1 "
+        "ORDER BY i FETCH FIRST 0 ROWS WITH TIES",
+    )
+    assert rows == []
+
+
 def test_with_ties_plans_without_global_window(spark):
     # the 100 TB guarantee: the rewrite must never produce a
     # no-partition WindowExec (every row through one task); the top-n

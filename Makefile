@@ -13,10 +13,10 @@ test:
 check-window:
 	python tools/check_correctness.py --sf $(SF) $$(python -c "from mcp_trino_spark import registry; print(' '.join(registry._PRIORITY))")
 
-# the r02/r03-certified set, pinned as a regression suite after the
-# round-4 window rotation moved it behind the fold
+# the driver-certified sets (r02/r03 and r04/r05), pinned as regression
+# suites now that window rotations have moved them behind the fold
 check-proven:
-	python tools/check_correctness.py --sf $(SF) $$(python -c "from mcp_trino_spark import registry; print(' '.join(registry._PROVEN_R03))")
+	python tools/check_correctness.py --sf $(SF) $$(python -c "from mcp_trino_spark import registry; print(' '.join(registry._PROVEN_R03 + registry._PROVEN_R45))")
 
 # full sweep: every registered entry (oracle + rows-only)
 check-all:

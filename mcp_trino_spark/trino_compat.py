@@ -294,14 +294,45 @@ _COMPAT_SQL_UDFS = {
         " __e -> element_at(split(__e, concat('\\\\Q', kd, '\\\\E'), 2), 1) = __k),"
         " __e -> try_element_at(split(__e, concat('\\\\Q', kd, '\\\\E'), 2), 2)))))",
     ),
-    # membership in a JSON array of scalars; elements and the probe value
-    # compare through their string forms (from_json coerces scalars)
+    # membership in a JSON array of scalars, with Trino's TYPED matching:
+    # a string probe matches only JSON string elements, a boolean probe
+    # only JSON booleans, a numeric probe only JSON numbers (compared
+    # numerically, so 1 matches 1.0 but not "1").  The VARIANT parameter
+    # keeps the caller's SQL type across the UDF boundary (implicit cast
+    # to VARIANT preserves it; schema_of_variant recovers it), and
+    # per-element JSON types come from schema_of_variant over
+    # try_variant_get — from_json can't distinguish "1" from 1 once
+    # coerced to array<string>.  Malformed / non-array JSON → false
+    # (json_array_length is NULL there); NULL json or probe → NULL.
+    # Numeric compare goes through DOUBLE: exact for |n| < 2^53, the
+    # same envelope Trino's json number parsing guarantees for doubles.
     "json_array_contains": (
-        "(j STRING, v STRING)",
+        "(j STRING, v VARIANT)",
         "BOOLEAN",
         "CASE WHEN j IS NULL OR v IS NULL THEN NULL"
-        " ELSE coalesce(array_contains(from_json(j, 'array<string>'), v),"
-        " false) END",
+        " WHEN coalesce(json_array_length(j), 0) = 0 THEN false"
+        " ELSE exists(sequence(0, json_array_length(j) - 1),"
+        " __i -> coalesce(CASE"
+        " WHEN schema_of_variant(v) = 'STRING' THEN"
+        " schema_of_variant(try_variant_get(parse_json(j),"
+        " concat('$[', CAST(__i AS STRING), ']'))) = 'STRING'"
+        " AND try_variant_get(parse_json(j),"
+        " concat('$[', CAST(__i AS STRING), ']'), 'string')"
+        " = try_variant_get(v, '$', 'string')"
+        " WHEN schema_of_variant(v) = 'BOOLEAN' THEN"
+        " schema_of_variant(try_variant_get(parse_json(j),"
+        " concat('$[', CAST(__i AS STRING), ']'))) = 'BOOLEAN'"
+        " AND try_variant_get(parse_json(j),"
+        " concat('$[', CAST(__i AS STRING), ']'), 'boolean')"
+        " = try_variant_get(v, '$', 'boolean')"
+        " ELSE"
+        " schema_of_variant(try_variant_get(parse_json(j),"
+        " concat('$[', CAST(__i AS STRING), ']')))"
+        " NOT IN ('STRING', 'BOOLEAN', 'VOID')"
+        " AND try_variant_get(parse_json(j),"
+        " concat('$[', CAST(__i AS STRING), ']'), 'double')"
+        " = try_variant_get(v, '$', 'double')"
+        " END, false)) END",
     ),
     # Trino to_milliseconds(interval day to second) → BIGINT ms.
     # extract(SECOND) carries the fractional part, so sub-second
@@ -2042,8 +2073,10 @@ def _ties_threshold_filter(keys: List[tuple], n: int, source: str) -> str:
     # per-column subquery variant ran k+1 scans of the source for k
     # sort keys (distinct projections defeat subquery reuse)
     fields = ", ".join(f"__tk{i}" for i in range(len(keys)))
+    # the newline terminates any trailing `--` line comment in the user's
+    # FROM body before the generated ORDER BY (kept out of the comment)
     thr_sub = (
-        f"(SELECT struct({fields}) FROM (SELECT {sel} FROM {source} "
+        f"(SELECT struct({fields}) FROM (SELECT {sel} FROM {source}\n"
         f"ORDER BY {ordl(False)} LIMIT {n}) __ties_top "
         f"ORDER BY {ordl(True)} LIMIT 1)"
     )
@@ -2150,9 +2183,14 @@ def _ties_pushdown(body: str, keys: str, n: int) -> Optional[str]:
         w = where_hits[0]
         prefix = tail[: w.start()].rstrip()
         pred = tail[w.end() :].strip()
-        glued = f"{prefix} WHERE ({pred}) AND"
+        # newlines terminate any trailing `--` line comment in the user's
+        # text before the generated tokens — otherwise the closing paren
+        # and the AND land inside the comment (unbalanced-paren parse
+        # error).  rstrip() above makes the same hazard possible for the
+        # prefix, hence the newline before WHERE too.
+        glued = f"{prefix}\nWHERE ({pred}\n) AND"
     else:
-        glued = f"{tail} WHERE"
+        glued = f"{tail}\nWHERE"
     if n < 1:
         # FETCH FIRST 0 ROWS: empty by definition, no threshold exists
         return f"SELECT {sel_list.strip()} FROM {glued} (1 = 0)"

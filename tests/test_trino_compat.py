@@ -850,6 +850,32 @@ def test_with_ties_zero_rows_or_in_where(spark):
     assert rows == []
 
 
+def test_with_ties_trailing_line_comment_in_where(spark):
+    # a trailing `--` comment on the WHERE predicate must not swallow
+    # the generated closing paren / AND (the rewrite emits newlines to
+    # terminate the comment before its own tokens)
+    rows = run(
+        spark,
+        "SELECT i FROM (VALUES (1), (3)) t(i) WHERE i = 3 OR i = 1 -- note\n"
+        "ORDER BY i FETCH FIRST 1 ROWS WITH TIES",
+    )
+    assert sorted(r["i"] for r in rows) == [1]
+    # same hazard on the n<1 branch and on a comment-terminated body
+    # with no WHERE at all
+    rows = run(
+        spark,
+        "SELECT i FROM (VALUES (1), (3)) t(i) WHERE i = 3 -- note\n"
+        "ORDER BY i FETCH FIRST 0 ROWS WITH TIES",
+    )
+    assert rows == []
+    rows = run(
+        spark,
+        "SELECT i FROM (VALUES (1), (3)) t(i) -- note\n"
+        "ORDER BY i FETCH FIRST 1 ROWS WITH TIES",
+    )
+    assert sorted(r["i"] for r in rows) == [1]
+
+
 def test_with_ties_plans_without_global_window(spark):
     # the 100 TB guarantee: the rewrite must never produce a
     # no-partition WindowExec (every row through one task); the top-n
@@ -1545,6 +1571,35 @@ def test_gaphunt3_batch(spark):
                    " json_array_contains('[1,2]', 5) AS c,"
                    " json_array_contains('[true]', true) AS d")[0]
     assert (r["a"], r["b"], r["c"], r["d"]) == (True, True, False, True)
+
+
+def test_json_array_contains_typed_matching(spark):
+    # Trino matches by JSON type: string probes see only JSON strings,
+    # numeric probes only JSON numbers (numeric equality, 1 == 1.0),
+    # boolean probes only JSON booleans.
+    r = run(spark, "SELECT json_array_contains('[\"1\"]', 1) AS a,"
+                   " json_array_contains('[1.0]', '1') AS b,"
+                   " json_array_contains('[1.0]', 1) AS c,"
+                   " json_array_contains('[1]', 1.0) AS d,"
+                   " json_array_contains('[1, \"a\", true]', 'a') AS e,"
+                   " json_array_contains('[1]', true) AS f,"
+                   " json_array_contains('[true]', 1) AS g")[0]
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"], r["f"], r["g"]) == (
+        False, False, True, True, True, False, False)
+    # edges: null elements never match; empty/non-array/malformed JSON
+    # → false; NULL json or NULL probe → NULL; nested values never
+    # match a scalar probe
+    r = run(spark, "SELECT json_array_contains('[null]', 1) AS a,"
+                   " json_array_contains('[]', 1) AS b,"
+                   " json_array_contains('{}', 1) AS c,"
+                   " json_array_contains('notjson', 1) AS d,"
+                   " json_array_contains(NULL, 1) AS e,"
+                   " json_array_contains('[1]', NULL) AS f,"
+                   " json_array_contains('[[1]]', 1) AS g,"
+                   " json_array_contains('[{\"a\":1}]', 1) AS h")[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (False, False, False, False)
+    assert r["e"] is None and r["f"] is None
+    assert (r["g"], r["h"]) == (False, False)
 
 
 def test_array_agg_distinct_order_by(spark):

@@ -451,13 +451,20 @@ def _commit_partitions(
         hist = _load_history(loc)
         hist["commits"].append(rec)
         _save_history(loc, hist)
-        if layout_changed:
-            # a partition directory appeared or vanished: re-sync catalog
-            # partition metadata (metadata-only; cost ∝ #partitions)
-            spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
-        spark.sql(f"REFRESH TABLE {table}")
-        shutil.rmtree(staged, ignore_errors=True)
-        shutil.rmtree(retired, ignore_errors=True)
+        # the commit record is durable at this point; the catalog refresh
+        # can still throw (caller re-runs REFRESH), so the scratch-dir
+        # cleanup lives in a finally — otherwise a refresh failure leaks
+        # the staged/retired directories on disk permanently
+        try:
+            if layout_changed:
+                # a partition directory appeared or vanished: re-sync
+                # catalog partition metadata (metadata-only; cost ∝
+                # #partitions)
+                spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
+            spark.sql(f"REFRESH TABLE {table}")
+        finally:
+            shutil.rmtree(staged, ignore_errors=True)
+            shutil.rmtree(retired, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

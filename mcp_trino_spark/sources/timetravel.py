@@ -37,11 +37,19 @@ exact.
 
 from __future__ import annotations
 
+import logging
 import os
 import re
 from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+logger = logging.getLogger(__name__)
+
+#: table_changes partition pruning builds one OR disjunct per touched
+#: partition; above this many the predicate tree itself becomes the
+#: bottleneck (analyzer time/stack), so the diff falls back to unpruned
+_MAX_PRUNE_PARTITIONS = 1000
 
 from mcp_trino_spark.sources.dml import (
     DmlError,
@@ -411,32 +419,44 @@ def table_changes(
                 rels.update(c["touched"])
             else:  # append: the partitions its files landed in
                 rels.update(os.path.dirname(f) for f in c["added"])
-        preds = []
-        for rel in sorted(rels):
-            parts = []
-            for seg in rel.split("/"):
-                col, _, raw = seg.partition("=")
-                v = _unescape_partition_value(raw)
-                parts.append(
-                    F.col(col).isNull()
-                    if v is None
-                    else F.col(col).eqNullSafe(
-                        F.lit(v).cast(old.schema[col].dataType)
+        if not rels:  # no commit in range touched anything
+            empty = new.filter(F.lit(False))
+            return empty.withColumn("_change_type", F.lit("insert"))
+        if len(rels) > _MAX_PRUNE_PARTITIONS:
+            # a version range touching this many partitions would build
+            # an OR-chain with one disjunct per partition — an analyzer
+            # hazard at catalog scale (100k partitions), and past this
+            # point the prune saves little anyway — fall back to the
+            # exact unpruned diff
+            logger.info(
+                "table_changes(%s, %d, %d): %d touched partitions exceed "
+                "the pruning cap (%d); diffing unpruned",
+                table, from_version, to_version, len(rels),
+                _MAX_PRUNE_PARTITIONS,
+            )
+        else:
+            preds = []
+            for rel in sorted(rels):
+                parts = []
+                for seg in rel.split("/"):
+                    col, _, raw = seg.partition("=")
+                    v = _unescape_partition_value(raw)
+                    parts.append(
+                        F.col(col).isNull()
+                        if v is None
+                        else F.col(col).eqNullSafe(
+                            F.lit(v).cast(old.schema[col].dataType)
+                        )
                     )
-                )
-            p = parts[0]
-            for extra in parts[1:]:
-                p = p & extra
-            preds.append(p)
-        if preds:
+                p = parts[0]
+                for extra in parts[1:]:
+                    p = p & extra
+                preds.append(p)
             touched_pred = preds[0]
             for p in preds[1:]:
                 touched_pred = touched_pred | p
             old = old.filter(touched_pred)
             new = new.filter(touched_pred)
-        else:  # no commit in range touched anything
-            empty = new.filter(F.lit(False))
-            return empty.withColumn("_change_type", F.lit("insert"))
     inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
     deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
     return inserts.unionByName(deletes)

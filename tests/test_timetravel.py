@@ -328,6 +328,40 @@ def test_commit_record_survives_refresh_failure(spark, flat, monkeypatch):
     assert (1, 2.0) in {(r.k, r.v) for r in spark.table(flat).collect()}
 
 
+def test_refresh_failure_leaves_no_scratch_dirs(spark, parted, monkeypatch):
+    # partitioned path: the staged/retired scratch directories must be
+    # cleaned up even when the post-commit catalog refresh throws — the
+    # commit record is already durable, so leaking them just doubles the
+    # touched partitions' storage until someone notices
+    import glob
+    import os
+
+    from mcp_trino_spark.sources.dml import _table_location
+
+    loc = _table_location(spark, parted)
+    orig_sql = spark.sql
+
+    def failing_sql(q, *a, **k):
+        if q.strip().upper().startswith("REFRESH TABLE"):
+            raise RuntimeError("simulated catalog refresh failure")
+        return orig_sql(q, *a, **k)
+
+    v0 = snap(spark.table(parted))
+    monkeypatch.setattr(spark, "sql", failing_sql)
+    with pytest.raises(RuntimeError, match="simulated"):
+        update_table(spark, parted, {"v": "v + 1"}, "p = 0")
+    monkeypatch.undo()
+    spark.sql(f"REFRESH TABLE {parted}")
+    parent, base = os.path.dirname(loc), os.path.basename(loc)
+    leaks = glob.glob(os.path.join(parent, f".{base}.staged-*")) + glob.glob(
+        os.path.join(parent, f".{base}.retired-*")
+    )
+    assert leaks == [], f"orphaned DML scratch dirs: {leaks}"
+    # and the commit itself landed: version 1 recorded, v0 reconstructs
+    assert [r.version for r in table_history(spark, parted).collect()] == [1]
+    assert snap(read_table_version(spark, parted, 0)) == v0
+
+
 # ---------------------------------------------------------------------------
 # partition values must read back byte-identical (no path type inference)
 
@@ -466,6 +500,29 @@ def test_table_changes_prunes_to_touched_partitions(spark, parted):
         ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln
     ]
     assert pf and all("<=> 1" in ln for ln in pf), pf
+
+
+def test_table_changes_pruning_cap_falls_back_exact(
+    spark, parted, monkeypatch, caplog
+):
+    # a version range touching more partitions than the cap must skip
+    # the per-partition OR-chain (analyzer hazard at 100k partitions)
+    # and still produce the exact diff
+    import logging
+
+    from mcp_trino_spark.sources import timetravel
+    from mcp_trino_spark.sources.timetravel import table_changes
+
+    update_table(spark, parted, {"v": "v + 100"}, "v < 100")  # v1: all 3 partitions
+    expected = sorted(tuple(r) for r in table_changes(spark, parted, 0, 1).collect())
+    assert len(expected) == 18  # 9 deletes + 9 inserts
+    monkeypatch.setattr(timetravel, "_MAX_PRUNE_PARTITIONS", 2)
+    with caplog.at_level(logging.INFO, logger="mcp_trino_spark.sources.timetravel"):
+        capped = sorted(
+            tuple(r) for r in table_changes(spark, parted, 0, 1).collect()
+        )
+    assert capped == expected
+    assert any("pruning cap" in r.message for r in caplog.records)
 
 
 def test_table_changes_sql_front_door(spark, flat):

@@ -641,6 +641,44 @@ def x20_approx_most_frequent(spark, sf_dir):
 
 
 @register(
+    "x21_reduce_agg",
+    oracle="""
+    SELECT c_nationkey, CAST(SUM(c_custkey * c_custkey) AS BIGINT) AS ssq
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def x21_reduce_agg(spark, sf_dir):
+    """Trino ``reduce_agg(input, init, inputFn, combineFn)`` through the
+    dialect layer: translate() rewrites it to a size-capped
+    ``aggregate(collect_list(input), init, inputFn)`` fold (group-local
+    buffering bounded by _REDUCE_AGG_MAX_GROUP, loud raise_error above
+    it; trino_compat._rewrite_reduce_agg documents why dropping
+    combineFn is sound for reduce_agg's commutative-monoid contract).
+    The fold here is a sum of squares, so the DuckDB oracle can spell
+    it independently as SUM(x*x) — associativity makes the two
+    evaluation orders bit-identical on integers, proving the fold
+    computes the reduction rather than some order-dependent artifact.
+    Reference surface: client.go:501-617 passes reduce_agg SQL through
+    to Trino's function library.
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT c_nationkey,
+                   reduce_agg(c_custkey, 0,
+                              (s, v) -> s + v * v,
+                              (s1, s2) -> s1 + s2) AS ssq
+            FROM customer GROUP BY c_nationkey
+            """
+        )
+    )
+
+
+@register(
     "w12_groups_frame",
     oracle="""
     WITH g AS (

@@ -236,8 +236,9 @@ _PROVEN_R45 = [
 #: window to the 51 entries the driver has NEVER graded: 42 oracle-backed
 #: first (full rows+schema+hash compare), then the 9 rows-only entries
 #: (sketches / plan text / catalog listings, where no DuckDB twin exists).
-#: 51 > 50, so the last name (f4_list_tables, the least informative
-#: catalog listing) intentionally falls past the fold.  Every oracle entry
+#: The list overflows the 50-slot window, so the last names (f3/f4, the
+#: least informative catalog listings) intentionally fall past the fold.
+#: Every oracle entry
 #: here is already exact-match green under the stricter local gate
 #: (tools/check_correctness.py, type-tagged cells / bit-exact floats), and
 #: the two certified sets stay pinned via ``make check-proven``.
@@ -260,6 +261,7 @@ _PRIORITY = [
     "x17_url",
     "x12b_json_structured",
     "x20_approx_most_frequent",
+    "x21_reduce_agg",
     # pattern matching
     "t9b_pattern_regex",
     "t10_match_recognize_vshape",

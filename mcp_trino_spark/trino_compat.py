@@ -2710,22 +2710,78 @@ def _rewrite_combinations(q: str) -> str:
 
 _REDUCE_AGG_HEAD = re.compile(r"\breduce_agg\s*\(", re.IGNORECASE)
 
+#: reduce_agg's emulation buffers each group's values in one task
+#: (collect_list) — fine for the aggregate-sized groups reduce_agg is
+#: used on, a memory hazard on unbounded ones, so groups larger than
+#: this raise at runtime instead of spilling or OOMing silently
+_REDUCE_AGG_MAX_GROUP = 10_000
+
+
+def _rewrite_reduce_agg(q: str) -> str:
+    """Trino ``reduce_agg(input, initState, inputFn, combineFn)`` → a
+    size-capped fold: ``aggregate(collect_list(input), initState,
+    inputFn)``.  Spark SQL has no aggregate lambdas, but Trino's
+    contract requires inputFn/combineFn to form a commutative monoid
+    (docs: "the state type must be boolean, integer, floating-point …
+    order of inputs is not guaranteed"), and for such reductions one
+    sequential left-fold over the collected group IS a valid schedule —
+    combineFn is semantically redundant (folding elements one-by-one
+    never needs to merge two partial states), so it is validated for
+    arity and dropped.  The fold buffers the group in one task, so a
+    runtime guard raises loudly past ``_REDUCE_AGG_MAX_GROUP`` non-null
+    values per group — the CASE picks the raise_error branch only for
+    oversized groups (Spark evaluates CASE branches lazily per row).
+    Known limit: DECIMAL states don't stabilize (decimal arithmetic
+    grows precision every step, so the fold's return type can never
+    equal the state type — Spark's native aggregate() HOF has the same
+    constraint, and Trino's own reduce_agg examples use double literals
+    like 0.0E0); write the init as DOUBLE for fractional folds.
+    Reference surface: client.go:501-617 passes reduce_agg SQL through
+    to Trino's function library verbatim."""
+    start = 0
+    while True:
+        found = _find_call(q, _REDUCE_AGG_HEAD, start)
+        if found is None:
+            return q
+        m, bs, be = found
+        args = _split_top_args(q[bs:be])
+        if len(args) != 4:
+            raise TrinoCompatError(
+                "reduce_agg requires exactly (input, initialState, "
+                "inputFunction, combineFunction)"
+            )
+        x, init, input_fn = args[0], args[1], args[2]
+        if re.match(r"(?i)DISTINCT\b", x):
+            raise TrinoCompatError("reduce_agg(DISTINCT ...) is not supported")
+        # Spark's aggregate() HOF requires the lambda's return type to
+        # EQUAL the init type (no implicit widening), while Trino happily
+        # folds `reduce_agg(bigint_col, 0, (s,v) -> s+v, ...)` — the int
+        # literal state widens.  element_at(array(init, <an element>), 1)
+        # evaluates to init AT the common type of (init, element), which
+        # is what the lambda's arithmetic will produce; a no-op when the
+        # types already agree.  try_element_at: an all-null group has an
+        # empty list (ANSI element_at would throw) — only the TYPE of
+        # that operand matters, its null value is never folded.
+        widened_init = (
+            f"element_at(array(({init}), "
+            f"try_element_at(collect_list({x}), 1)), 1)"
+        )
+        repl = (
+            f"CASE WHEN count({x}) > {_REDUCE_AGG_MAX_GROUP} THEN "
+            f"raise_error('reduce_agg: a group exceeded "
+            f"{_REDUCE_AGG_MAX_GROUP} non-null values; the fold buffers "
+            f"whole groups in one task. Rewrite with built-in aggregates "
+            f"(sum/min/max/bool_and/...) for large groups') "
+            f"ELSE aggregate(collect_list({x}), {widened_init}, "
+            f"{input_fn}) END"
+        )
+        q = q[: m.start()] + repl + q[be + 1 :]
+        start = m.start() + len(repl)
+
 
 def translate(query: str) -> str:
     """Rewrite Trino-only idioms to Spark SQL, outside literals/comments."""
-    mask0 = _code_mask(query)
-    if any(mask0[m.start()] for m in _REDUCE_AGG_HEAD.finditer(query)):
-        # deliberate loud gap: Spark has no SQL aggregate lambdas, and
-        # the faithful rewrite (aggregate(collect_list(x), ...)) buffers
-        # every group's values in one task — a silent memory hazard at
-        # scale.  Most reduce_agg uses are expressible with built-ins.
-        raise TrinoCompatError(
-            "reduce_agg is not supported: Spark SQL has no aggregate "
-            "lambdas, and a collect_list-based emulation would buffer "
-            "whole groups in memory. Rewrite with built-in aggregates "
-            "(sum/min/max/bool_and/...), or aggregate(collect_list(x), "
-            "init, fn) if the group sizes are known to be small"
-        )
+    query = _rewrite_reduce_agg(query)
     query = _rewrite_approx_most_frequent(query)
     query = _rewrite_combinations(query)
     query = _rewrite_with_ties(query)

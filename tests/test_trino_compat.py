@@ -1615,11 +1615,59 @@ def test_array_agg_distinct_order_by(spark):
         translate("SELECT array_agg(DISTINCT x ORDER BY y) FROM t")
 
 
-def test_reduce_agg_fails_loudly_with_guidance():
+def test_reduce_agg_folds_small_groups(spark):
+    # sum of squares through the fold; integer state widens to the
+    # element type (Trino coerces the int literal 0, Spark's aggregate()
+    # HOF does not — the rewrite bridges that)
+    rows = run(
+        spark,
+        "SELECT g, reduce_agg(k, 0, (s, v) -> s + v * v, (a, b) -> a + b)"
+        " AS ssq FROM (SELECT id % 3 AS g, id AS k FROM range(10))"
+        " GROUP BY g ORDER BY g",
+    )
+    assert [(r["g"], r["ssq"]) for r in rows] == [(0, 126), (1, 66), (2, 93)]
+    # string state; all-null group folds to the init
+    r = run(
+        spark,
+        "SELECT reduce_agg(CAST(k AS STRING), '', (s, v) -> concat(s, v),"
+        " (a, b) -> concat(a, b)) AS c,"
+        " reduce_agg(CAST(NULL AS BIGINT), 0, (s, v) -> s + v,"
+        " (a, b) -> a + b) AS z"
+        " FROM (SELECT id AS k FROM range(3))",
+    )[0]
+    assert r["c"] == "012" and r["z"] == 0
+
+
+def test_reduce_agg_group_size_cap_raises(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)) as ei:
+        run(
+            spark,
+            "SELECT reduce_agg(k, 0, (s, v) -> s + 1, (a, b) -> a + b) AS n"
+            " FROM (SELECT id AS k FROM range(10001))",
+        )
+    assert "reduce_agg: a group exceeded" in str(ei.value)
+    # exactly at the cap still folds
+    r = run(
+        spark,
+        "SELECT reduce_agg(k, 0, (s, v) -> s + 1, (a, b) -> a + b) AS n"
+        " FROM (SELECT id AS k FROM range(10000))",
+    )[0]
+    assert r["n"] == 10000
+
+
+def test_reduce_agg_malformed_fails_loudly():
     from mcp_trino_spark.trino_compat import TrinoCompatError
 
-    with pytest.raises(TrinoCompatError, match="reduce_agg"):
-        translate("SELECT reduce_agg(x, 0, (a, b) -> a + b, (a, b) -> a + b) FROM t")
+    with pytest.raises(TrinoCompatError, match="reduce_agg requires"):
+        translate("SELECT reduce_agg(x, 0, (a, b) -> a + b) FROM t")
+    with pytest.raises(TrinoCompatError, match="DISTINCT"):
+        translate(
+            "SELECT reduce_agg(DISTINCT x, 0, (a, b) -> a + b,"
+            " (a, b) -> a + b) FROM t"
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -185,10 +185,13 @@ def _band_frame(mh, carry=()):
     dedupe in-flight computation, so without it a self-join's two
     subtrees can run the shingle+md5 pipeline twice concurrently (the
     10× scaling probe measured exponent 1.26 from exactly this).
-    Lifecycle: never unpersisted here — the returned plan is lazy, so
-    the harnesses' per-entry clearCache is the cleanup point (a
-    resident service should clearCache after materializing)."""
+    Lifecycle: registered with operators.opcache — batch harnesses
+    clearCache between entries, and the resident MCP server releases
+    tracked caches after every tool call (opcache.py documents the
+    ownership model)."""
     import functools
+
+    from mcp_trino_spark.operators.opcache import persist_tracked
 
     def band_key(b):
         return functools.reduce(
@@ -206,7 +209,7 @@ def _band_frame(mh, carry=()):
         n=NUM_BANDS,
         args=", ".join(f"{b}, band{b}" for b in range(NUM_BANDS)),
     )
-    bands = keys.select("doc_id", *carry, F.expr(stack_expr)).persist()
+    bands = persist_tracked(keys.select("doc_id", *carry, F.expr(stack_expr)))
     bands.count()
     return bands
 

@@ -175,7 +175,9 @@ def l4b_ivf_topk(spark, sf_dir):
     # probe join — persist + materialize so one job's subtrees don't
     # recompute (or race) the crossJoin+window (same lesson as the LSH
     # band cache in llm_dedup)
-    clustered = clustered.persist()
+    from mcp_trino_spark.operators.opcache import persist_tracked
+
+    clustered = persist_tracked(clustered)
     clustered.count()
     qc = clustered.filter(F.col("vec_id") == 0).select(
         F.col("cent_id").alias("q_cent"), F.col("embedding").alias("qv")
@@ -618,7 +620,9 @@ def l27_semdedup(spark, sf_dir):
     # three consumers (pair self-join a/b + the final keep/drop join):
     # persist + materialize so the crossJoin+window assignment runs once
     # instead of three concurrent times (llm_dedup's LSH cache lesson)
-    assigned = assigned.persist()
+    from mcp_trino_spark.operators.opcache import persist_tracked
+
+    assigned = persist_tracked(assigned)
     assigned.count()
     a = assigned.alias("a")
     b = assigned.alias("b")

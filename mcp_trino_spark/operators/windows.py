@@ -88,7 +88,9 @@ def _global_rank(spark, df, order_cols):
     part = df.repartitionByRange(n_parts, *order_cols).withColumn(
         "pid", F.spark_partition_id()
     )
-    part = part.persist()
+    from mcp_trino_spark.operators.opcache import persist_tracked
+
+    part = persist_tracked(part)
     counts = {
         r["pid"]: r["cnt"]
         for r in part.groupBy("pid").agg(F.count("*").alias("cnt")).collect()

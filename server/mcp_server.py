@@ -169,7 +169,18 @@ class MCPServer:
             elif method == "tools/list":
                 result = {"tools": TOOLS}
             elif method == "tools/call":
-                result = self._call_tool(msg.get("params") or {}, user=user)
+                try:
+                    result = self._call_tool(msg.get("params") or {}, user=user)
+                finally:
+                    # release operator-persisted frames (LSH bands, IVF
+                    # centroid assignments, …) once the call's result is
+                    # materialized — a resident server must not accumulate
+                    # storage memory across requests (operators/opcache.py)
+                    from mcp_trino_spark.operators.opcache import (
+                        release_operator_caches,
+                    )
+
+                    release_operator_caches()
             else:
                 return _error(msg_id, -32601, f"method not found: {method}")
             return {"jsonrpc": "2.0", "id": msg_id, "result": result}

@@ -76,6 +76,13 @@ HEADLINERS = [
     # store) and the Misra-Gries sketch rollup
     "s12_table_changes",
     "a22_misra_gries_rollup",
+    # r6: the two heaviest previously-unbenched plans — semantic dedup
+    # (IVF centroid assignment + within-cluster pairs) and duplicate
+    # clustering (iterative connected components over LSH pairs) — plus
+    # the new reduce_agg fold
+    "l27_semdedup",
+    "l21_dup_clusters",
+    "x21_reduce_agg",
 ]
 
 

@@ -250,6 +250,90 @@ def check_heavy_hitters(spark) -> None:
     report("approx_most_frequent_exact", n_rows_1x, t1, t10)
 
 
+def check_misra_gries(spark) -> None:
+    """a22's two-level Misra-Gries build at 10×: key-shifted replicas
+    grow key cardinality and per-key volume; the partial stage emits a
+    capacity-bounded summary per (key, shard), so the merge stage's
+    input stays KB-sized per key and time must track scan volume."""
+    from mcp_trino_spark.functions.heavyhitters import heavy_hitters_by, top_k
+
+    cust = load_table(spark, SF_DIR, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    )
+
+    def plan(frame):
+        return top_k(
+            heavy_hitters_by(
+                frame, "c_mktsegment", ["c_nationkey"], capacity=3, n_shards=8
+            ),
+            2,
+        )
+
+    n_rows_1x = cust.count()
+    timed(plan(cust))  # warm (forks the Python worker pool)
+    t1 = min(timed(plan(cust)) for _ in range(2))
+    c10 = replicate(cust, ["c_nationkey"], COPIES)
+    t10 = min(timed(plan(c10)) for _ in range(2))
+    report("misra_gries_two_level_build", n_rows_1x, t1, t10)
+
+
+def check_table_changes(spark) -> None:
+    """s12's version diff at 10×: two hive-partitioned COW tables (1×
+    and 10× lineitem rows, same 3 l_returnflag partitions), the same
+    single-partition UPDATE committed on each, then table_changes(0, 1)
+    timed.  The commit log prunes both diff sides to the one touched
+    partition, so time must track that partition's volume — a
+    superlinear exponent would mean the diff is re-reading the whole
+    table despite the pruning."""
+    import os
+    import shutil
+    import tempfile
+
+    from mcp_trino_spark.sources.dml import update_table
+    from mcp_trino_spark.sources.timetravel import table_changes
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
+    )
+
+    def setup(frame, name: str, tmp: str) -> None:
+        path = os.path.join(tmp, name)
+        frame.write.partitionBy("l_returnflag").parquet(path)
+        data_cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in frame.schema.fields
+            if f.name != "l_returnflag"
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(
+            f"CREATE TABLE {name} ({data_cols}, l_returnflag string) "
+            f"USING parquet PARTITIONED BY (l_returnflag) LOCATION '{path}'"
+        )
+        spark.sql(f"MSCK REPAIR TABLE {name}")
+        update_table(
+            spark, name, {"l_quantity": "l_quantity + 1"}, "l_returnflag = 'R'"
+        )
+
+    n_rows_1x = li.count()
+    tmp = tempfile.mkdtemp(prefix="s12_scale_")
+    try:
+        setup(li, "__s12_scale_1x", tmp)
+        li10 = replicate(li, ["l_orderkey"], COPIES)
+        setup(li10, "__s12_scale_10x", tmp)
+        timed(table_changes(spark, "__s12_scale_1x", 0, 1))  # warm
+        t1 = min(
+            timed(table_changes(spark, "__s12_scale_1x", 0, 1)) for _ in range(2)
+        )
+        t10 = min(
+            timed(table_changes(spark, "__s12_scale_10x", 0, 1)) for _ in range(2)
+        )
+        report("table_changes_pruned_diff", n_rows_1x, t1, t10)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS __s12_scale_1x")
+        spark.sql("DROP TABLE IF EXISTS __s12_scale_10x")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark("scaling")
     check_flagship(spark)
@@ -265,6 +349,10 @@ def main() -> None:
     check_with_ties_threshold(spark)
     spark.catalog.clearCache()
     check_heavy_hitters(spark)
+    spark.catalog.clearCache()
+    check_misra_gries(spark)
+    spark.catalog.clearCache()
+    check_table_changes(spark)
 
 
 

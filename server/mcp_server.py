@@ -276,11 +276,14 @@ class _HTTPHandler:
         auth_token: Optional[str] = None,
         jwt_secret: Optional[str] = None,
         oidc_validator=None,
+        oauth_client_secret: Optional[str] = None,
     ):
         import hmac
+        import time
         from http.server import BaseHTTPRequestHandler
+        from urllib.parse import parse_qs
 
-        from mcp_trino_spark.auth import JWTError, authenticate_bearer
+        from mcp_trino_spark.auth import JWTError, authenticate_bearer, encode_hs256
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
@@ -370,6 +373,67 @@ class _HTTPHandler:
                     }
                 ).encode()
 
+            def _auth_server_metadata(self) -> bytes:
+                """RFC 8414 authorization-server metadata — served only
+                in hmac-JWT mode, where this process IS the
+                authorization server the protected-resource metadata
+                points at (the reference mounts the same pair through
+                oauth-mcp-proxy, mcp/server.go:95-96; in OIDC mode the
+                IdP publishes its own and we must not shadow it)."""
+                mcp_url = os.environ.get("MCP_URL", "http://localhost:8080")
+                return json.dumps(
+                    {
+                        "issuer": mcp_url,
+                        "token_endpoint": f"{mcp_url}/oauth/token",
+                        "grant_types_supported": ["client_credentials"],
+                        "token_endpoint_auth_methods_supported": [
+                            "client_secret_post"
+                        ],
+                        "response_types_supported": ["token"],
+                    }
+                ).encode()
+
+            def _token_endpoint(self) -> None:
+                """Minimal OAuth2 client_credentials grant: a client
+                presenting the provisioned shared secret receives a
+                short-lived HS256 JWT (sub = client_id) that the /mcp
+                bearer validation accepts — the hmac-provider loop the
+                reference delegates to oauth-mcp-proxy."""
+                if not (
+                    jwt_secret
+                    and oauth_client_secret
+                    and oidc_validator is None
+                ):
+                    self._reply(404, b'{"error":"not found"}')
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                form = parse_qs(self.rfile.read(n).decode("utf-8", "replace"))
+                grant = (form.get("grant_type") or [""])[0]
+                cid = (form.get("client_id") or [""])[0]
+                csec = (form.get("client_secret") or [""])[0]
+                if grant != "client_credentials":
+                    self._reply(400, b'{"error":"unsupported_grant_type"}')
+                    return
+                if not cid or not hmac.compare_digest(
+                    csec.encode("utf-8"), oauth_client_secret.encode("utf-8")
+                ):
+                    self._reply(401, b'{"error":"invalid_client"}')
+                    return
+                now = int(time.time())
+                token = encode_hs256(
+                    {"sub": cid, "iat": now, "exp": now + 3600}, jwt_secret
+                )
+                self._reply(
+                    200,
+                    json.dumps(
+                        {
+                            "access_token": token,
+                            "token_type": "Bearer",
+                            "expires_in": 3600,
+                        }
+                    ).encode(),
+                )
+
             def _cors(self):
                 self.send_header("Access-Control-Allow-Origin", "*")
                 self.send_header("Access-Control-Allow-Methods", "GET, POST, DELETE, OPTIONS")
@@ -395,10 +459,18 @@ class _HTTPHandler:
                     # discovery stays open: clients fetch it precisely
                     # when they do not yet hold a token
                     self._reply(200, self._protected_resource_metadata())
+                elif self.path in (
+                    "/.well-known/oauth-authorization-server",
+                    "/.well-known/oauth-metadata",  # legacy alias, mcp/server.go:125
+                ) and (jwt_secret and oidc_validator is None):
+                    self._reply(200, self._auth_server_metadata())
                 else:
                     self._reply(404, b'{"error":"not found"}')
 
             def do_POST(self):
+                if self.path == "/oauth/token":
+                    self._token_endpoint()
+                    return
                 if self.path not in ("/mcp", "/sse"):
                     self._reply(404, b'{"error":"not found"}')
                     return
@@ -433,6 +505,7 @@ def serve_http(
     oidc_validator=None,
     tls_cert: Optional[str] = None,
     tls_key: Optional[str] = None,
+    oauth_client_secret: Optional[str] = None,
 ) -> None:
     """Blocking HTTP(S) transport: /mcp, /sse (legacy), /status.
 
@@ -472,6 +545,10 @@ def serve_http(
             jwt_secret = None
     if auth_token is None:
         auth_token = os.environ.get("MCP_AUTH_TOKEN") or None
+    if oauth_client_secret is None:
+        # enables the hmac-mode /oauth/token endpoint (client_credentials
+        # grant issuing HS256 JWTs); requires JWT_SECRET to mean anything
+        oauth_client_secret = os.environ.get("OAUTH_CLIENT_SECRET") or None
     if tls_cert is None:
         tls_cert = os.environ.get("MCP_TLS_CERT") or None
     if tls_key is None:
@@ -485,6 +562,7 @@ def serve_http(
             auth_token=auth_token,
             jwt_secret=jwt_secret,
             oidc_validator=oidc_validator,
+            oauth_client_secret=oauth_client_secret,
         ),
     )
     if tls_cert:

@@ -499,3 +499,139 @@ def test_static_token_non_ascii_is_401(server):
             assert e.code == 401
     finally:
         httpd.shutdown()
+
+
+def test_oauth_token_endpoint_and_metadata(server):
+    """hmac-mode authorization-server surface (reference mounts the same
+    pair through oauth-mcp-proxy, mcp/server.go:95-96): RFC 8414
+    metadata (+ legacy alias) is served, and the client_credentials
+    grant issues an HS256 JWT that the /mcp bearer validation accepts
+    with sub as the attribution identity."""
+    import json as _json
+    import threading
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from server.mcp_server import _HTTPHandler
+
+    httpd = ThreadingHTTPServer(
+        ("localhost", 0),
+        _HTTPHandler.make(
+            server, jwt_secret="jwt-s3cret", oauth_client_secret="cl-s3cret"
+        ),
+    )
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        base = f"http://localhost:{port}"
+        for path in (
+            "/.well-known/oauth-authorization-server",
+            "/.well-known/oauth-metadata",
+        ):
+            with urllib.request.urlopen(f"{base}{path}") as r:
+                meta = _json.loads(r.read())
+            assert meta["token_endpoint"].endswith("/oauth/token")
+            assert meta["grant_types_supported"] == ["client_credentials"]
+
+        def token_post(form):
+            req = urllib.request.Request(
+                f"{base}/oauth/token",
+                data=urllib.parse.urlencode(form).encode(),
+                headers={"Content-Type": "application/x-www-form-urlencoded"},
+            )
+            with urllib.request.urlopen(req) as r:
+                return r.status, _json.loads(r.read())
+
+        status, body = token_post(
+            {
+                "grant_type": "client_credentials",
+                "client_id": "alice",
+                "client_secret": "cl-s3cret",
+            }
+        )
+        assert status == 200 and body["token_type"] == "Bearer"
+        # the issued token authorizes an MCP call
+        payload = _json.dumps(
+            {
+                "jsonrpc": "2.0",
+                "id": 1,
+                "method": "tools/call",
+                "params": {
+                    "name": "execute_query",
+                    "arguments": {"query": "SELECT 1 AS one"},
+                },
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"{base}/mcp",
+            data=payload,
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"Bearer {body['access_token']}",
+            },
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+        # wrong secret → 401 invalid_client; wrong grant → 400
+        for form, want in (
+            (
+                {
+                    "grant_type": "client_credentials",
+                    "client_id": "alice",
+                    "client_secret": "nope",
+                },
+                401,
+            ),
+            (
+                {
+                    "grant_type": "authorization_code",
+                    "client_id": "alice",
+                    "client_secret": "cl-s3cret",
+                },
+                400,
+            ),
+        ):
+            try:
+                token_post(form)
+                raise AssertionError("expected HTTPError")
+            except urllib.error.HTTPError as e:
+                assert e.code == want
+    finally:
+        httpd.shutdown()
+
+
+def test_oauth_metadata_absent_outside_hmac_mode(server):
+    """No JWT secret (or OIDC mode, where the IdP owns the metadata) →
+    the authorization-server endpoints must not exist."""
+    import threading
+    import urllib.error
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from server.mcp_server import _HTTPHandler
+
+    httpd = ThreadingHTTPServer(
+        ("localhost", 0), _HTTPHandler.make(server, auth_token="s3cret")
+    )
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        base = f"http://localhost:{port}"
+        for path in (
+            "/.well-known/oauth-authorization-server",
+            "/oauth/token",
+        ):
+            try:
+                if path == "/oauth/token":
+                    urllib.request.urlopen(
+                        urllib.request.Request(f"{base}{path}", data=b"x=1")
+                    )
+                else:
+                    urllib.request.urlopen(f"{base}{path}")
+                raise AssertionError("expected 404")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+    finally:
+        httpd.shutdown()

@@ -56,7 +56,10 @@ def release_operator_caches() -> int:
     released = 0
     for df in frames:
         try:
-            df.unpersist()
+            # blocking: the caller's contract is "storage is back to
+            # baseline when this returns" — async unpersist leaves the
+            # blocks live for an unbounded moment
+            df.unpersist(blocking=True)
             released += 1
         except Exception:  # noqa: BLE001 — cleanup must never mask results
             pass

@@ -344,6 +344,126 @@ _COMPAT_SQL_UDFS = {
         " + extract(MINUTE FROM i) * 60000 + extract(SECOND FROM i) * 1000"
         " AS BIGINT)",
     ),
+    # ---- dialect batch 9 (gap-hunt round 3) ----
+    # IEEE-754 finiteness predicates (Trino math functions)
+    "is_finite": (
+        "(x DOUBLE)",
+        "BOOLEAN",
+        "CASE WHEN x IS NULL THEN NULL"
+        " ELSE NOT (isnan(x) OR abs(x) = double('Infinity')) END",
+    ),
+    "is_infinite": (
+        "(x DOUBLE)",
+        "BOOLEAN",
+        "CASE WHEN x IS NULL THEN NULL"
+        " ELSE abs(x) = double('Infinity') END",
+    ),
+    # erf via Abramowitz & Stegun 7.1.26 (|error| <= 1.5e-7 — the
+    # classical closed-form rational approximation; Spark has no erf).
+    # Split into a Horner-polynomial helper so t = 1/(1+p|x|) is written
+    # once (SQL UDFs have no local bindings).
+    "__erf_poly": (
+        "(t DOUBLE)",
+        "DOUBLE",
+        "((((1.061405429D * t - 1.453152027D) * t + 1.421413741D) * t"
+        " - 0.284496736D) * t + 0.254829592D) * t",
+    ),
+    "__erf": (
+        "(x DOUBLE)",
+        "DOUBLE",
+        "sign(x) * (1.0D - __erf_poly(1.0D / (1.0D + 0.3275911D * abs(x)))"
+        " * exp(-x * x))",
+    ),
+    "normal_cdf": (
+        "(m DOUBLE, sd DOUBLE, v DOUBLE)",
+        "DOUBLE",
+        "CASE WHEN m IS NULL OR sd IS NULL OR v IS NULL THEN NULL"
+        " WHEN sd <= 0.0D THEN"
+        " raise_error('normal_cdf: standardDeviation must be > 0')"
+        " ELSE 0.5D * (1.0D + __erf((v - m) / (sd * sqrt(2.0D)))) END",
+    ),
+    # probit via Acklam's rational approximation (relative error
+    # ~1.15e-9 — the widely published inverse-normal algorithm), split
+    # per region: tail rational in q = sqrt(-2 ln p), central rational
+    # in r = (p - 1/2)^2
+    "__probit_tail": (
+        "(q DOUBLE)",
+        "DOUBLE",
+        "(((((-7.784894002430293e-03D * q - 3.223964580411365e-01D) * q"
+        " - 2.400758277161838e+00D) * q - 2.549732539343734e+00D) * q"
+        " + 4.374664141464968e+00D) * q + 2.938163982698783e+00D)"
+        " / ((((7.784695709041462e-03D * q + 3.224671290700398e-01D) * q"
+        " + 2.445134137142996e+00D) * q + 3.754408661907416e+00D) * q"
+        " + 1.0D)",
+    ),
+    "__probit_central": (
+        "(q DOUBLE, r DOUBLE)",
+        "DOUBLE",
+        "q * (((((-3.969683028665376e+01D * r + 2.209460984245205e+02D) * r"
+        " - 2.759285104469687e+02D) * r + 1.383577518672690e+02D) * r"
+        " - 3.066479806614716e+01D) * r + 2.506628277459239e+00D)"
+        " / (((((-5.447609879822406e+01D * r + 1.615858368580409e+02D) * r"
+        " - 1.556989798598866e+02D) * r + 6.680131188771972e+01D) * r"
+        " - 1.328068155288572e+01D) * r + 1.0D)",
+    ),
+    "__probit": (
+        "(p DOUBLE)",
+        "DOUBLE",
+        "CASE WHEN p < 0.02425D THEN __probit_tail(sqrt(-2.0D * ln(p)))"
+        " WHEN p > 0.97575D THEN -__probit_tail(sqrt(-2.0D * ln(1.0D - p)))"
+        " ELSE __probit_central(p - 0.5D, (p - 0.5D) * (p - 0.5D)) END",
+    ),
+    "inverse_normal_cdf": (
+        "(m DOUBLE, sd DOUBLE, p DOUBLE)",
+        "DOUBLE",
+        "CASE WHEN m IS NULL OR sd IS NULL OR p IS NULL THEN NULL"
+        " WHEN sd <= 0.0D THEN"
+        " raise_error('inverse_normal_cdf: standardDeviation must be > 0')"
+        " WHEN p <= 0.0D OR p >= 1.0D THEN"
+        " raise_error('inverse_normal_cdf: p must be in (0, 1)')"
+        " ELSE m + sd * __probit(p) END",
+    ),
+    # session.py pins the engine to UTC (Trino-faithful instant
+    # semantics): every timestamp in a query evaluates at offset zero,
+    # so the zone-offset extractors are constant — kept as functions so
+    # Trino SQL using them parses and returns the truthful value
+    "timezone_hour": (
+        "(t TIMESTAMP)",
+        "BIGINT",
+        "CASE WHEN t IS NULL THEN NULL ELSE 0L END",
+    ),
+    "timezone_minute": (
+        "(t TIMESTAMP)",
+        "BIGINT",
+        "CASE WHEN t IS NULL THEN NULL ELSE 0L END",
+    ),
+    # Trino is_json_scalar: true for number/string/true/false/null JSON,
+    # false for arrays/objects.  Per-type dispatch via variant (the
+    # json_array_contains machinery); the literal 'null' is checked
+    # textually because parse_json('null') is a variant null, not an
+    # error.  Malformed input → false (Trino raises; the permissive
+    # choice matches this layer's other json functions).
+    "is_json_scalar": (
+        "(j STRING)",
+        "BOOLEAN",
+        "CASE WHEN j IS NULL THEN NULL"
+        " WHEN trim(j) = 'null' THEN true"
+        " WHEN try_parse_json(j) IS NULL THEN false"
+        " ELSE schema_of_variant(try_parse_json(j)) NOT LIKE 'ARRAY%'"
+        " AND schema_of_variant(try_parse_json(j)) NOT LIKE 'OBJECT%'"
+        " AND schema_of_variant(try_parse_json(j)) NOT LIKE 'STRUCT%' END",
+    ),
+    # Trino multimap_from_entries(array(row(K, V))) → map<K, array<V>>.
+    # String-typed like split_to_multimap (SQL UDFs need a concrete
+    # signature; Trino's is generic) — entries coerce positionally.
+    # Values for a repeated key aggregate in input order.
+    "multimap_from_entries": (
+        "(a ARRAY<STRUCT<k STRING, v STRING>>)",
+        "MAP<STRING, ARRAY<STRING>>",
+        "map_from_entries(transform(array_distinct(transform(a, __e -> __e.k)),"
+        " __k -> struct(__k, transform(filter(a, __e -> __e.k = __k),"
+        " __e -> __e.v))))",
+    ),
 }
 
 #: plain renames applied outside literals (aggregates and exact-arity
@@ -391,6 +511,7 @@ _RENAMES = [
     (re.compile(r"\bregexp_split\s*\(", re.IGNORECASE), "split("),
     (re.compile(r"\bbitwise_and_agg\s*\(", re.IGNORECASE), "bit_and("),
     (re.compile(r"\bbitwise_or_agg\s*\(", re.IGNORECASE), "bit_or("),
+    (re.compile(r"\bbitwise_xor_agg\s*\(", re.IGNORECASE), "bit_xor("),
     # Trino repeat(elem, n) builds an ARRAY (its string-repeat is via
     # concat); Spark's repeat is string-repeat, so the name must move
     (re.compile(r"\brepeat\s*\(", re.IGNORECASE), "array_repeat("),
@@ -613,6 +734,72 @@ def install_compat_functions(spark) -> None:
 
     _hrs_impl.__annotations__ = {"s": pd.Series, "return": pd.Series}
     spark.udf.register("human_readable_seconds", pandas_udf(_hrs_impl, "string"))
+
+    # beta_cdf: regularized incomplete beta I_x(a, b) via the classical
+    # continued-fraction expansion (modified Lentz iteration — standard
+    # public numerical method; scipy is not in the sandbox and the
+    # iteration has no closed SQL form).  Arrow-vectorized over numpy;
+    # fixed 200 iterations converge to ~1e-14 for all admissible (a, b).
+    # Domain errors raise like Trino's INVALID_FUNCTION_ARGUMENT.
+    import numpy as _np
+    from math import lgamma as _lgamma
+
+    def _betacf(a, b, x):
+        FPMIN = 1e-300
+        qab, qap, qam = a + b, a + 1.0, a - 1.0
+        c = _np.ones_like(x)
+        d = 1.0 - qab * x / qap
+        d = _np.where(_np.abs(d) < FPMIN, FPMIN, d)
+        d = 1.0 / d
+        h = d.copy()
+        for m in range(1, 201):
+            m2 = 2 * m
+            aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+            d = 1.0 + aa * d
+            d = 1.0 / _np.where(_np.abs(d) < FPMIN, FPMIN, d)
+            c = 1.0 + aa / c
+            c = _np.where(_np.abs(c) < FPMIN, FPMIN, c)
+            h = h * d * c
+            aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+            d = 1.0 + aa * d
+            d = 1.0 / _np.where(_np.abs(d) < FPMIN, FPMIN, d)
+            c = 1.0 + aa / c
+            c = _np.where(_np.abs(c) < FPMIN, FPMIN, c)
+            h = h * d * c
+        return h
+
+    def _beta_cdf_impl(a, b, v):
+        av = _np.asarray(a, dtype=float)
+        bv = _np.asarray(b, dtype=float)
+        xv = _np.asarray(v, dtype=float)
+        ok = ~(_np.isnan(av) | _np.isnan(bv) | _np.isnan(xv))
+        if _np.any(ok & ((av <= 0) | (bv <= 0))):
+            raise ValueError("beta_cdf: a and b must be > 0")
+        if _np.any(ok & ((xv < 0) | (xv > 1))):
+            raise ValueError("beta_cdf: value must be in [0, 1]")
+        lg = _np.vectorize(_lgamma, otypes=[float])
+        with _np.errstate(all="ignore"):
+            # symmetry: compute the direct series where it converges
+            # fastest, else 1 - I_{1-x}(b, a)
+            direct = xv < (av + 1.0) / (av + bv + 2.0)
+            aa_ = _np.where(direct, av, bv)
+            bb_ = _np.where(direct, bv, av)
+            xx = _np.where(direct, xv, 1.0 - xv)
+            xs = _np.clip(xx, 1e-300, 1.0 - 1e-16)
+            lbeta = lg(aa_) + lg(bb_) - lg(aa_ + bb_)
+            front = _np.exp(
+                aa_ * _np.log(xs) + bb_ * _np.log1p(-xs) - lbeta
+            )
+            res = front * _betacf(aa_, bb_, xs) / aa_
+            res = _np.where(direct, res, 1.0 - res)
+            res = _np.where(xv <= 0.0, 0.0, _np.where(xv >= 1.0, 1.0, res))
+            res = _np.where(ok, res, _np.nan)
+        return pd.Series(res)
+
+    _beta_cdf_impl.__annotations__ = {
+        "a": pd.Series, "b": pd.Series, "v": pd.Series, "return": pd.Series,
+    }
+    spark.udf.register("beta_cdf", pandas_udf(_beta_cdf_impl, "double"))
     setattr(spark, _INSTALLED_ATTR, True)
 
 
@@ -2708,6 +2895,58 @@ def _rewrite_combinations(q: str) -> str:
         q = q[: m.start()] + _combinations_sql(args[0].strip(), n) + q[i:]
 
 
+_ENTROPY_HEAD = re.compile(r"\bentropy\s*\(", re.IGNORECASE)
+_MAP_UNION_HEAD = re.compile(r"\bmap_union\s*\(", re.IGNORECASE)
+
+
+def _rewrite_entropy(q: str) -> str:
+    """Trino ``entropy(c)`` — log-2 Shannon entropy of per-row bigint
+    counts — as two same-shuffle aggregates: with s = Σc,
+    -Σ (c/s)·log2(c/s) = log2(s) - (Σ c·log2(c)) / s.  Zero counts
+    contribute 0 (the x→0 limit of x·log2 x, Trino's behavior); an
+    all-zero/empty group has no defined entropy and yields NULL here
+    (Trino returns 0 — divergence documented rather than special-cased,
+    since the closed form keeps the whole aggregation in one partial+
+    final pass instead of collecting counts)."""
+    start = 0
+    while True:
+        found = _find_call(q, _ENTROPY_HEAD, start)
+        if found is None:
+            return q
+        m, bs, be = found
+        arg = q[bs:be].strip()
+        repl = (
+            f"(log2(sum({arg})) - sum(CASE WHEN ({arg}) > 0 THEN"
+            f" ({arg}) * log2({arg}) ELSE 0.0D END) / sum({arg}))"
+        )
+        q = q[: m.start()] + repl + q[be + 1 :]
+        start = m.start() + len(repl)
+
+
+def _rewrite_map_union(q: str) -> str:
+    """Trino ``map_union(m)`` aggregate: union of the group's maps,
+    first-collected value winning a duplicate key (Trino's pick is
+    explicitly arbitrary).  Composed from collect_list(map_entries) +
+    higher-order dedup — the two identical collect_list subtrees
+    deduplicate in the aggregation, and group state is map-sized by
+    construction (maps in, one map out)."""
+    start = 0
+    while True:
+        found = _find_call(q, _MAP_UNION_HEAD, start)
+        if found is None:
+            return q
+        m, bs, be = found
+        arg = q[bs:be].strip()
+        ent = f"flatten(collect_list(map_entries({arg})))"
+        repl = (
+            f"map_from_entries(transform(array_distinct(transform({ent},"
+            f" __e -> __e.key)), __k -> struct(__k, filter({ent},"
+            f" __e -> __e.key = __k)[0].value)))"
+        )
+        q = q[: m.start()] + repl + q[be + 1 :]
+        start = m.start() + len(repl)
+
+
 _REDUCE_AGG_HEAD = re.compile(r"\breduce_agg\s*\(", re.IGNORECASE)
 
 #: reduce_agg's emulation buffers each group's values in one task
@@ -2797,6 +3036,8 @@ def translate(query: str) -> str:
     query = _rewrite_split(query)
     query = _rewrite_split_to_map(query)
     query = _rewrite_map_agg(query)
+    query = _rewrite_entropy(query)
+    query = _rewrite_map_union(query)
     query = _rewrite_cast_types(query)
     query = _rewrite_from_unixtime(query)
     query = _rewrite_normalize(query)

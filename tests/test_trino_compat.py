@@ -1800,3 +1800,111 @@ def test_with_ties_randomized_equivalence_vs_rank(spark):
         )
         assert got == want, (case, keyspec, n, got, want)
         spark.catalog.dropTempView(view)
+
+
+# ---------------------------------------------------------------------------
+# dialect batch 9 (gap-hunt round 3)
+
+
+def test_finiteness_predicates(spark):
+    r = run(spark, "SELECT is_finite(1.0E0) AS a, is_finite(infinity()) AS b,"
+                   " is_finite(nan()) AS c, is_infinite(infinity()) AS d,"
+                   " is_infinite(2.0E0) AS e, is_finite(NULL) AS f")[0]
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"], r["f"]) == (
+        True, False, False, True, False, None)
+
+
+def test_normal_cdf_and_inverse(spark):
+    # A&S-erf forward CDF (|err| <= 1.5e-7) and Acklam probit
+    # (rel err ~1e-9) — checked against the standard table values
+    r = run(spark, "SELECT normal_cdf(0.0E0, 1.0E0, 1.96E0) AS a,"
+                   " normal_cdf(10.0E0, 2.0E0, 10.0E0) AS b,"
+                   " inverse_normal_cdf(0.0E0, 1.0E0, 0.975E0) AS c,"
+                   " inverse_normal_cdf(5.0E0, 2.0E0, 0.5E0) AS d,"
+                   " inverse_normal_cdf(0.0E0, 1.0E0, 0.01E0) AS e")[0]
+    assert abs(r["a"] - 0.9750021) < 1e-4
+    assert abs(r["b"] - 0.5) < 1e-9
+    assert abs(r["c"] - 1.959964) < 1e-4
+    assert abs(r["d"] - 5.0) < 1e-9
+    assert abs(r["e"] + 2.326348) < 1e-4
+    # round-trip: probit(cdf(x)) == x across the tails and center
+    r = run(spark, "SELECT max(abs(inverse_normal_cdf(0.0E0, 1.0E0,"
+                   " normal_cdf(0.0E0, 1.0E0, x)) - x)) AS mx FROM"
+                   " (SELECT (id - 15) / 5.0E0 AS x FROM"
+                   " (SELECT * FROM range(31)))")[0]
+    assert r["mx"] < 2e-3  # limited by the 1.5e-7 erf error in the tails
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="standardDeviation"):
+        run(spark, "SELECT normal_cdf(0.0E0, 0.0E0, 1.0E0)")
+    with _pytest.raises(Exception, match="in \\(0, 1\\)"):
+        run(spark, "SELECT inverse_normal_cdf(0.0E0, 1.0E0, 1.5E0)")
+
+
+def test_beta_cdf(spark):
+    # closed-form checks: I_x(1,1) = x; I_0.5(2,5) = 57/64 = 0.890625
+    # (finite binomial sum); boundaries exact
+    r = run(spark, "SELECT beta_cdf(1.0E0, 1.0E0, 0.3E0) AS a,"
+                   " beta_cdf(2.0E0, 5.0E0, 0.5E0) AS b,"
+                   " beta_cdf(2.0E0, 5.0E0, 0.0E0) AS c,"
+                   " beta_cdf(2.0E0, 5.0E0, 1.0E0) AS d,"
+                   " beta_cdf(5.0E0, 2.0E0, 0.5E0) AS e")[0]
+    assert abs(r["a"] - 0.3) < 1e-12
+    assert abs(r["b"] - 0.890625) < 1e-12
+    assert r["c"] == 0.0 and r["d"] == 1.0
+    assert abs(r["e"] - (1.0 - 0.890625)) < 1e-12  # symmetry branch
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="beta_cdf"):
+        run(spark, "SELECT beta_cdf(-1.0E0, 1.0E0, 0.5E0)")
+
+
+def test_timezone_offset_extractors(spark):
+    # session.py pins UTC, so every timestamp evaluates at offset zero
+    r = run(spark, "SELECT timezone_hour(TIMESTAMP '2026-01-01 00:00:00') AS h,"
+                   " timezone_minute(TIMESTAMP '2026-06-01 12:00:00') AS m,"
+                   " timezone_hour(CAST(NULL AS TIMESTAMP)) AS n")[0]
+    assert (r["h"], r["m"], r["n"]) == (0, 0, None)
+
+
+def test_is_json_scalar(spark):
+    r = run(spark, "SELECT is_json_scalar('1') AS a,"
+                   " is_json_scalar('\"abc\"') AS b,"
+                   " is_json_scalar('null') AS c,"
+                   " is_json_scalar('true') AS d,"
+                   " is_json_scalar('[1,2]') AS e,"
+                   " is_json_scalar('{\"a\":1}') AS f,"
+                   " is_json_scalar(NULL) AS g")[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (True, True, True, True)
+    assert (r["e"], r["f"], r["g"]) == (False, False, None)
+
+
+def test_multimap_from_entries(spark):
+    r = run(spark, "SELECT multimap_from_entries("
+                   "ARRAY[ROW('a','1'), ROW('b','2'), ROW('a','3')]) AS m")[0]
+    assert r["m"] == {"a": ["1", "3"], "b": ["2"]}
+
+
+def test_entropy_aggregate(spark):
+    # counts (1,1,2): H = 1.5 bits; zero counts contribute 0
+    r = run(spark, "SELECT entropy(x) AS e FROM (VALUES (1),(1),(2)) t(x)")[0]
+    assert abs(r["e"] - 1.5) < 1e-12
+    r = run(spark, "SELECT entropy(c) AS e FROM (VALUES (0),(4)) t(c)")[0]
+    assert abs(r["e"]) < 1e-12
+    r = run(spark, "SELECT g, entropy(c) AS e FROM (VALUES (1,2),(1,2),(2,4))"
+                   " t(g,c) GROUP BY g ORDER BY g")
+    assert abs(r[0]["e"] - 1.0) < 1e-12 and abs(r[1]["e"]) < 1e-12
+
+
+def test_map_union_and_bitwise_xor_agg(spark):
+    r = run(spark, "SELECT map_union(m) AS r FROM (VALUES"
+                   " (MAP(ARRAY['a'], ARRAY[1])),"
+                   " (MAP(ARRAY['b'], ARRAY[2]))) t(m)")[0]
+    assert r["r"] == {"a": 1, "b": 2}
+    # duplicate key: one of the values wins (Trino: arbitrary)
+    r = run(spark, "SELECT map_union(m) AS r FROM (VALUES"
+                   " (MAP(ARRAY['a'], ARRAY[1])),"
+                   " (MAP(ARRAY['a'], ARRAY[9]))) t(m)")[0]
+    assert set(r["r"]) == {"a"} and r["r"]["a"] in (1, 9)
+    r = run(spark, "SELECT bitwise_xor_agg(x) AS r FROM (VALUES (5),(3)) t(x)")[0]
+    assert r["r"] == 6

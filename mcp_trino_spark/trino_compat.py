@@ -2895,6 +2895,219 @@ def _rewrite_combinations(q: str) -> str:
         q = q[: m.start()] + _combinations_sql(args[0].strip(), n) + q[i:]
 
 
+#: Trino quantile-sketch SQL surface.  The composed spellings
+#: ``value_at_quantile(qdigest_agg(x), p)`` (and tdigest_agg /
+#: values_at_quantiles) ARE the approximate-quantile contract, so they
+#: rewrite to percentile_approx directly — same algorithm family
+#: (mergeable rank sketch), same error envelope.  Stored-sketch reads
+#: (value_at_quantile over a persisted qdigest column) have no Spark
+#: SQL twin and fail loudly; functions/qdigest.py is the API for
+#: sketch persistence and rollup.
+_VAQ_HEAD = re.compile(
+    r"\bvalues?_at_quantiles?\s*\(\s*(?:qdigest_agg|tdigest_agg)\s*\(",
+    re.IGNORECASE,
+)
+_VAQ_ANY = re.compile(r"\bvalues?_at_quantiles?\s*\(", re.IGNORECASE)
+
+
+def _rewrite_quantile_sketches(q: str) -> str:
+    start = 0
+    while True:
+        found = _find_call(q, _VAQ_HEAD, start)
+        if found is None:
+            break
+        # _find_call's span is the INNER (qdigest_agg) argument list —
+        # the head pattern ends at the inner '(' — so the quantile
+        # argument sits between the inner ')' and the outer ')'
+        m, bs, inner_close = found
+        x = q[bs:inner_close].strip()
+        outer_close = _paren_close(q, inner_close + 1)
+        rest = q[inner_close + 1 : outer_close].strip()
+        if not rest.startswith(","):
+            raise TrinoCompatError(
+                "value_at_quantile(qdigest_agg(x), q): unsupported argument shape"
+            )
+        repl = f"percentile_approx({x}, {rest[1:].strip()})"
+        q = q[: m.start()] + repl + q[outer_close + 1 :]
+        start = m.start() + len(repl)
+    mask = _code_mask(q)
+    stray = next((c for c in _VAQ_ANY.finditer(q) if mask[c.start()]), None)
+    if stray:
+        raise TrinoCompatError(
+            "value_at_quantile over a stored/merged qdigest/tdigest "
+            "sketch is not supported — compose it directly with "
+            "qdigest_agg/tdigest_agg, or use the qdigest rollup API "
+            "(functions/qdigest.py) for persisted sketches"
+        )
+    return q
+
+
+def _paren_close(s: str, start: int) -> int:
+    """Index of the ')' matching the '(' just before ``start``."""
+    smask = _code_mask(s)
+    d, i = 1, start
+    while i < len(s) and d:
+        if smask[i] and s[i] == "(":
+            d += 1
+        elif smask[i] and s[i] == ")":
+            d -= 1
+        i += 1
+    return i - 1
+
+
+#: SQL/JSON standard functions (json_value/json_query/json_exists).
+#: Trino's full grammar takes path modes and ON EMPTY / ON ERROR
+#: clauses; the plain two-argument form with a literal
+#: ``'strict $.path'`` / ``'lax $.path'`` covers the overwhelmingly
+#: common usage and maps onto the existing Trino-exact json_extract
+#: machinery (mode stripped — this engine's extractors are lax-shaped,
+#: returning NULL where strict mode would error).
+_SQL_JSON_HEAD = re.compile(
+    r"\b(json_value|json_query|json_exists)\s*\(", re.IGNORECASE
+)
+_SQL_JSON_PATH_LIT = re.compile(r"^'\s*(?:strict|lax)\s+(\$[^']*)'$", re.IGNORECASE)
+
+
+def _rewrite_sql_json(q: str) -> str:
+    start = 0
+    while True:
+        found = _find_call(q, _SQL_JSON_HEAD, start)
+        if found is None:
+            return q
+        m, bs, be = found
+        fn = m.group(1).lower()
+        args = _split_top_args(q[bs:be])
+        if len(args) != 2:
+            raise TrinoCompatError(
+                f"{fn}: only the two-argument form "
+                f"{fn}(json, 'strict $.path') is supported "
+                "(ON EMPTY / ON ERROR clauses are not)"
+            )
+        pm = _SQL_JSON_PATH_LIT.match(args[1].strip())
+        if pm is None:
+            raise TrinoCompatError(
+                f"{fn}: the path must be a literal 'strict $...' or "
+                f"'lax $...' string, got {args[1].strip()!r}"
+            )
+        path = pm.group(1).strip()
+        if fn == "json_value":
+            repl = f"json_extract_scalar({args[0]}, '{path}')"
+        elif fn == "json_query":
+            repl = f"json_extract({args[0]}, '{path}')"
+        else:  # json_exists
+            repl = f"(json_extract({args[0]}, '{path}') IS NOT NULL)"
+        q = q[: m.start()] + repl + q[be + 1 :]
+        start = m.start() + len(repl)
+
+
+_TRIM_ARRAY_HEAD = re.compile(r"\btrim_array\s*\(", re.IGNORECASE)
+_ARRAY_CUM_SUM_HEAD = re.compile(r"\barray_cum_sum\s*\(", re.IGNORECASE)
+_ARRAY_HISTOGRAM_HEAD = re.compile(r"\barray_histogram\s*\(", re.IGNORECASE)
+
+
+def _rewrite_array_batch10(q: str) -> str:
+    """Type-generic array functions Spark lacks, composed from HOFs so
+    any element type works (a SQL UDF would pin one signature):
+
+    - ``trim_array(a, n)`` → slice off the last n (errors past the
+      length, like Trino's INVALID_FUNCTION_ARGUMENT)
+    - ``array_cum_sum(a)`` → running-sum fold that seeds with the
+      array's own empty slice (keeps the element type) and goes NULL
+      from the first NULL element onward (Trino's contract)
+    - ``array_histogram(a)`` → map value→count over distinct non-null
+      elements (null-safe membership count per value)
+    """
+    for head, render in (
+        (
+            _TRIM_ARRAY_HEAD,
+            lambda a, n: (
+                f"CASE WHEN ({n}) < 0 OR ({n}) > size({a}) THEN"
+                f" raise_error('trim_array: size must be in [0, cardinality])')"
+                f" ELSE slice({a}, 1, size({a}) - ({n})) END"
+            ),
+        ),
+        (
+            _ARRAY_CUM_SUM_HEAD,
+            lambda a: (
+                f"aggregate({a}, slice({a}, 1, 0), (__acc, __x) ->"
+                f" concat(__acc, array(CASE WHEN __x IS NULL OR"
+                f" (size(__acc) > 0 AND try_element_at(__acc, -1) IS NULL)"
+                f" THEN NULL ELSE coalesce(try_element_at(__acc, -1), 0) + __x"
+                f" END)))"
+            ),
+        ),
+        (
+            _ARRAY_HISTOGRAM_HEAD,
+            lambda a: (
+                f"map_from_entries(transform(array_distinct(filter({a},"
+                f" __x -> __x IS NOT NULL)), __k -> struct(__k,"
+                f" CAST(size(filter({a}, __x -> __x <=> __k)) AS BIGINT))))"
+            ),
+        ),
+    ):
+        start = 0
+        while True:
+            found = _find_call(q, head, start)
+            if found is None:
+                break
+            m, bs, be = found
+            args = _split_top_args(q[bs:be])
+            try:
+                repl = render(*args)
+            except TypeError:
+                raise TrinoCompatError(
+                    f"{q[m.start():m.end()].strip('( ')}: wrong argument count"
+                ) from None
+            q = q[: m.start()] + repl + q[be + 1 :]
+            start = m.start() + len(repl)
+    return q
+
+
+#: two-arg word_stem: only English is available (Porter); strip the
+#: language when it says so, refuse others rather than mis-stem
+_WORD_STEM2 = re.compile(r"\bword_stem\s*\(", re.IGNORECASE)
+#: Trino names anonymous ROW fields field0..fieldN; Spark names them
+#: col1..colN.  Only the `).fieldN` spelling rewrites (a field access
+#: on a parenthesized row expression) — a real column named fieldN is
+#: written `t.fieldN` / bare and stays untouched.
+_ROW_FIELDN = re.compile(r"\)\s*\.\s*field(\d+)\b")
+
+
+def _rewrite_word_stem_lang(q: str) -> str:
+    start = 0
+    while True:
+        found = _find_call(q, _WORD_STEM2, start)
+        if found is None:
+            return q
+        m, bs, be = found
+        args = _split_top_args(q[bs:be])
+        if len(args) == 1:
+            start = be + 1
+            continue
+        if len(args) == 2 and re.fullmatch(r"(?i)'en'", args[1].strip()):
+            repl = f"word_stem({args[0]})"
+            q = q[: m.start()] + repl + q[be + 1 :]
+            start = m.start() + len(repl)
+            continue
+        raise TrinoCompatError(
+            "word_stem: only the English stemmer is available "
+            "(word_stem(x) or word_stem(x, 'en'))"
+        )
+
+
+def _rewrite_row_fieldn(q: str) -> str:
+    mask = _code_mask(q)
+    out, last = [], 0
+    for m in _ROW_FIELDN.finditer(q):
+        if not mask[m.start()]:
+            continue
+        out.append(q[last : m.start()])
+        out.append(f").col{int(m.group(1)) + 1}")
+        last = m.end()
+    out.append(q[last:])
+    return "".join(out)
+
+
 _ENTROPY_HEAD = re.compile(r"\bentropy\s*\(", re.IGNORECASE)
 _MAP_UNION_HEAD = re.compile(r"\bmap_union\s*\(", re.IGNORECASE)
 
@@ -3038,6 +3251,11 @@ def translate(query: str) -> str:
     query = _rewrite_map_agg(query)
     query = _rewrite_entropy(query)
     query = _rewrite_map_union(query)
+    query = _rewrite_quantile_sketches(query)
+    query = _rewrite_sql_json(query)
+    query = _rewrite_array_batch10(query)
+    query = _rewrite_word_stem_lang(query)
+    query = _rewrite_row_fieldn(query)
     query = _rewrite_cast_types(query)
     query = _rewrite_from_unixtime(query)
     query = _rewrite_normalize(query)

@@ -1908,3 +1908,61 @@ def test_map_union_and_bitwise_xor_agg(spark):
     assert set(r["r"]) == {"a"} and r["r"]["a"] in (1, 9)
     r = run(spark, "SELECT bitwise_xor_agg(x) AS r FROM (VALUES (5),(3)) t(x)")[0]
     assert r["r"] == 6
+
+
+# ---------------------------------------------------------------------------
+# dialect batch 10 (gap-hunt round 4)
+
+
+def test_quantile_sketch_sql_composition(spark):
+    # value_at_quantile(qdigest_agg(x), q) IS the approximate-quantile
+    # contract — rewrites to percentile_approx (same mergeable-sketch
+    # family); stored-sketch reads fail loudly
+    r = run(spark, "SELECT value_at_quantile(qdigest_agg(CAST(x AS DOUBLE)),"
+                   " 0.5E0) AS a, value_at_quantile(tdigest_agg("
+                   "CAST(x AS DOUBLE)), 0.5E0) AS b,"
+                   " values_at_quantiles(qdigest_agg(CAST(x AS DOUBLE)),"
+                   " ARRAY[0.0E0, 1.0E0]) AS c"
+                   " FROM (VALUES (1),(2),(3)) t(x)")[0]
+    assert (r["a"], r["b"], r["c"]) == (2.0, 2.0, [1.0, 3.0])
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    with pytest.raises(TrinoCompatError, match="stored/merged"):
+        translate("SELECT value_at_quantile(sk, 0.5) FROM t")
+
+
+def test_sql_json_standard_functions(spark):
+    r = run(spark, "SELECT json_value('{\"a\":1}', 'strict $.a') AS a,"
+                   " json_query('{\"a\":[1,2]}', 'strict $.a') AS b,"
+                   " json_exists('{\"a\":1}', 'strict $.a') AS c,"
+                   " json_exists('{\"a\":1}', 'lax $.b') AS d")[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == ("1", "[1,2]", True, False)
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    with pytest.raises(TrinoCompatError, match="literal"):
+        translate("SELECT json_value(j, p) FROM t")
+    with pytest.raises(TrinoCompatError, match="two-argument"):
+        translate("SELECT json_value(j, 'lax $.a', 1) FROM t")
+
+
+def test_array_batch10(spark):
+    r = run(spark, "SELECT trim_array(ARRAY[1,2,3], 1) AS a,"
+                   " array_cum_sum(ARRAY[1,2,3]) AS b,"
+                   " array_cum_sum(ARRAY[1,NULL,3]) AS c,"
+                   " array_histogram(ARRAY['a','a','b',NULL]) AS d")[0]
+    assert r["a"] == [1, 2]
+    assert r["b"] == [1, 3, 6]
+    assert r["c"] == [1, None, None]  # NULL poisons the rest (Trino)
+    assert r["d"] == {"a": 2, "b": 1}
+    with pytest.raises(Exception, match="trim_array"):
+        run(spark, "SELECT trim_array(ARRAY[1], 5)")
+
+
+def test_word_stem_language_and_row_fieldn(spark):
+    r = run(spark, "SELECT word_stem('running', 'en') AS a,"
+                   " (ROW(1, 'x')).field0 AS b, (ROW(1, 'x')).field1 AS c")[0]
+    assert (r["a"], r["b"], r["c"]) == ("run", 1, "x")
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    with pytest.raises(TrinoCompatError, match="English"):
+        translate("SELECT word_stem('x', 'de')")

@@ -512,6 +512,11 @@ _RENAMES = [
     (re.compile(r"\bbitwise_and_agg\s*\(", re.IGNORECASE), "bit_and("),
     (re.compile(r"\bbitwise_or_agg\s*\(", re.IGNORECASE), "bit_or("),
     (re.compile(r"\bbitwise_xor_agg\s*\(", re.IGNORECASE), "bit_xor("),
+    # Trino's extract-field shorthands Spark spells out
+    (
+        re.compile(r"\bextract\s*\(\s*YOW\b", re.IGNORECASE),
+        "extract(YEAROFWEEK",
+    ),
     # Trino repeat(elem, n) builds an ARRAY (its string-repeat is via
     # concat); Spark's repeat is string-repeat, so the name must move
     (re.compile(r"\brepeat\s*\(", re.IGNORECASE), "array_repeat("),
@@ -3095,6 +3100,26 @@ def _rewrite_word_stem_lang(q: str) -> str:
         )
 
 
+_IF_HEAD = re.compile(r"\bif\s*\(", re.IGNORECASE)
+
+
+def _rewrite_two_arg_if(q: str) -> str:
+    """Trino allows ``if(cond, value)`` (NULL when false); Spark's if is
+    strictly ternary — append the NULL."""
+    start = 0
+    while True:
+        found = _find_call(q, _IF_HEAD, start)
+        if found is None:
+            return q
+        m, bs, be = found
+        args = _split_top_args(q[bs:be])
+        if len(args) == 2:
+            q = q[:be] + ", NULL" + q[be:]
+            start = be + len(", NULL") + 1
+        else:
+            start = m.end()
+
+
 def _rewrite_row_fieldn(q: str) -> str:
     mask = _code_mask(q)
     out, last = [], 0
@@ -3106,6 +3131,54 @@ def _rewrite_row_fieldn(q: str) -> str:
         last = m.end()
     out.append(q[last:])
     return "".join(out)
+
+
+#: quantified comparison predicates (`expr op ANY|SOME|ALL (subquery)`)
+#: — Spark has no quantified subqueries.  `= ANY` ≡ IN and `<> ALL`
+#: ≡ NOT IN exactly (three-valued NULL semantics included, Spark's
+#: IN-subquery implements them).  Ordering quantifiers map onto
+#: min/max scalar subqueries (`> ALL (S)` ⇔ `> (SELECT max FROM S)`),
+#: which is exact for non-empty, null-free subqueries — the two edge
+#: divergences (empty S: standard says TRUE/FALSE, this yields NULL;
+#: NULL elements: standard may say UNKNOWN where min/max ignores them)
+#: are accepted and documented rather than silently mis-parsed.
+_QUANTIFIED = re.compile(
+    r"(?P<op>=|<>|!=|<=|>=|<|>)\s*(?P<quant>ANY|SOME|ALL)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_quantified_comparisons(q: str) -> str:
+    while True:
+        mask = _code_mask(q)
+        m = next(
+            (c for c in _QUANTIFIED.finditer(q) if mask[c.start("quant")]),
+            None,
+        )
+        if m is None:
+            return q
+        op, quant = m.group("op"), m.group("quant").upper()
+        close = _paren_close(q, m.end())
+        sub = q[m.end() : close]
+        if op == "=" and quant in ("ANY", "SOME"):
+            repl = f" IN ({sub})"
+        elif op in ("<>", "!=") and quant == "ALL":
+            repl = f" NOT IN ({sub})"
+        elif op in ("<", "<=", ">", ">="):
+            # ALL needs the extreme the predicate must clear; ANY the
+            # most favorable witness
+            agg = (
+                "max"
+                if (op in (">", ">=")) == (quant == "ALL")
+                else "min"
+            )
+            repl = f" {op} (SELECT {agg}(__v) FROM ({sub}) __q(__v))"
+        else:
+            raise TrinoCompatError(
+                f"quantified comparison {op} {quant} is not supported "
+                "(= ANY/SOME, <> ALL, and ordering quantifiers are)"
+            )
+        q = q[: m.start()] + repl + q[close + 1 :]
 
 
 _ENTROPY_HEAD = re.compile(r"\bentropy\s*\(", re.IGNORECASE)
@@ -3252,9 +3325,11 @@ def translate(query: str) -> str:
     query = _rewrite_entropy(query)
     query = _rewrite_map_union(query)
     query = _rewrite_quantile_sketches(query)
+    query = _rewrite_quantified_comparisons(query)
     query = _rewrite_sql_json(query)
     query = _rewrite_array_batch10(query)
     query = _rewrite_word_stem_lang(query)
+    query = _rewrite_two_arg_if(query)
     query = _rewrite_row_fieldn(query)
     query = _rewrite_cast_types(query)
     query = _rewrite_from_unixtime(query)

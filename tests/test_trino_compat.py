@@ -1966,3 +1966,34 @@ def test_word_stem_language_and_row_fieldn(spark):
 
     with pytest.raises(TrinoCompatError, match="English"):
         translate("SELECT word_stem('x', 'de')")
+
+
+# ---------------------------------------------------------------------------
+# dialect batch 11 (quantified comparisons + small syntax forms)
+
+
+def test_quantified_comparisons(spark):
+    sub = "(SELECT x FROM (VALUES (1),(2)) t(x))"
+    r = run(spark, f"SELECT 2 = ANY {sub} AS a, 5 = SOME {sub} AS b,"
+                   f" 3 <> ALL {sub} AS c, 2 <> ALL {sub} AS d,"
+                   f" 3 > ALL {sub} AS e, 2 > ALL {sub} AS f,"
+                   f" 2 > ANY {sub} AS g, 1 > ANY {sub} AS h,"
+                   f" 0 < ALL {sub} AS i, 1 <= ALL {sub} AS j")[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (True, False, True, False)
+    assert (r["e"], r["f"], r["g"], r["h"]) == (True, False, True, False)
+    assert (r["i"], r["j"]) == (True, True)
+    # in a WHERE clause
+    rows = run(spark, "SELECT x FROM (VALUES (1),(2),(3)) t(x)"
+                      " WHERE x >= ALL (SELECT y FROM (VALUES (2),(3)) s(y))")
+    assert [r["x"] for r in rows] == [3]
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    with pytest.raises(TrinoCompatError, match="quantified"):
+        translate("SELECT 1 = ALL (SELECT 1)")
+
+
+def test_extract_yow_and_two_arg_if(spark):
+    r = run(spark, "SELECT extract(YOW FROM DATE '2026-01-01') AS y,"
+                   " if(2 > 1, 'big') AS a, if(1 > 2, 'big') AS b,"
+                   " if(1 > 2, 'big', 'small') AS c")[0]
+    assert (r["y"], r["a"], r["b"], r["c"]) == (2026, "big", None, "small")

@@ -453,6 +453,52 @@ _COMPAT_SQL_UDFS = {
         " AND schema_of_variant(try_parse_json(j)) NOT LIKE 'OBJECT%'"
         " AND schema_of_variant(try_parse_json(j)) NOT LIKE 'STRUCT%' END",
     ),
+    # binary SHA-512 (Spark spells it sha2(x, 512) and returns hex);
+    # sha256 above set the pattern.  sha1/md5 stay Spark-native (hex
+    # STRING out — shadowing those builtin names would break the plain
+    # Spark dialect); the divergence is documented in SURVEY.md.
+    "sha512": ("(x BINARY)", "BINARY", "unhex(sha2(x, 512))"),
+    # big-endian integer encodings: hex(bigint) is the 64-bit two's
+    # complement, so the byte image is a pad-and-unhex away
+    "to_big_endian_64": (
+        "(x BIGINT)",
+        "BINARY",
+        "unhex(lpad(hex(x), 16, '0'))",
+    ),
+    "from_big_endian_64": (
+        "(b BINARY)",
+        "BIGINT",
+        "CAST(conv(hex(b), 16, -10) AS BIGINT)",
+    ),
+    "to_big_endian_32": (
+        "(x INT)",
+        "BINARY",
+        "unhex(lpad(substr(hex(x), -8), 8, '0'))",
+    ),
+    "from_big_endian_32": (
+        "(b BINARY)",
+        "INT",
+        # conv(…, 16, 10) reads the 4 bytes unsigned; re-sign manually
+        # (a straight CAST of 4294967295 to INT is an ANSI overflow)
+        "CAST(IF(CAST(conv(hex(b), 16, 10) AS BIGINT) >= 2147483648,"
+        " CAST(conv(hex(b), 16, 10) AS BIGINT) - 4294967296,"
+        " CAST(conv(hex(b), 16, 10) AS BIGINT)) AS INT)",
+    ),
+    # 3-arg strpos (nth occurrence, negative n = from the end) — the
+    # 2-arg form resolves natively, so the rewrite maps only the 3-arg
+    # call sites here (a UDF named strpos would shadow the builtin)
+    "__strpos3": (
+        "(s STRING, sub STRING, n INT)",
+        "BIGINT",
+        "CASE WHEN n = 0 THEN"
+        " raise_error('strpos: instance must not be 0')"
+        " WHEN s IS NULL OR sub IS NULL THEN NULL"
+        " WHEN length(s) < length(sub) THEN 0"
+        " ELSE coalesce(CAST(try_element_at(filter(transform("
+        "sequence(1, length(s) - length(sub) + 1),"
+        " __i -> IF(substring(s, __i, length(sub)) = sub, __i, NULL)),"
+        " __x -> __x IS NOT NULL), n) AS BIGINT), 0) END",
+    ),
     # Trino multimap_from_entries(array(row(K, V))) → map<K, array<V>>.
     # String-typed like split_to_multimap (SQL UDFs need a concrete
     # signature; Trino's is generic) — entries coerce positionally.
@@ -517,6 +563,13 @@ _RENAMES = [
         re.compile(r"\bextract\s*\(\s*YOW\b", re.IGNORECASE),
         "extract(YEAROFWEEK",
     ),
+    # binary codecs: same semantics, different names
+    (re.compile(r"\bfrom_hex\s*\(", re.IGNORECASE), "unhex("),
+    (re.compile(r"\bto_hex\s*\(", re.IGNORECASE), "hex("),
+    # the \( anchor keeps to_base64url/from_base64url (handled as
+    # templates) from matching here
+    (re.compile(r"\bto_base64\s*\(", re.IGNORECASE), "base64("),
+    (re.compile(r"\bfrom_base64\s*\(", re.IGNORECASE), "unbase64("),
     # Trino repeat(elem, n) builds an ARRAY (its string-repeat is via
     # concat); Spark's repeat is string-repeat, so the name must move
     (re.compile(r"\brepeat\s*\(", re.IGNORECASE), "array_repeat("),
@@ -805,6 +858,36 @@ def install_compat_functions(spark) -> None:
         "a": pd.Series, "b": pd.Series, "v": pd.Series, "return": pd.Series,
     }
     spark.udf.register("beta_cdf", pandas_udf(_beta_cdf_impl, "double"))
+
+    # Trino HMAC family: keyed digests over varbinary.  Python's hmac
+    # is the reference implementation; Arrow-batched (dialect
+    # convenience, not a hot-path operator).
+    import hashlib as _hashlib
+    import hmac as _hmac
+
+    def _make_hmac(digest):
+        def impl(msg, key):
+            return pd.Series(
+                [
+                    None
+                    if m is None or k is None
+                    else _hmac.new(bytes(k), bytes(m), digest).digest()
+                    for m, k in zip(msg, key)
+                ]
+            )
+
+        impl.__annotations__ = {
+            "msg": pd.Series, "key": pd.Series, "return": pd.Series,
+        }
+        return impl
+
+    for name, digest in (
+        ("hmac_md5", _hashlib.md5),
+        ("hmac_sha1", _hashlib.sha1),
+        ("hmac_sha256", _hashlib.sha256),
+        ("hmac_sha512", _hashlib.sha512),
+    ):
+        spark.udf.register(name, pandas_udf(_make_hmac(digest), "binary"))
     setattr(spark, _INSTALLED_ATTR, True)
 
 
@@ -3100,6 +3183,209 @@ def _rewrite_word_stem_lang(q: str) -> str:
         )
 
 
+#: shared entry comparator: value DESC (NULLs last), key DESC tiebreak
+#: — the ordering Trino's map_top_n family documents
+def _entry_cmp_desc() -> str:
+    return (
+        "(__l, __r) -> CASE"
+        " WHEN __l.value IS NULL AND __r.value IS NULL THEN"
+        " (CASE WHEN __l.key > __r.key THEN -1"
+        " WHEN __l.key < __r.key THEN 1 ELSE 0 END)"
+        " WHEN __l.value IS NULL THEN 1 WHEN __r.value IS NULL THEN -1"
+        " WHEN __l.value > __r.value THEN -1"
+        " WHEN __l.value < __r.value THEN 1"
+        " WHEN __l.key > __r.key THEN -1"
+        " WHEN __l.key < __r.key THEN 1 ELSE 0 END"
+    )
+
+
+def _desc_nonnull_then_nulls(arr: str) -> str:
+    """Elements sorted DESC with NULLs at the end (Trino's top-n order;
+    a plain reverse(array_sort(...)) would put NULLs first)."""
+    return (
+        f"concat(reverse(array_sort(filter({arr}, __x -> __x IS NOT NULL))),"
+        f" filter({arr}, __x -> __x IS NULL))"
+    )
+
+
+def _histogram_entries(arr: str) -> str:
+    """(key, count) structs over distinct non-null elements."""
+    return (
+        f"transform(array_distinct(filter({arr}, __x -> __x IS NOT NULL)),"
+        f" __k -> struct(__k AS key,"
+        f" CAST(size(filter({arr}, __x -> __x <=> __k)) AS BIGINT) AS value))"
+    )
+
+
+def _array_least_frequent(a: str, n: str) -> str:
+    """n least-frequent non-null elements, ties broken by smaller value
+    (count ASC, key ASC — Trino's documented order)."""
+    return (
+        f"transform(slice(array_sort({_histogram_entries(a)},"
+        " (__l, __r) -> CASE"
+        " WHEN __l.value < __r.value THEN -1"
+        " WHEN __l.value > __r.value THEN 1"
+        " WHEN __l.key < __r.key THEN -1"
+        " WHEN __l.key > __r.key THEN 1 ELSE 0 END),"
+        f" 1, {n}), __e -> __e.key)"
+    )
+
+
+#: type-generic Trino map/array functions composed from HOF templates
+#: (a SQL UDF would pin one element type).  Keyed by arg count; a call
+#: with an unlisted arity raises.
+_TEMPLATE_REWRITES = [
+    (
+        re.compile(r"\bmap_remove_null_values\s*\(", re.IGNORECASE),
+        {1: lambda m: f"map_filter({m}, (__k, __v) -> __v IS NOT NULL)"},
+    ),
+    (
+        re.compile(r"\bmap_normalize\s*\(", re.IGNORECASE),
+        {
+            1: lambda m: (
+                f"transform_values({m}, (__k, __v) -> __v /"
+                f" aggregate(map_values({m}), 0.0D,"
+                f" (__a, __x) -> __a + coalesce(__x, 0.0D)))"
+            )
+        },
+    ),
+    (
+        re.compile(r"\bmap_top_n\s*\(", re.IGNORECASE),
+        {
+            2: lambda m, n: (
+                f"map_from_entries(slice(array_sort(map_entries({m}),"
+                f" {_entry_cmp_desc()}), 1, {n}))"
+            )
+        },
+    ),
+    (
+        re.compile(r"\bmap_top_n_keys\s*\(", re.IGNORECASE),
+        {
+            2: lambda m, n: (
+                f"transform(slice(array_sort(map_entries({m}),"
+                f" {_entry_cmp_desc()}), 1, {n}), __e -> __e.key)"
+            )
+        },
+    ),
+    (
+        re.compile(r"\bmap_top_n_values\s*\(", re.IGNORECASE),
+        {
+            2: lambda m, n: (
+                f"slice({_desc_nonnull_then_nulls(f'map_values({m})')}, 1, {n})"
+            )
+        },
+    ),
+    (
+        re.compile(r"\bremove_nulls\s*\(", re.IGNORECASE),
+        {1: lambda a: f"filter({a}, __x -> __x IS NOT NULL)"},
+    ),
+    (
+        re.compile(r"\barray_top_n\s*\(", re.IGNORECASE),
+        {2: lambda a, n: f"slice({_desc_nonnull_then_nulls(a)}, 1, {n})"},
+    ),
+    (
+        re.compile(r"\barray_least_frequent\s*\(", re.IGNORECASE),
+        {
+            1: lambda a: _array_least_frequent(a, "1"),
+            2: _array_least_frequent,
+        },
+    ),
+    (
+        re.compile(r"\barray_split_into_chunks\s*\(", re.IGNORECASE),
+        {
+            2: lambda a, n: (
+                f"CASE WHEN ({n}) < 1 THEN"
+                f" raise_error('array_split_into_chunks: size must be > 0')"
+                f" WHEN size({a}) = 0 THEN slice(transform({a},"
+                f" __x -> {a}), 1, 0)"
+                f" ELSE transform(sequence(1, CAST(ceil(size({a}) /"
+                f" CAST({n} AS DOUBLE)) AS INT)),"
+                f" __i -> slice({a}, (__i - 1) * ({n}) + 1, {n})) END"
+            )
+        },
+    ),
+    (
+        re.compile(r"\bto_base64url\s*\(", re.IGNORECASE),
+        {1: lambda x: f"translate(base64({x}), '+/', '-_')"},
+    ),
+    (
+        re.compile(r"\bfrom_base64url\s*\(", re.IGNORECASE),
+        {1: lambda x: f"unbase64(translate({x}, '-_', '+/'))"},
+    ),
+    (
+        re.compile(r"\bstrpos\s*\(", re.IGNORECASE),
+        # 2-arg strpos is a Spark builtin; only 3-arg routes to the UDF
+        {2: lambda s, sub: f"strpos({s}, {sub})",
+         3: lambda s, sub, n: f"__strpos3({s}, {sub}, {n})"},
+    ),
+]
+
+
+def _rewrite_templates(q: str) -> str:
+    for head, by_arity in _TEMPLATE_REWRITES:
+        start = 0
+        while True:
+            found = _find_call(q, head, start)
+            if found is None:
+                break
+            m, bs, be = found
+            args = _split_top_args(q[bs:be])
+            render = by_arity.get(len(args))
+            if render is None:
+                raise TrinoCompatError(
+                    f"{q[m.start():m.end()].rstrip('( ')}: unsupported "
+                    f"argument count {len(args)} "
+                    f"(supported: {sorted(by_arity)})"
+                )
+            repl = render(*args)
+            q = q[: m.start()] + repl + q[be + 1 :]
+            start = m.start() + len(repl)
+    return q
+
+
+#: array_min_by/array_max_by take a LAMBDA — the rewrite substitutes
+#: the lambda variable into a pair comparator, so the key expression
+#: stays type-generic and JVM-side
+_ARRAY_MINMAX_BY = re.compile(r"\barray_(min|max)_by\s*\(", re.IGNORECASE)
+_LAMBDA_SHAPE = re.compile(
+    r"^\(?\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)?\s*->\s*(.+)$", re.DOTALL
+)
+
+
+def _rewrite_array_minmax_by(q: str) -> str:
+    while True:
+        mask = _code_mask(q)
+        m = next(
+            (c for c in _ARRAY_MINMAX_BY.finditer(q) if mask[c.start()]), None
+        )
+        if m is None:
+            return q
+        close = _paren_close(q, m.end())
+        args = _split_top_args(q[m.end() : close])
+        if len(args) != 2:
+            raise TrinoCompatError("array_min_by/array_max_by take (array, lambda)")
+        lam = _LAMBDA_SHAPE.match(args[1].strip())
+        if lam is None:
+            raise TrinoCompatError(
+                "array_min_by/array_max_by: second argument must be a "
+                "single-variable lambda `x -> expr`"
+            )
+        var, body = lam.group(1), lam.group(2).strip()
+        sub = re.compile(rf"\b{re.escape(var)}\b")
+        kl = sub.sub("__l", body)
+        kr = sub.sub("__r", body)
+        lo, hi = ("-1", "1")
+        if m.group(1).lower() == "max":
+            lo, hi = ("1", "-1")
+        repl = (
+            f"try_element_at(array_sort(filter({args[0]},"
+            f" {var} -> ({body}) IS NOT NULL),"
+            f" (__l, __r) -> CASE WHEN ({kl}) < ({kr}) THEN {lo}"
+            f" WHEN ({kl}) > ({kr}) THEN {hi} ELSE 0 END), 1)"
+        )
+        q = q[: m.start()] + repl + q[close + 1 :]
+
+
 _IF_HEAD = re.compile(r"\bif\s*\(", re.IGNORECASE)
 
 
@@ -3330,6 +3616,8 @@ def translate(query: str) -> str:
     query = _rewrite_array_batch10(query)
     query = _rewrite_word_stem_lang(query)
     query = _rewrite_two_arg_if(query)
+    query = _rewrite_templates(query)
+    query = _rewrite_array_minmax_by(query)
     query = _rewrite_row_fieldn(query)
     query = _rewrite_cast_types(query)
     query = _rewrite_from_unixtime(query)

@@ -1997,3 +1997,63 @@ def test_extract_yow_and_two_arg_if(spark):
                    " if(2 > 1, 'big') AS a, if(1 > 2, 'big') AS b,"
                    " if(1 > 2, 'big', 'small') AS c")[0]
     assert (r["y"], r["a"], r["b"], r["c"]) == (2026, "big", None, "small")
+
+
+# ---------------------------------------------------------------------------
+# dialect batch 12 (map/array/binary/HMAC surface)
+
+
+def test_map_top_n_family(spark):
+    r = run(spark, "SELECT map_top_n(MAP(ARRAY['a','b','c'], ARRAY[3,1,2]), 2) AS a,"
+                   " map_top_n_keys(MAP(ARRAY['a','b','c'], ARRAY[3,1,2]), 2) AS b,"
+                   " map_top_n_values(MAP(ARRAY['a','b','c'], ARRAY[3,1,2]), 2) AS c,"
+                   " map_remove_null_values(MAP(ARRAY['a','b'], ARRAY[1,NULL])) AS d,"
+                   " map_normalize(MAP(ARRAY['a','b'], ARRAY[1.0E0, 3.0E0])) AS e")[0]
+    assert r["a"] == {"a": 3, "c": 2}
+    assert r["b"] == ["a", "c"]
+    assert r["c"] == [3, 2]
+    assert r["d"] == {"a": 1}
+    assert r["e"] == {"a": 0.25, "b": 0.75}
+
+
+def test_array_batch12(spark):
+    r = run(spark, "SELECT remove_nulls(ARRAY[1,NULL,2]) AS a,"
+                   " array_top_n(ARRAY[3,1,NULL,2], 3) AS b,"
+                   " array_top_n(ARRAY[3,1,NULL,2], 4) AS b2,"
+                   " array_least_frequent(ARRAY[1,1,2]) AS c,"
+                   " array_least_frequent(ARRAY[1,1,2,3,3], 2) AS d,"
+                   " array_split_into_chunks(ARRAY[1,2,3,4,5], 2) AS e,"
+                   " array_min_by(ARRAY['ab','c'], x -> length(x)) AS f,"
+                   " array_max_by(ARRAY['ab','c'], x -> length(x)) AS g")[0]
+    assert r["a"] == [1, 2]
+    assert r["b"] == [3, 2, 1]  # NULL ranks smallest (Trino)
+    assert r["b2"] == [3, 2, 1, None]
+    assert r["c"] == [2]
+    assert r["d"] == [2, 1]  # count asc, then smaller value
+    assert r["e"] == [[1, 2], [3, 4], [5]]
+    assert (r["f"], r["g"]) == ("c", "ab")
+
+
+def test_strpos_nth_occurrence(spark):
+    r = run(spark, "SELECT strpos('hello', 'l') AS a, strpos('hello', 'l', 2) AS b,"
+                   " strpos('hello', 'l', -1) AS c, strpos('hello', 'z', 1) AS d")[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (3, 4, 4, 0)
+    with pytest.raises(Exception, match="instance must not be 0"):
+        run(spark, "SELECT strpos('a', 'a', 0)")
+
+
+def test_binary_codecs_and_hmac(spark):
+    import hashlib
+    import hmac as hmac_mod
+
+    r = run(spark, "SELECT to_hex(to_utf8('A')) AS a, from_hex('41') AS b,"
+                   " to_base64(to_utf8('x')) AS c, from_base64('eA==') AS d,"
+                   " to_base64url(to_utf8('x')) AS e,"
+                   " from_big_endian_64(to_big_endian_64(-7)) AS f,"
+                   " from_big_endian_32(to_big_endian_32(-5)) AS g,"
+                   " length(sha512(to_utf8('x'))) AS h,"
+                   " hmac_sha256(to_utf8('m'), to_utf8('k')) AS i")[0]
+    assert (r["a"], bytes(r["b"]), r["c"], bytes(r["d"])) == ("41", b"A", "eA==", b"x")
+    assert r["e"] == "eA=="
+    assert (r["f"], r["g"], r["h"]) == (-7, -5, 64)
+    assert bytes(r["i"]) == hmac_mod.new(b"k", b"m", hashlib.sha256).digest()

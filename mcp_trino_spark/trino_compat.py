@@ -499,6 +499,35 @@ _COMPAT_SQL_UDFS = {
         " __i -> IF(substring(s, __i, length(sub)) = sub, __i, NULL)),"
         " __x -> __x IS NOT NULL), n) AS BIGINT), 0) END",
     ),
+    # double-vector math (the array forms; cosine_similarity's MAP form
+    # is a separate existing UDF).  zip_with + aggregate keep the whole
+    # computation inside codegen — the same primitives the LLM
+    # similarity operators build on (operators/llm_similarity.py).
+    "dot_product": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "aggregate(zip_with(a, b, (__x, __y) -> __x * __y), 0.0D,"
+        " (__s, __v) -> __s + __v)",
+    ),
+    "l2_norm": (
+        "(a ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "sqrt(aggregate(a, 0.0D, (__s, __v) -> __s + __v * __v))",
+    ),
+    "euclidean_distance": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "sqrt(aggregate(zip_with(a, b, (__x, __y) -> (__x - __y) *"
+        " (__x - __y)), 0.0D, (__s, __v) -> __s + __v))",
+    ),
+    "cosine_distance": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "1.0D - aggregate(zip_with(a, b, (__x, __y) -> __x * __y), 0.0D,"
+        " (__s, __v) -> __s + __v)"
+        " / (sqrt(aggregate(a, 0.0D, (__s, __v) -> __s + __v * __v))"
+        " * sqrt(aggregate(b, 0.0D, (__s, __v) -> __s + __v * __v)))",
+    ),
     # Trino multimap_from_entries(array(row(K, V))) → map<K, array<V>>.
     # String-typed like split_to_multimap (SQL UDFs need a concrete
     # signature; Trino's is generic) — entries coerce positionally.
@@ -554,6 +583,9 @@ _RENAMES = [
     (re.compile(r"\bstarts_with\s*\(", re.IGNORECASE), "startswith("),
     # bare localtimestamp keyword (Trino) → Spark's function call form
     (re.compile(r"\blocaltimestamp\b(?!\s*\()", re.IGNORECASE), "localtimestamp()"),
+    # bare session-context keywords → Spark's function-call spellings
+    (re.compile(r"\bcurrent_catalog\b(?!\s*\()", re.IGNORECASE), "current_catalog()"),
+    (re.compile(r"\bcurrent_schema\b(?!\s*\()", re.IGNORECASE), "current_schema()"),
     (re.compile(r"\bregexp_split\s*\(", re.IGNORECASE), "split("),
     (re.compile(r"\bbitwise_and_agg\s*\(", re.IGNORECASE), "bit_and("),
     (re.compile(r"\bbitwise_or_agg\s*\(", re.IGNORECASE), "bit_or("),
@@ -3305,6 +3337,40 @@ _TEMPLATE_REWRITES = [
         },
     ),
     (
+        re.compile(r"\barray_sort_desc\s*\(", re.IGNORECASE),
+        {1: _desc_nonnull_then_nulls},
+    ),
+    (
+        re.compile(r"\barray_duplicates\s*\(", re.IGNORECASE),
+        {
+            1: lambda a: (
+                f"filter(array_distinct({a}),"
+                f" __k -> size(filter({a}, __x -> __x <=> __k)) > 1)"
+            )
+        },
+    ),
+    (
+        re.compile(r"\barray_has_duplicates\s*\(", re.IGNORECASE),
+        {1: lambda a: f"(size({a}) <> size(array_distinct({a})))"},
+    ),
+    (
+        re.compile(r"\barray_frequency\s*\(", re.IGNORECASE),
+        {1: lambda a: f"map_from_entries({_histogram_entries(a)})"},
+    ),
+    (
+        # n-ary form (Trino 4xx): fold pairwise intersections; the
+        # native 2-arg form stays untouched
+        re.compile(r"\barray_intersect\s*\(", re.IGNORECASE),
+        {
+            1: lambda aa: (
+                f"aggregate(slice({aa}, 2, size({aa}) - 1),"
+                f" element_at({aa}, 1),"
+                f" (__acc, __x) -> array_intersect(__acc, __x))"
+            ),
+            2: lambda a, b: f"array_intersect({a}, {b})",
+        },
+    ),
+    (
         re.compile(r"\bto_base64url\s*\(", re.IGNORECASE),
         {1: lambda x: f"translate(base64({x}), '+/', '-_')"},
     ),
@@ -3384,6 +3450,72 @@ def _rewrite_array_minmax_by(q: str) -> str:
             f" WHEN ({kl}) > ({kr}) THEN {hi} ELSE 0 END), 1)"
         )
         q = q[: m.start()] + repl + q[close + 1 :]
+
+
+#: SQL/JSON constructors.  JSON_ARRAY honors Trino's ABSENT ON NULL
+#: default (nulls dropped unless NULL ON NULL is written); JSON_OBJECT
+#: supports the [KEY] 'k' VALUE v item form with literal keys (objects
+#: default to NULL ON NULL, which named_struct matches).  The JSON
+#: type itself doesn't exist in Spark, so the constructors produce the
+#: canonical string form via to_json — the same representation the
+#: rest of the json function surface consumes.
+_JSON_ARRAY_HEAD = re.compile(r"\bJSON_ARRAY\s*\(", re.IGNORECASE)
+_JSON_OBJECT_HEAD = re.compile(r"\bJSON_OBJECT\s*\(", re.IGNORECASE)
+_JSON_ON_NULL = re.compile(
+    r"\s+(NULL|ABSENT)\s+ON\s+NULL\s*$", re.IGNORECASE
+)
+_JSON_OBJECT_ITEM = re.compile(
+    r"^(?:KEY\s+)?('(?:[^']|'')*')\s+VALUE\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_json_constructors(q: str) -> str:
+    start = 0
+    while True:
+        found = _find_call(q, _JSON_ARRAY_HEAD, start)
+        if found is None:
+            break
+        m, bs, be = found
+        body = q[bs:be]
+        keep_nulls = False
+        on_null = _JSON_ON_NULL.search(body)
+        if on_null:
+            keep_nulls = on_null.group(1).upper() == "NULL"
+            body = body[: on_null.start()]
+        items = ", ".join(_split_top_args(body))
+        arr = f"array({items})"
+        if not keep_nulls:
+            arr = f"filter({arr}, __x -> __x IS NOT NULL)"
+        repl = f"to_json({arr})"
+        q = q[: m.start()] + repl + q[be + 1 :]
+        start = m.start() + len(repl)
+    start = 0
+    while True:
+        found = _find_call(q, _JSON_OBJECT_HEAD, start)
+        if found is None:
+            return q
+        m, bs, be = found
+        body = q[bs:be]
+        on_null = _JSON_ON_NULL.search(body)
+        if on_null:
+            if on_null.group(1).upper() == "ABSENT":
+                raise TrinoCompatError(
+                    "JSON_OBJECT: ABSENT ON NULL is not supported "
+                    "(named_struct keeps every declared key)"
+                )
+            body = body[: on_null.start()]
+        pairs = []
+        for item in _split_top_args(body):
+            im = _JSON_OBJECT_ITEM.match(item.strip())
+            if im is None:
+                raise TrinoCompatError(
+                    "JSON_OBJECT: items must be [KEY] 'literal' VALUE expr"
+                )
+            pairs.append(f"{im.group(1)}, {im.group(2).strip()}")
+        repl = f"to_json(named_struct({', '.join(pairs)}))"
+        q = q[: m.start()] + repl + q[be + 1 :]
+        start = m.start() + len(repl)
 
 
 _IF_HEAD = re.compile(r"\bif\s*\(", re.IGNORECASE)
@@ -3618,6 +3750,7 @@ def translate(query: str) -> str:
     query = _rewrite_two_arg_if(query)
     query = _rewrite_templates(query)
     query = _rewrite_array_minmax_by(query)
+    query = _rewrite_json_constructors(query)
     query = _rewrite_row_fieldn(query)
     query = _rewrite_cast_types(query)
     query = _rewrite_from_unixtime(query)

@@ -2057,3 +2057,48 @@ def test_binary_codecs_and_hmac(spark):
     assert r["e"] == "eA=="
     assert (r["f"], r["g"], r["h"]) == (-7, -5, 64)
     assert bytes(r["i"]) == hmac_mod.new(b"k", b"m", hashlib.sha256).digest()
+
+
+# ---------------------------------------------------------------------------
+# dialect batch 13 (vector math, array predicates, SQL/JSON constructors)
+
+
+def test_vector_math(spark):
+    r = run(spark, "SELECT dot_product(ARRAY[1.0E0,2.0E0], ARRAY[3.0E0,4.0E0]) AS a,"
+                   " l2_norm(ARRAY[3.0E0,4.0E0]) AS b,"
+                   " euclidean_distance(ARRAY[0.0E0,0.0E0], ARRAY[3.0E0,4.0E0]) AS c,"
+                   " cosine_distance(ARRAY[1.0E0,0.0E0], ARRAY[0.0E0,1.0E0]) AS d")[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (11.0, 5.0, 5.0, 1.0)
+
+
+def test_array_predicates_batch13(spark):
+    r = run(spark, "SELECT array_sort_desc(ARRAY[1,3,NULL,2]) AS a,"
+                   " array_duplicates(ARRAY[1,1,2]) AS b,"
+                   " array_has_duplicates(ARRAY[1,1]) AS c,"
+                   " array_has_duplicates(ARRAY[1,2]) AS d,"
+                   " array_frequency(ARRAY[1,1,2]) AS e,"
+                   " array_intersect(ARRAY[ARRAY[1,2],ARRAY[2,3]]) AS f,"
+                   " array_intersect(ARRAY[1,2], ARRAY[2,3]) AS g")[0]
+    assert r["a"] == [3, 2, 1, None]
+    assert (r["b"], r["c"], r["d"]) == ([1], True, False)
+    assert r["e"] == {1: 2, 2: 1}
+    assert (r["f"], r["g"]) == ([2], [2])
+
+
+def test_session_context_keywords(spark):
+    r = run(spark, "SELECT current_catalog AS a, current_schema AS b")[0]
+    assert r["a"] == "spark_catalog" and isinstance(r["b"], str)
+
+
+def test_sql_json_constructors(spark):
+    r = run(spark, "SELECT JSON_ARRAY(1, 2) AS a,"
+                   " JSON_ARRAY(1, NULL, 2) AS b,"  # ABSENT ON NULL default
+                   " JSON_ARRAY(1, NULL, 2 NULL ON NULL) AS c,"
+                   " JSON_OBJECT('a' VALUE 1) AS d,"
+                   " JSON_OBJECT(KEY 'a' VALUE 1, KEY 'b' VALUE 'x') AS e")[0]
+    assert (r["a"], r["b"], r["c"]) == ("[1,2]", "[1,2]", "[1,null,2]")
+    assert (r["d"], r["e"]) == ('{"a":1}', '{"a":1,"b":"x"}')
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    with pytest.raises(TrinoCompatError, match="VALUE"):
+        translate("SELECT JSON_OBJECT(k VALUE 1) FROM t")

@@ -19,19 +19,21 @@ def _storage_rdd_count(spark) -> int:
 
 
 def test_dedup_entry_registers_and_release_frees_storage(spark, sf_dir):
+    # baselines are deltas: earlier tests may leave localCheckpoint RDDs
+    # in storage, which clearCache does not (and must not) touch
     from mcp_trino_spark import registry
 
     release_operator_caches()  # isolate from earlier tests in the session
     spark.catalog.clearCache()
-    assert _storage_rdd_count(spark) == 0
+    base = _storage_rdd_count(spark)
     df = registry.queries()["l2_minhash_lsh_pairs"](spark, sf_dir)
     df.count()
     assert tracked_count() >= 1
-    assert _storage_rdd_count(spark) >= 1
+    assert _storage_rdd_count(spark) > base
     released = release_operator_caches()
     assert released >= 1
     assert tracked_count() == 0
-    assert _storage_rdd_count(spark) == 0
+    assert _storage_rdd_count(spark) <= base
     # idempotent
     assert release_operator_caches() == 0
 
@@ -45,6 +47,7 @@ def test_server_tool_call_releases_operator_caches(spark, sf_dir):
 
     release_operator_caches()
     spark.catalog.clearCache()
+    base = _storage_rdd_count(spark)
     registry.queries()["l2_minhash_lsh_pairs"](spark, sf_dir).count()
     assert tracked_count() >= 1
     server = MCPServer(spark=spark, config=EngineConfig())
@@ -61,7 +64,7 @@ def test_server_tool_call_releases_operator_caches(spark, sf_dir):
     )
     assert resp["result"]["isError"] is False
     assert tracked_count() == 0
-    assert _storage_rdd_count(spark) == 0
+    assert _storage_rdd_count(spark) <= base
 
 
 def test_release_runs_even_when_tool_call_fails(spark, sf_dir):
@@ -69,6 +72,7 @@ def test_release_runs_even_when_tool_call_fails(spark, sf_dir):
 
     release_operator_caches()
     spark.catalog.clearCache()
+    base = _storage_rdd_count(spark)
     registry.queries()["l2_minhash_lsh_pairs"](spark, sf_dir).count()
     assert tracked_count() >= 1
     server = MCPServer(spark=spark, config=EngineConfig())
@@ -82,4 +86,4 @@ def test_release_runs_even_when_tool_call_fails(spark, sf_dir):
     )
     assert resp["result"]["isError"] is True  # write gate rejects it
     assert tracked_count() == 0
-    assert _storage_rdd_count(spark) == 0
+    assert _storage_rdd_count(spark) <= base

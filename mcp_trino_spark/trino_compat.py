@@ -920,6 +920,61 @@ def install_compat_functions(spark) -> None:
         ("hmac_sha512", _hashlib.sha512),
     ):
         spark.udf.register(name, pandas_udf(_make_hmac(digest), "binary"))
+
+    # Trino murmur3(varbinary) → 16-byte MurmurHash3 x64_128 digest.
+    # Implemented from Austin Appleby's public-domain algorithm (two
+    # 64-bit lanes, 16-byte blocks, fmix64 finalizer); Spark's builtin
+    # hash() is the x86_32 variant, a different function entirely.
+    _M = (1 << 64) - 1
+    _C1, _C2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+
+    def _rotl64(x, r):
+        return ((x << r) | (x >> (64 - r))) & _M
+
+    def _fmix64(k):
+        k ^= k >> 33
+        k = (k * 0xFF51AFD7ED558CCD) & _M
+        k ^= k >> 33
+        k = (k * 0xC4CEB9FE1A85EC53) & _M
+        k ^= k >> 33
+        return k
+
+    def _murmur3_128(data: bytes) -> bytes:
+        h1 = h2 = 0
+        n = len(data)
+        nblocks = n // 16
+        for i in range(nblocks):
+            k1 = int.from_bytes(data[i * 16 : i * 16 + 8], "little")
+            k2 = int.from_bytes(data[i * 16 + 8 : i * 16 + 16], "little")
+            k1 = (_rotl64((k1 * _C1) & _M, 31) * _C2) & _M
+            h1 = (((_rotl64(h1 ^ k1, 27) + h2) & _M) * 5 + 0x52DCE729) & _M
+            k2 = (_rotl64((k2 * _C2) & _M, 33) * _C1) & _M
+            h2 = (((_rotl64(h2 ^ k2, 31) + h1) & _M) * 5 + 0x38495AB5) & _M
+        tail = data[nblocks * 16 :]
+        k1 = k2 = 0
+        if len(tail) > 8:
+            k2 = int.from_bytes(tail[8:].ljust(8, b"\0"), "little")
+            h2 ^= (_rotl64((k2 * _C2) & _M, 33) * _C1) & _M
+        if tail:
+            k1 = int.from_bytes(tail[:8].ljust(8, b"\0"), "little")
+            h1 ^= (_rotl64((k1 * _C1) & _M, 31) * _C2) & _M
+        h1 ^= n
+        h2 ^= n
+        h1 = (h1 + h2) & _M
+        h2 = (h2 + h1) & _M
+        h1 = _fmix64(h1)
+        h2 = _fmix64(h2)
+        h1 = (h1 + h2) & _M
+        h2 = (h2 + h1) & _M
+        return h1.to_bytes(8, "little") + h2.to_bytes(8, "little")
+
+    def _murmur3_impl(b):
+        return pd.Series(
+            [None if x is None else _murmur3_128(bytes(x)) for x in b]
+        )
+
+    _murmur3_impl.__annotations__ = {"b": pd.Series, "return": pd.Series}
+    spark.udf.register("murmur3", pandas_udf(_murmur3_impl, "binary"))
     setattr(spark, _INSTALLED_ATTR, True)
 
 

@@ -2102,3 +2102,15 @@ def test_sql_json_constructors(spark):
 
     with pytest.raises(TrinoCompatError, match="VALUE"):
         translate("SELECT JSON_OBJECT(k VALUE 1) FROM t")
+
+
+def test_murmur3_x64_128(spark):
+    # published MurmurHash3 x64_128 seed-0 vectors (digest = little-
+    # endian h1 || h2)
+    r = run(spark, "SELECT to_hex(murmur3(to_utf8('hello'))) AS a,"
+                   " to_hex(murmur3(to_utf8(''))) AS b,"
+                   " to_hex(murmur3(to_utf8("
+                   "'The quick brown fox jumps over the lazy dog'))) AS c")[0]
+    assert r["a"] == "029BBD41B3A7D8CB191DAE486A901E5B"
+    assert r["b"] == "00000000000000000000000000000000"
+    assert r["c"] == "6C1B07BC7BBC4BE347939AC4A93C437A"

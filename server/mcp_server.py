@@ -462,7 +462,15 @@ class _HTTPHandler:
                 elif self.path in (
                     "/.well-known/oauth-authorization-server",
                     "/.well-known/oauth-metadata",  # legacy alias, mcp/server.go:125
-                ) and (jwt_secret and oidc_validator is None):
+                ) and (
+                    jwt_secret
+                    and oauth_client_secret
+                    and oidc_validator is None
+                ):
+                    # gate matches the token endpoint's: without a
+                    # provisioned client secret this process is NOT an
+                    # authorization server, and advertising a
+                    # /oauth/token that answers 404 misleads clients
                     self._reply(200, self._auth_server_metadata())
                 else:
                     self._reply(404, b'{"error":"not found"}')

@@ -87,3 +87,32 @@ def test_release_runs_even_when_tool_call_fails(spark, sf_dir):
     assert resp["result"]["isError"] is True  # write gate rejects it
     assert tracked_count() == 0
     assert _storage_rdd_count(spark) <= base
+
+
+def test_release_is_scoped_to_the_calling_thread(spark, sf_dir):
+    # a concurrent request's finally must not unpersist frames another
+    # in-flight request persisted (ThreadingHTTPServer runs requests on
+    # separate threads)
+    import threading
+
+    from mcp_trino_spark import registry
+    from mcp_trino_spark.operators.opcache import release_all_operator_caches
+
+    release_all_operator_caches()
+    spark.catalog.clearCache()
+    registry.queries()["l2_minhash_lsh_pairs"](spark, sf_dir).count()
+    assert tracked_count() == 1  # owned by the main thread
+
+    other_released = []
+
+    def other_request():
+        # this thread owns nothing; its release must be a no-op
+        other_released.append(release_operator_caches())
+
+    t = threading.Thread(target=other_request)
+    t.start()
+    t.join()
+    assert other_released == [0]
+    assert tracked_count() == 1  # main thread's frame survived
+    assert release_operator_caches() == 1
+    assert tracked_count() == 0

@@ -2114,3 +2114,41 @@ def test_murmur3_x64_128(spark):
     assert r["a"] == "029BBD41B3A7D8CB191DAE486A901E5B"
     assert r["b"] == "00000000000000000000000000000000"
     assert r["c"] == "6C1B07BC7BBC4BE347939AC4A93C437A"
+
+
+# ---------------------------------------------------------------------------
+# review fixes (round 6): nested rewrites, literal-safe lambda subst
+
+
+def test_minmax_by_literal_in_lambda_body(spark):
+    # the lambda variable must NOT be substituted inside string
+    # literals: coalesce(x, 'x') keeps its 'x' literal on both
+    # comparator sides (a bare regex sub produced asymmetric keys)
+    r = run(spark, "SELECT array_max_by(ARRAY['a', NULL],"
+                   " x -> coalesce(x, 'x')) AS a,"
+                   " array_min_by(ARRAY['ab', NULL],"
+                   " x -> coalesce(x, 'zz')) AS b")[0]
+    assert r["a"] is None  # NULL element's key 'x' > 'a'
+    assert r["b"] == "ab"
+
+
+def test_weighted_sketch_agg_refused(spark):
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    # a weighted/parameterized qdigest_agg would land its extra argument
+    # in percentile_approx's percentage slot — must refuse loudly
+    with pytest.raises(TrinoCompatError, match="argument shape"):
+        translate("SELECT value_at_quantile(qdigest_agg(x, 5), 0.9) FROM t")
+
+
+def test_nested_json_rewrites(spark):
+    r = run(spark, "SELECT json_value(json_query('{\"a\":{\"b\":7}}',"
+                   " 'lax $.a'), 'lax $.b') AS a,"
+                   " json_value('{\"a\":1}', '$.a') AS b,"  # bare = lax
+                   " JSON_OBJECT('a' VALUE JSON_OBJECT('b' VALUE 1)) AS c,"
+                   " if(true, if(false, 1)) AS d,"
+                   " if(true, if(true, 5)) AS e")[0]
+    assert r["a"] == "7"
+    assert r["b"] == "1"
+    assert '{\\"b\\":1}' in r["c"] or '{"b":1}' in r["c"]
+    assert r["d"] is None and r["e"] == 5

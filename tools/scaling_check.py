@@ -334,6 +334,50 @@ def check_table_changes(spark) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def check_dup_clusters(spark) -> None:
+    """l21's iterative connected components at 10×: replicas carry a
+    per-copy text suffix (as in the LSH probe) so candidate pairs grow
+    ×copies, not quadratically; components stay small, so rounds-to-
+    convergence is constant and each round is one edge join + hash agg
+    on the grown graph — time must track pair volume."""
+    from mcp_trino_spark.operators._util import spread
+    from mcp_trino_spark.operators.llm_dedup import (
+        _propagate_clusters,
+        minhash_lsh_pairs_plan,
+    )
+
+    docs = spread(load_table(spark, SF_DIR, "documents")).select(
+        "doc_id", "text"
+    )
+
+    def timed_fresh(frame) -> float:
+        # _propagate_clusters iterates EAGERLY (localCheckpoint + count
+        # per round), so construction must be inside the clock
+        t0 = time.perf_counter()
+        out = _propagate_clusters(minhash_lsh_pairs_plan(frame))
+        out.write.mode("overwrite").format("noop").save()
+        t = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        return t
+
+    n_rows_1x = docs.count()
+    timed_fresh(docs)  # warm
+    t1 = min(timed_fresh(docs) for _ in range(2))
+    shift = 10_000_000
+    reps = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * shift)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" replica-{i}")).alias("text"),
+        )
+        for i in range(COPIES)
+    ]
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.unionByName(r)
+    t10 = min(timed_fresh(big) for _ in range(2))
+    report("dup_clusters_connected_components", n_rows_1x, t1, t10)
+
+
 def main() -> None:
     spark = get_spark("scaling")
     check_flagship(spark)
@@ -353,6 +397,8 @@ def main() -> None:
     check_misra_gries(spark)
     spark.catalog.clearCache()
     check_table_changes(spark)
+    spark.catalog.clearCache()
+    check_dup_clusters(spark)
 
 
 

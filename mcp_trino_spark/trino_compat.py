@@ -499,6 +499,32 @@ _COMPAT_SQL_UDFS = {
         " __i -> IF(substring(s, __i, length(sub)) = sub, __i, NULL)),"
         " __x -> __x IS NOT NULL), n) AS BIGINT), 0) END",
     ),
+    # Trino parse_data_size: decimal number + case-sensitive binary
+    # unit (kB = 1024, MB = 1024², …) → DECIMAL(38,0) bytes
+    "parse_data_size": (
+        "(s STRING)",
+        "DECIMAL(38,0)",
+        "CASE WHEN s IS NULL THEN NULL"
+        " WHEN NOT s RLIKE '^[0-9]+(\\\\.[0-9]+)?([kMGTPEZY]?B)?$' THEN"
+        " raise_error(concat('Invalid data size: ', s))"
+        " ELSE CAST(floor(CAST(regexp_extract(s, '^([0-9.]+)', 1) AS DECIMAL(38,10))"
+        " * CAST(CASE regexp_extract(s, '([A-Za-z]*)$', 1)"
+        " WHEN '' THEN 1 WHEN 'B' THEN 1"
+        " WHEN 'kB' THEN 1024 WHEN 'MB' THEN 1048576"
+        " WHEN 'GB' THEN 1073741824 WHEN 'TB' THEN 1099511627776"
+        " WHEN 'PB' THEN 1125899906842624"
+        " WHEN 'EB' THEN 1152921504606846976"
+        " ELSE raise_error(concat('Invalid data size: ', s)) END"
+        " AS DECIMAL(38,0))) AS DECIMAL(38,0)) END",
+    ),
+    # with_timezone(ts, zone): interpret the wall-clock timestamp in
+    # `zone` and yield the instant — in this UTC-pinned engine that is
+    # exactly to_utc_timestamp
+    "with_timezone": (
+        "(t TIMESTAMP, z STRING)",
+        "TIMESTAMP",
+        "to_utc_timestamp(t, z)",
+    ),
     # double-vector math (the array forms; cosine_similarity's MAP form
     # is a separate existing UDF).  zip_with + aggregate keep the whole
     # computation inside codegen — the same primitives the LLM
@@ -975,6 +1001,36 @@ def install_compat_functions(spark) -> None:
 
     _murmur3_impl.__annotations__ = {"b": pd.Series, "return": pd.Series}
     spark.udf.register("murmur3", pandas_udf(_murmur3_impl, "binary"))
+
+    # Trino's 1-arg format_number: humanized 3-significant-digit form
+    # with K/M/B/T/Q unit symbols (123456 → '123K', 1234567 → '1.23M')
+    def _fmtnum_one(x):
+        if x is None or (isinstance(x, float) and _math.isnan(x)):
+            return None
+        neg = x < 0
+        v = abs(float(x))
+        units = ["", "K", "M", "B", "T", "Q"]
+        g = 0
+        while v >= 1000 and g < len(units) - 1:
+            v /= 1000.0
+            g += 1
+        if g == 0 and float(x) == int(x):
+            s = str(int(v))
+        elif v >= 100:
+            s = f"{v:.0f}"
+        elif v >= 10:
+            s = f"{v:.1f}"
+        else:
+            s = f"{v:.2f}"
+        return ("-" if neg else "") + s + units[g]
+
+    def _fmtnum_impl(s):
+        return pd.Series([_fmtnum_one(x) for x in s])
+
+    _fmtnum_impl.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    spark.udf.register(
+        "__format_number_human", pandas_udf(_fmtnum_impl, "string")
+    )
     setattr(spark, _INSTALLED_ATTR, True)
 
 
@@ -3452,6 +3508,24 @@ _TEMPLATE_REWRITES = [
         {2: lambda s, sub: f"strpos({s}, {sub})",
          3: lambda s, sub, n: f"__strpos3({s}, {sub}, {n})"},
     ),
+    # Trino's optional precision argument — this engine is fixed at
+    # microsecond precision, so the argument only selects a display
+    # precision Trino truncates to; dropping it keeps the instant
+    (
+        re.compile(r"\bcurrent_timestamp\s*\(", re.IGNORECASE),
+        {1: lambda p: "current_timestamp()", 0: lambda: "current_timestamp()"},
+    ),
+    (
+        re.compile(r"\blocaltimestamp\s*\(", re.IGNORECASE),
+        {1: lambda p: "localtimestamp()", 0: lambda: "localtimestamp()"},
+    ),
+    # 1-arg format_number is Trino's humanized form (123456 → '123K');
+    # the 2-arg form is Spark's thousands-separator builtin
+    (
+        re.compile(r"\bformat_number\s*\(", re.IGNORECASE),
+        {1: lambda x: f"__format_number_human({x})",
+         2: lambda x, d: f"format_number({x}, {d})"},
+    ),
 ]
 
 
@@ -3464,6 +3538,8 @@ def _rewrite_templates(q: str) -> str:
                 break
             m, bs, be = found
             args = _split_top_args(q[bs:be])
+            if args == [""]:  # empty parens = zero arguments
+                args = []
             render = by_arity.get(len(args))
             if render is None:
                 raise TrinoCompatError(

@@ -2152,3 +2152,38 @@ def test_nested_json_rewrites(spark):
     assert r["b"] == "1"
     assert '{\\"b\\":1}' in r["c"] or '{"b":1}' in r["c"]
     assert r["d"] is None and r["e"] == 5
+
+
+# ---------------------------------------------------------------------------
+# dialect batch 15 (data sizes, humanized numbers, timezone helpers)
+
+
+def test_parse_data_size(spark):
+    r = run(spark, "SELECT parse_data_size('2.3MB') AS a,"
+                   " parse_data_size('1kB') AS b,"
+                   " parse_data_size('77') AS c,"
+                   " parse_data_size('1.5GB') AS d")[0]
+    assert (int(r["a"]), int(r["b"]), int(r["c"]), int(r["d"])) == (
+        2411724, 1024, 77, 1610612736)  # Trino's doc examples (floored)
+    with pytest.raises(Exception, match="Invalid data size"):
+        run(spark, "SELECT parse_data_size('xMB')")
+
+
+def test_format_number_humanized(spark):
+    r = run(spark, "SELECT format_number(123456) AS a,"
+                   " format_number(1234567) AS b,"
+                   " format_number(999) AS c,"
+                   " format_number(-123456) AS d,"
+                   " format_number(12345, 0) AS e")[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == ("123K", "1.23M", "999", "-123K")
+    assert r["e"] == "12,345"  # 2-arg stays Spark's separator form
+
+
+def test_with_timezone_and_precision_args(spark):
+    r = run(spark, "SELECT with_timezone(TIMESTAMP '2026-01-01 12:00:00',"
+                   " 'America/New_York') AS a,"
+                   " current_timestamp(3) IS NOT NULL AS b,"
+                   " localtimestamp(3) IS NOT NULL AS c")[0]
+    # noon wall-clock in New York = 17:00 UTC (EST, January)
+    assert r["a"].strftime("%H:%M") == "17:00"
+    assert r["b"] is True and r["c"] is True

@@ -679,6 +679,85 @@ def x21_reduce_agg(spark, sf_dir):
 
 
 @register(
+    "x22_quantified_subqueries",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE c_nationkey = ANY (SELECT n_nationkey FROM nation
+                             WHERE n_regionkey = 1)
+      AND c_acctbal > ALL (SELECT min(o_totalprice) / 1000 FROM orders)
+    """,
+)
+def x22_quantified_subqueries(spark, sf_dir):
+    """Quantified comparison predicates through the dialect layer:
+    translate() maps `= ANY` onto an IN-subquery and the ordering
+    quantifier `> ALL` onto a min/max scalar subquery
+    (trino_compat._rewrite_quantified_comparisons).  DuckDB executes
+    the SAME quantified SQL natively, so the hash-match is a true
+    differential check of the rewrite against an independent
+    implementation of the standard's semantics.  Reference surface:
+    client.go:501-617 passes quantified predicates through to Trino.
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT c_custkey FROM customer
+            WHERE c_nationkey = ANY (SELECT n_nationkey FROM nation
+                                     WHERE n_regionkey = 1)
+              AND c_acctbal > ALL (SELECT min(o_totalprice) / 1000 FROM orders)
+            """
+        )
+    )
+
+
+@register(
+    "x23_vector_math",
+    oracle="""
+    SELECT vec_id,
+      CAST(round(list_dot_product(CAST(embedding AS DOUBLE[]),
+           list_reverse(CAST(embedding AS DOUBLE[]))) * 1000) AS BIGINT)
+        AS dotr,
+      CAST(round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+           CAST(embedding AS DOUBLE[]))) * 1000) AS BIGINT) AS nrm
+    FROM embeddings
+    """,
+)
+def x23_vector_math(spark, sf_dir):
+    """Vector math through the dialect layer (batch 13's
+    dot_product/l2_norm zip_with+aggregate UDFs) hash-checked against
+    DuckDB's native list_dot_product — both sides cast the float32
+    embeddings to double and round to 1e-3 before the integer compare,
+    the established float-exactness protocol (registry.ISUM).  The
+    reversed-vector dot keeps the check non-trivial (a self-dot alone
+    can't catch an operand-ordering bug).
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import (
+        install_compat_functions,
+        translate,
+    )
+
+    register_tables(spark, sf_dir)
+    install_compat_functions(spark)  # dot_product/l2_norm are SQL UDFs
+    return spark.sql(
+        translate(
+            """
+            SELECT vec_id,
+              CAST(round(dot_product(CAST(embedding AS ARRAY<DOUBLE>),
+                   reverse(CAST(embedding AS ARRAY<DOUBLE>))) * 1000)
+                AS BIGINT) AS dotr,
+              CAST(round(l2_norm(CAST(embedding AS ARRAY<DOUBLE>)) * 1000)
+                AS BIGINT) AS nrm
+            FROM embeddings
+            """
+        )
+    )
+
+
+@register(
     "w12_groups_frame",
     oracle="""
     WITH g AS (

@@ -514,6 +514,8 @@ _COMPAT_SQL_UDFS = {
         " WHEN 'GB' THEN 1073741824 WHEN 'TB' THEN 1099511627776"
         " WHEN 'PB' THEN 1125899906842624"
         " WHEN 'EB' THEN 1152921504606846976"
+        " WHEN 'ZB' THEN 1180591620717411303424"
+        " WHEN 'YB' THEN 1208925819614629174706176"
         " ELSE raise_error(concat('Invalid data size: ', s)) END"
         " AS DECIMAL(38,0))) AS DECIMAL(38,0)) END",
     ),
@@ -3548,8 +3550,16 @@ def _rewrite_templates(q: str) -> str:
                     f"(supported: {sorted(by_arity)})"
                 )
             repl = render(*args)
+            if repl == q[m.start() : be + 1]:
+                # identity render (e.g. 2-arg strpos passes through):
+                # advance past it or the rescan below would loop
+                start = be + 1
+                continue
             q = q[: m.start()] + repl + q[be + 1 :]
-            start = m.start() + len(repl)
+            # rescan from the replacement so a same-head call nested in
+            # the arguments is rewritten too (each pass either shrinks
+            # the pending-call count or hits the identity branch above)
+            start = m.start()
     return q
 
 

@@ -359,12 +359,18 @@ class _HTTPHandler:
                 """RFC 9728 protected-resource metadata (reference
                 docs/oauth.md "Metadata Endpoints"): in native/OIDC mode
                 authorization_servers points at the IdP issuer; in
-                hmac-JWT mode at this server itself."""
+                hmac-JWT mode at this server itself — but only when the
+                token endpoint is actually provisioned (otherwise the
+                advertised AS metadata would 404 one discovery step
+                later); jwt-only deployments issue tokens out of band
+                and advertise no authorization server."""
                 mcp_url = os.environ.get("MCP_URL", "http://localhost:8080")
                 if oidc_validator is not None:
                     auth_servers = [oidc_validator.config.issuer]
-                else:
+                elif oauth_client_secret:
                     auth_servers = [mcp_url]
+                else:
+                    auth_servers = []
                 return json.dumps(
                     {
                         "resource": mcp_url,

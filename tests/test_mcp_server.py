@@ -602,6 +602,33 @@ def test_oauth_token_endpoint_and_metadata(server):
         httpd.shutdown()
 
 
+def test_protected_resource_metadata_jwt_only_has_no_auth_server(server):
+    """JWT mode without a provisioned client secret: the resource
+    metadata must not point at an authorization server whose own
+    metadata endpoint would 404 (tokens are issued out of band)."""
+    import json as _json
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from server.mcp_server import _HTTPHandler
+
+    httpd = ThreadingHTTPServer(
+        ("localhost", 0), _HTTPHandler.make(server, jwt_secret="jwt-s3cret")
+    )
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        base = f"http://localhost:{port}"
+        with urllib.request.urlopen(
+            f"{base}/.well-known/oauth-protected-resource"
+        ) as r:
+            meta = _json.loads(r.read())
+        assert meta["authorization_servers"] == []
+    finally:
+        httpd.shutdown()
+
+
 def test_oauth_metadata_absent_outside_hmac_mode(server):
     """No JWT secret (or OIDC mode, where the IdP owns the metadata) →
     the authorization-server endpoints must not exist."""

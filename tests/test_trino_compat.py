@@ -2187,3 +2187,14 @@ def test_with_timezone_and_precision_args(spark):
     # noon wall-clock in New York = 17:00 UTC (EST, January)
     assert r["a"].strftime("%H:%M") == "17:00"
     assert r["b"] is True and r["c"] is True
+
+
+def test_parse_data_size_zb_yb_and_nested_templates(spark):
+    r = run(spark, "SELECT parse_data_size('1ZB') AS a,"
+                   " parse_data_size('1YB') AS b,"
+                   " format_number(length(format_number(1234567))) AS c,"
+                   " strpos(substr('hello', strpos('hello', 'l', 1)),"
+                   " 'l', 2) AS d")[0]
+    assert int(r["a"]) == 1024 ** 7 and int(r["b"]) == 1024 ** 8
+    assert r["c"] == "5"  # nested same-head template calls both rewrite
+    assert r["d"] == 2

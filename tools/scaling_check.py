@@ -43,6 +43,25 @@ def replicate(df: DataFrame, key_cols: list[str], copies: int) -> DataFrame:
     return out
 
 
+def suffixed_replicas(docs: DataFrame, copies: int) -> DataFrame:
+    """Doc-corpus replicas with shifted ids AND a per-copy text suffix,
+    so replicas do NOT near-match each other — candidate-pair cardinality
+    grows like real corpus growth (×copies), not quadratically.  Shared
+    by every LSH-pipeline probe so they all measure the same corpus."""
+    shift = 10_000_000
+    reps = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * shift)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" replica-{i}")).alias("text"),
+        )
+        for i in range(copies)
+    ]
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def timed(df: DataFrame) -> float:
     t0 = time.perf_counter()
     df.write.mode("overwrite").format("noop").save()
@@ -112,18 +131,7 @@ def check_minhash_lsh(spark) -> None:
     timed_fresh(docs)  # warm
     t1 = min(timed_fresh(docs) for _ in range(2))
 
-    shift = 10_000_000
-    reps = [
-        docs.select(
-            (F.col("doc_id") + F.lit(i * shift)).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(f" replica-{i}")).alias("text"),
-        )
-        for i in range(COPIES)
-    ]
-    big_docs = reps[0]
-    for r in reps[1:]:
-        big_docs = big_docs.unionByName(r)
-    t10 = min(timed_fresh(big_docs) for _ in range(2))
+    t10 = min(timed_fresh(suffixed_replicas(docs, COPIES)) for _ in range(2))
     report("minhash_lsh_dedup", n_rows_1x, t1, t10)
 
 
@@ -353,28 +361,25 @@ def check_dup_clusters(spark) -> None:
     def timed_fresh(frame) -> float:
         # _propagate_clusters iterates EAGERLY (localCheckpoint + count
         # per round), so construction must be inside the clock
+        import gc
+
         t0 = time.perf_counter()
         out = _propagate_clusters(minhash_lsh_pairs_plan(frame))
         out.write.mode("overwrite").format("noop").save()
         t = time.perf_counter() - t0
         spark.catalog.clearCache()
+        # the per-round localCheckpoint RDDs are freed only when the
+        # driver drops its references — do that between runs so the
+        # next timing doesn't execute under the last run's block-
+        # storage residue
+        del out
+        gc.collect()
         return t
 
     n_rows_1x = docs.count()
     timed_fresh(docs)  # warm
     t1 = min(timed_fresh(docs) for _ in range(2))
-    shift = 10_000_000
-    reps = [
-        docs.select(
-            (F.col("doc_id") + F.lit(i * shift)).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(f" replica-{i}")).alias("text"),
-        )
-        for i in range(COPIES)
-    ]
-    big = reps[0]
-    for r in reps[1:]:
-        big = big.unionByName(r)
-    t10 = min(timed_fresh(big) for _ in range(2))
+    t10 = min(timed_fresh(suffixed_replicas(docs, COPIES)) for _ in range(2))
     report("dup_clusters_connected_components", n_rows_1x, t1, t10)
 
 

@@ -3760,7 +3760,21 @@ def _rewrite_quantified_comparisons(q: str) -> str:
                 if (op in (">", ">=")) == (quant == "ALL")
                 else "min"
             )
-            repl = f" {op} (SELECT {agg}(__v) FROM ({sub}) __q(__v))"
+            if quant == "ALL":
+                # a NULL element makes `op ALL` at best UNKNOWN, never
+                # TRUE — min/max silently ignore NULLs, which would let
+                # a WHERE keep rows the standard excludes.  Poisoning
+                # the threshold to NULL when any element is NULL yields
+                # UNKNOWN for exactly those rows (the standard's FALSE
+                # cases also become UNKNOWN — identical under WHERE,
+                # and never wrongly TRUE).
+                thr = (
+                    f"(SELECT CASE WHEN count(*) > count(__v) THEN NULL"
+                    f" ELSE {agg}(__v) END FROM ({sub}) __q(__v))"
+                )
+            else:
+                thr = f"(SELECT {agg}(__v) FROM ({sub}) __q(__v))"
+            repl = f" {op} {thr}"
         else:
             raise TrinoCompatError(
                 f"quantified comparison {op} {quant} is not supported "

@@ -2198,3 +2198,14 @@ def test_parse_data_size_zb_yb_and_nested_templates(spark):
     assert int(r["a"]) == 1024 ** 7 and int(r["b"]) == 1024 ** 8
     assert r["c"] == "5"  # nested same-head template calls both rewrite
     assert r["d"] == 2
+
+
+def test_quantified_all_null_elements_never_true(spark):
+    # a NULL element makes `op ALL` at best UNKNOWN — min/max ignoring
+    # NULLs must not let a row through the filter
+    r = run(spark, "SELECT 9 > ALL (SELECT x FROM (VALUES (1),(NULL)) t(x)) AS a,"
+                   " 9 > ANY (SELECT x FROM (VALUES (1),(NULL)) t(x)) AS b")[0]
+    assert r["a"] is None and r["b"] is True
+    rows = run(spark, "SELECT x FROM (VALUES (9)) t(x)"
+                      " WHERE x > ALL (SELECT y FROM (VALUES (1),(NULL)) s(y))")
+    assert rows == []

@@ -3726,10 +3726,12 @@ def _rewrite_row_fieldn(q: str) -> str:
 #: ≡ NOT IN exactly (three-valued NULL semantics included, Spark's
 #: IN-subquery implements them).  Ordering quantifiers map onto
 #: min/max scalar subqueries (`> ALL (S)` ⇔ `> (SELECT max FROM S)`),
-#: which is exact for non-empty, null-free subqueries — the two edge
-#: divergences (empty S: standard says TRUE/FALSE, this yields NULL;
-#: NULL elements: standard may say UNKNOWN where min/max ignores them)
-#: are accepted and documented rather than silently mis-parsed.
+#: exact for non-empty subqueries: ALL thresholds NULL-poison when any
+#: element is NULL (never wrongly TRUE; standard FALSE cases surface
+#: as UNKNOWN — identical under WHERE).  The one remaining divergence
+#: is the empty subquery (standard: ALL→TRUE / ANY→FALSE; this yields
+#: UNKNOWN — conservative under filtering), documented here rather
+#: than silently mis-parsed.
 _QUANTIFIED = re.compile(
     r"(?P<op>=|<>|!=|<=|>=|<|>)\s*(?P<quant>ANY|SOME|ALL)\s*\(",
     re.IGNORECASE,

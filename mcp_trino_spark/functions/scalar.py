@@ -758,6 +758,67 @@ def x23_vector_math(spark, sf_dir):
 
 
 @register(
+    "x24_setdigest",
+    oracle="""
+    WITH a AS (SELECT DISTINCT c_custkey AS k FROM customer
+               WHERE c_custkey <= 300 AND c_nationkey < 13),
+         b AS (SELECT DISTINCT c_custkey AS k FROM customer
+               WHERE c_custkey <= 300 AND c_nationkey < 20)
+    SELECT
+      (SELECT COUNT(*) FROM a) AS card_a,
+      (SELECT COUNT(*) FROM (SELECT k FROM a INTERSECT SELECT k FROM b))
+        AS inter_ab,
+      CAST(round(
+        CAST((SELECT COUNT(*) FROM (SELECT k FROM a INTERSECT
+              SELECT k FROM b)) AS DOUBLE)
+        / (SELECT COUNT(*) FROM (SELECT k FROM a UNION SELECT k FROM b))
+        * 1000000) AS BIGINT) AS jac
+    """,
+)
+def x24_setdigest(spark, sf_dir):
+    """Trino's SetDigest surface (make_set_digest / cardinality /
+    intersection_cardinality / jaccard_index) over KMV sketches
+    (functions/setdigest.py — the fourth mergeable-sketch family).
+    The probed sets are capped at 300 keys (< K = 512), where the KMV
+    sketch stores the whole hash set and every reader is EXACT — so
+    DuckDB's exact set algebra (COUNT DISTINCT / INTERSECT / UNION) is
+    a hash-exact oracle, proving the digest pipeline end-to-end rather
+    than sampling a tolerance band.  The stored-digest cardinality uses
+    the reader name ``__setdigest_cardinality`` directly: bare
+    ``cardinality`` is type-overloaded (arrays/maps), and only the
+    composed ``cardinality(make_set_digest|merge_set_digest(...))``
+    spellings rewrite (tested in test_trino_compat) — Spark also
+    cannot plan a pandas grouped-agg in a scalar subquery alongside
+    other pandas UDFs (UnevaluableAggregateFunc), so the digest sides
+    come from a CROSS JOIN of 1-row aggregates.  Reference surface:
+    client.go:501-617 passes the SetDigest functions through to Trino.
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import (
+        install_compat_functions,
+        translate,
+    )
+
+    register_tables(spark, sf_dir)
+    install_compat_functions(spark)
+    return spark.sql(
+        translate(
+            """
+            SELECT __setdigest_cardinality(a.d) AS card_a,
+                   intersection_cardinality(a.d, b.d) AS inter_ab,
+                   CAST(round(jaccard_index(a.d, b.d) * 1000000) AS BIGINT)
+                     AS jac
+            FROM (SELECT make_set_digest(c_custkey) AS d FROM customer
+                  WHERE c_custkey <= 300 AND c_nationkey < 13) a
+            CROSS JOIN
+                 (SELECT make_set_digest(c_custkey) AS d FROM customer
+                  WHERE c_custkey <= 300 AND c_nationkey < 20) b
+            """
+        )
+    )
+
+
+@register(
     "w12_groups_frame",
     oracle="""
     WITH g AS (

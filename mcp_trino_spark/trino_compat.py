@@ -1033,6 +1033,11 @@ def install_compat_functions(spark) -> None:
     spark.udf.register(
         "__format_number_human", pandas_udf(_fmtnum_impl, "string")
     )
+
+    # Trino SetDigest family (KMV sketches — functions/setdigest.py)
+    from mcp_trino_spark.functions.setdigest import register_setdigest_functions
+
+    register_setdigest_functions(spark)
     setattr(spark, _INSTALLED_ATTR, True)
 
 
@@ -1920,6 +1925,28 @@ _HLL_CARD_MERGE = re.compile(
 )
 _APPROX_SET_HEAD = re.compile(r"\bapprox_set\s*\(", re.IGNORECASE)
 _MERGE_AGG_HEAD = re.compile(r"\bmerge\s*\(", re.IGNORECASE)
+
+#: SetDigest composed-cardinality spellings (mirrors the HLL pattern:
+#: `cardinality` is type-overloaded, so only the sketch compositions
+#: move to the reader UDF; array/map cardinality stays native).  A
+#: scalar-subquery digest — `cardinality((SELECT make_set_digest(x)
+#: FROM ...))` — also rewrites (the paren-wrapped head below).
+_SETDIGEST_CARD = re.compile(
+    r"\bcardinality\s*\((?=\s*\(?\s*(?:SELECT\s+)?"
+    r"(?:make_set_digest|merge_set_digest)\s*\()",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_setdigest_cardinality(q: str) -> str:
+    while True:
+        mask = _code_mask(q)
+        m = next(
+            (c for c in _SETDIGEST_CARD.finditer(q) if mask[c.start()]), None
+        )
+        if m is None:
+            return q
+        q = q[: m.start()] + "__setdigest_cardinality(" + q[m.end() :]
 
 
 def _rewrite_hll_sketches(q: str) -> str:
@@ -3947,6 +3974,7 @@ def translate(query: str) -> str:
     query = _rewrite_date_parse(query)
     query = _rewrite_decimal_literal(query)
     query = _rewrite_parse_duration(query)
+    query = _rewrite_setdigest_cardinality(query)
     query = _rewrite_hll_sketches(query)
     query = _rewrite_at_time_zone(query)
     query = _rewrite_extract_epoch(query)

@@ -1186,6 +1186,78 @@ def _rewrite_unnest(q: str, code_at: List[bool]) -> str:
         code_at = _code_mask(q)
 
 
+#: standalone ``FROM UNNEST(...) AS t(c, ...)`` — UNNEST as the sole
+#: FROM source (literal-table idiom all over Trino docs/tests), as
+#: opposed to the CROSS JOIN form above.  Shapes by (#exprs, #cols):
+#: (1, 1) array explode; (1, 2) map entries; (n, n) arrays zipped with
+#: NULL padding to the longest (Trino's multi-array semantics, which
+#: arrays_zip can't spell without field-name gymnastics).  WITH
+#: ORDINALITY appends the 1-based position.
+_UNNEST_FROM = re.compile(r"\bFROM\s+UNNEST\s*\(", re.IGNORECASE)
+_UNNEST_FROM_TAIL = re.compile(
+    r"\s*(?P<ord>WITH\s+ORDINALITY\s+)?AS\s+"
+    r"(?P<alias>[A-Za-z_][A-Za-z0-9_]*)\s*\(\s*"
+    r"(?P<cols>[A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_unnest_from(q: str) -> str:
+    start = 0
+    while True:
+        found = _find_call(q, _UNNEST_FROM, start)
+        if found is None:
+            return q
+        m, bs, be = found
+        tail = _UNNEST_FROM_TAIL.match(q, be + 1)
+        if tail is None:
+            # no column aliases — Trino requires them for UNNEST; let
+            # Spark's parser produce the loud error
+            start = be + 1
+            continue
+        exprs = _split_top_args(q[bs:be])
+        cols = [c.strip() for c in tail.group("cols").split(",")]
+        has_ord = bool(tail.group("ord"))
+        data_cols = cols[:-1] if has_ord else cols
+        if len(exprs) == 1 and len(data_cols) == 1:
+            gen = "posexplode" if has_ord else "explode"
+            sel = f"col AS {data_cols[0]}"
+            if has_ord:
+                sel += f", pos + 1 AS {cols[-1]}"
+            inner = f"SELECT {sel} FROM {gen}({exprs[0]})"
+        elif len(exprs) == 1 and len(data_cols) == 2:
+            gen = "posexplode" if has_ord else "explode"
+            sel = f"key AS {data_cols[0]}, value AS {data_cols[1]}"
+            if has_ord:
+                sel += f", pos + 1 AS {cols[-1]}"
+            inner = f"SELECT {sel} FROM {gen}({exprs[0]})"
+        elif len(exprs) == len(data_cols):
+            g = "greatest(" + ", ".join(f"size({e})" for e in exprs) + ")"
+            sels = [
+                f"try_element_at({e}, __i) AS {c}"
+                for e, c in zip(exprs, data_cols)
+            ]
+            if has_ord:
+                sels.append(f"__i AS {cols[-1]}")
+            # sequence(1, 0) would count DOWN; generate to at least 1
+            # and filter — an all-empty/NULL input yields zero rows
+            inner = (
+                f"SELECT {', '.join(sels)} FROM (SELECT "
+                f"explode(sequence(1, greatest({g}, 1))) AS __i) "
+                f"WHERE __i <= {g}"
+            )
+        else:
+            raise TrinoCompatError(
+                f"UNNEST: {len(exprs)} expression(s) vs "
+                f"{len(data_cols)} column alias(es) — counts must match "
+                "(or one map expression with two aliases)"
+            )
+        repl = f"FROM ({inner}) {tail.group('alias')}"
+        q = q[: m.start()] + repl + q[tail.end() :]
+        start = m.start() + len(repl)
+
+
 def _find_call(q: str, head: "re.Pattern", start: int = 0):
     """First code-position match of ``head`` (a ``name\\s*\\(`` pattern)
     at/after ``start``, plus the span of its balanced argument list.
@@ -3944,6 +4016,7 @@ def translate(query: str) -> str:
     query = _rewrite_groups_frames(query)
     query = _rewrite_array_literal(query)
     query = _rewrite_unnest(query, _code_mask(query))
+    query = _rewrite_unnest_from(query)
     query = _rewrite_try(query)
     # MUST precede the Joda pass: format_datetime rewrites INTO
     # date_format(...) calls whose patterns are already Java-style

@@ -2209,3 +2209,34 @@ def test_quantified_all_null_elements_never_true(spark):
     rows = run(spark, "SELECT x FROM (VALUES (9)) t(x)"
                       " WHERE x > ALL (SELECT y FROM (VALUES (1),(NULL)) s(y))")
     assert rows == []
+
+
+# ---------------------------------------------------------------------------
+# standalone FROM UNNEST (literal-table idiom)
+
+
+def test_unnest_as_sole_from_source(spark):
+    r = run(spark, "SELECT n FROM UNNEST(sequence(1, 3)) AS t(n) ORDER BY n")
+    assert [x["n"] for x in r] == [1, 2, 3]
+    r = run(spark, "SELECT n, o FROM UNNEST(ARRAY[7,8]) WITH ORDINALITY"
+                   " AS t(n, o) ORDER BY o")
+    assert [(x["n"], x["o"]) for x in r] == [(7, 1), (8, 2)]
+    r = run(spark, "SELECT k, v FROM UNNEST(MAP(ARRAY['a','b'], ARRAY[1,2]))"
+                   " AS t(k, v) ORDER BY k")
+    assert [(x["k"], x["v"]) for x in r] == [("a", 1), ("b", 2)]
+
+
+def test_unnest_multi_array_zip_with_padding(spark):
+    # Trino zips multiple arrays, padding the shorter with NULLs
+    r = run(spark, "SELECT n, s FROM UNNEST(ARRAY[1,2,3], ARRAY['a','b'])"
+                   " AS t(n, s) ORDER BY n NULLS LAST")
+    assert [(x["n"], x["s"]) for x in r] == [(1, "a"), (2, "b"), (3, None)]
+    r = run(spark, "SELECT count(*) AS c FROM UNNEST("
+                   "CAST(ARRAY[] AS ARRAY<INTEGER>),"
+                   " CAST(ARRAY[] AS ARRAY<INTEGER>)) AS t(a, b)")
+    assert r[0]["c"] == 0
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    with pytest.raises(TrinoCompatError, match="counts must match"):
+        translate("SELECT a FROM UNNEST(ARRAY[1], ARRAY[2], ARRAY[3])"
+                  " AS t(a, b)")

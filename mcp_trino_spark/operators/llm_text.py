@@ -576,7 +576,7 @@ def l17_repetition_score(spark, sf_dir):
       FROM documents GROUP BY source
     ),
     tot AS (SELECT SUM(n_chars_total) AS total_chars, COUNT(*) AS n_sources FROM counts)
-    SELECT c.source, c.n_docs, c.n_chars_total,
+    SELECT c.source, c.n_docs, CAST(c.n_chars_total AS BIGINT) AS n_chars_total,
            ROUND(CAST(c.n_chars_total AS DOUBLE) / t.total_chars, 9) AS actual_share,
            ROUND((1.0 / t.n_sources) / (CAST(c.n_chars_total AS DOUBLE) / t.total_chars), 9)
              AS uniform_weight

@@ -230,32 +230,20 @@ _PROVEN_R45 = [
     "t9_funnel_pattern",
 ]
 
-#: Driver-facing ordering: the per-round correctness harness verifies the
-#: FIRST 50 registry entries.  Rounds 2-3 certified ``_PROVEN_R03`` twice
-#: over and rounds 4-5 certified ``_PROVEN_R45``, so round 6 ROTATES the
-#: window to the 52 entries the driver has NEVER graded: 43 oracle-backed
-#: first (full rows+schema+hash compare — the 42 never-graded survivors
-#: plus the new x21), then the 9 rows-only entries (sketches / plan
-#: text / catalog listings, where no DuckDB twin exists).
-#: The list overflows the 50-slot window, so the last names (f3/f4, the
-#: least informative catalog listings) intentionally fall past the fold.
-#: Every oracle entry
-#: here is already exact-match green under the stricter local gate
-#: (tools/check_correctness.py, type-tagged cells / bit-exact floats), and
-#: the two certified sets stay pinned via ``make check-proven``.
-_PRIORITY = [
-    # projection / predicates
+#: Entries certified by the driver in round 6 (CORRECTNESS_r06: 49/50
+#: green; the one red, l18_mix_weights, was a diagnosed oracle-typing
+#: bug — DuckDB HUGEINT → driver float64 coercion — fixed by an outer
+#: CAST, so it re-enters the round-7 window below for re-certification).
+#: Pinned like the other proven sets for the local regression gate.
+_PROVEN_R06 = [
     "p2_alias_expr",
     "p3_comparison",
     "p4_boolean_connectives",
     "p9_distinct",
-    # set ops / ordering
     "o5_union_all",
     "o6_union_distinct",
-    # windows
     "w3_ntile",
     "w7_window_agg",
-    # scalar functions
     "x5_timestamp_fmt",
     "x7_conditional",
     "x15_bitwise",
@@ -263,16 +251,13 @@ _PRIORITY = [
     "x12b_json_structured",
     "x20_approx_most_frequent",
     "x21_reduce_agg",
-    # pattern matching
     "t9b_pattern_regex",
     "t10_match_recognize_vshape",
-    # sources / sinks / CDC
     "s2b_multiformat_roundtrip",
     "s2c_orc_roundtrip",
     "s3_values_relation",
     "s6b_parquet_partitioned_roundtrip",
     "s12_table_changes",
-    # LLM text analysis
     "l6_regex_search",
     "l7_top_bigrams",
     "l8_quality_score",
@@ -283,29 +268,83 @@ _PRIORITY = [
     "l15_length_histogram",
     "l17_repetition_score",
     "l20_pii_scrub",
-    # LLM pipelines / sampling / weighting
     "l13_training_pipeline",
-    "l18_mix_weights",
     "l19_hash_split",
     "l23_stratified_sample",
     "l24_tfidf",
     "l28_unigram_logprob",
     "l32_doc_chunking",
-    # LLM dedup / similarity long tail
     "l25_batch_ann",
     "l27_semdedup",
     "l28_incremental_dedup",
     "l29_dedup_stats",
-    # rows-only entries (no SQL oracle possible; weaker driver check)
-    "a20_sketch_reaggregate",
-    "a21_qdigest_rollup",
-    "a22_misra_gries_rollup",
-    "o3_limit",
-    "f6b_explain_io",
-    "f2b_list_catalogs_federated",
-    "f2_list_catalogs",
+]
+
+#: Driver-facing ordering: the per-round correctness harness verifies the
+#: FIRST 50 registry entries.  Rounds 2-6 certified 157 of the 161
+#: oracle-backed entries (pinned above as ``_PROVEN_R03`` / ``_PROVEN_R45``
+#: / ``_PROVEN_R06``).  Round 7 puts the LAST never-driver-graded entries
+#: first — the re-fixed l18 (oracle now CASTs its surfaced SUM to BIGINT,
+#: closing the round-6 HUGEINT red), the round-6 additions x22/x23/x24,
+#: j4_cross (oracle-backed but never in a window), and the two rows-only
+#: catalog listings f3/f4 that fell past the round-6 fold — then fills the
+#: remaining 43 slots with a category-spanning spot-check of the proven
+#: sets, so the driver re-confirms no silent regression while finishing
+#: full certification.
+_PRIORITY = [
+    # --- never driver-graded (6 oracle-backed + 2 rows-only) ---
+    "l18_mix_weights",
+    "x22_quantified_subqueries",
+    "x23_vector_math",
+    "x24_setdigest",
+    "j4_cross",
     "f3_list_schemas",
     "f4_list_tables",
+    # --- proven-set spot-check: rounds 2-3 vintage ---
+    "q0_flagship_revenue_by_region",
+    "p1_projection",
+    "j1_inner_equi",
+    "j8_range_band",
+    "j11_asof",
+    "j14_salted_skew_join",
+    "a1_groupby_count",
+    "a6_grouping_sets",
+    "a16_salted_skew_agg",
+    "w1_row_number",
+    "w10_topn_per_group",
+    "o2_topk",
+    "o9_cte",
+    "o11_recursive_cte",
+    "x12_json",
+    "x19_trino_dialect",
+    "t3_sessionization",
+    "t10b_match_recognize_funnel",
+    "s6_ctas_insert",
+    "s7_merge_upsert",
+    "s9_cross_catalog_join",
+    "l1_exact_dedup",
+    "l2_minhash_lsh_pairs",
+    "l4_topk_similarity",
+    # --- proven-set spot-check: rounds 4-5 vintage ---
+    "o12_fetch_with_ties",
+    "s10_time_travel",
+    "l33_editdist_verify",
+    "l21_dup_clusters",
+    "l27_passage_dedup",
+    "a7_rollup",
+    "a14_percentile",
+    "a18_pivot",
+    "j6_left_anti",
+    "j13_bloom_prefilter_semi",
+    "p6_null_predicates",
+    "o7_intersect",
+    "w6_first_last_nth",
+    "w9_range_frame",
+    "x10_array_hof",
+    "x14_hashing",
+    "x18_array_setops",
+    "t6_gap_fill",
+    "t9_funnel_pattern",
 ]
 
 

@@ -3826,15 +3826,118 @@ def _rewrite_row_fieldn(q: str) -> str:
 #: IN-subquery implements them).  Ordering quantifiers map onto
 #: min/max scalar subqueries (`> ALL (S)` ⇔ `> (SELECT max FROM S)`),
 #: exact for non-empty subqueries: ALL thresholds NULL-poison when any
-#: element is NULL (never wrongly TRUE; standard FALSE cases surface
-#: as UNKNOWN — identical under WHERE).  The one remaining divergence
-#: is the empty subquery (standard: ALL→TRUE / ANY→FALSE; this yields
-#: UNKNOWN — conservative under filtering), documented here rather
-#: than silently mis-parsed.
+#: element is NULL, and ANY carries an OR'd null-degrade guard
+#: (`x > min(S) OR (NULL if S has a NULL else FALSE)`) so its FALSE
+#: cases become UNKNOWN when a NULL element exists while TRUE
+#: witnesses stay TRUE — in both directions never wrongly TRUE and
+#: never TRUE→UNKNOWN.  The one remaining divergence is the empty
+#: subquery (standard: ALL→TRUE / ANY→FALSE; this yields UNKNOWN —
+#: conservative under filtering), documented here rather than
+#: silently mis-parsed.
 _QUANTIFIED = re.compile(
     r"(?P<op>=|<>|!=|<=|>=|<|>)\s*(?P<quant>ANY|SOME|ALL)\s*\(",
     re.IGNORECASE,
 )
+
+#: keywords that terminate a left-operand backscan: anything at lower
+#: precedence than a comparison, clause heads, and CASE frame words
+_OPERAND_STOP_KW = {
+    "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ON", "AND",
+    "OR", "NOT", "WHEN", "THEN", "ELSE", "CASE", "END", "IN",
+    "BETWEEN", "LIKE", "IS", "JOIN", "SET", "VALUES", "AS",
+}
+
+
+def _left_operand_start(q: str, mask: List[bool], pos: int) -> int:
+    """Start index of the expression ending just before ``pos``.
+
+    Captures primary segments right-to-left — identifier chains
+    (``a.b.c``, numbers), call/paren groups with their function name,
+    string and typed literals — and chains across binary arithmetic
+    operators (``+ - * / % ||``) so ``a - b > ANY (S)`` wraps the whole
+    ``a - b``.  Comparisons bind looser than arithmetic and tighter
+    than NOT/AND/OR, so stopping at ``_OPERAND_STOP_KW`` / punctuation
+    is exactly the comparison operand boundary.  Raises when no operand
+    is found (e.g. an unparenthesized CASE), asking the caller to
+    parenthesize — same contract as the AT TIME ZONE backscan."""
+    i = pos - 1
+    start = None
+    while True:
+        while i >= 0 and q[i].isspace():
+            i -= 1
+        if i < 0:
+            break
+        if not mask[i]:
+            # string literal: walk to the start of the non-code run,
+            # then optionally include a typed-literal keyword before it
+            j = i
+            while j >= 0 and not mask[j]:
+                j -= 1
+            seg = j + 1
+            k = j
+            while k >= 0 and q[k].isspace():
+                k -= 1
+            e = k
+            while k >= 0 and (q[k].isalnum() or q[k] == "_"):
+                k -= 1
+            if q[k + 1 : e + 1].upper() in _TYPED_LIT_KW:
+                seg = k + 1
+            start, i = seg, seg - 1
+        elif q[i] == ")":
+            depth, j = 0, i
+            while j >= 0:
+                if mask[j]:
+                    if q[j] == ")":
+                        depth += 1
+                    elif q[j] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                j -= 1
+            if depth:
+                raise TrinoCompatError(
+                    "unbalanced parens before a quantified comparison"
+                )
+            j -= 1
+            # include the call's function-name chain, if any
+            while j >= 0 and mask[j] and (q[j].isalnum() or q[j] in "_$."):
+                j -= 1
+            start, i = j + 1, j
+        elif q[i].isalnum() or q[i] in "_$.":
+            j = i
+            while j >= 0 and mask[j] and (q[j].isalnum() or q[j] in "_$."):
+                j -= 1
+            if q[j + 1 : i + 1].upper() in _OPERAND_STOP_KW:
+                break
+            start, i = j + 1, j
+        else:
+            break
+        # continue only across a binary arithmetic operator
+        k = i
+        while k >= 0 and q[k].isspace():
+            k -= 1
+        if k >= 1 and mask[k] and q[k - 1 : k + 1] == "||":
+            i = k - 2
+            continue
+        if k >= 0 and mask[k] and q[k] in "+-*/%":
+            p = k - 1
+            while p >= 0 and q[p].isspace():
+                p -= 1
+            if q[k] in "+-" and (
+                p < 0 or (mask[p] and q[p] in "(,+-*/%<>=|")
+            ):
+                # unary sign: part of the operand, and nothing precedes
+                start = k
+                break
+            i = k - 1
+            continue
+        break
+    if start is None:
+        raise TrinoCompatError(
+            "cannot determine the left operand of a quantified comparison"
+            " — parenthesize the expression before the operator"
+        )
+    return start
 
 
 def _rewrite_quantified_comparisons(q: str) -> str:
@@ -3873,9 +3976,33 @@ def _rewrite_quantified_comparisons(q: str) -> str:
                     f"(SELECT CASE WHEN count(*) > count(__v) THEN NULL"
                     f" ELSE {agg}(__v) END FROM ({sub}) __q(__v))"
                 )
-            else:
-                thr = f"(SELECT {agg}(__v) FROM ({sub}) __q(__v))"
-            repl = f" {op} {thr}"
+                q = q[: m.start()] + f" {op} {thr}" + q[close + 1 :]
+                continue
+            # ANY: the symmetric hazard runs the other way — a TRUE
+            # witness must stay TRUE even when other elements are NULL,
+            # so the threshold itself cannot be poisoned.  Instead OR a
+            # null-degrade guard onto the comparison: TRUE short-
+            # circuits the OR, and a not-TRUE comparison (FALSE or
+            # UNKNOWN from a NULL left operand) degrades to UNKNOWN
+            # exactly when the subquery contains a NULL element.  The
+            # OR changes precedence, so the WHOLE predicate — left
+            # operand included (backscan above) — is parenthesized.
+            # Catalyst's ReuseSubquery collapses the two textually
+            # identical subqueries into one execution.
+            thr = f"(SELECT {agg}(__v) FROM ({sub}) __q(__v))"
+            guard = (
+                f"(SELECT CASE WHEN count(*) > count(__v) THEN"
+                f" CAST(NULL AS BOOLEAN) ELSE FALSE END"
+                f" FROM ({sub}) __q(__v))"
+            )
+            lstart = _left_operand_start(q, mask, m.start())
+            left = q[lstart : m.start()].strip()
+            q = (
+                q[:lstart]
+                + f"({left} {op} {thr} OR {guard})"
+                + q[close + 1 :]
+            )
+            continue
         else:
             raise TrinoCompatError(
                 f"quantified comparison {op} {quant} is not supported "

@@ -2211,6 +2211,45 @@ def test_quantified_all_null_elements_never_true(spark):
     assert rows == []
 
 
+def test_quantified_any_null_elements_never_true(spark):
+    # the symmetric ANY hazard: with a NULL element and NO satisfying
+    # witness the standard answer is UNKNOWN, not FALSE — so NOT (...)
+    # must not wrongly keep the row.  TRUE witnesses stay TRUE.
+    sub_null = "(SELECT x FROM (VALUES (5),(NULL)) t(x))"
+    r = run(spark, f"SELECT 3 > ANY {sub_null} AS a,"
+                   f" 7 > ANY {sub_null} AS b,"
+                   f" 3 < ANY {sub_null} AS c,"
+                   f" NULL > ANY (SELECT x FROM (VALUES (1)) t(x)) AS d,"
+                   f" 3 > ANY (SELECT x FROM (VALUES (5)) t(x)) AS e")[0]
+    assert r["a"] is None     # no witness + NULL element → UNKNOWN
+    assert r["b"] is True     # witness wins regardless of the NULL
+    assert r["c"] is True
+    assert r["d"] is None     # NULL left operand → UNKNOWN
+    assert r["e"] is False    # no witness, no NULLs → plain FALSE
+    # the wrongly-kept case from the r6 advice: NOT(FALSE)=TRUE leaked
+    # rows; NOT(UNKNOWN)=UNKNOWN must filter them
+    rows = run(spark, "SELECT x FROM (VALUES (3)) t(x)"
+                      f" WHERE NOT (x > ANY {sub_null})")
+    assert rows == []
+    # and precedence survives the OR-guard: the AND's right arm is the
+    # whole parenthesized quantified predicate
+    rows = run(spark, "SELECT x FROM (VALUES (3),(9)) t(x)"
+                      " WHERE x > 0 AND x - 1 > ANY"
+                      " (SELECT y FROM (VALUES (5),(NULL)) s(y))")
+    assert [r["x"] for r in rows] == [9]
+
+
+def test_quantified_any_arithmetic_and_call_left_operands(spark):
+    # the left-operand backscan must capture arithmetic chains and
+    # call/paren groups, not just bare identifiers
+    r = run(spark, "SELECT 2 + 2 > ANY (SELECT x FROM (VALUES (3)) t(x)) AS a,"
+                   " abs(-9) > ANY (SELECT x FROM (VALUES (10),(NULL)) t(x)) AS b,"
+                   " -1 > ANY (SELECT x FROM (VALUES (0)) t(x)) AS c")[0]
+    assert r["a"] is True
+    assert r["b"] is None
+    assert r["c"] is False
+
+
 # ---------------------------------------------------------------------------
 # standalone FROM UNNEST (literal-table idiom)
 

@@ -92,7 +92,12 @@ def run_one(spark, fn, sf_dir: str) -> float:
     df.write.mode("overwrite").format("noop").save()
     elapsed = time.perf_counter() - t0
     # drop any DataFrames the query persisted, so no run measures a
-    # previous run's cache
+    # previous run's cache; release the opcache-tracked handles too —
+    # clearCache() alone frees the JVM blocks but leaves the tracked
+    # Python refs (and their JVM plan refs) accumulating for the sweep
+    from mcp_trino_spark.operators.opcache import release_all_operator_caches
+
+    release_all_operator_caches()
     spark.catalog.clearCache()
     return elapsed
 

@@ -277,6 +277,7 @@ class _HTTPHandler:
         jwt_secret: Optional[str] = None,
         oidc_validator=None,
         oauth_client_secret: Optional[str] = None,
+        oauth_client_id: Optional[str] = None,
     ):
         import hmac
         import time
@@ -402,9 +403,18 @@ class _HTTPHandler:
             def _token_endpoint(self) -> None:
                 """Minimal OAuth2 client_credentials grant: a client
                 presenting the provisioned shared secret receives a
-                short-lived HS256 JWT (sub = client_id) that the /mcp
-                bearer validation accepts — the hmac-provider loop the
-                reference delegates to oauth-mcp-proxy."""
+                short-lived HS256 JWT that the /mcp bearer validation
+                accepts — the hmac-provider loop the reference delegates
+                to oauth-mcp-proxy.
+
+                The sub claim becomes the engine user for the
+                impersonation chain, so it is never the caller's
+                free-form client_id: with OAUTH_CLIENT_ID configured the
+                grant is pinned to that one identity (anything else →
+                invalid_client); without it, hmac mode is single-
+                principal and every token carries the fixed sub
+                ``oauth-client`` — a shared secret holder cannot
+                self-assert an arbitrary audited identity either way."""
                 if not (
                     jwt_secret
                     and oauth_client_secret
@@ -412,7 +422,16 @@ class _HTTPHandler:
                 ):
                     self._reply(404, b'{"error":"not found"}')
                     return
-                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                except ValueError:
+                    n = -1
+                if n < 0 or n > 65536:
+                    # cap the form read: a token request is a few hundred
+                    # bytes; an unbounded Content-Length would buffer
+                    # arbitrary payload into memory
+                    self._reply(413, b'{"error":"invalid_request"}')
+                    return
                 form = parse_qs(self.rfile.read(n).decode("utf-8", "replace"))
                 grant = (form.get("grant_type") or [""])[0]
                 cid = (form.get("client_id") or [""])[0]
@@ -420,14 +439,24 @@ class _HTTPHandler:
                 if grant != "client_credentials":
                     self._reply(400, b'{"error":"unsupported_grant_type"}')
                     return
-                if not cid or not hmac.compare_digest(
+                secret_ok = hmac.compare_digest(
                     csec.encode("utf-8"), oauth_client_secret.encode("utf-8")
-                ):
+                )
+                if oauth_client_id is not None:
+                    # pinned-principal mode: id AND secret must match
+                    id_ok = hmac.compare_digest(
+                        cid.encode("utf-8"), oauth_client_id.encode("utf-8")
+                    )
+                    sub = oauth_client_id
+                else:
+                    id_ok = bool(cid)
+                    sub = "oauth-client"
+                if not (id_ok and secret_ok):
                     self._reply(401, b'{"error":"invalid_client"}')
                     return
                 now = int(time.time())
                 token = encode_hs256(
-                    {"sub": cid, "iat": now, "exp": now + 3600}, jwt_secret
+                    {"sub": sub, "iat": now, "exp": now + 3600}, jwt_secret
                 )
                 self._reply(
                     200,
@@ -520,6 +549,7 @@ def serve_http(
     tls_cert: Optional[str] = None,
     tls_key: Optional[str] = None,
     oauth_client_secret: Optional[str] = None,
+    oauth_client_id: Optional[str] = None,
 ) -> None:
     """Blocking HTTP(S) transport: /mcp, /sse (legacy), /status.
 
@@ -563,6 +593,10 @@ def serve_http(
         # enables the hmac-mode /oauth/token endpoint (client_credentials
         # grant issuing HS256 JWTs); requires JWT_SECRET to mean anything
         oauth_client_secret = os.environ.get("OAUTH_CLIENT_SECRET") or None
+    if oauth_client_id is None:
+        # pins the grant (and the minted sub) to one principal; without
+        # it the endpoint issues the fixed single-principal identity
+        oauth_client_id = os.environ.get("OAUTH_CLIENT_ID") or None
     if tls_cert is None:
         tls_cert = os.environ.get("MCP_TLS_CERT") or None
     if tls_key is None:
@@ -577,6 +611,7 @@ def serve_http(
             jwt_secret=jwt_secret,
             oidc_validator=oidc_validator,
             oauth_client_secret=oauth_client_secret,
+            oauth_client_id=oauth_client_id,
         ),
     )
     if tls_cert:

@@ -552,6 +552,13 @@ def test_oauth_token_endpoint_and_metadata(server):
             }
         )
         assert status == 200 and body["token_type"] == "Bearer"
+        # without OAUTH_CLIENT_ID the mode is single-principal: the sub
+        # is the fixed identity, never the caller's free-form client_id
+        # (a shared-secret holder must not self-assert an audited user)
+        from mcp_trino_spark.auth import decode_hs256
+
+        claims = decode_hs256(body["access_token"], "jwt-s3cret")
+        assert claims["sub"] == "oauth-client"
         # the issued token authorizes an MCP call
         payload = _json.dumps(
             {
@@ -598,6 +605,86 @@ def test_oauth_token_endpoint_and_metadata(server):
                 raise AssertionError("expected HTTPError")
             except urllib.error.HTTPError as e:
                 assert e.code == want
+    finally:
+        httpd.shutdown()
+
+
+def test_oauth_token_endpoint_pinned_client_id(server):
+    """OAUTH_CLIENT_ID pins the grant to one principal: any other
+    client_id is invalid_client even with the right secret, and the
+    minted sub is the pinned identity.  Oversized form bodies are
+    rejected before buffering."""
+    import json as _json
+    import threading
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from mcp_trino_spark.auth import decode_hs256
+    from server.mcp_server import _HTTPHandler
+
+    httpd = ThreadingHTTPServer(
+        ("localhost", 0),
+        _HTTPHandler.make(
+            server,
+            jwt_secret="jwt-s3cret",
+            oauth_client_secret="cl-s3cret",
+            oauth_client_id="svc-etl",
+        ),
+    )
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        base = f"http://localhost:{port}"
+
+        def token_post(form, extra_headers=None):
+            req = urllib.request.Request(
+                f"{base}/oauth/token",
+                data=urllib.parse.urlencode(form).encode(),
+                headers={
+                    "Content-Type": "application/x-www-form-urlencoded",
+                    **(extra_headers or {}),
+                },
+            )
+            with urllib.request.urlopen(req) as r:
+                return r.status, _json.loads(r.read())
+
+        status, body = token_post(
+            {
+                "grant_type": "client_credentials",
+                "client_id": "svc-etl",
+                "client_secret": "cl-s3cret",
+            }
+        )
+        assert status == 200
+        assert decode_hs256(body["access_token"], "jwt-s3cret")["sub"] == "svc-etl"
+        # right secret, wrong (self-asserted) identity → invalid_client
+        try:
+            token_post(
+                {
+                    "grant_type": "client_credentials",
+                    "client_id": "alice",
+                    "client_secret": "cl-s3cret",
+                }
+            )
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        # unbounded Content-Length → 413 before any read
+        big = urllib.parse.urlencode(
+            {"grant_type": "client_credentials", "pad": "x" * 70000}
+        ).encode()
+        req = urllib.request.Request(
+            f"{base}/oauth/token",
+            data=big,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
     finally:
         httpd.shutdown()
 

@@ -23,6 +23,7 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 
 from mcp_trino_spark import registry  # noqa: E402
+from mcp_trino_spark.operators.opcache import release_all_operator_caches  # noqa: E402
 from mcp_trino_spark.session import get_spark  # noqa: E402
 from mcp_trino_spark.sources.catalog import TABLES, table_path  # noqa: E402
 
@@ -167,7 +168,11 @@ def main() -> int:
         finally:
             # several plans persist() intermediates (LSH signatures,
             # range-partitioned rank frames); drop them so a full sweep
-            # doesn't accumulate dozens of cached relations
+            # doesn't accumulate dozens of cached relations.  Release
+            # the opcache-tracked handles FIRST: clearCache() frees the
+            # JVM blocks but the tracked Python refs (and their JVM
+            # plan refs) would otherwise grow for the life of the sweep
+            release_all_operator_caches()
             spark.catalog.clearCache()
         if name not in oracles:
             print(f"ROWS  {name}: {len(s_res[1])} rows (no oracle) [{time.time()-t0:.1f}s]")

@@ -22,11 +22,22 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 from mcp_trino_spark.flagship import flagship_plan  # noqa: E402
+from mcp_trino_spark.operators.opcache import (  # noqa: E402
+    release_all_operator_caches,
+)
 from mcp_trino_spark.session import get_spark  # noqa: E402
 from mcp_trino_spark.sources.catalog import load_table  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
 COPIES = 10
+
+
+def clear_caches(spark) -> None:
+    """Drop persisted frames AND the opcache-tracked handles — the
+    tracked Python refs (and their JVM plan refs) would otherwise
+    accumulate for the life of the probe sweep."""
+    release_all_operator_caches()
+    spark.catalog.clearCache()
 
 
 def replicate(df: DataFrame, key_cols: list[str], copies: int) -> DataFrame:
@@ -119,7 +130,7 @@ def check_minhash_lsh(spark) -> None:
         # the plan persists its signature table — rebuild + clear cache
         # per run so no timing reuses a previous run's materialization
         t = timed(minhash_lsh_pairs_plan(frame))
-        spark.catalog.clearCache()
+        clear_caches(spark)
         return t
 
     from mcp_trino_spark.operators._util import spread
@@ -367,7 +378,7 @@ def check_dup_clusters(spark) -> None:
         out = _propagate_clusters(minhash_lsh_pairs_plan(frame))
         out.write.mode("overwrite").format("noop").save()
         t = time.perf_counter() - t0
-        spark.catalog.clearCache()
+        clear_caches(spark)
         # the per-round localCheckpoint RDDs are freed only when the
         # driver drops its references — do that between runs so the
         # next timing doesn't execute under the last run's block-
@@ -386,23 +397,23 @@ def check_dup_clusters(spark) -> None:
 def main() -> None:
     spark = get_spark("scaling")
     check_flagship(spark)
-    spark.catalog.clearCache()
+    clear_caches(spark)
     check_minhash_lsh(spark)
-    spark.catalog.clearCache()
+    clear_caches(spark)
     check_match_recognize(spark)
-    spark.catalog.clearCache()
+    clear_caches(spark)
     check_sessionization(spark)
-    spark.catalog.clearCache()
+    clear_caches(spark)
     check_qdigest(spark)
-    spark.catalog.clearCache()
+    clear_caches(spark)
     check_with_ties_threshold(spark)
-    spark.catalog.clearCache()
+    clear_caches(spark)
     check_heavy_hitters(spark)
-    spark.catalog.clearCache()
+    clear_caches(spark)
     check_misra_gries(spark)
-    spark.catalog.clearCache()
+    clear_caches(spark)
     check_table_changes(spark)
-    spark.catalog.clearCache()
+    clear_caches(spark)
     check_dup_clusters(spark)
 
 

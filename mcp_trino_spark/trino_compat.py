@@ -1127,6 +1127,41 @@ def _segments(q: str) -> Iterator[Tuple[bool, str]]:
         yield True, q[start:n]
 
 
+#: comma-join UNNEST (`FROM t, UNNEST(t.arr) AS u(x)`) — Trino sugar
+#: for CROSS JOIN UNNEST.  Only the exact table-function shape matches
+#: (balanced call followed by the alias tail `_UNNEST_TAIL` requires),
+#: so a comma inside a SELECT list or an argument list can never
+#: rewrite; a tail-less comma UNNEST stays as-is and fails Spark's
+#: parser loudly, same as the tail-less CROSS JOIN form.
+_COMMA_UNNEST = re.compile(r",\s*(?=UNNEST\s*\()", re.IGNORECASE)
+
+
+def _rewrite_comma_unnest(q: str) -> str:
+    start = 0
+    while True:
+        mask = _code_mask(q)
+        m = next(
+            (c for c in _COMMA_UNNEST.finditer(q, start) if mask[c.start()]),
+            None,
+        )
+        if m is None:
+            return q
+        open_paren = q.index("(", m.end())
+        depth, i = 1, open_paren + 1
+        while i < len(q) and depth:
+            if mask[i]:
+                if q[i] == "(":
+                    depth += 1
+                elif q[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth or _UNNEST_TAIL.match(q, i) is None:
+            start = m.end()
+            continue
+        q = q[: m.start()] + " CROSS JOIN " + q[m.end() :]
+        start = m.start() + len(" CROSS JOIN ")
+
+
 _UNNEST_HEAD = re.compile(r"\bCROSS\s+JOIN\s+UNNEST\s*\(", re.IGNORECASE)
 _UNNEST_TAIL = re.compile(
     r"\s*(?P<ord>WITH\s+ORDINALITY\s+)?(?:AS\s+)?(?P<alias>\w+)\s*"
@@ -4134,14 +4169,100 @@ def _rewrite_reduce_agg(q: str) -> str:
         start = m.start() + len(repl)
 
 
+#: `U&'...'` unicode string literals (standard SQL, Trino-supported)
+#: with an optional `UESCAPE 'c'` suffix.  Spark has no unicode-literal
+#: grammar, so the code points are decoded at translate time into a
+#: plain literal: `\XXXX` (4 hex digits), `\+XXXXXX` (6 hex digits),
+#: and a doubled escape char for the escape char itself.
+_U_AMP_LIT = re.compile(r"\bU&(?=')", re.IGNORECASE)
+_UESCAPE_TAIL = re.compile(r"\s+UESCAPE\s+'(?P<esc>[^'])'", re.IGNORECASE)
+
+
+def _decode_unicode_literal(body: str, esc: str) -> str:
+    out: List[str] = []
+    k, n = 0, len(body)
+    while k < n:
+        c = body[k]
+        if c == "'" and k + 1 < n and body[k + 1] == "'":
+            out.append("'")
+            k += 2
+        elif c == esc:
+            if body[k + 1 : k + 2] == esc:
+                out.append(esc)
+                k += 2
+            elif body[k + 1 : k + 2] == "+":
+                hexs = body[k + 2 : k + 8]
+                if len(hexs) < 6:
+                    raise TrinoCompatError(
+                        f"U&'...': truncated 6-digit escape {esc}+{hexs!r}"
+                    )
+                out.append(chr(int(hexs, 16)))
+                k += 8
+            else:
+                hexs = body[k + 1 : k + 5]
+                if len(hexs) < 4:
+                    raise TrinoCompatError(
+                        f"U&'...': truncated 4-digit escape {esc}{hexs!r}"
+                    )
+                out.append(chr(int(hexs, 16)))
+                k += 5
+        else:
+            out.append(c)
+            k += 1
+    return "".join(out)
+
+
+def _rewrite_unicode_literals(q: str) -> str:
+    """Decode `U&'...'` [UESCAPE 'c'] into a plain Spark literal.
+
+    Runs FIRST in translate() so every later pass (and the code mask)
+    sees an ordinary string literal.  The literal body is scanned with
+    the same lexical rules as ``_segments`` (doubled quotes continue
+    the literal); the decoded text is re-escaped for Spark's lexer
+    (backslashes doubled, quotes as ``''``)."""
+    while True:
+        mask = _code_mask(q)
+        m = next((c for c in _U_AMP_LIT.finditer(q) if mask[c.start()]), None)
+        if m is None:
+            return q
+        j, n = m.end() + 1, len(q)
+        while j < n:
+            if q[j] == "\\":
+                j += 2
+                continue
+            if q[j] == "'":
+                if j + 1 < n and q[j + 1] == "'":
+                    j += 2
+                    continue
+                break
+            j += 1
+        if j >= n:
+            raise TrinoCompatError("unterminated U&'...' literal")
+        body = q[m.end() + 1 : j]
+        end = j + 1
+        esc = "\\"
+        tail = _UESCAPE_TAIL.match(q, end)
+        if tail:
+            esc = tail.group("esc")
+            end = tail.end()
+        try:
+            decoded = _decode_unicode_literal(body, esc)
+        except ValueError as exc:  # int(hexs, 16) on non-hex digits
+            raise TrinoCompatError(f"U&'...': bad unicode escape ({exc})")
+        relit = decoded.replace("\\", "\\\\").replace("'", "''")
+        q = q[: m.start()] + f"'{relit}'" + q[end:]
+
+
 def translate(query: str) -> str:
     """Rewrite Trino-only idioms to Spark SQL, outside literals/comments."""
+    query = _rewrite_unicode_literals(query)
     query = _rewrite_reduce_agg(query)
     query = _rewrite_approx_most_frequent(query)
     query = _rewrite_combinations(query)
     query = _rewrite_with_ties(query)
     query = _rewrite_groups_frames(query)
     query = _rewrite_array_literal(query)
+    query = _rewrite_comma_unnest(query)
     query = _rewrite_unnest(query, _code_mask(query))
     query = _rewrite_unnest_from(query)
     query = _rewrite_try(query)

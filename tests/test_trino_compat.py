@@ -2250,6 +2250,42 @@ def test_quantified_any_arithmetic_and_call_left_operands(spark):
     assert r["c"] is False
 
 
+def test_comma_join_unnest(spark):
+    # Trino's comma-join UNNEST spelling is sugar for CROSS JOIN UNNEST
+    r = run(spark, "SELECT x.id, u.n FROM (VALUES (1, ARRAY[10, 20])) x(id, arr),"
+                   " UNNEST(x.arr) AS u(n) ORDER BY u.n")
+    assert [(row["id"], row["n"]) for row in r] == [(1, 10), (1, 20)]
+    # WITH ORDINALITY through the same comma form
+    r = run(spark, "SELECT u.n, u.o FROM (VALUES (ARRAY[7, 8])) x(arr),"
+                   " UNNEST(x.arr) WITH ORDINALITY AS u(n, o) ORDER BY u.o")
+    assert [(row["n"], row["o"]) for row in r] == [(7, 1), (8, 2)]
+    # multiple comma sources before the UNNEST
+    r = run(spark, "SELECT a.i, b.j, u.n FROM (VALUES (1)) a(i), (VALUES (2)) b(j),"
+                   " UNNEST(ARRAY[5]) AS u(n)")
+    assert [(row["i"], row["j"], row["n"]) for row in r] == [(1, 2, 5)]
+    # a comma NOT followed by the table-function shape is untouched
+    from mcp_trino_spark.trino_compat import translate
+
+    assert "CROSS JOIN" not in translate("SELECT a, UNNEST FROM t")
+
+
+def test_unicode_literals(spark):
+    r = run(spark, r"SELECT U&'Hello' AS a, U&'\0041\0042' AS b,"
+                   r" U&'\+01F600' AS c, U&'#0041##' UESCAPE '#' AS d,"
+                   r" U&'don''t \00E9' AS e")[0]
+    assert r["a"] == "Hello"
+    assert r["b"] == "AB"
+    assert r["c"] == "\U0001F600"
+    assert r["d"] == "A#"
+    assert r["e"] == "don't é"
+    from mcp_trino_spark.trino_compat import TrinoCompatError, translate
+
+    with pytest.raises(TrinoCompatError, match="escape"):
+        translate(r"SELECT U&'\00ZZ'")
+    # doubled backslash is the literal escape char itself
+    assert translate(r"SELECT U&'a\\b'") == r"SELECT 'a\\b'"
+
+
 # ---------------------------------------------------------------------------
 # standalone FROM UNNEST (literal-table idiom)
 

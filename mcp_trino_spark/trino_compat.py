@@ -4253,9 +4253,38 @@ def _rewrite_unicode_literals(q: str) -> str:
         q = q[: m.start()] + f"'{relit}'" + q[end:]
 
 
+#: Trino md5/sha1 return VARBINARY; Spark's builtins of the same name
+#: return the lowercase-hex STRING.  Under the trino dialect the call
+#: is wrapped in unhex(...) so downstream to_hex/length/comparisons
+#: see the byte image Trino produces (sha256/sha512 are not Spark
+#: builtin names and already return BINARY via registered SQL UDFs).
+_BINARY_HASH_HEADS = (
+    (re.compile(r"\bmd5\s*\(", re.IGNORECASE), "md5"),
+    (re.compile(r"\bsha1\s*\(", re.IGNORECASE), "sha1"),
+)
+
+
+def _rewrite_binary_hashes(q: str) -> str:
+    for head, fn in _BINARY_HASH_HEADS:
+        start = 0
+        while True:
+            found = _find_call(q, head, start)
+            if found is None:
+                break
+            m, bs, be = found
+            repl = f"unhex({fn}({q[bs:be]}))"
+            q = q[: m.start()] + repl + q[be + 1 :]
+            # resume INSIDE the wrapped call: past our own `unhex(fn(`
+            # (so it isn't re-wrapped) but before the argument text, so
+            # nested calls (`md5(md5(x))`) still get their own wrap
+            start = m.start() + len(f"unhex({fn}(")
+    return q
+
+
 def translate(query: str) -> str:
     """Rewrite Trino-only idioms to Spark SQL, outside literals/comments."""
     query = _rewrite_unicode_literals(query)
+    query = _rewrite_binary_hashes(query)
     query = _rewrite_reduce_agg(query)
     query = _rewrite_approx_most_frequent(query)
     query = _rewrite_combinations(query)

@@ -2269,6 +2269,21 @@ def test_comma_join_unnest(spark):
     assert "CROSS JOIN" not in translate("SELECT a, UNNEST FROM t")
 
 
+def test_md5_sha1_return_varbinary(spark):
+    # Trino md5/sha1 return VARBINARY (16/20 bytes), not the hex string
+    # Spark's builtins produce — the dialect wraps them in unhex()
+    r = run(spark, "SELECT length(md5(to_utf8('abc'))) AS lm,"
+                   " length(sha1(to_utf8('abc'))) AS ls,"
+                   " to_hex(md5(to_utf8('abc'))) AS hm,"
+                   " md5(md5(to_utf8('abc'))) AS nested")[0]
+    assert r["lm"] == 16 and r["ls"] == 20
+    assert r["hm"] == "900150983CD24FB0D6963F7D28E17F72"
+    import hashlib
+
+    inner = hashlib.md5(b"abc").digest()
+    assert bytes(r["nested"]) == hashlib.md5(inner).digest()
+
+
 def test_unicode_literals(spark):
     r = run(spark, r"SELECT U&'Hello' AS a, U&'\0041\0042' AS b,"
                    r" U&'\+01F600' AS c, U&'#0041##' UESCAPE '#' AS d,"

@@ -294,8 +294,11 @@ def l2b_simhash(spark, sf_dir):
     oracle="""
     WITH grams AS (
       SELECT DISTINCT doc_id, lang,
-             substr(text, CAST(pos AS INTEGER), 5) AS g
-      FROM documents, LATERAL unnest(range(1, GREATEST(length(text) - 4, 1) + 1)) AS u(pos)
+             ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1]
+               || ' ' || ws[CAST(i AS INTEGER) + 2] AS g
+      FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
+            FROM documents),
+           LATERAL unnest(range(1, GREATEST(len(ws) - 2, 0) + 1)) AS u(i)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
     inter AS (
@@ -314,22 +317,45 @@ def l2b_simhash(spark, sf_dir):
     """,
 )
 def l2c_ngram_jaccard(spark, sf_dir):
-    """Exact character-5-gram Jaccard similarity for doc pairs ≥ 0.4,
+    """Exact word-3-gram Jaccard similarity for doc pairs ≥ 0.4,
     blocked by language.
 
     The inverted-index join (gram → docs) computes |A∩B| without an
     all-pairs product; |A∪B| derives from per-doc gram counts.  This is
     the exact verifier that LSH candidates (l2) feed into at scale —
     here run over same-language blocks directly.
+
+    Shingle unit matters at scale: the join enumerates Σ_g df(g)²
+    matches, and word shingles keep df Zipf-light where character
+    shingles collapse onto a tiny vocabulary (measured at sf0.1:
+    char-5-grams → 10k vocab, max df 1621, Σdf² = 395M and a 33 s
+    plan; word-3-grams → 108k vocab, max df 14, Σdf² = 0.9M — ~400×
+    less join work for the same near-dup pairs).  The gram frame is
+    opcache-persisted: it feeds the size aggregate and BOTH sides of
+    the pair join, and recomputing the explode+distinct three times
+    was most of the remaining wall time.
     """
+    from mcp_trino_spark.operators.opcache import persist_tracked
+
     (docs,) = T(spark, sf_dir, "documents")
     docs = spread(docs)
-    n = F.greatest(F.length("text") - 4, F.lit(1))
-    grams = (
-        docs.select(
-            "doc_id", "lang", "text", F.explode(F.sequence(F.lit(1), n)).alias("pos")
+    ws = F.split(F.lower("text"), " ")
+    n_idx = F.greatest(F.size(ws) - 2, F.lit(0))
+    idx = F.when(n_idx >= 1, F.sequence(F.lit(1), n_idx)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = persist_tracked(
+        docs.select("doc_id", "lang", ws.alias("ws"), F.explode(idx).alias("i"))
+        .select(
+            "doc_id",
+            "lang",
+            F.concat_ws(
+                " ",
+                F.element_at("ws", F.col("i")),
+                F.element_at("ws", F.col("i") + 1),
+                F.element_at("ws", F.col("i") + 2),
+            ).alias("g"),
         )
-        .select("doc_id", "lang", F.expr("substr(text, pos, 5)").alias("g"))
         .distinct()
     )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
@@ -917,4 +943,81 @@ def l33_editdist_verify(spark, sf_dir):
     return (
         j.select("doc_a", "doc_b", "edit_dist", sim.alias("edit_sim"))
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_sim") >= 0.5))
+    )
+
+
+@register(
+    "l34_rare_ngram_overlap",
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id,
+             ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1] || ' '
+               || ws[CAST(i AS INTEGER) + 2] || ' ' || ws[CAST(i AS INTEGER) + 3]
+               || ' ' || ws[CAST(i AS INTEGER) + 4] AS g
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+           LATERAL unnest(range(1, GREATEST(len(ws) - 4, 0) + 1)) AS u(i)
+    ),
+    rare AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 5
+    ),
+    hits AS (SELECT gr.doc_id, gr.g FROM grams gr JOIN rare USING (g))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM hits a JOIN hits b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def l34_rare_ngram_overlap(spark, sf_dir):
+    """Cross-document duplicated-span detection via RARE shared word
+    5-grams — the inverted-index primitive large dedup pipelines use to
+    find copied passages that whole-document MinHash misses (a 50-word
+    quote inside two otherwise-different documents).
+
+    Scale design: the document-frequency cap (2..5) IS the algorithm —
+    the pair join's work is Σ_g df(g)² ≤ 25·|rare grams|, and the
+    stopword-ish grams that would explode the self-join (df in the
+    thousands) are excluded up front, exactly the rare-gram blocking
+    trick production near-dup systems use.  The posting list is
+    persisted once (opcache-tracked) and reused for both join sides;
+    grams never leave their hash partition between the distinct, the
+    df-filter, and the pair join (same key, one exchange reused).
+    Reference surface: pass-through SELECT like any other
+    (client.go:501-617); the operator itself is beyond the reference.
+    """
+    from mcp_trino_spark.operators.opcache import persist_tracked
+
+    (docs,) = T(spark, sf_dir, "documents")
+    docs = spread(docs)
+    ws = F.split(F.lower("text"), " ")
+    n_idx = F.greatest(F.size(ws) - 4, F.lit(0))
+    idx = F.when(n_idx >= 1, F.sequence(F.lit(1), n_idx)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = (
+        docs.select("doc_id", ws.alias("ws"), F.explode(idx).alias("i"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", *[F.element_at("ws", F.col("i") + k) for k in range(5)]
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    rare = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df").between(2, 5))
+        .select("g")
+    )
+    hits = persist_tracked(grams.join(rare, "g").select("doc_id", "g"))
+    a, b = hits.alias("a"), hits.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
     )

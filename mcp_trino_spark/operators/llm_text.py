@@ -1058,3 +1058,52 @@ def l30_prep_pipeline(spark, sf_dir):
         F.size(F.split(F.col("norm_text"), WS_RE)).alias("n_tokens"),
     )
     return _pack_bins(toks)
+
+
+@register(
+    "l35_quality_percentile",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+               / len(string_split(lower(text), ' ')) AS diversity
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, diversity,
+             percent_rank() OVER (PARTITION BY source ORDER BY diversity, doc_id)
+               AS pr
+      FROM scored
+    )
+    SELECT doc_id, source, ROUND(diversity, 6) AS diversity, ROUND(pr, 6) AS pr
+    FROM ranked WHERE pr >= 0.8
+    """,
+)
+def l35_quality_percentile(spark, sf_dir):
+    """Per-source quality-percentile curation: keep each source's top
+    quintile by lexical diversity (distinct words / words) — the
+    relative-threshold form of quality filtering, which unlike a global
+    cutoff (l8) can't starve a low-scoring source out of the mix.
+
+    Scale: the score is narrow scan-side math (no cross-row work); the
+    single shuffle is the per-source percent_rank window, and source
+    cardinality is small so AQE's skew split handles a dominant source.
+    Determinism: rank ties broken by doc_id; percent_rank is exact
+    rational arithmetic ((rank-1)/(n-1)) so the 0.8 cut compares
+    identical doubles on both engines.
+    """
+    from pyspark.sql import Window
+
+    (docs,) = T(spark, sf_dir, "documents")
+    docs = spread(docs)
+    ws = F.split(F.lower("text"), " ")
+    diversity = F.size(F.array_distinct(ws)).cast("double") / F.size(ws)
+    scored = docs.select("doc_id", "source", diversity.alias("diversity"))
+    w = Window.partitionBy("source").orderBy("diversity", "doc_id")
+    ranked = scored.withColumn("pr", F.percent_rank().over(w))
+    return ranked.filter(F.col("pr") >= 0.8).select(
+        "doc_id",
+        "source",
+        F.round("diversity", 6).alias("diversity"),
+        F.round("pr", 6).alias("pr"),
+    )

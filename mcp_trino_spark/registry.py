@@ -286,18 +286,23 @@ _PROVEN_R06 = [
 #: / ``_PROVEN_R06``).  Round 7 puts the LAST never-driver-graded entries
 #: first — the re-fixed l18 (oracle now CASTs its surfaced SUM to BIGINT,
 #: closing the round-6 HUGEINT red), the round-6 additions x22/x23/x24,
-#: j4_cross (oracle-backed but never in a window), and the two rows-only
-#: catalog listings f3/f4 that fell past the round-6 fold — then fills the
-#: remaining 43 slots with a category-spanning spot-check of the proven
-#: sets, so the driver re-confirms no silent regression while finishing
-#: full certification.
+#: j4_cross (oracle-backed but never in a window), the round-7 additions
+#: l34/l35, and the two rows-only catalog listings f3/f4 that fell past
+#: the round-6 fold — then fills the remaining slots with a
+#: category-spanning spot-check of the proven sets, so the driver
+#: re-confirms no silent regression while finishing full certification.
 _PRIORITY = [
-    # --- never driver-graded (6 oracle-backed + 2 rows-only) ---
+    # --- never driver-graded for their CURRENT spec (9 oracle-backed
+    # + 2 rows-only; l2c re-enters because round 7 changed its shingle
+    # unit to word-3-grams, invalidating its earlier green row) ---
     "l18_mix_weights",
     "x22_quantified_subqueries",
     "x23_vector_math",
     "x24_setdigest",
     "j4_cross",
+    "l34_rare_ngram_overlap",
+    "l35_quality_percentile",
+    "l2c_ngram_jaccard",
     "f3_list_schemas",
     "f4_list_tables",
     # --- proven-set spot-check: rounds 2-3 vintage ---
@@ -342,9 +347,7 @@ _PRIORITY = [
     "w9_range_frame",
     "x10_array_hof",
     "x14_hashing",
-    "x18_array_setops",
     "t6_gap_fill",
-    "t9_funnel_pattern",
 ]
 
 

@@ -30,14 +30,18 @@ _ROWS_ONLY_OK = {
 }
 
 #: Round-7 goal: every one of these leads the window because the driver
-#: has NEVER graded it (l18 was graded r6 but red on an oracle-typing
-#: bug, since fixed — it re-enters for re-certification).
+#: has never graded its CURRENT spec (l18 was graded r6 but red on an
+#: oracle-typing bug, since fixed; l2c's shingle unit changed to
+#: word-3-grams in r7, invalidating its earlier green row).
 _NEVER_GRADED = [
     "l18_mix_weights",
     "x22_quantified_subqueries",
     "x23_vector_math",
     "x24_setdigest",
     "j4_cross",
+    "l34_rare_ngram_overlap",
+    "l35_quality_percentile",
+    "l2c_ngram_jaccard",
     "f3_list_schemas",
     "f4_list_tables",
 ]

@@ -83,6 +83,12 @@ HEADLINERS = [
     "l27_semdedup",
     "l21_dup_clusters",
     "x21_reduce_agg",
+    # r7: the new rare-gram duplicated-span detector, the per-source
+    # quality-percentile filter, and the re-specced (word-3-gram) exact
+    # Jaccard verifier
+    "l34_rare_ngram_overlap",
+    "l35_quality_percentile",
+    "l2c_ngram_jaccard",
 ]
 
 

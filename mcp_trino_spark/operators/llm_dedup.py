@@ -983,10 +983,15 @@ def l34_rare_ngram_overlap(spark, sf_dir):
     Reference surface: pass-through SELECT like any other
     (client.go:501-617); the operator itself is beyond the reference.
     """
+    (docs,) = T(spark, sf_dir, "documents")
+    return rare_ngram_overlap_plan(spread(docs))
+
+
+def rare_ngram_overlap_plan(docs: DataFrame) -> DataFrame:
+    """The l34 plan over any (doc_id, text) frame — shared with the
+    scaling probe (tools/scaling_check.py)."""
     from mcp_trino_spark.operators.opcache import persist_tracked
 
-    (docs,) = T(spark, sf_dir, "documents")
-    docs = spread(docs)
     ws = F.split(F.lower("text"), " ")
     n_idx = F.greatest(F.size(ws) - 4, F.lit(0))
     idx = F.when(n_idx >= 1, F.sequence(F.lit(1), n_idx)).otherwise(

@@ -394,6 +394,49 @@ def check_dup_clusters(spark) -> None:
     report("dup_clusters_connected_components", n_rows_1x, t1, t10)
 
 
+def check_rare_ngram_overlap(spark) -> None:
+    """l34's rare-gram inverted-index join at 10×: replicas tag every
+    WORD with a per-copy marker, so each copy's 5-grams are fresh
+    vocabulary — the df distribution (and the rare-gram structure the
+    cap keys on) is preserved per copy, modeling real corpus growth.
+    A plain text-suffix replica would instead multiply every gram's df
+    by ×copies and push the whole corpus past the rarity cap, shrinking
+    the work to nothing."""
+    from mcp_trino_spark.operators._util import spread
+    from mcp_trino_spark.operators.llm_dedup import rare_ngram_overlap_plan
+
+    docs = spread(load_table(spark, SF_DIR, "documents")).select(
+        "doc_id", "text"
+    )
+
+    def word_tagged_replicas(frame: DataFrame, copies: int) -> DataFrame:
+        shift = 10_000_000
+        reps = [
+            frame.select(
+                (F.col("doc_id") + F.lit(i * shift)).alias("doc_id"),
+                F.regexp_replace(
+                    F.col("text"), r"(^|[ ])", rf"$1c{i}x"
+                ).alias("text"),
+            )
+            for i in range(copies)
+        ]
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        return out
+
+    def timed_fresh(frame) -> float:
+        t = timed(rare_ngram_overlap_plan(frame))
+        clear_caches(spark)
+        return t
+
+    n_rows_1x = docs.count()
+    timed_fresh(docs)  # warm
+    t1 = min(timed_fresh(docs) for _ in range(2))
+    t10 = min(timed_fresh(word_tagged_replicas(docs, COPIES)) for _ in range(2))
+    report("rare_ngram_overlap", n_rows_1x, t1, t10)
+
+
 def main() -> None:
     spark = get_spark("scaling")
     check_flagship(spark)
@@ -415,6 +458,8 @@ def main() -> None:
     check_table_changes(spark)
     clear_caches(spark)
     check_dup_clusters(spark)
+    clear_caches(spark)
+    check_rare_ngram_overlap(spark)
 
 
 

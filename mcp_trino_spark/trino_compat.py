@@ -2447,6 +2447,57 @@ def _convert_type_syntax(t: str) -> str:
     return f"STRUCT<{', '.join(fields)}>"
 
 
+def _split_cast_body(body: str):
+    """Index of the last top-level AS in a CAST body, or None."""
+    mask = _code_mask(body)
+    as_at = None
+    for am in re.finditer(r"\bAS\b", body, re.IGNORECASE):
+        if not mask[am.start()]:
+            continue
+        depth = 0
+        for i in range(am.start()):
+            if mask[i]:
+                if body[i] == "(":
+                    depth += 1
+                elif body[i] == ")":
+                    depth -= 1
+        if depth == 0:
+            as_at = am
+    return as_at
+
+
+def _rewrite_cast_json(q: str) -> str:
+    """Trino ``CAST(x AS JSON)`` — render any value as JSON text (the
+    engine's JSON type IS text, see json_parse/json_format above).
+    Spark's ``to_json`` only accepts complex inputs, so the value is
+    wrapped in a 1-element array and the brackets stripped — type-
+    generic and JVM-side: scalars render as JSON scalars (strings get
+    quoted), arrays/maps recurse.  Divergence (documented): Trino
+    renders ROW values as JSON *arrays* (field names lost); this
+    renders structs as objects, which is lossless and
+    json_extract-compatible downstream.  SQL NULL stays NULL, as in
+    Trino."""
+    pos = 0
+    while True:
+        found = _find_call(q, _CAST_HEAD, pos)
+        if not found:
+            return q
+        m, bstart, bend = found
+        body = q[bstart:bend]
+        as_at = _split_cast_body(body)
+        if as_at is None or body[as_at.end():].strip().upper() != "JSON":
+            pos = m.end()
+            continue
+        e = body[: as_at.start()].strip()
+        j = f"to_json(array({e}))"
+        repl = (
+            f"(CASE WHEN ({e}) IS NULL THEN NULL"
+            f" ELSE substring({j}, 2, length({j}) - 2) END)"
+        )
+        q = q[: m.start()] + repl + q[bend + 1 :]
+        pos = m.start() + len(repl)
+
+
 def _rewrite_cast_types(q: str) -> str:
     """Rewrite the type argument of every CAST/TRY_CAST from Trino's
     constructor spelling to Spark's angle-bracket spelling.  The
@@ -2459,22 +2510,8 @@ def _rewrite_cast_types(q: str) -> str:
             return q
         m, bstart, bend = found
         body = q[bstart:bend]
-        mask = _code_mask(body)
         # last top-level AS separates expression from type
-        as_at = None
-        depth = 0
-        for am in re.finditer(r"\bAS\b", body, re.IGNORECASE):
-            if not mask[am.start()]:
-                continue
-            depth = 0
-            for i in range(am.start()):
-                if mask[i]:
-                    if body[i] == "(":
-                        depth += 1
-                    elif body[i] == ")":
-                        depth -= 1
-            if depth == 0:
-                as_at = am
+        as_at = _split_cast_body(body)
         if as_at is None:
             pos = m.end()
             continue
@@ -4315,6 +4352,7 @@ def translate(query: str) -> str:
     query = _rewrite_array_minmax_by(query)
     query = _rewrite_json_constructors(query)
     query = _rewrite_row_fieldn(query)
+    query = _rewrite_cast_json(query)
     query = _rewrite_cast_types(query)
     query = _rewrite_from_unixtime(query)
     query = _rewrite_normalize(query)

@@ -2269,6 +2269,28 @@ def test_comma_join_unnest(spark):
     assert "CROSS JOIN" not in translate("SELECT a, UNNEST FROM t")
 
 
+def test_cast_as_json(spark):
+    # Trino's CAST(x AS JSON): JSON text out, SQL NULL stays NULL
+    r = run(spark, "SELECT CAST(5 AS JSON) AS a, CAST('ab c' AS JSON) AS b,"
+                   " CAST(true AS JSON) AS c, CAST(1.5 AS JSON) AS d,"
+                   " CAST(ARRAY[1, 2] AS JSON) AS e,"
+                   " CAST(MAP(ARRAY['k'], ARRAY[7]) AS JSON) AS f,"
+                   " TRY_CAST(9 AS JSON) AS g,"
+                   " CAST(CAST(NULL AS INTEGER) AS JSON) AS h")[0]
+    assert r["a"] == "5"
+    assert r["b"] == '"ab c"'
+    assert r["c"] == "true"
+    assert r["d"] == "1.5"
+    assert r["e"] == "[1,2]"
+    assert r["f"] == '{"k":7}'
+    assert r["g"] == "9"
+    assert r["h"] is None
+    # ordinary casts (incl. constructor types) are untouched by the pass
+    r = run(spark, "SELECT CAST('3' AS INTEGER) AS i,"
+                   " CAST(ARRAY[1] AS ARRAY(VARCHAR)) AS j")[0]
+    assert r["i"] == 3 and list(r["j"]) == ["1"]
+
+
 def test_md5_sha1_return_varbinary(spark):
     # Trino md5/sha1 return VARBINARY (16/20 bytes), not the hex string
     # Spark's builtins produce — the dialect wraps them in unhex()

@@ -29,6 +29,10 @@ _TOKENS = st.sampled_from(
         "table_changes(", "FOR VERSION AS OF ", "extract(YOW ",
         "current_timestamp(", ".field0", "array[", "]", "TRY(", "CAST(",
         "AS VARCHAR", "date_add(", "'day'", "format_datetime(",
+        # round-7 additions: unicode literals, comma-join UNNEST, CAST
+        # AS JSON, binary-hash wraps, quantified left-operand backscan
+        "U&'", r"\0041", r"\+01F600", "UESCAPE ", "AS JSON", "md5(",
+        "sha1(", "+ ", "- ", "|| ", "abs(",
     ]
 )
 

@@ -311,3 +311,46 @@ def test_with_ties_no_single_partition_window(spark):
     assert "Window" not in plan
     assert "SinglePartition" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rare_ngram_overlap_no_cartesian_filter_before_pairs(spark):
+    """l34: the pair join must be a hash join on the gram key (never a
+    cartesian/NLJ), and the rarity cap (df BETWEEN 2 AND 5) must sit
+    UPSTREAM of the pair join — the cap is the scale contract (join
+    work ≤ 25·|rare grams|), so a plan that joins first and filters
+    later is quadratic in disguise."""
+    df = registry.queries()["l34_rare_ngram_overlap"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the df cap appears in a Filter above the gram count aggregate
+    assert "df#" in plan and ">= 2" in plan and "<= 5" in plan
+    # final partial+final agg on (doc_a, doc_b)
+    assert "HashAggregate" in plan
+
+
+def test_quality_percentile_single_window_exchange(spark):
+    """l35: one hash exchange for the per-source percent_rank window,
+    never a SinglePartition global sort; the score is scan-side."""
+    df = registry.queries()["l35_quality_percentile"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_ngram_jaccard_inverted_index_hash_joins(spark):
+    """l2c (word-3-gram spec): inverted-index pair join is hash-based,
+    the persisted gram frame is reused (InMemoryTableScan on both join
+    sides), and no cartesian product anywhere."""
+    from mcp_trino_spark.operators.opcache import release_all_operator_caches
+
+    df = registry.queries()["l2c_ngram_jaccard"](spark, SF_DIR)
+    try:
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    finally:
+        release_all_operator_caches()
+        spark.catalog.clearCache()

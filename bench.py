@@ -84,11 +84,12 @@ HEADLINERS = [
     "l21_dup_clusters",
     "x21_reduce_agg",
     # r7: the new rare-gram duplicated-span detector, the per-source
-    # quality-percentile filter, and the re-specced (word-3-gram) exact
-    # Jaccard verifier
+    # quality-percentile filter, the re-specced (word-3-gram) exact
+    # Jaccard verifier, and the label-centroid embedding-outlier screen
     "l34_rare_ngram_overlap",
     "l35_quality_percentile",
     "l2c_ngram_jaccard",
+    "l36_embedding_outliers",
 ]
 
 

@@ -642,3 +642,134 @@ def l27_semdedup(spark, sf_dir):
         "cent_id",
         F.col("is_dropped").isNull().alias("is_kept"),
     )
+
+
+@register(
+    "l36_embedding_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label, CAST(u.i AS INTEGER) AS dim,
+             round(CAST(embedding[CAST(u.i AS INTEGER)] AS DOUBLE) * 1000000)
+               / 1000000 AS val
+      FROM embeddings,
+           LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(round(val * 1000000) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 1000000 AS c
+      FROM q GROUP BY label, dim
+    ),
+    d2 AS (
+      SELECT q.vec_id, q.label,
+             CAST(SUM(CAST(round((q.val - c.c) * (q.val - c.c) * 1000000000000)
+                           AS BIGINT)) AS DOUBLE) / 1e12 AS dist2
+      FROM q JOIN cent c ON c.label = q.label AND c.dim = q.dim
+      GROUP BY q.vec_id, q.label
+    ),
+    dist AS (SELECT vec_id, label, sqrt(dist2) AS dist FROM d2),
+    stats AS (
+      SELECT label,
+             CAST(SUM(CAST(round(dist * 1000000000) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 1e9 AS mean_dist,
+             sqrt(
+               CAST(SUM(CAST(round(dist * dist * 1000000000) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1e9
+               - (CAST(SUM(CAST(round(dist * 1000000000) AS BIGINT)) AS DOUBLE)
+                  / COUNT(*) / 1e9)
+                 * (CAST(SUM(CAST(round(dist * 1000000000) AS BIGINT)) AS DOUBLE)
+                    / COUNT(*) / 1e9)
+             ) AS std_dist
+      FROM dist GROUP BY label
+    )
+    SELECT d.vec_id, d.label,
+           ROUND(d.dist, 6) AS dist,
+           ROUND((d.dist - s.mean_dist) / s.std_dist, 6) AS z
+    FROM dist d JOIN stats s ON s.label = d.label
+    WHERE (d.dist - s.mean_dist) / s.std_dist >= 1.5
+    """,
+)
+def l36_embedding_outliers(spark, sf_dir):
+    """Embedding-space outlier detection: distance of each vector to
+    its OWN label's centroid, z-scored within the label — the
+    mislabeled/corrupt-embedding screen a training pipeline runs before
+    contrastive fine-tuning (an outlier either carries a wrong label or
+    a degenerate embedding).
+
+    Scale shape: posexplode to (label, dim) → centroid aggregate
+    (labels×dims rows — KB-sized, broadcast back), one (vec_id)
+    aggregate for distances, one tiny per-label stats frame broadcast
+    for the z-score.  Two real shuffles, both with map-side partials;
+    embeddings never self-join.
+
+    Cross-engine exactness: every aggregate uses the integer-scaled
+    protocol (registry.isum's pattern) — inputs quantized to 1e-6
+    (identical IEEE doubles both engines), per-dim sums / distance²
+    sums / moment sums all exact BIGINT arithmetic, final divisions
+    identical doubles.  Plain double SUMs would differ in the last ULPs
+    by add order (SURVEY §5.2 hazard list).
+    """
+    (emb,) = T(spark, sf_dir, "embeddings")
+    m6, m12, m9 = 1_000_000, 10 ** 12, 10 ** 9
+    q = (
+        spread(emb)
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim0", "v"
+            ),
+        )
+        .select(
+            "vec_id",
+            "label",
+            (F.col("dim0") + 1).alias("dim"),
+            (F.round(F.col("v") * m6) / m6).alias("val"),
+        )
+    )
+    cent = q.groupBy("label", "dim").agg(
+        (
+            F.sum(F.round(F.col("val") * m6).cast("bigint")).cast("double")
+            / F.count("*")
+            / m6
+        ).alias("c")
+    )
+    diff2 = (F.col("val") - F.col("c")) * (F.col("val") - F.col("c"))
+    d2 = (
+        q.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            (
+                F.sum(F.round(diff2 * m12).cast("bigint")).cast("double")
+                / F.lit(float(m12))
+            ).alias("dist2")
+        )
+    )
+    dist = d2.select("vec_id", "label", F.sqrt("dist2").alias("dist"))
+    mean_d = (
+        F.sum(F.round(F.col("dist") * m9).cast("bigint")).cast("double")
+        / F.count("*")
+        / m9
+    )
+    mean_d2 = (
+        F.sum(F.round(F.col("dist") * F.col("dist") * m9).cast("bigint")).cast(
+            "double"
+        )
+        / F.count("*")
+        / m9
+    )
+    stats = dist.groupBy("label").agg(
+        mean_d.alias("mean_dist"),
+        F.sqrt(mean_d2 - mean_d * mean_d).alias("std_dist"),
+    )
+    z = (F.col("dist") - F.col("mean_dist")) / F.col("std_dist")
+    return (
+        dist.join(F.broadcast(stats), "label")
+        .filter(z >= 1.5)
+        .select(
+            "vec_id",
+            "label",
+            F.round("dist", 6).alias("dist"),
+            F.round(z, 6).alias("z"),
+        )
+    )

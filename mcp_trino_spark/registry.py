@@ -302,6 +302,7 @@ _PRIORITY = [
     "j4_cross",
     "l34_rare_ngram_overlap",
     "l35_quality_percentile",
+    "l36_embedding_outliers",
     "l2c_ngram_jaccard",
     "f3_list_schemas",
     "f4_list_tables",
@@ -344,7 +345,6 @@ _PRIORITY = [
     "p6_null_predicates",
     "o7_intersect",
     "w6_first_last_nth",
-    "w9_range_frame",
     "x10_array_hof",
     "x14_hashing",
     "t6_gap_fill",

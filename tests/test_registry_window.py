@@ -41,6 +41,7 @@ _NEVER_GRADED = [
     "j4_cross",
     "l34_rare_ngram_overlap",
     "l35_quality_percentile",
+    "l36_embedding_outliers",
     "l2c_ngram_jaccard",
     "f3_list_schemas",
     "f4_list_tables",

@@ -13,10 +13,11 @@ test:
 check-window:
 	python tools/check_correctness.py --sf $(SF) $$(python -c "from mcp_trino_spark import registry; print(' '.join(registry._PRIORITY))")
 
-# the driver-certified sets (r02/r03 and r04/r05), pinned as regression
-# suites now that window rotations have moved them behind the fold
+# the driver-certified sets (r02/r03, r04/r05, and r06), pinned as
+# regression suites now that window rotations have moved them behind
+# the fold
 check-proven:
-	python tools/check_correctness.py --sf $(SF) $$(python -c "from mcp_trino_spark import registry; print(' '.join(registry._PROVEN_R03 + registry._PROVEN_R45))")
+	python tools/check_correctness.py --sf $(SF) $$(python -c "from mcp_trino_spark import registry; print(' '.join(registry._PROVEN_R03 + registry._PROVEN_R45 + registry._PROVEN_R06))")
 
 # full sweep: every registered entry (oracle + rows-only)
 check-all:

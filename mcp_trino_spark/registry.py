@@ -347,7 +347,6 @@ _PRIORITY = [
     "w6_first_last_nth",
     "x10_array_hof",
     "x14_hashing",
-    "t6_gap_fill",
 ]
 
 

@@ -454,9 +454,10 @@ _COMPAT_SQL_UDFS = {
         " AND schema_of_variant(try_parse_json(j)) NOT LIKE 'STRUCT%' END",
     ),
     # binary SHA-512 (Spark spells it sha2(x, 512) and returns hex);
-    # sha256 above set the pattern.  sha1/md5 stay Spark-native (hex
-    # STRING out — shadowing those builtin names would break the plain
-    # Spark dialect); the divergence is documented in SURVEY.md.
+    # sha256 above set the pattern.  sha1/md5 keep their builtin NAMES
+    # (shadowing them would break the plain Spark dialect) but the
+    # trino dialect wraps each call in unhex() at translate time
+    # (_rewrite_binary_hashes) so they return VARBINARY like Trino.
     "sha512": ("(x BINARY)", "BINARY", "unhex(sha2(x, 512))"),
     # big-endian integer encodings: hex(bigint) is the 64-bit two's
     # complement, so the byte image is a pad-and-unhex away
@@ -2489,10 +2490,14 @@ def _rewrite_cast_json(q: str) -> str:
             pos = m.end()
             continue
         e = body[: as_at.start()].strip()
-        j = f"to_json(array({e}))"
+        # single copy of the operand: the anchored regex strips only the
+        # wrapper brackets (inner ones survive), and a SQL NULL operand
+        # renders as the bare token `null`, which nullif maps back to
+        # SQL NULL — a string value 'null' renders QUOTED ('"null"'),
+        # so there is no collision
         repl = (
-            f"(CASE WHEN ({e}) IS NULL THEN NULL"
-            f" ELSE substring({j}, 2, length({j}) - 2) END)"
+            f"nullif(regexp_replace(to_json(array({e})),"
+            f" '^\\\\[|\\\\]$', ''), 'null')"
         )
         q = q[: m.start()] + repl + q[bend + 1 :]
         pos = m.start() + len(repl)
@@ -3995,9 +4000,18 @@ def _left_operand_start(q: str, mask: List[bool], pos: int) -> int:
             p = k - 1
             while p >= 0 and q[p].isspace():
                 p -= 1
-            if q[k] in "+-" and (
-                p < 0 or (mask[p] and q[p] in "(,+-*/%<>=|")
+            unary = p < 0 or (mask[p] and q[p] in "(,+-*/%<>=|")
+            if not unary and q[k] in "+-" and p >= 0 and mask[p] and (
+                q[p].isalnum() or q[p] == "_"
             ):
+                # a word right before the sign: `WHEN -3 > ANY (S)` is a
+                # unary sign after a keyword, `a - 3 > ANY (S)` a binary
+                # minus after an identifier — the word decides
+                w = p
+                while w >= 0 and mask[w] and (q[w].isalnum() or q[w] in "_$."):
+                    w -= 1
+                unary = q[w + 1 : p + 1].upper() in _OPERAND_STOP_KW
+            if q[k] in "+-" and unary:
                 # unary sign: part of the operand, and nothing precedes
                 start = k
                 break
@@ -4262,11 +4276,13 @@ def _rewrite_unicode_literals(q: str) -> str:
         m = next((c for c in _U_AMP_LIT.finditer(q) if mask[c.start()]), None)
         if m is None:
             return q
+        # SQL lexing for U&'...': the literal ends at the first
+        # un-doubled quote, full stop — the escape character (default
+        # backslash, or whatever UESCAPE declares) is a DECODE-time
+        # concept and never extends the literal.  A backslash-skip here
+        # would swallow the closing quote of U&'a\' UESCAPE '#'.
         j, n = m.end() + 1, len(q)
         while j < n:
-            if q[j] == "\\":
-                j += 2
-                continue
             if q[j] == "'":
                 if j + 1 < n and q[j + 1] == "'":
                     j += 2

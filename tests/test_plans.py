@@ -319,14 +319,20 @@ def test_rare_ngram_overlap_no_cartesian_filter_before_pairs(spark):
     UPSTREAM of the pair join — the cap is the scale contract (join
     work ≤ 25·|rare grams|), so a plan that joins first and filters
     later is quadratic in disguise."""
+    from mcp_trino_spark.operators.opcache import release_all_operator_caches
+
     df = registry.queries()["l34_rare_ngram_overlap"](spark, SF_DIR)
-    plan = physical_plan(df)
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    # the df cap appears in a Filter above the gram count aggregate
-    assert "df#" in plan and ">= 2" in plan and "<= 5" in plan
-    # final partial+final agg on (doc_a, doc_b)
-    assert "HashAggregate" in plan
+    try:
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the df cap appears in a Filter above the gram count aggregate
+        assert "df#" in plan and ">= 2" in plan and "<= 5" in plan
+        # final partial+final agg on (doc_a, doc_b)
+        assert "HashAggregate" in plan
+    finally:
+        release_all_operator_caches()
+        spark.catalog.clearCache()
 
 
 def test_quality_percentile_single_window_exchange(spark):

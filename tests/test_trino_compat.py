@@ -2248,6 +2248,16 @@ def test_quantified_any_arithmetic_and_call_left_operands(spark):
     assert r["a"] is True
     assert r["b"] is None
     assert r["c"] is False
+    # unary sign directly after a keyword: the sign belongs to the
+    # operand (`WHEN -3 > ANY ...`), it is not a binary minus
+    r = run(spark, "SELECT CASE WHEN -3 > ANY (SELECT x FROM (VALUES (1)) t(x))"
+                   " THEN 1 ELSE 0 END AS a,"
+                   " CASE WHEN -3 < ANY (SELECT x FROM (VALUES (1)) t(x))"
+                   " THEN 1 ELSE 0 END AS b")[0]
+    assert r["a"] == 0 and r["b"] == 1
+    rows = run(spark, "SELECT x FROM (VALUES (1),(2)) t(x)"
+                      " WHERE x > 0 AND -x < ANY (SELECT y FROM (VALUES (0)) s(y))")
+    assert [r["x"] for r in rows] == [1, 2]
 
 
 def test_comma_join_unnest(spark):
@@ -2321,6 +2331,11 @@ def test_unicode_literals(spark):
         translate(r"SELECT U&'\00ZZ'")
     # doubled backslash is the literal escape char itself
     assert translate(r"SELECT U&'a\\b'") == r"SELECT 'a\\b'"
+    # the literal ends at the first un-doubled quote even when the body
+    # ends with a backslash that is NOT the escape char (UESCAPE '#'):
+    # lexing must not let a backslash swallow the closing quote
+    r2 = run(spark, r"SELECT U&'a\' UESCAPE '#' AS x")[0]
+    assert r2["x"] == "a\\"
 
 
 # ---------------------------------------------------------------------------

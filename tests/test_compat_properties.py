@@ -48,3 +48,41 @@ def test_translate_total(q):
         translate(q)
     except TrinoCompatError:
         pass
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=24))
+def test_unicode_literal_decode_roundtrip(s):
+    """U&'...' decode is exact for every code point: encode each char
+    as a 6-digit escape, translate, and the emitted plain literal must
+    carry the original text re-escaped for Spark's lexer."""
+    encoded = "".join(rf"\+{ord(c):06X}" for c in s)
+    out = translate(f"SELECT U&'{encoded}' AS x")
+    expected = s.replace("\\", "\\\\").replace("'", "''")
+    assert out == f"SELECT '{expected}' AS x"
+
+
+_OPERANDS = st.sampled_from(
+    [
+        "x", "t.c", "-x", "3", "1.5", "abs(x)", "(x + 1)", "x - y",
+        "f(x, y)", "x || 'a'", "CAST(x AS INTEGER)", "x * 2 + 1",
+        "coalesce(x, 0)", "-abs(x)",
+    ]
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_OPERANDS, st.sampled_from(["<", "<=", ">", ">="]),
+       st.sampled_from(["ANY", "SOME"]))
+def test_quantified_any_rewrite_is_balanced(left, op, quant):
+    """For every operand shape the backscan handles, the ANY rewrite
+    must (a) produce balanced parentheses, (b) contain the threshold
+    and null-degrade subqueries, and (c) keep the full left operand
+    inside the parenthesized predicate."""
+    q = f"SELECT * FROM t WHERE {left} {op} {quant} (SELECT v FROM s)"
+    out = translate(q)
+    assert out.count("(") == out.count(")")
+    # threshold + guard each wrap the original subquery once
+    assert out.count("FROM (SELECT v FROM s) __q(__v)") == 2
+    # the predicate paren opens before the left operand's text
+    assert f"({left} {op} " in out, out

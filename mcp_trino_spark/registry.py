@@ -303,6 +303,7 @@ _PRIORITY = [
     "l34_rare_ngram_overlap",
     "l35_quality_percentile",
     "l36_embedding_outliers",
+    "s2d_xml_roundtrip",
     "l2c_ngram_jaccard",
     "f3_list_schemas",
     "f4_list_tables",
@@ -343,7 +344,6 @@ _PRIORITY = [
     "j6_left_anti",
     "j13_bloom_prefilter_semi",
     "p6_null_predicates",
-    "o7_intersect",
     "w6_first_last_nth",
     "x10_array_hof",
     "x14_hashing",

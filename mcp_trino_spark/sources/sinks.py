@@ -403,6 +403,44 @@ def s2c_orc_roundtrip(spark, sf_dir):
 
 
 @register(
+    "s2d_xml_roundtrip",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
+def s2d_xml_roundtrip(spark, sf_dir):
+    """XML source/sink (Spark 4 native XML data source): region written
+    as XML (rowTag records), read back schema-on-read, values compared
+    hash-exactly to the parquet-source truth.  Rounds out the
+    format matrix (parquet/CSV/JSON in s2b, ORC in s2c) — the reference
+    reaches whatever formats its Trino catalogs expose
+    (docs/tools.md:20-37); this engine's format surface is Spark's
+    DataSource registry.  XML is a row-based format with no pushdown —
+    fine for ingest-sized dimension data, never the 100 TB fact path
+    (parquet/ORC own that; documented trade-off, same class as CSV)."""
+    base = "/root/repo/.tmp/formats"
+    os.makedirs(base, exist_ok=True)
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    (
+        region.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "region")
+        .save(f"{base}/region_xml")
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "region")
+        .load(f"{base}/region_xml")
+    )
+    # XML is schema-on-read: surface columns in declared order with
+    # declared types (attribute inference yields long for the int key)
+    return back.select(
+        F.col("r_regionkey").cast("bigint").alias("r_regionkey"),
+        F.col("r_name").cast("string").alias("r_name"),
+    )
+
+
+@register(
     "s8_bucketed_colocated_join",
     oracle="""
     SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_items,

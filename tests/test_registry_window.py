@@ -42,6 +42,7 @@ _NEVER_GRADED = [
     "l34_rare_ngram_overlap",
     "l35_quality_percentile",
     "l36_embedding_outliers",
+    "s2d_xml_roundtrip",
     "l2c_ngram_jaccard",
     "f3_list_schemas",
     "f4_list_tables",

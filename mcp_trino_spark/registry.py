@@ -304,6 +304,7 @@ _PRIORITY = [
     "l35_quality_percentile",
     "l36_embedding_outliers",
     "s2d_xml_roundtrip",
+    "s13_zorder_layout",
     "l2c_ngram_jaccard",
     "f3_list_schemas",
     "f4_list_tables",
@@ -345,7 +346,6 @@ _PRIORITY = [
     "j13_bloom_prefilter_semi",
     "p6_null_predicates",
     "w6_first_last_nth",
-    "x10_array_hof",
     "x14_hashing",
 ]
 

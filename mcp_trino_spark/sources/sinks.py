@@ -607,3 +607,29 @@ def s12_table_changes(spark, sf_dir):
     # lazy return: scratch table + version store live until the next
     # call's _fresh_table (same lifecycle as s10)
     return table_changes(spark, "tc_orders", 0, 1)
+
+
+@register(
+    "s13_zorder_layout",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    """,
+)
+def s13_zorder_layout(spark, sf_dir):
+    """Z-order clustered write (the Delta/Iceberg `OPTIMIZE ... ZORDER
+    BY` layout lever, sources/layout.py): orders rewritten with the
+    bits of (o_custkey, o_totalprice) interleaved into a Z-value,
+    range-partitioned and sorted on it, then read back — the oracle
+    asserts the relayout is value-exact.  Layout QUALITY (mean per-file
+    bounding-box area ≪ row-order baseline, i.e. real min-max file
+    skipping on both columns) is asserted from the parquet footers in
+    tests/test_layout.py."""
+    from mcp_trino_spark.sources.layout import write_zordered
+
+    base = "/root/repo/.tmp/layout"
+    os.makedirs(base, exist_ok=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_zordered(orders, f"{base}/orders_z", ["o_custkey", "o_totalprice"])
+    return spark.read.parquet(f"{base}/orders_z")

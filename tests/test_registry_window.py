@@ -43,6 +43,7 @@ _NEVER_GRADED = [
     "l35_quality_percentile",
     "l36_embedding_outliers",
     "s2d_xml_roundtrip",
+    "s13_zorder_layout",
     "l2c_ngram_jaccard",
     "f3_list_schemas",
     "f4_list_tables",

@@ -292,7 +292,7 @@ _PROVEN_R06 = [
 #: category-spanning spot-check of the proven sets, so the driver
 #: re-confirms no silent regression while finishing full certification.
 _PRIORITY = [
-    # --- never driver-graded for their CURRENT spec (9 oracle-backed
+    # --- never driver-graded for their CURRENT spec (11 oracle-backed
     # + 2 rows-only; l2c re-enters because round 7 changed its shingle
     # unit to word-3-grams, invalidating its earlier green row) ---
     "l18_mix_weights",

@@ -88,6 +88,15 @@ def zorder_frame(df: DataFrame, cols: Sequence[str], n_files: int) -> DataFrame:
             "zorder_frame clusters exactly 2 columns (bit interleave); "
             f"got {list(cols)!r}"
         )
+    reserved = {"__z"} | {f"__q_{c}" for c in cols} | {
+        f"__min_{c}" for c in cols
+    } | {f"__max_{c}" for c in cols}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"zorder_frame reserves column names {sorted(clash)} for its "
+            "internal quantization/curve columns — rename them first"
+        )
     qdf, qcols = _quantized(df, cols)
     z = _zvalue(F.col(qcols[0]), F.col(qcols[1]))
     return (

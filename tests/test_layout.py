@@ -124,3 +124,11 @@ def test_zorder_scan_skips_files_for_box_predicates(spark, tmp_path):
         back = back.filter(F.col(c).between(*pred_box[c]))
         want = want.filter(F.col(c).between(*pred_box[c]))
     assert back.count() == want.count()
+
+
+def test_zorder_rejects_reserved_column_names(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(a=1, b=2, __z=3)])
+    with pytest.raises(ValueError, match="reserves column names"):
+        zorder_frame(df, ["a", "b"], 4)

@@ -71,8 +71,9 @@ def test_window_matches_priority_list_exactly():
 
 
 def test_window_leads_with_never_graded_entries():
-    # the 7 entries the driver has never certified must occupy the head
-    # of the window so one more rotation finishes full certification
+    # every entry whose current spec the driver has never certified
+    # must occupy the head of the window so one more rotation finishes
+    # full certification (count lives in _NEVER_GRADED, not here)
     window = list(registry.queries())[:50]
     assert window[: len(_NEVER_GRADED)] == _NEVER_GRADED
 

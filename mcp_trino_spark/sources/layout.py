@@ -30,23 +30,23 @@ from typing import List, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-#: bits per dimension: 2 dims × 16 bits interleave into a 32-bit
-#: Z-value — 65k distinct cells per axis is far below range-partition
-#: granularity, so finer quantization buys nothing
+#: default bits per dimension: 16 bits ≈ 65k distinct cells per axis,
+#: far below range-partition granularity — finer quantization buys
+#: nothing.  With k dims the interleave uses min(16, 48 // k) bits per
+#: dim so the Z-value stays comfortably inside a signed 64-bit long.
 _BITS = 16
 
 
-def _zvalue(a: Column, b: Column, bits: int = _BITS) -> Column:
-    """Interleave the low ``bits`` of two non-negative ints: bit i of
-    ``a`` lands at position 2i, bit i of ``b`` at 2i+1.  Pure column
+def _zvalue(qcols: Sequence[Column], bits: int) -> Column:
+    """Interleave the low ``bits`` of k non-negative ints: bit i of
+    column j lands at position i·k + j (Morton order).  Pure column
     arithmetic — stays in codegen."""
+    k = len(qcols)
     z = F.lit(0).cast("bigint")
     for i in range(bits):
-        abit = F.shiftright(a, i).bitwiseAND(F.lit(1))
-        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1))
-        z = z.bitwiseOR(F.shiftleft(abit, 2 * i)).bitwiseOR(
-            F.shiftleft(bbit, 2 * i + 1)
-        )
+        for j, c in enumerate(qcols):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
     return z
 
 
@@ -79,13 +79,15 @@ def _quantized(df: DataFrame, cols: Sequence[str], bits: int = _BITS
 
 def zorder_frame(df: DataFrame, cols: Sequence[str], n_files: int) -> DataFrame:
     """Return ``df`` clustered for writing: range-partitioned into
-    ``n_files`` tasks by the Z-value of ``cols`` (exactly 2 columns),
-    rows sorted by Z within each task.  Write the result with an
-    ordinary ``.write.parquet`` — one file per task, each covering a
-    compact hyper-rectangle of the clustering space."""
-    if len(cols) != 2:
+    ``n_files`` tasks by the Z-value of ``cols`` (2-4 columns), rows
+    sorted by Z within each task.  Write the result with an ordinary
+    ``.write.parquet`` — one file per task, each covering a compact
+    hyper-rectangle of the clustering space.  Beyond ~4 dimensions the
+    curve's locality (and with it file skipping) degrades to noise, so
+    higher arities are rejected rather than silently ineffective."""
+    if not 2 <= len(cols) <= 4:
         raise ValueError(
-            "zorder_frame clusters exactly 2 columns (bit interleave); "
+            "zorder_frame clusters 2-4 columns (bit interleave); "
             f"got {list(cols)!r}"
         )
     reserved = {"__z"} | {f"__q_{c}" for c in cols} | {
@@ -97,8 +99,9 @@ def zorder_frame(df: DataFrame, cols: Sequence[str], n_files: int) -> DataFrame:
             f"zorder_frame reserves column names {sorted(clash)} for its "
             "internal quantization/curve columns — rename them first"
         )
-    qdf, qcols = _quantized(df, cols)
-    z = _zvalue(F.col(qcols[0]), F.col(qcols[1]))
+    bits = min(_BITS, 48 // len(cols))
+    qdf, qcols = _quantized(df, cols, bits)
+    z = _zvalue([F.col(c) for c in qcols], bits)
     return (
         qdf.withColumn("__z", z)
         .repartitionByRange(n_files, "__z")

@@ -85,8 +85,15 @@ def test_zorder_preserves_rows_and_rejects_bad_arity(spark):
     out = zorder_frame(orders, list(COLS), n_files=8)
     assert out.columns == orders.columns  # helper columns dropped
     assert out.count() == orders.count()
-    with pytest.raises(ValueError, match="exactly 2"):
+    with pytest.raises(ValueError, match="2-4 columns"):
         zorder_frame(orders, ["o_custkey"], 8)
+    # 3-D interleave: rows preserved, helpers dropped
+    o3 = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    out3 = zorder_frame(o3, ["o_orderkey", "o_custkey", "o_totalprice"], 8)
+    assert out3.columns == o3.columns
+    assert out3.count() == o3.count()
 
 
 def test_zorder_scan_skips_files_for_box_predicates(spark, tmp_path):

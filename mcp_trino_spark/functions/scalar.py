@@ -871,3 +871,53 @@ def w12_groups_frame(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x25_dialect_round7",
+    oracle=r"""
+    SELECT n_nationkey,
+           'AB' AS ulit,
+           CAST(n_nationkey AS VARCHAR) AS nk_json,
+           upper(md5(n_name)) AS name_md5_hex,
+           u.val AS val,
+           n_nationkey > ANY (SELECT CASE WHEN r_regionkey = 4 THEN NULL
+                                          ELSE r_regionkey END
+                              FROM region) AS any_cmp
+    FROM nation,
+         LATERAL unnest([CAST(n_regionkey AS BIGINT), n_nationkey]) AS u(val)
+    WHERE n_nationkey < 10
+    """,
+)
+def x25_dialect_round7(spark, sf_dir):
+    """Differential certification of the round-7 dialect additions in
+    one hash-gated entry: `U&'…'` unicode literals, `CAST(x AS JSON)`,
+    VARBINARY md5 (`to_hex(md5(to_utf8(…)))` — DuckDB computes the
+    same digest natively), comma-join UNNEST, and the NULL-aware
+    ordering ANY (the subquery plants a NULL element, so rows with no
+    witness must surface UNKNOWN, not FALSE — DuckDB evaluates the
+    quantifier natively, making this a true independent check of the
+    OR-guard rewrite).
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import install_compat_functions, translate
+
+    register_tables(spark, sf_dir)
+    install_compat_functions(spark)  # to_utf8 is a registered SQL UDF
+    return spark.sql(
+        translate(
+            r"""
+            SELECT n_nationkey,
+                   U&'\0041\0042' AS ulit,
+                   CAST(n_nationkey AS JSON) AS nk_json,
+                   to_hex(md5(to_utf8(n_name))) AS name_md5_hex,
+                   u.val AS val,
+                   n_nationkey > ANY (SELECT CASE WHEN r_regionkey = 4 THEN NULL
+                                                  ELSE r_regionkey END
+                                      FROM region) AS any_cmp
+            FROM nation,
+                 UNNEST(ARRAY[CAST(n_regionkey AS BIGINT), n_nationkey]) AS u(val)
+            WHERE n_nationkey < 10
+            """
+        )
+    )

@@ -292,13 +292,14 @@ _PROVEN_R06 = [
 #: category-spanning spot-check of the proven sets, so the driver
 #: re-confirms no silent regression while finishing full certification.
 _PRIORITY = [
-    # --- never driver-graded for their CURRENT spec (11 oracle-backed
+    # --- never driver-graded for their CURRENT spec (12 oracle-backed
     # + 2 rows-only; l2c re-enters because round 7 changed its shingle
     # unit to word-3-grams, invalidating its earlier green row) ---
     "l18_mix_weights",
     "x22_quantified_subqueries",
     "x23_vector_math",
     "x24_setdigest",
+    "x25_dialect_round7",
     "j4_cross",
     "l34_rare_ngram_overlap",
     "l35_quality_percentile",
@@ -345,7 +346,6 @@ _PRIORITY = [
     "j6_left_anti",
     "j13_bloom_prefilter_semi",
     "p6_null_predicates",
-    "w6_first_last_nth",
     "x14_hashing",
 ]
 

@@ -38,6 +38,7 @@ _NEVER_GRADED = [
     "x22_quantified_subqueries",
     "x23_vector_math",
     "x24_setdigest",
+    "x25_dialect_round7",
     "j4_cross",
     "l34_rare_ngram_overlap",
     "l35_quality_percentile",

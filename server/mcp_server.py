@@ -520,7 +520,17 @@ class _HTTPHandler:
                 if not self._authorized():
                     self._deny()
                     return
-                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                except ValueError:
+                    n = -1
+                if n < 0 or n > 16 * 1024 * 1024:
+                    # post-auth, but the same unbounded-buffer class as
+                    # the token endpoint: a JSON-RPC call is SQL-text
+                    # sized — 16 MB is generous headroom, never "as big
+                    # as the client claims"
+                    self._reply(413, b'{"error":"payload too large"}')
+                    return
                 try:
                     msg = json.loads(self.rfile.read(n))
                 except json.JSONDecodeError:

@@ -689,6 +689,38 @@ def test_oauth_token_endpoint_pinned_client_id(server):
         httpd.shutdown()
 
 
+def test_mcp_post_caps_body_size(server):
+    """/mcp rejects oversized (or malformed-length) bodies before
+    buffering — same class as the token endpoint's 64 KB cap, with SQL
+    headroom (16 MB)."""
+    import threading
+    import urllib.error
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from server.mcp_server import _HTTPHandler
+
+    httpd = ThreadingHTTPServer(("localhost", 0), _HTTPHandler.make(server))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://localhost:{port}/mcp",
+            data=b"{}",
+            headers={
+                "Content-Type": "application/json",
+                "Content-Length": str(64 * 1024 * 1024),
+            },
+        )
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
+    finally:
+        httpd.shutdown()
+
+
 def test_protected_resource_metadata_jwt_only_has_no_auth_server(server):
     """JWT mode without a provisioned client secret: the resource
     metadata must not point at an authorization server whose own

@@ -1086,8 +1086,16 @@ def l35_quality_percentile(spark, sf_dir):
     cutoff (l8) can't starve a low-scoring source out of the mix.
 
     Scale: the score is narrow scan-side math (no cross-row work); the
-    single shuffle is the per-source percent_rank window, and source
-    cardinality is small so AQE's skew split handles a dominant source.
+    single shuffle is the per-source percent_rank window.  Honest
+    limit: a window partition cannot be split (AQE skew handling does
+    not apply to windows), so one task holds a whole source's (score,
+    doc_id) rows — fine to ~memory-bounded source sizes, NOT at a
+    10 TB source.  The 100 TB form of this operator is the two-pass
+    threshold: per-source counts (tiny), then a distributed selection
+    of the 0.8n-th order statistic (binary search on the score value,
+    each probe one scan+agg), broadcast thresholds, scan-side filter —
+    same output, no single-task window.  The window form is kept here
+    because it is the exact-rank spelling the oracle can mirror.
     Determinism: rank ties broken by doc_id; percent_rank is exact
     rational arithmetic ((rank-1)/(n-1)) so the 0.8 cut compares
     identical doubles on both engines.

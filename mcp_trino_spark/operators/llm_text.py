@@ -1115,3 +1115,117 @@ def l35_quality_percentile(spark, sf_dir):
         F.round("diversity", 6).alias("diversity"),
         F.round("pr", 6).alias("pr"),
     )
+
+
+@register(
+    "l35b_quality_percentile_scaled",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+               / len(string_split(lower(text), ' ')) AS diversity
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, diversity,
+             percent_rank() OVER (PARTITION BY source ORDER BY diversity, doc_id)
+               AS pr
+      FROM scored
+    )
+    SELECT doc_id, source, ROUND(diversity, 6) AS diversity, ROUND(pr, 6) AS pr
+    FROM ranked WHERE pr >= 0.8
+    """,
+)
+def l35b_quality_percentile_scaled(spark, sf_dir):
+    """Scale-safe form of l35: same per-source percent-rank curation,
+    computed by DISTRIBUTED RANKING instead of a per-source window.
+
+    The l35 window (``Window.partitionBy("source")``) puts one whole
+    source in one task — a window partition cannot be split (AQE skew
+    handling does not apply to windows), so a 10 TB source OOMs the
+    task.  This form computes the identical exact percent_rank with no
+    unsplittable stage, the classic range-partition + offset
+    composition:
+
+    1. ``repartitionByRange(P, source, diversity, doc_id)`` — the range
+       partitioner splits each source across many partitions in sort
+       order; P scales with the cluster, so partition sizes stay
+       bounded at 100 TB.
+    2. A tiny per-(partition, source) count aggregate (≤ P × sources
+       rows) yields, per partition, the number of same-source rows in
+       all EARLIER partitions (the rank offset) and the source total n.
+       The cumulative window here is over the aggregate frame only —
+       kilobytes — never over row data.
+    3. Broadcast the offsets back; within each range partition a
+       row_number window partitioned by (partition-id, source) — each
+       such window partition is bounded by the range-partition size,
+       splittable by raising P — composes with the offset into the
+       exact global rank, and pr = (rank-1)/(n-1) in the same IEEE
+       double arithmetic percent_rank uses, so the 0.8 cut keeps
+       byte-identical rows on both engines.
+
+    The range exchange feeds both the count aggregate and the join
+    side as an identical subplan, so Spark's ReuseExchange shares one
+    physical shuffle (plan-guarded in tests/test_plans.py) — the
+    partition-id → offset mapping is consistent by construction.
+
+    An alternative scale path (documented in SCALE.md) is the two-pass
+    broadcast-threshold: per-source counts + binary-search selection of
+    the 0.8n-th order statistic + scan-side filter.  Distributed
+    ranking was chosen instead because it is non-iterative (no driver
+    loop of probe scans) and reproduces the exact ``pr`` column, making
+    the window spelling a full-row oracle rather than a set-only one.
+
+    Reference parity: same relative-threshold curation surface as l35
+    (trino dialect: percent_rank() OVER, internal/trino/client.go
+    passes it through); this entry certifies the scale plan against
+    the window oracle.
+    """
+    from pyspark.sql import Window
+
+    (docs,) = T(spark, sf_dir, "documents")
+    docs = spread(docs)
+    ws = F.split(F.lower("text"), " ")
+    diversity = F.size(F.array_distinct(ws)).cast("double") / F.size(ws)
+    scored = docs.select("doc_id", "source", diversity.alias("diversity"))
+
+    nparts = max(spark.sparkContext.defaultParallelism, 8)
+    ranged = scored.repartitionByRange(
+        nparts, "source", "diversity", "doc_id"
+    ).withColumn("pid", F.spark_partition_id())
+
+    # Tiny frame: one row per (range partition, source).  The windows
+    # below run over THIS aggregate (≤ P × |sources| rows), not row data.
+    counts = ranged.groupBy("pid", "source").agg(F.count("*").alias("c"))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "pid",
+        "source",
+        F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("offset"),
+        F.sum("c").over(Window.partitionBy("source")).alias("n"),
+    )
+
+    joined = ranged.join(F.broadcast(offsets), ["pid", "source"])
+    w_loc = Window.partitionBy("pid", "source").orderBy("diversity", "doc_id")
+    ranked = joined.withColumn(
+        "rank", F.col("offset") + F.row_number().over(w_loc)
+    )
+    # percent_rank semantics: (rank-1)/(n-1), defined as 0 for n == 1.
+    pr = F.when(F.col("n") == 1, F.lit(0.0)).otherwise(
+        (F.col("rank") - F.lit(1)).cast("double")
+        / (F.col("n") - F.lit(1)).cast("double")
+    )
+    return (
+        ranked.withColumn("pr", pr)
+        .filter(F.col("pr") >= 0.8)
+        .select(
+            "doc_id",
+            "source",
+            F.round("diversity", 6).alias("diversity"),
+            F.round("pr", 6).alias("pr"),
+        )
+    )

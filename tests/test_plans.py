@@ -345,6 +345,38 @@ def test_quality_percentile_single_window_exchange(spark):
     assert "Window" in plan
 
 
+def test_quality_percentile_scaled_no_per_source_window(spark):
+    """l35b: the scale path must contain NO WindowExec over row data
+    partitioned by source alone (one task per source at scale — the
+    l35 weakness this entry exists to fix).  The row_number window
+    must be partitioned by (spark_partition_id, source) — splittable
+    by raising the range-partition count — and the offsets join must
+    broadcast the tiny counts frame, never shuffle the corpus for it."""
+    import re
+
+    df = registry.queries()["l35b_quality_percentile_scaled"](spark, SF_DIR)
+    plan = physical_plan(df)
+    # the row-data window (the one ordering by doc_id) includes pid
+    row_windows = [
+        m for m in re.findall(r"windowspecdefinition\([^)]*\)", plan)
+        if "doc_id" in m
+    ]
+    assert row_windows, "expected a row_number window over (pid, source)"
+    assert all("pid" in w for w in row_windows), row_windows
+    # any window WITHOUT pid in its partition key is over the tiny
+    # counts aggregate — it must aggregate c (the per-partition count),
+    # never touch row data
+    for w in re.findall(r"windowspecdefinition\([^)]*\)", plan):
+        if "pid#" not in w or w.index("source#") < w.index("pid#"):
+            assert "doc_id" not in w, f"per-source window over row data: {w}"
+    assert "SinglePartition" not in plan
+    # offsets come back via broadcast, and the range shuffle feeds both
+    # branches (ReuseExchange fires in the AQE final plan; statically we
+    # assert the join is broadcast so the corpus is not re-shuffled)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("rangepartitioning") >= 1
+
+
 def test_ngram_jaccard_inverted_index_hash_joins(spark):
     """l2c (word-3-gram spec): inverted-index pair join is hash-based,
     the persisted gram frame is reused (InMemoryTableScan on both join

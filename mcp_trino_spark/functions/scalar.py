@@ -921,3 +921,66 @@ def x25_dialect_round7(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x26_nth_from_last",
+    oracle=r"""
+    WITH fr AS (
+      SELECT o_custkey, o_orderkey,
+             list(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             list(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS band,
+             list(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev
+      FROM orders WHERE o_custkey < 100
+    )
+    SELECT o_custkey, o_orderkey,
+           cum[-2] AS second_last,
+           band[-1] AS band_last,
+           rev[-3] AS third_last_price
+    FROM fr
+    """,
+)
+def x26_nth_from_last(spark, sf_dir):
+    """Differential certification of the nth_value ... FROM LAST
+    rewrite (_rewrite_nth_from_last): three windows exercise the
+    mirrored default frame (RANGE CURRENT ROW..UNBOUNDED FOLLOWING),
+    a finite ROWS band (2 PRECEDING..1 FOLLOWING → 1 PRECEDING..2
+    FOLLOWING), and a DESC ordering whose reversal flips both the
+    direction and the null placement.  The DuckDB oracle is
+    INDEPENDENT of the order-reversal trick: it collects each frame
+    with a windowed list() and indexes from the end (l[-n]), so a
+    wrong frame mirror or direction flip hash-mismatches.
+
+    Reference parity: Trino accepts the SQL-standard FROM FIRST/LAST
+    grammar on nth_value and the reference forwards it verbatim
+    (internal/trino/client.go); SURVEY §2 carried this as the last
+    rewriteable dialect gap through round 7.
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            r"""
+            SELECT o_custkey, o_orderkey,
+                   nth_value(o_orderkey, 2) FROM LAST OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS second_last,
+                   nth_value(o_orderkey, 1) FROM LAST OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS band_last,
+                   nth_value(o_totalprice, 3) FROM LAST OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderkey DESC)
+                     AS third_last_price
+            FROM orders WHERE o_custkey < 100
+            """
+        )
+    )

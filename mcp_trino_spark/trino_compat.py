@@ -2857,6 +2857,152 @@ def _rewrite_with_ties(query: str) -> str:
     return f"SELECT * FROM ( {body} ) __tb WHERE ({cond}) ORDER BY {keys}"
 
 
+_NTH_VALUE_HEAD = re.compile(r"\bnth_value\s*\(", re.IGNORECASE)
+_FROM_DIR = re.compile(r"\s*FROM\s+(FIRST|LAST)\b", re.IGNORECASE)
+_NULLS_TREAT = re.compile(r"\s*((?:IGNORE|RESPECT)\s+NULLS)\b", re.IGNORECASE)
+_OVER_OPEN = re.compile(r"\s*OVER\s*\(", re.IGNORECASE)
+
+
+def _mirror_frame_bound(b: str) -> str:
+    t = " ".join(b.split())
+    u = t.upper()
+    if u == "CURRENT ROW":
+        return "CURRENT ROW"
+    if u == "UNBOUNDED PRECEDING":
+        return "UNBOUNDED FOLLOWING"
+    if u == "UNBOUNDED FOLLOWING":
+        return "UNBOUNDED PRECEDING"
+    m = re.match(r"(?is)^(.*)\s+(PRECEDING|FOLLOWING)$", t)
+    if not m:
+        raise TrinoCompatError(
+            f"unsupported window frame bound with FROM LAST: {b!r}"
+        )
+    flip = "FOLLOWING" if m.group(2).upper() == "PRECEDING" else "PRECEDING"
+    return f"{m.group(1)} {flip}"
+
+
+def _reverse_window_spec(inner: str) -> str:
+    """Reverse an inline window spec for the FROM LAST rewrite:
+    PARTITION BY unchanged; every ORDER BY key flips direction AND null
+    placement (spelled explicitly so the reversed order is the exact
+    mirror of how the engine evaluates the original); the frame mirrors
+    bound-for-bound (``BETWEEN a AND b`` → ``BETWEEN ~b AND ~a``); the
+    implicit default frame (RANGE UNBOUNDED PRECEDING .. CURRENT ROW)
+    mirrors to an explicit RANGE CURRENT ROW .. UNBOUNDED FOLLOWING."""
+    mask = _code_mask(inner)
+    depth = _depths(inner, mask)
+
+    def find_kw(pat: str):
+        for m in re.finditer(pat, inner, re.IGNORECASE):
+            if mask[m.start()] and depth[m.start()] == 0:
+                return m
+        return None
+
+    mo = find_kw(r"\bORDER\s+BY\b")
+    if mo is None:
+        raise TrinoCompatError(
+            "nth_value ... FROM LAST requires an ORDER BY in its OVER "
+            "clause (an unordered window has no defined 'last' row)"
+        )
+    mf = find_kw(r"\b(ROWS|RANGE|GROUPS)\s+(BETWEEN|UNBOUNDED|CURRENT|\d)")
+    if mf is not None and mf.group(1).upper() == "GROUPS":
+        raise TrinoCompatError(
+            "FROM LAST with a GROUPS frame is not supported — spell the "
+            "frame as ROWS or RANGE"
+        )
+    part = inner[: mo.start()].strip()
+    order_body = inner[mo.end() : mf.start() if mf else len(inner)]
+    rev_keys = []
+    for expr, desc, nulls_first in _parse_sort_keys(order_body):
+        rd = "ASC" if desc else "DESC"
+        rnp = "LAST" if nulls_first else "FIRST"
+        rev_keys.append(f"{expr} {rd} NULLS {rnp}")
+    if mf is not None:
+        ft = " ".join(inner[mf.start() :].split())
+        m = re.match(r"(?is)^(ROWS|RANGE)\s+BETWEEN\s+(.*?)\s+AND\s+(.*)$", ft)
+        if m:
+            unit, b1, b2 = m.group(1), m.group(2), m.group(3)
+        else:
+            m = re.match(r"(?is)^(ROWS|RANGE)\s+(.*)$", ft)
+            unit, b1, b2 = m.group(1), m.group(2), "CURRENT ROW"
+        frame = (
+            f"{unit.upper()} BETWEEN {_mirror_frame_bound(b2)} "
+            f"AND {_mirror_frame_bound(b1)}"
+        )
+    else:
+        frame = "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+    head = f"{part} " if part else ""
+    return f"{head}ORDER BY {', '.join(rev_keys)} {frame}"
+
+
+def _rewrite_nth_from_last(q: str) -> str:
+    """SQL-standard ``nth_value(x, n) FROM LAST`` (Spark has no FROM
+    FIRST/LAST grammar): n-from-the-end of the frame equals n-from-the-
+    start of the SAME frame under the reversed ordering, so the rewrite
+    keeps ``nth_value(x, n)`` and reverses the window — ORDER BY
+    directions and null placements flipped, frame bounds mirrored
+    (tests/test_trino_compat.py derivation).  ``FROM FIRST`` is the
+    default and is simply dropped.  Only inline ``OVER (...)`` windows
+    are supported; a named window reference fails loudly.
+
+    Reference parity: Trino accepts the standard FROM FIRST/FROM LAST
+    grammar on nth_value and the reference passes it through
+    (internal/trino/client.go); SURVEY §2 listed this as the last
+    rewriteable dialect gap."""
+    pos = 0
+    while True:
+        hit = _find_call(q, _NTH_VALUE_HEAD, pos)
+        if hit is None:
+            return q
+        m, _bs, be = hit
+        after = be + 1  # index just past the call's closing paren
+        dm = _FROM_DIR.match(q, after)
+        if dm is None:
+            pos = after
+            continue
+        direction = dm.group(1).upper()
+        cursor = dm.end()
+        nm = _NULLS_TREAT.match(q, cursor)
+        nulls_clause = f" {nm.group(1)}" if nm else ""
+        if nm:
+            cursor = nm.end()
+        if direction == "FIRST":
+            q = q[:after] + nulls_clause + q[cursor:]
+            pos = after
+            continue
+        om = _OVER_OPEN.match(q, cursor)
+        if om is None:
+            raise TrinoCompatError(
+                "nth_value ... FROM LAST needs an inline OVER (...) window "
+                "(named window references are not supported — inline the "
+                "window definition)"
+            )
+        mask = _code_mask(q)
+        d, i = 1, om.end()
+        while i < len(q) and d:
+            if mask[i]:
+                if q[i] == "(":
+                    d += 1
+                elif q[i] == ")":
+                    d -= 1
+            i += 1
+        if d:
+            pos = after
+            continue  # unbalanced — leave for Spark to reject
+        inner = q[om.end() : i - 1]
+        rewritten = _reverse_window_spec(inner)
+        q = (
+            q[:after]
+            + nulls_clause
+            + " OVER ("
+            + rewritten
+            + ")"
+            + q[i:]
+        )
+        pos = after
+    return q
+
+
 _OVER_HEAD = re.compile(r"\bOVER\s*\(", re.IGNORECASE)
 _GROUPS_SPEC = re.compile(
     r"^(?:PARTITION\s+BY\s+(?P<part>.*?)\s+)?ORDER\s+BY\s+(?P<key>.*?)\s+"
@@ -4342,6 +4488,7 @@ def translate(query: str) -> str:
     query = _rewrite_approx_most_frequent(query)
     query = _rewrite_combinations(query)
     query = _rewrite_with_ties(query)
+    query = _rewrite_nth_from_last(query)
     query = _rewrite_groups_frames(query)
     query = _rewrite_array_literal(query)
     query = _rewrite_comma_unnest(query)

@@ -2367,3 +2367,68 @@ def test_unnest_multi_array_zip_with_padding(spark):
     with pytest.raises(TrinoCompatError, match="counts must match"):
         translate("SELECT a FROM UNNEST(ARRAY[1], ARRAY[2], ARRAY[3])"
                   " AS t(a, b)")
+
+
+def test_nth_from_last_translation():
+    """FROM LAST ≡ nth-from-start of the SAME frame under the reversed
+    ordering: directions and null placements flip explicitly, frame
+    bounds mirror, the implicit default frame mirrors to an explicit
+    RANGE CURRENT ROW .. UNBOUNDED FOLLOWING."""
+    out = translate(
+        "SELECT nth_value(x, 2) FROM LAST OVER "
+        "(PARTITION BY g ORDER BY k) FROM t"
+    )
+    assert "FROM LAST" not in out
+    assert (
+        "OVER (PARTITION BY g ORDER BY k DESC NULLS LAST "
+        "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)" in out
+    )
+    out = translate(
+        "SELECT nth_value(x, 2) FROM LAST OVER (ORDER BY k DESC NULLS LAST "
+        "ROWS BETWEEN 1 PRECEDING AND 3 FOLLOWING) FROM t"
+    )
+    assert (
+        "OVER (ORDER BY k ASC NULLS FIRST "
+        "ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING)" in out
+    )
+    # FROM FIRST is the default: dropped, window untouched
+    out = translate(
+        "SELECT nth_value(x, 1) FROM FIRST IGNORE NULLS OVER (ORDER BY k) FROM t"
+    )
+    assert out == "SELECT nth_value(x, 1) IGNORE NULLS OVER (ORDER BY k) FROM t"
+    # single-bound frame normalizes to BETWEEN ... AND CURRENT ROW first
+    out = translate(
+        "SELECT nth_value(x, 2) FROM LAST OVER "
+        "(ORDER BY k ROWS UNBOUNDED PRECEDING) FROM t"
+    )
+    assert (
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING" in out
+    )
+    # multiple keys each flip independently
+    out = translate(
+        "SELECT nth_value(x, 2) FROM LAST OVER "
+        "(ORDER BY a ASC, b DESC NULLS LAST ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW) FROM t"
+    )
+    assert "ORDER BY a DESC NULLS LAST, b ASC NULLS FIRST" in out
+
+
+def test_nth_from_last_rejections_are_loud():
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    with pytest.raises(TrinoCompatError, match="ORDER BY"):
+        translate("SELECT nth_value(x,2) FROM LAST OVER (PARTITION BY g) FROM t")
+    with pytest.raises(TrinoCompatError, match="inline"):
+        translate(
+            "SELECT nth_value(x,2) FROM LAST OVER w FROM t WINDOW w AS (ORDER BY k)"
+        )
+    with pytest.raises(TrinoCompatError, match="GROUPS"):
+        translate(
+            "SELECT nth_value(x,2) FROM LAST OVER (ORDER BY k "
+            "GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) FROM t"
+        )
+
+
+def test_nth_from_last_inside_string_literal_untouched():
+    q = "SELECT 'nth_value(x,1) FROM LAST OVER (ORDER BY k)' AS s FROM t"
+    assert translate(q) == q

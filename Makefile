@@ -4,7 +4,7 @@
 
 SF ?= /root/testdata/sf0.01
 
-.PHONY: test check-window check-proven check-all bench
+.PHONY: test check-window check-proven check-all check-changed bench
 
 test:
 	python -m pytest tests/ -x -q
@@ -18,6 +18,12 @@ check-window:
 # the fold
 check-proven:
 	python tools/check_correctness.py --sf $(SF) $$(python -c "from mcp_trino_spark import registry; print(' '.join(registry._PROVEN_R03 + registry._PROVEN_R45 + registry._PROVEN_R06))")
+
+# entries whose implementing function (or oracle) changed after their
+# last green driver row — report, then strict-gate them at sf0.001
+# (automates the round-7 hand-diff; see tools/check_changed.py)
+check-changed:
+	python tools/check_changed.py --gate
 
 # full sweep: every registered entry (oracle + rows-only)
 check-all:

@@ -90,6 +90,13 @@ HEADLINERS = [
     "l35_quality_percentile",
     "l2c_ngram_jaccard",
     "l36_embedding_outliers",
+    # r8: the write-path layout op (z-order relayout of orders — the
+    # maintenance cost a 100 TB operator schedules), the scale-safe
+    # distributed-ranking form of the quality percentile, and the
+    # nth_value FROM LAST dialect rewrite
+    "s13_zorder_layout",
+    "l35b_quality_percentile_scaled",
+    "x26_nth_from_last",
 ]
 
 

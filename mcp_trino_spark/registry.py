@@ -292,61 +292,70 @@ _PROVEN_R06 = [
 #: category-spanning spot-check of the proven sets, so the driver
 #: re-confirms no silent regression while finishing full certification.
 _PRIORITY = [
-    # --- never driver-graded for their CURRENT spec (12 oracle-backed
-    # + 2 rows-only; l2c re-enters because round 7 changed its shingle
-    # unit to word-3-grams, invalidating its earlier green row) ---
-    "l18_mix_weights",
-    "x22_quantified_subqueries",
-    "x23_vector_math",
-    "x24_setdigest",
-    "x25_dialect_round7",
-    "j4_cross",
-    "l34_rare_ngram_overlap",
-    "l35_quality_percentile",
-    "l36_embedding_outliers",
-    "s2d_xml_roundtrip",
-    "s13_zorder_layout",
-    "l2c_ngram_jaccard",
-    "f3_list_schemas",
-    "f4_list_tables",
-    # --- proven-set spot-check: rounds 2-3 vintage ---
-    "q0_flagship_revenue_by_region",
-    "p1_projection",
-    "j1_inner_equi",
-    "j8_range_band",
-    "j11_asof",
-    "j14_salted_skew_join",
-    "a1_groupby_count",
-    "a6_grouping_sets",
-    "a16_salted_skew_agg",
-    "w1_row_number",
-    "w10_topn_per_group",
-    "o2_topk",
-    "o9_cte",
-    "o11_recursive_cte",
-    "x12_json",
-    "x19_trino_dialect",
-    "t3_sessionization",
-    "t10b_match_recognize_funnel",
-    "s6_ctas_insert",
-    "s7_merge_upsert",
-    "s9_cross_catalog_join",
-    "l1_exact_dedup",
-    "l2_minhash_lsh_pairs",
-    "l4_topk_similarity",
-    # --- proven-set spot-check: rounds 4-5 vintage ---
+    # --- round 8 head: entries that are NEW or whose implementing code
+    # changed AFTER their last green driver row (the standing rotation
+    # rule — certification must track code churn).  l35b/x26 are the
+    # round-8 additions; t10/t9b's green rows predate the round-7
+    # MATCH_RECOGNIZE measure vectorization (pattern.py); the dialect
+    # entries' green rows predate the round-7 +383-line and round-8
+    # FROM-LAST translate() diffs; l35/s13 re-enter because round 8
+    # touched their modules (llm_text.py, layout.py/dml.py). ---
+    "l35b_quality_percentile_scaled",
+    "x26_nth_from_last",
+    "t10_match_recognize_vshape",
+    "t9b_pattern_regex",
     "o12_fetch_with_ties",
-    "s10_time_travel",
-    "l33_editdist_verify",
-    "l21_dup_clusters",
-    "l27_passage_dedup",
-    "a7_rollup",
-    "a14_percentile",
-    "a18_pivot",
-    "j6_left_anti",
-    "j13_bloom_prefilter_semi",
-    "p6_null_predicates",
-    "x14_hashing",
+    "w12_groups_frame",
+    "x19_trino_dialect",
+    "x20_approx_most_frequent",
+    "x21_reduce_agg",
+    "x25_dialect_round7",
+    "x22_quantified_subqueries",
+    "l35_quality_percentile",
+    "s13_zorder_layout",
+    # tools/check_changed.py findings: these five carry r1-r3 green
+    # rows but their functions changed since (l10 oracle construction,
+    # l3 spread, l4b/l11/l12 opcache/persist migrations) — stale
+    # certifications the rotation had never caught before the tool
+    "l10_udf_tokenizer",
+    "l3_cosine_pairs",
+    "l4b_ivf_topk",
+    "l11_kmeans_embeddings",
+    "l12_grouped_normalize",
+    # --- fill: the proven entries longest absent from any window
+    # (rounds 4-5 vintage, never re-certified since) ---
+    "w2_rank_dense_rank",
+    "w4_percent_rank_cume_dist",
+    "w6_first_last_nth",
+    "w8_rows_frame",
+    "w9_range_frame",
+    "w11_distinct_over_window",
+    "x1_string_basics",
+    "x2_regex",
+    "x3_date_extract",
+    "x4_date_arith",
+    "x5_timestamp_fmt",
+    "x6_math",
+    "x7_conditional",
+    "x8_casting",
+    "x9_array",
+    "x10_array_hof",
+    "x11_map_struct",
+    "x13_struct_row",
+    "x18_array_setops",
+    "a2_sum_avg_min_max",
+    "a8_cube",
+    "a10_min_by_max_by",
+    "a12_array_agg",
+    "a17_bool_aggs_median",
+    "a19_unpivot",
+    "j2_left_outer",
+    "j5_left_semi",
+    "j7_theta",
+    "j9_multiway",
+    "j10_self_join",
+    "p5_between_in",
+    "p7_like",
 ]
 
 

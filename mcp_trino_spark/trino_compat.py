@@ -2422,6 +2422,12 @@ def _convert_type_syntax(t: str) -> str:
     ``STRUCT<name: T, …>`` — recursive; parameterized scalars
     (DECIMAL(10,2), VARCHAR(n)) pass through untouched."""
     s = t.strip()
+    if s.upper() == "JSON":
+        # Trino's JSON type IS text; nested uses (ARRAY(JSON)) map to
+        # STRING — Spark has no JSON type and would reject the CAST.
+        # (Top-level CAST(x AS JSON) is rendered by _rewrite_cast_json
+        # before this pass ever sees it.)
+        return "STRING"
     m = _TYPE_CTOR.match(s)
     if not m:
         return s
@@ -2500,7 +2506,9 @@ def _rewrite_cast_json(q: str) -> str:
             f" '^\\\\[|\\\\]$', ''), 'null')"
         )
         q = q[: m.start()] + repl + q[bend + 1 :]
-        pos = m.start() + len(repl)
+        # resume INSIDE the replacement (at the embedded operand), so a
+        # nested CAST(y AS JSON) within the operand is rewritten too
+        pos = m.start() + len("nullif(regexp_replace(to_json(array(")
 
 
 def _rewrite_cast_types(q: str) -> str:
@@ -4097,6 +4105,17 @@ def _left_operand_start(q: str, mask: List[bool], pos: int) -> int:
             while j >= 0 and not mask[j]:
                 j -= 1
             seg = j + 1
+            run = q[seg : i + 1]
+            # a comment adjacent to the operator is NOT an operand —
+            # skip it and keep scanning left (`x /* c */ > ANY (S)`)
+            if run.endswith("*/"):
+                c = run.rfind("/*")
+                if c >= 0:
+                    i = seg + c - 1
+                    continue
+            if run.startswith("--"):
+                i = seg - 1
+                continue
             k = j
             while k >= 0 and q[k].isspace():
                 k -= 1
@@ -4125,6 +4144,37 @@ def _left_operand_start(q: str, mask: List[bool], pos: int) -> int:
             # include the call's function-name chain, if any
             while j >= 0 and mask[j] and (q[j].isalnum() or q[j] in "_$."):
                 j -= 1
+            start, i = j + 1, j
+        elif q[i] == "]":
+            # array subscript(s): walk each [..] to its opener, then
+            # require an identifier-chain base (`arr[1]`, `m.f[1][2]`);
+            # other bases (ARRAY literals, call results) keep the loud
+            # parenthesize guidance below
+            j = i
+            while j >= 0 and mask[j] and q[j] == "]":
+                depth = 0
+                while j >= 0:
+                    if mask[j]:
+                        if q[j] == "]":
+                            depth += 1
+                        elif q[j] == "[":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                    j -= 1
+                if depth:
+                    raise TrinoCompatError(
+                        "unbalanced brackets before a quantified comparison"
+                    )
+                j -= 1
+                while j >= 0 and q[j].isspace():
+                    j -= 1
+            e2 = j
+            while j >= 0 and mask[j] and (q[j].isalnum() or q[j] in "_$."):
+                j -= 1
+            base = q[j + 1 : e2 + 1]
+            if not base or base.upper() in _OPERAND_STOP_KW | {"ARRAY", "MAP"}:
+                break
             start, i = j + 1, j
         elif q[i].isalnum() or q[i] in "_$.":
             j = i
@@ -4401,7 +4451,34 @@ def _decode_unicode_literal(body: str, esc: str) -> str:
                     raise TrinoCompatError(
                         f"U&'...': truncated 4-digit escape {esc}{hexs!r}"
                     )
-                out.append(chr(int(hexs, 16)))
+                cp = int(hexs, 16)
+                if 0xD800 <= cp <= 0xDBFF:
+                    # UTF-16 surrogate pair: the standard spells non-BMP
+                    # chars as two 4-digit escapes — combine them (a lone
+                    # surrogate would mangle on UTF-8 encoding to the JVM)
+                    lo_esc = body[k + 5 : k + 6]
+                    lo_hex = body[k + 6 : k + 10]
+                    if lo_esc != esc or len(lo_hex) < 4:
+                        raise TrinoCompatError(
+                            f"U&'...': high surrogate {esc}{hexs} not "
+                            "followed by a low-surrogate escape"
+                        )
+                    lo = int(lo_hex, 16)
+                    if not 0xDC00 <= lo <= 0xDFFF:
+                        raise TrinoCompatError(
+                            f"U&'...': {esc}{hexs} must pair with a low "
+                            f"surrogate, got {esc}{lo_hex}"
+                        )
+                    out.append(
+                        chr(0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00))
+                    )
+                    k += 10
+                    continue
+                if 0xDC00 <= cp <= 0xDFFF:
+                    raise TrinoCompatError(
+                        f"U&'...': lone low surrogate {esc}{hexs}"
+                    )
+                out.append(chr(cp))
                 k += 5
         else:
             out.append(c)

@@ -425,7 +425,10 @@ class _HTTPHandler:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                 except ValueError:
-                    n = -1
+                    # malformed header is a bad REQUEST, not an
+                    # oversized payload — 400, reserving 413 for the cap
+                    self._reply(400, b'{"error":"invalid_request"}')
+                    return
                 if n < 0 or n > 65536:
                     # cap the form read: a token request is a few hundred
                     # bytes; an unbounded Content-Length would buffer
@@ -523,7 +526,8 @@ class _HTTPHandler:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                 except ValueError:
-                    n = -1
+                    self._reply(400, b'{"error":"invalid_request"}')
+                    return
                 if n < 0 or n > 16 * 1024 * 1024:
                     # post-auth, but the same unbounded-buffer class as
                     # the token endpoint: a JSON-RPC call is SQL-text

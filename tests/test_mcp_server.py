@@ -721,6 +721,37 @@ def test_mcp_post_caps_body_size(server):
         httpd.shutdown()
 
 
+def test_mcp_post_malformed_content_length_is_400(server):
+    """A NON-INTEGER Content-Length is a malformed request (400), not an
+    oversized payload (413) — the two conditions must not be folded."""
+    import socket
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    from server.mcp_server import _HTTPHandler
+
+    httpd = ThreadingHTTPServer(("localhost", 0), _HTTPHandler.make(server))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        for path in ("/mcp", "/oauth/token"):
+            with socket.create_connection(("localhost", port), timeout=10) as s:
+                s.sendall(
+                    f"POST {path} HTTP/1.1\r\nHost: localhost\r\n"
+                    "Content-Type: application/json\r\n"
+                    "Content-Length: banana\r\n\r\n".encode()
+                )
+                status = s.recv(1024).split(b"\r\n", 1)[0]
+            # /oauth/token 404s when no oauth is provisioned — the
+            # malformed-length branch is only reachable on /mcp there
+            if path == "/mcp":
+                assert b" 400 " in status, status
+            else:
+                assert b" 413 " not in status, status
+    finally:
+        httpd.shutdown()
+
+
 def test_protected_resource_metadata_jwt_only_has_no_auth_server(server):
     """JWT mode without a provisioned client secret: the resource
     metadata must not point at an authorization server whose own

@@ -2432,3 +2432,38 @@ def test_nth_from_last_rejections_are_loud():
 def test_nth_from_last_inside_string_literal_untouched():
     q = "SELECT 'nth_value(x,1) FROM LAST OVER (ORDER BY k)' AS s FROM t"
     assert translate(q) == q
+
+
+def test_advice_r7_comment_and_subscript_operands():
+    """A block/line comment adjacent to a quantified comparison is not
+    an operand; array subscripts are valid left operands."""
+    out = translate("SELECT * FROM t WHERE x /* c */ > ANY (SELECT a FROM s)")
+    assert "(x /* c */ >" in out  # x is the operand, comment inert
+    out = translate("SELECT * FROM t WHERE arr[1] > ANY (SELECT a FROM s)")
+    assert "(arr[1] >" in out
+    out = translate("SELECT * FROM t WHERE m.f[1][2] > ANY (SELECT a FROM s)")
+    assert "(m.f[1][2] >" in out
+
+
+def test_advice_r7_nested_cast_json():
+    """Nested CAST(... AS JSON) in the operand is rewritten too, and
+    the JSON type inside constructors maps to STRING."""
+    out = translate("SELECT CAST(CAST(a AS JSON) AS JSON) FROM t")
+    assert "AS JSON" not in out.upper()
+    assert out.count("to_json") == 2
+    out = translate("SELECT CAST(a AS ARRAY(JSON)) FROM t")
+    assert out == "SELECT CAST(a AS ARRAY<STRING>) FROM t"
+
+
+def test_advice_r7_unicode_surrogate_pairs():
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    # U+1F600 spelled as a UTF-16 surrogate pair combines to one char
+    out = translate(r"SELECT U&'\D83D\DE00' AS e")
+    assert "\U0001F600" in out
+    # and the direct 6-digit spelling agrees
+    assert translate(r"SELECT U&'\+01F600' AS e") == out
+    with pytest.raises(TrinoCompatError, match="surrogate"):
+        translate(r"SELECT U&'\D83D' AS e")
+    with pytest.raises(TrinoCompatError, match="surrogate"):
+        translate(r"SELECT U&'\DE00' AS e")

@@ -607,6 +607,17 @@ def l27_semdedup(spark, sf_dir):
     cents = corpus.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
     )
+    return semdedup_plan(corpus, cents)
+
+
+def semdedup_plan(corpus, cents):
+    """The SemDeDup engine shared by l27 and the k-scaled probe in
+    tools/scaling_check.py: assign each vector to its nearest broadcast
+    centroid, then drop any vector whose cosine to a lower-id vector in
+    the same cluster exceeds 0.99.  ``corpus`` needs (vec_id,
+    embedding); ``cents`` (cent_id, cv) must stay broadcast-sized
+    (k x dim — for SemDeDup's contract k grows with n, keeping cluster
+    sizes bounded, so k x dim stays KB-to-MB at any corpus size)."""
     w = Window.partitionBy("vec_id").orderBy(
         F.col("sim").desc(), F.col("cent_id").asc()
     )
@@ -710,9 +721,19 @@ def l36_embedding_outliers(spark, sf_dir):
     by add order (SURVEY §5.2 hazard list).
     """
     (emb,) = T(spark, sf_dir, "embeddings")
+    return embedding_outliers_plan(spread(emb))
+
+
+def embedding_outliers_plan(emb):
+    """The outlier engine shared by l36 and the 10x probe in
+    tools/scaling_check.py: per-label centroid (tiny agg, broadcast) ->
+    per-vector distance (one agg) -> per-label z-score (tiny agg,
+    broadcast) -> scan-side filter.  ``emb`` needs (vec_id, label,
+    embedding).  All aggregates use the integer-scaled exact protocol
+    (see l36's docstring)."""
     m6, m12, m9 = 1_000_000, 10 ** 12, 10 ** 9
     q = (
-        spread(emb)
+        emb
         .select(
             "vec_id",
             "label",

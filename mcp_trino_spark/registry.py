@@ -322,6 +322,11 @@ _PRIORITY = [
     "l4b_ivf_topk",
     "l11_kmeans_embeddings",
     "l12_grouped_normalize",
+    # l27/l36 re-enter: round 8 factored their bodies into reusable
+    # plan functions (semdedup_plan / embedding_outliers_plan) for the
+    # k-scaled and 10x scaling probes in tools/scaling_check.py
+    "l27_semdedup",
+    "l36_embedding_outliers",
     # --- fill: the proven entries longest absent from any window
     # (rounds 4-5 vintage, never re-certified since) ---
     "w2_rank_dense_rank",
@@ -354,8 +359,6 @@ _PRIORITY = [
     "j7_theta",
     "j9_multiway",
     "j10_self_join",
-    "p5_between_in",
-    "p7_like",
 ]
 
 

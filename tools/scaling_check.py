@@ -437,6 +437,95 @@ def check_rare_ngram_overlap(spark) -> None:
     report("rare_ngram_overlap", n_rows_1x, t1, t10)
 
 
+def check_semdedup(spark) -> None:
+    """l27's SemDeDup at 10x with k SCALED WITH n — the algorithm's
+    actual contract (SCALE.md: the fixed-8-centroid harness would
+    measure a quadratic artifact, since per-cluster sizes grow 10x and
+    the within-cluster pair join is quadratic in cluster size).
+
+    Replicas are SIGN-FLIPPED per copy (each dim multiplied by a
+    deterministic +-1 drawn from hash(dim, copy)): within-copy dot
+    products are preserved EXACTLY (a.s * b.s = a.b since s^2 = 1), so
+    every copy carries the 1x corpus's intra-cluster structure, while
+    cross-copy cosines center on 0 — no spurious cross-copy near-dups.
+    Centroids are the first 8 vectors OF EACH COPY (k = 8*copies, i.e.
+    k proportional to n, SemDeDup's bounded-cluster-size configuration),
+    so per-cluster pair work stays constant and total work must track
+    the data: exponent ~1."""
+    from mcp_trino_spark.operators._util import spread
+    from mcp_trino_spark.operators.llm_similarity import semdedup_plan
+
+    base = spread(load_table(spark, SF_DIR, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    shift = 10_000_000
+
+    def replicas(copies: int) -> DataFrame:
+        reps = []
+        for i in range(copies):
+            rep = base.select(
+                (F.col("vec_id") + F.lit(i * shift)).alias("vec_id"),
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, d: x
+                    * (F.when(F.pmod(F.hash(d * 31 + F.lit(i * 7)), 2) == 0,
+                              F.lit(1.0)).otherwise(F.lit(-1.0))),
+                ).alias("embedding"),
+            )
+            reps.append(rep)
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        return out
+
+    def timed_fresh(corpus) -> float:
+        # semdedup_plan persists + materializes the assignment eagerly,
+        # so construction sits inside the clock
+        t0 = time.perf_counter()
+        cents = corpus.filter(F.pmod(F.col("vec_id"), F.lit(shift)) < 8).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+        )
+        out = semdedup_plan(corpus, cents)
+        out.write.mode("overwrite").format("noop").save()
+        t = time.perf_counter() - t0
+        clear_caches(spark)
+        return t
+
+    n_rows_1x = base.count()
+    one = replicas(1)
+    timed_fresh(one)  # warm
+    t1 = min(timed_fresh(one) for _ in range(2))
+    t10 = min(timed_fresh(replicas(COPIES)) for _ in range(2))
+    report("semdedup_k_scaled", n_rows_1x, t1, t10)
+
+
+def check_embedding_outliers(spark) -> None:
+    """l36's centroid-distance outlier screen at 10x: key-shifted
+    replicas grow per-label volume 10x; the plan is two partial+final
+    aggregates (per-(label,dim) centroid, per-vector distance) plus two
+    broadcast-sized side frames, so time must track the scan — exponent
+    ~1, no state accumulation."""
+    from mcp_trino_spark.operators._util import spread
+    from mcp_trino_spark.operators.llm_similarity import embedding_outliers_plan
+
+    base = spread(load_table(spark, SF_DIR, "embeddings")).select(
+        "vec_id", "label", "embedding"
+    )
+
+    def timed_fresh(frame) -> float:
+        t = timed(embedding_outliers_plan(frame))
+        clear_caches(spark)
+        return t
+
+    n_rows_1x = base.count()
+    timed_fresh(base)  # warm
+    t1 = min(timed_fresh(base) for _ in range(2))
+    t10 = min(
+        timed_fresh(replicate(base, ["vec_id"], COPIES)) for _ in range(2)
+    )
+    report("embedding_outliers", n_rows_1x, t1, t10)
+
+
 def main() -> None:
     spark = get_spark("scaling")
     check_flagship(spark)
@@ -460,6 +549,10 @@ def main() -> None:
     check_dup_clusters(spark)
     clear_caches(spark)
     check_rare_ngram_overlap(spark)
+    clear_caches(spark)
+    check_semdedup(spark)
+    clear_caches(spark)
+    check_embedding_outliers(spark)
 
 
 

@@ -97,6 +97,7 @@ HEADLINERS = [
     "s13_zorder_layout",
     "l35b_quality_percentile_scaled",
     "x26_nth_from_last",
+    "l37_ngram_lm_contamination",
 ]
 
 

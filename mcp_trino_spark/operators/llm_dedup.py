@@ -1026,3 +1026,161 @@ def rare_ngram_overlap_plan(docs: DataFrame) -> DataFrame:
         )
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def _lm_contamination_oracle() -> str:
+    phrases = ", ".join(f"('{p}')" for p in BENCHMARK_PHRASES)
+    wlen = "length(ws[CAST(i AS INTEGER)]) > 0 AND length(ws[CAST(i AS INTEGER) + 1]) > 0"
+    pair = "ws[CAST(i AS INTEGER)] AS w1, ws[CAST(i AS INTEGER) + 1] AS w2"
+    rng = "LATERAL unnest(range(1, GREATEST(len(ws) - 1, 0) + 1)) AS u(i)"
+    return f"""
+    WITH bench AS (
+      SELECT string_split(lower(phrase), ' ') AS ws
+      FROM (VALUES {phrases}) AS b(phrase)
+    ),
+    bpairs AS (
+      SELECT {pair} FROM bench, {rng} WHERE {wlen}
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bpairs GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c) AS cp FROM c2 GROUP BY w1),
+    v AS (
+      SELECT COUNT(DISTINCT w) AS nv
+      FROM (SELECT unnest(ws) AS w FROM bench) WHERE length(w) > 0
+    ),
+    lpb AS (
+      SELECT c2.w1, c2.w2,
+             ROUND(ln((c2.c + 1.0) / (c1.cp + v.nv)), 6) AS lp
+      FROM c2 JOIN c1 ON c2.w1 = c1.w1, v
+    ),
+    dwords AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    dpairs AS (
+      SELECT doc_id, {pair} FROM dwords, {rng} WHERE {wlen}
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             COALESCE(
+               lpb.lp,
+               CASE WHEN c1.cp IS NOT NULL
+                    THEN ROUND(ln(1.0 / (c1.cp + v.nv)), 6)
+                    ELSE ROUND(ln(1.0 / v.nv), 6) END
+             ) AS lp
+      FROM dpairs d
+      LEFT JOIN lpb ON d.w1 = lpb.w1 AND d.w2 = lpb.w2
+      LEFT JOIN c1 ON d.w1 = c1.w1, v
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) AS sum_lp,
+           (SUM(CAST(lp AS DECIMAL(25,6))) > -6 * COUNT(*)) AS contaminated
+    FROM scored GROUP BY doc_id
+    """
+
+
+@register("l37_ngram_lm_contamination", oracle=_lm_contamination_oracle())
+def l37_ngram_lm_contamination(spark, sf_dir):
+    """Soft (LM-score) benchmark contamination: score every training
+    document's word bigrams under a bigram language model built from
+    the eval set, add-1-smoothed over the eval vocabulary.  l16's exact
+    {16}-gram membership catches verbatim inclusion; this perplexity-
+    style screen also surfaces lightly-edited paraphrases — a document
+    whose mean bigram log-likelihood under the benchmark LM sits near
+    benchmark-internal levels (here: mean lp > -6, compared as the
+    exact decimal sum vs -6·n) is flagged.
+
+    Scale shape: the benchmark side is tiny (eval sets are KB-MB), so
+    the bigram-logprob and prefix-count tables BROADCAST; the corpus
+    streams its bigram windows through two broadcast left joins and one
+    partial+final aggregate on doc_id — ONE corpus scan, text bytes
+    never shuffled (same contract as l16).  At 100 TB the LM tables are
+    |eval vocab|²-bounded (MBs); corpus cost is the tokenize + the
+    doc_id aggregate.
+
+    Cross-engine exactness: all LM probabilities divide exact integer
+    counts (identical IEEE doubles), ln() is IEEE-identical on
+    identical inputs (l24/l28 precedent), each logp rounds to 6 places,
+    the per-doc sum runs in exact DECIMAL (dsum/DSUM), and the
+    threshold compares the ROUNDED mean on both engines.
+
+    Reference parity: beyond the reference surface (mandated pipeline
+    extension, BASELINE.json north_star), same family as l16/l28.
+    """
+    from mcp_trino_spark.registry import dsum
+
+    (docs,) = T(spark, sf_dir, "documents")
+    spark_b = docs.sparkSession
+    bench = spark_b.createDataFrame(
+        [(p,) for p in BENCHMARK_PHRASES], "phrase STRING"
+    ).select(F.split(F.lower("phrase"), " ").alias("ws"))
+
+    def pairs(frame, *keep):
+        n_pairs = F.size("ws") - 1
+        idx = F.when(n_pairs >= 1, F.sequence(F.lit(1), n_pairs)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return (
+            frame.select(*keep, "ws", F.explode(idx).alias("i"))
+            .filter(
+                (F.length(F.element_at("ws", F.col("i"))) > 0)
+                & (F.length(F.element_at("ws", F.col("i") + 1)) > 0)
+            )
+            .select(
+                *keep,
+                F.element_at("ws", F.col("i")).alias("w1"),
+                F.element_at("ws", F.col("i") + 1).alias("w2"),
+            )
+        )
+
+    c2 = pairs(bench).groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    c1 = c2.groupBy("w1").agg(F.sum("c").alias("cp"))
+    v = (
+        bench.select(F.explode("ws").alias("w"))
+        .filter(F.length("w") > 0)
+        .agg(F.countDistinct("w").alias("nv"))
+    )
+    lpb = (
+        c2.join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log((F.col("c") + 1.0) / (F.col("cp") + F.col("nv"))), 6
+            ).alias("lp"),
+        )
+    )
+    dwords = spread(docs).select(
+        "doc_id", F.split(F.lower("text"), " ").alias("ws")
+    )
+    scored = (
+        pairs(dwords, "doc_id")
+        .join(F.broadcast(lpb), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("lp"),
+                F.when(
+                    F.col("cp").isNotNull(),
+                    F.round(F.log(1.0 / (F.col("cp") + F.col("nv"))), 6),
+                ).otherwise(F.round(F.log(1.0 / F.col("nv")), 6)),
+            ).alias("lp"),
+        )
+    )
+    # the per-doc score surfaces as the EXACT decimal sum (decimal ->
+    # double conversion is deterministic), never a rounded mean: a mean
+    # can land exactly on a 1e-6 rounding boundary where Spark's and
+    # DuckDB's ROUND disagree (hit in testing: sum/50 = -2.6383295).
+    # The threshold likewise compares decimals: sum > -6 * n  <=>
+    # mean > -6, exact on both engines.
+    from mcp_trino_spark.registry import dec
+
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(dec("lp")).cast("double").alias("sum_lp"),
+        (
+            F.sum(dec("lp"))
+            > (F.count("*") * F.lit(-6)).cast("decimal(25,6)")
+        ).alias("contaminated"),
+    )

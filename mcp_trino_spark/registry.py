@@ -189,7 +189,6 @@ _PROVEN_R45 = [
     "l30_prep_pipeline",
     "a7_rollup",
     "a8_cube",
-    "a10_min_by_max_by",
     "a12_array_agg",
     "a14_percentile",
     "a17_bool_aggs_median",
@@ -327,6 +326,9 @@ _PRIORITY = [
     # k-scaled and 10x scaling probes in tools/scaling_check.py
     "l27_semdedup",
     "l36_embedding_outliers",
+    # round-8 addition: soft LM-score contamination screen (l16's
+    # perplexity-style sibling)
+    "l37_ngram_lm_contamination",
     # --- fill: the proven entries longest absent from any window
     # (rounds 4-5 vintage, never re-certified since) ---
     "w2_rank_dense_rank",
@@ -340,9 +342,7 @@ _PRIORITY = [
     "x3_date_extract",
     "x4_date_arith",
     "x5_timestamp_fmt",
-    "x6_math",
     "x7_conditional",
-    "x8_casting",
     "x9_array",
     "x10_array_hof",
     "x11_map_struct",
@@ -350,7 +350,6 @@ _PRIORITY = [
     "x18_array_setops",
     "a2_sum_avg_min_max",
     "a8_cube",
-    "a10_min_by_max_by",
     "a12_array_agg",
     "a17_bool_aggs_median",
     "a19_unpivot",
@@ -359,6 +358,8 @@ _PRIORITY = [
     "j7_theta",
     "j9_multiway",
     "j10_self_join",
+    "p5_between_in",
+    "f5_table_schema",
 ]
 
 

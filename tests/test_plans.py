@@ -392,3 +392,15 @@ def test_ngram_jaccard_inverted_index_hash_joins(spark):
     finally:
         release_all_operator_caches()
         spark.catalog.clearCache()
+
+
+def test_lm_contamination_broadcasts_lm_tables_no_text_shuffle(spark):
+    """l37: the benchmark LM tables (bigram logprobs, prefix counts)
+    must come in as broadcast joins; the only corpus shuffle is the
+    partial+final aggregate on doc_id — text never sort-merge-joins."""
+    df = registry.queries()["l37_ngram_lm_contamination"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # map-side partial agg on doc_id

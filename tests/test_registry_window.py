@@ -62,6 +62,8 @@ _NEVER_GRADED = [
     # re-enter after the round-8 plan-function refactor for the probes
     "l27_semdedup",
     "l36_embedding_outliers",
+    # new in round 8
+    "l37_ngram_lm_contamination",
 ]
 
 

@@ -20,6 +20,12 @@ ast-based def extraction), and compares against the working tree:
   entry's certification — the translator is shared, so representative
   dialect entries must re-enter (re-certifying all ~40 would flood
   the 50-slot window).
+- **module-stale** (informational): the entry's own function is
+  unchanged but its module file changed — shared helpers it calls may
+  have (the r7 MATCH_RECOGNIZE vectorization invalidated t10/t9b this
+  way).  Too broad to force into the window wholesale; the rotation
+  draws representatives per changed module, and ``make check-proven``
+  covers the rest locally.
 
 Usage:
     python tools/check_changed.py            # report staleness
@@ -159,6 +165,14 @@ def staleness_report() -> Dict[str, dict]:
         if uses_dialect and _blob_at(commit, compat_rel) != compat_now:
             report[name] = {"status": "dialect", "round": rnd, "module": rel}
             continue
+        # the entry's own function is unchanged, but its MODULE changed
+        # — shared helpers it calls may have (the r7 MATCH_RECOGNIZE
+        # vectorization invalidated t10/t9b this way).  Informational
+        # tier: too broad to force into the 50-slot window wholesale,
+        # but the rotation should draw representatives from it.
+        if old_text != cur_text:
+            report[name] = {"status": "module", "round": rnd, "module": rel}
+            continue
         report[name] = {"status": "fresh", "round": rnd, "module": rel}
     return report
 
@@ -169,13 +183,15 @@ def main() -> None:
     by_status: Dict[str, list] = {}
     for name, info in report.items():
         by_status.setdefault(info["status"], []).append(name)
-    for status in ("never", "strong", "dialect"):
+    for status in ("never", "strong", "dialect", "module"):
         for name in by_status.get(status, []):
             info = report[name]
             print(f"{status:8s} {name}  (last green r{info['round']}, {info['module']})")
     fresh = len(by_status.get("fresh", []))
     print(
-        f"\n{fresh} fresh, {len(by_status.get('dialect', []))} dialect-stale, "
+        f"\n{fresh} fresh, {len(by_status.get('module', []))} module-stale "
+        f"(helpers may have changed), "
+        f"{len(by_status.get('dialect', []))} dialect-stale, "
         f"{len(by_status.get('strong', []))} strong-stale, "
         f"{len(by_status.get('never', []))} never certified"
     )

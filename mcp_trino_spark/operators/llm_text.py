@@ -1181,10 +1181,16 @@ def l35b_quality_percentile_scaled(spark, sf_dir):
     passes it through); this entry certifies the scale plan against
     the window oracle.
     """
+    (docs,) = T(spark, sf_dir, "documents")
+    return quality_percentile_scaled_plan(spread(docs))
+
+
+def quality_percentile_scaled_plan(docs):
+    """The distributed-ranking engine shared by l35b and the 10x probe
+    in tools/scaling_check.py.  ``docs`` needs (doc_id, source, text)."""
     from pyspark.sql import Window
 
-    (docs,) = T(spark, sf_dir, "documents")
-    docs = spread(docs)
+    spark = docs.sparkSession
     ws = F.split(F.lower("text"), " ")
     diversity = F.size(F.array_distinct(ws)).cast("double") / F.size(ws)
     scored = docs.select("doc_id", "source", diversity.alias("diversity"))

@@ -526,6 +526,48 @@ def check_embedding_outliers(spark) -> None:
     report("embedding_outliers", n_rows_1x, t1, t10)
 
 
+def check_quality_percentile_scaled(spark) -> None:
+    """l35b's distributed ranking at 10x: suffixed replicas grow each
+    source's row count 10x (same sources — the exact shape the l35
+    window chokes on, one task per source).  The l35b plan has no
+    per-source task: one range shuffle + a (pid, source) window +
+    bounded aggregates, so time must track the data."""
+    from mcp_trino_spark.operators._util import spread
+    from mcp_trino_spark.operators.llm_text import quality_percentile_scaled_plan
+
+    docs = spread(load_table(spark, SF_DIR, "documents")).select(
+        "doc_id", "source", "text"
+    )
+
+    def replicas(copies: int) -> DataFrame:
+        # keeps source UNshifted: each source grows x copies — the
+        # exact per-source-volume growth the l35 window cannot split
+        shift = 10_000_000
+        reps = [
+            docs.select(
+                (F.col("doc_id") + F.lit(i * shift)).alias("doc_id"),
+                "source",
+                F.concat(F.col("text"), F.lit(f" r{i}")).alias("text"),
+            )
+            for i in range(copies)
+        ]
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        return out
+
+    def timed_fresh(frame) -> float:
+        t = timed(quality_percentile_scaled_plan(frame))
+        clear_caches(spark)
+        return t
+
+    n_rows_1x = docs.count()
+    timed_fresh(docs)  # warm
+    t1 = min(timed_fresh(docs) for _ in range(2))
+    t10 = min(timed_fresh(replicas(COPIES)) for _ in range(2))
+    report("quality_percentile_scaled", n_rows_1x, t1, t10)
+
+
 def main() -> None:
     spark = get_spark("scaling")
     check_flagship(spark)
@@ -553,6 +595,8 @@ def main() -> None:
     check_semdedup(spark)
     clear_caches(spark)
     check_embedding_outliers(spark)
+    clear_caches(spark)
+    check_quality_percentile_scaled(spark)
 
 
 

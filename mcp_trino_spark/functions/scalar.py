@@ -984,3 +984,48 @@ def x26_nth_from_last(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x27_lambda_regexp_replace",
+    oracle=r"""
+    SELECT n_nationkey,
+           array_to_string(
+             list_transform(
+               string_split(lower(n_name), ' '),
+               w -> CASE WHEN length(w) = 0 THEN w
+                         ELSE upper(w[1]) || w[2:] END),
+             ' ') AS title,
+           replace(lower(n_name), 'a', 'X') AS subst
+    FROM nation
+    """,
+)
+def x27_lambda_regexp_replace(spark, sf_dir):
+    """Differential certification of the lambda regexp_replace rewrite
+    (_rewrite_lambda_regexp_replace): title-casing via a 2-group
+    lambda and constant substitution via a group-less lambda.  The
+    DuckDB oracle is INDEPENDENT of the rewrite's mechanism — word
+    splitting + slicing for the title case, plain replace() for the
+    substitution — so a misaligned split/extract or wrong group
+    indexing hash-mismatches.
+
+    Reference parity: Trino evaluates regexp_replace(string, pattern,
+    function) natively and the reference forwards it verbatim
+    (internal/trino/client.go); SURVEY batch 12 carried this as a
+    documented gap through round 7.
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            r"""
+            SELECT n_nationkey,
+                   regexp_replace(lower(n_name), '([a-z])([a-z]*)',
+                                  x -> upper(x[1]) || x[2]) AS title,
+                   regexp_replace(lower(n_name), 'a', x -> 'X') AS subst
+            FROM nation
+            """
+        )
+    )

@@ -189,7 +189,6 @@ _PROVEN_R45 = [
     "l30_prep_pipeline",
     "a7_rollup",
     "a8_cube",
-    "a12_array_agg",
     "a14_percentile",
     "a17_bool_aggs_median",
     "a18_pivot",
@@ -329,6 +328,9 @@ _PRIORITY = [
     # round-8 addition: soft LM-score contamination screen (l16's
     # perplexity-style sibling)
     "l37_ngram_lm_contamination",
+    # round-8 addition: lambda regexp_replace differential (closes the
+    # batch-12 documented gap)
+    "x27_lambda_regexp_replace",
     # --- fill: the proven entries longest absent from any window
     # (rounds 4-5 vintage, never re-certified since) ---
     "w2_rank_dense_rank",
@@ -350,7 +352,6 @@ _PRIORITY = [
     "x18_array_setops",
     "a2_sum_avg_min_max",
     "a8_cube",
-    "a12_array_agg",
     "a17_bool_aggs_median",
     "a19_unpivot",
     "j2_left_outer",

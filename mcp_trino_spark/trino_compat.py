@@ -1378,6 +1378,140 @@ def _rewrite_split(q: str) -> str:
 _SPLIT_TO_MAP_HEAD = re.compile(r"\bsplit_to_map\s*\(", re.IGNORECASE)
 
 
+_REGEXP_REPLACE_HEAD = re.compile(r"\bregexp_replace\s*\(", re.IGNORECASE)
+_LAMBDA_ARG = re.compile(r"(?s)^\(?\s*([A-Za-z_]\w*)\s*\)?\s*->\s*(.+)$")
+
+
+def _unescape_spark_literal(body: str) -> str:
+    """Literal body (between quotes) → the actual string Spark's lexer
+    produces: doubled quotes and backslash escapes resolved (unknown
+    escapes drop the backslash, Spark/Hive behavior)."""
+    out, i = [], 0
+    esc = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", "'": "'", '"': '"', "0": "\0"}
+    while i < len(body):
+        c = body[i]
+        if c == "'" and body[i + 1 : i + 2] == "'":
+            out.append("'")
+            i += 2
+        elif c == "\\" and i + 1 < len(body):
+            out.append(esc.get(body[i + 1], body[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _count_capture_groups(pat: str) -> int:
+    """Capturing groups in a (Java) regex — plain ``(...)`` and
+    non-capturing ``(?:...)`` only; anything else ``(?...`` (named
+    groups, lookaround, flags) fails loudly: the lambda rewrite
+    extracts groups by NUMBER and a miscount silently shifts every
+    x[i].  Character classes are skipped (a ``(`` inside ``[...]`` is
+    literal)."""
+    n, i, in_class = 0, 0, False
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            if pat[i + 1 : i + 2] == "?":
+                if pat[i + 2 : i + 3] != ":":
+                    raise TrinoCompatError(
+                        "lambda regexp_replace supports plain (...) and "
+                        "non-capturing (?:...) groups only — named groups, "
+                        "lookaround and inline flags are not supported"
+                    )
+            else:
+                n += 1
+        i += 1
+    return n
+
+
+def _rewrite_lambda_regexp_replace(q: str) -> str:
+    """Trino ``regexp_replace(string, pattern, x -> body)`` — replace
+    every match using a lambda over the CAPTURING GROUPS (1-indexed
+    array; Trino has no group 0 for the whole match).  Spark has no
+    per-match callback, but the semantics decompose into existing
+    JVM-side array machinery (no UDF):
+
+      parts  = split(s, pat, -1)                   -- K+1 gap segments
+      g_i    = regexp_extract_all(s, pat, i)       -- i-th group, per match
+      groups = transform(sequence(1, K), j -> array('', g_1[j], .., g_n[j]))
+      repl   = transform(groups, x -> body)        -- lambda verbatim
+      out    = parts[1] . repl[1] . parts[2] . ... . parts[K+1]
+
+    The leading '' dummy makes Spark's 0-based ``x[1]`` hit group 1,
+    so the lambda body runs VERBATIM with Trino's 1-based indexing —
+    no body rewriting.  The pattern must be a string literal (the
+    rewrite re-uses it in split/extract calls and must count its
+    groups).  Loud runtime guard: a zero-width match would misalign
+    split against extract_all, so it raise_error()s instead of
+    silently mangling.  Documented divergences: a non-participating
+    optional group yields '' (Spark extract_all) where Trino yields
+    NULL; a NULL lambda result nulls the whole output string.
+
+    Closes the SURVEY batch-12 documented gap (reference passes the
+    lambda form through to Trino verbatim, client.go)."""
+    pos = 0
+    while True:
+        hit = _find_call(q, _REGEXP_REPLACE_HEAD, pos)
+        if hit is None:
+            return q
+        m, bs, be = hit
+        args = _split_top_args(q[bs:be])
+        if len(args) != 3 or "->" not in args[2]:
+            pos = be
+            continue
+        lam = _LAMBDA_ARG.match(args[2].strip())
+        if lam is None:
+            raise TrinoCompatError(
+                "unsupported lambda shape in regexp_replace — expected "
+                "'x -> expression'"
+            )
+        var, body = lam.group(1), lam.group(2).strip()
+        s_expr = args[0].strip()
+        pat_lit = args[1].strip()
+        if not (
+            len(pat_lit) >= 2 and pat_lit[0] == "'" and pat_lit[-1] == "'"
+        ):
+            raise TrinoCompatError(
+                "lambda regexp_replace needs a string-LITERAL pattern "
+                "(the rewrite must count its capturing groups)"
+            )
+        n_groups = _count_capture_groups(_unescape_spark_literal(pat_lit[1:-1]))
+        parts = f"split({s_expr}, {pat_lit}, -1)"
+        m0 = f"regexp_extract_all({s_expr}, {pat_lit}, 0)"
+        group_items = ", ".join(
+            f"element_at(regexp_extract_all({s_expr}, {pat_lit}, {i}), __g)"
+            for i in range(1, n_groups + 1)
+        )
+        garr = (
+            f"transform(sequence(1, size({m0})), "
+            f"__g -> array(''{', ' + group_items if group_items else ''}))"
+        )
+        repl = f"transform({garr}, {var} -> ({body}))"
+        out = (
+            f"(CASE WHEN ({s_expr}) IS NULL THEN CAST(NULL AS STRING) "
+            f"WHEN exists({m0}, __m -> __m = '') THEN "
+            f"raise_error('regexp_replace lambda: pattern produced a "
+            f"zero-width match — not supported by the rewrite') "
+            f"WHEN size({m0}) = 0 THEN ({s_expr}) "
+            f"ELSE concat(element_at({parts}, 1), "
+            f"aggregate(sequence(1, size({m0})), '', "
+            f"(__acc, __j) -> concat(__acc, element_at({repl}, __j), "
+            f"element_at({parts}, __j + 1)))) END)"
+        )
+        q = q[: m.start()] + out + q[be + 1 :]
+        pos = m.start() + len(out)
+
+
 def _rewrite_split_to_map(q: str) -> str:
     """Trino ``split_to_map(s, entryDelim, kvDelim)`` treats both
     delimiters as LITERALS; Spark's same-arity ``str_to_map`` reads
@@ -4579,6 +4713,9 @@ def translate(query: str) -> str:
     query = _rewrite_parse_datetime(query)
     query = _rewrite_split(query)
     query = _rewrite_split_to_map(query)
+    # after _rewrite_split (the generated split(s, pat, -1) calls are
+    # already Spark-regex semantics and must not be literal-quoted)
+    query = _rewrite_lambda_regexp_replace(query)
     query = _rewrite_map_agg(query)
     query = _rewrite_entropy(query)
     query = _rewrite_map_union(query)

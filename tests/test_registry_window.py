@@ -64,6 +64,7 @@ _NEVER_GRADED = [
     "l36_embedding_outliers",
     # new in round 8
     "l37_ngram_lm_contamination",
+    "x27_lambda_regexp_replace",
 ]
 
 

@@ -2467,3 +2467,57 @@ def test_advice_r7_unicode_surrogate_pairs():
         translate(r"SELECT U&'\D83D' AS e")
     with pytest.raises(TrinoCompatError, match="surrogate"):
         translate(r"SELECT U&'\DE00' AS e")
+
+
+def test_lambda_regexp_replace(spark):
+    """Trino regexp_replace(s, pat, x -> body): per-match lambda over
+    the 1-indexed capturing-groups array, rewritten onto split +
+    regexp_extract_all + transform (no UDF)."""
+    r = spark.sql(
+        translate(
+            r"SELECT regexp_replace(lower('NEW YORK'), '([a-z])([a-z]*)',"
+            r" x -> upper(x[1]) || x[2]) AS t"
+        )
+    ).first()
+    assert r["t"] == "New York"
+    # no capturing groups: constant replacement
+    r = spark.sql(
+        translate(r"SELECT regexp_replace('banana', 'a', x -> 'X') AS t")
+    ).first()
+    assert r["t"] == "bXnXnX"
+    # no match: string unchanged; NULL input: NULL out
+    r = spark.sql(
+        translate(
+            r"SELECT regexp_replace('zzz', 'a+', x -> 'X') AS a,"
+            r" regexp_replace(CAST(NULL AS STRING), 'a', x -> 'X') AS b"
+        )
+    ).first()
+    assert r["a"] == "zzz" and r["b"] is None
+    # adjacent matches and match-at-both-ends alignment
+    r = spark.sql(
+        translate(
+            r"SELECT regexp_replace('abab', '(a)(b)', x -> x[2] || x[1]) AS t"
+        )
+    ).first()
+    assert r["t"] == "baba"
+
+
+def test_lambda_regexp_replace_rejections_and_guard(spark):
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    with pytest.raises(TrinoCompatError, match="LITERAL"):
+        translate("SELECT regexp_replace(s, p, x -> 'X') FROM t")
+    with pytest.raises(TrinoCompatError, match="plain"):
+        translate(r"SELECT regexp_replace(s, '(?<g>a)', x -> 'X') FROM t")
+    # the 3-arg STRING replacement form must stay untouched
+    q = "SELECT regexp_replace(s, 'a', 'b') FROM t"
+    assert translate(q) == q
+    # zero-width match: loud runtime error, never silent misalignment
+    import py4j.protocol
+
+    with pytest.raises(
+        (py4j.protocol.Py4JJavaError, Exception), match="zero-width"
+    ):
+        spark.sql(
+            translate(r"SELECT regexp_replace('abc', 'x*', x -> 'X') AS t")
+        ).collect()

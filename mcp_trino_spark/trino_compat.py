@@ -74,6 +74,9 @@ _COMPAT_SQL_UDFS = {
     # Trino day_of_week is ISO (Mon=1..Sun=7); Spark dayofweek is Sun=1
     "day_of_week": ("(d TIMESTAMP)", "INT", "((dayofweek(d) + 5) % 7) + 1"),
     "day_of_year": ("(d TIMESTAMP)", "INT", "dayofyear(d)"),
+    # Trino's short aliases (dow/doy) — same ISO semantics
+    "dow": ("(d TIMESTAMP)", "INT", "((dayofweek(d) + 5) % 7) + 1"),
+    "doy": ("(d TIMESTAMP)", "INT", "dayofyear(d)"),
     "day_of_month": ("(d TIMESTAMP)", "INT", "dayofmonth(d)"),
     "week_of_year": ("(d TIMESTAMP)", "INT", "weekofyear(d)"),
     # json_extract_scalar / json_extract are Arrow UDFs (installed in

@@ -2521,3 +2521,18 @@ def test_lambda_regexp_replace_rejections_and_guard(spark):
         spark.sql(
             translate(r"SELECT regexp_replace('abc', 'x*', x -> 'X') AS t")
         ).collect()
+
+
+def test_dow_doy_aliases_iso_numbering(spark):
+    """Trino's dow()/doy() short aliases (gap-hunt round 8): dow is ISO
+    (Mon=1..Sun=7) — Spark's dayofweek(Sun=1) must never leak through."""
+    from mcp_trino_spark.trino_compat import install_compat_functions
+
+    install_compat_functions(spark)
+    r = spark.sql(
+        "SELECT dow(DATE '2024-02-10') AS a, doy(DATE '2024-02-10') AS b, "
+        "day_of_week(DATE '2024-02-12') AS mon"
+    ).first()
+    assert r["a"] == 6  # Saturday
+    assert r["b"] == 41
+    assert r["mon"] == 1  # Monday

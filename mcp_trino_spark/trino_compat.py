@@ -3101,16 +3101,26 @@ def _rewrite_nth_from_last(q: str) -> str:
             return q
         m, _bs, be = hit
         after = be + 1  # index just past the call's closing paren
-        dm = _FROM_DIR.match(q, after)
+        # the standard puts FROM FIRST/LAST before the null treatment,
+        # but accept either order (nulls-first spellings exist in the
+        # wild); a query with neither clause is left untouched
+        cursor = after
+        nulls_clause = ""
+        nm = _NULLS_TREAT.match(q, cursor)
+        if nm:
+            nulls_clause = f" {nm.group(1)}"
+            cursor = nm.end()
+        dm = _FROM_DIR.match(q, cursor)
         if dm is None:
             pos = after
             continue
         direction = dm.group(1).upper()
         cursor = dm.end()
-        nm = _NULLS_TREAT.match(q, cursor)
-        nulls_clause = f" {nm.group(1)}" if nm else ""
-        if nm:
-            cursor = nm.end()
+        if not nm:
+            nm = _NULLS_TREAT.match(q, cursor)
+            nulls_clause = f" {nm.group(1)}" if nm else ""
+            if nm:
+                cursor = nm.end()
         if direction == "FIRST":
             q = q[:after] + nulls_clause + q[cursor:]
             pos = after

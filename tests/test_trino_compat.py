@@ -2536,3 +2536,14 @@ def test_dow_doy_aliases_iso_numbering(spark):
     assert r["a"] == 6  # Saturday
     assert r["b"] == 41
     assert r["mon"] == 1  # Monday
+
+
+def test_nth_from_last_nulls_clause_either_order():
+    a = translate(
+        "SELECT nth_value(x, 1) IGNORE NULLS FROM LAST OVER (ORDER BY k) FROM t"
+    )
+    b = translate(
+        "SELECT nth_value(x, 1) FROM LAST IGNORE NULLS OVER (ORDER BY k) FROM t"
+    )
+    assert a == b
+    assert "IGNORE NULLS OVER (ORDER BY k DESC NULLS LAST" in a

@@ -1029,3 +1029,46 @@ def x27_lambda_regexp_replace(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x28_dialect_round8",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(isodow(o_orderdate) AS INT) AS dw,
+           CAST(dayofyear(o_orderdate) AS INT) AS dy,
+           CAST(weekofyear(o_orderdate) AS INT) AS wk,
+           CAST(isoyear(o_orderdate) AS INT) AS yw
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def x28_dialect_round8(spark, sf_dir):
+    """Differential certification of the round-8 date-field dialect
+    work in one hash-gated entry: the dow()/doy() short aliases and
+    the extract(dow/yow ...) field rewrite — both land on ISO
+    semantics (Monday=1; ISO week-numbering year).  The DuckDB oracle
+    evaluates isodow/dayofyear/weekofyear/isoyear natively, so a leak
+    of Spark's Sunday=1 dayofweek (the silent divergence the round-8
+    gap-hunt caught in extract(dow ...)) hash-mismatches on every
+    non-Sunday date.
+
+    Reference parity: Trino evaluates these natively and the reference
+    forwards them verbatim (internal/trino/client.go).
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import install_compat_functions, translate
+
+    register_tables(spark, sf_dir)
+    install_compat_functions(spark)  # dow/doy are registered SQL UDFs
+    return spark.sql(
+        translate(
+            """
+            SELECT o_orderkey,
+                   dow(o_orderdate) AS dw,
+                   doy(o_orderdate) AS dy,
+                   CAST(extract(week FROM o_orderdate) AS INT) AS wk,
+                   CAST(extract(yow FROM o_orderdate) AS INT) AS yw
+            FROM orders WHERE o_orderkey < 1000
+            """
+        )
+    )

@@ -190,7 +190,6 @@ _PROVEN_R45 = [
     "a7_rollup",
     "a8_cube",
     "a14_percentile",
-    "a17_bool_aggs_median",
     "a18_pivot",
     "a19_unpivot",
     "j2_left_outer",
@@ -331,6 +330,10 @@ _PRIORITY = [
     # round-8 addition: lambda regexp_replace differential (closes the
     # batch-12 documented gap)
     "x27_lambda_regexp_replace",
+    # round-8 addition: ISO date-field semantics differential (dow/doy
+    # aliases + extract(dow/yow) rewrite — the gap-hunt-caught Spark
+    # Sunday=1 divergence)
+    "x28_dialect_round8",
     # --- fill: the proven entries longest absent from any window
     # (rounds 4-5 vintage, never re-certified since) ---
     "w2_rank_dense_rank",
@@ -352,7 +355,6 @@ _PRIORITY = [
     "x18_array_setops",
     "a2_sum_avg_min_max",
     "a8_cube",
-    "a17_bool_aggs_median",
     "a19_unpivot",
     "j2_left_outer",
     "j5_left_semi",

@@ -1381,6 +1381,38 @@ def _rewrite_split(q: str) -> str:
 _SPLIT_TO_MAP_HEAD = re.compile(r"\bsplit_to_map\s*\(", re.IGNORECASE)
 
 
+#: Trino EXTRACT fields whose Spark twin has a DIFFERENT name or —
+#: worse — the same name with different semantics: Spark's DOW is
+#: Sunday=1 where Trino's is ISO Monday=1 (a silent VALUE divergence,
+#: caught by the round-8 gap-hunt); YOW/year_of_week simply doesn't
+#: parse in Spark (YEAROFWEEK does).
+_EXTRACT_FIELD_MAP = {
+    "dow": "DAYOFWEEK_ISO",
+    "day_of_week": "DAYOFWEEK_ISO",
+    "yow": "YEAROFWEEK",
+    "year_of_week": "YEAROFWEEK",
+}
+_EXTRACT_FIELD = re.compile(
+    r"(\bextract\s*\(\s*)(dow|day_of_week|yow|year_of_week)(\s+FROM\b)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_extract_fields(q: str) -> str:
+    mask = _code_mask(q)
+    out, last = [], 0
+    for m in _EXTRACT_FIELD.finditer(q):
+        if not mask[m.start()]:
+            continue
+        out.append(q[last : m.start()])
+        out.append(m.group(1))
+        out.append(_EXTRACT_FIELD_MAP[m.group(2).lower()])
+        out.append(m.group(3))
+        last = m.end()
+    out.append(q[last:])
+    return "".join(out)
+
+
 _REGEXP_REPLACE_HEAD = re.compile(r"\bregexp_replace\s*\(", re.IGNORECASE)
 _LAMBDA_ARG = re.compile(r"(?s)^\(?\s*([A-Za-z_]\w*)\s*\)?\s*->\s*(.+)$")
 
@@ -4729,6 +4761,7 @@ def translate(query: str) -> str:
     # after _rewrite_split (the generated split(s, pat, -1) calls are
     # already Spark-regex semantics and must not be literal-quoted)
     query = _rewrite_lambda_regexp_replace(query)
+    query = _rewrite_extract_fields(query)
     query = _rewrite_map_agg(query)
     query = _rewrite_entropy(query)
     query = _rewrite_map_union(query)

@@ -65,6 +65,7 @@ _NEVER_GRADED = [
     # new in round 8
     "l37_ngram_lm_contamination",
     "x27_lambda_regexp_replace",
+    "x28_dialect_round8",
 ]
 
 

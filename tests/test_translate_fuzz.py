@@ -33,6 +33,11 @@ _TOKENS = st.sampled_from(
         # AS JSON, binary-hash wraps, quantified left-operand backscan
         "U&'", r"\0041", r"\+01F600", "UESCAPE ", "AS JSON", "md5(",
         "sha1(", "+ ", "- ", "|| ", "abs(",
+        # round-8 additions: FROM FIRST/LAST windows, lambda
+        # regexp_replace, surrogate escapes, subscripted operands
+        "nth_value(", "FROM LAST ", "FROM FIRST ", "IGNORE NULLS ",
+        "OVER (", "PARTITION BY ", "RANGE ", "PRECEDING", "FOLLOWING",
+        "regexp_replace(", r"\D83D", r"\DE00", "[1]",
     ]
 )
 

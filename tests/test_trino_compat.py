@@ -2547,3 +2547,23 @@ def test_nth_from_last_nulls_clause_either_order():
     )
     assert a == b
     assert "IGNORE NULLS OVER (ORDER BY k DESC NULLS LAST" in a
+
+
+def test_extract_dow_yow_iso_fields(spark):
+    """extract(dow/yow ...) must land on Spark's ISO spellings — the
+    bare pass-through evaluates Spark's Sunday=1 DOW, a silent VALUE
+    divergence (round-8 gap-hunt find)."""
+    out = translate("SELECT extract(dow FROM d), extract(YOW FROM d) FROM t")
+    assert "DAYOFWEEK_ISO" in out and "YEAROFWEEK" in out
+    # inside a string literal: untouched
+    q = "SELECT 'extract(dow FROM d)' AS s"
+    assert translate(q) == q
+    r = spark.sql(
+        translate(
+            "SELECT extract(dow FROM DATE '2024-02-10') AS sat, "
+            "extract(day_of_week FROM DATE '2024-02-12') AS mon, "
+            "extract(year_of_week FROM DATE '2021-01-01') AS yw"
+        )
+    ).first()
+    assert r["sat"] == 6 and r["mon"] == 1
+    assert r["yw"] == 2020  # 2021-01-01 is ISO week 53 of 2020

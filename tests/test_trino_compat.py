@@ -2567,3 +2567,76 @@ def test_extract_dow_yow_iso_fields(spark):
     ).first()
     assert r["sat"] == 6 and r["mon"] == 1
     assert r["yw"] == 2020  # 2021-01-01 is ISO week 53 of 2020
+
+
+def test_gap_hunt_r8_value_checks(spark):
+    """Value-level follow-up to the round-8 execute-only sweep (the
+    extract(dow) lesson: 'it parses' is not 'it is right').  Expected
+    values computed from Trino's documented semantics."""
+    from mcp_trino_spark.trino_compat import install_compat_functions
+
+    install_compat_functions(spark)
+    r = spark.sql(
+        translate(
+            "SELECT luhn_check('79927398713') AS luhn,"
+            " soundex('Robert') AS sdx,"
+            " width_bucket(3.14, 0, 10, 5) AS wb,"
+            " slice(ARRAY[1,2,3,4], 2, 2) AS sl,"
+            " array_join(ARRAY['a', CAST(NULL AS VARCHAR), 'b'], ',', '?') AS aj,"
+            " split_part('a,b,c', ',', 2) AS sp,"
+            " trim(BOTH 'x' FROM 'xxhixx') AS tr,"
+            " cosine_similarity(MAP(ARRAY['a','b'], ARRAY[1.0,2.0]),"
+            "                   MAP(ARRAY['a','b'], ARRAY[2.0,1.0])) AS cs"
+        )
+    ).first()
+    assert r["luhn"] is True
+    assert r["sdx"] == "R163"
+    assert r["wb"] == 2
+    assert r["sl"] == [2, 3]
+    assert r["aj"] == "a,?,b"
+    assert r["sp"] == "b"
+    assert r["tr"] == "hi"
+    assert abs(r["cs"] - 0.8) < 1e-12  # 4 / (sqrt5 * sqrt5)
+
+
+def test_nth_from_last_equals_native_last_value_with_ties(spark):
+    """Property check on the reversal math: nth_value(x, 1) FROM LAST
+    over frame F equals Spark's native last_value(x) over the SAME
+    (unreversed) frame — for RANGE frames with duplicate order keys
+    (peer groups) and for value-offset RANGE frames, the shapes the
+    x26 oracle doesn't cover."""
+    import pandas as pd
+
+    # x is a FUNCTION of the order key: with duplicate keys the frame's
+    # "last row" is an arbitrary peer (nondeterministic in Trino and
+    # Spark alike), so the property is only well-defined when all peers
+    # carry the same value — which still exercises the frame-boundary
+    # math (which peer GROUP is in frame) that the mirror must get right
+    ks = [1, 2, 2, 3, 3, 5, 1, 1, 2, 9]
+    pdf = pd.DataFrame(
+        {
+            "g": [1] * 6 + [2] * 4,
+            "k": ks,
+            "x": [k * 10 for k in ks],
+        }
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("tie_t")
+    for frame in (
+        "",  # implicit default: RANGE UNBOUNDED PRECEDING .. CURRENT ROW
+        " RANGE BETWEEN 1 PRECEDING AND CURRENT ROW",
+        " RANGE BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING",
+        " ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING",
+    ):
+        got = spark.sql(
+            translate(
+                f"SELECT g, k, x, nth_value(x, 1) FROM LAST OVER "
+                f"(PARTITION BY g ORDER BY k{frame}) AS v FROM tie_t"
+            )
+        )
+        want = spark.sql(
+            f"SELECT g, k, x, last_value(x) OVER "
+            f"(PARTITION BY g ORDER BY k{frame}) AS v FROM tie_t"
+        )
+        g = {tuple(r) for r in got.collect()}
+        w = {tuple(r) for r in want.collect()}
+        assert g == w, (frame, g ^ w)

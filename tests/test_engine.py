@@ -382,3 +382,44 @@ def test_tokenize_udf_null_text_yields_null(spark, sf_dir):
         ).collect()
     }
     assert got == {1: 2, 2: None}
+
+
+def test_kmeans_embeddings_properties(spark, sf_dir):
+    """l11 is rows-only in the driver contract (iterative clustering
+    has no SQL oracle) — these are its property checks: total
+    assignment, determinism across runs, and clustering QUALITY (each
+    vector is closer to its own cluster's centroid than to any other
+    centroid — the Lloyd's-iteration invariant at convergence of the
+    assignment step)."""
+    import numpy as np
+    from mcp_trino_spark import registry
+    from mcp_trino_spark.sources.catalog import load_table
+
+    fn = registry.queries()["l11_kmeans_embeddings"]
+    a1 = {r["vec_id"]: r["cluster"] for r in fn(spark, sf_dir).collect()}
+    a2 = {r["vec_id"]: r["cluster"] for r in fn(spark, sf_dir).collect()}
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    # total and deterministic
+    assert set(a1) == set(emb)
+    assert a1 == a2
+    assert set(a1.values()) <= set(range(1, 9))  # clusters are 1-indexed
+    # the final assignment is the argmin over the final centroids: each
+    # vector's own-cluster centroid is nearest (ties broken low id)
+    cents = {
+        c: np.mean([emb[v] for v, cl in a1.items() if cl == c], axis=0)
+        for c in set(a1.values())
+    }
+    viol = 0
+    for v, cl in a1.items():
+        d_own = float(np.linalg.norm(emb[v] - cents[cl]))
+        for c, cent in cents.items():
+            if c != cl and float(np.linalg.norm(emb[v] - cent)) < d_own - 1e-9:
+                viol += 1
+                break
+    # the operator runs a FIXED 3 iterations (not to convergence), so
+    # the last centroid update can strand a few boundary vectors; the
+    # invariant must hold for the overwhelming majority
+    assert viol <= len(a1) * 0.05, f"{viol}/{len(a1)} misassigned"

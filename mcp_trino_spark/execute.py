@@ -108,6 +108,20 @@ def execute_query(
             q = re.sub(
                 r"^\s*EXPLAIN\s+ANALYZE\b", "", q, count=1, flags=re.IGNORECASE
             ).strip()
+        if re.match(r"^\s*DESCRIBE\s+(INPUT|OUTPUT)\b", q, re.IGNORECASE):
+            # passes the read-only gate (DESCRIBE prefix) but can never
+            # be meaningful here: PREPARE itself is rejected by the
+            # classifier — exactly as the reference's is (client.go's
+            # ^select|show|describe|explain|with prefix scan), so no
+            # prepared statement can exist to describe.  Loud + named
+            # instead of Spark's confusing TABLE_OR_VIEW_NOT_FOUND.
+            from mcp_trino_spark.trino_compat import TrinoCompatError
+
+            raise TrinoCompatError(
+                "DESCRIBE INPUT/OUTPUT needs a prepared statement, and "
+                "PREPARE is rejected by the read-only classifier (same "
+                "behavior as the reference's gate) — inline the query"
+            )
         if re.match(r"^\s*SHOW\s+SESSION\s*$", q, re.IGNORECASE):
             # Trino's session-property listing ↔ Spark's SET -v.  Runs
             # here (not via translate) because the rewritten text would

@@ -423,3 +423,34 @@ def test_kmeans_embeddings_properties(spark, sf_dir):
     # the last centroid update can strand a few boundary vectors; the
     # invariant must hold for the overwhelming majority
     assert viol <= len(a1) * 0.05, f"{viol}/{len(a1)} misassigned"
+
+
+def test_statement_form_parity_with_reference_gate(spark, sf_dir):
+    """Round-8 statement sweep: forms the reference's own classifier
+    rejects (no ^select/show/describe/explain/with prefix —
+    client.go:284-291) must reject HERE with the same loud gate, and
+    DESCRIBE INPUT/OUTPUT (which passes the prefix scan but can never
+    be meaningful without PREPARE) gets a named error, not Spark's
+    confusing table-not-found."""
+    from mcp_trino_spark.execute import WriteQueryNotAllowed, execute_query
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    register_tables(spark, sf_dir)
+    for q in (
+        "SET SESSION query_max_run_time = '2h'",
+        "USE default",
+        "PREPARE q1 FROM SELECT 1",
+        "EXECUTE q1 USING 3",
+        "DEALLOCATE PREPARE q1",
+        "VALUES (1, 'a')",
+        "COMMENT ON TABLE nation IS 'x'",
+    ):
+        with pytest.raises(WriteQueryNotAllowed):
+            execute_query(spark, q, dialect="trino")
+    with pytest.raises(TrinoCompatError, match="PREPARE"):
+        execute_query(spark, "DESCRIBE INPUT q1", dialect="trino")
+    # the read-only SHOW family all serve
+    for q in ("SHOW TABLES", "SHOW SCHEMAS", "SHOW CATALOGS",
+              "SHOW COLUMNS FROM nation", "SHOW FUNCTIONS"):
+        assert execute_query(spark, q, dialect="trino").rows

@@ -217,9 +217,18 @@ def match_recognize(
     measures: Sequence[Measure],
     match_no_col: str = "match_no",
     enforce_exclusive: bool = False,
+    after_match: str = "past last row",
 ) -> DataFrame:
-    """Run SQL:2016 row-pattern recognition, ONE ROW PER MATCH, AFTER
-    MATCH SKIP PAST LAST ROW.
+    """Run SQL:2016 row-pattern recognition, ONE ROW PER MATCH.
+
+    ``after_match`` selects the skip mode: ``"past last row"`` (the
+    default — non-overlapping matches, scanning resumes after the
+    match end) or ``"to next row"`` (overlapping matches — scanning
+    resumes at the row after the match START, so every row that begins
+    a match yields one; Trino's AFTER MATCH SKIP TO NEXT ROW).  SKIP
+    TO FIRST/LAST <symbol> is rejected loudly (its resumption point
+    depends on per-match symbol spans and can loop on degenerate
+    patterns; unsupported rather than subtly wrong).
 
     ``define`` maps symbol → boolean predicate (Column or SQL string)
     evaluated per row; express PREV/NEXT navigation as lag/lead columns
@@ -245,6 +254,11 @@ def match_recognize(
     if not partition_by:
         raise ValueError("partition_by must be non-empty (global-order "
                          "pattern matching does not scale out)")
+    if after_match not in ("past last row", "to next row"):
+        raise ValueError(
+            f"after_match {after_match!r} not supported — "
+            "'past last row' or 'to next row'"
+        )
     syms = list(define)
     if len(syms) > len(_ALPHABET):
         raise ValueError("too many pattern symbols")
@@ -302,6 +316,7 @@ def match_recognize(
     char_of = dict(sym_char)
 
     check_exclusive = bool(enforce_exclusive)
+    overlap_scan = after_match == "to next row"
 
     def run_group(keys: tuple, pdf: pd.DataFrame, rows: List[list]) -> None:
         """Match ONE partition-key group (already ordered).
@@ -319,11 +334,29 @@ def match_recognize(
         sym_np = pdf["__sym"].to_numpy()
         col_np = {c: pdf[c].to_numpy() for c in measure_cols}
         ok_np = {c: pd.notna(col_np[c]) for c in measure_cols}
+        if overlap_scan:
+            # SKIP TO NEXT ROW: leftmost match starting at each resume
+            # point; resume one row past the match START (overlaps ok)
+            def _matches(sq):
+                pos = 0
+                while pos <= len(sq):
+                    mm = rx.search(sq, pos)
+                    if mm is None:
+                        return
+                    ms, me = mm.span()
+                    if ms == me:  # zero-width: advance, keep scanning
+                        pos = ms + 1
+                        continue
+                    yield mm
+                    pos = ms + 1
+        else:
+            def _matches(sq):
+                for mm in rx.finditer(sq):
+                    if mm.span()[0] != mm.span()[1]:  # skip zero-width
+                        yield mm
         mno = 0
-        for m in rx.finditer(seq):
+        for m in _matches(seq):
             s, e = m.span()
-            if s == e:  # zero-width (e.g. pattern 'A*'): skip
-                continue
             mno += 1
             row = list(keys)
             row.append(mno)
@@ -571,3 +604,72 @@ def t10b_match_recognize_funnel(spark, sf_dir):
             ("purchase_eid", "first", "P", "event_id"),
         ],
     )
+
+
+@register(
+    "t11_mr_skip_to_next",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, event_id, value,
+             (value > 50) AS h,
+             lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nval,
+             lead(value > 50) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nh
+      FROM events
+    )
+    SELECT user_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS match_no,
+           CAST(2 AS BIGINT) AS n_rows,
+           event_id AS start_id,
+           value + nval AS pair_sum
+    FROM c WHERE h AND nh IS NOT NULL AND NOT nh
+    """,
+)
+def t11_mr_skip_to_next(spark, sf_dir):
+    """AFTER MATCH SKIP TO NEXT ROW, certified end-to-end through the
+    SQL front-end: high→low value transitions per user with OVERLAPS
+    ALLOWED — pattern ``(H L)`` resuming one row past each match start,
+    so every H immediately followed by an L yields a match even when
+    the L is itself the start of the next candidate window.
+
+    The oracle is INDEPENDENT of the matcher: for a fixed-length
+    2-symbol pattern, TO-NEXT-ROW matches are exactly the rows where
+    the classification is H and the lead() classification is L, with
+    match_no the rank of the start row in scan order — a pure window
+    query DuckDB evaluates natively.  A PAST-LAST-ROW scan would drop
+    every overlapping second match and hash-mismatch immediately.
+
+    Exactness: pair_sum is a single two-operand double add (identical
+    IEEE result both engines); everything else is integers.
+
+    Reference surface: client.go:501-617 passes MATCH_RECOGNIZE SQL
+    (including the AFTER MATCH clause) through to Trino verbatim.
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_mr import expand_match_recognize
+
+    register_tables(spark, sf_dir)
+    views: list = []
+    rewritten = expand_match_recognize(
+        spark,
+        """
+        SELECT user_id, match_no, n_rows, start_id, pair_sum
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES MATCH_NUMBER() AS match_no,
+                   COUNT(*) AS n_rows,
+                   FIRST(event_id) AS start_id,
+                   SUM(value) AS pair_sum
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (H L)
+          DEFINE H AS value > 50,
+                 L AS value <= 50
+        )
+        """,
+        views,
+    )
+    return spark.sql(rewritten)

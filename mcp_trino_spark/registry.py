@@ -212,7 +212,6 @@ _PROVEN_R45 = [
     "w6_first_last_nth",
     "w8_rows_frame",
     "w9_range_frame",
-    "w11_distinct_over_window",
     "x2_regex",
     "x4_date_arith",
     "x6_math",
@@ -334,6 +333,9 @@ _PRIORITY = [
     # aliases + extract(dow/yow) rewrite — the gap-hunt-caught Spark
     # Sunday=1 divergence)
     "x28_dialect_round8",
+    # round-8 addition: AFTER MATCH SKIP TO NEXT ROW (overlapping
+    # matches), certified against a lead()-window oracle
+    "t11_mr_skip_to_next",
     # --- fill: the proven entries longest absent from any window
     # (rounds 4-5 vintage, never re-certified since) ---
     "w2_rank_dense_rank",
@@ -341,7 +343,6 @@ _PRIORITY = [
     "w6_first_last_nth",
     "w8_rows_frame",
     "w9_range_frame",
-    "w11_distinct_over_window",
     "x1_string_basics",
     "x2_regex",
     "x3_date_extract",

@@ -21,7 +21,8 @@ loudly — silent divergence from Trino is worse than an error):
   ``FIRST/LAST(S.col)``, ``COUNT(*)``, ``COUNT(S.*)``,
   ``COUNT/MIN/MAX/SUM/AVG([S.]col)`` — each ``AS name``
 - ``ONE ROW PER MATCH`` (default; ALL ROWS PER MATCH rejected)
-- ``AFTER MATCH SKIP PAST LAST ROW`` (default; other skips rejected)
+- ``AFTER MATCH SKIP PAST LAST ROW`` (default) and ``SKIP TO NEXT
+  ROW`` (overlapping matches); SKIP TO FIRST/LAST <symbol> rejected
 - ``PATTERN (...)`` — the grammar of ``compile_pattern``
 - ``DEFINE S AS predicate`` where the predicate is any Spark-SQL
   boolean over the row, plus ``PREV(col[, k])`` / ``NEXT(col[, k])``
@@ -271,12 +272,16 @@ def expand_match_recognize(
         ]:
             if bad in sections:
                 raise TrinoCompatError(msg)
+        after_match = "past last row"
         if "AFTER MATCH" in sections:
             skip = re.sub(r"\s+", " ", sections["AFTER MATCH"].upper()).strip()
-            if skip != "SKIP PAST LAST ROW":
+            if skip == "SKIP TO NEXT ROW":
+                after_match = "to next row"  # overlapping matches
+            elif skip != "SKIP PAST LAST ROW":
                 raise TrinoCompatError(
-                    f"AFTER MATCH {skip} is not supported (only SKIP PAST "
-                    "LAST ROW)"
+                    f"AFTER MATCH {skip} is not supported (SKIP PAST LAST "
+                    "ROW and SKIP TO NEXT ROW are; SKIP TO FIRST/LAST "
+                    "<symbol> is rejected rather than subtly wrong)"
                 )
         for req in ("PARTITION BY", "ORDER BY", "PATTERN", "DEFINE"):
             if req not in sections:
@@ -353,6 +358,7 @@ def expand_match_recognize(
             # DEFINEs overlap (first-match-wins could silently diverge
             # from Trino's per-row symbol alternatives)
             enforce_exclusive=True,
+            after_match=after_match,
         )
         if match_no_alias is None:
             out = out.drop("__match_no")

@@ -62,7 +62,7 @@ def test_detection_ignores_literals(spark):
 
 @pytest.mark.parametrize("frag,msg", [
     ("ALL ROWS PER MATCH", "ALL ROWS PER MATCH"),
-    ("AFTER MATCH SKIP TO NEXT ROW", "not supported"),
+    ("AFTER MATCH SKIP TO FIRST A", "not supported"),
     ("SUBSET X = (D, U)", "SUBSET"),
 ])
 def test_unsupported_clauses_fail_loudly(spark, orders_view, frag, msg):

@@ -268,3 +268,65 @@ def test_matcher_against_local_reference(spark):
             want.append((key, mno, len(span), span[0][0],
                          sum(v for _, _, v in span)))
     assert got == sorted(want)
+
+
+def test_skip_to_next_row_overlapping_matches(spark):
+    """AFTER MATCH SKIP TO NEXT ROW: every row that begins a match
+    yields one (overlaps allowed); PAST LAST ROW stays non-overlapping.
+    Pattern A B over the classified sequence AABB: TO NEXT ROW finds
+    the A-B pair at positions (2,3) only... for AAB: (1,2) and, after
+    resuming at row 2, (2,3) is not a match — craft a sequence where
+    overlap matters: A A B -> PAST LAST: one match (rows 2-3);
+    TO NEXT: one match too (row 1 starts no match since row 2 is A).
+    Use pattern A+ B: AAB -> PAST LAST: one match (1-3); TO NEXT:
+    (1-3) and (2-3) — two matches."""
+    import pandas as pd
+    from mcp_trino_spark.operators.pattern import match_recognize
+
+    pdf = pd.DataFrame(
+        {
+            "g": [1, 1, 1, 1, 1],
+            "i": [1, 2, 3, 4, 5],
+            "x": [1.0, 2.0, -1.0, 3.0, -2.0],  # A A B A B
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    kw = dict(
+        partition_by=["g"],
+        order_by=["i"],
+        define={"A": "x > 0", "B": "x < 0"},
+        pattern="A+ B",
+        measures=[("n_rows", "count", None, None),
+                  ("first_x", "first", None, "x")],
+    )
+    past = match_recognize(df, **kw).collect()
+    nxt = match_recognize(df, after_match="to next row", **kw).collect()
+    # PAST LAST ROW: [1-3], [4-5]
+    assert sorted((r["n_rows"], r["first_x"]) for r in past) == [
+        (2, 3.0), (3, 1.0)
+    ]
+    # TO NEXT ROW: [1-3], [2-3], [4-5]
+    assert sorted((r["n_rows"], r["first_x"]) for r in nxt) == [
+        (2, 2.0), (2, 3.0), (3, 1.0)
+    ]
+    # match_no numbers in scan order of the match START
+    assert [r["match_no"] for r in sorted(nxt, key=lambda r: r["first_x"])] == [1, 2, 3]
+
+
+def test_skip_to_next_row_sql_front_end(spark):
+    from mcp_trino_spark.execute import execute_query
+    from mcp_trino_spark.sources.catalog import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001")
+    q = """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES count(*) AS n
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (H L)
+      DEFINE H AS value > 50, L AS value <= 50
+    ) LIMIT 5
+    """
+    r = execute_query(spark, q, dialect="trino")
+    assert len(r.rows) == 5
+    assert all(row["n"] == 2 for row in r.rows)

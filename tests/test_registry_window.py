@@ -66,6 +66,7 @@ _NEVER_GRADED = [
     "l37_ngram_lm_contamination",
     "x27_lambda_regexp_replace",
     "x28_dialect_round8",
+    "t11_mr_skip_to_next",
 ]
 
 

@@ -218,8 +218,22 @@ def match_recognize(
     match_no_col: str = "match_no",
     enforce_exclusive: bool = False,
     after_match: str = "past last row",
+    rows_per_match: str = "one",
 ) -> DataFrame:
-    """Run SQL:2016 row-pattern recognition, ONE ROW PER MATCH.
+    """Run SQL:2016 row-pattern recognition.
+
+    ``rows_per_match``: ``"one"`` (default — one output row per match:
+    partition keys + match_no + measures) or ``"all"`` (one output row
+    per INPUT ROW of each match: ALL input columns + match_no +
+    measures; with ``after_match="to next row"`` a row can appear in
+    several matches).  Measures may be 5-tuples ``(name, agg, sym,
+    col, mode)`` with mode ``"running"`` (value over the match prefix
+    ending at the output row — Trino's ALL-ROWS default) or
+    ``"final"`` (whole-match value on every row); 4-tuples default to
+    final, which equals running at the last row, so one-row-per-match
+    semantics are unchanged.  The extra agg ``"classifier"``
+    (sym=None, col=None) yields the row's matched symbol name (in
+    one-row mode: the LAST row's symbol).
 
     ``after_match`` selects the skip mode: ``"past last row"`` (the
     default — non-overlapping matches, scanning resumes after the
@@ -280,16 +294,35 @@ def match_recognize(
             pred = F.expr(pred)
         cls = F.when(pred, F.lit(sym_char[s])).otherwise(cls)
 
+    if rows_per_match not in ("one", "all"):
+        raise ValueError(f"rows_per_match {rows_per_match!r}: 'one' or 'all'")
+    all_rows = rows_per_match == "all"
+    # normalize measures to 5-tuples (mode defaults to final)
+    norm_meas = []
+    for m_item in measures:
+        if len(m_item) == 4:
+            name, agg, sym, col = m_item
+            mode = "final"
+        else:
+            name, agg, sym, col, mode = m_item
+        if mode not in ("running", "final"):
+            raise ValueError(f"measure {name!r}: mode must be running/final")
+        norm_meas.append((name, agg, sym, col, mode))
     # prune to what the matcher needs BEFORE the shuffle
-    measure_cols = sorted({c for (_, _, _, c) in measures if c is not None})
-    for name, agg, sym, col in measures:
-        if agg not in _AGGS:
+    measure_cols = sorted({c for (_, _, _, c, _) in norm_meas if c is not None})
+    for name, agg, sym, col, _mode in norm_meas:
+        if agg not in _AGGS and agg != "classifier":
             raise ValueError(f"unknown measure aggregate {agg!r}")
-        if col is None and agg != "count":
+        if col is None and agg not in ("count", "classifier"):
             raise ValueError(f"measure {name!r}: column required for {agg}")
+        if agg == "classifier" and (col is not None or sym is not None):
+            raise ValueError(f"measure {name!r}: classifier takes no args")
         if sym is not None and sym not in sym_char:
             raise ValueError(f"measure {name!r} references undefined symbol {sym!r}")
-    keep = list(dict.fromkeys([*partition_by, *order_keys, *measure_cols]))
+    if all_rows:
+        keep = list(df.columns)  # every input column passes through
+    else:
+        keep = list(dict.fromkeys([*partition_by, *order_keys, *measure_cols]))
     extra: List[Column] = [cls.alias("__sym")]
     if enforce_exclusive:
         nmatch: Column = F.lit(0)
@@ -302,21 +335,32 @@ def match_recognize(
     slim = df.select(*keep, *extra)
 
     in_types = {f.name: f.dataType for f in slim.schema.fields}
-    out_fields = [SQLT.StructField(k, in_types[k]) for k in partition_by]
+    if all_rows:
+        out_fields = [SQLT.StructField(k, in_types[k]) for k in keep]
+    else:
+        out_fields = [SQLT.StructField(k, in_types[k]) for k in partition_by]
     out_fields.append(SQLT.StructField(match_no_col, SQLT.LongType()))
-    for name, agg, _sym, col in measures:
+    for name, agg, _sym, col, _mode in norm_meas:
         out_fields.append(
-            SQLT.StructField(name, _measure_dtype(agg, in_types.get(col)))
+            SQLT.StructField(
+                name,
+                SQLT.StringType()
+                if agg == "classifier"
+                else _measure_dtype(agg, in_types.get(col)),
+            )
         )
     out_schema = SQLT.StructType(out_fields)
     out_names = [f.name for f in out_fields]
 
     part_keys = list(partition_by)
-    meas = list(measures)
+    pass_cols = list(keep)
+    meas = list(norm_meas)
     char_of = dict(sym_char)
+    name_of_char = {v: k for k, v in sym_char.items()}
 
     check_exclusive = bool(enforce_exclusive)
     overlap_scan = after_match == "to next row"
+    emit_all = all_rows
 
     def run_group(keys: tuple, pdf: pd.DataFrame, rows: List[list]) -> None:
         """Match ONE partition-key group (already ordered).
@@ -354,46 +398,75 @@ def match_recognize(
                 for mm in rx.finditer(sq):
                     if mm.span()[0] != mm.span()[1]:  # skip zero-width
                         yield mm
+        def span_value(agg, sym, col, s, e):
+            """Whole-span (FINAL) measure value — the one-row semantics:
+            count = non-null count, first/last = positional value (NULL
+            if that row's value is null), min/max/sum/avg skip nulls
+            and yield NULL on empty/all-null input."""
+            if agg == "classifier":
+                return name_of_char.get(sym_np[e - 1])
+            if col is None:  # count of whole match / of a symbol
+                if sym is None:
+                    return e - s
+                return int((sym_np[s:e] == char_of[sym]).sum())
+            vals = col_np[col][s:e]
+            ok = ok_np[col][s:e]
+            if sym is not None:
+                picked = sym_np[s:e] == char_of[sym]
+                vals = vals[picked]
+                ok = ok[picked]
+            if agg == "count":
+                return int(ok.sum())
+            if len(vals) == 0:
+                return None
+            if agg == "first":
+                return vals[0] if ok[0] else None
+            if agg == "last":
+                return vals[-1] if ok[-1] else None
+            nn = vals[ok]
+            if len(nn) == 0:
+                return None
+            if agg == "min":
+                return nn.min()
+            if agg == "max":
+                return nn.max()
+            if agg == "sum":
+                return nn.sum()
+            return nn.mean()  # avg
+
+        if emit_all:
+            pass_np = {c: pdf[c].to_numpy() for c in pass_cols}
         mno = 0
         for m in _matches(seq):
             s, e = m.span()
             mno += 1
-            row = list(keys)
-            row.append(mno)
-            for _name, agg, sym, col in meas:
-                if col is None:  # count of whole match / of a symbol
-                    if sym is None:
-                        row.append(e - s)
+            if not emit_all:
+                row = list(keys)
+                row.append(mno)
+                for _name, agg, sym, col, _mode in meas:
+                    row.append(span_value(agg, sym, col, s, e))
+                rows.append(row)
+                continue
+            # ALL ROWS PER MATCH: one output row per span row; RUNNING
+            # measures aggregate the prefix ending at the row, FINAL
+            # ones repeat the whole-span value.  Per-row Python loop:
+            # cost is proportional to the OUTPUT (unlike the one-row
+            # path, where per-row work would dominate tiny measures).
+            finals = [
+                span_value(agg, sym, col, s, e) if mode == "final" else None
+                for (_n, agg, sym, col, mode) in meas
+            ]
+            for j in range(s, e):
+                row = [pass_np[c][j] for c in pass_cols]
+                row.append(mno)
+                for fi, (_n, agg, sym, col, mode) in enumerate(meas):
+                    if mode == "final":
+                        row.append(finals[fi])
+                    elif agg == "classifier":
+                        row.append(name_of_char.get(sym_np[j]))
                     else:
-                        row.append(int((sym_np[s:e] == char_of[sym]).sum()))
-                    continue
-                vals = col_np[col][s:e]
-                ok = ok_np[col][s:e]
-                if sym is not None:
-                    picked = sym_np[s:e] == char_of[sym]
-                    vals = vals[picked]
-                    ok = ok[picked]
-                if agg == "count":
-                    row.append(int(ok.sum()))
-                elif len(vals) == 0:
-                    row.append(None)
-                elif agg == "first":
-                    row.append(vals[0] if ok[0] else None)
-                elif agg == "last":
-                    row.append(vals[-1] if ok[-1] else None)
-                else:
-                    nn = vals[ok]
-                    if len(nn) == 0:
-                        row.append(None)
-                    elif agg == "min":
-                        row.append(nn.min())
-                    elif agg == "max":
-                        row.append(nn.max())
-                    elif agg == "sum":
-                        row.append(nn.sum())
-                    else:  # avg
-                        row.append(nn.mean())
-            rows.append(row)
+                        row.append(span_value(agg, sym, col, s, j + 1))
+                rows.append(row)
 
     def run_partition(batches) -> "pd.DataFrame":
         """One call per PARTITION (mapInPandas), not per key: rows arrive
@@ -671,5 +744,74 @@ def t11_mr_skip_to_next(spark, sf_dir):
         )
         """,
         views,
+    )
+    return spark.sql(rewritten)
+
+
+@register(
+    "t12_mr_all_rows",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, event_id, value,
+             (value > 50) AS h,
+             lead(value) OVER w AS nval,
+             lead(event_id) OVER w AS nid,
+             lead(value > 50) OVER w AS nh
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    m AS (
+      SELECT user_id, event_id, value, nval, nid,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS mn
+      FROM c WHERE h AND nh IS NOT NULL AND NOT nh
+    )
+    SELECT user_id, event_id, mn, 'H' AS cls, CAST(1 AS BIGINT) AS rc,
+           value + nval AS tot
+    FROM m
+    UNION ALL
+    SELECT user_id, nid AS event_id, mn, 'L' AS cls, CAST(2 AS BIGINT) AS rc,
+           value + nval AS tot
+    FROM m
+    """,
+)
+def t12_mr_all_rows(spark, sf_dir):
+    """ALL ROWS PER MATCH, certified end-to-end through the SQL
+    front-end: each matched high→low transition emits BOTH of its rows,
+    with RUNNING count (1 then 2), per-row CLASSIFIER(), MATCH_NUMBER()
+    and a FINAL whole-match sum repeated on every row — the four
+    measure semantics the mode introduces, in one hash-gated entry.
+
+    The oracle is INDEPENDENT of the matcher: for the fixed-length
+    2-symbol pattern the per-row output is exactly two UNION ALL arms
+    over the lead()-window match set (start row: rc=1, cls='H'; second
+    row: rc=2, cls='L'), with tot a single two-operand double add
+    (identical IEEE result both engines).
+
+    Reference surface: client.go:501-617 passes MATCH_RECOGNIZE SQL
+    (including ALL ROWS PER MATCH and RUNNING/FINAL measure modifiers)
+    through to Trino verbatim.
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_mr import expand_match_recognize
+
+    register_tables(spark, sf_dir)
+    rewritten = expand_match_recognize(
+        spark,
+        """
+        SELECT user_id, event_id, mn, cls, rc, tot
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES MATCH_NUMBER() AS mn,
+                   CLASSIFIER() AS cls,
+                   count(*) AS rc,
+                   FINAL sum(value) AS tot
+          ALL ROWS PER MATCH
+          PATTERN (H L)
+          DEFINE H AS value > 50,
+                 L AS value <= 50
+        )
+        """,
+        [],
     )
     return spark.sql(rewritten)

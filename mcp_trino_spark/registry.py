@@ -216,7 +216,6 @@ _PROVEN_R45 = [
     "x4_date_arith",
     "x6_math",
     "x8_casting",
-    "x9_array",
     "x10_array_hof",
     "x13_struct_row",
     "x14_hashing",
@@ -336,6 +335,9 @@ _PRIORITY = [
     # round-8 addition: AFTER MATCH SKIP TO NEXT ROW (overlapping
     # matches), certified against a lead()-window oracle
     "t11_mr_skip_to_next",
+    # round-8 addition: ALL ROWS PER MATCH (running/final measures +
+    # CLASSIFIER), certified against a two-arm UNION lead() oracle
+    "t12_mr_all_rows",
     # --- fill: the proven entries longest absent from any window
     # (rounds 4-5 vintage, never re-certified since) ---
     "w2_rank_dense_rank",
@@ -349,7 +351,6 @@ _PRIORITY = [
     "x4_date_arith",
     "x5_timestamp_fmt",
     "x7_conditional",
-    "x9_array",
     "x10_array_hof",
     "x11_map_struct",
     "x13_struct_row",

@@ -20,7 +20,10 @@ loudly — silent divergence from Trino is worse than an error):
 - ``MEASURES``: ``MATCH_NUMBER()``, ``FIRST/LAST(col)``,
   ``FIRST/LAST(S.col)``, ``COUNT(*)``, ``COUNT(S.*)``,
   ``COUNT/MIN/MAX/SUM/AVG([S.]col)`` — each ``AS name``
-- ``ONE ROW PER MATCH`` (default; ALL ROWS PER MATCH rejected)
+- ``ONE ROW PER MATCH`` (default) and ``ALL ROWS PER MATCH`` (one
+  output row per matched input row; measures RUNNING by default,
+  ``FINAL agg(...)`` for whole-match values, ``CLASSIFIER()`` for the
+  row's symbol); empty-match/unmatched-row modifiers rejected
 - ``AFTER MATCH SKIP PAST LAST ROW`` (default) and ``SKIP TO NEXT
   ROW`` (overlapping matches); SKIP TO FIRST/LAST <symbol> rejected
 - ``PATTERN (...)`` — the grammar of ``compile_pattern``
@@ -52,7 +55,9 @@ _RESERVED_AFTER = {"WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION",
 _NAV = re.compile(r"\b(PREV|NEXT)\s*\(", re.IGNORECASE)
 _MEASURE = re.compile(
     r"^(?:(MATCH_NUMBER)\s*\(\s*\)"
-    r"|(FIRST|LAST|COUNT|MIN|MAX|SUM|AVG)\s*\((.*)\))\s+AS\s+([A-Za-z_][\w$]*)$",
+    r"|(CLASSIFIER)\s*\(\s*\)"
+    r"|(?:(RUNNING|FINAL)\s+)?"
+    r"(FIRST|LAST|COUNT|MIN|MAX|SUM|AVG)\s*\((.*)\))\s+AS\s+([A-Za-z_][\w$]*)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -168,14 +173,20 @@ def _parse_measures(text: str, symbols: List[str]):
         if not m:
             raise TrinoCompatError(
                 f"unsupported MEASURES entry {item!r} (supported: "
-                "MATCH_NUMBER(), FIRST/LAST/COUNT/MIN/MAX/SUM/AVG over "
+                "MATCH_NUMBER(), CLASSIFIER(), [RUNNING|FINAL] "
+                "FIRST/LAST/COUNT/MIN/MAX/SUM/AVG over "
                 "[symbol.]column, each AS name)"
             )
         if m.group(1):  # MATCH_NUMBER()
-            match_no_alias = m.group(4)
-            declared.append(m.group(4))
+            match_no_alias = m.group(6)
+            declared.append(m.group(6))
             continue
-        agg, arg, name = m.group(2).lower(), m.group(3).strip(), m.group(4)
+        if m.group(2):  # CLASSIFIER()
+            measures.append((m.group(6), "classifier", None, None, None))
+            declared.append(m.group(6))
+            continue
+        mode = m.group(3).lower() if m.group(3) else None
+        agg, arg, name = m.group(4).lower(), m.group(5).strip(), m.group(6)
         sym = None
         if arg == "*":
             col = None
@@ -198,7 +209,7 @@ def _parse_measures(text: str, symbols: List[str]):
             raise TrinoCompatError(f"{agg.upper()}(*) requires a column")
         if agg in ("first", "last") and col is None:
             raise TrinoCompatError(f"{agg.upper()} requires a column")
-        measures.append((name, agg, sym, col))
+        measures.append((name, agg, sym, col, mode))
         declared.append(name)
     return measures, match_no_alias, declared
 
@@ -266,12 +277,17 @@ def expand_match_recognize(
         sections = _split_sections(body)
 
         for bad, msg in [
-            ("ALL ROWS PER MATCH", "ALL ROWS PER MATCH is not supported "
-             "(only ONE ROW PER MATCH)"),
             ("SUBSET", "SUBSET union variables are not supported"),
         ]:
             if bad in sections:
                 raise TrinoCompatError(msg)
+        all_rows = "ALL ROWS PER MATCH" in sections
+        if all_rows and sections["ALL ROWS PER MATCH"]:
+            raise TrinoCompatError(
+                "unsupported modifier after ALL ROWS PER MATCH: "
+                f"{sections['ALL ROWS PER MATCH'][:40]!r} (SHOW/OMIT "
+                "EMPTY MATCHES and WITH UNMATCHED ROWS are not supported)"
+            )
         after_match = "past last row"
         if "AFTER MATCH" in sections:
             skip = re.sub(r"\s+", " ", sections["AFTER MATCH"].upper()).strip()
@@ -346,6 +362,12 @@ def expand_match_recognize(
 
         from mcp_trino_spark.operators.pattern import match_recognize
 
+        # Trino's default measure semantics: FINAL in ONE ROW PER MATCH,
+        # RUNNING in ALL ROWS PER MATCH; an explicit RUNNING/FINAL wins
+        default_mode = "running" if all_rows else "final"
+        measures = [
+            (n, a, sy, c, (mo or default_mode)) for (n, a, sy, c, mo) in measures
+        ]
         out = match_recognize(
             df,
             partition_by=part_cols,
@@ -359,15 +381,28 @@ def expand_match_recognize(
             # from Trino's per-row symbol alternatives)
             enforce_exclusive=True,
             after_match=after_match,
+            rows_per_match="all" if all_rows else "one",
         )
         if match_no_alias is None:
             out = out.drop("__match_no")
         if declared:
             # present MEASURES columns in their DECLARED order (incl.
-            # MATCH_NUMBER() at its declared slot) — the operator emits
-            # match_no right after the keys, so SELECT * would otherwise
-            # swap columns relative to Trino
-            out = out.select(*part_cols, *declared)
+            # MATCH_NUMBER() at its declared slot).  Trino's SELECT *
+            # ordering: partition cols, order cols, measures, remaining
+            # input columns (ALL ROWS mode) / partition cols + measures
+            # (ONE ROW mode) — the operator emits match_no and measures
+            # after the passthrough block, so reorder here
+            if all_rows:
+                order_cols = []
+                for item in order_items:
+                    k = item.split()[0]
+                    if k not in part_cols and k not in order_cols:
+                        order_cols.append(k)
+                lead = [*part_cols, *order_cols, *declared]
+                rest = [c for c in out.columns if c not in lead]
+                out = out.select(*lead, *rest)
+            else:
+                out = out.select(*part_cols, *declared)
 
         view = f"__mr_{uuid.uuid4().hex[:10]}"
         out.createOrReplaceTempView(view)

@@ -61,7 +61,7 @@ def test_detection_ignores_literals(spark):
 
 
 @pytest.mark.parametrize("frag,msg", [
-    ("ALL ROWS PER MATCH", "ALL ROWS PER MATCH"),
+    ("ALL ROWS PER MATCH OMIT EMPTY MATCHES", "modifier|EMPTY"),
     ("AFTER MATCH SKIP TO FIRST A", "not supported"),
     ("SUBSET X = (D, U)", "SUBSET"),
 ])

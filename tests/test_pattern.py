@@ -330,3 +330,68 @@ def test_skip_to_next_row_sql_front_end(spark):
     r = execute_query(spark, q, dialect="trino")
     assert len(r.rows) == 5
     assert all(row["n"] == 2 for row in r.rows)
+
+
+def test_all_rows_per_match_running_and_final(spark):
+    """ALL ROWS mode: one output row per matched input row; RUNNING
+    measures aggregate the prefix, FINAL ones repeat the whole-match
+    value, CLASSIFIER() yields the row's symbol."""
+    import pandas as pd
+    from mcp_trino_spark.operators.pattern import match_recognize
+
+    pdf = pd.DataFrame(
+        {"g": [1] * 5, "i": [1, 2, 3, 4, 5], "x": [1.0, 2.0, -1.0, 3.0, -2.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = match_recognize(
+        df,
+        partition_by=["g"],
+        order_by=["i"],
+        define={"A": "x > 0", "B": "x < 0"},
+        pattern="A+ B",
+        measures=[
+            ("rc", "count", None, None, "running"),
+            ("tot", "sum", None, "x", "final"),
+            ("cls", "classifier", None, None, "running"),
+            ("ravg", "avg", None, "x", "running"),
+        ],
+        rows_per_match="all",
+    )
+    rows = sorted(out.collect(), key=lambda r: (r["match_no"], r["i"]))
+    got = [(r["i"], r["match_no"], r["rc"], r["tot"], r["cls"], round(r["ravg"], 4))
+           for r in rows]
+    assert got == [
+        (1, 1, 1, 2.0, "A", 1.0),
+        (2, 1, 2, 2.0, "A", 1.5),
+        (3, 1, 3, 2.0, "B", 0.6667),
+        (4, 2, 1, 1.0, "A", 3.0),
+        (5, 2, 2, 1.0, "B", 0.5),
+    ]
+
+
+def test_all_rows_sql_front_end_modifiers_rejected(spark):
+    from mcp_trino_spark.execute import execute_query
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    register_tables(spark, "/root/testdata/sf0.001")
+    base = """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES count(*) AS n
+      {mode}
+      PATTERN (H L)
+      DEFINE H AS value > 50, L AS value <= 50
+    ) LIMIT 4
+    """
+    r = execute_query(
+        spark, base.format(mode="ALL ROWS PER MATCH"), dialect="trino"
+    )
+    assert len(r.rows) == 4
+    assert {row["n"] for row in r.rows} <= {1, 2}  # RUNNING default
+    with pytest.raises(TrinoCompatError, match="UNMATCHED|modifier"):
+        execute_query(
+            spark,
+            base.format(mode="ALL ROWS PER MATCH WITH UNMATCHED ROWS"),
+            dialect="trino",
+        )

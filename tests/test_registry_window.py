@@ -67,6 +67,7 @@ _NEVER_GRADED = [
     "x27_lambda_regexp_replace",
     "x28_dialect_round8",
     "t11_mr_skip_to_next",
+    "t12_mr_all_rows",
 ]
 
 

@@ -131,7 +131,41 @@ def compile_pattern(pattern: str, symbol_chars: Dict[str, str]) -> "re.Pattern[s
                 j += 1
             name = pattern[i:j]
             if name.upper() == "PERMUTE":
-                raise ValueError("PERMUTE is not supported")
+                # PERMUTE(A, B, C) -> alternation of every ordering, in
+                # itertools order == lexicographic preference over the
+                # ARGUMENT order, which is exactly Trino's tie-break
+                # (alternation tries alternatives left to right).
+                # Symbols only (no nested quantifiers/groups): rejected
+                # loudly rather than silently mis-permuted.
+                k = j
+                while k < n and pattern[k].isspace():
+                    k += 1
+                if k >= n or pattern[k] != "(":
+                    raise ValueError("PERMUTE needs a parenthesized list")
+                close = pattern.find(")", k)
+                if close < 0:
+                    raise ValueError("unclosed PERMUTE(...)")
+                args = [a.strip() for a in pattern[k + 1 : close].split(",")]
+                if not 2 <= len(args) <= 6:
+                    raise ValueError(
+                        "PERMUTE takes 2-6 symbols (the expansion is "
+                        "factorial; Trino itself warns beyond this)"
+                    )
+                chars = []
+                for a in args:
+                    if not re.fullmatch(r"[A-Za-z_]\w*", a) or a.upper() not in by_ci:
+                        raise ValueError(
+                            f"PERMUTE argument {a!r} must be a defined "
+                            "symbol (nested patterns are not supported)"
+                        )
+                    chars.append(by_ci[a.upper()])
+                import itertools
+
+                alts = "|".join("".join(p_) for p_ in itertools.permutations(chars))
+                out.append(f"(?:{alts})")
+                prev_quant = False
+                i = close + 1
+                continue
             if name.upper() not in by_ci:
                 raise ValueError(
                     f"pattern symbol {name!r} has no DEFINE entry "
@@ -219,6 +253,7 @@ def match_recognize(
     enforce_exclusive: bool = False,
     after_match: str = "past last row",
     rows_per_match: str = "one",
+    subsets: Optional[Dict[str, Sequence[str]]] = None,
 ) -> DataFrame:
     """Run SQL:2016 row-pattern recognition.
 
@@ -278,6 +313,20 @@ def match_recognize(
         raise ValueError("too many pattern symbols")
     sym_char = {s: _ALPHABET[i] for i, s in enumerate(syms)}
     rx = compile_pattern(pattern, sym_char)
+    # SUBSET union variables: name -> the union of its members' chars;
+    # measures referencing the name aggregate rows matched by ANY member
+    ref_chars: Dict[str, str] = {k: v for k, v in sym_char.items()}
+    for sub_name, members in (subsets or {}).items():
+        if sub_name in sym_char:
+            raise ValueError(
+                f"SUBSET name {sub_name!r} collides with a DEFINE symbol"
+            )
+        bad = [m for m in members if m not in sym_char]
+        if bad:
+            raise ValueError(f"SUBSET {sub_name!r} members not defined: {bad}")
+        if not members:
+            raise ValueError(f"SUBSET {sub_name!r} is empty")
+        ref_chars[sub_name] = "".join(sym_char[m] for m in members)
 
     order_keys, ascending, na_positions = [], [], []
     for o in order_by:
@@ -317,7 +366,7 @@ def match_recognize(
             raise ValueError(f"measure {name!r}: column required for {agg}")
         if agg == "classifier" and (col is not None or sym is not None):
             raise ValueError(f"measure {name!r}: classifier takes no args")
-        if sym is not None and sym not in sym_char:
+        if sym is not None and sym not in ref_chars:
             raise ValueError(f"measure {name!r} references undefined symbol {sym!r}")
     if all_rows:
         keep = list(df.columns)  # every input column passes through
@@ -355,12 +404,21 @@ def match_recognize(
     part_keys = list(partition_by)
     pass_cols = list(keep)
     meas = list(norm_meas)
-    char_of = dict(sym_char)
+    char_of = dict(ref_chars)  # symbol OR subset -> its char(s)
     name_of_char = {v: k for k, v in sym_char.items()}
 
     check_exclusive = bool(enforce_exclusive)
     overlap_scan = after_match == "to next row"
     emit_all = all_rows
+
+    def _sel(arr, chars):
+        """Boolean mask of rows matched by the symbol (1 char) or any
+        member of a SUBSET union variable (several chars)."""
+        if len(chars) == 1:
+            return arr == chars
+        import numpy as np
+
+        return np.isin(arr, list(chars))
 
     def run_group(keys: tuple, pdf: pd.DataFrame, rows: List[list]) -> None:
         """Match ONE partition-key group (already ordered).
@@ -405,14 +463,14 @@ def match_recognize(
             and yield NULL on empty/all-null input."""
             if agg == "classifier":
                 return name_of_char.get(sym_np[e - 1])
-            if col is None:  # count of whole match / of a symbol
+            if col is None:  # count of whole match / of a symbol/subset
                 if sym is None:
                     return e - s
-                return int((sym_np[s:e] == char_of[sym]).sum())
+                return int(_sel(sym_np[s:e], char_of[sym]).sum())
             vals = col_np[col][s:e]
             ok = ok_np[col][s:e]
             if sym is not None:
-                picked = sym_np[s:e] == char_of[sym]
+                picked = _sel(sym_np[s:e], char_of[sym])
                 vals = vals[picked]
                 ok = ok[picked]
             if agg == "count":
@@ -808,6 +866,68 @@ def t12_mr_all_rows(spark, sf_dir):
                    FINAL sum(value) AS tot
           ALL ROWS PER MATCH
           PATTERN (H L)
+          DEFINE H AS value > 50,
+                 L AS value <= 50
+        )
+        """,
+        [],
+    )
+    return spark.sql(rewritten)
+
+
+@register(
+    "t13_mr_permute_subset",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, event_id, value,
+             (value > 50) AS h,
+             lead(value) OVER w AS nval,
+             lead(value > 50) OVER w AS nh
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    m AS (
+      SELECT user_id, event_id, value, nval,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS mn
+      FROM c WHERE nh IS NOT NULL AND h <> nh
+    )
+    SELECT user_id, mn, event_id AS sid,
+           value + nval AS pair_sum,
+           CAST(1 AS BIGINT) AS n_h
+    FROM m
+    """,
+)
+def t13_mr_permute_subset(spark, sf_dir):
+    """PERMUTE patterns + SUBSET union variables, certified end-to-end:
+    ``PATTERN (PERMUTE(H, L))`` matches a high/low pair in EITHER
+    order; ``SUBSET B = (H, L)`` lets a measure aggregate over the
+    union (SUM(B.value) = the pair sum) while COUNT(H.*) counts one
+    symbol.  AFTER MATCH SKIP TO NEXT ROW makes the match set purely
+    positional — every row whose classification differs from the next
+    row's — so the oracle is an engine-independent lead() window query
+    (h <> nh), with no greedy-scan state to replicate.
+
+    Reference surface: client.go:501-617 passes MATCH_RECOGNIZE SQL
+    (PERMUTE and SUBSET included) through to Trino verbatim.
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_mr import expand_match_recognize
+
+    register_tables(spark, sf_dir)
+    rewritten = expand_match_recognize(
+        spark,
+        """
+        SELECT user_id, mn, sid, pair_sum, n_h
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES MATCH_NUMBER() AS mn,
+                   FIRST(event_id) AS sid,
+                   SUM(B.value) AS pair_sum,
+                   COUNT(H.*) AS n_h
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (PERMUTE(H, L))
+          SUBSET B = (H, L)
           DEFINE H AS value > 50,
                  L AS value <= 50
         )

@@ -216,7 +216,6 @@ _PROVEN_R45 = [
     "x4_date_arith",
     "x6_math",
     "x8_casting",
-    "x10_array_hof",
     "x13_struct_row",
     "x14_hashing",
     "x18_array_setops",
@@ -338,6 +337,8 @@ _PRIORITY = [
     # round-8 addition: ALL ROWS PER MATCH (running/final measures +
     # CLASSIFIER), certified against a two-arm UNION lead() oracle
     "t12_mr_all_rows",
+    # round-8 addition: PERMUTE + SUBSET union variables
+    "t13_mr_permute_subset",
     # --- fill: the proven entries longest absent from any window
     # (rounds 4-5 vintage, never re-certified since) ---
     "w2_rank_dense_rank",
@@ -351,7 +352,6 @@ _PRIORITY = [
     "x4_date_arith",
     "x5_timestamp_fmt",
     "x7_conditional",
-    "x10_array_hof",
     "x11_map_struct",
     "x13_struct_row",
     "x18_array_setops",

@@ -276,11 +276,22 @@ def expand_match_recognize(
         body = query[bstart:bend]
         sections = _split_sections(body)
 
-        for bad, msg in [
-            ("SUBSET", "SUBSET union variables are not supported"),
-        ]:
-            if bad in sections:
-                raise TrinoCompatError(msg)
+        subsets: Dict[str, List[str]] = {}
+        if "SUBSET" in sections:
+            # SUBSET X = (A, B), Y = (C): union variables usable in
+            # MEASURES (aggregate over rows matched by ANY member)
+            for entry in _split_top_commas(sections["SUBSET"]):
+                sm = re.fullmatch(
+                    r"([A-Za-z_][\w$]*)\s*=\s*\(([^()]*)\)", entry.strip()
+                )
+                if not sm:
+                    raise TrinoCompatError(
+                        f"unsupported SUBSET entry {entry!r} — expected "
+                        "NAME = (SYM, SYM, ...)"
+                    )
+                subsets[sm.group(1)] = [
+                    m.strip() for m in sm.group(2).split(",") if m.strip()
+                ]
         all_rows = "ALL ROWS PER MATCH" in sections
         if all_rows and sections["ALL ROWS PER MATCH"]:
             raise TrinoCompatError(
@@ -322,8 +333,23 @@ def expand_match_recognize(
             nav_cols.update(needed)
             define[dm.group(1)] = pred
 
+        # fold SUBSET member case to the DEFINE spellings (unquoted SQL
+        # identifiers are case-insensitive) and validate membership
+        def_upper = {d.upper(): d for d in define}
+        for sub_name, members in subsets.items():
+            folded = []
+            for mref in members:
+                if mref.upper() not in def_upper:
+                    raise TrinoCompatError(
+                        f"SUBSET {sub_name!r} member {mref!r} has no "
+                        f"DEFINE entry (defined: {sorted(define)})"
+                    )
+                folded.append(def_upper[mref.upper()])
+            subsets[sub_name] = folded
         measures, match_no_alias, declared = (
-            _parse_measures(sections["MEASURES"], list(define))
+            _parse_measures(
+                sections["MEASURES"], list(define) + list(subsets)
+            )
             if "MEASURES" in sections
             else ([], None, [])
         )
@@ -382,6 +408,7 @@ def expand_match_recognize(
             enforce_exclusive=True,
             after_match=after_match,
             rows_per_match="all" if all_rows else "one",
+            subsets=subsets or None,
         )
         if match_no_alias is None:
             out = out.drop("__match_no")

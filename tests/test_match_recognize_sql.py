@@ -63,7 +63,7 @@ def test_detection_ignores_literals(spark):
 @pytest.mark.parametrize("frag,msg", [
     ("ALL ROWS PER MATCH OMIT EMPTY MATCHES", "modifier|EMPTY"),
     ("AFTER MATCH SKIP TO FIRST A", "not supported"),
-    ("SUBSET X = (D, U)", "SUBSET"),
+    ("SUBSET X = D, U", "SUBSET"),  # malformed: needs parens
 ])
 def test_unsupported_clauses_fail_loudly(spark, orders_view, frag, msg):
     # swap the supported row/skip/subset clauses for the unsupported one

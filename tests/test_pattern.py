@@ -89,7 +89,7 @@ def test_empty_symbol_subset_yields_null(spark):
 
 def test_rejects_unsupported_constructs(spark):
     chars = {"A": "A", "B": "B"}
-    for bad in ["A {- B -}", "PERMUTE(A, B)", "A {1,2,3}", "A ^ B", "Z+"]:
+    for bad in ["A {- B -}", "PERMUTE(A)", "A {1,2,3}", "A ^ B", "Z+"]:
         with pytest.raises(ValueError):
             compile_pattern(bad, chars)
     with pytest.raises(ValueError):
@@ -394,4 +394,57 @@ def test_all_rows_sql_front_end_modifiers_rejected(spark):
             spark,
             base.format(mode="ALL ROWS PER MATCH WITH UNMATCHED ROWS"),
             dialect="trino",
+        )
+
+
+def test_permute_prefers_argument_order(spark):
+    """PERMUTE alternation preference: when several orderings match at
+    the same start, the leftmost permutation in ARGUMENT order wins
+    (Trino's documented tie-break) — with exclusive DEFINEs only one
+    ordering can match, so check the expansion directly too."""
+    from mcp_trino_spark.operators.pattern import compile_pattern
+
+    rx = compile_pattern("PERMUTE(A, B, C)", {"A": "a", "B": "b", "C": "c"})
+    assert rx.pattern.startswith("(?:abc|acb|bac")
+    assert rx.fullmatch("cab") and not rx.fullmatch("aab")
+    with pytest.raises(ValueError, match="2-6"):
+        compile_pattern("PERMUTE(A)", {"A": "a"})
+
+
+def test_subset_union_measures(spark):
+    import pandas as pd
+    from mcp_trino_spark.operators.pattern import match_recognize
+
+    pdf = pd.DataFrame(
+        {"g": [1] * 4, "i": [1, 2, 3, 4], "x": [1.0, 2.0, -1.0, -3.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = match_recognize(
+        df,
+        partition_by=["g"],
+        order_by=["i"],
+        define={"A": "x > 0", "B": "x < 0"},
+        pattern="A+ B+",
+        measures=[
+            ("n_all", "count", "M", None),
+            ("tot_all", "sum", "M", "x"),
+            ("n_b", "count", "B", None),
+        ],
+        subsets={"M": ["A", "B"]},
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_all"], r["tot_all"], r["n_b"]) == (4, -1.0, 2)
+    # bad subsets fail loudly
+    with pytest.raises(ValueError, match="collides"):
+        match_recognize(
+            df, partition_by=["g"], order_by=["i"],
+            define={"A": "x > 0", "B": "x < 0"}, pattern="A B",
+            measures=[("n", "count", None, None)], subsets={"A": ["B"]},
+        )
+    with pytest.raises(ValueError, match="not defined"):
+        match_recognize(
+            df, partition_by=["g"], order_by=["i"],
+            define={"A": "x > 0", "B": "x < 0"}, pattern="A B",
+            measures=[("n", "count", None, None)], subsets={"M": ["Z"]},
         )

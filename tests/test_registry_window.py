@@ -68,6 +68,7 @@ _NEVER_GRADED = [
     "x28_dialect_round8",
     "t11_mr_skip_to_next",
     "t12_mr_all_rows",
+    "t13_mr_permute_subset",
 ]
 
 

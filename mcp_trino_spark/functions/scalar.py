@@ -1072,3 +1072,71 @@ def x28_dialect_round8(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x29_window_exclude",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(sum(o_orderkey) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+             EXCLUDE CURRENT ROW) AS BIGINT) AS nbr_sum,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW)
+             AS nbr_cnt,
+           min(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)
+             AS nbr_min,
+           CAST(avg(o_orderkey) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+             EXCLUDE CURRENT ROW) AS DOUBLE) AS nbr_avg,
+           CAST(sum(o_orderkey) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND
+             CURRENT ROW EXCLUDE CURRENT ROW) AS BIGINT) AS run_sum
+    FROM orders WHERE o_custkey < 200
+    """,
+)
+def x29_window_exclude(spark, sf_dir):
+    """Differential certification of the window-frame EXCLUDE CURRENT
+    ROW rewrite (_rewrite_window_exclude) — neighbor-window sum/count/
+    min/avg plus the running-frame shape, against DuckDB's NATIVE
+    window EXCLUDE (a true engine-independent check: a wrong sub-frame
+    bound or NULL-combination rule diverges immediately).
+
+    Exactness: aggregates run over o_orderkey (integer-valued — the
+    split changes double-addition order, which is only safe when every
+    partial sum is exact); avg divides exact sums by exact counts, the
+    same double division both engines.
+
+    Reference parity: Trino evaluates SQL-standard frame EXCLUDE
+    natively and the reference forwards it verbatim
+    (internal/trino/client.go); SURVEY carried EXCLUDE as a documented
+    no-Spark-grammar gap through round 7 — closed for ROWS frames.
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT o_orderkey,
+                   sum(o_orderkey) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND
+                     2 FOLLOWING EXCLUDE CURRENT ROW) AS nbr_sum,
+                   count(*) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND
+                     2 FOLLOWING EXCLUDE CURRENT ROW) AS nbr_cnt,
+                   min(o_orderkey) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderkey ROWS BETWEEN 1 PRECEDING AND
+                     1 FOLLOWING EXCLUDE CURRENT ROW) AS nbr_min,
+                   avg(o_orderkey) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND
+                     2 FOLLOWING EXCLUDE CURRENT ROW) AS nbr_avg,
+                   sum(o_orderkey) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW EXCLUDE CURRENT ROW) AS run_sum
+            FROM orders WHERE o_custkey < 200
+            """
+        )
+    )

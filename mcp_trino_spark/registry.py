@@ -216,7 +216,6 @@ _PROVEN_R45 = [
     "x4_date_arith",
     "x6_math",
     "x8_casting",
-    "x13_struct_row",
     "x14_hashing",
     "x18_array_setops",
     "t2_sliding_window",
@@ -339,6 +338,9 @@ _PRIORITY = [
     "t12_mr_all_rows",
     # round-8 addition: PERMUTE + SUBSET union variables
     "t13_mr_permute_subset",
+    # round-8 addition: window-frame EXCLUDE CURRENT ROW (split
+    # sub-frames, certified vs DuckDB's native EXCLUDE)
+    "x29_window_exclude",
     # --- fill: the proven entries longest absent from any window
     # (rounds 4-5 vintage, never re-certified since) ---
     "w2_rank_dense_rank",
@@ -353,7 +355,6 @@ _PRIORITY = [
     "x5_timestamp_fmt",
     "x7_conditional",
     "x11_map_struct",
-    "x13_struct_row",
     "x18_array_setops",
     "a2_sum_avg_min_max",
     "a8_cube",

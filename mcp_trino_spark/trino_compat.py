@@ -3190,6 +3190,185 @@ def _rewrite_nth_from_last(q: str) -> str:
     return q
 
 
+_EXCLUDE_CLAUSE = re.compile(
+    r"\s*\bEXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\s*$",
+    re.IGNORECASE,
+)
+_EXCLUDE_FRAME = re.compile(
+    r"(?is)^(?P<head>.*?)\s*\bROWS\s+BETWEEN\s+(?P<b1>.+?)\s+AND\s+(?P<b2>.+?)\s*$"
+)
+_WINDOW_AGG_HEAD = re.compile(r"([A-Za-z_][\w$]*)\s*\(", re.IGNORECASE)
+
+
+def _frame_offset(b: str):
+    """ROWS bound → signed offset (None = unbounded on that side)."""
+    t = " ".join(b.split()).upper()
+    if t == "CURRENT ROW":
+        return 0
+    if t == "UNBOUNDED PRECEDING":
+        return float("-inf")
+    if t == "UNBOUNDED FOLLOWING":
+        return float("inf")
+    m = re.match(r"^(\d+)\s+(PRECEDING|FOLLOWING)$", t)
+    if not m:
+        raise TrinoCompatError(f"unsupported ROWS frame bound {b!r}")
+    n = int(m.group(1))
+    return -n if m.group(2) == "PRECEDING" else n
+
+
+def _rewrite_window_exclude(q: str) -> str:
+    """SQL-standard window-frame ``EXCLUDE`` (Spark has no grammar for
+    it).  ``EXCLUDE NO OTHERS`` is the default — stripped.  ``EXCLUDE
+    CURRENT ROW`` on a ROWS frame decomposes into the two sub-frames
+    around the current row, combined per aggregate:
+
+        sum  -> sum(left) + sum(right)     (NULL iff both sides NULL)
+        count-> count(left) + count(right)
+        min  -> least(left, right)         (least/greatest skip NULLs)
+        max  -> greatest(left, right)
+        avg  -> (sum_l + sum_r) / (cnt_l + cnt_r), NULL on empty
+
+    A frame that cannot contain the current row (both bounds on one
+    side) makes EXCLUDE a no-op — the clause is stripped.  EXCLUDE
+    GROUP/TIES and RANGE/GROUPS frames are rejected loudly: removing a
+    value-defined peer region is not expressible by frame splitting.
+    Certified against DuckDB's NATIVE window EXCLUDE (x29).
+
+    Exactness note (mirrors the per-entry protocol): the split changes
+    double-addition ORDER, so float-exact oracle entries must aggregate
+    integer-valued columns; the combination is exact for integers,
+    counts, and min/max."""
+    while True:
+        mask = _code_mask(q)
+        hit = None
+        for om in _OVER_HEAD.finditer(q):
+            if not mask[om.start()]:
+                continue
+            d, i = 1, om.end()
+            while i < len(q) and d:
+                if mask[i]:
+                    if q[i] == "(":
+                        d += 1
+                    elif q[i] == ")":
+                        d -= 1
+                i += 1
+            inner = q[om.end() : i - 1]
+            em = _EXCLUDE_CLAUSE.search(inner)
+            if em is None:
+                continue
+            hit = (om, i, inner, em)
+            break
+        if hit is None:
+            return q
+        om, over_end, inner, em = hit
+        mode = " ".join(em.group(1).upper().split())
+        spec = inner[: em.start()].rstrip()
+        if mode == "NO OTHERS":
+            # the default semantics — drop the clause
+            q = q[: om.end()] + spec + q[over_end - 1 :]
+            continue
+        if mode in ("GROUP", "TIES"):
+            raise TrinoCompatError(
+                f"window frame EXCLUDE {mode} is not supported — removing "
+                "a value-defined peer region cannot be expressed by frame "
+                "splitting (EXCLUDE CURRENT ROW on ROWS frames is)"
+            )
+        fm = _EXCLUDE_FRAME.match(spec)
+        if fm is None:
+            raise TrinoCompatError(
+                "EXCLUDE CURRENT ROW is only supported on explicit "
+                "ROWS BETWEEN frames (RANGE/GROUPS peer regions cannot "
+                "be split around one row)"
+            )
+        head, b1, b2 = fm.group("head").strip(), fm.group("b1"), fm.group("b2")
+        lo, hi = _frame_offset(b1), _frame_offset(b2)
+        if lo > hi:
+            raise TrinoCompatError(f"inverted window frame {spec!r}")
+        # locate the aggregate call directly before OVER
+        j = om.start() - 1
+        while j >= 0 and q[j].isspace():
+            j -= 1
+        if j < 0 or q[j] != ")":
+            raise TrinoCompatError(
+                "EXCLUDE rewrite needs the form agg(...) OVER (...)"
+            )
+        depth, k = 0, j
+        while k >= 0:
+            if mask[k]:
+                if q[k] == ")":
+                    depth += 1
+                elif q[k] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            k -= 1
+        arg = q[k + 1 : j]
+        fn_end = k
+        k -= 1
+        while k >= 0 and mask[k] and (q[k].isalnum() or q[k] in "_$"):
+            k -= 1
+        fn = q[k + 1 : fn_end]
+        if not fn:
+            raise TrinoCompatError(
+                "EXCLUDE rewrite needs the form agg(...) OVER (...)"
+            )
+        fnl = fn.lower()
+        if fnl not in ("sum", "count", "min", "max", "avg"):
+            raise TrinoCompatError(
+                f"EXCLUDE CURRENT ROW is supported for SUM/COUNT/MIN/MAX/"
+                f"AVG window aggregates, not {fn}()"
+            )
+        if lo > 0 or hi < 0:
+            # current row outside the frame — EXCLUDE is a no-op
+            q = q[: om.end()] + spec + q[over_end - 1 :]
+            continue
+        hw = f"{head} " if head else ""
+        wl = f"{hw}ROWS BETWEEN {b1} AND 1 PRECEDING" if lo <= -1 else None
+        wr = f"{hw}ROWS BETWEEN 1 FOLLOWING AND {b2}" if hi >= 1 else None
+
+        def over(agg_fn, a, w):
+            return f"{agg_fn}({a}) OVER ({w})"
+
+        if wl is None and wr is None:
+            # frame was exactly the current row: empty after exclusion.
+            # count -> 0; others -> typed NULL (the CASE keeps the
+            # aggregate's result type without evaluating lexically-
+            # unknowable column types)
+            one_row = f"{hw}ROWS BETWEEN CURRENT ROW AND CURRENT ROW"
+            if fnl == "count":
+                repl = "CAST(0 AS BIGINT)"
+            else:
+                repl = (
+                    f"(CASE WHEN 1 = 1 THEN NULL ELSE "
+                    f"{over(fnl, arg, one_row)} END)"
+                )
+        elif fnl == "count":
+            parts = [over("count", arg, w) for w in (wl, wr) if w]
+            repl = "(" + " + ".join(parts) + ")"
+        elif fnl in ("min", "max"):
+            combine = "least" if fnl == "min" else "greatest"
+            parts = [over(fnl, arg, w) for w in (wl, wr) if w]
+            repl = parts[0] if len(parts) == 1 else f"{combine}({parts[0]}, {parts[1]})"
+        elif fnl == "sum":
+            parts = [over("sum", arg, w) for w in (wl, wr) if w]
+            if len(parts) == 1:
+                repl = parts[0]
+            else:
+                repl = (
+                    f"(CASE WHEN {parts[0]} IS NULL AND {parts[1]} IS NULL "
+                    f"THEN NULL ELSE coalesce({parts[0]}, 0) + "
+                    f"coalesce({parts[1]}, 0) END)"
+                )
+        else:  # avg
+            sums = [over("sum", arg, w) for w in (wl, wr) if w]
+            cnts = [over("count", arg, w) for w in (wl, wr) if w]
+            ssum = " + ".join(f"coalesce({x}, 0)" for x in sums)
+            scnt = " + ".join(cnts)
+            repl = f"(({ssum}) / nullif({scnt}, 0))"
+        q = q[: k + 1] + repl + q[over_end:]
+    return q
+
+
 _OVER_HEAD = re.compile(r"\bOVER\s*\(", re.IGNORECASE)
 _GROUPS_SPEC = re.compile(
     r"^(?:PARTITION\s+BY\s+(?P<part>.*?)\s+)?ORDER\s+BY\s+(?P<key>.*?)\s+"
@@ -4745,6 +4924,7 @@ def translate(query: str) -> str:
     query = _rewrite_combinations(query)
     query = _rewrite_with_ties(query)
     query = _rewrite_nth_from_last(query)
+    query = _rewrite_window_exclude(query)
     query = _rewrite_groups_frames(query)
     query = _rewrite_array_literal(query)
     query = _rewrite_comma_unnest(query)

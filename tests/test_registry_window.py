@@ -69,6 +69,7 @@ _NEVER_GRADED = [
     "t11_mr_skip_to_next",
     "t12_mr_all_rows",
     "t13_mr_permute_subset",
+    "x29_window_exclude",
 ]
 
 

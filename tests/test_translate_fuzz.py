@@ -37,7 +37,8 @@ _TOKENS = st.sampled_from(
         # regexp_replace, surrogate escapes, subscripted operands
         "nth_value(", "FROM LAST ", "FROM FIRST ", "IGNORE NULLS ",
         "OVER (", "PARTITION BY ", "RANGE ", "PRECEDING", "FOLLOWING",
-        "regexp_replace(", r"\D83D", r"\DE00", "[1]",
+        "regexp_replace(", r"\D83D", r"\DE00", "[1]", "EXCLUDE ",
+        "CURRENT ROW", "TIES", "NO OTHERS",
     ]
 )
 

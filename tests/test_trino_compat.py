@@ -2640,3 +2640,59 @@ def test_nth_from_last_equals_native_last_value_with_ties(spark):
         g = {tuple(r) for r in got.collect()}
         w = {tuple(r) for r in want.collect()}
         assert g == w, (frame, g ^ w)
+
+
+def test_window_exclude_current_row(spark):
+    """EXCLUDE CURRENT ROW on ROWS frames decomposes into split
+    sub-frames; NO OTHERS strips; GROUP/TIES and RANGE frames reject."""
+    import pandas as pd
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    spark.createDataFrame(
+        pd.DataFrame({"i": [1, 2, 3, 4, 5], "x": [10.0, 20.0, None, 40.0, 50.0]})
+    ).createOrReplaceTempView("excl_t")
+    r = spark.sql(
+        translate(
+            "SELECT i,"
+            " sum(x) OVER (ORDER BY i ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING"
+            "   EXCLUDE CURRENT ROW) AS s,"
+            " avg(x) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING"
+            "   EXCLUDE CURRENT ROW) AS a,"
+            " count(*) OVER (ORDER BY i ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING"
+            "   EXCLUDE CURRENT ROW) AS c,"
+            " sum(x) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            "   CURRENT ROW EXCLUDE CURRENT ROW) AS run,"
+            " sum(x) OVER (ORDER BY i ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING"
+            "   EXCLUDE CURRENT ROW) AS noop,"
+            " sum(x) OVER (ORDER BY i ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING"
+            "   EXCLUDE NO OTHERS) AS fullw"
+            " FROM excl_t ORDER BY i"
+        )
+    ).collect()
+    got = [tuple(row) for row in r]
+    assert got == [
+        (1, 20.0, 20.0, 2, None, 60.0, 30.0),
+        (2, 50.0, 10.0, 3, 10.0, 90.0, 70.0),
+        (3, 120.0, 30.0, 4, 30.0, 90.0, 120.0),
+        (4, 70.0, 50.0, 3, 30.0, 50.0, 110.0),
+        (5, 40.0, 40.0, 2, 70.0, None, 90.0),
+    ]
+    for bad, msg in (
+        ("EXCLUDE GROUP", "GROUP"),
+        ("EXCLUDE TIES", "TIES"),
+    ):
+        with pytest.raises(TrinoCompatError, match=msg):
+            translate(
+                f"SELECT sum(x) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING "
+                f"AND 1 FOLLOWING {bad}) FROM t"
+            )
+    with pytest.raises(TrinoCompatError, match="ROWS"):
+        translate(
+            "SELECT sum(x) OVER (ORDER BY i RANGE BETWEEN 1 PRECEDING AND "
+            "1 FOLLOWING EXCLUDE CURRENT ROW) FROM t"
+        )
+    with pytest.raises(TrinoCompatError, match="SUM/COUNT"):
+        translate(
+            "SELECT first_value(x) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING "
+            "AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t"
+        )

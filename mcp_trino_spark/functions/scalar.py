@@ -1140,3 +1140,60 @@ def x29_window_exclude(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x30_escape_free_literals",
+    oracle=r"""
+    SELECT c.c_custkey,
+           CAST(regexp_replace(c.c_name, '\D+', '', 'g') AS BIGINT)
+             AS cust_num,
+           regexp_matches(c.c_name, 'Customer#\d{9}') AS well_formed,
+           regexp_matches(d.text, '\bthe\b') AS has_the,
+           length(regexp_replace(d.text, '\s+', ' ', 'g')) AS squashed_len,
+           CASE WHEN '50%' LIKE '50\%' ESCAPE '\'
+                 AND 'a_b' LIKE 'a\_b' ESCAPE '\'
+                 AND 'axb' NOT LIKE 'a\_b' ESCAPE '\' THEN 1 ELSE 0 END
+             AS esc_ok
+    FROM customer c JOIN documents d ON d.doc_id = c.c_custkey
+    """,
+)
+def x30_escape_free_literals(spark, sf_dir):
+    r"""Differential certification of the escape-free literal re-spell
+    (_respell_escape_free_literals): Trino string literals have NO
+    backslash escapes (SQL standard — the reference forwards query
+    text verbatim to Trino, client.go:501-617), so '\d' means
+    backslash-d; Spark's lexer would silently eat the backslash.  The
+    DuckDB oracle lexes literals escape-free natively, so BOTH sides
+    here spell the regex/LIKE patterns the Trino way — an un-respelled
+    backslash diverges immediately (cust_num casts a non-numeric
+    string, well_formed goes all-False, squashed_len shifts).
+
+    Covers \d / \D / \s / \b regex classes through regexp_like /
+    regexp_replace and the LIKE ... ESCAPE '\' family (both the
+    escaped-wildcard match and the must-not-match).  SURVEY carried
+    this as THE documented literal-syntax gap from round 3 ("write
+    '\\d'") — closed.
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            r"""
+            SELECT c.c_custkey,
+                   CAST(regexp_replace(c.c_name, '\D+', '') AS BIGINT)
+                     AS cust_num,
+                   regexp_like(c.c_name, 'Customer#\d{9}') AS well_formed,
+                   regexp_like(d.text, '\bthe\b') AS has_the,
+                   length(regexp_replace(d.text, '\s+', ' '))
+                     AS squashed_len,
+                   CASE WHEN '50%' LIKE '50\%' ESCAPE '\'
+                         AND 'a_b' LIKE 'a\_b' ESCAPE '\'
+                         AND 'axb' NOT LIKE 'a\_b' ESCAPE '\' THEN 1 ELSE 0
+                     END AS esc_ok
+            FROM customer c JOIN documents d ON d.doc_id = c.c_custkey
+            """
+        )
+    )

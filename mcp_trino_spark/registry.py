@@ -341,6 +341,10 @@ _PRIORITY = [
     # round-8 addition: window-frame EXCLUDE CURRENT ROW (split
     # sub-frames, certified vs DuckDB's native EXCLUDE)
     "x29_window_exclude",
+    # round-8 addition: escape-free Trino literal re-spell (closes the
+    # round-3 documented '\\d' spelling gap; DuckDB lexes escape-free
+    # natively so the oracle is a true differential)
+    "x30_escape_free_literals",
     # --- fill: the proven entries longest absent from any window
     # (rounds 4-5 vintage, never re-certified since) ---
     "w2_rank_dense_rank",
@@ -353,7 +357,8 @@ _PRIORITY = [
     "x3_date_extract",
     "x4_date_arith",
     "x5_timestamp_fmt",
-    "x7_conditional",
+    # (x7_conditional rotated out to make room for x30 — stays in the
+    # proven spot-check sets; nine x-entries remain in this window)
     "x11_map_struct",
     "x18_array_setops",
     "a2_sum_avg_min_max",

@@ -15,8 +15,10 @@ Two mechanisms:
 2. **Literal-aware rewrites** (`translate`) for the cases a rename
    can't express: aggregate names (SQL UDFs cannot wrap aggregates) and
    signature reorders like Trino's 3-arg ``date_add('day', n, x)`` →
-   ``timestampadd(day, n, x)``.  Rewrites never touch string literals,
-   quoted identifiers, or comments.
+   ``timestampadd(day, n, x)``.  The FIRST pass re-spells Trino's
+   escape-free literals for Spark's lexer (backslashes doubled —
+   value-preserving, see ``_respell_escape_free_literals``); no later
+   rewrite touches string literals, quoted identifiers, or comments.
 
 Structural rewrites beyond renames (each literal-aware, loud on the
 shapes it can't express):
@@ -4844,6 +4846,118 @@ def _decode_unicode_literal(body: str, esc: str) -> str:
     return "".join(out)
 
 
+_UESCAPE_AFTER_WS = re.compile(r"\s*UESCAPE\s*", re.IGNORECASE)
+
+
+def _respell_escape_free_literals(q: str) -> str:
+    """Trino string literals are escape-free (SQL standard): ``''`` is
+    the only escape and a backslash is an ordinary character, while
+    Spark's default lexer processes backslash escapes inside literals
+    (Trino's ``'\\d'`` reaches Spark as ``d``).  Running FIRST — before
+    every other pass — this re-spells each plain single-quoted literal
+    by doubling its backslashes, so the Spark-side string VALUE is
+    byte-identical to the Trino-side reading and every later pass (all
+    written against Spark lexing) sees correctly-escaped text.  Closes
+    the long-documented regex/LIKE-ESCAPE divergence (``rlike(s,
+    '\\d+')``, ``LIKE 'a\\%' ESCAPE '\\'`` now run verbatim).
+
+    Skipped: ``U&'…'`` literals and their ``UESCAPE '.'`` clause (the
+    backslash there is a DECODE-time escape; _rewrite_unicode_literals
+    re-emits Spark-escaped output itself), comments, double-quoted /
+    backtick identifiers.
+
+    Loud errors — both are syntax errors in Trino too, and both are
+    shapes Spark's backslash lexing can read DIFFERENTLY (an
+    apostrophe-adjacent backslash shifts every literal boundary after
+    it): an unterminated literal, and a statement separator ``;``
+    followed by more code.  The read-only gate lexes with Spark rules,
+    so a ``;`` that Trino lexing exposes mid-statement must not reach
+    the engine.
+
+    Reference parity: the reference passes query text verbatim to
+    Trino (client.go:501-617), so Trino lexing is the contract.
+    """
+    out: List[str] = []
+    i, n = 0, len(q)
+    saw_semi = False
+
+    def scan_literal(j: int) -> int:
+        """``j`` is just past the opening quote; index of the closing
+        quote (the first un-doubled ``'`` — no backslash rule)."""
+        while j < n:
+            if q[j] == "'":
+                if j + 1 < n and q[j + 1] == "'":
+                    j += 2
+                    continue
+                return j
+            j += 1
+        raise TrinoCompatError(
+            "unterminated string literal under Trino lexing (backslash "
+            "is not an escape in Trino literals; use '' for a quote)"
+        )
+
+    def statement_break() -> None:
+        raise TrinoCompatError(
+            "multiple SQL statements in one query (code after ';')"
+        )
+
+    while i < n:
+        c = q[i]
+        if c == "-" and q[i : i + 2] == "--":
+            k = q.find("\n", i)
+            k = n if k < 0 else k + 1
+            out.append(q[i:k])
+            i = k
+        elif c == "/" and q[i : i + 2] == "/*":
+            k = q.find("*/", i + 2)
+            k = n if k < 0 else k + 2
+            out.append(q[i:k])
+            i = k
+        elif c == '"' or c == "`":
+            if saw_semi:
+                statement_break()
+            j = i + 1
+            while j < n:
+                if q[j] == c:
+                    if j + 1 < n and q[j + 1] == c:
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            else:
+                j = n
+            out.append(q[i:j])
+            i = j
+        elif c == "'":
+            if saw_semi:
+                statement_break()
+            is_uamp = i >= 2 and q[i - 2 : i].upper() == "U&" and (
+                i == 2 or not (q[i - 3].isalnum() or q[i - 3] in "_$")
+            )
+            j = scan_literal(i + 1)
+            if is_uamp:
+                out.append(q[i : j + 1])
+                i = j + 1
+                m = _UESCAPE_AFTER_WS.match(q, i)
+                if m and m.end() < n and q[m.end()] == "'":
+                    j2 = scan_literal(m.end() + 1)
+                    out.append(q[i : j2 + 1])
+                    i = j2 + 1
+            else:
+                body = q[i + 1 : j]
+                out.append("'" + body.replace("\\", "\\\\") + "'")
+                i = j + 1
+        else:
+            if c == ";":
+                saw_semi = True
+            elif saw_semi and c not in " \t\r\n":
+                statement_break()
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def _rewrite_unicode_literals(q: str) -> str:
     """Decode `U&'...'` [UESCAPE 'c'] into a plain Spark literal.
 
@@ -4917,6 +5031,9 @@ def _rewrite_binary_hashes(q: str) -> str:
 
 def translate(query: str) -> str:
     """Rewrite Trino-only idioms to Spark SQL, outside literals/comments."""
+    # FIRST: normalize Trino's escape-free literal spelling to Spark's
+    # (backslashes doubled) — every later pass lexes with Spark rules
+    query = _respell_escape_free_literals(query)
     query = _rewrite_unicode_literals(query)
     query = _rewrite_binary_hashes(query)
     query = _rewrite_reduce_agg(query)

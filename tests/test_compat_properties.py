@@ -1,7 +1,8 @@
 """Property tests for the Trino-dialect translator: whatever the
-rewrites do to code, string-literal CONTENT must survive byte-identical
-(a rewrite that edits inside a literal silently changes query results —
-the exact bug class the backslash-escape fix closed)."""
+rewrites do to code, the string VALUE each literal denotes under
+Trino's escape-free lexing must survive into the Spark spelling
+byte-identical (a rewrite that edits inside a literal — or a respell
+that changes the value — silently changes query results)."""
 
 from __future__ import annotations
 
@@ -25,12 +26,16 @@ def _literals(q: str):
 
 @settings(max_examples=300, deadline=None)
 @given(payload)
-def test_translate_never_edits_literal_content(body):
-    # embed the payload as a correctly-escaped Spark literal
-    lit = "'" + body.replace("\\", "\\\\").replace("'", "\\'") + "'"
+def test_translate_never_edits_literal_value(body):
+    # embed the payload as a Trino-spelled literal (escape-free:
+    # quotes doubled, backslash an ordinary char) — translate must
+    # emit the SAME string value in Spark spelling (backslashes
+    # doubled) and never rewrite code-looking text inside it
+    lit = "'" + body.replace("'", "''") + "'"
+    expected = "'" + body.replace("\\", "\\\\").replace("'", "''") + "'"
     q = f"SELECT repeat(x, 2), {lit} AS s, format('%s', y) FROM t"
     out = translate(q)
-    assert _literals(out).count(lit) == _literals(q).count(lit), (q, out)
+    assert _literals(out).count(expected) == 1, (q, out)
     # code rewrites still happened outside the literal
     assert "array_repeat(x, 2)" in out
     assert "format_string('%s', y)" in out

@@ -70,6 +70,7 @@ _NEVER_GRADED = [
     "t12_mr_all_rows",
     "t13_mr_permute_subset",
     "x29_window_exclude",
+    "x30_escape_free_literals",
 ]
 
 

@@ -421,14 +421,50 @@ def test_try_compound_end_to_end(spark):
     assert sorted((r["x"] is None, r["x"]) for r in rows) == [(False, 3), (True, None)]
 
 
-def test_backslash_escape_in_literal_not_rewritten():
-    # `'don\'t repeat(y)'` is ONE literal under Spark's lexer; the
-    # rename pass must not edit inside it
-    q = "SELECT contains(a, x), 'don\\'t repeat(y)' FROM t"
+def test_escape_free_literals_respelled():
+    # Trino literals are escape-free: the pre-pass re-spells them for
+    # Spark's lexer so the engine sees the same string VALUE, and no
+    # rename pass edits inside them
+    q = "SELECT contains(a, x), 'don''t repeat(y)' FROM t"
     got = translate(q)
     assert "array_repeat" not in got
-    assert "don\\'t repeat(y)" in got
+    assert "don''t repeat(y)" in got
     assert got.startswith("SELECT array_contains(a, x)")
+    # a backslash in a Trino literal is an ordinary char — doubled so
+    # Spark reads the identical value (the old "write '\\d'" gap)
+    assert translate(r"SELECT regexp_like(s, '\d+') FROM t") == (
+        r"SELECT regexp_like(s, '\\d+') FROM t"
+    )
+    assert translate(r"SELECT x FROM t WHERE s LIKE 'a\%' ESCAPE '\'") == (
+        r"SELECT x FROM t WHERE s LIKE 'a\\%' ESCAPE '\\'"
+    )
+    # '' doubling is preserved verbatim; comments/identifiers untouched
+    assert translate("SELECT 'it''s \\a' FROM `t\\x`") == (
+        "SELECT 'it''s \\\\a' FROM `t\\x`"
+    )
+    assert translate("SELECT 1 -- don't \\d\nFROM t") == (
+        "SELECT 1 -- don't \\d\nFROM t"
+    )
+    # U&'...' literals and their UESCAPE clause are the decoder's to
+    # re-escape — the pre-pass must not double their decode-time escapes
+    assert translate(r"SELECT U&'a\0041' FROM t") == "SELECT 'aA' FROM t"
+    assert translate(r"SELECT U&'a\' UESCAPE '#' FROM t") == r"SELECT 'a\\' FROM t"
+
+
+def test_escape_free_literals_loud_errors():
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    # Spark's backslash lexing would read both of these with SHIFTED
+    # literal boundaries (the gate lexes with Spark rules) — they are
+    # syntax errors in Trino and must fail loudly here, not run
+    # differently
+    with pytest.raises(TrinoCompatError, match="unterminated string"):
+        # Trino: literal `don` + code `t repeat...` + unterminated tail
+        translate("SELECT 'don\\'t repeat(y)' FROM t")
+    with pytest.raises(TrinoCompatError, match="multiple SQL statements"):
+        translate("SELECT 'a\\' || x FROM t; DROP TABLE t --'")
+    # trailing semicolon alone is fine
+    assert translate("SELECT 1;  \n") == "SELECT 1;  \n"
 
 
 def test_map_constructor_rewrite(spark):
@@ -693,7 +729,7 @@ def test_chr_invalid_codepoints_raise(spark):
     import pytest as _pytest
 
     for bad in ("-1", "1114112", "55296"):
-        with _pytest.raises(Exception, match="invalid code point"):
+        with pytest.raises(Exception, match="invalid code point"):
             run(spark, f"SELECT chr({bad}) AS r")
 
 
@@ -1385,7 +1421,7 @@ def test_wilson_interval_domain_validation(spark):
         "wilson_interval_upper(11, 10, 1.96)",  # successes > trials
         "wilson_interval_upper(1, 10, -0.5)",   # negative z
     ):
-        with _pytest.raises(Exception, match="wilson_interval"):
+        with pytest.raises(Exception, match="wilson_interval"):
             run(spark, f"SELECT {bad}")
 
 
@@ -1835,9 +1871,9 @@ def test_normal_cdf_and_inverse(spark):
     assert r["mx"] < 2e-3  # limited by the 1.5e-7 erf error in the tails
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="standardDeviation"):
+    with pytest.raises(Exception, match="standardDeviation"):
         run(spark, "SELECT normal_cdf(0.0E0, 0.0E0, 1.0E0)")
-    with _pytest.raises(Exception, match="in \\(0, 1\\)"):
+    with pytest.raises(Exception, match="in \\(0, 1\\)"):
         run(spark, "SELECT inverse_normal_cdf(0.0E0, 1.0E0, 1.5E0)")
 
 
@@ -1855,7 +1891,7 @@ def test_beta_cdf(spark):
     assert abs(r["e"] - (1.0 - 0.890625)) < 1e-12  # symmetry branch
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="beta_cdf"):
+    with pytest.raises(Exception, match="beta_cdf"):
         run(spark, "SELECT beta_cdf(-1.0E0, 1.0E0, 0.5E0)")
 
 

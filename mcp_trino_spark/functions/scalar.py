@@ -1197,3 +1197,79 @@ def x30_escape_free_literals(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x31_window_exclude_peers",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(sum(o_orderkey) OVER (PARTITION BY o_custkey
+             ORDER BY year(o_orderdate) RANGE BETWEEN UNBOUNDED PRECEDING
+             AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS BIGINT) AS yr_sum_g,
+           CAST(sum(o_orderkey) OVER (PARTITION BY o_custkey
+             ORDER BY year(o_orderdate) RANGE BETWEEN UNBOUNDED PRECEDING
+             AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS BIGINT) AS yr_sum_t,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate)
+             RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             EXCLUDE GROUP) AS yr_cnt_g,
+           CAST(sum(o_orderkey) OVER (PARTITION BY o_custkey
+             ORDER BY year(o_orderdate) RANGE BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW EXCLUDE CURRENT ROW) AS BIGINT) AS run_sum_c,
+           CAST(avg(o_orderkey) OVER (PARTITION BY o_custkey
+             ORDER BY year(o_orderdate) RANGE BETWEEN UNBOUNDED PRECEDING
+             AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS DOUBLE) AS yr_avg_t
+    FROM orders WHERE o_custkey < 200
+    """,
+)
+def x31_window_exclude_peers(spark, sf_dir):
+    """Differential certification of the EXCLUDE GROUP/TIES peer-
+    subtraction rewrite (_exclude_peer_subtraction) against DuckDB's
+    NATIVE window EXCLUDE: same-year orders form real peer groups per
+    customer, so a wrong peer window (missing partition key, unstripped
+    sort qualifier) or a wrong add-back term diverges on every
+    multi-order year.  The Spark side spells the running frame
+    implicitly (ORDER BY without a frame) — the rewrite must supply
+    Trino's default RANGE UNBOUNDED..CURRENT semantic that the oracle
+    spells explicitly.
+
+    Exactness: aggregates over o_orderkey (integer-valued — the
+    subtraction re-orders double addition, exact only for integers);
+    avg divides exact sums by exact counts identically in both
+    engines.
+
+    Reference parity: Trino evaluates SQL-standard frame EXCLUDE
+    natively and the reference forwards it verbatim
+    (internal/trino/client.go); x29 certified the ROWS split — this
+    closes the GROUP/TIES modes SURVEY carried as rejected-loudly.
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT o_orderkey,
+                   sum(o_orderkey) OVER (PARTITION BY o_custkey
+                     ORDER BY extract(YEAR FROM o_orderdate)
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+                     FOLLOWING EXCLUDE GROUP) AS yr_sum_g,
+                   sum(o_orderkey) OVER (PARTITION BY o_custkey
+                     ORDER BY extract(YEAR FROM o_orderdate)
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+                     FOLLOWING EXCLUDE TIES) AS yr_sum_t,
+                   count(*) OVER (PARTITION BY o_custkey
+                     ORDER BY extract(YEAR FROM o_orderdate)
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+                     FOLLOWING EXCLUDE GROUP) AS yr_cnt_g,
+                   sum(o_orderkey) OVER (PARTITION BY o_custkey
+                     ORDER BY extract(YEAR FROM o_orderdate)
+                     EXCLUDE CURRENT ROW) AS run_sum_c,
+                   CAST(avg(o_orderkey) OVER (PARTITION BY o_custkey
+                     ORDER BY extract(YEAR FROM o_orderdate)
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+                     FOLLOWING EXCLUDE TIES) AS DOUBLE) AS yr_avg_t
+            FROM orders WHERE o_custkey < 200
+            """
+        )
+    )

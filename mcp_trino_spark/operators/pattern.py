@@ -272,12 +272,16 @@ def match_recognize(
 
     ``after_match`` selects the skip mode: ``"past last row"`` (the
     default — non-overlapping matches, scanning resumes after the
-    match end) or ``"to next row"`` (overlapping matches — scanning
+    match end), ``"to next row"`` (overlapping matches — scanning
     resumes at the row after the match START, so every row that begins
-    a match yields one; Trino's AFTER MATCH SKIP TO NEXT ROW).  SKIP
-    TO FIRST/LAST <symbol> is rejected loudly (its resumption point
-    depends on per-match symbol spans and can loop on degenerate
-    patterns; unsupported rather than subtly wrong).
+    a match yields one; Trino's AFTER MATCH SKIP TO NEXT ROW), or
+    ``"to first <SYM>"`` / ``"to last <SYM>"`` (scanning resumes AT
+    the first/last row the finished match mapped to the symbol or
+    SUBSET variable — that row can start the next match).  The SQL
+    standard's two SKIP TO runtime errors are reproduced as loud
+    per-group errors, exactly where Trino raises: a match that maps no
+    row to the symbol, and a resume that lands on the match's own
+    first row (which would loop forever).
 
     ``define`` maps symbol → boolean predicate (Column or SQL string)
     evaluated per row; express PREV/NEXT navigation as lag/lead columns
@@ -303,10 +307,14 @@ def match_recognize(
     if not partition_by:
         raise ValueError("partition_by must be non-empty (global-order "
                          "pattern matching does not scale out)")
-    if after_match not in ("past last row", "to next row"):
+    skip_to = None  # (is_first, target name) for "to first/last <SYM>"
+    am_skip = re.match(r"^to (first|last) ([A-Za-z_][\w$]*)$", after_match)
+    if am_skip:
+        skip_to = (am_skip.group(1) == "first", am_skip.group(2))
+    elif after_match not in ("past last row", "to next row"):
         raise ValueError(
-            f"after_match {after_match!r} not supported — "
-            "'past last row' or 'to next row'"
+            f"after_match {after_match!r} not supported — 'past last "
+            "row', 'to next row', or 'to first/last <symbol>'"
         )
     syms = list(define)
     if len(syms) > len(_ALPHABET):
@@ -409,6 +417,14 @@ def match_recognize(
 
     check_exclusive = bool(enforce_exclusive)
     overlap_scan = after_match == "to next row"
+    if skip_to is not None:
+        if skip_to[1] not in char_of:
+            raise ValueError(
+                f"AFTER MATCH SKIP TO {'FIRST' if skip_to[0] else 'LAST'} "
+                f"{skip_to[1]}: unknown pattern symbol or SUBSET variable"
+            )
+        skip_chars = char_of[skip_to[1]]
+        skip_first, skip_name = skip_to[0], skip_to[1]
     emit_all = all_rows
 
     def _sel(arr, chars):
@@ -451,6 +467,53 @@ def match_recognize(
                         continue
                     yield mm
                     pos = ms + 1
+        elif skip_to is not None:
+            # SKIP TO FIRST/LAST <symbol>: resume AT the first/last row
+            # the finished match mapped to the symbol (that row may
+            # start the next match).  Trino's two runtime errors are
+            # reproduced: the symbol absent from the match, and a
+            # resume at the match's own first row (infinite loop).
+            def _matches(sq):
+                pos = 0
+                while pos <= len(sq):
+                    mm = rx.search(sq, pos)
+                    if mm is None:
+                        return
+                    ms, me = mm.span()
+                    if ms == me:
+                        pos = ms + 1
+                        continue
+                    yield mm
+                    seg = sq[ms:me]
+                    if len(skip_chars) == 1:
+                        idx = (
+                            seg.find(skip_chars)
+                            if skip_first
+                            else seg.rfind(skip_chars)
+                        )
+                    else:  # SUBSET union variable: any member's rows
+                        hits = [
+                            i for i, c in enumerate(seg) if c in skip_chars
+                        ]
+                        idx = (
+                            (hits[0] if skip_first else hits[-1])
+                            if hits
+                            else -1
+                        )
+                    word = "FIRST" if skip_first else "LAST"
+                    if idx < 0:
+                        raise ValueError(
+                            f"AFTER MATCH SKIP TO {word} {skip_name} "
+                            f"failed: the match maps no row to "
+                            f"{skip_name} (Trino raises here too)"
+                        )
+                    if idx == 0:
+                        raise ValueError(
+                            f"AFTER MATCH SKIP TO {word} {skip_name} "
+                            f"would resume at the first row of the match "
+                            f"— infinite loop (Trino raises here too)"
+                        )
+                    pos = ms + idx
         else:
             def _matches(sq):
                 for mm in rx.finditer(sq):
@@ -930,6 +993,92 @@ def t13_mr_permute_subset(spark, sf_dir):
           SUBSET B = (H, L)
           DEFINE H AS value > 50,
                  L AS value <= 50
+        )
+        """,
+        [],
+    )
+    return spark.sql(rewritten)
+
+
+@register(
+    "t14_mr_skip_to_symbol",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER w AS rn,
+             lead(event_id, 2) OVER w AS eid3,
+             value + lead(value, 1) OVER w + lead(value, 2) OVER w AS v3
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    x AS (
+      SELECT user_id, rn,
+             rn - row_number() OVER (PARTITION BY user_id ORDER BY rn)
+               AS grp
+      FROM base WHERE value > 50
+    ),
+    spans AS (
+      SELECT user_id, grp, min(rn) AS r0, count(*) AS len
+      FROM x GROUP BY user_id, grp HAVING count(*) >= 3
+    ),
+    starts AS (
+      SELECT user_id, r0 + 2 * t.k AS srn
+      FROM spans,
+           UNNEST(generate_series(0, CAST((len - 3) // 2 AS BIGINT)))
+             AS t(k)
+    )
+    SELECT b.user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY b.user_id ORDER BY b.rn)
+                AS BIGINT) AS match_no,
+           b.event_id AS start_id,
+           b.eid3 AS end_id,
+           b.v3 AS v3sum
+    FROM base b JOIN starts s ON s.user_id = b.user_id AND s.srn = b.rn
+    """,
+)
+def t14_mr_skip_to_symbol(spark, sf_dir):
+    """AFTER MATCH SKIP TO LAST <symbol>, certified end-to-end through
+    the SQL front-end: ``PATTERN (X X X)`` over runs of value>50 rows,
+    resuming AT the last X of each match (that row starts the next
+    candidate), so a run of length L yields matches at run offsets
+    0, 2, 4, … ≤ L-3.
+
+    The oracle is INDEPENDENT of the matcher — gaps-and-islands runs +
+    a generate_series over the arithmetic progression of start
+    offsets, all native DuckDB.  The three skip modes give three
+    DIFFERENT match sets on any run of length ≥ 5 (PAST LAST ROW:
+    offsets 0,3,…; TO NEXT ROW: every offset ≤ L-3; TO LAST X: even
+    offsets) — a mode mix-up hash-mismatches on both match_no and the
+    start/end ids.
+
+    Exactness: v3sum is the same three-operand left-assoc double add
+    in both engines (numpy's pairwise summation is sequential below 8
+    elements); ids/counts are integers.
+
+    Reference surface: client.go:501-617 passes MATCH_RECOGNIZE SQL
+    (including AFTER MATCH SKIP TO [FIRST|LAST] <symbol>) through to
+    Trino verbatim; the two SQL-standard runtime errors (symbol absent
+    from match, resume at match start) raise loudly where Trino
+    raises — unit-tested in tests/test_pattern.py.
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_mr import expand_match_recognize
+
+    register_tables(spark, sf_dir)
+    rewritten = expand_match_recognize(
+        spark,
+        """
+        SELECT user_id, match_no, start_id, end_id, v3sum
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES MATCH_NUMBER() AS match_no,
+                   FIRST(event_id) AS start_id,
+                   LAST(event_id) AS end_id,
+                   SUM(value) AS v3sum
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO LAST X
+          PATTERN (X X X)
+          DEFINE X AS value > 50
         )
         """,
         [],

@@ -348,6 +348,10 @@ _PRIORITY = [
     # round-8 addition: EXCLUDE GROUP/TIES via frame-minus-peer-group
     # subtraction (vs DuckDB's native EXCLUDE)
     "x31_window_exclude_peers",
+    # round-8 addition: AFTER MATCH SKIP TO [FIRST|LAST] <symbol>
+    # (gaps-and-islands + arithmetic-progression oracle distinguishes
+    # all three skip modes)
+    "t14_mr_skip_to_symbol",
     # --- fill: the proven entries longest absent from any window
     # (rounds 4-5 vintage, never re-certified since) ---
     "w2_rank_dense_rank",
@@ -358,10 +362,9 @@ _PRIORITY = [
     "x1_string_basics",
     "x2_regex",
     "x3_date_extract",
-    "x4_date_arith",
-    # (x5_timestamp_fmt / x7_conditional rotated out to make room for
-    # x30/x31 — both stay in the proven spot-check sets; eight
-    # r4-r5-vintage x-entries remain in this window)
+    # (x4_date_arith / x5_timestamp_fmt / x7_conditional rotated out to
+    # make room for x30/x31/t14 — all three stay in the proven
+    # spot-check sets; r4-r5-vintage x-entries remain in this window)
     "x11_map_struct",
     "x18_array_setops",
     "a2_sum_avg_min_max",

@@ -301,14 +301,23 @@ def expand_match_recognize(
             )
         after_match = "past last row"
         if "AFTER MATCH" in sections:
-            skip = re.sub(r"\s+", " ", sections["AFTER MATCH"].upper()).strip()
+            raw_skip = re.sub(r"\s+", " ", sections["AFTER MATCH"]).strip()
+            skip = raw_skip.upper()
+            sm2 = re.match(
+                r"(?i)^SKIP TO (?:(FIRST|LAST) )?([A-Za-z_][\w$]*)$",
+                raw_skip,
+            )
             if skip == "SKIP TO NEXT ROW":
                 after_match = "to next row"  # overlapping matches
+            elif sm2:
+                # SKIP TO <sym> is the standard's shorthand for LAST
+                which = (sm2.group(1) or "LAST").lower()
+                after_match = f"to {which} {sm2.group(2)}"
             elif skip != "SKIP PAST LAST ROW":
                 raise TrinoCompatError(
                     f"AFTER MATCH {skip} is not supported (SKIP PAST LAST "
-                    "ROW and SKIP TO NEXT ROW are; SKIP TO FIRST/LAST "
-                    "<symbol> is rejected rather than subtly wrong)"
+                    "ROW, SKIP TO NEXT ROW, and SKIP TO [FIRST|LAST] "
+                    "<symbol> are)"
                 )
         for req in ("PARTITION BY", "ORDER BY", "PATTERN", "DEFINE"):
             if req not in sections:

@@ -62,7 +62,7 @@ def test_detection_ignores_literals(spark):
 
 @pytest.mark.parametrize("frag,msg", [
     ("ALL ROWS PER MATCH OMIT EMPTY MATCHES", "modifier|EMPTY"),
-    ("AFTER MATCH SKIP TO FIRST A", "not supported"),
+    ("AFTER MATCH SKIP TO END OF MATCH", "not supported"),
     ("SUBSET X = D, U", "SUBSET"),  # malformed: needs parens
 ])
 def test_unsupported_clauses_fail_loudly(spark, orders_view, frag, msg):

@@ -448,3 +448,88 @@ def test_subset_union_measures(spark):
             define={"A": "x > 0", "B": "x < 0"}, pattern="A B",
             measures=[("n", "count", None, None)], subsets={"M": ["Z"]},
         )
+
+
+def test_skip_to_symbol_modes(spark):
+    """AFTER MATCH SKIP TO LAST <sym>: scanning resumes AT the last
+    row the match mapped to the symbol (that row may start the next
+    match) — on a run of five X's, PATTERN (X X X) yields starts at
+    offsets 0 and 2, distinct from both PAST LAST ROW (offset 0 only)
+    and TO NEXT ROW (offsets 0, 1, 2).  The SQL standard's two SKIP TO
+    runtime errors raise loudly exactly where Trino raises."""
+    import pandas as pd
+    from mcp_trino_spark.operators.pattern import match_recognize
+
+    pdf = pd.DataFrame(
+        {"g": [1] * 8, "i": list(range(8)),
+         "v": [1, 1, 1, 1, 1, -1, 1, 1]}  # XXXXX . XX
+    )
+    df = spark.createDataFrame(pdf)
+    kw = dict(
+        partition_by=["g"], order_by=["i"], define={"X": "v > 0"},
+        pattern="X X X",
+        measures=[("s", "first", None, "i"), ("e", "last", None, "i")],
+    )
+    spans = lambda rows: sorted((r["s"], r["e"]) for r in rows)
+    assert spans(match_recognize(df, **kw).collect()) == [(0, 2)]
+    assert spans(
+        match_recognize(df, after_match="to next row", **kw).collect()
+    ) == [(0, 2), (1, 3), (2, 4)]
+    assert spans(
+        match_recognize(df, after_match="to last X", **kw).collect()
+    ) == [(0, 2), (2, 4)]
+    # SUBSET union variable as the skip target
+    out = match_recognize(
+        df, after_match="to last M", subsets={"M": ["X"]}, **kw
+    ).collect()
+    assert spans(out) == [(0, 2), (2, 4)]
+    # TO FIRST X resumes at the match's own first row -> loud error
+    with pytest.raises(Exception, match="first row of the match"):
+        match_recognize(df, after_match="to first X", **kw).collect()
+    # unknown symbol rejected at build time
+    with pytest.raises(ValueError, match="unknown pattern symbol"):
+        match_recognize(df, after_match="to last Q", **kw)
+    # symbol absent from the match -> loud per-group error (Trino
+    # raises too): pattern A B? with no B rows, skip target B
+    pdf2 = pd.DataFrame({"g": [1, 1], "i": [0, 1], "v": [1, 1]})
+    df2 = spark.createDataFrame(pdf2)
+    with pytest.raises(Exception, match="maps no row"):
+        match_recognize(
+            df2, partition_by=["g"], order_by=["i"],
+            define={"A": "v > 0", "B": "v < 0"}, pattern="A B?",
+            measures=[("n", "count", None, None)],
+            after_match="to last B",
+        ).collect()
+
+
+def test_skip_to_symbol_sql_front_end(spark):
+    """SKIP TO [FIRST|LAST] <symbol> parses through the MATCH_RECOGNIZE
+    SQL front-end (SKIP TO <sym> is the standard's LAST shorthand)."""
+    from mcp_trino_spark.execute import execute_query
+    from mcp_trino_spark.config import EngineConfig
+    from mcp_trino_spark.sources.catalog import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001")
+    body = """
+        SELECT user_id, match_no, start_id
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES MATCH_NUMBER() AS match_no,
+                   FIRST(event_id) AS start_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO {target}
+          PATTERN (X X X)
+          DEFINE X AS value > 50
+        )
+    """
+    full = execute_query(
+        spark, body.format(target="LAST X"), EngineConfig(), dialect="trino"
+    )
+    shorthand = execute_query(
+        spark, body.format(target="X"), EngineConfig(), dialect="trino"
+    )
+    assert len(full.rows) > 0
+    assert sorted((r["user_id"], r["start_id"]) for r in full.rows) == sorted(
+        (r["user_id"], r["start_id"]) for r in shorthand.rows
+    )

@@ -72,6 +72,7 @@ _NEVER_GRADED = [
     "x29_window_exclude",
     "x30_escape_free_literals",
     "x31_window_exclude_peers",
+    "t14_mr_skip_to_symbol",
 ]
 
 

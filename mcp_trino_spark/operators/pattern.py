@@ -254,6 +254,7 @@ def match_recognize(
     after_match: str = "past last row",
     rows_per_match: str = "one",
     subsets: Optional[Dict[str, Sequence[str]]] = None,
+    unmatched_rows: bool = False,
 ) -> DataFrame:
     """Run SQL:2016 row-pattern recognition.
 
@@ -354,6 +355,11 @@ def match_recognize(
     if rows_per_match not in ("one", "all"):
         raise ValueError(f"rows_per_match {rows_per_match!r}: 'one' or 'all'")
     all_rows = rows_per_match == "all"
+    if unmatched_rows and not all_rows:
+        raise ValueError(
+            "unmatched_rows requires rows_per_match='all' (SQL spells it "
+            "ALL ROWS PER MATCH WITH UNMATCHED ROWS)"
+        )
     # normalize measures to 5-tuples (mode defaults to final)
     norm_meas = []
     for m_item in measures:
@@ -416,6 +422,7 @@ def match_recognize(
     name_of_char = {v: k for k, v in sym_char.items()}
 
     check_exclusive = bool(enforce_exclusive)
+    emit_unmatched = bool(unmatched_rows)
     overlap_scan = after_match == "to next row"
     if skip_to is not None:
         if skip_to[1] not in char_of:
@@ -557,6 +564,7 @@ def match_recognize(
 
         if emit_all:
             pass_np = {c: pdf[c].to_numpy() for c in pass_cols}
+            covered = bytearray(len(seq)) if emit_unmatched else None
         mno = 0
         for m in _matches(seq):
             s, e = m.span()
@@ -578,6 +586,8 @@ def match_recognize(
                 for (_n, agg, sym, col, mode) in meas
             ]
             for j in range(s, e):
+                if covered is not None:
+                    covered[j] = 1
                 row = [pass_np[c][j] for c in pass_cols]
                 row.append(mno)
                 for fi, (_n, agg, sym, col, mode) in enumerate(meas):
@@ -588,6 +598,14 @@ def match_recognize(
                     else:
                         row.append(span_value(agg, sym, col, s, j + 1))
                 rows.append(row)
+        if emit_all and emit_unmatched:
+            # WITH UNMATCHED ROWS: every row in no match passes through
+            # with NULL match number, NULL measures, NULL CLASSIFIER()
+            # (the SQL-standard semantics Trino implements)
+            nulls = [None] * (len(meas) + 1)
+            for j in range(len(seq)):
+                if not covered[j]:
+                    rows.append([pass_np[c][j] for c in pass_cols] + nulls)
 
     def run_partition(batches) -> "pd.DataFrame":
         """One call per PARTITION (mapInPandas), not per key: rows arrive
@@ -1079,6 +1097,84 @@ def t14_mr_skip_to_symbol(spark, sf_dir):
           AFTER MATCH SKIP TO LAST X
           PATTERN (X X X)
           DEFINE X AS value > 50
+        )
+        """,
+        [],
+    )
+    return spark.sql(rewritten)
+
+
+@register(
+    "t15_mr_unmatched_rows",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, event_id, value,
+             (value > 50) AS h,
+             lag(value > 50) OVER w AS ph,
+             lead(value) OVER w AS nval,
+             lead(event_id) OVER w AS nid,
+             lead(value > 50) OVER w AS nh
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    m AS (
+      SELECT user_id, event_id, value, nval, nid,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS mn
+      FROM c WHERE h AND nh IS NOT NULL AND NOT nh
+    )
+    SELECT user_id, event_id, mn, 'H' AS cls, CAST(1 AS BIGINT) AS rc,
+           value + nval AS tot
+    FROM m
+    UNION ALL
+    SELECT user_id, nid AS event_id, mn, 'L' AS cls, CAST(2 AS BIGINT) AS rc,
+           value + nval AS tot
+    FROM m
+    UNION ALL
+    SELECT user_id, event_id, CAST(NULL AS BIGINT) AS mn,
+           CAST(NULL AS VARCHAR) AS cls, CAST(NULL AS BIGINT) AS rc,
+           CAST(NULL AS DOUBLE) AS tot
+    FROM c
+    WHERE NOT (h AND nh IS NOT NULL AND NOT nh)
+      AND NOT (coalesce(ph, FALSE) AND NOT h)
+    """,
+)
+def t15_mr_unmatched_rows(spark, sf_dir):
+    """ALL ROWS PER MATCH WITH UNMATCHED ROWS, certified end-to-end
+    through the SQL front-end: every input row in no match passes
+    through with NULL MATCH_NUMBER(), NULL CLASSIFIER() and NULL
+    measures (the SQL-standard semantics Trino implements), alongside
+    t12's matched-row output.
+
+    The oracle is INDEPENDENT of the matcher: with disjoint H/L
+    symbols a row is matched iff it starts an H→L pair or its
+    predecessor does, so the unmatched arm is the lag()-window
+    complement — a wrong coverage set (e.g. marking only match starts)
+    changes the NULL-row population and hash-mismatches.
+
+    Reference surface: client.go:501-617 passes MATCH_RECOGNIZE SQL
+    (including the WITH UNMATCHED ROWS modifier) through to Trino
+    verbatim; SURVEY carried the modifier as rejected-loudly through
+    mid round 8.
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_mr import expand_match_recognize
+
+    register_tables(spark, sf_dir)
+    rewritten = expand_match_recognize(
+        spark,
+        """
+        SELECT user_id, event_id, mn, cls, rc, tot
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES MATCH_NUMBER() AS mn,
+                   CLASSIFIER() AS cls,
+                   count(*) AS rc,
+                   FINAL sum(value) AS tot
+          ALL ROWS PER MATCH WITH UNMATCHED ROWS
+          PATTERN (H L)
+          DEFINE H AS value > 50,
+                 L AS value <= 50
         )
         """,
         [],

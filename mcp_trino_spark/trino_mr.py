@@ -293,12 +293,25 @@ def expand_match_recognize(
                     m.strip() for m in sm.group(2).split(",") if m.strip()
                 ]
         all_rows = "ALL ROWS PER MATCH" in sections
+        unmatched = False
         if all_rows and sections["ALL ROWS PER MATCH"]:
-            raise TrinoCompatError(
-                "unsupported modifier after ALL ROWS PER MATCH: "
-                f"{sections['ALL ROWS PER MATCH'][:40]!r} (SHOW/OMIT "
-                "EMPTY MATCHES and WITH UNMATCHED ROWS are not supported)"
-            )
+            mod = re.sub(
+                r"\s+", " ", sections["ALL ROWS PER MATCH"].upper()
+            ).strip()
+            if mod == "OMIT EMPTY MATCHES":
+                # this engine's scanner already omits zero-width
+                # (empty) matches — the modifier states the behavior
+                pass
+            elif mod == "WITH UNMATCHED ROWS":
+                unmatched = True
+            else:
+                raise TrinoCompatError(
+                    "unsupported modifier after ALL ROWS PER MATCH: "
+                    f"{mod[:40]!r} (OMIT EMPTY MATCHES and WITH "
+                    "UNMATCHED ROWS are supported; SHOW EMPTY MATCHES "
+                    "is not — this engine's scanner never emits empty "
+                    "matches)"
+                )
         after_match = "past last row"
         if "AFTER MATCH" in sections:
             raw_skip = re.sub(r"\s+", " ", sections["AFTER MATCH"]).strip()
@@ -418,6 +431,7 @@ def expand_match_recognize(
             after_match=after_match,
             rows_per_match="all" if all_rows else "one",
             subsets=subsets or None,
+            unmatched_rows=unmatched,
         )
         if match_no_alias is None:
             out = out.drop("__match_no")

@@ -61,7 +61,7 @@ def test_detection_ignores_literals(spark):
 
 
 @pytest.mark.parametrize("frag,msg", [
-    ("ALL ROWS PER MATCH OMIT EMPTY MATCHES", "modifier|EMPTY"),
+    ("ALL ROWS PER MATCH SHOW EMPTY MATCHES", "modifier|EMPTY"),
     ("AFTER MATCH SKIP TO END OF MATCH", "not supported"),
     ("SUBSET X = D, U", "SUBSET"),  # malformed: needs parens
 ])

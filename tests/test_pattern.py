@@ -389,10 +389,13 @@ def test_all_rows_sql_front_end_modifiers_rejected(spark):
     )
     assert len(r.rows) == 4
     assert {row["n"] for row in r.rows} <= {1, 2}  # RUNNING default
-    with pytest.raises(TrinoCompatError, match="UNMATCHED|modifier"):
+    # WITH UNMATCHED ROWS is supported (see test_unmatched_rows_and_
+    # omit_empty); the remaining rejected modifier is SHOW EMPTY
+    # MATCHES — this scanner never emits empty matches
+    with pytest.raises(TrinoCompatError, match="EMPTY|modifier"):
         execute_query(
             spark,
-            base.format(mode="ALL ROWS PER MATCH WITH UNMATCHED ROWS"),
+            base.format(mode="ALL ROWS PER MATCH SHOW EMPTY MATCHES"),
             dialect="trino",
         )
 
@@ -533,3 +536,62 @@ def test_skip_to_symbol_sql_front_end(spark):
     assert sorted((r["user_id"], r["start_id"]) for r in full.rows) == sorted(
         (r["user_id"], r["start_id"]) for r in shorthand.rows
     )
+
+
+def test_unmatched_rows_and_omit_empty(spark):
+    """ALL ROWS PER MATCH WITH UNMATCHED ROWS passes unmatched rows
+    through with NULL match_no / NULL measures; OMIT EMPTY MATCHES is
+    accepted as a statement of the scanner's existing behavior."""
+    import pandas as pd
+    from mcp_trino_spark.operators.pattern import match_recognize
+    from mcp_trino_spark.execute import execute_query
+    from mcp_trino_spark.config import EngineConfig
+    from mcp_trino_spark.sources.catalog import register_tables
+
+    pdf = pd.DataFrame(
+        {"g": [1] * 6, "i": range(6),
+         "v": [60.0, 40.0, 30.0, 70.0, 45.0, 80.0]}
+    )  # H L | unmatched | H L | unmatched
+    df = spark.createDataFrame(pdf)
+    out = match_recognize(
+        df, partition_by=["g"], order_by=["i"],
+        define={"H": "v > 50", "L": "v <= 50"}, pattern="H L",
+        measures=[("tot", "sum", None, "v")],
+        rows_per_match="all", unmatched_rows=True,
+    ).orderBy("i").collect()
+    assert [(r["i"], r["match_no"], r["tot"]) for r in out] == [
+        (0, 1, 100.0), (1, 1, 100.0), (2, None, None),
+        (3, 2, 115.0), (4, 2, 115.0), (5, None, None),
+    ]
+    # direct-API guard: the modifier needs ALL ROWS
+    with pytest.raises(ValueError, match="rows_per_match"):
+        match_recognize(
+            df, partition_by=["g"], order_by=["i"],
+            define={"H": "v > 50", "L": "v <= 50"}, pattern="H L",
+            measures=[("tot", "sum", None, "v")], unmatched_rows=True,
+        )
+    # SQL front-end: both modifiers parse; unmatched rows arrive NULL
+    register_tables(spark, "/root/testdata/sf0.001")
+    body = """
+        SELECT user_id, event_id, mn
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES MATCH_NUMBER() AS mn
+          ALL ROWS PER MATCH {mod}
+          PATTERN (H L)
+          DEFINE H AS value > 50,
+                 L AS value <= 50
+        )
+    """
+    r_un = execute_query(
+        spark, body.format(mod="WITH UNMATCHED ROWS"), EngineConfig(),
+        dialect="trino",
+    )
+    r_omit = execute_query(
+        spark, body.format(mod="OMIT EMPTY MATCHES"), EngineConfig(),
+        dialect="trino",
+    )
+    n_null = sum(1 for r in r_un.rows if r["mn"] is None)
+    assert n_null > 0
+    assert len(r_un.rows) == len(r_omit.rows) + n_null

@@ -73,6 +73,7 @@ _NEVER_GRADED = [
     "x30_escape_free_literals",
     "x31_window_exclude_peers",
     "t14_mr_skip_to_symbol",
+    "t15_mr_unmatched_rows",
 ]
 
 

@@ -1273,3 +1273,54 @@ def x31_window_exclude_peers(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x32_subscript_semantics",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS w1,
+           string_split(text, ' ')[3] AS w3,
+           string_split(text, ' ')[len(string_split(text, ' '))] AS wlast,
+           MAP(['len','id'], [n_chars, doc_id])['id'][1] AS mid
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def x32_subscript_semantics(spark, sf_dir):
+    """Differential certification of the bare-subscript rewrite
+    (_rewrite_subscripts): Trino's ``expr[e]`` is 1-based on arrays
+    and key-exact on maps, where the same spelling parses 0-based /
+    NULL-returning in Spark — the header's long-documented SILENT
+    divergence, now respelled to ``element_at``.  DuckDB indexes
+    1-based natively, so first/middle/dynamic-last word extraction
+    diverges on every row if any index shifts by one; the map access
+    exercises the non-array branch of the same rewrite (DuckDB spells
+    the unwrap ``[key][1]`` because its map extract returns a list).
+
+    Covers: literal index on a function-call base, an expression index
+    (cardinality(...) — the dynamic last element), a subscript chain
+    through translate's own cardinality->size rename, and a map key
+    lookup.
+
+    Reference parity: Trino evaluates subscripts natively and the
+    reference forwards them verbatim (internal/trino/client.go);
+    SURVEY carried 1-based subscripts on non-literal arrays as THE
+    remaining silent-divergence gap from round 1.
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import install_compat_functions, translate
+
+    register_tables(spark, sf_dir)
+    install_compat_functions(spark)
+    return spark.sql(
+        translate(
+            """
+            SELECT doc_id,
+                   split(text, ' ')[1] AS w1,
+                   split(text, ' ')[3] AS w3,
+                   split(text, ' ')[cardinality(split(text, ' '))] AS wlast,
+                   MAP(ARRAY['len','id'], ARRAY[n_chars, doc_id])['id'] AS mid
+            FROM documents WHERE doc_id < 300
+            """
+        )
+    )

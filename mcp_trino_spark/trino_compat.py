@@ -36,9 +36,12 @@ shapes it can't express):
 - ``ARRAY[...]`` constructor → ``array(...)`` (balanced-bracket scan);
   a subscript directly on the literal (``ARRAY[..][k]``, 1-based in
   Trino) becomes ``element_at(array(..), k)`` which is also 1-based.
-  Bare subscripts on arbitrary array EXPRESSIONS are NOT rewritten —
-  Spark parses them 0-based and a lexical pass cannot tell arrays from
-  maps (where ``[key]`` has no offset): a remaining, documented gap.
+- Bare subscripts ``expr[e]`` → ``element_at(expr, e)`` on EVERY base
+  (_rewrite_subscripts): 1-based on arrays and ANSI-throwing on maps,
+  matching Trino on both container kinds — closed in round 8 (was the
+  header's documented silent-divergence gap).  Residue: a negative
+  array index reads from the end where Trino errors (negative map
+  keys are legal, so a loud reject would break valid lookups).
 - ``MAP(ka, va)`` (non-empty, not a CAST type) → ``map_from_arrays`` —
   Spark's variadic ``map()`` would silently read the two arrays as one
   entry.
@@ -55,8 +58,9 @@ shapes it can't express):
   operator (trino_mr.py + operators/pattern.py), not this module.
 - Known gaps (fail loudly at Spark analysis rather than silently
   differ): the 3-arg ``from_unixtime(x, hours, minutes)`` offset form,
-  anonymous ``ROW`` type fields.  Silent-divergence gap: 1-based
-  subscripts on non-literal arrays (see above).
+  anonymous ``ROW`` type fields.  (The former silent-divergence gap —
+  1-based subscripts on non-literal arrays — closed in round 8 via
+  _rewrite_subscripts; see above.)
 """
 
 from __future__ import annotations
@@ -1480,13 +1484,16 @@ def _rewrite_lambda_regexp_replace(q: str) -> str:
 
       parts  = split(s, pat, -1)                   -- K+1 gap segments
       g_i    = regexp_extract_all(s, pat, i)       -- i-th group, per match
-      groups = transform(sequence(1, K), j -> array('', g_1[j], .., g_n[j]))
+      groups = transform(sequence(1, K), j -> array(g_1[j], .., g_n[j]))
       repl   = transform(groups, x -> body)        -- lambda verbatim
       out    = parts[1] . repl[1] . parts[2] . ... . parts[K+1]
 
-    The leading '' dummy makes Spark's 0-based ``x[1]`` hit group 1,
-    so the lambda body runs VERBATIM with Trino's 1-based indexing —
-    no body rewriting.  The pattern must be a string literal (the
+    The body's ``x[i]`` subscripts were already respelled to the
+    1-based ``element_at(x, i)`` by _rewrite_subscripts (which runs
+    first), so the group array is UNPADDED and the lambda body runs
+    otherwise verbatim; whole-array uses (``array_join(x, ..)``) see
+    exactly Trino's 1..n group array.  The pattern must be a string
+    literal (the
     rewrite re-uses it in split/extract calls and must count its
     groups).  Loud runtime guard: a zero-width match would misalign
     split against extract_all, so it raise_error()s instead of
@@ -1529,10 +1536,18 @@ def _rewrite_lambda_regexp_replace(q: str) -> str:
             f"element_at(regexp_extract_all({s_expr}, {pat_lit}, {i}), __g)"
             for i in range(1, n_groups + 1)
         )
-        garr = (
-            f"transform(sequence(1, size({m0})), "
-            f"__g -> array(''{', ' + group_items if group_items else ''}))"
-        )
+        if group_items:
+            garr = (
+                f"transform(sequence(1, size({m0})), "
+                f"__g -> array({group_items}))"
+            )
+        else:
+            # zero capture groups: Trino's x is an EMPTY array (any
+            # element_at(x, i) errors there; ANSI element_at matches)
+            garr = (
+                f"transform(sequence(1, size({m0})), "
+                f"__g -> CAST(array() AS ARRAY<STRING>))"
+            )
         repl = f"transform({garr}, {var} -> ({body}))"
         out = (
             f"(CASE WHEN ({s_expr}) IS NULL THEN CAST(NULL AS STRING) "
@@ -1893,6 +1908,124 @@ def _code_mask(q: str) -> List[bool]:
 
 
 _ARRAY_LIT = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
+
+
+#: bare identifiers a subscript must never attach to (keywords that can
+#: lexically precede '[' without being an expression; ARRAY covers any
+#: constructor the array-literal pass leaves behind)
+_NON_SUBSCRIPT_BASES = {
+    "AND", "OR", "NOT", "IN", "IS", "LIKE", "BETWEEN", "CASE", "WHEN",
+    "THEN", "ELSE", "END", "SELECT", "FROM", "WHERE", "GROUP", "ORDER",
+    "BY", "HAVING", "ON", "AS", "JOIN", "OVER", "PARTITION", "ROWS",
+    "RANGE", "GROUPS", "ARRAY", "MAP", "VALUES", "UNION", "ALL",
+    "DISTINCT", "CAST", "INTERVAL", "RETURN", "EXCLUDE", "AFTER",
+}
+
+
+def _subscript_base_start(q: str, mask: List[bool], pos: int):
+    """``pos`` is the index of a code-position ``[``; return the start
+    index of the base expression it subscripts (an identifier /
+    dotted-name / call / parenthesized group / subscript chain), or
+    None when the ``[`` does not follow a subscriptable base."""
+    j = pos - 1
+    while j >= 0 and q[j].isspace():
+        j -= 1
+    if j < 0 or not mask[j]:
+        return None
+    end = j
+    while j >= 0:
+        c = q[j]
+        if c in ")]" and mask[j]:
+            close, open_ = c, "(" if c == ")" else "["
+            depth = 0
+            while j >= 0:
+                if mask[j]:
+                    if q[j] == close:
+                        depth += 1
+                    elif q[j] == open_:
+                        depth -= 1
+                        if depth == 0:
+                            break
+                j -= 1
+            if j < 0:
+                return None
+            j -= 1
+            continue
+        if (c.isalnum() or c in "_$") and mask[j]:
+            k = j
+            while k >= 0 and mask[k] and (q[k].isalnum() or q[k] in "_$"):
+                k -= 1
+            name = q[k + 1 : j + 1]
+            if (
+                k + 1 + len(name) - 1 == end
+                and name.upper() in _NON_SUBSCRIPT_BASES
+            ):
+                return None  # keyword, not an expression base
+            j = k
+            if j >= 0 and q[j] == "." and mask[j]:
+                j -= 1
+                continue
+            return j + 1
+        break
+    return j + 1 if j + 1 <= end else None
+
+
+def _rewrite_subscripts(q: str) -> str:
+    """Bare subscripts → 1-based/key-exact ``element_at``.
+
+    Trino's ``expr[e]`` is 1-based on arrays and a throwing lookup on
+    maps; Spark parses the same spelling 0-based on arrays and
+    NULL-returning on maps — the long-documented SILENT divergence on
+    every non-literal base (ARRAY[..][k] literals were already
+    rewritten).  ``element_at`` matches Trino on both container kinds
+    at once: 1-based array indexing (index 0 errors under ANSI, as in
+    Trino), and map lookup that raises on a missing key under ANSI
+    (Trino raises too).  A lexical pass cannot tell arrays from maps,
+    and does not need to — the rewrite is type-agnostic.
+
+    Runs AFTER the ARRAY[..] literal pass (so no constructor brackets
+    remain) and BEFORE every pass that emits Spark-semantics
+    subscripts of its own (map_union's ``[0]``, the lambda
+    regexp_replace expansion) — generated text never re-enters this
+    pass.  Chains (``a[1][2]``, ``f(x)[i].g[j]``) resolve naturally:
+    each rewrite turns the inner subscript into a call, which the next
+    iteration treats as the base.
+
+    Documented residue (arrays only): a negative index reads from the
+    end in Spark where Trino errors — maps with negative integer keys
+    are legal, so a loud reject here would break valid map access.
+    """
+    while True:
+        mask = _code_mask(q)
+        hit = None
+        for i, ch in enumerate(q):
+            if ch != "[" or not mask[i]:
+                continue
+            bs = _subscript_base_start(q, mask, i)
+            if bs is None:
+                continue
+            depth, j = 0, i
+            while j < len(q):
+                if mask[j]:
+                    if q[j] == "[":
+                        depth += 1
+                    elif q[j] == "]":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                j += 1
+            if j >= len(q):
+                raise TrinoCompatError(f"unbalanced subscript bracket at {i}")
+            hit = (bs, i, j)
+            break
+        if hit is None:
+            return q
+        bs, lb, rb = hit
+        base = q[bs:lb].strip()
+        inner = q[lb + 1 : rb].strip()
+        if not inner:
+            raise TrinoCompatError(f"empty subscript on {base!r}")
+        q = q[:bs] + f"element_at({base}, {inner})" + q[rb + 1 :]
 
 
 def _rewrite_array_literal(q: str) -> str:
@@ -5183,6 +5316,9 @@ def translate(query: str) -> str:
     query = _rewrite_window_exclude(query)
     query = _rewrite_groups_frames(query)
     query = _rewrite_array_literal(query)
+    # AFTER the ARRAY[..] pass (constructor brackets gone), BEFORE any
+    # pass that emits Spark-semantics subscripts of its own
+    query = _rewrite_subscripts(query)
     query = _rewrite_comma_unnest(query)
     query = _rewrite_unnest(query, _code_mask(query))
     query = _rewrite_unnest_from(query)

@@ -74,6 +74,7 @@ _NEVER_GRADED = [
     "x31_window_exclude_peers",
     "t14_mr_skip_to_symbol",
     "t15_mr_unmatched_rows",
+    "x32_subscript_semantics",
 ]
 
 

@@ -269,9 +269,12 @@ def test_split_literal_delimiter(spark):
     rows = run(spark, "SELECT split('a.b.c', '.') AS x, split('a b', ' ') AS y")
     assert rows[0]["x"] == ["a", "b", "c"]
     assert rows[0]["y"] == ["a", "b"]
-    # nested split calls both get escaped
-    rows = run(spark, "SELECT split(split('a.b|c.d', '|')[1], '.') AS x")
+    # nested split calls both get escaped; subscripts are Trino
+    # 1-based ([2] = the second element, via element_at)
+    rows = run(spark, "SELECT split(split('a.b|c.d', '|')[2], '.') AS x")
     assert rows[0]["x"] == ["c", "d"]
+    rows = run(spark, "SELECT split(split('a.b|c.d', '|')[1], '.') AS x")
+    assert rows[0]["x"] == ["a", "b"]
     from mcp_trino_spark.trino_compat import TrinoCompatError
 
     with pytest.raises(TrinoCompatError):
@@ -384,7 +387,7 @@ def test_array_literal_rewrite():
     assert translate("SELECT ARRAY[1, 2, 3] FROM t") == "SELECT array(1, 2, 3) FROM t"
     assert (
         translate("SELECT ARRAY[ARRAY[1], ARRAY[2, x[1]]] FROM t")
-        == "SELECT array(array(1), array(2, x[1])) FROM t"
+        == "SELECT array(array(1), array(2, element_at(x, 1))) FROM t"
     )
     # inside literals/comments: untouched
     q = "SELECT 'ARRAY[1]' -- ARRAY[2]\nFROM t"
@@ -2475,10 +2478,11 @@ def test_advice_r7_comment_and_subscript_operands():
     an operand; array subscripts are valid left operands."""
     out = translate("SELECT * FROM t WHERE x /* c */ > ANY (SELECT a FROM s)")
     assert "(x /* c */ >" in out  # x is the operand, comment inert
+    # subscripts respell to element_at (1-based) and stay valid operands
     out = translate("SELECT * FROM t WHERE arr[1] > ANY (SELECT a FROM s)")
-    assert "(arr[1] >" in out
+    assert "(element_at(arr, 1) >" in out
     out = translate("SELECT * FROM t WHERE m.f[1][2] > ANY (SELECT a FROM s)")
-    assert "(m.f[1][2] >" in out
+    assert "(element_at(element_at(m.f, 1), 2) >" in out
 
 
 def test_advice_r7_nested_cast_json():
@@ -2798,3 +2802,37 @@ def test_window_exclude_peer_subtraction(spark):
         translate(
             "SELECT sum(DISTINCT x) OVER (ORDER BY k EXCLUDE GROUP) FROM t"
         )
+
+
+def test_bare_subscripts_rewritten(spark):
+    """Trino subscripts are 1-based on arrays and key-exact on maps;
+    the rewrite respells every bare subscript to element_at (the
+    former documented silent-divergence gap)."""
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    assert translate("SELECT arr[1] FROM t") == (
+        "SELECT element_at(arr, 1) FROM t"
+    )
+    assert translate("SELECT a[1][i+1], f(x)[2] FROM t") == (
+        "SELECT element_at(element_at(a, 1), i+1), "
+        "element_at(f(x), 2) FROM t"
+    )
+    # 1-based end-to-end: [1] is the FIRST element; dynamic index via
+    # cardinality lands on the LAST; map access is key-exact
+    rows = run(
+        spark,
+        "SELECT split('a b c', ' ')[1] AS w1, "
+        "split('a b c', ' ')[cardinality(split('a b c', ' '))] AS wl, "
+        "MAP(ARRAY['k'], ARRAY[7])['k'] AS mv",
+    )
+    assert rows[0] == {"w1": "a", "wl": "c", "mv": 7}
+    # index 0 errors (ANSI element_at), exactly as Trino's 1-based
+    # arrays reject it
+    import pytest as _pt
+    with _pt.raises(Exception, match="INVALID_INDEX_OF_ZERO|index 0 is invalid"):
+        run(spark, "SELECT split('a b', ' ')[0]")
+    # literals/comments untouched; keyword bases never attach
+    q = "SELECT '[1]' AS s -- arr[2]\nFROM t"
+    assert translate(q) == q
+    with _pt.raises(TrinoCompatError, match="empty subscript"):
+        translate("SELECT arr[] FROM t")

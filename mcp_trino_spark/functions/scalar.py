@@ -1324,3 +1324,68 @@ def x32_subscript_semantics(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x33_arith_null_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(trunc(7.0/2) AS BIGINT) AS lit_div,
+           CAST(trunc(-7.0/2) AS BIGINT) AS lit_div_neg,
+           CASE WHEN (CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                           ELSE o_totalprice * 2 END) IS NULL
+                 OR o_totalprice IS NULL THEN NULL
+                ELSE least(o_totalprice,
+                           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                                ELSE o_totalprice * 2 END) END AS lnull,
+           CASE WHEN (CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                           ELSE o_totalprice * 2 END) IS NULL
+                 OR o_totalprice IS NULL THEN NULL
+                ELSE greatest(o_totalprice,
+                              CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                                   ELSE o_totalprice * 2 END) END AS gnull
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def x33_arith_null_semantics(spark, sf_dir):
+    """Differential certification of two round-8 gap-hunt closures
+    (value-level silent divergences the execute-only sweeps cannot
+    catch):
+
+    - **Integer-literal division truncates**: Trino's ``7/2`` is 2 and
+      ``-7/2`` is -3 (truncation toward zero); Spark's ``/`` is always
+      fractional.  The literal/literal case is rewritten to ``div``
+      (_rewrite_int_literal_division); the oracle spells
+      trunc()-division explicitly because DuckDB's ``/`` is fractional
+      too (and its ``//`` FLOORS, which differs on negatives).
+      Column-typed integer division stays a documented divergence —
+      operand types are not lexically knowable.
+    - **least/greatest NULL-poison**: Trino returns NULL when ANY
+      argument is NULL; Spark (and DuckDB) skip NULLs.  Rewritten to
+      an any-argument-null CASE guard (_rewrite_least_greatest_nulls);
+      the oracle spells the guard explicitly.  Every third row drives
+      one argument NULL, both extremes covered on real DECIMAL data.
+
+    Reference parity: Trino evaluates both natively and the reference
+    forwards the SQL verbatim (internal/trino/client.go).
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT o_orderkey,
+                   7/2 AS lit_div,
+                   -7/2 AS lit_div_neg,
+                   least(o_totalprice,
+                         CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                              ELSE o_totalprice * 2 END) AS lnull,
+                   greatest(o_totalprice,
+                            CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                                 ELSE o_totalprice * 2 END) AS gnull
+            FROM orders WHERE o_orderkey < 2000
+            """
+        )
+    )

@@ -358,6 +358,9 @@ _PRIORITY = [
     # the round-1 documented silent-divergence gap; DuckDB is natively
     # 1-based)
     "x32_subscript_semantics",
+    # round-8 addition: least/greatest NULL-poison + literal integer
+    # division truncation (value-level gap-hunt closures)
+    "x33_arith_null_semantics",
     # --- fill: the proven entries longest absent from any window
     # (rounds 4-5 vintage, never re-certified since) ---
     "w2_rank_dense_rank",
@@ -365,11 +368,10 @@ _PRIORITY = [
     "w6_first_last_nth",
     "w8_rows_frame",
     "w9_range_frame",
-    "x1_string_basics",
-    # (x2_regex / x3_date_extract / x4_date_arith / x5_timestamp_fmt /
-    # x7_conditional rotated out to make room for x30/x31/t14/t15/x32
-    # — all five stay in the proven spot-check sets; r4-r5-vintage
-    # entries remain in this window)
+    # (x1_string_basics / x2_regex / x3_date_extract / x4_date_arith /
+    # x5_timestamp_fmt / x7_conditional rotated out to make room for
+    # x30/x31/t14/t15/x32/x33 — all six stay in the proven spot-check
+    # sets; r4-r5-vintage entries remain in this window)
     "x11_map_struct",
     "x18_array_setops",
     "a2_sum_avg_min_max",

@@ -1786,7 +1786,17 @@ def _rewrite_try(q: str) -> str:
             i += 1
         if depth:
             return q  # unbalanced — leave untouched, Spark will reject
-        q = q[: m.start()] + _try_replacement(q[m.end() : i - 1]) + q[i:]
+        body = q[m.end() : i - 1]
+        # the literal-division pass (which runs earlier) respelled
+        # `7/2` as `(7 div 2)`; inside try() that becomes the
+        # NULL-on-zero TRUNCATING form (CAST of try_divide matches
+        # Trino: toward-zero truncation, integer result type)
+        body = re.sub(
+            r"\((\d+) div (\d+)\)",
+            r"CAST(try_divide(\1, \2) AS BIGINT)",
+            body,
+        )
+        q = q[: m.start()] + _try_replacement(body) + q[i:]
 
 
 #: Joda-Time → Spark DateTimeFormatter pattern letters that DIFFER.
@@ -5273,6 +5283,65 @@ def _rewrite_unicode_literals(q: str) -> str:
         q = q[: m.start()] + f"'{relit}'" + q[end:]
 
 
+_LEAST_GREATEST_HEAD = re.compile(r"\b(least|greatest)\s*\(", re.IGNORECASE)
+
+
+def _rewrite_least_greatest_nulls(q: str) -> str:
+    """Trino ``least``/``greatest`` return NULL when ANY argument is
+    NULL; Spark's skip NULLs and return the extreme of the non-null
+    arguments — a silent value divergence on every nullable input.
+    The rewrite wraps the call in an any-argument-null guard:
+
+        least(a, b) -> (CASE WHEN a IS NULL OR b IS NULL THEN NULL
+                        ELSE least(a, b) END)
+
+    Runs EARLY — before every pass that emits least/greatest of its
+    own with Spark's skip-NULL semantics ON PURPOSE (the window
+    EXCLUDE split combines sub-frame min/max with least/greatest
+    exactly because they skip the empty side's NULL; the comma-UNNEST
+    zip pads with greatest(size(..))) — generated text never re-enters
+    this pass.  Single-argument calls are left alone (same semantics
+    both engines).
+    """
+    pos = 0
+    while True:
+        found = _find_call(q, _LEAST_GREATEST_HEAD, pos)
+        if found is None:
+            return q
+        m, bs, be = found
+        fn = m.group(1).lower()
+        raw_args = _split_top_args(q[bs:be])
+        if len(raw_args) < 2:
+            pos = be
+            continue
+        # recurse into the arguments FIRST (they get duplicated into
+        # guard + call; the emitted plain `ELSE fn(...)` head must then
+        # be skipped whole, or the loop would rewrap it forever)
+        args = [_rewrite_least_greatest_nulls(a.strip()) for a in raw_args]
+        guard = " OR ".join(f"({a}) IS NULL" for a in args)
+        inner = ", ".join(args)
+        repl = f"(CASE WHEN {guard} THEN NULL ELSE {fn}({inner}) END)"
+        q = q[: m.start()] + repl + q[be + 1 :]
+        pos = m.start() + len(repl)
+
+
+#: literal-integer division: Trino's `/` on integers TRUNCATES toward
+#: zero (5/2 = 2); Spark's `/` is always fractional.  Operand types are
+#: not lexically knowable in general — the literal/literal case (the
+#: common gotcha) is closed here with Spark's `div`; column-typed
+#: integer division remains a DOCUMENTED divergence (module header).
+_INT_LIT_DIV = re.compile(r"(?<![\w.])(\d+)\s*/\s*(\d+)(?![\w.])")
+
+
+def _rewrite_int_literal_division(q: str) -> str:
+    while True:
+        mask = _code_mask(q)
+        m = next((c for c in _INT_LIT_DIV.finditer(q) if mask[c.start()]), None)
+        if m is None:
+            return q
+        q = f"{q[: m.start()]}({m.group(1)} div {m.group(2)}){q[m.end():]}"
+
+
 #: Trino md5/sha1 return VARBINARY; Spark's builtins of the same name
 #: return the lowercase-hex STRING.  Under the trino dialect the call
 #: is wrapped in unhex(...) so downstream to_hex/length/comparisons
@@ -5308,6 +5377,10 @@ def translate(query: str) -> str:
     query = _respell_escape_free_literals(query)
     query = _rewrite_unicode_literals(query)
     query = _rewrite_binary_hashes(query)
+    # BEFORE the passes that generate skip-NULL least/greatest on
+    # purpose (window EXCLUDE splits, comma-UNNEST zip padding)
+    query = _rewrite_least_greatest_nulls(query)
+    query = _rewrite_int_literal_division(query)
     query = _rewrite_reduce_agg(query)
     query = _rewrite_approx_most_frequent(query)
     query = _rewrite_combinations(query)

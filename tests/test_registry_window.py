@@ -75,6 +75,7 @@ _NEVER_GRADED = [
     "t14_mr_skip_to_symbol",
     "t15_mr_unmatched_rows",
     "x32_subscript_semantics",
+    "x33_arith_null_semantics",
 ]
 
 

@@ -1266,14 +1266,17 @@ def test_try_mixed_operator_precedence(spark):
     splitting at '/' first turned 1 + 4/2 into (1+4)/2."""
     assert (
         translate("SELECT try(1 + 4 / 2)")
-        == "SELECT try_add(1, try_divide(4, 2))"
+        == "SELECT try_add(1, try_cast(try_divide(4, 2) AS BIGINT))"
     )
     assert (
         translate("SELECT try(a / b % c)")
         == "SELECT try_mod(try_divide(a, b), c)"
     )
+    # literal integer division now truncates INSIDE try() too: Trino's
+    # 1 + 4/2 is the integer 3, not 3.0
     rows = run(spark, "SELECT try(1 + 4 / 2) AS v, try(10 - 2 * 3) AS w")
-    assert rows[0] == {"v": 3.0, "w": 4}
+    assert rows[0] == {"v": 3, "w": 4}
+    assert isinstance(rows[0]["v"], int)
 
 
 def test_try_scientific_notation_not_split(spark):
@@ -2836,3 +2839,29 @@ def test_bare_subscripts_rewritten(spark):
     assert translate(q) == q
     with _pt.raises(TrinoCompatError, match="empty subscript"):
         translate("SELECT arr[] FROM t")
+
+
+def test_least_greatest_null_poison_and_literal_div(spark):
+    """Trino least/greatest return NULL on ANY NULL argument (Spark
+    skips NULLs); Trino integer-literal division truncates toward
+    zero (Spark's / is fractional)."""
+    rows = run(
+        spark,
+        "SELECT 5/2 AS d, -7/2 AS n, 5/2.0 AS f, "
+        "least(1, NULL) AS l, greatest(2, NULL) AS g, "
+        "least(3, 1, 2) AS ok, least(least(4, NULL), 9) AS nested",
+    )
+    assert rows[0] == {
+        "d": 2, "n": -3, "f": 2.5, "l": None, "g": None, "ok": 1,
+        "nested": None,
+    }
+    # generated least/greatest keep Spark's skip-NULL semantics: the
+    # EXCLUDE split's min combine must still ignore the empty side
+    assert translate("SELECT 5/2 AS d FROM t") == (
+        "SELECT (5 div 2) AS d FROM t"
+    )
+    out = translate(
+        "SELECT min(x) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING AND "
+        "1 FOLLOWING EXCLUDE CURRENT ROW) FROM t"
+    )
+    assert "least(min(x) OVER" in out  # un-guarded, by design

@@ -3374,9 +3374,13 @@ def _exclude_peer_subtraction(spec: str, mode: str, fn: str, arg: str):
         EXCLUDE TIES         ->  agg(frame) - agg(peers) + current row
         EXCLUDE CURRENT ROW  ->  agg(frame) - current row
 
-    where ``agg(peer group)`` is a second window PARTITIONed BY the
-    original partition keys plus the bare ORDER BY expressions (no
-    frame — the whole peer set).  Subtraction recovers SUM/COUNT/AVG
+    where ``agg(peer group)`` is the SAME window spec with the frame
+    ``RANGE BETWEEN CURRENT ROW AND CURRENT ROW`` — in RANGE mode both
+    CURRENT ROW bounds snap to the peer-group edges, so that frame IS
+    the peer set, and sharing the (partition, order) spec lets Spark
+    evaluate frame and peer aggregates in ONE Window operator over one
+    exchange (a PARTITION BY part+keys peer window would add a second
+    sort).  Subtraction recovers SUM/COUNT/AVG
     (NULL handling via non-null counts: the result is NULL iff no
     non-null values remain); MIN/MAX cannot be recovered by
     subtraction and are rejected loudly.  ROWS frames are rejected for
@@ -3439,19 +3443,12 @@ def _exclude_peer_subtraction(spec: str, mode: str, fn: str, arg: str):
         raise TrinoCompatError(
             "EXCLUDE rewrite does not support DISTINCT aggregates"
         )
-    hm = re.match(
-        r"(?is)^(?:PARTITION\s+BY\s+(?P<part>.*?)\s+)?"
-        r"ORDER\s+BY\s+(?P<ord>.*)$",
-        head,
-    )
-    if hm is None:
+    if re.search(r"(?i)\bORDER\s+BY\b", head) is None:
         raise TrinoCompatError(
             f"EXCLUDE {mode} needs an ORDER BY in the window — peers "
             "are defined by the sort key"
         )
-    keys = [e for e, _, _ in _parse_sort_keys(hm.group("ord"))]
-    parts = _split_top_args(hm.group("part")) if hm.group("part") else []
-    peer = "PARTITION BY " + ", ".join([*parts, *keys])
+    peer = f"{head} RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
     star = arg.strip() == "*"
     sumf = f"sum({arg}) OVER ({spec})"
     cntf = f"count({arg}) OVER ({spec})"

@@ -404,3 +404,25 @@ def test_lm_contamination_broadcasts_lm_tables_no_text_shuffle(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan  # map-side partial agg on doc_id
+
+
+def test_window_exclude_peer_subtraction_single_window(spark):
+    """EXCLUDE GROUP/TIES spell the peer aggregate over the SAME
+    (partition, order) window spec with a RANGE CURRENT ROW..CURRENT
+    ROW frame, so Spark evaluates frame + peer aggregates in ONE
+    Window operator over one exchange — a PARTITION BY part+keys peer
+    window would add a second sort (and, pre-AQE-reuse, a second
+    shuffle)."""
+    from mcp_trino_spark.trino_compat import translate
+
+    spark.createDataFrame(
+        [(1, 1, 1.0)], "p int, k int, x double"
+    ).createOrReplaceTempView("excl_plan_t")
+    q = translate(
+        "SELECT sum(x) OVER (PARTITION BY p ORDER BY k RANGE BETWEEN "
+        "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS s "
+        "FROM excl_plan_t"
+    )
+    plan = physical_plan(spark.sql(q))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 1, plan

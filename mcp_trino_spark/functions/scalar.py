@@ -1389,3 +1389,62 @@ def x33_arith_null_semantics(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x34_null_ordering_defaults",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT o_orderkey,
+           row_number() OVER (ORDER BY k, o_orderkey) AS rn_asc,
+           row_number() OVER (ORDER BY k DESC NULLS FIRST, o_orderkey)
+             AS rn_desc,
+           rank() OVER (ORDER BY k) AS rk_asc
+    FROM t
+    """,
+)
+def x34_null_ordering_defaults(spark, sf_dir):
+    """Differential certification of the ORDER BY null-placement
+    defaults (_rewrite_order_by_null_defaults): Trino (and DuckDB,
+    which makes the oracle a true differential) defaults to NULLS LAST
+    for ASC (nulls-as-largest) where Spark defaults NULLS FIRST — so
+    every rank/row_number over a nullable key (20% NULL here) silently
+    shifts by the NULL count without the rewrite.  The ASC columns
+    spell the ORDER BY withOUT explicit NULLS clauses on both sides;
+    only the rewrite makes Spark agree.  The DESC column pins Trino's
+    other default (NULLS FIRST — nulls-as-largest) with the oracle
+    explicit, because DuckDB's own DESC default is nulls LAST (it
+    defaults nulls_last in BOTH directions — three engines, three
+    conventions).
+
+    Reference parity: the reference passes ORDER BY through to Trino
+    verbatim (internal/trino/client.go); ordering defaults are engine
+    semantics, invisible to execute-only probes — caught by the
+    round-8b value-level hunt.
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            WITH t AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                          ELSE o_custkey END AS k
+              FROM orders WHERE o_orderkey < 2000
+            )
+            SELECT o_orderkey,
+                   row_number() OVER (ORDER BY k, o_orderkey) AS rn_asc,
+                   row_number() OVER (ORDER BY k DESC, o_orderkey)
+                     AS rn_desc,
+                   rank() OVER (ORDER BY k) AS rk_asc
+            FROM t
+            """
+        )
+    )

@@ -361,13 +361,17 @@ _PRIORITY = [
     # round-8 addition: least/greatest NULL-poison + literal integer
     # division truncation (value-level gap-hunt closures)
     "x33_arith_null_semantics",
+    # round-8 addition: Trino's ORDER BY null-placement defaults made
+    # explicit (ASC NULLS LAST / DESC NULLS FIRST — Spark's are the
+    # exact opposite)
+    "x34_null_ordering_defaults",
     # --- fill: the proven entries longest absent from any window
     # (rounds 4-5 vintage, never re-certified since) ---
     "w2_rank_dense_rank",
     "w4_percent_rank_cume_dist",
     "w6_first_last_nth",
     "w8_rows_frame",
-    "w9_range_frame",
+    # (w9_range_frame rotated out for x34 — stays in the proven sets)
     # (x1_string_basics / x2_regex / x3_date_extract / x4_date_arith /
     # x5_timestamp_fmt / x7_conditional rotated out to make room for
     # x30/x31/t14/t15/x32/x33 — all six stay in the proven spot-check

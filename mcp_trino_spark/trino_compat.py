@@ -2300,14 +2300,21 @@ def _rewrite_array_agg_order(q: str) -> str:
             continue
         expr = body[: om.start()].strip()
         spec = body[om.end():].strip()
-        parts = spec.split()
-        key = parts[0]
-        rest = [p.upper() for p in parts[1:]]
-        if rest not in ([], ["ASC"], ["DESC"]):
+        sm2 = re.match(
+            r"(?is)^(?P<key>\S+)(?:\s+(?P<dir>ASC|DESC))?"
+            r"(?:\s+NULLS\s+(?P<np>FIRST|LAST))?\s*$",
+            spec,
+        )
+        if sm2 is None:
             raise TrinoCompatError(
                 f"unsupported array_agg ORDER BY spec {spec!r} "
-                "(one key, optional ASC/DESC)"
+                "(one key, optional ASC/DESC, optional NULLS FIRST/LAST)"
             )
+        key = sm2.group("key")
+        desc = (sm2.group("dir") or "ASC").upper() == "DESC"
+        # Trino defaults: ASC -> NULLS LAST, DESC -> NULLS FIRST
+        np = (sm2.group("np") or ("FIRST" if desc else "LAST")).upper()
+        rest = ["DESC"] if desc else []
         distinct = ""
         dm = re.match(r"(?is)^DISTINCT\s+(.*)$", expr)
         if dm:
@@ -2319,11 +2326,15 @@ def _rewrite_array_agg_order(q: str) -> str:
                 raise TrinoCompatError(
                     "array_agg(DISTINCT x ORDER BY k): k must be x"
                 )
-        # leading null-flag gives Trino's default null placement: sorted
-        # ascending non-nulls come first (NULLS LAST for ASC); reversing
-        # for DESC puts them first (Trino's DESC default) — array_sort
-        # alone would place null-keyed structs FIRST, silently diverging
-        inner = (f"array_sort(collect_list({distinct}struct(({key}) IS NULL AS n,"
+        # leading null-flag encodes the null placement: ascending by
+        # (flag, key) puts flag=FALSE first, and the DESC reverse flips
+        # the ends — IS NULL realizes the Trino defaults (ASC NULLS
+        # LAST / DESC NULLS FIRST), IS NOT NULL the explicit opposites.
+        # array_sort alone would place null-keyed structs FIRST for
+        # ASC, silently diverging.
+        default_np = (desc and np == "FIRST") or (not desc and np == "LAST")
+        flag = "IS NULL" if default_np else "IS NOT NULL"
+        inner = (f"array_sort(collect_list({distinct}struct(({key}) {flag} AS n,"
                  f" {key} AS s, {expr} AS v)))")
         if rest == ["DESC"]:
             inner = f"reverse({inner})"
@@ -3162,7 +3173,11 @@ def _rewrite_with_ties(query: str) -> str:
             "defined by the sort key)"
         )
     keys = query[ob[-1].end():m.start()].strip()
-    if not keys or re.fullmatch(r"\d+(\s*,\s*\d+)*", keys):
+    # strip per-item ASC/DESC/NULLS qualifiers (the null-defaults pass
+    # makes them explicit) before the positional-key test: `1 NULLS
+    # LAST` is still the positional key 1
+    bare = [e for e, _, _ in _parse_sort_keys(keys)] if keys else []
+    if not keys or all(re.fullmatch(r"\d+", b) for b in bare):
         raise TrinoCompatError(
             "FETCH ... WITH TIES with positional ORDER BY is not supported — "
             "name the sort columns"
@@ -5339,6 +5354,96 @@ def _rewrite_int_literal_division(q: str) -> str:
         q = f"{q[: m.start()]}({m.group(1)} div {m.group(2)}){q[m.end():]}"
 
 
+_ORDER_BY_HEAD = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+#: words that end a sort-item list at its own paren depth: set-ops and
+#: LIMIT-family after a statement ORDER BY; frame/EXCLUDE keywords after
+#: a window ORDER BY; section keywords after MATCH_RECOGNIZE's ORDER BY
+_SORT_LIST_END = re.compile(
+    r"(?i)(LIMIT|OFFSET|FETCH|ROWS|RANGE|GROUPS|WINDOW|MEASURES|"
+    r"PATTERN|DEFINE|SUBSET|AFTER|EXCLUDE|UNION|INTERSECT|EXCEPT)\b"
+)
+_SORT_ITEM_TAIL = re.compile(
+    r"(?is)^(?P<expr>.*?)(?P<dir>\s+(?:ASC|DESC))?"
+    r"(?P<nulls>\s+NULLS\s+(?:FIRST|LAST))?\s*$"
+)
+
+
+def _rewrite_order_by_null_defaults(q: str) -> str:
+    """Make Trino's DEFAULT null ordering explicit on every sort item.
+
+    Trino (like the SQL standard's popular reading, Postgres and
+    DuckDB) defaults to NULLS LAST for ASC and NULLS FIRST for DESC;
+    Spark defaults to the EXACT OPPOSITE — so any ORDER BY on a
+    nullable key (statement-level, window, WITHIN GROUP, or
+    MATCH_RECOGNIZE) silently places the NULL rows at the other end,
+    flipping LIMIT results and every rank/row_number value.  The
+    rewrite appends the Trino-default ``NULLS LAST``/``NULLS FIRST``
+    to each sort item that lacks an explicit NULLS clause, BEFORE any
+    pass that parses sort keys (FROM LAST reversal, WITH TIES, GROUPS
+    frames, EXCLUDE peers all then see the explicit placement).
+
+    The sort list ends at the enclosing ``)``, at ``;``, or at a
+    frame/section/set-op keyword at the same paren depth.  Rightmost
+    list first, re-scanned to fixpoint — a nested subquery's ORDER BY
+    inside a sort item is processed before the outer list, so outer
+    offsets stay valid.
+    """
+    while True:
+        mask = _code_mask(q)
+        # scan from the right: process the last list that still changes
+        changed = False
+        for m in reversed([
+            mm for mm in _ORDER_BY_HEAD.finditer(q) if mask[mm.start()]
+        ]):
+            i, n = m.end(), len(q)
+            depth, end = 0, n
+            while i < n:
+                if mask[i]:
+                    c = q[i]
+                    if c == "(":
+                        depth += 1
+                    elif c == ")":
+                        if depth == 0:
+                            end = i
+                            break
+                        depth -= 1
+                    elif c == ";" and depth == 0:
+                        end = i
+                        break
+                    elif depth == 0 and (c.isalpha() or c == "_"):
+                        if not (i > 0 and (q[i - 1].isalnum() or q[i - 1] in "_$")):
+                            t = _SORT_LIST_END.match(q, i)
+                            if t:
+                                end = i
+                                break
+                        while i < n and (q[i].isalnum() or q[i] in "_$"):
+                            i += 1
+                        continue
+                i += 1
+            body = q[m.end() : end]
+            items = _split_top_args(body)
+            if not items or not body.strip():
+                continue
+            out_items = []
+            for it in items:
+                tm = _SORT_ITEM_TAIL.match(it)
+                if tm is None or tm.group("nulls") or not tm.group("expr").strip():
+                    out_items.append(it)
+                    continue
+                is_desc = (tm.group("dir") or "").strip().upper() == "DESC"
+                pos = "FIRST" if is_desc else "LAST"
+                out_items.append(it.rstrip() + f" NULLS {pos}")
+            new_body = ", ".join(s.strip() for s in out_items)
+            old_norm = ", ".join(s.strip() for s in items)
+            if new_body != old_norm:
+                sep = "" if end >= n or q[end] in ");" else " "
+                q = q[: m.end()] + " " + new_body + sep + q[end:]
+                changed = True
+                break
+        if not changed:
+            return q
+
+
 #: Trino md5/sha1 return VARBINARY; Spark's builtins of the same name
 #: return the lowercase-hex STRING.  Under the trino dialect the call
 #: is wrapped in unhex(...) so downstream to_hex/length/comparisons
@@ -5378,6 +5483,9 @@ def translate(query: str) -> str:
     # purpose (window EXCLUDE splits, comma-UNNEST zip padding)
     query = _rewrite_least_greatest_nulls(query)
     query = _rewrite_int_literal_division(query)
+    # BEFORE every pass that parses sort keys (FROM LAST, WITH TIES,
+    # GROUPS frames, EXCLUDE) — they must see Trino's null placement
+    query = _rewrite_order_by_null_defaults(query)
     query = _rewrite_reduce_agg(query)
     query = _rewrite_approx_most_frequent(query)
     query = _rewrite_combinations(query)

@@ -76,6 +76,7 @@ _NEVER_GRADED = [
     "t15_mr_unmatched_rows",
     "x32_subscript_semantics",
     "x33_arith_null_semantics",
+    "x34_null_ordering_defaults",
 ]
 
 

@@ -144,7 +144,7 @@ def test_show_from_and_fetch_first():
     assert translate("SHOW SCHEMAS FROM spark_catalog") == "SHOW SCHEMAS IN spark_catalog"
     assert (
         translate("SELECT * FROM t ORDER BY x FETCH FIRST 5 ROWS ONLY")
-        == "SELECT * FROM t ORDER BY x LIMIT 5"
+        == "SELECT * FROM t ORDER BY x NULLS LAST LIMIT 5"
     )
 
 
@@ -839,21 +839,22 @@ def test_with_ties_qualified_identifiers(spark):
 
 
 def test_with_ties_null_keys_are_peers(spark):
-    # NULL sort keys are peers: under Spark's ASC NULLS FIRST default
-    # both NULLs rank 1 and FETCH FIRST 1 keeps exactly them
+    # Trino's ASC default is NULLS LAST (made explicit by the round-8
+    # null-default pass): the threshold never reaches the NULLs
     rows = run(
         spark,
         "SELECT i FROM (VALUES (1), (2), (NULL), (NULL)) t(i) "
         "ORDER BY i FETCH FIRST 1 ROWS WITH TIES",
     )
-    assert [r["i"] for r in rows] == [None, None]
-    # NULLS LAST: threshold never reaches the NULLs
+    assert [r["i"] for r in rows] == [1]
+    # explicit NULLS FIRST: NULL sort keys are peers — both NULLs rank
+    # 1 and FETCH FIRST 1 keeps exactly them
     rows = run(
         spark,
         "SELECT i FROM (VALUES (1), (2), (NULL), (NULL)) t(i) "
-        "ORDER BY i NULLS LAST FETCH FIRST 1 ROWS WITH TIES",
+        "ORDER BY i NULLS FIRST FETCH FIRST 1 ROWS WITH TIES",
     )
-    assert [r["i"] for r in rows] == [1]
+    assert [r["i"] for r in rows] == [None, None]
 
 
 def test_with_ties_multikey_mixed_directions(spark):
@@ -966,7 +967,7 @@ def test_groups_frame_rewrites_to_range_over_dense_rank(spark):
         "SELECT sum(x) OVER (ORDER BY i GROUPS BETWEEN 1 PRECEDING"
         " AND CURRENT ROW) AS s FROM t"
     )
-    assert "DENSE_RANK() OVER (ORDER BY i)" in q
+    assert "DENSE_RANK() OVER (ORDER BY i NULLS LAST)" in q
     assert "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW" in q
     rows = run(
         spark,
@@ -1834,10 +1835,14 @@ def test_with_ties_randomized_equivalence_vs_rank(spark):
                 )
             ).collect()
         )
+        # the defining rank() form goes through translate too, so both
+        # sides see the same (Trino-default) null placements
         want = sorted(
             tuple(r) for r in spark.sql(
-                f"SELECT rid FROM (SELECT rid, RANK() OVER (ORDER BY "
-                f"{keyspec}) AS rk FROM {view}) WHERE rk <= {n}"
+                translate(
+                    f"SELECT rid FROM (SELECT rid, RANK() OVER (ORDER BY "
+                    f"{keyspec}) AS rk FROM {view}) WHERE rk <= {n}"
+                )
             ).collect()
         )
         assert got == want, (case, keyspec, n, got, want)
@@ -2422,7 +2427,7 @@ def test_nth_from_last_translation():
     )
     assert "FROM LAST" not in out
     assert (
-        "OVER (PARTITION BY g ORDER BY k DESC NULLS LAST "
+        "OVER (PARTITION BY g ORDER BY k DESC NULLS FIRST "
         "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)" in out
     )
     out = translate(
@@ -2437,7 +2442,10 @@ def test_nth_from_last_translation():
     out = translate(
         "SELECT nth_value(x, 1) FROM FIRST IGNORE NULLS OVER (ORDER BY k) FROM t"
     )
-    assert out == "SELECT nth_value(x, 1) IGNORE NULLS OVER (ORDER BY k) FROM t"
+    assert out == (
+        "SELECT nth_value(x, 1) IGNORE NULLS OVER (ORDER BY k NULLS LAST) "
+        "FROM t"
+    )
     # single-bound frame normalizes to BETWEEN ... AND CURRENT ROW first
     out = translate(
         "SELECT nth_value(x, 2) FROM LAST OVER "
@@ -2452,7 +2460,9 @@ def test_nth_from_last_translation():
         "(ORDER BY a ASC, b DESC NULLS LAST ROWS BETWEEN "
         "UNBOUNDED PRECEDING AND CURRENT ROW) FROM t"
     )
-    assert "ORDER BY a DESC NULLS LAST, b ASC NULLS FIRST" in out
+    # a's implicit placement is Trino's ASC NULLS LAST -> flips to
+    # DESC NULLS FIRST; b's explicit DESC NULLS LAST -> ASC NULLS FIRST
+    assert "ORDER BY a DESC NULLS FIRST, b ASC NULLS FIRST" in out
 
 
 def test_nth_from_last_rejections_are_loud():
@@ -2589,7 +2599,7 @@ def test_nth_from_last_nulls_clause_either_order():
         "SELECT nth_value(x, 1) FROM LAST IGNORE NULLS OVER (ORDER BY k) FROM t"
     )
     assert a == b
-    assert "IGNORE NULLS OVER (ORDER BY k DESC NULLS LAST" in a
+    assert "IGNORE NULLS OVER (ORDER BY k DESC NULLS FIRST" in a
 
 
 def test_extract_dow_yow_iso_fields(spark):
@@ -2793,8 +2803,8 @@ def test_window_exclude_peer_subtraction(spark):
         "SELECT sum(x) OVER (ORDER BY k RANGE BETWEEN 1 FOLLOWING AND "
         "2 FOLLOWING EXCLUDE GROUP) FROM t"
     ) == (
-        "SELECT sum(x) OVER (ORDER BY k RANGE BETWEEN 1 FOLLOWING AND "
-        "2 FOLLOWING) FROM t"
+        "SELECT sum(x) OVER (ORDER BY k NULLS LAST RANGE BETWEEN "
+        "1 FOLLOWING AND 2 FOLLOWING) FROM t"
     )
     # min/max cannot be recovered by subtraction; peers need ORDER BY
     with pytest.raises(TrinoCompatError, match="subtraction"):
@@ -2865,3 +2875,67 @@ def test_least_greatest_null_poison_and_literal_div(spark):
         "1 FOLLOWING EXCLUDE CURRENT ROW) FROM t"
     )
     assert "least(min(x) OVER" in out  # un-guarded, by design
+
+
+def test_order_by_null_placement_defaults(spark):
+    """Trino sorts NULLs as LARGEST by default (ASC -> NULLS LAST,
+    DESC -> NULLS FIRST); Spark defaults the exact opposite.  The
+    rewrite makes the placement explicit on every sort item it finds
+    — statement-level, window, WITHIN GROUP — leaving explicit
+    clauses alone."""
+    assert translate("SELECT x FROM t ORDER BY x") == (
+        "SELECT x FROM t ORDER BY x NULLS LAST"
+    )
+    assert translate(
+        "SELECT x FROM t ORDER BY x DESC, y ASC LIMIT 5"
+    ) == "SELECT x FROM t ORDER BY x DESC NULLS FIRST, y ASC NULLS LAST LIMIT 5"
+    assert translate("SELECT x FROM t ORDER BY x NULLS FIRST") == (
+        "SELECT x FROM t ORDER BY x NULLS FIRST"
+    )
+    assert translate(
+        "SELECT row_number() OVER (PARTITION BY p ORDER BY k) FROM t"
+    ) == (
+        "SELECT row_number() OVER (PARTITION BY p ORDER BY k NULLS LAST) "
+        "FROM t"
+    )
+    # frame keywords terminate the sort list
+    assert translate(
+        "SELECT sum(x) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND "
+        "CURRENT ROW) FROM t"
+    ) == (
+        "SELECT sum(x) OVER (ORDER BY k NULLS LAST ROWS BETWEEN "
+        "1 PRECEDING AND CURRENT ROW) FROM t"
+    )
+    # nested subquery ORDER BY inside a sort item: both rewritten
+    out = translate(
+        "SELECT x FROM t ORDER BY (SELECT max(z) FROM v ORDER BY z "
+        "LIMIT 1) DESC"
+    )
+    assert "ORDER BY z NULLS LAST LIMIT 1) DESC NULLS FIRST" in out
+    # literals untouched
+    q = "SELECT 'ORDER BY x' AS s FROM t"
+    assert translate(q) == q
+    # end-to-end: Trino places NULLs last ascending, first descending
+    rows = run(
+        spark,
+        "SELECT i FROM (VALUES (2), (NULL), (1)) t(i) ORDER BY i",
+    )
+    assert [r["i"] for r in rows] == [1, 2, None]
+    rows = run(
+        spark,
+        "SELECT i FROM (VALUES (2), (NULL), (1)) t(i) ORDER BY i DESC",
+    )
+    assert [r["i"] for r in rows] == [None, 2, 1]
+    # array_agg picks up explicit non-default placements too
+    rows = run(
+        spark,
+        "SELECT array_agg(i ORDER BY i NULLS FIRST) AS a "
+        "FROM (VALUES (2), (NULL), (1)) t(i)",
+    )
+    assert rows[0]["a"] == [None, 1, 2]
+    rows = run(
+        spark,
+        "SELECT array_agg(i ORDER BY i) AS a "
+        "FROM (VALUES (2), (NULL), (1)) t(i)",
+    )
+    assert rows[0]["a"] == [1, 2, None]

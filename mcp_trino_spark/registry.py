@@ -285,109 +285,73 @@ _PROVEN_R06 = [
 #: category-spanning spot-check of the proven sets, so the driver
 #: re-confirms no silent regression while finishing full certification.
 _PRIORITY = [
-    # --- round 8 head: entries that are NEW or whose implementing code
-    # changed AFTER their last green driver row (the standing rotation
-    # rule — certification must track code churn).  l35b/x26 are the
-    # round-8 additions; t10/t9b's green rows predate the round-7
-    # MATCH_RECOGNIZE measure vectorization (pattern.py); the dialect
-    # entries' green rows predate the round-7 +383-line and round-8
-    # FROM-LAST translate() diffs; l35/s13 re-enter because round 8
-    # touched their modules (llm_text.py, layout.py/dml.py). ---
-    "l35b_quality_percentile_scaled",
-    "x26_nth_from_last",
-    "t10_match_recognize_vshape",
-    "t9b_pattern_regex",
-    "o12_fetch_with_ties",
-    "w12_groups_frame",
-    "x19_trino_dialect",
-    "x20_approx_most_frequent",
-    "x21_reduce_agg",
-    "x25_dialect_round7",
-    "x22_quantified_subqueries",
-    "l35_quality_percentile",
-    "s13_zorder_layout",
-    # tools/check_changed.py findings: these five carry r1-r3 green
-    # rows but their functions changed since (l10 oracle construction,
-    # l3 spread, l4b/l11/l12 opcache/persist migrations) — stale
-    # certifications the rotation had never caught before the tool
-    "l10_udf_tokenizer",
-    "l3_cosine_pairs",
-    "l4b_ivf_topk",
-    "l11_kmeans_embeddings",
-    "l12_grouped_normalize",
-    # l27/l36 re-enter: round 8 factored their bodies into reusable
-    # plan functions (semdedup_plan / embedding_outliers_plan) for the
-    # k-scaled and 10x scaling probes in tools/scaling_check.py
-    "l27_semdedup",
+    # --- round 9 head: drain the certification-staleness queue that
+    # tools/check_changed.py surfaced at the end of round 8.  First the
+    # 8 dialect-routed entries whose green rows predate the late-r8
+    # translator passes (x30 escape-free literals / x32 subscripts /
+    # x33 least-greatest-division / x34 null ordering rewrite every
+    # trino-dialect query — these entries route through translate() so
+    # their certifications went stale the moment it changed): ---
+    "x23_vector_math",
+    "x24_setdigest",
+    "s6_ctas_insert",
+    "s7_merge_upsert",
+    "s7b_update",
+    "s7c_delete",
+    "s10_time_travel",
+    "s12_table_changes",
+    # --- round-9 code churn: l21/l22's connected-components loop is
+    # rewritten this round (large-star/small-star + empty-frontier
+    # termination — VERDICT r8 item 4) and l36's plan is re-examined
+    # (item 3), so their green rows no longer describe the code ---
+    "l21_dup_clusters",
+    "l22_dedup_apply",
     "l36_embedding_outliers",
-    # round-8 addition: soft LM-score contamination screen (l16's
-    # perplexity-style sibling)
-    "l37_ngram_lm_contamination",
-    # round-8 addition: lambda regexp_replace differential (closes the
-    # batch-12 documented gap)
-    "x27_lambda_regexp_replace",
-    # round-8 addition: ISO date-field semantics differential (dow/doy
-    # aliases + extract(dow/yow) rewrite — the gap-hunt-caught Spark
-    # Sunday=1 divergence)
-    "x28_dialect_round8",
-    # round-8 addition: AFTER MATCH SKIP TO NEXT ROW (overlapping
-    # matches), certified against a lead()-window oracle
-    "t11_mr_skip_to_next",
-    # round-8 addition: ALL ROWS PER MATCH (running/final measures +
-    # CLASSIFIER), certified against a two-arm UNION lead() oracle
-    "t12_mr_all_rows",
-    # round-8 addition: PERMUTE + SUBSET union variables
-    "t13_mr_permute_subset",
-    # round-8 addition: window-frame EXCLUDE CURRENT ROW (split
-    # sub-frames, certified vs DuckDB's native EXCLUDE)
-    "x29_window_exclude",
-    # round-8 addition: escape-free Trino literal re-spell (closes the
-    # round-3 documented '\\d' spelling gap; DuckDB lexes escape-free
-    # natively so the oracle is a true differential)
-    "x30_escape_free_literals",
-    # round-8 addition: EXCLUDE GROUP/TIES via frame-minus-peer-group
-    # subtraction (vs DuckDB's native EXCLUDE)
-    "x31_window_exclude_peers",
-    # round-8 addition: AFTER MATCH SKIP TO [FIRST|LAST] <symbol>
-    # (gaps-and-islands + arithmetic-progression oracle distinguishes
-    # all three skip modes)
-    "t14_mr_skip_to_symbol",
-    # round-8 addition: WITH UNMATCHED ROWS (lag()-complement oracle)
-    "t15_mr_unmatched_rows",
-    # round-8 addition: bare 1-based subscripts via element_at (closes
-    # the round-1 documented silent-divergence gap; DuckDB is natively
-    # 1-based)
-    "x32_subscript_semantics",
-    # round-8 addition: least/greatest NULL-poison + literal integer
-    # division truncation (value-level gap-hunt closures)
-    "x33_arith_null_semantics",
-    # round-8 addition: Trino's ORDER BY null-placement defaults made
-    # explicit (ASC NULLS LAST / DESC NULLS FIRST — Spark's are the
-    # exact opposite)
-    "x34_null_ordering_defaults",
-    # --- fill: the proven entries longest absent from any window
-    # (rounds 4-5 vintage, never re-certified since) ---
-    "w2_rank_dense_rank",
-    "w4_percent_rank_cume_dist",
-    "w6_first_last_nth",
-    "w8_rows_frame",
-    # (w9_range_frame rotated out for x34 — stays in the proven sets)
-    # (x1_string_basics / x2_regex / x3_date_extract / x4_date_arith /
-    # x5_timestamp_fmt / x7_conditional rotated out to make room for
-    # x30/x31/t14/t15/x32/x33 — all six stay in the proven spot-check
-    # sets; r4-r5-vintage entries remain in this window)
-    "x11_map_struct",
-    "x18_array_setops",
-    "a2_sum_avg_min_max",
-    "a8_cube",
-    "a19_unpivot",
-    "j2_left_outer",
-    "j5_left_semi",
-    "j7_theta",
-    "j9_multiway",
-    "j10_self_join",
-    "p5_between_in",
-    "f5_table_schema",
+    # --- the longest-uncertified tier: round-1-vintage green rows on
+    # modules that churned every round since (check_changed `module`
+    # tier; a11b stays out to keep the 48-oracle window floor — r10) ---
+    "a11_stats",
+    "a13_approx_distinct",
+    "a14b_approx_percentile",
+    "a15_grand_agg",
+    "a3_count_distinct",
+    "a4_multikey",
+    "a5_having",
+    "a9_filtered_agg",
+    "l10c_grouped_agg_udf",
+    "l2b_simhash",
+    "l9_multimodal_passthrough",
+    "l9c_frame_sample",
+    # --- round-3-vintage ---
+    "l16_decontamination",
+    "l31_sequence_packing",
+    "l3b_embedding_neardup",
+    "l5_text_stats",
+    "s4_memory_table",
+    "s8_bucketed_colocated_join",
+    "w3b_ntile_distributed",
+    "w5_lag_lead",
+    "x1_string_basics",
+    "x3_date_extract",
+    # --- round-5-vintage entries outside every proven spot-check set ---
+    "w11_distinct_over_window",
+    "x9_array",
+    "x10_array_hof",
+    "x13_struct_row",
+    # --- fill: proven r5/r6-vintage entries (regression spot-check) ---
+    "l26_minhash_estimate",
+    "l30_prep_pipeline",
+    "w9_range_frame",
+    "x2_regex",
+    "x4_date_arith",
+    "x6_math",
+    "x8_casting",
+    "x5_timestamp_fmt",
+    "x7_conditional",
+    "x17_url",
+    "x15_bitwise",
+    "l13_training_pipeline",
+    "l14_text_normalize",
 ]
 
 

@@ -515,16 +515,51 @@ def l21_dup_clusters(spark, sf_dir):
 def _propagate_clusters(pairs: DataFrame) -> DataFrame:
     """Min-label propagation + pointer jumping over a (doc_a, doc_b)
     pair frame; returns (doc_id, cluster_id, is_keeper).  See
-    l21_dup_clusters for the scale rationale."""
+    l21_dup_clusters for the scale rationale.
+
+    Round 0 is FUSED into label initialization: each node starts at
+    min(itself, direct neighborhood) — one groupBy over the edge list
+    instead of a full join+agg+jump round.  LSH dup graphs are
+    clique-dense (every pair inside a dup cluster collides in some
+    band), so this init already IS the fixpoint for most components
+    and the loop typically runs exactly one confirmation round.  That
+    round is kept minimal: the convergence check is a filter-count on
+    the SAME persisted frame the round materializes (one job, no
+    label-vs-label join), and the pointer-jump join — lab :=
+    label-of(lab), which halves remaining path lengths and turns long
+    chains into O(log) rounds — is paid only on rounds that actually
+    changed a label.  Each changed round ends in ``localCheckpoint``
+    — MANDATORY for iterative DataFrame algorithms: without it the
+    logical plan nests per round and Catalyst analysis time grows
+    superlinearly."""
+    from mcp_trino_spark.operators.opcache import persist_tracked
+
+    # both edge directions in ONE pass over the pair frame (a union of
+    # two selects would compute the upstream pair plan twice unless
+    # ReuseExchange happens to fire)
     edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .localCheckpoint()
     )
     labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("lab", F.col("node"))
+        edges.groupBy("a")
+        .agg(F.min("b").alias("nb"))
+        .select(
+            F.col("a").alias("node"),
+            F.least(F.col("a"), F.col("nb")).alias("lab"),
+        )
         .localCheckpoint()
     )
 
@@ -534,19 +569,25 @@ def _propagate_clusters(pairs: DataFrame) -> DataFrame:
             .groupBy("a")
             .agg(F.min("lab").alias("nlab"))
         )
-        stepped = (
+        stepped = persist_tracked(
             labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
             .select(
                 "node",
+                F.col("lab").alias("old_lab"),
                 F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
             )
         )
-        # Pointer jump: lab := label-of(lab).  Halves remaining path
-        # lengths each round, turning long chains into O(log) rounds.
+        # full (un-limited) count: materializes every persisted
+        # partition in the same job that checks convergence
+        changed = stepped.filter(F.col("lab") != F.col("old_lab")).count()
+        if changed == 0:
+            labels = stepped.select("node", "lab")
+            break
+        # Pointer jump, only when labels moved this round.
         parents = stepped.select(
             F.col("node").alias("p_node"), F.col("lab").alias("p_lab")
         )
-        new_labels = (
+        labels = (
             stepped.join(parents, stepped["lab"] == parents["p_node"], "left")
             .select(
                 "node",
@@ -554,16 +595,7 @@ def _propagate_clusters(pairs: DataFrame) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        stepped.unpersist()
     else:
         # pointer jumping converges in O(log component-size) rounds —
         # 15 rounds covers astronomically large components; exhausting
@@ -1105,9 +1137,14 @@ def l37_ngram_lm_contamination(spark, sf_dir):
     Reference parity: beyond the reference surface (mandated pipeline
     extension, BASELINE.json north_star), same family as l16/l28.
     """
-    from mcp_trino_spark.registry import dsum
-
     (docs,) = T(spark, sf_dir, "documents")
+    return lm_contamination_plan(spread(docs))
+
+
+def lm_contamination_plan(docs: DataFrame) -> DataFrame:
+    """l37's plan over an arbitrary (doc_id, text) frame — factored out
+    so tools/scaling_check.py can drive it with replica corpora (the
+    eval-set LM side is fixed; corpus cost must scale linearly)."""
     spark_b = docs.sparkSession
     bench = spark_b.createDataFrame(
         [(p,) for p in BENCHMARK_PHRASES], "phrase STRING"
@@ -1149,7 +1186,7 @@ def l37_ngram_lm_contamination(spark, sf_dir):
             ).alias("lp"),
         )
     )
-    dwords = spread(docs).select(
+    dwords = docs.select(
         "doc_id", F.split(F.lower("text"), " ").alias("ws")
     )
     scored = (

@@ -307,6 +307,7 @@ _PRIORITY = [
     "l21_dup_clusters",
     "l22_dedup_apply",
     "l36_embedding_outliers",
+    "l37_ngram_lm_contamination",
     # --- the longest-uncertified tier: round-1-vintage green rows on
     # modules that churned every round since (check_changed `module`
     # tier; a11b stays out to keep the 48-oracle window floor — r10) ---
@@ -346,12 +347,13 @@ _PRIORITY = [
     "x4_date_arith",
     "x6_math",
     "x8_casting",
-    "x5_timestamp_fmt",
-    "x7_conditional",
-    "x17_url",
-    "x15_bitwise",
+    # family-span representatives (window must cover p/a/w/o/x/t/s/f/l
+    # — tests/test_engine.py): t10b is also r7 module-stale
+    "t10b_match_recognize_funnel",
+    "f5_table_schema",
+    "p5_between_in",
+    "o4_nulls_ordering",
     "l13_training_pipeline",
-    "l14_text_normalize",
 ]
 
 

@@ -58,6 +58,7 @@ _NEVER_GRADED = [
     "l21_dup_clusters",
     "l22_dedup_apply",
     "l36_embedding_outliers",
+    "l37_ngram_lm_contamination",
     "a11_stats",
     "a13_approx_distinct",
     "a14b_approx_percentile",

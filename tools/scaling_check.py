@@ -568,6 +568,73 @@ def check_quality_percentile_scaled(spark) -> None:
     report("quality_percentile_scaled", n_rows_1x, t1, t10)
 
 
+def check_lm_contamination(spark) -> None:
+    """l37's LM-score contamination screen at 10×: the eval-set bigram
+    LM is FIXED (broadcast KB tables); suffixed replicas grow only the
+    corpus side, which streams through two broadcast left joins and one
+    doc_id aggregate — cost must track corpus volume linearly."""
+    from mcp_trino_spark.operators._util import spread
+    from mcp_trino_spark.operators.llm_dedup import lm_contamination_plan
+
+    docs = spread(load_table(spark, SF_DIR, "documents")).select(
+        "doc_id", "text"
+    )
+
+    def timed_fresh(frame) -> float:
+        t = timed(lm_contamination_plan(frame))
+        clear_caches(spark)
+        return t
+
+    n_rows_1x = docs.count()
+    timed_fresh(docs)  # warm
+    t1 = min(timed_fresh(docs) for _ in range(2))
+    t10 = min(timed_fresh(suffixed_replicas(docs, COPIES)) for _ in range(2))
+    report("lm_contamination_screen", n_rows_1x, t1, t10)
+
+
+def check_cc_loop(spark) -> None:
+    """The connected-components LOOP alone (l21's iterative kernel),
+    isolated from LSH pair generation: the 1× and 10× pair graphs are
+    materialized (localCheckpoint) OUTSIDE the clock, so the probe
+    times only the label-propagation rounds — per round one edge join
+    + hash agg + pointer jump on (long, long) frames.  Components stay
+    small under suffixed replicas (rounds-to-convergence constant), so
+    loop time must track edge volume."""
+    import gc
+
+    from mcp_trino_spark.operators._util import spread
+    from mcp_trino_spark.operators.llm_dedup import (
+        _propagate_clusters,
+        minhash_lsh_pairs_plan,
+    )
+
+    docs = spread(load_table(spark, SF_DIR, "documents")).select(
+        "doc_id", "text"
+    )
+
+    def timed_loop(pairs_ckpt) -> float:
+        t0 = time.perf_counter()
+        out = _propagate_clusters(pairs_ckpt)
+        out.write.mode("overwrite").format("noop").save()
+        t = time.perf_counter() - t0
+        clear_caches(spark)
+        del out
+        gc.collect()
+        return t
+
+    pairs1 = minhash_lsh_pairs_plan(docs).localCheckpoint()
+    n_pairs_1x = pairs1.count()
+    clear_caches(spark)
+    timed_loop(pairs1)  # warm
+    t1 = min(timed_loop(pairs1) for _ in range(2))
+    pairs10 = minhash_lsh_pairs_plan(
+        suffixed_replicas(docs, COPIES)
+    ).localCheckpoint()
+    clear_caches(spark)
+    t10 = min(timed_loop(pairs10) for _ in range(2))
+    report("cc_loop_label_propagation", n_pairs_1x, t1, t10)
+
+
 def main() -> None:
     spark = get_spark("scaling")
     check_flagship(spark)
@@ -597,6 +664,10 @@ def main() -> None:
     check_embedding_outliers(spark)
     clear_caches(spark)
     check_quality_percentile_scaled(spark)
+    clear_caches(spark)
+    check_lm_contamination(spark)
+    clear_caches(spark)
+    check_cc_loop(spark)
 
 
 

@@ -1448,3 +1448,96 @@ def x34_null_ordering_defaults(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x35_exclude_minmax",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_custkey, year(o_orderdate) AS yr
+      FROM orders WHERE o_custkey < 200
+    ), g AS (
+      SELECT *, dense_rank() OVER (PARTITION BY o_custkey ORDER BY yr)
+               AS grp
+      FROM t
+    )
+    SELECT o_orderkey,
+           min(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY yr
+             RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             EXCLUDE GROUP) AS yr_min_g,
+           max(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY yr
+             RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             EXCLUDE TIES) AS yr_max_t,
+           min(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY yr
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             EXCLUDE GROUP) AS run_min_g,
+           max(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY grp
+             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+             EXCLUDE GROUP) AS nbr_max_g,
+           min(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY grp
+             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+             EXCLUDE TIES) AS nbr_min_t
+    FROM g
+    """,
+)
+def x35_exclude_minmax(spark, sf_dir):
+    """Differential certification of MIN/MAX under window-frame EXCLUDE
+    GROUP/TIES (_exclude_minmax_sub_windows): extremes cannot be
+    recovered by the x31 subtraction, but on peer-group-ALIGNED frames
+    the frame-minus-peer-group region is exactly two sub-windows —
+    prefix ending one peer group before the current one, suffix
+    starting one after — spelled as offset-bound GROUPS frames that the
+    w12 dense_rank machinery compiles onto ONE shared group-number
+    column (both sub-windows share the (partition, order) spec: one
+    Window operator, one exchange).  TIES adds the current row's own
+    value; least/greatest combine with skip-NULL semantics so an empty
+    sub-frame drops out exactly like the aggregate's NULL-ignoring
+    contract.
+
+    The oracle runs DuckDB's NATIVE window EXCLUDE (matcher-
+    independent); DuckDB has no GROUPS mode, so the GROUPS columns
+    order by an explicitly materialized dense_rank — the same
+    peer-group structure through a different spelling on each engine.
+    Same-year orders per customer form real multi-row peer groups, so
+    a wrong sub-frame edge (off-by-one group) diverges on every
+    multi-order year; the implicit-frame column (run_min_g) pins the
+    default-frame conversion, and first-group rows pin the empty-
+    prefix NULL path.
+
+    Reference parity: Trino evaluates SQL-standard frame EXCLUDE for
+    all aggregates natively and the reference forwards it verbatim
+    (internal/trino/client.go); closes the MIN/MAX residue VERDICT r8
+    carried (x29 split the ROWS case, x31 the SUM/COUNT/AVG peer
+    case).
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            WITH t AS (
+              SELECT o_orderkey, o_custkey,
+                     extract(YEAR FROM o_orderdate) AS yr
+              FROM orders WHERE o_custkey < 200
+            )
+            SELECT o_orderkey,
+                   min(o_orderkey) OVER (PARTITION BY o_custkey
+                     ORDER BY yr RANGE BETWEEN UNBOUNDED PRECEDING AND
+                     UNBOUNDED FOLLOWING EXCLUDE GROUP) AS yr_min_g,
+                   max(o_orderkey) OVER (PARTITION BY o_custkey
+                     ORDER BY yr RANGE BETWEEN UNBOUNDED PRECEDING AND
+                     UNBOUNDED FOLLOWING EXCLUDE TIES) AS yr_max_t,
+                   min(o_orderkey) OVER (PARTITION BY o_custkey
+                     ORDER BY yr EXCLUDE GROUP) AS run_min_g,
+                   max(o_orderkey) OVER (PARTITION BY o_custkey
+                     ORDER BY yr GROUPS BETWEEN 1 PRECEDING AND
+                     1 FOLLOWING EXCLUDE GROUP) AS nbr_max_g,
+                   min(o_orderkey) OVER (PARTITION BY o_custkey
+                     ORDER BY yr GROUPS BETWEEN 1 PRECEDING AND
+                     1 FOLLOWING EXCLUDE TIES) AS nbr_min_t
+            FROM t
+            """
+        )
+    )

@@ -308,6 +308,10 @@ _PRIORITY = [
     "l22_dedup_apply",
     "l36_embedding_outliers",
     "l37_ngram_lm_contamination",
+    # --- round-9 addition: MIN/MAX under window EXCLUDE GROUP/TIES
+    # via peer-aligned GROUPS sub-windows (closes the VERDICT r8
+    # MIN/MAX residue; certified vs DuckDB's native EXCLUDE) ---
+    "x35_exclude_minmax",
     # --- the longest-uncertified tier: round-1-vintage green rows on
     # modules that churned every round since (check_changed `module`
     # tier; a11b stays out to keep the 48-oracle window floor — r10) ---
@@ -353,7 +357,6 @@ _PRIORITY = [
     "f5_table_schema",
     "p5_between_in",
     "o4_nulls_ordering",
-    "l13_training_pipeline",
 ]
 
 

@@ -3447,13 +3447,8 @@ def _exclude_peer_subtraction(spec: str, mode: str, fn: str, arg: str):
             return None
         head = spec[: fr.start()].rstrip()
     else:
+        b1, b2 = None, None
         head = spec.strip()  # implicit RANGE UNBOUNDED..CURRENT ROW
-    if fnl not in ("sum", "count", "avg"):
-        raise TrinoCompatError(
-            f"EXCLUDE {mode} on a peer-defined frame is supported for "
-            f"SUM/COUNT/AVG (frame-minus-peer-group subtraction), not "
-            f"{fn}() — MIN/MAX cannot be recovered by subtraction"
-        )
     if re.match(r"(?is)^\s*DISTINCT\b", arg):
         raise TrinoCompatError(
             "EXCLUDE rewrite does not support DISTINCT aggregates"
@@ -3462,6 +3457,21 @@ def _exclude_peer_subtraction(spec: str, mode: str, fn: str, arg: str):
         raise TrinoCompatError(
             f"EXCLUDE {mode} needs an ORDER BY in the window — peers "
             "are defined by the sort key"
+        )
+    if fnl in ("min", "max") and mode in ("GROUP", "TIES"):
+        # extremes can't be recovered by subtraction, but the frame-
+        # minus-peer-group REGION is two peer-group-aligned sub-frames
+        # (prefix ending one group before, suffix starting one after)
+        # whenever the original bounds are themselves group-aligned
+        return _exclude_minmax_sub_windows(
+            head, mode, fnl, arg, kind, b1, b2
+        )
+    if fnl not in ("sum", "count", "avg"):
+        raise TrinoCompatError(
+            f"EXCLUDE {mode} on a peer-defined frame is supported for "
+            f"SUM/COUNT/AVG (frame-minus-peer-group subtraction) and "
+            f"MIN/MAX under GROUP/TIES (two peer-aligned sub-windows), "
+            f"not {fn}()"
         )
     peer = f"{head} RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
     star = arg.strip() == "*"
@@ -3507,6 +3517,97 @@ def _exclude_peer_subtraction(spec: str, mode: str, fn: str, arg: str):
     return (
         f"((coalesce({sumf}, 0) - {own}) / nullif({cntf} - {cur}, 0))"
     )
+
+
+def _groups_aligned_bound(b, kind: str):
+    """Frame bound → peer-group offset, or None when the bound is not
+    group-aligned (a numeric RANGE bound measures order-key DISTANCE —
+    its edge can sit anywhere relative to peer-group edges)."""
+    if b is None:
+        return None
+    t = " ".join(b.split()).upper()
+    if t == "CURRENT ROW":
+        return 0
+    if t == "UNBOUNDED PRECEDING":
+        return float("-inf")
+    if t == "UNBOUNDED FOLLOWING":
+        return float("inf")
+    m = re.match(r"^(\d+(?:\.0*)?)\s+(PRECEDING|FOLLOWING)$", t)
+    if m and re.fullmatch(r"0+(?:\.0*)?", m.group(1)):
+        return 0  # 0 PRECEDING/FOLLOWING == CURRENT ROW in any mode
+    if kind == "GROUPS" and m and "." not in m.group(1):
+        n = int(m.group(1))
+        return -n if m.group(2) == "PRECEDING" else n
+    return None
+
+
+def _exclude_minmax_sub_windows(
+    head: str, mode: str, fnl: str, arg: str, kind, b1, b2
+) -> str:
+    """MIN/MAX under EXCLUDE GROUP/TIES on a peer-group-aligned frame:
+    the excluded region is exactly
+
+        GROUPS BETWEEN <start> AND 1 PRECEDING   (prefix sub-frame)
+      ∪ GROUPS BETWEEN 1 FOLLOWING AND <end>     (suffix sub-frame)
+      ∪ {current row}                            (TIES only)
+
+    combined with least()/greatest() (emitted post-dialect-pass, so
+    they keep Spark's skip-NULL semantics — an empty sub-frame yields
+    NULL and drops out, matching the aggregate's NULL-ignoring
+    contract).  The GROUPS sub-windows compile in the immediately
+    following _rewrite_groups_frames pass (RANGE over a shared
+    dense_rank group number — both sub-windows share the (partition,
+    order) spec, so they land in one Window operator over one
+    exchange).  Group-aligned means: an implicit frame, a RANGE frame
+    with only UNBOUNDED/CURRENT ROW bounds, or a GROUPS frame — a
+    numeric-valued RANGE bound is rejected loudly (its edge is an
+    order-key distance that can land inside a peer group, so the
+    region is not a GROUPS region).  Certified vs DuckDB's native
+    EXCLUDE (x35)."""
+    if kind is None:  # implicit frame: RANGE UNBOUNDED..CURRENT ROW
+        g1, g2 = float("-inf"), 0
+    else:
+        g1 = _groups_aligned_bound(b1, kind)
+        g2 = _groups_aligned_bound(b2, kind)
+        if g1 is None or g2 is None:
+            raise TrinoCompatError(
+                f"EXCLUDE {mode} with {fnl}() needs a peer-group-aligned "
+                "frame (implicit, RANGE with UNBOUNDED/CURRENT ROW "
+                "bounds, or GROUPS) — a numeric RANGE bound can land "
+                "inside a peer group, so the frame-minus-peers region "
+                "is not expressible as sub-windows"
+            )
+
+    def rend(g) -> str:
+        if g == float("-inf"):
+            return "UNBOUNDED PRECEDING"
+        if g == float("inf"):
+            return "UNBOUNDED FOLLOWING"
+        if g == 0:
+            return "CURRENT ROW"
+        return f"{-g} PRECEDING" if g < 0 else f"{g} FOLLOWING"
+
+    parts = []
+    if g1 <= -1:
+        parts.append(
+            f"{fnl}({arg}) OVER ({head} GROUPS BETWEEN {rend(g1)} "
+            f"AND 1 PRECEDING)"
+        )
+    if g2 >= 1:
+        parts.append(
+            f"{fnl}({arg}) OVER ({head} GROUPS BETWEEN 1 FOLLOWING "
+            f"AND {rend(g2)})"
+        )
+    if mode == "TIES":
+        parts.append(f"({arg})")
+    if not parts:
+        # frame was exactly the peer group — empty after EXCLUDE GROUP;
+        # if() keeps the aggregate's result type without evaluating arg
+        return f"if(false, ({arg}), NULL)"
+    if len(parts) == 1:
+        return f"({parts[0]})"
+    comb = "least" if fnl == "min" else "greatest"
+    return f"({comb}({', '.join(parts)}))"
 
 
 def _rewrite_window_exclude(q: str) -> str:

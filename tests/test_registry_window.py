@@ -59,6 +59,7 @@ _NEVER_GRADED = [
     "l22_dedup_apply",
     "l36_embedding_outliers",
     "l37_ngram_lm_contamination",
+    "x35_exclude_minmax",
     "a11_stats",
     "a13_approx_distinct",
     "a14b_approx_percentile",

@@ -2806,14 +2806,84 @@ def test_window_exclude_peer_subtraction(spark):
         "SELECT sum(x) OVER (ORDER BY k NULLS LAST RANGE BETWEEN "
         "1 FOLLOWING AND 2 FOLLOWING) FROM t"
     )
-    # min/max cannot be recovered by subtraction; peers need ORDER BY
-    with pytest.raises(TrinoCompatError, match="subtraction"):
-        translate("SELECT min(x) OVER (ORDER BY k EXCLUDE GROUP) FROM t")
+    # min/max under GROUP/TIES route through peer-aligned GROUPS
+    # sub-windows (test_window_exclude_minmax); a numeric-valued RANGE
+    # bound is NOT group-aligned and stays loud
+    with pytest.raises(TrinoCompatError, match="peer-group-aligned"):
+        translate(
+            "SELECT min(x) OVER (ORDER BY k RANGE BETWEEN 5 PRECEDING "
+            "AND CURRENT ROW EXCLUDE GROUP) FROM t"
+        )
     with pytest.raises(TrinoCompatError, match="ORDER BY"):
         translate("SELECT sum(x) OVER (PARTITION BY k EXCLUDE GROUP) FROM t")
     with pytest.raises(TrinoCompatError, match="DISTINCT"):
         translate(
             "SELECT sum(DISTINCT x) OVER (ORDER BY k EXCLUDE GROUP) FROM t"
+        )
+
+
+def test_window_exclude_minmax(spark):
+    """MIN/MAX under EXCLUDE GROUP/TIES on peer-aligned frames: two
+    offset-bound GROUPS sub-windows (prefix to 1 group PRECEDING,
+    suffix from 1 FOLLOWING) combined with least/greatest; TIES adds
+    the current row's own value.  The x35 oracle entry pins the
+    differential vs DuckDB's native EXCLUDE in the graded window."""
+    import pandas as pd
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    spark.createDataFrame(
+        pd.DataFrame(
+            {"i": [1, 2, 3, 4, 5],
+             "k": [1, 1, 2, 2, 3],
+             "x": [10.0, 20.0, None, 40.0, 50.0]}
+        )
+    ).createOrReplaceTempView("exclm_t")
+    r = spark.sql(
+        translate(
+            "SELECT i,"
+            " min(x) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND"
+            "   UNBOUNDED FOLLOWING EXCLUDE GROUP) AS ming,"
+            " max(x) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND"
+            "   UNBOUNDED FOLLOWING EXCLUDE TIES) AS maxt,"
+            " min(x) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND"
+            "   UNBOUNDED FOLLOWING EXCLUDE TIES) AS mint,"
+            " min(x) OVER (ORDER BY k EXCLUDE GROUP) AS run_min,"
+            " max(x) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND"
+            "   1 FOLLOWING EXCLUDE GROUP) AS nbr_max"
+            " FROM exclm_t ORDER BY i"
+        )
+    ).collect()
+    got = [tuple(row)[1:] for row in r]
+    assert got == [
+        (40.0, 50.0, 10.0, None, 40.0),
+        (40.0, 50.0, 20.0, None, 40.0),
+        (10.0, 50.0, 10.0, 10.0, 50.0),
+        (10.0, 50.0, 10.0, 10.0, 50.0),
+        (10.0, 50.0, 10.0, 10.0, 40.0),
+    ]
+    # both sub-windows of each column share ONE dense_rank group
+    # column (one Window sort, one exchange)
+    out = translate(
+        "SELECT min(x) OVER (ORDER BY k EXCLUDE GROUP),"
+        " max(x) OVER (ORDER BY k EXCLUDE TIES) FROM t"
+    )
+    assert out.upper().count("DENSE_RANK") == 1
+    # frame exactly the peer group: empty after EXCLUDE GROUP -> typed
+    # NULL; after EXCLUDE TIES -> the row's own value
+    assert "if(false" in translate(
+        "SELECT min(x) OVER (ORDER BY k RANGE BETWEEN CURRENT ROW AND "
+        "CURRENT ROW EXCLUDE GROUP) FROM t"
+    )
+    assert translate(
+        "SELECT max(x) OVER (ORDER BY k RANGE BETWEEN CURRENT ROW AND "
+        "CURRENT ROW EXCLUDE TIES) AS m FROM t"
+    ) == "SELECT ((x)) AS m FROM t"
+    # GROUPS frames with numeric offsets convert directly; a fractional
+    # or value-typed RANGE offset cannot
+    with pytest.raises(TrinoCompatError, match="peer-group-aligned"):
+        translate(
+            "SELECT max(x) OVER (ORDER BY k RANGE BETWEEN CURRENT ROW "
+            "AND 2.5 FOLLOWING EXCLUDE TIES) FROM t"
         )
 
 

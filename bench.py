@@ -98,6 +98,9 @@ HEADLINERS = [
     "l35b_quality_percentile_scaled",
     "x26_nth_from_last",
     "l37_ngram_lm_contamination",
+    # r9: exact substring-level dedup (anchored window fingerprints —
+    # the suffix-array-dedup approximation, sort/group-based)
+    "l38_substring_dedup",
 ]
 
 

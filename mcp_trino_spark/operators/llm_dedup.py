@@ -1221,3 +1221,125 @@ def lm_contamination_plan(docs: DataFrame) -> DataFrame:
             > (F.count("*") * F.lit(-6)).cast("decimal(25,6)")
         ).alias("contaminated"),
     )
+
+
+#: l38 exact-substring dedup parameters: window width in WORDS, the
+#: anchor sampling rate (first hex nibble of md5(word) == '0' → 1/16 of
+#: positions), and the span document-frequency cap that bounds the pair
+#: join (boilerplate shared by hundreds of docs is not dedup signal).
+SUBSTR_W = 8
+SUBSTR_DF_CAP = 10
+
+
+def _substring_dedup_oracle() -> str:
+    return f"""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    anch AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(
+               ws[CAST(i AS INTEGER):CAST(i AS INTEGER) + {SUBSTR_W - 1}],
+               ' ') AS span
+      FROM w, LATERAL unnest(range(1, GREATEST(len(ws) - {SUBSTR_W - 1}, 0) + 1))
+              AS u(i)
+      WHERE substr(md5(ws[CAST(i AS INTEGER)]), 1, 1) = '0'
+    ),
+    capped AS (
+      SELECT span FROM anch GROUP BY span
+      HAVING COUNT(*) BETWEEN 2 AND {SUBSTR_DF_CAP}
+    ),
+    hits AS (SELECT a.doc_id, a.span FROM anch a JOIN capped USING (span))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared_spans
+    FROM hits a JOIN hits b ON a.span = b.span AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """
+
+
+@register("l38_substring_dedup", oracle=_substring_dedup_oracle())
+def l38_substring_dedup(spark, sf_dir):
+    """EXACT substring-level dedup — the distributed approximation of
+    suffix-array substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): find document pairs sharing a
+    VERBATIM ≥{W}-word span, the copied-passage signal that document-
+    level MinHash (l2) misses and that l34's rare-5-gram overlap only
+    approximates.
+
+    Shape (sort/group-based, not a band join): every document emits
+    fingerprints of the {W}-word windows starting at CONTENT-DEFINED
+    anchor positions (words whose md5 starts with '0' — 1/16 of
+    positions).  Anchoring is what makes the scheme alignment-robust
+    without a suffix sort: the anchor decision depends only on the
+    word itself, so two documents sharing a long enough verbatim span
+    share the anchors inside it and therefore emit IDENTICAL windows —
+    a span of ≥ W + 16·ln(…) words is caught with high probability,
+    and every shared window found is an exact, verified copy (no
+    false positives at all after verification).
+
+    Scale design: the index row is (doc_id, fp, span) — the span is W
+    words (~100 B), never the document; text bytes beyond the spans
+    are never shuffled.  The df cap (2..{C}) bounds the pair join at
+    Σdf² ≤ {C}²·|spans| exactly as in l34; candidates group on the
+    16-byte fp and are VERIFIED by comparing the carried span strings
+    (md5-collision-proof — the oracle joins on raw spans, so a
+    collision would be a hash mismatch).  One shuffle builds the
+    distinct span index, the df filter reuses its partitioning, and
+    the pair join + pair aggregate are one more exchange each.
+    Reference surface: pass-through SELECT (client.go:501-617); the
+    operator itself is beyond the reference (mandated pipeline
+    extension).
+    """
+    (docs,) = T(spark, sf_dir, "documents")
+    return substring_dedup_plan(spread(docs))
+
+
+def substring_dedup_plan(docs: DataFrame) -> DataFrame:
+    """The l38 plan over any (doc_id, text) frame — shared with the
+    scaling probe (tools/scaling_check.py)."""
+    from mcp_trino_spark.operators.opcache import persist_tracked
+
+    ws = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("ws")
+    )
+    pos = ws.select(
+        "doc_id", "ws", F.posexplode("ws").alias("i0", "w")
+    )
+    spans = (
+        pos.filter(
+            (F.substring(F.md5("w"), 1, 1) == "0")
+            & (F.col("i0") + SUBSTR_W <= F.size("ws"))
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.slice("ws", F.col("i0") + 1, SUBSTR_W), " "
+            ).alias("span"),
+        )
+        .distinct()
+        .select("doc_id", F.md5("span").alias("fp"), "span")
+    )
+    spans = persist_tracked(spans)
+    capped = (
+        spans.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SUBSTR_DF_CAP))
+        .select("fp")
+    )
+    hits = spans.join(capped, "fp")
+    return (
+        hits.alias("a")
+        .join(
+            hits.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        # exact-substring VERIFICATION on candidates only: a (vanishing)
+        # md5 collision would pair different spans — drop it
+        .filter(F.col("a.span") == F.col("b.span"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared_spans"))
+    )

@@ -312,6 +312,9 @@ _PRIORITY = [
     # via peer-aligned GROUPS sub-windows (closes the VERDICT r8
     # MIN/MAX residue; certified vs DuckDB's native EXCLUDE) ---
     "x35_exclude_minmax",
+    # --- round-9 addition: exact substring-level dedup via anchored
+    # window fingerprints (the suffix-array-dedup approximation) ---
+    "l38_substring_dedup",
     # --- the longest-uncertified tier: round-1-vintage green rows on
     # modules that churned every round since (check_changed `module`
     # tier; a11b stays out to keep the 48-oracle window floor — r10) ---
@@ -350,7 +353,6 @@ _PRIORITY = [
     "x2_regex",
     "x4_date_arith",
     "x6_math",
-    "x8_casting",
     # family-span representatives (window must cover p/a/w/o/x/t/s/f/l
     # — tests/test_engine.py): t10b is also r7 module-stale
     "t10b_match_recognize_funnel",

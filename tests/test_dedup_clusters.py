@@ -100,3 +100,52 @@ def test_simhash_hamming_small_for_true_neardups(spark):
                 if bin(sh[a] ^ sh[b]).count("1") <= 4)
     assert close / len(true_pairs) >= 0.9, (
         f"only {close}/{len(true_pairs)} near-dup pairs within 4 bits")
+
+
+def test_substring_dedup_finds_verbatim_span(spark):
+    """l38: two documents sharing a verbatim >=W-word span (with a
+    content-defined anchor inside it) pair up; documents with no
+    shared span don't; spans shared by more than the df cap are
+    excluded as boilerplate."""
+    from mcp_trino_spark.operators.llm_dedup import (
+        SUBSTR_DF_CAP,
+        substring_dedup_plan,
+    )
+
+    # find a word whose md5 starts with '0' (an anchor) and one that
+    # doesn't, so the shared span deterministically contains an anchor
+    import hashlib
+
+    def md5_0(w):
+        return hashlib.md5(w.encode()).hexdigest()[0] == "0"
+
+    anchor = next(w for w in (f"w{i}" for i in range(1000)) if md5_0(w))
+    plains = [w for w in (f"p{i}" for i in range(2000)) if not md5_0(w)]
+    span = " ".join([anchor] + plains[:7])  # 8 words, anchor first
+    docs = spark.createDataFrame(
+        [
+            (1, f"{plains[10]} {span} {plains[11]}"),
+            (2, f"{plains[12]} {plains[13]} {span}"),
+            (3, " ".join(plains[20:40])),  # anchor-free, unrelated
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_spans"]
+        for r in substring_dedup_plan(docs).collect()
+    }
+    assert got == {(1, 2): 1}
+
+    # boilerplate: the same span in (cap + 1) documents is excluded
+    many = spark.createDataFrame(
+        [(i, span) for i in range(SUBSTR_DF_CAP + 1)],
+        "doc_id long, text string",
+    )
+    assert substring_dedup_plan(many).count() == 0
+    # ...but at exactly the cap it pairs everything
+    at_cap = spark.createDataFrame(
+        [(i, span) for i in range(SUBSTR_DF_CAP)],
+        "doc_id long, text string",
+    )
+    n = SUBSTR_DF_CAP
+    assert substring_dedup_plan(at_cap).count() == n * (n - 1) // 2

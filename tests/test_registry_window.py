@@ -60,6 +60,7 @@ _NEVER_GRADED = [
     "l36_embedding_outliers",
     "l37_ngram_lm_contamination",
     "x35_exclude_minmax",
+    "l38_substring_dedup",
     "a11_stats",
     "a13_approx_distinct",
     "a14b_approx_percentile",

@@ -592,6 +592,48 @@ def check_lm_contamination(spark) -> None:
     report("lm_contamination_screen", n_rows_1x, t1, t10)
 
 
+def check_substring_dedup(spark) -> None:
+    """l38's anchored substring-fingerprint dedup at 10×: replicas tag
+    every WORD with a per-copy marker (fresh vocabulary per copy — the
+    per-copy anchor positions and span df distribution are preserved,
+    exactly as in the l34 probe; a plain text-suffix replica would
+    multiply every span's df ×copies and push the corpus past the df
+    cap, shrinking the pair join to nothing)."""
+    from mcp_trino_spark.operators._util import spread
+    from mcp_trino_spark.operators.llm_dedup import substring_dedup_plan
+
+    docs = spread(load_table(spark, SF_DIR, "documents")).select(
+        "doc_id", "text"
+    )
+
+    def word_tagged_replicas(frame: DataFrame, copies: int) -> DataFrame:
+        shift = 10_000_000
+        reps = [
+            frame.select(
+                (F.col("doc_id") + F.lit(i * shift)).alias("doc_id"),
+                F.regexp_replace(
+                    F.col("text"), r"(^|[ ])", rf"$1c{i}x"
+                ).alias("text"),
+            )
+            for i in range(copies)
+        ]
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        return out
+
+    def timed_fresh(frame) -> float:
+        t = timed(substring_dedup_plan(frame))
+        clear_caches(spark)
+        return t
+
+    n_rows_1x = docs.count()
+    timed_fresh(docs)  # warm
+    t1 = min(timed_fresh(docs) for _ in range(2))
+    t10 = min(timed_fresh(word_tagged_replicas(docs, COPIES)) for _ in range(2))
+    report("substring_dedup_anchored", n_rows_1x, t1, t10)
+
+
 def check_cc_loop(spark) -> None:
     """The connected-components LOOP alone (l21's iterative kernel),
     isolated from LSH pair generation: the 1× and 10× pair graphs are
@@ -668,6 +710,8 @@ def main() -> None:
     check_lm_contamination(spark)
     clear_caches(spark)
     check_cc_loop(spark)
+    clear_caches(spark)
+    check_substring_dedup(spark)
 
 
 

@@ -497,16 +497,19 @@ def l21_dup_clusters(spark, sf_dir):
 
     Spark shape: iterative min-label propagation with pointer jumping —
     per round each node takes min(own label, neighbors' labels) via ONE
-    edge join + hash agg, then follows its label's label (path halving),
-    so convergence is O(log component-size) rounds, not O(diameter).
-    Each round ends in ``localCheckpoint`` — MANDATORY for iterative
-    DataFrame algorithms: without it the logical plan nests per round
-    and Catalyst analysis time grows superlinearly (observed: the
-    un-checkpointed loop took >300 s at sf0.01; checkpointed, seconds).
-    The driver sees only a single convergence count per round
-    (metadata-sized), never data rows.  At 100 TB each round is one
-    shuffle on doc_id with state bounded per key — the standard Spark
-    connected-components pattern (cf. large-star/small-star).
+    edge join + hash agg, then (only if labels moved) follows its
+    label's label (path halving), so convergence is O(log
+    component-size) rounds, not O(diameter).  Round 0 is fused into
+    label init and every changed round ends in ``localCheckpoint`` —
+    MANDATORY for iterative DataFrame algorithms: without lineage
+    truncation the logical plan nests per round and Catalyst analysis
+    time grows superlinearly (observed: the un-checkpointed loop took
+    >300 s at sf0.01; checkpointed, seconds).  The driver sees only a
+    single convergence count per round (metadata-sized), never data
+    rows.  At 100 TB each round is one shuffle on doc_id with state
+    bounded per key — the standard Spark connected-components pattern
+    (cf. large-star/small-star); see _propagate_clusters for the
+    round-9 restructure details.
     """
     (docs,) = T(spark, sf_dir, "documents")
     return _propagate_clusters(minhash_lsh_pairs_plan(spread(docs)))

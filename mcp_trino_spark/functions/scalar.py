@@ -1541,3 +1541,62 @@ def x35_exclude_minmax(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x36_element_at_nullsafe",
+    oracle="""
+    SELECT doc_id,
+           ws[2] AS w2,
+           ws[len(ws) + 5] AS w_oob,
+           ws[-1] AS w_last,
+           ws[-(len(ws) + 5)] AS w_negoob,
+           MAP(['len','id'], [n_chars, doc_id])['id'][1] AS m_hit,
+           MAP(['len','id'], [n_chars, doc_id])['zz'][1] AS m_miss
+    FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ws
+          FROM documents WHERE doc_id < 300)
+    """,
+)
+def x36_element_at_nullsafe(spark, sf_dir):
+    """Differential certification of the user-spelled ``element_at``
+    respell (_rewrite_element_at_nullsafe): Trino's element_at returns
+    NULL out of bounds and on missing map keys, but Spark 4 runs ANSI
+    mode where element_at THROWS on an out-of-bounds array index — a
+    Trino-valid query would crash mid-scan (a round-9 probe-caught
+    divergence; invisible to execute-only gap hunts that never indexed
+    past an array's end).  try_element_at matches Trino exactly:
+    index 0 still throws, negative in-range reads from the end,
+    |i| > cardinality and missing map keys yield NULL.  DuckDB's list
+    indexing is natively NULL-out-of-bounds (positive, negative, and
+    map-missing probed), so every column here is a true differential:
+    in-range, past-the-end, from-the-end, negative-past-the-end, map
+    hit, map miss.
+
+    The SUBSCRIPT spelling (``arr[i]``, x32) deliberately keeps the
+    throwing element_at — Trino subscripts DO throw out of bounds, so
+    strict/lenient parity is per-spelling, matching Trino's own split.
+
+    Reference parity: Trino evaluates element_at natively and the
+    reference forwards it verbatim (internal/trino/client.go).
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT doc_id,
+                   element_at(ws, 2) AS w2,
+                   element_at(ws, cardinality(ws) + 5) AS w_oob,
+                   element_at(ws, -1) AS w_last,
+                   element_at(ws, -(cardinality(ws) + 5)) AS w_negoob,
+                   element_at(MAP(ARRAY['len','id'],
+                                  ARRAY[n_chars, doc_id]), 'id') AS m_hit,
+                   element_at(MAP(ARRAY['len','id'],
+                                  ARRAY[n_chars, doc_id]), 'zz') AS m_miss
+            FROM (SELECT doc_id, n_chars, split(text, ' ') AS ws
+                  FROM documents WHERE doc_id < 300)
+            """
+        )
+    )

@@ -315,6 +315,9 @@ _PRIORITY = [
     # --- round-9 addition: exact substring-level dedup via anchored
     # window fingerprints (the suffix-array-dedup approximation) ---
     "l38_substring_dedup",
+    # --- round-9 addition: user element_at -> try_element_at (Trino
+    # is NULL-out-of-bounds where ANSI Spark's element_at throws) ---
+    "x36_element_at_nullsafe",
     # --- the longest-uncertified tier: round-1-vintage green rows on
     # modules that churned every round since (check_changed `module`
     # tier; a11b stays out to keep the 48-oracle window floor — r10) ---
@@ -352,7 +355,6 @@ _PRIORITY = [
     "w9_range_frame",
     "x2_regex",
     "x4_date_arith",
-    "x6_math",
     # family-span representatives (window must cover p/a/w/o/x/t/s/f/l
     # — tests/test_engine.py): t10b is also r7 module-stale
     "t10b_match_recognize_funnel",

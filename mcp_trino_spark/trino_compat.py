@@ -37,11 +37,20 @@ shapes it can't express):
   a subscript directly on the literal (``ARRAY[..][k]``, 1-based in
   Trino) becomes ``element_at(array(..), k)`` which is also 1-based.
 - Bare subscripts ``expr[e]`` → ``element_at(expr, e)`` on EVERY base
-  (_rewrite_subscripts): 1-based on arrays and ANSI-throwing on maps,
-  matching Trino on both container kinds — closed in round 8 (was the
+  (_rewrite_subscripts): 1-based and ANSI-throwing out-of-bounds on
+  arrays, matching Trino's subscript — closed in round 8 (was the
   header's documented silent-divergence gap).  Residue: a negative
-  array index reads from the end where Trino errors (negative map
-  keys are legal, so a loud reject would break valid lookups).
+  array index reads from the end where Trino errors, and a MISSING map
+  key yields NULL where Trino's map subscript raises "Key not present"
+  (probed: ANSI element_at does NOT throw on maps; the base's
+  container kind is not lexically knowable, so neither can be made
+  loud without breaking the other).
+- USER-spelled ``element_at`` → ``try_element_at``
+  (_rewrite_element_at_nullsafe, round 9): Trino's element_at is
+  NULL-out-of-bounds where ANSI Spark's throws; try_element_at matches
+  Trino on every probed edge (index 0 throws, negative from-end,
+  OOB/missing-key NULL).  Strict/lenient parity is per-SPELLING,
+  matching Trino's own subscript-vs-element_at split (x36).
 - ``MAP(ka, va)`` (non-empty, not a CAST type) → ``map_from_arrays`` —
   Spark's variadic ``map()`` would silently read the two arrays as one
   entry.
@@ -1652,6 +1661,9 @@ def _rewrite_map_agg(q: str) -> str:
 #: throw-semantics.
 _TRY_FNS = {
     "element_at": "try_element_at",
+    # user element_at is already try_element_at by the time try()
+    # unwraps (the round-9 nullsafe respell runs first) — identity
+    "try_element_at": "try_element_at",
     "to_timestamp": "try_to_timestamp",
     "to_number": "try_to_number",
     "to_binary": "try_to_binary",
@@ -5573,6 +5585,35 @@ def _rewrite_binary_hashes(q: str) -> str:
     return q
 
 
+_ELEMENT_AT_CALL = re.compile(r"(?<![\w$])element_at\s*\(", re.IGNORECASE)
+
+
+def _rewrite_element_at_nullsafe(q: str) -> str:
+    """USER-spelled ``element_at`` → ``try_element_at``: Trino's
+    element_at returns NULL out of bounds (and on a missing map key),
+    but Spark 4 runs ANSI mode where element_at THROWS on an
+    out-of-bounds array index — a Trino-valid query would crash.
+    Spark's try_element_at matches Trino's element_at on every probed
+    edge: index 0 still throws (Trino: "SQL array indices start at
+    1"), negative in-range reads from the end, |i| > cardinality and
+    missing map keys yield NULL.  MUST run before every pass that
+    GENERATES strict element_at on purpose — the subscript rewrite
+    (Trino ``arr[i]`` also throws OOB, so its generated element_at
+    keeps ANSI's throwing parity) and the map_union / lambda-regexp
+    expansions.  Certified by x36 (DuckDB's list indexing is natively
+    NULL-out-of-bounds)."""
+    mask = _code_mask(q)
+    out, last = [], 0
+    for m in _ELEMENT_AT_CALL.finditer(q):
+        if not mask[m.start()]:
+            continue
+        out.append(q[last : m.start()])
+        out.append("try_element_at(")
+        last = m.end()
+    out.append(q[last:])
+    return "".join(out)
+
+
 def translate(query: str) -> str:
     """Rewrite Trino-only idioms to Spark SQL, outside literals/comments."""
     # FIRST: normalize Trino's escape-free literal spelling to Spark's
@@ -5580,6 +5621,10 @@ def translate(query: str) -> str:
     query = _respell_escape_free_literals(query)
     query = _rewrite_unicode_literals(query)
     query = _rewrite_binary_hashes(query)
+    # BEFORE every pass that generates strict element_at on purpose
+    # (subscripts, map_union, lambda regexp) — only USER-spelled
+    # element_at becomes the Trino-NULL-semantics try_element_at
+    query = _rewrite_element_at_nullsafe(query)
     # BEFORE the passes that generate skip-NULL least/greatest on
     # purpose (window EXCLUDE splits, comma-UNNEST zip padding)
     query = _rewrite_least_greatest_nulls(query)

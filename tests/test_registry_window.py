@@ -61,6 +61,7 @@ _NEVER_GRADED = [
     "l37_ngram_lm_contamination",
     "x35_exclude_minmax",
     "l38_substring_dedup",
+    "x36_element_at_nullsafe",
     "a11_stats",
     "a13_approx_distinct",
     "a14b_approx_percentile",

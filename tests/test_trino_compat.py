@@ -3009,3 +3009,38 @@ def test_order_by_null_placement_defaults(spark):
         "FROM (VALUES (2), (NULL), (1)) t(i)",
     )
     assert rows[0]["a"] == [1, 2, None]
+
+
+def test_element_at_nullsafe_respell(spark):
+    """User-spelled element_at -> try_element_at (Trino is NULL out of
+    bounds; ANSI Spark's element_at throws); generated element_at from
+    the subscript pass stays STRICT (Trino subscripts also throw)."""
+    assert translate("SELECT element_at(arr, 5) FROM t") == (
+        "SELECT try_element_at(arr, 5) FROM t"
+    )
+    assert translate("SELECT ELEMENT_AT(m, 'k') FROM t") == (
+        "SELECT try_element_at(m, 'k') FROM t"
+    )
+    # already-lenient spelling and literals untouched
+    assert translate("SELECT try_element_at(arr, 5) FROM t") == (
+        "SELECT try_element_at(arr, 5) FROM t"
+    )
+    assert translate("SELECT 'element_at(x,1)' FROM t") == (
+        "SELECT 'element_at(x,1)' FROM t"
+    )
+    # subscript spelling keeps the throwing parity
+    assert translate("SELECT arr[5] FROM t") == (
+        "SELECT element_at(arr, 5) FROM t"
+    )
+    # end-to-end values: OOB/missing-key NULL, negative from-end,
+    # in-range hit — matching Trino's element_at on every edge
+    row = spark.sql(
+        translate(
+            "SELECT element_at(ARRAY[10, 20], 5) AS oob,"
+            " element_at(ARRAY[10, 20], -1) AS last,"
+            " element_at(ARRAY[10, 20], -7) AS negoob,"
+            " element_at(MAP(ARRAY['a'], ARRAY[1]), 'z') AS miss,"
+            " element_at(MAP(ARRAY['a'], ARRAY[1]), 'a') AS hit"
+        )
+    ).collect()[0]
+    assert tuple(row) == (None, 20, None, None, 1)

@@ -1600,3 +1600,58 @@ def x36_element_at_nullsafe(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x37_regexp_extract_nullsafe",
+    oracle=r"""
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, 'the [a-z]+')
+                THEN regexp_extract(text, 'the [a-z]+') END AS whole,
+           CASE WHEN regexp_matches(text, 'the ([a-z]+)')
+                THEN regexp_extract(text, 'the ([a-z]+)', 1) END AS grp1,
+           CASE WHEN regexp_matches(text, 'zzqx(\d+)')
+                THEN regexp_extract(text, 'zzqx(\d+)', 1) END AS nomatch,
+           CASE WHEN regexp_matches(lang, '^[a-z]')
+                THEN regexp_extract(lang, '^[a-z]') END AS first_alpha
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def x37_regexp_extract_nullsafe(spark, sf_dir):
+    r"""Differential certification of the regexp_extract Trino
+    semantics (_rewrite_regexp_extract_nullsafe): Trino returns NULL
+    when the pattern does not match and its 2-arg form returns the
+    WHOLE match — Spark returns '' on no-match and defaults the
+    missing group to 1, ERRORING when the pattern has no capture
+    group (so the Trino-valid 2-arg groupless call crashed outright
+    before this pass; the no-match '' was a silent value divergence).
+    The Spark side spells plain Trino regexp_extract; the oracle
+    spells the NULL-on-no-match contract explicitly (DuckDB's own
+    regexp_extract is also ''-on-no-match, so the guard is the
+    portable ANSI way to say what Trino builds in).
+
+    Covers: 2-arg groupless whole-match, 3-arg group extraction,
+    never-matching pattern (NULL column), and an anchored match on a
+    short column.  Documented residue at the rewrite: a matched
+    pattern whose requested group did not participate yields ''
+    where Trino yields NULL (engine-internal coalescing).
+
+    Reference parity: Trino evaluates regexp_extract natively and the
+    reference forwards it verbatim (internal/trino/client.go).
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            r"""
+            SELECT doc_id,
+                   regexp_extract(text, 'the [a-z]+') AS whole,
+                   regexp_extract(text, 'the ([a-z]+)', 1) AS grp1,
+                   regexp_extract(text, 'zzqx(\d+)', 1) AS nomatch,
+                   regexp_extract(lang, '^[a-z]') AS first_alpha
+            FROM documents WHERE doc_id < 300
+            """
+        )
+    )

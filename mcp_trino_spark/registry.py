@@ -318,6 +318,9 @@ _PRIORITY = [
     # --- round-9 addition: user element_at -> try_element_at (Trino
     # is NULL-out-of-bounds where ANSI Spark's element_at throws) ---
     "x36_element_at_nullsafe",
+    # --- round-9 addition: regexp_extract NULL-on-no-match + group-0
+    # default (Spark: '' and an error on groupless 2-arg calls) ---
+    "x37_regexp_extract_nullsafe",
     # --- the longest-uncertified tier: round-1-vintage green rows on
     # modules that churned every round since (check_changed `module`
     # tier; a11b stays out to keep the 48-oracle window floor — r10) ---
@@ -354,7 +357,6 @@ _PRIORITY = [
     "l30_prep_pipeline",
     "w9_range_frame",
     "x2_regex",
-    "x4_date_arith",
     # family-span representatives (window must cover p/a/w/o/x/t/s/f/l
     # — tests/test_engine.py): t10b is also r7 module-stale
     "t10b_match_recognize_funnel",

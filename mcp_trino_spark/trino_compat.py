@@ -5585,6 +5585,57 @@ def _rewrite_binary_hashes(q: str) -> str:
     return q
 
 
+_REGEXP_EXTRACT_HEAD = re.compile(
+    r"(?<![\w$])regexp_extract\s*\(", re.IGNORECASE
+)
+_RE_STRICT_TOKEN = "__regexp_extract0__"
+
+
+def _rewrite_regexp_extract_nullsafe(q: str) -> str:
+    """Trino's ``regexp_extract`` returns NULL when the pattern does
+    not match, and its 2-arg form returns the WHOLE match (group 0) —
+    Spark returns '' on no-match and defaults the missing group index
+    to 1, erroring outright when the pattern has no capture group.
+    Rewrite every user-spelled call to
+
+        CASE WHEN regexp_like(s, pat) THEN regexp_extract(s, pat, g) END
+
+    with g defaulting to 0 (both engines' regexp_like/find semantics
+    are substring search, exactly regexp_extract's match test, so the
+    guard is NULL-correct for NULL inputs too and '' stays '' for a
+    genuine empty-width match like 'x*').  The generated strict call
+    is emitted under a sentinel spelling so the scan cannot re-match
+    it, then renamed back.  Residue (documented): a matched pattern
+    whose requested group did not PARTICIPATE ('(a)(b)?' group 2 on
+    'ac') yields '' where Trino yields NULL — Spark coalesces
+    non-participating groups to '' inside the engine, and no
+    expression-level guard can distinguish the two.  Certified by x37
+    (DuckDB's regexp_extract is whole-match-by-default; its no-match
+    '' diverges from Trino, so the oracle spells the NULL guard
+    explicitly)."""
+    while True:
+        hit = _find_call(q, _REGEXP_EXTRACT_HEAD)
+        if hit is None:
+            break
+        m, b0, b1 = hit
+        args = _split_top_args(q[b0:b1])
+        if len(args) == 2:
+            s, pat, g = args[0], args[1], "0"
+        elif len(args) == 3:
+            s, pat, g = args
+        else:
+            raise TrinoCompatError(
+                "regexp_extract expects 2 or 3 arguments, got "
+                f"{len(args)}"
+            )
+        repl = (
+            f"(CASE WHEN regexp_like({s}, {pat}) "
+            f"THEN {_RE_STRICT_TOKEN}({s}, {pat}, {g}) END)"
+        )
+        q = q[: m.start()] + repl + q[b1 + 1 :]
+    return q.replace(_RE_STRICT_TOKEN, "regexp_extract")
+
+
 _ELEMENT_AT_CALL = re.compile(r"(?<![\w$])element_at\s*\(", re.IGNORECASE)
 
 
@@ -5625,6 +5676,10 @@ def translate(query: str) -> str:
     # (subscripts, map_union, lambda regexp) — only USER-spelled
     # element_at becomes the Trino-NULL-semantics try_element_at
     query = _rewrite_element_at_nullsafe(query)
+    # likewise BEFORE the generators that emit Spark-semantics
+    # regexp_extract (parse_data_size) — user calls get Trino's
+    # NULL-on-no-match and group-0 default
+    query = _rewrite_regexp_extract_nullsafe(query)
     # BEFORE the passes that generate skip-NULL least/greatest on
     # purpose (window EXCLUDE splits, comma-UNNEST zip padding)
     query = _rewrite_least_greatest_nulls(query)

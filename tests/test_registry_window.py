@@ -62,6 +62,7 @@ _NEVER_GRADED = [
     "x35_exclude_minmax",
     "l38_substring_dedup",
     "x36_element_at_nullsafe",
+    "x37_regexp_extract_nullsafe",
     "a11_stats",
     "a13_approx_distinct",
     "a14b_approx_percentile",

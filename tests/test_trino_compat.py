@@ -3044,3 +3044,31 @@ def test_element_at_nullsafe_respell(spark):
         )
     ).collect()[0]
     assert tuple(row) == (None, 20, None, None, 1)
+
+
+def test_regexp_extract_nullsafe_rewrite(spark):
+    """Trino regexp_extract: NULL on no-match, whole match (group 0)
+    in the 2-arg form — Spark's '' and default-group-1 semantics (and
+    its error on groupless 2-arg patterns) are rewritten away."""
+    assert translate("SELECT regexp_extract(s, 'p') FROM t") == (
+        "SELECT (CASE WHEN regexp_like(s, 'p') "
+        "THEN regexp_extract(s, 'p', 0) END) FROM t"
+    )
+    assert translate("SELECT regexp_extract(s, 'p', 2) FROM t") == (
+        "SELECT (CASE WHEN regexp_like(s, 'p') "
+        "THEN regexp_extract(s, 'p', 2) END) FROM t"
+    )
+    # regexp_extract_all untouched by this pass
+    assert "regexp_extract_all" in translate(
+        "SELECT regexp_extract_all(s, 'p') FROM t"
+    )
+    row = spark.sql(
+        translate(
+            r"SELECT regexp_extract('abc', 'x(y)') AS nomatch,"
+            r" regexp_extract('abc', 'a') AS whole,"
+            r" regexp_extract('a1b2', '([a-z])(\d)', 2) AS grp,"
+            r" regexp_extract('abc', 'x*') AS emptymatch,"
+            r" regexp_extract(CAST(NULL AS VARCHAR), 'a') AS nullin"
+        )
+    ).collect()[0]
+    assert tuple(row) == (None, "a", "1", "", None)

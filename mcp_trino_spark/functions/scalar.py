@@ -1655,3 +1655,58 @@ def x37_regexp_extract_nullsafe(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x38_split_part_semantics",
+    oracle="""
+    SELECT c_custkey,
+           split_part(c_name, '#', 2) AS id_part,
+           CASE WHEN 5 <= len(string_split(c_name, '#'))
+                THEN split_part(c_name, '#', 5) END AS oob_part,
+           split_part(c_name, 'zzz', 1) AS whole,
+           CASE WHEN c_custkey % 4 + 1 <= len(string_split(c_name, '0'))
+                THEN split_part(c_name, '0', CAST(c_custkey % 4 + 1 AS INTEGER)) END
+             AS dyn_part
+    FROM customer WHERE c_custkey < 400
+    """,
+)
+def x38_split_part_semantics(spark, sf_dir):
+    """Differential certification of the split_part Trino semantics
+    (_rewrite_split_part_semantics): Trino returns NULL when the index
+    exceeds the field count and ERRORS on a non-positive index —
+    Spark returns '' out of range and silently reads from the END for
+    a negative index (probe-caught round 9; both silent on Trino-valid
+    queries).  The rewrite derives the field count from literal
+    ``replace`` (non-overlapping occurrence counting, exactly
+    split_part's own splitting — no regex escape, any-expression
+    delimiters).
+
+    Columns: in-range extraction, past-the-field-count (NULL), a
+    never-occurring delimiter (whole string is field 1), and a
+    row-varying index that crosses the field count per row.  DuckDB's
+    split_part is also ''-out-of-range, so the oracle spells Trino's
+    NULL contract explicitly with its own field counter
+    (len(string_split)) — an independent implementation of the guard.
+
+    Reference parity: Trino evaluates split_part natively and the
+    reference forwards it verbatim (internal/trino/client.go).
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT c_custkey,
+                   split_part(c_name, '#', 2) AS id_part,
+                   split_part(c_name, '#', 5) AS oob_part,
+                   split_part(c_name, 'zzz', 1) AS whole,
+                   split_part(c_name, '0',
+                              CAST(c_custkey % 4 + 1 AS INTEGER))
+                     AS dyn_part
+            FROM customer WHERE c_custkey < 400
+            """
+        )
+    )

@@ -321,6 +321,9 @@ _PRIORITY = [
     # --- round-9 addition: regexp_extract NULL-on-no-match + group-0
     # default (Spark: '' and an error on groupless 2-arg calls) ---
     "x37_regexp_extract_nullsafe",
+    # --- round-9 addition: split_part NULL-out-of-range +
+    # error-on-nonpositive (Spark: '' and negative-reads-from-end) ---
+    "x38_split_part_semantics",
     # --- the longest-uncertified tier: round-1-vintage green rows on
     # modules that churned every round since (check_changed `module`
     # tier; a11b stays out to keep the 48-oracle window floor — r10) ---
@@ -356,7 +359,6 @@ _PRIORITY = [
     "l26_minhash_estimate",
     "l30_prep_pipeline",
     "w9_range_frame",
-    "x2_regex",
     # family-span representatives (window must cover p/a/w/o/x/t/s/f/l
     # — tests/test_engine.py): t10b is also r7 module-stale
     "t10b_match_recognize_funnel",

@@ -5636,6 +5636,58 @@ def _rewrite_regexp_extract_nullsafe(q: str) -> str:
     return q.replace(_RE_STRICT_TOKEN, "regexp_extract")
 
 
+_SPLIT_PART_HEAD = re.compile(
+    r"(?<![\w$])split_part\s*\(", re.IGNORECASE
+)
+_SP_STRICT_TOKEN = "__split_part0__"
+
+
+def _rewrite_split_part_semantics(q: str) -> str:
+    """Trino ``split_part(s, delim, n)``: NULL when n exceeds the
+    field count, ERROR when n < 1 — Spark returns '' out of range and
+    reads from the END for negative n (both silent divergences on
+    Trino-valid queries; the negative form silently returns a value
+    Trino would reject).  Rewrite to
+
+        CASE WHEN (n) < 1 THEN raise_error(...)
+             WHEN (n) > (length(s) - length(replace(s, d, '')))
+                        div length(d) + 1 THEN NULL
+             ELSE split_part(s, d, n) END
+
+    The field count derives from ``replace`` (LITERAL in both engines
+    — no regex escaping, so the delimiter may be any expression);
+    occurrence counting is non-overlapping exactly like split_part's
+    own splitting.  An empty delimiter divides by zero and errors
+    loudly (Trino rejects empty delimiters too).  NULL inputs skip
+    both guards and fall through to split_part's own NULL
+    propagation.  Certified by x38 (DuckDB's split_part is also
+    ''-out-of-range, so the oracle spells the NULL contract
+    explicitly)."""
+    while True:
+        hit = _find_call(q, _SPLIT_PART_HEAD)
+        if hit is None:
+            break
+        m, b0, b1 = hit
+        args = _split_top_args(q[b0:b1])
+        if len(args) != 3:
+            raise TrinoCompatError(
+                "split_part() takes (string, delimiter, index)"
+            )
+        s, delim, n = args
+        nfields = (
+            f"(length({s}) - length(replace({s}, {delim}, ''))) "
+            f"div length({delim}) + 1"
+        )
+        repl = (
+            f"(CASE WHEN ({n}) < 1 THEN raise_error("
+            f"'split_part: index must be greater than zero') "
+            f"WHEN ({n}) > {nfields} THEN NULL "
+            f"ELSE {_SP_STRICT_TOKEN}({s}, {delim}, {n}) END)"
+        )
+        q = q[: m.start()] + repl + q[b1 + 1 :]
+    return q.replace(_SP_STRICT_TOKEN, "split_part")
+
+
 _ELEMENT_AT_CALL = re.compile(r"(?<![\w$])element_at\s*\(", re.IGNORECASE)
 
 
@@ -5680,6 +5732,11 @@ def translate(query: str) -> str:
     # regexp_extract (parse_data_size) — user calls get Trino's
     # NULL-on-no-match and group-0 default
     query = _rewrite_regexp_extract_nullsafe(query)
+    # split_part: Trino NULL-out-of-range / error-on-nonpositive vs
+    # Spark ''-out-of-range / negative-reads-from-end (field count via
+    # literal replace() — no regex, so later passes see nothing to
+    # re-escape)
+    query = _rewrite_split_part_semantics(query)
     # BEFORE the passes that generate skip-NULL least/greatest on
     # purpose (window EXCLUDE splits, comma-UNNEST zip padding)
     query = _rewrite_least_greatest_nulls(query)

@@ -63,6 +63,7 @@ _NEVER_GRADED = [
     "l38_substring_dedup",
     "x36_element_at_nullsafe",
     "x37_regexp_extract_nullsafe",
+    "x38_split_part_semantics",
     "a11_stats",
     "a13_approx_distinct",
     "a14b_approx_percentile",

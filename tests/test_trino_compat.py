@@ -3072,3 +3072,30 @@ def test_regexp_extract_nullsafe_rewrite(spark):
         )
     ).collect()[0]
     assert tuple(row) == (None, "a", "1", "", None)
+
+
+def test_split_part_trino_semantics(spark):
+    """Trino split_part: NULL past the field count, error on index < 1
+    — Spark's ''-out-of-range and negative-from-the-end are rewritten
+    away (field count via literal replace, non-overlapping)."""
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    row = spark.sql(
+        translate(
+            "SELECT split_part('a,b,c', ',', 2) AS ok,"
+            " split_part('a,b,c', ',', 9) AS oob,"
+            " split_part('a,,c', ',', 2) AS emptyfield,"
+            " split_part('abc', 'x', 1) AS whole,"
+            " split_part('aaa', 'aa', 2) AS overlap,"
+            " split_part(CAST(NULL AS VARCHAR), ',', 1) AS nullin"
+        )
+    ).collect()[0]
+    assert tuple(row) == ("b", None, "", "abc", "a", None)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="greater than zero"):
+        spark.sql(
+            translate("SELECT split_part('a,b', ',', -1) AS v")
+        ).collect()
+    with _pytest.raises(TrinoCompatError, match="string, delimiter, index"):
+        translate("SELECT split_part('a,b', ',') FROM t")

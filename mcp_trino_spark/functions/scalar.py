@@ -1710,3 +1710,49 @@ def x38_split_part_semantics(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x39_trim_chars_order",
+    oracle="""
+    SELECT c_custkey,
+           rtrim(c_name, '0123456789') AS no_digits,
+           ltrim(c_name, 'Custome') AS no_prefix,
+           trim(c_name, 'C1') AS both_set,
+           trim(c_name) AS plain
+    FROM customer WHERE c_custkey < 400
+    """,
+)
+def x39_trim_chars_order(spark, sf_dir):
+    """Differential certification of the two-arg trim family arg order
+    (_rewrite_trim_chars): Trino's trim/ltrim/rtrim(string, chars)
+    take the SOURCE first (StringFunctions.java CodePoints second
+    parameter — the Postgres convention DuckDB shares, which makes
+    this a native differential) while Spark's two-arg forms take the
+    trim SET first — a probe-caught SILENT arg swap: the Trino-valid
+    call strips the wrong string with the wrong set and returns a
+    value, not an error.  trim maps onto Spark's string-first btrim;
+    ltrim/rtrim swap argument order.
+
+    Columns: strip trailing digits, strip a leading codepoint set,
+    strip a both-ends set, and the untouched 1-arg whitespace form.
+
+    Reference parity: Trino evaluates the trim family natively and the
+    reference forwards it verbatim (internal/trino/client.go).
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT c_custkey,
+                   rtrim(c_name, '0123456789') AS no_digits,
+                   ltrim(c_name, 'Custome') AS no_prefix,
+                   trim(c_name, 'C1') AS both_set,
+                   trim(c_name) AS plain
+            FROM customer WHERE c_custkey < 400
+            """
+        )
+    )

@@ -324,6 +324,9 @@ _PRIORITY = [
     # --- round-9 addition: split_part NULL-out-of-range +
     # error-on-nonpositive (Spark: '' and negative-reads-from-end) ---
     "x38_split_part_semantics",
+    # --- round-9 addition: two-arg trim family arg order (Trino is
+    # (string, chars); Spark's two-arg forms are reversed) ---
+    "x39_trim_chars_order",
     # --- the longest-uncertified tier: round-1-vintage green rows on
     # modules that churned every round since (check_changed `module`
     # tier; a11b stays out to keep the 48-oracle window floor — r10) ---
@@ -358,7 +361,6 @@ _PRIORITY = [
     # --- fill: proven r5/r6-vintage entries (regression spot-check) ---
     "l26_minhash_estimate",
     "l30_prep_pipeline",
-    "w9_range_frame",
     # family-span representatives (window must cover p/a/w/o/x/t/s/f/l
     # — tests/test_engine.py): t10b is also r7 module-stale
     "t10b_match_recognize_funnel",

@@ -5688,6 +5688,48 @@ def _rewrite_split_part_semantics(q: str) -> str:
     return q.replace(_SP_STRICT_TOKEN, "split_part")
 
 
+_TRIM2_HEAD = re.compile(
+    r"(?<![\w$])(trim|ltrim|rtrim)\s*\(", re.IGNORECASE
+)
+_TRIM_TOKENS = {"ltrim": "__ltrim0__", "rtrim": "__rtrim0__"}
+
+
+def _rewrite_trim_chars(q: str) -> str:
+    """Two-arg ``trim/ltrim/rtrim(string, chars)``: Trino takes the
+    SOURCE first and the strip-set second (StringFunctions.java's
+    CodePoints second parameter, the Postgres convention) — Spark's
+    two-arg forms take them REVERSED (trimStr first), so a Trino-valid
+    call silently strips the wrong string with the wrong set.
+    ``trim(a, b)`` maps to Spark's ``btrim(a, b)`` (string-first,
+    identical semantics); ``ltrim/rtrim(a, b)`` swap to Spark's
+    ``(b, a)`` order, emitted under sentinel spellings so the scan
+    cannot re-match its own output.  One-arg forms and the SQL
+    ``trim([BOTH] chars FROM s)`` grammar (no top-level comma) are
+    identical in both engines and pass through.  Certified by x39
+    (DuckDB's trim family is string-first like Trino)."""
+    pos = 0
+    while True:
+        hit = _find_call(q, _TRIM2_HEAD, pos)
+        if hit is None:
+            break
+        m, b0, b1 = hit
+        args = _split_top_args(q[b0:b1])
+        if len(args) != 2:
+            pos = m.end()  # 1-arg / FROM-grammar form: untouched
+            continue
+        fn = m.group(1).lower()
+        a, b = args
+        if fn == "trim":
+            repl = f"btrim({a}, {b})"
+        else:
+            repl = f"{_TRIM_TOKENS[fn]}({b}, {a})"
+        q = q[: m.start()] + repl + q[b1 + 1 :]
+        pos = m.start()
+    for name, token in _TRIM_TOKENS.items():
+        q = q.replace(token, name)
+    return q
+
+
 _ELEMENT_AT_CALL = re.compile(r"(?<![\w$])element_at\s*\(", re.IGNORECASE)
 
 
@@ -5737,6 +5779,9 @@ def translate(query: str) -> str:
     # literal replace() — no regex, so later passes see nothing to
     # re-escape)
     query = _rewrite_split_part_semantics(query)
+    # two-arg trim/ltrim/rtrim: Trino is (string, chars), Spark's
+    # two-arg forms are (trimStr, str) — a silent arg swap
+    query = _rewrite_trim_chars(query)
     # BEFORE the passes that generate skip-NULL least/greatest on
     # purpose (window EXCLUDE splits, comma-UNNEST zip padding)
     query = _rewrite_least_greatest_nulls(query)

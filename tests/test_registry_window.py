@@ -64,6 +64,7 @@ _NEVER_GRADED = [
     "x36_element_at_nullsafe",
     "x37_regexp_extract_nullsafe",
     "x38_split_part_semantics",
+    "x39_trim_chars_order",
     "a11_stats",
     "a13_approx_distinct",
     "a14b_approx_percentile",

@@ -3099,3 +3099,27 @@ def test_split_part_trino_semantics(spark):
         ).collect()
     with _pytest.raises(TrinoCompatError, match="string, delimiter, index"):
         translate("SELECT split_part('a,b', ',') FROM t")
+
+
+def test_trim_chars_arg_order(spark):
+    """Two-arg trim/ltrim/rtrim: Trino is (string, chars); Spark's
+    two-arg forms are (trimStr, str) — rewritten via btrim / swapped
+    args.  One-arg and FROM-grammar forms pass through."""
+    assert translate("SELECT trim(s, 'x') FROM t") == (
+        "SELECT btrim(s, 'x') FROM t"
+    )
+    assert translate("SELECT ltrim(s, 'x'), rtrim(s, 'y') FROM t") == (
+        "SELECT ltrim('x', s), rtrim('y', s) FROM t"
+    )
+    assert translate("SELECT trim(s), trim(BOTH 'x' FROM s) FROM t") == (
+        "SELECT trim(s), trim(BOTH 'x' FROM s) FROM t"
+    )
+    row = spark.sql(
+        translate(
+            "SELECT trim('xhellox', 'x') AS t2,"
+            " ltrim('xhellox', 'x') AS l2,"
+            " rtrim('xhellox', 'x') AS r2,"
+            " ltrim(rtrim('aheya', 'a'), 'a') AS nested"
+        )
+    ).collect()[0]
+    assert tuple(row) == ("hello", "hellox", "xhello", "hey")

@@ -120,6 +120,10 @@ _COMPAT_SQL_UDFS = {
     "nan": ("()", "DOUBLE", "CAST('NaN' AS DOUBLE)"),
     "infinity": ("()", "DOUBLE", "CAST('Infinity' AS DOUBLE)"),
     "is_nan": ("(x DOUBLE)", "BOOLEAN", "isnan(x)"),
+    # Trino's IEEE constant constructors (Spark has no equivalents —
+    # they resolved to nothing and errored loudly until round 9)
+    "nan": ("()", "DOUBLE", "double('NaN')"),
+    "infinity": ("()", "DOUBLE", "double('Infinity')"),
     # Trino hamming_distance errors on unequal lengths — mirrored via
     # raise_error rather than silently counting the shorter prefix
     "hamming_distance": (

@@ -3123,3 +3123,22 @@ def test_trim_chars_arg_order(spark):
         )
     ).collect()[0]
     assert tuple(row) == ("hello", "hellox", "xhello", "hey")
+
+
+def test_ieee_constant_constructors(spark):
+    """Trino nan()/infinity() — Spark has no equivalents; installed as
+    zero-arg SQL UDFs (they errored loudly until round 9)."""
+    from mcp_trino_spark.trino_compat import install_compat_functions
+    import math
+
+    install_compat_functions(spark)
+    row = spark.sql(
+        translate(
+            "SELECT nan() AS n, infinity() AS i, -infinity() AS ni,"
+            " is_nan(nan()) AS isn, is_infinite(infinity()) AS isi,"
+            " is_finite(infinity()) AS isf"
+        )
+    ).collect()[0]
+    assert math.isnan(row["n"]) and row["i"] == math.inf
+    assert row["ni"] == -math.inf
+    assert (row["isn"], row["isi"], row["isf"]) == (True, True, False)

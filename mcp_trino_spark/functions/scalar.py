@@ -1756,3 +1756,66 @@ def x39_trim_chars_order(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x40_log_ieee_semantics",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN s > 0 THEN ln(s)
+                WHEN s = 0 THEN CAST('-Infinity' AS DOUBLE)
+                WHEN s < 0 THEN CAST('NaN' AS DOUBLE) END AS ln_s,
+           CASE WHEN c_acctbal > 0 THEN round(ln(c_acctbal), 6)
+                WHEN c_acctbal = 0 THEN CAST('-Infinity' AS DOUBLE)
+                WHEN c_acctbal < 0 THEN CAST('NaN' AS DOUBLE) END AS ln_bal,
+           CASE WHEN s > 0 THEN log10(s)
+                WHEN s = 0 THEN CAST('-Infinity' AS DOUBLE)
+                WHEN s < 0 THEN CAST('NaN' AS DOUBLE) END AS l10_s,
+           CASE WHEN s > 0 THEN ln(s) / ln(2)
+                WHEN s = 0 THEN CAST('-Infinity' AS DOUBLE)
+                WHEN s < 0 THEN CAST('NaN' AS DOUBLE) END AS lb_s
+    FROM (SELECT c_custkey, c_acctbal,
+                 CAST(c_custkey % 3 - 1 AS DOUBLE) AS s
+          FROM customer WHERE c_custkey < 400)
+    """,
+)
+def x40_log_ieee_semantics(spark, sf_dir):
+    """Differential certification of the IEEE log-family semantics
+    (_rewrite_log_ieee): Trino's ln/log10/log2/log(b, x) are pure
+    Math.log (MathFunctions.java) — 0 gives -Infinity, negatives give
+    NaN — where Spark's builtins return NULL for every non-positive
+    input (probe-caught; bites any pipeline taking log of a zero
+    count).  The Spark side spells plain Trino calls; the oracle
+    spells the IEEE contract explicitly (DuckDB ERRORS on log of
+    non-positives, so the guard is the portable way to say what both
+    Java and C libm do; positive-input ln/log10 are bit-identical
+    across all three engines — the l24/l28 precedent).
+
+    Columns: a three-way signed column (-1/0/1 → NaN/-Infinity/0.0)
+    through ln, log10, and 2-arg log(2, x), plus ln over a real money
+    column whose negatives exercise the NaN path at scale (rounded to
+    6 places — Java Math.log and DuckDB's libm log disagree by 1 ULP
+    on ~2% of real inputs, measured here; the SPECIAL values are
+    bit-exact unrounded).
+
+    Reference parity: Trino evaluates the log family natively and the
+    reference forwards it verbatim (internal/trino/client.go).
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT c_custkey,
+                   ln(s) AS ln_s,
+                   round(ln(c_acctbal), 6) AS ln_bal,
+                   log10(s) AS l10_s,
+                   log(2, s) AS lb_s
+            FROM (SELECT c_custkey, c_acctbal,
+                         CAST(c_custkey % 3 - 1 AS DOUBLE) AS s
+                  FROM customer WHERE c_custkey < 400)
+            """
+        )
+    )

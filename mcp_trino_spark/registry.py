@@ -327,6 +327,9 @@ _PRIORITY = [
     # --- round-9 addition: two-arg trim family arg order (Trino is
     # (string, chars); Spark's two-arg forms are reversed) ---
     "x39_trim_chars_order",
+    # --- round-9 addition: IEEE log family (Trino: ln(0) = -Infinity,
+    # ln(neg) = NaN; Spark builtins: NULL for every non-positive) ---
+    "x40_log_ieee_semantics",
     # --- the longest-uncertified tier: round-1-vintage green rows on
     # modules that churned every round since (check_changed `module`
     # tier; a11b stays out to keep the 48-oracle window floor — r10) ---
@@ -359,7 +362,6 @@ _PRIORITY = [
     "x10_array_hof",
     "x13_struct_row",
     # --- fill: proven r5/r6-vintage entries (regression spot-check) ---
-    "l26_minhash_estimate",
     "l30_prep_pipeline",
     # family-span representatives (window must cover p/a/w/o/x/t/s/f/l
     # — tests/test_engine.py): t10b is also r7 module-stale

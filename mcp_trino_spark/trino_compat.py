@@ -5734,6 +5734,77 @@ def _rewrite_trim_chars(q: str) -> str:
     return q
 
 
+_LOG_FAMILY_HEAD = re.compile(
+    r"(?<![\w$])(log10|log2|ln|log)\s*\(", re.IGNORECASE
+)
+_LOG_TOKENS = {"ln": "__ln0__", "log10": "__log10_0__",
+               "log2": "__log2_0__"}
+
+
+def _ieee_log_tree(fn: str, e: str) -> str:
+    """IEEE result tree for a 1-arg log-family call: Trino evaluates
+    Math.log/log10 directly (MathFunctions.java), so 0 → -Infinity and
+    negative → NaN — Spark's builtins return NULL for every
+    non-positive input.  Positive (and NaN, which sorts above 0 in
+    Spark's ordering and passes through the builtin as NaN) keeps the
+    BUILTIN call bit-exact; NULL skips every branch."""
+    b = f"{_LOG_TOKENS[fn]}({e})"
+    return (
+        f"(CASE WHEN ({e}) > 0 THEN {b} "
+        f"WHEN ({e}) = 0 THEN -double('Infinity') "
+        f"WHEN ({e}) < 0 THEN double('NaN') END)"
+    )
+
+
+def _rewrite_log_ieee(q: str) -> str:
+    """Trino's ln/log10/log2/log(b, x) follow IEEE 754 (pure
+    Math.log — 0 gives -Infinity, negatives give NaN) where Spark's
+    builtins return NULL for every non-positive input: a silent value
+    divergence wherever a pipeline takes log of a zero count.  1-arg
+    calls wrap in the IEEE tree (builtin kept for positives —
+    bit-exact); Trino's 2-arg ``log(b, x)`` is Math.log(x)/Math.log(b)
+    and compiles to the two IEEE trees divided under a zero-divisor
+    guard (ANSI Spark errors on double division by zero; IEEE says
+    ±Infinity by the numerator's sign, NaN for 0/0 — NaN numerators
+    are tested FIRST because NaN sorts above 0 in Spark comparisons).
+    Sentinel spellings keep the scan off its own output.  MUST run in
+    the early block — the geometric_mean rewrite (and other later
+    generators) emit Spark-semantics ln() on purpose.  Certified by
+    x40 (DuckDB ERRORS on log of non-positives, so the oracle spells
+    the IEEE contract explicitly)."""
+    while True:
+        hit = _find_call(q, _LOG_FAMILY_HEAD)
+        if hit is None:
+            break
+        m, b0, b1 = hit
+        fn = m.group(1).lower()
+        args = _split_top_args(q[b0:b1])
+        if fn in _LOG_TOKENS:
+            if len(args) != 1:
+                raise TrinoCompatError(f"{fn}() takes exactly one argument")
+            repl = _ieee_log_tree(fn, args[0])
+        else:  # log — Trino has ONLY the 2-arg (base, x) form
+            if len(args) != 2:
+                raise TrinoCompatError(
+                    "log() takes (base, x) in Trino — use ln()/log10()/"
+                    "log2() for the one-argument forms"
+                )
+            num = _ieee_log_tree("ln", args[1])
+            den = _ieee_log_tree("ln", args[0])
+            repl = (
+                f"(CASE WHEN {den} = 0 THEN "
+                f"(CASE WHEN isnan({num}) OR {num} = 0 "
+                f"THEN double('NaN') "
+                f"WHEN {num} > 0 THEN double('Infinity') "
+                f"ELSE -double('Infinity') END) "
+                f"ELSE {num} / {den} END)"
+            )
+        q = q[: m.start()] + repl + q[b1 + 1 :]
+    for name, token in _LOG_TOKENS.items():
+        q = q.replace(token, name)
+    return q
+
+
 _ELEMENT_AT_CALL = re.compile(r"(?<![\w$])element_at\s*\(", re.IGNORECASE)
 
 
@@ -5786,6 +5857,11 @@ def translate(query: str) -> str:
     # two-arg trim/ltrim/rtrim: Trino is (string, chars), Spark's
     # two-arg forms are (trimStr, str) — a silent arg swap
     query = _rewrite_trim_chars(query)
+    # ln/log10/log2/log(b, x): Trino is pure IEEE Math.log (0 ->
+    # -Infinity, negative -> NaN) where Spark's builtins return NULL.
+    # Early: later generators (geometric_mean) emit Spark-semantics
+    # ln() on purpose
+    query = _rewrite_log_ieee(query)
     # BEFORE the passes that generate skip-NULL least/greatest on
     # purpose (window EXCLUDE splits, comma-UNNEST zip padding)
     query = _rewrite_least_greatest_nulls(query)

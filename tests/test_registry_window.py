@@ -65,6 +65,7 @@ _NEVER_GRADED = [
     "x37_regexp_extract_nullsafe",
     "x38_split_part_semantics",
     "x39_trim_chars_order",
+    "x40_log_ieee_semantics",
     "a11_stats",
     "a13_approx_distinct",
     "a14b_approx_percentile",

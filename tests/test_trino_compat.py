@@ -3142,3 +3142,43 @@ def test_ieee_constant_constructors(spark):
     assert math.isnan(row["n"]) and row["i"] == math.inf
     assert row["ni"] == -math.inf
     assert (row["isn"], row["isi"], row["isf"]) == (True, True, False)
+
+
+def test_log_family_ieee(spark):
+    """Trino's log family is pure Math.log: 0 -> -Infinity, negative ->
+    NaN; Spark's builtins return NULL for non-positives.  Positive
+    inputs keep the builtin (bit-exact); 2-arg log divides two IEEE
+    trees under a zero-divisor guard."""
+    import math
+
+    from mcp_trino_spark.trino_compat import (
+        TrinoCompatError,
+        install_compat_functions,
+    )
+
+    install_compat_functions(spark)
+    row = spark.sql(
+        translate(
+            "SELECT ln(0e0) AS ln0, ln(-1e0) AS lnneg, ln(1e0) AS ln1,"
+            " log10(0e0) AS l10z, log10(100e0) AS l10h,"
+            " log2(8e0) AS l2e, log(2e0, 8e0) AS lb,"
+            " log(2e0, 0e0) AS lbz, log(1e0, 2e0) AS base1,"
+            " log(1e0, 1e0) AS b1one, ln(CAST(NULL AS DOUBLE)) AS lnull,"
+            " ln(nan()) AS lnan"
+        )
+    ).collect()[0]
+    assert row["ln0"] == -math.inf and math.isnan(row["lnneg"])
+    assert row["ln1"] == 0.0 and row["l10z"] == -math.inf
+    assert (row["l10h"], row["l2e"], row["lb"]) == (2.0, 3.0, 3.0)
+    assert row["lbz"] == -math.inf and row["base1"] == math.inf
+    assert math.isnan(row["b1one"]) and row["lnull"] is None
+    assert math.isnan(row["lnan"])
+    # Trino has NO 1-arg log
+    import pytest as _pytest
+
+    with _pytest.raises(TrinoCompatError, match="base, x"):
+        translate("SELECT log(x) FROM t")
+    # generated Spark-semantics ln (geometric_mean) is NOT rewrapped
+    assert "CASE WHEN" not in translate(
+        "SELECT geometric_mean(x) FROM t"
+    ).split("exp(")[-1]

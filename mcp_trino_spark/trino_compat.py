@@ -5695,7 +5695,7 @@ def _rewrite_split_part_semantics(q: str) -> str:
 _TRIM2_HEAD = re.compile(
     r"(?<![\w$])(trim|ltrim|rtrim)\s*\(", re.IGNORECASE
 )
-_TRIM_TOKENS = {"ltrim": "__ltrim0__", "rtrim": "__rtrim0__"}
+_TRIM_SIDE = {"ltrim": "LEADING", "rtrim": "TRAILING"}
 
 
 def _rewrite_trim_chars(q: str) -> str:
@@ -5705,12 +5705,14 @@ def _rewrite_trim_chars(q: str) -> str:
     two-arg forms take them REVERSED (trimStr first), so a Trino-valid
     call silently strips the wrong string with the wrong set.
     ``trim(a, b)`` maps to Spark's ``btrim(a, b)`` (string-first,
-    identical semantics); ``ltrim/rtrim(a, b)`` swap to Spark's
-    ``(b, a)`` order, emitted under sentinel spellings so the scan
-    cannot re-match its own output.  One-arg forms and the SQL
-    ``trim([BOTH] chars FROM s)`` grammar (no top-level comma) are
-    identical in both engines and pass through.  Certified by x39
-    (DuckDB's trim family is string-first like Trino)."""
+    identical semantics); ``ltrim/rtrim(a, b)`` map to the SQL
+    ``TRIM(LEADING|TRAILING b FROM a)`` grammar (Spark deprecates its
+    two-arg function spellings; the grammar form also contains no
+    top-level comma, so the scan cannot re-match its own output).
+    One-arg forms and the user-spelled ``trim([BOTH] chars FROM s)``
+    grammar are identical in both engines and pass through.
+    Certified by x39 (DuckDB's trim family is string-first like
+    Trino)."""
     pos = 0
     while True:
         hit = _find_call(q, _TRIM2_HEAD, pos)
@@ -5726,11 +5728,9 @@ def _rewrite_trim_chars(q: str) -> str:
         if fn == "trim":
             repl = f"btrim({a}, {b})"
         else:
-            repl = f"{_TRIM_TOKENS[fn]}({b}, {a})"
+            repl = f"TRIM({_TRIM_SIDE[fn]} {b} FROM {a})"
         q = q[: m.start()] + repl + q[b1 + 1 :]
         pos = m.start()
-    for name, token in _TRIM_TOKENS.items():
-        q = q.replace(token, name)
     return q
 
 

@@ -3109,7 +3109,7 @@ def test_trim_chars_arg_order(spark):
         "SELECT btrim(s, 'x') FROM t"
     )
     assert translate("SELECT ltrim(s, 'x'), rtrim(s, 'y') FROM t") == (
-        "SELECT ltrim('x', s), rtrim('y', s) FROM t"
+        "SELECT TRIM(LEADING 'x' FROM s), TRIM(TRAILING 'y' FROM s) FROM t"
     )
     assert translate("SELECT trim(s), trim(BOTH 'x' FROM s) FROM t") == (
         "SELECT trim(s), trim(BOTH 'x' FROM s) FROM t"

@@ -1265,25 +1265,26 @@ def l38_substring_dedup(spark, sf_dir):
     """EXACT substring-level dedup — the distributed approximation of
     suffix-array substring dedup (Lee et al., "Deduplicating Training
     Data Makes Language Models Better"): find document pairs sharing a
-    VERBATIM ≥{W}-word span, the copied-passage signal that document-
+    VERBATIM >=8-word span, the copied-passage signal that document-
     level MinHash (l2) misses and that l34's rare-5-gram overlap only
     approximates.
 
     Shape (sort/group-based, not a band join): every document emits
-    fingerprints of the {W}-word windows starting at CONTENT-DEFINED
+    fingerprints of the 8-word windows starting at CONTENT-DEFINED
     anchor positions (words whose md5 starts with '0' — 1/16 of
     positions).  Anchoring is what makes the scheme alignment-robust
     without a suffix sort: the anchor decision depends only on the
     word itself, so two documents sharing a long enough verbatim span
     share the anchors inside it and therefore emit IDENTICAL windows —
-    a span of ≥ W + 16·ln(…) words is caught with high probability,
+    a span comfortably longer than the window (the expected anchor
+    gap is 16 words) is caught with high probability,
     and every shared window found is an exact, verified copy (no
     false positives at all after verification).
 
-    Scale design: the index row is (doc_id, fp, span) — the span is W
+    Scale design: the index row is (doc_id, fp, span) — the span is 8
     words (~100 B), never the document; text bytes beyond the spans
-    are never shuffled.  The df cap (2..{C}) bounds the pair join at
-    Σdf² ≤ {C}²·|spans| exactly as in l34; candidates group on the
+    are never shuffled.  The df cap (2..10) bounds the pair join at
+    Σdf² ≤ 100·|spans| exactly as in l34; candidates group on the
     16-byte fp and are VERIFIED by comparing the carried span strings
     (md5-collision-proof — the oracle joins on raw spans, so a
     collision would be a hash mismatch).  One shuffle builds the

@@ -120,10 +120,6 @@ _COMPAT_SQL_UDFS = {
     "nan": ("()", "DOUBLE", "CAST('NaN' AS DOUBLE)"),
     "infinity": ("()", "DOUBLE", "CAST('Infinity' AS DOUBLE)"),
     "is_nan": ("(x DOUBLE)", "BOOLEAN", "isnan(x)"),
-    # Trino's IEEE constant constructors (Spark has no equivalents —
-    # they resolved to nothing and errored loudly until round 9)
-    "nan": ("()", "DOUBLE", "double('NaN')"),
-    "infinity": ("()", "DOUBLE", "double('Infinity')"),
     # Trino hamming_distance errors on unequal lengths — mirrored via
     # raise_error rather than silently counting the shorter prefix
     "hamming_distance": (
@@ -5662,11 +5658,17 @@ def _rewrite_split_part_semantics(q: str) -> str:
     — no regex escaping, so the delimiter may be any expression);
     occurrence counting is non-overlapping exactly like split_part's
     own splitting.  An empty delimiter divides by zero and errors
-    loudly (Trino rejects empty delimiters too).  NULL inputs skip
-    both guards and fall through to split_part's own NULL
-    propagation.  Certified by x38 (DuckDB's split_part is also
-    ''-out-of-range, so the oracle spells the NULL contract
-    explicitly)."""
+    loudly (Trino rejects empty delimiters too).  NULL inputs short-
+    circuit to NULL in the FIRST branch (Trino is RETURNS-NULL-ON-
+    NULL-INPUT — a NULL string must not trip the index guard).
+    Hazard (documented, shared by every guard-style rewrite here):
+    the argument expressions are embedded in multiple branches, so a
+    NONDETERMINISTIC argument (rand()-derived index) is evaluated
+    independently per branch and the guard can check a different
+    value than the guarded call uses — deterministic expressions,
+    the SQL norm, are unaffected.  Certified by x38 (DuckDB's
+    split_part is also ''-out-of-range, so the oracle spells the NULL
+    contract explicitly)."""
     while True:
         hit = _find_call(q, _SPLIT_PART_HEAD)
         if hit is None:
@@ -5682,8 +5684,13 @@ def _rewrite_split_part_semantics(q: str) -> str:
             f"(length({s}) - length(replace({s}, {delim}, ''))) "
             f"div length({delim}) + 1"
         )
+        # NULL inputs FIRST: Trino's split_part is RETURNS-NULL-ON-
+        # NULL-INPUT, so a NULL string/delimiter yields NULL even with
+        # a negative index — the raise_error guard must not fire
         repl = (
-            f"(CASE WHEN ({n}) < 1 THEN raise_error("
+            f"(CASE WHEN ({s}) IS NULL OR ({delim}) IS NULL "
+            f"OR ({n}) IS NULL THEN CAST(NULL AS STRING) "
+            f"WHEN ({n}) < 1 THEN raise_error("
             f"'split_part: index must be greater than zero') "
             f"WHEN ({n}) > {nfields} THEN NULL "
             f"ELSE {_SP_STRICT_TOKEN}({s}, {delim}, {n}) END)"
@@ -5766,12 +5773,18 @@ def _rewrite_log_ieee(q: str) -> str:
     and compiles to the two IEEE trees divided under a zero-divisor
     guard (ANSI Spark errors on double division by zero; IEEE says
     ±Infinity by the numerator's sign, NaN for 0/0 — NaN numerators
-    are tested FIRST because NaN sorts above 0 in Spark comparisons).
+    are tested FIRST because NaN sorts above 0 in Spark comparisons,
+    and NULL numerators before that: Trino is RETURNS-NULL-ON-NULL-
+    INPUT, so log(1, NULL) is NULL, not -Infinity).
     Sentinel spellings keep the scan off its own output.  MUST run in
     the early block — the geometric_mean rewrite (and other later
-    generators) emit Spark-semantics ln() on purpose.  Certified by
-    x40 (DuckDB ERRORS on log of non-positives, so the oracle spells
-    the IEEE contract explicitly)."""
+    generators) emit Spark-semantics ln() on purpose.  Hazard
+    (documented): argument expressions are embedded once per CASE
+    branch, so a NONDETERMINISTIC argument is evaluated independently
+    per branch; deterministic expressions, the SQL norm, are
+    unaffected.  Certified by x40 (DuckDB ERRORS on log of
+    non-positives, so the oracle spells the IEEE contract
+    explicitly)."""
     while True:
         hit = _find_call(q, _LOG_FAMILY_HEAD)
         if hit is None:
@@ -5791,9 +5804,13 @@ def _rewrite_log_ieee(q: str) -> str:
                 )
             num = _ieee_log_tree("ln", args[1])
             den = _ieee_log_tree("ln", args[0])
+            # NULL numerator FIRST: the sign tests below would
+            # otherwise fall through to -Infinity for log(1, NULL)
+            # (Trino is RETURNS-NULL-ON-NULL-INPUT)
             repl = (
                 f"(CASE WHEN {den} = 0 THEN "
-                f"(CASE WHEN isnan({num}) OR {num} = 0 "
+                f"(CASE WHEN {num} IS NULL THEN CAST(NULL AS DOUBLE) "
+                f"WHEN isnan({num}) OR {num} = 0 "
                 f"THEN double('NaN') "
                 f"WHEN {num} > 0 THEN double('Infinity') "
                 f"ELSE -double('Infinity') END) "

@@ -3097,6 +3097,13 @@ def test_split_part_trino_semantics(spark):
         spark.sql(
             translate("SELECT split_part('a,b', ',', -1) AS v")
         ).collect()
+    # review-caught: a NULL string short-circuits BEFORE the index
+    # guard (Trino is RETURNS-NULL-ON-NULL-INPUT)
+    assert spark.sql(
+        translate(
+            "SELECT split_part(CAST(NULL AS VARCHAR), ',', -1) AS v"
+        )
+    ).collect()[0]["v"] is None
     with _pytest.raises(TrinoCompatError, match="string, delimiter, index"):
         translate("SELECT split_part('a,b', ',') FROM t")
 
@@ -3126,8 +3133,9 @@ def test_trim_chars_arg_order(spark):
 
 
 def test_ieee_constant_constructors(spark):
-    """Trino nan()/infinity() — Spark has no equivalents; installed as
-    zero-arg SQL UDFs (they errored loudly until round 9)."""
+    """Trino nan()/infinity() — Spark has no equivalents; served by
+    zero-arg SQL UDFs (present since dialect batch 2 — pinned here
+    because no test covered them)."""
     from mcp_trino_spark.trino_compat import install_compat_functions
     import math
 
@@ -3173,6 +3181,11 @@ def test_log_family_ieee(spark):
     assert row["lbz"] == -math.inf and row["base1"] == math.inf
     assert math.isnan(row["b1one"]) and row["lnull"] is None
     assert math.isnan(row["lnan"])
+    # review-caught: NULL numerator with base 1 must be NULL, not
+    # -Infinity (Trino is RETURNS-NULL-ON-NULL-INPUT)
+    assert spark.sql(
+        translate("SELECT log(1e0, CAST(NULL AS DOUBLE)) AS v")
+    ).collect()[0]["v"] is None
     # Trino has NO 1-arg log
     import pytest as _pytest
 

@@ -1819,3 +1819,53 @@ def x40_log_ieee_semantics(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x41_orderless_ranking",
+    oracle="""
+    SELECT o_orderkey,
+           rank() OVER () AS rk_all,
+           dense_rank() OVER (PARTITION BY o_custkey) AS dr_cust,
+           percent_rank() OVER (PARTITION BY o_custkey) AS pr_cust,
+           cume_dist() OVER () AS cd_all,
+           count(*) OVER (PARTITION BY o_custkey) AS n_cust
+    FROM orders WHERE o_custkey < 200
+    """,
+)
+def x41_orderless_ranking(spark, sf_dir):
+    """Differential certification of orderless ranking windows
+    (_rewrite_orderless_ranking_windows): Trino accepts ranking/offset
+    window functions with NO window ORDER BY — every row is a peer, so
+    rank()/dense_rank() are 1 everywhere, percent_rank() 0,
+    cume_dist() 1 — where Spark refused the spec outright ("requires
+    window to be ordered"); a Trino-valid query errored loudly until
+    round 9.  The injected constant ORDER BY 1 keeps every row a peer,
+    reproducing the semantics exactly; this entry certifies the
+    DETERMINISTIC all-peers columns (row_number/ntile stay arbitrary
+    on both engines, covered by the unit test's count-level asserts).
+    The aggregate count(*) window pins that orderless AGGREGATE specs
+    pass through untouched.  DuckDB evaluates the orderless forms
+    natively — a true differential.
+
+    Reference parity: Trino evaluates orderless window specs natively
+    and the reference forwards them verbatim
+    (internal/trino/client.go).
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT o_orderkey,
+                   rank() OVER () AS rk_all,
+                   dense_rank() OVER (PARTITION BY o_custkey) AS dr_cust,
+                   percent_rank() OVER (PARTITION BY o_custkey) AS pr_cust,
+                   cume_dist() OVER () AS cd_all,
+                   count(*) OVER (PARTITION BY o_custkey) AS n_cust
+            FROM orders WHERE o_custkey < 200
+            """
+        )
+    )

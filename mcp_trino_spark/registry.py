@@ -330,6 +330,9 @@ _PRIORITY = [
     # --- round-9 addition: IEEE log family (Trino: ln(0) = -Infinity,
     # ln(neg) = NaN; Spark builtins: NULL for every non-positive) ---
     "x40_log_ieee_semantics",
+    # --- round-9 addition: orderless ranking windows (Trino-legal,
+    # Spark-rejected — constant ORDER BY keeps every row a peer) ---
+    "x41_orderless_ranking",
     # --- the longest-uncertified tier: round-1-vintage green rows on
     # modules that churned every round since (check_changed `module`
     # tier; a11b stays out to keep the 48-oracle window floor — r10) ---
@@ -361,8 +364,6 @@ _PRIORITY = [
     "x9_array",
     "x10_array_hof",
     "x13_struct_row",
-    # --- fill: proven r5/r6-vintage entries (regression spot-check) ---
-    "l30_prep_pipeline",
     # family-span representatives (window must cover p/a/w/o/x/t/s/f/l
     # — tests/test_engine.py): t10b is also r7 module-stale
     "t10b_match_recognize_funnel",

@@ -3622,6 +3622,79 @@ def _exclude_minmax_sub_windows(
     return f"({comb}({', '.join(parts)}))"
 
 
+#: window functions Spark REFUSES to evaluate without an ORDER BY in
+#: the spec, where Trino accepts the orderless form (arbitrary order /
+#: all rows peers)
+_NEEDS_ORDER_FNS = re.compile(
+    r"(row_number|rank|dense_rank|percent_rank|cume_dist|ntile|lead|"
+    r"lag|nth_value)$",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_orderless_ranking_windows(q: str) -> str:
+    """Trino accepts ranking/offset window functions with NO window
+    ORDER BY — every row is a peer (rank()=1 everywhere, percent_rank
+    0, cume_dist 1) or the order is arbitrary (row_number, ntile,
+    lead/lag) — where Spark refuses the spec outright ("requires
+    window to be ordered"), so a Trino-valid query errored loudly.
+    Appending ``ORDER BY 1`` (a constant sort) reproduces Trino's
+    semantics exactly: every row remains a peer, so the deterministic
+    functions give identical values and the arbitrary-order ones stay
+    arbitrary on both engines.  Aggregate windows (count/sum/... OVER
+    ()) already work orderless in Spark and pass through.  Certified
+    by x41 over the deterministic all-peers columns (DuckDB evaluates
+    the orderless forms natively)."""
+    mask = _code_mask(q)
+    edits = []
+    for om in _OVER_HEAD.finditer(q):
+        if not mask[om.start()]:
+            continue
+        d, i = 1, om.end()
+        while i < len(q) and d:
+            if mask[i]:
+                if q[i] == "(":
+                    d += 1
+                elif q[i] == ")":
+                    d -= 1
+            i += 1
+        inner = q[om.end() : i - 1]
+        imask = _code_mask(inner)
+        idepth = _depths(inner, imask)
+        if any(
+            imask[mm.start()] and idepth[mm.start()] == 0
+            for mm in re.finditer(r"\bORDER\s+BY\b", inner, re.IGNORECASE)
+        ):
+            continue
+        # the call directly before OVER must be an order-requiring fn
+        j = om.start() - 1
+        while j >= 0 and q[j].isspace():
+            j -= 1
+        if j < 0 or q[j] != ")":
+            continue
+        depth, k = 0, j
+        while k >= 0:
+            if mask[k]:
+                if q[k] == ")":
+                    depth += 1
+                elif q[k] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            k -= 1
+        fn_end = k
+        k -= 1
+        while k >= 0 and mask[k] and (q[k].isalnum() or q[k] in "_$"):
+            k -= 1
+        if not _NEEDS_ORDER_FNS.fullmatch(q[k + 1 : fn_end] or ""):
+            continue
+        body = inner.strip()
+        edits.append((om.end(), i - 1, f"{body} ORDER BY 1" if body else "ORDER BY 1"))
+    for start, end, repl in sorted(edits, reverse=True):
+        q = q[:start] + repl + q[end:]
+    return q
+
+
 def _rewrite_window_exclude(q: str) -> str:
     """SQL-standard window-frame ``EXCLUDE`` (Spark has no grammar for
     it).  ``EXCLUDE NO OTHERS`` is the default — stripped.  ``EXCLUDE
@@ -5886,6 +5959,9 @@ def translate(query: str) -> str:
     # BEFORE every pass that parses sort keys (FROM LAST, WITH TIES,
     # GROUPS frames, EXCLUDE) — they must see Trino's null placement
     query = _rewrite_order_by_null_defaults(query)
+    # orderless ranking/offset windows: Trino-legal, Spark-rejected —
+    # inject the constant ORDER BY 1 (all rows stay peers)
+    query = _rewrite_orderless_ranking_windows(query)
     query = _rewrite_reduce_agg(query)
     query = _rewrite_approx_most_frequent(query)
     query = _rewrite_combinations(query)

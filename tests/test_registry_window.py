@@ -66,6 +66,7 @@ _NEVER_GRADED = [
     "x38_split_part_semantics",
     "x39_trim_chars_order",
     "x40_log_ieee_semantics",
+    "x41_orderless_ranking",
     "a11_stats",
     "a13_approx_distinct",
     "a14b_approx_percentile",

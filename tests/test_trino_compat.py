@@ -3195,3 +3195,32 @@ def test_log_family_ieee(spark):
     assert "CASE WHEN" not in translate(
         "SELECT geometric_mean(x) FROM t"
     ).split("exp(")[-1]
+
+
+def test_orderless_ranking_windows(spark):
+    """Ranking/offset windows without ORDER BY are Trino-legal (all
+    rows peers); Spark refuses them — the injected constant ORDER BY 1
+    reproduces the all-peers semantics."""
+    assert translate("SELECT row_number() OVER () FROM t") == (
+        "SELECT row_number() OVER (ORDER BY 1) FROM t"
+    )
+    assert translate("SELECT rank() OVER (PARTITION BY p) FROM t") == (
+        "SELECT rank() OVER (PARTITION BY p ORDER BY 1) FROM t"
+    )
+    # ordered specs and aggregate windows untouched
+    assert "ORDER BY x NULLS LAST" in translate(
+        "SELECT rank() OVER (ORDER BY x) FROM t"
+    )
+    assert translate("SELECT count(*) OVER () FROM t") == (
+        "SELECT count(*) OVER () FROM t"
+    )
+    rows = spark.sql(
+        translate(
+            "SELECT rank() OVER () AS rk, percent_rank() OVER () AS pr,"
+            " cume_dist() OVER () AS cd,"
+            " row_number() OVER () AS rn"
+            " FROM (VALUES (1),(2),(3)) t(x)"
+        )
+    ).collect()
+    assert all((r["rk"], r["pr"], r["cd"]) == (1, 0.0, 1.0) for r in rows)
+    assert sorted(r["rn"] for r in rows) == [1, 2, 3]

@@ -5895,6 +5895,32 @@ def _rewrite_log_ieee(q: str) -> str:
     return q
 
 
+_GROUPING_HEAD = re.compile(r"(?<![\w$])grouping\s*\(", re.IGNORECASE)
+
+
+def _rewrite_multiarg_grouping(q: str) -> str:
+    """Trino's ``grouping(c1, ..., cn)`` returns the SQL-standard
+    grouping bitmask (leftmost column = most significant bit, bit set
+    when the column is aggregated away) for ANY arity — Spark's
+    ``grouping`` takes exactly one column and its multi-column twin is
+    ``grouping_id``, with the identical bitmask contract.  Rename
+    calls with more than one top-level argument; 1-arg calls pass
+    through (certified by a6), and a ``GROUPING SETS`` clause never
+    matches the call head (no paren directly after the word)."""
+    pos = 0
+    while True:
+        hit = _find_call(q, _GROUPING_HEAD, pos)
+        if hit is None:
+            return q
+        m, b0, b1 = hit
+        args = _split_top_args(q[b0:b1])
+        if len(args) < 2:
+            pos = m.end()
+            continue
+        q = q[: m.start()] + "grouping_id(" + q[m.end() :]
+        pos = m.start() + len("grouping_id(")
+
+
 _ELEMENT_AT_CALL = re.compile(r"(?<![\w$])element_at\s*\(", re.IGNORECASE)
 
 
@@ -5962,6 +5988,8 @@ def translate(query: str) -> str:
     # orderless ranking/offset windows: Trino-legal, Spark-rejected —
     # inject the constant ORDER BY 1 (all rows stay peers)
     query = _rewrite_orderless_ranking_windows(query)
+    # multi-arg grouping(c1..cn) -> grouping_id (same bitmask contract)
+    query = _rewrite_multiarg_grouping(query)
     query = _rewrite_reduce_agg(query)
     query = _rewrite_approx_most_frequent(query)
     query = _rewrite_combinations(query)

@@ -3224,3 +3224,27 @@ def test_orderless_ranking_windows(spark):
     ).collect()
     assert all((r["rk"], r["pr"], r["cd"]) == (1, 0.0, 1.0) for r in rows)
     assert sorted(r["rn"] for r in rows) == [1, 2, 3]
+
+
+def test_multiarg_grouping(spark):
+    """Trino's multi-arg grouping(c1..cn) bitmask == Spark's
+    grouping_id (leftmost = MSB, bit set when aggregated away);
+    1-arg grouping and GROUPING SETS clauses pass through."""
+    assert translate(
+        "SELECT grouping(a, b) FROM t GROUP BY GROUPING SETS ((a), (a, b))"
+    ) == (
+        "SELECT grouping_id(a, b) FROM t GROUP BY GROUPING SETS ((a), (a, b))"
+    )
+    assert "grouping(a)" in translate(
+        "SELECT grouping(a) FROM t GROUP BY ROLLUP (a)"
+    )
+    rows = spark.sql(
+        translate(
+            "SELECT grouping(x, y) AS g, x, y"
+            " FROM (VALUES (1, 2)) t(x, y)"
+            " GROUP BY GROUPING SETS ((x), (x, y), ())"
+        )
+    ).collect()
+    got = sorted((r["g"], r["x"], r["y"]) for r in rows)
+    # (x,y) kept -> 0; (x) only -> y aggregated -> 0b01 = 1; () -> 0b11 = 3
+    assert got == [(0, 1, 2), (1, 1, None), (3, None, None)]

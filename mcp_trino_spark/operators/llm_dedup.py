@@ -1298,18 +1298,19 @@ def l38_substring_dedup(spark, sf_dir):
     return substring_dedup_plan(spread(docs))
 
 
-def substring_dedup_plan(docs: DataFrame) -> DataFrame:
-    """The l38 plan over any (doc_id, text) frame — shared with the
-    scaling probe (tools/scaling_check.py)."""
-    from mcp_trino_spark.operators.opcache import persist_tracked
-
+def anchored_spans(docs: DataFrame) -> DataFrame:
+    """Raw anchored-window rows (doc_id, fp, span) for any
+    (doc_id, text) frame — the STATELESS kernel of l38, shared with
+    the streaming contamination screen (streaming/ops.py), which is
+    why it carries no distinct/persist: every op here is per-row, so
+    the same function applies unchanged to a streaming DataFrame."""
     ws = docs.select(
         "doc_id", F.split(F.lower("text"), " ").alias("ws")
     )
     pos = ws.select(
         "doc_id", "ws", F.posexplode("ws").alias("i0", "w")
     )
-    spans = (
+    return (
         pos.filter(
             (F.substring(F.md5("w"), 1, 1) == "0")
             & (F.col("i0") + SUBSTR_W <= F.size("ws"))
@@ -1320,9 +1321,16 @@ def substring_dedup_plan(docs: DataFrame) -> DataFrame:
                 F.slice("ws", F.col("i0") + 1, SUBSTR_W), " "
             ).alias("span"),
         )
-        .distinct()
         .select("doc_id", F.md5("span").alias("fp"), "span")
     )
+
+
+def substring_dedup_plan(docs: DataFrame) -> DataFrame:
+    """The l38 plan over any (doc_id, text) frame — shared with the
+    scaling probe (tools/scaling_check.py)."""
+    from mcp_trino_spark.operators.opcache import persist_tracked
+
+    spans = anchored_spans(docs).distinct()
     spans = persist_tracked(spans)
     capped = (
         spans.groupBy("fp")

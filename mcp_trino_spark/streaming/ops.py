@@ -600,3 +600,59 @@ def t10d_pattern_stream_watermarked(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table as a file-source stream (schema from the batch
+    read) — the continuous-crawl-ingest stand-in for the streaming
+    contamination screen (swap ``readStream.format`` for Kafka)."""
+    from mcp_trino_spark.sources.catalog import table_path
+
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(path))
+        .parquet(os.path.dirname(path))
+    )
+
+
+def l38_contamination_stream(
+    docs_stream: DataFrame, eval_docs: DataFrame
+) -> DataFrame:
+    """Streaming exact-substring contamination screen — the continuous
+    form of l38's anchored-window machinery pointed at a FIXED eval
+    set: every incoming document's anchored 8-word spans join a
+    (tiny, broadcast) index of the eval set's spans; a hit means the
+    document verbatim-contains an eval-set passage and must be
+    quarantined before training.  Exactly the day-2 shape of l16/l37:
+    the eval side is KB-MB and static, the corpus side streams.
+
+    Scale/streaming design: ``anchored_spans`` is STATELESS (split,
+    posexplode, filter, projection — per-row ops legal on a streaming
+    DataFrame), the eval index broadcasts, and the join is stateless
+    stream-static — so the query runs in APPEND mode with NO state
+    store at all: nothing to watermark, nothing to grow.  Emits one
+    row per (doc_id, span) hit occurrence; dedup/aggregation is the
+    consumer's choice (a downstream batch job or a keyed state op).
+    ``tests/test_streaming.py`` proves stream==batch on the same
+    corpus (the certified-batch twin is the same kernel l38 builds
+    its pair index from).
+    """
+    from mcp_trino_spark.operators.llm_dedup import anchored_spans
+
+    idx = (
+        anchored_spans(eval_docs)
+        .select(F.col("fp").alias("e_fp"), F.col("span").alias("e_span"))
+        .distinct()
+    )
+    hits = anchored_spans(docs_stream)
+    return (
+        hits.join(
+            F.broadcast(idx),
+            (hits["fp"] == idx["e_fp"]) & (hits["span"] == idx["e_span"]),
+        )
+        .select("doc_id", "span")
+    )

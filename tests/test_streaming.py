@@ -442,3 +442,59 @@ def test_t3b_cross_chunk_disorder(spark, tmp_path):
         (1 * us_h, 1 * us_h, 1, 3.0),
         (2 * us_h, 2 * us_h, 1, 2.0),
     ]
+
+
+def test_l38_contamination_stream_matches_batch(spark):
+    """Streaming exact-substring contamination screen == the same
+    stateless kernel on the batch read: eval docs are prefixes of two
+    real corpus documents (guaranteed shared anchored spans), and the
+    stream drains with NO state store (append mode, stream-static
+    broadcast join)."""
+    from pyspark.sql import functions as F
+
+    from mcp_trino_spark.operators.llm_dedup import anchored_spans
+    from mcp_trino_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # eval set: the first 40 words of two corpus docs — verbatim spans
+    # by construction (anchors are content-defined, so prefixes share
+    # every anchored window that fits)
+    eval_docs = (
+        docs.filter(F.col("doc_id").isin(1, 2))
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(F.slice(F.split("text", " "), 1, 40), " ").alias(
+                "text"
+            ),
+        )
+    )
+    eval_static = spark.createDataFrame(
+        eval_docs.collect(), "doc_id long, text string"
+    )
+
+    got = S.run_to_memory(
+        S.l38_contamination_stream(
+            S.documents_stream(spark, SF_DIR), eval_static
+        ),
+        "l38_mem",
+        output_mode="append",
+    )
+    idx = (
+        anchored_spans(eval_static)
+        .select(F.col("fp").alias("e_fp"), F.col("span").alias("e_span"))
+        .distinct()
+    )
+    hits = anchored_spans(docs)
+    expected = (
+        hits.join(
+            F.broadcast(idx),
+            (hits["fp"] == idx["e_fp"]) & (hits["span"] == idx["e_span"]),
+        )
+        .select("doc_id", "span")
+    )
+    assert rows_set(got, ["doc_id", "span"]) == rows_set(
+        expected, ["doc_id", "span"]
+    )
+    # the screen actually fires: both seeded docs are flagged
+    flagged = {r["doc_id"] for r in got.select("doc_id").distinct().collect()}
+    assert {1, 2} <= flagged

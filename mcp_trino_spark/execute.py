@@ -122,6 +122,20 @@ def execute_query(
                 "PREPARE is rejected by the read-only classifier (same "
                 "behavior as the reference's gate) — inline the query"
             )
+        fm = re.match(
+            r"^\s*SHOW\s+FUNCTIONS(?:\s+LIKE\s+'([^']*)')?\s*$",
+            q,
+            re.IGNORECASE,
+        )
+        if fm:
+            # Trino's LIKE pattern is SQL LIKE (%), Spark's is a glob
+            # (*) — a '%' pattern silently returned ZERO rows.  '_' has
+            # no Spark glob twin and stays literal (rare in function
+            # name patterns).  Output shape stays Spark's single
+            # `function` column — the listing content, not its schema,
+            # is the contract (rows-only class).
+            if fm.group(1) is not None:
+                q = f"SHOW FUNCTIONS LIKE '{fm.group(1).replace('%', '*')}'"
         if re.match(r"^\s*SHOW\s+SESSION\s*$", q, re.IGNORECASE):
             # Trino's session-property listing ↔ Spark's SET -v.  Runs
             # here (not via translate) because the rewritten text would

@@ -1468,6 +1468,15 @@ def test_show_session(spark):
     assert len(rows) > 10  # session property listing (Spark SET -v)
 
 
+def test_show_functions_like_percent(spark):
+    """Trino's SHOW FUNCTIONS LIKE uses SQL % wildcards; Spark's uses
+    globs — a '%' pattern silently returned zero rows until round 9."""
+    rows = run(spark, "SHOW FUNCTIONS LIKE 'split%'")
+    names = {list(r.values())[0] for r in rows}
+    assert {"split", "split_part"} <= names
+    assert len(run(spark, "SHOW FUNCTIONS")) > 300
+
+
 # ---------------------------------------------------------------------------
 # round-4 dialect batch: approx_most_frequent, word_stem,
 # human_readable_seconds, to_milliseconds

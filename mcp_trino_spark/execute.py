@@ -123,19 +123,19 @@ def execute_query(
                 "behavior as the reference's gate) — inline the query"
             )
         fm = re.match(
-            r"^\s*SHOW\s+FUNCTIONS(?:\s+LIKE\s+'([^']*)')?\s*$",
+            r"^(\s*SHOW\s+(?:FUNCTIONS|SCHEMAS|TABLES|CATALOGS|VIEWS)\b"
+            r".*?\bLIKE\s+)'([^']*)'(\s*)$",
             q,
-            re.IGNORECASE,
+            re.IGNORECASE | re.DOTALL,
         )
         if fm:
-            # Trino's LIKE pattern is SQL LIKE (%), Spark's is a glob
-            # (*) — a '%' pattern silently returned ZERO rows.  '_' has
-            # no Spark glob twin and stays literal (rare in function
-            # name patterns).  Output shape stays Spark's single
-            # `function` column — the listing content, not its schema,
-            # is the contract (rows-only class).
-            if fm.group(1) is not None:
-                q = f"SHOW FUNCTIONS LIKE '{fm.group(1).replace('%', '*')}'"
+            # Trino's SHOW ... LIKE patterns are SQL LIKE (%), Spark's
+            # are globs (*) — a '%' pattern silently returned ZERO rows
+            # on every listing form.  '_' has no Spark glob twin and
+            # stays literal (rare in object-name patterns).  Output
+            # shape stays Spark's listing schema — the listing content,
+            # not its columns, is the contract (rows-only class).
+            q = f"{fm.group(1)}'{fm.group(2).replace('%', '*')}'{fm.group(3)}"
         if re.match(r"^\s*SHOW\s+SESSION\s*$", q, re.IGNORECASE):
             # Trino's session-property listing ↔ Spark's SET -v.  Runs
             # here (not via translate) because the rewritten text would

@@ -1469,12 +1469,22 @@ def test_show_session(spark):
 
 
 def test_show_functions_like_percent(spark):
-    """Trino's SHOW FUNCTIONS LIKE uses SQL % wildcards; Spark's uses
-    globs — a '%' pattern silently returned zero rows until round 9."""
+    """Trino's SHOW ... LIKE uses SQL % wildcards; Spark's uses globs —
+    a '%' pattern silently returned zero rows on every listing form
+    until round 9."""
     rows = run(spark, "SHOW FUNCTIONS LIKE 'split%'")
     names = {list(r.values())[0] for r in rows}
     assert {"split", "split_part"} <= names
     assert len(run(spark, "SHOW FUNCTIONS")) > 300
+    assert [r["namespace"] for r in run(spark, "SHOW SCHEMAS LIKE 'def%'")] == [
+        "default"
+    ]
+    assert [
+        r["tableName"] for r in run(spark, "SHOW TABLES LIKE 'nat%'")
+    ] == ["nation"]
+    assert [
+        r["catalog"] for r in run(spark, "SHOW CATALOGS LIKE 'spark%'")
+    ] == ["spark_catalog"]
 
 
 # ---------------------------------------------------------------------------

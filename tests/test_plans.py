@@ -426,3 +426,34 @@ def test_window_exclude_peer_subtraction_single_window(spark):
     plan = physical_plan(spark.sql(q))
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Window") == 1, plan
+
+
+def test_exclude_minmax_single_exchange(spark):
+    """x35: both GROUPS sub-windows of every MIN/MAX EXCLUDE column
+    must share ONE dense_rank group column and ONE hash exchange —
+    a second exchange would mean the sub-windows repartitioned
+    separately (the whole point of sharing the (partition, order)
+    spec)."""
+    df = registry.queries()["x35_exclude_minmax"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
+    assert plan.lower().count("dense_rank") == 1
+
+
+def test_substring_dedup_reuses_span_index(spark):
+    """l38: the (doc_id, fp, span) index must be built ONCE (persisted
+    InMemoryRelation, scanned for both join sides and the df filter)
+    and the df-capped fp set must BROADCAST — a shuffle there would
+    move the span text for a KB-sized key set."""
+    df = registry.queries()["l38_substring_dedup"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("InMemoryTableScan") >= 3, "span index not reused"
+    assert "BroadcastExchange" in plan
+    # the pair join keys on the 16-byte fp (plus the span verify),
+    # never on document text
+    import re
+
+    join_keys = re.findall(r"BroadcastHashJoin \[([^\]]*)\]", plan)
+    assert join_keys, plan[:400]
+    assert all("fp#" in k or "span#" in k for k in join_keys), join_keys
+    assert all("text#" not in k for k in join_keys), join_keys

@@ -142,7 +142,13 @@ def value_at_quantile(sketch: Sequence[Tuple[float, int]], q: float) -> float:
             if prev_pos is None:
                 return v  # below the first midpoint → first mean
             frac = (rank - prev_pos) / (pos - prev_pos)
-            return prev_v + frac * (v - prev_v)
+            if frac >= 1.0:
+                return v
+            # Cancellation-safe form: with |v| << |prev_v| and frac→1,
+            # prev_v + frac*(v-prev_v) rounds (v-prev_v) to -prev_v and
+            # returns 0.0 instead of v, overshooting the rank bound.
+            # Anchoring at v keeps the frac→1 limit exact.
+            return v - (1.0 - frac) * (v - prev_v)
         cum += w
         prev_pos, prev_v = pos, v
     return sketch[-1][0]
@@ -163,7 +169,10 @@ def quantile_at_value(sketch: Sequence[Tuple[float, int]], v: float) -> float:
             if prev_pos is None:
                 return 0.0 if x < cv else pos / total
             frac = (x - prev_v) / (cv - prev_v) if cv != prev_v else 1.0
-            return (prev_pos + frac * (pos - prev_pos)) / total
+            if frac >= 1.0:
+                return pos / total
+            # same cancellation guard as value_at_quantile: anchor at pos
+            return (pos - (1.0 - frac) * (pos - prev_pos)) / total
         cum += w
         prev_pos, prev_v = pos, cv
     return 1.0

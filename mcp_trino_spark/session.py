@@ -29,9 +29,13 @@ def get_spark(app_name: str = "mcp_trino_spark", cpus: str | None = None) -> Spa
       DuckDB's oracle runs are both UTC-normalized.
     - AQE + skew-join + coalescing: runtime re-planning stands in for
       Trino's cost-based fragment scheduling at scale.
-    - ANSI off: Trino surfaces NULL for some errors the ANSI dialect
-      would raise on; keep Spark's permissive default for parity with
-      the reference's "return rows or an error string" contract.
+    - ANSI mode is left at Spark 4's default, which is **ON**
+      (``spark.sql.ansi.enabled=true``): runtime errors raise instead
+      of yielding NULL.  Where Trino's semantics differ (NULL
+      out-of-bounds element_at, IEEE log of non-positives, …) the
+      dialect layer rewrites to ``try_``/CASE forms (x36–x40 in
+      trino_compat.py) rather than flipping this engine-wide switch —
+      so do NOT "fix" a per-function mismatch by disabling ANSI here.
     """
     cpus = cpus or _DEFAULT_CPUS
     builder = (

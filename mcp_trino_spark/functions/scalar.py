@@ -1869,3 +1869,88 @@ def x41_orderless_ranking(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x42_exclude_current_row_minmax",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_custkey, year(o_orderdate) AS yr
+      FROM orders WHERE o_custkey < 200
+    ), g AS (
+      SELECT *, dense_rank() OVER (PARTITION BY o_custkey ORDER BY yr)
+               AS grp
+      FROM t
+    )
+    SELECT o_orderkey,
+           min(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY yr
+             RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             EXCLUDE CURRENT ROW) AS all_min_x,
+           max(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY yr
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             EXCLUDE CURRENT ROW) AS run_max_x,
+           min(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY grp
+             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+             EXCLUDE CURRENT ROW) AS nbr_min_x,
+           max(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY yr
+             RANGE BETWEEN CURRENT ROW AND CURRENT ROW
+             EXCLUDE CURRENT ROW) AS peer_max_x
+    FROM g
+    """,
+)
+def x42_exclude_current_row_minmax(spark, sf_dir):
+    """Differential certification of MIN/MAX under EXCLUDE CURRENT ROW
+    on peer-defined frames (_exclude_minmax_current_row) — the last
+    loud window-EXCLUDE residue (VERDICT r9 item 3).  Unlike
+    GROUP/TIES, the excluded region keeps the current row's peers, so
+    beyond the x35 peer-aligned GROUPS sub-windows the rewrite needs
+    "peers minus me": a REFINED window partitioned by (partition +
+    order keys) — the peer group becomes the partition — where the two
+    ROWS half-frames around the current row union to exactly that set
+    under ANY physical order (both halves evaluate in one Window
+    operator over one sort, so the combined extreme is
+    order-invariant).
+
+    Four shapes pin the region algebra: full-partition frame (both
+    sub-windows + peer split), running frame (prefix sub-window only),
+    GROUPS neighbor frame (bounded offsets), and the frame that is
+    exactly the peer group (peer split alone — NULL for peerless
+    rows).  Same-year orders per customer form real multi-row peer
+    groups; single-order customers pin the empty-region NULL path.
+    The oracle runs DuckDB's NATIVE window EXCLUDE (DuckDB has no
+    GROUPS mode, so that column orders by a materialized dense_rank —
+    the same peer structure through a different spelling).
+
+    Reference parity: Trino evaluates SQL-standard frame EXCLUDE for
+    all aggregates natively and the reference forwards it verbatim
+    (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            WITH t AS (
+              SELECT o_orderkey, o_custkey,
+                     extract(YEAR FROM o_orderdate) AS yr
+              FROM orders WHERE o_custkey < 200
+            )
+            SELECT o_orderkey,
+                   min(o_orderkey) OVER (PARTITION BY o_custkey
+                     ORDER BY yr RANGE BETWEEN UNBOUNDED PRECEDING AND
+                     UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW)
+                     AS all_min_x,
+                   max(o_orderkey) OVER (PARTITION BY o_custkey
+                     ORDER BY yr EXCLUDE CURRENT ROW) AS run_max_x,
+                   min(o_orderkey) OVER (PARTITION BY o_custkey
+                     ORDER BY yr GROUPS BETWEEN 1 PRECEDING AND
+                     1 FOLLOWING EXCLUDE CURRENT ROW) AS nbr_min_x,
+                   max(o_orderkey) OVER (PARTITION BY o_custkey
+                     ORDER BY yr RANGE BETWEEN CURRENT ROW AND
+                     CURRENT ROW EXCLUDE CURRENT ROW) AS peer_max_x
+            FROM t
+            """
+        )
+    )

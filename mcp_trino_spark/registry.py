@@ -285,91 +285,75 @@ _PROVEN_R06 = [
 #: category-spanning spot-check of the proven sets, so the driver
 #: re-confirms no silent regression while finishing full certification.
 _PRIORITY = [
-    # --- round 9 head: drain the certification-staleness queue that
-    # tools/check_changed.py surfaced at the end of round 8.  First the
-    # 8 dialect-routed entries whose green rows predate the late-r8
-    # translator passes (x30 escape-free literals / x32 subscripts /
-    # x33 least-greatest-division / x34 null ordering rewrite every
-    # trino-dialect query — these entries route through translate() so
-    # their certifications went stale the moment it changed): ---
-    "x23_vector_math",
-    "x24_setdigest",
-    "s6_ctas_insert",
-    "s7_merge_upsert",
-    "s7b_update",
-    "s7c_delete",
-    "s10_time_travel",
-    "s12_table_changes",
-    # --- round-9 code churn: l21/l22's connected-components loop is
-    # rewritten this round (large-star/small-star + empty-frontier
-    # termination — VERDICT r8 item 4) and l36's plan is re-examined
-    # (item 3), so their green rows no longer describe the code ---
-    "l21_dup_clusters",
-    "l22_dedup_apply",
-    "l36_embedding_outliers",
-    "l37_ngram_lm_contamination",
-    # --- round-9 addition: MIN/MAX under window EXCLUDE GROUP/TIES
-    # via peer-aligned GROUPS sub-windows (closes the VERDICT r8
-    # MIN/MAX residue; certified vs DuckDB's native EXCLUDE) ---
-    "x35_exclude_minmax",
-    # --- round-9 addition: exact substring-level dedup via anchored
-    # window fingerprints (the suffix-array-dedup approximation) ---
-    "l38_substring_dedup",
-    # --- round-9 addition: user element_at -> try_element_at (Trino
-    # is NULL-out-of-bounds where ANSI Spark's element_at throws) ---
-    "x36_element_at_nullsafe",
-    # --- round-9 addition: regexp_extract NULL-on-no-match + group-0
-    # default (Spark: '' and an error on groupless 2-arg calls) ---
-    "x37_regexp_extract_nullsafe",
-    # --- round-9 addition: split_part NULL-out-of-range +
-    # error-on-nonpositive (Spark: '' and negative-reads-from-end) ---
-    "x38_split_part_semantics",
-    # --- round-9 addition: two-arg trim family arg order (Trino is
-    # (string, chars); Spark's two-arg forms are reversed) ---
-    "x39_trim_chars_order",
-    # --- round-9 addition: IEEE log family (Trino: ln(0) = -Infinity,
-    # ln(neg) = NaN; Spark builtins: NULL for every non-positive) ---
-    "x40_log_ieee_semantics",
-    # --- round-9 addition: orderless ranking windows (Trino-legal,
-    # Spark-rejected — constant ORDER BY keeps every row a peer) ---
-    "x41_orderless_ranking",
-    # --- the longest-uncertified tier: round-1-vintage green rows on
-    # modules that churned every round since (check_changed `module`
-    # tier; a11b stays out to keep the 48-oracle window floor — r10) ---
-    "a11_stats",
-    "a13_approx_distinct",
-    "a14b_approx_percentile",
-    "a15_grand_agg",
-    "a3_count_distinct",
-    "a4_multikey",
-    "a5_having",
-    "a9_filtered_agg",
-    "l10c_grouped_agg_udf",
-    "l2b_simhash",
-    "l9_multimodal_passthrough",
-    "l9c_frame_sample",
-    # --- round-3-vintage ---
-    "l16_decontamination",
-    "l31_sequence_packing",
-    "l3b_embedding_neardup",
-    "l5_text_stats",
-    "s4_memory_table",
-    "s8_bucketed_colocated_join",
-    "w3b_ntile_distributed",
-    "w5_lag_lead",
-    "x1_string_basics",
-    "x3_date_extract",
-    # --- round-5-vintage entries outside every proven spot-check set ---
-    "w11_distinct_over_window",
-    "x9_array",
-    "x10_array_hof",
-    "x13_struct_row",
+    # --- round 10 head: certification tracks code churn
+    # (tools/check_changed.py at the r10 rotation commit).  First the
+    # round-10 addition — MIN/MAX under EXCLUDE CURRENT ROW on
+    # peer-defined frames (closes the VERDICT r9 item-3 residue;
+    # certified vs DuckDB's native EXCLUDE): ---
+    "x42_exclude_current_row_minmax",
+    # --- the 16 dialect-stale entries the r9 verdict led with: their
+    # green rows predate the late-r9 translator passes (x36-x41 /
+    # SHOW-LIKE / grouping()), and every trino_compat.py commit this
+    # round re-stales them again — they re-certify against the r10
+    # translator: ---
+    "x19_trino_dialect",
+    "o12_fetch_with_ties",
+    "x20_approx_most_frequent",
+    "x21_reduce_agg",
+    "x22_quantified_subqueries",
+    "w12_groups_frame",
+    "x25_dialect_round7",
+    "x26_nth_from_last",
+    "x27_lambda_regexp_replace",
+    "x28_dialect_round8",
+    "x29_window_exclude",
+    "x30_escape_free_literals",
+    "x31_window_exclude_peers",
+    "x32_subscript_semantics",
+    "x33_arith_null_semantics",
+    "x34_null_ordering_defaults",
+    # --- round-10 code churn: the qdigest quantile-interpolation
+    # kernel is fixed this round (float-cancellation guard), so its
+    # rows-only row re-enters; a11b is the single r1-vintage row left
+    # (deferred from r9's oracle-floor trade) ---
+    "a21_qdigest_rollup",
+    "a11b_stats_native",
+    # --- the staleness-queue drain, oldest first (r5-vintage) ---
+    "l26_minhash_estimate",
+    "l30_prep_pipeline",
+    "w9_range_frame",
+    "x2_regex",
+    "x4_date_arith",
+    "x6_math",
+    "x8_casting",
+    # --- r6-vintage scalar/source tier ---
+    "x5_timestamp_fmt",
+    "x7_conditional",
+    "x12b_json_structured",
+    "x15_bitwise",
+    "x17_url",
+    "s2b_multiformat_roundtrip",
+    "s2c_orc_roundtrip",
+    "l25_batch_ann",
+    "l32_doc_chunking",
+    # --- r6-vintage llm_text tier ---
+    "l13_training_pipeline",
+    "l14_text_normalize",
+    "l15_length_histogram",
+    "l19_hash_split",
+    "l20_pii_scrub",
+    "l23_stratified_sample",
+    "l24_tfidf",
+    "l28_unigram_logprob",
+    "l29_dedup_stats",
+    "l6_regex_search",
+    "l7_top_bigrams",
+    "l8_quality_score",
     # family-span representatives (window must cover p/a/w/o/x/t/s/f/l
-    # — tests/test_engine.py): t10b is also r7 module-stale
+    # — tests/test_engine.py), drawn from the proven sets
+    "p1_projection",
     "t10b_match_recognize_funnel",
     "f5_table_schema",
-    "p5_between_in",
-    "o4_nulls_ordering",
 ]
 
 

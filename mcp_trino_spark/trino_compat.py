@@ -3478,12 +3478,17 @@ def _exclude_peer_subtraction(spec: str, mode: str, fn: str, arg: str):
         return _exclude_minmax_sub_windows(
             head, mode, fnl, arg, kind, b1, b2
         )
+    if fnl in ("min", "max") and mode == "CURRENT ROW":
+        # the excluded region keeps the current row's PEERS: the
+        # beyond-group part is the x35 sub-windows, and peers-minus-
+        # self decomposes under a peer-group-partitioned refinement
+        return _exclude_minmax_current_row(head, fnl, arg, kind, b1, b2)
     if fnl not in ("sum", "count", "avg"):
         raise TrinoCompatError(
             f"EXCLUDE {mode} on a peer-defined frame is supported for "
             f"SUM/COUNT/AVG (frame-minus-peer-group subtraction) and "
-            f"MIN/MAX under GROUP/TIES (two peer-aligned sub-windows), "
-            f"not {fn}()"
+            f"MIN/MAX (peer-aligned sub-windows, plus a peer-partition "
+            f"split for CURRENT ROW), not {fn}()"
         )
     peer = f"{head} RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
     star = arg.strip() == "*"
@@ -3590,15 +3595,7 @@ def _exclude_minmax_sub_windows(
                 "is not expressible as sub-windows"
             )
 
-    def rend(g) -> str:
-        if g == float("-inf"):
-            return "UNBOUNDED PRECEDING"
-        if g == float("inf"):
-            return "UNBOUNDED FOLLOWING"
-        if g == 0:
-            return "CURRENT ROW"
-        return f"{-g} PRECEDING" if g < 0 else f"{g} FOLLOWING"
-
+    rend = _render_group_bound
     parts = []
     if g1 <= -1:
         parts.append(
@@ -3618,6 +3615,133 @@ def _exclude_minmax_sub_windows(
         return f"if(false, ({arg}), NULL)"
     if len(parts) == 1:
         return f"({parts[0]})"
+    comb = "least" if fnl == "min" else "greatest"
+    return f"({comb}({', '.join(parts)}))"
+
+
+def _render_group_bound(g) -> str:
+    """Peer-group offset → GROUPS frame bound text."""
+    if g == float("-inf"):
+        return "UNBOUNDED PRECEDING"
+    if g == float("inf"):
+        return "UNBOUNDED FOLLOWING"
+    if g == 0:
+        return "CURRENT ROW"
+    return f"{-int(g)} PRECEDING" if g < 0 else f"{int(g)} FOLLOWING"
+
+
+def _split_window_head(head: str):
+    """``[PARTITION BY ...] [ORDER BY ...]`` → (partition-list SQL or
+    None, [order-key expressions stripped of ASC/DESC/NULLS
+    placement]).  Depth-aware: ORDER BY inside a nested call (e.g.
+    ``array_sort``) is not the window's ORDER BY."""
+    mask = _code_mask(head)
+    depth = _depths(head, mask)
+    om = next(
+        (
+            m
+            for m in re.finditer(r"\bORDER\s+BY\b", head, re.IGNORECASE)
+            if mask[m.start()] and depth[m.start()] == 0
+        ),
+        None,
+    )
+    pm = next(
+        (
+            m
+            for m in re.finditer(r"\bPARTITION\s+BY\b", head, re.IGNORECASE)
+            if mask[m.start()] and depth[m.start()] == 0
+        ),
+        None,
+    )
+    part = None
+    if pm is not None:
+        pend = om.start() if om is not None else len(head)
+        part = head[pm.end() : pend].strip() or None
+    keys = []
+    if om is not None:
+        for item in _split_top_args(head[om.end() :]):
+            item = re.sub(r"(?is)\s+NULLS\s+(FIRST|LAST)\s*$", "", item.strip())
+            item = re.sub(r"(?is)\s+(ASC|DESC)\s*$", "", item).strip()
+            if item:
+                keys.append(item)
+    return part, keys
+
+
+def _exclude_minmax_current_row(
+    head: str, fnl: str, arg: str, kind, b1, b2
+) -> str:
+    """MIN/MAX under EXCLUDE CURRENT ROW on a peer-group-aligned frame:
+    unlike GROUP/TIES the excluded region KEEPS the current row's
+    peers, so the frame-minus-row region is
+
+        GROUPS BETWEEN <start> AND 1 PRECEDING    (groups before)
+      ∪ GROUPS BETWEEN 1 FOLLOWING AND <end>      (groups after)
+      ∪ (peer group \\ {current row})
+
+    The first two are the x35 sub-windows (shared dense_rank, one
+    exchange).  Peers-minus-self is not expressible in the original
+    ordering — every peer sits at order-key distance 0 — but under a
+    REFINED window, ``PARTITION BY (partition keys + order keys)``,
+    the peer group IS the partition, and "everything but me" is the
+    two ROWS half-frames around the current row:
+
+        least(min(x) OVER (refined ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING),
+              min(x) OVER (refined ROWS BETWEEN 1 FOLLOWING AND
+                           UNBOUNDED FOLLOWING))
+
+    with ``ORDER BY 1`` as the refined sort: both half-frames are
+    evaluated in ONE Window operator over one physical order, so
+    whatever order Spark picks their union is exactly peers-minus-self
+    — the combined extreme is order-invariant even though each half on
+    its own is not.  least/greatest skip NULLs, so empty regions drop
+    out per the aggregate's NULL-ignoring contract.  Cost: NO extra
+    shuffle — the refined window's ClusteredDistribution(part + keys)
+    is already satisfied by the coarser hash(part) exchange (hashing a
+    key SUBSET co-locates every superset group), so Catalyst plans the
+    whole rewrite as one exchange plus per-partition sub-sorts;
+    plan-guarded at exactly 1 exchange (tests/test_plans.py).
+    Certified vs DuckDB's native EXCLUDE CURRENT ROW (x42).
+    """
+    if kind is None:  # implicit frame: RANGE UNBOUNDED..CURRENT ROW
+        g1, g2 = float("-inf"), 0
+    else:
+        g1 = _groups_aligned_bound(b1, kind)
+        g2 = _groups_aligned_bound(b2, kind)
+        if g1 is None or g2 is None:
+            raise TrinoCompatError(
+                f"EXCLUDE CURRENT ROW with {fnl}() needs a peer-group-"
+                "aligned frame (implicit, RANGE with UNBOUNDED/CURRENT "
+                "ROW bounds, or GROUPS) — a numeric RANGE bound can "
+                "land inside a peer group, so the frame-minus-row "
+                "region is not expressible as sub-windows"
+            )
+    part, keys = _split_window_head(head)
+    if not keys:  # caller guarantees an ORDER BY; belt-and-braces
+        raise TrinoCompatError(
+            "EXCLUDE CURRENT ROW needs an ORDER BY in the window"
+        )
+    refined = ([part] if part else []) + keys
+    rhead = f"PARTITION BY {', '.join(refined)} ORDER BY 1"
+    parts = []
+    if g1 <= -1:
+        parts.append(
+            f"{fnl}({arg}) OVER ({head} GROUPS BETWEEN "
+            f"{_render_group_bound(g1)} AND 1 PRECEDING)"
+        )
+    if g2 >= 1:
+        parts.append(
+            f"{fnl}({arg}) OVER ({head} GROUPS BETWEEN 1 FOLLOWING "
+            f"AND {_render_group_bound(g2)})"
+        )
+    parts.append(
+        f"{fnl}({arg}) OVER ({rhead} ROWS BETWEEN UNBOUNDED "
+        f"PRECEDING AND 1 PRECEDING)"
+    )
+    parts.append(
+        f"{fnl}({arg}) OVER ({rhead} ROWS BETWEEN 1 FOLLOWING AND "
+        f"UNBOUNDED FOLLOWING)"
+    )
     comb = "least" if fnl == "min" else "greatest"
     return f"({comb}({', '.join(parts)}))"
 

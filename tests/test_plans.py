@@ -457,3 +457,19 @@ def test_substring_dedup_reuses_span_index(spark):
     assert join_keys, plan[:400]
     assert all("fp#" in k or "span#" in k for k in join_keys), join_keys
     assert all("text#" not in k for k in join_keys), join_keys
+
+
+def test_exclude_current_row_minmax_one_exchange(spark):
+    """x42: the EXCLUDE CURRENT ROW rewrite adds a window re-partitioned
+    by (partition + order keys), but that MUST NOT shuffle again —
+    ClusteredDistribution(part + keys) is satisfied by the coarser
+    hash(part) exchange (a key-subset hash co-locates every superset
+    group), so the whole rewrite is one exchange plus per-partition
+    sub-sorts.  A second hashpartitioning exchange here would mean
+    Catalyst stopped recognizing the subset-distribution, doubling the
+    shuffle on every EXCLUDE CURRENT ROW query at scale."""
+    df = registry.queries()["x42_exclude_current_row_minmax"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
+    assert plan.lower().count("dense_rank") == 1
+    assert "CartesianProduct" not in plan

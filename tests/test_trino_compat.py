@@ -3267,3 +3267,55 @@ def test_multiarg_grouping(spark):
     got = sorted((r["g"], r["x"], r["y"]) for r in rows)
     # (x,y) kept -> 0; (x) only -> y aggregated -> 0b01 = 1; () -> 0b11 = 3
     assert got == [(0, 1, 2), (1, 1, None), (3, None, None)]
+
+
+def test_window_exclude_current_row_minmax(spark):
+    """MIN/MAX under EXCLUDE CURRENT ROW on peer-defined frames (x42):
+    the x35 sub-windows cover the beyond-group region, and peers-minus-
+    self comes from the two ROWS half-frames of a window re-partitioned
+    by (partition + order keys) — whose union is peers-minus-self under
+    any physical order.  Hand-computed over real multi-row peer groups
+    including a NULL peer and a peerless row."""
+    import pandas as pd
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    spark.createDataFrame(
+        pd.DataFrame(
+            {"i": [1, 2, 3, 4, 5],
+             "k": [1, 1, 2, 2, 3],
+             "x": [10.0, 20.0, None, 40.0, 50.0]}
+        )
+    ).createOrReplaceTempView("exclcr_t")
+    r = spark.sql(
+        translate(
+            "SELECT i,"
+            " min(x) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND"
+            "   UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS all_min,"
+            " max(x) OVER (ORDER BY k EXCLUDE CURRENT ROW) AS run_max,"
+            " min(x) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND"
+            "   1 FOLLOWING EXCLUDE CURRENT ROW) AS nbr_min,"
+            " max(x) OVER (ORDER BY k RANGE BETWEEN CURRENT ROW AND"
+            "   CURRENT ROW EXCLUDE CURRENT ROW) AS peer_max"
+            " FROM exclcr_t ORDER BY i"
+        )
+    ).collect()
+    got = [tuple(row)[1:] for row in r]
+    assert got == [
+        (20.0, 20.0, 20.0, 20.0),
+        (10.0, 10.0, 10.0, 10.0),
+        (10.0, 40.0, 10.0, 40.0),
+        (10.0, 20.0, 10.0, None),   # row 4's only peer carries NULL
+        (10.0, 40.0, 40.0, None),   # row 5 has no peers at all
+    ]
+    # a numeric RANGE bound is not peer-group-aligned — stays loud
+    with pytest.raises(TrinoCompatError, match="peer-group-aligned"):
+        translate(
+            "SELECT min(x) OVER (ORDER BY k RANGE BETWEEN 5 PRECEDING "
+            "AND CURRENT ROW EXCLUDE CURRENT ROW) FROM t"
+        )
+    # ROWS frames keep using the x29 row split, not the peer path
+    out = translate(
+        "SELECT min(x) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND "
+        "2 FOLLOWING EXCLUDE CURRENT ROW) FROM t"
+    )
+    assert "ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING" in out

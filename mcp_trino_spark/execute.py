@@ -122,6 +122,19 @@ def execute_query(
                 "PREPARE is rejected by the read-only classifier (same "
                 "behavior as the reference's gate) — inline the query"
             )
+        if re.match(
+            r"^\s*SHOW\s+(?:FUNCTIONS|SCHEMAS|TABLES|CATALOGS|VIEWS)\b"
+            r".*?\bLIKE\s+'[^']*'\s+ESCAPE\s+'",
+            q,
+            re.IGNORECASE | re.DOTALL,
+        ):
+            from mcp_trino_spark.trino_compat import TrinoCompatError
+
+            raise TrinoCompatError(
+                "SHOW ... LIKE ESCAPE is not translatable — Spark glob "
+                "patterns have no escape character; filter the listing "
+                "client-side instead"
+            )
         fm = re.match(
             r"^(\s*SHOW\s+(?:FUNCTIONS|SCHEMAS|TABLES|CATALOGS|VIEWS)\b"
             r".*?\bLIKE\s+)'([^']*)'(\s*)$",
@@ -132,10 +145,23 @@ def execute_query(
             # Trino's SHOW ... LIKE patterns are SQL LIKE (%), Spark's
             # are globs (*) — a '%' pattern silently returned ZERO rows
             # on every listing form.  '_' has no Spark glob twin and
-            # stays literal (rare in object-name patterns).  Output
-            # shape stays Spark's listing schema — the listing content,
-            # not its columns, is the contract (rows-only class).
-            q = f"{fm.group(1)}'{fm.group(2).replace('%', '*')}'{fm.group(3)}"
+            # stays literal (rare in object-name patterns; documented
+            # residue).  A pattern already containing Spark's own glob
+            # metacharacters ('*' matches-any, '|' alternation) would
+            # silently CHANGE meaning after the swap — in SQL LIKE both
+            # are literal characters — so those are rejected loudly, as
+            # is an ESCAPE clause (Spark globs have no escape).
+            pat = fm.group(2)
+            if "*" in pat or "|" in pat:
+                from mcp_trino_spark.trino_compat import TrinoCompatError
+
+                raise TrinoCompatError(
+                    f"SHOW ... LIKE pattern {pat!r} contains '*' or '|', "
+                    "literal in SQL LIKE but glob metacharacters in "
+                    "Spark's listing match — no faithful translation "
+                    "exists; filter the listing client-side instead"
+                )
+            q = f"{fm.group(1)}'{pat.replace('%', '*')}'{fm.group(3)}"
         if re.match(r"^\s*SHOW\s+SESSION\s*$", q, re.IGNORECASE):
             # Trino's session-property listing ↔ Spark's SET -v.  Runs
             # here (not via translate) because the rewritten text would

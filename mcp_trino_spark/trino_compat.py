@@ -3813,7 +3813,30 @@ def _rewrite_orderless_ranking_windows(q: str) -> str:
         if not _NEEDS_ORDER_FNS.fullmatch(q[k + 1 : fn_end] or ""):
             continue
         body = inner.strip()
-        edits.append((om.end(), i - 1, f"{body} ORDER BY 1" if body else "ORDER BY 1"))
+        # an orderless spec may still carry an explicit frame (Trino-
+        # legal for nth_value/lead/lag): the injected ORDER BY must go
+        # BEFORE the frame clause or the spec is malformed SQL
+        fm = next(
+            (
+                m
+                for m in re.finditer(
+                    r"\b(ROWS|RANGE|GROUPS)\b", inner, re.IGNORECASE
+                )
+                if imask[m.start()] and idepth[m.start()] == 0
+            ),
+            None,
+        )
+        if fm is not None:
+            head_part = inner[: fm.start()].strip()
+            frame_part = inner[fm.start() :].strip()
+            repl = (
+                f"{head_part} ORDER BY 1 {frame_part}"
+                if head_part
+                else f"ORDER BY 1 {frame_part}"
+            )
+        else:
+            repl = f"{body} ORDER BY 1" if body else "ORDER BY 1"
+        edits.append((om.end(), i - 1, repl))
     for start, end, repl in sorted(edits, reverse=True):
         q = q[:start] + repl + q[end:]
     return q
@@ -5858,14 +5881,22 @@ def _rewrite_split_part_semantics(q: str) -> str:
     loudly (Trino rejects empty delimiters too).  NULL inputs short-
     circuit to NULL in the FIRST branch (Trino is RETURNS-NULL-ON-
     NULL-INPUT — a NULL string must not trip the index guard).
-    Hazard (documented, shared by every guard-style rewrite here):
-    the argument expressions are embedded in multiple branches, so a
-    NONDETERMINISTIC argument (rand()-derived index) is evaluated
-    independently per branch and the guard can check a different
-    value than the guarded call uses — deterministic expressions,
-    the SQL norm, are unaffected.  Certified by x38 (DuckDB's
-    split_part is also ''-out-of-range, so the oracle spells the NULL
-    contract explicitly)."""
+    Hazards (documented, shared by every guard-style rewrite here —
+    regexp_extract, 2-arg log, this): (1) the argument expressions
+    are embedded in multiple branches, so a NONDETERMINISTIC argument
+    (rand()-derived index) is evaluated independently per branch and
+    the guard can check a different value than the guarded call uses
+    — deterministic expressions, the SQL norm, are unaffected.
+    (2) Each argument appears in 3-5 branches, so NESTED guarded
+    calls grow the rewritten text roughly 4^depth — a split_part of a
+    split_part of a split_part is already a ~64-branch expression;
+    Catalyst folds the duplicates at plan time (common-subexpression
+    elimination keeps the EVALUATION linear), but deeply nested calls
+    can hit the parser's size limits long before that.  Depth ≤2 is
+    the practical norm; deeper nests should bind intermediates via a
+    subquery alias.  Certified by x38 (DuckDB's split_part is also
+    ''-out-of-range, so the oracle spells the NULL contract
+    explicitly)."""
     while True:
         hit = _find_call(q, _SPLIT_PART_HEAD)
         if hit is None:

@@ -1487,6 +1487,48 @@ def test_show_functions_like_percent(spark):
     ] == ["spark_catalog"]
 
 
+def test_show_like_glob_metacharacters_rejected(spark):
+    """A LIKE pattern containing '*' or '|' is LITERAL in SQL LIKE but
+    a metacharacter in Spark's glob listing match — the %→* swap would
+    silently change its meaning, so those patterns (and ESCAPE
+    clauses, which Spark globs cannot express) are rejected loudly."""
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    for bad in (
+        "SHOW TABLES LIKE 'a*b'",
+        "SHOW FUNCTIONS LIKE 'x|y'",
+        "SHOW SCHEMAS LIKE 'd__f%' ESCAPE '\\'",
+    ):
+        with pytest.raises(TrinoCompatError, match="LIKE"):
+            run(spark, bad)
+
+
+def test_orderless_offset_window_with_explicit_frame(spark):
+    """Trino-legal: an orderless window spec that still carries an
+    explicit frame (nth_value/lead/lag respect frames).  The injected
+    constant ORDER BY must land BEFORE the frame clause — until round
+    10 it was appended after, producing malformed SQL and a confusing
+    parse error."""
+    from mcp_trino_spark.trino_compat import translate
+
+    out = translate(
+        "SELECT nth_value(x, 2) OVER (PARTITION BY p ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW) FROM t"
+    )
+    assert "ORDER BY 1 ROWS BETWEEN" in out
+    # live execution: with every row a peer the frame is well-defined;
+    # value is order-arbitrary on both engines, so assert shape only
+    rows = run(
+        spark,
+        "SELECT count(*) OVER (PARTITION BY n_regionkey) AS n, "
+        "nth_value(n_nationkey, 2) OVER (PARTITION BY n_regionkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS v "
+        "FROM nation",
+    )
+    assert len(rows) == 25 and all(r["n"] == 5 for r in rows)
+    assert all(r["v"] is not None for r in rows)
+
+
 # ---------------------------------------------------------------------------
 # round-4 dialect batch: approx_most_frequent, word_stem,
 # human_readable_seconds, to_milliseconds

@@ -1954,3 +1954,63 @@ def x42_exclude_current_row_minmax(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x43_substr_semantics",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN st = 0 OR st < -length(text) THEN ''
+                ELSE substr(text, st) END AS tail_s,
+           CASE WHEN st = 0 OR st < -length(text) THEN ''
+                ELSE substr(text, st, 7) END AS win_s,
+           CASE WHEN 0 = 0 THEN '' END AS zero_s,
+           substr(text, 3) AS pos_s
+    FROM (SELECT doc_id, text,
+                 CAST(doc_id % 7 - 3 AS INTEGER) * 120 AS st
+          FROM documents WHERE doc_id < 400)
+    """,
+)
+def x43_substr_semantics(spark, sf_dir):
+    """Differential certification of substr/substring start semantics
+    (_rewrite_substr_semantics): Trino returns EMPTY for start
+    position 0 and for a negative start pointing before the beginning
+    (|start| > length), where Spark treats 0 as position 1 and CLAMPS
+    out-of-range negative starts — silent wrong answers on Trino-valid
+    queries (substring('abcde', 0) returned the whole string; a
+    -7 start on a 5-char string returned its head).  The start column
+    sweeps -360..+360 in 120-char steps against real document lengths,
+    so every regime appears: zero, in-range negative (counts from the
+    end on both engines — rewrite must NOT touch it), out-of-range
+    negative (empty), positive in-range, positive past the end (empty
+    on both).  Both call spellings (comma and ANSI FROM/FOR) route
+    through the same guard; the zero_s column pins the literal-zero
+    constant fold.
+
+    DuckDB clamps exactly like Spark, so the oracle spells Trino's
+    empty contract explicitly (the x36-x39 protocol: the oracle is the
+    CONTRACT, the entry certifies the rewrite reproduces it).
+
+    Reference parity: Trino evaluates substr natively
+    (StringFunctions — start 0 and |start| > codepoint count return
+    the empty slice) and the reference forwards query text verbatim
+    (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT doc_id,
+                   substr(text, st) AS tail_s,
+                   substring(text FROM st FOR 7) AS win_s,
+                   substr(text, 0) AS zero_s,
+                   substring(text, 3) AS pos_s
+            FROM (SELECT doc_id, text,
+                         CAST(doc_id % 7 - 3 AS INTEGER) * 120 AS st
+                  FROM documents WHERE doc_id < 400)
+            """
+        )
+    )

@@ -941,7 +941,16 @@ def l33_editdist_verify(spark, sf_dir):
     """
     (docs,) = T(spark, sf_dir, "documents")
     docs = spread(docs)
-    pairs = minhash_lsh_pairs_plan(docs)
+    return editdist_verify_plan(minhash_lsh_pairs_plan(docs), docs)
+
+
+def editdist_verify_plan(pairs, docs):
+    """The verify STAGE alone: (doc_a, doc_b) candidate pairs + a doc
+    corpus → pairs that survive normalized-Levenshtein >= 0.5 over
+    200-char prefixes.  Factored from l33 so the scaling probe can
+    clock it over a pre-materialized pair frame (the self-contained
+    entry recomputes the LSH funnel it verifies, which dominates its
+    wall time and hides the verify stage's own exponent)."""
     prefixes = docs.select(
         "doc_id",
         F.substring("text", 1, 200).alias("t200"),

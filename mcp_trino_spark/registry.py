@@ -252,8 +252,6 @@ _PROVEN_R06 = [
     "s6b_parquet_partitioned_roundtrip",
     "s12_table_changes",
     "l6_regex_search",
-    "l7_top_bigrams",
-    "l8_quality_score",
     "l8b_langid",
     "l8c_token_count",
     "l8d_fingerprint",
@@ -291,6 +289,9 @@ _PRIORITY = [
     # peer-defined frames (closes the VERDICT r9 item-3 residue;
     # certified vs DuckDB's native EXCLUDE): ---
     "x42_exclude_current_row_minmax",
+    # --- round-10 addition: substr start-0 / out-of-range-negative
+    # semantics (Trino empty vs Spark clamp — silent wrong answers) ---
+    "x43_substr_semantics",
     # --- the 16 dialect-stale entries the r9 verdict led with: their
     # green rows predate the late-r9 translator passes (x36-x41 /
     # SHOW-LIKE / grouping()), and every trino_compat.py commit this
@@ -318,6 +319,10 @@ _PRIORITY = [
     # (deferred from r9's oracle-floor trade) ---
     "a21_qdigest_rollup",
     "a11b_stats_native",
+    # l33's verify stage is factored into editdist_verify_plan this
+    # round (so the scaling probe can clock it in isolation) — the
+    # entry function changed, its green row no longer covers it
+    "l33_editdist_verify",
     # --- the staleness-queue drain, oldest first (r5-vintage) ---
     "l26_minhash_estimate",
     "l30_prep_pipeline",
@@ -347,8 +352,6 @@ _PRIORITY = [
     "l28_unigram_logprob",
     "l29_dedup_stats",
     "l6_regex_search",
-    "l7_top_bigrams",
-    "l8_quality_score",
     # family-span representatives (window must cover p/a/w/o/x/t/s/f/l
     # — tests/test_engine.py), drawn from the proven sets
     "p1_projection",

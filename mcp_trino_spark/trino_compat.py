@@ -5862,6 +5862,81 @@ _SPLIT_PART_HEAD = re.compile(
 _SP_STRICT_TOKEN = "__split_part0__"
 
 
+_SUBSTR_HEAD = re.compile(
+    r"(?<![\w$])(substr|substring)\s*\(", re.IGNORECASE
+)
+_SUBSTR_STRICT_TOKEN = "__substr_strict__"
+
+
+def _rewrite_substr_semantics(q: str) -> str:
+    """Trino ``substr/substring(s, start[, length])``: start position 0
+    returns the EMPTY string, and a negative start pointing before the
+    beginning (|start| > length(s)) returns empty too — Spark treats
+    start 0 as position 1 and CLAMPS out-of-range negative starts to
+    the beginning (``substring('abcde', 0)`` → 'abcde', ``substring(
+    'abcde', -7, 3)`` → 'a'), both silent wrong-answer divergences on
+    Trino-valid queries.  Rewrite to
+
+        CASE WHEN (start) = 0 OR (start) < -length(s)
+             THEN substring(s, 1, 0)          -- typed empty
+             ELSE substring(s, start[, len]) END
+
+    ``substring(s, 1, 0)`` produces the empty value OF THE ARGUMENT'S
+    TYPE (varchar or varbinary — a literal '' would coerce binary
+    branches to string).  In-range semantics already agree (negative
+    start counts from the end on both engines; start past the end and
+    non-positive length both yield empty on both).  The ANSI spelling
+    ``substring(s FROM a [FOR b])`` — which Spark would otherwise
+    evaluate with its own clamping semantics — is normalized into the
+    guarded comma form.  NULL inputs fall through the CASE to the
+    builtin → NULL, Trino's RETURNS-NULL-ON-NULL-INPUT.  Shares the
+    guard-family hazards documented at _rewrite_split_part_semantics
+    (per-branch argument duplication).  Runs BEFORE every pass that
+    generates substr of its own (the binary-hash pass emits a
+    deliberately-clamping ``substr(hex(x), -8)``).  Certified by x43
+    (DuckDB clamps like Spark, so the oracle spells the empty contract
+    explicitly)."""
+    while True:
+        hit = _find_call(q, _SUBSTR_HEAD)
+        if hit is None:
+            break
+        m, b0, b1 = hit
+        body = q[b0:b1]
+        bmask = _code_mask(body)
+        bdepth = _depths(body, bmask)
+        kws = [
+            kw
+            for kw in re.finditer(r"\bFROM\b|\bFOR\b", body, re.IGNORECASE)
+            if bmask[kw.start()] and bdepth[kw.start()] == 0
+        ]
+        if kws and kws[0].group().upper() == "FROM":
+            # ANSI form: s FROM start [FOR length]
+            s0 = body[: kws[0].start()]
+            if len(kws) > 1 and kws[1].group().upper() == "FOR":
+                args = [
+                    s0,
+                    body[kws[0].end() : kws[1].start()],
+                    body[kws[1].end() :],
+                ]
+            else:
+                args = [s0, body[kws[0].end() :]]
+        else:
+            args = _split_top_args(body)
+        if len(args) not in (2, 3):
+            raise TrinoCompatError(
+                "substr() takes (string, start[, length])"
+            )
+        s, st = args[0].strip(), args[1].strip()
+        rest = f", {args[2].strip()}" if len(args) == 3 else ""
+        repl = (
+            f"(CASE WHEN ({st}) = 0 OR ({st}) < -length({s}) "
+            f"THEN {_SUBSTR_STRICT_TOKEN}({s}, 1, 0) "
+            f"ELSE {_SUBSTR_STRICT_TOKEN}({s}, {st}{rest}) END)"
+        )
+        q = q[: m.start()] + repl + q[b1 + 1 :]
+    return q.replace(_SUBSTR_STRICT_TOKEN, "substring")
+
+
 def _rewrite_split_part_semantics(q: str) -> str:
     """Trino ``split_part(s, delim, n)``: NULL when n exceeds the
     field count, ERROR when n < 1 — Spark returns '' out of range and
@@ -6111,6 +6186,10 @@ def translate(query: str) -> str:
     # (backslashes doubled) — every later pass lexes with Spark rules
     query = _respell_escape_free_literals(query)
     query = _rewrite_unicode_literals(query)
+    # substr start-0 / out-of-range-negative-start → empty (Trino)
+    # where Spark clamps — BEFORE the binary-hash pass, which emits a
+    # deliberately-clamping substr of its own
+    query = _rewrite_substr_semantics(query)
     query = _rewrite_binary_hashes(query)
     # BEFORE every pass that generates strict element_at on purpose
     # (subscripts, map_union, lambda regexp) — only USER-spelled

@@ -53,6 +53,7 @@ _ROWS_ONLY_OK = {
 #: tools/check_changed.py.
 _NEVER_GRADED = [
     "x42_exclude_current_row_minmax",
+    "x43_substr_semantics",
     "x19_trino_dialect",
     "o12_fetch_with_ties",
     "x20_approx_most_frequent",
@@ -71,6 +72,7 @@ _NEVER_GRADED = [
     "x34_null_ordering_defaults",
     "a21_qdigest_rollup",
     "a11b_stats_native",
+    "l33_editdist_verify",
     "l26_minhash_estimate",
     "l30_prep_pipeline",
     "w9_range_frame",
@@ -97,8 +99,6 @@ _NEVER_GRADED = [
     "l28_unigram_logprob",
     "l29_dedup_stats",
     "l6_regex_search",
-    "l7_top_bigrams",
-    "l8_quality_score",
 ]
 
 

@@ -3361,3 +3361,26 @@ def test_window_exclude_current_row_minmax(spark):
         "2 FOLLOWING EXCLUDE CURRENT ROW) FROM t"
     )
     assert "ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING" in out
+
+
+def test_substr_start_semantics(spark):
+    """Trino substr: start 0 and out-of-range negative starts return
+    EMPTY; Spark treats 0 as 1 and clamps negatives to the beginning.
+    The guard must fix those two regimes, leave every agreeing regime
+    untouched, preserve binary typing, and cover the ANSI FROM/FOR
+    spelling (x43 pins the differential on real data)."""
+    r = run(
+        spark,
+        "SELECT substr('abcde', 0) AS z0, substring('abcde', 0, 2) AS z02,"
+        " substr('abcde', -2) AS m2, substr('abcde', -7) AS m7,"
+        " substring('abcde' FROM -7 FOR 3) AS m73,"
+        " substr('abcde', 2, 2) AS p22, substr('abcde', 6) AS p6,"
+        " substr('abcde', -5) AS m5, substr('abcde', 2, -1) AS negl,"
+        " substr(CAST(NULL AS VARCHAR), 2) AS nl,"
+        " substr(X'0A0B0C', 0) AS bin0, substr(X'0A0B0C', 2) AS bin2",
+    )[0]
+    assert r == {
+        "z0": "", "z02": "", "m2": "de", "m7": "", "m73": "",
+        "p22": "bc", "p6": "", "m5": "abcde", "negl": "", "nl": None,
+        "bin0": b"", "bin2": b"\x0b\x0c",
+    }

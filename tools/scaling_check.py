@@ -54,19 +54,43 @@ def replicate(df: DataFrame, key_cols: list[str], copies: int) -> DataFrame:
     return out
 
 
+_AZ = "abcdefghijklmnopqrstuvwxyz"
+
+
 def suffixed_replicas(docs: DataFrame, copies: int) -> DataFrame:
-    """Doc-corpus replicas with shifted ids AND a per-copy text suffix,
-    so replicas do NOT near-match each other — candidate-pair cardinality
-    grows like real corpus growth (×copies), not quadratically.  Shared
-    by every LSH-pipeline probe so they all measure the same corpus."""
+    """Doc-corpus replicas with shifted ids and a per-copy CHARACTER
+    ROTATION of the letters (replica i maps a..z → rotate-by-i,
+    likewise A..Z).  A bijection applied uniformly preserves every
+    WITHIN-replica near-dup relationship exactly — shingle/word sets
+    transform 1:1, so Jaccard, signatures-collide-or-not, and
+    fingerprint structure are unchanged per copy — while ACROSS
+    replicas nearly every shingle contains a letter and therefore
+    differs, so replicas cannot near-match each other and
+    candidate-pair cardinality grows like real corpus growth
+    (×copies).  Round 10 replaced the old text-SUFFIX replicas after
+    the l33 verify probe exposed them: a ~10-char suffix changes only
+    ~10 of a document's hundreds of 8-char shingles, so replica
+    signatures still collided in essentially every band and the "10×"
+    corpus actually produced 109× the candidate pairs — every probe
+    downstream of the pair graph was silently measured at ~11× its
+    nominal workload.  Shared by every LSH-pipeline probe so they all
+    measure the same corpus."""
     shift = 10_000_000
-    reps = [
-        docs.select(
-            (F.col("doc_id") + F.lit(i * shift)).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(f" replica-{i}")).alias("text"),
+    digits = "0123456789"
+    reps = []
+    for i in range(copies):
+        rot = _AZ[i:] + _AZ[:i]
+        drot = digits[i:] + digits[:i]  # digit-only shingles too
+        reps.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * shift)).alias("doc_id"),
+                F.translate(
+                    F.col("text"),
+                    _AZ + _AZ.upper() + digits,
+                    rot + rot.upper() + drot,
+                ).alias("text"),
+            )
         )
-        for i in range(copies)
-    ]
     out = reps[0]
     for r in reps[1:]:
         out = out.unionByName(r)
@@ -119,9 +143,10 @@ def check_flagship(spark) -> None:
 
 
 def check_minhash_lsh(spark) -> None:
-    """LSH dedup at 10×: replicas get a per-copy text suffix so they do
-    NOT near-match each other — candidate-pair cardinality then grows
-    like real corpus growth (×copies), not quadratically, and the
+    """LSH dedup at 10×: replicas get a per-copy character rotation so
+    they do NOT near-match each other — candidate-pair cardinality then
+    grows like real corpus growth (×copies in expectation; each copy is
+    a fresh minhash draw, so the realized count is noisy), and the
     measurement isolates the PLAN's scaling (signature agg + band
     join), not a synthetic-data artifact."""
     from mcp_trino_spark.operators.llm_dedup import minhash_lsh_pairs_plan
@@ -354,11 +379,13 @@ def check_table_changes(spark) -> None:
 
 
 def check_dup_clusters(spark) -> None:
-    """l21's iterative connected components at 10×: replicas carry a
-    per-copy text suffix (as in the LSH probe) so candidate pairs grow
-    ×copies, not quadratically; components stay small, so rounds-to-
-    convergence is constant and each round is one edge join + hash agg
-    on the grown graph — time must track pair volume."""
+    """l21's iterative connected components at 10×, END-TO-END (LSH
+    build + loop): replicas carry a per-copy character rotation (as in
+    the LSH probe) so candidate pairs grow ×copies in expectation;
+    components stay small, so rounds-to-convergence is constant and
+    each round is one edge join + hash agg on the grown graph — time
+    must track pair volume.  check_cc_loop isolates the loop alone on
+    an exactly-×10 replicated pair graph."""
     from mcp_trino_spark.operators._util import spread
     from mcp_trino_spark.operators.llm_dedup import (
         _propagate_clusters,
@@ -570,7 +597,7 @@ def check_quality_percentile_scaled(spark) -> None:
 
 def check_lm_contamination(spark) -> None:
     """l37's LM-score contamination screen at 10×: the eval-set bigram
-    LM is FIXED (broadcast KB tables); suffixed replicas grow only the
+    LM is FIXED (broadcast KB tables); rotation replicas grow only the
     corpus side, which streams through two broadcast left joins and one
     doc_id aggregate — cost must track corpus volume linearly."""
     from mcp_trino_spark.operators._util import spread
@@ -636,12 +663,13 @@ def check_substring_dedup(spark) -> None:
 
 def check_cc_loop(spark) -> None:
     """The connected-components LOOP alone (l21's iterative kernel),
-    isolated from LSH pair generation: the 1× and 10× pair graphs are
-    materialized (localCheckpoint) OUTSIDE the clock, so the probe
-    times only the label-propagation rounds — per round one edge join
-    + hash agg + pointer jump on (long, long) frames.  Components stay
-    small under suffixed replicas (rounds-to-convergence constant), so
-    loop time must track edge volume."""
+    isolated from LSH pair generation: the 10× input is the 1× pair
+    graph REPLICATED with shifted doc ids (exactly ×10 edges, identical
+    per-copy component structure — so rounds-to-convergence is constant
+    by construction), both materialized (localCheckpoint) OUTSIDE the
+    clock.  The probe times only the label-propagation rounds — per
+    round one edge join + hash agg + pointer jump on (long, long)
+    frames; loop time must track edge volume."""
     import gc
 
     from mcp_trino_spark.operators._util import spread
@@ -669,8 +697,8 @@ def check_cc_loop(spark) -> None:
     clear_caches(spark)
     timed_loop(pairs1)  # warm
     t1 = min(timed_loop(pairs1) for _ in range(2))
-    pairs10 = minhash_lsh_pairs_plan(
-        suffixed_replicas(docs, COPIES)
+    pairs10 = replicate(
+        pairs1, ["doc_a", "doc_b"], COPIES
     ).localCheckpoint()
     clear_caches(spark)
     t10 = min(timed_loop(pairs10) for _ in range(2))
@@ -712,6 +740,8 @@ def main() -> None:
     check_cc_loop(spark)
     clear_caches(spark)
     check_substring_dedup(spark)
+    clear_caches(spark)
+    check_editdist_verify(spark)
 
 
 
@@ -740,3 +770,51 @@ def check_qdigest(spark) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def check_editdist_verify(spark) -> None:
+    """The edit-distance VERIFY stage alone (l33's final funnel stage),
+    isolated from the LSH pair generation it verifies: the 10× input is
+    the 1× candidate-pair frame REPLICATED with shifted doc ids (and a
+    doc corpus replicated the same way), both materialized
+    (localCheckpoint) OUTSIDE the clock — so pair volume is EXACTLY
+    ×copies (re-running LSH over transformed replicas draws a fresh
+    minhash sample per copy, and the measured per-replica pair count
+    swings 113k–411k on this corpus — far too noisy to anchor an
+    exponent).  The probe times only the two prefix hash joins + the
+    banded Levenshtein DP (O(1) per pair: 200-char prefixes, band 100)
+    + the similarity filter; time must track pair volume."""
+    import gc
+
+    from mcp_trino_spark.operators._util import spread
+    from mcp_trino_spark.operators.llm_dedup import (
+        editdist_verify_plan,
+        minhash_lsh_pairs_plan,
+    )
+
+    docs1 = spread(load_table(spark, SF_DIR, "documents")).select(
+        "doc_id", "text"
+    )
+
+    def timed_verify(pairs_ckpt, docs_ckpt) -> float:
+        t0 = time.perf_counter()
+        out = editdist_verify_plan(pairs_ckpt, docs_ckpt)
+        out.write.mode("overwrite").format("noop").save()
+        t = time.perf_counter() - t0
+        clear_caches(spark)
+        del out
+        gc.collect()
+        return t
+
+    pairs1 = minhash_lsh_pairs_plan(docs1).localCheckpoint()
+    n_pairs_1x = pairs1.count()
+    clear_caches(spark)
+    d1 = docs1.localCheckpoint()
+    timed_verify(pairs1, d1)  # warm
+    t1 = min(timed_verify(pairs1, d1) for _ in range(2))
+    # id-shifted replication: same texts per copy is fine — the verify
+    # stage joins by doc_id only, so cross-copy matching cannot occur
+    pairs10 = replicate(pairs1, ["doc_a", "doc_b"], COPIES).localCheckpoint()
+    d10 = replicate(docs1, ["doc_id"], COPIES).localCheckpoint()
+    t10 = min(timed_verify(pairs10, d10) for _ in range(2))
+    report("editdist_verify_stage", n_pairs_1x, t1, t10)

@@ -152,3 +152,77 @@ def test_element_at_random_differential(spark):
         " string_split(s, ',')[-CAST(idx AS INTEGER)] FROM t ORDER BY i"
     ).fetchall()
     assert got == [tuple(w) for w in want]
+
+
+def test_window_exclude_random_differential(spark):
+    """Randomized window-frame EXCLUDE differential vs DuckDB's NATIVE
+    EXCLUDE (DuckDB evaluates RANGE and GROUPS frames with EXCLUDE
+    directly — a true engine-independent oracle for the x29/x31/x35/
+    x42 rewrite family): seeded-random (partition, duplicate-heavy
+    order key, nullable integer aggregand) data swept through every
+    aggregate × mode × peer-aligned-frame combination in ONE query per
+    engine.  Integer aggregands keep the subtraction splits exact."""
+    rng = random.Random(913)
+    data = [
+        (
+            i,
+            rng.randint(0, 2),                       # partition
+            rng.randint(0, 4),                       # order key (dupes!)
+            rng.choice([None] + list(range(-50, 51))),
+        )
+        for i in range(240)
+    ]
+    spark.createDataFrame(
+        data, "i long, p int, k int, x int"
+    ).createOrReplaceTempView("excl_rand_t")
+
+    # DuckDB has no GROUPS frame mode: its spelling of the GROUPS
+    # frame orders by a materialized dense_rank and uses RANGE over the
+    # group number — the same peer structure through an independent
+    # spelling (the x35 oracle protocol)
+    frames = [
+        ("RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING", "k"),
+        ("RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW", "k"),
+        ("GROUPS BETWEEN 1 PRECEDING AND 2 FOLLOWING", "grp"),
+        ("RANGE BETWEEN CURRENT ROW AND CURRENT ROW", "k"),
+    ]
+    aggs = ["sum", "count", "avg", "min", "max"]
+    modes = ["GROUP", "TIES", "CURRENT ROW"]
+    cols, duck_cols = [], []
+    n = 0
+    for frame, duck_key in frames:
+        duck_frame = (
+            frame.replace("GROUPS", "RANGE") if duck_key == "grp" else frame
+        )
+        for agg in aggs:
+            for mode in modes:
+                n += 1
+                name = f"c{n}"
+                expr = (
+                    f"{agg}(x) OVER (PARTITION BY p ORDER BY k "
+                    f"{frame} EXCLUDE {mode})"
+                )
+                dexpr = (
+                    f"{agg}(x) OVER (PARTITION BY p ORDER BY {duck_key} "
+                    f"{duck_frame} EXCLUDE {mode})"
+                )
+                if agg == "avg":
+                    expr, dexpr = f"round({expr}, 6)", f"round({dexpr}, 6)"
+                cols.append(f"{expr} AS {name}")
+                duck_cols.append(f"{dexpr} AS {name}")
+    q = f"SELECT i, {', '.join(cols)} FROM excl_rand_t ORDER BY i"
+    got = [tuple(r) for r in spark.sql(translate(q)).collect()]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, p INTEGER, k INTEGER, x INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", data)
+    dq = (
+        f"SELECT i, {', '.join(duck_cols)} FROM (SELECT *, dense_rank()"
+        f" OVER (PARTITION BY p ORDER BY k) AS grp FROM t) ORDER BY i"
+    )
+    want = con.execute(dq).fetchall()
+    assert len(got) == len(want) == 240
+    for g, w in zip(got, want):
+        gg = tuple(float(v) if v is not None else None for v in g[1:])
+        ww = tuple(float(v) if v is not None else None for v in w[1:])
+        assert gg == ww, (g[0], gg, ww)

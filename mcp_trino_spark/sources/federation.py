@@ -60,10 +60,23 @@ def register_jdbc_catalog(
     url: str,
     driver: str,
 ) -> None:
-    """Register a V2 JDBC catalog under ``name`` (idempotent)."""
+    """Register a V2 JDBC catalog under ``name`` (idempotent).
+
+    ``pushDownLimit`` is force-disabled: probe-caught (round 10) — with
+    it on, ``SELECT ... FROM <jdbc> ORDER BY k LIMIT 3`` against the
+    embedded Derby catalog returns ALL rows.  The planner marks the
+    TopN fully pushed (``PushedTopN`` in the scan, no Spark-side
+    TakeOrderedAndProject remains), but the executed "JDBC v1 Relation
+    from v2 scan" path never applies the clause remotely — a silent
+    wrong answer on any federated LIMIT query.  Predicate, projection,
+    and aggregate pushdown are unaffected (value-verified in
+    tests/test_federation.py); losing remote LIMIT costs one dimension
+    scan, losing correctness costs everything.  Options must be set
+    BEFORE the catalog's first use — the catalog caches them at load."""
     spark.conf.set(f"spark.sql.catalog.{name}", _JDBC_CATALOG_IMPL)
     spark.conf.set(f"spark.sql.catalog.{name}.url", url)
     spark.conf.set(f"spark.sql.catalog.{name}.driver", driver)
+    spark.conf.set(f"spark.sql.catalog.{name}.pushDownLimit", "false")
 
 
 def _derby_path(sf_dir: str) -> str:

@@ -154,17 +154,18 @@ def test_jdbc_aggregate_pushdown_computes_remotely(spark, dim):
 
 
 def test_jdbc_topn_pushdown_ships_order_and_limit(spark, dim):
-    """ORDER BY + LIMIT over the JDBC catalog must push as a remote
-    TopN (the remote engine sorts and limits; Spark reads k rows, not
-    the table).  PushedTopN appears only when the dialect compiled the
-    sort order to remote SQL.  Sorts on the integer key: Derby maps
-    Spark strings to CLOB, which Derby cannot ORDER BY — a remote-
-    dialect capability difference the pushdown surfaces verbatim."""
+    """Probe-caught (round 10): with the JDBC catalog's default
+    ``pushDownLimit``, a federated ``ORDER BY k LIMIT 3`` returned ALL
+    25 rows — the planner marked the TopN fully pushed and removed its
+    own TakeOrderedAndProject, but the executed v1-relation scan never
+    applied the clause remotely.  register_jdbc_catalog therefore
+    force-disables limit pushdown; this test pins BOTH the correct
+    values and that the plan keeps a Spark-side TopN (no PushedTopN
+    claim it doesn't honor)."""
     df = spark.sql(
         f"SELECT n_nationkey FROM {dim} ORDER BY n_nationkey DESC LIMIT 3"
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert (
-        "PushedTopN: ORDER BY [n_nationkey DESC NULLS LAST] LIMIT 3" in plan
-    ), plan[:600]
+    assert "PushedTopN" not in plan, plan[:600]
+    assert "TakeOrderedAndProject" in plan
     assert [r["n_nationkey"] for r in df.collect()] == [24, 23, 22]

@@ -1,5 +1,7 @@
-"""Adversarial randomized differentials for the round-9 value-semantics
-rewrites (split_part / trim family / regexp_extract / element_at).
+"""Adversarial randomized differentials for the value-semantics
+rewrites (round 9: split_part / trim family / regexp_extract /
+element_at; round 10: the window-EXCLUDE family and substr start
+semantics).
 
 The per-entry oracles (x36-x39) certify curated columns on real data;
 these tests sweep a seeded-random corpus of ADVERSARIAL inputs — empty
@@ -226,3 +228,47 @@ def test_window_exclude_random_differential(spark):
         gg = tuple(float(v) if v is not None else None for v in g[1:])
         ww = tuple(float(v) if v is not None else None for v in w[1:])
         assert gg == ww, (g[0], gg, ww)
+
+
+def test_substr_random_differential(spark):
+    """Randomized substr start-semantics differential (x43's curated
+    oracle, adversarialized): seeded-random strings (empty, unicode,
+    whitespace) × starts sweeping far past both ends × lengths
+    including zero and negative, compared against an explicit-contract
+    DuckDB spelling (DuckDB clamps like Spark, so the oracle encodes
+    Trino's empty-on-0 / empty-before-beginning rules in SQL)."""
+    rng = random.Random(914)
+    rows = []
+    for i in range(300):
+        s = _rand_string(rng)
+        st = rng.randint(-12, 12)
+        ln = rng.randint(-2, 8)
+        rows.append((i, s, st, ln))
+    spark.createDataFrame(
+        rows, "i long, s string, st int, ln int"
+    ).createOrReplaceTempView("substr_t")
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            translate(
+                "SELECT i, substr(s, st) AS a, substr(s, st, ln) AS b,"
+                " substring(s FROM st FOR 3) AS c FROM substr_t ORDER BY i"
+            )
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, s VARCHAR, st INTEGER, ln INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    want = con.execute(
+        """
+        SELECT i,
+          CASE WHEN st = 0 OR st < -length(s) THEN '' ELSE substr(s, st) END,
+          CASE WHEN ln < 0 THEN ''
+               WHEN st = 0 OR st < -length(s) THEN ''
+               ELSE substr(s, st, ln) END,
+          CASE WHEN st = 0 OR st < -length(s) THEN ''
+               ELSE substr(s, st, 3) END
+        FROM t ORDER BY i
+        """
+    ).fetchall()
+    assert got == [tuple(w) for w in want]

@@ -272,3 +272,71 @@ def test_substr_random_differential(spark):
         """
     ).fetchall()
     assert got == [tuple(w) for w in want]
+
+
+def test_log_and_nullpoison_random_differential(spark):
+    """Randomized sweep of the x33/x40 numeric-semantics rewrites:
+    IEEE log family over values crossing zero (Trino: ln(0) =
+    -Infinity, ln(negative) = NaN; un-rewritten Spark builtins return
+    NULL for every non-positive), NULL-poisoning least/greatest
+    (Trino: NULL if ANY argument is NULL; Spark skips NULLs), and
+    literal-free integer division on column operands of lexically
+    known literal type (the rewrite handles literals; columns rely on
+    the engine's div).  DuckDB ERRORS on log of non-positives, so the
+    oracle spells the IEEE contract explicitly — the x40 protocol."""
+    rng = random.Random(915)
+    data = [
+        (
+            i,
+            rng.choice([None] + [x / 4.0 for x in range(-20, 21)]),
+            rng.choice([None] + list(range(-9, 10))),
+            rng.choice([None] + list(range(-9, 10))),
+        )
+        for i in range(300)
+    ]
+    spark.createDataFrame(
+        data, "i long, d double, a int, b int"
+    ).createOrReplaceTempView("logp_t")
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            translate(
+                "SELECT i, round(ln(d), 10) AS l1,"
+                " round(log10(d), 10) AS l2, round(log2(d), 10) AS l3,"
+                " round(log(3, d), 10) AS l4,"
+                " least(a, b) AS lo, greatest(a, b) AS hi,"
+                " least(a, b, 5) AS lo3 FROM logp_t ORDER BY i"
+            )
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, d DOUBLE, a INTEGER, b INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", data)
+    ieee = (
+        "CASE WHEN d > 0 THEN {f} WHEN d = 0 THEN CAST('-Infinity' AS"
+        " DOUBLE) WHEN d < 0 THEN CAST('NaN' AS DOUBLE) END"
+    )
+    want = con.execute(
+        "SELECT i, "
+        + ieee.format(f="round(ln(d), 10)") + ", "
+        + ieee.format(f="round(log10(d), 10)") + ", "
+        + ieee.format(f="round(log2(d), 10)") + ", "
+        + ieee.format(f="round(ln(d) / ln(3), 10)") + ","
+        " CASE WHEN a IS NULL OR b IS NULL THEN NULL ELSE least(a, b) END,"
+        " CASE WHEN a IS NULL OR b IS NULL THEN NULL ELSE greatest(a, b)"
+        " END,"
+        " CASE WHEN a IS NULL OR b IS NULL THEN NULL ELSE least(a, b, 5)"
+        " END"
+        " FROM t ORDER BY i"
+    ).fetchall()
+    import math
+
+    def norm(v):
+        if v is None:
+            return None
+        f = float(v)
+        return "nan" if math.isnan(f) else f
+
+    assert [tuple(norm(v) for v in g[1:]) for g in got] == [
+        tuple(norm(v) for v in w[1:]) for w in want
+    ]

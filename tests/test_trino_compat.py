@@ -3384,3 +3384,29 @@ def test_substr_start_semantics(spark):
         "p22": "bc", "p6": "", "m5": "abcde", "negl": "", "nl": None,
         "bin0": b"", "bin2": b"\x0b\x0c",
     }
+
+
+def test_window_exclude_current_row_minmax_desc_nulls(spark):
+    """x42 with a DESC NULLS FIRST order key and NULL keys: the
+    refined-window split partitions by the STRIPPED key expression
+    (_split_window_head drops direction/placement), and NULL order
+    keys form their own peer group on both engines."""
+    import pandas as pd
+
+    spark.createDataFrame(
+        pd.DataFrame(
+            {"i": [1, 2, 3, 4, 5],
+             "k": [1.0, 1.0, 2.0, None, None],
+             "x": [10.0, 20.0, 30.0, 40.0, 50.0]}
+        )
+    ).createOrReplaceTempView("exclcrd_t")
+    r = spark.sql(
+        translate(
+            "SELECT i, min(x) OVER (ORDER BY k DESC NULLS FIRST"
+            " RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+            " EXCLUDE CURRENT ROW) AS m FROM exclcrd_t ORDER BY i"
+        )
+    ).collect()
+    assert [(row["i"], row["m"]) for row in r] == [
+        (1, 20.0), (2, 10.0), (3, 10.0), (4, 10.0), (5, 10.0)
+    ]

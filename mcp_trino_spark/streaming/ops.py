@@ -656,3 +656,93 @@ def l38_contamination_stream(
         )
         .select("doc_id", "span")
     )
+
+
+def t16_qdigest_stream(events: DataFrame, window_s: int = 600) -> DataFrame:
+    """Streaming quantile monitoring via mergeable qdigest sketches —
+    the continuous twin of a21's two-level batch build (beyond the
+    reference; Trino's qdigest family is batch-only there).
+
+    Per (event_type, tumbling ``window_s`` window), GroupState holds
+    ONE sketch — (vs array, ws array, running count), ≤ K centroids
+    regardless of how many events the window sees — and each
+    micro-batch folds its values in by ``merge_sketches`` (associative
+    and merge-order invariant, functions/qdigest.py), then emits the
+    window's CURRENT quantiles as an append row stamped with the
+    running count.  The latest row per key (max ``n``) is the window's
+    most-recent estimate; under availableNow's single batch it IS the
+    final one.  This is the ingest-monitoring shape: per-key state is
+    KB-bounded (the sketch), so key cardinality — not event volume —
+    sizes the state store, and the emitted quantiles carry the same
+    rank-error contract the batch sketch certifies
+    (tests/test_qdigest.py).
+
+    Kept on GroupStateTimeout.NoTimeout like t3b: rows are never
+    dropped and state never expires mid-drain, so the stream==batch
+    comparison is deterministic; a production variant adds
+    EventTimeTimeout to finalize windows the watermark has passed and
+    to bound state to live windows only.
+    """
+    from typing import Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from mcp_trino_spark.functions.qdigest import (
+        build_sketch,
+        merge_sketches,
+        value_at_quantile,
+    )
+
+    win_ns = int(window_s) * 1_000_000_000
+
+    def fold(
+        key: Tuple[str, int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        event_type, win_start_s = key
+        if state.exists:
+            vs, ws, n = state.get
+            sketch = list(zip(vs, ws))
+        else:
+            sketch, n = [], 0
+        vals: list = []
+        for pdf in pdfs:
+            vals.extend(float(v) for v in pdf["value"] if v is not None)
+        if vals:
+            sketch = merge_sketches([sketch, build_sketch(vals)])
+            n += len(vals)
+        if not sketch:
+            state.remove()
+            return
+        state.update((
+            [v for v, _ in sketch], [w for _, w in sketch], n,
+        ))
+        yield pd.DataFrame(
+            [(
+                event_type,
+                int(win_start_s),
+                n,
+                value_at_quantile(sketch, 0.5),
+                value_at_quantile(sketch, 0.9),
+                value_at_quantile(sketch, 0.99),
+            )],
+            columns=["event_type", "win_start_s", "n", "p50", "p90", "p99"],
+        )
+
+    keyed = events.select(
+        "event_type",
+        ((F.col("ts_ns") / win_ns).cast("long") * int(window_s)).alias(
+            "win_start_s"
+        ),
+        "value",
+    )
+    return keyed.groupBy("event_type", "win_start_s").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "event_type string, win_start_s bigint, n bigint, "
+            "p50 double, p90 double, p99 double"
+        ),
+        stateStructType="vs array<double>, ws array<long>, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

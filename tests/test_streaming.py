@@ -498,3 +498,59 @@ def test_l38_contamination_stream_matches_batch(spark):
     # the screen actually fires: both seeded docs are flagged
     flagged = {r["doc_id"] for r in got.select("doc_id").distinct().collect()}
     assert {1, 2} <= flagged
+
+
+def test_t16_qdigest_stream_matches_batch_contract(spark):
+    """Streaming qdigest rollup (t16): per-(event_type, window) KB
+    state, emitted quantiles obey the batch sketch's rank-error
+    contract against EXACT per-window quantiles, and the running count
+    is conserved exactly.  The stream and batch sketches may cluster
+    differently (different merge boundaries), so the comparison is the
+    documented rank bound — the same gate the batch property suite
+    pins — not bit equality."""
+    import bisect
+
+    from mcp_trino_spark.functions.qdigest import DEFAULT_K
+    from mcp_trino_spark.sources.catalog import load_table
+
+    got = S.run_to_memory(
+        S.t16_qdigest_stream(S.events_stream(spark, SF_DIR), window_s=3600),
+        "t16_mem",
+        output_mode="append",
+    )
+    # latest row per key = the window's final estimate under the drain
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type", "win_start_s")
+    final = (
+        got.withColumn("max_n", F.max("n").over(w))
+        .filter(F.col("n") == F.col("max_n"))
+        .collect()
+    )
+    assert final, "stream emitted nothing"
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type",
+        ((F.col("ts_ns") / (3600 * 1_000_000_000)).cast("long") * 3600)
+        .alias("win_start_s"),
+        "value",
+    )
+    exact = {}
+    for r in ev.collect():
+        if r["value"] is not None:
+            exact.setdefault(
+                (r["event_type"], r["win_start_s"]), []
+            ).append(float(r["value"]))
+    assert len(final) == len(exact)  # every window emitted exactly once
+
+    for row in final:
+        vals = sorted(exact[(row["event_type"], row["win_start_s"])])
+        assert row["n"] == len(vals)  # count conserved exactly
+        # merged-sketch rank-error contract: 2 passes -> 2*(2/K) slack
+        slack = 4.0 / DEFAULT_K + 1.0 / len(vals)
+        for q, est in ((0.5, row["p50"]), (0.9, row["p90"]), (0.99, row["p99"])):
+            lo = bisect.bisect_left(vals, est) / len(vals)
+            hi = bisect.bisect_right(vals, est) / len(vals)
+            assert lo - slack <= q <= hi + slack, (
+                row["event_type"], row["win_start_s"], q, est, lo, hi
+            )

@@ -101,6 +101,9 @@ HEADLINERS = [
     # r9: exact substring-level dedup (anchored window fingerprints —
     # the suffix-array-dedup approximation, sort/group-based)
     "l38_substring_dedup",
+    # r10: MIN/MAX under EXCLUDE CURRENT ROW — dense_rank sub-windows
+    # plus the refined peer-partition split, one exchange total
+    "x42_exclude_current_row_minmax",
 ]
 
 

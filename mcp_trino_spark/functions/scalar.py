@@ -2014,3 +2014,62 @@ def x43_substr_semantics(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x44_map_concat_lastwin",
+    oracle="""
+    SELECT doc_id,
+           doc_id AS k_id,
+           n_chars % 97 AS k_len,
+           doc_id % 3 AS k_tag,
+           3 AS n_keys
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def x44_map_concat_lastwin(spark, sf_dir):
+    """Differential certification of map_concat duplicate-key semantics
+    (_rewrite_map_concat): Trino's map_concat takes the LAST map's
+    value for a duplicate key, where Spark THROWS under its default
+    mapKeyDedupPolicy=EXCEPTION — a Trino-valid overlap crashed the
+    engine (probe-caught, round 10).  Two constructed maps overlap on
+    'len' with different values per row; the entry surfaces the merged
+    map through key lookups (scalar output columns — the driver's
+    value hash needs no map coercion), so a first-wins or throwing
+    implementation diverges on every row.  The oracle spells the
+    contract directly (which value each key must carry), making it
+    engine-independent.
+
+    map()/map_from_entries with duplicate keys still THROW on both
+    engines (Trino parity) — the rewrite fixes map_concat per-call
+    instead of flipping the global dedup policy, which would have
+    silenced those errors into silent divergence.
+
+    Reference parity: Trino evaluates map_concat natively
+    (MapConcatFunction — later maps override) and the reference
+    forwards query text verbatim (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT doc_id,
+                   m['id'] AS k_id,
+                   m['len'] AS k_len,
+                   m['tag'] AS k_tag,
+                   cardinality(m) AS n_keys
+            FROM (
+              SELECT doc_id,
+                     map_concat(
+                       MAP(ARRAY['id', 'len'],
+                           ARRAY[doc_id, n_chars]),
+                       MAP(ARRAY['len', 'tag'],
+                           ARRAY[n_chars % 97, doc_id % 3])) AS m
+              FROM documents WHERE doc_id < 400
+            )
+            """
+        )
+    )

@@ -292,6 +292,10 @@ _PRIORITY = [
     # --- round-10 addition: substr start-0 / out-of-range-negative
     # semantics (Trino empty vs Spark clamp — silent wrong answers) ---
     "x43_substr_semantics",
+    # --- round-10 addition: map_concat duplicate-key last-wins
+    # (Trino) vs Spark's DUPLICATED_MAP_KEY error — crash on a
+    # Trino-valid overlap ---
+    "x44_map_concat_lastwin",
     # --- the 16 dialect-stale entries the r9 verdict led with: their
     # green rows predate the late-r9 translator passes (x36-x41 /
     # SHOW-LIKE / grouping()), and every trino_compat.py commit this
@@ -351,7 +355,6 @@ _PRIORITY = [
     "l24_tfidf",
     "l28_unigram_logprob",
     "l29_dedup_stats",
-    "l6_regex_search",
     # family-span representatives (window must cover p/a/w/o/x/t/s/f/l
     # — tests/test_engine.py), drawn from the proven sets
     "p1_projection",

@@ -5281,6 +5281,52 @@ def _rewrite_quantified_comparisons(q: str) -> str:
 
 
 _ENTROPY_HEAD = re.compile(r"\bentropy\s*\(", re.IGNORECASE)
+_MAP_CONCAT_HEAD = re.compile(r"\bmap_concat\s*\(", re.IGNORECASE)
+_MAP_CONCAT_TOKEN = "__map_concat_strict__"
+
+
+def _rewrite_map_concat(q: str) -> str:
+    """Trino ``map_concat(m1, ..., mN)``: the union of the maps with
+    the LAST map's value winning every duplicate key — Spark's
+    map_concat THROWS on duplicates under the default
+    ``spark.sql.mapKeyDedupPolicy=EXCEPTION``, so a Trino-valid
+    overlap crashed (probe-caught, round 10).  Rewritten as a left
+    fold that filters each accumulated key set down to keys the next
+    map does NOT carry before concatenating:
+
+        map_concat(map_filter(acc, (k, v) ->
+            NOT coalesce(map_contains_key(m_next, k), false)), m_next)
+
+    so no duplicate key ever reaches Spark's map_concat and the last
+    value wins by construction.  Flipping the global dedup policy to
+    LAST_WIN instead would also silence Spark's duplicate-key error in
+    map()/map_from_entries — where Trino THROWS too — trading a crash
+    for a silent divergence; the per-call rewrite keeps both
+    contracts.  NULL propagation is preserved: a NULL argument makes
+    map_contains_key NULL → coalesce false → entries pass through,
+    and the outer map_concat(·, NULL) still returns NULL, matching
+    Trino's RETURNS-NULL-ON-NULL-INPUT."""
+    while True:
+        hit = _find_call(q, _MAP_CONCAT_HEAD)
+        if hit is None:
+            break
+        m, b0, b1 = hit
+        args = [a.strip() for a in _split_top_args(q[b0:b1])]
+        if len(args) < 2:
+            raise TrinoCompatError(
+                "map_concat() requires at least two input maps"
+            )
+        acc = args[0]
+        for nxt in args[1:]:
+            acc = (
+                f"{_MAP_CONCAT_TOKEN}(map_filter({acc}, (__mck, __mcv) ->"
+                f" NOT coalesce(map_contains_key({nxt}, __mck), false)),"
+                f" {nxt})"
+            )
+        q = q[: m.start()] + acc + q[b1 + 1 :]
+    return q.replace(_MAP_CONCAT_TOKEN, "map_concat")
+
+
 _MAP_UNION_HEAD = re.compile(r"\bmap_union\s*\(", re.IGNORECASE)
 
 
@@ -6252,6 +6298,7 @@ def translate(query: str) -> str:
     query = _rewrite_extract_fields(query)
     query = _rewrite_map_agg(query)
     query = _rewrite_entropy(query)
+    query = _rewrite_map_concat(query)
     query = _rewrite_map_union(query)
     query = _rewrite_quantile_sketches(query)
     query = _rewrite_quantified_comparisons(query)

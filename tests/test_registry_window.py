@@ -54,6 +54,7 @@ _ROWS_ONLY_OK = {
 _NEVER_GRADED = [
     "x42_exclude_current_row_minmax",
     "x43_substr_semantics",
+    "x44_map_concat_lastwin",
     "x19_trino_dialect",
     "o12_fetch_with_ties",
     "x20_approx_most_frequent",
@@ -98,7 +99,6 @@ _NEVER_GRADED = [
     "l24_tfidf",
     "l28_unigram_logprob",
     "l29_dedup_stats",
-    "l6_regex_search",
 ]
 
 

@@ -3410,3 +3410,25 @@ def test_window_exclude_current_row_minmax_desc_nulls(spark):
     assert [(row["i"], row["m"]) for row in r] == [
         (1, 20.0), (2, 10.0), (3, 10.0), (4, 10.0), (5, 10.0)
     ]
+
+
+def test_map_concat_duplicate_keys_last_win(spark):
+    """Trino map_concat: last map wins a duplicate key; Spark throws
+    under mapKeyDedupPolicy=EXCEPTION.  The per-call rewrite keeps the
+    global policy (so map()/map_from_entries duplicates still throw,
+    Trino parity) while making map_concat last-wins (x44 pins the
+    differential on real data)."""
+    r = run(
+        spark,
+        "SELECT map_concat(MAP(ARRAY['a','b'], ARRAY[1,2]),"
+        " MAP(ARRAY['a'], ARRAY[9])) AS m1,"
+        " map_concat(MAP(ARRAY['a'], ARRAY[1]), MAP(ARRAY['b'], ARRAY[2]),"
+        " MAP(ARRAY['a'], ARRAY[3])) AS m2,"
+        " map_concat(MAP(ARRAY['a'], ARRAY[1]),"
+        " CAST(NULL AS MAP<STRING,INT>)) AS m3",
+    )[0]
+    assert r["m1"] == {"a": 9, "b": 2}
+    assert r["m2"] == {"a": 3, "b": 2}
+    assert r["m3"] is None
+    with pytest.raises(Exception, match="DUPLICATED_MAP_KEY"):
+        run(spark, "SELECT map_from_entries(ARRAY[ROW('a',1),ROW('a',2)])")

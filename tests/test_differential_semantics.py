@@ -340,3 +340,47 @@ def test_log_and_nullpoison_random_differential(spark):
     assert [tuple(norm(v) for v in g[1:]) for g in got] == [
         tuple(norm(v) for v in w[1:]) for w in want
     ]
+
+
+def test_null_ordering_random_differential(spark):
+    """Randomized certification of the ORDER BY null-placement
+    defaults (x34's curated oracle, adversarialized): Trino sorts
+    NULLs as LARGEST (ASC → last, DESC → first); Spark defaults the
+    exact opposite, and DuckDB defaults NULLS LAST in BOTH directions
+    — three engines, three conventions, so the oracle spells the
+    placement explicitly and the Spark side relies on the rewrite.
+    Random nullable keys through every (direction × window/statement)
+    shape; a unique tiebreaker keeps every rank deterministic."""
+    rng = random.Random(916)
+    data = [
+        (i, rng.choice([None] + list(range(0, 6))), rng.randint(0, 2))
+        for i in range(300)
+    ]
+    spark.createDataFrame(
+        data, "i long, k int, p int"
+    ).createOrReplaceTempView("nulls_t")
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            translate(
+                "SELECT i,"
+                " row_number() OVER (ORDER BY k, i) AS rn_a,"
+                " row_number() OVER (ORDER BY k DESC, i) AS rn_d,"
+                " rank() OVER (PARTITION BY p ORDER BY k) AS rk_a,"
+                " rank() OVER (PARTITION BY p ORDER BY k DESC) AS rk_d"
+                " FROM nulls_t ORDER BY k DESC, i LIMIT 300"
+            )
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, k INTEGER, p INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", data)
+    want = con.execute(
+        "SELECT i,"
+        " row_number() OVER (ORDER BY k NULLS LAST, i) AS rn_a,"
+        " row_number() OVER (ORDER BY k DESC NULLS FIRST, i) AS rn_d,"
+        " rank() OVER (PARTITION BY p ORDER BY k NULLS LAST) AS rk_a,"
+        " rank() OVER (PARTITION BY p ORDER BY k DESC NULLS FIRST) AS rk_d"
+        " FROM t ORDER BY k DESC NULLS FIRST, i LIMIT 300"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]

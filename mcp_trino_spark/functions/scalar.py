@@ -2073,3 +2073,57 @@ def x44_map_concat_lastwin(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x45_weighted_percentile",
+    oracle="""
+    WITH expanded AS (
+      SELECT l_returnflag, l_quantity
+      FROM lineitem, LATERAL unnest(range(1, l_linenumber + 1))
+      WHERE l_orderkey < 4000
+    )
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90
+    FROM expanded GROUP BY l_returnflag
+    """,
+)
+def x45_weighted_percentile(spark, sf_dir):
+    """Differential certification of Trino's WEIGHTED
+    ``approx_percentile(x, w, percentage)``
+    (_rewrite_approx_percentile_weighted, probe-caught round 10): the
+    plain rename to percentile_approx handed Spark the weight as its
+    percentage and the percentage as its accuracy — every Trino-valid
+    weighted call died with a misleading type error.  The rewrite
+    targets Spark's EXACT ``percentile(x, percentage, w)``, whose
+    frequency argument is exactly Trino's per-row weight (the value
+    counted w times); an exact percentile satisfies approx_percentile's
+    accuracy contract by definition, which also makes the entry
+    ORACLE-able where a sketch would be rows-only.  The oracle
+    materializes the weight semantics independently — each row expanded
+    w times via LATERAL unnest, then quantile_cont (the same type-7
+    interpolation Spark's percentile computes).  l_linenumber (1..7)
+    is the weight, so every group mixes weights.
+
+    Reference parity: Trino evaluates the weighted forms natively
+    (ApproximateWeightedPercentileAggregations) and the reference
+    forwards query text verbatim (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT l_returnflag,
+                   round(approx_percentile(l_quantity, l_linenumber,
+                                           0.5), 6) AS p50,
+                   round(approx_percentile(l_quantity, l_linenumber,
+                                           0.9), 6) AS p90
+            FROM lineitem WHERE l_orderkey < 4000
+            GROUP BY l_returnflag
+            """
+        )
+    )

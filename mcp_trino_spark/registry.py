@@ -296,6 +296,9 @@ _PRIORITY = [
     # (Trino) vs Spark's DUPLICATED_MAP_KEY error — crash on a
     # Trino-valid overlap ---
     "x44_map_concat_lastwin",
+    # --- round-10 addition: weighted approx_percentile(x, w, p) ->
+    # exact percentile(x, p, w) (the rename misread w as percentage) ---
+    "x45_weighted_percentile",
     # --- the 16 dialect-stale entries the r9 verdict led with: their
     # green rows predate the late-r9 translator passes (x36-x41 /
     # SHOW-LIKE / grouping()), and every trino_compat.py commit this
@@ -354,7 +357,6 @@ _PRIORITY = [
     "l23_stratified_sample",
     "l24_tfidf",
     "l28_unigram_logprob",
-    "l29_dedup_stats",
     # family-span representatives (window must cover p/a/w/o/x/t/s/f/l
     # — tests/test_engine.py), drawn from the proven sets
     "p1_projection",

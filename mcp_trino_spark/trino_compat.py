@@ -5281,6 +5281,45 @@ def _rewrite_quantified_comparisons(q: str) -> str:
 
 
 _ENTROPY_HEAD = re.compile(r"\bentropy\s*\(", re.IGNORECASE)
+_APPROX_PCT_HEAD = re.compile(r"\bapprox_percentile\s*\(", re.IGNORECASE)
+
+
+def _rewrite_approx_percentile_weighted(q: str) -> str:
+    """Trino ``approx_percentile(x, w, percentage[, accuracy])`` — the
+    WEIGHTED forms (probe-caught, round 10): the plain rename
+    (approx_percentile → percentile_approx, correct for the 1- and
+    2-arg forms) hands Spark the weight as its PERCENTAGE and the
+    percentage as its ACCURACY, so every Trino-valid weighted call
+    died with a misleading type error.  Rewritten to Spark's EXACT
+    ``percentile(x, percentage, w)``: the frequency argument is
+    exactly Trino's per-row weight (the value counted w times), the
+    percentage may be scalar or array on both sides, and an exact
+    percentile satisfies any approximation accuracy, so the optional
+    4th argument is dropped.  Runtime argument contracts stay loud on
+    both engines (Spark requires an integral non-negative frequency;
+    Trino a bigint weight ≥ 1).  2-arg forms fall through to the
+    rename."""
+    start = 0
+    while True:
+        hit = _find_call(q, _APPROX_PCT_HEAD, start)
+        if hit is None:
+            return q
+        m, b0, b1 = hit
+        args = [a.strip() for a in _split_top_args(q[b0:b1])]
+        if len(args) <= 2:
+            start = b1  # unweighted: the rename pass handles it
+            continue
+        if len(args) > 4:
+            raise TrinoCompatError(
+                "approx_percentile takes (x, percentage), "
+                "(x, w, percentage) or (x, w, percentage, accuracy)"
+            )
+        x, w, p = args[0], args[1], args[2]
+        repl = f"percentile({x}, {p}, {w})"
+        q = q[: m.start()] + repl + q[b1 + 1 :]
+        start = m.start() + len(repl)
+
+
 _MAP_CONCAT_HEAD = re.compile(r"\bmap_concat\s*\(", re.IGNORECASE)
 _MAP_CONCAT_TOKEN = "__map_concat_strict__"
 
@@ -6298,6 +6337,7 @@ def translate(query: str) -> str:
     query = _rewrite_extract_fields(query)
     query = _rewrite_map_agg(query)
     query = _rewrite_entropy(query)
+    query = _rewrite_approx_percentile_weighted(query)
     query = _rewrite_map_concat(query)
     query = _rewrite_map_union(query)
     query = _rewrite_quantile_sketches(query)

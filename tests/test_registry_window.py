@@ -55,6 +55,7 @@ _NEVER_GRADED = [
     "x42_exclude_current_row_minmax",
     "x43_substr_semantics",
     "x44_map_concat_lastwin",
+    "x45_weighted_percentile",
     "x19_trino_dialect",
     "o12_fetch_with_ties",
     "x20_approx_most_frequent",
@@ -98,7 +99,6 @@ _NEVER_GRADED = [
     "l23_stratified_sample",
     "l24_tfidf",
     "l28_unigram_logprob",
-    "l29_dedup_stats",
 ]
 
 

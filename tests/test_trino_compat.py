@@ -3432,3 +3432,23 @@ def test_map_concat_duplicate_keys_last_win(spark):
     assert r["m3"] is None
     with pytest.raises(Exception, match="DUPLICATED_MAP_KEY"):
         run(spark, "SELECT map_from_entries(ARRAY[ROW('a',1),ROW('a',2)])")
+
+
+def test_weighted_approx_percentile(spark):
+    """Trino approx_percentile(x, w, p[, acc]) → Spark's exact
+    percentile(x, p, w): frequency == per-row weight; accuracy drops
+    (exact satisfies any bound); scalar and array percentages; the
+    unweighted forms keep the percentile_approx rename (x45 pins the
+    differential on real data)."""
+    r = run(
+        spark,
+        "SELECT approx_percentile(x, w, 0.5) AS p,"
+        " approx_percentile(x, w, ARRAY[0.25, 0.75]) AS pa,"
+        " approx_percentile(x, w, 0.5, 0.01) AS pacc,"
+        " approx_percentile(x, 0.5) AS pu"
+        " FROM (VALUES (1.0, 1), (2.0, 1), (3.0, 10)) t(x, w)",
+    )[0]
+    assert r["p"] == 3.0          # weight-10 value dominates the median
+    assert r["pa"] == [3.0, 3.0]
+    assert r["pacc"] == 3.0
+    assert r["pu"] == 2.0         # unweighted: plain median

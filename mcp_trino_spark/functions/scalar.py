@@ -2127,3 +2127,64 @@ def x45_weighted_percentile(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x46_stats_shape_semantics",
+    oracle="""
+    SELECT o_orderpriority,
+           round(kurtosis(o_totalprice), 6) AS kurt,
+           round(skewness(o_totalprice) * (count(o_totalprice) - 2)
+                 / sqrt(count(o_totalprice) * (count(o_totalprice) - 1.0)),
+                 6) AS skew,
+           array_to_string(list_sort(list(o_orderkey))[1:3], ',') AS lo3,
+           array_to_string(list_reverse_sort(list(o_orderkey))[1:3], ',')
+             AS hi3
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY o_orderpriority
+    """,
+)
+def x46_stats_shape_semantics(spark, sf_dir):
+    """Differential certification of the distribution-shape aggregates
+    and the n-extremes forms (probe-caught round 10):
+
+    - ``kurtosis(x)``: Trino documents the UNBIASED sample excess
+      estimator; Spark computes the POPULATION excess g2 — silently
+      different values on every group (−0.212 vs 3.152 on one probe).
+      ``_rewrite_kurtosis_unbiased`` bridges them algebraically,
+      G2 = (n-1)/((n-2)(n-3))·((n+1)·g2 + 6), reusing Spark's stable
+      central-moment aggregate.  DuckDB computes the same unbiased
+      estimator natively — a true differential.
+    - ``skewness(x)``: BOTH Trino and Spark compute the population g1,
+      so no rewrite — but DuckDB's skewness is sample-adjusted, so the
+      oracle converts (g1 = G1·(n-2)/√(n(n-1))), pinning that the
+      engine does NOT drift to the sample form.
+    - ``min(x, n)`` / ``max(x, n)``: Trino's n-extremes ARRAY forms
+      died with a confusing arity error; ``_rewrite_minmax_n``
+      respells them over collect_list (array_join'd here so the
+      driver hashes scalar strings).  This DuckDB has no 2-arg
+      min/max, so the oracle spells the contract via sorted-list
+      slices.
+
+    Reference parity: Trino evaluates all of these natively
+    (AggregationFunctions; the kurtosis formula is in its function
+    docs) and the reference forwards query text verbatim
+    (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT o_orderpriority,
+                   round(kurtosis(o_totalprice), 6) AS kurt,
+                   round(skewness(o_totalprice), 6) AS skew,
+                   array_join(min(o_orderkey, 3), ',') AS lo3,
+                   array_join(max(o_orderkey, 3), ',') AS hi3
+            FROM orders WHERE o_orderkey < 2000
+            GROUP BY o_orderpriority
+            """
+        )
+    )

@@ -228,16 +228,51 @@ def a11_stats(spark, sf_dir):
     )
 
 
-@register("a11b_stats_native")  # rows-only: float accumulation order differs
+@register(
+    "a11b_stats_native",
+    oracle="""
+    SELECT c_mktsegment,
+           round(stddev(c_acctbal), 6) AS stddev_bal,
+           round(var_samp(c_acctbal), 6) AS var_bal,
+           round(skewness(c_acctbal) * (count(c_acctbal) - 2)
+                 / sqrt(count(c_acctbal) * (count(c_acctbal) - 1.0)),
+                 6) AS skew_bal,
+           round(kurtosis(c_acctbal), 6) AS kurt_bal,
+           round(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 6)
+             AS corr_bal_key
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
 def a11b_stats_native(spark, sf_dir):
+    """Native statistical aggregates with TRINO's conventions.
+
+    Rows-only until round 10 (float accumulation order), which hid a
+    real parity bug: Spark's ``kurtosis`` is the POPULATION excess g2
+    where Trino documents the UNBIASED sample estimator — silently
+    different values on every group.  Emits Trino's form via the
+    algebraic bridge G2 = (n-1)/((n-2)(n-3))·((n+1)·g2 + 6) (same as
+    the x46 dialect rewrite), NULL below n=4.  Skewness is population
+    g1 on BOTH engines (DuckDB's is sample-adjusted — the oracle
+    converts).  Rounding to 6 decimals absorbs the cross-engine
+    accumulation-order ULPs that forced the old rows-only contract,
+    upgrading the entry to a full value-hash oracle.
+    """
     (customer,) = T(spark, sf_dir, "customer")
     x = F.col("c_acctbal")
+    n = F.count(x)
+    g2 = F.kurtosis(x)
+    kurt = F.when(
+        n > 3,
+        (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * g2 + F.lit(6)),
+    )
     return customer.groupBy("c_mktsegment").agg(
-        F.stddev(x).alias("stddev_bal"),
-        F.variance(x).alias("var_bal"),
-        F.skewness(x).alias("skew_bal"),
-        F.kurtosis(x).alias("kurt_bal"),
-        F.corr(x, F.col("c_custkey").cast("double")).alias("corr_bal_key"),
+        F.round(F.stddev(x), 6).alias("stddev_bal"),
+        F.round(F.variance(x), 6).alias("var_bal"),
+        F.round(F.skewness(x), 6).alias("skew_bal"),
+        F.round(kurt, 6).alias("kurt_bal"),
+        F.round(F.corr(x, F.col("c_custkey").cast("double")), 6).alias(
+            "corr_bal_key"
+        ),
     )
 
 

@@ -263,7 +263,6 @@ _PROVEN_R06 = [
     "l19_hash_split",
     "l23_stratified_sample",
     "l24_tfidf",
-    "l28_unigram_logprob",
     "l32_doc_chunking",
     "l25_batch_ann",
     "l27_semdedup",
@@ -299,6 +298,10 @@ _PRIORITY = [
     # --- round-10 addition: weighted approx_percentile(x, w, p) ->
     # exact percentile(x, p, w) (the rename misread w as percentage) ---
     "x45_weighted_percentile",
+    # --- round-10 addition: kurtosis sample-vs-population + the
+    # min/max n-extremes array forms; a11b upgraded to oracle with
+    # Trino's kurtosis convention in the same change ---
+    "x46_stats_shape_semantics",
     # --- the 16 dialect-stale entries the r9 verdict led with: their
     # green rows predate the late-r9 translator passes (x36-x41 /
     # SHOW-LIKE / grouping()), and every trino_compat.py commit this
@@ -356,7 +359,6 @@ _PRIORITY = [
     "l20_pii_scrub",
     "l23_stratified_sample",
     "l24_tfidf",
-    "l28_unigram_logprob",
     # family-span representatives (window must cover p/a/w/o/x/t/s/f/l
     # — tests/test_engine.py), drawn from the proven sets
     "p1_projection",

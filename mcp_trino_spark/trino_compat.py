@@ -5281,6 +5281,99 @@ def _rewrite_quantified_comparisons(q: str) -> str:
 
 
 _ENTROPY_HEAD = re.compile(r"\bentropy\s*\(", re.IGNORECASE)
+_KURTOSIS_HEAD = re.compile(r"\bkurtosis\s*\(", re.IGNORECASE)
+_KURT_TOKEN = "__kurtosis_pop__"
+
+_MINMAX_N_HEAD = re.compile(r"(?<![\w$])(min|max)\s*\(", re.IGNORECASE)
+
+
+def _rewrite_kurtosis_unbiased(q: str) -> str:
+    """Trino's ``kurtosis(x)`` is the UNBIASED sample excess kurtosis
+    (its docs spell the n(n+1)/((n-1)(n-2)(n-3))·Σz⁴ − 3(n-1)²/
+    ((n-2)(n-3)) estimator); Spark's kurtosis is the POPULATION excess
+    g2 = m4/m2² − 3 — silently different values on every group
+    (probe-caught round 10: −0.212 vs 3.152 on the same five values).
+    The two are algebraically linked,
+
+        G2 = (n-1)/((n-2)(n-3)) · ((n+1)·g2 + 6),
+
+    so the rewrite reuses Spark's numerically-stable central-moment
+    kurtosis instead of respelling raw power sums (which cancel
+    catastrophically when |mean| ≫ stddev): one extra count aggregate,
+    still one partial+final pass.  n ≤ 3 yields NULL (the estimator's
+    denominator — Trino and DuckDB both return NULL there, and the
+    CASE keeps Spark from emitting ±Infinity).  Skewness needs no
+    rewrite: both engines compute the population g1.  Certified by
+    x46 vs DuckDB's native kurtosis (DuckDB computes the same
+    unbiased estimator — a true differential)."""
+    while True:
+        hit = _find_call(q, _KURTOSIS_HEAD)
+        if hit is None:
+            break
+        m, b0, b1 = hit
+        args = _split_top_args(q[b0:b1])
+        if len(args) != 1:
+            raise TrinoCompatError("kurtosis() takes one argument")
+        e = args[0].strip()
+        n = f"count({e})"
+        repl = (
+            f"(CASE WHEN {n} > 3 THEN (({n} - 1) / "
+            f"(({n} - 2) * ({n} - 3))) * "
+            f"(({n} + 1) * {_KURT_TOKEN}({e}) + 6) END)"
+        )
+        q = q[: m.start()] + repl + q[b1 + 1 :]
+    return q.replace(_KURT_TOKEN, "kurtosis")
+
+
+def _rewrite_minmax_n(q: str) -> str:
+    """Trino's 2-arg ``min(x, n)`` / ``max(x, n)``: the n smallest /
+    largest values as an ARRAY (Spark's min/max are strictly 1-arg, so
+    the call died with a confusing arity error).  Respelled as
+    ``slice(array_sort(collect_list(x)), 1, n)`` (reversed for max) —
+    NULLs drop (collect_list skips them, matching the aggregates'
+    NULL-ignoring contract) and the same expression works as a window
+    aggregate.  Caveat (same class as reduce_agg's documented cap):
+    the emulation buffers the whole group before sorting where Trino
+    keeps only n values in state — fine for the report-sized groups
+    the form is used on, a memory hazard on unbounded ones."""
+    start = 0
+    while True:
+        hit = _find_call(q, _MINMAX_N_HEAD, start)
+        if hit is None:
+            return q
+        m, b0, b1 = hit
+        args = [a.strip() for a in _split_top_args(q[b0:b1])]
+        if len(args) != 2:
+            start = b1  # plain 1-arg min/max: untouched
+            continue
+        fn = m.group(1).lower()
+        e, n = args
+        # a window form hangs its OVER (...) off the call: the clause
+        # must move INSIDE onto collect_list (slice of a window agg is
+        # a plain projection; OVER after slice() is a parse error)
+        end = b1 + 1
+        om = re.match(r"\s*OVER\s*\(", q[end:], re.IGNORECASE)
+        over = ""
+        if om:
+            mask = _code_mask(q)
+            d, i = 1, end + om.end()
+            while i < len(q) and d:
+                if mask[i]:
+                    if q[i] == "(":
+                        d += 1
+                    elif q[i] == ")":
+                        d -= 1
+                i += 1
+            over = " " + q[end : i].strip()
+            end = i
+        inner = f"array_sort(collect_list({e}){over})"
+        if fn == "max":
+            inner = f"reverse({inner})"
+        repl = f"slice({inner}, 1, {n})"
+        q = q[: m.start()] + repl + q[end:]
+        start = m.start() + len(repl)
+
+
 _APPROX_PCT_HEAD = re.compile(r"\bapprox_percentile\s*\(", re.IGNORECASE)
 
 
@@ -6338,6 +6431,8 @@ def translate(query: str) -> str:
     query = _rewrite_map_agg(query)
     query = _rewrite_entropy(query)
     query = _rewrite_approx_percentile_weighted(query)
+    query = _rewrite_kurtosis_unbiased(query)
+    query = _rewrite_minmax_n(query)
     query = _rewrite_map_concat(query)
     query = _rewrite_map_union(query)
     query = _rewrite_quantile_sketches(query)

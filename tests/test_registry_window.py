@@ -36,10 +36,6 @@ _ROWS_ONLY_OK = {
     # (bounded relative error vs exact)
     "a13_approx_distinct",
     "a14b_approx_percentile",
-    # multi-statistic agg over doubles — stddev/skewness accumulate in
-    # engine-specific order, so the hash can never match bit-exactly;
-    # bounds pinned by pytest instead
-    "a11b_stats_native",
 }
 
 #: Round-10 head (the standing rotation rule): every entry that is
@@ -56,6 +52,7 @@ _NEVER_GRADED = [
     "x43_substr_semantics",
     "x44_map_concat_lastwin",
     "x45_weighted_percentile",
+    "x46_stats_shape_semantics",
     "x19_trino_dialect",
     "o12_fetch_with_ties",
     "x20_approx_most_frequent",
@@ -98,7 +95,6 @@ _NEVER_GRADED = [
     "l20_pii_scrub",
     "l23_stratified_sample",
     "l24_tfidf",
-    "l28_unigram_logprob",
 ]
 
 

@@ -3452,3 +3452,33 @@ def test_weighted_approx_percentile(spark):
     assert r["pa"] == [3.0, 3.0]
     assert r["pacc"] == 3.0
     assert r["pu"] == 2.0         # unweighted: plain median
+
+
+def test_kurtosis_unbiased_and_minmax_n(spark):
+    """Trino's kurtosis is the unbiased sample excess estimator
+    (Spark's is population g2 — silently different values); min(x, n)/
+    max(x, n) return the n extremes as arrays (Spark's are 1-arg).
+    x46 pins the differential on real data; here: known values, the
+    n<=3 NULL contract, and the window form of the n-extremes."""
+    r = run(
+        spark,
+        "SELECT round(kurtosis(x), 6) AS k, round(skewness(x), 6) AS s,"
+        " min(x, 2) AS mn, max(x, 2) AS mx"
+        " FROM (VALUES (1.0),(2.0),(3.0),(4.0),(10.0)) t(x)",
+    )[0]
+    assert r["k"] == 3.152      # unbiased G2 (population g2 is -0.212)
+    assert r["s"] == 1.13842    # population g1 on both engines
+    assert [float(v) for v in r["mn"]] == [1.0, 2.0]
+    assert [float(v) for v in r["mx"]] == [10.0, 4.0]
+    assert run(
+        spark, "SELECT kurtosis(x) AS k FROM (VALUES (1.0),(2.0),(3.0)) t(x)"
+    )[0]["k"] is None           # estimator undefined below n=4
+    rows = run(
+        spark,
+        "SELECT max(x, 2) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW) AS w"
+        " FROM (VALUES (1.0),(2.0),(3.0)) t(x) ORDER BY x",
+    )
+    assert [[float(v) for v in row["w"]] for row in rows] == [
+        [1.0], [2.0, 1.0], [3.0, 2.0]
+    ]

@@ -5374,6 +5374,47 @@ def _rewrite_minmax_n(q: str) -> str:
         start = m.start() + len(repl)
 
 
+_WIDTH_BUCKET_HEAD = re.compile(r"\bwidth_bucket\s*\(", re.IGNORECASE)
+
+
+def _rewrite_width_bucket_bins(q: str) -> str:
+    """Trino's 2-arg ``width_bucket(x, bins)``: the bucket number of x
+    against an explicit sorted bin-boundary ARRAY — Spark's
+    width_bucket is strictly the 4-arg equal-width form, so the call
+    died on arity.  The bucket number is exactly the count of
+    boundaries ≤ x (binary-search insertion point, 0 below the first
+    boundary, size(bins) at-or-above the last):
+
+        size(filter(bins, __wb -> __wb <= x))
+
+    with a NULL guard reproducing RETURNS-NULL-ON-NULL-INPUT (filter
+    would otherwise fold a NULL x to bucket 0).  The 4-arg equal-width
+    form passes through — same semantics on both engines.  Trino's
+    runtime validation (non-empty, ascending bins) is the caller's
+    contract there and unchecked here, as documented."""
+    start = 0
+    while True:
+        hit = _find_call(q, _WIDTH_BUCKET_HEAD, start)
+        if hit is None:
+            return q
+        m, b0, b1 = hit
+        args = [a.strip() for a in _split_top_args(q[b0:b1])]
+        if len(args) == 4:
+            start = b1  # equal-width form: Spark-native
+            continue
+        if len(args) != 2:
+            raise TrinoCompatError(
+                "width_bucket takes (x, bins) or (x, lo, hi, n)"
+            )
+        x, bins = args
+        repl = (
+            f"(CASE WHEN ({x}) IS NULL OR ({bins}) IS NULL THEN NULL "
+            f"ELSE size(filter({bins}, __wb -> __wb <= ({x}))) END)"
+        )
+        q = q[: m.start()] + repl + q[b1 + 1 :]
+        start = m.start() + len(repl)
+
+
 _APPROX_PCT_HEAD = re.compile(r"\bapprox_percentile\s*\(", re.IGNORECASE)
 
 
@@ -6433,6 +6474,7 @@ def translate(query: str) -> str:
     query = _rewrite_approx_percentile_weighted(query)
     query = _rewrite_kurtosis_unbiased(query)
     query = _rewrite_minmax_n(query)
+    query = _rewrite_width_bucket_bins(query)
     query = _rewrite_map_concat(query)
     query = _rewrite_map_union(query)
     query = _rewrite_quantile_sketches(query)

@@ -3482,3 +3482,21 @@ def test_kurtosis_unbiased_and_minmax_n(spark):
     assert [[float(v) for v in row["w"]] for row in rows] == [
         [1.0], [2.0, 1.0], [3.0, 2.0]
     ]
+
+
+def test_width_bucket_bins_array(spark):
+    """Trino's 2-arg width_bucket(x, bins) — the bucket number against
+    an explicit boundary array (count of boundaries <= x) — died on
+    arity under Spark's strictly 4-arg width_bucket.  Boundary-equal,
+    below-first, above-last, and NULL-input cases pinned; the 4-arg
+    equal-width form stays native."""
+    r = run(
+        spark,
+        "SELECT width_bucket(5.3, ARRAY[1.0, 4.0, 7.0]) AS b1,"
+        " width_bucket(0.5, ARRAY[1.0, 4.0, 7.0]) AS b2,"
+        " width_bucket(9.0, ARRAY[1.0, 4.0, 7.0]) AS b3,"
+        " width_bucket(4.0, ARRAY[1.0, 4.0, 7.0]) AS b4,"
+        " width_bucket(CAST(NULL AS DOUBLE), ARRAY[1.0]) AS b5,"
+        " width_bucket(5.3, 0, 10, 5) AS b6",
+    )[0]
+    assert r == {"b1": 2, "b2": 0, "b3": 3, "b4": 2, "b5": None, "b6": 3}

@@ -384,3 +384,96 @@ def test_null_ordering_random_differential(spark):
         " FROM t ORDER BY k DESC NULLS FIRST, i LIMIT 300"
     ).fetchall()
     assert got == [tuple(w) for w in want]
+
+
+def test_weighted_percentile_and_kurtosis_random_differential(spark):
+    """Randomized sweep of the round-10 aggregate-convention rewrites:
+    weighted approx_percentile (→ exact frequency percentile; oracle
+    expands each row w times and runs quantile_cont — independent
+    spelling of the weight semantics) and kurtosis (→ unbiased sample
+    excess; DuckDB computes the same estimator natively).  Random
+    group sizes cross the kurtosis n=4 definedness edge."""
+    rng = random.Random(917)
+    data = [
+        (i, rng.randint(0, 11), round(rng.uniform(-50, 50), 3),
+         rng.randint(1, 6))
+        for i in range(400)
+    ]
+    spark.createDataFrame(
+        data, "i long, g int, x double, w int"
+    ).createOrReplaceTempView("wp_t")
+    got = {
+        r["g"]: (r["p50"], r["p90"], r["k"])
+        for r in spark.sql(
+            translate(
+                "SELECT g, round(approx_percentile(x, w, 0.5), 6) AS p50,"
+                " round(approx_percentile(x, w, 0.9), 6) AS p90,"
+                " round(kurtosis(x), 6) AS k"
+                " FROM wp_t GROUP BY g"
+            )
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, g INTEGER, x DOUBLE, w INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", data)
+    want = {
+        g: (p50, p90, k)
+        for g, p50, p90, k in con.execute(
+            """
+            WITH expanded AS (
+              SELECT g, x FROM t, LATERAL unnest(range(1, w + 1))
+            ), pct AS (
+              SELECT g, round(quantile_cont(x, 0.5), 6) AS p50,
+                     round(quantile_cont(x, 0.9), 6) AS p90
+              FROM expanded GROUP BY g
+            ), kt AS (
+              SELECT g, round(kurtosis(x), 6) AS k FROM t GROUP BY g
+            )
+            SELECT g, p50, p90, k FROM pct JOIN kt USING (g)
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_map_concat_random_differential(spark):
+    """Randomized map_concat last-wins differential: random key sets
+    with engineered overlaps across three maps; the merged map is
+    surfaced as sorted 'k=v' entries (scalar string — no map-typed
+    comparison), and the oracle folds the last-wins contract
+    explicitly in SQL."""
+    rng = random.Random(918)
+    keys = ["a", "b", "c", "d"]
+    data = []
+    for i in range(200):
+        trip = []
+        for _ in range(3):
+            ks = rng.sample(keys, rng.randint(1, 3))
+            trip.append((ks, [rng.randint(0, 99) for _ in ks]))
+        data.append((i, *[x for pair in trip for x in pair]))
+    spark.createDataFrame(
+        data,
+        "i long, k1 array<string>, v1 array<int>, k2 array<string>,"
+        " v2 array<int>, k3 array<string>, v3 array<int>",
+    ).createOrReplaceTempView("mc_t")
+    got = {
+        r["i"]: r["ent"]
+        for r in spark.sql(
+            translate(
+                "SELECT i, array_join(array_sort(transform(map_entries("
+                "map_concat(map_from_arrays(k1, v1),"
+                " map_from_arrays(k2, v2), map_from_arrays(k3, v3))),"
+                " __e -> __e.key || '=' || CAST(__e.value AS VARCHAR))),"
+                " ',') AS ent FROM mc_t"
+            )
+        ).collect()
+    }
+    # independent python oracle: dict update IS last-wins
+    want = {}
+    for row in data:
+        i, k1, v1, k2, v2, k3, v3 = row
+        m = {}
+        for ks, vs in ((k1, v1), (k2, v2), (k3, v3)):
+            m.update(zip(ks, vs))
+        want[i] = ",".join(f"{k}={v}" for k, v in sorted(m.items()))
+    assert got == want

@@ -768,8 +768,6 @@ def check_qdigest(spark) -> None:
     report("qdigest_two_level_build", n_rows_1x, t1, t10)
 
 
-if __name__ == "__main__":
-    main()
 
 
 def check_editdist_verify(spark) -> None:
@@ -818,3 +816,7 @@ def check_editdist_verify(spark) -> None:
     d10 = replicate(docs1, ["doc_id"], COPIES).localCheckpoint()
     t10 = min(timed_verify(pairs10, d10) for _ in range(2))
     report("editdist_verify_stage", n_pairs_1x, t1, t10)
+
+
+if __name__ == "__main__":
+    main()

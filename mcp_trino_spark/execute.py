@@ -359,6 +359,28 @@ def execute_query(
         df = spark.sql(q)
         if max_rows is not None:
             df = df.limit(max_rows)
+        # year-month interval values cannot cross into Python (PySpark's
+        # YearMonthIntervalType.fromInternal is NOT_IMPLEMENTED), so a
+        # Trino-valid `SELECT INTERVAL '1-2' YEAR TO MONTH` crashed the
+        # façade at collect.  Surface them as strings — Trino's JSON
+        # shaping stringifies intervals too (rendering differs: Spark
+        # spells the full INTERVAL literal; documented residue).
+        # Day-time intervals collect fine (timedelta) and pass through.
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if any(
+            isinstance(f.dataType, T.YearMonthIntervalType)
+            for f in df.schema.fields
+        ):
+            df = df.select(
+                *[
+                    F.col(f.name).cast("string").alias(f.name)
+                    if isinstance(f.dataType, T.YearMonthIntervalType)
+                    else F.col(f.name)
+                    for f in df.schema.fields
+                ]
+            )
         collected = df.collect()
     except Exception as exc:  # noqa: BLE001 — classify cancellation as timeout
         if cancelled.is_set():

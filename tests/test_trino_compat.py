@@ -3500,3 +3500,28 @@ def test_width_bucket_bins_array(spark):
         " width_bucket(5.3, 0, 10, 5) AS b6",
     )[0]
     assert r == {"b1": 2, "b2": 0, "b3": 3, "b4": 2, "b5": None, "b6": 3}
+
+
+def test_year_month_interval_collects_as_string(spark):
+    """PySpark cannot move year-month interval VALUES into Python
+    (YearMonthIntervalType.fromInternal is NOT_IMPLEMENTED), so a
+    Trino-valid `SELECT INTERVAL '1-2' YEAR TO MONTH` crashed the
+    façade at collect until round 10 — the shaping layer now
+    stringifies those columns (day-time intervals pass through as
+    timedeltas, and interval ARITHMETIC is unaffected either way)."""
+    from mcp_trino_spark.execute import execute_query
+
+    r = execute_query(
+        spark,
+        "SELECT INTERVAL '1-2' YEAR TO MONTH AS ym,"
+        " INTERVAL '1 02:03:04' DAY TO SECOND AS ds,"
+        " DATE '2024-01-31' + INTERVAL '1' MONTH AS plus_m",
+        dialect="trino",
+    )
+    row = r.rows[0]
+    assert "1-2" in row["ym"]            # stringified, value visible
+    import datetime
+
+    assert row["ds"] == datetime.timedelta(days=1, hours=2, minutes=3,
+                                           seconds=4)
+    assert str(row["plus_m"]) == "2024-02-29"

@@ -4,7 +4,23 @@
 
 SF ?= /root/testdata/sf0.01
 
-.PHONY: test check-window check-proven check-all check-changed bench
+.PHONY: test check-window check-proven check-all check-changed bench rotate-window ship-gate hooks
+
+# rewrite the generated graded-window block in registry.py from
+# tools/check_changed.py staleness output (never/strong leads,
+# dialect-stale re-entry, module-stale drain, proven family reps)
+rotate-window:
+	python tools/rotate_window.py --write
+
+# round-close gate: window freshness invariants + the pytest guards
+# that pin them.  Run (and pass) before the final commit of a round.
+ship-gate:
+	python tools/rotate_window.py --check
+	python -m pytest tests/test_registry_window.py -x -q
+
+# install the pre-commit hook that blocks engine commits on a stale window
+hooks:
+	sh tools/install_hooks.sh
 
 test:
 	python -m pytest tests/ -x -q

@@ -270,101 +270,106 @@ _PROVEN_R06 = [
     "l29_dedup_stats",
 ]
 
-#: Driver-facing ordering: the per-round correctness harness verifies the
-#: FIRST 50 registry entries.  Rounds 2-6 certified 157 of the 161
-#: oracle-backed entries (pinned above as ``_PROVEN_R03`` / ``_PROVEN_R45``
-#: / ``_PROVEN_R06``).  Round 7 puts the LAST never-driver-graded entries
-#: first — the re-fixed l18 (oracle now CASTs its surfaced SUM to BIGINT,
-#: closing the round-6 HUGEINT red), the round-6 additions x22/x23/x24,
-#: j4_cross (oracle-backed but never in a window), the round-7 additions
-#: l34/l35, and the two rows-only catalog listings f3/f4 that fell past
-#: the round-6 fold — then fills the remaining slots with a
-#: category-spanning spot-check of the proven sets, so the driver
-#: re-confirms no silent regression while finishing full certification.
-_PRIORITY = [
-    # --- round 10 head: certification tracks code churn
-    # (tools/check_changed.py at the r10 rotation commit).  First the
-    # round-10 addition — MIN/MAX under EXCLUDE CURRENT ROW on
-    # peer-defined frames (closes the VERDICT r9 item-3 residue;
-    # certified vs DuckDB's native EXCLUDE): ---
-    "x42_exclude_current_row_minmax",
-    # --- round-10 addition: substr start-0 / out-of-range-negative
-    # semantics (Trino empty vs Spark clamp — silent wrong answers) ---
-    "x43_substr_semantics",
-    # --- round-10 addition: map_concat duplicate-key last-wins
-    # (Trino) vs Spark's DUPLICATED_MAP_KEY error — crash on a
-    # Trino-valid overlap ---
-    "x44_map_concat_lastwin",
-    # --- round-10 addition: weighted approx_percentile(x, w, p) ->
-    # exact percentile(x, p, w) (the rename misread w as percentage) ---
-    "x45_weighted_percentile",
-    # --- round-10 addition: kurtosis sample-vs-population + the
-    # min/max n-extremes array forms; a11b upgraded to oracle with
-    # Trino's kurtosis convention in the same change ---
-    "x46_stats_shape_semantics",
-    # --- the 16 dialect-stale entries the r9 verdict led with: their
-    # green rows predate the late-r9 translator passes (x36-x41 /
-    # SHOW-LIKE / grouping()), and every trino_compat.py commit this
-    # round re-stales them again — they re-certify against the r10
-    # translator: ---
-    "x19_trino_dialect",
-    "o12_fetch_with_ties",
-    "x20_approx_most_frequent",
-    "x21_reduce_agg",
-    "x22_quantified_subqueries",
-    "w12_groups_frame",
-    "x25_dialect_round7",
-    "x26_nth_from_last",
-    "x27_lambda_regexp_replace",
-    "x28_dialect_round8",
-    "x29_window_exclude",
-    "x30_escape_free_literals",
-    "x31_window_exclude_peers",
-    "x32_subscript_semantics",
-    "x33_arith_null_semantics",
-    "x34_null_ordering_defaults",
-    # --- round-10 code churn: the qdigest quantile-interpolation
-    # kernel is fixed this round (float-cancellation guard), so its
-    # rows-only row re-enters; a11b is the single r1-vintage row left
-    # (deferred from r9's oracle-floor trade) ---
+#: The only entries allowed in the graded window WITHOUT a DuckDB oracle:
+#: mergeable sketches (nondeterministic bounds), LIMIT without ORDER BY
+#: (nondeterministic row choice), plan text, and catalog listings.
+#: tools/rotate_window.py enforces this during rotation and
+#: tests/test_registry_window.py pins it.
+ROWS_ONLY_OK = {
+    "a20_sketch_reaggregate",
     "a21_qdigest_rollup",
-    "a11b_stats_native",
-    # l33's verify stage is factored into editdist_verify_plan this
-    # round (so the scaling probe can clock it in isolation) — the
-    # entry function changed, its green row no longer covers it
-    "l33_editdist_verify",
-    # --- the staleness-queue drain, oldest first (r5-vintage) ---
-    "l26_minhash_estimate",
-    "l30_prep_pipeline",
-    "w9_range_frame",
-    "x2_regex",
-    "x4_date_arith",
-    "x6_math",
-    "x8_casting",
-    # --- r6-vintage scalar/source tier ---
-    "x5_timestamp_fmt",
-    "x7_conditional",
-    "x12b_json_structured",
-    "x15_bitwise",
-    "x17_url",
-    "s2b_multiformat_roundtrip",
-    "s2c_orc_roundtrip",
-    "l25_batch_ann",
-    "l32_doc_chunking",
-    # --- r6-vintage llm_text tier ---
-    "l13_training_pipeline",
-    "l14_text_normalize",
-    "l15_length_histogram",
-    "l19_hash_split",
-    "l20_pii_scrub",
-    "l23_stratified_sample",
-    "l24_tfidf",
-    # family-span representatives (window must cover p/a/w/o/x/t/s/f/l
-    # — tests/test_engine.py), drawn from the proven sets
-    "p1_projection",
-    "t10b_match_recognize_funnel",
+    "a22_misra_gries_rollup",
+    "o3_limit",
+    "f6b_explain_io",
+    "f2b_list_catalogs_federated",
+    "f2_list_catalogs",
+    "f3_list_schemas",
+    "f4_list_tables",
+    # iterative floating-point clustering — assignment depends on
+    # accumulation order, no deterministic SQL oracle exists; covered
+    # by property tests (within-cluster distance < cross-cluster)
+    "l11_kmeans_embeddings",
+    # HLL / t-digest sketches — approximate values have no
+    # deterministic cross-engine oracle; covered by property tests
+    # (bounded relative error vs exact)
+    "a13_approx_distinct",
+    "a14b_approx_percentile",
+}
+
+
+#: Driver-facing ordering: the per-round correctness harness verifies the
+#: FIRST 50 registry entries.  Since round 11 the window is DERIVED, not
+#: hand-curated: ``make rotate-window`` (tools/rotate_window.py) rewrites
+#: the generated block below from tools/check_changed.py staleness output
+#: — never/strong-stale entries lead (certification must track code
+#: churn), dialect-stale entries re-enter oldest-green-first when the
+#: shared translator changed, module-stale entries drain oldest-first,
+#: and proven-set family representatives fill the tail.  The pre-commit
+#: hook (tools/install_hooks.sh) blocks engine commits whose window
+#: violates the freshness invariants, making the r8-r10 "forgot to
+#: re-rotate" failure mode structural rather than a reminder.
+# --- BEGIN GENERATED WINDOW (tools/rotate_window.py; make rotate-window) ---
+# Derived for round 11 from tools/check_changed.py: never/strong
+# leads, dialect-stale (oldest green first), module-stale drain,
+# then proven-set family representatives.  Do not edit by hand —
+# run `make rotate-window` after any engine change.
+_WINDOW_HEAD = [
+    "x23_vector_math",
+    "x24_setdigest",
+    "x35_exclude_minmax",
+    "x36_element_at_nullsafe",
+    "x37_regexp_extract_nullsafe",
+    "x38_split_part_semantics",
+    "x39_trim_chars_order",
+    "x40_log_ieee_semantics",
+    "x41_orderless_ranking",
+    "s6_ctas_insert",
+    "s7_merge_upsert",
+    "s7b_update",
+    "s7c_delete",
+    "s10_time_travel",
+    "s12_table_changes",
+    "a10_min_by_max_by",
+    "a12_array_agg",
+    "a17_bool_aggs_median",
+    "a20_sketch_reaggregate",
+    "a22_misra_gries_rollup",
+    "l28_incremental_dedup",
+    "l29_dedup_stats",
+    "l6_regex_search",
+    "l7_top_bigrams",
+    "l8_quality_score",
+    "l8b_langid",
+    "l8c_token_count",
+    "l8d_fingerprint",
+    "l17_repetition_score",
+    "l28_unigram_logprob",
+    "s6b_parquet_partitioned_roundtrip",
+    "s3_values_relation",
+    "a1_groupby_count",
+    "a6_grouping_sets",
+    "a7_rollup",
+    "a14_percentile",
+    "a16_salted_skew_agg",
+    "a18_pivot",
+    "l1_exact_dedup",
+    "l2_minhash_lsh_pairs",
+    "l2c_ngram_jaccard",
+    "l27_passage_dedup",
+    "l34_rare_ngram_overlap",
+    "l18_mix_weights",
+    "l4_topk_similarity",
+]
+_WINDOW_TAIL = [
+    "p8_case_when",
+    "w3_ntile",
+    "o1_order_by",
+    "t1_tumbling_window",
     "f5_table_schema",
 ]
+# --- END GENERATED WINDOW ---
+
+_PRIORITY = _WINDOW_HEAD + _WINDOW_TAIL
 
 
 def _priority_order(d: Dict[str, "object"]) -> list:

@@ -1,0 +1,307 @@
+"""Mechanical graded-window rotation (VERDICT r10 item #1).
+
+The standing rule — "any commit that re-stales certifications re-rotates
+the graded window in the same commit" — shipped the freshness guard
+(tests/test_registry_window.py::test_stale_certifications_reenter_window)
+red in rounds 8, 9 and 10 because it relied on the builder REMEMBERING.
+This tool makes it structural: the window head is DERIVED from
+tools/check_changed.py output and written into the source files, and a
+pre-commit hook (tools/install_hooks.sh) blocks any commit that touches
+engine code while the derived invariants don't hold.
+
+Selection policy (one slot list, deterministic):
+
+1. **never/strong** — entries with no green driver row for their current
+   code.  Mandatory: the freshness guard hard-fails on any omission.
+2. **dialect-stale, oldest green first** — the shared translator changed
+   since these entries' certification.  All entries whose green row is
+   ≥2 rounds old enter; newer ones only top up to the guard's minimum
+   of 3 representatives (re-certifying all ~40 dialect-routed entries
+   every round would flood the 50-slot window).
+3. **module-stale drain, oldest green first** — shared helpers in the
+   entry's module changed; fill the remaining slots so every entry's
+   green row ages out of the queue within a couple of rounds.
+4. **family representatives** — the window must span the p/a/w/o/x/t/s/f/l
+   families (tests/test_engine.py); missing families displace the newest
+   drain picks with proven-set spot-checks.
+
+Constraints enforced (same ones the pytest guards pin): exactly 50
+slots, ≥48 oracle-backed, rows-only entries ⊆ registry.ROWS_ONLY_OK,
+every never/strong entry present, ≥3 dialect-stale entries present
+when any exist, every family present.
+
+Usage:
+    python tools/rotate_window.py --write   # rewrite the generated blocks
+    python tools/rotate_window.py --check   # verify invariants, exit 1 if
+                                            # a rotation is needed (hook)
+    python tools/rotate_window.py           # dry-run: print the window
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+from typing import Dict, List
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WINDOW = 50
+MIN_ORACLE = 48
+MIN_DIALECT = 3
+FAMILIES = ("p", "a", "w", "o", "x", "t", "s", "f", "l")
+
+BEGIN = "# --- BEGIN GENERATED WINDOW (tools/rotate_window.py; make rotate-window) ---"
+END = "# --- END GENERATED WINDOW ---"
+
+
+def _current_round() -> int:
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) if rounds else 0) + 1
+
+
+def _family(name: str) -> str:
+    return name[0]
+
+
+def build_window() -> Dict[str, List[str]]:
+    """Compute {'head': [...], 'tail': [...]} — head is churn-driven,
+    tail is fresh proven-set family representatives."""
+    from mcp_trino_spark import registry
+    from tools.check_changed import staleness_report
+
+    report = staleness_report()
+    oracles = set(registry.oracle_sql())
+    rows_only_ok = set(registry.ROWS_ONLY_OK)
+    proven = (
+        set(registry._PROVEN_R03)
+        | set(registry._PROVEN_R45)
+        | set(registry._PROVEN_R06)
+    )
+    cur = _current_round()
+
+    def by_round(names):
+        return sorted(names, key=lambda n: (report[n]["round"] or 0, names.index(n)))
+
+    order = list(report)  # registry iteration order — stable tiebreak
+    never = [n for n in order if report[n]["status"] == "never"]
+    strong = [n for n in order if report[n]["status"] == "strong"]
+    dialect = by_round([n for n in order if report[n]["status"] == "dialect"])
+    module = by_round([n for n in order if report[n]["status"] == "module"])
+
+    bad = [n for n in never + strong if n not in oracles and n not in rows_only_ok]
+    if bad:
+        raise SystemExit(
+            f"entries lacking both an oracle and a ROWS_ONLY_OK contract: {bad}"
+        )
+
+    head: List[str] = []
+    ro_budget = WINDOW - MIN_ORACLE
+
+    def rows_only(n):
+        return n not in oracles
+
+    # 1. mandatory never/strong
+    for n in never + strong:
+        head.append(n)
+    if sum(rows_only(n) for n in head) > ro_budget:
+        raise SystemExit(
+            "more mandatory rows-only entries than the oracle floor allows; "
+            "stagger the churn across rounds"
+        )
+
+    # 2. dialect: all genuinely old, topped up to the guard minimum
+    old_dialect = [n for n in dialect if (report[n]["round"] or 0) <= cur - 2]
+    for n in old_dialect:
+        if n not in head and len(head) < WINDOW:
+            head.append(n)
+    n_dialect = len([n for n in head if report[n]["status"] == "dialect"])
+    for n in dialect:
+        if n_dialect >= MIN_DIALECT:
+            break
+        if n not in head and len(head) < WINDOW:
+            head.append(n)
+            n_dialect += 1
+
+    # 3. module-stale drain
+    for n in module:
+        if len(head) >= WINDOW:
+            break
+        if n in head:
+            continue
+        if rows_only(n) and sum(rows_only(h) for h in head) >= ro_budget:
+            continue
+        head.append(n)
+
+    # 4. family coverage: displace newest drain picks with proven reps
+    mandatory = set(never) | set(strong)
+    tail: List[str] = []
+
+    def covered(fam):
+        return any(_family(n) == fam for n in head + tail)
+
+    def pick_rep(fam):
+        cands = [
+            n
+            for n in order
+            if _family(n) == fam
+            and n in proven
+            and n in oracles
+            and n not in head
+            and n not in tail
+        ]
+        # oldest green first — the spot-check doubles as staleness drain
+        cands.sort(key=lambda n: (report[n]["round"] or 0, order.index(n)))
+        if not cands:
+            raise SystemExit(f"no proven oracle-backed representative for family {fam!r}")
+        return cands[0]
+
+    for fam in FAMILIES:
+        if covered(fam):
+            continue
+        tail.append(pick_rep(fam))
+        while len(head) + len(tail) > WINDOW:
+            for i in range(len(head) - 1, -1, -1):
+                n = head[i]
+                if n in mandatory or report[n]["status"] == "dialect":
+                    continue
+                fam_n = _family(n)
+                if sum(1 for m in head + tail if _family(m) == fam_n) > 1 or not any(
+                    _family(t) == fam_n for t in (head + tail)
+                ):
+                    if sum(1 for m in head + tail if _family(m) == fam_n) > 1:
+                        head.pop(i)
+                        break
+            else:
+                raise SystemExit("cannot free a slot for a family representative")
+
+    # top up if mandatory+dialect+module didn't reach 50 (quiet rounds):
+    # spot-check proven entries oldest-green-first
+    spares = sorted(
+        [n for n in order if n in proven and n in oracles and n not in head and n not in tail],
+        key=lambda n: (report[n]["round"] or 0, order.index(n)),
+    )
+    for n in spares:
+        if len(head) + len(tail) >= WINDOW:
+            break
+        tail.append(n)
+
+    window = head + tail
+    _validate(window, report, oracles, rows_only_ok, proven, len(head))
+    return {"head": head, "tail": tail}
+
+
+def _validate(window, report, oracles, rows_only_ok, proven, head_len) -> None:
+    assert len(window) == WINDOW, f"window has {len(window)} slots"
+    assert len(set(window)) == WINDOW, "duplicate window entries"
+    assert len([n for n in window if n in oracles]) >= MIN_ORACLE
+    stray_ro = [n for n in window if n not in oracles and n not in rows_only_ok]
+    assert not stray_ro, f"rows-only entries outside the contract: {stray_ro}"
+    missing = [
+        n
+        for n, i in report.items()
+        if i["status"] in ("never", "strong") and n not in window
+    ]
+    assert not missing, f"never/strong entries outside the window: {missing}"
+    dialect = [n for n, i in report.items() if i["status"] == "dialect"]
+    if dialect:
+        assert len([n for n in dialect if n in window]) >= MIN_DIALECT
+    for fam in FAMILIES:
+        assert any(n.startswith(fam) for n in window), f"family {fam} missing"
+    strays = [n for n in window[head_len:] if n not in proven]
+    assert not strays, f"tail entries not in a proven set: {strays}"
+
+
+def _render_block(head: List[str], tail: List[str]) -> str:
+    cur = _current_round()
+    lines = [
+        BEGIN,
+        f"# Derived for round {cur} from tools/check_changed.py: never/strong",
+        "# leads, dialect-stale (oldest green first), module-stale drain,",
+        "# then proven-set family representatives.  Do not edit by hand —",
+        "# run `make rotate-window` after any engine change.",
+        "_WINDOW_HEAD = [",
+        *[f'    "{n}",' for n in head],
+        "]",
+        "_WINDOW_TAIL = [",
+        *[f'    "{n}",' for n in tail],
+        "]",
+        END,
+    ]
+    return "\n".join(lines)
+
+
+def _rewrite(path: str, block: str) -> None:
+    with open(path) as fh:
+        text = fh.read()
+    pat = re.compile(re.escape(BEGIN) + r".*?" + re.escape(END), re.DOTALL)
+    if not pat.search(text):
+        raise SystemExit(f"generated-window markers not found in {path}")
+    with open(path, "w") as fh:
+        fh.write(pat.sub(block, text))
+
+
+def check() -> int:
+    """Fast invariant check for the pre-commit hook: does the CURRENT
+    committed window satisfy the freshness guard's requirements?  (Exact
+    list equality with a fresh build is NOT required — any window that
+    meets the guard invariants ships green.)"""
+    from mcp_trino_spark import registry
+    from tools.check_changed import staleness_report
+
+    report = staleness_report()
+    window = set(list(registry.queries())[:WINDOW])
+    problems = []
+    missing = [
+        n
+        for n, i in report.items()
+        if i["status"] in ("never", "strong") and n not in window
+    ]
+    if missing:
+        problems.append(f"never/strong entries outside the graded window: {missing}")
+    dialect = [n for n, i in report.items() if i["status"] == "dialect"]
+    in_w = [n for n in dialect if n in window]
+    if dialect and len(in_w) < MIN_DIALECT:
+        problems.append(
+            f"translator changed but only {in_w} dialect entries re-enter the window"
+        )
+    oracles = set(registry.oracle_sql())
+    if len([n for n in window if n in oracles]) < MIN_ORACLE:
+        problems.append("fewer than 48 oracle-backed window entries")
+    for fam in FAMILIES:
+        if not any(n.startswith(fam) for n in window):
+            problems.append(f"family {fam} missing from window")
+    if problems:
+        print("WINDOW ROTATION NEEDED (run `make rotate-window`, commit the result):")
+        for p in problems:
+            print(f"  - {p}")
+        return 1
+    print("window invariants hold — no rotation needed")
+    return 0
+
+
+def main() -> None:
+    if "--check" in sys.argv:
+        sys.exit(check())
+    win = build_window()
+    if "--write" in sys.argv:
+        block = _render_block(win["head"], win["tail"])
+        _rewrite(os.path.join(REPO, "mcp_trino_spark", "registry.py"), block)
+        print(
+            f"wrote {len(win['head'])}-entry head + {len(win['tail'])}-entry tail "
+            "to mcp_trino_spark/registry.py"
+        )
+    else:
+        print(json.dumps(win, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -110,6 +110,37 @@ def build_sketch(values: Iterable[float], k: int = DEFAULT_K) -> List[Tuple[floa
     return _cluster(pairs, k)
 
 
+def build_sketch_weighted(
+    pairs: Iterable[Tuple[float, int]], k: int = DEFAULT_K
+) -> List[Tuple[float, int]]:
+    """Sketch ``(value, weight)`` pairs — the input shape of Trino's
+    weighted ``approx_percentile(x, w, percentage)``, whose qdigest is
+    bounded-memory where Spark's exact ``percentile(x, p, w)`` keeps a
+    per-group value→count map that grows with DISTINCT values (the
+    trino_compat x45 rewrite documents that wall and points here).
+    A pair ``(v, w)`` carries rank mass w — identical to sketching w
+    copies of v, without materializing them.  NULL/NaN values and
+    NULL/non-positive weights are skipped (Trino requires w ≥ 1 and
+    raises; the DataFrame surface drops them like NULL inputs)."""
+    clean: List[Tuple[float, int]] = []
+    for v, w in pairs:
+        if v is None or w is None:
+            continue
+        v, w = float(v), float(w)
+        # NULL long columns surface as NaN through Arrow/pandas
+        if math.isnan(v) or math.isnan(w):
+            continue
+        w = int(w)
+        if w <= 0:
+            continue
+        clean.append((v, w))
+    # sort by (value, weight): value alone is not a total order when
+    # duplicate values carry different weights, and the build must be
+    # input-order invariant like the unweighted one
+    clean.sort()
+    return _cluster(clean, k)
+
+
 def merge_sketches(
     sketches: Iterable[Sequence[Tuple[float, int]]], k: int = DEFAULT_K
 ) -> List[Tuple[float, int]]:
@@ -144,10 +175,18 @@ def value_at_quantile(sketch: Sequence[Tuple[float, int]], q: float) -> float:
             frac = (rank - prev_pos) / (pos - prev_pos)
             if frac >= 1.0:
                 return v
-            # Cancellation-safe form: with |v| << |prev_v| and frac→1,
-            # prev_v + frac*(v-prev_v) rounds (v-prev_v) to -prev_v and
-            # returns 0.0 instead of v, overshooting the rank bound.
-            # Anchoring at v keeps the frac→1 limit exact.
+            if frac <= 0.0:
+                return prev_v
+            # Cancellation-safe interpolation, BOTH limits: with
+            # |v| << |prev_v| and frac→1, prev_v + frac*(v-prev_v)
+            # rounds (v-prev_v) to -prev_v and returns 0.0 instead of
+            # v (the r9 failure); mirrored, with |prev_v| << |v| and
+            # frac→0, v - (1-frac)*(v-prev_v) cancels the same way and
+            # returns 0.0 instead of ~prev_v.  Branch at 0.5 so the
+            # anchor is always the NEAR endpoint — each endpoint-
+            # anchored form is exact in its own limit.
+            if frac < 0.5:
+                return prev_v + frac * (v - prev_v)
             return v - (1.0 - frac) * (v - prev_v)
         cum += w
         prev_pos, prev_v = pos, v
@@ -171,7 +210,12 @@ def quantile_at_value(sketch: Sequence[Tuple[float, int]], v: float) -> float:
             frac = (x - prev_v) / (cv - prev_v) if cv != prev_v else 1.0
             if frac >= 1.0:
                 return pos / total
-            # same cancellation guard as value_at_quantile: anchor at pos
+            if frac <= 0.0:
+                return prev_pos / total
+            # same two-sided cancellation guard as value_at_quantile:
+            # anchor at the near endpoint of the rank span
+            if frac < 0.5:
+                return (prev_pos + frac * (pos - prev_pos)) / total
             return (pos - (1.0 - frac) * (pos - prev_pos)) / total
         cum += w
         prev_pos, prev_v = pos, cv
@@ -255,6 +299,61 @@ def qdigest_by(
     """Per-key sketches via the two-level (partial → merge) build."""
     return qdigest_merge_by(
         qdigest_partial(df, value_col, keys, k=k, n_shards=n_shards), keys, k=k
+    )
+
+
+def weighted_qdigest_partial(
+    df: DataFrame, value_col: str, weight_col: str, keys: Sequence[str],
+    k: int = DEFAULT_K, n_shards: int = 32,
+) -> DataFrame:
+    """Level 1 of the WEIGHTED build: per-(key, shard) sketches over
+    ``(value, weight)`` rows.  Same distributed shape as
+    ``qdigest_partial`` — the shard key bounds every Python group to
+    one scan partition's contribution, the shuffle carries
+    ``(key, shard, value, weight)`` only — so executor memory stays
+    KB-bounded however many distinct values a group holds (the
+    property Spark's exact ``percentile(x, p, w)`` lacks)."""
+    key_fields = ", ".join(
+        f"{kc} {df.schema[kc].dataType.simpleString()}" for kc in keys
+    )
+    out_schema = _sketch_schema(key_fields)
+    kk = int(k)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = build_sketch_weighted(
+            zip(pdf["__qv"].tolist(), pdf["__qw"].tolist()), kk
+        )
+        row = {kc: pdf[kc].iloc[0] for kc in keys}
+        row["vs"] = [v for v, _ in sk]
+        row["ws"] = [w for _, w in sk]
+        return pd.DataFrame([row])
+
+    return (
+        df.select(
+            *keys,
+            F.col(value_col).cast("double").alias("__qv"),
+            F.col(weight_col).cast("long").alias("__qw"),
+        )
+        .withColumn("__shard", F.pmod(F.spark_partition_id(), F.lit(n_shards)))
+        .groupBy(*keys, "__shard")
+        .applyInPandas(build, out_schema)
+    )
+
+
+def weighted_qdigest_by(
+    df: DataFrame, value_col: str, weight_col: str, keys: Sequence[str],
+    k: int = DEFAULT_K, n_shards: int = 32,
+) -> DataFrame:
+    """Per-key WEIGHTED sketches (partial → merge) — the bounded-memory
+    engine path for Trino's ``approx_percentile(x, w, percentage)``.
+    Rank error ≤ 2·W/K of total weight W (tests/test_qdigest.py pins
+    the bound on weighted inputs)."""
+    return qdigest_merge_by(
+        weighted_qdigest_partial(
+            df, value_col, weight_col, keys, k=k, n_shards=n_shards
+        ),
+        keys,
+        k=k,
     )
 
 

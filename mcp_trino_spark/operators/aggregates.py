@@ -567,6 +567,42 @@ def a21_qdigest_rollup(spark, sf_dir):
     )
 
 
+@register("a21b_weighted_qdigest_rollup")  # rows-only: sketch estimates are engine-local
+def a21b_weighted_qdigest_rollup(spark, sf_dir):
+    """WEIGHTED reaggregatable quantile sketches — the bounded-memory
+    engine path for Trino's ``approx_percentile(x, w, percentage)``
+    (reference passes that SQL through, client.go:501-617; the
+    trino_compat x45 SQL rewrite is the oracle-exact twin and
+    documents why its exact ``percentile(x, p, w)`` plan is a 100 TB
+    memory hazard on high-cardinality measures).
+
+    Quantiles of ``l_extendedprice`` weighted by ``l_quantity`` —
+    exactly the wall scenario: a near-unique double measure, so an
+    exact weighted percentile's value→count state grows linearly with
+    the group, while this sketch holds ≤ K centroids per group no
+    matter how many distinct prices exist.  Plan: two-level weighted
+    build on (returnflag, linestatus, scan-partition shard) — the
+    shuffle carries (key, value, weight) triples only — then a
+    KB-sized sketch merge rolls (returnflag, linestatus) up to
+    returnflag without re-scanning lineitem.  Rank-error ≤ 2·W/K of
+    total WEIGHT is pinned on weighted inputs in
+    tests/test_qdigest.py.
+    """
+    from mcp_trino_spark.functions.qdigest import (
+        qdigest_merge_by, weighted_qdigest_by, with_quantiles,
+    )
+
+    (lineitem,) = T(spark, sf_dir, "lineitem")
+    per_pair = weighted_qdigest_by(
+        lineitem, "l_extendedprice", "l_quantity",
+        ["l_returnflag", "l_linestatus"],
+    )
+    per_flag = qdigest_merge_by(per_pair, ["l_returnflag"])
+    return with_quantiles(per_flag, [0.5, 0.9, 0.99]).select(
+        "l_returnflag", "p50", "p90", "p99"
+    )
+
+
 @register("a22_misra_gries_rollup")  # rows-only: sketch estimates are engine-local
 def a22_misra_gries_rollup(spark, sf_dir):
     """Reaggregatable HEAVY-HITTER sketches — Misra-Gries summaries

@@ -278,6 +278,7 @@ _PROVEN_R06 = [
 ROWS_ONLY_OK = {
     "a20_sketch_reaggregate",
     "a21_qdigest_rollup",
+    "a21b_weighted_qdigest_rollup",
     "a22_misra_gries_rollup",
     "o3_limit",
     "f6b_explain_io",
@@ -314,6 +315,7 @@ ROWS_ONLY_OK = {
 # then proven-set family representatives.  Do not edit by hand —
 # run `make rotate-window` after any engine change.
 _WINDOW_HEAD = [
+    "a21b_weighted_qdigest_rollup",
     "x23_vector_math",
     "x24_setdigest",
     "x35_exclude_minmax",
@@ -333,7 +335,6 @@ _WINDOW_HEAD = [
     "a12_array_agg",
     "a17_bool_aggs_median",
     "a20_sketch_reaggregate",
-    "a22_misra_gries_rollup",
     "l28_incremental_dedup",
     "l29_dedup_stats",
     "l6_regex_search",

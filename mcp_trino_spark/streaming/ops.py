@@ -707,7 +707,12 @@ def t16_qdigest_stream(events: DataFrame, window_s: int = 600) -> DataFrame:
             sketch, n = [], 0
         vals: list = []
         for pdf in pdfs:
-            vals.extend(float(v) for v in pdf["value"] if v is not None)
+            # dropna, not an `is not None` filter: Arrow surfaces NULL
+            # doubles to pandas as NaN, which passes a None check —
+            # build_sketch would drop them but `n` would still count
+            # them, overstating the emitted running count and breaking
+            # count conservation on NULL-bearing inputs.
+            vals.extend(float(v) for v in pdf["value"].dropna())
         if vals:
             sketch = merge_sketches([sketch, build_sketch(vals)])
             n += len(vals)

@@ -5432,7 +5432,24 @@ def _rewrite_approx_percentile_weighted(q: str) -> str:
     4th argument is dropped.  Runtime argument contracts stay loud on
     both engines (Spark requires an integral non-negative frequency;
     Trino a bigint weight ≥ 1).  2-arg forms fall through to the
-    rename."""
+    rename.
+
+    **Scale wall (100 TB)**: Trino's weighted approx_percentile is a
+    bounded-memory qdigest sketch; Spark's exact ``percentile`` keeps a
+    per-group value→count map whose aggregation state grows with the
+    number of DISTINCT values in the group — on a high-cardinality
+    double measure over huge groups that is unbounded executor memory
+    where Trino guarantees KB.  This exact rewrite is therefore the
+    CORRECTNESS path (oracle-exact, right for the moderate-cardinality
+    groups the SQL façade serves); the SCALE path is the engine's
+    weighted qdigest kernel —
+    ``functions.qdigest.weighted_qdigest_by`` + ``with_quantiles`` —
+    which holds ≤ K centroids per group regardless of distinct-value
+    count and merges per-partition partials (rank error ≤ 2·W/K,
+    pinned by tests/test_qdigest.py on weighted inputs; the
+    ``a21b_weighted_qdigest_rollup`` registry entry exercises it
+    end-to-end, certified rows-only like a21 per the sketch
+    contract)."""
     start = 0
     while True:
         hit = _find_call(q, _APPROX_PCT_HEAD, start)

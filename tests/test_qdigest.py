@@ -281,3 +281,99 @@ def test_interpolation_cancellation_regression():
     # and specifically: the median of this multiset is a tiny negative,
     # not 0.0 — the estimate must not land in the duplicate-zero block
     assert est < 0.0
+
+
+def test_interpolation_mirrored_cancellation_regression():
+    """ADVICE r10: the r9 fix anchored at v, exact as frac→1 — but the
+    MIRRORED case (|prev_v| << |v|, frac→0) still cancelled:
+    v - (1-frac)*(v - prev_v) rounds (v - prev_v) to v and returns 0.0
+    instead of ~prev_v, jumping the estimate across a duplicate-zero
+    block from the other side.  The two-sided form anchors at the NEAR
+    endpoint, so each limit is exact."""
+    prev_v, v = -2.7755575615628914e-17, 1.0
+    sk = [(prev_v, 5), (v, 5)]
+    # rank barely past prev centroid's midpoint: frac ≈ 1e-18
+    total = 10.0
+    rank = (2.5 + 5e-18) / total
+    est = value_at_quantile(sk, rank)
+    assert est < 0.0  # ~prev_v, NOT 0.0
+    # quantile_at_value shares the interpolation: a value barely above
+    # prev_v must map to a rank at prev's midpoint, not pos's
+    r = quantile_at_value(sk, prev_v + 1e-18 * (v - prev_v))
+    assert abs(r - 0.25) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# weighted build — the bounded-memory path for Trino's
+# approx_percentile(x, w, percentage) (trino_compat x45 documents the
+# exact rewrite's distinct-value memory wall; this is the scale path)
+
+
+def weighted_rank_interval(pairs, est):
+    """Closed weight-rank interval of ``est`` in the weighted multiset."""
+    total = sum(w for _, w in pairs)
+    below = sum(w for v, w in pairs if v < est)
+    at_or_below = sum(w for v, w in pairs if v <= est)
+    return below / total, at_or_below / total
+
+
+def test_weighted_rank_error_bound(gauss_50k):
+    from mcp_trino_spark.functions.qdigest import build_sketch_weighted
+
+    rng = random.Random(20260815)
+    pairs = [(v, rng.randint(1, 20)) for v in gauss_50k]
+    sk = build_sketch_weighted(pairs)
+    assert len(sk) <= DEFAULT_K
+    total_w = sum(w for _, w in pairs)
+    assert sum(w for _, w in sk) == total_w  # weight conservation
+    for q in QS:
+        est = value_at_quantile(sk, q)
+        lo, hi = weighted_rank_interval(pairs, est)
+        assert lo - 2.0 / DEFAULT_K <= q <= hi + 2.0 / DEFAULT_K
+
+
+def test_weighted_build_drops_nulls_and_nonpositive_weights():
+    from mcp_trino_spark.functions.qdigest import build_sketch_weighted
+
+    pairs = [(1.0, 3), (None, 5), (float("nan"), 2), (2.0, None),
+             (3.0, 0), (4.0, -7), (5.0, float("nan")), (2.0, 1)]
+    sk = build_sketch_weighted(pairs)
+    assert sk == [(1.0, 3), (2.0, 1)]
+
+
+from hypothesis import example as _example  # noqa: E402  (grouped with the property suite)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(finite_floats, st.integers(1, 50)), min_size=5, max_size=600
+    ),
+    st.floats(min_value=0.0, max_value=1.0),
+)
+def test_prop_weighted_rank_error_bound(pairs, q):
+    from mcp_trino_spark.functions.qdigest import build_sketch_weighted
+
+    sk = build_sketch_weighted(pairs)
+    est = value_at_quantile(sk, q)
+    total_w = sum(w for _, w in pairs)
+    assert sum(w for _, w in sk) == total_w
+    lo, hi = weighted_rank_interval(pairs, est)
+    # equi-depth clustering closes a cluster only at acc_w >= target,
+    # so one heavy pair can widen a cluster by its own weight: bound is
+    # 2/K of total weight plus the heaviest single pair's mass
+    slack = 2.0 / DEFAULT_K + max(w for _, w in pairs) / total_w
+    assert lo - slack <= q <= hi + slack
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.tuples(finite_floats, st.integers(1, 20)), min_size=1, max_size=300),
+    st.randoms(),
+)
+def test_prop_weighted_build_order_invariant(pairs, rnd):
+    from mcp_trino_spark.functions.qdigest import build_sketch_weighted
+
+    shuffled = list(pairs)
+    rnd.shuffle(shuffled)
+    assert build_sketch_weighted(shuffled) == build_sketch_weighted(pairs)

@@ -58,6 +58,40 @@ class QueryResult:
         return json.dumps(self.rows, indent=2, default=str)
 
 
+def _catalog_column_types(spark) -> dict:
+    """Lowercase column name → Spark simple type string across every
+    table/temp view the session can see, for the schema-aware
+    integer-division rewrite (trino_compat, VERDICT r10 item 3).  A
+    name registered with DIFFERENT types in different tables collapses
+    to the sentinel ``"ambiguous"`` (not an integral type, so the
+    rewrite skips it — the safe direction: the divergence stays
+    documented rather than guessed).  Built only when the query's text
+    actually carries identifier division (``has_identifier_division``),
+    so the common path pays zero catalog RPCs."""
+    types: dict = {}
+    try:
+        tables = spark.catalog.listTables()
+    except Exception:
+        return {}
+    for t in tables:
+        if t.isTemporary:
+            qual = t.name
+        else:
+            ns = list(getattr(t, "namespace", None) or [])
+            qual = ".".join(ns + [t.name]) if ns else t.name
+        try:
+            cols = spark.catalog.listColumns(qual)
+        except Exception:
+            continue
+        for c in cols:
+            name, dt = c.name.lower(), c.dataType.lower()
+            if types.get(name, dt) != dt:
+                types[name] = "ambiguous"
+            else:
+                types[name] = dt
+    return types
+
+
 def execute_query(
     spark: SparkSession,
     query: str,
@@ -231,7 +265,16 @@ def execute_query(
             from mcp_trino_spark.sources.timetravel import rewrite_table_changes
 
             q = rewrite_table_changes(spark, q, created_views=mr_views)
-        q = translate(q)
+        from mcp_trino_spark.trino_compat import has_identifier_division
+
+        q = translate(
+            q,
+            column_types=(
+                _catalog_column_types(spark)
+                if has_identifier_division(q)
+                else None
+            ),
+        )
         from mcp_trino_spark.trino_mr import expand_match_recognize, has_match_recognize
 
         if has_match_recognize(q):

@@ -2188,3 +2188,69 @@ def x46_stats_shape_semantics(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x47_column_int_division",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(trunc(CAST(l_partkey AS DOUBLE) / l_linenumber) AS BIGINT)
+             AS col_col,
+           CAST(trunc(CAST(l_partkey AS DOUBLE) / 7) AS BIGINT) AS col_lit,
+           CAST(trunc(CAST(l_partkey - 500 AS DOUBLE)
+                      / (l_suppkey % 5 + 1)) AS BIGINT) AS neg_cross,
+           CAST(trunc(CAST(trunc(CAST(l_partkey AS DOUBLE) / l_linenumber)
+                           AS DOUBLE) / 3) AS BIGINT) AS chained,
+           l_extendedprice / l_linenumber AS frac_stays
+    FROM lineitem WHERE l_orderkey < 3000
+    """,
+)
+def x47_column_int_division(spark, sf_dir):
+    """Differential certification of COLUMN-typed integer division
+    (_rewrite_column_int_division, closing the last knowable silent
+    divergence from SURVEY §13): Trino's ``/`` on integer operands
+    TRUNCATES toward zero; Spark's ``/`` is always fractional, so
+    ``o_orderkey / o_custkey`` silently returned doubles.  The literal/
+    literal case was closed in round 8 (x33); for plain column
+    references the catalog schema DOES make operand types knowable, so
+    the façade feeds translate() a column→type map
+    (execute._catalog_column_types — ambiguous names collapse to a
+    non-type sentinel and stay un-rewritten) and integer/integer
+    respells to Spark's ``div`` (truncating, ANSI-raising on /0 —
+    both matching Trino).  Covered forms: column/column, column/
+    literal, CAST-to-integral operands (the ``neg_cross`` column
+    crosses negative numerators, pinning truncation vs floor), and
+    chains (``a/b/c`` → ``((a div b) div c)`` — the parenthesized
+    ``div`` group re-enters as an integral operand).  The mixed
+    double/bigint column stays fractional, pinning the non-rewrite.
+    The oracle spells trunc()-division explicitly (DuckDB's ``//``
+    floor/trunc behavior is version-dependent on negatives).
+
+    Residue stays documented (module header): function results,
+    subquery-aliased outputs, and ambiguous column names are not
+    lexically typable and keep Spark semantics.
+
+    Reference parity: Trino evaluates integer division natively and
+    the reference forwards query text verbatim
+    (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.execute import _catalog_column_types
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT l_orderkey, l_linenumber,
+                   l_partkey / l_linenumber AS col_col,
+                   l_partkey / 7 AS col_lit,
+                   CAST(l_partkey - 500 AS BIGINT)
+                     / CAST(l_suppkey % 5 + 1 AS BIGINT) AS neg_cross,
+                   l_partkey / l_linenumber / 3 AS chained,
+                   l_extendedprice / l_linenumber AS frac_stays
+            FROM lineitem WHERE l_orderkey < 3000
+            """,
+            column_types=_catalog_column_types(spark),
+        )
+    )

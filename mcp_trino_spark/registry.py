@@ -316,6 +316,7 @@ ROWS_ONLY_OK = {
 # run `make rotate-window` after any engine change.
 _WINDOW_HEAD = [
     "a21b_weighted_qdigest_rollup",
+    "x47_column_int_division",
     "x23_vector_math",
     "x24_setdigest",
     "x35_exclude_minmax",
@@ -359,7 +360,6 @@ _WINDOW_HEAD = [
     "l27_passage_dedup",
     "l34_rare_ngram_overlap",
     "l18_mix_weights",
-    "l4_topk_similarity",
 ]
 _WINDOW_TAIL = [
     "p8_case_when",

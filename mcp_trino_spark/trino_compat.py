@@ -5909,8 +5909,11 @@ def _rewrite_least_greatest_nulls(q: str) -> str:
 #: literal-integer division: Trino's `/` on integers TRUNCATES toward
 #: zero (5/2 = 2); Spark's `/` is always fractional.  Operand types are
 #: not lexically knowable in general — the literal/literal case (the
-#: common gotcha) is closed here with Spark's `div`; column-typed
-#: integer division remains a DOCUMENTED divergence (module header).
+#: common gotcha) is closed here with Spark's `div`; the COLUMN-typed
+#: case is closed by the schema-aware pass below when the façade can
+#: supply catalog types (x47); only lexically-untypable expressions
+#: (function results, subquery outputs, ambiguous names) remain a
+#: DOCUMENTED divergence (module header).
 _INT_LIT_DIV = re.compile(r"(?<![\w.])(\d+)\s*/\s*(\d+)(?![\w.])")
 
 
@@ -5921,6 +5924,203 @@ def _rewrite_int_literal_division(q: str) -> str:
         if m is None:
             return q
         q = f"{q[: m.start()]}({m.group(1)} div {m.group(2)}){q[m.end():]}"
+
+
+#: COLUMN-typed integer division (round 11, VERDICT r10 item 3): for
+#: `a / b` where both operands are plain column references against
+#: registered tables (or integer literals, or CASTs to an integral
+#: type), the catalog schema DOES make the types knowable — the façade
+#: passes a column→type map and this pass rewrites integer/integer to
+#: Spark's `div` exactly like the literal pass.  `div` truncates toward
+#: zero and raises on /0 under ANSI mode, both matching Trino.  The
+#: residue stays documented: expressions whose type is not lexically
+#: resolvable (function results, subquery outputs, ambiguous column
+#: names appearing with different types in several tables).
+
+_INTEGRAL_TYPES = frozenset(
+    {"tinyint", "smallint", "int", "integer", "bigint", "long", "byte", "short"}
+)
+
+#: cheap façade gate: a '/' adjacent to an identifier or paren — only
+#: then is the catalog column-type map worth building
+_IDENT_DIV_HINT = re.compile(r"[A-Za-z_)\s]/|/[\sA-Za-z_(]")
+
+_IDENT_CHAIN = re.compile(r"[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*")
+
+_NONCALL_BEFORE_PAREN = frozenset(
+    {"select", "where", "when", "then", "else", "and", "or", "not", "on",
+     "by", "from", "having", "case", "end", "as", "union", "all",
+     "distinct", "between", "like", "is", "return", "returns"}
+)
+
+
+def has_identifier_division(q: str) -> bool:
+    return _IDENT_DIV_HINT.search(q) is not None
+
+
+def _top_level_contains_div(expr: str) -> bool:
+    """True when a parenthesized operand's top-level content carries a
+    `div` — the output type of `div` is always integral, so groups this
+    translator produced (literal pass, or an earlier iteration of this
+    pass on a chain like a/b/c) stay rewritable."""
+    inner = expr[1:-1]
+    depth = 0
+    for m in re.finditer(r"[()]|\bdiv\b", inner, re.IGNORECASE):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            return True
+    return False
+
+
+def _operand_integral(expr: str, types: dict) -> bool:
+    e = expr.strip()
+    if not e:
+        return False
+    if re.fullmatch(r"\d+", e):
+        return True
+    if e.startswith("(") and e.endswith(")"):
+        return _top_level_contains_div(e)
+    m = re.fullmatch(r"(?is)CAST\s*\((.*)\)", e)
+    if m:
+        # last top-level AS gives the target type
+        body = m.group(1)
+        depth, as_pos = 0, None
+        for am in re.finditer(r"[()]|\bAS\b", body, re.IGNORECASE):
+            if am.group(0) == "(":
+                depth += 1
+            elif am.group(0) == ")":
+                depth -= 1
+            elif depth == 0:
+                as_pos = am.end()
+        if as_pos is None:
+            return False
+        target = body[as_pos:].strip().split("(")[0].strip().lower()
+        return target in _INTEGRAL_TYPES
+    if _IDENT_CHAIN.fullmatch(e):
+        col = e.rsplit(".", 1)[-1].lower()
+        return types.get(col) in _INTEGRAL_TYPES
+    return False
+
+
+def _scan_left_operand(q: str, pos: int) -> Optional[int]:
+    """Start index of the operand ending just before ``pos`` (exclusive
+    of trailing spaces), or None when it isn't a supported form."""
+    i = pos - 1
+    while i >= 0 and q[i].isspace():
+        i -= 1
+    if i < 0:
+        return None
+    if q[i] == ")":
+        depth = 0
+        j = i
+        while j >= 0:
+            if q[j] == ")":
+                depth += 1
+            elif q[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        if j < 0:
+            return None
+        # a preceding identifier makes it a call — only CAST qualifies
+        k = j - 1
+        while k >= 0 and q[k].isspace():
+            k -= 1
+        end_word = k + 1
+        while k >= 0 and (q[k].isalnum() or q[k] == "_"):
+            k -= 1
+        word = q[k + 1 : end_word]
+        if word:
+            if word.lower() == "cast":
+                return k + 1
+            # keywords that can lexically precede '(' without making
+            # it a call — the group is then a plain parenthesized
+            # operand (matters for chains: `a/b/c` re-enters with
+            # `SELECT (a div b) / c`)
+            if word.lower() in _NONCALL_BEFORE_PAREN:
+                return j
+            return None
+        return j
+    if q[i].isalnum() or q[i] == "_":
+        j = i
+        while j >= 0 and (q[j].isalnum() or q[j] in "_."):
+            j -= 1
+        # a '.' immediately before means a qualified chain we've fully
+        # consumed; a preceding ':' (e.g. array slice) is not SQL here
+        return j + 1
+    return None
+
+
+def _scan_right_operand(q: str, pos: int) -> Optional[int]:
+    """End index (exclusive) of the operand starting after ``pos``."""
+    n = len(q)
+    i = pos + 1
+    while i < n and q[i].isspace():
+        i += 1
+    if i >= n:
+        return None
+
+    def match_group(start: int) -> Optional[int]:
+        depth = 0
+        j = start
+        while j < n:
+            if q[j] == "(":
+                depth += 1
+            elif q[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    return j + 1
+            j += 1
+        return None
+
+    if q[i] == "(":
+        return match_group(i)
+    if q[i].isalnum() or q[i] == "_":
+        j = i
+        while j < n and (q[j].isalnum() or q[j] in "_."):
+            j += 1
+        k = j
+        while k < n and q[k].isspace():
+            k += 1
+        if k < n and q[k] == "(":
+            word = q[i:j]
+            return match_group(k) if word.lower() == "cast" else None
+        return j
+    return None
+
+
+def _rewrite_column_int_division(q: str, column_types: dict) -> str:
+    types = {str(k).lower(): str(v).lower() for k, v in column_types.items()}
+    start = 0
+    while True:
+        mask = _code_mask(q)
+        pos = q.find("/", start)
+        if pos < 0:
+            return q
+        if not mask[pos] or (pos + 1 < len(q) and q[pos + 1] in "*/") or (
+            pos > 0 and q[pos - 1] in "*/"
+        ):
+            start = pos + 1
+            continue
+        lo = _scan_left_operand(q, pos)
+        hi = _scan_right_operand(q, pos)
+        if lo is None or hi is None:
+            start = pos + 1
+            continue
+        left, right = q[lo:pos].rstrip(), q[pos + 1 : hi].lstrip()
+        if not (
+            _operand_integral(left, types) and _operand_integral(right, types)
+        ):
+            start = pos + 1
+            continue
+        repl = f"({left} div {right})"
+        q = q[:lo] + repl + q[hi:]
+        start = lo + len(repl)
 
 
 _ORDER_BY_HEAD = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
@@ -6416,8 +6616,14 @@ def _rewrite_element_at_nullsafe(q: str) -> str:
     return "".join(out)
 
 
-def translate(query: str) -> str:
-    """Rewrite Trino-only idioms to Spark SQL, outside literals/comments."""
+def translate(query: str, column_types: Optional[Dict[str, str]] = None) -> str:
+    """Rewrite Trino-only idioms to Spark SQL, outside literals/comments.
+
+    ``column_types`` (lowercase column name → Spark simple type string,
+    ambiguous names pre-collapsed to a non-type sentinel by the caller)
+    enables the schema-aware integer-division pass; without it only the
+    literal/literal case is rewritten and column-typed division stays a
+    documented divergence."""
     # FIRST: normalize Trino's escape-free literal spelling to Spark's
     # (backslashes doubled) — every later pass lexes with Spark rules
     query = _respell_escape_free_literals(query)
@@ -6452,6 +6658,8 @@ def translate(query: str) -> str:
     # purpose (window EXCLUDE splits, comma-UNNEST zip padding)
     query = _rewrite_least_greatest_nulls(query)
     query = _rewrite_int_literal_division(query)
+    if column_types and has_identifier_division(query):
+        query = _rewrite_column_int_division(query, column_types)
     # BEFORE every pass that parses sort keys (FROM LAST, WITH TIES,
     # GROUPS frames, EXCLUDE) — they must see Trino's null placement
     query = _rewrite_order_by_null_defaults(query)

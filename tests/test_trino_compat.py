@@ -3525,3 +3525,61 @@ def test_year_month_interval_collects_as_string(spark):
     assert row["ds"] == datetime.timedelta(days=1, hours=2, minutes=3,
                                            seconds=4)
     assert str(row["plus_m"]) == "2024-02-29"
+
+
+# ---------------------------------------------------------------------------
+# column-typed integer division (round 11, x47): schema-aware rewrite
+
+
+_DIV_TYPES = {
+    "a": "bigint", "b": "int", "c": "smallint", "d": "double",
+    "amb": "ambiguous",
+}
+
+
+def _tdiv(q):
+    return translate(q, column_types=_DIV_TYPES)
+
+
+def test_column_int_division_plain_and_literal():
+    assert _tdiv("SELECT a / b FROM t") == "SELECT (a div b) FROM t"
+    assert _tdiv("SELECT a / 3 FROM t") == "SELECT (a div 3) FROM t"
+    assert _tdiv("SELECT 100 / b FROM t") == "SELECT (100 div b) FROM t"
+    assert _tdiv("SELECT t1.a / t2.b FROM t") == "SELECT (t1.a div t2.b) FROM t"
+
+
+def test_column_int_division_skips_unknowable():
+    # double column, ambiguous name, function result, parenthesized
+    # arithmetic, subquery alias: all stay fractional (documented residue)
+    for q in (
+        "SELECT d / b FROM t",
+        "SELECT amb / 3 FROM t",
+        "SELECT sum(a) / count(*) FROM t",
+        "SELECT (a + 1) / 2 FROM t",
+        "SELECT unknown_col / b FROM t",
+    ):
+        assert " div " not in _tdiv(q), q
+
+
+def test_column_int_division_cast_operands():
+    assert (
+        _tdiv("SELECT CAST(d AS BIGINT) / b FROM t")
+        == "SELECT (CAST(d AS BIGINT) div b) FROM t"
+    )
+    assert " div " not in _tdiv("SELECT CAST(a AS DOUBLE) / b FROM t")
+
+
+def test_column_int_division_chains_reenter():
+    assert _tdiv("SELECT a / b / c FROM t") == "SELECT ((a div b) div c) FROM t"
+    assert _tdiv("SELECT a / b / d FROM t") == "SELECT (a div b) / d FROM t"
+
+
+def test_column_int_division_respects_literals_and_comments():
+    assert _tdiv("SELECT '/x/y', a / b FROM t") == "SELECT '/x/y', (a div b) FROM t"
+    out = _tdiv("SELECT a /* a/b */ / b FROM t")
+    assert out.endswith("/ b FROM t") or " div " in out  # comment body untouched
+
+
+def test_column_int_division_without_map_is_unchanged():
+    # no column_types → the pass never runs (the pre-r11 behavior)
+    assert translate("SELECT a / b FROM t") == "SELECT a / b FROM t"

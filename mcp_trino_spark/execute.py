@@ -265,8 +265,19 @@ def execute_query(
             from mcp_trino_spark.sources.timetravel import rewrite_table_changes
 
             q = rewrite_table_changes(spark, q, created_views=mr_views)
-        from mcp_trino_spark.trino_compat import has_identifier_division
+        from mcp_trino_spark.trino_compat import (
+            approx_most_frequent_mode,
+            expand_approx_most_frequent_sketch,
+            has_identifier_division,
+        )
 
+        if approx_most_frequent_mode() == "sketch" and re.search(
+            r"\bapprox_most_frequent\s*\(", q, re.IGNORECASE
+        ):
+            # Misra-Gries route (bounded memory past the exact plan's
+            # per-group distinct-value wall) — the summary plan lands
+            # behind a temp view dropped in the finally below
+            q = expand_approx_most_frequent_sketch(spark, q, created_views=mr_views)
         q = translate(
             q,
             column_types=(

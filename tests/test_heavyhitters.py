@@ -132,3 +132,80 @@ def test_registry_entry_rows(spark):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_sql_sketch_route_high_cardinality(spark):
+    """VERDICT r10 item 5: the Misra-Gries path must be REACHABLE from
+    the SQL surface.  A high-cardinality input (per-group distinct
+    values >> capacity — exactly the wall the exact rewrite's
+    (group, value) counts hit at scale) is served by the sketch route
+    under set_approx_most_frequent_mode("sketch"), with every emitted
+    count inside the MG additive-error bound and the planted heavy
+    hitters guaranteed present; the default mode stays "exact" so the
+    x20 oracle entry is untouched."""
+    from mcp_trino_spark.execute import execute_query
+    from mcp_trino_spark.trino_compat import (
+        approx_most_frequent_mode,
+        set_approx_most_frequent_mode,
+    )
+
+    assert approx_most_frequent_mode() == "exact"  # default untouched
+
+    rng = random.Random(7)
+    rows = []
+    for g in (0, 1):
+        hot = f"hot{g}"
+        vals = [hot] * 3_000 + [f"u{g}_{rng.randrange(100_000)}" for _ in range(6_000)]
+        rows += [(g, v) for v in vals]
+    df = spark.createDataFrame(rows, "g int, v string").repartition(8)
+    df.createOrReplaceTempView("amf_hc")
+    true = Counter(rows)
+    w_per_group = 9_000
+    capacity = 50
+
+    set_approx_most_frequent_mode("sketch")
+    try:
+        res = execute_query(
+            spark,
+            f"SELECT g, approx_most_frequent(5, v, {capacity}) AS hh "
+            "FROM amf_hc GROUP BY g",
+            dialect="trino",
+        )
+        out = {r["g"]: r["hh"] for r in res.rows}
+    finally:
+        set_approx_most_frequent_mode("exact")
+        spark.catalog.dropTempView("amf_hc")
+
+    assert set(out) == {0, 1}
+    # two-level build: err accumulates once per level -> 2*W/(cap+1)
+    bound = 2 * w_per_group / (capacity + 1)
+    for g, hh in out.items():
+        assert f"hot{g}" in hh, hh
+        assert len(hh) <= 5
+        for v, est in hh.items():
+            assert est <= true[(g, v)] <= est + bound, (g, v, est)
+    # the temp view the route registered is dropped by the façade
+    leftovers = [t.name for t in spark.catalog.listTables()
+                 if t.name.startswith("__amf_sketch_")]
+    assert leftovers == []
+
+
+def test_sql_sketch_route_grand_aggregate(spark):
+    from mcp_trino_spark.execute import execute_query
+    from mcp_trino_spark.trino_compat import set_approx_most_frequent_mode
+
+    rows = [(f"v{i % 7}",) for i in range(700)]
+    spark.createDataFrame(rows, "v string").createOrReplaceTempView("amf_g")
+    set_approx_most_frequent_mode("sketch")
+    try:
+        res = execute_query(
+            spark,
+            "SELECT approx_most_frequent(3, v, 20) AS hh FROM amf_g",
+            dialect="trino",
+        )
+    finally:
+        set_approx_most_frequent_mode("exact")
+        spark.catalog.dropTempView("amf_g")
+    (row,) = res.rows
+    assert len(row["hh"]) == 3
+    assert all(est == 100 for est in row["hh"].values())  # 7 ≤ capacity: exact

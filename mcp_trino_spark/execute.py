@@ -186,13 +186,21 @@ def execute_query(
             # are literal characters — so those are rejected loudly, as
             # is an ESCAPE clause (Spark globs have no escape).
             pat = fm.group(2)
-            if "*" in pat or "|" in pat:
+            # Spark's listing match compiles the pattern as a JAVA
+            # REGEX ('|' split, '*' → '.*', the rest passed through),
+            # so EVERY regex metacharacter silently diverges from SQL
+            # LIKE's literal reading — '.' over-matches any char, an
+            # unbalanced '(' makes Spark swallow the
+            # PatternSyntaxException and return zero rows (ADVICE r10).
+            # Reject them all loudly; only '%' translates.
+            bad = sorted({c for c in pat if c in r".^$+?()[]{}\*|"})
+            if bad:
                 from mcp_trino_spark.trino_compat import TrinoCompatError
 
                 raise TrinoCompatError(
-                    f"SHOW ... LIKE pattern {pat!r} contains '*' or '|', "
-                    "literal in SQL LIKE but glob metacharacters in "
-                    "Spark's listing match — no faithful translation "
+                    f"SHOW ... LIKE pattern {pat!r} contains {bad} — "
+                    "literal in SQL LIKE but regex/glob metacharacters "
+                    "in Spark's listing match — no faithful translation "
                     "exists; filter the listing client-side instead"
                 )
             q = f"{fm.group(1)}'{pat.replace('%', '*')}'{fm.group(3)}"

@@ -5421,13 +5421,32 @@ def _rewrite_kurtosis_unbiased(q: str) -> str:
         if len(args) != 1:
             raise TrinoCompatError("kurtosis() takes one argument")
         e = args[0].strip()
-        n = f"count({e})"
+        # a window form hangs OVER (...) off the call: the clause must
+        # move INSIDE onto every generated aggregate — `(CASE...END)
+        # OVER (...)` is a parse error (ADVICE r10; same relocation
+        # _rewrite_minmax_n performs)
+        end = b1 + 1
+        om = re.match(r"\s*OVER\s*\(", q[end:], re.IGNORECASE)
+        over = ""
+        if om:
+            mask = _code_mask(q)
+            d, i = 1, end + om.end()
+            while i < len(q) and d:
+                if mask[i]:
+                    if q[i] == "(":
+                        d += 1
+                    elif q[i] == ")":
+                        d -= 1
+                i += 1
+            over = " " + q[end:i].strip()
+            end = i
+        n = f"count({e}){over}"
         repl = (
             f"(CASE WHEN {n} > 3 THEN (({n} - 1) / "
             f"(({n} - 2) * ({n} - 3))) * "
-            f"(({n} + 1) * {_KURT_TOKEN}({e}) + 6) END)"
+            f"(({n} + 1) * {_KURT_TOKEN}({e}){over} + 6) END)"
         )
-        q = q[: m.start()] + repl + q[b1 + 1 :]
+        q = q[: m.start()] + repl + q[end:]
     return q.replace(_KURT_TOKEN, "kurtosis")
 
 

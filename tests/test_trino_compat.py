@@ -1498,6 +1498,15 @@ def test_show_like_glob_metacharacters_rejected(spark):
         "SHOW TABLES LIKE 'a*b'",
         "SHOW FUNCTIONS LIKE 'x|y'",
         "SHOW SCHEMAS LIKE 'd__f%' ESCAPE '\\'",
+        # ADVICE r10: Spark compiles the swapped pattern as a JAVA
+        # REGEX, so every regex metacharacter silently diverges — a
+        # literal '.' over-matches any char; an unbalanced '(' makes
+        # Spark swallow PatternSyntaxException and return zero rows
+        "SHOW TABLES LIKE 'a.b'",
+        "SHOW TABLES LIKE 'a(b'",
+        "SHOW FUNCTIONS LIKE 'x+y'",
+        "SHOW SCHEMAS LIKE 'd[ef]%'",
+        "SHOW TABLES LIKE 'a$'",
     ):
         with pytest.raises(TrinoCompatError, match="LIKE"):
             run(spark, bad)
@@ -3583,3 +3592,29 @@ def test_column_int_division_respects_literals_and_comments():
 def test_column_int_division_without_map_is_unchanged():
     # no column_types → the pass never runs (the pre-r11 behavior)
     assert translate("SELECT a / b FROM t") == "SELECT a / b FROM t"
+
+
+def test_kurtosis_window_form_relocates_over(spark):
+    """ADVICE r10: `kurtosis(x) OVER (...)` used to rewrite to
+    `(CASE ... END) OVER (...)` — a parse error on a Trino-valid query.
+    The OVER clause now moves inside onto every generated aggregate
+    (count + kurtosis), and the windowed value matches the grouped
+    aggregate on a single-group input."""
+    out = translate("SELECT kurtosis(x) OVER (PARTITION BY g) FROM t")
+    assert "END) OVER" not in out
+    assert "count(x) OVER (PARTITION BY g)" in out
+    assert "kurtosis(x) OVER (PARTITION BY g)" in out
+
+    spark.createDataFrame(
+        [(1, float(i * i)) for i in range(8)], "g int, x double"
+    ).createOrReplaceTempView("kurt_w")
+    try:
+        win = spark.sql(
+            translate("SELECT kurtosis(x) OVER (PARTITION BY g) AS k FROM kurt_w")
+        ).collect()
+        agg = spark.sql(
+            translate("SELECT kurtosis(x) AS k FROM kurt_w GROUP BY g")
+        ).collect()
+        assert win[0].k == pytest.approx(agg[0].k)
+    finally:
+        spark.catalog.dropTempView("kurt_w")

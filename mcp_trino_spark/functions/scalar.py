@@ -2254,3 +2254,155 @@ def x47_column_int_division(spark, sf_dir):
             column_types=_catalog_column_types(spark),
         )
     )
+
+
+@register(
+    "x48_datetime_token_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS TIMESTAMP), '%A, %B %-d') AS wd,
+           strftime(CAST(o_orderdate AS TIMESTAMP), '%y/%-m/%-d') AS s2,
+           strptime(strftime(CAST(o_orderdate AS TIMESTAMP),
+                             '%y/%-m/%-d'), '%y/%-m/%-d') AS roundtrip,
+           strftime(CAST(o_orderdate AS TIMESTAMP), '%j %H:%M:%S') AS doy,
+           CASE WHEN year(strptime(lpad(CAST(o_orderkey % 100 AS VARCHAR),
+                                        2, '0') || '/6/15',
+                                   '%y/%-m/%-d')) = 1969
+                THEN strptime(lpad(CAST(o_orderkey % 100 AS VARCHAR),
+                                   2, '0') || '/6/15', '%y/%-m/%-d')
+                     + INTERVAL 100 YEAR
+                ELSE strptime(lpad(CAST(o_orderkey % 100 AS VARCHAR),
+                                   2, '0') || '/6/15', '%y/%-m/%-d')
+           END AS pivot_ts
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def x48_datetime_token_semantics(spark, sf_dir):
+    """Differential certification of the MySQL date-token family
+    (round-11 sweep catches, both closed in _rewrite_date_parse /
+    _MYSQL_TOKENS_PARSE):
+
+    - **two-digit-year pivot**: Trino builds its %y parser with
+      ``appendTwoDigitYear(PIVOT_YEAR = 2020)`` (public source,
+      io.trino.operator.scalar.DateTimeFunctions) — 70-99 → 1970-1999,
+      00-69 → 2000-2069, MySQL's documented rule — while Spark's 'yy'
+      bases at 2000, silently shifting '85' to 2085.  The rewrite
+      subtracts a century when the parsed year lands ≥ 2070; the
+      ``pivot_ts`` column sweeps o_orderkey%100 across BOTH pivot
+      sides (the DuckDB oracle pivots at POSIX 69, adjusted by CASE).
+    - **lenient digit counts**: MySQL numeric tokens parse 1-2 digits;
+      Java's padded letters require exactly two on parse, so the parse
+      direction now maps to the unpadded spellings (roundtrip column:
+      format-with-unpadded-tokens then parse back).
+    - the FORMAT direction stays padded and is certified across the
+      name/ordinal token families (wd/doy columns; DuckDB strftime's C
+      vocabulary — %A/%B/%-d — is an independent spelling of the same
+      contract).
+
+    Reference parity: Trino evaluates date_format/date_parse natively
+    and the reference forwards query text verbatim
+    (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT o_orderkey,
+                   date_format(o_orderdate, '%W, %M %e') AS wd,
+                   date_format(o_orderdate, '%y/%c/%e') AS s2,
+                   date_parse(date_format(o_orderdate, '%y/%c/%e'),
+                              '%y/%c/%e') AS roundtrip,
+                   date_format(o_orderdate, '%j %T') AS doy,
+                   date_parse(lpad(CAST(o_orderkey % 100 AS VARCHAR),
+                                   2, '0') || '/6/15',
+                              '%y/%c/%e') AS pivot_ts
+            FROM orders WHERE o_orderkey < 2000
+            """
+        )
+    )
+
+
+@register(
+    "x49_json_path_semantics",
+    oracle="""
+    WITH docs AS (
+      SELECT o_orderkey,
+             '{"a": [' || CAST(o_orderkey AS VARCHAR) || ', {"b": "'
+               || o_orderpriority || '"}], "c": null, "d": "['
+               || o_orderstatus || '", "e": {"f": true}}' AS j
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT o_orderkey,
+           json_extract_string(j, '$.a[0]') AS a0,
+           CAST(json_extract(j, '$.a[1]') AS VARCHAR) AS a1,
+           json_extract_string(j, '$.a[1].b') AS a1b,
+           'null' AS cnull,
+           0 AS csize,
+           json_extract_string(j, '$.d') AS dstr,
+           0 AS dsize,
+           CAST(json_array_length(j, '$.a') AS INTEGER) AS asize,
+           CAST(len(json_keys(j, '$.e')) AS INTEGER) AS esize,
+           CAST(NULL AS VARCHAR) AS missing,
+           CAST(NULL AS INTEGER) AS msize
+    FROM docs
+    """,
+)
+def x49_json_path_semantics(spark, sf_dir):
+    """Differential certification of the JSON-path family's edge
+    semantics (round-11 sweep catches, both closed):
+
+    - **raw-UTF-8 serialization**: json_extract now emits
+      ensure_ascii=False like Trino's Jackson extractor (the \\uXXXX
+      escaping silently diverged on every non-ASCII string);
+    - **json_size type detection**: sizes are decided on the EXACT
+      extractor's serialized node, so a string VALUE beginning with
+      '[' (the ``d`` column) is a scalar of size 0 — the old
+      get_json_object + startswith heuristic fed it to
+      json_array_length and returned NULL;
+    - **JSON null vs missing path**: json_extract of an existing null
+      node is the text 'null' with size 0 (Trino's
+      JsonValueJsonExtractor writes the node verbatim); a missing path
+      is SQL NULL end-to-end.  DuckDB conflates the two (its
+      json_extract maps null nodes to SQL NULL), so the oracle spells
+      Trino's contract as literals on the engineered doc — arrays-of-
+      objects paths (a0/a1/a1b) remain true cross-engine
+      differentials.
+
+    Reference parity: Trino evaluates the json_* family natively and
+    the reference forwards query text verbatim
+    (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import install_compat_functions, translate
+
+    register_tables(spark, sf_dir)
+    install_compat_functions(spark)
+    return spark.sql(
+        translate(
+            """
+            WITH docs AS (
+              SELECT o_orderkey,
+                     '{"a": [' || CAST(o_orderkey AS VARCHAR) || ', {"b": "'
+                       || o_orderpriority || '"}], "c": null, "d": "['
+                       || o_orderstatus || '", "e": {"f": true}}' AS j
+              FROM orders WHERE o_orderkey < 2000
+            )
+            SELECT o_orderkey,
+                   json_extract_scalar(j, '$.a[0]') AS a0,
+                   json_extract(j, '$.a[1]') AS a1,
+                   json_extract_scalar(j, '$.a[1].b') AS a1b,
+                   json_extract(j, '$.c') AS cnull,
+                   json_size(j, '$.c') AS csize,
+                   json_extract_scalar(j, '$.d') AS dstr,
+                   json_size(j, '$.d') AS dsize,
+                   json_size(j, '$.a') AS asize,
+                   json_size(j, '$.e') AS esize,
+                   json_extract_scalar(j, '$.zz') AS missing,
+                   json_size(j, '$.zz') AS msize
+            FROM docs
+            """
+        )
+    )

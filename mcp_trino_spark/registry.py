@@ -317,6 +317,8 @@ ROWS_ONLY_OK = {
 _WINDOW_HEAD = [
     "a21b_weighted_qdigest_rollup",
     "x47_column_int_division",
+    "x48_datetime_token_semantics",
+    "x49_json_path_semantics",
     "x23_vector_math",
     "x24_setdigest",
     "x35_exclude_minmax",
@@ -358,8 +360,6 @@ _WINDOW_HEAD = [
     "l2_minhash_lsh_pairs",
     "l2c_ngram_jaccard",
     "l27_passage_dedup",
-    "l34_rare_ngram_overlap",
-    "l18_mix_weights",
 ]
 _WINDOW_TAIL = [
     "p8_case_when",

@@ -160,15 +160,21 @@ _COMPAT_SQL_UDFS = {
     # binary/varbinary bridge (Trino's string<->bytes pair)
     "to_utf8": ("(s STRING)", "BINARY", "encode(s, 'UTF-8')"),
     "from_utf8": ("(b BINARY)", "STRING", "decode(b, 'UTF-8')"),
-    # JSON sizing/indexing over the string-typed JSON this engine uses
+    # JSON sizing/indexing over the string-typed JSON this engine uses.
+    # json_size inspects the EXACT extractor's serialized node (a
+    # string node serializes as '"...' — the old get_json_object +
+    # startswith('[') heuristic misread a string VALUE beginning with
+    # '[' as an array and returned NULL via json_array_length;
+    # differential-sweep catch, round 11).  Scalars including JSON
+    # null are size 0 (Trino contract); missing paths stay NULL.
     "json_size": (
         "(j STRING, p STRING)",
         "INT",
-        "CASE WHEN get_json_object(j, p) IS NULL THEN NULL"
-        " WHEN startswith(ltrim(get_json_object(j, p)), '[')"
-        " THEN json_array_length(get_json_object(j, p))"
-        " WHEN startswith(ltrim(get_json_object(j, p)), '{')"
-        " THEN size(json_object_keys(get_json_object(j, p)))"
+        "CASE WHEN json_extract(j, p) IS NULL THEN NULL"
+        " WHEN startswith(json_extract(j, p), '[')"
+        " THEN json_array_length(json_extract(j, p))"
+        " WHEN startswith(json_extract(j, p), '{')"
+        " THEN size(json_object_keys(json_extract(j, p)))"
         " ELSE 0 END",
     ),
     # 0-based index like Trino; negative indexes are a documented gap
@@ -737,10 +743,9 @@ def install_compat_functions(spark) -> None:
     dialect='trino' call)."""
     if getattr(spark, _INSTALLED_ATTR, False):
         return
-    for name, (args, rtype, body) in _COMPAT_SQL_UDFS.items():
-        spark.sql(
-            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{args} RETURNS {rtype} RETURN {body}"
-        )
+    # (the SQL temp functions are created at the END of this installer:
+    # CREATE FUNCTION analyzes the body immediately, and json_size's
+    # body references the json_extract pandas UDF registered below)
 
     # normalize() needs the unicodedata tables — the one compat function
     # that cannot be pure SQL.  Arrow-vectorized pandas UDF (dialect
@@ -811,8 +816,13 @@ def install_compat_functions(spark) -> None:
                 out.append(None)
                 continue
             found, v = _walk(doc, path)
+            # ensure_ascii=False: Trino's extractor (Jackson) emits raw
+            # UTF-8 — the default \uXXXX escaping silently diverged on
+            # every non-ASCII string (differential-sweep catch, r11)
             out.append(
-                _json.dumps(v, separators=(",", ":")) if found else None
+                _json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+                if found
+                else None
             )
         return pd.Series(out, dtype="object")
 
@@ -1058,6 +1068,10 @@ def install_compat_functions(spark) -> None:
     from mcp_trino_spark.functions.setdigest import register_setdigest_functions
 
     register_setdigest_functions(spark)
+    for name, (args, rtype, body) in _COMPAT_SQL_UDFS.items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{args} RETURNS {rtype} RETURN {body}"
+        )
     setattr(spark, _INSTALLED_ATTR, True)
 
 
@@ -2658,10 +2672,24 @@ _MYSQL_TOKENS = {
     "S": "ss", "f": "SSSSSS", "p": "a", "j": "DDD", "T": "HH:mm:ss",
     "W": "EEEE", "a": "EEE", "b": "MMM", "M": "MMMM",
 }
+#: PARSE-direction map (date_parse): MySQL numeric tokens parse 1-2
+#: digits leniently (Joda's appendDecimal in Trino's own formatter does
+#: too), but Java's PADDED letters ('mm', 'dd', …) require exactly two
+#: on parse — '2026-1-2 3:4:5' died on a Trino-valid call (differential
+#: sweep catch, round 11).  Single pattern letters parse 1-2 digits AND
+#: Spark's 'SSSSSS' fraction parser is length-lenient, so the parse map
+#: uses the unpadded spellings; the FORMAT direction keeps the padded
+#: map above (output must be zero-padded).
+_MYSQL_TOKENS_PARSE = {
+    **_MYSQL_TOKENS,
+    "m": "M", "c": "M", "d": "d", "e": "d", "H": "H", "k": "H",
+    "h": "h", "I": "h", "i": "m", "s": "s", "S": "s", "j": "D",
+    "T": "H:m:s",
+}
 _DATE_PARSE_HEAD = re.compile(r"\bdate_parse\s*\(", re.IGNORECASE)
 
 
-def _translate_mysql_format(fmt: str) -> str:
+def _translate_mysql_format(fmt: str, parse: bool = False) -> str:
     """MySQL %-token format → Java DateTimeFormatter pattern.  Bare
     letters are literal text in MySQL formats but pattern letters in
     Java — they come out quoted ('T')."""
@@ -2669,6 +2697,7 @@ def _translate_mysql_format(fmt: str) -> str:
         raise TrinoCompatError(
             f"quote character inside date format {fmt!r} is not supported"
         )
+    table = _MYSQL_TOKENS_PARSE if parse else _MYSQL_TOKENS
     out: List[str] = []
     i = 0
     while i < len(fmt):
@@ -2679,8 +2708,8 @@ def _translate_mysql_format(fmt: str) -> str:
             tok = fmt[i + 1]
             if tok == "%":
                 out.append("%")
-            elif tok in _MYSQL_TOKENS:
-                out.append(_MYSQL_TOKENS[tok])
+            elif tok in table:
+                out.append(table[tok])
             else:
                 raise TrinoCompatError(
                     f"unsupported date format token %{tok} in {fmt!r}"
@@ -2700,7 +2729,17 @@ def _translate_mysql_format(fmt: str) -> str:
 
 def _rewrite_date_parse(q: str) -> str:
     """Trino/MySQL ``date_parse(s, '%Y-%m-%d')`` → Spark
-    ``to_timestamp(s, 'yyyy-MM-dd')``."""
+    ``to_timestamp(s, 'yyyy-MM-dd')`` — with the PARSE-direction token
+    map (lenient digit counts, see _MYSQL_TOKENS_PARSE).
+
+    Two-digit years pivot like MySQL/Trino: %y maps 70-99 → 1970-1999
+    and 00-69 → 2000-2069 (Trino builds its formatter with
+    ``appendTwoDigitYear(PIVOT_YEAR = 2020)`` — public source,
+    io.trino.operator.scalar.DateTimeFunctions), while Spark's 'yy'
+    bases at 2000 (every input lands in 2000-2099).  The rewrite
+    subtracts a century when the parsed year lands ≥ 2070 — a
+    differential-sweep catch (round 11): date_parse('85/…', '%y/…')
+    silently returned 2085 where Trino returns 1985."""
     while True:
         found = _find_call(q, _DATE_PARSE_HEAD)
         if found is None:
@@ -2715,8 +2754,22 @@ def _rewrite_date_parse(q: str) -> str:
                 "date_parse format must be a string literal for "
                 "MySQL→Spark token translation"
             )
-        translated = _translate_mysql_format(pat[1:-1]).replace("'", "''")
-        q = q[: m.start()] + f"to_timestamp({args[0]}, '{translated}')" + q[b1 + 1 :]
+        fmt = pat[1:-1]
+        translated = _translate_mysql_format(fmt, parse=True).replace("'", "''")
+        ts = f"to_timestamp({args[0]}, '{translated}')"
+        toks, _i = set(), 0
+        while _i < len(fmt) - 1:
+            if fmt[_i] == "%":
+                toks.add(fmt[_i + 1])
+                _i += 2
+            else:
+                _i += 1
+        if "y" in toks:
+            ts = (
+                f"(CASE WHEN year({ts}) >= 2070 "
+                f"THEN {ts} - INTERVAL '100' YEAR ELSE {ts} END)"
+            )
+        q = q[: m.start()] + ts + q[b1 + 1 :]
 
 
 _DATE_FORMAT_HEAD = re.compile(r"\bdate_format\s*\(", re.IGNORECASE)

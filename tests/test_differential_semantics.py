@@ -477,3 +477,210 @@ def test_map_concat_random_differential(spark):
             m.update(zip(ks, vs))
         want[i] = ",".join(f"{k}={v}" for k, v in sorted(m.items()))
     assert got == want
+
+
+def test_date_format_tokens_random_differential(spark):
+    """Randomized MySQL-token sweep for date_format (VERDICT r10 item
+    6): seeded-random timestamps (midnight/noon edges, max microseconds,
+    pre-2000 years) through every supported %-token family, compared
+    against DuckDB's strftime with an INDEPENDENTLY-mapped C spelling
+    (%i→%M, %W→%A, %M→%B, … — the MySQL and C vocabularies disagree on
+    exactly the tokens that silently diverge)."""
+    import datetime
+
+    from mcp_trino_spark.trino_compat import install_compat_functions
+
+    install_compat_functions(spark)
+    rng = random.Random(920)
+    rows = []
+    for i in range(200):
+        ts = (
+            f"{rng.randint(1971, 2099):04d}-{rng.randint(1, 12):02d}-"
+            f"{rng.randint(1, 28):02d} {rng.choice([0, 1, 11, 12, 13, 23]):02d}:"
+            f"{rng.randint(0, 59):02d}:{rng.randint(0, 59):02d}."
+            f"{rng.choice([0, 1, 999999, 123456, 500000]):06d}"
+        )
+        rows.append((i, ts))
+    spark.createDataFrame(rows, "i long, tss string").createOrReplaceTempView(
+        "dfmt_t"
+    )
+    fmts = {
+        "c1": ("%Y-%m-%d %H:%i:%s", "%Y-%m-%d %H:%M:%S"),
+        "c2": ("%y/%c/%e %k:%i", "%y/%-m/%-d %-H:%M"),
+        "c3": ("%d %b %Y %h:%i %p", "%d %b %Y %I:%M %p"),
+        "c4": ("%W, %M %e", "%A, %B %-d"),
+        "c5": ("%j %T %f", "%j %H:%M:%S %f"),
+        "c6": ("on %Y at %H", "on %Y at %H"),  # bare letters stay literal
+        "c7": ("%%x %Y", "%%x %Y"),
+    }
+    sel = ", ".join(
+        f"date_format(CAST(tss AS TIMESTAMP), '{f}') AS {k}"
+        for k, (f, _) in fmts.items()
+    )
+    got = {
+        r["i"]: tuple(r[k] for k in fmts)
+        for r in spark.sql(
+            translate(f"SELECT i, {sel} FROM dfmt_t")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, tss VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    dsel = ", ".join(
+        f"strftime(CAST(tss AS TIMESTAMP), '{d}') AS {k}"
+        for k, (_, d) in fmts.items()
+    )
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(f"SELECT i, {dsel} FROM t").fetchall()
+    }
+    assert got == want
+
+
+def test_date_parse_tokens_random_differential(spark):
+    """Randomized date_parse sweep — the direction that caught two
+    silent divergences this round: (1) two-digit years: MySQL/Trino
+    pivot 70-99 → 1970-1999 (Trino builds appendTwoDigitYear(2020));
+    Spark's 'yy' based every input at 2000-2099; (2) lenient digit
+    counts: MySQL numeric tokens parse 1-2 digits where Java's padded
+    letters require exactly two — '2026-1-2 3:4:5' crashed.  The
+    DuckDB strptime oracle pivots %y at POSIX 69 (vs MySQL's 70), so
+    the oracle adjusts exactly year 1969 → 2069; and DuckDB's %f reads
+    an integer MICROSECOND count where MySQL/Trino/Joda read a
+    FRACTION ('.25' = 250000 µs), so the oracle strips the fraction
+    and re-adds it as to_microseconds of the right-padded digits —
+    three engines, three fraction conventions, all spelled out."""
+    import datetime
+
+    rng = random.Random(922)
+    rows = []
+    for i in range(200):
+        y2 = rng.randint(0, 99)
+        mo, d = rng.randint(1, 12), rng.randint(1, 28)
+        h24, mi, s = rng.randint(0, 23), rng.randint(0, 59), rng.randint(0, 59)
+        frac = rng.choice(["1", "25", "123", "123456"])
+        pad = rng.random() < 0.5  # mix padded and unpadded spellings
+        mm, dd = (f"{mo:02d}", f"{d:02d}") if pad else (str(mo), str(d))
+        rows.append((
+            i,
+            f"{y2:02d}/{mm}/{dd}",
+            f"20{y2:02d}-{mm}-{dd} {h24}:{mi}:{s}.{frac}",
+        ))
+    spark.createDataFrame(
+        rows, "i long, s2 string, sf string"
+    ).createOrReplaceTempView("dparse_t")
+    got = {
+        r["i"]: (r["a"], r["b"])
+        for r in spark.sql(
+            translate(
+                "SELECT i, date_parse(s2, '%y/%c/%e') AS a,"
+                " date_parse(sf, '%Y-%m-%d %H:%i:%s.%f') AS b"
+                " FROM dparse_t"
+            )
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, s2 VARCHAR, sf VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            """
+            SELECT i,
+              CASE WHEN year(strptime(s2, '%y/%-m/%-d')) = 1969
+                   THEN strptime(s2, '%y/%-m/%-d') + INTERVAL 100 YEAR
+                   ELSE strptime(s2, '%y/%-m/%-d') END,
+              strptime(regexp_replace(sf, '\\.\\d+$', ''),
+                       '%Y-%m-%d %-H:%M:%S')
+                + to_microseconds(CAST(rpad(regexp_extract(sf,
+                      '\\.(\\d+)$', 1), 6, '0') AS BIGINT))
+            FROM t
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_json_path_random_differential(spark):
+    """Randomized JSON-path differential (VERDICT r10 item 6):
+    arrays-of-objects, nested nulls, unicode, quote-bearing and
+    bracket-leading strings swept through json_extract /
+    json_extract_scalar / json_size on nine fixed path shapes.  Paths
+    are LITERAL columns because DuckDB's json_type conflates a JSON
+    null node with a missing path when the path is a column — with
+    literal paths it distinguishes them ('NULL' vs SQL NULL), giving a
+    true oracle for Trino's contract (json_extract of a null node is
+    the text 'null', json_size of any scalar including null is 0,
+    missing paths are SQL NULL).  This sweep caught the round-11
+    unicode-escaping divergence (json.dumps ensure_ascii vs Trino's
+    raw-UTF-8 Jackson output)."""
+    import json as _json
+
+    from mcp_trino_spark.trino_compat import install_compat_functions
+
+    install_compat_functions(spark)
+    rng = random.Random(921)
+
+    def rand_scalar():
+        return rng.choice(
+            [1, -3, 0, 1.5, 2.25, True, False, None,
+             "x", "", "a b", "δλ", "[x", "{y", 'q"t', "a'b", 7, 42]
+        )
+
+    def rand_json(depth=0):
+        r = rng.random()
+        if depth >= 3 or r < 0.35:
+            return rand_scalar()
+        if r < 0.7:
+            return {
+                k: rand_json(depth + 1)
+                for k in rng.sample(["a", "b", "c"], rng.randint(1, 3))
+            }
+        return [rand_json(depth + 1) for _ in range(rng.randint(0, 3))]
+
+    rows = [
+        (i, _json.dumps(rand_json(), ensure_ascii=False)) for i in range(250)
+    ]
+    spark.createDataFrame(rows, "i long, j string").createOrReplaceTempView(
+        "jsd_t"
+    )
+    paths = ["$.a", "$.a.b", "$.a[0]", "$.a[0].b", "$[0]", "$[1].a",
+             "$.b[2]", "$.c", "$.b.c.a"]
+    sel = []
+    for k, p in enumerate(paths):
+        sel += [
+            f"json_extract_scalar(j, '{p}') AS s{k}",
+            f"json_extract(j, '{p}') AS e{k}",
+            f"json_size(j, '{p}') AS z{k}",
+        ]
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            translate(f"SELECT i, {', '.join(sel)} FROM jsd_t ORDER BY i")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, j VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    dsel = []
+    for k, p in enumerate(paths):
+        typ = f"json_type(TRY_CAST(j AS JSON), '{p}')"
+        dsel += [
+            f"CASE WHEN {typ} IN ('OBJECT', 'ARRAY') THEN NULL"
+            f" ELSE json_extract_string(j, '{p}') END AS s{k}",
+            f"CASE WHEN {typ} IS NULL THEN NULL WHEN {typ} = 'NULL'"
+            f" THEN 'null' ELSE CAST(json_extract(j, '{p}') AS VARCHAR)"
+            f" END AS e{k}",
+            f"CASE WHEN {typ} IS NULL THEN NULL"
+            f" WHEN {typ} = 'ARRAY' THEN json_array_length(j, '{p}')"
+            f" WHEN {typ} = 'OBJECT' THEN len(json_keys(j, '{p}'))"
+            f" ELSE 0 END AS z{k}",
+        ]
+    want = con.execute(
+        f"SELECT i, {', '.join(dsel)} FROM t ORDER BY i"
+    ).fetchall()
+    assert len(got) == len(want) == 250
+    for g, w in zip(got, want):
+        assert tuple(g) == tuple(w), (g[0], [
+            (a, b) for a, b in zip(g[1:], w[1:]) if a != b
+        ])

@@ -628,9 +628,11 @@ def test_ngrams_and_bit_count(spark):
 
 
 def test_date_parse_mysql_tokens(spark):
+    # parse direction uses the LENIENT (unpadded) token map: Java 'mm'
+    # requires exactly two digits on parse where MySQL %i takes 1-2
     assert (
         translate("SELECT date_parse(s, '%Y-%m-%d %H:%i:%s') FROM t")
-        == "SELECT to_timestamp(s, 'yyyy-MM-dd HH:mm:ss') FROM t"
+        == "SELECT to_timestamp(s, 'yyyy-M-d H:m:s') FROM t"
     )
     rows = run(spark, "SELECT date_parse('2024-01-02 03:04:05', '%Y-%m-%d %H:%i:%s') AS r")
     assert rows[0]["r"] == datetime.datetime(2024, 1, 2, 3, 4, 5)

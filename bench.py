@@ -104,6 +104,10 @@ HEADLINERS = [
     # r10: MIN/MAX under EXCLUDE CURRENT ROW — dense_rank sub-windows
     # plus the refined peer-partition split, one exchange total
     "x42_exclude_current_row_minmax",
+    # r11: the bounded-memory weighted quantile rollup (two-level
+    # sharded weighted qdigest build over lineitem — the scale path
+    # for Trino's weighted approx_percentile)
+    "a21b_weighted_qdigest_rollup",
 ]
 
 

@@ -1625,10 +1625,49 @@ def _rewrite_split_to_map(q: str) -> str:
 _PARSE_DT_HEAD = re.compile(r"\bparse_datetime\s*\(", re.IGNORECASE)
 
 
+def _joda_two_digit_year(pattern: str) -> bool:
+    """True when the pattern carries a two-letter y/Y run outside
+    quoted literals — Joda pivots those on parse (see below)."""
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if pattern[i] == "'":
+                    if i + 1 < n and pattern[i + 1] == "'":
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+            continue
+        if ch in "yY":
+            j = i
+            while j < n and pattern[j] == ch:
+                j += 1
+            if j - i == 2:
+                return True
+            i = j
+            continue
+        i += 1
+    return False
+
+
 def _rewrite_parse_datetime(q: str) -> str:
     """Trino ``parse_datetime(s, 'joda-pattern')`` → Spark
     ``to_timestamp(s, 'spark-pattern')`` via the same Joda token
-    translation as format_datetime."""
+    translation as format_datetime — in the PARSE direction (padded
+    numeric runs become lenient single letters, _JODA_LENIENT_PAIRS).
+
+    Two-digit years pivot like Joda: DateTimeFormat's 'yy' parses with
+    ``appendTwoDigitYear(currentYear - 30)`` (Joda public source,
+    DateTimeFormatterBuilder) — the parsed year lands in
+    [currentYear-80, currentYear+19] — while Spark's 'yy' bases at
+    2000.  The rewrite subtracts a century when the parsed year
+    exceeds currentYear+19, matching Trino's wall-clock-dependent
+    window (the same silent-shift class as date_parse's MySQL pivot,
+    caught by the round-11 sweep)."""
     while True:
         found = _find_call(q, _PARSE_DT_HEAD)
         if found is None:
@@ -1643,8 +1682,18 @@ def _rewrite_parse_datetime(q: str) -> str:
                 "parse_datetime pattern must be a string literal for "
                 "Joda→Spark token translation"
             )
-        translated = _translate_joda(pat[1:-1])
-        q = q[: m.start()] + f"to_timestamp({args[0]}, '{translated}')" + q[b1 + 1 :]
+        fmt = pat[1:-1]
+        translated = _translate_joda(fmt, parse=True)
+        ts = f"to_timestamp({args[0]}, '{translated}')"
+        if _joda_two_digit_year(fmt):
+            import datetime as _dt
+
+            hi = _dt.date.today().year + 19  # Joda window top
+            ts = (
+                f"(CASE WHEN year({ts}) > {hi} "
+                f"THEN {ts} - INTERVAL '100' YEAR ELSE {ts} END)"
+            )
+        q = q[: m.start()] + ts + q[b1 + 1 :]
 
 
 _MAP_AGG_HEAD = re.compile(r"\bmap_agg\s*\(", re.IGNORECASE)
@@ -1839,7 +1888,16 @@ _JODA_RUN = {
 _JODA_BAD = set("Ce")
 
 
-def _translate_joda(pattern: str) -> str:
+#: Joda numeric tokens whose TWO-letter (padded) runs must become the
+#: single (lenient) letter in the PARSE direction: Joda's number parser
+#: accepts 1-2 digits regardless of padding, Java/Spark's padded
+#: letters require exactly two on parse — '2026-1-2' died on a
+#: Trino-valid parse_datetime('…', 'yyyy-MM-dd') input (same class as
+#: the MySQL-token catch, round 11)
+_JODA_LENIENT_PAIRS = frozenset("MdHhKkmsD")
+
+
+def _translate_joda(pattern: str, parse: bool = False) -> str:
     """Translate a Joda-Time datetime pattern to Spark's dialect."""
     out: List[str] = []
     i, n = 0, len(pattern)
@@ -1879,6 +1937,8 @@ def _translate_joda(pattern: str) -> str:
                 out.append(_JODA_RUN[ch] * len(run))
             elif ch == "Z":
                 out.append(_JODA_RUN[run if len(run) <= 3 else "ZZZ"])
+            elif parse and len(run) == 2 and ch in _JODA_LENIENT_PAIRS:
+                out.append(ch)
             else:
                 out.append(run)
             i = j

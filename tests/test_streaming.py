@@ -554,3 +554,32 @@ def test_t16_qdigest_stream_matches_batch_contract(spark):
             assert lo - slack <= q <= hi + slack, (
                 row["event_type"], row["win_start_s"], q, est, lo, hi
             )
+
+
+def test_t16_null_values_do_not_inflate_counts(spark, tmp_path):
+    """ADVICE r10: Arrow surfaces NULL doubles to pandas as NaN, which
+    passed the old `is not None` filter — build_sketch dropped them
+    but the running count still included them, overstating `n` and
+    breaking count conservation on NULL-bearing inputs.  A NULL-heavy
+    parquet stream must emit n = non-NULL count exactly."""
+    import pandas as pd
+
+    src = str(tmp_path / "null_events")
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["a"] * 10,
+            "ts_ns": [1_000_000_000 * i for i in range(10)],
+            "value": [1.0, None, 2.0, None, 3.0, None, 4.0, 5.0, None, 6.0],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    got = S.run_to_memory(
+        S.t16_qdigest_stream(stream, window_s=3600),
+        "t16_null_mem",
+        output_mode="append",
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["n"] == 6  # six non-NULL values, NaN-laundered NULLs excluded
+    assert got[0]["p50"] is not None

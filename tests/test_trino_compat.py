@@ -3620,3 +3620,32 @@ def test_kurtosis_window_form_relocates_over(spark):
         assert win[0].k == pytest.approx(agg[0].k)
     finally:
         spark.catalog.dropTempView("kurt_w")
+
+
+def test_parse_datetime_lenient_digits_and_joda_pivot(spark):
+    """Round-11 sweep-class catches on the Joda twin of date_parse:
+    (1) padded numeric runs ('MM', 'dd', 'HH', 'mm', 'ss') become
+    lenient single letters in the PARSE direction — Joda's number
+    parser accepts 1-2 digits, Java's padded letters don't, so
+    '2026-1-2 3:4:5' crashed on a Trino-valid call; (2) two-digit
+    years pivot on Joda's appendTwoDigitYear(currentYear - 30) window
+    [currentYear-80, currentYear+19] where Spark's 'yy' bases at
+    2000 — '85' silently became 2085."""
+    import datetime as dt
+
+    rows = run(
+        spark,
+        "SELECT parse_datetime('85/3/7', 'yy/M/d') AS a,"
+        " parse_datetime('30/1/2', 'yy/M/d') AS b,"
+        " parse_datetime('2026-1-2 3:4:5', 'yyyy-MM-dd HH:mm:ss') AS c",
+    )
+    year_now = dt.date.today().year
+    hi = year_now + 19
+    a = rows[0]["a"]
+    assert a.month == 3 and a.day == 7
+    assert a.year == (1985 if 1985 <= hi else 2085)  # 85 → 19xx until 2066
+    assert rows[0]["b"].year == 2030
+    assert rows[0]["c"] == dt.datetime(2026, 1, 2, 3, 4, 5)
+    # format direction is untouched: padded output stays padded
+    out = translate("SELECT format_datetime(ts, 'yyyy-MM-dd HH:mm') FROM t")
+    assert "'yyyy-MM-dd HH:mm'" in out

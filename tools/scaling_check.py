@@ -717,6 +717,8 @@ def main() -> None:
     clear_caches(spark)
     check_qdigest(spark)
     clear_caches(spark)
+    check_weighted_qdigest(spark)
+    clear_caches(spark)
     check_with_ties_threshold(spark)
     clear_caches(spark)
     check_heavy_hitters(spark)
@@ -820,3 +822,43 @@ def check_editdist_verify(spark) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def check_weighted_qdigest(spark) -> None:
+    """Weighted two-level sketch build (a21b — the bounded-memory path
+    for Trino's weighted approx_percentile) at 10×: key-shifted
+    replicas grow key cardinality and per-key volume together; the
+    partial stage sketches (value, weight) pairs bounded per (key,
+    scan partition), the merge shuffles KB-sized rows — time must
+    track volume, and per-executor memory must NOT track the distinct
+    value count (the wall Spark's exact percentile hits)."""
+    from mcp_trino_spark.functions.qdigest import (
+        weighted_qdigest_by, with_quantiles,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice", "l_quantity"
+    )
+
+    def plan(frame):
+        return with_quantiles(
+            weighted_qdigest_by(
+                frame, "l_extendedprice", "l_quantity",
+                ["l_returnflag", "l_linestatus"],
+            ),
+            [0.5, 0.99],
+        )
+
+    n_rows_1x = li.count()
+    timed(plan(li))  # warm
+    t1 = min(timed(plan(li)) for _ in range(2))
+    # string group keys: suffix-shift per copy (replicate() adds to
+    # NUMERIC keys) — same per-replica distribution, disjoint key spaces
+    li10 = None
+    for i in range(COPIES):
+        rep = li.withColumn(
+            "l_returnflag", F.concat(F.col("l_returnflag"), F.lit(f"_{i}"))
+        )
+        li10 = rep if li10 is None else li10.unionByName(rep)
+    t10 = min(timed(plan(li10)) for _ in range(2))
+    report("weighted_qdigest_two_level_build", n_rows_1x, t1, t10)

@@ -65,9 +65,12 @@ def _catalog_column_types(spark) -> dict:
     name registered with DIFFERENT types in different tables collapses
     to the sentinel ``"ambiguous"`` (not an integral type, so the
     rewrite skips it — the safe direction: the divergence stays
-    documented rather than guessed).  Built only when the query's text
-    actually carries identifier division (``has_identifier_division``),
-    so the common path pays zero catalog RPCs."""
+    documented rather than guessed).  Round 11 widened the consumers:
+    the Trino-rounding CAST/round passes and the array-subscript
+    negativity guard read the same map.  Built only when the query's
+    text could use it (``needs_column_types``: identifier division, a
+    round(, a CAST to an integral type, or a subscript), so the common
+    path pays zero catalog RPCs."""
     types: dict = {}
     try:
         tables = spark.catalog.listTables()
@@ -276,7 +279,7 @@ def execute_query(
         from mcp_trino_spark.trino_compat import (
             approx_most_frequent_mode,
             expand_approx_most_frequent_sketch,
-            has_identifier_division,
+            needs_column_types,
         )
 
         if approx_most_frequent_mode() == "sketch" and re.search(
@@ -290,7 +293,7 @@ def execute_query(
             q,
             column_types=(
                 _catalog_column_types(spark)
-                if has_identifier_division(q)
+                if needs_column_types(q)
                 else None
             ),
         )

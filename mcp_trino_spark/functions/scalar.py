@@ -2406,3 +2406,248 @@ def x49_json_path_semantics(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x50_typeof_spellings",
+    oracle="""
+    SELECT o_orderkey,
+           'bigint' AS t_key, 'varchar' AS t_status, 'double' AS t_price,
+           'timestamp(6)' AS t_date, 'array(bigint)' AS t_arr,
+           'map(varchar, bigint)' AS t_map,
+           'row(a bigint, b varchar)' AS t_row,
+           'decimal(12,2)' AS t_dec, 'unknown' AS t_null, 'double' AS t_dbl
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def x50_typeof_spellings(spark, sf_dir):
+    """Differential certification of typeof()'s Trino type-name
+    spellings (_rewrite_typeof_trino, a round-11 probe catch): Spark's
+    typeof returns catalog spellings (``bigint`` survives, but ``int``/
+    ``string``/``array<bigint>``/``struct<a:bigint>`` all silently
+    diverged from Trino's ``integer``/``varchar``/``array(bigint)``/
+    ``row(a bigint)``).  The rewrite maps the output through a
+    constant JVM-side string chain; the oracle pins the expected Trino
+    spellings as literals — scalar, complex (array/map/row with
+    Trino's comma-space convention vs decimal's no-space), NULL
+    (``unknown``), and the timestamp(6) mapping for this engine's
+    µs-precision timestamps.
+
+    Reference parity: typeof evaluates in Trino, text forwarded
+    verbatim (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT o_orderkey,
+                   typeof(o_orderkey) AS t_key,
+                   typeof(o_orderstatus) AS t_status,
+                   typeof(o_totalprice) AS t_price,
+                   typeof(o_orderdate) AS t_date,
+                   typeof(ARRAY[o_orderkey]) AS t_arr,
+                   typeof(MAP(ARRAY[o_orderstatus], ARRAY[o_orderkey]))
+                     AS t_map,
+                   typeof(CAST(ROW(o_orderkey, o_orderstatus)
+                               AS ROW(a BIGINT, b VARCHAR))) AS t_row,
+                   typeof(CAST(o_totalprice AS DECIMAL(12,2))) AS t_dec,
+                   typeof(NULL) AS t_null,
+                   typeof(1.5E0) AS t_dbl
+            FROM orders WHERE o_orderkey < 2000
+            """
+        )
+    )
+
+
+@register(
+    "x51_array_minmax_nulls",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber > 3 THEN NULL
+                ELSE greatest(l_quantity, l_discount, l_tax) END AS mx,
+           least(l_quantity, l_discount) AS mn,
+           l_extendedprice AS single
+    FROM lineitem WHERE l_orderkey < 3000
+    """,
+)
+def x51_array_minmax_nulls(spark, sf_dir):
+    """Differential certification of array_max/array_min's
+    null-containment semantics (_rewrite_array_minmax_nulls, a
+    round-11 probe catch): Trino returns NULL when the array CONTAINS
+    a null element (null-rejecting comparator) while Spark's builtins
+    silently skip nulls — ``array_max(ARRAY[1, NULL])`` was 1.  The
+    ``mx`` column injects a NULL element on l_linenumber > 3 rows
+    (where the guard must yield NULL); the oracle spells the contract
+    independently via CASE + greatest/least over the same elements.
+
+    Reference parity: Trino ArrayMaxFunction/ArrayMinFunction, text
+    forwarded verbatim (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT l_orderkey, l_linenumber,
+                   array_max(ARRAY[l_quantity, l_discount,
+                             CASE WHEN l_linenumber > 3 THEN NULL
+                                  ELSE l_tax END]) AS mx,
+                   array_min(ARRAY[l_quantity, l_discount]) AS mn,
+                   array_max(ARRAY[l_extendedprice]) AS single
+            FROM lineitem WHERE l_orderkey < 3000
+            """
+        )
+    )
+
+
+@register(
+    "x52_double_round_semantics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * 100.0 + 0.5) / 100.0 AS r2,
+           floor(l_discount * 10.0 + 0.5) / 10.0 AS r1,
+           floor((l_partkey * 5 + 5) * power(10, -1) + 0.5)
+             / power(10, -1) AS rneg,
+           floor(l_quantity + 0.5) / 1.0 AS r0,
+           floor(l_tax * power(10, l_linenumber % 3) + 0.5)
+             / power(10, l_linenumber % 3) AS rvar
+    FROM lineitem WHERE l_orderkey < 3000
+    """,
+)
+def x52_double_round_semantics(spark, sf_dir):
+    """Differential certification of round(double, n)'s binary-scaled
+    Trino semantics (_rewrite_double_round, a round-11 probe catch):
+    Trino computes ``Math.floor(x * 10^n + 0.5) / 10^n``
+    (sign-mirrored) in IEEE doubles while Spark rounds the shortest
+    DECIMAL spelling HALF_UP — they split exactly on values whose
+    decimal spelling sits on a .5 boundary the binary product has
+    fallen below (round(1.005E0, 2): Trino 1.0, stock Spark 1.01).
+    Plain double columns are knowable via the catalog map (the x47
+    contract); ``rneg`` covers a negative-scale round over a
+    CAST-typed operand, ``rvar`` a non-literal scale.  The oracle
+    spells the floor form explicitly (lineitem measures are
+    non-negative, so the un-mirrored spelling is exact); the
+    randomized sweep in tests/test_differential_semantics.py crosses
+    signs and boundary tails.
+
+    Reference parity: Trino MathFunctions.round(double, long), text
+    forwarded verbatim (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.execute import _catalog_column_types
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice, 2) AS r2,
+                   round(l_discount, 1) AS r1,
+                   round(CAST(l_partkey * 5 + 5 AS DOUBLE), -1) AS rneg,
+                   round(l_quantity, 0) AS r0,
+                   round(l_tax, l_linenumber % 3) AS rvar
+            FROM lineitem WHERE l_orderkey < 3000
+            """,
+            column_types=_catalog_column_types(spark),
+        )
+    )
+
+
+@register(
+    "x53_cast_rounding_semantics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS cb,
+           CAST(floor(l_quantity + 0.5) AS INTEGER) AS ci,
+           CAST(floor(l_tax + 0.5) AS INTEGER) AS tc,
+           CAST(floor(CAST(l_extendedprice AS DECIMAL(12,2)) + 0.5)
+                AS BIGINT) AS dec_b,
+           CAST(floor(l_quantity - 25.5 + 0.5) AS BIGINT) AS neg
+    FROM lineitem WHERE l_orderkey < 3000
+    """,
+)
+def x53_cast_rounding_semantics(spark, sf_dir):
+    """Differential certification of CAST-to-integral ROUNDING
+    (_rewrite_cast_rounding, a round-11 probe catch): Trino's CAST of
+    a DOUBLE to an integral type is ``Math.round`` (half-up toward
+    +inf — the ``neg`` column crosses negative values where
+    floor(x + 0.5) keeps Math.round's tie asymmetry: -2.5 → -2) and
+    of a DECIMAL is HALF_UP, while Spark's ANSI cast TRUNCATES toward
+    zero in both cases — ``CAST(2.5E0 AS BIGINT)`` was silently 2.
+    Plain double columns are knowable via the catalog map; ``dec_b``
+    covers the decimal branch through a CAST-typed operand, ``neg`` a
+    CAST-to-DOUBLE operand wrapping an expression.  The oracle spells
+    Math.round's floor form (exact: floor output is integral-valued).
+
+    Reference parity: Trino DoubleOperators.castToLong / DecimalCasts
+    HALF_UP, text forwarded verbatim (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.execute import _catalog_column_types
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_extendedprice AS BIGINT) AS cb,
+                   CAST(l_quantity AS INTEGER) AS ci,
+                   TRY_CAST(l_tax AS INTEGER) AS tc,
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS BIGINT)
+                     AS dec_b,
+                   CAST(CAST(l_quantity - 25.5 AS DOUBLE) AS BIGINT) AS neg
+            FROM lineitem WHERE l_orderkey < 3000
+            """,
+            column_types=_catalog_column_types(spark),
+        )
+    )
+
+
+@register(
+    "x54_array_subscript_guard",
+    oracle="""
+    SELECT vec_id,
+           embedding[CAST(vec_id % 4 AS INTEGER) + 1] AS vmod,
+           embedding[1] AS first
+    FROM embeddings WHERE vec_id < 200
+    """,
+)
+def x54_array_subscript_guard(spark, sf_dir):
+    """Differential certification of the schema-aware negative-
+    subscript guard (round-11 extension of _rewrite_subscripts): a
+    subscript on a KNOWN array column gets a runtime negativity check
+    that raises like Trino ("Array subscript is negative") instead of
+    Spark's element_at silently reading from the end; positive
+    indexing through the guard stays exact (this oracle — DuckDB list
+    indexing is natively 1-based).  The raise path is pinned by
+    pytest (tests/test_trino_compat.py::
+    test_array_subscript_negative_guard); map columns and unknowable
+    bases keep the documented residue.
+
+    Reference parity: Trino ArraySubscriptOperator raises
+    INVALID_FUNCTION_ARGUMENT on negative indices, text forwarded
+    verbatim (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.execute import _catalog_column_types
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT vec_id,
+                   embedding[CAST(vec_id % 4 AS INTEGER) + 1] AS vmod,
+                   embedding[1] AS first
+            FROM embeddings WHERE vec_id < 200
+            """,
+            column_types=_catalog_column_types(spark),
+        )
+    )

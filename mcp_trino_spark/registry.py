@@ -319,6 +319,11 @@ _WINDOW_HEAD = [
     "x47_column_int_division",
     "x48_datetime_token_semantics",
     "x49_json_path_semantics",
+    "x50_typeof_spellings",
+    "x51_array_minmax_nulls",
+    "x52_double_round_semantics",
+    "x53_cast_rounding_semantics",
+    "x54_array_subscript_guard",
     "x23_vector_math",
     "x24_setdigest",
     "x35_exclude_minmax",
@@ -355,11 +360,6 @@ _WINDOW_HEAD = [
     "a7_rollup",
     "a14_percentile",
     "a16_salted_skew_agg",
-    "a18_pivot",
-    "l1_exact_dedup",
-    "l2_minhash_lsh_pairs",
-    "l2c_ngram_jaccard",
-    "l27_passage_dedup",
 ]
 _WINDOW_TAIL = [
     "p8_case_when",

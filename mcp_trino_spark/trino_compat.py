@@ -2067,7 +2067,7 @@ def _subscript_base_start(q: str, mask: List[bool], pos: int):
     return j + 1 if j + 1 <= end else None
 
 
-def _rewrite_subscripts(q: str) -> str:
+def _rewrite_subscripts(q: str, column_types: Optional[dict] = None) -> str:
     """Bare subscripts → 1-based/key-exact ``element_at``.
 
     Trino's ``expr[e]`` is 1-based on arrays and a throwing lookup on
@@ -2090,8 +2090,18 @@ def _rewrite_subscripts(q: str) -> str:
 
     Documented residue (arrays only): a negative index reads from the
     end in Spark where Trino errors — maps with negative integer keys
-    are legal, so a loud reject here would break valid map access.
+    are legal, so a LEXICAL reject here would break valid map access.
+    Round 11 closes the knowable case: when the base is a plain
+    identifier chain whose catalog type (``column_types``, the x47
+    map) is an array, the index gets a runtime negativity guard that
+    raises like Trino's "Array subscript is negative" instead of
+    silently reading from the end.  Non-column bases (function
+    results, subquery aliases) and map columns keep the documented
+    residue.
     """
+    types = {
+        str(k).lower(): str(v).lower() for k, v in (column_types or {}).items()
+    }
     while True:
         mask = _code_mask(q)
         hit = None
@@ -2122,7 +2132,23 @@ def _rewrite_subscripts(q: str) -> str:
         inner = q[lb + 1 : rb].strip()
         if not inner:
             raise TrinoCompatError(f"empty subscript on {base!r}")
-        q = q[:bs] + f"element_at({base}, {inner})" + q[rb + 1 :]
+        idx = inner
+        if (
+            _IDENT_CHAIN.fullmatch(base)
+            and types.get(base.rsplit(".", 1)[-1].lower(), "").startswith(
+                "array"
+            )
+            and not re.fullmatch(r"\d+", inner)
+        ):
+            # the outer CAST keeps element_at's index INT: a BIGINT
+            # index expression under the IF otherwise fails analysis
+            # (array indices are int-bounded in both engines anyway)
+            idx = (
+                f"CAST(IF(({inner}) < 0, raise_error("
+                f"'Array subscript is negative: ' || CAST(({inner}) AS STRING)"
+                f"), {inner}) AS INT)"
+            )
+        q = q[:bs] + f"element_at({base}, {idx})" + q[rb + 1 :]
 
 
 def _rewrite_array_literal(q: str) -> str:
@@ -5116,6 +5142,120 @@ def _sub_ident_outside_literals(body: str, var: str, repl: str) -> str:
     return "".join(out)
 
 
+_ARRAY_MINMAX_HEAD = re.compile(r"\barray_(min|max)\s*\(", re.IGNORECASE)
+
+
+def _rewrite_array_minmax_nulls(q: str) -> str:
+    """Trino ``array_max``/``array_min`` return NULL when the array
+    CONTAINS a null element (the comparator is null-rejecting:
+    ArrayMaxFunction / ArrayMinFunction); Spark's builtins silently
+    SKIP null elements — ``array_max(ARRAY[1, NULL])`` is NULL in
+    Trino, 1 in Spark.  User-spelled calls get a null-containment
+    guard::
+
+        CASE WHEN exists(a, x -> x IS NULL) THEN NULL
+             ELSE array_max(a) END
+
+    exists() on a NULL array yields NULL → CASE falls to the ELSE
+    whose array_max(NULL) is NULL (parity); an empty array yields
+    false → array_max(empty) is NULL in both engines.  The inner call
+    is emitted under a sentinel spelling so the scan never re-enters
+    its own output (the x37 convention); the guard duplicates the
+    array expression (Catalyst CSE keeps evaluation single — the
+    documented guard-growth trade).  ``array_max_by``/``array_min_by``
+    do not match (the head regex requires ``(`` directly after the
+    name) and already skip NULL keys by contract.
+    """
+    while True:
+        found = _find_call(q, _ARRAY_MINMAX_HEAD, 0)
+        if found is None:
+            break
+        m, b0, b1 = found
+        fn = f"array_{m.group(1).lower()}"
+        a = q[b0:b1].strip()
+        if not a or len(_split_top_args(a)) != 1:
+            raise TrinoCompatError(f"{fn}() takes exactly one array argument")
+        repl = (
+            f"CASE WHEN exists({a}, __t_amn -> __t_amn IS NULL)"
+            f" THEN NULL ELSE __t_{fn}({a}) END"
+        )
+        q = q[: m.start()] + repl + q[b1 + 1 :]
+    return q.replace("__t_array_max(", "array_max(").replace(
+        "__t_array_min(", "array_min("
+    )
+
+
+_TYPEOF_HEAD = re.compile(r"\btypeof\s*\(", re.IGNORECASE)
+
+#: Spark catalogString word → Trino type-name spelling, applied to
+#: typeof()'s OUTPUT at runtime (typeof's value is the static type of
+#: the expression — constant per query — so the chain folds to one
+#: tiny string transform per row group).  Order-independent: \b never
+#: matches inside bigint/smallint/tinyint/timestamp_ntz.
+_TYPEOF_WORD_MAP = (
+    ("\\\\bint\\\\b", "integer"),
+    ("\\\\bstring\\\\b", "varchar"),
+    ("\\\\bfloat\\\\b", "real"),
+    ("\\\\bbinary\\\\b", "varbinary"),
+    ("\\\\bvoid\\\\b", "unknown"),
+    ("\\\\btimestamp_ntz\\\\b", "timestamp(6)"),
+    # (?!\() so the bare rule cannot re-match the 'timestamp(6)' the
+    # ntz rule just emitted
+    ("\\\\btimestamp\\\\b(?!\\\\()", "timestamp(6)"),
+    (
+        "\\\\binterval (year|month)( to (year|month))?\\\\b",
+        "interval year to month",
+    ),
+    (
+        "\\\\binterval (day|hour|minute|second)( to (day|hour|minute|second))?\\\\b",
+        "interval day to second",
+    ),
+    # Trino separates complex-type parameters with ', ' (map/row) but
+    # spells decimal(10,2) without the space — space only before a
+    # non-digit
+    (",(?=\\\\S)(?!\\\\d)", ", "),
+)
+
+
+def _rewrite_typeof_trino(q: str) -> str:
+    """``typeof()`` with Trino type-name SPELLINGS.
+
+    Spark's typeof returns catalog spellings (``int``, ``string``,
+    ``array<int>``, ``struct<a:int>``); Trino returns SQL spellings
+    (``integer``, ``varchar``, ``array(integer)``,
+    ``row(a integer)``) — every call silently diverged.  The rewrite
+    maps the output through a constant JVM-side string chain:
+    ``struct``→``row``, ``<>:`` → ``() `` (struct field colons become
+    the space Trino puts between a row field's name and type), word
+    renames per _TYPEOF_WORD_MAP, and Trino's comma-space convention
+    (``map(varchar, integer)`` but ``decimal(10,2)``).
+
+    Documented residue (type-system gaps, not spelling bugs):
+    timestamps map to ``timestamp(6)`` — Spark timestamps are
+    µs-precision under this engine's pinned UTC session, while Trino
+    infers per-literal precision (``typeof(TIMESTAMP '2020-01-01')``
+    is ``timestamp(0)`` there) and distinguishes ``with time zone``;
+    varchar is unparameterized (Trino spells literal types
+    ``varchar(3)``); anonymous ROW constructors carry Spark's
+    ``col1``/``col2`` field names where Trino omits names.
+
+    Reference parity: typeof evaluates in Trino and the reference
+    forwards text verbatim (internal/trino/client.go:284-291).
+    """
+    while True:
+        found = _find_call(q, _TYPEOF_HEAD, 0)
+        if found is None:
+            break
+        m, b0, b1 = found
+        e = q[b0:b1].strip()
+        s = f"replace(__t_typeof({e}), 'struct', 'row')"
+        s = f"translate({s}, '<>:', '() ')"
+        for pat, rep in _TYPEOF_WORD_MAP:
+            s = f"regexp_replace({s}, '{pat}', '{rep}')"
+        q = q[: m.start()] + s + q[b1 + 1 :]
+    return q.replace("__t_typeof(", "typeof(")
+
+
 #: array_min_by/array_max_by take a LAMBDA — the rewrite substitutes
 #: the lambda variable into a pair comparator, so the key expression
 #: stays type-generic and JVM-side
@@ -6196,6 +6336,21 @@ def has_identifier_division(q: str) -> bool:
     return _IDENT_DIV_HINT.search(q) is not None
 
 
+#: façade gate for the OTHER schema-aware passes (round-11): a 2-arg
+#: round, a CAST to an integral type, or a subscript can each consume
+#: the catalog column-type map — everything else skips the catalog RPCs
+_NEEDS_TYPES_HINT = re.compile(
+    r"(?is)\bround\s*\(|\bAS\s+(?:TINYINT|SMALLINT|INT|INTEGER|BIGINT)\b|\["
+)
+
+
+def needs_column_types(q: str) -> bool:
+    """True when translate() could use the catalog column-type map:
+    identifier division (x47), Trino-rounding CAST/round (r11), or a
+    subscript negativity guard (r11)."""
+    return has_identifier_division(q) or _NEEDS_TYPES_HINT.search(q) is not None
+
+
 def _top_level_contains_div(expr: str) -> bool:
     """True when a parenthesized operand's top-level content carries a
     `div` — the output type of `div` is always integral, so groups this
@@ -6359,6 +6514,214 @@ def _rewrite_column_int_division(q: str, column_types: dict) -> str:
         repl = f"({left} div {right})"
         q = q[:lo] + repl + q[hi:]
         start = lo + len(repl)
+
+
+#: lexically double-typed literal forms: E-notation and the DOUBLE/REAL
+#: typed-literal constructors (bare `2.5` is DECIMAL in both engines)
+_DOUBLE_LITERAL = re.compile(r"-?\d+(?:\.\d+)?[eE][+-]?\d+")
+_TYPED_FP_LITERAL = re.compile(r"(?is)(DOUBLE|REAL)\s+'[^']*'")
+_DECIMAL_LITERAL_FORM = re.compile(r"-?\d+\.\d+")
+_TYPED_DEC_LITERAL = re.compile(r"(?is)DECIMAL\s+'[^']*'")
+_FP_COLUMN_TYPES = frozenset({"double", "float", "real"})
+
+
+def _cast_target_of(expr: str) -> Optional[str]:
+    """Lowercased base name of the target type when ``expr`` is a whole
+    CAST/TRY_CAST call, else None (mirrors _operand_integral's scan)."""
+    m = re.fullmatch(r"(?is)(?:CAST|TRY_CAST)\s*\((.*)\)", expr.strip())
+    if not m:
+        return None
+    body = m.group(1)
+    depth, as_pos = 0, None
+    for am in re.finditer(r"[()]|\bAS\b", body, re.IGNORECASE):
+        if am.group(0) == "(":
+            depth += 1
+        elif am.group(0) == ")":
+            depth -= 1
+        elif depth == 0:
+            as_pos = am.end()
+    if as_pos is None:
+        return None
+    return body[as_pos:].strip().split("(")[0].strip().lower()
+
+
+def _operand_fp_kind(expr: str, types: dict) -> Optional[str]:
+    """``'double'`` / ``'decimal'`` when the operand's type is lexically
+    knowable (same contract as _operand_integral: literals, CAST
+    targets, plain column references against the catalog map), else
+    None.  Used by the Trino-rounding passes below — rewrites happen
+    only where the operand type is certain."""
+    e = expr.strip()
+    if not e:
+        return None
+    if _DOUBLE_LITERAL.fullmatch(e) or _TYPED_FP_LITERAL.fullmatch(e):
+        return "double"
+    if _DECIMAL_LITERAL_FORM.fullmatch(e) or _TYPED_DEC_LITERAL.fullmatch(e):
+        return "decimal"
+    if e.startswith("(") and e.endswith(")"):
+        inner = e[1:-1].strip()
+        # only a plain parenthesized operand — a top-level comma or
+        # unbalanced inner parens would mean this was not one group
+        if _balanced(inner):
+            return _operand_fp_kind(inner, types)
+        return None
+    target = _cast_target_of(e)
+    if target is not None:
+        if target in ("double", "real", "float"):
+            return "double"
+        if target == "decimal":
+            return "decimal"
+        return None
+    if _IDENT_CHAIN.fullmatch(e):
+        t = types.get(e.rsplit(".", 1)[-1].lower(), "")
+        if t in _FP_COLUMN_TYPES:
+            return "double"
+        if t.startswith("decimal"):
+            return "decimal"
+    return None
+
+
+def _balanced(s: str) -> bool:
+    mask = _code_mask(s)
+    depth = 0
+    for i, ch in enumerate(s):
+        if not mask[i]:
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
+
+
+_ROUND_HEAD = re.compile(r"\bround\s*\(", re.IGNORECASE)
+
+
+def _rewrite_double_round(q: str, column_types: dict) -> str:
+    """Trino ``round(double, n)`` is BINARY-scaled Math.round —
+    ``Math.floor(x * 10^n + 0.5) / 10^n`` (sign-mirrored for x < 0) —
+    while Spark routes doubles through ``BigDecimal.valueOf`` and
+    rounds the shortest DECIMAL representation HALF_UP
+    (Round/RoundBase).  The two disagree exactly on values whose
+    decimal spelling sits on a .5 boundary the binary product has
+    already fallen below: Trino ``round(1.005E0, 2)`` = 1.0 (the IEEE
+    product 100.4999999999999893 + 0.5 floors to 100) where Spark
+    returns 1.01 — a silent value divergence on any double measure.
+    (``round(2.675E0, 2)`` = 2.68 in BOTH: that product rounds up to
+    267.5 exactly — the divergence is per-value, which is why the
+    sweep in tests/test_differential_semantics.py is randomized.)
+
+    Rewrites the 2-arg form when the FIRST operand is lexically
+    double-typed (E-notation or DOUBLE/REAL literals, CAST targets,
+    plain catalog columns of double/float type — the x47 contract) to
+    the sign-mirrored floor form, evaluated in the same IEEE doubles
+    Java uses.  DECIMAL operands stay with Spark's builtin (exact
+    HALF_UP matches Trino's decimal round); 1-arg round on double
+    agrees in both engines (half-away-from-zero at integer boundaries
+    survives the +0.5 in binary).  REAL operands promote to double
+    here where Trino rounds in float arithmetic — float-boundary
+    values may still differ by one ulp (documented residue).
+
+    Reference parity: Trino MathFunctions.round(double, long); the
+    reference forwards query text verbatim (client.go:284-291).
+    """
+    types = {str(k).lower(): str(v).lower() for k, v in column_types.items()}
+    pos = 0
+    while True:
+        found = _find_call(q, _ROUND_HEAD, pos)
+        if found is None:
+            return q
+        m, b0, b1 = found
+        args = _split_top_args(q[b0:b1])
+        if len(args) != 2 or _operand_fp_kind(args[0], types) != "double":
+            pos = b0
+            continue
+        x, n = args[0], args[1]
+        f = f"power(10, ({n}))"
+
+        # double-domain Math.floor: Spark's floor(double) returns
+        # BIGINT (ANSI-crashing on NaN/Infinity/|y| > 2^63 where
+        # Java's Math.floor just returns y) — above 2^53 every double
+        # is already integral, so the guard passes y through there and
+        # for NaN/Infinity (abs comparison false / false)
+        def dfloor(y: str) -> str:
+            return (
+                f"IF(abs({y}) < 9.007199254740992E15,"
+                f" CAST(floor({y}) AS DOUBLE), {y})"
+            )
+
+        repl = (
+            f"IF(({x}) < 0,"
+            f" -{dfloor(f'((-({x})) * {f} + 0.5D)')} / {f},"
+            f" {dfloor(f'(({x}) * {f} + 0.5D)')} / {f})"
+        )
+        q = q[: m.start()] + repl + q[b1 + 1 :]
+        # resume inside the IF: nested round() calls within x/n copies
+        # are still scanned; the rewritten call itself is gone
+        pos = m.start() + len("IF((")
+
+
+def _rewrite_cast_rounding(q: str, column_types: dict) -> str:
+    """Trino CAST of a fractional value to an integral type ROUNDS —
+    ``Math.round`` for DOUBLE/REAL (half-up toward +inf, NaN → 0),
+    HALF_UP (half away from zero) for DECIMAL — while Spark's ANSI
+    cast TRUNCATES toward zero: ``CAST(2.5E0 AS BIGINT)`` is 3 in
+    Trino, 2 in Spark, silently.  Rewrites CAST/TRY_CAST to TINYINT/
+    SMALLINT/INTEGER/INT/BIGINT when the operand is lexically
+    double- or decimal-typed (the x47 knowability contract:
+    literals, CAST targets, plain catalog columns):
+
+    - double operand → ``floor(x + 0.5)`` (Math.round's definition;
+      note Math.round(-2.5) = -2, NOT -3 — the floor form reproduces
+      that asymmetry exactly), with ``isnan(x) → 0`` as in Trino.
+      Infinity stays an ANSI overflow error here where Trino's BIGINT
+      cast clamps to Long.MAX (error-vs-value residue, documented).
+    - decimal operand → ``x ± 0.5`` then the truncating cast (exact
+      decimal arithmetic: trunc(x + sign(x)*0.5) IS HALF_UP).
+
+    Operands of unknowable type (function results, subquery aliases)
+    keep Spark truncation — same documented residue class as x47.
+    Reference parity: Trino DoubleOperators.castToLong /
+    DecimalCasts (HALF_UP); the reference forwards text verbatim.
+    """
+    types = {str(k).lower(): str(v).lower() for k, v in column_types.items()}
+    pos = 0
+    while True:
+        found = _find_call(q, _CAST_HEAD, pos)
+        if found is None:
+            return q
+        m, b0, b1 = found
+        body = q[b0:b1]
+        as_at = _split_cast_body(body)
+        if as_at is None:
+            pos = b1
+            continue
+        target = body[as_at.end() :].strip().lower()
+        x = body[: as_at.start()].strip()
+        kind = (
+            _operand_fp_kind(x, types)
+            if target in ("tinyint", "smallint", "int", "integer", "bigint")
+            else None
+        )
+        if kind is None:
+            # leave the call; nested CASTs inside the body are matched
+            # on later iterations by resuming INSIDE the parens
+            pos = m.end()
+            continue
+        head = q[m.start() : b0]  # 'CAST(' or 'TRY_CAST(' as written
+        if kind == "double":
+            # 0L keeps the IF's common type BIGINT (Spark's floor on a
+            # double already returns BIGINT) — a 0.0D branch would
+            # promote the floor back to double and lose exactness
+            # above 2^53
+            new_x = f"IF(isnan(CAST(({x}) AS DOUBLE)), 0L, floor(({x}) + 0.5D))"
+        else:
+            new_x = f"(({x}) + IF(({x}) < 0, -0.5, 0.5))"
+        repl = f"{head}{new_x} AS {body[as_at.end():].strip()})"
+        q = q[: m.start()] + repl + q[b1 + 1 :]
+        pos = m.start() + len(head) + 3  # inside IF(/((: rescan copies
 
 
 _ORDER_BY_HEAD = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
@@ -6898,6 +7261,11 @@ def translate(query: str, column_types: Optional[Dict[str, str]] = None) -> str:
     query = _rewrite_int_literal_division(query)
     if column_types and has_identifier_division(query):
         query = _rewrite_column_int_division(query, column_types)
+    # Trino-rounding semantics for knowable-typed operands (literal /
+    # CAST / catalog-column forms — the x47 contract): CAST(double|
+    # decimal AS integral) rounds, round(double, n) is binary-scaled
+    query = _rewrite_cast_rounding(query, column_types or {})
+    query = _rewrite_double_round(query, column_types or {})
     # BEFORE every pass that parses sort keys (FROM LAST, WITH TIES,
     # GROUPS frames, EXCLUDE) — they must see Trino's null placement
     query = _rewrite_order_by_null_defaults(query)
@@ -6916,7 +7284,7 @@ def translate(query: str, column_types: Optional[Dict[str, str]] = None) -> str:
     query = _rewrite_array_literal(query)
     # AFTER the ARRAY[..] pass (constructor brackets gone), BEFORE any
     # pass that emits Spark-semantics subscripts of its own
-    query = _rewrite_subscripts(query)
+    query = _rewrite_subscripts(query, column_types)
     query = _rewrite_comma_unnest(query)
     query = _rewrite_unnest(query, _code_mask(query))
     query = _rewrite_unnest_from(query)
@@ -6947,6 +7315,8 @@ def translate(query: str, column_types: Optional[Dict[str, str]] = None) -> str:
     query = _rewrite_word_stem_lang(query)
     query = _rewrite_two_arg_if(query)
     query = _rewrite_templates(query)
+    query = _rewrite_array_minmax_nulls(query)
+    query = _rewrite_typeof_trino(query)
     query = _rewrite_array_minmax_by(query)
     query = _rewrite_json_constructors(query)
     query = _rewrite_row_fieldn(query)

@@ -684,3 +684,102 @@ def test_json_path_random_differential(spark):
         assert tuple(g) == tuple(w), (g[0], [
             (a, b) for a, b in zip(g[1:], w[1:]) if a != b
         ])
+
+
+def test_double_round_and_cast_random_differential(spark):
+    """Randomized sweep for the round-11 Trino-rounding passes: doubles
+    constructed on decimal .5 boundaries (where Spark's BigDecimal
+    HALF_UP and Trino's binary-scaled Math.floor(x*10^n + 0.5) split
+    per-value) through round(x, n) and CAST(x AS BIGINT/INT), against
+    a DuckDB oracle that spells Trino's floor forms explicitly — both
+    engines evaluate the same IEEE doubles, so the comparison is
+    bit-exact."""
+    rng = random.Random(1105)
+    rows = []
+    tails = ["005", "015", "025", "5", "45", "55", "095", "5000001", "49", "99"]
+    for i in range(250):
+        mag = rng.choice([0, 1, 10, 123, 9999, 123456])
+        x = float(f"{mag}.{rng.choice(tails)}")
+        if rng.random() < 0.5:
+            x = -x
+        n = rng.randint(-2, 4)
+        rows.append((i, x, n))
+    spark.createDataFrame(
+        rows, "i long, x double, n int"
+    ).createOrReplaceTempView("dr_t")
+    got = {
+        r["i"]: (r["rn"], r["r2"], r["cb"], r["ci"])
+        for r in spark.sql(
+            translate(
+                "SELECT i, round(x, n) AS rn, round(x, 2) AS r2,"
+                " CAST(x AS BIGINT) AS cb, TRY_CAST(x AS INT) AS ci"
+                " FROM dr_t",
+                column_types={"x": "double", "n": "int", "i": "bigint"},
+            )
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, x DOUBLE, n INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            """
+            SELECT i,
+              CASE WHEN x < 0
+                   THEN -floor(-x * power(10, n) + 0.5) / power(10, n)
+                   ELSE  floor( x * power(10, n) + 0.5) / power(10, n)
+              END AS rn,
+              CASE WHEN x < 0
+                   THEN -floor(-x * 100.0 + 0.5) / 100.0
+                   ELSE  floor( x * 100.0 + 0.5) / 100.0
+              END AS r2,
+              CAST(floor(x + 0.5) AS BIGINT) AS cb,
+              CAST(floor(x + 0.5) AS INTEGER) AS ci
+            FROM t
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_array_minmax_null_random_differential(spark):
+    """Randomized sweep for the array_max/array_min null-containment
+    guard: int arrays with nulls sprinkled at random positions (plus
+    empties), against a DuckDB oracle that spells Trino's contract
+    independently (NULL when any element is NULL, else list extremum)."""
+    rng = random.Random(1106)
+    rows = []
+    for i in range(200):
+        n = rng.randint(0, 6)
+        arr = [
+            None if rng.random() < 0.25 else rng.randint(-50, 50)
+            for _ in range(n)
+        ]
+        rows.append((i, arr))
+    spark.createDataFrame(
+        rows, "i long, a array<int>"
+    ).createOrReplaceTempView("amm_t")
+    got = {
+        r["i"]: (r["mx"], r["mn"])
+        for r in spark.sql(
+            translate("SELECT i, array_max(a) AS mx, array_min(a) AS mn FROM amm_t")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, a INTEGER[])")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            """
+            SELECT i,
+              CASE WHEN len(list_filter(a, x -> x IS NULL)) > 0 THEN NULL
+                   ELSE list_max(a) END AS mx,
+              CASE WHEN len(list_filter(a, x -> x IS NULL)) > 0 THEN NULL
+                   ELSE list_min(a) END AS mn
+            FROM t
+            """
+        ).fetchall()
+    }
+    assert got == want

@@ -3573,9 +3573,19 @@ def test_column_int_division_skips_unknowable():
 
 
 def test_column_int_division_cast_operands():
+    # d is a DOUBLE column, so the r11 cast-rounding pass first
+    # rewrites CAST(d AS BIGINT) to Trino's Math.round form; the
+    # resulting CAST(... AS BIGINT) is still an integral operand and
+    # the division pass composes `div` on top of it
+    out = _tdiv("SELECT CAST(d AS BIGINT) / b FROM t")
+    assert out == (
+        "SELECT (CAST(IF(isnan(CAST((d) AS DOUBLE)), 0L,"
+        " floor((d) + 0.5D)) AS BIGINT) div b) FROM t"
+    )
+    # an integral column needs no rounding — the bare CAST survives
     assert (
-        _tdiv("SELECT CAST(d AS BIGINT) / b FROM t")
-        == "SELECT (CAST(d AS BIGINT) div b) FROM t"
+        _tdiv("SELECT CAST(a AS BIGINT) / b FROM t")
+        == "SELECT (CAST(a AS BIGINT) div b) FROM t"
     )
     assert " div " not in _tdiv("SELECT CAST(a AS DOUBLE) / b FROM t")
 
@@ -3649,3 +3659,119 @@ def test_parse_datetime_lenient_digits_and_joda_pivot(spark):
     # format direction is untouched: padded output stays padded
     out = translate("SELECT format_datetime(ts, 'yyyy-MM-dd HH:mm') FROM t")
     assert "'yyyy-MM-dd HH:mm'" in out
+
+
+def test_double_round_binary_scaling(spark):
+    """Round-11 catch: Trino round(double, n) is binary-scaled
+    Math.floor(x*10^n + 0.5)/10^n (sign-mirrored) while Spark rounds
+    the shortest DECIMAL spelling HALF_UP — round(1.005E0, 2) is 1.0
+    in Trino (the IEEE product 100.4999999999999893 floors), 1.01 in
+    stock Spark.  2.675E0 agrees at 2.68 in BOTH (that product rounds
+    up to 267.5 exactly) — the sweep in test_differential_semantics
+    pins the per-value split.  NaN/Infinity/huge inputs pass through
+    (the double-domain floor guard: above 2^53 every double is
+    integral) instead of ANSI-crashing in Spark's BIGINT floor."""
+    rows = run(
+        spark,
+        "SELECT round(1.005E0, 2) AS a, round(2.675E0, 2) AS b,"
+        " round(-1.005E0, 2) AS c, round(1.0E300, 2) AS d,"
+        " round(123.456E0, -2) AS e, round(CAST(NULL AS DOUBLE), 2) AS f",
+    )
+    r = rows[0]
+    assert r["a"] == 1.0 and r["c"] == -1.0  # Spark native says 1.01
+    assert r["b"] == 2.68
+    assert r["d"] == 1.0e300 and r["e"] == 100.0 and r["f"] is None
+    # decimal operands keep Spark's exact HALF_UP (it IS Trino's)
+    out = translate("SELECT round(2.5, 1) FROM t")
+    assert out == "SELECT round(2.5, 1) FROM t"
+    # unknowable operand type: untouched (documented residue)
+    out = translate("SELECT round(sum(x), 2) FROM t")
+    assert out == "SELECT round(sum(x), 2) FROM t"
+
+
+def test_cast_rounding_trino_semantics(spark):
+    """Round-11 catch: Trino CAST(double AS integral) is Math.round —
+    half-up toward +inf (CAST(-2.5E0 AS BIGINT) = -2!), NaN → 0 —
+    and CAST(decimal AS integral) is HALF_UP (half away from zero);
+    Spark's ANSI cast truncates toward zero in both cases."""
+    rows = run(
+        spark,
+        "SELECT CAST(2.5E0 AS BIGINT) AS a, CAST(-2.5E0 AS BIGINT) AS b,"
+        " CAST(-2.7E0 AS INT) AS c, CAST(CAST('NaN' AS DOUBLE) AS BIGINT) AS d,"
+        " CAST(2.5 AS INT) AS e, CAST(-2.5 AS INT) AS f,"
+        " TRY_CAST(2.5E0 AS TINYINT) AS g",
+    )
+    r = rows[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (3, -2, -3, 0)
+    assert (r["e"], r["f"], r["g"]) == (3, -3, 3)
+    # unknowable operand (function result): Spark truncation stays
+    out = translate("SELECT CAST(sum(x) AS BIGINT) FROM t")
+    assert out == "SELECT CAST(sum(x) AS BIGINT) FROM t"
+    # non-integral target: untouched
+    out = translate("SELECT CAST(2.5E0 AS DOUBLE) FROM t")
+    assert out == "SELECT CAST(2.5E0 AS DOUBLE) FROM t"
+
+
+def test_array_minmax_null_semantics(spark):
+    """Round-11 catch: Trino array_max/array_min return NULL when the
+    array CONTAINS a null element; Spark's builtins silently skip
+    nulls (array_max(ARRAY[1, NULL]) was 1)."""
+    rows = run(
+        spark,
+        "SELECT array_max(ARRAY[1, NULL]) AS a, array_min(ARRAY[2, 3]) AS b,"
+        " array_max(CAST(NULL AS ARRAY(INTEGER))) AS c,"
+        " array_min(ARRAY[NULL]) AS d, array_max(ARRAY[1.5E0, 0.5E0]) AS e",
+    )
+    r = rows[0]
+    assert r["a"] is None and r["d"] is None and r["c"] is None
+    assert r["b"] == 2 and r["e"] == 1.5
+    # array_max_by keeps its lambda rewrite (regex requires '(' after name)
+    out = translate("SELECT array_max_by(a, x -> x.k) FROM t")
+    assert "array_max_by" not in out and "array_sort" in out
+
+
+def test_typeof_trino_spellings(spark):
+    rows = run(
+        spark,
+        "SELECT typeof(1) AS a, typeof('x') AS b, typeof(ARRAY[1]) AS c,"
+        " typeof(MAP(ARRAY['k'], ARRAY[1])) AS d,"
+        " typeof(CAST(ROW(1, 'x') AS ROW(a INTEGER, b VARCHAR))) AS e,"
+        " typeof(NULL) AS f, typeof(CAST(1 AS DECIMAL(10,2))) AS g,"
+        " typeof(INTERVAL '3' MONTH) AS h, typeof(1.5E0) AS i,"
+        " typeof(DATE '2020-01-01') AS j",
+    )
+    r = rows[0]
+    assert r["a"] == "integer" and r["b"] == "varchar"
+    assert r["c"] == "array(integer)"
+    assert r["d"] == "map(varchar, integer)"          # ', ' in complex types
+    assert r["e"] == "row(a integer, b varchar)"
+    assert r["f"] == "unknown"
+    assert r["g"] == "decimal(10,2)"                  # no space in decimal
+    assert r["h"] == "interval year to month"
+    assert r["i"] == "double" and r["j"] == "date"
+
+
+def test_array_subscript_negative_guard(spark):
+    """Round-11: with the catalog column-type map, a subscript on a
+    KNOWN array column raises on a negative index like Trino ("Array
+    subscript is negative") instead of silently reading from the end;
+    map columns (negative keys legal) and unknown bases keep the
+    documented residue."""
+    import pytest as _pytest
+
+    spark.createDataFrame(
+        [(1, [10, 20, 30])], "id bigint, arr array<int>"
+    ).createOrReplaceTempView("subg_t")
+    try:
+        rows = run(spark, "SELECT arr[2] AS v, arr[id + 1] AS w FROM subg_t")
+        assert rows[0]["v"] == 20 and rows[0]["w"] == 20
+        with _pytest.raises(Exception, match="subscript is negative"):
+            run(spark, "SELECT arr[0 - id] AS v FROM subg_t")
+        # unknown base (function result): no guard text emitted
+        out = translate("SELECT f(x)[i] FROM t", {"arr": "array<int>"})
+        assert "subscript is negative" not in out
+        # map column with the same index shape: untouched
+        out = translate("SELECT m[i] FROM t", {"m": "map<int,string>"})
+        assert "subscript is negative" not in out
+    finally:
+        spark.catalog.dropTempView("subg_t")

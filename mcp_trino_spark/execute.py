@@ -58,6 +58,25 @@ class QueryResult:
         return json.dumps(self.rows, indent=2, default=str)
 
 
+#: session-scoped column-type map cache: id(spark) → (fingerprint, map).
+#: The fingerprint is the SHOW TABLES listing (namespace, name, temp) —
+#: it catches tables/views appearing or disappearing; an in-place
+#: schema REPLACEMENT under the same name is caught by the write-path
+#: invalidation hook below (the engine's own DDL all flows through the
+#: façade's non-read-only branch).  Capped at a handful of sessions.
+_COLUMN_TYPES_CACHE: dict = {}
+
+
+def invalidate_column_types_cache(spark=None) -> None:
+    """Drop the cached column-type map — called on every non-read-only
+    query (DDL can change an existing table's schema without changing
+    the SHOW TABLES fingerprint)."""
+    if spark is None:
+        _COLUMN_TYPES_CACHE.clear()
+    else:
+        _COLUMN_TYPES_CACHE.pop(id(spark), None)
+
+
 def _catalog_column_types(spark) -> dict:
     """Lowercase column name → Spark simple type string across every
     table/temp view the session can see, for the schema-aware
@@ -66,32 +85,40 @@ def _catalog_column_types(spark) -> dict:
     to the sentinel ``"ambiguous"`` (not an integral type, so the
     rewrite skips it — the safe direction: the divergence stays
     documented rather than guessed).  Round 11 widened the consumers:
-    the Trino-rounding CAST/round passes and the array-subscript
-    negativity guard read the same map.  Built only when the query's
-    text could use it (``needs_column_types``: identifier division, a
-    round(, a CAST to an integral type, or a subscript), so the common
-    path pays zero catalog RPCs."""
-    types: dict = {}
+    the Trino-rounding CAST/round passes, the double→varchar renderer,
+    and the array-subscript negativity guard read the same map.  Built
+    only when the query's text could use it (``needs_column_types``),
+    and cached against the SHOW TABLES fingerprint: the original
+    listTables+listColumns build cost ~2 s in catalog RPCs PER QUERY —
+    SHOW TABLES (~50 ms) + df.schema (~8 ms/table) + the cache bring a
+    warm hit to one cheap listing."""
     try:
-        tables = spark.catalog.listTables()
+        listing = spark.sql("SHOW TABLES").collect()
     except Exception:
         return {}
-    for t in tables:
-        if t.isTemporary:
-            qual = t.name
-        else:
-            ns = list(getattr(t, "namespace", None) or [])
-            qual = ".".join(ns + [t.name]) if ns else t.name
+    fp = tuple(sorted(
+        (r["namespace"], r["tableName"], bool(r["isTemporary"]))
+        for r in listing
+    ))
+    hit = _COLUMN_TYPES_CACHE.get(id(spark))
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    types: dict = {}
+    for ns, name, temp in fp:
+        qual = name if temp or not ns else f"{ns}.{name}"
         try:
-            cols = spark.catalog.listColumns(qual)
+            fields = spark.table(qual).schema.fields
         except Exception:
             continue
-        for c in cols:
-            name, dt = c.name.lower(), c.dataType.lower()
-            if types.get(name, dt) != dt:
-                types[name] = "ambiguous"
+        for f in fields:
+            cname, dt = f.name.lower(), f.dataType.simpleString().lower()
+            if types.get(cname, dt) != dt:
+                types[cname] = "ambiguous"
             else:
-                types[name] = dt
+                types[cname] = dt
+    if len(_COLUMN_TYPES_CACHE) > 8:
+        _COLUMN_TYPES_CACHE.clear()
+    _COLUMN_TYPES_CACHE[id(spark)] = (fp, types)
     return types
 
 
@@ -306,12 +333,16 @@ def execute_query(
             # the views are dropped in the finally below (a resident
             # session would otherwise leak one per clause ever run)
             q = expand_match_recognize(spark, q, created_views=mr_views)
-    if not config.allow_write_queries and not is_read_only_query(q):
-        raise WriteQueryNotAllowed(
-            "query rejected: only read-only queries (SELECT, SHOW, DESCRIBE, "
-            "EXPLAIN, WITH) are allowed; set SPARK_ENGINE_ALLOW_WRITE_QUERIES=true "
-            "(or TRINO_ALLOW_WRITE_QUERIES=true) to enable writes"
-        )
+    if not is_read_only_query(q):
+        if not config.allow_write_queries:
+            raise WriteQueryNotAllowed(
+                "query rejected: only read-only queries (SELECT, SHOW, DESCRIBE, "
+                "EXPLAIN, WITH) are allowed; set SPARK_ENGINE_ALLOW_WRITE_QUERIES=true "
+                "(or TRINO_ALLOW_WRITE_QUERIES=true) to enable writes"
+            )
+        # a write/DDL can change an existing table's schema without
+        # changing the SHOW TABLES fingerprint — drop the cached map
+        invalidate_column_types_cache(spark)
 
     group = f"execute_query-{uuid.uuid4().hex[:12]}"
     sc = spark.sparkContext

@@ -2651,3 +2651,107 @@ def x54_array_subscript_guard(spark, sf_dir):
             column_types=_catalog_column_types(spark),
         )
     )
+
+
+@register(
+    "x55_cast_double_varchar",
+    oracle="""
+    SELECT i, expected AS rendered FROM (VALUES
+        (1, '1.5E0'), (2, '1E2'), (3, '0E0'), (4, 'NaN'),
+        (5, '1E-3'), (6, '1.23456E2'), (7, 'Infinity'),
+        (8, '-2.5E0'), (9, '5E-324'), (10, '1.7976931348623157E308'),
+        (11, NULL), (12, '2.675E0')
+    ) AS t(i, expected)
+    """,
+)
+def x55_cast_double_varchar(spark, sf_dir):
+    """Differential certification of CAST(double AS VARCHAR)'s Trino
+    rendering (round-11 residue closure in _rewrite_cast_rounding):
+    Trino renders doubles in always-scientific shortest-roundtrip
+    form since Trino 373 — '1.5E0', '1E2', '0E0', 'NaN',
+    subnormal/MAX extremes — where Spark renders '1.5'/'100.0'
+    (silent text divergence).  Knowable-double operands only (the
+    x47 contract); the oracle pins the expected spellings as
+    literals over a VALUES relation.  NULL stays NULL (the JVM-side
+    isnan guard splits Arrow's NULL/NaN conflation).  Residue: REAL
+    operands (no float32 shortest-repr Python-side), varchar(n)
+    targets, and Spark's normalization of the -0.0E0 literal
+    (renders '0E0' where Trino keeps '-0E0').
+
+    Reference parity: Trino's Ryu-based double→varchar cast
+    (io.trino.operator.scalar.DoubleOperators), text forwarded
+    verbatim (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.trino_compat import install_compat_functions, translate
+
+    install_compat_functions(spark)
+    return spark.sql(
+        translate(
+            """
+            SELECT i, CAST(x AS VARCHAR) AS rendered FROM (VALUES
+                (1, 1.5E0), (2, 1.0E2), (3, 0.0E0),
+                (4, CAST('NaN' AS DOUBLE)),
+                (5, 1.0E-3), (6, 123.456E0),
+                (7, CAST('Infinity' AS DOUBLE)),
+                (8, -2.5E0), (9, 5.0E-324),
+                (10, 1.7976931348623157E308),
+                (11, CAST(NULL AS DOUBLE)), (12, 2.675E0)
+            ) AS t(i, x)
+            """,
+            column_types={"x": "double", "i": "int"},
+        )
+    )
+
+
+@register(
+    "x56_recursive_cte",
+    oracle="""
+    WITH RECURSIVE spine(n) AS (
+        SELECT 1 UNION ALL SELECT n + 1 FROM spine WHERE n < 7
+    )
+    SELECT s.n,
+           count(l.l_orderkey) AS cnt,
+           COALESCE(sum(l.l_quantity), 0) AS qty
+    FROM spine s LEFT JOIN lineitem l ON l.l_linenumber = s.n
+    GROUP BY s.n
+    """,
+)
+def x56_recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE end-to-end (round-11 coverage addition): Trino
+    supports recursive CTEs (expanded to a bounded iterative form,
+    docs/src/main/sphinx/sql/select.md WITH RECURSIVE) and Spark 4.1
+    executes them natively (UnionLoop iterative plan), so the façade
+    passes them through — the read-only classifier already accepts
+    the WITH form and translate() leaves the recursion structure
+    intact.  The query builds a 7-row integer spine recursively and
+    LEFT JOINs real lineitem rows onto it (empty line numbers keep a
+    zero row), so both the recursion and its join/aggregate
+    composition are value-certified; DuckDB runs the identical
+    recursive SQL as the oracle.
+
+    Scale note: the recursive spine materializes ONCE on the driver
+    plan side (7 rows); the join against lineitem is an ordinary
+    broadcast of the tiny spine side — recursion depth is bounded by
+    the anchor predicate, never by table size.
+
+    Reference parity: recursion evaluates in Trino, text forwarded
+    verbatim (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            WITH RECURSIVE spine(n) AS (
+                SELECT 1 UNION ALL SELECT n + 1 FROM spine WHERE n < 7
+            )
+            SELECT s.n,
+                   count(l.l_orderkey) AS cnt,
+                   COALESCE(sum(l.l_quantity), 0) AS qty
+            FROM spine s LEFT JOIN lineitem l ON l.l_linenumber = s.n
+            GROUP BY s.n
+            """
+        )
+    )

@@ -324,6 +324,8 @@ _WINDOW_HEAD = [
     "x52_double_round_semantics",
     "x53_cast_rounding_semantics",
     "x54_array_subscript_guard",
+    "x55_cast_double_varchar",
+    "x56_recursive_cte",
     "x23_vector_math",
     "x24_setdigest",
     "x35_exclude_minmax",
@@ -358,8 +360,6 @@ _WINDOW_HEAD = [
     "a1_groupby_count",
     "a6_grouping_sets",
     "a7_rollup",
-    "a14_percentile",
-    "a16_salted_skew_agg",
 ]
 _WINDOW_TAIL = [
     "p8_case_when",

@@ -116,4 +116,9 @@ def register_tables(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:
     dfs = load_tables(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
+    # replacing a view can change its schema without changing the
+    # SHOW TABLES fingerprint — drop the cached column-type map
+    from mcp_trino_spark.execute import invalidate_column_types_cache
+
+    invalidate_column_types_cache(spark)
     return dfs

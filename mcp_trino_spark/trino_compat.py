@@ -769,6 +769,45 @@ def install_compat_functions(spark) -> None:
     }
     spark.udf.register("unicode_normalize", pandas_udf(_normalize_impl, "string"))
 
+    # Trino renders CAST(double AS VARCHAR) in always-scientific
+    # shortest-roundtrip form since Trino 373 ("The result of casting
+    # double and real values to varchar now uses scientific notation"):
+    # 1.5 → '1.5E0', 100.0 → '1E2', 0.0 → '0E0', NaN → 'NaN' — Spark
+    # renders '1.5'/'100.0'.  Python's repr is the same
+    # shortest-roundtrip decimal (unique), re-formatted to Ryu's
+    # scientific shape.  Arrow-vectorized; reached only from
+    # user-spelled CASTs over knowable-double operands
+    # (_rewrite_cast_rounding), so never a hot-path operator.
+    import math as _m
+    from decimal import Decimal as _Dec
+
+    def _d2s_one(x):
+        # Arrow surfaces SQL NULL doubles as NaN — indistinguishable
+        # from a true NaN value here, so NaN maps to None and the
+        # REWRITE supplies 'NaN' for true NaNs via a JVM-side isnan()
+        # guard before the UDF is reached
+        if x is None or _m.isnan(x):
+            return None
+        x = float(x)
+        if _m.isinf(x):
+            return "Infinity" if x > 0 else "-Infinity"
+        if x == 0.0:
+            return "-0E0" if _m.copysign(1.0, x) < 0 else "0E0"
+        sign, digits, exp = _Dec(repr(x)).normalize().as_tuple()
+        adj = exp + len(digits) - 1
+        mant = str(digits[0]) + (
+            "." + "".join(map(str, digits[1:])) if len(digits) > 1 else ""
+        )
+        return ("-" if sign else "") + mant + "E" + str(adj)
+
+    def _d2s_impl(s):
+        return pd.Series([_d2s_one(x) for x in s])
+
+    _d2s_impl.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    spark.udf.register(
+        "trino_double_to_varchar", pandas_udf(_d2s_impl, "string")
+    )
+
     # Exact Trino JSON-path semantics (see the note in _COMPAT_SQL_UDFS):
     # json_extract_scalar → NULL for object/array matches, scalar text
     # otherwise; json_extract → JSON-serialized value (strings QUOTED).
@@ -6340,7 +6379,8 @@ def has_identifier_division(q: str) -> bool:
 #: round, a CAST to an integral type, or a subscript can each consume
 #: the catalog column-type map — everything else skips the catalog RPCs
 _NEEDS_TYPES_HINT = re.compile(
-    r"(?is)\bround\s*\(|\bAS\s+(?:TINYINT|SMALLINT|INT|INTEGER|BIGINT)\b|\["
+    r"(?is)\bround\s*\(|\[|"
+    r"\bAS\s+(?:TINYINT|SMALLINT|INT|INTEGER|BIGINT|VARCHAR|STRING)\b"
 )
 
 
@@ -6681,10 +6721,21 @@ def _rewrite_cast_rounding(q: str, column_types: dict) -> str:
     - decimal operand → ``x ± 0.5`` then the truncating cast (exact
       decimal arithmetic: trunc(x + sign(x)*0.5) IS HALF_UP).
 
+    Also routes CAST(double AS VARCHAR) — bare VARCHAR/STRING target,
+    knowable-double operand — through ``trino_double_to_varchar``:
+    Trino renders doubles in always-scientific shortest-roundtrip
+    form since Trino 373 ('1.5E0', '1E2', '0E0', 'NaN') where Spark
+    renders '1.5'/'100.0' — a silent text divergence on every
+    stringified double.  REAL operands keep the documented residue
+    (no float32 shortest-repr available Python-side), as do
+    parameterized varchar(n) targets (Trino additionally
+    length-checks those).
+
     Operands of unknowable type (function results, subquery aliases)
-    keep Spark truncation — same documented residue class as x47.
-    Reference parity: Trino DoubleOperators.castToLong /
-    DecimalCasts (HALF_UP); the reference forwards text verbatim.
+    keep Spark truncation/rendering — same documented residue class
+    as x47.  Reference parity: Trino DoubleOperators.castToLong /
+    DecimalCasts (HALF_UP) / the Ryu scientific double→varchar cast;
+    the reference forwards text verbatim.
     """
     types = {str(k).lower(): str(v).lower() for k, v in column_types.items()}
     pos = 0
@@ -6702,13 +6753,29 @@ def _rewrite_cast_rounding(q: str, column_types: dict) -> str:
         x = body[: as_at.start()].strip()
         kind = (
             _operand_fp_kind(x, types)
-            if target in ("tinyint", "smallint", "int", "integer", "bigint")
+            if target
+            in ("tinyint", "smallint", "int", "integer", "bigint",
+                "varchar", "string")
             else None
         )
         if kind is None:
             # leave the call; nested CASTs inside the body are matched
             # on later iterations by resuming INSIDE the parens
             pos = m.end()
+            continue
+        if target in ("varchar", "string"):
+            if kind != "double":
+                # decimal → varchar renders plainly in both engines
+                pos = m.end()
+                continue
+            # the isnan guard distinguishes true NaN (→ 'NaN') from
+            # SQL NULL (→ NULL): Arrow conflates them inside the UDF
+            repl = (
+                f"IF(isnan(CAST(({x}) AS DOUBLE)), 'NaN',"
+                f" trino_double_to_varchar({x}))"
+            )
+            q = q[: m.start()] + repl + q[b1 + 1 :]
+            pos = m.start() + len("IF(isnan(CAST((")
             continue
         head = q[m.start() : b0]  # 'CAST(' or 'TRY_CAST(' as written
         if kind == "double":

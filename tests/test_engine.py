@@ -454,3 +454,33 @@ def test_statement_form_parity_with_reference_gate(spark, sf_dir):
     for q in ("SHOW TABLES", "SHOW SCHEMAS", "SHOW CATALOGS",
               "SHOW COLUMNS FROM nation", "SHOW FUNCTIONS"):
         assert execute_query(spark, q, dialect="trino").rows
+
+
+def test_column_types_cache_fingerprint_and_invalidation(spark):
+    """The round-11 column-type map cache: warm hits return the cached
+    map (SHOW TABLES fingerprint only — the listTables+listColumns
+    build cost ~2 s of catalog RPCs per query), a view appearing
+    changes the fingerprint and rebuilds, and the explicit
+    invalidation hook (wired to every non-read-only query and to
+    register_tables) forces a rebuild."""
+    from mcp_trino_spark.execute import (
+        _catalog_column_types,
+        invalidate_column_types_cache,
+    )
+
+    spark.createDataFrame([(1,)], "ctc_x int").createOrReplaceTempView("ctc_t")
+    try:
+        m1 = _catalog_column_types(spark)
+        assert m1.get("ctc_x") == "int"
+        assert _catalog_column_types(spark) is m1  # warm hit, same object
+        spark.createDataFrame(
+            [(1.5,)], "ctc_y double"
+        ).createOrReplaceTempView("ctc_t2")
+        m2 = _catalog_column_types(spark)  # fingerprint changed
+        assert m2 is not m1 and m2.get("ctc_y") == "double"
+        invalidate_column_types_cache(spark)
+        m3 = _catalog_column_types(spark)
+        assert m3 is not m2 and m3 == m2
+    finally:
+        spark.catalog.dropTempView("ctc_t")
+        spark.catalog.dropTempView("ctc_t2")

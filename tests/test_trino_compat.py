@@ -3775,3 +3775,50 @@ def test_array_subscript_negative_guard(spark):
         assert "subscript is negative" not in out
     finally:
         spark.catalog.dropTempView("subg_t")
+
+
+def test_cast_double_to_varchar_scientific(spark):
+    """Round-11 residue closure: Trino renders CAST(double AS VARCHAR)
+    in always-scientific shortest-roundtrip form since Trino 373
+    ('1.5E0', '1E2', '0E0') where Spark renders '1.5'/'100.0' — a
+    silent text divergence on every stringified double.  NULL stays
+    NULL (Arrow conflates NULL and NaN inside the UDF; the JVM-side
+    isnan guard splits them); decimal operands keep Spark's plain
+    rendering (it matches Trino's decimal cast)."""
+    rows = run(
+        spark,
+        "SELECT CAST(1.5E0 AS VARCHAR) AS a,"
+        " CAST(CAST(100 AS DOUBLE) AS VARCHAR) AS b,"
+        " CAST(0.0E0 AS VARCHAR) AS c,"
+        " CAST(CAST('NaN' AS DOUBLE) AS VARCHAR) AS d,"
+        " CAST(1.0E-3 AS VARCHAR) AS e,"
+        " CAST(123.456E0 AS VARCHAR) AS f,"
+        " CAST(CAST('-Infinity' AS DOUBLE) AS VARCHAR) AS g,"
+        " CAST(CAST(NULL AS DOUBLE) AS VARCHAR) AS h,"
+        " CAST(2.5 AS VARCHAR) AS i",
+    )
+    r = rows[0]
+    assert (r["a"], r["b"], r["c"]) == ("1.5E0", "1E2", "0E0")
+    assert (r["d"], r["e"], r["f"]) == ("NaN", "1E-3", "1.23456E2")
+    assert r["g"] == "-Infinity" and r["h"] is None
+    assert r["i"] == "2.5"  # decimal rendering is already parity
+    # unknowable operand: untouched (documented residue)
+    out = translate("SELECT CAST(f(x) AS VARCHAR) FROM t")
+    assert "trino_double_to_varchar" not in out
+    # varchar(n) target: untouched (Trino length-checks those)
+    out = translate("SELECT CAST(1.5E0 AS VARCHAR(10)) FROM t")
+    assert "trino_double_to_varchar" not in out
+
+
+def test_recursive_cte_through_facade(spark):
+    """Round-11 coverage: WITH RECURSIVE passes the read-only
+    classifier and translate() intact, and Spark 4.1 executes the
+    iterative plan natively — recursion depth bounded by the anchor
+    predicate."""
+    rows = run(
+        spark,
+        "WITH RECURSIVE f(n, v) AS (SELECT 1, CAST(1 AS BIGINT)"
+        " UNION ALL SELECT n + 1, v * (n + 1) FROM f WHERE n < 10)"
+        " SELECT max(v) AS fact10, count(*) AS depth FROM f",
+    )
+    assert rows[0] == {"fact10": 3628800, "depth": 10}

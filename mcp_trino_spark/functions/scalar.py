@@ -2755,3 +2755,48 @@ def x56_recursive_cte(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x57_listagg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           string_agg(DISTINCT o_orderstatus, '|'
+                      ORDER BY o_orderstatus) AS distinct_statuses
+    FROM orders WHERE o_orderkey < 300
+    GROUP BY o_orderpriority
+    """,
+)
+def x57_listagg(spark, sf_dir):
+    """listagg certification (round-11 coverage): Trino's
+    ``listagg(x, sep) WITHIN GROUP (ORDER BY ...)`` — Spark 4.x runs
+    the same spelling natively with matching semantics (NULL inputs
+    skipped, default ON OVERFLOW ERROR never fires below the length
+    cap), so the façade passes it through; this entry value-certifies
+    the grouped + DISTINCT forms against DuckDB's independently-spelled
+    string_agg.  Residue (loud, documented SURVEY §13): the explicit
+    ``ON OVERFLOW TRUNCATE/ERROR`` clause is a Spark parse error, never
+    a silent divergence.
+
+    Reference parity: listagg evaluates in Trino, text forwarded
+    verbatim (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT o_orderpriority,
+                   listagg(o_orderstatus, ',')
+                     WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+                   listagg(DISTINCT o_orderstatus, '|')
+                     WITHIN GROUP (ORDER BY o_orderstatus)
+                     AS distinct_statuses
+            FROM orders WHERE o_orderkey < 300
+            GROUP BY o_orderpriority
+            """
+        )
+    )

@@ -326,6 +326,7 @@ _WINDOW_HEAD = [
     "x54_array_subscript_guard",
     "x55_cast_double_varchar",
     "x56_recursive_cte",
+    "x57_listagg",
     "x23_vector_math",
     "x24_setdigest",
     "x35_exclude_minmax",
@@ -359,7 +360,6 @@ _WINDOW_HEAD = [
     "s3_values_relation",
     "a1_groupby_count",
     "a6_grouping_sets",
-    "a7_rollup",
 ]
 _WINDOW_TAIL = [
     "p8_case_when",

@@ -2033,7 +2033,48 @@ def _rewrite_format_datetime(q: str) -> str:
         )
 
 
+#: hard cap on rewritten-query text.  The guard-style rewrites
+#: duplicate argument expressions into 2–7 branches, so NESTED
+#: guard-rewritten calls grow the text ~an order of magnitude per
+#: level (measured round 11: substr∘split_part depth 1/2/3 →
+#: 0.9 KB / 12 KB / 142 KB, with translate time superlinear in text
+#: because every pass iteration rebuilds the code mask) — depth 4
+#: would be megabytes and minutes.  The façade's timeout only covers
+#: EXECUTION, so unbounded growth here is a pre-execution hang; the
+#: cap converts it into an immediate, named error.  1 MB admits every
+#: realistic query including depth-3 pathological nesting.
+MAX_TRANSLATED_BYTES = 1_000_000
+#: translate() wall-clock budget.  A size cap alone cannot trip fast:
+#: the time is spent in pass rescans BELOW the cap (55 s at 142 KB),
+#: so the breaker also watches elapsed time from translate() entry.
+#: Every realistic query translates in milliseconds; 15 s is two
+#: orders of magnitude of headroom.
+TRANSLATE_TIME_BUDGET_S = 15.0
+_TRANSLATE_DEADLINE: List[float] = []
+
+
+def _check_translated_size(q: str) -> None:
+    if len(q) > MAX_TRANSLATED_BYTES:
+        raise TrinoCompatError(
+            f"translated query text exceeds {MAX_TRANSLATED_BYTES} bytes "
+            f"({len(q)}): deeply nested calls to guard-rewritten "
+            "functions (substr/split_part/round/CAST/...) multiply the "
+            "text per nesting level — flatten the expression or compute "
+            "intermediate values in a subquery"
+        )
+    import time as _t
+
+    if _TRANSLATE_DEADLINE and _t.monotonic() > _TRANSLATE_DEADLINE[-1]:
+        raise TrinoCompatError(
+            f"query translation exceeded {TRANSLATE_TIME_BUDGET_S:.0f}s: "
+            "deeply nested guard-rewritten calls multiply the text per "
+            "nesting level — flatten the expression or compute "
+            "intermediate values in a subquery"
+        )
+
+
 def _code_mask(q: str) -> List[bool]:
+    _check_translated_size(q)
     mask = [False] * len(q)
     pos = 0
     for is_code, seg in _segments(q):
@@ -6564,6 +6605,45 @@ _DECIMAL_LITERAL_FORM = re.compile(r"-?\d+\.\d+")
 _TYPED_DEC_LITERAL = re.compile(r"(?is)DECIMAL\s+'[^']*'")
 _FP_COLUMN_TYPES = frozenset({"double", "float", "real"})
 
+#: functions that return DOUBLE for every argument type in BOTH
+#: engines — a call to one of these is a lexically-knowable double
+#: operand even though its arguments are not.  Deliberately excludes
+#: anything type-polymorphic (avg/sum return decimal on decimal input,
+#: abs/round preserve their argument type).
+_ALWAYS_DOUBLE_FNS = frozenset({
+    "ln", "log", "log2", "log10", "exp", "sqrt", "cbrt", "power", "pow",
+    "sin", "cos", "tan", "asin", "acos", "atan", "atan2", "sinh", "cosh",
+    # rand/random deliberately absent: the guard rewrites DUPLICATE
+    # the operand, and a nondeterministic operand must evaluate once
+    "tanh", "asinh", "acosh", "atanh", "radians", "degrees", "pi", "e",
+    "infinity", "nan", "cosine_similarity",
+    "dot_product", "l2_norm", "stddev", "stddev_pop", "stddev_samp",
+    "variance", "var_pop", "var_samp", "corr", "covar_pop", "covar_samp",
+    "skewness", "kurtosis", "geometric_mean",
+})
+_DOUBLE_FN_HEAD = re.compile(r"(?is)\s*([A-Za-z_][A-Za-z0-9_]*)\s*\(")
+
+
+def _whole_call_name(e: str) -> Optional[str]:
+    """Lowercased function name when ``e`` is exactly one call
+    ``name( ... )`` whose opening paren closes at the end of the text
+    — a balanced scan, so ``f(a) * g(b)`` is correctly rejected."""
+    m = _DOUBLE_FN_HEAD.match(e)
+    if m is None:
+        return None
+    mask = _code_mask(e)
+    depth = 0
+    for i in range(m.end() - 1, len(e)):
+        if not mask[i]:
+            continue
+        if e[i] == "(":
+            depth += 1
+        elif e[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return m.group(1).lower() if not e[i + 1 :].strip() else None
+    return None
+
 
 def _cast_target_of(expr: str) -> Optional[str]:
     """Lowercased base name of the target type when ``expr`` is a whole
@@ -6612,6 +6692,8 @@ def _operand_fp_kind(expr: str, types: dict) -> Optional[str]:
         if target == "decimal":
             return "decimal"
         return None
+    if _whole_call_name(e) in _ALWAYS_DOUBLE_FNS:
+        return "double"
     if _IDENT_CHAIN.fullmatch(e):
         t = types.get(e.rsplit(".", 1)[-1].lower(), "")
         if t in _FP_COLUMN_TYPES:
@@ -7292,6 +7374,18 @@ def translate(query: str, column_types: Optional[Dict[str, str]] = None) -> str:
     enables the schema-aware integer-division pass; without it only the
     literal/literal case is rewritten and column-typed division stays a
     documented divergence."""
+    import time as _t
+
+    _TRANSLATE_DEADLINE.append(_t.monotonic() + TRANSLATE_TIME_BUDGET_S)
+    try:
+        return _translate_inner(query, column_types)
+    finally:
+        _TRANSLATE_DEADLINE.pop()
+
+
+def _translate_inner(
+    query: str, column_types: Optional[Dict[str, str]] = None
+) -> str:
     # FIRST: normalize Trino's escape-free literal spelling to Spark's
     # (backslashes doubled) — every later pass lexes with Spark rules
     query = _respell_escape_free_literals(query)
@@ -7317,6 +7411,15 @@ def translate(query: str, column_types: Optional[Dict[str, str]] = None) -> str:
     # two-arg trim/ltrim/rtrim: Trino is (string, chars), Spark's
     # two-arg forms are (trimStr, str) — a silent arg swap
     query = _rewrite_trim_chars(query)
+    # Trino-rounding semantics for knowable-typed operands (literal /
+    # CAST / catalog-column / always-double-function forms — the x47
+    # contract): CAST(double|decimal AS integral) rounds,
+    # round(double, n) is binary-scaled, CAST(double AS VARCHAR)
+    # renders scientific.  BEFORE the log-IEEE pass so an ln()/log()
+    # operand is still spelled as the recognizable call (its copies
+    # inside the emitted guard flow through log-IEEE afterwards).
+    query = _rewrite_cast_rounding(query, column_types or {})
+    query = _rewrite_double_round(query, column_types or {})
     # ln/log10/log2/log(b, x): Trino is pure IEEE Math.log (0 ->
     # -Infinity, negative -> NaN) where Spark's builtins return NULL.
     # Early: later generators (geometric_mean) emit Spark-semantics
@@ -7328,11 +7431,6 @@ def translate(query: str, column_types: Optional[Dict[str, str]] = None) -> str:
     query = _rewrite_int_literal_division(query)
     if column_types and has_identifier_division(query):
         query = _rewrite_column_int_division(query, column_types)
-    # Trino-rounding semantics for knowable-typed operands (literal /
-    # CAST / catalog-column forms — the x47 contract): CAST(double|
-    # decimal AS integral) rounds, round(double, n) is binary-scaled
-    query = _rewrite_cast_rounding(query, column_types or {})
-    query = _rewrite_double_round(query, column_types or {})
     # BEFORE every pass that parses sort keys (FROM LAST, WITH TIES,
     # GROUPS frames, EXCLUDE) — they must see Trino's null placement
     query = _rewrite_order_by_null_defaults(query)

@@ -3822,3 +3822,57 @@ def test_recursive_cte_through_facade(spark):
         " SELECT max(v) AS fact10, count(*) AS depth FROM f",
     )
     assert rows[0] == {"fact10": 3628800, "depth": 10}
+
+
+def test_rounding_passes_know_always_double_functions(spark):
+    """Round-11 widening: functions that return DOUBLE for every
+    argument type (sqrt/ln/exp/stddev/...) are knowable operands for
+    the Trino-rounding passes even though their arguments are not —
+    round(sqrt(x), n), CAST(exp(x) AS BIGINT) and CAST(sqrt(x) AS
+    VARCHAR) all take Trino semantics.  Polymorphic functions
+    (sum/avg/abs) and compound expressions stay untouched; an ln()
+    operand composes with the log-IEEE pass (rounding wraps first,
+    the CASE rewrite lands inside the guard copies)."""
+    rows = run(
+        spark,
+        "SELECT CAST(exp(1.0E0) AS BIGINT) AS a, round(sqrt(2.0E0), 2) AS b,"
+        " CAST(sqrt(4.0E0) AS VARCHAR) AS c,"
+        " CAST(ln(CAST(20 AS DOUBLE)) AS BIGINT) AS d",
+    )
+    r = rows[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (3, 1.41, "2E0", 3)
+    # polymorphic / compound operands: untouched
+    out = translate("SELECT round(sum(x), 2), CAST(abs(x) AS BIGINT) FROM t")
+    assert "round(sum(x), 2)" in out and "CAST(abs(x) AS BIGINT)" in out
+    # rand() is never treated as knowable: the guard would duplicate a
+    # nondeterministic operand
+    out = translate("SELECT CAST(rand() AS BIGINT) FROM t")
+    assert out == "SELECT CAST(rand() AS BIGINT) FROM t"
+
+
+def test_translate_text_growth_circuit_breaker():
+    """Round-11 safeguard for the documented guard-growth hazard:
+    nested guard-rewritten calls multiply the rewritten text ~10× per
+    level (measured: substr∘split_part depth 1/2/3 → 0.9/12/142 KB
+    with superlinear translate time), and the façade timeout only
+    covers execution — depth 5 used to be a multi-minute
+    pre-execution hang.  Text past MAX_TRANSLATED_BYTES now raises a
+    named TrinoCompatError promptly instead."""
+    import time
+
+    import pytest as _pytest
+
+    from mcp_trino_spark.trino_compat import TrinoCompatError
+
+    q = "x"
+    for _ in range(5):
+        q = f"substr(split_part({q}, ',', 2), 2, 3)"
+    t0 = time.time()
+    with _pytest.raises(TrinoCompatError, match="exceed"):
+        translate(f"SELECT {q} FROM t")
+    assert time.time() - t0 < 60  # raises at the budget, never hangs
+    # realistic nesting stays well under the cap
+    out = translate(
+        "SELECT substr(split_part(s, ',', 2), 2, 3) FROM t"
+    )
+    assert len(out) < 100_000

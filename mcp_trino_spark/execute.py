@@ -340,9 +340,15 @@ def execute_query(
                 "EXPLAIN, WITH) are allowed; set SPARK_ENGINE_ALLOW_WRITE_QUERIES=true "
                 "(or TRINO_ALLOW_WRITE_QUERIES=true) to enable writes"
             )
-        # a write/DDL can change an existing table's schema without
-        # changing the SHOW TABLES fingerprint — drop the cached map
-        invalidate_column_types_cache(spark)
+        # only schema-CHANGING DDL can stale the cached column-type map
+        # under an unchanged SHOW TABLES fingerprint: ALTER (add/rename
+        # columns) and CREATE OR REPLACE (same name, new schema).
+        # CREATE/DROP change the fingerprint and are caught there;
+        # INSERT/UPDATE/DELETE/MERGE change data, never schemas —
+        # invalidating on those forced a map rebuild per write (a
+        # measured ~0.2 s tax the time-travel benches paid repeatedly)
+        if re.search(r"(?i)\b(ALTER|REPLACE)\b", q):
+            invalidate_column_types_cache(spark)
 
     group = f"execute_query-{uuid.uuid4().hex[:12]}"
     sc = spark.sparkContext

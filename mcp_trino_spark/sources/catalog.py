@@ -106,6 +106,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES if os.path.exists(table_path(sf_dir, t))}
 
 
+_LAST_REGISTERED = None
+
+
 def register_tables(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:
     """Register every testdata table as a temp view under its bare name.
 
@@ -117,8 +120,17 @@ def register_tables(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     # replacing a view can change its schema without changing the
-    # SHOW TABLES fingerprint — drop the cached column-type map
-    from mcp_trino_spark.execute import invalidate_column_types_cache
+    # SHOW TABLES fingerprint — drop the cached column-type map, but
+    # ONLY when the registration actually changes anything: the
+    # harnesses call register_tables once per entry with the same
+    # sf_dir, and re-registering identical schemas must not force a
+    # per-query map rebuild (a measured ~0.2 s tax on every benched
+    # query)
+    global _LAST_REGISTERED
+    key = (id(spark), sf_dir)
+    if _LAST_REGISTERED != key:
+        _LAST_REGISTERED = key
+        from mcp_trino_spark.execute import invalidate_column_types_cache
 
-    invalidate_column_types_cache(spark)
+        invalidate_column_types_cache(spark)
     return dfs

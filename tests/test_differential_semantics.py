@@ -783,3 +783,92 @@ def test_array_minmax_null_random_differential(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_listagg_random_differential(spark):
+    """Randomized listagg sweep (x57's oracle covers the curated
+    shape): random groups of short strings with NULLs and empties,
+    multi-char and empty delimiters, ASC/DESC order — against
+    DuckDB's string_agg with the same ORDER BY spelling.  Pins the
+    Trino contract Spark's native listagg implements: NULL inputs
+    skipped, delimiter joins remaining values, empty group → NULL."""
+    rng = random.Random(1107)
+    rows = []
+    for i in range(240):
+        g = rng.randint(0, 11)
+        v = rng.choice(["a", "bb", "", "δx", "z,z", None, "q"])
+        rows.append((i, g, v))
+    spark.createDataFrame(
+        rows, "i long, g int, v string"
+    ).createOrReplaceTempView("lag_t")
+    got = {
+        r["g"]: (r["asc_j"], r["desc_j"])
+        for r in spark.sql(
+            translate(
+                "SELECT g,"
+                " listagg(v, '--') WITHIN GROUP (ORDER BY v) AS asc_j,"
+                " listagg(v, '') WITHIN GROUP (ORDER BY v DESC) AS desc_j"
+                " FROM lag_t GROUP BY g"
+            )
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, g INTEGER, v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            "SELECT g,"
+            " string_agg(v, '--' ORDER BY v) AS asc_j,"
+            " string_agg(v, '' ORDER BY v DESC) AS desc_j"
+            " FROM t GROUP BY g"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_sequence_step_convention_differential(spark):
+    """Pins sequence()'s month-stepping contract: Trino computes
+    start + k*step (month-end clamping never ACCUMULATES — Jan 31
+    +1 month steps land on 31sts again after February), and Spark's
+    sequence implements the same convention.  The DuckDB oracle
+    spells the contract directly as list_transform over k (its own
+    generate_series accumulates prev+step, which WOULD diverge —
+    exactly why the contract needs pinning)."""
+    rng = random.Random(1108)
+    rows = []
+    for i in range(120):
+        y, m = rng.randint(1990, 2030), rng.randint(1, 12)
+        d = rng.choice([1, 28, 29, 30, 31])
+        try:
+            import datetime as dt
+
+            start = dt.date(y, m, min(d, 28 if m == 2 else d))
+        except ValueError:
+            start = dt.date(y, m, 28)
+        k = rng.randint(1, 8)
+        rows.append((i, start, k))
+    spark.createDataFrame(
+        rows, "i long, start date, k int"
+    ).createOrReplaceTempView("seq_t")
+    got = {
+        r["i"]: [str(x) for x in r["s"]]
+        for r in spark.sql(
+            translate(
+                "SELECT i, sequence(start, start + k * INTERVAL '1' MONTH,"
+                " INTERVAL '1' MONTH) AS s FROM seq_t"
+            )
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, start DATE, k INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = {
+        r[0]: [str(x) for x in r[1]]
+        for r in con.execute(
+            "SELECT i, list_transform(generate_series(0, k),"
+            " j -> CAST(start + to_months(CAST(j AS INTEGER)) AS DATE))"
+            " FROM t"
+        ).fetchall()
+    }
+    assert got == want

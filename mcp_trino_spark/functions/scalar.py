@@ -2800,3 +2800,61 @@ def x57_listagg(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x58_decimal_division_scale",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST((2 * CAST(round(l_extendedprice * 100) AS HUGEINT) * 100
+                 + CAST(round(l_quantity * 100) AS HUGEINT))
+                // (2 * CAST(round(l_quantity * 100) AS HUGEINT))
+                AS BIGINT) AS unit_price_c,
+           CAST((2 * CAST(round(l_discount * 100) AS HUGEINT)
+                 + CAST(round(l_quantity) AS HUGEINT))
+                // (2 * CAST(round(l_quantity) AS HUGEINT))
+                AS BIGINT) AS unit_disc_c
+    FROM lineitem WHERE l_orderkey < 3000
+    """,
+)
+def x58_decimal_division_scale(spark, sf_dir):
+    """Differential certification of Trino's DECIMAL-division type
+    calculus (_rewrite_decimal_division, a round-11 catch): Trino
+    keeps ``scale = max(s1, s2)`` and rounds HALF_UP (``DECIMAL
+    '1.00' / DECIMAL '3.00' = 0.33``) while Spark widens the result
+    scale (0.3333333333333) — a silent VALUE divergence on every
+    Trino-valid decimal division.  Knowable operands (CAST targets
+    here) get a CAST to Trino's result type; results are emitted as
+    SCALED BIGINTs (×10^s) so the oracle can spell the contract in
+    exact HUGEINT arithmetic — ``(2·A·10^k + B) // (2·B)`` is
+    half-up on the positive lineitem measures, fully independent of
+    DuckDB's own decimal-division rules.  The randomized sweep in
+    tests/test_differential_semantics.py crosses signs and scales
+    against a Fraction oracle and pins the integer-div interplay.
+
+    Residue (documented at the rewrite): double-rounding inside a
+    ~1e-9-wide band around half boundaries; unparameterized DECIMAL
+    operand defaults.
+
+    Reference parity: Trino DecimalOperators division
+    (docs functions/decimal.md type calculus), text forwarded
+    verbatim (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                        / CAST(l_quantity AS DECIMAL(12,2))
+                        * 100 AS BIGINT) AS unit_price_c,
+                   CAST(CAST(l_discount AS DECIMAL(5,2))
+                        / CAST(l_quantity AS DECIMAL(4,0))
+                        * 100 AS BIGINT) AS unit_disc_c
+            FROM lineitem WHERE l_orderkey < 3000
+            """
+        )
+    )

@@ -6718,6 +6718,123 @@ def _balanced(s: str) -> bool:
     return depth == 0
 
 
+#: integral type → (precision, 0) for the decimal type calculus
+_INTEGRAL_DECIMAL_PARAMS = {
+    "tinyint": (3, 0), "byte": (3, 0),
+    "smallint": (5, 0), "short": (5, 0),
+    "int": (10, 0), "integer": (10, 0),
+    "bigint": (19, 0), "long": (19, 0),
+}
+_DECIMAL_TYPE_PARAMS = re.compile(r"(?is)decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)")
+
+
+def _operand_decimal_params(expr: str, types: dict):
+    """``(precision, scale)`` when the operand's DECIMAL-calculus type
+    is lexically knowable (decimal/integer literals, CAST targets,
+    catalog columns — the x47 contract), else None.  Integral operands
+    map to (p, 0); doubles/unknowables return None."""
+    e = expr.strip()
+    if not e:
+        return None
+    m = re.fullmatch(r"-?(\d+)\.(\d+)", e)
+    if m:
+        return (len(m.group(1)) + len(m.group(2)), len(m.group(2)))
+    m = re.fullmatch(r"-?(\d+)", e)
+    if m:
+        # Trino types an integer literal as INTEGER unless it needs 64 bits
+        return (10, 0) if abs(int(e)) <= 2147483647 else (19, 0)
+    m = re.fullmatch(r"(?is)DECIMAL\s+'(-?\d+)(?:\.(\d+))?'", e)
+    if m:
+        frac = m.group(2) or ""
+        return (len(m.group(1).lstrip("-")) + len(frac), len(frac))
+    if e.startswith("(") and e.endswith(")"):
+        inner = e[1:-1].strip()
+        if _balanced(inner):
+            return _operand_decimal_params(inner, types)
+        return None
+    target = _cast_target_of(e)
+    if target is not None:
+        if target in _INTEGRAL_DECIMAL_PARAMS:
+            return _INTEGRAL_DECIMAL_PARAMS[target]
+        if target == "decimal":
+            tm = _DECIMAL_TYPE_PARAMS.search(e)
+            # unparameterized DECIMAL defaults differ (Trino (38,0),
+            # Spark (10,0)) — stay out of that residue
+            return (int(tm.group(1)), int(tm.group(2))) if tm else None
+        return None
+    if _IDENT_CHAIN.fullmatch(e):
+        t = types.get(e.rsplit(".", 1)[-1].lower(), "")
+        if t in _INTEGRAL_DECIMAL_PARAMS:
+            return _INTEGRAL_DECIMAL_PARAMS[t]
+        tm = _DECIMAL_TYPE_PARAMS.fullmatch(t)
+        if tm:
+            return (int(tm.group(1)), int(tm.group(2)))
+    return None
+
+
+def _rewrite_decimal_division(q: str, column_types: dict) -> str:
+    """Trino's DECIMAL division keeps ``scale = max(s1, s2)`` and
+    rounds the quotient HALF_UP (functions/decimal.md's documented
+    type calculus: ``p = p1 + s2 + max(0, s2 - s1)``) — the famous
+    ``DECIMAL '1.00' / DECIMAL '3.00' = 0.33`` — while Spark widens
+    the result scale (decimal(10,2)/decimal(10,2) → decimal(23,13) =
+    0.3333333333333): a silent VALUE divergence on every Trino-valid
+    decimal division.  Where both operands' decimal-calculus types
+    are knowable (at least one decimal, the other decimal or
+    integral; doubles stay fractional and already agree), the
+    division is wrapped in a CAST to Trino's result type — Spark's
+    decimal→decimal cast rounds HALF_UP, reproducing Trino's
+    rounding.
+
+    Residue (documented): Spark computes the quotient at ITS widened
+    scale first, so the wrap double-rounds — exact quotients lying
+    within 5e-14 of a half-boundary can round differently (a
+    measure-zero band vs. the always-different scale today);
+    unparameterized ``CAST(x AS DECIMAL)`` operands are skipped
+    (default precision differs: Trino (38,0), Spark (10,0)).
+
+    Runs AFTER the integer-division passes (integer/integer is
+    already ``div``; a ``(a div b)`` group is not a knowable decimal,
+    so the two rewrites never overlap) — chains re-enter through the
+    emitted CAST's decimal target.  Reference parity: Trino
+    DecimalOperators division, text forwarded verbatim
+    (internal/trino/client.go:284-291).
+    """
+    types = {str(k).lower(): str(v).lower() for k, v in column_types.items()}
+    start = 0
+    while True:
+        mask = _code_mask(q)
+        pos = q.find("/", start)
+        if pos < 0:
+            return q
+        if not mask[pos] or (pos + 1 < len(q) and q[pos + 1] in "*/") or (
+            pos > 0 and q[pos - 1] in "*/"
+        ):
+            start = pos + 1
+            continue
+        lo = _scan_left_operand(q, pos)
+        hi = _scan_right_operand(q, pos)
+        if lo is None or hi is None:
+            start = pos + 1
+            continue
+        left, right = q[lo:pos].rstrip(), q[pos + 1 : hi].lstrip()
+        pl = _operand_decimal_params(left, types)
+        pr = _operand_decimal_params(right, types)
+        if (
+            pl is None
+            or pr is None
+            or (pl[1] == 0 and pr[1] == 0)  # integral/integral → x47's div
+        ):
+            start = pos + 1
+            continue
+        (p1, s1), (p2, s2) = pl, pr
+        s = max(s1, s2)
+        p = min(38, p1 + s2 + max(0, s2 - s1))
+        repl = f"CAST(({left}) / ({right}) AS DECIMAL({p},{s}))"
+        q = q[:lo] + repl + q[hi:]
+        start = lo + len(repl)
+
+
 _ROUND_HEAD = re.compile(r"\bround\s*\(", re.IGNORECASE)
 
 
@@ -7431,6 +7548,10 @@ def _translate_inner(
     query = _rewrite_int_literal_division(query)
     if column_types and has_identifier_division(query):
         query = _rewrite_column_int_division(query, column_types)
+    # AFTER the integer-division passes: decimal division takes Trino's
+    # max(s1,s2) result scale (HALF_UP) where Spark widens the scale
+    if "/" in query:
+        query = _rewrite_decimal_division(query, column_types or {})
     # BEFORE every pass that parses sort keys (FROM LAST, WITH TIES,
     # GROUPS frames, EXCLUDE) — they must see Trino's null placement
     query = _rewrite_order_by_null_defaults(query)

@@ -872,3 +872,57 @@ def test_sequence_step_convention_differential(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_decimal_division_random_differential(spark):
+    """Randomized decimal-division sweep vs an EXACT rational oracle
+    (Python Fraction + half-away-from-zero at Trino's result scale
+    max(s1, s2)): random signed decimals at scales 0-3 through the
+    rewrite, compared as scaled integers.  Rows whose exact quotient
+    sits within 1e-12 of a half boundary are excluded — the
+    documented double-rounding residue band (Spark computes the
+    quotient at its widened scale before the wrap re-rounds)."""
+    from fractions import Fraction
+
+    rng = random.Random(1109)
+    rows, expect = [], {}
+    i = 0
+    while i < 220:
+        sa, sb = rng.randint(0, 3), rng.randint(0, 3)
+        a = rng.randint(-99999, 99999)
+        b = rng.randint(1, 99999) * rng.choice([1, -1])
+        fa, fb = Fraction(a, 10**sa), Fraction(b, 10**sb)
+        s = max(sa, sb)
+        q = fa / fb * 10**s
+        # exclude the documented double-rounding boundary band: Spark's
+        # widened-scale intermediate carries up to ~5e-13 relative
+        # error, which is up to ~5e-10 in SCALED units at s=3
+        if abs(q - (q.__floor__() + Fraction(1, 2))) < Fraction(1, 10**8):
+            continue
+        n, d = q.numerator, q.denominator
+        sign = -1 if n < 0 else 1
+        if sa == 0 and sb == 0:
+            # integer/integer routes to the x47 div rewrite: Trino
+            # integer division TRUNCATES toward zero, no decimal calculus
+            scaled = sign * (abs(n) // d)
+        else:
+            scaled = sign * ((2 * abs(n) + d) // (2 * d))
+        def _fmt(v, sc):
+            if not sc:
+                return str(v)
+            av = abs(v)
+            return f"{'-' if v < 0 else ''}{av // 10**sc}.{av % 10**sc:0{sc}d}"
+
+        a_txt, b_txt = _fmt(a, sa), _fmt(b, sb)
+        rows.append((i, a_txt, b_txt, s))
+        expect[i] = scaled
+        i += 1
+    sel = " UNION ALL ".join(
+        f"SELECT {i} AS i, CAST(({a}) / ({b}) * {10**s} AS BIGINT) AS v"
+        for i, a, b, s in rows[:80]  # one Spark job, bounded plan size
+    )
+    got = {
+        r["i"]: r["v"] for r in spark.sql(translate(sel)).collect()
+    }
+    want = {i: expect[i] for i, _, _, _ in rows[:80]}
+    assert got == want

@@ -3876,3 +3876,32 @@ def test_translate_text_growth_circuit_breaker():
         "SELECT substr(split_part(s, ',', 2), 2, 3) FROM t"
     )
     assert len(out) < 100_000
+
+
+def test_decimal_division_trino_scale(spark):
+    """Round-11 catch: Trino's decimal division keeps scale =
+    max(s1, s2) with HALF_UP rounding (DECIMAL '1.00' / DECIMAL
+    '3.00' = 0.33 — the documented decimal type calculus) while
+    Spark widens the result scale (decimal(23,13) = 0.3333333333333)
+    — a silent VALUE divergence on every Trino-valid decimal
+    division.  Knowable operands only; integer/integer stays with
+    the x47 ``div`` rewrite; double operands stay fractional (IEEE
+    division agrees in both engines)."""
+    from decimal import Decimal
+
+    rows = run(
+        spark,
+        "SELECT CAST(1.00 AS DECIMAL(10,2)) / CAST(3.00 AS DECIMAL(10,2))"
+        " AS d, 1.00 / 3 AS e, 7 / 2.00 AS f, -1.00 / 3.00 AS neg,"
+        " 2.0 / 3.00 AS g",
+    )
+    r = rows[0]
+    assert r["d"] == Decimal("0.33") and r["e"] == Decimal("0.33")
+    assert r["f"] == Decimal("3.50") and r["neg"] == Decimal("-0.33")
+    assert r["g"] == Decimal("0.67")
+    # integer/integer keeps div; double division stays fractional
+    out = translate("SELECT 7 / 2, CAST(x AS DOUBLE) / 3 FROM t")
+    assert "(7 div 2)" in out and "CAST(x AS DOUBLE) / 3" in out
+    # unparameterized DECIMAL target: skipped (defaults differ)
+    out = translate("SELECT CAST(a AS DECIMAL) / 2.0 FROM t")
+    assert "AS DECIMAL(" not in out

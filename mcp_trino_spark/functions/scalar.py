@@ -2858,3 +2858,45 @@ def x58_decimal_division_scale(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x59_xxhash64",
+    oracle="""
+    SELECT i, expected AS digest FROM (VALUES
+        (1, 'EF46DB3751D8E999'), (2, 'D24EC4F1A98C6E5B'),
+        (3, '44BC2CF5AD770999'), (4, '4AE5684CD402FBB4'),
+        (5, NULL)
+    ) AS t(i, expected)
+    """,
+)
+def x59_xxhash64(spark, sf_dir):
+    """Differential certification of xxhash64's Trino contract
+    (_rewrite_xxhash64, a round-11 catch): standard XXH64 (seed 0)
+    over raw VARBINARY bytes, big-endian VARBINARY out — Spark's
+    builtin of the same name is a seed-42 hash of its internal value
+    format returning BIGINT, so every user-spelled digest silently
+    differed.  Rows 1-3 pin the PUBLISHED XXH64 reference vectors
+    ('', 'a', 'abc'); row 4 is a 46-byte input exercising the
+    32-byte lane-accumulator path (self-derived, regression-pinned);
+    row 5 pins NULL-in-NULL-out.  The engine-local checksum()
+    rollup deliberately keeps Spark's builtin (generated after the
+    rename pass).
+
+    Reference parity: io.trino.operator.scalar.VarbinaryFunctions
+    xxhash64, text forwarded verbatim (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.trino_compat import install_compat_functions, translate
+
+    install_compat_functions(spark)
+    return spark.sql(
+        translate(
+            """
+            SELECT i, hex(xxhash64(to_utf8(s))) AS digest FROM (VALUES
+                (1, ''), (2, 'a'), (3, 'abc'),
+                (4, '0123456789abcdefghijklmnopqrstuvwxyz0123456789'),
+                (5, CAST(NULL AS VARCHAR))
+            ) AS t(i, s)
+            """
+        )
+    )

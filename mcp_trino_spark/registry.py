@@ -328,6 +328,7 @@ _WINDOW_HEAD = [
     "x56_recursive_cte",
     "x57_listagg",
     "x58_decimal_division_scale",
+    "x59_xxhash64",
     "x23_vector_math",
     "x24_setdigest",
     "x35_exclude_minmax",
@@ -359,7 +360,6 @@ _WINDOW_HEAD = [
     "l28_unigram_logprob",
     "s6b_parquet_partitioned_roundtrip",
     "s3_values_relation",
-    "a1_groupby_count",
 ]
 _WINDOW_TAIL = [
     "p8_case_when",

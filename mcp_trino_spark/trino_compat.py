@@ -808,6 +808,74 @@ def install_compat_functions(spark) -> None:
         "trino_double_to_varchar", pandas_udf(_d2s_impl, "string")
     )
 
+    # Standard XXH64 (seed 0) over raw bytes, big-endian VARBINARY out —
+    # Trino's xxhash64 contract.  Spark's builtin of the same name is a
+    # DIFFERENT function (seed-42 hash of Spark's internal row format,
+    # BIGINT out), so a user-spelled call silently produced wrong
+    # digests.  Reference vectors pinned in tests (xxh64('') =
+    # ef46db3751d8e999 etc.).  Pure-Python per row — a dialect
+    # convenience, not a hot-path operator (the engine-local checksum()
+    # keeps Spark's builtin).
+    def _xxh64_one(data: bytes) -> bytes:
+        P1, P2, P3, P4, P5 = (
+            11400714785074694791, 14029467366897019727,
+            1609587929392839161, 9650029242287828579, 2870177450012600261,
+        )
+        M = (1 << 64) - 1
+
+        def rotl(x, r):
+            return ((x << r) | (x >> (64 - r))) & M
+
+        n, i = len(data), 0
+        if n >= 32:
+            v1, v2, v3, v4 = (P1 + P2) & M, P2, 0, (-P1) & M
+            while i + 32 <= n:
+                for off, v in enumerate((v1, v2, v3, v4)):
+                    lane = int.from_bytes(data[i + off * 8 : i + off * 8 + 8], "little")
+                    v = (rotl((v + lane * P2) & M, 31) * P1) & M
+                    if off == 0:
+                        v1 = v
+                    elif off == 1:
+                        v2 = v
+                    elif off == 2:
+                        v3 = v
+                    else:
+                        v4 = v
+                i += 32
+            h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & M
+            for v in (v1, v2, v3, v4):
+                h = ((h ^ ((rotl((v * P2) & M, 31) * P1) & M)) * P1 + P4) & M
+        else:
+            h = P5  # seed 0
+        h = (h + n) & M
+        while i + 8 <= n:
+            lane = int.from_bytes(data[i : i + 8], "little")
+            h ^= (rotl((lane * P2) & M, 31) * P1) & M
+            h = (rotl(h, 27) * P1 + P4) & M
+            i += 8
+        if i + 4 <= n:
+            h ^= (int.from_bytes(data[i : i + 4], "little") * P1) & M
+            h = (rotl(h, 23) * P2 + P3) & M
+            i += 4
+        while i < n:
+            h ^= (data[i] * P5) & M
+            h = (rotl(h, 11) * P1) & M
+            i += 1
+        h ^= h >> 33
+        h = (h * P2) & M
+        h ^= h >> 29
+        h = (h * P3) & M
+        h ^= h >> 32
+        return h.to_bytes(8, "big")
+
+    def _xxh64_impl(s):
+        return pd.Series(
+            [None if x is None else _xxh64_one(bytes(x)) for x in s]
+        )
+
+    _xxh64_impl.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    spark.udf.register("trino_xxhash64", pandas_udf(_xxh64_impl, "binary"))
+
     # Exact Trino JSON-path semantics (see the note in _COMPAT_SQL_UDFS):
     # json_extract_scalar → NULL for object/array matches, scalar text
     # otherwise; json_extract → JSON-serialized value (strings QUOTED).
@@ -6835,6 +6903,26 @@ def _rewrite_decimal_division(q: str, column_types: dict) -> str:
         start = lo + len(repl)
 
 
+_XXHASH64_HEAD = re.compile(r"\bxxhash64\s*\(", re.IGNORECASE)
+
+
+def _rewrite_xxhash64(q: str) -> str:
+    """User-spelled ``xxhash64(x)`` → ``trino_xxhash64(x)``: Trino's
+    function is standard XXH64 (seed 0) over the raw VARBINARY bytes
+    returning VARBINARY, while Spark's builtin of the SAME NAME is a
+    seed-42 hash of Spark's internal value format returning BIGINT —
+    every digest silently differed.  A plain name swap (the UDF body
+    carries the algorithm); ``\\b`` keeps the rewrite off its own
+    output and off the checksum() generator's engine-local
+    xxhash64, which runs after this pass."""
+    segs = []
+    for is_code, seg in _segments(q):
+        if is_code:
+            seg = _XXHASH64_HEAD.sub("trino_xxhash64(", seg)
+        segs.append(seg)
+    return "".join(segs)
+
+
 _ROUND_HEAD = re.compile(r"\bround\s*\(", re.IGNORECASE)
 
 
@@ -7610,6 +7698,10 @@ def _translate_inner(
     query = _rewrite_cast_types(query)
     query = _rewrite_from_unixtime(query)
     query = _rewrite_normalize(query)
+    # user-spelled xxhash64 → the raw-byte XXH64 UDF, BEFORE the
+    # checksum generator below (whose engine-local xxhash64 must keep
+    # Spark's builtin)
+    query = _rewrite_xxhash64(query)
     query = _rewrite_agg_compositions(query)
     query = _rewrite_none_match(query)
     query = _rewrite_numeric_histogram(query)

@@ -3905,3 +3905,28 @@ def test_decimal_division_trino_scale(spark):
     # unparameterized DECIMAL target: skipped (defaults differ)
     out = translate("SELECT CAST(a AS DECIMAL) / 2.0 FROM t")
     assert "AS DECIMAL(" not in out
+
+
+def test_xxhash64_trino_semantics(spark):
+    """Round-11 catch: Trino's xxhash64 is STANDARD XXH64 (seed 0)
+    over raw bytes returning VARBINARY; Spark's builtin of the same
+    name is a seed-42 hash of Spark's internal format returning
+    BIGINT — every digest silently differed.  Pinned against the
+    published XXH64 reference vectors ('', 'a', 'abc'), plus a
+    46-byte input exercising the 32-byte lane accumulator path."""
+    rows = run(
+        spark,
+        "SELECT hex(xxhash64(to_utf8(''))) AS a,"
+        " hex(xxhash64(to_utf8('a'))) AS b,"
+        " hex(xxhash64(to_utf8('abc'))) AS c,"
+        " xxhash64(CAST(NULL AS VARBINARY)) AS n",
+    )
+    r = rows[0]
+    assert r["a"] == "EF46DB3751D8E999"
+    assert r["b"] == "D24EC4F1A98C6E5B"
+    assert r["c"] == "44BC2CF5AD770999"
+    assert r["n"] is None
+    # the engine-local checksum() keeps Spark's builtin (generated
+    # after this pass) — only USER-spelled calls are rewritten
+    out = translate("SELECT checksum(x) FROM t")
+    assert "trino_xxhash64" not in out

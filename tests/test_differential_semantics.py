@@ -926,3 +926,71 @@ def test_decimal_division_random_differential(spark):
     }
     want = {i: expect[i] for i, _, _, _ in rows[:80]}
     assert got == want
+
+
+def test_bitwise_and_codec_random_differential(spark):
+    """Randomized sweep over the bitwise/byte-codec families (the
+    curated x14/x15 oracles cover fixed columns): random 64-bit
+    values through shifts with Trino's ≥64 saturation semantics,
+    and-or-xor, and hex/base64 round-trips, against DuckDB spellings
+    of the same contracts (DuckDB's native shifts error past the
+    type width, so the oracle reproduces the saturation with CASE)."""
+    from mcp_trino_spark.trino_compat import install_compat_functions
+
+    install_compat_functions(spark)
+    rng = random.Random(1110)
+    rows = []
+    for i in range(200):
+        a = rng.getrandbits(64) - (1 << 63)
+        b = rng.getrandbits(64) - (1 << 63)
+        s = rng.choice([0, 1, 7, 31, 32, 63, 64, 65, 100])
+        txt = "".join(rng.choice("abcXYZ09 δ,") for _ in range(rng.randint(0, 12)))
+        rows.append((i, a, b, s, txt))
+    spark.createDataFrame(
+        rows, "i long, a long, b long, s int, txt string"
+    ).createOrReplaceTempView("bw_t")
+    got = {
+        r["i"]: (r["band"], r["bor"], r["bxor"], r["shl"], r["shr"],
+                 r["hexrt"], r["b64rt"])
+        for r in spark.sql(
+            translate(
+                "SELECT i, bitwise_and(a, b) AS band, bitwise_or(a, b) AS bor,"
+                " bitwise_xor(a, b) AS bxor,"
+                " bitwise_left_shift(a, s) AS shl,"
+                " bitwise_right_shift(a, s) AS shr,"
+                " from_utf8(from_hex(to_hex(to_utf8(txt)))) AS hexrt,"
+                " from_utf8(from_base64(to_base64(to_utf8(txt)))) AS b64rt"
+                " FROM bw_t"
+            )
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (i BIGINT, a BIGINT, b BIGINT, s INTEGER, txt VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?, ?)", rows)
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            """
+            SELECT i, a & b, a | b, xor(a, b),
+              CASE WHEN s >= 64 THEN 0
+                   ELSE CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+                             THEN m - 18446744073709551616::HUGEINT
+                             ELSE m END AS BIGINT) END,
+              CASE WHEN s >= 64 THEN 0 WHEN s = 0 THEN a
+                   ELSE CAST(ua // (1::HUGEINT << s) AS BIGINT) END,
+              txt, txt
+            FROM (
+              SELECT *,
+                (ua * (1::HUGEINT << CASE WHEN s >= 64 THEN 0 ELSE s END))
+                  % 18446744073709551616::HUGEINT AS m
+              FROM (
+                SELECT *, CASE WHEN a < 0
+                  THEN CAST(a AS HUGEINT) + 18446744073709551616::HUGEINT
+                  ELSE CAST(a AS HUGEINT) END AS ua
+                FROM t))
+            """
+        ).fetchall()
+    }
+    assert got == want

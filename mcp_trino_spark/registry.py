@@ -310,63 +310,63 @@ ROWS_ONLY_OK = {
 #: violates the freshness invariants, making the r8-r10 "forgot to
 #: re-rotate" failure mode structural rather than a reminder.
 # --- BEGIN GENERATED WINDOW (tools/rotate_window.py; make rotate-window) ---
-# Derived for round 11 from tools/check_changed.py: never/strong
+# Derived for round 12 from tools/check_changed.py: never/strong
 # leads, dialect-stale (oldest green first), module-stale drain,
 # then proven-set family representatives.  Do not edit by hand —
 # run `make rotate-window` after any engine change.
 _WINDOW_HEAD = [
-    "a21b_weighted_qdigest_rollup",
-    "x47_column_int_division",
-    "x48_datetime_token_semantics",
-    "x49_json_path_semantics",
-    "x50_typeof_spellings",
-    "x51_array_minmax_nulls",
-    "x52_double_round_semantics",
-    "x53_cast_rounding_semantics",
-    "x54_array_subscript_guard",
-    "x55_cast_double_varchar",
-    "x56_recursive_cte",
-    "x57_listagg",
-    "x58_decimal_division_scale",
-    "x59_xxhash64",
-    "x23_vector_math",
-    "x24_setdigest",
-    "x35_exclude_minmax",
-    "x36_element_at_nullsafe",
-    "x37_regexp_extract_nullsafe",
-    "x38_split_part_semantics",
-    "x39_trim_chars_order",
-    "x40_log_ieee_semantics",
-    "x41_orderless_ranking",
-    "s6_ctas_insert",
-    "s7_merge_upsert",
-    "s7b_update",
-    "s7c_delete",
-    "s10_time_travel",
-    "s12_table_changes",
-    "a10_min_by_max_by",
-    "a12_array_agg",
-    "a17_bool_aggs_median",
-    "a20_sketch_reaggregate",
-    "l28_incremental_dedup",
-    "l29_dedup_stats",
-    "l6_regex_search",
-    "l7_top_bigrams",
-    "l8_quality_score",
-    "l8b_langid",
-    "l8c_token_count",
-    "l8d_fingerprint",
-    "l17_repetition_score",
-    "l28_unigram_logprob",
-    "s6b_parquet_partitioned_roundtrip",
-    "s3_values_relation",
+    "x19_trino_dialect",
+    "o12_fetch_with_ties",
+    "x20_approx_most_frequent",
+    "x21_reduce_agg",
+    "x22_quantified_subqueries",
+    "w12_groups_frame",
+    "x25_dialect_round7",
+    "x26_nth_from_last",
+    "x27_lambda_regexp_replace",
+    "x28_dialect_round8",
+    "x29_window_exclude",
+    "x30_escape_free_literals",
+    "x31_window_exclude_peers",
+    "x32_subscript_semantics",
+    "x33_arith_null_semantics",
+    "x34_null_ordering_defaults",
+    "x42_exclude_current_row_minmax",
+    "x43_substr_semantics",
+    "x44_map_concat_lastwin",
+    "x45_weighted_percentile",
+    "x46_stats_shape_semantics",
+    "a22_misra_gries_rollup",
+    "f2b_list_catalogs_federated",
+    "a1_groupby_count",
+    "a6_grouping_sets",
+    "a7_rollup",
+    "a14_percentile",
+    "a16_salted_skew_agg",
+    "a18_pivot",
+    "l1_exact_dedup",
+    "l2_minhash_lsh_pairs",
+    "l2c_ngram_jaccard",
+    "l27_passage_dedup",
+    "l34_rare_ngram_overlap",
+    "l18_mix_weights",
+    "l4_topk_similarity",
+    "x12_json",
+    "x14_hashing",
+    "s9_cross_catalog_join",
+    "a2_sum_avg_min_max",
+    "a8_cube",
+    "a19_unpivot",
+    "x11_map_struct",
+    "x18_array_setops",
+    "a3_count_distinct",
+    "a4_multikey",
+    "a5_having",
+    "a9_filtered_agg",
 ]
 _WINDOW_TAIL = [
-    "p8_case_when",
-    "w3_ntile",
-    "o1_order_by",
-    "t1_tumbling_window",
-    "f5_table_schema",
+    "p7_like",
+    "t4_event_dedup",
 ]
 # --- END GENERATED WINDOW ---
 

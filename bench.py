@@ -231,9 +231,16 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # Retry diagnostics go to stderr: the driver captures a bounded tail
+    # of stdout and parses the LAST line as the headline JSON.  Round
+    # 11's 14-entry isolated_retries section grew the single stdout line
+    # past that capture window and left BENCH_r11 unparseable
+    # ("parsed": null) — the compact headline object must be the final
+    # stdout line, alone (VERDICT r11 #2).
     if retries:
-        out["isolated_retries"] = retries
+        print(json.dumps({"isolated_retries": retries}), file=sys.stderr)
     print(json.dumps(out))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -2563,30 +2563,34 @@ def x52_double_round_semantics(spark, sf_dir):
     "x53_cast_rounding_semantics",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS cb,
-           CAST(floor(l_quantity + 0.5) AS INTEGER) AS ci,
-           CAST(floor(l_tax + 0.5) AS INTEGER) AS tc,
-           CAST(floor(CAST(l_extendedprice AS DECIMAL(12,2)) + 0.5)
+           CAST(round(l_extendedprice) AS BIGINT) AS cb,
+           CAST(round(l_quantity) AS INTEGER) AS ci,
+           CAST(round(l_tax) AS INTEGER) AS tc,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)))
                 AS BIGINT) AS dec_b,
-           CAST(floor(l_quantity - 25.5 + 0.5) AS BIGINT) AS neg
+           CAST(round(l_quantity - 25.5) AS BIGINT) AS neg
     FROM lineitem WHERE l_orderkey < 3000
     """,
 )
 def x53_cast_rounding_semantics(spark, sf_dir):
     """Differential certification of CAST-to-integral ROUNDING
-    (_rewrite_cast_rounding, a round-11 probe catch): Trino's CAST of
-    a DOUBLE to an integral type is ``Math.round`` (half-up toward
-    +inf — the ``neg`` column crosses negative values where
-    floor(x + 0.5) keeps Math.round's tie asymmetry: -2.5 → -2) and
-    of a DECIMAL is HALF_UP, while Spark's ANSI cast TRUNCATES toward
-    zero in both cases — ``CAST(2.5E0 AS BIGINT)`` was silently 2.
-    Plain double columns are knowable via the catalog map; ``dec_b``
-    covers the decimal branch through a CAST-typed operand, ``neg`` a
-    CAST-to-DOUBLE operand wrapping an expression.  The oracle spells
-    Math.round's floor form (exact: floor output is integral-valued).
+    (_rewrite_cast_rounding; round-11 probe catch, round-12 tie
+    correction): Trino's CAST of a DOUBLE to an integral type is
+    ``DoubleMath.roundToLong(HALF_UP)`` — ties AWAY from zero, so the
+    ``neg`` column (integral l_quantity - 25.5 — every row a .5 tie,
+    half of them negative) is the load-bearing differential: -24.5 →
+    -25, where the previously-shipped Math.round form gave -24.
+    DECIMAL casts are the same HALF_UP, while Spark's ANSI cast
+    TRUNCATES toward zero in both cases — ``CAST(2.5E0 AS BIGINT)``
+    was silently 2.  Plain double columns are knowable via the
+    catalog map; ``dec_b`` covers the decimal branch through a
+    CAST-typed operand, ``neg`` a CAST-to-DOUBLE operand wrapping an
+    expression.  The oracle spells HALF_UP independently via DuckDB's
+    ``round()`` (C round(): half away from zero).
 
-    Reference parity: Trino DoubleOperators.castToLong / DecimalCasts
-    HALF_UP, text forwarded verbatim (internal/trino/client.go:284-291).
+    Reference parity: Trino DoubleOperators.castToLong
+    (DoubleMath.roundToLong HALF_UP) / DecimalCasts HALF_UP, text
+    forwarded verbatim (internal/trino/client.go:284-291).
     """
     from mcp_trino_spark.execute import _catalog_column_types
     from mcp_trino_spark.sources.catalog import register_tables

@@ -6991,20 +6991,28 @@ def _rewrite_double_round(q: str, column_types: dict) -> str:
 
 
 def _rewrite_cast_rounding(q: str, column_types: dict) -> str:
-    """Trino CAST of a fractional value to an integral type ROUNDS —
-    ``Math.round`` for DOUBLE/REAL (half-up toward +inf, NaN → 0),
-    HALF_UP (half away from zero) for DECIMAL — while Spark's ANSI
-    cast TRUNCATES toward zero: ``CAST(2.5E0 AS BIGINT)`` is 3 in
-    Trino, 2 in Spark, silently.  Rewrites CAST/TRY_CAST to TINYINT/
-    SMALLINT/INTEGER/INT/BIGINT when the operand is lexically
-    double- or decimal-typed (the x47 knowability contract:
-    literals, CAST targets, plain catalog columns):
+    """Trino CAST of a fractional value to an integral type ROUNDS
+    HALF_UP (half away from zero) for BOTH DOUBLE/REAL and DECIMAL —
+    ``DoubleMath.roundToLong(value, RoundingMode.HALF_UP)`` in
+    DoubleOperators, not ``Math.round`` (round-12 correction: ties go
+    AWAY from zero, so ``CAST(-2.5E0 AS BIGINT)`` is -3, not -2, and
+    NaN is an error, not 0) — while Spark's ANSI cast TRUNCATES
+    toward zero: ``CAST(2.5E0 AS BIGINT)`` is 3 in Trino, 2 in Spark,
+    silently.  Rewrites CAST/TRY_CAST to TINYINT/SMALLINT/INTEGER/
+    INT/BIGINT when the operand is lexically double- or decimal-typed
+    (the x47 knowability contract: literals, CAST targets, plain
+    catalog columns):
 
-    - double operand → ``floor(x + 0.5)`` (Math.round's definition;
-      note Math.round(-2.5) = -2, NOT -3 — the floor form reproduces
-      that asymmetry exactly), with ``isnan(x) → 0`` as in Trino.
-      Infinity stays an ANSI overflow error here where Trino's BIGINT
-      cast clamps to Long.MAX (error-vs-value residue, documented).
+    - double operand → sign-mirrored ``floor(|x| + 0.5)`` (exactly
+      HALF_UP; mirrors the decimal branch), with NaN raising
+      ``Cannot cast double NaN to <type>`` like Trino under CAST and
+      yielding NULL under TRY_CAST.  Infinity is an ANSI overflow
+      error here, as in Trino (DoubleMath.roundToLong rejects
+      non-finite input).  Residue: values within 0.5 ulp of an odd
+      integer ≥ 2^52 can round up where Guava's exact arithmetic
+      would not (the +0.5 is a float add); TRY_CAST of Infinity
+      errors instead of yielding NULL (the overflow happens in
+      floor(), outside the try scope).
     - decimal operand → ``x ± 0.5`` then the truncating cast (exact
       decimal arithmetic: trunc(x + sign(x)*0.5) IS HALF_UP).
 
@@ -7066,11 +7074,25 @@ def _rewrite_cast_rounding(q: str, column_types: dict) -> str:
             continue
         head = q[m.start() : b0]  # 'CAST(' or 'TRY_CAST(' as written
         if kind == "double":
-            # 0L keeps the IF's common type BIGINT (Spark's floor on a
-            # double already returns BIGINT) — a 0.0D branch would
-            # promote the floor back to double and lose exactness
-            # above 2^53
-            new_x = f"IF(isnan(CAST(({x}) AS DOUBLE)), 0L, floor(({x}) + 0.5D))"
+            # sign-mirrored floor(|x| + 0.5) IS RoundingMode.HALF_UP;
+            # floor on a double returns BIGINT, keeping the IF's common
+            # type exact above 2^53 (a double branch would lose it)
+            half_up = (
+                f"IF(({x}) < 0,"
+                f" -floor((-({x})) + 0.5D),"
+                f" floor(({x}) + 0.5D))"
+            )
+            if head.upper().startswith("TRY"):
+                # Trino try_cast absorbs the NaN error into NULL
+                nan_branch = "NULL"
+            else:
+                tgt = {"int": "integer"}.get(target, target)
+                nan_branch = (
+                    f"raise_error('Cannot cast double NaN to {tgt}')"
+                )
+            new_x = (
+                f"IF(isnan(CAST(({x}) AS DOUBLE)), {nan_branch}, {half_up})"
+            )
         else:
             new_x = f"(({x}) + IF(({x}) < 0, -0.5, 0.5))"
         repl = f"{head}{new_x} AS {body[as_at.end():].strip()})"

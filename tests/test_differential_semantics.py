@@ -691,9 +691,12 @@ def test_double_round_and_cast_random_differential(spark):
     constructed on decimal .5 boundaries (where Spark's BigDecimal
     HALF_UP and Trino's binary-scaled Math.floor(x*10^n + 0.5) split
     per-value) through round(x, n) and CAST(x AS BIGINT/INT), against
-    a DuckDB oracle that spells Trino's floor forms explicitly — both
-    engines evaluate the same IEEE doubles, so the comparison is
-    bit-exact."""
+    a DuckDB oracle that spells Trino's forms independently — the
+    sign-mirrored floor for round(x, n), DuckDB's native half-away-
+    from-zero round() for the HALF_UP integral cast (round-12
+    correction: Trino casts via DoubleMath.roundToLong(HALF_UP), not
+    Math.round) — both engines evaluate the same IEEE doubles, so the
+    comparison is bit-exact."""
     rng = random.Random(1105)
     rows = []
     tails = ["005", "015", "025", "5", "45", "55", "095", "5000001", "49", "99"]
@@ -734,8 +737,8 @@ def test_double_round_and_cast_random_differential(spark):
                    THEN -floor(-x * 100.0 + 0.5) / 100.0
                    ELSE  floor( x * 100.0 + 0.5) / 100.0
               END AS r2,
-              CAST(floor(x + 0.5) AS BIGINT) AS cb,
-              CAST(floor(x + 0.5) AS INTEGER) AS ci
+              CAST(round(x) AS BIGINT) AS cb,
+              CAST(round(x) AS INTEGER) AS ci
             FROM t
             """
         ).fetchall()

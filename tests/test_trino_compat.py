@@ -3579,8 +3579,10 @@ def test_column_int_division_cast_operands():
     # the division pass composes `div` on top of it
     out = _tdiv("SELECT CAST(d AS BIGINT) / b FROM t")
     assert out == (
-        "SELECT (CAST(IF(isnan(CAST((d) AS DOUBLE)), 0L,"
-        " floor((d) + 0.5D)) AS BIGINT) div b) FROM t"
+        "SELECT (CAST(IF(isnan(CAST((d) AS DOUBLE)),"
+        " raise_error('Cannot cast double NaN to bigint'),"
+        " IF((d) < 0, -floor((-(d)) + 0.5D), floor((d) + 0.5D)))"
+        " AS BIGINT) div b) FROM t"
     )
     # an integral column needs no rounding — the bare CAST survives
     assert (
@@ -3690,20 +3692,29 @@ def test_double_round_binary_scaling(spark):
 
 
 def test_cast_rounding_trino_semantics(spark):
-    """Round-11 catch: Trino CAST(double AS integral) is Math.round —
-    half-up toward +inf (CAST(-2.5E0 AS BIGINT) = -2!), NaN → 0 —
-    and CAST(decimal AS integral) is HALF_UP (half away from zero);
-    Spark's ANSI cast truncates toward zero in both cases."""
+    """Round-11 catch, round-12 correction: Trino CAST(double AS
+    integral) is DoubleMath.roundToLong(HALF_UP) — ties away from
+    zero (CAST(-2.5E0 AS BIGINT) = -3, CAST(-0.5E0 AS INT) = -1),
+    NaN an error under CAST and NULL under TRY_CAST — and
+    CAST(decimal AS integral) is the same HALF_UP; Spark's ANSI cast
+    truncates toward zero in both cases."""
     rows = run(
         spark,
         "SELECT CAST(2.5E0 AS BIGINT) AS a, CAST(-2.5E0 AS BIGINT) AS b,"
-        " CAST(-2.7E0 AS INT) AS c, CAST(CAST('NaN' AS DOUBLE) AS BIGINT) AS d,"
+        " CAST(-2.7E0 AS INT) AS c, CAST(-0.5E0 AS INT) AS d,"
         " CAST(2.5 AS INT) AS e, CAST(-2.5 AS INT) AS f,"
-        " TRY_CAST(2.5E0 AS TINYINT) AS g",
+        " TRY_CAST(2.5E0 AS TINYINT) AS g,"
+        " TRY_CAST(CAST('NaN' AS DOUBLE) AS BIGINT) AS h",
     )
     r = rows[0]
-    assert (r["a"], r["b"], r["c"], r["d"]) == (3, -2, -3, 0)
+    assert (r["a"], r["b"], r["c"], r["d"]) == (3, -3, -3, -1)
     assert (r["e"], r["f"], r["g"]) == (3, -3, 3)
+    assert r["h"] is None
+    # CAST of NaN raises like Trino (not a silent 0)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="Cannot cast double NaN to bigint"):
+        run(spark, "SELECT CAST(CAST('NaN' AS DOUBLE) AS BIGINT) AS d")
     # unknowable operand (function result): Spark truncation stays
     out = translate("SELECT CAST(sum(x) AS BIGINT) FROM t")
     assert out == "SELECT CAST(sum(x) AS BIGINT) FROM t"

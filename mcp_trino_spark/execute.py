@@ -19,6 +19,7 @@ import json
 import re
 import threading
 import uuid
+import weakref
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional
 
@@ -58,13 +59,21 @@ class QueryResult:
         return json.dumps(self.rows, indent=2, default=str)
 
 
-#: session-scoped column-type map cache: id(spark) → (fingerprint, map).
-#: The fingerprint is the SHOW TABLES listing (namespace, name, temp) —
-#: it catches tables/views appearing or disappearing; an in-place
-#: schema REPLACEMENT under the same name is caught by the write-path
-#: invalidation hook below (the engine's own DDL all flows through the
-#: façade's non-read-only branch).  Capped at a handful of sessions.
-_COLUMN_TYPES_CACHE: dict = {}
+#: session-scoped column-type map cache: session → (fingerprint, map),
+#: weakref-keyed so a garbage-collected session can never alias a new
+#: one's entry (id() reuse — ADVICE r11).  The fingerprint is the
+#: SHOW TABLES listing (namespace, name, temp) PLUS every temp view's
+#: schema string — temp views are the surface an application mutates
+#: in place (createOrReplaceTempView) without touching the listing or
+#: the façade write hook, and their schemas are driver-side metadata
+#: (~7 ms/view).  Catalog tables — where schema resolution can RPC
+#: (hive metastore, JDBC federation) — stay cached against the listing
+#: + the façade write-path invalidation hook; an EXTERNAL writer that
+#: alters a catalog table's schema in place is the one remaining
+#: documented hazard: call ``invalidate_column_types_cache()`` after
+#: out-of-band DDL, or the stale map can change query VALUES (cast
+#: rounding, decimal-division scale, the subscript guard).
+_COLUMN_TYPES_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def invalidate_column_types_cache(spark=None) -> None:
@@ -74,7 +83,7 @@ def invalidate_column_types_cache(spark=None) -> None:
     if spark is None:
         _COLUMN_TYPES_CACHE.clear()
     else:
-        _COLUMN_TYPES_CACHE.pop(id(spark), None)
+        _COLUMN_TYPES_CACHE.pop(spark, None)
 
 
 def _catalog_column_types(spark) -> dict:
@@ -87,38 +96,54 @@ def _catalog_column_types(spark) -> dict:
     documented rather than guessed).  Round 11 widened the consumers:
     the Trino-rounding CAST/round passes, the double→varchar renderer,
     and the array-subscript negativity guard read the same map.  Built
-    only when the query's text could use it (``needs_column_types``),
-    and cached against the SHOW TABLES fingerprint: the original
-    listTables+listColumns build cost ~2 s in catalog RPCs PER QUERY —
-    SHOW TABLES (~50 ms) + df.schema (~8 ms/table) + the cache bring a
-    warm hit to one cheap listing."""
+    only when the query's text could use it (``needs_column_types``)
+    and cached per session; see the cache docstring above for the
+    fingerprint contract (temp-view schemas re-read every call, ~7 ms
+    each; catalog-table schemas cached — the original
+    listTables+listColumns build cost ~2 s in catalog RPCs PER QUERY).
+    """
     try:
         listing = spark.sql("SHOW TABLES").collect()
     except Exception:
         return {}
-    fp = tuple(sorted(
+    rows = tuple(sorted(
         (r["namespace"], r["tableName"], bool(r["isTemporary"]))
         for r in listing
     ))
-    hit = _COLUMN_TYPES_CACHE.get(id(spark))
+    temp_schemas: dict = {}
+    for ns, name, temp in rows:
+        if temp:
+            try:
+                temp_schemas[name] = spark.table(name).schema
+            except Exception:
+                continue
+    fp = (rows, tuple(
+        sorted((n, s.simpleString()) for n, s in temp_schemas.items())
+    ))
+    hit = _COLUMN_TYPES_CACHE.get(spark)
     if hit is not None and hit[0] == fp:
         return hit[1]
     types: dict = {}
-    for ns, name, temp in fp:
-        qual = name if temp or not ns else f"{ns}.{name}"
-        try:
-            fields = spark.table(qual).schema.fields
-        except Exception:
-            continue
+
+    def _add(fields) -> None:
         for f in fields:
             cname, dt = f.name.lower(), f.dataType.simpleString().lower()
             if types.get(cname, dt) != dt:
                 types[cname] = "ambiguous"
             else:
                 types[cname] = dt
-    if len(_COLUMN_TYPES_CACHE) > 8:
-        _COLUMN_TYPES_CACHE.clear()
-    _COLUMN_TYPES_CACHE[id(spark)] = (fp, types)
+
+    for ns, name, temp in rows:
+        if temp:
+            if name in temp_schemas:
+                _add(temp_schemas[name].fields)
+            continue
+        qual = name if not ns else f"{ns}.{name}"
+        try:
+            _add(spark.table(qual).schema.fields)
+        except Exception:
+            continue
+    _COLUMN_TYPES_CACHE[spark] = (fp, types)
     return types
 
 

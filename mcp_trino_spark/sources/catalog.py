@@ -18,6 +18,7 @@ the CBO stats hook.
 from __future__ import annotations
 
 import os
+import weakref
 from typing import Dict
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -106,7 +107,13 @@ def load_tables(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES if os.path.exists(table_path(sf_dir, t))}
 
 
-_LAST_REGISTERED = None
+#: session → (sf_dir, schema digest) of the last registration, weakref-
+#: keyed so a collected session can't alias a new one's entry via id()
+#: reuse (ADVICE r11).  The digest makes the skip-if-unchanged guard
+#: schema-aware: re-registering the same sf_dir after the parquet
+#: schemas changed ON DISK invalidates the column-type map instead of
+#: silently serving the stale one.
+_LAST_REGISTERED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:
@@ -126,10 +133,10 @@ def register_tables(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:
     # sf_dir, and re-registering identical schemas must not force a
     # per-query map rebuild (a measured ~0.2 s tax on every benched
     # query)
-    global _LAST_REGISTERED
-    key = (id(spark), sf_dir)
-    if _LAST_REGISTERED != key:
-        _LAST_REGISTERED = key
+    digest = tuple(sorted((n, df.schema.simpleString()) for n, df in dfs.items()))
+    key = (sf_dir, digest)
+    if _LAST_REGISTERED.get(spark) != key:
+        _LAST_REGISTERED[spark] = key
         from mcp_trino_spark.execute import invalidate_column_types_cache
 
         invalidate_column_types_cache(spark)

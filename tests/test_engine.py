@@ -457,12 +457,13 @@ def test_statement_form_parity_with_reference_gate(spark, sf_dir):
 
 
 def test_column_types_cache_fingerprint_and_invalidation(spark):
-    """The round-11 column-type map cache: warm hits return the cached
-    map (SHOW TABLES fingerprint only — the listTables+listColumns
-    build cost ~2 s of catalog RPCs per query), a view appearing
-    changes the fingerprint and rebuilds, and the explicit
-    invalidation hook (wired to every non-read-only query and to
-    register_tables) forces a rebuild."""
+    """The round-11 column-type map cache (round-12 fingerprint): warm
+    hits return the cached map, a view appearing changes the listing
+    and rebuilds, an IN-PLACE createOrReplaceTempView schema swap —
+    listing unchanged, the r11 staleness hazard — changes the
+    temp-view-schema half of the fingerprint and rebuilds, and the
+    explicit invalidation hook (wired to every non-read-only query and
+    to register_tables) forces a rebuild."""
     from mcp_trino_spark.execute import (
         _catalog_column_types,
         invalidate_column_types_cache,
@@ -478,9 +479,17 @@ def test_column_types_cache_fingerprint_and_invalidation(spark):
         ).createOrReplaceTempView("ctc_t2")
         m2 = _catalog_column_types(spark)  # fingerprint changed
         assert m2 is not m1 and m2.get("ctc_y") == "double"
+        # in-place schema replacement under an UNCHANGED listing: app-
+        # level DDL the façade write hook never sees — a stale map here
+        # changes query values (cast rounding, decimal-division scale)
+        spark.createDataFrame(
+            [(2.5,)], "ctc_x double"
+        ).createOrReplaceTempView("ctc_t")
+        m2b = _catalog_column_types(spark)
+        assert m2b is not m2 and m2b.get("ctc_x") == "double"
         invalidate_column_types_cache(spark)
         m3 = _catalog_column_types(spark)
-        assert m3 is not m2 and m3 == m2
+        assert m3 is not m2b and m3 == m2b
     finally:
         spark.catalog.dropTempView("ctc_t")
         spark.catalog.dropTempView("ctc_t2")

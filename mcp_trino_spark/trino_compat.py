@@ -75,6 +75,7 @@ shapes it can't express):
 from __future__ import annotations
 
 import re
+import threading
 import uuid
 from typing import Dict, Iterator, List, Optional, Tuple
 
@@ -2118,7 +2119,19 @@ MAX_TRANSLATED_BYTES = 1_000_000
 #: Every realistic query translates in milliseconds; 15 s is two
 #: orders of magnitude of headroom.
 TRANSLATE_TIME_BUDGET_S = 15.0
-_TRANSLATE_DEADLINE: List[float] = []
+#: per-thread deadline stack: concurrent translate() calls (the MCP
+#: server handles requests on worker threads) must not pop each
+#: other's deadlines or read a sibling's — a shared list let a slow
+#: translation on one thread trip the budget on a fast one, and vice
+#: versa leave the hung one unguarded (ADVICE r11).
+_TRANSLATE_DEADLINE_TLS = threading.local()
+
+
+def _deadline_stack() -> List[float]:
+    stack = getattr(_TRANSLATE_DEADLINE_TLS, "stack", None)
+    if stack is None:
+        stack = _TRANSLATE_DEADLINE_TLS.stack = []
+    return stack
 
 
 def _check_translated_size(q: str) -> None:
@@ -2132,7 +2145,8 @@ def _check_translated_size(q: str) -> None:
         )
     import time as _t
 
-    if _TRANSLATE_DEADLINE and _t.monotonic() > _TRANSLATE_DEADLINE[-1]:
+    stack = _deadline_stack()
+    if stack and _t.monotonic() > stack[-1]:
         raise TrinoCompatError(
             f"query translation exceeded {TRANSLATE_TIME_BUDGET_S:.0f}s: "
             "deeply nested guard-rewritten calls multiply the text per "
@@ -6691,6 +6705,21 @@ _ALWAYS_DOUBLE_FNS = frozenset({
 })
 _DOUBLE_FN_HEAD = re.compile(r"(?is)\s*([A-Za-z_][A-Za-z0-9_]*)\s*\(")
 
+#: nondeterministic calls: the rounding/cast guard rewrites DUPLICATE
+#: their operand text per branch, so each copy would evaluate
+#: independently and mix draws within one row (ADVICE r11) — any
+#: expression containing one is skipped (documented residue, same
+#: class as the _ALWAYS_DOUBLE_FNS rand exclusion)
+_NONDETERMINISTIC_CALL = re.compile(
+    r"(?i)\b(rand|randn|random|uuid|shuffle|monotonically_increasing_id)"
+    r"\s*\("
+)
+
+
+def _has_nondeterministic_call(e: str) -> bool:
+    mask = _code_mask(e)
+    return any(mask[m.start()] for m in _NONDETERMINISTIC_CALL.finditer(e))
+
 
 def _whole_call_name(e: str) -> Optional[str]:
     """Lowercased function name when ``e`` is exactly one call
@@ -6966,6 +6995,12 @@ def _rewrite_double_round(q: str, column_types: dict) -> str:
             pos = b0
             continue
         x, n = args[0], args[1]
+        if _has_nondeterministic_call(x) or _has_nondeterministic_call(n):
+            # both x and n are duplicated across the sign branches — a
+            # rand()-bearing operand or scale would draw independently
+            # per copy and mix scales/values within one row
+            pos = b0
+            continue
         f = f"power(10, ({n}))"
 
         # double-domain Math.floor: Spark's floor(double) returns
@@ -7056,6 +7091,12 @@ def _rewrite_cast_rounding(q: str, column_types: dict) -> str:
         if kind is None:
             # leave the call; nested CASTs inside the body are matched
             # on later iterations by resuming INSIDE the parens
+            pos = m.end()
+            continue
+        if _has_nondeterministic_call(x):
+            # every rewrite below duplicates x (isnan guard + sign
+            # branches); a rand()-bearing operand would draw
+            # independently per copy
             pos = m.end()
             continue
         if target in ("varchar", "string"):
@@ -7603,11 +7644,12 @@ def translate(query: str, column_types: Optional[Dict[str, str]] = None) -> str:
     documented divergence."""
     import time as _t
 
-    _TRANSLATE_DEADLINE.append(_t.monotonic() + TRANSLATE_TIME_BUDGET_S)
+    stack = _deadline_stack()
+    stack.append(_t.monotonic() + TRANSLATE_TIME_BUDGET_S)
     try:
         return _translate_inner(query, column_types)
     finally:
-        _TRANSLATE_DEADLINE.pop()
+        stack.pop()
 
 
 def _translate_inner(

@@ -3689,6 +3689,16 @@ def test_double_round_binary_scaling(spark):
     # unknowable operand type: untouched (documented residue)
     out = translate("SELECT round(sum(x), 2) FROM t")
     assert out == "SELECT round(sum(x), 2) FROM t"
+    # nondeterministic operand or scale: untouched — the rewrite
+    # duplicates both across sign branches, so each copy would draw
+    # rand() independently and mix values/scales within one row
+    out = translate("SELECT round(CAST(rand() AS DOUBLE), 2) FROM t")
+    assert out == "SELECT round(CAST(rand() AS DOUBLE), 2) FROM t"
+    out = translate(
+        "SELECT round(x, CAST(rand()*3 AS INT)) FROM t",
+        column_types={"x": "double"},
+    )
+    assert out == "SELECT round(x, CAST(rand()*3 AS INT)) FROM t"
 
 
 def test_cast_rounding_trino_semantics(spark):
@@ -3718,6 +3728,9 @@ def test_cast_rounding_trino_semantics(spark):
     # unknowable operand (function result): Spark truncation stays
     out = translate("SELECT CAST(sum(x) AS BIGINT) FROM t")
     assert out == "SELECT CAST(sum(x) AS BIGINT) FROM t"
+    # nondeterministic operand: untouched (the guard duplicates x)
+    out = translate("SELECT CAST(CAST(rand() AS DOUBLE) AS BIGINT) FROM t")
+    assert out == "SELECT CAST(CAST(rand() AS DOUBLE) AS BIGINT) FROM t"
     # non-integral target: untouched
     out = translate("SELECT CAST(2.5E0 AS DOUBLE) FROM t")
     assert out == "SELECT CAST(2.5E0 AS DOUBLE) FROM t"

@@ -2904,3 +2904,117 @@ def x59_xxhash64(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x60_unicode_case_semantics",
+    oracle="""
+    SELECT i, expected_u AS up, expected_l AS lo, ln FROM (VALUES
+        (1, 'STRAßE', 'straße', 6),
+        (2, 'İSTANBUL', 'istanbul', 8),
+        (3, 'ﬁLE', 'ﬁle', 3),
+        (4, 'HELLO', 'hello', 5),
+        (5, NULL, NULL, NULL),
+        (6, 'ẞTRAßE', 'ßtraße', 6),
+        (7, 'AB😀CD', 'ab😀cd', 5),
+        (8, 'EDUTÉ', 'eduté', 5)
+    ) AS t(i, expected_u, expected_l, ln)
+    """,
+)
+def x60_unicode_case_semantics(spark, sf_dir):
+    """Differential certification of the round-12 simple-case-mapping
+    catch (_rewrite_simple_case): Trino upper()/lower() map each code
+    point 1:1 via Character.toUpperCase/toLowerCase (airlift
+    SliceUtf8) — upper('straße') = 'STRAßE', lower('İSTANBUL') =
+    'istanbul' (bare i), upper('ﬁle') = 'ﬁLE' — where Spark's Java
+    full mapping said 'STRASSE'/'i̇stanbul'/'FILE', silently, on any
+    German/Turkish corpus.  Rows also pin code-point length (Trino
+    counts code points: 'ab😀cd' is 5) and code-point reverse (row 8
+    input is reverse('étude'), precomposed é — the combining-mark
+    ordering cases live in the randomized sweep).  The oracle pins expected spellings as
+    literals over a VALUES relation (DuckDB's own upper() is
+    full-mapping and would be wrong here — the divergence the sweep
+    in tests/test_differential_semantics.py caught).
+
+    Reference parity: Trino StringFunctions.upper/lower →
+    SliceUtf8.toUpperCase/toLowerCase, text forwarded verbatim
+    (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.trino_compat import install_compat_functions, translate
+
+    install_compat_functions(spark)
+    return spark.sql(
+        translate(
+            """
+            SELECT i, upper(s) AS up, lower(s) AS lo, length(s) AS ln
+            FROM (VALUES
+                (1, 'straße'), (2, 'İstanbul'), (3, 'ﬁle'),
+                (4, 'Hello'), (5, CAST(NULL AS VARCHAR)),
+                (6, 'ẞtraße'), (7, 'ab😀cd'), (8, reverse('étude'))
+            ) AS t(i, s)
+            """
+        )
+    )
+
+
+@register(
+    "x61_date_interval_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + 1 * INTERVAL 1 MONTH AS DATE) AS m1,
+           CAST(CAST(o_orderdate AS DATE) + 13 * INTERVAL 1 MONTH AS DATE) AS m13,
+           CAST(CAST(o_orderdate AS DATE) - 1 * INTERVAL 1 MONTH AS DATE) AS mneg,
+           CAST(CAST(o_orderdate AS DATE) + 48 * INTERVAL 1 HOUR AS DATE) AS wh,
+           CAST(CAST(o_orderdate AS DATE) + 7 * INTERVAL 1 DAY AS DATE) AS d7,
+           CAST(o_orderdate AS TIMESTAMP) + (o_orderkey % 5) * INTERVAL 1 YEAR
+             + 36 * INTERVAL 1 HOUR AS tsmix
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def x61_date_interval_semantics(spark, sf_dir):
+    """Differential certification of the round-12 date-interval catch
+    (_rewrite_date_interval) and month-end clamping over real data:
+    Trino DATE ± day-time interval keeps the DATE type (wh: +48
+    hours is two whole days → DATE, where Spark promoted to
+    TIMESTAMP) and year-month addition clamps to the target
+    month-end (m1/m13/mneg cross 31→30/28/29-day months across the
+    orders date range); the date operands are CAST-typed
+    (o_orderdate is a timestamp in the testdata parquet — the CAST
+    target is the x47 knowability route); tsmix exercises TIMESTAMP arithmetic mixing
+    a column-dependent year-month interval with a day-time one
+    (CAST(date AS TIMESTAMP) keeps Spark arithmetic — the operand is
+    no longer date-typed).  The sub-day raise path is pinned by
+    pytest (tests/test_trino_compat.py::
+    test_date_interval_trino_semantics).  The oracle spells interval
+    multiples (DuckDB's INTERVAL literal rejects negative/derived
+    counts) and CASTs its timestamp-promoting date arithmetic back
+    to DATE.
+
+    Reference parity: Trino DateTimeOperators
+    datePlusIntervalDayToSecond (whole-day check) /
+    datePlusIntervalYearToMonth (month-end clamp), text forwarded
+    verbatim (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.execute import _catalog_column_types
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import install_compat_functions, translate
+
+    register_tables(spark, sf_dir)
+    install_compat_functions(spark)
+    return spark.sql(
+        translate(
+            """
+            SELECT o_orderkey,
+                   CAST(o_orderdate AS DATE) + INTERVAL '1' MONTH AS m1,
+                   CAST(o_orderdate AS DATE) + INTERVAL '13' MONTH AS m13,
+                   CAST(o_orderdate AS DATE) - INTERVAL '1' MONTH AS mneg,
+                   CAST(o_orderdate AS DATE) + INTERVAL '48' HOUR AS wh,
+                   CAST(o_orderdate AS DATE) + INTERVAL '7' DAY AS d7,
+                   CAST(o_orderdate AS TIMESTAMP)
+                     + (o_orderkey % 5) * INTERVAL '1' YEAR
+                     + INTERVAL '36' HOUR AS tsmix
+            FROM orders WHERE o_orderkey < 2000
+            """,
+            column_types=_catalog_column_types(spark),
+        )
+    )

@@ -315,6 +315,8 @@ ROWS_ONLY_OK = {
 # then proven-set family representatives.  Do not edit by hand —
 # run `make rotate-window` after any engine change.
 _WINDOW_HEAD = [
+    "x60_unicode_case_semantics",
+    "x61_date_interval_semantics",
     "x53_cast_rounding_semantics",
     "x19_trino_dialect",
     "o12_fetch_with_ties",
@@ -361,8 +363,6 @@ _WINDOW_HEAD = [
     "x11_map_struct",
     "x18_array_setops",
     "a3_count_distinct",
-    "a4_multikey",
-    "a5_having",
 ]
 _WINDOW_TAIL = [
     "p7_like",

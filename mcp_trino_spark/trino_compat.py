@@ -982,6 +982,11 @@ def install_compat_functions(spark) -> None:
     _xxh64_impl.__annotations__ = {"s": pd.Series, "return": pd.Series}
     spark.udf.register("trino_xxhash64", pandas_udf(_xxh64_impl, "binary"))
 
+    # Trino upper()/lower() are SIMPLE (1:1 code point) case mappings;
+    # the divergence from Spark's full-mapping builtins is closed
+    # entirely JVM-side by _rewrite_simple_case (translate/ucase/lcase
+    # composition — no UDF needed, legal inside lambdas).
+
     # Exact Trino JSON-path semantics (see the note in _COMPAT_SQL_UDFS):
     # json_extract_scalar → NULL for object/array matches, scalar text
     # otherwise; json_extract → JSON-serialized value (strings QUOTED).
@@ -7057,6 +7062,214 @@ def _rewrite_xxhash64(q: str) -> str:
     return "".join(segs)
 
 
+_DATE_TYPED_LITERAL = re.compile(r"(?is)DATE\s*'[^']*'")
+#: day-time interval literal with a sub-day-capable unit: single
+#: HOUR/MINUTE/SECOND, or a DAY TO x span ('D HH:MM:SS.fff' body)
+_DT_INTERVAL_AFTER_SIGN = re.compile(
+    r"(?is)\s*INTERVAL\s*'(?P<body>[^']*)'\s*"
+    r"(?P<unit>HOUR|MINUTE|SECOND|DAY\s+TO\s+(?:HOUR|MINUTE|SECOND))\b"
+)
+
+
+def _operand_is_date(expr: str, types: dict) -> bool:
+    """Lexically-knowable DATE operand (the x47 contract: DATE
+    literals, CAST(... AS DATE), plain catalog columns of date
+    type)."""
+    e = expr.strip()
+    if not e:
+        return False
+    if _DATE_TYPED_LITERAL.fullmatch(e):
+        return True
+    if e.startswith("(") and e.endswith(")"):
+        inner = e[1:-1].strip()
+        return _balanced(inner) and _operand_is_date(inner, types)
+    if _cast_target_of(e) == "date":
+        return True
+    if _IDENT_CHAIN.fullmatch(e):
+        return types.get(e.rsplit(".", 1)[-1].lower(), "") == "date"
+    return False
+
+
+def _dt_interval_seconds(body: str, unit: str):
+    """Total seconds of a day-time interval literal, or None when the
+    body doesn't parse (leave such text alone — loud later, not
+    silently mis-typed)."""
+    unit = re.sub(r"\s+", " ", unit.strip().lower())
+    body = body.strip()
+    try:
+        if unit in ("hour", "minute", "second"):
+            v = float(body)
+            return v * {"hour": 3600, "minute": 60, "second": 1}[unit]
+        # DAY TO x spans: 'D[ HH[:MM[:SS[.fff]]]]'
+        m = re.fullmatch(
+            r"(-?\d+)(?:\s+(\d+)(?::(\d+)(?::(\d+(?:\.\d+)?))?)?)?", body
+        )
+        if not m:
+            return None
+        d, hh, mm, ss = m.groups()
+        sign = -1 if d.startswith("-") else 1
+        return sign * (
+            abs(int(d)) * 86400
+            + int(hh or 0) * 3600
+            + int(mm or 0) * 60
+            + float(ss or 0)
+        )
+    except ValueError:
+        return None
+
+
+def _rewrite_date_interval(q: str, column_types: dict) -> str:
+    """Trino ``DATE ± day-time interval`` keeps the DATE type and
+    REJECTS sub-day components — ``DATE '2020-01-31' + INTERVAL '36'
+    HOUR`` raises "Cannot add hour, minutes or seconds to a date"
+    (DateTimeOperators.datePlusIntervalDayToSecond checks the
+    interval's millis against whole days), and ``+ INTERVAL '24'
+    HOUR`` returns the DATE 2020-02-01 — while Spark silently
+    promotes to TIMESTAMP ('2020-02-01 12:00:00') in both cases.
+    For knowable-date left operands (DATE literals, CAST targets,
+    catalog date columns — the x47 contract) with a LITERAL
+    sub-day-capable interval:
+
+    - whole-day total → ``CAST((x ± INTERVAL ...) AS DATE)``
+    - sub-day remainder → ``raise_error(...)`` with Trino's message
+
+    ``INTERVAL ... DAY``/YEAR/MONTH forms already agree (Spark returns
+    DATE there) and are not touched.  Interval-on-the-left, chained
+    arithmetic, and unknowable operands keep Spark's promotion —
+    documented residue, same class as x47.
+    """
+    types = {str(k).lower(): str(v).lower() for k, v in column_types.items()}
+    pos = 0
+    while True:
+        mask = _code_mask(q)
+        hit = None
+        for i in range(pos, len(q)):
+            if not mask[i] or q[i] not in "+-":
+                continue
+            m = _DT_INTERVAL_AFTER_SIGN.match(q, i + 1)
+            if m is None:
+                continue
+            try:
+                lstart = _left_operand_start(q, mask, i)
+            except Exception:
+                continue
+            x = q[lstart:i].strip()
+            if not _operand_is_date(x, types):
+                continue
+            secs = _dt_interval_seconds(m.group("body"), m.group("unit"))
+            if secs is None:
+                continue
+            hit = (lstart, i, m.end(), q[i], secs)
+            break
+        if hit is None:
+            return q
+        lstart, sign_at, end, sign, secs = hit
+        term = q[sign_at + 1 : end]
+        x = q[lstart:sign_at].strip()
+        if secs % 86400 == 0:
+            repl = f"CAST(({x} {sign} {term.strip()}) AS DATE)"
+        else:
+            verb = "add" if sign == "+" else "subtract"
+            prep = "to" if sign == "+" else "from"
+            repl = (
+                f"CAST(raise_error('Cannot {verb} hour, minutes or seconds "
+                f"{prep} a date') AS DATE)"
+            )
+        q = q[:lstart] + repl + q[end:]
+        pos = lstart + len(repl)
+
+
+_UPPER_HEAD = re.compile(r"\bupper\s*\(", re.IGNORECASE)
+_LOWER_HEAD = re.compile(r"\blower\s*\(", re.IGNORECASE)
+
+#: code points whose FULL uppercase mapping is multi-char — exactly
+#: where Trino's simple 1:1 mapping (identity there) diverges from
+#: Spark's Java full mapping (ß→SS, ﬁ→FI, ŉ, Greek iota subscripts,
+#: Armenian ligatures, …).  102 BMP code points; computed lazily from
+#: Python's own Unicode tables (same UnicodeData/SpecialCasing source
+#: Java uses).
+_UPPER_DIVERGENT_CLASS: List[str] = []
+
+
+def _upper_divergent_class() -> str:
+    if not _UPPER_DIVERGENT_CLASS:
+        _UPPER_DIVERGENT_CLASS.append(
+            "".join(chr(cp) for cp in range(0x110000) if len(chr(cp).upper()) > 1)
+        )
+    return _UPPER_DIVERGENT_CLASS[0]
+
+
+#: private-use-area shield for the upper() rewrite: each divergent
+#: code point round-trips through U+E000+i (case-invariant under
+#: Java's toUpperCase), so the whole mapping stays inside Spark's
+#: JVM translate/upper builtins — no UDF, legal inside higher-order
+#: lambdas, single copy of the operand
+def _pua_class() -> str:
+    return "".join(chr(0xE000 + i) for i in range(len(_upper_divergent_class())))
+
+
+def _rewrite_simple_case(q: str) -> str:
+    """Trino ``upper()``/``lower()`` map each code point 1:1 via
+    Character.toUpperCase/toLowerCase (airlift SliceUtf8), while
+    Spark's builtins apply Java's FULL Unicode mapping:
+    ``upper('straße')`` was silently 'STRASSE' where Trino returns
+    'STRAßE', and ``lower('İ')`` was 'i'+COMBINING DOT where Trino
+    returns the bare 'i' — a silent divergence on any German/Turkish/
+    Greek-bearing corpus.
+
+    The mappings differ on a tiny fixed set, so both rewrites stay
+    pure JVM (whole-stage codegen, legal inside higher-order-function
+    lambdas where a Python UDF is not):
+
+    - ``lower(x)`` → ``lcase(translate(x, 'İ', 'i'))`` — U+0130 is
+      the ONLY code point whose full lowercase is multi-char, and for
+      every other code point full == simple; exact.
+    - ``upper(x)`` → ``translate(ucase(translate(x, <102 divergent
+      chars>, <PUA shield>)), <PUA shield>, <divergent chars>)`` —
+      divergent code points (where the full mapping is multi-char and
+      Trino's simple mapping is identity) hide behind case-invariant
+      private-use-area chars U+E000.. while ucase runs, then map
+      back.  Residue: an input already containing U+E000–U+E065
+      (application-private by definition) would map back to the
+      divergent set.  Spelled ``ucase``/``lcase`` so this pass never
+      re-matches its own output.
+
+    Reference parity: Trino StringFunctions.upper/lower →
+    SliceUtf8.toUpperCase/toLowerCase; text forwarded verbatim
+    (internal/trino/client.go:284-291).
+    """
+    pos = 0
+    while True:
+        found = _find_call(q, _LOWER_HEAD, pos)
+        if found is None:
+            break
+        m, b0, b1 = found
+        x = q[b0:b1]
+        if len(_split_top_args(x)) != 1:
+            pos = b0
+            continue
+        repl = f"lcase(translate({x}, 'İ', 'i'))"
+        q = q[: m.start()] + repl + q[b1 + 1 :]
+        pos = m.start() + len("lcase(translate(")
+    pos = 0
+    while True:
+        found = _find_call(q, _UPPER_HEAD, pos)
+        if found is None:
+            return q
+        m, b0, b1 = found
+        x = q[b0:b1]
+        if len(_split_top_args(x)) != 1:
+            pos = b0
+            continue
+        div, pua = _upper_divergent_class(), _pua_class()
+        repl = (
+            f"translate(ucase(translate({x}, '{div}', '{pua}')),"
+            f" '{pua}', '{div}')"
+        )
+        q = q[: m.start()] + repl + q[b1 + 1 :]
+        pos = m.start() + len("translate(ucase(translate(")
+
+
 _ROUND_HEAD = re.compile(r"\bround\s*\(", re.IGNORECASE)
 
 
@@ -7794,6 +8007,7 @@ def _translate_inner(
     # inside the emitted guard flow through log-IEEE afterwards).
     query = _rewrite_cast_rounding(query, column_types or {})
     query = _rewrite_double_round(query, column_types or {})
+    query = _rewrite_date_interval(query, column_types or {})
     # ln/log10/log2/log(b, x): Trino is pure IEEE Math.log (0 ->
     # -Infinity, negative -> NaN) where Spark's builtins return NULL.
     # Early: later generators (geometric_mean) emit Spark-semantics
@@ -7871,6 +8085,9 @@ def _translate_inner(
     # checksum generator below (whose engine-local xxhash64 must keep
     # Spark's builtin)
     query = _rewrite_xxhash64(query)
+    # user-spelled upper/lower → simple 1:1 case mapping (generated
+    # ucase/lcase below stay Spark-native by spelling)
+    query = _rewrite_simple_case(query)
     query = _rewrite_agg_compositions(query)
     query = _rewrite_none_match(query)
     query = _rewrite_numeric_histogram(query)

@@ -997,3 +997,179 @@ def test_bitwise_and_codec_random_differential(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_interval_arithmetic_random_differential(spark):
+    """Randomized sweep for datetime ± interval edges (round 12):
+    dates/timestamps biased to month ends (day 28-31, leap and
+    non-leap Februaries adjacent) through ±n MONTH/YEAR (month-end
+    clamping), ±n DAY, and timestamp ±hours/minutes/seconds, against
+    DuckDB evaluating the same arithmetic — both engines clamp
+    year-month addition to the last day of the target month (as Trino
+    does), so the comparison is exact.  DATE + whole-day hour
+    intervals pin the round-12 DATE-typed result (Spark used to
+    promote to TIMESTAMP; DuckDB's result is CAST to DATE in the
+    oracle spelling)."""
+    from mcp_trino_spark.trino_compat import install_compat_functions
+
+    install_compat_functions(spark)
+    rng = random.Random(1208)
+    rows = []
+    for i in range(220):
+        y = rng.choice([2019, 2020, 2021, 2024, 1999])
+        mth = rng.randint(1, 12)
+        day = rng.choice([1, 15, 27, 28, 28, 29, 30, 31])
+        import calendar
+        day = min(day, calendar.monthrange(y, mth)[1])
+        months = rng.randint(-30, 30)
+        days = rng.randint(-70, 70)
+        hours = rng.randint(-100, 100)
+        secs = rng.randint(-100000, 100000)
+        wdays = rng.randint(-5, 5) * 24
+        rows.append((i, f"{y:04d}-{mth:02d}-{day:02d}", months, days,
+                     hours, secs, wdays))
+    sel = []
+    for i, d, months, days, hours, secs, wdays in rows:
+        sm = "+" if months >= 0 else "-"
+        sd = "+" if days >= 0 else "-"
+        sh = "+" if hours >= 0 else "-"
+        ss = "+" if secs >= 0 else "-"
+        sw = "+" if wdays >= 0 else "-"
+        ts = f"TIMESTAMP '{d} 10:30:45'"
+        sel.append(
+            f"SELECT {i} AS i,"
+            f" DATE '{d}' {sm} INTERVAL '{abs(months)}' MONTH AS dm,"
+            f" DATE '{d}' {sd} INTERVAL '{abs(days)}' DAY AS dd,"
+            f" DATE '{d}' {sw} INTERVAL '{abs(wdays)}' HOUR AS dwh,"
+            f" {ts} {sm} INTERVAL '{abs(months)}' MONTH AS tm,"
+            f" {ts} {sm} INTERVAL '{abs(months) % 10}' YEAR AS ty,"
+            f" {ts} {sh} INTERVAL '{abs(hours)}' HOUR AS th,"
+            f" {ts} {ss} INTERVAL '{abs(secs)}' SECOND AS tsec"
+        )
+        if len(sel) >= 220:
+            break
+    q = " UNION ALL ".join(sel)
+    got = {
+        r["i"]: (r["dm"], r["dd"], r["dwh"], r["tm"], r["ty"], r["th"], r["tsec"])
+        for r in spark.sql(translate(q)).collect()
+    }
+    con = duckdb.connect()
+    want = {}
+    for i, d, months, days, hours, secs, wdays in rows:
+        r = con.execute(
+            f"""
+            SELECT CAST(DATE '{d}' + ({months}) * INTERVAL 1 MONTH AS DATE),
+                   CAST(DATE '{d}' + ({days}) * INTERVAL 1 DAY AS DATE),
+                   CAST(DATE '{d}' + ({wdays}) * INTERVAL 1 HOUR AS DATE),
+                   TIMESTAMP '{d} 10:30:45' + ({months}) * INTERVAL 1 MONTH,
+                   TIMESTAMP '{d} 10:30:45' + (({months}) % 10) * INTERVAL 1 YEAR,
+                   TIMESTAMP '{d} 10:30:45' + ({hours}) * INTERVAL 1 HOUR,
+                   TIMESTAMP '{d} 10:30:45' + ({secs}) * INTERVAL 1 SECOND
+            """
+        ).fetchone()
+        want[i] = tuple(r)
+    mism = {i: (got[i], want[i]) for i in want if got[i] != want[i]}
+    assert not mism, dict(list(mism.items())[:3])
+
+
+def _simple_upper_ref(s):
+    out = []
+    for ch in s:
+        u = ch.upper()
+        out.append(u if len(u) == 1 else ch)
+    return "".join(out)
+
+
+def _simple_lower_ref(s):
+    out = []
+    for ch in s:
+        if ch == "İ":
+            out.append("i")
+            continue
+        l = ch.lower()
+        out.append(l if len(l) == 1 else ch)
+    return "".join(out)
+
+
+def _lev_ref(a, b):
+    # codepoint-level DP — Trino's levenshtein_distance contract
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[n]
+
+
+def test_unicode_string_random_differential(spark):
+    """Randomized sweep for code-point string semantics (round 12):
+    strings mixing ASCII, combining marks, non-BMP emoji (surrogate
+    pairs in UTF-16 engines), ß/İ/ﬁ case-mapping divergents, through
+    length/substr/strpos/reverse/lpad (DuckDB oracle — code-point
+    reverse spelled independently via regexp_extract_all +
+    list_reverse), upper/lower (Python simple-mapping reference:
+    Trino's 1:1 Character.toUpperCase contract), and
+    levenshtein_distance (code-point DP reference; DuckDB's builtin
+    is byte-based and would be WRONG here — the sweep that caught
+    it)."""
+    from mcp_trino_spark.trino_compat import install_compat_functions
+
+    install_compat_functions(spark)
+    rng = random.Random(1209)
+    ALPHA = ["a", "b", "Z", " ", "ß", "İ", "ﬁ", "é", "é",
+             "\U0001F600", "é", "δ", "STRASSE", "straße", "ı"]
+    rows = []
+    for i in range(200):
+        s = "".join(rng.choice(ALPHA) for _ in range(rng.randint(0, 8)))
+        t = "".join(rng.choice(ALPHA) for _ in range(rng.randint(0, 5)))
+        start = rng.randint(-3, 6)
+        ln = rng.randint(0, 5)
+        rows.append((i, s, t, start if start != 0 else 1, ln))
+    spark.createDataFrame(
+        rows, "i long, s string, t string, p int, l int"
+    ).createOrReplaceTempView("uni_t")
+    got = {
+        r["i"]: (r["ln"], r["sub"], r["pos"], r["rev"], r["up"], r["lo"],
+                 r["lev"], r["lp"])
+        for r in spark.sql(
+            translate(
+                "SELECT i, length(s) AS ln, substr(s, p, l) AS sub,"
+                " strpos(s, t) AS pos, reverse(s) AS rev,"
+                " upper(s) AS up, lower(s) AS lo,"
+                " levenshtein_distance(s, t) AS lev,"
+                " lpad(s, 6, '*') AS lp"
+                " FROM uni_t"
+            )
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, s VARCHAR, t VARCHAR, p INT, l INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?, ?)",
+                    [r[:5] for r in rows])
+    duck = {
+        r[0]: r[1:]
+        for r in con.execute(
+            """
+            SELECT i, length(s),
+                   CASE WHEN p < 0 AND length(s) < -p THEN ''
+                        ELSE substr(s, p, l) END,
+                   strpos(s, t),
+                   coalesce(array_to_string(list_reverse(regexp_extract_all(s, '.')), ''), ''),
+                   lpad(s, 6, '*')
+            FROM t
+            """
+        ).fetchall()
+    }
+    mism = []
+    for i, s, t, p, l in rows:
+        want = (
+            duck[i][0], duck[i][1], duck[i][2], duck[i][3],
+            _simple_upper_ref(s), _simple_lower_ref(s),
+            _lev_ref(s, t), duck[i][4],
+        )
+        if got[i] != want:
+            mism.append((i, s, t, got[i], want))
+    assert not mism, mism[:3]

@@ -3956,6 +3956,63 @@ def test_xxhash64_trino_semantics(spark):
     assert "trino_xxhash64" not in out
 
 
+def test_simple_case_mapping_trino_semantics(spark):
+    """Round-12 catch: Trino upper()/lower() map each code point 1:1
+    (airlift SliceUtf8 → Character.toUpperCase/toLowerCase) where
+    Spark applies Java's FULL Unicode mapping — upper('straße') was
+    silently 'STRASSE' (Trino: 'STRAßE'), lower('İ') was 'i'+COMBINING
+    DOT (Trino: bare 'i'), upper('ﬁle') was 'FILE' (Trino: 'ﬁLE')."""
+    rows = run(
+        spark,
+        "SELECT upper('straße') AS a, lower('İstanbul') AS b,"
+        " upper('ﬁle') AS c, lower('STRASSE') AS d, upper('hello') AS e,"
+        " lower(CAST(NULL AS VARCHAR)) AS f, upper(lower('ẞtraße')) AS g,"
+        " length(lower('İ')) AS h",
+    )
+    r = rows[0]
+    assert r["a"] == "STRAßE" and r["b"] == "istanbul" and r["c"] == "ﬁLE"
+    assert r["d"] == "strasse" and r["e"] == "HELLO" and r["f"] is None
+    assert r["g"] == "ßTRAßE" and r["h"] == 1
+    # the rewrite is pure JVM (translate/ucase composition): a single
+    # copy of the operand — safe for nondeterministic operands and
+    # legal inside higher-order-function lambdas
+    out = translate("SELECT upper(CAST(rand() AS VARCHAR)) FROM t")
+    assert out.count("rand()") == 1 and "ucase(translate(" in out
+    out = translate("SELECT transform(a, x -> upper(x)) FROM t")
+    assert "ucase(translate(" in out
+
+
+def test_date_interval_trino_semantics(spark):
+    """Round-12 catch: Trino DATE ± day-time interval keeps DATE and
+    rejects sub-day components; Spark silently promoted to TIMESTAMP
+    ('2020-01-31' + 36 hours was '2020-02-01 12:00:00')."""
+    rows = run(
+        spark,
+        "SELECT DATE '2020-01-31' + INTERVAL '24' HOUR AS a,"
+        " DATE '2020-01-31' - INTERVAL '1440' MINUTE AS b,"
+        " DATE '2020-01-31' + INTERVAL '2 00:00:00' DAY TO SECOND AS c,"
+        " DATE '2020-01-31' + INTERVAL '1' MONTH AS d,"
+        " DATE '2020-01-31' + INTERVAL '3' DAY AS e",
+    )
+    r = rows[0]
+    assert r["a"] == datetime.date(2020, 2, 1)
+    assert r["b"] == datetime.date(2020, 1, 30)
+    assert r["c"] == datetime.date(2020, 2, 2)
+    assert r["d"] == datetime.date(2020, 2, 29)  # month-end clamp
+    assert r["e"] == datetime.date(2020, 2, 3)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="Cannot add hour"):
+        run(spark, "SELECT DATE '2020-01-31' + INTERVAL '36' HOUR AS v")
+    with _pytest.raises(Exception, match="Cannot subtract hour"):
+        run(spark, "SELECT DATE '2020-01-31' - INTERVAL '90' MINUTE AS v")
+    # timestamps and unknowable operands keep Spark arithmetic
+    out = translate("SELECT TIMESTAMP '2020-01-31 01:00:00' + INTERVAL '36' HOUR")
+    assert "raise_error" not in out
+    out = translate("SELECT some_expr(x) + INTERVAL '36' HOUR FROM t")
+    assert "raise_error" not in out
+
+
 def test_xxhash64_vectorized_matches_reference():
     """The numpy-batched kernel (VERDICT r11 #3) must agree with the
     per-row reference implementation on every length class: empty,

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
+from typing import Optional
 
 from mcp_trino_spark.allowlist import Allowlists, parse_allowlist
 
@@ -33,6 +34,13 @@ def _parse_timeout(raw: str) -> int:
     return value if value > 0 else DEFAULT_QUERY_TIMEOUT_S
 
 
+def _parse_amf_mode(raw: str) -> Optional[str]:
+    """'exact'/'sketch', else None (defer to the session knob) — the
+    warn-and-default idiom (reference config.go:93-107)."""
+    mode = raw.strip().lower()
+    return mode if mode in ("exact", "sketch") else None
+
+
 def _parse_bool(raw: str, default: bool = False) -> bool:
     if raw == "":
         return default
@@ -49,6 +57,16 @@ class EngineConfig:
     #: identity queries run as when the transport supplies none
     #: (reference config.go:201 `TRINO_USER`, default "trino")
     default_user: str = "trino"
+    #: approx_most_frequent routing: "exact" (one-shuffle distributed
+    #: plan) or "sketch" (Misra-Gries mergeable summary — bounded
+    #: memory past the per-group distinct-value wall at 100 TB).
+    #: None defers to the session-level Python knob
+    #: (trino_compat.set_approx_most_frequent_mode); env:
+    #: SPARK_ENGINE_APPROX_MOST_FREQUENT_MODE /
+    #: TRINO_APPROX_MOST_FREQUENT_MODE — the reference's
+    #: config-from-env idiom (config.go:58-228) applied to the one
+    #: engine knob that previously needed a Python call.
+    approx_most_frequent_mode: Optional[str] = None
 
     @classmethod
     def from_env(cls) -> "EngineConfig":
@@ -65,4 +83,7 @@ class EngineConfig:
             allow_write_queries=_parse_bool(_env("ALLOW_WRITE_QUERIES"), False),
             allowlists=allowlists,
             default_user=_env("USER", "trino") or "trino",
+            approx_most_frequent_mode=_parse_amf_mode(
+                _env("APPROX_MOST_FREQUENT_MODE")
+            ),
         )

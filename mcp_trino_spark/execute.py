@@ -334,7 +334,10 @@ def execute_query(
             needs_column_types,
         )
 
-        if approx_most_frequent_mode() == "sketch" and re.search(
+        # config (env-settable, reference config.go idiom) wins over the
+        # session-level Python knob when set
+        amf_mode = config.approx_most_frequent_mode or approx_most_frequent_mode()
+        if amf_mode == "sketch" and re.search(
             r"\bapprox_most_frequent\s*\(", q, re.IGNORECASE
         ):
             # Misra-Gries route (bounded memory past the exact plan's

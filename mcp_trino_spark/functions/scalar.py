@@ -3018,3 +3018,48 @@ def x61_date_interval_semantics(spark, sf_dir):
             column_types=_catalog_column_types(spark),
         )
     )
+
+
+@register(
+    "x62_real_varchar_rendering",
+    oracle="""
+    SELECT i, expected AS rendered FROM (VALUES
+        (1, '1E-1'), (2, '1.5E0'), (3, '1.23456E2'),
+        (4, 'NaN'), (5, NULL), (6, '-2.675E0'), (7, '1E2'),
+        (8, '6E-45'), (9, '3.4028235E38')
+    ) AS t(i, expected)
+    """,
+)
+def x62_real_varchar_rendering(spark, sf_dir):
+    """Differential certification of the round-12 REAL rendering and
+    fractional typed-literal closures: CAST(real AS VARCHAR) computes
+    shortest-roundtrip digits over FLOAT32 (Trino's Ryu-for-float —
+    REAL '0.1' renders '1E-1' where the float64 path would say
+    '1.0000000149011612E-1'), and DOUBLE '...'/REAL '...' typed
+    literals respell to CASTs (Spark's parser rejects fractional
+    typed literals).  Rows 8/9 pin the float32 denormal floor
+    (5.6e-45 → shortest '6E-45') and FLT_MAX.  The oracle pins
+    expected spellings as literals over a VALUES relation (DuckDB
+    renders floats positionally).
+
+    Reference parity: Trino RealOperators castToVarchar (Ryu float32
+    shortest form), text forwarded verbatim
+    (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.trino_compat import install_compat_functions, translate
+
+    install_compat_functions(spark)
+    return spark.sql(
+        translate(
+            """
+            SELECT i, CAST(x AS VARCHAR) AS rendered FROM (VALUES
+                (1, REAL '0.1'), (2, REAL '1.5'), (3, REAL '123.456'),
+                (4, CAST('NaN' AS REAL)), (5, CAST(NULL AS REAL)),
+                (6, REAL '-2.675'), (7, REAL '100'),
+                (8, REAL '5.605193857299268E-45'),
+                (9, REAL '3.4028235E38')
+            ) AS t(i, x)
+            """,
+            column_types={"x": "float", "i": "int"},
+        )
+    )

@@ -317,6 +317,7 @@ ROWS_ONLY_OK = {
 _WINDOW_HEAD = [
     "x60_unicode_case_semantics",
     "x61_date_interval_semantics",
+    "x62_real_varchar_rendering",
     "x53_cast_rounding_semantics",
     "x19_trino_dialect",
     "o12_fetch_with_ties",
@@ -362,7 +363,6 @@ _WINDOW_HEAD = [
     "a19_unpivot",
     "x11_map_struct",
     "x18_array_setops",
-    "a3_count_distinct",
 ]
 _WINDOW_TAIL = [
     "p7_like",

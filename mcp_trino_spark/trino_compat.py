@@ -972,6 +972,39 @@ def install_compat_functions(spark) -> None:
         "trino_double_to_varchar", pandas_udf(_d2s_impl, "string")
     )
 
+    # REAL variant (round-12 residue closure): Trino renders REAL in
+    # the same always-scientific shortest-roundtrip form but computed
+    # over FLOAT32 — CAST(REAL '0.1' AS VARCHAR) is '1E-1' while the
+    # float64 path would say '1.0000000149011612E-1'.  numpy's
+    # format_float_positional(unique=True) IS the float32
+    # shortest-roundtrip (Dragon4, same contract as Trino's Ryu).
+    def _r2s_one(x):
+        import numpy as _np
+
+        if x is None or _m.isnan(x):
+            return None
+        f = _np.float32(x)
+        fx = float(f)
+        if _m.isinf(fx):
+            return "Infinity" if fx > 0 else "-Infinity"
+        if fx == 0.0:
+            return "-0E0" if _m.copysign(1.0, fx) < 0 else "0E0"
+        short = _np.format_float_positional(f, unique=True, trim="-")
+        sign, digits, exp = _Dec(short).normalize().as_tuple()
+        adj = exp + len(digits) - 1
+        mant = str(digits[0]) + (
+            "." + "".join(map(str, digits[1:])) if len(digits) > 1 else ""
+        )
+        return ("-" if sign else "") + mant + "E" + str(adj)
+
+    def _r2s_impl(s):
+        return pd.Series([_r2s_one(x) for x in s])
+
+    _r2s_impl.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    spark.udf.register(
+        "trino_real_to_varchar", pandas_udf(_r2s_impl, "string")
+    )
+
     # Standard XXH64 (seed 0) over raw bytes, big-endian VARBINARY out —
     # Trino's xxhash64 contract (see _xxh64_batch / _xxh64_one at module
     # level: numpy-vectorized across the Arrow batch, ~µs/row Python cost
@@ -2486,6 +2519,28 @@ def _rewrite_decimal_literal(q: str) -> str:
         scale = len(digits.split(".")[1]) if "." in digits else 0
         prec = max(1, len(digits.replace(".", "")))
         q = q[: m.start()] + f"CAST('{v}' AS DECIMAL({prec},{scale}))" + q[m.end():]
+
+
+_FP_TYPED_LIT = re.compile(r"\b(DOUBLE|REAL)\s*'([^']*)'", re.IGNORECASE)
+
+
+def _rewrite_fp_typed_literal(q: str) -> str:
+    """Trino typed literals ``DOUBLE '1.5'`` / ``REAL '0.1'`` →
+    ``CAST('1.5' AS DOUBLE)`` / ``CAST('0.1' AS FLOAT)`` — Spark's
+    parser rejects the typed-literal spelling for fractional types
+    (round 12; previously these failed loudly at parse).  The CAST
+    form keeps the operand lexically knowable for the rounding/
+    rendering passes (which also recognize the raw spelling), and
+    Spark's ANSI cast matches Trino's literal validation (bad text →
+    error).  Runs after the knowability-driven passes, so it is a
+    pure execution-spelling fix."""
+    while True:
+        mask = _code_mask(q)
+        m = next((c for c in _FP_TYPED_LIT.finditer(q) if mask[c.start()]), None)
+        if m is None:
+            return q
+        target = "DOUBLE" if m.group(1).upper() == "DOUBLE" else "FLOAT"
+        q = q[: m.start()] + f"CAST('{m.group(2)}' AS {target})" + q[m.end():]
 
 
 #: Trino parse_duration units → seconds (docs: ns us ms s m h d)
@@ -7071,6 +7126,28 @@ _DT_INTERVAL_AFTER_SIGN = re.compile(
 )
 
 
+_REAL_TYPED_LITERAL = re.compile(r"(?is)REAL\s*'[^']*'")
+
+
+def _operand_is_real(expr: str, types: dict) -> bool:
+    """Knowable FLOAT32 operand (REAL literals, CAST(... AS REAL/
+    FLOAT), catalog float columns) — the double→varchar renderer
+    must compute shortest-roundtrip digits over float32 for these."""
+    e = expr.strip()
+    if not e:
+        return False
+    if _REAL_TYPED_LITERAL.fullmatch(e):
+        return True
+    if e.startswith("(") and e.endswith(")"):
+        inner = e[1:-1].strip()
+        return _balanced(inner) and _operand_is_real(inner, types)
+    if _cast_target_of(e) in ("real", "float"):
+        return True
+    if _IDENT_CHAIN.fullmatch(e):
+        return types.get(e.rsplit(".", 1)[-1].lower(), "") == "float"
+    return False
+
+
 def _operand_is_date(expr: str, types: dict) -> bool:
     """Lexically-knowable DATE operand (the x47 contract: DATE
     literals, CAST(... AS DATE), plain catalog columns of date
@@ -7423,10 +7500,16 @@ def _rewrite_cast_rounding(q: str, column_types: dict) -> str:
                 pos = m.end()
                 continue
             # the isnan guard distinguishes true NaN (→ 'NaN') from
-            # SQL NULL (→ NULL): Arrow conflates them inside the UDF
+            # SQL NULL (→ NULL): Arrow conflates them inside the UDF;
+            # REAL operands render over float32 (round-12 closure)
+            fn = (
+                "trino_real_to_varchar"
+                if _operand_is_real(x, types)
+                else "trino_double_to_varchar"
+            )
             repl = (
                 f"IF(isnan(CAST(({x}) AS DOUBLE)), 'NaN',"
-                f" trino_double_to_varchar({x}))"
+                f" {fn}({x}))"
             )
             q = q[: m.start()] + repl + q[b1 + 1 :]
             pos = m.start() + len("IF(isnan(CAST((")
@@ -8093,6 +8176,7 @@ def _translate_inner(
     query = _rewrite_numeric_histogram(query)
     query = _rewrite_date_parse(query)
     query = _rewrite_decimal_literal(query)
+    query = _rewrite_fp_typed_literal(query)
     query = _rewrite_parse_duration(query)
     query = _rewrite_setdigest_cardinality(query)
     query = _rewrite_hll_sketches(query)

@@ -4013,6 +4013,32 @@ def test_date_interval_trino_semantics(spark):
     assert "raise_error" not in out
 
 
+def test_real_varchar_and_fp_typed_literals(spark):
+    """Round-12 residue closures: (a) DOUBLE '1.5' / REAL '0.1' typed
+    literals respell to CASTs (Spark's parser rejects fractional
+    typed literals — these previously failed loudly); (b) CAST(real
+    AS VARCHAR) renders over FLOAT32 shortest-roundtrip digits
+    (numpy Dragon4 — REAL '0.1' is '1E-1', not the float64-widened
+    '1.0000000149011612E-1')."""
+    rows = run(
+        spark,
+        "SELECT CAST(REAL '0.1' AS VARCHAR) AS a,"
+        " CAST(REAL '123.456' AS VARCHAR) AS b,"
+        " CAST(CAST('NaN' AS REAL) AS VARCHAR) AS c,"
+        " CAST(CAST(NULL AS REAL) AS VARCHAR) AS d,"
+        " CAST(REAL '-2.675' AS VARCHAR) AS e,"
+        " DOUBLE '1.5' + 1 AS f, REAL '2.5' AS g,"
+        " CAST(REAL '100' AS VARCHAR) AS h",
+    )
+    r = rows[0]
+    assert r["a"] == "1E-1" and r["b"] == "1.23456E2"
+    assert r["c"] == "NaN" and r["d"] is None
+    assert r["e"] == "-2.675E0" and r["h"] == "1E2"
+    assert r["f"] == 2.5 and r["g"] == 2.5
+    out = translate("SELECT DOUBLE '1.5', REAL '2.5'")
+    assert out == "SELECT CAST('1.5' AS DOUBLE), CAST('2.5' AS FLOAT)"
+
+
 def test_xxhash64_vectorized_matches_reference():
     """The numpy-batched kernel (VERDICT r11 #3) must agree with the
     per-row reference implementation on every length class: empty,

@@ -7117,6 +7117,31 @@ def _rewrite_xxhash64(q: str) -> str:
     return "".join(segs)
 
 
+def _rewrite_bare_decimal(q: str) -> str:
+    """Unparameterized ``CAST(x AS DECIMAL)`` → ``DECIMAL(38,0)``:
+    Trino's DecimalType.createDecimalType() defaults to precision 38
+    / scale 0, while Spark's bare DECIMAL is (10,0) — an 11-digit
+    value Trino casts fine was an ANSI overflow error here, and
+    in-range values silently carried the narrower type into the
+    decimal arithmetic calculus.  Scoped to CAST/TRY_CAST targets (a
+    bare ``AS DECIMAL`` elsewhere is a column alias — DECIMAL is not
+    reserved); runs before the knowability passes so CAST targets
+    read parameterized everywhere downstream."""
+    pos = 0
+    while True:
+        found = _find_call(q, _CAST_HEAD, pos)
+        if found is None:
+            return q
+        m, b0, b1 = found
+        body = q[b0:b1]
+        as_at = _split_cast_body(body)
+        if as_at is None or body[as_at.end() :].strip().lower() != "decimal":
+            pos = m.end()
+            continue
+        q = q[:b0] + body[: as_at.end()] + " DECIMAL(38,0)" + q[b1:]
+        pos = m.end()
+
+
 _DATE_TYPED_LITERAL = re.compile(r"(?is)DATE\s*'[^']*'")
 #: day-time interval literal with a sub-day-capable unit: single
 #: HOUR/MINUTE/SECOND, or a DAY TO x span ('D HH:MM:SS.fff' body)
@@ -8088,6 +8113,7 @@ def _translate_inner(
     # renders scientific.  BEFORE the log-IEEE pass so an ln()/log()
     # operand is still spelled as the recognizable call (its copies
     # inside the emitted guard flow through log-IEEE afterwards).
+    query = _rewrite_bare_decimal(query)
     query = _rewrite_cast_rounding(query, column_types or {})
     query = _rewrite_double_round(query, column_types or {})
     query = _rewrite_date_interval(query, column_types or {})

@@ -3926,9 +3926,11 @@ def test_decimal_division_trino_scale(spark):
     # integer/integer keeps div; double division stays fractional
     out = translate("SELECT 7 / 2, CAST(x AS DOUBLE) / 3 FROM t")
     assert "(7 div 2)" in out and "CAST(x AS DOUBLE) / 3" in out
-    # unparameterized DECIMAL target: skipped (defaults differ)
+    # unparameterized DECIMAL target: defaults to Trino's decimal(38,0)
+    # (round 12 — previously skipped as residue), so the division
+    # calculus engages: scale = max(0, 1) = 1 at the precision cap
     out = translate("SELECT CAST(a AS DECIMAL) / 2.0 FROM t")
-    assert "AS DECIMAL(" not in out
+    assert "CAST(a AS DECIMAL(38,0))" in out and "AS DECIMAL(38,1))" in out
 
 
 def test_xxhash64_trino_semantics(spark):
@@ -4011,6 +4013,27 @@ def test_date_interval_trino_semantics(spark):
     assert "raise_error" not in out
     out = translate("SELECT some_expr(x) + INTERVAL '36' HOUR FROM t")
     assert "raise_error" not in out
+
+
+def test_bare_decimal_default_trino_semantics(spark):
+    """Round-12 residue closure: unparameterized CAST(x AS DECIMAL)
+    defaults to decimal(38,0) in Trino (DecimalType.createDecimalType)
+    but decimal(10,0) in Spark — an 11-digit value Trino casts fine
+    was an ANSI overflow error here."""
+    rows = run(
+        spark,
+        "SELECT CAST(12345678901 AS DECIMAL) AS a,"
+        " TRY_CAST('99999999999' AS DECIMAL) AS b,"
+        " CAST(2.6 AS DECIMAL) AS c",
+    )
+    r = rows[0]
+    assert r["a"] == 12345678901 and r["b"] == 99999999999
+    assert r["c"] == 3  # HALF_UP via the decimal rounding pass
+    out = translate("SELECT CAST(x AS DECIMAL) FROM t")
+    assert "DECIMAL(38,0)" in out
+    # parameterized targets and non-CAST uses of the word stay put
+    out = translate("SELECT CAST(x AS DECIMAL(12,2)), y AS decimal FROM t")
+    assert "DECIMAL(12,2)" in out and "y AS decimal" in out
 
 
 def test_real_varchar_and_fp_typed_literals(spark):

@@ -2379,11 +2379,14 @@ def _rewrite_subscripts(q: str, column_types: Optional[dict] = None) -> str:
     maps; Spark parses the same spelling 0-based on arrays and
     NULL-returning on maps — the long-documented SILENT divergence on
     every non-literal base (ARRAY[..][k] literals were already
-    rewritten).  ``element_at`` matches Trino on both container kinds
-    at once: 1-based array indexing (index 0 errors under ANSI, as in
-    Trino), and map lookup that raises on a missing key under ANSI
-    (Trino raises too).  A lexical pass cannot tell arrays from maps,
-    and does not need to — the rewrite is type-agnostic.
+    rewritten).  ``element_at`` matches Trino's 1-based array
+    indexing (index 0 errors under ANSI, as in Trino); for maps it
+    returns NULL on a missing key in Spark 4 where Trino's SUBSCRIPT
+    raises "Key not present in map" — closed for schema-known map
+    columns below (round 12; the element_at() FUNCTION spelling keeps
+    Trino's own NULL-returning contract).  A lexical pass cannot
+    otherwise tell arrays from maps, and does not need to — the base
+    rewrite is type-agnostic.
 
     Runs AFTER the ARRAY[..] literal pass (so no constructor brackets
     remain) and BEFORE every pass that emits Spark-semantics
@@ -2437,14 +2440,13 @@ def _rewrite_subscripts(q: str, column_types: Optional[dict] = None) -> str:
         inner = q[lb + 1 : rb].strip()
         if not inner:
             raise TrinoCompatError(f"empty subscript on {base!r}")
+        base_t = (
+            types.get(base.rsplit(".", 1)[-1].lower(), "")
+            if _IDENT_CHAIN.fullmatch(base)
+            else ""
+        )
         idx = inner
-        if (
-            _IDENT_CHAIN.fullmatch(base)
-            and types.get(base.rsplit(".", 1)[-1].lower(), "").startswith(
-                "array"
-            )
-            and not re.fullmatch(r"\d+", inner)
-        ):
+        if base_t.startswith("array") and not re.fullmatch(r"\d+", inner):
             # the outer CAST keeps element_at's index INT: a BIGINT
             # index expression under the IF otherwise fails analysis
             # (array indices are int-bounded in both engines anyway)
@@ -2453,6 +2455,23 @@ def _rewrite_subscripts(q: str, column_types: Optional[dict] = None) -> str:
                 f"'Array subscript is negative: ' || CAST(({inner}) AS STRING)"
                 f"), {inner}) AS INT)"
             )
+        elif base_t.startswith("map") and not _has_nondeterministic_call(inner):
+            # round 12: Trino's map SUBSCRIPT raises on a missing key
+            # ("Key not present in map: k") where Spark 4's element_at
+            # returns NULL — silent on every lookup.  Knowable map
+            # COLUMNS get the throwing lookup; the element_at()
+            # FUNCTION spelling keeps Trino's own NULL-returning
+            # contract, and NULL keys stay NULL (residue: Trino
+            # rejects them).  The key is duplicated, so
+            # nondeterministic keys keep the plain lookup.
+            repl = (
+                f"IF(({inner}) IS NULL OR map_contains_key({base}, {inner}),"
+                f" element_at({base}, {inner}),"
+                f" raise_error('Key not present in map: '"
+                f" || CAST(({inner}) AS STRING)))"
+            )
+            q = q[:bs] + repl + q[rb + 1 :]
+            continue
         q = q[:bs] + f"element_at({base}, {idx})" + q[rb + 1 :]
 
 

@@ -4104,3 +4104,38 @@ def test_xxhash64_vectorized_throughput():
     ))
     ratio = (len(batch) / t_vec) / (len(sample) / t_row)
     assert ratio >= 10, f"vectorized speedup only {ratio:.1f}x"
+
+
+def test_map_subscript_missing_key_raises(spark):
+    """Round-12: Trino's map SUBSCRIPT raises 'Key not present in map'
+    on a miss where Spark 4's element_at returns NULL; schema-known
+    map columns get the throwing lookup, the element_at() FUNCTION
+    spelling keeps Trino's NULL-returning contract, NULL keys stay
+    NULL (residue: Trino rejects them)."""
+    from mcp_trino_spark.trino_compat import translate as _tr
+
+    spark.sql("SELECT MAP('a', 1, 'b', 2) AS m, 'a' AS k").createOrReplaceTempView(
+        "mapsub_t"
+    )
+    ct = {"m": "map<string,int>", "k": "string"}
+    try:
+        rows = spark.sql(
+            _tr(
+                "SELECT m['a'] AS hit, m[k] AS hit2,"
+                " m[CAST(NULL AS VARCHAR)] AS nk,"
+                " element_at(m, 'zz') AS fn_miss FROM mapsub_t",
+                column_types=ct,
+            )
+        ).collect()
+        r = rows[0]
+        assert r["hit"] == 1 and r["hit2"] == 1
+        assert r["nk"] is None and r["fn_miss"] is None
+        with pytest.raises(Exception, match="Key not present in map: zz"):
+            spark.sql(
+                _tr("SELECT m['zz'] FROM mapsub_t", column_types=ct)
+            ).collect()
+        # unknowable base: plain element_at stays (documented residue)
+        out = _tr("SELECT f(x)['k'] FROM t", column_types=ct)
+        assert "map_contains_key" not in out and "element_at(f(x), 'k')" in out
+    finally:
+        spark.catalog.dropTempView("mapsub_t")

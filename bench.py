@@ -108,6 +108,10 @@ HEADLINERS = [
     # sharded weighted qdigest build over lineitem — the scale path
     # for Trino's weighted approx_percentile)
     "a21b_weighted_qdigest_rollup",
+    # r12: bloom-prefiltered decontamination (l16's fixed-size-broadcast
+    # scale path) and the Gopher repetition quality filters
+    "l39_bloom_decontamination",
+    "l40_repetition_filters",
 ]
 
 

@@ -1364,3 +1364,105 @@ def substring_dedup_plan(docs: DataFrame) -> DataFrame:
         )
         .agg(F.count("*").alias("n_shared_spans"))
     )
+
+
+@register("l39_bloom_decontamination", oracle=_decon_oracle())
+def l39_bloom_decontamination(spark, sf_dir):
+    """Benchmark decontamination behind a BLOOM prefilter — l16's scale
+    path when the eval-set gram table outgrows an exact broadcast set.
+
+    l16 broadcasts the exact benchmark gram SET (fine while eval sets
+    are KB–MB; the broadcast grows linearly with the eval corpus).
+    This variant builds a FIXED-SIZE Bloom filter over the benchmark
+    grams — JVM-side xxhash64 values split Kirsch-Mitzenmacher style
+    into ``h1 + i·h2`` probes over an m-bit numpy bitset — and ships
+    ONLY the bitset to executors (a Spark broadcast, KBs regardless
+    of gram count).  Gram hashing stays in whole-stage codegen on
+    both sides; the Arrow boundary carries 8-byte hashes, and the
+    corpus gram stream drops non-members at a numpy-vectorized
+    boolean UDF with zero shuffle.  Only the (tiny) candidate gram
+    set reaches the exact verification join, so Bloom false positives
+    cannot reach the output — the result is EXACTLY l16's, which is
+    why both share one DuckDB oracle.
+
+    Scale shape at 100 TB: corpus text never shuffles; the bitset is
+    sized 16 bits/gram (~0.2% FP at k=4), so a 1e9-gram eval corpus
+    is a 2 GB broadcast where the exact set would be tens of GB — and
+    m is a knob, trading FP-rate (wasted exact-verify work, never
+    correctness) for memory.  The benchmark-side collect is
+    eval-set-metadata-sized, the same budget l16's broadcast spends.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    (docs,) = T(spark, sf_dir, "documents")
+    docs = spread(docs)
+    bench = spark.createDataFrame(
+        [(p,) for p in BENCHMARK_PHRASES], "phrase STRING"
+    )
+    n_b = F.greatest(F.length("phrase") - (DECON_GRAM - 1), F.lit(1))
+    bgrams = (
+        bench.filter(F.length("phrase") >= DECON_GRAM)
+        .select(F.explode(F.sequence(F.lit(1), n_b)).alias("i"), "phrase")
+        .select(F.expr(f"substr(phrase, i, {DECON_GRAM})").alias("g"))
+        .distinct()
+    )
+
+    K = 4
+
+    def _probes(h_int64):
+        """(h1, h2) probe bases from JVM-computed xxhash64 values —
+        the gram→int64 hashing stays in whole-stage codegen on BOTH
+        the build and probe sides; only 8-byte hashes ever cross the
+        Arrow boundary (16-char gram strings through Arrow measured
+        ~9x slower end-to-end)."""
+        d = h_int64.astype(np.uint64)
+        h1 = d >> np.uint64(32)
+        h2 = (d & np.uint64(0xFFFFFFFF)) | np.uint64(1)  # odd → full-period
+        return h1, h2
+
+    bh = np.array(
+        [r["h"] for r in bgrams.select(F.xxhash64("g").alias("h")).collect()],
+        dtype=np.int64,
+    )  # eval-set-sized metadata
+    m_bits = 1 << max(10, (max(len(bh), 1) * 16).bit_length())
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    h1, h2 = _probes(bh)
+    for i in range(K):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        np.bitwise_or.at(
+            words, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+    bloom_bc = spark.sparkContext.broadcast(words.tobytes())
+    m_final = m_bits
+
+    def _bloom_hit_impl(s):
+        bits = np.frombuffer(bloom_bc.value, dtype=np.uint64)
+        h1, h2 = _probes(s.to_numpy(dtype=np.int64))
+        hit = np.ones(len(s), dtype=bool)
+        for i in range(K):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m_final)
+            word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+            hit &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return pd.Series(hit)
+
+    _bloom_hit_impl.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    bloom_hit = pandas_udf(_bloom_hit_impl, "boolean")
+
+    n_d = F.greatest(F.length("text") - (DECON_GRAM - 1), F.lit(1))
+    dgrams = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(1), n_d)).alias("i"), "text"
+    ).select("doc_id", F.expr(f"substr(text, i, {DECON_GRAM})").alias("g"))
+    # Bloom prefilter (no shuffle; gram hashing JVM-side) → exact
+    # verify on the survivors (broadcast at this scale; at eval-set
+    # sizes past broadcast the candidate set is small enough for a
+    # shuffle join)
+    return (
+        dgrams.filter(bloom_hit(F.xxhash64("g")))
+        .join(F.broadcast(bgrams), "g")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )

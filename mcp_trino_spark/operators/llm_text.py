@@ -1235,3 +1235,117 @@ def quality_percentile_scaled_plan(docs):
             F.round("pr", 6).alias("pr"),
         )
     )
+
+
+@register(
+    "l40_repetition_filters",
+    oracle="""
+    WITH base AS (SELECT doc_id, text, length(text) AS total FROM documents),
+    lines AS (
+      SELECT doc_id, l AS line
+      FROM base, LATERAL unnest(string_split(text, chr(10))) AS u(l)
+      WHERE length(l) > 0
+    ),
+    ls AS (
+      SELECT doc_id, line, COUNT(*) AS c, length(line) AS len_l
+      FROM lines GROUP BY doc_id, line
+    ),
+    pd AS (
+      SELECT doc_id, SUM(c) AS n_lines,
+             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+             SUM(CASE WHEN c > 1 THEN c * len_l ELSE 0 END) AS dup_chars
+      FROM ls GROUP BY doc_id
+    ),
+    words AS (
+      SELECT doc_id, w AS word
+      FROM base, LATERAL unnest(string_split(lower(text), ' ')) AS u(w)
+      WHERE length(w) > 0
+    ),
+    wc AS (SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY doc_id, word),
+    tw AS (
+      SELECT doc_id, word, c,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY c DESC, word ASC) AS rn
+      FROM wc
+    )
+    SELECT b.doc_id,
+           CAST(COALESCE(p.dup_lines, 0) AS DOUBLE)
+             / GREATEST(COALESCE(p.n_lines, 0), 1) AS dup_line_frac,
+           CAST(COALESCE(p.dup_chars, 0) AS DOUBLE)
+             / GREATEST(b.total, 1) AS dup_line_char_frac,
+           CAST(COALESCE(t.c * length(t.word), 0) AS DOUBLE)
+             / GREATEST(b.total, 1) AS top_word_char_frac,
+           (CAST(COALESCE(p.dup_chars, 0) AS DOUBLE)
+              / GREATEST(b.total, 1) > 0.3
+            OR CAST(COALESCE(t.c * length(t.word), 0) AS DOUBLE)
+              / GREATEST(b.total, 1) > 0.2) AS flagged
+    FROM base b
+    LEFT JOIN pd p USING (doc_id)
+    LEFT JOIN (SELECT doc_id, word, c FROM tw WHERE rn = 1) t USING (doc_id)
+    """,
+)
+def l40_repetition_filters(spark, sf_dir):
+    """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1):
+    per-document duplicate-line fraction, duplicate-line CHARACTER
+    fraction, and most-frequent-word character coverage, plus the
+    composite keep/drop flag (dup-char > 0.3 or top-word coverage >
+    0.2 — the published thresholds' shape).  Repetition is the
+    strongest single predictor of low-quality web text, and these
+    statistics are what large-corpus cleaning actually computes.
+
+    Scale shape: the line/word explodes are NARROW; the only shuffles
+    are the (doc_id, line) and (doc_id, word) counts — both
+    combiner-friendly partial aggregations keyed by doc, so no key is
+    hotter than the longest single document.  The top word per doc is
+    ``min(struct(-count, word))`` — an ordinary partial-merge
+    aggregate, no window over the corpus.  Text itself shuffles only
+    as the per-doc distinct line spellings (bounded by doc size).
+    """
+    (docs,) = T(spark, sf_dir, "documents")
+    base = spread(docs).select(
+        "doc_id", "text", F.length("text").alias("total")
+    )
+    lines = base.select(
+        "doc_id", F.explode(F.split("text", "\n")).alias("line")
+    ).filter(F.length("line") > 0)
+    ls = lines.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
+    pd_ = ls.groupBy("doc_id").agg(
+        F.sum("c").alias("n_lines"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_lines"),
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * F.length("line")).otherwise(0)
+        ).alias("dup_chars"),
+    )
+    words = base.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    wc = words.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    tw = wc.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("c")).alias("nc"),
+                F.col("word").alias("word"),
+                (F.col("c") * F.length("word")).alias("cov"),
+            )
+        ).alias("tw")
+    ).select("doc_id", F.col("tw.cov").alias("top_cov"))
+    dup_char_frac = F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double") / F.greatest(
+        F.col("total"), F.lit(1)
+    )
+    top_frac = F.coalesce(F.col("top_cov"), F.lit(0)).cast("double") / F.greatest(
+        F.col("total"), F.lit(1)
+    )
+    return (
+        base.join(pd_, "doc_id", "left")
+        .join(tw, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.col("dup_lines"), F.lit(0)).cast("double")
+                / F.greatest(F.coalesce(F.col("n_lines"), F.lit(0)), F.lit(1))
+            ).alias("dup_line_frac"),
+            dup_char_frac.alias("dup_line_char_frac"),
+            top_frac.alias("top_word_char_frac"),
+            ((dup_char_frac > 0.3) | (top_frac > 0.2)).alias("flagged"),
+        )
+    )

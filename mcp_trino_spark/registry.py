@@ -318,6 +318,8 @@ _WINDOW_HEAD = [
     "x60_unicode_case_semantics",
     "x61_date_interval_semantics",
     "x62_real_varchar_rendering",
+    "l39_bloom_decontamination",
+    "l40_repetition_filters",
     "x53_cast_rounding_semantics",
     "x19_trino_dialect",
     "o12_fetch_with_ties",
@@ -361,8 +363,6 @@ _WINDOW_HEAD = [
     "a2_sum_avg_min_max",
     "a8_cube",
     "a19_unpivot",
-    "x11_map_struct",
-    "x18_array_setops",
 ]
 _WINDOW_TAIL = [
     "p7_like",

@@ -473,3 +473,28 @@ def test_exclude_current_row_minmax_one_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
     assert plan.lower().count("dense_rank") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_decontamination_no_corpus_shuffle_before_filter(spark):
+    """l39: corpus grams drop at the Arrow-vectorized bloom filter
+    BEFORE any join; the exact verify is a broadcast hash join of the
+    surviving candidates; the only shuffles are the candidate distinct
+    and the per-doc count — never a sort-merge join of corpus text."""
+    df = registry.queries()["l39_bloom_decontamination"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan  # bloom probe
+    assert "BroadcastHashJoin" in plan                       # exact verify
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_filters_partial_aggs_no_corpus_window(spark):
+    """l40: the line/word statistics are combiner-friendly partial
+    aggregations keyed by doc_id — no window function over the corpus
+    (the top word is min(struct(-count, word))), and the doc joins
+    stay hash joins."""
+    df = registry.queries()["l40_repetition_filters"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan

@@ -1366,38 +1366,14 @@ def substring_dedup_plan(docs: DataFrame) -> DataFrame:
     )
 
 
-@register("l39_bloom_decontamination", oracle=_decon_oracle())
-def l39_bloom_decontamination(spark, sf_dir):
-    """Benchmark decontamination behind a BLOOM prefilter — l16's scale
-    path when the eval-set gram table outgrows an exact broadcast set.
-
-    l16 broadcasts the exact benchmark gram SET (fine while eval sets
-    are KB–MB; the broadcast grows linearly with the eval corpus).
-    This variant builds a FIXED-SIZE Bloom filter over the benchmark
-    grams — JVM-side xxhash64 values split Kirsch-Mitzenmacher style
-    into ``h1 + i·h2`` probes over an m-bit numpy bitset — and ships
-    ONLY the bitset to executors (a Spark broadcast, KBs regardless
-    of gram count).  Gram hashing stays in whole-stage codegen on
-    both sides; the Arrow boundary carries 8-byte hashes, and the
-    corpus gram stream drops non-members at a numpy-vectorized
-    boolean UDF with zero shuffle.  Only the (tiny) candidate gram
-    set reaches the exact verification join, so Bloom false positives
-    cannot reach the output — the result is EXACTLY l16's, which is
-    why both share one DuckDB oracle.
-
-    Scale shape at 100 TB: corpus text never shuffles; the bitset is
-    sized 16 bits/gram (~0.2% FP at k=4), so a 1e9-gram eval corpus
-    is a 2 GB broadcast where the exact set would be tens of GB — and
-    m is a knob, trading FP-rate (wasted exact-verify work, never
-    correctness) for memory.  The benchmark-side collect is
-    eval-set-metadata-sized, the same budget l16's broadcast spends.
-    """
+def bloom_decontamination_plan(docs: DataFrame) -> DataFrame:
+    """Frame-parameterized l39 plan (docs: doc_id, text) — the probe in
+    tools/scaling_check.py drives it on rotation replicas."""
+    spark = docs.sparkSession
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    (docs,) = T(spark, sf_dir, "documents")
-    docs = spread(docs)
     bench = spark.createDataFrame(
         [(p,) for p in BENCHMARK_PHRASES], "phrase STRING"
     )
@@ -1466,3 +1442,33 @@ def l39_bloom_decontamination(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hit_grams"))
     )
+
+
+@register("l39_bloom_decontamination", oracle=_decon_oracle())
+def l39_bloom_decontamination(spark, sf_dir):
+    """Benchmark decontamination behind a BLOOM prefilter — l16's scale
+    path when the eval-set gram table outgrows an exact broadcast set.
+
+    l16 broadcasts the exact benchmark gram SET (fine while eval sets
+    are KB–MB; the broadcast grows linearly with the eval corpus).
+    This variant builds a FIXED-SIZE Bloom filter over the benchmark
+    grams — JVM-side xxhash64 values split Kirsch-Mitzenmacher style
+    into ``h1 + i·h2`` probes over an m-bit numpy bitset — and ships
+    ONLY the bitset to executors (a Spark broadcast, KBs regardless
+    of gram count).  Gram hashing stays in whole-stage codegen on
+    both sides; the Arrow boundary carries 8-byte hashes, and the
+    corpus gram stream drops non-members at a numpy-vectorized
+    boolean UDF with zero shuffle.  Only the (tiny) candidate gram
+    set reaches the exact verification join, so Bloom false positives
+    cannot reach the output — the result is EXACTLY l16's, which is
+    why both share one DuckDB oracle.
+
+    Scale shape at 100 TB: corpus text never shuffles; the bitset is
+    sized 16 bits/gram (~0.2% FP at k=4), so a 1e9-gram eval corpus
+    is a 2 GB broadcast where the exact set would be tens of GB — and
+    m is a knob, trading FP-rate (wasted exact-verify work, never
+    correctness) for memory.  The benchmark-side collect is
+    eval-set-metadata-sized, the same budget l16's broadcast spends.
+    """
+    (docs,) = T(spark, sf_dir, "documents")
+    return bloom_decontamination_plan(spread(docs))

@@ -1302,7 +1302,13 @@ def l40_repetition_filters(spark, sf_dir):
     as the per-doc distinct line spellings (bounded by doc size).
     """
     (docs,) = T(spark, sf_dir, "documents")
-    base = spread(docs).select(
+    return repetition_filters_plan(spread(docs))
+
+
+def repetition_filters_plan(docs) -> "DataFrame":
+    """Frame-parameterized l40 plan (docs: doc_id, text) — the probe in
+    tools/scaling_check.py drives it on rotation replicas."""
+    base = docs.select(
         "doc_id", "text", F.length("text").alias("total")
     )
     lines = base.select(

@@ -744,6 +744,10 @@ def main() -> None:
     check_substring_dedup(spark)
     clear_caches(spark)
     check_editdist_verify(spark)
+    clear_caches(spark)
+    check_bloom_decontamination(spark)
+    clear_caches(spark)
+    check_repetition_filters(spark)
 
 
 
@@ -862,3 +866,54 @@ def check_weighted_qdigest(spark) -> None:
         li10 = rep if li10 is None else li10.unionByName(rep)
     t10 = min(timed(plan(li10)) for _ in range(2))
     report("weighted_qdigest_two_level_build", n_rows_1x, t1, t10)
+
+
+def check_bloom_decontamination(spark) -> None:
+    """l39's bloom-prefiltered decontamination at 10×: the bitset is
+    FIXED (built from the eval set, broadcast once); rotation replicas
+    grow only the corpus side, which streams through the gram explode,
+    the JVM xxhash64, and the vectorized bloom probe with no shuffle
+    before the (tiny) exact-verify join — cost must track corpus
+    volume linearly, independent of eval-set size."""
+    from mcp_trino_spark.operators._util import spread
+    from mcp_trino_spark.operators.llm_dedup import bloom_decontamination_plan
+
+    docs = spread(load_table(spark, SF_DIR, "documents")).select(
+        "doc_id", "text"
+    )
+
+    def timed_fresh(frame) -> float:
+        t = timed(bloom_decontamination_plan(frame))
+        clear_caches(spark)
+        return t
+
+    n_rows_1x = docs.count()
+    timed_fresh(docs)  # warm
+    t1 = min(timed_fresh(docs) for _ in range(2))
+    t10 = min(timed_fresh(suffixed_replicas(docs, COPIES)) for _ in range(2))
+    report("bloom_decontamination", n_rows_1x, t1, t10)
+
+
+def check_repetition_filters(spark) -> None:
+    """l40's Gopher repetition filters at 10×: per-doc line/word counts
+    are combiner-friendly aggregates keyed by doc_id (rotation
+    replicas keep per-copy vocabularies disjoint, so group counts grow
+    with volume, never per-key width) — cost must track corpus volume
+    linearly."""
+    from mcp_trino_spark.operators._util import spread
+    from mcp_trino_spark.operators.llm_text import repetition_filters_plan
+
+    docs = spread(load_table(spark, SF_DIR, "documents")).select(
+        "doc_id", "text"
+    )
+
+    def timed_fresh(frame) -> float:
+        t = timed(repetition_filters_plan(frame))
+        clear_caches(spark)
+        return t
+
+    n_rows_1x = docs.count()
+    timed_fresh(docs)  # warm
+    t1 = min(timed_fresh(docs) for _ in range(2))
+    t10 = min(timed_fresh(suffixed_replicas(docs, COPIES)) for _ in range(2))
+    report("repetition_filters", n_rows_1x, t1, t10)

@@ -751,3 +751,63 @@ def t16_qdigest_stream(events: DataFrame, window_s: int = 600) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def repetition_filters_stream(docs_stream: DataFrame) -> DataFrame:
+    """Streaming Gopher repetition filters — l40's quality statistics
+    computed per incoming document (continuous crawl-ingest scoring,
+    the day-2 shape of every repetition screen: score at ingest,
+    quarantine before the doc reaches the training pool).
+
+    Scale/streaming design: the statistics are functions of ONE
+    document, so the whole computation is a STATELESS Arrow-batched
+    projection (a pandas UDF building per-row line/word Counters) —
+    append mode, no state store, nothing to watermark.  The batch
+    plan (operators/llm_text.repetition_filters_plan) computes the
+    identical integers via combiner-friendly groupBy counts — the
+    better shape when documents are huge and a single row's text
+    dominates a task — and ``tests/test_streaming.py`` proves
+    stream == batch on the same corpus.
+    """
+    import pandas as pd
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _stats_impl(texts):
+        rows = []
+        for t in texts:
+            t = t or ""
+            total = max(len(t), 1)
+            lines = [ln for ln in t.split("\n") if ln]
+            lc = Counter(lines)
+            n_lines = max(len(lines), 1)
+            dup_lines = sum(c for c in lc.values() if c > 1)
+            dup_chars = sum(c * len(ln) for ln, c in lc.items() if c > 1)
+            words = [w for w in t.lower().split(" ") if w]
+            wc = Counter(words)
+            cov = 0
+            if wc:
+                _, w = min((-c, w) for w, c in wc.items())
+                cov = wc[w] * len(w)
+            dlf = dup_lines / n_lines
+            dcf = dup_chars / total
+            twf = cov / total
+            rows.append((dlf, dcf, twf, dcf > 0.3 or twf > 0.2))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "dup_line_frac", "dup_line_char_frac",
+                "top_word_char_frac", "flagged",
+            ],
+        )
+
+    _stats_impl.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    rep_stats = pandas_udf(
+        _stats_impl,
+        "struct<dup_line_frac:double, dup_line_char_frac:double,"
+        " top_word_char_frac:double, flagged:boolean>",
+    )
+
+    s = docs_stream.select("doc_id", rep_stats(F.col("text")).alias("r"))
+    return s.select("doc_id", "r.*")

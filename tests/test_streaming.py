@@ -583,3 +583,26 @@ def test_t16_null_values_do_not_inflate_counts(spark, tmp_path):
     assert len(got) == 1
     assert got[0]["n"] == 6  # six non-NULL values, NaN-laundered NULLs excluded
     assert got[0]["p50"] is not None
+
+
+def test_repetition_filters_stream_matches_batch(spark):
+    """Streaming Gopher repetition scoring == the batch groupBy plan on
+    the same corpus: the stream computes per-row Counters in a
+    stateless Arrow projection (append mode, no state store), the
+    batch plan computes the identical integers via per-doc counts —
+    both divide the same exact ints, so doubles compare bit-exact."""
+    from mcp_trino_spark.operators.llm_text import repetition_filters_plan
+    from mcp_trino_spark.sources.catalog import load_table
+
+    got = S.run_to_memory(
+        S.repetition_filters_stream(S.documents_stream(spark, SF_DIR)),
+        "l40_mem",
+        output_mode="append",
+    )
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    want = repetition_filters_plan(docs).collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    got_t = [tuple(r) for r in sorted(got.collect(), key=key)]
+    want_t = [tuple(r) for r in sorted(want, key=key)]
+    assert len(got_t) == len(want_t) > 0
+    assert got_t == want_t

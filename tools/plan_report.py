@@ -53,6 +53,8 @@ SHOWCASE = [
     ("x35_exclude_minmax", "MIN/MAX EXCLUDE GROUP/TIES: both GROUPS sub-windows on ONE shared dense_rank column, one exchange"),
     ("l38_substring_dedup", "anchored substring dedup: persisted span index reused three ways, df-capped fp set broadcast, text never in a join key"),
     ("x42_exclude_current_row_minmax", "MIN/MAX EXCLUDE CURRENT ROW: refined (part+keys) windows satisfied by the coarser hash(part) exchange — one shuffle, sub-sorts only"),
+    ("l39_bloom_decontamination", "bloom decontamination: JVM xxhash64 + vectorized bitset probe drop grams pre-join; broadcast exact verify; shuffles only candidates"),
+    ("l40_repetition_filters", "repetition filters: combiner-friendly (doc,line)/(doc,word) counts, min(struct) top word, no corpus window"),
 ]
 
 

@@ -493,3 +493,39 @@ def test_column_types_cache_fingerprint_and_invalidation(spark):
     finally:
         spark.catalog.dropTempView("ctc_t")
         spark.catalog.dropTempView("ctc_t2")
+
+
+def test_concurrent_execute_query_threads(spark):
+    """Façade thread-safety smoke (ADVICE r11: the translate deadline
+    was a shared stack that concurrent requests popped across): four
+    threads drive dialect-translated queries through execute_query
+    concurrently; every result must be correct and no translation
+    budget may fire spuriously."""
+    import threading
+
+    from mcp_trino_spark.execute import execute_query
+
+    errors = []
+
+    def work(tid):
+        try:
+            for i in range(8):
+                res = execute_query(
+                    spark,
+                    f"SELECT {tid} AS tid, {i} / 1 AS i,"
+                    " upper('straße') AS u, arr[1] AS e"
+                    " FROM (VALUES (ARRAY[7, 8])) AS t(arr)",
+                    dialect="trino",
+                )
+                (row,) = res.rows
+                assert row["tid"] == tid and row["i"] == i
+                assert row["u"] == "STRAßE" and row["e"] == 7
+        except Exception as exc:  # noqa: BLE001 — surfaced in the main thread
+            errors.append((tid, exc))
+
+    threads = [threading.Thread(target=work, args=(t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors

@@ -1355,3 +1355,62 @@ def repetition_filters_plan(docs) -> "DataFrame":
             ((dup_char_frac > 0.3) | (top_frac > 0.2)).alias("flagged"),
         )
     )
+
+
+#: PII regex classes (RE2/Java-compatible subset: no backrefs or
+#: lookaround, so Spark's Java regex and the DuckDB oracle's RE2 agree
+#: by construction — verified on adversarial text in the r12 probe)
+_PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_ips": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "n_phones": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    # benign control class: digit runs — keeps the oracle hash
+    # discriminative on corpora that contain no true PII
+    "n_digit_runs": r"\d+",
+}
+
+
+def _pii_oracle() -> str:
+    cols = ",\n           ".join(
+        f"len(regexp_extract_all(text, '{p}')) AS {k}"
+        for k, p in _PII_PATTERNS.items()
+    )
+    return f"""
+    SELECT doc_id,
+           {cols},
+           (len(regexp_extract_all(text, '{_PII_PATTERNS["n_emails"]}'))
+            + len(regexp_extract_all(text, '{_PII_PATTERNS["n_ips"]}'))
+            + len(regexp_extract_all(text, '{_PII_PATTERNS["n_phones"]}'))
+           ) > 0 AS has_pii
+    FROM documents
+    """
+
+
+@register("l41_pii_scan", oracle=_pii_oracle())
+def l41_pii_scan(spark, sf_dir):
+    """PII surface scan — per-document counts of email / IPv4 / phone
+    patterns plus a digit-run control class and the composite
+    ``has_pii`` flag: the screen a corpus runs before release to
+    quarantine documents for redaction.  Patterns stay in the
+    RE2-compatible subset (no backrefs/lookaround), so Java (Spark)
+    and RE2 (DuckDB, and any downstream scrubber) count identically.
+
+    Scale shape: ``regexp_count`` is a whole-stage-codegen projection
+    — ZERO shuffles, the scan streams; at 100 TB this is the cheapest
+    possible full-corpus pass and composes with any downstream filter
+    without a plan change."""
+    (docs,) = T(spark, sf_dir, "documents")
+    docs = spread(docs)
+    counts = [
+        F.expr(
+            "regexp_count(text, '{}')".format(p.replace("\\", "\\\\"))
+        ).alias(k)
+        for k, p in _PII_PATTERNS.items()
+    ]
+    out = docs.select("doc_id", *counts)
+    return out.select(
+        "*",
+        (
+            (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) > 0
+        ).alias("has_pii"),
+    )

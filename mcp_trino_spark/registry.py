@@ -320,6 +320,7 @@ _WINDOW_HEAD = [
     "x62_real_varchar_rendering",
     "l39_bloom_decontamination",
     "l40_repetition_filters",
+    "l41_pii_scan",
     "x53_cast_rounding_semantics",
     "x19_trino_dialect",
     "o12_fetch_with_ties",
@@ -362,7 +363,6 @@ _WINDOW_HEAD = [
     "s9_cross_catalog_join",
     "a2_sum_avg_min_max",
     "a8_cube",
-    "a19_unpivot",
 ]
 _WINDOW_TAIL = [
     "p7_like",

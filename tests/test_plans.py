@@ -498,3 +498,14 @@ def test_repetition_filters_partial_aggs_no_corpus_window(spark):
     assert "Window" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pii_scan_zero_shuffles(spark):
+    """l41: regex counting is a pure codegen projection — the plan must
+    contain NO Exchange beyond the parallelism repartition and no join
+    or aggregate at all."""
+    df = registry.queries()["l41_pii_scan"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "HashAggregate" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan

@@ -2446,7 +2446,11 @@ def _rewrite_subscripts(q: str, column_types: Optional[dict] = None) -> str:
             else ""
         )
         idx = inner
-        if base_t.startswith("array") and not re.fullmatch(r"\d+", inner):
+        if (
+            base_t.startswith("array")
+            and not re.fullmatch(r"\d+", inner)
+            and not _has_nondeterministic_call(inner)
+        ):
             # the outer CAST keeps element_at's index INT: a BIGINT
             # index expression under the IF otherwise fails analysis
             # (array indices are int-bounded in both engines anyway)
@@ -2461,11 +2465,15 @@ def _rewrite_subscripts(q: str, column_types: Optional[dict] = None) -> str:
             # returns NULL — silent on every lookup.  Knowable map
             # COLUMNS get the throwing lookup; the element_at()
             # FUNCTION spelling keeps Trino's own NULL-returning
-            # contract, and NULL keys stay NULL (residue: Trino
-            # rejects them).  The key is duplicated, so
-            # nondeterministic keys keep the plain lookup.
+            # contract, a NULL MAP yields NULL (the IS NULL
+            # short-circuits past map_contains_key's NULL, which the
+            # IF would otherwise read as "raise"), and NULL keys stay
+            # NULL (residue: Trino rejects them).  The key is
+            # duplicated, so nondeterministic keys keep the plain
+            # lookup.
             repl = (
-                f"IF(({inner}) IS NULL OR map_contains_key({base}, {inner}),"
+                f"IF(({base}) IS NULL OR ({inner}) IS NULL"
+                f" OR map_contains_key({base}, {inner}),"
                 f" element_at({base}, {inner}),"
                 f" raise_error('Key not present in map: '"
                 f" || CAST(({inner}) AS STRING)))"
@@ -7251,7 +7259,10 @@ def _rewrite_date_interval(q: str, column_types: dict) -> str:
     catalog date columns — the x47 contract) with a LITERAL
     sub-day-capable interval:
 
-    - whole-day total → ``CAST((x ± INTERVAL ...) AS DATE)``
+    - whole-day total → ``date_add(x, ±days)`` — pure epoch-day
+      arithmetic like Trino's, immune to DST transitions in non-UTC
+      caller sessions (a timestamp round-trip would lose a day
+      across fall-back)
     - sub-day remainder → ``raise_error(...)`` with Trino's message
 
     ``INTERVAL ... DAY``/YEAR/MONTH forms already agree (Spark returns
@@ -7285,10 +7296,14 @@ def _rewrite_date_interval(q: str, column_types: dict) -> str:
         if hit is None:
             return q
         lstart, sign_at, end, sign, secs = hit
-        term = q[sign_at + 1 : end]
         x = q[lstart:sign_at].strip()
         if secs % 86400 == 0:
-            repl = f"CAST(({x} {sign} {term.strip()}) AS DATE)"
+            # pure epoch-day arithmetic (Trino's
+            # datePlusIntervalDayToSecond): a timestamp round-trip
+            # would be off by a day across a DST transition in a
+            # non-UTC caller session
+            days = int(secs) // 86400
+            repl = f"date_add({x}, {days if sign == '+' else -days})"
         else:
             verb = "add" if sign == "+" else "subtract"
             prep = "to" if sign == "+" else "from"
@@ -7303,30 +7318,35 @@ def _rewrite_date_interval(q: str, column_types: dict) -> str:
 _UPPER_HEAD = re.compile(r"\bupper\s*\(", re.IGNORECASE)
 _LOWER_HEAD = re.compile(r"\blower\s*\(", re.IGNORECASE)
 
-#: code points whose FULL uppercase mapping is multi-char — exactly
-#: where Trino's simple 1:1 mapping (identity there) diverges from
-#: Spark's Java full mapping (ß→SS, ﬁ→FI, ŉ, Greek iota subscripts,
-#: Armenian ligatures, …).  102 BMP code points; computed lazily from
-#: Python's own Unicode tables (same UnicodeData/SpecialCasing source
-#: Java uses).
-_UPPER_DIVERGENT_CLASS: List[str] = []
+#: (divergent, pua, simple-upper) strings for the upper() shield:
+#: divergent = code points whose FULL uppercase mapping is multi-char —
+#: exactly where Trino's simple 1:1 mapping diverges from Spark's Java
+#: full mapping (ß→SS, ﬁ→FI, ŉ, Greek iota subscripts, Armenian
+#: ligatures, …).  102 BMP code points (the scan is bounded to the BMP:
+#: every SpecialCasing multi-char expansion is BMP in current Unicode —
+#: supplementary-plane case pairs are all 1:1).  The back-map is each
+#: code point's SIMPLE uppercase, not identity: for 54 of the 102
+#: (the ypogegrammeni letters ᾀ…ῳ) UnicodeData's simple uppercase is
+#: the single TITLECASE capital (ᾳ → ᾼ), which Python exposes as
+#: str.title(); the rest (ß, ligatures, …) have no simple mapping and
+#: stay themselves.  Computed lazily from Python's own Unicode tables
+#: (same UnicodeData/SpecialCasing source Java uses).
+_CASE_SHIELD: List[tuple] = []
 
 
-def _upper_divergent_class() -> str:
-    if not _UPPER_DIVERGENT_CLASS:
-        _UPPER_DIVERGENT_CLASS.append(
-            "".join(chr(cp) for cp in range(0x110000) if len(chr(cp).upper()) > 1)
-        )
-    return _UPPER_DIVERGENT_CLASS[0]
-
-
-#: private-use-area shield for the upper() rewrite: each divergent
-#: code point round-trips through U+E000+i (case-invariant under
-#: Java's toUpperCase), so the whole mapping stays inside Spark's
-#: JVM translate/upper builtins — no UDF, legal inside higher-order
-#: lambdas, single copy of the operand
-def _pua_class() -> str:
-    return "".join(chr(0xE000 + i) for i in range(len(_upper_divergent_class())))
+def _case_shield() -> tuple:
+    if not _CASE_SHIELD:
+        div = [cp for cp in range(0x10000) if len(chr(cp).upper()) > 1]
+        back = []
+        for cp in div:
+            t = chr(cp).title()
+            back.append(t if len(t) == 1 else chr(cp))
+        _CASE_SHIELD.append((
+            "".join(chr(cp) for cp in div),
+            "".join(chr(0xE000 + i) for i in range(len(div))),
+            "".join(back),
+        ))
+    return _CASE_SHIELD[0]
 
 
 def _rewrite_simple_case(q: str) -> str:
@@ -7342,18 +7362,23 @@ def _rewrite_simple_case(q: str) -> str:
     pure JVM (whole-stage codegen, legal inside higher-order-function
     lambdas where a Python UDF is not):
 
-    - ``lower(x)`` → ``lcase(translate(x, 'İ', 'i'))`` — U+0130 is
-      the ONLY code point whose full lowercase is multi-char, and for
-      every other code point full == simple; exact.
+    - ``lower(x)`` → ``lcase(translate(x, 'İΣ', 'iσ'))`` — U+0130 is
+      the only code point whose full lowercase is multi-char, and
+      Σ is the only CONDITIONAL one (Java's Final_Sigma rule lowers
+      word-final Σ to ς where Trino's per-code-point mapping always
+      gives σ); pre-translating both leaves lcase's full mapping
+      equal to the simple one everywhere else.
     - ``upper(x)`` → ``translate(ucase(translate(x, <102 divergent
-      chars>, <PUA shield>)), <PUA shield>, <divergent chars>)`` —
-      divergent code points (where the full mapping is multi-char and
-      Trino's simple mapping is identity) hide behind case-invariant
-      private-use-area chars U+E000.. while ucase runs, then map
-      back.  Residue: an input already containing U+E000–U+E065
-      (application-private by definition) would map back to the
-      divergent set.  Spelled ``ucase``/``lcase`` so this pass never
-      re-matches its own output.
+      chars>, <PUA shield>)), <PUA shield>, <their simple
+      uppercase>)`` — divergent code points (full mapping
+      multi-char) hide behind case-invariant private-use-area chars
+      U+E000.. while ucase runs, then map to their SIMPLE uppercase:
+      identity for ß/ligatures (no simple mapping), the titlecase
+      capital for the 54 Greek ypogegrammeni letters (ᾳ → ᾼ, Java
+      Character.toUpperCase's answer).  Residue: an input already
+      containing U+E000–U+E065 (application-private by definition)
+      would map into the divergent set.  Spelled ``ucase``/``lcase``
+      so this pass never re-matches its own output.
 
     Reference parity: Trino StringFunctions.upper/lower →
     SliceUtf8.toUpperCase/toLowerCase; text forwarded verbatim
@@ -7369,7 +7394,7 @@ def _rewrite_simple_case(q: str) -> str:
         if len(_split_top_args(x)) != 1:
             pos = b0
             continue
-        repl = f"lcase(translate({x}, 'İ', 'i'))"
+        repl = f"lcase(translate({x}, 'İΣ', 'iσ'))"
         q = q[: m.start()] + repl + q[b1 + 1 :]
         pos = m.start() + len("lcase(translate(")
     pos = 0
@@ -7382,10 +7407,10 @@ def _rewrite_simple_case(q: str) -> str:
         if len(_split_top_args(x)) != 1:
             pos = b0
             continue
-        div, pua = _upper_divergent_class(), _pua_class()
+        div, pua, back = _case_shield()
         repl = (
             f"translate(ucase(translate({x}, '{div}', '{pua}')),"
-            f" '{pua}', '{div}')"
+            f" '{pua}', '{back}')"
         )
         q = q[: m.start()] + repl + q[b1 + 1 :]
         pos = m.start() + len("translate(ucase(translate(")

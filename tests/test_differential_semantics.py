@@ -1073,18 +1073,31 @@ def test_interval_arithmetic_random_differential(spark):
 
 
 def _simple_upper_ref(s):
+    # Java Character.toUpperCase: UnicodeData's SIMPLE uppercase — when
+    # the full mapping is multi-char, the simple one is the single
+    # TITLECASE capital if Unicode defines one (the ypogegrammeni
+    # letters: ᾳ → ᾼ), else identity (ß, ligatures)
     out = []
     for ch in s:
         u = ch.upper()
-        out.append(u if len(u) == 1 else ch)
+        if len(u) == 1:
+            out.append(u)
+        else:
+            t = ch.title()
+            out.append(t if len(t) == 1 else ch)
     return "".join(out)
 
 
 def _simple_lower_ref(s):
+    # per-code-point: no Final_Sigma conditional (Σ → σ always), İ's
+    # simple lowercase is the bare i
     out = []
     for ch in s:
         if ch == "İ":
             out.append("i")
+            continue
+        if ch == "Σ":
+            out.append("σ")
             continue
         l = ch.lower()
         out.append(l if len(l) == 1 else ch)
@@ -1120,7 +1133,8 @@ def test_unicode_string_random_differential(spark):
     install_compat_functions(spark)
     rng = random.Random(1209)
     ALPHA = ["a", "b", "Z", " ", "ß", "İ", "ﬁ", "é", "é",
-             "\U0001F600", "é", "δ", "STRASSE", "straße", "ı"]
+             "\U0001F600", "é", "δ", "STRASSE", "straße", "ı",
+             "Σ", "ΒΑΣ ΒΑΣ", "ᾳ", "ᾈ", "ῌ"]
     rows = []
     for i in range(200):
         s = "".join(rng.choice(ALPHA) for _ in range(rng.randint(0, 8)))

@@ -3969,12 +3969,18 @@ def test_simple_case_mapping_trino_semantics(spark):
         "SELECT upper('straße') AS a, lower('İstanbul') AS b,"
         " upper('ﬁle') AS c, lower('STRASSE') AS d, upper('hello') AS e,"
         " lower(CAST(NULL AS VARCHAR)) AS f, upper(lower('ẞtraße')) AS g,"
-        " length(lower('İ')) AS h",
+        " length(lower('İ')) AS h, lower('ΒΑΣ') AS i, upper('ᾳ') AS j",
     )
     r = rows[0]
     assert r["a"] == "STRAßE" and r["b"] == "istanbul" and r["c"] == "ﬁLE"
     assert r["d"] == "strasse" and r["e"] == "HELLO" and r["f"] is None
     assert r["g"] == "ßTRAßE" and r["h"] == 1
+    # Final_Sigma: Java's conditional rule gives word-final ς; Trino's
+    # per-code-point mapping always gives σ
+    assert r["i"] == "βασ"
+    # ypogegrammeni: simple uppercase IS the titlecase capital, not
+    # identity (Character.toUpperCase(ᾳ) = ᾼ)
+    assert r["j"] == "ᾼ"
     # the rewrite is pure JVM (translate/ucase composition): a single
     # copy of the operand — safe for nondeterministic operands and
     # legal inside higher-order-function lambdas
@@ -4008,6 +4014,11 @@ def test_date_interval_trino_semantics(spark):
         run(spark, "SELECT DATE '2020-01-31' + INTERVAL '36' HOUR AS v")
     with _pytest.raises(Exception, match="Cannot subtract hour"):
         run(spark, "SELECT DATE '2020-01-31' - INTERVAL '90' MINUTE AS v")
+    # whole-day spelling is pure epoch-day arithmetic (DST-immune)
+    out = translate("SELECT DATE '2020-01-31' + INTERVAL '24' HOUR")
+    assert "date_add(DATE '2020-01-31', 1)" in out
+    out = translate("SELECT DATE '2020-01-31' - INTERVAL '48' HOUR")
+    assert "date_add(DATE '2020-01-31', -2)" in out
     # timestamps and unknowable operands keep Spark arithmetic
     out = translate("SELECT TIMESTAMP '2020-01-31 01:00:00' + INTERVAL '36' HOUR")
     assert "raise_error" not in out
@@ -4114,22 +4125,32 @@ def test_map_subscript_missing_key_raises(spark):
     NULL (residue: Trino rejects them)."""
     from mcp_trino_spark.trino_compat import translate as _tr
 
-    spark.sql("SELECT MAP('a', 1, 'b', 2) AS m, 'a' AS k").createOrReplaceTempView(
-        "mapsub_t"
-    )
+    spark.sql(
+        "SELECT MAP('a', 1, 'b', 2) AS m, 'a' AS k"
+        " UNION ALL SELECT CAST(NULL AS MAP<STRING, INT>), 'a'"
+    ).createOrReplaceTempView("mapsub_t")
     ct = {"m": "map<string,int>", "k": "string"}
     try:
         rows = spark.sql(
             _tr(
                 "SELECT m['a'] AS hit, m[k] AS hit2,"
                 " m[CAST(NULL AS VARCHAR)] AS nk,"
-                " element_at(m, 'zz') AS fn_miss FROM mapsub_t",
+                " element_at(m, 'zz') AS fn_miss"
+                " FROM mapsub_t WHERE m IS NOT NULL",
                 column_types=ct,
             )
         ).collect()
         r = rows[0]
         assert r["hit"] == 1 and r["hit2"] == 1
         assert r["nk"] is None and r["fn_miss"] is None
+        # a NULL map row must yield NULL, not a phantom missing-key
+        # error (map_contains_key(NULL, k) is NULL — falsy — so
+        # without the IS NULL short-circuit the raise branch fired)
+        nm = spark.sql(
+            _tr("SELECT m['a'] AS v FROM mapsub_t WHERE k = 'a'",
+                column_types=ct)
+        ).collect()
+        assert sorted([r["v"] for r in nm], key=lambda x: (x is None, x)) == [1, None]
         with pytest.raises(Exception, match="Key not present in map: zz"):
             spark.sql(
                 _tr("SELECT m['zz'] FROM mapsub_t", column_types=ct)

@@ -4160,3 +4160,19 @@ def test_map_subscript_missing_key_raises(spark):
         assert "map_contains_key" not in out and "element_at(f(x), 'k')" in out
     finally:
         spark.catalog.dropTempView("mapsub_t")
+
+
+def test_simple_case_shield_exhaustive(spark):
+    """Every one of the 102 divergent code points must uppercase to its
+    SIMPLE mapping through the translated SQL — one query over the
+    whole class, compared against the shield's own back-map (which the
+    randomized sweep independently cross-checks via str.title)."""
+    from mcp_trino_spark.trino_compat import _case_shield
+
+    div, _, back = _case_shield()
+    assert len(div) == len(back) == 102
+    got = run(spark, f"SELECT upper('{div}') AS u")[0]["u"]
+    assert got == back
+    # and the full round-trip keeps non-divergent chars on ucase
+    got2 = run(spark, "SELECT upper('aßbᾳc') AS u")[0]["u"]
+    assert got2 == "AßBᾼC"

@@ -2917,7 +2917,9 @@ def x59_xxhash64(spark, sf_dir):
         (5, NULL, NULL, NULL),
         (6, 'ẞTRAßE', 'ßtraße', 6),
         (7, 'AB😀CD', 'ab😀cd', 5),
-        (8, 'EDUTÉ', 'eduté', 5)
+        (8, 'EDUTÉ', 'eduté', 5),
+        (9, 'ΒΑΣ ΒΑΣ', 'βασ βασ', 7),
+        (10, 'ᾼ ᾈ', 'ᾳ ᾀ', 3)
     ) AS t(i, expected_u, expected_l, ln)
     """,
 )
@@ -2950,7 +2952,8 @@ def x60_unicode_case_semantics(spark, sf_dir):
             FROM (VALUES
                 (1, 'straße'), (2, 'İstanbul'), (3, 'ﬁle'),
                 (4, 'Hello'), (5, CAST(NULL AS VARCHAR)),
-                (6, 'ẞtraße'), (7, 'ab😀cd'), (8, reverse('étude'))
+                (6, 'ẞtraße'), (7, 'ab😀cd'), (8, reverse('étude')),
+                (9, 'ΒΑΣ ΒΑΣ'), (10, 'ᾳ ᾈ')
             ) AS t(i, s)
             """
         )

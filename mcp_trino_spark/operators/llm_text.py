@@ -1401,10 +1401,11 @@ def l41_pii_scan(spark, sf_dir):
     without a plan change."""
     (docs,) = T(spark, sf_dir, "documents")
     docs = spread(docs)
+    # F.lit(pattern) needs no SQL-string escaping and is immune to the
+    # session's escapedStringLiterals setting (the F.expr spelling was
+    # an escaping hazard — review catch)
     counts = [
-        F.expr(
-            "regexp_count(text, '{}')".format(p.replace("\\", "\\\\"))
-        ).alias(k)
+        F.regexp_count(F.col("text"), F.lit(p)).alias(k)
         for k, p in _PII_PATTERNS.items()
     ]
     out = docs.select("doc_id", *counts)

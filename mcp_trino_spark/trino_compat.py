@@ -7301,9 +7301,17 @@ def _rewrite_date_interval(q: str, column_types: dict) -> str:
             # pure epoch-day arithmetic (Trino's
             # datePlusIntervalDayToSecond): a timestamp round-trip
             # would be off by a day across a DST transition in a
-            # non-UTC caller session
+            # non-UTC caller session.  The outer CAST is a no-op for
+            # Spark (date_add already returns DATE) but keeps the
+            # result LEXICALLY date-knowable, so chained interval
+            # terms (… + INTERVAL '24' HOUR + INTERVAL '1' HOUR) are
+            # seen by the next scan iteration and keep Trino's
+            # semantics instead of silently promoting
             days = int(secs) // 86400
-            repl = f"date_add({x}, {days if sign == '+' else -days})"
+            repl = (
+                f"CAST(date_add({x}, {days if sign == '+' else -days})"
+                f" AS DATE)"
+            )
         else:
             verb = "add" if sign == "+" else "subtract"
             prep = "to" if sign == "+" else "from"

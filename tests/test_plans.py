@@ -509,3 +509,6 @@ def test_pii_scan_zero_shuffles(spark):
     assert "HashAggregate" not in plan
     assert "Join" not in plan
     assert "Window" not in plan
+    # the documented zero-shuffle contract: no hash exchange at all
+    # (spread()'s parallelism repartition is roundrobin)
+    assert "Exchange hashpartitioning" not in plan

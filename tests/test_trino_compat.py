@@ -4169,8 +4169,12 @@ def test_simple_case_shield_exhaustive(spark):
     randomized sweep independently cross-checks via str.title)."""
     from mcp_trino_spark.trino_compat import _case_shield
 
-    div, _, back = _case_shield()
-    assert len(div) == len(back) == 102
+    div, pua, back = _case_shield()
+    # invariants, not a Unicode-table-version pin: equal lengths and a
+    # single-char back-map per shielded code point (the count is 102
+    # under Unicode 14; a different host table may shift it)
+    assert len(div) == len(pua) == len(back) >= 90
+    assert all(len(c) == 1 for c in back)
     got = run(spark, f"SELECT upper('{div}') AS u")[0]["u"]
     assert got == back
     # and the full round-trip keeps non-divergent chars on ucase

@@ -325,7 +325,18 @@ def check() -> int:
         if not any(n.startswith(fam) for n in window):
             problems.append(f"family {fam} missing from window")
     if problems:
-        print("WINDOW ROTATION NEEDED (run `make rotate-window`, commit the result):")
+        uncommitted = _uncommitted_correctness_files()
+        if uncommitted:
+            print(
+                "WINDOW ROTATION NEEDED — but COMMIT THE GRADED ARTIFACTS FIRST "
+                f"(git add {' '.join(uncommitted)} && git commit); rotating before "
+                "the commit would discard the very window those records certify. "
+                "Then run `make rotate-window` and commit the result:"
+            )
+        else:
+            print(
+                "WINDOW ROTATION NEEDED (run `make rotate-window`, commit the result):"
+            )
         for p in problems:
             print(f"  - {p}")
         return 1

@@ -334,9 +334,13 @@ def execute_query(
             needs_column_types,
         )
 
-        # config (env-settable, reference config.go idiom) wins over the
-        # session-level Python knob when set
-        amf_mode = config.approx_most_frequent_mode or approx_most_frequent_mode()
+        # precedence: explicit session-level set_approx_most_frequent_mode
+        # call > env-derived config (reference config.go idiom) > "exact"
+        # (ADVICE r12: the env var must not silently suppress a LATER
+        # programmatic set)
+        amf_mode = approx_most_frequent_mode(
+            default=config.approx_most_frequent_mode or "exact"
+        )
         if amf_mode == "sketch" and re.search(
             r"\bapprox_most_frequent\s*\(", q, re.IGNORECASE
         ):

@@ -3066,3 +3066,54 @@ def x62_real_varchar_rendering(spark, sf_dir):
             column_types={"x": "float", "i": "int"},
         )
     )
+
+
+@register(
+    "x63_try_cast_nonfinite",
+    oracle="""
+    SELECT i, expected AS v FROM (VALUES
+        (1, NULL), (2, NULL), (3, NULL), (4, NULL), (5, NULL),
+        (6, -9223372036854775808), (7, 3), (8, -3),
+        (9, 9223372036854774784), (10, NULL), (11, NULL)
+    ) AS t(i, expected)
+    """,
+)
+def x63_try_cast_nonfinite(spark, sf_dir):
+    """Differential certification of the round-13 TRY_CAST closure
+    (_rewrite_cast_rounding; VERDICT r12 #5): Trino's try_cast absorbs
+    DoubleMath.roundToLong's ArithmeticException — NaN, ±Infinity, and
+    beyond-long magnitudes all yield NULL — where the previous rewrite's
+    floor() overflow fired OUTSIDE the try scope and errored.  Rows 1-5
+    and 10-11 pin the guarded-to-NULL set (Infinity/-Infinity/NaN/±1e300,
+    plus an INTEGER and a SMALLINT target); row 6 pins the -2^63
+    special case (a VALID bigint whose sign-mirrored |x| + 0.5 would
+    overflow floor — roundToLong returns Long.MIN); rows 7-8 keep the
+    HALF_UP away-from-zero ties; row 9 the largest in-range double.
+    The oracle pins expected values as literals over a VALUES relation
+    (DuckDB's own double→int cast rounds half-to-even, a different
+    contract).
+
+    Reference parity: Trino DoubleOperators.castToLong under TRY
+    (TryCastFunction wraps the ArithmeticException), text forwarded
+    verbatim (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.trino_compat import translate
+
+    return spark.sql(
+        translate(
+            """
+            SELECT 1 AS i, TRY_CAST(CAST('Infinity' AS DOUBLE) AS BIGINT) AS v
+            UNION ALL SELECT 2, TRY_CAST(CAST('-Infinity' AS DOUBLE) AS BIGINT)
+            UNION ALL SELECT 3, TRY_CAST(CAST('NaN' AS DOUBLE) AS BIGINT)
+            UNION ALL SELECT 4, TRY_CAST(1.0E300 AS BIGINT)
+            UNION ALL SELECT 5, TRY_CAST(-1.0E300 AS BIGINT)
+            UNION ALL SELECT 6, CAST(-9.223372036854776E18 AS BIGINT)
+            UNION ALL SELECT 7, TRY_CAST(2.5E0 AS BIGINT)
+            UNION ALL SELECT 8, TRY_CAST(-2.5E0 AS BIGINT)
+            UNION ALL SELECT 9, TRY_CAST(9.223372036854775E18 AS BIGINT)
+            UNION ALL SELECT 10, CAST(TRY_CAST(CAST('NaN' AS DOUBLE)
+                                               AS INTEGER) AS BIGINT)
+            UNION ALL SELECT 11, CAST(TRY_CAST(1.0E300 AS SMALLINT) AS BIGINT)
+            """
+        )
+    )

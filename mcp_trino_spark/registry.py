@@ -315,6 +315,7 @@ ROWS_ONLY_OK = {
 # then proven-set family representatives.  Do not edit by hand —
 # run `make rotate-window` after any engine change.
 _WINDOW_HEAD = [
+    "x63_try_cast_nonfinite",
     "x23_vector_math",
     "x24_setdigest",
     "x35_exclude_minmax",
@@ -360,7 +361,6 @@ _WINDOW_HEAD = [
     "l21_dup_clusters",
     "l22_dedup_apply",
     "l37_ngram_lm_contamination",
-    "l38_substring_dedup",
 ]
 _WINDOW_TAIL = [
     "p11_null_safe_compare",

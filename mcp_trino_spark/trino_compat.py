@@ -4912,19 +4912,26 @@ def _parse_approx_most_frequent(query: str) -> Optional[dict]:
 #: distinct-value cardinality wall the exact plan's (group, value)
 #: counts hit at 100 TB).  The façade (execute_query) consults this
 #: before translate(); set it per session via
-#: set_approx_most_frequent_mode.
-_AMF_MODE = "exact"
+#: set_approx_most_frequent_mode.  None = never explicitly set, so the
+#: façade can let the env-derived config default apply; an EXPLICIT
+#: runtime call always wins over the static env default (ADVICE r12 —
+#: previously the env var silently suppressed later programmatic sets).
+_AMF_MODE: Optional[str] = None
 
 
-def set_approx_most_frequent_mode(mode: str) -> None:
-    if mode not in ("exact", "sketch"):
+def set_approx_most_frequent_mode(mode: Optional[str]) -> None:
+    """Set the session routing mode; ``None`` clears the explicit
+    setting so the env/config default applies again."""
+    if mode not in ("exact", "sketch", None):
         raise ValueError("approx_most_frequent mode must be 'exact' or 'sketch'")
     global _AMF_MODE
     _AMF_MODE = mode
 
 
-def approx_most_frequent_mode() -> str:
-    return _AMF_MODE
+def approx_most_frequent_mode(default: str = "exact") -> str:
+    """The effective mode: the explicitly-set session knob if any,
+    else ``default`` (the façade passes its env-derived config)."""
+    return _AMF_MODE if _AMF_MODE is not None else default
 
 
 def expand_approx_most_frequent_sketch(spark, query: str, created_views) -> str:
@@ -7220,31 +7227,38 @@ def _operand_is_date(expr: str, types: dict) -> bool:
 
 
 def _dt_interval_seconds(body: str, unit: str):
-    """Total seconds of a day-time interval literal, or None when the
-    body doesn't parse (leave such text alone — loud later, not
-    silently mis-typed)."""
+    """Total seconds of a day-time interval literal as an exact
+    ``Fraction``, or None when the body doesn't parse (leave such text
+    alone — loud later, not silently mis-typed).
+
+    Exact arithmetic throughout (ADVICE r12): a float total past 2^53
+    seconds could read as whole-day when the true value has a sub-day
+    remainder (or vice versa), silently changing the result instead of
+    erroring.  Fraction keeps the downstream ``secs % 86400`` test and
+    day count exact at any magnitude; bodies Trino itself would reject
+    ('1e3', 'inf', hex) fail the digit regexes and return None."""
+    from fractions import Fraction
+
     unit = re.sub(r"\s+", " ", unit.strip().lower())
     body = body.strip()
-    try:
-        if unit in ("hour", "minute", "second"):
-            v = float(body)
-            return v * {"hour": 3600, "minute": 60, "second": 1}[unit]
-        # DAY TO x spans: 'D[ HH[:MM[:SS[.fff]]]]'
-        m = re.fullmatch(
-            r"(-?\d+)(?:\s+(\d+)(?::(\d+)(?::(\d+(?:\.\d+)?))?)?)?", body
-        )
-        if not m:
+    if unit in ("hour", "minute", "second"):
+        if not re.fullmatch(r"-?\d+(?:\.\d+)?", body):
             return None
-        d, hh, mm, ss = m.groups()
-        sign = -1 if d.startswith("-") else 1
-        return sign * (
-            abs(int(d)) * 86400
-            + int(hh or 0) * 3600
-            + int(mm or 0) * 60
-            + float(ss or 0)
-        )
-    except ValueError:
+        return Fraction(body) * {"hour": 3600, "minute": 60, "second": 1}[unit]
+    # DAY TO x spans: 'D[ HH[:MM[:SS[.fff]]]]'
+    m = re.fullmatch(
+        r"(-?\d+)(?:\s+(\d+)(?::(\d+)(?::(\d+(?:\.\d+)?))?)?)?", body
+    )
+    if not m:
         return None
+    d, hh, mm, ss = m.groups()
+    sign = -1 if d.startswith("-") else 1
+    return sign * (
+        abs(int(d)) * 86400
+        + int(hh or 0) * 3600
+        + int(mm or 0) * 60
+        + (Fraction(ss) if ss else 0)
+    )
 
 
 def _rewrite_date_interval(q: str, column_types: dict) -> str:
@@ -7515,11 +7529,13 @@ def _rewrite_cast_rounding(q: str, column_types: dict) -> str:
       ``Cannot cast double NaN to <type>`` like Trino under CAST and
       yielding NULL under TRY_CAST.  Infinity is an ANSI overflow
       error here, as in Trino (DoubleMath.roundToLong rejects
-      non-finite input).  Residue: values within 0.5 ulp of an odd
+      non-finite input); under TRY_CAST, NaN / ±Infinity /
+      beyond-long magnitudes are guarded to NULL explicitly (the
+      floor overflow would otherwise fire outside the try scope —
+      VERDICT r12 #5), and exactly -2^63 maps to Long.MIN like
+      roundToLong.  Residue: values within 0.5 ulp of an odd
       integer ≥ 2^52 can round up where Guava's exact arithmetic
-      would not (the +0.5 is a float add); TRY_CAST of Infinity
-      errors instead of yielding NULL (the overflow happens in
-      floor(), outside the try scope).
+      would not (the +0.5 is a float add).
     - decimal operand → ``x ± 0.5`` then the truncating cast (exact
       decimal arithmetic: trunc(x + sign(x)*0.5) IS HALF_UP).
 
@@ -7528,10 +7544,11 @@ def _rewrite_cast_rounding(q: str, column_types: dict) -> str:
     Trino renders doubles in always-scientific shortest-roundtrip
     form since Trino 373 ('1.5E0', '1E2', '0E0', 'NaN') where Spark
     renders '1.5'/'100.0' — a silent text divergence on every
-    stringified double.  REAL operands keep the documented residue
-    (no float32 shortest-repr available Python-side), as do
-    parameterized varchar(n) targets (Trino additionally
-    length-checks those).
+    stringified double.  REAL operands (``_operand_is_real``) route
+    through ``trino_real_to_varchar`` instead — float32
+    shortest-roundtrip via numpy Dragon4, the round-12 closure (x62).
+    Parameterized varchar(n) targets keep the documented residue
+    (Trino additionally length-checks those).
 
     Operands of unknowable type (function results, subquery aliases)
     keep Spark truncation/rendering — same documented residue class
@@ -7595,23 +7612,35 @@ def _rewrite_cast_rounding(q: str, column_types: dict) -> str:
         if kind == "double":
             # sign-mirrored floor(|x| + 0.5) IS RoundingMode.HALF_UP;
             # floor on a double returns BIGINT, keeping the IF's common
-            # type exact above 2^53 (a double branch would lose it)
+            # type exact above 2^53 (a double branch would lose it).
+            # Exactly -2^63 is a valid bigint whose mirrored |x| + 0.5
+            # would overflow floor's BIGINT — special-cased so Trino's
+            # roundToLong(-2^63) = Long.MIN survives both CAST heads
+            xd = f"CAST(({x}) AS DOUBLE)"
             half_up = (
                 f"IF(({x}) < 0,"
-                f" -floor((-({x})) + 0.5D),"
+                f" IF({xd} = -9.223372036854776E18,"
+                f" CAST('-9223372036854775808' AS BIGINT),"
+                f" -floor((-({x})) + 0.5D)),"
                 f" floor(({x}) + 0.5D))"
             )
             if head.upper().startswith("TRY"):
-                # Trino try_cast absorbs the NaN error into NULL
-                nan_branch = "NULL"
+                # Trino try_cast absorbs roundToLong's ArithmeticException
+                # (NaN, ±Infinity, beyond-long magnitude) into NULL; our
+                # floor overflow would error OUTSIDE the try scope
+                # (VERDICT r12 #5), so guard every non-finite /
+                # out-of-long-range value explicitly
+                new_x = (
+                    f"IF(isnan({xd}) OR {xd} >= 9.223372036854776E18"
+                    f" OR {xd} < -9.223372036854776E18,"
+                    f" NULL, {half_up})"
+                )
             else:
                 tgt = {"int": "integer"}.get(target, target)
                 nan_branch = (
                     f"raise_error('Cannot cast double NaN to {tgt}')"
                 )
-            new_x = (
-                f"IF(isnan(CAST(({x}) AS DOUBLE)), {nan_branch}, {half_up})"
-            )
+                new_x = f"IF(isnan({xd}), {nan_branch}, {half_up})"
         else:
             new_x = f"(({x}) + IF(({x}) < 0, -0.5, 0.5))"
         repl = f"{head}{new_x} AS {body[as_at.end():].strip()})"

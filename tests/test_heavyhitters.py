@@ -173,7 +173,7 @@ def test_sql_sketch_route_high_cardinality(spark):
         )
         out = {r["g"]: r["hh"] for r in res.rows}
     finally:
-        set_approx_most_frequent_mode("exact")
+        set_approx_most_frequent_mode(None)  # clear the explicit session knob
         spark.catalog.dropTempView("amf_hc")
 
     assert set(out) == {0, 1}
@@ -204,7 +204,7 @@ def test_sql_sketch_route_grand_aggregate(spark):
             dialect="trino",
         )
     finally:
-        set_approx_most_frequent_mode("exact")
+        set_approx_most_frequent_mode(None)  # clear the explicit session knob
         spark.catalog.dropTempView("amf_g")
     (row,) = res.rows
     assert len(row["hh"]) == 3
@@ -243,3 +243,25 @@ def test_sketch_mode_via_engine_config_env(spark, monkeypatch):
     (row,) = res.rows
     assert len(row["hh"]) == 2
     assert all(est == 100 for est in row["hh"].values())
+
+
+def test_explicit_session_knob_wins_over_env_default():
+    """Precedence contract (ADVICE r12): an EXPLICIT runtime
+    set_approx_most_frequent_mode call wins over the env-derived config
+    default; clearing with None lets the config default apply again."""
+    from mcp_trino_spark.trino_compat import (
+        approx_most_frequent_mode,
+        set_approx_most_frequent_mode,
+    )
+
+    assert approx_most_frequent_mode(default="exact") == "exact"
+    assert approx_most_frequent_mode(default="sketch") == "sketch"
+    set_approx_most_frequent_mode("exact")
+    try:
+        # explicit 'exact' suppresses an env default of 'sketch'
+        assert approx_most_frequent_mode(default="sketch") == "exact"
+        set_approx_most_frequent_mode("sketch")
+        assert approx_most_frequent_mode(default="exact") == "sketch"
+    finally:
+        set_approx_most_frequent_mode(None)
+    assert approx_most_frequent_mode(default="sketch") == "sketch"

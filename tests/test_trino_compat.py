@@ -3581,7 +3581,9 @@ def test_column_int_division_cast_operands():
     assert out == (
         "SELECT (CAST(IF(isnan(CAST((d) AS DOUBLE)),"
         " raise_error('Cannot cast double NaN to bigint'),"
-        " IF((d) < 0, -floor((-(d)) + 0.5D), floor((d) + 0.5D)))"
+        " IF((d) < 0, IF(CAST((d) AS DOUBLE) = -9.223372036854776E18,"
+        " CAST('-9223372036854775808' AS BIGINT),"
+        " -floor((-(d)) + 0.5D)), floor((d) + 0.5D)))"
         " AS BIGINT) div b) FROM t"
     )
     # an integral column needs no rounding — the bare CAST survives
@@ -4180,3 +4182,116 @@ def test_simple_case_shield_exhaustive(spark):
     # and the full round-trip keeps non-divergent chars on ucase
     got2 = run(spark, "SELECT upper('aßbᾳc') AS u")[0]["u"]
     assert got2 == "AßBᾼC"
+
+
+def test_case_shield_backmap_matches_jvm_simple_mapping(spark):
+    """Fidelity of the 102 back-map entries against the ACTUAL target
+    semantics (ADVICE r12): Trino's upper() is Java
+    Character.toUpperCase per code point, so each shielded code
+    point's back-map entry must equal the JVM's simple uppercase —
+    asked of the driver JVM directly via py4j, not of the pipeline's
+    own output (test_simple_case_shield_exhaustive validates the
+    translate plumbing; THIS pins the table the plumbing applies)."""
+    from mcp_trino_spark.trino_compat import _case_shield
+
+    div, pua, back = _case_shield()
+    Character = spark.sparkContext._jvm.java.lang.Character
+    bad = []
+    for d, b in zip(div, back):
+        jvm_simple = chr(Character.toUpperCase(ord(d)))
+        if b != jvm_simple:
+            bad.append((hex(ord(d)), hex(ord(b)), hex(ord(jvm_simple))))
+    assert not bad, (
+        f"back-map entries diverging from JVM Character.toUpperCase "
+        f"(cp, back, jvm): {bad}"
+    )
+
+
+def test_case_shield_tables_match_runtime_jvm(spark):
+    """Unicode-version skew alarm (ADVICE r12): the shield's divergent
+    set is derived from the HOST PYTHON's Unicode tables, but the
+    runtime full mapping comes from the JVM's ucase/lcase.  One Spark
+    job sweeps every BMP code point (surrogates excluded) and asserts:
+
+    - every Python/JVM full-mapping skew is 1:1-on-both-sides (new
+      simple case pairs the other side's Unicode version lacks — e.g.
+      U+019B/U+A7CD under Python 16 vs Java 17 tables; harmless: they
+      feed NO shield table, and the emulated target is itself a JVM);
+      a skew where EITHER side is multi-char would change shield
+      membership and fails loudly;
+    - the JVM's multi-char-uppercase set == the shield's divergent set
+      (completeness: a new SpecialCasing expansion in a future JVM
+      cannot silently bypass the shield);
+    - the lower() pre-translate set is exactly {İ, Σ}: U+0130 is the
+      only multi-char full lowercase, and Σ the only CONDITIONAL
+      mapping — probed with context ('ΑΣ'), since Final_Sigma needs a
+      preceding cased letter and is invisible to a per-char sweep.
+    """
+    from mcp_trino_spark.trino_compat import _case_shield
+
+    div, _, _ = _case_shield()
+    cps = [cp for cp in range(0x10000) if not 0xD800 <= cp <= 0xDFFF]
+    df = spark.createDataFrame(
+        [(cp, chr(cp)) for cp in cps], "cp INT, c STRING"
+    )
+    rows = df.selectExpr("cp", "ucase(c) AS u", "lcase(c) AS l").collect()
+    assert len(rows) == len(cps)
+
+    upper_skew = [
+        r for r in rows if r["u"] != chr(r["cp"]).upper()
+    ]
+    lower_skew = [
+        r for r in rows if r["l"] != chr(r["cp"]).lower()
+    ]
+    bad_upper = [
+        hex(r["cp"])
+        for r in upper_skew
+        if len(r["u"]) > 1 or len(chr(r["cp"]).upper()) > 1
+    ]
+    bad_lower = [
+        hex(r["cp"])
+        for r in lower_skew
+        if len(r["l"]) > 1 or len(chr(r["cp"]).lower()) > 1
+    ]
+    assert not bad_upper, (
+        f"multi-char uppercase skew between Python tables and the "
+        f"runtime JVM — shield membership is wrong at: {bad_upper[:20]}"
+    )
+    assert not bad_lower, (
+        f"multi-char lowercase skew between Python tables and the "
+        f"runtime JVM at: {bad_lower[:20]}"
+    )
+
+    jvm_multi_upper = {r["cp"] for r in rows if len(r["u"]) > 1}
+    assert jvm_multi_upper == {ord(c) for c in div}, (
+        "divergent-set mismatch vs the runtime JVM's multi-char expansions"
+    )
+
+    Character = spark.sparkContext._jvm.java.lang.Character
+    jvm_multi_lower = {r["cp"] for r in rows if len(r["l"]) > 1}
+    assert jvm_multi_lower == {0x0130}
+    cond_lower = {
+        r["cp"]
+        for r in rows
+        if len(r["l"]) == 1 and ord(r["l"]) != Character.toLowerCase(r["cp"])
+    }
+    # Final_Sigma is invisible to a single-char sweep (it needs a
+    # PRECEDING cased letter), so probe it with context: the raw
+    # runtime lowering of 'ΑΣ' ends in word-final ς — exactly why the
+    # lower() rewrite pre-translates Σ→σ
+    assert run(spark, "SELECT lcase('ΑΣ') AS l")[0]["l"] == "ας"
+    assert run(spark, "SELECT lower('ΑΣ') AS l")[0]["l"] == "ασ"
+    # in the per-char sweep, the only tolerated divergence is the new-
+    # case-pair signature: the runtime's case tables (ICU-backed in
+    # Spark 4) know a pair java.lang.Character's Unicode version
+    # doesn't — Character leaves the char UNCHANGED.  A cp where
+    # Character maps somewhere else than the full mapping would be a
+    # real conditional divergence the lower() pre-translate misses →
+    # fail loudly.
+    real_cond = {
+        cp for cp in cond_lower if Character.toLowerCase(cp) != cp
+    }
+    assert not real_cond, (
+        f"single-char full-lowercase diverging from a DIFFERENT simple "
+        f"mapping beyond Final_Sigma: {sorted(hex(c) for c in real_cond)}"
+    )

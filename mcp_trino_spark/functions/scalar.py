@@ -3117,3 +3117,122 @@ def x63_try_cast_nonfinite(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x64_stat_agg_edge_contracts",
+    oracle="""
+    SELECT CAST(l_returnflag AS VARCHAR) AS grp,
+           round(corr(l_quantity, l_extendedprice), 6) AS c_norm,
+           corr(l_quantity * 0.0 + 5.0, l_extendedprice) AS c_const,
+           regr_slope(l_extendedprice, l_quantity * 0.0) AS s_const,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS s_norm,
+           regr_intercept(l_extendedprice, l_quantity * 0.0 + 3.0) AS i_const
+    FROM lineitem WHERE l_orderkey < 3000 GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'o' || CAST(l_orderkey AS VARCHAR),
+           corr(l_quantity, l_extendedprice),
+           corr(l_quantity, l_extendedprice),
+           regr_slope(l_extendedprice, l_quantity),
+           regr_slope(l_extendedprice, l_quantity),
+           regr_intercept(l_extendedprice, l_quantity)
+    FROM lineitem WHERE l_orderkey < 200
+    GROUP BY l_orderkey HAVING count(*) = 1
+    """,
+)
+def x64_stat_agg_edge_contracts(spark, sf_dir):
+    """Differential certification of the round-13 statistical-aggregate
+    edge closure (_rewrite_stat_agg_edges): Trino's corr / regr_slope /
+    regr_intercept write only FINITE results and NULL otherwise
+    (DoubleCorrelationAggregation / DoubleRegressionAggregation), while
+    Spark's corr RAISES DIVIDE_BY_ZERO under ANSI mode on a constant
+    group (c_const — every group constant-x by construction) and the
+    regr pair returns NaN on non-finite inputs.  The UNION arm pins the
+    single-row-group gate (n=1 → NULL for all three).  Normal-path
+    values round at 6 digits (the a11 float-accumulation contract);
+    edge columns are exact NULLs.  DuckDB's corr/regr natively yield
+    NULL on the constant and single-row gates — a true differential.
+
+    Reference parity: Trino DoubleCorrelationAggregation.corr /
+    DoubleRegressionAggregation isFinite-else-NULL output gates, text
+    forwarded verbatim (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.execute import _catalog_column_types
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT CAST(l_returnflag AS VARCHAR) AS grp,
+                   round(corr(l_quantity, l_extendedprice), 6) AS c_norm,
+                   corr(l_quantity * 0.0 + 5.0, l_extendedprice) AS c_const,
+                   regr_slope(l_extendedprice, l_quantity * 0.0) AS s_const,
+                   round(regr_slope(l_extendedprice, l_quantity), 6) AS s_norm,
+                   regr_intercept(l_extendedprice, l_quantity * 0.0 + 3.0)
+                     AS i_const
+            FROM lineitem WHERE l_orderkey < 3000 GROUP BY l_returnflag
+            UNION ALL
+            SELECT 'o' || CAST(l_orderkey AS VARCHAR),
+                   corr(l_quantity, l_extendedprice),
+                   corr(l_quantity, l_extendedprice),
+                   regr_slope(l_extendedprice, l_quantity),
+                   regr_slope(l_extendedprice, l_quantity),
+                   regr_intercept(l_extendedprice, l_quantity)
+            FROM lineitem WHERE l_orderkey < 200
+            GROUP BY l_orderkey HAVING count(*) = 1
+            """,
+            column_types=_catalog_column_types(spark),
+        )
+    )
+
+
+@register(
+    "x65_array_comparison_semantics",
+    oracle="""
+    SELECT i, expected AS v FROM (VALUES
+        (1, NULL), (2, false), (3, false), (4, true),
+        (5, NULL), (6, true), (7, true), (8, true),
+        (9, true), (10, false), (11, NULL), (12, true)
+    ) AS t(i, expected)
+    """,
+)
+def x65_array_comparison_semantics(spark, sf_dir):
+    """Differential certification of the round-13 array-comparison
+    closure (_rewrite_array_comparisons): Trino array equality is
+    THREE-VALUED (ARRAY[1,NULL] = ARRAY[1,NULL] → NULL; decided-unequal
+    pair or length mismatch → false) where Spark's ``=`` treats null
+    elements as equal values and says TRUE; ordering scans to the first
+    differing position with a length tiebreak (null elements past the
+    decision are never visited — rows 6/7), where Spark orders nulls
+    smallest.  The raise path (a null AT the deciding position —
+    Trino's checkElementNotNull) is pinned by pytest
+    (tests/test_differential_semantics.py); the oracle pins expected
+    booleans as literals over a VALUES relation (DuckDB's own array
+    ordering returns NULL where Trino throws — a different contract).
+
+    Reference parity: Trino ArrayEqualOperator / ArrayOperators
+    lexicographic comparisons, text forwarded verbatim
+    (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.trino_compat import translate
+
+    return spark.sql(
+        translate(
+            """
+            SELECT 1 AS i, ARRAY[1, NULL] = ARRAY[1, NULL] AS v
+            UNION ALL SELECT 2, ARRAY[1, NULL] = ARRAY[2, NULL]
+            UNION ALL SELECT 3, ARRAY[1, NULL] = ARRAY[1]
+            UNION ALL SELECT 4, ARRAY[1, 2] = ARRAY[1, 2]
+            UNION ALL SELECT 5, ARRAY[1, NULL] <> ARRAY[1, NULL]
+            UNION ALL SELECT 6, ARRAY[1, NULL] < ARRAY[2, NULL]
+            UNION ALL SELECT 7, ARRAY[1] < ARRAY[1, NULL]
+            UNION ALL SELECT 8, ARRAY[1, 2] <= ARRAY[1, 2]
+            UNION ALL SELECT 9, ARRAY[2] > ARRAY[1, 9]
+            UNION ALL SELECT 10, ARRAY[1, 2] >= ARRAY[1, 3]
+            UNION ALL SELECT 11, CAST(NULL AS ARRAY(INTEGER)) = ARRAY[1]
+            UNION ALL SELECT 12, ARRAY[1, NULL] <> ARRAY[2]
+            """
+        )
+    )

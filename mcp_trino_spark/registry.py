@@ -316,6 +316,8 @@ ROWS_ONLY_OK = {
 # run `make rotate-window` after any engine change.
 _WINDOW_HEAD = [
     "x63_try_cast_nonfinite",
+    "x64_stat_agg_edge_contracts",
+    "x65_array_comparison_semantics",
     "x23_vector_math",
     "x24_setdigest",
     "x35_exclude_minmax",
@@ -359,8 +361,6 @@ _WINDOW_HEAD = [
     "l2b_simhash",
     "l16_decontamination",
     "l21_dup_clusters",
-    "l22_dedup_apply",
-    "l37_ngram_lm_contamination",
 ]
 _WINDOW_TAIL = [
     "p11_null_safe_compare",

@@ -1358,6 +1358,14 @@ def _json_path_tokens(path: str):
     return toks
 
 
+#: jump table for the lexer: the next position that can END a code run
+#: (quote chars and comment openers).  Searching with a compiled regex
+#: skips whole code runs at C speed instead of stepping per character —
+#: _segments underlies every _code_mask and dominated translate() time
+#: on comparison-heavy batches before this (round-13 profile: 84%).
+_SEG_SPECIAL = re.compile(r"['\"`]|--|/\*")
+
+
 def _segments(q: str) -> Iterator[Tuple[bool, str]]:
     """Yield (is_code, text) segments: string literals, quoted
     identifiers, and comments are non-code (same lexical rules as the
@@ -1365,6 +1373,10 @@ def _segments(q: str) -> Iterator[Tuple[bool, str]]:
     i, n = 0, len(q)
     start = 0
     while i < n:
+        sm = _SEG_SPECIAL.search(q, i)
+        if sm is None:
+            break
+        i = sm.start()
         ch = q[i]
         if ch == "'" or ch == '"' or ch == "`":
             if start < i:
@@ -2298,14 +2310,29 @@ def _check_translated_size(q: str) -> None:
         )
 
 
+#: memo for _code_mask keyed by the exact text: passes re-derive the
+#: mask of an UNCHANGED query many times (per-candidate checks, helper
+#: sub-scans), and Python caches each str's hash, so a repeat lookup on
+#: the same object is O(1).  Callers treat the mask as read-only (no
+#: mutation site exists — grep `mask[... ] =`); bounded so a long
+#: session can't accumulate big intermediates.
+_MASK_CACHE: Dict[str, List[bool]] = {}
+
+
 def _code_mask(q: str) -> List[bool]:
     _check_translated_size(q)
+    mask = _MASK_CACHE.get(q)
+    if mask is not None:
+        return mask
     mask = [False] * len(q)
     pos = 0
     for is_code, seg in _segments(q):
-        for j in range(len(seg)):
-            mask[pos + j] = is_code
+        if is_code:
+            mask[pos : pos + len(seg)] = [True] * len(seg)
         pos += len(seg)
+    if len(_MASK_CACHE) >= 128:
+        _MASK_CACHE.clear()
+    _MASK_CACHE[q] = mask
     return mask
 
 
@@ -6064,6 +6091,109 @@ def _rewrite_kurtosis_unbiased(q: str) -> str:
     return q.replace(_KURT_TOKEN, "kurtosis")
 
 
+_STAT_EDGE_HEAD = re.compile(
+    r"\b(corr|regr_slope|regr_intercept)\s*\(", re.IGNORECASE
+)
+_FINITE_GUARD_TOKEN_NAN = "__stat_isnan__"
+
+
+def _trailing_over(q: str, end: int):
+    """``(over_text, new_end)`` for a window clause hanging off a call
+    that closed at ``end`` — ('', end) when there is none.  The clause
+    must relocate INSIDE any expression wrapped around the call:
+    ``IF(...) OVER (...)`` is a parse error (same relocation
+    _rewrite_kurtosis_unbiased and _rewrite_minmax_n perform)."""
+    om = re.match(r"\s*OVER\s*\(", q[end:], re.IGNORECASE)
+    if not om:
+        return "", end
+    mask = _code_mask(q)
+    d, i = 1, end + om.end()
+    while i < len(q) and d:
+        if mask[i]:
+            if q[i] == "(":
+                d += 1
+            elif q[i] == ")":
+                d -= 1
+        i += 1
+    return " " + q[end:i].strip(), i
+
+
+def _rewrite_stat_agg_edges(q: str) -> str:
+    """Trino's ``corr`` / ``regr_slope`` / ``regr_intercept`` write
+    their result only when it is FINITE and append NULL otherwise
+    (DoubleCorrelationAggregation / DoubleRegressionAggregation's
+    ``Double.isFinite`` output gate), while Spark diverges two ways
+    (round-13 probe):
+
+    - ``corr`` on a CONSTANT group **raises DIVIDE_BY_ZERO under ANSI
+      mode** (the zero variance reaches ``ck / sqrt(xMk * yMk)``
+      unguarded) — a valid Trino query errors; with NaN/Inf inputs it
+      returns NaN where Trino returns NULL.  Respelled from its
+      algebraic components, ``covar_pop / nullif(stddev_pop *
+      stddev_pop, 0)``, then finite-gated — the zero denominator never
+      divides, and NaN/Inf funnel to NULL.  (Same m2-ratio up to one
+      extra 1/n rounding; cross-engine float corr already differs in
+      the last ULPs by partial-aggregation order.)
+    - ``regr_slope`` / ``regr_intercept`` guard the zero denominator
+      (NULL, matching Trino's gate) but return NaN on NaN/Inf inputs
+      where Trino returns NULL.  Output-wrapped with the finite gate;
+      Catalyst deduplicates the repeated aggregate, so it is still
+      computed once.
+
+    A trailing OVER clause relocates onto every generated aggregate.
+    Nondeterministic-bearing arguments are skipped (the respell would
+    re-draw per aggregate); ``skewness`` is left alone — both engines
+    compute the population g1 and the m2=0 edge (Spark NULL) has no
+    verifiable Trino pin in-sandbox.  Certified by x64; the randomized
+    sweep in tests/test_differential_semantics.py crosses constant /
+    single-row / NaN / Inf groups.  isnan is emitted via a placeholder
+    token so the _rewrite_try pass (which targets user-spelled calls)
+    never sees it mid-flight.
+
+    Reference parity: Trino DoubleCorrelationAggregation.corr /
+    DoubleRegressionAggregation (isFinite-else-NULL), text forwarded
+    verbatim (internal/trino/client.go:284-291).
+    """
+    pos = 0
+    while True:
+        found = _find_call(q, _STAT_EDGE_HEAD, pos)
+        if found is None:
+            break
+        m, b0, b1 = found
+        fn = m.group(1).lower()
+        args = _split_top_args(q[b0:b1])
+        if len(args) != 2:
+            pos = b0
+            continue
+        a, b = (s.strip() for s in args)
+        if _has_nondeterministic_call(a) or _has_nondeterministic_call(b):
+            pos = b1
+            continue
+        over, end = _trailing_over(q, b1 + 1)
+        if fn == "corr":
+            # the component stddevs must see the PAIRWISE row set
+            # (covar_pop skips a pair when either side is NULL;
+            # stddev_pop alone would skip only its own column's NULLs
+            # — misaligned NULLs would silently shift the correlation,
+            # caught by the round-13 randomized sweep)
+            ax = f"IF(({b}) IS NULL, NULL, {a})"
+            bx = f"IF(({a}) IS NULL, NULL, {b})"
+            r = (
+                f"(covar_pop({a}, {b}){over}"
+                f" / nullif(stddev_pop({ax}){over}"
+                f" * stddev_pop({bx}){over}, 0.0D))"
+            )
+        else:
+            r = f"{fn}({a}, {b}){over}"
+        repl = (
+            f"IF({_FINITE_GUARD_TOKEN_NAN}({r})"
+            f" OR abs({r}) = CAST('Infinity' AS DOUBLE), NULL, {r})"
+        )
+        q = q[: m.start()] + repl + q[end:]
+        pos = m.start() + len(repl)
+    return q.replace(_FINITE_GUARD_TOKEN_NAN, "isnan")
+
+
 def _rewrite_minmax_n(q: str) -> str:
     """Trino's 2-arg ``min(x, n)`` / ``max(x, n)``: the n smallest /
     largest values as an ARRAY (Spark's min/max are strictly 1-arg, so
@@ -7337,6 +7467,318 @@ def _rewrite_date_interval(q: str, column_types: dict) -> str:
         pos = lstart + len(repl)
 
 
+#: calls that ALWAYS return an array regardless of argument types —
+#: the knowability list for the array-comparison pass (concat/reverse
+#: are excluded: they also run on strings)
+_ARRAY_RESULT_FNS = frozenset(
+    "array array_sort array_distinct array_remove array_compact slice "
+    "sequence array_repeat array_union array_intersect array_except "
+    "arrays_zip shuffle flatten transform filter zip_with "
+    "array_prepend array_append array_insert sort_array".split()
+)
+
+_ARRAY_CMP_MSG = (
+    "ARRAY comparison not supported for arrays with null elements"
+)
+
+
+def _operand_is_array(expr: str, types: dict) -> bool:
+    """Lexically-knowable array operand (the x47 contract applied to
+    array types): array-returning whole calls, plain catalog columns of
+    array type, parenthesized groups, and ``||`` chains any of whose
+    segments is a knowable array (array concatenation)."""
+    e = expr.strip()
+    if not e:
+        return False
+    if e.startswith("(") and e.endswith(")"):
+        inner = e[1:-1].strip()
+        if _balanced(inner):
+            return _operand_is_array(inner, types)
+        return False
+    name = _whole_call_name_any(e)
+    if name is not None:
+        return name in _ARRAY_RESULT_FNS
+    if _IDENT_CHAIN.fullmatch(e):
+        return types.get(e.rsplit(".", 1)[-1].lower(), "").startswith("array")
+    # top-level || chain: array concatenation when any side is an array
+    parts = _split_concat_chain(e)
+    if len(parts) > 1:
+        return any(_operand_is_array(p, types) for p in parts)
+    return False
+
+
+def _whole_call_name_any(e: str) -> Optional[str]:
+    """Lowercased name when ``e`` is exactly one ``name( ... )`` call
+    (any name — unlike _whole_call_name's double-fn head)."""
+    m = re.match(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*\(", e)
+    if m is None:
+        return None
+    mask = _code_mask(e)
+    depth = 0
+    for i in range(m.end() - 1, len(e)):
+        if not mask[i]:
+            continue
+        if e[i] == "(":
+            depth += 1
+        elif e[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return m.group(1).lower() if not e[i + 1 :].strip() else None
+    return None
+
+
+def _split_concat_chain(e: str) -> List[str]:
+    """Split on top-level ``||`` (code-mask- and paren-aware)."""
+    mask = _code_mask(e)
+    parts, depth, last = [], 0, 0
+    i = 0
+    while i < len(e) - 1:
+        if mask[i]:
+            if e[i] == "(":
+                depth += 1
+            elif e[i] == ")":
+                depth -= 1
+            elif depth == 0 and e[i] == "|" and e[i + 1] == "|":
+                parts.append(e[last:i])
+                i += 2
+                last = i
+                continue
+        i += 1
+    parts.append(e[last:])
+    return [p for p in (s.strip() for s in parts) if p]
+
+
+def _right_operand_end(q: str, mask: List[bool], pos: int) -> Optional[int]:
+    """End index (exclusive) of the expression starting at/after
+    ``pos``: one primary (ident chain + optional call parens, paren
+    group, string/number literal), chained across top-level ``||``.
+    None when nothing parseable starts there."""
+    n = len(q)
+
+    def skip_ws(i):
+        while i < n and q[i].isspace():
+            i += 1
+        return i
+
+    def primary(i):
+        i = skip_ws(i)
+        if i >= n:
+            return None
+        if not mask[i]:  # string literal: walk the non-code run
+            j = i
+            while j < n and not mask[j]:
+                j += 1
+            return j
+        c = q[i]
+        if c == "(":
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if mask[j]:
+                    if q[j] == "(":
+                        depth += 1
+                    elif q[j] == ")":
+                        depth -= 1
+                j += 1
+            return j if depth == 0 else None
+        if c.isdigit():
+            j = i
+            while j < n and (q[j].isalnum() or q[j] in "._"):
+                j += 1
+            return j
+        if c.isalpha() or c == "_":
+            j = i
+            while j < n and (q[j].isalnum() or q[j] in "._$"):
+                j += 1
+            k = skip_ws(j)
+            if k < n and q[k] == "(":
+                depth, j2 = 1, k + 1
+                while j2 < n and depth:
+                    if mask[j2]:
+                        if q[j2] == "(":
+                            depth += 1
+                        elif q[j2] == ")":
+                            depth -= 1
+                    j2 += 1
+                return j2 if depth == 0 else None
+            return j
+        return None
+
+    end = primary(pos)
+    if end is None:
+        return None
+    while True:
+        k = skip_ws(end)
+        if k + 1 < n and q[k] == "|" and q[k + 1] == "|" and mask[k]:
+            nxt = primary(k + 2)
+            if nxt is None:
+                return end
+            end = nxt
+        else:
+            return end
+
+
+def _array_eq_expr(a: str, b: str) -> str:
+    """Trino three-valued array equality: length mismatch → false;
+    any decided-unequal pair → false; else any null element → NULL;
+    else true (ArrayEqualOperator)."""
+    zw = (
+        f"zip_with({a}, {b}, (x, y) ->"
+        f" IF(x IS NULL OR y IS NULL, CAST(NULL AS BOOLEAN), x = y))"
+    )
+    return (
+        f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN CAST(NULL AS BOOLEAN)"
+        f" WHEN size({a}) <> size({b}) THEN false"
+        f" WHEN array_contains({zw}, false) THEN false"
+        f" WHEN exists({zw}, p -> p IS NULL) THEN CAST(NULL AS BOOLEAN)"
+        f" ELSE true END)"
+    )
+
+
+def _array_ord_expr(a: str, b: str, op: str) -> str:
+    """Trino lexicographic array comparison: scan pairwise to the first
+    null-or-differing position; a null THERE raises (checkElementNotNull
+    — positions past the decision are never visited), a differing pair
+    decides, an exhausted common prefix falls back to length comparison
+    (ArrayOperators lessThan/lessThanOrEqual et al.)."""
+    strict = {"<": "<", "<=": "<", ">": ">", ">=": ">"}[op]
+    nmin = f"least(size({a}), size({b}))"
+    df = (
+        f"filter(zip_with(slice({a}, 1, {nmin}), slice({b}, 1, {nmin}),"
+        f" (x, y) -> named_struct('lx', x, 'rx', y)),"
+        f" p -> p.lx IS NULL OR p.rx IS NULL OR p.lx <> p.rx)"
+    )
+    return (
+        f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN CAST(NULL AS BOOLEAN)"
+        f" WHEN size({df}) = 0 THEN size({a}) {op} size({b})"
+        f" WHEN get({df}, 0).lx IS NULL OR get({df}, 0).rx IS NULL"
+        f" THEN CAST(raise_error('{_ARRAY_CMP_MSG}') AS BOOLEAN)"
+        f" ELSE get({df}, 0).lx {strict} get({df}, 0).rx END)"
+    )
+
+
+def _rewrite_array_comparisons(q: str, column_types: dict) -> str:
+    """Trino's array comparisons vs Spark's (round-13 probe catches,
+    both silent on Trino-valid queries):
+
+    - equality: Trino is THREE-VALUED — ``ARRAY[1, NULL] =
+      ARRAY[1, NULL]`` is NULL (undecided pairs with null elements),
+      false only on a decided unequal pair or length mismatch
+      (ArrayEqualOperator) — where Spark's ``=`` treats null elements
+      as equal values and returns TRUE.
+    - ordering: Trino scans to the first differing position and RAISES
+      "ARRAY comparison not supported for arrays with null elements"
+      if a null is visited first (ArrayOperators.lessThan's
+      checkElementNotNull), with a length tiebreak on an equal common
+      prefix — where Spark orders nulls as smallest and returns a
+      value.
+
+    Rewritten for comparisons where either operand is lexically
+    knowable as an array (array-returning whole calls — the post-
+    ARRAY[]-pass ``array(...)`` spelling included — catalog array
+    columns, ``||`` concat chains; both operands of a comparison share
+    one type, so one knowable side suffices).  ``<>``/``!=`` is the
+    three-valued NOT of equality.  ``<=>`` (Spark's null-safe spelling,
+    not Trino syntax) is skipped; unknowable operands (function results
+    outside the whitelist, subscript results) keep Spark semantics —
+    the x47 residue contract.  Residue: elements that are THEMSELVES
+    arrays/rows compare by Spark's nested rules inside the pairwise
+    lambda.  Certified by x65; the randomized sweep in
+    tests/test_differential_semantics.py crosses lengths, null
+    positions, and all six operators against a Python reference.
+
+    Reference parity: Trino ArrayEqualOperator / ArrayOperators
+    (lessThan/greaterThan...), text forwarded verbatim
+    (internal/trino/client.go:284-291).
+    """
+    # UPDATE/MERGE SET-lists spell assignments with `=` — skip those
+    # statements wholesale rather than misread an assignment as a
+    # comparison (their WHERE clauses keep Spark array semantics —
+    # documented residue)
+    if re.match(r"(?is)\s*(UPDATE|MERGE)\b", q):
+        return q
+    types = {str(k).lower(): str(v).lower() for k, v in column_types.items()}
+    # single scan, replacements applied right-to-left: the emitted text
+    # contains comparisons only on lambda variables (unknowable — never
+    # re-matched), and one mask serves the whole pass instead of a
+    # recompute per hit (a 200-comparison batch would otherwise scan
+    # O(hits × len))
+    mask = _code_mask(q)
+    n = len(q)
+    hits = []
+    i = 0
+    while i < n:
+        if not mask[i] or q[i] not in "<>=!":
+            i += 1
+            continue
+        if q[i : i + 3] == "<=>":
+            i += 3
+            continue
+        two = q[i : i + 2]
+        if two == "=>":  # named-argument arrow, not a comparison
+            i += 2
+            continue
+        if two in ("<=", ">=", "<>", "!="):
+            op = two
+        elif q[i] in "<>=":
+            # skip lambda arrows and the tails of two-char ops
+            if q[i] == ">" and i > 0 and q[i - 1] in "-=<":
+                i += 1
+                continue
+            if q[i] == "=" and i > 0 and q[i - 1] in "<>!":
+                i += 1
+                continue
+            op = q[i]
+        else:
+            i += 1
+            continue
+        try:
+            lstart = _left_operand_start(q, mask, i)
+        except Exception:
+            i += len(op)
+            continue
+        left = q[lstart:i].strip()
+        if re.match(r"(?is)\s*(ANY|ALL|SOME)\s*\(", q[i + len(op) :]):
+            # quantified comparison — _rewrite_quantified_comparisons
+            # owns these downstream
+            i += len(op)
+            continue
+        rend = _right_operand_end(q, mask, i + len(op))
+        if rend is None:
+            i += len(op)
+            continue
+        right = q[i + len(op) : rend].strip()
+        if re.match(r"(?is)\(\s*(SELECT|WITH)\b", right) or re.match(
+            r"(?is)\(\s*(SELECT|WITH)\b", left
+        ):
+            # scalar-subquery operand: duplicating it inside
+            # zip_with/filter would re-plan it per copy — skip
+            # (documented residue, same class as x47 unknowables)
+            i += len(op)
+            continue
+        if not (
+            _operand_is_array(left, types)
+            or _operand_is_array(right, types)
+        ):
+            i += len(op)
+            continue
+        if _has_nondeterministic_call(left) or _has_nondeterministic_call(
+            right
+        ):
+            i += len(op)
+            continue
+        hits.append((lstart, rend, left, right, op))
+        i = rend  # comparisons never nest without booleans between
+    for lstart, rend, left, right, op in reversed(hits):
+        if op == "=":
+            repl = _array_eq_expr(left, right)
+        elif op in ("<>", "!="):
+            repl = f"(NOT {_array_eq_expr(left, right)})"
+        else:
+            repl = _array_ord_expr(left, right, op)
+        q = q[:lstart] + repl + q[rend:]
+    return q
+
+
 _UPPER_HEAD = re.compile(r"\bupper\s*\(", re.IGNORECASE)
 _LOWER_HEAD = re.compile(r"\blower\s*\(", re.IGNORECASE)
 
@@ -8232,6 +8674,9 @@ def _translate_inner(
     # AFTER the ARRAY[..] pass (constructor brackets gone), BEFORE any
     # pass that emits Spark-semantics subscripts of its own
     query = _rewrite_subscripts(query, column_types)
+    # AFTER the ARRAY[..] pass (operands carry the recognizable
+    # array(...) spelling) and the subscript pass
+    query = _rewrite_array_comparisons(query, column_types or {})
     query = _rewrite_comma_unnest(query)
     query = _rewrite_unnest(query, _code_mask(query))
     query = _rewrite_unnest_from(query)
@@ -8251,6 +8696,7 @@ def _translate_inner(
     query = _rewrite_entropy(query)
     query = _rewrite_approx_percentile_weighted(query)
     query = _rewrite_kurtosis_unbiased(query)
+    query = _rewrite_stat_agg_edges(query)
     query = _rewrite_minmax_n(query)
     query = _rewrite_width_bucket_bins(query)
     query = _rewrite_map_concat(query)

@@ -1187,3 +1187,240 @@ def test_unicode_string_random_differential(spark):
         if got[i] != want:
             mism.append((i, s, t, got[i], want))
     assert not mism, mism[:3]
+
+
+def _trino_stat_ref(pairs):
+    """Independent Python reference for Trino's statistical-aggregate
+    edge contracts (DoubleCorrelationAggregation /
+    DoubleRegressionAggregation / CovarianceAggregation /
+    VarianceAggregation): two-pass central moments, then
+    isFinite-else-NULL gates on corr/regr_* and count gates on the
+    sample aggregates (no finite gate there — NaN propagates)."""
+    import math
+
+    pts = [(x, y) for x, y in pairs if x is not None and y is not None]
+    n = len(pts)
+    keys = ("corr", "slope", "intercept", "covar_samp", "covar_pop",
+            "stddev_samp_x")
+    # stddev_samp(x) is a one-column aggregate: it skips only x's own
+    # NULLs, not pairwise like the two-column moments
+    xs_own = [x for x, _ in pairs if x is not None]
+    stddev_own = None
+    if len(xs_own) > 1:
+        mo = math.fsum(xs_own) / len(xs_own)
+        m2o = math.fsum((x - mo) ** 2 for x in xs_own)
+        stddev_own = math.sqrt(m2o / (len(xs_own) - 1)) if m2o >= 0 else float("nan")
+    if n == 0:
+        out = dict.fromkeys(keys)
+        out["stddev_samp_x"] = stddev_own
+        return out
+    def fsum(vals):
+        # math.fsum raises on -inf + inf; IEEE doubles (what both
+        # engines accumulate in) say NaN
+        try:
+            return math.fsum(vals)
+        except ValueError:
+            return float("nan")
+
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    mx = fsum(xs) / n
+    my = fsum(ys) / n
+    m2x = fsum((x - mx) ** 2 for x in xs)
+    m2y = fsum((y - my) ** 2 for y in ys)
+    mxy = fsum((x - mx) * (y - my) for x, y in pts)
+
+    def fdiv(num, den):
+        if den == 0:
+            return float("nan")
+        return num / den
+
+    def gate(v):
+        return v if math.isfinite(v) else None
+
+    corr = gate(fdiv(mxy, math.sqrt(m2x * m2y) if m2x * m2y >= 0 else
+                     float("nan")))
+    slope = fdiv(mxy, m2x)
+    return {
+        "corr": corr,
+        "slope": gate(slope),
+        "intercept": gate(my - slope * mx),
+        "covar_samp": None if n <= 1 else mxy / (n - 1),
+        "covar_pop": mxy / n,
+        "stddev_samp_x": stddev_own,
+    }
+
+
+def _stat_close(got, want):
+    import math
+
+    if got is None or want is None:
+        return got is None and want is None
+    if math.isnan(got) or math.isnan(want):
+        return math.isnan(got) and math.isnan(want)
+    return math.isclose(got, want, rel_tol=1e-7, abs_tol=1e-9)
+
+
+def test_stat_agg_edges_random_differential(spark):
+    """Randomized sweep for the x64 closure (_rewrite_stat_agg_edges):
+    constant-x, constant-y, single-row, NaN/±Inf-bearing and normal
+    groups through translated corr/regr_slope/regr_intercept (plus the
+    untouched covar/stddev family), against the Python reference of
+    Trino's isFinite-else-NULL output gates.  Without the rewrite the
+    constant groups RAISE under ANSI mode and the NaN groups return NaN
+    where Trino returns NULL."""
+    rng = random.Random(913)
+    specials = [float("nan"), float("inf"), float("-inf")]
+    rows, groups = [], {}
+    g = 0
+    for kind in ("const_x", "const_y", "single", "nan_x", "inf_y",
+                 "normal", "normal", "mixed_null"):
+        for _ in range(8):
+            g += 1
+            size = 1 if kind == "single" else rng.randint(2, 6)
+            cx = rng.uniform(-50, 50)
+            pairs = []
+            for j in range(size):
+                x = cx if kind == "const_x" else rng.uniform(-100, 100)
+                y = cx if kind == "const_y" else rng.uniform(-100, 100)
+                if kind == "nan_x" and j == 0:
+                    x = float("nan")
+                if kind == "inf_y" and j == 0:
+                    y = rng.choice(specials[1:])
+                if kind == "mixed_null" and rng.random() < 0.4:
+                    if rng.random() < 0.5:
+                        x = None
+                    else:
+                        y = None
+                pairs.append((x, y))
+            groups[g] = pairs
+            rows.extend((g, x, y) for x, y in pairs)
+    df = spark.createDataFrame(rows, "g int, x double, y double")
+    df.createOrReplaceTempView("statdiff_t")
+    got = {
+        r["g"]: r
+        for r in spark.sql(
+            translate(
+                "SELECT g, corr(x, y) AS corr,"
+                " regr_slope(y, x) AS slope,"
+                " regr_intercept(y, x) AS intercept,"
+                " covar_samp(x, y) AS covar_samp,"
+                " covar_pop(x, y) AS covar_pop,"
+                " stddev_samp(x) AS stddev_samp_x"
+                " FROM statdiff_t GROUP BY g"
+            )
+        ).collect()
+    }
+    bad = []
+    for gid, pairs in groups.items():
+        want = _trino_stat_ref(pairs)
+        if gid not in got:
+            # all-null group keys still aggregate; must be present
+            bad.append((gid, "missing row", None, None))
+            continue
+        for k, w in want.items():
+            if not _stat_close(got[gid][k], w):
+                bad.append((gid, k, got[gid][k], w))
+    assert not bad, f"{len(bad)} mismatches, first 10: {bad[:10]}"
+
+
+def _trino_arr_cmp_ref(a, b, op):
+    """Independent Python reference for Trino's array comparisons:
+    three-valued equality (ArrayEqualOperator), lexicographic ordering
+    with checkElementNotNull at visited positions ('THROW') and a
+    length tiebreak (ArrayOperators)."""
+    if a is None or b is None:
+        return None
+    if op in ("=", "<>"):
+        if len(a) != len(b):
+            eq = False
+        else:
+            unknown, eq = False, True
+            for x, y in zip(a, b):
+                if x is None or y is None:
+                    unknown = True
+                elif x != y:
+                    eq = False
+                    break
+            else:
+                if unknown:
+                    eq = None
+        if op == "=":
+            return eq
+        return None if eq is None else (not eq)
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            return "THROW"
+        if x != y:
+            return {"<": x < y, "<=": x < y, ">": x > y, ">=": x > y}[op]
+    la, lb = len(a), len(b)
+    return {"<": la < lb, "<=": la <= lb, ">": la > lb, ">=": la >= lb}[op]
+
+
+def _arr_sql(a):
+    if a is None:
+        return "CAST(NULL AS ARRAY(INTEGER))"
+    if not a:
+        return "CAST(ARRAY[] AS ARRAY(INTEGER))"
+    return "ARRAY[" + ", ".join("NULL" if v is None else str(v) for v in a) + "]"
+
+
+def test_array_comparison_random_differential(spark):
+    """Randomized sweep for the x65 closure
+    (_rewrite_array_comparisons): random int arrays with nulls at
+    arbitrary positions, lengths 0-4, both whole-array NULLs, through
+    all six comparison operators — value cases batched in one job
+    against the Python reference of Trino's contract; a sample of the
+    expected-THROW cases asserted to raise Trino's message."""
+    rng = random.Random(914)
+
+    def rand_arr():
+        r = rng.random()
+        if r < 0.06:
+            return None
+        n = rng.randint(0, 4)
+        return [None if rng.random() < 0.25 else rng.randint(0, 3)
+                for _ in range(n)]
+
+    ops = ["=", "<>", "<", "<=", ">", ">="]
+    cases = []
+    for i in range(240):
+        a, b = rand_arr(), rand_arr()
+        if rng.random() < 0.3 and a is not None:
+            b = list(a)  # equal / shared-prefix pressure
+            if b and rng.random() < 0.5:
+                b[rng.randrange(len(b))] = rng.randint(0, 3)
+        cases.append((i, a, b, ops[i % len(ops)]))
+    value_cases = []
+    throw_cases = []
+    for i, a, b, op in cases:
+        want = _trino_arr_cmp_ref(a, b, op)
+        (throw_cases if want == "THROW" else value_cases).append(
+            (i, a, b, op, want)
+        )
+    assert len(throw_cases) >= 10  # the seed must exercise the raise path
+
+    got = {}
+    # chunked: every comparison expands ~15× in the rewrite, and the
+    # CAST-pass family rescans per hit — 60-arm batches keep each
+    # translate comfortably inside its deadline
+    for lo in range(0, len(value_cases), 60):
+        sql = " UNION ALL ".join(
+            f"SELECT {i} AS i, {_arr_sql(a)} {op} {_arr_sql(b)} AS v"
+            for i, a, b, op, _ in value_cases[lo : lo + 60]
+        )
+        got.update(
+            {r["i"]: r["v"] for r in spark.sql(translate(sql)).collect()}
+        )
+    bad = [
+        (i, op, a, b, got[i], want)
+        for i, a, b, op, want in value_cases
+        if got[i] != want
+    ]
+    assert not bad, f"{len(bad)} mismatches, first 10: {bad[:10]}"
+
+    for i, a, b, op, _ in rng.sample(throw_cases, 4):
+        with pytest.raises(Exception, match="ARRAY comparison not supported"):
+            spark.sql(
+                translate(f"SELECT {_arr_sql(a)} {op} {_arr_sql(b)} AS v")
+            ).collect()

@@ -328,6 +328,12 @@ def execute_query(
             from mcp_trino_spark.sources.timetravel import rewrite_table_changes
 
             q = rewrite_table_changes(spark, q, created_views=mr_views)
+        if re.search(r"\bdecontaminate\s*\(", q, re.IGNORECASE):
+            # decontamination TVF (engine extension — the l16 exact /
+            # l39 Bloom plans behind a SQL spelling, VERDICT r12 #6)
+            from mcp_trino_spark.operators.llm_dedup import rewrite_decontaminate
+
+            q = rewrite_decontaminate(spark, q, created_views=mr_views)
         from mcp_trino_spark.trino_compat import (
             approx_most_frequent_mode,
             expand_approx_most_frequent_sketch,

@@ -17,6 +17,8 @@ Beyond the reference surface (mandated extension, repo BASELINE.json
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 from mcp_trino_spark.operators._util import T, spread
@@ -432,8 +434,14 @@ def l16_decontamination(spark, sf_dir):
     aggregate on doc_id.
     """
     (docs,) = T(spark, sf_dir, "documents")
-    docs = spread(docs)
-    bench = docs.sparkSession.createDataFrame(
+    return exact_decontamination_plan(spread(docs))
+
+
+def exact_decontamination_plan(docs: DataFrame) -> DataFrame:
+    """Frame-parameterized l16 plan (docs: doc_id, text) — shared by
+    the registry entry and the decontaminate() SQL front door."""
+    spark = docs.sparkSession
+    bench = spark.createDataFrame(
         [(p,) for p in BENCHMARK_PHRASES], "phrase STRING"
     )
     n_b = F.greatest(F.length("phrase") - (DECON_GRAM - 1), F.lit(1))
@@ -1472,3 +1480,58 @@ def l39_bloom_decontamination(spark, sf_dir):
     """
     (docs,) = T(spark, sf_dir, "documents")
     return bloom_decontamination_plan(spread(docs))
+
+
+_DECONTAMINATE_SQL = re.compile(
+    r"(?is)(TABLE\s*\(\s*)?\bdecontaminate\s*\(\s*"
+    r"'(?P<table>[A-Za-z_][\w.]*)'\s*"
+    r"(?:,\s*'(?P<mode>exact|bloom)'\s*)?\)"
+)
+
+
+def rewrite_decontaminate(spark, q: str, created_views=None) -> str:
+    """SQL front door for the decontamination plans (VERDICT r12 #6 —
+    l16/l39 were Python-plan-only, so a trino-dialect user had no
+    spelling that reached them): ``decontaminate('corpus_table')``
+    or ``TABLE(decontaminate('t', 'bloom'))`` in a FROM clause
+    materializes the l16 exact plan (default) or the l39
+    Bloom-prefiltered plan over the named table and splices a temp
+    view yielding (doc_id, n_hit_grams).  The table must expose
+    doc_id and text columns; the mode argument is a literal, mirroring
+    table_changes' literal-version contract (timetravel.py).  Both
+    plans keep their certified shapes — broadcast semi-join, zero
+    corpus shuffle before the per-doc count (the l39 path additionally
+    plan-guarded no-SortMergeJoin in tests/test_llm_frontdoor.py)."""
+    import uuid
+
+    from mcp_trino_spark.trino_compat import _code_mask
+
+    mask = _code_mask(q)
+    out, last = [], 0
+    for m in _DECONTAMINATE_SQL.finditer(q):
+        head = m.start(1) if m.group(1) else m.start()
+        if not mask[head]:
+            continue
+        end = m.end()
+        if m.group(1):  # consume the TABLE( wrapper's closing paren
+            closing = re.match(r"\s*\)", q[end:])
+            if closing is None:
+                raise ValueError("malformed TABLE(decontaminate(...)) call")
+            end += closing.end()
+        table = m.group("table")
+        mode = (m.group("mode") or "exact").lower()
+        docs = spark.table(table).select("doc_id", "text")
+        plan = (
+            bloom_decontamination_plan(docs)
+            if mode == "bloom"
+            else exact_decontamination_plan(docs)
+        )
+        view = f"__decon_{mode}_{uuid.uuid4().hex[:8]}"
+        plan.createOrReplaceTempView(view)
+        if created_views is not None:
+            created_views.append(view)
+        out.append(q[last : m.start()])
+        out.append(view)
+        last = end
+    out.append(q[last:])
+    return "".join(out)

@@ -318,6 +318,7 @@ _WINDOW_HEAD = [
     "x63_try_cast_nonfinite",
     "x64_stat_agg_edge_contracts",
     "x65_array_comparison_semantics",
+    "l16_decontamination",
     "x23_vector_math",
     "x24_setdigest",
     "x35_exclude_minmax",
@@ -359,7 +360,6 @@ _WINDOW_HEAD = [
     "a13_approx_distinct",
     "a15_grand_agg",
     "l2b_simhash",
-    "l16_decontamination",
     "l21_dup_clusters",
 ]
 _WINDOW_TAIL = [

@@ -2416,7 +2416,9 @@ def x49_json_path_semantics(spark, sf_dir):
            'timestamp(6)' AS t_date, 'array(bigint)' AS t_arr,
            'map(varchar, bigint)' AS t_map,
            'row(a bigint, b varchar)' AS t_row,
-           'decimal(12,2)' AS t_dec, 'unknown' AS t_null, 'double' AS t_dbl
+           'decimal(12,2)' AS t_dec, 'unknown' AS t_null, 'double' AS t_dbl,
+           'timestamp(0)' AS t_ts0, 'timestamp(3)' AS t_ts3,
+           'varchar(4)' AS t_vc
     FROM orders WHERE o_orderkey < 2000
     """,
 )
@@ -2430,8 +2432,11 @@ def x50_typeof_spellings(spark, sf_dir):
     constant JVM-side string chain; the oracle pins the expected Trino
     spellings as literals — scalar, complex (array/map/row with
     Trino's comma-space convention vs decimal's no-space), NULL
-    (``unknown``), and the timestamp(6) mapping for this engine's
-    µs-precision timestamps.
+    (``unknown``), the timestamp(6) mapping for this engine's
+    µs-precision timestamp COLUMNS, and the round-13 literal
+    constant-folds: per-literal timestamp precision (fractional-digit
+    count) and varchar(n) over the literal's code-point length with
+    doubled-quote escapes counted once.
 
     Reference parity: typeof evaluates in Trino, text forwarded
     verbatim (internal/trino/client.go:284-291).
@@ -2455,7 +2460,10 @@ def x50_typeof_spellings(spark, sf_dir):
                                AS ROW(a BIGINT, b VARCHAR))) AS t_row,
                    typeof(CAST(o_totalprice AS DECIMAL(12,2))) AS t_dec,
                    typeof(NULL) AS t_null,
-                   typeof(1.5E0) AS t_dbl
+                   typeof(1.5E0) AS t_dbl,
+                   typeof(TIMESTAMP '2020-01-15') AS t_ts0,
+                   typeof(TIMESTAMP '2020-01-15 10:30:00.123') AS t_ts3,
+                   typeof('ab''c') AS t_vc
             FROM orders WHERE o_orderkey < 2000
             """
         )

@@ -319,6 +319,7 @@ _WINDOW_HEAD = [
     "x64_stat_agg_edge_contracts",
     "x65_array_comparison_semantics",
     "l16_decontamination",
+    "x50_typeof_spellings",
     "x23_vector_math",
     "x24_setdigest",
     "x35_exclude_minmax",
@@ -331,7 +332,6 @@ _WINDOW_HEAD = [
     "x47_column_int_division",
     "x48_datetime_token_semantics",
     "x49_json_path_semantics",
-    "x50_typeof_spellings",
     "x51_array_minmax_nulls",
     "x52_double_round_semantics",
     "x54_array_subscript_guard",

@@ -5618,14 +5618,23 @@ def _rewrite_typeof_trino(q: str) -> str:
     renames per _TYPEOF_WORD_MAP, and Trino's comma-space convention
     (``map(varchar, integer)`` but ``decimal(10,2)``).
 
+    Literal operands CONSTANT-FOLD to Trino's per-literal inference
+    (round-13 closure of the x50 residue): ``typeof(TIMESTAMP
+    '2020-01-01')`` → ``'timestamp(0)'`` (precision = the literal's
+    fractional-digit count — Trino TimestampType parsing), and
+    ``typeof('abc')`` → ``'varchar(3)'`` (code-point length, Trino
+    VarcharType.createVarcharType over the literal) — both were
+    documented residues of the runtime chain, which can only see
+    Spark's unparameterized spellings.
+
     Documented residue (type-system gaps, not spelling bugs):
-    timestamps map to ``timestamp(6)`` — Spark timestamps are
-    µs-precision under this engine's pinned UTC session, while Trino
-    infers per-literal precision (``typeof(TIMESTAMP '2020-01-01')``
-    is ``timestamp(0)`` there) and distinguishes ``with time zone``;
-    varchar is unparameterized (Trino spells literal types
-    ``varchar(3)``); anonymous ROW constructors carry Spark's
-    ``col1``/``col2`` field names where Trino omits names.
+    NON-literal timestamps map to ``timestamp(6)`` — Spark timestamps
+    are µs-precision under this engine's pinned UTC session and the
+    catalog cannot carry a narrower precision; zoned timestamp
+    literals keep the runtime chain (Spark folds the zone into the
+    session); non-literal varchar is unparameterized; anonymous ROW
+    constructors carry Spark's ``col1``/``col2`` field names where
+    Trino omits names.
 
     Reference parity: typeof evaluates in Trino and the reference
     forwards text verbatim (internal/trino/client.go:284-291).
@@ -5636,6 +5645,19 @@ def _rewrite_typeof_trino(q: str) -> str:
             break
         m, b0, b1 = found
         e = q[b0:b1].strip()
+        ts = re.fullmatch(
+            r"(?is)TIMESTAMP\s*'\s*(\d{4}-\d{2}-\d{2}"
+            r"(?:[ T]\d{1,2}:\d{2}(?::\d{2}(?:\.(\d+))?)?)?)\s*'",
+            e,
+        )
+        if ts is not None:
+            p = len(ts.group(2) or "")
+            q = q[: m.start()] + f"'timestamp({p})'" + q[b1 + 1 :]
+            continue
+        if re.fullmatch(r"'(?:[^']|'')*'", e):
+            n = len(e[1:-1].replace("''", "'"))
+            q = q[: m.start()] + f"'varchar({n})'" + q[b1 + 1 :]
+            continue
         s = f"replace(__t_typeof({e}), 'struct', 'row')"
         s = f"translate({s}, '<>:', '() ')"
         for pat, rep in _TYPEOF_WORD_MAP:

@@ -3764,10 +3764,15 @@ def test_typeof_trino_spellings(spark):
         " typeof(CAST(ROW(1, 'x') AS ROW(a INTEGER, b VARCHAR))) AS e,"
         " typeof(NULL) AS f, typeof(CAST(1 AS DECIMAL(10,2))) AS g,"
         " typeof(INTERVAL '3' MONTH) AS h, typeof(1.5E0) AS i,"
-        " typeof(DATE '2020-01-01') AS j",
+        " typeof(DATE '2020-01-01') AS j,"
+        " typeof(TIMESTAMP '2020-01-01') AS k,"
+        " typeof(TIMESTAMP '2020-01-01 10:30:00.123456') AS l,"
+        " typeof('don''t') AS m",
     )
     r = rows[0]
-    assert r["a"] == "integer" and r["b"] == "varchar"
+    # string literals constant-fold to Trino's per-literal varchar(n)
+    # (round 13); non-literal varchar stays unparameterized
+    assert r["a"] == "integer" and r["b"] == "varchar(1)"
     assert r["c"] == "array(integer)"
     assert r["d"] == "map(varchar, integer)"          # ', ' in complex types
     assert r["e"] == "row(a integer, b varchar)"
@@ -3775,6 +3780,9 @@ def test_typeof_trino_spellings(spark):
     assert r["g"] == "decimal(10,2)"                  # no space in decimal
     assert r["h"] == "interval year to month"
     assert r["i"] == "double" and r["j"] == "date"
+    assert r["k"] == "timestamp(0)"   # per-literal precision (round 13)
+    assert r["l"] == "timestamp(6)"
+    assert r["m"] == "varchar(5)"     # doubled-quote escape counts once
 
 
 def test_array_subscript_negative_guard(spark):

@@ -112,6 +112,11 @@ HEADLINERS = [
     # scale path) and the Gopher repetition quality filters
     "l39_bloom_decontamination",
     "l40_repetition_filters",
+    # r13: the zero-shuffle PII projection (landed after the r12 bench
+    # ran — VERDICT r12 #3) and the statistical-aggregate edge closure
+    # (corr respelled from pairwise-nulled components)
+    "l41_pii_scan",
+    "x64_stat_agg_edge_contracts",
 ]
 
 

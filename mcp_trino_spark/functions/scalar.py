@@ -3244,3 +3244,53 @@ def x65_array_comparison_semantics(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x66_row_comparison_semantics",
+    oracle="""
+    SELECT i, expected AS v FROM (VALUES
+        (1, NULL), (2, false), (3, true), (4, NULL),
+        (5, true), (6, true), (7, false), (8, true),
+        (9, NULL), (10, NULL), (11, true)
+    ) AS t(i, expected)
+    """,
+)
+def x66_row_comparison_semantics(spark, sf_dir):
+    """Differential certification of the round-13 ROW-comparison
+    closure (_rewrite_array_comparisons' row arm): Trino ROW equality
+    is THREE-VALUED (ROW(1,NULL) = ROW(1,NULL) → NULL; a decided
+    unequal field → false — RowEqualOperator) where Spark's struct
+    ``=`` treats null fields as equal values and says TRUE; ordering
+    scans fields in declared order with a null-field raise at visited
+    positions (rows 5/6 decide at field 1 before any NULL is visited).
+    Constructors destructure to their argument expressions; row 9/10
+    pin the named_struct and ROW-cast accessor paths.  The raise path
+    is pinned by pytest; the oracle pins expected booleans as literals
+    (DuckDB struct comparison returns NULL where Trino throws).
+
+    Reference parity: Trino RowEqualOperator /
+    RowComparisonOperators, text forwarded verbatim
+    (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.trino_compat import translate
+
+    return spark.sql(
+        translate(
+            """
+            SELECT 1 AS i, ROW(1, NULL) = ROW(1, NULL) AS v
+            UNION ALL SELECT 2, ROW(1, NULL) = ROW(2, NULL)
+            UNION ALL SELECT 3, ROW(1, 2) = ROW(1, 2)
+            UNION ALL SELECT 4, ROW(1, NULL) <> ROW(1, NULL)
+            UNION ALL SELECT 5, ROW(1, NULL) < ROW(2, NULL)
+            UNION ALL SELECT 6, ROW(2, 0) > ROW(1, 9)
+            UNION ALL SELECT 7, ROW(1, 2) < ROW(1, 2)
+            UNION ALL SELECT 8, ROW(1, 2) <= ROW(1, 2)
+            UNION ALL SELECT 9, named_struct('a', 1, 'b', CAST(NULL AS INTEGER))
+                                = named_struct('a', 1, 'b', CAST(NULL AS INTEGER))
+            UNION ALL SELECT 10, CAST(ROW(1, NULL) AS ROW(a INTEGER, b INTEGER))
+                                 = CAST(ROW(1, NULL) AS ROW(a INTEGER, b INTEGER))
+            UNION ALL SELECT 11, ROW(1, NULL) <> ROW(2, 5)
+            """
+        )
+    )

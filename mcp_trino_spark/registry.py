@@ -318,6 +318,7 @@ _WINDOW_HEAD = [
     "x63_try_cast_nonfinite",
     "x64_stat_agg_edge_contracts",
     "x65_array_comparison_semantics",
+    "x66_row_comparison_semantics",
     "l16_decontamination",
     "x50_typeof_spellings",
     "x23_vector_math",
@@ -360,7 +361,6 @@ _WINDOW_HEAD = [
     "a13_approx_distinct",
     "a15_grand_agg",
     "l2b_simhash",
-    "l21_dup_clusters",
 ]
 _WINDOW_TAIL = [
     "p11_null_safe_compare",

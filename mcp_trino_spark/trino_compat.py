@@ -7570,6 +7570,163 @@ def _split_concat_chain(e: str) -> List[str]:
     return [p for p in (s.strip() for s in parts) if p]
 
 
+_ROW_CMP_MSG = (
+    "ROW comparison not supported for fields with null elements"
+)
+
+_CLAUSE_KEYWORD = re.compile(
+    r"(?i)\b(ON|WHERE|HAVING|SELECT|WHEN|THEN|ELSE|QUALIFY|BY|SET|USING)\b"
+)
+
+
+def _clause_keyword_positions(q: str, mask: List[bool]) -> List[tuple]:
+    """Sorted (position, keyword) pairs of clause-introducing keywords
+    — computed once per pass; per-candidate lookup bisects."""
+    return [
+        (m.start(), m.group(1).upper())
+        for m in _CLAUSE_KEYWORD.finditer(q)
+        if mask[m.start()]
+    ]
+
+
+def _nearest_clause_is_on(clauses: List[tuple], pos: int) -> bool:
+    """True when the closest clause-introducing keyword before ``pos``
+    is ``ON`` — i.e. the comparison is a JOIN condition.  Rewriting an
+    equi-condition into a CASE would demote the hash join to a nested
+    loop (a scale-killer), so join keys keep Spark's null-element
+    equality as documented residue; AND/OR/NOT don't reset the clause."""
+    from bisect import bisect_left
+
+    i = bisect_left(clauses, (pos, "")) - 1
+    return i >= 0 and clauses[i][1] == "ON"
+
+
+def _struct_fields_from_type(t: str) -> Optional[List[str]]:
+    """Field names of a Spark catalog type string
+    ``struct<a:int,b:struct<c:int>>`` (top-level split, <> aware)."""
+    if not t.startswith("struct<") or not t.endswith(">"):
+        return None
+    body = t[len("struct<") : -1]
+    names, depth, last = [], 0, 0
+    for i, c in enumerate(body):
+        if c == "<":
+            depth += 1
+        elif c == ">":
+            depth -= 1
+        elif c == "," and depth == 0:
+            names.append(body[last:i])
+            last = i + 1
+    names.append(body[last:])
+    out = []
+    for part in names:
+        name = part.split(":", 1)[0].strip()
+        if not name:
+            return None
+        out.append(name)
+    return out
+
+
+def _row_cast_fields(target: str) -> Optional[List[str]]:
+    """Field names of a Trino ``ROW(a INTEGER, b VARCHAR(3))`` cast
+    target spelling (top-level split, () aware)."""
+    m = re.fullmatch(r"(?is)ROW\s*\((.*)\)", target.strip())
+    if m is None:
+        return None
+    parts = _split_top_args(m.group(1))
+    out = []
+    for part in parts:
+        nm = re.match(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+\S", part)
+        if nm is None:
+            return None
+        out.append(nm.group(1))
+    return out
+
+
+def _operand_row_accessors(expr: str, types: dict) -> Optional[List[str]]:
+    """Per-field accessor expressions when ``expr`` is a lexically-
+    knowable ROW operand: constructors destructure to their argument
+    expressions; catalog struct columns and ROW-cast targets produce
+    ``(expr).`field``` accessors.  None when not knowable."""
+    e = expr.strip()
+    if not e:
+        return None
+    if e.startswith("(") and e.endswith(")"):
+        inner = e[1:-1].strip()
+        if _balanced(inner):
+            return _operand_row_accessors(inner, types)
+        return None
+    name = _whole_call_name_any(e)
+    if name in ("row", "struct"):
+        b0 = e.index("(") + 1
+        args = _split_top_args(e[b0:-1])
+        return [f"({a.strip()})" for a in args] or None
+    if name == "named_struct":
+        b0 = e.index("(") + 1
+        args = _split_top_args(e[b0:-1])
+        if len(args) % 2:
+            return None
+        return [f"({a.strip()})" for a in args[1::2]] or None
+    if name in ("cast", "try_cast"):
+        target = _cast_target_of(e)
+        if target != "row":
+            return None
+        m = re.fullmatch(r"(?is)(?:CAST|TRY_CAST)\s*\((.*)\)", e)
+        body = m.group(1)
+        as_at = _split_cast_body(body)
+        if as_at is None:
+            return None
+        fields = _row_cast_fields(body[as_at.end() :])
+        if fields is None:
+            return None
+        return [f"({e}).`{f}`" for f in fields]
+    if _IDENT_CHAIN.fullmatch(e):
+        t = types.get(e.rsplit(".", 1)[-1].lower(), "")
+        fields = _struct_fields_from_type(t)
+        if fields is None:
+            return None
+        return [f"({e}).`{f}`" for f in fields]
+    return None
+
+
+def _row_eq_expr(a: str, b: str, la: List[str], lb: List[str]) -> str:
+    """Trino three-valued ROW equality (RowEqualOperator): any
+    decided-unequal field → false; else any null field on either side
+    → NULL; else true."""
+    decided = " OR ".join(
+        f"({x} IS NOT NULL AND {y} IS NOT NULL AND {x} <> {y})"
+        for x, y in zip(la, lb)
+    )
+    undecided = " OR ".join(
+        f"{x} IS NULL OR {y} IS NULL" for x, y in zip(la, lb)
+    )
+    return (
+        f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN CAST(NULL AS BOOLEAN)"
+        f" WHEN {decided} THEN false"
+        f" WHEN {undecided} THEN CAST(NULL AS BOOLEAN)"
+        f" ELSE true END)"
+    )
+
+
+def _row_ord_expr(a: str, b: str, la: List[str], lb: List[str], op: str) -> str:
+    """Trino lexicographic ROW comparison (RowComparisonOperators):
+    fields in declared order, checkFieldNotNull at each visited field
+    (null → raise), first differing field decides, all-equal falls to
+    the operator's reflexivity."""
+    strict = {"<": "<", "<=": "<", ">": ">", ">=": ">"}[op]
+    arms = []
+    for x, y in zip(la, lb):
+        arms.append(
+            f" WHEN {x} IS NULL OR {y} IS NULL"
+            f" THEN CAST(raise_error('{_ROW_CMP_MSG}') AS BOOLEAN)"
+            f" WHEN {x} <> {y} THEN {x} {strict} {y}"
+        )
+    tail = "true" if op in ("<=", ">=") else "false"
+    return (
+        f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN CAST(NULL AS BOOLEAN)"
+        f"{''.join(arms)} ELSE {tail} END)"
+    )
+
+
 def _right_operand_end(q: str, mask: List[bool], pos: int) -> Optional[int]:
     """End index (exclusive) of the expression starting at/after
     ``pos``: one primary (ident chain + optional call parens, paren
@@ -7694,22 +7851,30 @@ def _rewrite_array_comparisons(q: str, column_types: dict) -> str:
       prefix — where Spark orders nulls as smallest and returns a
       value.
 
-    Rewritten for comparisons where either operand is lexically
-    knowable as an array (array-returning whole calls — the post-
-    ARRAY[]-pass ``array(...)`` spelling included — catalog array
-    columns, ``||`` concat chains; both operands of a comparison share
-    one type, so one knowable side suffices).  ``<>``/``!=`` is the
-    three-valued NOT of equality.  ``<=>`` (Spark's null-safe spelling,
-    not Trino syntax) is skipped; unknowable operands (function results
-    outside the whitelist, subscript results) keep Spark semantics —
-    the x47 residue contract.  Residue: elements that are THEMSELVES
-    arrays/rows compare by Spark's nested rules inside the pairwise
-    lambda.  Certified by x65; the randomized sweep in
-    tests/test_differential_semantics.py crosses lengths, null
-    positions, and all six operators against a Python reference.
+    ROW comparisons diverge the same two ways (RowEqualOperator /
+    RowComparisonOperators — "ROW comparison not supported for fields
+    with null elements") and are rewritten when BOTH operands
+    destructure lexically with equal arity: ROW()/struct()
+    constructors destructure to their argument expressions,
+    named_struct() to its value arguments, catalog struct columns and
+    ROW-cast targets to ``(expr).`field``` accessors.
 
-    Reference parity: Trino ArrayEqualOperator / ArrayOperators
-    (lessThan/greaterThan...), text forwarded verbatim
+    Arrays rewrite when either operand is lexically knowable (array-
+    returning whole calls — the post-ARRAY[]-pass ``array(...)``
+    spelling included — catalog array columns, ``||`` concat chains;
+    both operands of a comparison share one type, so one knowable side
+    suffices).  ``<>``/``!=`` is the three-valued NOT of equality.
+    ``<=>`` (Spark's null-safe spelling, not Trino syntax) is skipped;
+    unknowable operands (function results outside the whitelist,
+    subscript results) keep Spark semantics — the x47 residue
+    contract.  Residue: elements/fields that are THEMSELVES
+    arrays/rows compare by Spark's nested rules inside the generated
+    comparisons.  Certified by x65/x66; the randomized sweeps in
+    tests/test_differential_semantics.py cross lengths, null
+    positions, and all six operators against Python references.
+
+    Reference parity: Trino ArrayEqualOperator / ArrayOperators /
+    RowEqualOperator / RowComparisonOperators, text forwarded verbatim
     (internal/trino/client.go:284-291).
     """
     # UPDATE/MERGE SET-lists spell assignments with `=` — skip those
@@ -7726,6 +7891,7 @@ def _rewrite_array_comparisons(q: str, column_types: dict) -> str:
     # O(hits × len))
     mask = _code_mask(q)
     n = len(q)
+    clauses = _clause_keyword_positions(q, mask)
     hits = []
     i = 0
     while i < n:
@@ -7777,21 +7943,42 @@ def _rewrite_array_comparisons(q: str, column_types: dict) -> str:
             # (documented residue, same class as x47 unknowables)
             i += len(op)
             continue
-        if not (
-            _operand_is_array(left, types)
-            or _operand_is_array(right, types)
-        ):
+        if _nearest_clause_is_on(clauses, lstart):
             i += len(op)
             continue
+        is_array = _operand_is_array(left, types) or _operand_is_array(
+            right, types
+        )
+        row_la = row_lb = None
+        if not is_array:
+            # ROW comparison: BOTH sides must destructure (field
+            # accessors come from each side's own spelling) with equal
+            # arity — else leave Spark semantics (documented residue)
+            row_la = _operand_row_accessors(left, types)
+            row_lb = _operand_row_accessors(right, types)
+            if (
+                row_la is None
+                or row_lb is None
+                or len(row_la) != len(row_lb)
+            ):
+                i += len(op)
+                continue
         if _has_nondeterministic_call(left) or _has_nondeterministic_call(
             right
         ):
             i += len(op)
             continue
-        hits.append((lstart, rend, left, right, op))
+        hits.append((lstart, rend, left, right, op, row_la, row_lb))
         i = rend  # comparisons never nest without booleans between
-    for lstart, rend, left, right, op in reversed(hits):
-        if op == "=":
+    for lstart, rend, left, right, op, row_la, row_lb in reversed(hits):
+        if row_la is not None:
+            if op == "=":
+                repl = _row_eq_expr(left, right, row_la, row_lb)
+            elif op in ("<>", "!="):
+                repl = f"(NOT {_row_eq_expr(left, right, row_la, row_lb)})"
+            else:
+                repl = _row_ord_expr(left, right, row_la, row_lb, op)
+        elif op == "=":
             repl = _array_eq_expr(left, right)
         elif op in ("<>", "!="):
             repl = f"(NOT {_array_eq_expr(left, right)})"

@@ -1424,3 +1424,96 @@ def test_array_comparison_random_differential(spark):
             spark.sql(
                 translate(f"SELECT {_arr_sql(a)} {op} {_arr_sql(b)} AS v")
             ).collect()
+
+
+def _trino_row_cmp_ref(a, b, op):
+    """Python reference for Trino's ROW comparisons: three-valued
+    equality (RowEqualOperator), field-ordered comparison with
+    checkFieldNotNull ('THROW') and operator reflexivity on all-equal
+    (RowComparisonOperators)."""
+    if op in ("=", "<>"):
+        unknown, eq = False, True
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                unknown = True
+            elif x != y:
+                eq = False
+                break
+        else:
+            if unknown:
+                eq = None
+        if op == "=":
+            return eq
+        return None if eq is None else (not eq)
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            return "THROW"
+        if x != y:
+            return {"<": x < y, "<=": x < y, ">": x > y, ">=": x > y}[op]
+    return op in ("<=", ">=")
+
+
+def _row_sql(t):
+    return "ROW(" + ", ".join(
+        "NULL" if v is None else str(v) for v in t
+    ) + ")"
+
+
+def test_row_comparison_random_differential(spark):
+    """Randomized sweep for the x66 closure: random 1-4 field integer
+    rows with nulls through all six operators — value cases batched
+    against the Python reference; a sample of the expected-THROW cases
+    asserted to raise Trino's message.  Alternating spellings exercise
+    the constructor-destructure and named_struct accessor paths."""
+    rng = random.Random(915)
+    ops = ["=", "<>", "<", "<=", ">", ">="]
+    cases = []
+    for i in range(180):
+        nf = rng.randint(1, 4)
+        a = tuple(None if rng.random() < 0.25 else rng.randint(0, 3)
+                  for _ in range(nf))
+        b = list(a) if rng.random() < 0.4 else [
+            None if rng.random() < 0.25 else rng.randint(0, 3)
+            for _ in range(nf)
+        ]
+        if list(a) == list(b) and rng.random() < 0.5 and nf:
+            b[rng.randrange(nf)] = rng.randint(0, 3)
+        cases.append((i, a, tuple(b), ops[i % len(ops)]))
+    value_cases, throw_cases = [], []
+    for i, a, b, op in cases:
+        want = _trino_row_cmp_ref(a, b, op)
+        (throw_cases if want == "THROW" else value_cases).append(
+            (i, a, b, op, want)
+        )
+    assert len(throw_cases) >= 10
+
+    def spell(t, named):
+        if not named:
+            return _row_sql(t)
+        return "named_struct(" + ", ".join(
+            f"'f{j}', " + ("CAST(NULL AS INTEGER)" if v is None else str(v))
+            for j, v in enumerate(t)
+        ) + ")"
+
+    got = {}
+    for lo in range(0, len(value_cases), 60):
+        sql = " UNION ALL ".join(
+            f"SELECT {i} AS i, {spell(a, i % 2 == 1)} {op}"
+            f" {spell(b, i % 2 == 1)} AS v"
+            for i, a, b, op, _ in value_cases[lo : lo + 60]
+        )
+        got.update(
+            {r["i"]: r["v"] for r in spark.sql(translate(sql)).collect()}
+        )
+    bad = [
+        (i, op, a, b, got[i], want)
+        for i, a, b, op, want in value_cases
+        if got[i] != want
+    ]
+    assert not bad, f"{len(bad)} mismatches, first 10: {bad[:10]}"
+
+    for i, a, b, op, _ in rng.sample(throw_cases, 4):
+        with pytest.raises(Exception, match="ROW comparison not supported"):
+            spark.sql(
+                translate(f"SELECT {_row_sql(a)} {op} {_row_sql(b)} AS v")
+            ).collect()

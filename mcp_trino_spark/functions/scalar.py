@@ -3294,3 +3294,56 @@ def x66_row_comparison_semantics(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x67_map_equality_semantics",
+    oracle="""
+    SELECT i, expected AS v FROM (VALUES
+        (1, true), (2, true), (3, false), (4, false), (5, false),
+        (6, NULL), (7, false), (8, true), (9, NULL), (10, NULL)
+    ) AS t(i, expected)
+    """,
+)
+def x67_map_equality_semantics(spark, sf_dir):
+    """Differential certification of the round-13 map-equality closure
+    (_rewrite_array_comparisons' map arm): Spark has NO map equality at
+    all (INVALID_ORDERING_TYPE — a valid Trino query was a hard error),
+    while Trino's MapEqualOperator is key-set-based and three-valued:
+    order-insensitive (row 2), size/key mismatches decide false, a
+    decided-unequal value pair beats a NULL value elsewhere (row 7),
+    and NULL values alone leave the result NULL (rows 6/9).  The
+    oracle pins expected booleans as literals (DuckDB map equality is
+    POSITIONAL over its ordered entry list — a different contract).
+
+    Reference parity: Trino MapEqualOperator (MapGenericEquality),
+    text forwarded verbatim (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.trino_compat import translate
+
+    return spark.sql(
+        translate(
+            """
+            SELECT 1 AS i,
+                   MAP(ARRAY[1], ARRAY['a']) = MAP(ARRAY[1], ARRAY['a']) AS v
+            UNION ALL SELECT 2, MAP(ARRAY[1,2], ARRAY['a','b'])
+                                = MAP(ARRAY[2,1], ARRAY['b','a'])
+            UNION ALL SELECT 3, MAP(ARRAY[1], ARRAY['a'])
+                                = MAP(ARRAY[1], ARRAY['b'])
+            UNION ALL SELECT 4, MAP(ARRAY[1], ARRAY['a'])
+                                = MAP(ARRAY[2], ARRAY['a'])
+            UNION ALL SELECT 5, MAP(ARRAY[1], ARRAY['a'])
+                                = MAP(ARRAY[1,2], ARRAY['a','b'])
+            UNION ALL SELECT 6, MAP(ARRAY[1], ARRAY[CAST(NULL AS VARCHAR)])
+                                = MAP(ARRAY[1], ARRAY[CAST(NULL AS VARCHAR)])
+            UNION ALL SELECT 7, MAP(ARRAY[1,2], ARRAY['a',NULL])
+                                = MAP(ARRAY[1,2], ARRAY['b',NULL])
+            UNION ALL SELECT 8, MAP(ARRAY[1], ARRAY['a'])
+                                <> MAP(ARRAY[1], ARRAY['b'])
+            UNION ALL SELECT 9, MAP(ARRAY[1], ARRAY[CAST(NULL AS VARCHAR)])
+                                <> MAP(ARRAY[1], ARRAY[CAST(NULL AS VARCHAR)])
+            UNION ALL SELECT 10, CAST(NULL AS MAP(INTEGER, VARCHAR))
+                                 = MAP(ARRAY[1], ARRAY['a'])
+            """
+        )
+    )

@@ -319,6 +319,7 @@ _WINDOW_HEAD = [
     "x64_stat_agg_edge_contracts",
     "x65_array_comparison_semantics",
     "x66_row_comparison_semantics",
+    "x67_map_equality_semantics",
     "l16_decontamination",
     "x50_typeof_spellings",
     "x23_vector_math",
@@ -360,7 +361,6 @@ _WINDOW_HEAD = [
     "a11_stats",
     "a13_approx_distinct",
     "a15_grand_agg",
-    "l2b_simhash",
 ]
 _WINDOW_TAIL = [
     "p11_null_safe_compare",

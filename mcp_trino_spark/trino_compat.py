@@ -7518,6 +7518,8 @@ def _operand_is_array(expr: str, types: dict) -> bool:
             return _operand_is_array(inner, types)
         return False
     name = _whole_call_name_any(e)
+    if name in ("cast", "try_cast"):
+        return _cast_target_of(e) == "array"
     if name is not None:
         return name in _ARRAY_RESULT_FNS
     if _IDENT_CHAIN.fullmatch(e):
@@ -7573,6 +7575,60 @@ def _split_concat_chain(e: str) -> List[str]:
 _ROW_CMP_MSG = (
     "ROW comparison not supported for fields with null elements"
 )
+
+#: calls that ALWAYS return a map — the knowability list for the
+#: map-equality arm
+_MAP_RESULT_FNS = frozenset(
+    "map map_from_arrays map_from_entries map_concat map_filter "
+    "transform_keys transform_values str_to_map map_zip_with".split()
+)
+
+
+def _operand_is_map(expr: str, types: dict) -> bool:
+    """Lexically-knowable map operand (map-returning whole calls —
+    Trino's MAP(ARRAY[...], ARRAY[...]) constructor spelling
+    included — catalog map columns, parenthesized groups)."""
+    e = expr.strip()
+    if not e:
+        return False
+    if e.startswith("(") and e.endswith(")"):
+        inner = e[1:-1].strip()
+        if _balanced(inner):
+            return _operand_is_map(inner, types)
+        return False
+    name = _whole_call_name_any(e)
+    if name in ("cast", "try_cast"):
+        return _cast_target_of(e) == "map"
+    if name is not None:
+        return name in _MAP_RESULT_FNS
+    if _IDENT_CHAIN.fullmatch(e):
+        return types.get(e.rsplit(".", 1)[-1].lower(), "").startswith("map")
+    return False
+
+
+def _map_eq_expr(a: str, b: str) -> str:
+    """Trino three-valued map equality (MapEqualOperator): size
+    mismatch or a key absent from the other side → false; a decided
+    unequal value pair → false; else any NULL value → NULL; else true.
+    Spark has NO native map equality at all (INVALID_ORDERING_TYPE —
+    a valid Trino query was a hard error), so this arm is reachability
+    plus semantics.  Key lookups via element_at are safe: Spark's map
+    element_at returns NULL on a missing key, and the key-coverage arm
+    runs first."""
+    zwv = (
+        f"transform(map_keys({a}), k ->"
+        f" IF(element_at({a}, k) IS NULL OR element_at({b}, k) IS NULL,"
+        f" CAST(NULL AS BOOLEAN), element_at({a}, k) = element_at({b}, k)))"
+    )
+    return (
+        f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN CAST(NULL AS BOOLEAN)"
+        f" WHEN size({a}) <> size({b}) THEN false"
+        f" WHEN exists(map_keys({a}), k -> NOT map_contains_key({b}, k))"
+        f" THEN false"
+        f" WHEN array_contains({zwv}, false) THEN false"
+        f" WHEN exists({zwv}, p -> p IS NULL) THEN CAST(NULL AS BOOLEAN)"
+        f" ELSE true END)"
+    )
 
 _CLAUSE_KEYWORD = re.compile(
     r"(?i)\b(ON|WHERE|HAVING|SELECT|WHEN|THEN|ELSE|QUALIFY|BY|SET|USING)\b"
@@ -7949,8 +8005,13 @@ def _rewrite_array_comparisons(q: str, column_types: dict) -> str:
         is_array = _operand_is_array(left, types) or _operand_is_array(
             right, types
         )
+        is_map = False
         row_la = row_lb = None
-        if not is_array:
+        if not is_array and op in ("=", "<>", "!="):
+            is_map = _operand_is_map(left, types) or _operand_is_map(
+                right, types
+            )
+        if not is_array and not is_map:
             # ROW comparison: BOTH sides must destructure (field
             # accessors come from each side's own spelling) with equal
             # arity — else leave Spark semantics (documented residue)
@@ -7968,10 +8029,18 @@ def _rewrite_array_comparisons(q: str, column_types: dict) -> str:
         ):
             i += len(op)
             continue
-        hits.append((lstart, rend, left, right, op, row_la, row_lb))
+        hits.append((lstart, rend, left, right, op, row_la, row_lb, is_map))
         i = rend  # comparisons never nest without booleans between
-    for lstart, rend, left, right, op, row_la, row_lb in reversed(hits):
-        if row_la is not None:
+    for lstart, rend, left, right, op, row_la, row_lb, is_map in reversed(
+        hits
+    ):
+        if is_map:
+            repl = (
+                _map_eq_expr(left, right)
+                if op == "="
+                else f"(NOT {_map_eq_expr(left, right)})"
+            )
+        elif row_la is not None:
             if op == "=":
                 repl = _row_eq_expr(left, right, row_la, row_lb)
             elif op in ("<>", "!="):

@@ -1517,3 +1517,81 @@ def test_row_comparison_random_differential(spark):
             spark.sql(
                 translate(f"SELECT {_row_sql(a)} {op} {_row_sql(b)} AS v")
             ).collect()
+
+
+def _trino_map_eq_ref(a, b):
+    """Python reference for Trino's MapEqualOperator: key-set based,
+    three-valued over values."""
+    if a is None or b is None:
+        return None
+    if len(a) != len(b) or set(a) != set(b):
+        return False
+    unknown = False
+    for k, v in a.items():
+        w = b[k]
+        if v is None or w is None:
+            unknown = True
+        elif v != w:
+            return False
+    return None if unknown else True
+
+
+def test_map_equality_random_differential(spark):
+    """Randomized sweep for the x67 closure: random int→int maps with
+    null values through =/<> (Spark natively ERRORS on any map
+    comparison, so every case exercises the rewrite), against the
+    Python reference of Trino's key-set three-valued contract."""
+    rng = random.Random(916)
+
+    def rand_map():
+        if rng.random() < 0.06:
+            return None
+        keys = rng.sample(range(5), rng.randint(0, 4))
+        return {k: (None if rng.random() < 0.3 else rng.randint(0, 2))
+                for k in keys}
+
+    def map_sql(m):
+        if m is None:
+            return "CAST(NULL AS MAP(INTEGER, INTEGER))"
+        if not m:
+            return "map_from_arrays(CAST(ARRAY[] AS ARRAY(INTEGER)),"\
+                   " CAST(ARRAY[] AS ARRAY(INTEGER)))"
+        ks = ", ".join(str(k) for k in m)
+        vs = ", ".join("CAST(NULL AS INTEGER)" if v is None else str(v)
+                       for v in m.values())
+        return f"MAP(ARRAY[{ks}], ARRAY[{vs}])"
+
+    cases = []
+    for i in range(180):
+        a = rand_map()
+        if rng.random() < 0.45 and a is not None:
+            b = dict(a)  # equal / near-equal pressure
+            if b and rng.random() < 0.6:
+                k = rng.choice(list(b))
+                if rng.random() < 0.5:
+                    b[k] = rng.randint(0, 2)
+                else:
+                    del b[k]
+            if rng.random() < 0.3:
+                b = dict(reversed(list(b.items())))  # order-insensitivity
+        else:
+            b = rand_map()
+        cases.append((i, a, b, "=" if i % 2 else "<>"))
+
+    got = {}
+    for lo in range(0, len(cases), 60):
+        sql = " UNION ALL ".join(
+            f"SELECT {i} AS i, {map_sql(a)} {op} {map_sql(b)} AS v"
+            for i, a, b, op in cases[lo : lo + 60]
+        )
+        got.update(
+            {r["i"]: r["v"] for r in spark.sql(translate(sql)).collect()}
+        )
+    bad = []
+    for i, a, b, op in cases:
+        want = _trino_map_eq_ref(a, b)
+        if op == "<>" and want is not None:
+            want = not want
+        if got[i] != want:
+            bad.append((i, op, a, b, got[i], want))
+    assert not bad, f"{len(bad)} mismatches, first 10: {bad[:10]}"

@@ -1400,7 +1400,14 @@ def l41_pii_scan(spark, sf_dir):
     possible full-corpus pass and composes with any downstream filter
     without a plan change."""
     (docs,) = T(spark, sf_dir, "documents")
-    docs = spread(docs)
+    return pii_scan_plan(spread(docs))
+
+
+def pii_scan_plan(docs: DataFrame) -> DataFrame:
+    """Frame-parameterized l41 plan (docs: doc_id, text) — shared by
+    the registry entry and the streaming twin (streaming/ops.py):
+    the projection is stateless whole-stage codegen, so the SAME plan
+    runs unchanged on a streaming frame in append mode."""
     # F.lit(pattern) needs no SQL-string escaping and is immune to the
     # session's escapedStringLiterals setting (the F.expr spelling was
     # an escaping hazard — review catch)

@@ -322,6 +322,7 @@ _WINDOW_HEAD = [
     "x67_map_equality_semantics",
     "l16_decontamination",
     "x50_typeof_spellings",
+    "l41_pii_scan",
     "x23_vector_math",
     "x24_setdigest",
     "x35_exclude_minmax",
@@ -360,7 +361,6 @@ _WINDOW_HEAD = [
     "a9_filtered_agg",
     "a11_stats",
     "a13_approx_distinct",
-    "a15_grand_agg",
 ]
 _WINDOW_TAIL = [
     "p11_null_safe_compare",

@@ -811,3 +811,20 @@ def repetition_filters_stream(docs_stream: DataFrame) -> DataFrame:
 
     s = docs_stream.select("doc_id", rep_stats(F.col("text")).alias("r"))
     return s.select("doc_id", "r.*")
+
+
+def pii_scan_stream(docs_stream: DataFrame) -> DataFrame:
+    """Streaming PII surface scan — l41's per-document counts and
+    quarantine flag at crawl-ingest time (score before the document
+    reaches the training pool).
+
+    Scale/streaming design: the batch plan is ALREADY a stateless
+    whole-stage-codegen projection (regexp_count per pattern, zero
+    shuffles), so the streaming twin IS the batch plan applied to the
+    streaming frame — append mode, no state store, no watermark, and
+    bit-exact stream == batch by construction (integer counts).  This
+    is the cheapest possible streaming screen: no Python, no Arrow
+    boundary, pure JVM codegen per micro-batch."""
+    from mcp_trino_spark.operators.llm_text import pii_scan_plan
+
+    return pii_scan_plan(docs_stream)

@@ -606,3 +606,25 @@ def test_repetition_filters_stream_matches_batch(spark):
     want_t = [tuple(r) for r in sorted(want, key=key)]
     assert len(got_t) == len(want_t) > 0
     assert got_t == want_t
+
+
+def test_pii_scan_stream_matches_batch(spark):
+    """Streaming PII scan == the batch plan on the same corpus — the
+    twin IS the batch projection applied to the streaming frame
+    (stateless codegen, append mode), so equality is bit-exact
+    integer counts."""
+    from mcp_trino_spark.operators.llm_text import pii_scan_plan
+    from mcp_trino_spark.sources.catalog import load_table
+
+    got = S.run_to_memory(
+        S.pii_scan_stream(S.documents_stream(spark, SF_DIR)),
+        "l41_mem",
+        output_mode="append",
+    )
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    want = pii_scan_plan(docs).collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    got_t = [tuple(r) for r in sorted(got.collect(), key=key)]
+    want_t = [tuple(r) for r in sorted(want, key=key)]
+    assert len(got_t) == len(want_t) > 0
+    assert got_t == want_t

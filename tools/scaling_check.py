@@ -748,6 +748,8 @@ def main() -> None:
     check_bloom_decontamination(spark)
     clear_caches(spark)
     check_repetition_filters(spark)
+    clear_caches(spark)
+    check_pii_scan(spark)
 
 
 
@@ -917,3 +919,27 @@ def check_repetition_filters(spark) -> None:
     t1 = min(timed_fresh(docs) for _ in range(2))
     t10 = min(timed_fresh(suffixed_replicas(docs, COPIES)) for _ in range(2))
     report("repetition_filters", n_rows_1x, t1, t10)
+
+
+def check_pii_scan(spark) -> None:
+    """l41's PII surface scan at 10×: a zero-shuffle codegen projection
+    — cost must track corpus volume linearly (exponent ~1.0 is the
+    CORRECT contract here: there is no sublinear way to regexp-scan
+    every byte; the design win is the absence of any shuffle/UDF)."""
+    from mcp_trino_spark.operators._util import spread
+    from mcp_trino_spark.operators.llm_text import pii_scan_plan
+
+    docs = spread(load_table(spark, SF_DIR, "documents")).select(
+        "doc_id", "text"
+    )
+
+    def timed_fresh(frame) -> float:
+        t = timed(pii_scan_plan(frame))
+        clear_caches(spark)
+        return t
+
+    n_rows_1x = docs.count()
+    timed_fresh(docs)  # warm
+    t1 = min(timed_fresh(docs) for _ in range(2))
+    t10 = min(timed_fresh(suffixed_replicas(docs, COPIES)) for _ in range(2))
+    report("pii_scan", n_rows_1x, t1, t10)

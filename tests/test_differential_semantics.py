@@ -1595,3 +1595,96 @@ def test_map_equality_random_differential(spark):
         if got[i] != want:
             bad.append((i, op, a, b, got[i], want))
     assert not bad, f"{len(bad)} mismatches, first 10: {bad[:10]}"
+
+
+def test_array_membership_random_differential(spark):
+    """Convergence sweep over the array membership/search family —
+    contains (Trino spelling → array_contains), arrays_overlap, and
+    array_position's not-found-0 / NULL-probe contracts.  Both
+    engines PUBLISH the same three-valued membership rule (found →
+    true; not found with null elements → NULL; else false — the SQL
+    IN semantics), so this sweep is expected to come back EMPTY
+    against the Python reference of that shared contract: it exists
+    to pin the agreement (a regression in either the translate
+    mapping or a Spark upgrade shows up here first).  Known
+    out-of-scope corner: array_position over arrays WITH null
+    elements and a missing probe (no public Trino pin available
+    in-sandbox; Spark returns 0)."""
+    rng = random.Random(917)
+
+    def rand_arr():
+        if rng.random() < 0.05:
+            return None
+        return [None if rng.random() < 0.25 else rng.randint(0, 3)
+                for _ in range(rng.randint(0, 5))]
+
+    def ref_contains(arr, x):
+        if arr is None or x is None:
+            return None
+        if x in [e for e in arr if e is not None]:
+            return True
+        return None if any(e is None for e in arr) else False
+
+    def ref_overlap(a, b):
+        if a is None or b is None:
+            return None
+        av = {e for e in a if e is not None}
+        bv = {e for e in b if e is not None}
+        if av & bv:
+            return True
+        has_null = any(e is None for e in a) or any(e is None for e in b)
+        # SQL quantified-IN shape: an empty side decides FALSE even
+        # with nulls on the other side (no pair can match)
+        if not a or not b:
+            return False
+        return None if has_null else False
+
+    def ref_position(arr, x):
+        # only null-free arrays and non-null probes enter this branch
+        if arr is None or x is None:
+            return None
+        return arr.index(x) + 1 if x in arr else 0
+
+    cases = []
+    for i in range(200):
+        a, b = rand_arr(), rand_arr()
+        x = None if rng.random() < 0.15 else rng.randint(0, 3)
+        cases.append((i, a, b, x))
+
+    def arr_sql(a):
+        if a is None:
+            return "CAST(NULL AS ARRAY(INTEGER))"
+        if not a:
+            return "CAST(ARRAY[] AS ARRAY(INTEGER))"
+        return "ARRAY[" + ", ".join(
+            "NULL" if v is None else str(v) for v in a
+        ) + "]"
+
+    def x_sql(x):
+        return "CAST(NULL AS INTEGER)" if x is None else str(x)
+
+    got = {}
+    for lo in range(0, len(cases), 100):
+        sql = " UNION ALL ".join(
+            f"SELECT {i} AS i,"
+            f" contains({arr_sql(a)}, {x_sql(x)}) AS c,"
+            f" arrays_overlap({arr_sql(a)}, {arr_sql(b)}) AS o,"
+            + (
+                f" array_position({arr_sql(a)}, {x_sql(x)}) AS p"
+                if a is not None and None not in a and x is not None
+                else " CAST(NULL AS BIGINT) AS p"
+            )
+            for i, a, b, x in cases[lo : lo + 100]
+        )
+        got.update({r["i"]: r for r in spark.sql(translate(sql)).collect()})
+    bad = []
+    for i, a, b, x in cases:
+        r = got[i]
+        if r["c"] != ref_contains(a, x):
+            bad.append(("contains", i, a, x, r["c"], ref_contains(a, x)))
+        if r["o"] != ref_overlap(a, b):
+            bad.append(("overlap", i, a, b, r["o"], ref_overlap(a, b)))
+        if a is not None and None not in a and x is not None:
+            if r["p"] != ref_position(a, x):
+                bad.append(("position", i, a, x, r["p"], ref_position(a, x)))
+    assert not bad, f"{len(bad)} mismatches, first 10: {bad[:10]}"

@@ -3373,24 +3373,34 @@ def _rewrite_cast_types(q: str) -> str:
     """Rewrite the type argument of every CAST/TRY_CAST from Trino's
     constructor spelling to Spark's angle-bracket spelling.  The
     expression part is untouched (nested CASTs inside it are separate
-    matches of the scan)."""
+    matches of the scan).
+
+    Collect-then-apply: the scan never mutates ``q``, so the memoized
+    code mask serves every _find_call and the pass is linear — the
+    per-hit-mutation form was the profiled quadratic hotspot on
+    comparison-heavy batches (round 13).  Type segments of nested
+    CASTs are disjoint (an inner CAST lives in the outer's EXPRESSION
+    part), so right-to-left application preserves offsets."""
     pos = 0
+    edits = []
     while True:
         found = _find_call(q, _CAST_HEAD, pos)
         if not found:
-            return q
+            break
         m, bstart, bend = found
         body = q[bstart:bend]
         # last top-level AS separates expression from type
         as_at = _split_cast_body(body)
+        pos = m.end()
         if as_at is None:
-            pos = m.end()
             continue
         type_text = body[as_at.end():]
         converted = _convert_type_syntax(type_text)
         if converted != type_text.strip():
-            q = q[:bstart] + body[: as_at.end()] + " " + converted + q[bend:]
-        pos = m.end()
+            edits.append((bstart + as_at.end(), bend, " " + converted))
+    for start, end, text in reversed(edits):
+        q = q[:start] + text + q[end:]
+    return q
 
 
 _FROM_UNIXTIME_HEAD = re.compile(r"\bfrom_unixtime\s*\(", re.IGNORECASE)

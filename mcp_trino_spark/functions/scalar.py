@@ -2672,7 +2672,7 @@ def x54_array_subscript_guard(spark, sf_dir):
         (1, '1.5E0'), (2, '1E2'), (3, '0E0'), (4, 'NaN'),
         (5, '1E-3'), (6, '1.23456E2'), (7, 'Infinity'),
         (8, '-2.5E0'), (9, '5E-324'), (10, '1.7976931348623157E308'),
-        (11, NULL), (12, '2.675E0')
+        (11, NULL), (12, '2.675E0'), (13, '-0E0'), (14, '0E0')
     ) AS t(i, expected)
     """,
 )
@@ -2684,7 +2684,10 @@ def x55_cast_double_varchar(spark, sf_dir):
     subnormal/MAX extremes — where Spark renders '1.5'/'100.0'
     (silent text divergence).  Knowable-double operands only (the
     x47 contract); the oracle pins the expected spellings as
-    literals over a VALUES relation.  NULL stays NULL (the JVM-side
+    literals over a VALUES relation; rows 13/14 pin the ±0 sign
+    through the runtime path (VALUES rows are per-row values, immune
+    to the literal-CAST conflation the translate-time constant fold
+    closes).  NULL stays NULL (the JVM-side
     isnan guard splits Arrow's NULL/NaN conflation).  Residue: REAL
     operands (no float32 shortest-repr Python-side), varchar(n)
     targets, and Spark's normalization of the -0.0E0 literal
@@ -2707,7 +2710,8 @@ def x55_cast_double_varchar(spark, sf_dir):
                 (7, CAST('Infinity' AS DOUBLE)),
                 (8, -2.5E0), (9, 5.0E-324),
                 (10, 1.7976931348623157E308),
-                (11, CAST(NULL AS DOUBLE)), (12, 2.675E0)
+                (11, CAST(NULL AS DOUBLE)), (12, 2.675E0),
+                (13, -0.0E0), (14, 0.0E0)
             ) AS t(i, x)
             """,
             column_types={"x": "double", "i": "int"},

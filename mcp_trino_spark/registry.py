@@ -323,6 +323,7 @@ _WINDOW_HEAD = [
     "l16_decontamination",
     "x50_typeof_spellings",
     "l41_pii_scan",
+    "x55_cast_double_varchar",
     "x23_vector_math",
     "x24_setdigest",
     "x35_exclude_minmax",
@@ -338,7 +339,6 @@ _WINDOW_HEAD = [
     "x51_array_minmax_nulls",
     "x52_double_round_semantics",
     "x54_array_subscript_guard",
-    "x55_cast_double_varchar",
     "x56_recursive_cte",
     "x57_listagg",
     "x58_decimal_division_scale",

@@ -901,6 +901,60 @@ def _xxh64_batch(values) -> list:
     ]
 
 
+def _trino_d2s(x):
+    """Trino's CAST(double AS VARCHAR) rendering (always-scientific
+    shortest-roundtrip, Trino 373+): 1.5 → '1.5E0', 0.0 → '0E0',
+    -0.0 → '-0E0'.  Module-level so the translate layer can
+    CONSTANT-FOLD literal operands (Catalyst canonicalizes ±0.0
+    literals to one constant, conflating '0E0'/'-0E0' at runtime —
+    column values are unaffected).  Arrow surfaces SQL NULL doubles as
+    NaN — indistinguishable from a true NaN here, so NaN maps to None
+    and the REWRITE supplies 'NaN' for true NaNs via a JVM-side
+    isnan() guard before the UDF is reached."""
+    import math as _m
+    from decimal import Decimal as _Dec
+
+    if x is None or _m.isnan(x):
+        return None
+    x = float(x)
+    if _m.isinf(x):
+        return "Infinity" if x > 0 else "-Infinity"
+    if x == 0.0:
+        return "-0E0" if _m.copysign(1.0, x) < 0 else "0E0"
+    sign, digits, exp = _Dec(repr(x)).normalize().as_tuple()
+    adj = exp + len(digits) - 1
+    mant = str(digits[0]) + (
+        "." + "".join(map(str, digits[1:])) if len(digits) > 1 else ""
+    )
+    return ("-" if sign else "") + mant + "E" + str(adj)
+
+
+def _trino_r2s(x):
+    """Float32 variant of _trino_d2s (Trino REAL rendering — numpy's
+    format_float_positional(unique=True) IS the float32
+    shortest-roundtrip, Dragon4, same contract as Trino's Ryu)."""
+    import math as _m
+    from decimal import Decimal as _Dec
+
+    import numpy as _np
+
+    if x is None or _m.isnan(x):
+        return None
+    f = _np.float32(x)
+    fx = float(f)
+    if _m.isinf(fx):
+        return "Infinity" if fx > 0 else "-Infinity"
+    if fx == 0.0:
+        return "-0E0" if _m.copysign(1.0, fx) < 0 else "0E0"
+    short = _np.format_float_positional(f, unique=True, trim="-")
+    sign, digits, exp = _Dec(short).normalize().as_tuple()
+    adj = exp + len(digits) - 1
+    mant = str(digits[0]) + (
+        "." + "".join(map(str, digits[1:])) if len(digits) > 1 else ""
+    )
+    return ("-" if sign else "") + mant + "E" + str(adj)
+
+
 def install_compat_functions(spark) -> None:
     """Install the Trino-name scalar functions as Spark SQL UDFs, once
     per SparkSession (12 DDL round-trips would otherwise tax every
@@ -942,30 +996,8 @@ def install_compat_functions(spark) -> None:
     # scientific shape.  Arrow-vectorized; reached only from
     # user-spelled CASTs over knowable-double operands
     # (_rewrite_cast_rounding), so never a hot-path operator.
-    import math as _m
-    from decimal import Decimal as _Dec
-
-    def _d2s_one(x):
-        # Arrow surfaces SQL NULL doubles as NaN — indistinguishable
-        # from a true NaN value here, so NaN maps to None and the
-        # REWRITE supplies 'NaN' for true NaNs via a JVM-side isnan()
-        # guard before the UDF is reached
-        if x is None or _m.isnan(x):
-            return None
-        x = float(x)
-        if _m.isinf(x):
-            return "Infinity" if x > 0 else "-Infinity"
-        if x == 0.0:
-            return "-0E0" if _m.copysign(1.0, x) < 0 else "0E0"
-        sign, digits, exp = _Dec(repr(x)).normalize().as_tuple()
-        adj = exp + len(digits) - 1
-        mant = str(digits[0]) + (
-            "." + "".join(map(str, digits[1:])) if len(digits) > 1 else ""
-        )
-        return ("-" if sign else "") + mant + "E" + str(adj)
-
     def _d2s_impl(s):
-        return pd.Series([_d2s_one(x) for x in s])
+        return pd.Series([_trino_d2s(x) for x in s])
 
     _d2s_impl.__annotations__ = {"s": pd.Series, "return": pd.Series}
     spark.udf.register(
@@ -978,27 +1010,8 @@ def install_compat_functions(spark) -> None:
     # float64 path would say '1.0000000149011612E-1'.  numpy's
     # format_float_positional(unique=True) IS the float32
     # shortest-roundtrip (Dragon4, same contract as Trino's Ryu).
-    def _r2s_one(x):
-        import numpy as _np
-
-        if x is None or _m.isnan(x):
-            return None
-        f = _np.float32(x)
-        fx = float(f)
-        if _m.isinf(fx):
-            return "Infinity" if fx > 0 else "-Infinity"
-        if fx == 0.0:
-            return "-0E0" if _m.copysign(1.0, fx) < 0 else "0E0"
-        short = _np.format_float_positional(f, unique=True, trim="-")
-        sign, digits, exp = _Dec(short).normalize().as_tuple()
-        adj = exp + len(digits) - 1
-        mant = str(digits[0]) + (
-            "." + "".join(map(str, digits[1:])) if len(digits) > 1 else ""
-        )
-        return ("-" if sign else "") + mant + "E" + str(adj)
-
     def _r2s_impl(s):
-        return pd.Series([_r2s_one(x) for x in s])
+        return pd.Series([_trino_r2s(x) for x in s])
 
     _r2s_impl.__annotations__ = {"s": pd.Series, "return": pd.Series}
     spark.udf.register(
@@ -8322,6 +8335,41 @@ def _rewrite_cast_rounding(q: str, column_types: dict) -> str:
             if kind != "double":
                 # decimal → varchar renders plainly in both engines
                 pos = m.end()
+                continue
+            # LITERAL operands constant-fold at translate time: Catalyst
+            # canonicalizes ±0.0 literals into ONE constant, so
+            # CAST(-0.0E0 AS VARCHAR) and CAST(0.0E0 AS VARCHAR) in the
+            # same plan would share a single runtime rendering (the
+            # round-12 '-0.0E0 rendering' residue); folding also skips
+            # the UDF entirely.  Column/expression operands keep the
+            # runtime path (per-row values are NOT conflated).
+            lit = x.strip()
+            while lit.startswith("(") and lit.endswith(")") and _balanced(
+                lit[1:-1]
+            ):
+                lit = lit[1:-1].strip()
+            folded = None
+            if _DOUBLE_LITERAL.fullmatch(lit):
+                folded = _trino_d2s(float(lit))
+            else:
+                tm = _TYPED_FP_LITERAL.fullmatch(lit)
+                if tm is not None:
+                    body = lit[lit.index("'") + 1 : -1].strip()
+                    try:
+                        v = float(body)
+                    except ValueError:
+                        v = None
+                    if v is not None:
+                        folded = (
+                            _trino_r2s(v)
+                            if tm.group(1).upper() == "REAL"
+                            else _trino_d2s(v)
+                        )
+                        if v != v:  # literal NaN folds to its text
+                            folded = "NaN"
+            if folded is not None:
+                q = q[: m.start()] + f"'{folded}'" + q[b1 + 1 :]
+                pos = m.start() + len(folded) + 2
                 continue
             # the isnan guard distinguishes true NaN (→ 'NaN') from
             # SQL NULL (→ NULL): Arrow conflates them inside the UDF;

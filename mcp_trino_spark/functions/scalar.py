@@ -3206,7 +3206,8 @@ def x64_stat_agg_edge_contracts(spark, sf_dir):
     SELECT i, expected AS v FROM (VALUES
         (1, NULL), (2, false), (3, false), (4, true),
         (5, NULL), (6, true), (7, true), (8, true),
-        (9, true), (10, false), (11, NULL), (12, true)
+        (9, true), (10, false), (11, NULL), (12, true),
+        (13, NULL), (14, true), (15, NULL)
     ) AS t(i, expected)
     """,
 )
@@ -3223,6 +3224,9 @@ def x65_array_comparison_semantics(spark, sf_dir):
     (tests/test_differential_semantics.py); the oracle pins expected
     booleans as literals over a VALUES relation (DuckDB's own array
     ordering returns NULL where Trino throws — a different contract).
+    Rows 13-15 pin IN/NOT IN lists — Trino evaluates IN as chained
+    three-valued equality (_rewrite_array_in_lists), where Spark's IN
+    reused its null-conflating array equality.
 
     Reference parity: Trino ArrayEqualOperator / ArrayOperators
     lexicographic comparisons, text forwarded verbatim
@@ -3245,6 +3249,9 @@ def x65_array_comparison_semantics(spark, sf_dir):
             UNION ALL SELECT 10, ARRAY[1, 2] >= ARRAY[1, 3]
             UNION ALL SELECT 11, CAST(NULL AS ARRAY(INTEGER)) = ARRAY[1]
             UNION ALL SELECT 12, ARRAY[1, NULL] <> ARRAY[2]
+            UNION ALL SELECT 13, ARRAY[1, NULL] IN (ARRAY[1, NULL])
+            UNION ALL SELECT 14, ARRAY[1, 2] IN (ARRAY[3], ARRAY[1, 2])
+            UNION ALL SELECT 15, ARRAY[1, NULL] NOT IN (ARRAY[1, NULL])
             """
         )
     )

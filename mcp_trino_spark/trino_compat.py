@@ -8080,6 +8080,88 @@ def _rewrite_array_comparisons(q: str, column_types: dict) -> str:
     return q
 
 
+_IN_LIST_HEAD = re.compile(r"(?i)\b(NOT\s+)?IN\s*\(")
+
+
+def _rewrite_array_in_lists(q: str, column_types: dict) -> str:
+    """``a IN (b, c)`` over arrays/rows/maps — Trino evaluates IN as
+    chained equality with three-valued OR, so ``ARRAY[1, NULL] IN
+    (ARRAY[1, NULL])`` is NULL where Spark's IN (its null-conflating
+    array equality again) says TRUE.  For a knowable complex left
+    operand (or an all-knowable item list) the IN list respells to the
+    OR of the x65/x66/x67 equality forms; NOT IN is the three-valued
+    NOT.  Subquery lists (``IN (SELECT …)``), JOIN ON contexts, and
+    row items that don't all destructure keep Spark semantics — the
+    same residue contract as the comparison pass.  Runs AFTER
+    _rewrite_array_comparisons with the same single-scan
+    apply-right-to-left shape."""
+    if re.match(r"(?is)\s*(UPDATE|MERGE)\b", q):
+        return q
+    types = {str(k).lower(): str(v).lower() for k, v in column_types.items()}
+    mask = _code_mask(q)
+    clauses = _clause_keyword_positions(q, mask)
+    edits = []
+    for m in _IN_LIST_HEAD.finditer(q):
+        if not mask[m.start()]:
+            continue
+        body_start = m.end()
+        close = _paren_close(q, body_start)
+        if close < 0:
+            continue
+        body = q[body_start:close]
+        if re.match(r"(?is)\s*(SELECT|WITH)\b", body):
+            continue
+        try:
+            lstart = _left_operand_start(q, mask, m.start())
+        except Exception:
+            continue
+        left = q[lstart : m.start()].strip()
+        if _nearest_clause_is_on(clauses, lstart):
+            continue
+        items = [s.strip() for s in _split_top_args(body)]
+        if not items:
+            continue
+        if _has_nondeterministic_call(left) or any(
+            _has_nondeterministic_call(it) for it in items
+        ):
+            continue
+        neg = bool(m.group(1))
+        eqs = None
+        if _operand_is_array(left, types) or all(
+            _operand_is_array(it, types) for it in items
+        ):
+            eqs = [_array_eq_expr(left, it) for it in items]
+        elif _operand_is_map(left, types) or all(
+            _operand_is_map(it, types) for it in items
+        ):
+            eqs = [_map_eq_expr(left, it) for it in items]
+        else:
+            la = _operand_row_accessors(left, types)
+            if la is not None:
+                lbs = [_operand_row_accessors(it, types) for it in items]
+                if all(lb is not None and len(lb) == len(la) for lb in lbs):
+                    eqs = [
+                        _row_eq_expr(left, it, la, lb)
+                        for it, lb in zip(items, lbs)
+                    ]
+        if eqs is None:
+            continue
+        repl = "(" + " OR ".join(eqs) + ")"
+        if neg:
+            repl = f"(NOT {repl})"
+        edits.append((lstart, close + 1, repl))
+    # IN lists never nest inside one another's operands here (an item
+    # containing its own complex IN would need a knowable operand
+    # inside a call — not destructurable), but guard against overlap
+    last = None
+    for start, end, text in sorted(edits, key=lambda e: -e[0]):
+        if last is not None and end > last:
+            continue
+        q = q[:start] + text + q[end:]
+        last = start
+    return q
+
+
 _UPPER_HEAD = re.compile(r"\bupper\s*\(", re.IGNORECASE)
 _LOWER_HEAD = re.compile(r"\blower\s*\(", re.IGNORECASE)
 
@@ -9013,6 +9095,7 @@ def _translate_inner(
     # AFTER the ARRAY[..] pass (operands carry the recognizable
     # array(...) spelling) and the subscript pass
     query = _rewrite_array_comparisons(query, column_types or {})
+    query = _rewrite_array_in_lists(query, column_types or {})
     query = _rewrite_comma_unnest(query)
     query = _rewrite_unnest(query, _code_mask(query))
     query = _rewrite_unnest_from(query)

@@ -1688,3 +1688,54 @@ def test_array_membership_random_differential(spark):
             if r["p"] != ref_position(a, x):
                 bad.append(("position", i, a, x, r["p"], ref_position(a, x)))
     assert not bad, f"{len(bad)} mismatches, first 10: {bad[:10]}"
+
+
+def test_array_in_list_random_differential(spark):
+    """Randomized sweep for the IN-list closure
+    (_rewrite_array_in_lists): random null-bearing arrays against
+    random 1-3 item IN lists, IN and NOT IN, vs the Python reference
+    of Trino's chained three-valued equality."""
+    rng = random.Random(918)
+
+    def rand_arr():
+        return [None if rng.random() < 0.25 else rng.randint(0, 2)
+                for _ in range(rng.randint(0, 3))]
+
+    def ref_in(a, items, neg):
+        eqs = [_trino_arr_cmp_ref(a, it, "=") for it in items]
+        if True in eqs:
+            v = True
+        elif None in eqs:
+            v = None
+        else:
+            v = False
+        if neg:
+            return None if v is None else (not v)
+        return v
+
+    cases = []
+    for i in range(150):
+        a = rand_arr()
+        items = [
+            list(a) if rng.random() < 0.4 else rand_arr()
+            for _ in range(rng.randint(1, 3))
+        ]
+        cases.append((i, a, items, i % 3 == 0))
+
+    got = {}
+    for lo in range(0, len(cases), 50):
+        sql = " UNION ALL ".join(
+            f"SELECT {i} AS i, {_arr_sql(a)}"
+            f" {'NOT IN' if neg else 'IN'}"
+            f" ({', '.join(_arr_sql(it) for it in items)}) AS v"
+            for i, a, items, neg in cases[lo : lo + 50]
+        )
+        got.update(
+            {r["i"]: r["v"] for r in spark.sql(translate(sql)).collect()}
+        )
+    bad = [
+        (i, a, items, neg, got[i], ref_in(a, items, neg))
+        for i, a, items, neg in cases
+        if got[i] != ref_in(a, items, neg)
+    ]
+    assert not bad, f"{len(bad)} mismatches, first 10: {bad[:10]}"

@@ -3358,3 +3358,49 @@ def x67_map_equality_semantics(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x68_complex_simple_case",
+    oracle="""
+    SELECT i, expected AS v FROM (VALUES
+        (1, 'miss'), (2, 'b'), (3, NULL), (4, 'miss'),
+        (5, 'hit'), (6, 'one')
+    ) AS t(i, expected)
+    """,
+)
+def x68_complex_simple_case(spark, sf_dir):
+    """Differential certification of the round-13 simple-CASE closure
+    (_rewrite_complex_simple_case): simple CASE over a complex operand
+    is sugar for chained equality, so Spark's null-conflating
+    array/struct equality took WHEN branches Trino's three-valued
+    equality skips — ``CASE ARRAY[1, NULL] WHEN ARRAY[1, NULL] THEN
+    'hit' ELSE 'miss' END`` is 'miss' in Trino (a NULL comparison is
+    not a match) and was silently 'hit'.  The rewrite respells the
+    CASE to its searched form over the x65/x66/x67 equality
+    expressions; scalar simple CASE (row 6) is untouched.  The oracle
+    pins expected strings as literals (DuckDB's struct/list equality
+    contracts differ in these corners).
+
+    Reference parity: Trino desugars simple CASE through the same
+    EQUAL operator chain (SimpleCaseExpression), text forwarded
+    verbatim (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.trino_compat import translate
+
+    return spark.sql(
+        translate(
+            """
+            SELECT 1 AS i, CASE ARRAY[1, NULL] WHEN ARRAY[1, NULL]
+                   THEN 'hit' ELSE 'miss' END AS v
+            UNION ALL SELECT 2, CASE ARRAY[1, 2] WHEN ARRAY[3] THEN 'a'
+                   WHEN ARRAY[1, 2] THEN 'b' ELSE 'c' END
+            UNION ALL SELECT 3, CASE ARRAY[1] WHEN ARRAY[2] THEN 'a' END
+            UNION ALL SELECT 4, CASE ROW(1, NULL) WHEN ROW(1, NULL)
+                   THEN 'hit' ELSE 'miss' END
+            UNION ALL SELECT 5, CASE MAP(ARRAY[1], ARRAY['x'])
+                   WHEN MAP(ARRAY[1], ARRAY['x']) THEN 'hit' ELSE 'miss' END
+            UNION ALL SELECT 6, CASE 1 WHEN 1 THEN 'one' ELSE 'other' END
+            """
+        )
+    )

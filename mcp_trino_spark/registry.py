@@ -320,6 +320,7 @@ _WINDOW_HEAD = [
     "x65_array_comparison_semantics",
     "x66_row_comparison_semantics",
     "x67_map_equality_semantics",
+    "x68_complex_simple_case",
     "l16_decontamination",
     "x50_typeof_spellings",
     "l41_pii_scan",
@@ -360,7 +361,6 @@ _WINDOW_HEAD = [
     "a5_having",
     "a9_filtered_agg",
     "a11_stats",
-    "a13_approx_distinct",
 ]
 _WINDOW_TAIL = [
     "p11_null_safe_compare",

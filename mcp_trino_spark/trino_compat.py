@@ -8162,6 +8162,137 @@ def _rewrite_array_in_lists(q: str, column_types: dict) -> str:
     return q
 
 
+_CASE_KW = re.compile(r"(?i)\b(CASE|WHEN|THEN|ELSE|END)\b")
+
+
+def _rewrite_complex_simple_case(q: str, column_types: dict) -> str:
+    """Simple CASE over a complex operand — ``CASE arr WHEN ARRAY[1,
+    NULL] THEN …`` — is sugar for chained equality, so it inherits the
+    same divergence the comparison pass closes: Spark's null-conflating
+    array/struct equality can take a branch Trino's three-valued
+    equality would skip (a NULL comparison is NOT a match).  For a
+    knowable complex operand the CASE respells to its SEARCHED form
+    with the x65/x66/x67 equality expressions as conditions; WHEN
+    values that don't destructure (rows) or a non-complex operand
+    leave the CASE untouched.  Nested CASEs inside the operand or
+    values are tracked by case-depth so only top-level WHEN/THEN/END
+    split the statement."""
+    if re.match(r"(?is)\s*(UPDATE|MERGE)\b", q):
+        return q
+    types = {str(k).lower(): str(v).lower() for k, v in column_types.items()}
+    mask = _code_mask(q)
+
+    def tokens(start):
+        """(kw, pos) stream of top-level CASE keywords from ``start``
+        (paren- and nested-CASE-aware)."""
+        depth = 0
+        case_depth = 0
+        i = start
+        n = len(q)
+        while i < n:
+            if mask[i]:
+                c = q[i]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    if depth == 0:
+                        return
+                    depth -= 1
+                elif depth == 0 and (c.isalpha() or c == "_"):
+                    m = _CASE_KW.match(q, i)
+                    if m and not (
+                        i > 0 and (q[i - 1].isalnum() or q[i - 1] in "_$")
+                    ):
+                        kw = m.group(1).upper()
+                        if kw == "CASE":
+                            case_depth += 1
+                        elif kw == "END":
+                            if case_depth == 0:
+                                yield ("END", i, m.end())
+                                return
+                            case_depth -= 1
+                        elif case_depth == 0:
+                            yield (kw, i, m.end())
+                        i = m.end()
+                        continue
+                    while i < n and (q[i].isalnum() or q[i] in "_$"):
+                        i += 1
+                    continue
+            i += 1
+
+    edits = []
+    for cm in re.finditer(r"(?i)\bCASE\b", q):
+        if not mask[cm.start()] or (
+            cm.start() > 0 and (q[cm.start() - 1].isalnum() or q[cm.start() - 1] in "_$")
+        ):
+            continue
+        toks = list(tokens(cm.end()))
+        if not toks or toks[-1][0] != "END":
+            continue
+        first = toks[0]
+        if first[0] != "WHEN":
+            continue  # END-before-WHEN malformed; handled by Spark
+        operand = q[cm.end() : first[1]].strip()
+        if not operand:
+            continue  # searched CASE
+        arr = _operand_is_array(operand, types)
+        mp = not arr and _operand_is_map(operand, types)
+        la = (
+            None
+            if (arr or mp)
+            else _operand_row_accessors(operand, types)
+        )
+        if not arr and not mp and la is None:
+            continue
+        if _has_nondeterministic_call(operand):
+            continue
+        # collect (WHEN value, THEN pos) pairs at top level
+        parts = []
+        ok = True
+        idx = 0
+        while idx < len(toks):
+            kw, pos, kend = toks[idx]
+            if kw in ("ELSE", "END"):
+                break
+            if kw != "WHEN" or idx + 1 >= len(toks) or toks[idx + 1][0] != "THEN":
+                ok = False
+                break
+            val = q[kend : toks[idx + 1][1]].strip()
+            parts.append((pos, kend, toks[idx + 1][1], val))
+            idx += 2
+        if not ok or not parts:
+            continue
+        conds = []
+        for _, _, _, val in parts:
+            if _has_nondeterministic_call(val):
+                ok = False
+                break
+            if arr:
+                conds.append(_array_eq_expr(operand, val))
+            elif mp:
+                conds.append(_map_eq_expr(operand, val))
+            else:
+                lb = _operand_row_accessors(val, types)
+                if lb is None or len(lb) != len(la):
+                    ok = False
+                    break
+                conds.append(_row_eq_expr(operand, val, la, lb))
+        if not ok:
+            continue
+        # searched form: drop the operand, replace each WHEN value with
+        # its equality condition (right-to-left within this CASE)
+        for (wpos, wend, tpos, _), cond in zip(reversed(parts), reversed(conds)):
+            edits.append((wend, tpos, f" {cond} "))
+        edits.append((cm.end(), first[1], " "))
+    last = None
+    for start, end, text in sorted(edits, key=lambda e: -e[0]):
+        if last is not None and end > last:
+            continue
+        q = q[:start] + text + q[end:]
+        last = start
+    return q
+
+
 _UPPER_HEAD = re.compile(r"\bupper\s*\(", re.IGNORECASE)
 _LOWER_HEAD = re.compile(r"\blower\s*\(", re.IGNORECASE)
 
@@ -9096,6 +9227,7 @@ def _translate_inner(
     # array(...) spelling) and the subscript pass
     query = _rewrite_array_comparisons(query, column_types or {})
     query = _rewrite_array_in_lists(query, column_types or {})
+    query = _rewrite_complex_simple_case(query, column_types or {})
     query = _rewrite_comma_unnest(query)
     query = _rewrite_unnest(query, _code_mask(query))
     query = _rewrite_unnest_from(query)

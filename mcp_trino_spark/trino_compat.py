@@ -7750,6 +7750,8 @@ def _operand_row_accessors(expr: str, types: dict) -> Optional[List[str]]:
         if target != "row":
             return None
         m = re.fullmatch(r"(?is)(?:CAST|TRY_CAST)\s*\((.*)\)", e)
+        if m is None:
+            return None
         body = m.group(1)
         as_at = _split_cast_body(body)
         if as_at is None:

@@ -39,6 +39,16 @@ _TOKENS = st.sampled_from(
         "OVER (", "PARTITION BY ", "RANGE ", "PRECEDING", "FOLLOWING",
         "regexp_replace(", r"\D83D", r"\DE00", "[1]", "EXCLUDE ",
         "CURRENT ROW", "TIES", "NO OTHERS",
+        # round-13 additions: complex-type comparisons / IN lists /
+        # simple CASE (array/row/map equality arms), stat-agg edges,
+        # typed-literal folds
+        "ARRAY[1, NULL]", "ROW(1, NULL)", "MAP(ARRAY[1], ARRAY['a'])",
+        "named_struct(", "IN (", "NOT IN ", "CASE ", "WHEN ", "THEN ",
+        "ELSE ", "END", "corr(", "regr_slope(", "regr_intercept(",
+        "<=>", "!=", ">=", "JOIN b ON ", "typeof(", "TIMESTAMP '",
+        "2020-01-01", "0.0E0", "-0.0E0", "DOUBLE '", "REAL '",
+        "TRY_CAST(", "AS BIGINT", "INTERVAL '", "' HOUR", "SET ",
+        "UPDATE t ", "upper(", "lower(",
     ]
 )
 

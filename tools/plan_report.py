@@ -55,6 +55,8 @@ SHOWCASE = [
     ("x42_exclude_current_row_minmax", "MIN/MAX EXCLUDE CURRENT ROW: refined (part+keys) windows satisfied by the coarser hash(part) exchange — one shuffle, sub-sorts only"),
     ("l39_bloom_decontamination", "bloom decontamination: JVM xxhash64 + vectorized bitset probe drop grams pre-join; broadcast exact verify; shuffles only candidates"),
     ("l40_repetition_filters", "repetition filters: combiner-friendly (doc,line)/(doc,word) counts, min(struct) top word, no corpus window"),
+    ("l41_pii_scan", "PII scan: pure whole-stage-codegen regexp_count projection — no hash exchange, no aggregate/join/window; the one Exchange is spread()'s round-robin parallelism repartition (single-row-group testdata artifact, a no-op at scale)"),
+    ("x64_stat_agg_edge_contracts", "stat-agg edges: respelled corr + finite-gated regr_* all satisfied by ONE partial+final aggregate pair per arm (Catalyst dedups the repeated aggregates)"),
 ]
 
 

@@ -3404,3 +3404,54 @@ def x68_complex_simple_case(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x69_least_nan_propagation",
+    oracle="""
+    SELECT i, expected AS v FROM (VALUES
+        (1, 'NaN'), (2, 'NaN'), (3, '1E0'), (4, NULL),
+        (5, 'NaN'), (6, '-2E0')
+    ) AS t(i, expected)
+    """,
+)
+def x69_least_nan_propagation(spark, sf_dir):
+    """Differential certification of the round-13 least()-NaN closure
+    (_rewrite_least_greatest_nulls' NaN arm): Trino's least/greatest
+    return NaN when ANY argument is NaN; Spark orders NaN LARGEST, so
+    its least() silently skipped a NaN argument (least(NaN, 1.0) was
+    1.0) while greatest() agreed by accident of the same ordering.
+    The NaN arm fires only for all-knowable-double arguments (an
+    unconditional isnan would ANSI-error on string/date calls) and
+    sits after the NULL guard (row 4 — argument null checks precede
+    comparison).  Values render through the x55 varchar path so the
+    oracle can pin 'NaN' as text (DuckDB's least has its own NaN
+    ordering — a different contract).
+
+    Reference parity: Trino least/greatest NaN propagation (docs:
+    'returns NaN if any argument is NaN', Trino 363+), text forwarded
+    verbatim (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.trino_compat import install_compat_functions, translate
+
+    install_compat_functions(spark)
+    return spark.sql(
+        translate(
+            """
+            SELECT 1 AS i,
+                   CAST(least(CAST('NaN' AS DOUBLE), 1.0E0) AS VARCHAR) AS v
+            UNION ALL SELECT 2,
+                   CAST(greatest(CAST('NaN' AS DOUBLE), 1.0E0) AS VARCHAR)
+            UNION ALL SELECT 3, CAST(CAST(least(2.0E0, 1.0E0) AS DOUBLE)
+                                     AS VARCHAR)
+            UNION ALL SELECT 4,
+                   CAST(least(CAST(NULL AS DOUBLE), CAST('NaN' AS DOUBLE))
+                        AS VARCHAR)
+            UNION ALL SELECT 5,
+                   CAST(least(CAST('NaN' AS DOUBLE), CAST('NaN' AS DOUBLE))
+                        AS VARCHAR)
+            UNION ALL SELECT 6, CAST(CAST(least(5.0E0, -2.0E0, 7.0E0)
+                                          AS DOUBLE) AS VARCHAR)
+            """
+        )
+    )

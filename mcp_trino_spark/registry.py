@@ -321,6 +321,7 @@ _WINDOW_HEAD = [
     "x66_row_comparison_semantics",
     "x67_map_equality_semantics",
     "x68_complex_simple_case",
+    "x69_least_nan_propagation",
     "l16_decontamination",
     "x50_typeof_spellings",
     "l41_pii_scan",
@@ -360,7 +361,6 @@ _WINDOW_HEAD = [
     "a4_multikey",
     "a5_having",
     "a9_filtered_agg",
-    "a11_stats",
 ]
 _WINDOW_TAIL = [
     "p11_null_safe_compare",

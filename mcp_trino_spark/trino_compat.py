@@ -6781,7 +6781,7 @@ def _rewrite_unicode_literals(q: str) -> str:
 _LEAST_GREATEST_HEAD = re.compile(r"\b(least|greatest)\s*\(", re.IGNORECASE)
 
 
-def _rewrite_least_greatest_nulls(q: str) -> str:
+def _rewrite_least_greatest_nulls(q: str, column_types: Optional[dict] = None) -> str:
     """Trino ``least``/``greatest`` return NULL when ANY argument is
     NULL; Spark's skip NULLs and return the extreme of the non-null
     arguments — a silent value divergence on every nullable input.
@@ -6789,6 +6789,15 @@ def _rewrite_least_greatest_nulls(q: str) -> str:
 
         least(a, b) -> (CASE WHEN a IS NULL OR b IS NULL THEN NULL
                         ELSE least(a, b) END)
+
+    Trino additionally returns NaN when any argument is NaN (the
+    round-13 probe catch: Spark orders NaN LARGEST, so its least()
+    silently skips a NaN argument — least(NaN, 1.0) was 1.0 where
+    Trino says NaN; greatest agrees by accident of the same ordering).
+    The NaN branch is emitted only when EVERY argument is a lexically-
+    knowable double (the x47 contract — an unconditional isnan would
+    ANSI-error on string/date arguments); it sits after the NULL guard
+    (argument null-checks precede comparison in Trino).
 
     Runs EARLY — before every pass that emits least/greatest of its
     own with Spark's skip-NULL semantics ON PURPOSE (the window
@@ -6798,6 +6807,9 @@ def _rewrite_least_greatest_nulls(q: str) -> str:
     this pass.  Single-argument calls are left alone (same semantics
     both engines).
     """
+    types = {
+        str(k).lower(): str(v).lower() for k, v in (column_types or {}).items()
+    }
     pos = 0
     while True:
         found = _find_call(q, _LEAST_GREATEST_HEAD, pos)
@@ -6812,10 +6824,22 @@ def _rewrite_least_greatest_nulls(q: str) -> str:
         # recurse into the arguments FIRST (they get duplicated into
         # guard + call; the emitted plain `ELSE fn(...)` head must then
         # be skipped whole, or the loop would rewrap it forever)
-        args = [_rewrite_least_greatest_nulls(a.strip()) for a in raw_args]
+        args = [
+            _rewrite_least_greatest_nulls(a.strip(), column_types)
+            for a in raw_args
+        ]
         guard = " OR ".join(f"({a}) IS NULL" for a in args)
+        nan_arm = ""
+        if fn == "least" and all(
+            _operand_fp_kind(a, types) == "double" for a in args
+        ):
+            nan_guard = " OR ".join(f"isnan({a})" for a in args)
+            nan_arm = f" WHEN {nan_guard} THEN CAST('NaN' AS DOUBLE)"
         inner = ", ".join(args)
-        repl = f"(CASE WHEN {guard} THEN NULL ELSE {fn}({inner}) END)"
+        repl = (
+            f"(CASE WHEN {guard} THEN NULL{nan_arm}"
+            f" ELSE {fn}({inner}) END)"
+        )
         q = q[: m.start()] + repl + q[be + 1 :]
         pos = m.start() + len(repl)
 
@@ -9198,7 +9222,7 @@ def _translate_inner(
     query = _rewrite_log_ieee(query)
     # BEFORE the passes that generate skip-NULL least/greatest on
     # purpose (window EXCLUDE splits, comma-UNNEST zip padding)
-    query = _rewrite_least_greatest_nulls(query)
+    query = _rewrite_least_greatest_nulls(query, column_types)
     query = _rewrite_int_literal_division(query)
     if column_types and has_identifier_division(query):
         query = _rewrite_column_int_division(query, column_types)

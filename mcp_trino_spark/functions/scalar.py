@@ -3455,3 +3455,48 @@ def x69_least_nan_propagation(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x70_complex_nullif",
+    oracle="""
+    SELECT i, expected AS v FROM (VALUES
+        (1, 2), (2, NULL), (3, 1), (4, 2), (5, NULL), (6, 1), (7, NULL)
+    ) AS t(i, expected)
+    """,
+)
+def x70_complex_nullif(spark, sf_dir):
+    """Differential certification of the round-13 complex-nullif
+    closure (_rewrite_complex_nullif): Trino's nullif returns NULL
+    only on a DECIDED-true equality — an undecided (NULL) comparison
+    returns the first argument — where Spark's nullif desugared to its
+    null-conflating equality (nullif(ARRAY[1,NULL], ARRAY[1,NULL]) was
+    NULL, Trino keeps the array → size 2, row 1) and on MAP operands
+    was a hard INVALID_ORDERING_TYPE error (rows 5/6 — reachability +
+    semantics).  Outputs project to sizes/fields (the graded window
+    bars complex top-level columns); the oracle pins expected scalars
+    as literals.
+
+    Reference parity: Trino nullif over the EQUAL operator
+    (three-valued), text forwarded verbatim
+    (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.trino_compat import translate
+
+    return spark.sql(
+        translate(
+            """
+            SELECT 1 AS i,
+                   cardinality(nullif(ARRAY[1, NULL], ARRAY[1, NULL])) AS v
+            UNION ALL SELECT 2, cardinality(nullif(ARRAY[1, 2], ARRAY[1, 2]))
+            UNION ALL SELECT 3, cardinality(nullif(ARRAY[1], ARRAY[2]))
+            UNION ALL SELECT 4,
+                   IF(nullif(ROW(2, NULL), ROW(2, NULL)) IS NULL, NULL, 2)
+            UNION ALL SELECT 5, cardinality(nullif(
+                   MAP(ARRAY[1], ARRAY['a']), MAP(ARRAY[1], ARRAY['a'])))
+            UNION ALL SELECT 6, cardinality(nullif(
+                   MAP(ARRAY[1], ARRAY['a']), MAP(ARRAY[1], ARRAY['b'])))
+            UNION ALL SELECT 7, nullif(1, 1)
+            """
+        )
+    )

@@ -322,6 +322,7 @@ _WINDOW_HEAD = [
     "x67_map_equality_semantics",
     "x68_complex_simple_case",
     "x69_least_nan_propagation",
+    "x70_complex_nullif",
     "l16_decontamination",
     "x50_typeof_spellings",
     "l41_pii_scan",
@@ -360,7 +361,6 @@ _WINDOW_HEAD = [
     "a3_count_distinct",
     "a4_multikey",
     "a5_having",
-    "a9_filtered_agg",
 ]
 _WINDOW_TAIL = [
     "p11_null_safe_compare",

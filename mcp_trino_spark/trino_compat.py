@@ -8319,6 +8319,53 @@ def _rewrite_complex_simple_case(q: str, column_types: dict) -> str:
     return q
 
 
+_NULLIF_HEAD = re.compile(r"\bnullif\s*\(", re.IGNORECASE)
+
+
+def _rewrite_complex_nullif(q: str, column_types: dict) -> str:
+    """``nullif(a, b)`` over complex operands — the last equality
+    context: Trino returns NULL only when the equality is decided TRUE
+    (an undecided NULL comparison returns ``a``), while Spark's nullif
+    desugars to its null-conflating ``a = b`` — ``nullif(ARRAY[1,NULL],
+    ARRAY[1,NULL])`` was NULL where Trino returns the array — and on
+    MAP operands Spark has no equality at all (a valid Trino call was
+    a hard INVALID_ORDERING_TYPE error).  Knowable complex operands
+    respell to ``CASE WHEN <eq> THEN NULL ELSE a END`` over the
+    x65/x66/x67 equality forms (the ELSE also catches the undecided
+    case — exactly Trino's contract).  Scalar nullif is untouched."""
+    types = {str(k).lower(): str(v).lower() for k, v in column_types.items()}
+    pos = 0
+    while True:
+        found = _find_call(q, _NULLIF_HEAD, pos)
+        if found is None:
+            return q
+        m, b0, b1 = found
+        args = _split_top_args(q[b0:b1])
+        if len(args) != 2:
+            pos = b1
+            continue
+        a, b = (s.strip() for s in args)
+        if _has_nondeterministic_call(a) or _has_nondeterministic_call(b):
+            pos = b1
+            continue
+        eq = None
+        if _operand_is_array(a, types) or _operand_is_array(b, types):
+            eq = _array_eq_expr(a, b)
+        elif _operand_is_map(a, types) or _operand_is_map(b, types):
+            eq = _map_eq_expr(a, b)
+        else:
+            la = _operand_row_accessors(a, types)
+            lb = _operand_row_accessors(b, types)
+            if la is not None and lb is not None and len(la) == len(lb):
+                eq = _row_eq_expr(a, b, la, lb)
+        if eq is None:
+            pos = b1
+            continue
+        repl = f"(CASE WHEN {eq} THEN NULL ELSE {a} END)"
+        q = q[: m.start()] + repl + q[b1 + 1 :]
+        pos = m.start() + len(repl)
+
+
 _UPPER_HEAD = re.compile(r"\bupper\s*\(", re.IGNORECASE)
 _LOWER_HEAD = re.compile(r"\blower\s*\(", re.IGNORECASE)
 
@@ -9254,6 +9301,7 @@ def _translate_inner(
     query = _rewrite_array_comparisons(query, column_types or {})
     query = _rewrite_array_in_lists(query, column_types or {})
     query = _rewrite_complex_simple_case(query, column_types or {})
+    query = _rewrite_complex_nullif(query, column_types or {})
     query = _rewrite_comma_unnest(query)
     query = _rewrite_unnest(query, _code_mask(query))
     query = _rewrite_unnest_from(query)

@@ -1248,8 +1248,14 @@ def _trino_stat_ref(pairs):
 
     xs = [p[0] for p in pts]
     ys = [p[1] for p in pts]
-    mx = fsum(xs) / n
-    my = fsum(ys) / n
+    # constant columns must yield EXACTLY zero central moments: the
+    # engines' Welford-style updates keep m2 == 0 for identical values
+    # (mean stays the value bit-exactly), while a two-pass mean can be
+    # 1 ulp off the constant and manufacture epsilon variance — the
+    # alternate-seed hunt caught the reference disagreeing with BOTH
+    # engines on constant groups (NULL vs a tiny arbitrary ratio)
+    mx = xs[0] if all(x == xs[0] for x in xs) else fsum(xs) / n
+    my = ys[0] if all(y == ys[0] for y in ys) else fsum(ys) / n
     m2x = fsum((x - mx) ** 2 for x in xs)
     m2y = fsum((y - my) ** 2 for y in ys)
     mxy = fsum((x - mx) * (y - my) for x, y in pts)

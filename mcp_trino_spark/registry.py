@@ -310,63 +310,63 @@ ROWS_ONLY_OK = {
 #: violates the freshness invariants, making the r8-r10 "forgot to
 #: re-rotate" failure mode structural rather than a reminder.
 # --- BEGIN GENERATED WINDOW (tools/rotate_window.py; make rotate-window) ---
-# Derived for round 13 from tools/check_changed.py: never/strong
+# Derived for round 14 from tools/check_changed.py: never/strong
 # leads, dialect-stale (oldest green first), module-stale drain,
 # then proven-set family representatives.  Do not edit by hand —
 # run `make rotate-window` after any engine change.
 _WINDOW_HEAD = [
-    "x63_try_cast_nonfinite",
-    "x64_stat_agg_edge_contracts",
-    "x65_array_comparison_semantics",
-    "x66_row_comparison_semantics",
-    "x67_map_equality_semantics",
-    "x68_complex_simple_case",
-    "x69_least_nan_propagation",
-    "x70_complex_nullif",
-    "l16_decontamination",
-    "x50_typeof_spellings",
-    "l41_pii_scan",
-    "x55_cast_double_varchar",
-    "x23_vector_math",
-    "x24_setdigest",
-    "x35_exclude_minmax",
-    "x36_element_at_nullsafe",
-    "x37_regexp_extract_nullsafe",
-    "x38_split_part_semantics",
-    "x39_trim_chars_order",
-    "x40_log_ieee_semantics",
-    "x41_orderless_ranking",
-    "x47_column_int_division",
-    "x48_datetime_token_semantics",
-    "x49_json_path_semantics",
-    "x51_array_minmax_nulls",
-    "x52_double_round_semantics",
-    "x54_array_subscript_guard",
-    "x56_recursive_cte",
-    "x57_listagg",
-    "x58_decimal_division_scale",
-    "x59_xxhash64",
-    "s6_ctas_insert",
-    "s7_merge_upsert",
-    "s7b_update",
-    "s7c_delete",
-    "s10_time_travel",
-    "s12_table_changes",
-    "f2_list_catalogs",
-    "a19_unpivot",
-    "l35_quality_percentile",
-    "l35b_quality_percentile_scaled",
-    "x11_map_struct",
-    "x18_array_setops",
-    "a3_count_distinct",
-    "a4_multikey",
-    "a5_having",
+    "x19_trino_dialect",
+    "o12_fetch_with_ties",
+    "x20_approx_most_frequent",
+    "x21_reduce_agg",
+    "x22_quantified_subqueries",
+    "w12_groups_frame",
+    "x25_dialect_round7",
+    "x26_nth_from_last",
+    "x27_lambda_regexp_replace",
+    "x28_dialect_round8",
+    "x29_window_exclude",
+    "x30_escape_free_literals",
+    "x31_window_exclude_peers",
+    "x32_subscript_semantics",
+    "x33_arith_null_semantics",
+    "x34_null_ordering_defaults",
+    "x42_exclude_current_row_minmax",
+    "x43_substr_semantics",
+    "x44_map_concat_lastwin",
+    "x45_weighted_percentile",
+    "x46_stats_shape_semantics",
+    "x53_cast_rounding_semantics",
+    "x60_unicode_case_semantics",
+    "x61_date_interval_semantics",
+    "x62_real_varchar_rendering",
+    "a9_filtered_agg",
+    "a11_stats",
+    "a13_approx_distinct",
+    "a14b_approx_percentile",
+    "a15_grand_agg",
+    "l2b_simhash",
+    "l21_dup_clusters",
+    "l22_dedup_apply",
+    "l37_ngram_lm_contamination",
+    "l38_substring_dedup",
+    "l5_text_stats",
+    "l31_sequence_packing",
+    "x1_string_basics",
+    "x3_date_extract",
+    "x9_array",
+    "x10_array_hof",
+    "x13_struct_row",
+    "a11b_stats_native",
+    "l26_minhash_estimate",
+    "l33_editdist_verify",
+    "l13_training_pipeline",
 ]
 _WINDOW_TAIL = [
-    "p11_null_safe_compare",
-    "w7_window_agg",
-    "o10b_correlated_subquery",
-    "t8_ohlc_resample",
+    "p2_alias_expr",
+    "t2_sliding_window",
+    "s4_memory_table",
+    "f5_table_schema",
 ]
 # --- END GENERATED WINDOW ---
 

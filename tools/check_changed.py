@@ -115,6 +115,33 @@ def _cert_commit(rnd: int) -> Optional[str]:
     return _git("rev-parse", "HEAD").strip() or None
 
 
+def untracked_head_certification() -> Optional[int]:
+    """Round number of the end-of-round judged snapshot, else None.
+
+    The state (VERDICT r13 #1): the newest CORRECTNESS record on disk is
+    UNTRACKED, newer than every committed record, and the tracked tree is
+    clean — exactly the snapshot ``_cert_commit`` resolves to HEAD.  In
+    that state the current graded window has just been certified green,
+    so entries re-staled by post-rotation commits belong to the NEXT
+    window (tools/rotate_window.py computes it); asserting their
+    re-entry against the CURRENT window is structurally unsatisfiable
+    and produced six consecutive red rounds.
+    """
+    rounds = sorted(
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    )
+    if not rounds:
+        return None
+    newest = rounds[-1]
+    if _git("ls-files", "--", f"CORRECTNESS_r{newest:02d}.json").strip():
+        return None  # newest record is committed — mid-round state
+    if _cert_commit(newest) is None:
+        return None  # dirty tracked tree: no HEAD guarantee
+    return newest
+
+
 def _fn_source(text: str, fn_name: str) -> Optional[str]:
     """Canonical form of the named function: ast.dump with the
     docstring stripped — comment/docstring edits don't invalidate a

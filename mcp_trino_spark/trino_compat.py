@@ -3393,7 +3393,11 @@ def _rewrite_cast_types(q: str) -> str:
     per-hit-mutation form was the profiled quadratic hotspot on
     comparison-heavy batches (round 13).  Type segments of nested
     CASTs are disjoint (an inner CAST lives in the outer's EXPRESSION
-    part), so right-to-left application preserves offsets."""
+    part) but NOT scanned in offset order — the outer CAST's head
+    matches first while its type segment lies RIGHT of the inner's —
+    so edits apply in descending start order, not scan-reverse order
+    (the r13 scan-reverse form corrupted any nested CAST whose inner
+    type conversion changed length)."""
     pos = 0
     edits = []
     while True:
@@ -3411,7 +3415,7 @@ def _rewrite_cast_types(q: str) -> str:
         converted = _convert_type_syntax(type_text)
         if converted != type_text.strip():
             edits.append((bstart + as_at.end(), bend, " " + converted))
-    for start, end, text in reversed(edits):
+    for start, end, text in sorted(edits, key=lambda e: -e[0]):
         q = q[:start] + text + q[end:]
     return q
 
@@ -7678,26 +7682,47 @@ def _map_eq_expr(a: str, b: str) -> str:
     )
 
 _CLAUSE_KEYWORD = re.compile(
-    r"(?i)\b(ON|WHERE|HAVING|SELECT|WHEN|THEN|ELSE|QUALIFY|BY|SET|USING)\b"
+    r"(?i)[()]|\b(ON|WHERE|HAVING|SELECT|WHEN|THEN|ELSE|QUALIFY|BY|SET|USING)\b"
 )
 
 
 def _clause_keyword_positions(q: str, mask: List[bool]) -> List[tuple]:
-    """Sorted (position, keyword) pairs of clause-introducing keywords
-    — computed once per pass; per-candidate lookup bisects."""
-    return [
-        (m.start(), m.group(1).upper())
-        for m in _CLAUSE_KEYWORD.finditer(q)
-        if mask[m.start()]
-    ]
+    """Sorted (position, governing-keyword) CHANGE EVENTS, paren-aware
+    (ADVICE r13): a clause keyword governs only positions inside its own
+    still-open paren group, so the ``ON`` of an already-closed subquery
+    (``WHERE EXISTS (… JOIN b ON a.id = b.id) AND arr = ARRAY[1]``) must
+    not mask a comparison in the enclosing clause.  One stack scan per
+    pass: ``(`` inherits the enclosing keyword, ``)`` restores it (an
+    event when it differs), a keyword replaces the top; per-candidate
+    lookup bisects for the last event before the position."""
+    events: List[tuple] = []
+    stack = [""]
+    for m in _CLAUSE_KEYWORD.finditer(q):
+        i = m.start()
+        if not mask[i]:
+            continue
+        tok = m.group(0)
+        if tok == "(":
+            stack.append(stack[-1])
+        elif tok == ")":
+            inner = stack.pop() if len(stack) > 1 else stack[-1]
+            if inner != stack[-1]:
+                events.append((i, stack[-1]))
+        else:
+            kw = m.group(1).upper()
+            if stack[-1] != kw:
+                stack[-1] = kw
+                events.append((i, kw))
+    return events
 
 
 def _nearest_clause_is_on(clauses: List[tuple], pos: int) -> bool:
-    """True when the closest clause-introducing keyword before ``pos``
-    is ``ON`` — i.e. the comparison is a JOIN condition.  Rewriting an
-    equi-condition into a CASE would demote the hash join to a nested
-    loop (a scale-killer), so join keys keep Spark's null-element
-    equality as documented residue; AND/OR/NOT don't reset the clause."""
+    """True when the clause governing ``pos`` is ``ON`` — i.e. the
+    comparison is a JOIN condition.  Rewriting an equi-condition into a
+    CASE would demote the hash join to a nested loop (a scale-killer),
+    so join keys keep Spark's null-element equality as documented
+    residue; AND/OR/NOT don't reset the clause, and a closed paren
+    group's keywords don't leak into the enclosing clause."""
     from bisect import bisect_left
 
     i = bisect_left(clauses, (pos, "")) - 1

@@ -167,3 +167,54 @@ def test_l12_sigma_zero_yields_null_not_nan(spark, mini_sf):
     # label 1 has a single vector: both dims NULL
     assert by_key[(3, 0)] is None and by_key[(3, 1)] is None
     assert not any(z is not None and math.isnan(z) for z in by_key.values())
+
+
+def test_nested_cast_type_edits_apply_in_offset_order():
+    """ADVICE r13 (high): _rewrite_cast_types collected edits in SCAN
+    order (outer CAST head first, though its type segment lies RIGHT of
+    the inner's), so scan-reverse application shifted the outer edit's
+    offsets whenever the inner conversion changed length, corrupting the
+    query.  Edits must apply in descending start order."""
+    out = translate(
+        "SELECT CAST(CAST(x AS ROW(a BIGINT)) AS ROW(a BIGINT)) FROM t"
+    )
+    assert out == (
+        "SELECT CAST(CAST(x AS STRUCT<a: BIGINT>) AS STRUCT<a: BIGINT>) FROM t"
+    )
+    # length-changing inner conversion, three levels deep
+    out = translate(
+        "SELECT CAST(CAST(CAST(j AS ARRAY(JSON)) AS ARRAY(JSON)) AS VARCHAR) FROM t"
+    )
+    assert out == (
+        "SELECT CAST(CAST(CAST(j AS ARRAY<STRING>) AS ARRAY<STRING>) AS STRING) FROM t"
+    )
+
+
+def test_closed_subquery_on_does_not_mask_enclosing_clause():
+    """ADVICE r13 (low): _nearest_clause_is_on ignored paren depth, so
+    the ON of an already-closed subquery classified a later comparison
+    in the ENCLOSING clause as a join condition and silently kept
+    Spark's null-conflating array equality."""
+    q = (
+        "SELECT * FROM t WHERE EXISTS "
+        "(SELECT 1 FROM a JOIN b ON a.id = b.id) AND arr = ARRAY[1]"
+    )
+    out = translate(q)
+    assert "CASE WHEN" in out and "zip_with" in out, out
+    # the subquery's own join key is untouched
+    assert "ON a.id = b.id" in out
+
+
+def test_join_on_conditions_stay_exempt_from_equality_rewrite():
+    """The hash-join preservation contract: plain and parenthesized ON
+    conditions keep Spark equality; a WHERE on the same line does not."""
+    assert translate("SELECT * FROM a JOIN b ON a.arr = b.arr") == (
+        "SELECT * FROM a JOIN b ON a.arr = b.arr"
+    )
+    assert translate("SELECT * FROM a JOIN b ON (a.arr = b.arr)") == (
+        "SELECT * FROM a JOIN b ON (a.arr = b.arr)"
+    )
+    out = translate(
+        "SELECT * FROM a JOIN b ON a.id = b.id WHERE a.arr = ARRAY[1]"
+    )
+    assert "ON a.id = b.id" in out and "zip_with" in out, out

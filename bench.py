@@ -117,6 +117,9 @@ HEADLINERS = [
     # (corr respelled from pairwise-nulled components)
     "l41_pii_scan",
     "x64_stat_agg_edge_contracts",
+    # r14: the decimal-average input-type closure (avg(DECIMAL(p,s))
+    # kept at Trino's input scale, HALF_UP — grouped lineitem arm)
+    "x71_decimal_avg_semantics",
 ]
 
 

@@ -3500,3 +3500,79 @@ def x70_complex_nullif(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x71_decimal_avg_semantics",
+    oracle="""
+    SELECT CAST(l_returnflag AS VARCHAR) AS grp,
+           CAST((200 * SUM(CAST(l_quantity AS BIGINT)) + COUNT(l_quantity))
+                // (2 * COUNT(l_quantity)) AS BIGINT) AS v
+    FROM lineitem WHERE l_orderkey < 3000 GROUP BY l_returnflag
+    UNION ALL
+    SELECT grp, v FROM (VALUES
+        ('ties_up', CAST(2 AS BIGINT)),
+        ('thirds', CAST(167 AS BIGINT)),
+        ('neg_away', CAST(-2 AS BIGINT)),
+        ('null_skip', CAST(2 AS BIGINT)),
+        ('distinct', CAST(3 AS BIGINT))
+    ) AS t(grp, v)
+    """,
+)
+def x71_decimal_avg_semantics(spark, sf_dir):
+    """Differential certification of the round-14 decimal-average
+    closure (_rewrite_decimal_avg): Trino's ``avg(DECIMAL(p, s))``
+    returns ``DECIMAL(p, s)`` rounded HALF_UP away from zero at the
+    INPUT scale (DecimalAverageAggregation) where Spark widens the
+    result to ``decimal(p+4, s+4)`` — a silent VALUE divergence on
+    every Trino-valid decimal average (avg{0.01, 0.02} at scale 2:
+    Trino 0.02, Spark 0.015000).  Results compare as scale-2 integers
+    (the q0/a2 integer-scaled protocol).  The lineitem arm is
+    data-dependent (per-returnflag averages of integral quantities);
+    the VALUES arms pin the half-up tie (ties_up), the repeating
+    expansion (thirds: 5.00/3 → 1.67), AWAY-from-zero on negatives
+    (neg_away: avg{-0.01, -0.02} → -0.02), NULL skipping, and the
+    DISTINCT path (avg(DISTINCT {0.01, 0.01, 0.04}) → 0.03).  The
+    DuckDB oracle spells Trino's contract as exact integer math
+    (DuckDB's own avg(DECIMAL) returns DOUBLE — a true differential).
+
+    Reference parity: Trino DecimalAverageAggregation HALF_UP at input
+    type, text forwarded verbatim (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.execute import _catalog_column_types
+    from mcp_trino_spark.sources.catalog import register_tables
+    from mcp_trino_spark.trino_compat import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+            SELECT CAST(l_returnflag AS VARCHAR) AS grp,
+                   CAST(avg(CAST(CAST(l_quantity AS BIGINT)
+                                 AS DECIMAL(10,2))) * 100 AS BIGINT) AS v
+            FROM lineitem WHERE l_orderkey < 3000 GROUP BY l_returnflag
+            UNION ALL
+            SELECT 'ties_up', CAST(avg(CAST(v AS DECIMAL(10,2))) * 100
+                                   AS BIGINT)
+            FROM (VALUES '0.01', '0.02') AS t(v)
+            UNION ALL
+            SELECT 'thirds',
+                   CAST(avg(CAST(v AS DECIMAL(10,2))) * 100 AS BIGINT)
+            FROM (VALUES '1.00', '2.00', '2.00') AS t(v)
+            UNION ALL
+            SELECT 'neg_away', CAST(avg(CAST(v AS DECIMAL(10,2))) * 100
+                                    AS BIGINT)
+            FROM (VALUES '-0.01', '-0.02') AS t(v)
+            UNION ALL
+            SELECT 'null_skip',
+                   CAST(avg(TRY_CAST(v AS DECIMAL(10,2))) * 100 AS BIGINT)
+            FROM (VALUES '0.01', 'x', '0.02') AS t(v)
+            UNION ALL
+            SELECT 'distinct',
+                   CAST(avg(DISTINCT CAST(v AS DECIMAL(10,2))) * 100
+                        AS BIGINT)
+            FROM (VALUES '0.01', '0.01', '0.04') AS t(v)
+            """,
+            column_types=_catalog_column_types(spark),
+        )
+    )

@@ -315,6 +315,7 @@ ROWS_ONLY_OK = {
 # then proven-set family representatives.  Do not edit by hand —
 # run `make rotate-window` after any engine change.
 _WINDOW_HEAD = [
+    "x71_decimal_avg_semantics",
     "x19_trino_dialect",
     "o12_fetch_with_ties",
     "x20_approx_most_frequent",
@@ -360,7 +361,6 @@ _WINDOW_HEAD = [
     "a11b_stats_native",
     "l26_minhash_estimate",
     "l33_editdist_verify",
-    "l13_training_pipeline",
 ]
 _WINDOW_TAIL = [
     "p2_alias_expr",

@@ -6904,7 +6904,7 @@ def has_identifier_division(q: str) -> bool:
 #: round, a CAST to an integral type, or a subscript can each consume
 #: the catalog column-type map — everything else skips the catalog RPCs
 _NEEDS_TYPES_HINT = re.compile(
-    r"(?is)\bround\s*\(|\[|"
+    r"(?is)\bround\s*\(|\[|\bavg\s*\(|"
     r"\bAS\s+(?:TINYINT|SMALLINT|INT|INTEGER|BIGINT|VARCHAR|STRING)\b"
 )
 
@@ -7352,6 +7352,95 @@ def _rewrite_xxhash64(q: str) -> str:
             seg = _XXHASH64_HEAD.sub("trino_xxhash64(", seg)
         segs.append(seg)
     return "".join(segs)
+
+
+def _operand_true_decimal_params(expr: str, types: dict):
+    """``(precision, scale)`` when the operand is GENUINELY decimal-typed
+    (decimal literals, parameterized DECIMAL cast targets, catalog
+    decimal columns) — unlike ``_operand_decimal_params`` it returns
+    None for integral operands: ``avg(integral)`` is DOUBLE in both
+    engines and must stay untouched."""
+    e = expr.strip()
+    if not e:
+        return None
+    m = re.fullmatch(r"-?(\d+)\.(\d+)", e)
+    if m:
+        return (len(m.group(1)) + len(m.group(2)), len(m.group(2)))
+    m = re.fullmatch(r"(?is)DECIMAL\s+'(-?\d+)(?:\.(\d+))?'", e)
+    if m:
+        frac = m.group(2) or ""
+        return (len(m.group(1).lstrip("-")) + len(frac), len(frac))
+    if e.startswith("(") and e.endswith(")") and _balanced(e[1:-1]):
+        return _operand_true_decimal_params(e[1:-1].strip(), types)
+    target = _cast_target_of(e)
+    if target == "decimal":
+        tm = _DECIMAL_TYPE_PARAMS.search(e)
+        # unparameterized CAST(x AS DECIMAL) is rewritten to (38,0) by
+        # _rewrite_bare_decimal BEFORE this pass, so tm is set for all
+        # translator-visited casts; a raw bare DECIMAL stays residue
+        return (int(tm.group(1)), int(tm.group(2))) if tm else None
+    if target is not None:
+        return None
+    if _IDENT_CHAIN.fullmatch(e):
+        tm = _DECIMAL_TYPE_PARAMS.fullmatch(
+            types.get(e.rsplit(".", 1)[-1].lower(), "")
+        )
+        if tm:
+            return (int(tm.group(1)), int(tm.group(2)))
+    return None
+
+
+_AVG_HEAD = re.compile(r"\bavg\s*\(", re.IGNORECASE)
+_AVG_TRAILER = re.compile(r"(?is)(FILTER|OVER)\s*\(")
+
+
+def _rewrite_decimal_avg(q: str, column_types: dict) -> str:
+    """Trino ``avg(DECIMAL(p, s))`` returns ``DECIMAL(p, s)`` rounded
+    HALF_UP at the INPUT scale (DecimalAverageAggregation) where Spark
+    widens the result to ``decimal(p+4, s+4)`` — a silent VALUE
+    divergence on every Trino-valid decimal average: ``avg`` of
+    {0.01, 0.02} at (10,2) is 0.02 in Trino, 0.015000 here.  Where the
+    operand's decimal type is lexically or catalog knowable (the x47
+    contract), the call — including trailing FILTER/OVER clauses — is
+    wrapped in a CAST to the operand type; Spark's decimal→decimal
+    cast rounds HALF_UP, reproducing Trino's rounding.  Integral and
+    double operands already agree (DOUBLE out of both engines) and
+    unknowable operands keep Spark's widened type as documented
+    residue.
+
+    Residue (documented, same class as decimal division): Spark
+    computes the mean at ITS widened scale (s+4) first, so the wrap
+    double-rounds — exact means within ~5e-5 of a half boundary in
+    units of the (s+4)th digit can round differently.
+
+    Reference parity: Trino DecimalAverageAggregation semantics; text
+    forwarded verbatim by the reference (internal/trino/client.go).
+    """
+    types = {str(k).lower(): str(v).lower() for k, v in column_types.items()}
+    pos = 0
+    while True:
+        found = _find_call(q, _AVG_HEAD, pos)
+        if not found:
+            return q
+        m, bstart, bend = found
+        inner = q[bstart:bend].strip()
+        mdist = re.match(r"(?is)^(DISTINCT|ALL)\b", inner)
+        operand = inner[mdist.end():].strip() if mdist else inner
+        params = _operand_true_decimal_params(operand, types)
+        if params is None:
+            pos = bend
+            continue
+        p, s = params
+        end = bend + 1
+        # fold trailing FILTER (WHERE …) / OVER (…) clauses into the wrap
+        while True:
+            trailer = _find_call(q, _AVG_TRAILER, end)
+            if not trailer or q[end : trailer[0].start()].strip():
+                break
+            end = trailer[2] + 1
+        repl = f"CAST({q[m.start():end]} AS DECIMAL({p}, {s}))"
+        q = q[: m.start()] + repl + q[end:]
+        pos = m.start() + len(repl)
 
 
 def _rewrite_bare_decimal(q: str) -> str:
@@ -9302,6 +9391,9 @@ def _translate_inner(
     # max(s1,s2) result scale (HALF_UP) where Spark widens the scale
     if "/" in query:
         query = _rewrite_decimal_division(query, column_types or {})
+    # avg over a knowable decimal keeps Trino's INPUT type (p, s),
+    # HALF_UP — Spark widens to (p+4, s+4), a silent value divergence
+    query = _rewrite_decimal_avg(query, column_types or {})
     # BEFORE every pass that parses sort keys (FROM LAST, WITH TIES,
     # GROUPS frames, EXCLUDE) — they must see Trino's null placement
     query = _rewrite_order_by_null_defaults(query)

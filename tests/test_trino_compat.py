@@ -4303,3 +4303,46 @@ def test_case_shield_tables_match_runtime_jvm(spark):
         f"single-char full-lowercase diverging from a DIFFERENT simple "
         f"mapping beyond Final_Sigma: {sorted(hex(c) for c in real_cond)}"
     )
+
+
+class TestDecimalAvg:
+    """r14: avg over a knowable decimal keeps Trino's INPUT type
+    (HALF_UP at scale s) — Spark widens to (p+4, s+4)."""
+
+    def test_cast_operand_wrapped(self):
+        out = translate("SELECT avg(CAST(x AS DECIMAL(10,2))) FROM t")
+        assert "CAST(avg(CAST(x AS DECIMAL(10,2))) AS DECIMAL(10, 2))" in out
+
+    def test_catalog_column_wrapped(self):
+        out = translate(
+            "SELECT avg(price) FROM t", column_types={"price": "decimal(12,2)"}
+        )
+        assert "CAST(avg(price) AS DECIMAL(12, 2))" in out
+
+    def test_integral_and_double_operands_untouched(self):
+        assert translate("SELECT avg(x) FROM t") == "SELECT avg(x) FROM t"
+        out = translate(
+            "SELECT avg(price) FROM t", column_types={"price": "double"}
+        )
+        assert "CAST(avg" not in out
+        out = translate("SELECT avg(CAST(x AS BIGINT)) FROM t")
+        assert "CAST(avg" not in out
+
+    def test_over_and_filter_fold_into_wrap(self):
+        out = translate(
+            "SELECT avg(CAST(x AS DECIMAL(8,3))) OVER (PARTITION BY k) FROM t"
+        )
+        assert out.startswith(
+            "SELECT CAST(avg(CAST(x AS DECIMAL(8,3))) OVER (PARTITION BY k)"
+            " AS DECIMAL(8, 3))"
+        )
+        out = translate(
+            "SELECT avg(CAST(x AS DECIMAL(8,3))) FILTER (WHERE x > 0) FROM t"
+        )
+        assert "FILTER (WHERE x > 0) AS DECIMAL(8, 3))" in out
+
+    def test_distinct_and_decimal_literal(self):
+        out = translate("SELECT avg(DISTINCT CAST(x AS DECIMAL(6,1))) FROM t")
+        assert "AS DECIMAL(6, 1))" in out
+        out = translate("SELECT avg(DECIMAL '1.50') FROM t")
+        assert "AS DECIMAL(3, 2))" in out

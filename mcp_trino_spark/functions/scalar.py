@@ -3576,3 +3576,91 @@ def x71_decimal_avg_semantics(spark, sf_dir):
             column_types=_catalog_column_types(spark),
         )
     )
+
+
+@register(
+    "x72_nested_complex_equality",
+    oracle="""
+    SELECT i, expected AS v FROM (VALUES
+        (1, NULL), (2, 'true'), (3, 'false'), (4, 'false'),
+        (5, NULL), (6, NULL), (7, 'true'), (8, NULL),
+        (9, 'true'), (10, NULL), (11, 'true'), (12, NULL),
+        (13, NULL), (14, 'false'), (15, 'miss'), (16, NULL),
+        (17, NULL), (18, 'false'), (19, 'true'), (20, 'true')
+    ) AS t(i, expected)
+    """,
+)
+def x72_nested_complex_equality(spark, sf_dir):
+    """Differential certification of the round-14 NESTED three-valued
+    equality closure (_eq_by_shape recursion): Trino's equal operators
+    delegate to the ELEMENT type's equal operator at every level
+    (Array/Row/MapEqualOperator), so a null two levels down makes the
+    outermost comparison unknown — pre-x72 the r13 forms compared
+    nested elements with Spark's null-conflating ``=`` inside the
+    zip_with lambdas (ARRAY[ARRAY[1, NULL]] = itself returned TRUE;
+    Trino says NULL), and rows eleven rounds of sweeps never reached
+    depth 2.  Rows 1-14 pin =, 13 IN lists, 15 simple CASE, 16 nullif
+    through array-of-array, row-of-array, row-of-row, map-of-array,
+    array-of-row, array-of-map nests; 17 the triple nest; 18-20 the
+    VOID-typed corners (empty/NULL literals) that were ANALYSIS errors
+    before the common-type coercion wrap.  The oracle pins expected
+    values as literals (DuckDB's nested comparison treats NULL as an
+    equal value — a different contract).
+
+    Reference parity: Trino ArrayEqualOperator / RowEqualOperator /
+    MapEqualOperator recursive delegation, text forwarded verbatim
+    (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.trino_compat import translate
+
+    return spark.sql(
+        translate(
+            """
+            SELECT 1 AS i, CAST(ARRAY[ARRAY[1, NULL]] = ARRAY[ARRAY[1, NULL]]
+                                AS VARCHAR) AS v
+            UNION ALL SELECT 2, CAST(ARRAY[ARRAY[1, 2]] = ARRAY[ARRAY[1, 2]]
+                                     AS VARCHAR)
+            UNION ALL SELECT 3, CAST(ARRAY[ARRAY[1, 2]] = ARRAY[ARRAY[1, 3]]
+                                     AS VARCHAR)
+            UNION ALL SELECT 4, CAST(ARRAY[ARRAY[1, NULL]] = ARRAY[ARRAY[2, NULL]]
+                                     AS VARCHAR)
+            UNION ALL SELECT 5, CAST(ROW(ARRAY[1, NULL]) = ROW(ARRAY[1, NULL])
+                                     AS VARCHAR)
+            UNION ALL SELECT 6, CAST(ROW(ROW(1, NULL)) = ROW(ROW(1, NULL))
+                                     AS VARCHAR)
+            UNION ALL SELECT 7, CAST(ROW(ROW(1, 2)) = ROW(ROW(1, 2)) AS VARCHAR)
+            UNION ALL SELECT 8, CAST(MAP(ARRAY[1], ARRAY[ARRAY[1, NULL]])
+                                     = MAP(ARRAY[1], ARRAY[ARRAY[1, NULL]])
+                                     AS VARCHAR)
+            UNION ALL SELECT 9, CAST(MAP(ARRAY[1], ARRAY[ARRAY[1, 2]])
+                                     = MAP(ARRAY[1], ARRAY[ARRAY[1, 2]])
+                                     AS VARCHAR)
+            UNION ALL SELECT 10, CAST(ARRAY[ROW(1, NULL)] = ARRAY[ROW(1, NULL)]
+                                      AS VARCHAR)
+            UNION ALL SELECT 11, CAST(ARRAY[ROW(1, 2)] = ARRAY[ROW(1, 2)]
+                                      AS VARCHAR)
+            UNION ALL SELECT 12, CAST(ARRAY[MAP(ARRAY[1], ARRAY[NULL])]
+                                      = ARRAY[MAP(ARRAY[1], ARRAY[NULL])]
+                                      AS VARCHAR)
+            UNION ALL SELECT 13, CAST(ARRAY[ARRAY[1, NULL]]
+                                      IN (ARRAY[ARRAY[1, NULL]]) AS VARCHAR)
+            UNION ALL SELECT 14, CAST(nullif(ARRAY[ARRAY[1, NULL]],
+                                             ARRAY[ARRAY[1, NULL]]) IS NULL
+                                      AS VARCHAR)
+            UNION ALL SELECT 15, CASE ARRAY[ARRAY[1, NULL]]
+                                      WHEN ARRAY[ARRAY[1, NULL]] THEN 'hit'
+                                      ELSE 'miss' END
+            UNION ALL SELECT 16, CAST(ARRAY[ARRAY[ARRAY[NULL]]]
+                                      = ARRAY[ARRAY[ARRAY[NULL]]] AS VARCHAR)
+            UNION ALL SELECT 17, CAST(ARRAY[ARRAY[1, 2], NULL]
+                                      = ARRAY[ARRAY[1, 2], NULL] AS VARCHAR)
+            UNION ALL SELECT 18, CAST(ARRAY[ARRAY[1, 2]] = ARRAY[ARRAY[1, 2, 3]]
+                                      AS VARCHAR)
+            UNION ALL SELECT 19, CAST(MAP(ARRAY[], ARRAY[])
+                                      = MAP(ARRAY[], ARRAY[]) AS VARCHAR)
+            UNION ALL SELECT 20, CAST(ROW(NULL, 2)
+                                      <> ROW(MAP(ARRAY[1], ARRAY[2]), 3)
+                                      AS VARCHAR)
+            """
+        )
+    )

@@ -316,6 +316,7 @@ ROWS_ONLY_OK = {
 # run `make rotate-window` after any engine change.
 _WINDOW_HEAD = [
     "x71_decimal_avg_semantics",
+    "x72_nested_complex_equality",
     "x19_trino_dialect",
     "o12_fetch_with_ties",
     "x20_approx_most_frequent",
@@ -360,7 +361,6 @@ _WINDOW_HEAD = [
     "x13_struct_row",
     "a11b_stats_native",
     "l26_minhash_estimate",
-    "l33_editdist_verify",
 ]
 _WINDOW_TAIL = [
     "p2_alias_expr",

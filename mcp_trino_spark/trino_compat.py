@@ -7746,7 +7746,232 @@ def _operand_is_map(expr: str, types: dict) -> bool:
     return False
 
 
-def _map_eq_expr(a: str, b: str) -> str:
+def _split_angle_args(body: str) -> List[str]:
+    """Top-level comma split of a Spark type-parameter list, <>-aware."""
+    parts, depth, last = [], 0, 0
+    for i, c in enumerate(body):
+        if c == "<":
+            depth += 1
+        elif c == ">":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(body[last:i])
+            last = i + 1
+    parts.append(body[last:])
+    return [p.strip() for p in parts]
+
+
+def _shape_from_spark_type(t: str):
+    """Nesting SHAPE of a Spark catalog type string — the recursion
+    driver for three-valued equality (x72): ``("array", elem_shape)``,
+    ``("map", value_shape)``, ``("struct", [(name, shape), ...])``, or
+    None for scalar/unknown."""
+    t = (t or "").strip()
+    tl = t.lower()
+    if tl.startswith("array<") and t.endswith(">"):
+        return ("array", _shape_from_spark_type(t[6:-1]))
+    if tl.startswith("map<") and t.endswith(">"):
+        kv = _split_angle_args(t[4:-1])
+        return ("map", _shape_from_spark_type(kv[1]) if len(kv) == 2 else None)
+    if tl.startswith("struct<") and t.endswith(">"):
+        fields = []
+        for part in _split_angle_args(t[7:-1]):
+            name, sep, ft = part.partition(":")
+            if not sep or not name.strip():
+                return None
+            fields.append((name.strip(), _shape_from_spark_type(ft)))
+        return ("struct", fields)
+    return None
+
+
+def _shape_from_trino_type(t: str):
+    """Nesting shape of a Trino type spelling (CAST targets):
+    ``ARRAY(T)`` / ``MAP(K, V)`` / ``ROW(name T, ...)``.  Unnamed ROW
+    fields make the struct unaddressable → None (no recursion)."""
+    tt = (t or "").strip()
+    m = re.fullmatch(r"(?is)ARRAY\s*\((.*)\)", tt)
+    if m:
+        return ("array", _shape_from_trino_type(m.group(1)))
+    m = re.fullmatch(r"(?is)MAP\s*\((.*)\)", tt)
+    if m:
+        kv = _split_top_args(m.group(1))
+        return ("map", _shape_from_trino_type(kv[1]) if len(kv) == 2 else None)
+    m = re.fullmatch(r"(?is)ROW\s*\((.*)\)", tt)
+    if m:
+        fields = []
+        for part in _split_top_args(m.group(1)):
+            nm = re.match(
+                r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+(\S.*)$", part, re.DOTALL
+            )
+            if nm is None:
+                return None
+            fields.append((nm.group(1), _shape_from_trino_type(nm.group(2))))
+        return ("struct", fields)
+    return None
+
+
+def _cast_target_text(e: str) -> Optional[str]:
+    """The raw type text of a whole CAST/TRY_CAST expression."""
+    m = re.fullmatch(r"(?is)(?:CAST|TRY_CAST)\s*\((.*)\)", e.strip())
+    if m is None:
+        return None
+    body = m.group(1)
+    as_at = _split_cast_body(body)
+    if as_at is None:
+        return None
+    return body[as_at.end():]
+
+
+def _operand_shape(expr: str, types: dict):
+    """Nesting shape of a lexically/catalog-knowable operand (the x47
+    contract extended below the top level — x72): constructors
+    destructure (positional struct()/ROW() fields take Spark's
+    ``col1..colN`` default names), CAST targets parse, catalog columns
+    read the types map.  None = scalar or unknowable (the pre-x72
+    conflating fallback, now only for genuinely unknowable nesting)."""
+    e = expr.strip()
+    if not e:
+        return None
+    if e.startswith("(") and e.endswith(")") and _balanced(e[1:-1]):
+        return _operand_shape(e[1:-1].strip(), types)
+    name = _whole_call_name_any(e)
+    if name in ("cast", "try_cast"):
+        return _shape_from_trino_type(_cast_target_text(e) or "")
+    if name is not None:
+        b0 = e.index("(") + 1
+        args = [a.strip() for a in _split_top_args(e[b0:-1])]
+        if name == "array":
+            elem = None
+            for a in args:
+                if a.upper() != "NULL":
+                    elem = _merge_shapes(elem, _operand_shape(a, types))
+            return ("array", elem)
+        if name in ("row", "struct"):
+            return (
+                "struct",
+                [
+                    (f"col{i + 1}", _operand_shape(a, types))
+                    for i, a in enumerate(args)
+                ],
+            ) if args else None
+        if name == "named_struct":
+            if len(args) % 2 or not args:
+                return None
+            names = [a.strip("'\"") for a in args[0::2]]
+            return (
+                "struct",
+                [
+                    (n, _operand_shape(a, types))
+                    for n, a in zip(names, args[1::2])
+                ],
+            )
+        if name == "map":
+            # Trino MAP(ARRAY[k...], ARRAY[v...]) spelling: value shape
+            # is the second array's element shape
+            if len(args) == 2:
+                vs = _operand_shape(args[1], types)
+                return ("map", vs[1] if vs and vs[0] == "array" else None)
+            return ("map", None)
+        if name == "map_from_arrays" and len(
+            _split_top_args(e[e.index("(") + 1 : -1])
+        ) == 2:
+            args2 = _split_top_args(e[e.index("(") + 1 : -1])
+            vs = _operand_shape(args2[1].strip(), types)
+            return ("map", vs[1] if vs and vs[0] == "array" else None)
+        if name in _ARRAY_RESULT_FNS:
+            return ("array", None)
+        if name in _MAP_RESULT_FNS:
+            return ("map", None)
+        return None
+    if _IDENT_CHAIN.fullmatch(e):
+        return _shape_from_spark_type(types.get(e.rsplit(".", 1)[-1].lower(), ""))
+    return None
+
+
+def _merge_shapes(s1, s2):
+    """Union of two shapes of the SAME logical type: a bare NULL on one
+    side leaves a hole (None) the other side may fill — ``ROW(NULL, 2)
+    = ROW(MAP(…), 0)`` must recurse the first field as a map, not fall
+    back to Spark's (unorderable) scalar ``<>``."""
+    if s1 is None:
+        return s2
+    if s2 is None:
+        return s1
+    if s1[0] != s2[0]:
+        return s1
+    if s1[0] in ("array", "map"):
+        return (s1[0], _merge_shapes(s1[1], s2[1]))
+    if len(s1[1]) != len(s2[1]):
+        return s1
+    return (
+        "struct",
+        [
+            (n1, _merge_shapes(f1, f2))
+            for (n1, f1), (_, f2) in zip(s1[1], s2[1])
+        ],
+    )
+
+
+def _merged_shape_of(types: dict, kind: str, exprs) -> object:
+    merged = None
+    for e in exprs:
+        s = _operand_shape(e, types)
+        if s and s[0] == kind:
+            merged = _merge_shapes(merged, s) if merged else s
+    return merged
+
+
+def _elem_shape_of(types: dict, *exprs: str):
+    """Merged element shape across every operand knowable as an array."""
+    s = _merged_shape_of(types, "array", exprs)
+    return s[1] if s else None
+
+
+def _vshape_of(types: dict, *exprs: str):
+    """Merged value shape across every operand knowable as a map."""
+    s = _merged_shape_of(types, "map", exprs)
+    return s[1] if s else None
+
+
+def _field_shapes_of(types: dict, *exprs: str):
+    """Merged per-field shapes across every operand knowable as a row."""
+    s = _merged_shape_of(types, "struct", exprs)
+    return [sh for _, sh in s[1]] if s else None
+
+
+def _eq_by_shape(a: str, b: str, shape, d: int = 1) -> str:
+    """Three-valued equality of ``a`` and ``b`` recursing through the
+    shape (x72): Trino's equal operators delegate to the ELEMENT
+    type's equal operator at every level, so a null two levels down
+    still makes the outermost comparison unknown — pre-x72 the forms
+    compared nested elements with Spark's null-conflating ``=``
+    (ARRAY[ARRAY[1, NULL]] = ARRAY[ARRAY[1, NULL]] returned TRUE;
+    Trino says NULL).  ``d`` keeps nested lambda variables unique
+    (shadowed names are rejected/ambiguous in HOF lambdas)."""
+    if shape is None:
+        return (
+            f"IF(({a}) IS NULL OR ({b}) IS NULL, CAST(NULL AS BOOLEAN),"
+            f" ({a}) = ({b}))"
+        )
+    kind = shape[0]
+    if kind == "array":
+        return _array_eq_expr(a, b, shape[1], d)
+    if kind == "map":
+        return _map_eq_expr(a, b, shape[1], d)
+    # common-type coercion before field extraction: a bare NULL field
+    # literal types the field VOID on one side (see _array_eq_expr)
+    a, b = f"IF(false, {b}, {a})", f"IF(false, {a}, {b})"
+    la = [f"({a}).`{n}`" for n, _ in shape[1]]
+    lb = [f"({b}).`{n}`" for n, _ in shape[1]]
+    return _row_eq_expr(a, b, la, lb, [s for _, s in shape[1]], d)
+
+
+_EMPTY_MAP_LITERAL = re.compile(
+    r"(?is)\(*\s*map\s*\(\s*array\s*\(\s*\)\s*,\s*array\s*\(\s*\)\s*\)\s*\)*"
+)
+
+
+def _map_eq_expr(a: str, b: str, vshape=None, d: int = 0) -> str:
     """Trino three-valued map equality (MapEqualOperator): size
     mismatch or a key absent from the other side → false; a decided
     unequal value pair → false; else any NULL value → NULL; else true.
@@ -7754,19 +7979,52 @@ def _map_eq_expr(a: str, b: str) -> str:
     a valid Trino query was a hard error), so this arm is reachability
     plus semantics.  Key lookups via element_at are safe: Spark's map
     element_at returns NULL on a missing key, and the key-coverage arm
-    runs first."""
-    zwv = (
-        f"transform(map_keys({a}), k ->"
-        f" IF(element_at({a}, k) IS NULL OR element_at({b}, k) IS NULL,"
-        f" CAST(NULL AS BOOLEAN), element_at({a}, k) = element_at({b}, k)))"
-    )
+    runs first.  ``vshape`` recurses complex VALUE types through the
+    same three-valued forms (x72)."""
+    sk = "k" if d == 0 else f"k_{d}"
+    sp = "p" if d == 0 else f"p_{d}"
+    # BOTH sides lexically empty-map or NULL literals: the common type
+    # is still map<void,void> and every keyed arm is an analysis error
+    # on VOID — but map keys cannot be NULL in either engine, so only
+    # this all-literal case can stay void after coercion, and it is
+    # statically decidable: NULL operand → NULL, two non-null empty
+    # maps → EQUAL (Trino MapEqualOperator on zero entries)
+    def _void_map_lit(e: str) -> bool:
+        s = e.strip()
+        while s.startswith("(") and s.endswith(")") and _balanced(s[1:-1]):
+            s = s[1:-1].strip()
+        return s.upper() == "NULL" or bool(_EMPTY_MAP_LITERAL.fullmatch(s))
+
+    if _void_map_lit(a) and _void_map_lit(b):
+        return (
+            f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL"
+            f" THEN CAST(NULL AS BOOLEAN) ELSE true END)"
+        )
+    # common-type coercion, ALWAYS for maps: an empty MAP(ARRAY[],
+    # ARRAY[]) literal types map<void,void>, and the key-coverage arm's
+    # map_contains_key(other, k) rejects a VOID-typed lambda key at
+    # analysis time (a valid Trino comparison was an error even before
+    # the x72 recursion); the IF(false, …) wrap constant-folds to a
+    # cast to the two sides' common type
+    a, b = f"IF(false, {b}, {a})", f"IF(false, {a}, {b})"
+    if vshape is None:
+        pair = (
+            f"IF(element_at({a}, {sk}) IS NULL OR element_at({b}, {sk}) IS"
+            f" NULL, CAST(NULL AS BOOLEAN),"
+            f" element_at({a}, {sk}) = element_at({b}, {sk}))"
+        )
+    else:
+        pair = _eq_by_shape(
+            f"element_at({a}, {sk})", f"element_at({b}, {sk})", vshape, d + 1
+        )
+    zwv = f"transform(map_keys({a}), {sk} -> {pair})"
     return (
         f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN CAST(NULL AS BOOLEAN)"
         f" WHEN size({a}) <> size({b}) THEN false"
-        f" WHEN exists(map_keys({a}), k -> NOT map_contains_key({b}, k))"
+        f" WHEN exists(map_keys({a}), {sk} -> NOT map_contains_key({b}, {sk}))"
         f" THEN false"
         f" WHEN array_contains({zwv}, false) THEN false"
-        f" WHEN exists({zwv}, p -> p IS NULL) THEN CAST(NULL AS BOOLEAN)"
+        f" WHEN exists({zwv}, {sp} -> {sp} IS NULL) THEN CAST(NULL AS BOOLEAN)"
         f" ELSE true END)"
     )
 
@@ -7907,17 +8165,31 @@ def _operand_row_accessors(expr: str, types: dict) -> Optional[List[str]]:
     return None
 
 
-def _row_eq_expr(a: str, b: str, la: List[str], lb: List[str]) -> str:
+def _row_eq_expr(
+    a: str, b: str, la: List[str], lb: List[str], shapes=None, d: int = 0
+) -> str:
     """Trino three-valued ROW equality (RowEqualOperator): any
     decided-unequal field → false; else any null field on either side
-    → NULL; else true."""
-    decided = " OR ".join(
-        f"({x} IS NOT NULL AND {y} IS NOT NULL AND {x} <> {y})"
-        for x, y in zip(la, lb)
-    )
-    undecided = " OR ".join(
-        f"{x} IS NULL OR {y} IS NULL" for x, y in zip(la, lb)
-    )
+    → NULL; else true.  ``shapes`` (one per field, None = scalar)
+    recurses complex FIELD types through the same three-valued forms
+    (x72) — pre-x72 a nested null (ROW(ROW(1, NULL)) = itself)
+    compared with Spark's conflating ``<>`` and decided TRUE where
+    Trino says NULL."""
+    if shapes is None:
+        shapes = [None] * len(la)
+    decided_arms, undecided_arms = [], []
+    for x, y, s in zip(la, lb, shapes):
+        if s is None:
+            decided_arms.append(
+                f"({x} IS NOT NULL AND {y} IS NOT NULL AND {x} <> {y})"
+            )
+            undecided_arms.append(f"{x} IS NULL OR {y} IS NULL")
+        else:
+            fe = _eq_by_shape(x, y, s, d + 1)
+            decided_arms.append(f"({fe}) IS FALSE")
+            undecided_arms.append(f"({fe}) IS NULL")
+    decided = " OR ".join(decided_arms)
+    undecided = " OR ".join(undecided_arms)
     return (
         f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN CAST(NULL AS BOOLEAN)"
         f" WHEN {decided} THEN false"
@@ -8015,19 +8287,37 @@ def _right_operand_end(q: str, mask: List[bool], pos: int) -> Optional[int]:
             return end
 
 
-def _array_eq_expr(a: str, b: str) -> str:
+def _array_eq_expr(a: str, b: str, elem_shape=None, d: int = 0) -> str:
     """Trino three-valued array equality: length mismatch → false;
     any decided-unequal pair → false; else any null element → NULL;
-    else true (ArrayEqualOperator)."""
-    zw = (
-        f"zip_with({a}, {b}, (x, y) ->"
-        f" IF(x IS NULL OR y IS NULL, CAST(NULL AS BOOLEAN), x = y))"
-    )
+    else true (ArrayEqualOperator).  ``elem_shape`` recurses complex
+    ELEMENT types through the same forms (x72) — pre-x72 the lambda's
+    ``x = y`` conflated nested nulls (ARRAY[ARRAY[1, NULL]] = itself
+    returned TRUE; Trino says NULL).  ``d`` uniquifies nested lambda
+    variables."""
+    sx = "x" if d == 0 else f"x_{d}"
+    sy = "y" if d == 0 else f"y_{d}"
+    sp = "p" if d == 0 else f"p_{d}"
+    # coerce both sides to their COMMON type first: a bare NULL operand
+    # (a struct-field hole under x72 recursion) is rejected by zip_with
+    # at analysis time, and an empty/all-NULL literal types array<void>,
+    # breaking the recursion's field extraction — the IF(false, …) wrap
+    # constant-folds to a cast (Trino types such literals from context
+    # the same way)
+    a, b = f"IF(false, {b}, {a})", f"IF(false, {a}, {b})"
+    if elem_shape is None:
+        pair = (
+            f"IF({sx} IS NULL OR {sy} IS NULL, CAST(NULL AS BOOLEAN),"
+            f" {sx} = {sy})"
+        )
+    else:
+        pair = _eq_by_shape(sx, sy, elem_shape, d + 1)
+    zw = f"zip_with({a}, {b}, ({sx}, {sy}) -> {pair})"
     return (
         f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN CAST(NULL AS BOOLEAN)"
         f" WHEN size({a}) <> size({b}) THEN false"
         f" WHEN array_contains({zw}, false) THEN false"
-        f" WHEN exists({zw}, p -> p IS NULL) THEN CAST(NULL AS BOOLEAN)"
+        f" WHEN exists({zw}, {sp} -> {sp} IS NULL) THEN CAST(NULL AS BOOLEAN)"
         f" ELSE true END)"
     )
 
@@ -8198,22 +8488,28 @@ def _rewrite_array_comparisons(q: str, column_types: dict) -> str:
         hits
     ):
         if is_map:
+            vs = _vshape_of(types, left, right)
             repl = (
-                _map_eq_expr(left, right)
+                _map_eq_expr(left, right, vs)
                 if op == "="
-                else f"(NOT {_map_eq_expr(left, right)})"
+                else f"(NOT {_map_eq_expr(left, right, vs)})"
             )
         elif row_la is not None:
+            fs = _field_shapes_of(types, left, right)
             if op == "=":
-                repl = _row_eq_expr(left, right, row_la, row_lb)
+                repl = _row_eq_expr(left, right, row_la, row_lb, fs)
             elif op in ("<>", "!="):
-                repl = f"(NOT {_row_eq_expr(left, right, row_la, row_lb)})"
+                repl = (
+                    f"(NOT {_row_eq_expr(left, right, row_la, row_lb, fs)})"
+                )
             else:
                 repl = _row_ord_expr(left, right, row_la, row_lb, op)
         elif op == "=":
-            repl = _array_eq_expr(left, right)
+            repl = _array_eq_expr(left, right, _elem_shape_of(types, left, right))
         elif op in ("<>", "!="):
-            repl = f"(NOT {_array_eq_expr(left, right)})"
+            repl = (
+                f"(NOT {_array_eq_expr(left, right, _elem_shape_of(types, left, right))})"
+            )
         else:
             repl = _array_ord_expr(left, right, op)
         q = q[:lstart] + repl + q[rend:]
@@ -8267,21 +8563,34 @@ def _rewrite_array_in_lists(q: str, column_types: dict) -> str:
             continue
         neg = bool(m.group(1))
         eqs = None
+        # shapes are PER PAIR (left, item): merging across items would
+        # attach a richer shape than a given pair materializes, and the
+        # recursion's extraction is an analysis error on that pair's
+        # VOID-typed holes
         if _operand_is_array(left, types) or all(
             _operand_is_array(it, types) for it in items
         ):
-            eqs = [_array_eq_expr(left, it) for it in items]
+            eqs = [
+                _array_eq_expr(left, it, _elem_shape_of(types, left, it))
+                for it in items
+            ]
         elif _operand_is_map(left, types) or all(
             _operand_is_map(it, types) for it in items
         ):
-            eqs = [_map_eq_expr(left, it) for it in items]
+            eqs = [
+                _map_eq_expr(left, it, _vshape_of(types, left, it))
+                for it in items
+            ]
         else:
             la = _operand_row_accessors(left, types)
             if la is not None:
                 lbs = [_operand_row_accessors(it, types) for it in items]
                 if all(lb is not None and len(lb) == len(la) for lb in lbs):
                     eqs = [
-                        _row_eq_expr(left, it, la, lb)
+                        _row_eq_expr(
+                            left, it, la, lb,
+                            _field_shapes_of(types, left, it),
+                        )
                         for it, lb in zip(items, lbs)
                     ]
         if eqs is None:
@@ -8408,15 +8717,26 @@ def _rewrite_complex_simple_case(q: str, column_types: dict) -> str:
                 ok = False
                 break
             if arr:
-                conds.append(_array_eq_expr(operand, val))
+                conds.append(
+                    _array_eq_expr(
+                        operand, val, _elem_shape_of(types, operand, val)
+                    )
+                )
             elif mp:
-                conds.append(_map_eq_expr(operand, val))
+                conds.append(
+                    _map_eq_expr(operand, val, _vshape_of(types, operand, val))
+                )
             else:
                 lb = _operand_row_accessors(val, types)
                 if lb is None or len(lb) != len(la):
                     ok = False
                     break
-                conds.append(_row_eq_expr(operand, val, la, lb))
+                conds.append(
+                    _row_eq_expr(
+                        operand, val, la, lb,
+                        _field_shapes_of(types, operand, val),
+                    )
+                )
         if not ok:
             continue
         # searched form: drop the operand, replace each WHEN value with
@@ -8464,14 +8784,14 @@ def _rewrite_complex_nullif(q: str, column_types: dict) -> str:
             continue
         eq = None
         if _operand_is_array(a, types) or _operand_is_array(b, types):
-            eq = _array_eq_expr(a, b)
+            eq = _array_eq_expr(a, b, _elem_shape_of(types, a, b))
         elif _operand_is_map(a, types) or _operand_is_map(b, types):
-            eq = _map_eq_expr(a, b)
+            eq = _map_eq_expr(a, b, _vshape_of(types, a, b))
         else:
             la = _operand_row_accessors(a, types)
             lb = _operand_row_accessors(b, types)
             if la is not None and lb is not None and len(la) == len(lb):
-                eq = _row_eq_expr(a, b, la, lb)
+                eq = _row_eq_expr(a, b, la, lb, _field_shapes_of(types, a, b))
         if eq is None:
             pos = b1
             continue

@@ -1967,3 +1967,161 @@ def test_interval_comparison_random_differential(spark):
     got = {r["i"]: r["v"] for r in spark.sql(translate(sel)).collect()}
     mism = {j: (got[j], expect[j]) for j in expect if got[j] != expect[j]}
     assert not mism, f"{len(mism)} divergent, e.g. {list(mism.items())[:4]}"
+
+
+def _gen_shape(rng, depth):
+    kinds = ["scalar"] * 2 + (["array", "struct", "map"] if depth > 0 else [])
+    k = rng.choice(kinds)
+    if k == "scalar":
+        return None
+    if k == "array":
+        return ("array", _gen_shape(rng, depth - 1))
+    if k == "map":
+        return ("map", _gen_shape(rng, depth - 1))
+    return (
+        "struct",
+        [_gen_shape(rng, depth - 1) for _ in range(rng.randint(1, 3))],
+    )
+
+
+def _gen_value(rng, shape, top=False):
+    if not top and rng.random() < 0.18:
+        return None
+    if shape is None:
+        return rng.randint(0, 3)
+    kind = shape[0]
+    if kind == "array":
+        return [_gen_value(rng, shape[1]) for _ in range(rng.randint(0, 3))]
+    if kind == "map":
+        keys = rng.sample([1, 2, 3, 4], rng.randint(0, 3))
+        return {k: _gen_value(rng, shape[1]) for k in sorted(keys)}
+    return tuple(_gen_value(rng, s) for s in shape[1])
+
+
+def _render_trino(v, shape):
+    if v is None:
+        return "NULL"
+    if shape is None:
+        return str(v)
+    kind = shape[0]
+    if kind == "array":
+        return "ARRAY[" + ", ".join(_render_trino(e, shape[1]) for e in v) + "]"
+    if kind == "map":
+        ks = sorted(v)
+        return (
+            "MAP(ARRAY["
+            + ", ".join(str(k) for k in ks)
+            + "], ARRAY["
+            + ", ".join(_render_trino(v[k], shape[1]) for k in ks)
+            + "])"
+        )
+    return "ROW(" + ", ".join(
+        _render_trino(f, s) for f, s in zip(v, shape[1])
+    ) + ")"
+
+
+def _tri_eq(a, b):
+    """Trino's recursive three-valued equality (Array/Row/MapEqual
+    operators): None operand → None; container size/key mismatch →
+    False; any decided-unequal element → False; else any None element
+    → None; else True."""
+    if a is None or b is None:
+        return None
+    if isinstance(a, list):
+        if len(a) != len(b):
+            return False
+        res = True
+        for x, y in zip(a, b):
+            r = _tri_eq(x, y)
+            if r is False:
+                return False
+            if r is None:
+                res = None
+        return res
+    if isinstance(a, tuple):
+        res = True
+        for x, y in zip(a, b):
+            r = _tri_eq(x, y)
+            if r is False:
+                return False
+            if r is None:
+                res = None
+        return res
+    if isinstance(a, dict):
+        if set(a) != set(b):
+            return False
+        res = True
+        for k in a:
+            r = _tri_eq(a[k], b[k])
+            if r is False:
+                return False
+            if r is None:
+                res = None
+        return res
+    return a == b
+
+
+def _tri_or(*vals):
+    if any(v is True for v in vals):
+        return True
+    if any(v is None for v in vals):
+        return None
+    return False
+
+
+def _b2s(v):
+    return None if v is None else ("true" if v else "false")
+
+
+@pytest.mark.parametrize("seed", [1404, 9404])
+def test_equality_contexts_unified_property(spark, seed):
+    """The x65–x70 + x72 closure property (VERDICT r13 #5): ALL five
+    equality-bearing SQL contexts — =, <>, IN lists, simple CASE,
+    nullif — over randomly NESTED array/row/map literals (depth ≤ 3,
+    NULLs at every level) must agree with ONE recursive three-valued
+    reference, so future translator edits cannot de-unify the forms or
+    regress the nested recursion (pre-x72, depth ≥ 2 nulls conflated
+    through Spark's ``=`` inside the lambdas).  Two pinned seeds."""
+    rng = random.Random(seed)
+    selects, expect = [], {}
+    i = 0
+    while i < 30:
+        shape = _gen_shape(rng, 3)
+        if shape is None:
+            continue
+        a = _gen_value(rng, shape, top=True)
+        # bias toward near-equal pairs: mutate a copy half the time
+        b = _gen_value(rng, shape, top=True) if rng.random() < 0.5 else a
+        c = _gen_value(rng, shape, top=True)
+        sa, sb, sc = (_render_trino(v, shape) for v in (a, b, c))
+        eq_ab, eq_ac = _tri_eq(a, b), _tri_eq(a, c)
+        expect[i] = (
+            _b2s(eq_ab),
+            _b2s(None if eq_ab is None else not eq_ab),
+            _b2s(_tri_or(eq_ab, eq_ac)),
+            "b" if eq_ab is True else ("c" if eq_ac is True else "e"),
+            _b2s(eq_ab is True),
+        )
+        selects.append(
+            f"SELECT {i} AS i,"
+            f" CAST(({sa}) = ({sb}) AS VARCHAR) AS c_eq,"
+            f" CAST(({sa}) <> ({sb}) AS VARCHAR) AS c_ne,"
+            f" CAST(({sa}) IN ({sb}, {sc}) AS VARCHAR) AS c_in,"
+            f" CASE {sa} WHEN {sb} THEN 'b' WHEN {sc} THEN 'c'"
+            f" ELSE 'e' END AS c_case,"
+            f" CAST(nullif({sa}, {sb}) IS NULL AS VARCHAR) AS c_nullif"
+        )
+        i += 1
+    got = {}
+    # chunked: the recursive forms repeat operand text per nesting
+    # level, and 30 deep cases in ONE statement trip the translator's
+    # loud 1 MB size guard (the guard itself is correct behavior)
+    for lo in range(0, len(selects), 6):
+        for r in spark.sql(
+            translate(" UNION ALL ".join(selects[lo : lo + 6]))
+        ).collect():
+            got[r["i"]] = (
+                r["c_eq"], r["c_ne"], r["c_in"], r["c_case"], r["c_nullif"]
+            )
+    mism = {j: (got[j], expect[j]) for j in expect if got[j] != expect[j]}
+    assert not mism, f"{len(mism)} divergent, e.g. {list(mism.items())[:3]}"

@@ -317,6 +317,7 @@ ROWS_ONLY_OK = {
 _WINDOW_HEAD = [
     "x71_decimal_avg_semantics",
     "x72_nested_complex_equality",
+    "f2_list_catalogs",
     "x19_trino_dialect",
     "o12_fetch_with_ties",
     "x20_approx_most_frequent",
@@ -342,10 +343,11 @@ _WINDOW_HEAD = [
     "x60_unicode_case_semantics",
     "x61_date_interval_semantics",
     "x62_real_varchar_rendering",
+    "f3_list_schemas",
+    "s2d_xml_roundtrip",
+    "s13_zorder_layout",
     "a9_filtered_agg",
     "a11_stats",
-    "a13_approx_distinct",
-    "a14b_approx_percentile",
     "a15_grand_agg",
     "l2b_simhash",
     "l21_dup_clusters",
@@ -359,14 +361,12 @@ _WINDOW_HEAD = [
     "x9_array",
     "x10_array_hof",
     "x13_struct_row",
-    "a11b_stats_native",
-    "l26_minhash_estimate",
+    "s4_memory_table",
+    "s8_bucketed_colocated_join",
 ]
 _WINDOW_TAIL = [
     "p2_alias_expr",
     "t2_sliding_window",
-    "s4_memory_table",
-    "f5_table_schema",
 ]
 # --- END GENERATED WINDOW ---
 

@@ -248,8 +248,16 @@ def s7c_delete(spark, sf_dir):
 
 @register("f2_list_catalogs")  # rows-only: catalog set is engine-specific
 def f2_list_catalogs(spark, sf_dir):
+    """Catalog listing with the JDBC dim catalog registered in the
+    entry's OWN body (VERDICT r13 #7): the graded row count was 1 or 2
+    depending on whether an earlier entry had registered the federation
+    catalog in the driver's session — now deterministically 2
+    (spark_catalog + dimdb), pinned by
+    tests/test_federation.py::test_f2_listing_is_deterministic."""
     from mcp_trino_spark.catalog_api import list_catalogs
+    from mcp_trino_spark.sources.federation import ensure_dim_catalog
 
+    ensure_dim_catalog(spark, sf_dir)
     names = list_catalogs(spark, EngineConfig())
     return spark.createDataFrame([(n,) for n in names], "catalog STRING")
 

@@ -219,3 +219,16 @@ def test_postgres_dialect_compiles_remote_predicate_text(spark):
     # build again, recursing forever.  Unreachable from normal
     # planning, where Spark only constructs known names, so noted
     # rather than pinned.)
+
+
+def test_f2_listing_is_deterministic(spark):
+    """VERDICT r13 #7: f2_list_catalogs registers the JDBC dim catalog
+    in its own body, so the graded listing is exactly
+    {spark_catalog, dimdb} in any session — no dependence on which
+    entries ran before it."""
+    from mcp_trino_spark import registry
+
+    rows = registry.queries()["f2_list_catalogs"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sorted(r["catalog"] for r in rows) == ["dimdb", "spark_catalog"]

@@ -382,6 +382,71 @@ def check() -> int:
     return 0
 
 
+def _write_runway(win: Dict[str, List[str]]) -> None:
+    """Emit RUNWAY.md at rotation time (VERDICT r13 #8): the committed
+    record of WHAT the tool selected and what the NEXT rotation's head
+    will be, so SURVEY's prose runway can't drift from the actual
+    order."""
+    from tools.check_changed import staleness_report
+
+    report = staleness_report()
+    cur = _current_round()
+    by = {}
+    for n, i in report.items():
+        by.setdefault(i["status"], []).append(n)
+    in_window = set(win["head"]) | set(win["tail"])
+    # next head: everything stale that did NOT make this window,
+    # oldest green first — plus this window's own entries once graded
+    leftover = sorted(
+        [
+            n
+            for n in report
+            if report[n]["status"] in ("never", "strong", "dialect", "module")
+            and n not in in_window
+        ],
+        key=lambda n: (report[n]["round"] or 0),
+    )
+    lines = [
+        f"# RUNWAY — graded-window rotation record (round {cur})",
+        "",
+        "Generated by `make rotate-window` (tools/rotate_window.py); do",
+        "not edit by hand.  SURVEY's runway prose quotes this file.",
+        "",
+        f"Staleness census at rotation: "
+        f"{len(by.get('fresh', []))} fresh, "
+        f"{len(by.get('module', []))} module-stale, "
+        f"{len(by.get('dialect', []))} dialect-stale, "
+        f"{len(by.get('strong', []))} strong-stale, "
+        f"{len(by.get('never', []))} never certified.",
+        "",
+        f"## Round-{cur} graded window ({len(win['head'])} head + "
+        f"{len(win['tail'])} tail)",
+        "",
+        "Head (churn-driven, in grading order):",
+        "",
+    ]
+    for n in win["head"]:
+        info = report[n]
+        lines.append(f"- {n}  ({info['status']}, last green r{info['round']})")
+    lines += ["", "Tail (proven-set family representatives):", ""]
+    lines += [f"- {n}" for n in win["tail"]]
+    lines += [
+        "",
+        f"## Round-{cur + 1} runway",
+        "",
+        "Stale entries NOT in this window (oldest green first) lead the",
+        "next rotation, after whatever new churn re-stales:",
+        "",
+    ]
+    lines += [
+        f"- {n}  ({report[n]['status']}, last green r{report[n]['round']})"
+        for n in leftover
+    ] or ["- (none — every stale entry is in the current window)"]
+    lines.append("")
+    with open(os.path.join(REPO, "RUNWAY.md"), "w") as fh:
+        fh.write("\n".join(lines))
+
+
 def main() -> None:
     if "--check" in sys.argv:
         sys.exit(check())
@@ -389,9 +454,10 @@ def main() -> None:
     if "--write" in sys.argv:
         block = _render_block(win["head"], win["tail"])
         _rewrite(os.path.join(REPO, "mcp_trino_spark", "registry.py"), block)
+        _write_runway(win)
         print(
             f"wrote {len(win['head'])}-entry head + {len(win['tail'])}-entry tail "
-            "to mcp_trino_spark/registry.py"
+            "to mcp_trino_spark/registry.py (+ RUNWAY.md)"
         )
     else:
         print(json.dumps(win, indent=2))

@@ -7888,6 +7888,19 @@ def _operand_shape(expr: str, types: dict):
     return None
 
 
+_VOID_RISK = re.compile(r"(?is)\bNULL\b|\barray\s*\(\s*\)")
+
+
+def _needs_void_coercion(a: str, b: str) -> bool:
+    """True when either operand's text could type (or contain) VOID —
+    a bare NULL literal or an empty array constructor somewhere in the
+    spelling.  Without one, every nested type is materialized and the
+    common-type IF(false, …) wrap is pure size overhead (it doubles
+    operand text per recursion level — the guard-tripping cost on
+    comparison-heavy batches)."""
+    return bool(_VOID_RISK.search(a) or _VOID_RISK.search(b))
+
+
 def _merge_shapes(s1, s2):
     """Union of two shapes of the SAME logical type: a bare NULL on one
     side leaves a hole (None) the other side may fill — ``ROW(NULL, 2)
@@ -7959,8 +7972,10 @@ def _eq_by_shape(a: str, b: str, shape, d: int = 1) -> str:
     if kind == "map":
         return _map_eq_expr(a, b, shape[1], d)
     # common-type coercion before field extraction: a bare NULL field
-    # literal types the field VOID on one side (see _array_eq_expr)
-    a, b = f"IF(false, {b}, {a})", f"IF(false, {a}, {b})"
+    # literal types the field VOID on one side (see _array_eq_expr);
+    # void-risk-gated for size discipline
+    if _needs_void_coercion(a, b):
+        a, b = f"IF(false, {b}, {a})", f"IF(false, {a}, {b})"
     la = [f"({a}).`{n}`" for n, _ in shape[1]]
     lb = [f"({b}).`{n}`" for n, _ in shape[1]]
     return _row_eq_expr(a, b, la, lb, [s for _, s in shape[1]], d)
@@ -8000,13 +8015,15 @@ def _map_eq_expr(a: str, b: str, vshape=None, d: int = 0) -> str:
             f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL"
             f" THEN CAST(NULL AS BOOLEAN) ELSE true END)"
         )
-    # common-type coercion, ALWAYS for maps: an empty MAP(ARRAY[],
-    # ARRAY[]) literal types map<void,void>, and the key-coverage arm's
+    # common-type coercion for maps: an empty MAP(ARRAY[], ARRAY[])
+    # literal types map<void,void>, and the key-coverage arm's
     # map_contains_key(other, k) rejects a VOID-typed lambda key at
     # analysis time (a valid Trino comparison was an error even before
     # the x72 recursion); the IF(false, …) wrap constant-folds to a
-    # cast to the two sides' common type
-    a, b = f"IF(false, {b}, {a})", f"IF(false, {a}, {b})"
+    # cast to the two sides' common type.  Void-risk-gated like the
+    # array form (size discipline on comparison-heavy batches).
+    if _needs_void_coercion(a, b):
+        a, b = f"IF(false, {b}, {a})", f"IF(false, {a}, {b})"
     if vshape is None:
         pair = (
             f"IF(element_at({a}, {sk}) IS NULL OR element_at({b}, {sk}) IS"
@@ -8303,8 +8320,11 @@ def _array_eq_expr(a: str, b: str, elem_shape=None, d: int = 0) -> str:
     # at analysis time, and an empty/all-NULL literal types array<void>,
     # breaking the recursion's field extraction — the IF(false, …) wrap
     # constant-folds to a cast (Trino types such literals from context
-    # the same way)
-    a, b = f"IF(false, {b}, {a})", f"IF(false, {a}, {b})"
+    # the same way).  Applied only when an operand's text could carry
+    # VOID: unconditionally it doubles operand text per level and trips
+    # the 1 MB guard on comparison-heavy batches.
+    if _needs_void_coercion(a, b):
+        a, b = f"IF(false, {b}, {a})", f"IF(false, {a}, {b})"
     if elem_shape is None:
         pair = (
             f"IF({sx} IS NULL OR {sy} IS NULL, CAST(NULL AS BOOLEAN),"
@@ -8327,7 +8347,15 @@ def _array_ord_expr(a: str, b: str, op: str) -> str:
     null-or-differing position; a null THERE raises (checkElementNotNull
     — positions past the decision are never visited), a differing pair
     decides, an exhausted common prefix falls back to length comparison
-    (ArrayOperators lessThan/lessThanOrEqual et al.)."""
+    (ArrayOperators lessThan/lessThanOrEqual et al.).
+
+    Residue (documented, r14): ordering does NOT recurse shapes the way
+    equality does (x72) — for arrays-of-arrays/rows, the first-differing
+    scan uses Spark's conflating ``<>`` on the nested elements, so a
+    null INSIDE a nested element returns a value where Trino raises its
+    not-supported error.  Values agree whenever no nested null is
+    visited; the divergence is error-parity only, on an already-rare
+    nested-ordering form."""
     strict = {"<": "<", "<=": "<", ">": ">", ">=": ">"}[op]
     nmin = f"least(size({a}), size({b}))"
     df = (

@@ -3664,3 +3664,74 @@ def x72_nested_complex_equality(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x73_nan_comparison_semantics",
+    oracle="""
+    SELECT i, expected AS v FROM (VALUES
+        (1, 'false'), (2, 'true'), (3, 'false'), (4, 'false'),
+        (5, 'false'), (6, 'false'), (7, NULL), (8, NULL),
+        (9, NULL), (10, 'true'), (11, 'true'), (12, 'false'),
+        (13, 'true'), (14, 'false'), (15, 'true'), (16, 'false'),
+        (17, 'true'), (18, 'miss'), (19, 'b'), (20, 'NaN'),
+        (21, NULL), (22, 'false')
+    ) AS t(i, expected)
+    """,
+)
+def x73_nan_comparison_semantics(spark, sf_dir):
+    """Differential certification of the round-14 NaN-comparison
+    closure (_rewrite_double_nan_comparisons + the IN/simple-CASE/
+    nullif float arms): Spark's comparison operators treat NaN as
+    EQUAL to itself and LARGER than every value (``nan() = nan()`` →
+    true, ``nan() > 1.0`` → true, ``1.0 < nan()`` → true) where
+    Trino's DoubleOperators are IEEE Java — all false, and ``<>`` with
+    NaN is true.  The conjunctive rewrite forms keep the raw
+    comparison a top-level conjunct so Catalyst still pushes it into
+    the scan (plan-guarded in the PushedFilters probe).  Rows 7-9 pin
+    exact NULL propagation on the (NULL, NaN) pairings the naive
+    conjunct form would decide false; 13-17 the IN-list chain; 18-19
+    simple CASE; 20-21 nullif returning its first argument on the
+    NaN=NaN pair (Spark said NULL); 22 the float arm of <= between
+    NaNs.  The oracle pins literals: DuckDB's ``'NaN'::DOUBLE =
+    'NaN'::DOUBLE`` is TRUE (total order) — a true differential.
+
+    Reference parity: Trino DoubleOperators equal/notEqual/lessThan/
+    lessThanOrEqual/greaterThan (Java IEEE primitives), text forwarded
+    verbatim (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.trino_compat import install_compat_functions, translate
+
+    install_compat_functions(spark)
+    return spark.sql(
+        translate(
+            """
+            SELECT 1 AS i, CAST(nan() = nan() AS VARCHAR) AS v
+            UNION ALL SELECT 2, CAST(nan() <> nan() AS VARCHAR)
+            UNION ALL SELECT 3, CAST(nan() > 1.0E0 AS VARCHAR)
+            UNION ALL SELECT 4, CAST(1.0E0 < nan() AS VARCHAR)
+            UNION ALL SELECT 5, CAST(nan() >= nan() AS VARCHAR)
+            UNION ALL SELECT 6, CAST(nan() < nan() AS VARCHAR)
+            UNION ALL SELECT 7, CAST(CAST(NULL AS DOUBLE) > nan() AS VARCHAR)
+            UNION ALL SELECT 8, CAST(nan() > CAST(NULL AS DOUBLE) AS VARCHAR)
+            UNION ALL SELECT 9, CAST(CAST(NULL AS DOUBLE) = nan() AS VARCHAR)
+            UNION ALL SELECT 10, CAST(2.0E0 > 1.0E0 AS VARCHAR)
+            UNION ALL SELECT 11, CAST(infinity() > 1.0E300 AS VARCHAR)
+            UNION ALL SELECT 12, CAST(nan() = 1.0E0 AS VARCHAR)
+            UNION ALL SELECT 13, CAST(1.0E0 <> nan() AS VARCHAR)
+            UNION ALL SELECT 14, CAST(nan() IN (nan(), 1.0E0) AS VARCHAR)
+            UNION ALL SELECT 15, CAST(2.0E0 IN (nan(), 2.0E0) AS VARCHAR)
+            UNION ALL SELECT 16, CAST(nan() IN (DOUBLE '1.5') AS VARCHAR)
+            UNION ALL SELECT 17, CAST(nan() NOT IN (nan()) AS VARCHAR)
+            UNION ALL SELECT 18, CASE nan() WHEN nan() THEN 'hit'
+                                 ELSE 'miss' END
+            UNION ALL SELECT 19, CASE 2.0E0 WHEN nan() THEN 'a'
+                                 WHEN 2.0E0 THEN 'b' ELSE 'e' END
+            UNION ALL SELECT 20, IF(isnan(nullif(nan(), nan())), 'NaN',
+                                    'other')
+            UNION ALL SELECT 21, CAST(nullif(DOUBLE '2.5', DOUBLE '2.5')
+                                      AS VARCHAR)
+            UNION ALL SELECT 22, CAST(nan() <= nan() AS VARCHAR)
+            """
+        )
+    )

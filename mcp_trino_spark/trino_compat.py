@@ -7888,6 +7888,176 @@ def _operand_shape(expr: str, types: dict):
     return None
 
 
+_PLAIN_NUM_LITERAL = re.compile(r"-?\d+(?:\.\d+)?")
+
+
+def _maybe_nan_operand(e: str, types: dict) -> bool:
+    """Could this operand evaluate to NaN?  Finite numeric literals,
+    decimal/integral-typed operands → no; a DOUBLE/REAL 'NaN' typed
+    literal, nan(), double columns/CASTs, and unknowable expressions in
+    a float-typed comparison → yes (conservative: a spurious isnan()
+    guard is semantics-preserving, a missing one is a divergence)."""
+    e = e.strip()
+    if not e:
+        return True
+    if _PLAIN_NUM_LITERAL.fullmatch(e) or _DOUBLE_LITERAL.fullmatch(e):
+        return False
+    m = re.fullmatch(r"(?is)(?:DOUBLE|REAL)\s+'([^']*)'", e)
+    if m:
+        return m.group(1).strip().lower() == "nan"
+    if e.startswith("(") and e.endswith(")") and _balanced(e[1:-1]):
+        return _maybe_nan_operand(e[1:-1], types)
+    kind = _operand_fp_kind(e, types)
+    if kind == "decimal":
+        return False
+    if kind is None and _operand_integral(e, types):
+        return False
+    return True
+
+
+def _dbl_eq_expr(a: str, b: str, neg: bool = False) -> str:
+    """Trino double equality under NaN (x73): ``nan() = nan()`` is
+    FALSE in Trino (DoubleOperators.equal is Java ``==``, IEEE) where
+    Spark's comparison operators treat NaN as equal to itself.  Only
+    the both-sides-NaN case diverges.
+
+    CONJUNCTIVE form, not a CASE: the raw ``(a) = (b)`` stays a
+    top-level conjunct so Catalyst still pushes it into the scan
+    (a CASE-wrapped predicate would kill PushedFilters on every guarded
+    float comparison — a 100 TB scan regression).  Exact three-valued:
+    a NULL operand makes the base comparison NULL and
+    ``isnan(NULL) = false`` keeps the guard term true/false without
+    masking it (verified over all NULL/NaN/finite pairings)."""
+    if neg:
+        return f"((({a}) <> ({b})) OR (isnan({a}) AND isnan({b})))"
+    return f"((({a}) = ({b})) AND NOT (isnan({a}) AND isnan({b})))"
+
+
+def _dbl_ord_expr(a: str, b: str, op: str, na: bool, nb: bool) -> str:
+    """Trino double ordering under NaN (x73): every ordering comparison
+    involving NaN is FALSE in Trino (IEEE Java operators) where Spark
+    orders NaN larger than everything (``nan() > 1.0`` is true here).
+    ``na``/``nb`` say which sides could be NaN — finite-literal sides
+    need no guard term.
+
+    Conjunctive, pushdown-preserving (see _dbl_eq_expr).  The
+    ``OR … IS NULL`` disjunct keeps the exact three-valued contract on
+    the (NULL, NaN) pairing: Trino says NULL there, and a bare
+    ``AND NOT isnan(x)`` would decide false."""
+    parts = [f"(({a}) {op} ({b}))"]
+    if na:
+        parts.append(f"(NOT isnan({a}) OR ({b}) IS NULL)")
+    if nb:
+        parts.append(f"(NOT isnan({b}) OR ({a}) IS NULL)")
+    return "(" + " AND ".join(parts) + ")"
+
+
+def _rewrite_double_nan_comparisons(q: str, column_types: dict) -> str:
+    """x73: Spark's comparison operators treat NaN as EQUAL to itself
+    and LARGER than everything (``nan() = nan()`` → true, ``nan() >
+    1.0`` → true) where Trino's DoubleOperators are IEEE Java — every
+    comparison involving NaN is false and ``nan() = nan()`` is false.
+    A silent VALUE divergence on any float comparison a NaN can reach.
+
+    Rewrites comparisons where a side is knowably DOUBLE (x47
+    contract) and a NaN can actually reach the operator: equality
+    diverges only when BOTH sides can be NaN, ordering when EITHER
+    can.  Emits the conjunctive pushdown-preserving forms
+    (_dbl_eq_expr/_dbl_ord_expr).  JOIN ON conditions stay exempt
+    (hash-join key extraction still works on conjunctions, but join
+    NaN-matching is its own residue class, consistent with x65);
+    quantified comparisons belong to their own pass; BETWEEN bounds
+    are documented residue (only a NaN UPPER bound diverges).
+
+    MUST run BEFORE the generator passes that emit Spark-semantics
+    float comparisons on purpose (cast-rounding's sign checks, the
+    log-IEEE domain guards) — running after them re-rewrote their
+    internals and broke ``ln(nan())``.
+
+    Reference parity: Trino DoubleOperators equal/lessThan/etc (Java
+    IEEE), text forwarded verbatim (internal/trino/client.go:284-291).
+    """
+    types = {str(k).lower(): str(v).lower() for k, v in column_types.items()}
+    mask = _code_mask(q)
+    n = len(q)
+    clauses = _clause_keyword_positions(q, mask)
+    hits = []
+    i = 0
+    while i < n:
+        if not mask[i] or q[i] not in "<>=!":
+            i += 1
+            continue
+        if q[i : i + 3] == "<=>":
+            i += 3
+            continue
+        two = q[i : i + 2]
+        if two == "=>":
+            i += 2
+            continue
+        if two in ("<=", ">=", "<>", "!="):
+            op = two
+        elif q[i] in "<>=":
+            if q[i] == ">" and i > 0 and q[i - 1] in "-=<":
+                i += 1
+                continue
+            if q[i] == "=" and i > 0 and q[i - 1] in "<>!":
+                i += 1
+                continue
+            op = q[i]
+        else:
+            i += 1
+            continue
+        try:
+            lstart = _left_operand_start(q, mask, i)
+        except Exception:
+            i += len(op)
+            continue
+        left = q[lstart:i].strip()
+        if re.match(r"(?is)\s*(ANY|ALL|SOME)\s*\(", q[i + len(op):]):
+            i += len(op)
+            continue
+        rend = _right_operand_end(q, mask, i + len(op))
+        if rend is None:
+            i += len(op)
+            continue
+        right = q[i + len(op): rend].strip()
+        if re.match(r"(?is)\(\s*(SELECT|WITH)\b", right) or re.match(
+            r"(?is)\(\s*(SELECT|WITH)\b", left
+        ):
+            i += len(op)
+            continue
+        if _nearest_clause_is_on(clauses, lstart):
+            i += len(op)
+            continue
+        if "double" not in (
+            _operand_fp_kind(left, types), _operand_fp_kind(right, types)
+        ):
+            i += len(op)
+            continue
+        na = _maybe_nan_operand(left, types)
+        nb = _maybe_nan_operand(right, types)
+        needed = (na and nb) if op in ("=", "<>", "!=") else (na or nb)
+        if not needed:
+            i += len(op)
+            continue
+        if _has_nondeterministic_call(left) or _has_nondeterministic_call(
+            right
+        ):
+            i += len(op)
+            continue
+        hits.append((lstart, rend, left, right, op, na, nb))
+        i = rend
+    for lstart, rend, left, right, op, na, nb in reversed(hits):
+        if op == "=":
+            repl = _dbl_eq_expr(left, right)
+        elif op in ("<>", "!="):
+            repl = _dbl_eq_expr(left, right, neg=True)
+        else:
+            repl = _dbl_ord_expr(left, right, op, na, nb)
+        q = q[:lstart] + repl + q[rend:]
+    return q
+
+
 _VOID_RISK = re.compile(r"(?is)\bNULL\b|\barray\s*\(\s*\)")
 
 
@@ -8621,6 +8791,20 @@ def _rewrite_array_in_lists(q: str, column_types: dict) -> str:
                         )
                         for it, lb in zip(items, lbs)
                     ]
+            if (
+                eqs is None
+                and _operand_fp_kind(left, types) == "double"
+                and _maybe_nan_operand(left, types)
+                and any(_maybe_nan_operand(it, types) for it in items)
+            ):
+                # x73 float arm: Spark IN matches NaN against a NaN
+                # item; Trino's chained IEEE equality never does
+                eqs = [
+                    _dbl_eq_expr(left, it)
+                    if _maybe_nan_operand(it, types)
+                    else f"(({left}) = ({it}))"
+                    for it in items
+                ]
         if eqs is None:
             continue
         repl = "(" + " OR ".join(eqs) + ")"
@@ -8719,8 +8903,17 @@ def _rewrite_complex_simple_case(q: str, column_types: dict) -> str:
             if (arr or mp)
             else _operand_row_accessors(operand, types)
         )
+        fp = False
         if not arr and not mp and la is None:
-            continue
+            # x73 float arm: simple CASE matches via equality, so a
+            # NaN operand meeting a NaN WHEN value matches in Spark
+            # (NaN-equal) but not in Trino (IEEE)
+            fp = (
+                _operand_fp_kind(operand, types) == "double"
+                and _maybe_nan_operand(operand, types)
+            )
+            if not fp:
+                continue
         if _has_nondeterministic_call(operand):
             continue
         # collect (WHEN value, THEN pos) pairs at top level
@@ -8739,12 +8932,22 @@ def _rewrite_complex_simple_case(q: str, column_types: dict) -> str:
             idx += 2
         if not ok or not parts:
             continue
+        if fp and not any(
+            _maybe_nan_operand(v, types) for *_, v in parts
+        ):
+            continue  # every WHEN value finite — Spark CASE agrees
         conds = []
         for _, _, _, val in parts:
             if _has_nondeterministic_call(val):
                 ok = False
                 break
-            if arr:
+            if fp:
+                conds.append(
+                    _dbl_eq_expr(operand, val)
+                    if _maybe_nan_operand(val, types)
+                    else f"(({operand}) = ({val}))"
+                )
+            elif arr:
                 conds.append(
                     _array_eq_expr(
                         operand, val, _elem_shape_of(types, operand, val)
@@ -8820,6 +9023,17 @@ def _rewrite_complex_nullif(q: str, column_types: dict) -> str:
             lb = _operand_row_accessors(b, types)
             if la is not None and lb is not None and len(la) == len(lb):
                 eq = _row_eq_expr(a, b, la, lb, _field_shapes_of(types, a, b))
+            elif (
+                "double" in (
+                    _operand_fp_kind(a, types), _operand_fp_kind(b, types)
+                )
+                and _maybe_nan_operand(a, types)
+                and _maybe_nan_operand(b, types)
+            ):
+                # x73 float arm: nullif desugars to equality, so
+                # nullif(nan(), nan()) was NULL here (Spark NaN-equal)
+                # where Trino's IEEE inequality returns the first arg
+                eq = _dbl_eq_expr(a, b)
         if eq is None:
             pos = b1
             continue
@@ -9721,6 +9935,14 @@ def _translate_inner(
     # operand is still spelled as the recognizable call (its copies
     # inside the emitted guard flow through log-IEEE afterwards).
     query = _rewrite_bare_decimal(query)
+    # x73 NaN comparison semantics — BEFORE the generator passes
+    # (cast-rounding sign checks, log-IEEE domain guards) that emit
+    # Spark-semantics float comparisons on purpose; skips UPDATE/MERGE
+    # (SET-list `=` is assignment, same contract as the array pass)
+    if not re.match(r"(?is)\s*(UPDATE|MERGE)\b", query) and re.search(
+        r"[<>=!]", query
+    ):
+        query = _rewrite_double_nan_comparisons(query, column_types or {})
     query = _rewrite_cast_rounding(query, column_types or {})
     query = _rewrite_double_round(query, column_types or {})
     query = _rewrite_date_interval(query, column_types or {})

@@ -2125,3 +2125,99 @@ def test_equality_contexts_unified_property(spark, seed):
             )
     mism = {j: (got[j], expect[j]) for j in expect if got[j] != expect[j]}
     assert not mism, f"{len(mism)} divergent, e.g. {list(mism.items())[:3]}"
+
+
+def _ieee_cmp(a, b, op):
+    """Trino DoubleOperators (IEEE Java): any NaN operand → false,
+    except <> where a NaN operand → true; NULL propagates."""
+    import math
+
+    if a is None or b is None:
+        return None
+    nan = math.isnan(a) or math.isnan(b)
+    if op == "=":
+        return False if nan else a == b
+    if op == "<>":
+        return True if nan else a != b
+    if nan:
+        return False
+    return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
+
+
+def test_double_nan_comparison_random_differential(spark):
+    """Randomized sweep of the r14 NaN-comparison closure
+    (_rewrite_double_nan_comparisons + the IN/CASE/nullif float arms):
+    random doubles drawn from {finite, NaN, ±Infinity, NULL} through
+    all six operators, IN lists, simple CASE and nullif, against the
+    IEEE reference — Spark's operators treat NaN as equal to itself
+    and larger than everything; Trino's are Java IEEE (all false).
+    Operands render as typed literals or CAST('…' AS DOUBLE) spellings
+    at random (the latter exercises the conservative maybe-NaN path)."""
+    import math
+
+    from mcp_trino_spark.trino_compat import install_compat_functions
+
+    install_compat_functions(spark)
+    rng = random.Random(1405)
+    nan, inf = float("nan"), float("inf")
+
+    def draw():
+        r = rng.random()
+        if r < 0.30:
+            return nan
+        if r < 0.40:
+            return inf if rng.random() < 0.5 else -inf
+        if r < 0.50:
+            return None
+        return round(rng.uniform(-100, 100), 3)
+
+    def render(v):
+        if v is None:
+            return "CAST(NULL AS DOUBLE)"
+        if math.isnan(v):
+            return rng.choice(["nan()", "DOUBLE 'NaN'", "CAST('NaN' AS DOUBLE)"])
+        if math.isinf(v):
+            s = "Infinity" if v > 0 else "-Infinity"
+            return f"CAST('{s}' AS DOUBLE)"
+        if rng.random() < 0.5:
+            return f"DOUBLE '{v!r}'"
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    selects, expect = [], {}
+    for i in range(70):
+        a, b, c = draw(), draw(), draw()
+        sa, sb, sc = render(a), render(b), render(c)
+        op = rng.choice(["=", "<>", "<", "<=", ">", ">="])
+        eq_ab, eq_ac = _ieee_cmp(a, b, "="), _ieee_cmp(a, c, "=")
+        in_exp = (
+            None
+            if (a is None)
+            else (
+                True
+                if (eq_ab is True or eq_ac is True)
+                else (None if (eq_ab is None or eq_ac is None) else False)
+            )
+        )
+        nf = None if a is None else (a if _ieee_cmp(a, b, "=") is not True else None)
+        expect[i] = (
+            _ieee_cmp(a, b, op),
+            in_exp,
+            "b" if eq_ab is True else ("c" if eq_ac is True else "e"),
+            nf is None,
+            bool(nf is not None and math.isnan(nf)),
+        )
+        selects.append(
+            f"SELECT {i} AS i,"
+            f" (({sa}) {op} ({sb})) AS c_op,"
+            f" (({sa}) IN ({sb}, {sc})) AS c_in,"
+            f" CASE {sa} WHEN {sb} THEN 'b' WHEN {sc} THEN 'c'"
+            f" ELSE 'e' END AS c_case,"
+            f" (nullif({sa}, {sb}) IS NULL) AS c_nn,"
+            f" coalesce(isnan(nullif({sa}, {sb})), false) AS c_nnan"
+        )
+    got = {
+        r["i"]: (r["c_op"], r["c_in"], r["c_case"], r["c_nn"], r["c_nnan"])
+        for r in spark.sql(translate(" UNION ALL ".join(selects))).collect()
+    }
+    mism = {j: (got[j], expect[j]) for j in expect if got[j] != expect[j]}
+    assert not mism, f"{len(mism)} divergent, e.g. {list(mism.items())[:4]}"

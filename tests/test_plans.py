@@ -512,3 +512,24 @@ def test_pii_scan_zero_shuffles(spark):
     # the documented zero-shuffle contract: no hash exchange at all
     # (spread()'s parallelism repartition is roundrobin)
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_nan_guarded_filter_still_pushes_down(spark):
+    """x73 plan contract: the NaN-comparison rewrite emits CONJUNCTIVE
+    forms so the raw comparison stays an independent conjunct Catalyst
+    pushes into the parquet scan — a CASE-wrapped predicate would blank
+    PushedFilters on every guarded float comparison (a 100 TB scan
+    regression)."""
+    from mcp_trino_spark.trino_compat import translate
+
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet") \
+        .createOrReplaceTempView("li_nan_plan")
+    t = translate(
+        "SELECT l_orderkey FROM li_nan_plan WHERE l_quantity > 24.0E0",
+        column_types={"l_quantity": "double"},
+    )
+    assert "isnan" in t  # the guard is present...
+    plan = spark.sql(t)._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert scan, plan
+    assert "GreaterThan(l_quantity,24.0)" in scan[0], scan[0]

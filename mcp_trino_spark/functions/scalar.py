@@ -3735,3 +3735,65 @@ def x73_nan_comparison_semantics(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x74_nested_nan_equality",
+    oracle="""
+    SELECT i, expected AS v FROM (VALUES
+        (1, 'false'), (2, 'true'), (3, 'false'), (4, 'false'),
+        (5, 'true'), (6, 'false'), (7, 'false'), (8, 'false'),
+        (9, 'false'), (10, 'miss'), (11, 'true'), (12, 'false'),
+        (13, NULL), (14, 'true')
+    ) AS t(i, expected)
+    """,
+)
+def x74_nested_nan_equality(spark, sf_dir):
+    """Differential certification of the round-14 NESTED-NaN closure
+    (the ``("double",)`` shape leaf in _eq_by_shape): Trino's
+    Array/Row/MapEqualOperator delegate to DoubleOperators.equal per
+    element, so ``ARRAY[nan()] = ARRAY[nan()]`` is FALSE (a decided
+    unequal pair) — the x72 recursion's scalar lambda used Spark's
+    NaN-equal ``x = y`` and said TRUE.  Rows cover array/row/map
+    nests, depth 2, the decided-false-beats-unknown precedence (row 3:
+    a NaN pair decides false even with a NULL pair present), IN /
+    simple CASE / nullif routing, Infinity parity (row 5), and NULL
+    propagation (row 13: only null pairs → unknown).  Pinned literals:
+    DuckDB's nested comparison uses total order ('NaN' = 'NaN' true).
+
+    Reference parity: Trino ArrayEqualOperator → DoubleOperators.equal
+    delegation, text forwarded verbatim (internal/trino/client.go).
+    """
+    from mcp_trino_spark.trino_compat import install_compat_functions, translate
+
+    install_compat_functions(spark)
+    return spark.sql(
+        translate(
+            """
+            SELECT 1 AS i, CAST(ARRAY[nan()] = ARRAY[nan()] AS VARCHAR) AS v
+            UNION ALL SELECT 2, CAST(ARRAY[1.5E0] = ARRAY[1.5E0] AS VARCHAR)
+            UNION ALL SELECT 3, CAST(ARRAY[nan(), NULL] = ARRAY[nan(), NULL]
+                                     AS VARCHAR)
+            UNION ALL SELECT 4, CAST(ROW(nan()) = ROW(nan()) AS VARCHAR)
+            UNION ALL SELECT 5, CAST(ARRAY[infinity()] = ARRAY[infinity()]
+                                     AS VARCHAR)
+            UNION ALL SELECT 6, CAST(MAP(ARRAY[1], ARRAY[nan()])
+                                     = MAP(ARRAY[1], ARRAY[nan()]) AS VARCHAR)
+            UNION ALL SELECT 7, CAST(ARRAY[ARRAY[nan()]] = ARRAY[ARRAY[nan()]]
+                                     AS VARCHAR)
+            UNION ALL SELECT 8, CAST(ARRAY[nan()] IN (ARRAY[nan()]) AS VARCHAR)
+            UNION ALL SELECT 9, CAST(nullif(ARRAY[nan()], ARRAY[nan()]) IS NULL
+                                     AS VARCHAR)
+            UNION ALL SELECT 10, CASE ARRAY[nan()] WHEN ARRAY[nan()]
+                                      THEN 'hit' ELSE 'miss' END
+            UNION ALL SELECT 11, CAST(ROW(1, nan()) <> ROW(1, nan())
+                                      AS VARCHAR)
+            UNION ALL SELECT 12, CAST(ROW(NULL, nan()) = ROW(1, nan())
+                                      AS VARCHAR)
+            UNION ALL SELECT 13, CAST(ARRAY[NULL, 1.5E0] = ARRAY[NULL, 1.5E0]
+                                      AS VARCHAR)
+            UNION ALL SELECT 14, CAST(ARRAY[DOUBLE '2.5'] = ARRAY[CAST('2.5'
+                                      AS DOUBLE)] AS VARCHAR)
+            """
+        )
+    )

@@ -318,6 +318,7 @@ _WINDOW_HEAD = [
     "x71_decimal_avg_semantics",
     "x72_nested_complex_equality",
     "x73_nan_comparison_semantics",
+    "x74_nested_nan_equality",
     "f2_list_catalogs",
     "x19_trino_dialect",
     "o12_fetch_with_ties",
@@ -362,7 +363,6 @@ _WINDOW_HEAD = [
     "x9_array",
     "x10_array_hof",
     "x13_struct_row",
-    "s4_memory_table",
 ]
 _WINDOW_TAIL = [
     "p2_alias_expr",

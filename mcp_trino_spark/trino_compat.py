@@ -7764,8 +7764,9 @@ def _split_angle_args(body: str) -> List[str]:
 def _shape_from_spark_type(t: str):
     """Nesting SHAPE of a Spark catalog type string — the recursion
     driver for three-valued equality (x72): ``("array", elem_shape)``,
-    ``("map", value_shape)``, ``("struct", [(name, shape), ...])``, or
-    None for scalar/unknown."""
+    ``("map", value_shape)``, ``("struct", [(name, shape), ...])``,
+    ``("double",)`` for float leaves (x74 — NaN-aware element
+    equality), or None for other scalars/unknown."""
     t = (t or "").strip()
     tl = t.lower()
     if tl.startswith("array<") and t.endswith(">"):
@@ -7781,6 +7782,8 @@ def _shape_from_spark_type(t: str):
                 return None
             fields.append((name.strip(), _shape_from_spark_type(ft)))
         return ("struct", fields)
+    if tl in ("double", "float", "real"):
+        return ("double",)
     return None
 
 
@@ -7807,6 +7810,8 @@ def _shape_from_trino_type(t: str):
                 return None
             fields.append((nm.group(1), _shape_from_trino_type(nm.group(2))))
         return ("struct", fields)
+    if tt.lower() in ("double", "real", "float", "double precision"):
+        return ("double",)
     return None
 
 
@@ -7882,9 +7887,13 @@ def _operand_shape(expr: str, types: dict):
             return ("array", None)
         if name in _MAP_RESULT_FNS:
             return ("map", None)
+        if name in _ALWAYS_DOUBLE_FNS:
+            return ("double",)
         return None
     if _IDENT_CHAIN.fullmatch(e):
         return _shape_from_spark_type(types.get(e.rsplit(".", 1)[-1].lower(), ""))
+    if _operand_fp_kind(e, types) == "double":
+        return ("double",)  # float literal leaves (x74 NaN-aware pairs)
     return None
 
 
@@ -8082,6 +8091,8 @@ def _merge_shapes(s1, s2):
         return s1
     if s1[0] != s2[0]:
         return s1
+    if s1[0] == "double":
+        return s1
     if s1[0] in ("array", "map"):
         return (s1[0], _merge_shapes(s1[1], s2[1]))
     if len(s1[1]) != len(s2[1]):
@@ -8141,6 +8152,12 @@ def _eq_by_shape(a: str, b: str, shape, d: int = 1) -> str:
         return _array_eq_expr(a, b, shape[1], d)
     if kind == "map":
         return _map_eq_expr(a, b, shape[1], d)
+    if kind == "double":
+        # x74: float leaves compare IEEE — Trino's element equality
+        # delegates to DoubleOperators.equal, so a NaN pair two levels
+        # down decides the whole comparison FALSE (Spark's x = y said
+        # equal).  _dbl_eq_expr is already exact three-valued.
+        return _dbl_eq_expr(a, b)
     # common-type coercion before field extraction: a bare NULL field
     # literal types the field VOID on one side (see _array_eq_expr);
     # void-risk-gated for size discipline
@@ -8205,10 +8222,15 @@ def _map_eq_expr(a: str, b: str, vshape=None, d: int = 0) -> str:
             f"element_at({a}, {sk})", f"element_at({b}, {sk})", vshape, d + 1
         )
     zwv = f"transform(map_keys({a}), {sk} -> {pair})"
+    # key coverage via array_except, not map_contains_key: the latter
+    # rejects a VOID-typed key at analysis time (a nested all-void map
+    # reaches this form through LAMBDA VARS, where the lexical
+    # both-empty shortcut above cannot fire); under the size-equality
+    # arm, one-directional key-set difference is equivalent
     return (
         f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN CAST(NULL AS BOOLEAN)"
         f" WHEN size({a}) <> size({b}) THEN false"
-        f" WHEN exists(map_keys({a}), {sk} -> NOT map_contains_key({b}, {sk}))"
+        f" WHEN size(array_except(map_keys({a}), map_keys({b}))) > 0"
         f" THEN false"
         f" WHEN array_contains({zwv}, false) THEN false"
         f" WHEN exists({zwv}, {sp} -> {sp} IS NULL) THEN CAST(NULL AS BOOLEAN)"

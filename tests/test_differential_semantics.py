@@ -1988,6 +1988,10 @@ def _gen_value(rng, shape, top=False):
     if not top and rng.random() < 0.18:
         return None
     if shape is None:
+        # x74: NaN leaves — nested element equality is IEEE in Trino
+        # (a NaN pair decides FALSE where Spark's x = y said equal)
+        if rng.random() < 0.12:
+            return float("nan")
         return rng.randint(0, 3)
     kind = shape[0]
     if kind == "array":
@@ -1999,9 +2003,13 @@ def _gen_value(rng, shape, top=False):
 
 
 def _render_trino(v, shape):
+    import math as _math
+
     if v is None:
         return "NULL"
     if shape is None:
+        if isinstance(v, float) and _math.isnan(v):
+            return "nan()"
         return str(v)
     kind = shape[0]
     if kind == "array":
@@ -2081,7 +2089,13 @@ def test_equality_contexts_unified_property(spark, seed):
     NULLs at every level) must agree with ONE recursive three-valued
     reference, so future translator edits cannot de-unify the forms or
     regress the nested recursion (pre-x72, depth ≥ 2 nulls conflated
-    through Spark's ``=`` inside the lambdas).  Two pinned seeds."""
+    through Spark's ``=`` inside the lambdas).  Two pinned seeds.
+    Scalar leaves draw NaN 12% of the time (x74: nested element
+    equality is IEEE in Trino — the Python reference's ``==`` is
+    IEEE already)."""
+    from mcp_trino_spark.trino_compat import install_compat_functions
+
+    install_compat_functions(spark)  # nan() leaves (x74)
     rng = random.Random(seed)
     selects, expect = [], {}
     i = 0
@@ -2094,6 +2108,11 @@ def test_equality_contexts_unified_property(spark, seed):
         b = _gen_value(rng, shape, top=True) if rng.random() < 0.5 else a
         c = _gen_value(rng, shape, top=True)
         sa, sb, sc = (_render_trino(v, shape) for v in (a, b, c))
+        if len(sa) + len(sb) + len(sc) > 350:
+            # the recursive forms repeat operand text per nesting
+            # level; huge literals would trip the translator's loud
+            # 1 MB guard rather than test semantics
+            continue
         eq_ab, eq_ac = _tri_eq(a, b), _tri_eq(a, c)
         expect[i] = (
             _b2s(eq_ab),
@@ -2116,9 +2135,9 @@ def test_equality_contexts_unified_property(spark, seed):
     # chunked: the recursive forms repeat operand text per nesting
     # level, and 30 deep cases in ONE statement trip the translator's
     # loud 1 MB size guard (the guard itself is correct behavior)
-    for lo in range(0, len(selects), 6):
+    for lo in range(0, len(selects), 3):
         for r in spark.sql(
-            translate(" UNION ALL ".join(selects[lo : lo + 6]))
+            translate(" UNION ALL ".join(selects[lo : lo + 3]))
         ).collect():
             got[r["i"]] = (
                 r["c_eq"], r["c_ne"], r["c_in"], r["c_case"], r["c_nullif"]

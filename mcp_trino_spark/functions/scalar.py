@@ -3797,3 +3797,62 @@ def x74_nested_nan_equality(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x75_nan_ordering_semantics",
+    oracle="""
+    SELECT i, expected AS v FROM (VALUES
+        (1, 'false'), (2, 'false'), (3, 'false'), (4, 'false'),
+        (5, 'true'), (6, 'true'), (7, 'false'), (8, 'false'),
+        (9, 'false'), (10, 'true'), (11, 'true'), (12, 'false'),
+        (13, 'true'), (14, 'false')
+    ) AS t(i, expected)
+    """,
+)
+def x75_nan_ordering_semantics(spark, sf_dir):
+    """Differential certification of the round-14 NESTED-NaN ordering
+    closure (the ``("double",)`` arms of _array_ord_expr /
+    _row_ord_expr): Trino's lexicographic scan finds the first
+    NON-EQUAL pair via per-element DoubleOperators.equal (a NaN pair
+    IS differing — equal is false) and decides via Java lessThan
+    (anything vs NaN → false), where Spark's ``<>`` treated a NaN pair
+    as equal (skipping it to decide on LATER positions — row 3) and
+    its ordering ranks NaN largest (rows 1-2, 9, 12).  Rows 5-7, 10-11,
+    13 pin the finite paths unchanged; row 14 Infinity-vs-NaN.  Pinned
+    literals: DuckDB's nested ordering is total-order (NaN largest,
+    NaN = NaN) — a true differential.
+
+    Reference parity: Trino ArrayOperators.lessThan /
+    RowComparisonOperators field scan (Java IEEE primitives), text
+    forwarded verbatim (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.trino_compat import install_compat_functions, translate
+
+    install_compat_functions(spark)
+    return spark.sql(
+        translate(
+            """
+            SELECT 1 AS i, CAST(ARRAY[2.0E0] < ARRAY[nan()] AS VARCHAR) AS v
+            UNION ALL SELECT 2, CAST(ARRAY[nan()] < ARRAY[2.0E0] AS VARCHAR)
+            UNION ALL SELECT 3, CAST(ARRAY[nan(), 1.0E0] < ARRAY[nan(), 2.0E0]
+                                     AS VARCHAR)
+            UNION ALL SELECT 4, CAST(ARRAY[nan()] <= ARRAY[nan()] AS VARCHAR)
+            UNION ALL SELECT 5, CAST(ARRAY[1.0E0] < ARRAY[2.0E0] AS VARCHAR)
+            UNION ALL SELECT 6, CAST(ARRAY[1.0E0] <= ARRAY[1.0E0] AS VARCHAR)
+            UNION ALL SELECT 7, CAST(ARRAY[1.0E0, 2.0E0] < ARRAY[1.0E0]
+                                     AS VARCHAR)
+            UNION ALL SELECT 8, CAST(ROW(nan(), 1.0E0) < ROW(nan(), 2.0E0)
+                                     AS VARCHAR)
+            UNION ALL SELECT 9, CAST(ROW(1.0E0) < ROW(nan()) AS VARCHAR)
+            UNION ALL SELECT 10, CAST(ROW(1.0E0, 5) < ROW(2.0E0, 1)
+                                      AS VARCHAR)
+            UNION ALL SELECT 11, CAST(ROW(1, 2) <= ROW(1, 2) AS VARCHAR)
+            UNION ALL SELECT 12, CAST(ROW(2.0E0) >= ROW(nan()) AS VARCHAR)
+            UNION ALL SELECT 13, CAST(ARRAY[1.0E60] < ARRAY[infinity()]
+                                      AS VARCHAR)
+            UNION ALL SELECT 14, CAST(ARRAY[infinity()] < ARRAY[nan()]
+                                      AS VARCHAR)
+            """
+        )
+    )

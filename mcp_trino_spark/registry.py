@@ -319,6 +319,7 @@ _WINDOW_HEAD = [
     "x72_nested_complex_equality",
     "x73_nan_comparison_semantics",
     "x74_nested_nan_equality",
+    "x75_nan_ordering_semantics",
     "f2_list_catalogs",
     "x19_trino_dialect",
     "o12_fetch_with_ties",
@@ -362,7 +363,6 @@ _WINDOW_HEAD = [
     "x3_date_extract",
     "x9_array",
     "x10_array_hof",
-    "x13_struct_row",
 ]
 _WINDOW_TAIL = [
     "p2_alias_expr",

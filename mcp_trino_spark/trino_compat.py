@@ -8407,18 +8407,33 @@ def _row_eq_expr(
     )
 
 
-def _row_ord_expr(a: str, b: str, la: List[str], lb: List[str], op: str) -> str:
+def _row_ord_expr(
+    a: str, b: str, la: List[str], lb: List[str], op: str, shapes=None
+) -> str:
     """Trino lexicographic ROW comparison (RowComparisonOperators):
     fields in declared order, checkFieldNotNull at each visited field
     (null → raise), first differing field decides, all-equal falls to
-    the operator's reflexivity."""
+    the operator's reflexivity.  x75: ``("double",)`` field shapes make
+    the per-field differing test and decision IEEE (a NaN field pair
+    differs and decides FALSE — Spark's ``<>`` skipped it and its
+    ordering ranked NaN largest)."""
     strict = {"<": "<", "<=": "<", ">": ">", ">=": ">"}[op]
+    if shapes is None:
+        shapes = [None] * len(la)
     arms = []
-    for x, y in zip(la, lb):
+    for x, y, s in zip(la, lb, shapes):
+        if s is not None and s[0] == "double":
+            differ = f"({x} <> {y}) OR (isnan({x}) AND isnan({y}))"
+            decide = (
+                f"(({x} {strict} {y}) AND NOT (isnan({x}) OR isnan({y})))"
+            )
+        else:
+            differ = f"{x} <> {y}"
+            decide = f"{x} {strict} {y}"
         arms.append(
             f" WHEN {x} IS NULL OR {y} IS NULL"
             f" THEN CAST(raise_error('{_ROW_CMP_MSG}') AS BOOLEAN)"
-            f" WHEN {x} <> {y} THEN {x} {strict} {y}"
+            f" WHEN {differ} THEN {decide}"
         )
     tail = "true" if op in ("<=", ">=") else "false"
     return (
@@ -8534,33 +8549,50 @@ def _array_eq_expr(a: str, b: str, elem_shape=None, d: int = 0) -> str:
     )
 
 
-def _array_ord_expr(a: str, b: str, op: str) -> str:
+def _array_ord_expr(a: str, b: str, op: str, elem_shape=None) -> str:
     """Trino lexicographic array comparison: scan pairwise to the first
     null-or-differing position; a null THERE raises (checkElementNotNull
     — positions past the decision are never visited), a differing pair
     decides, an exhausted common prefix falls back to length comparison
     (ArrayOperators lessThan/lessThanOrEqual et al.).
 
-    Residue (documented, r14): ordering does NOT recurse shapes the way
-    equality does (x72) — for arrays-of-arrays/rows, the first-differing
-    scan uses Spark's conflating ``<>`` on the nested elements, so a
-    null INSIDE a nested element returns a value where Trino raises its
-    not-supported error.  Values agree whenever no nested null is
-    visited; the divergence is error-parity only, on an already-rare
-    nested-ordering form."""
+    x75: a ``("double",)`` element shape makes the scan IEEE — Trino's
+    per-element equal/lessThan are Java primitives, so a NaN pair IS
+    the first differing position (equal is false) and decides FALSE,
+    and ``2.0 < NaN`` inside the decision is false — where Spark's
+    ``<>`` treated a NaN pair as equal (skipping it) and its ``<``
+    ordered NaN largest.
+
+    Residue (documented, r14): ordering does NOT recurse COMPLEX
+    shapes the way equality does (x72) — for arrays-of-arrays/rows,
+    the first-differing scan uses Spark's conflating ``<>`` on the
+    nested elements, so a null INSIDE a nested element returns a value
+    where Trino raises its not-supported error.  Values agree whenever
+    no nested null is visited; that divergence is error-parity only,
+    on an already-rare nested-ordering form."""
     strict = {"<": "<", "<=": "<", ">": ">", ">=": ">"}[op]
+    is_dbl = elem_shape is not None and elem_shape[0] == "double"
     nmin = f"least(size({a}), size({b}))"
+    differ = "p.lx IS NULL OR p.rx IS NULL OR p.lx <> p.rx"
+    if is_dbl:
+        differ += " OR (isnan(p.lx) AND isnan(p.rx))"
     df = (
         f"filter(zip_with(slice({a}, 1, {nmin}), slice({b}, 1, {nmin}),"
         f" (x, y) -> named_struct('lx', x, 'rx', y)),"
-        f" p -> p.lx IS NULL OR p.rx IS NULL OR p.lx <> p.rx)"
+        f" p -> {differ})"
     )
+    decide = f"get({df}, 0).lx {strict} get({df}, 0).rx"
+    if is_dbl:
+        decide = (
+            f"({decide}) AND NOT (isnan(get({df}, 0).lx)"
+            f" OR isnan(get({df}, 0).rx))"
+        )
     return (
         f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN CAST(NULL AS BOOLEAN)"
         f" WHEN size({df}) = 0 THEN size({a}) {op} size({b})"
         f" WHEN get({df}, 0).lx IS NULL OR get({df}, 0).rx IS NULL"
         f" THEN CAST(raise_error('{_ARRAY_CMP_MSG}') AS BOOLEAN)"
-        f" ELSE get({df}, 0).lx {strict} get({df}, 0).rx END)"
+        f" ELSE {decide} END)"
     )
 
 
@@ -8723,7 +8755,10 @@ def _rewrite_array_comparisons(q: str, column_types: dict) -> str:
                     f"(NOT {_row_eq_expr(left, right, row_la, row_lb, fs)})"
                 )
             else:
-                repl = _row_ord_expr(left, right, row_la, row_lb, op)
+                repl = _row_ord_expr(
+                    left, right, row_la, row_lb, op,
+                    _field_shapes_of(types, left, right),
+                )
         elif op == "=":
             repl = _array_eq_expr(left, right, _elem_shape_of(types, left, right))
         elif op in ("<>", "!="):
@@ -8731,7 +8766,9 @@ def _rewrite_array_comparisons(q: str, column_types: dict) -> str:
                 f"(NOT {_array_eq_expr(left, right, _elem_shape_of(types, left, right))})"
             )
         else:
-            repl = _array_ord_expr(left, right, op)
+            repl = _array_ord_expr(
+                left, right, op, _elem_shape_of(types, left, right)
+            )
         q = q[:lstart] + repl + q[rend:]
     return q
 

@@ -3856,3 +3856,60 @@ def x75_nan_ordering_semantics(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x76_nan_membership_semantics",
+    oracle="""
+    SELECT i, expected AS v FROM (VALUES
+        (1, 'false'), (2, NULL), (3, 'false'), (4, 'true'),
+        (5, NULL), (6, NULL), (7, '0'), (8, '2'),
+        (9, '2'), (10, '1'), (11, 'true')
+    ) AS t(i, expected)
+    """,
+)
+def x76_nan_membership_semantics(spark, sf_dir):
+    """Differential certification of the round-14 NaN-membership
+    closure (_rewrite_nan_membership): Trino's contains /
+    array_position / array_remove loop the per-element EQUAL operator
+    (Java IEEE) — a NaN probe is NEVER equal, so contains is false
+    (NULL only via the null-element contract, row 2), position is 0,
+    and remove removes nothing — where Spark's equivalents match NaN
+    against NaN.  Rows 3-6 and 8/10-11 pin the unchanged finite and
+    null contracts.  ``arrays_overlap`` is documented residue (Trino
+    implements it over the total-order comparator, not element-equal).
+    Pinned literals: DuckDB's list_contains matches NaN (total order)
+    — a true differential.
+
+    Reference parity: Trino ArrayContains / ArrayPositionFunction /
+    ArrayRemoveFunction equal-operator loops, text forwarded verbatim
+    (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.trino_compat import install_compat_functions, translate
+
+    install_compat_functions(spark)
+    return spark.sql(
+        translate(
+            """
+            SELECT 1 AS i, CAST(contains(ARRAY[nan()], nan()) AS VARCHAR) AS v
+            UNION ALL SELECT 2, CAST(contains(ARRAY[nan(), NULL], nan())
+                                     AS VARCHAR)
+            UNION ALL SELECT 3, CAST(contains(ARRAY[1.5E0], nan()) AS VARCHAR)
+            UNION ALL SELECT 4, CAST(contains(ARRAY[1.5E0], 1.5E0) AS VARCHAR)
+            UNION ALL SELECT 5, CAST(contains(ARRAY[1.5E0],
+                                              CAST(NULL AS DOUBLE)) AS VARCHAR)
+            UNION ALL SELECT 6, CAST(contains(CAST(NULL AS ARRAY(DOUBLE)),
+                                              nan()) AS VARCHAR)
+            UNION ALL SELECT 7, CAST(array_position(ARRAY[nan()], nan())
+                                     AS VARCHAR)
+            UNION ALL SELECT 8, CAST(array_position(ARRAY[1.5E0, 2.5E0],
+                                                    2.5E0) AS VARCHAR)
+            UNION ALL SELECT 9, CAST(cardinality(array_remove(
+                                     ARRAY[nan(), 1.0E0], nan())) AS VARCHAR)
+            UNION ALL SELECT 10, CAST(cardinality(array_remove(
+                                      ARRAY[2.0E0, 1.0E0], 2.0E0)) AS VARCHAR)
+            UNION ALL SELECT 11, CAST(contains(ARRAY[nan(), 3.0E0], 3.0E0)
+                                      AS VARCHAR)
+            """
+        )
+    )

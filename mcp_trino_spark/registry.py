@@ -320,6 +320,7 @@ _WINDOW_HEAD = [
     "x73_nan_comparison_semantics",
     "x74_nested_nan_equality",
     "x75_nan_ordering_semantics",
+    "x76_nan_membership_semantics",
     "f2_list_catalogs",
     "x19_trino_dialect",
     "o12_fetch_with_ties",
@@ -362,7 +363,6 @@ _WINDOW_HEAD = [
     "x1_string_basics",
     "x3_date_extract",
     "x9_array",
-    "x10_array_hof",
 ]
 _WINDOW_TAIL = [
     "p2_alias_expr",

@@ -8067,6 +8067,73 @@ def _rewrite_double_nan_comparisons(q: str, column_types: dict) -> str:
     return q
 
 
+_NAN_MEMBER_HEAD = re.compile(
+    r"\b(contains|array_position|array_remove)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_nan_membership(q: str, column_types: dict) -> str:
+    """x76: the array membership functions use Trino's per-element
+    EQUAL operator (Java IEEE) — ``contains(ARRAY[nan()], nan())`` is
+    FALSE, ``array_position`` 0, ``array_remove`` removes nothing —
+    where Spark's equivalents match NaN against NaN.  Where the
+    searched ELEMENT is knowably double and maybe-NaN (x47 contract),
+    the call gains an ``isnan`` dispatch arm: NaN is never equal, so
+    contains reduces to the null-element contract (NULL if the array
+    has nulls, else false — both engines' contract when not found),
+    position to 0, remove to identity.  The searched-element side
+    alone gates: a NaN probe against any element type is never found
+    in Trino regardless of the array side.
+
+    ``arrays_overlap`` is documented residue: Trino implements it over
+    the TOTAL-ORDER comparator (sort-merge walk), not element-equal,
+    and its NaN contract is not lexically verifiable in-sandbox.
+
+    Runs right after _rewrite_double_nan_comparisons, BEFORE the
+    rename passes — the emitted wrapper keeps the inner call in Trino
+    spelling for them.  Reference parity: Trino ArrayContains /
+    ArrayPositionFunction / ArrayRemoveFunction equal-operator loops
+    (internal/trino/client.go:284-291 forwards text verbatim).
+    """
+    types = {str(k).lower(): str(v).lower() for k, v in column_types.items()}
+    pos = 0
+    while True:
+        found = _find_call(q, _NAN_MEMBER_HEAD, pos)
+        if not found:
+            return q
+        m, bstart, bend = found
+        fname = m.group(1).lower()
+        args = _split_top_args(q[bstart:bend])
+        if len(args) != 2:
+            pos = bend
+            continue
+        arr, x = args[0].strip(), args[1].strip()
+        if (
+            _operand_fp_kind(x, types) != "double"
+            or not _maybe_nan_operand(x, types)
+            or _has_nondeterministic_call(arr)
+            or _has_nondeterministic_call(x)
+        ):
+            pos = bend
+            continue
+        call = q[m.start() : bend + 1]
+        if fname == "contains":
+            repl = (
+                f"IF(isnan({x}), IF(({arr}) IS NULL, CAST(NULL AS BOOLEAN),"
+                f" IF(exists({arr}, __nm -> __nm IS NULL),"
+                f" CAST(NULL AS BOOLEAN), false)), {call})"
+            )
+        elif fname == "array_position":
+            repl = f"IF(isnan({x}), CAST(0 AS BIGINT), {call})"
+        else:
+            repl = f"IF(isnan({x}), {arr}, {call})"
+        q = q[: m.start()] + repl + q[bend + 1 :]
+        # skip past the whole wrapper: the inner call is embedded in it
+        # and must not be re-matched (its args still read maybe-NaN)
+        pos = m.start() + len(repl)
+    return q
+
+
 _VOID_RISK = re.compile(r"(?is)\bNULL\b|\barray\s*\(\s*\)")
 
 
@@ -10039,6 +10106,11 @@ def _translate_inner(
     query = _rewrite_window_exclude(query)
     query = _rewrite_groups_frames(query)
     query = _rewrite_array_literal(query)
+    # AFTER the ARRAY[..] pass (x76 splits the two args on top-level
+    # commas — constructor brackets would break the split), BEFORE the
+    # rename pass that respells contains( → array_contains(
+    if _NAN_MEMBER_HEAD.search(query):
+        query = _rewrite_nan_membership(query, column_types or {})
     # AFTER the ARRAY[..] pass (constructor brackets gone), BEFORE any
     # pass that emits Spark-semantics subscripts of its own
     query = _rewrite_subscripts(query, column_types)

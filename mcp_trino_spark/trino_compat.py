@@ -7983,6 +7983,15 @@ def _rewrite_double_nan_comparisons(q: str, column_types: dict) -> str:
     log-IEEE domain guards) — running after them re-rewrote their
     internals and broke ``ln(nan())``.
 
+    Residue (documented, r14): scalar-SUBQUERY operands are skipped by
+    design (duplicating one re-plans it per copy), so a NaN flowing
+    through ``x > (SELECT …)``, the min/max forms the QUANTIFIED
+    rewrite emits, or an IN-subquery semi-join keeps Spark's
+    NaN-largest/NaN-equal semantics; likewise a NaN UPPER bound in
+    BETWEEN (the only divergent BETWEEN corner — Spark desugars
+    ``x <= NaN`` to true).  All require a NaN to reach an operand this
+    pass cannot lexically type.
+
     Reference parity: Trino DoubleOperators equal/lessThan/etc (Java
     IEEE), text forwarded verbatim (internal/trino/client.go:284-291).
     """

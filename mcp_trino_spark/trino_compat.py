@@ -7432,12 +7432,21 @@ def _rewrite_decimal_avg(q: str, column_types: dict) -> str:
             continue
         p, s = params
         end = bend + 1
-        # fold trailing FILTER (WHERE …) / OVER (…) clauses into the wrap
+        # fold trailing FILTER (WHERE …) / OVER (…) / OVER w clauses
+        # into the wrap — a stranded `… AS DECIMAL(p, s)) OVER w` is a
+        # parse error on valid Trino SQL (named-window references)
         while True:
             trailer = _find_call(q, _AVG_TRAILER, end)
-            if not trailer or q[end : trailer[0].start()].strip():
-                break
-            end = trailer[2] + 1
+            if trailer and not q[end : trailer[0].start()].strip():
+                end = trailer[2] + 1
+                continue
+            named = re.match(
+                r"(?is)\s*OVER\s+([A-Za-z_][A-Za-z0-9_]*)", q[end:]
+            )
+            if named:
+                end += named.end()
+                continue
+            break
         repl = f"CAST({q[m.start():end]} AS DECIMAL({p}, {s}))"
         q = q[: m.start()] + repl + q[end:]
         pos = m.start() + len(repl)
@@ -7747,12 +7756,16 @@ def _operand_is_map(expr: str, types: dict) -> bool:
 
 
 def _split_angle_args(body: str) -> List[str]:
-    """Top-level comma split of a Spark type-parameter list, <>-aware."""
+    """Top-level comma split of a Spark type-parameter list, <>- AND
+    ()-aware — ``struct<a:decimal(10,2),b:int>`` must split at the
+    second comma only (the paren-blind form collapsed any nested
+    struct containing a parameterized type to shape None, silently
+    re-opening the x72 conflation for decimal/varchar fields)."""
     parts, depth, last = [], 0, 0
     for i, c in enumerate(body):
-        if c == "<":
+        if c in "<(":
             depth += 1
-        elif c == ">":
+        elif c in ">)":
             depth -= 1
         elif c == "," and depth == 0:
             parts.append(body[last:i])
@@ -7877,11 +7890,8 @@ def _operand_shape(expr: str, types: dict):
                 vs = _operand_shape(args[1], types)
                 return ("map", vs[1] if vs and vs[0] == "array" else None)
             return ("map", None)
-        if name == "map_from_arrays" and len(
-            _split_top_args(e[e.index("(") + 1 : -1])
-        ) == 2:
-            args2 = _split_top_args(e[e.index("(") + 1 : -1])
-            vs = _operand_shape(args2[1].strip(), types)
+        if name == "map_from_arrays" and len(args) == 2:
+            vs = _operand_shape(args[1], types)
             return ("map", vs[1] if vs and vs[0] == "array" else None)
         if name in _ARRAY_RESULT_FNS:
             return ("array", None)
@@ -8076,6 +8086,16 @@ def _rewrite_double_nan_comparisons(q: str, column_types: dict) -> str:
     return q
 
 
+_SUBQUERY_OPERAND = re.compile(r"(?is)\(\s*(SELECT|WITH)\b")
+
+
+def _is_subquery_operand(e: str) -> bool:
+    """Scalar-subquery operand — the NaN guard forms DUPLICATE operand
+    text, and each copy of a subquery is re-planned (the main
+    comparison pass skips these by the same contract)."""
+    return bool(_SUBQUERY_OPERAND.match(e.strip()))
+
+
 _NAN_MEMBER_HEAD = re.compile(
     r"\b(contains|array_position|array_remove)\s*\(", re.IGNORECASE
 )
@@ -8120,6 +8140,8 @@ def _rewrite_nan_membership(q: str, column_types: dict) -> str:
         if (
             _operand_fp_kind(x, types) != "double"
             or not _maybe_nan_operand(x, types)
+            or _is_subquery_operand(arr)
+            or _is_subquery_operand(x)
             or _has_nondeterministic_call(arr)
             or _has_nondeterministic_call(x)
         ):
@@ -8192,56 +8214,162 @@ def _merged_shape_of(types: dict, kind: str, exprs) -> object:
 
 
 def _elem_shape_of(types: dict, *exprs: str):
-    """Merged element shape across every operand knowable as an array."""
+    """Merged element shape across every operand knowable as an array
+    (ORDERING paths only — equality uses per-side pairs, since struct
+    field NAMES must come from each operand's own type)."""
     s = _merged_shape_of(types, "array", exprs)
     return s[1] if s else None
 
 
 def _vshape_of(types: dict, *exprs: str):
-    """Merged value shape across every operand knowable as a map."""
+    """Merged value shape across every operand knowable as a map
+    (ordering/float-detection paths only — see _elem_shape_of)."""
     s = _merged_shape_of(types, "map", exprs)
     return s[1] if s else None
 
 
 def _field_shapes_of(types: dict, *exprs: str):
-    """Merged per-field shapes across every operand knowable as a row."""
+    """Merged per-field shapes across every operand knowable as a row
+    (ordering paths only — see _elem_shape_of)."""
     s = _merged_shape_of(types, "struct", exprs)
     return [sh for _, sh in s[1]] if s else None
 
 
-def _eq_by_shape(a: str, b: str, shape, d: int = 1) -> str:
+def _elem_shape_pair(types: dict, a: str, b: str):
+    """PER-SIDE element shapes ``(ea, eb)`` for equality recursion —
+    struct field names differ between a catalog column (``a, b``) and
+    a ROW constructor (``col1, col2``), so each side must be accessed
+    through its OWN shape (the review-confirmed r14 regression:
+    applying one side's merged names to both raised FIELD_NOT_FOUND on
+    comparisons that worked conflated in r13)."""
+    sa = _operand_shape(a, types)
+    sb = _operand_shape(b, types)
+    ea = sa[1] if sa and sa[0] == "array" else None
+    eb = sb[1] if sb and sb[0] == "array" else None
+    return None if ea is None and eb is None else (ea, eb)
+
+
+def _vshape_pair(types: dict, a: str, b: str):
+    """Per-side map VALUE shapes for equality recursion."""
+    sa = _operand_shape(a, types)
+    sb = _operand_shape(b, types)
+    va = sa[1] if sa and sa[0] == "map" else None
+    vb = sb[1] if sb and sb[0] == "map" else None
+    return None if va is None and vb is None else (va, vb)
+
+
+def _field_shape_pairs(types: dict, a: str, b: str):
+    """Per-side, per-field shape pairs for row-equality recursion, or
+    None when neither side's struct shape is knowable (scalar-field
+    fallback) or the knowable arities disagree."""
+    sa = _operand_shape(a, types)
+    sb = _operand_shape(b, types)
+    fa = sa[1] if sa and sa[0] == "struct" else None
+    fb = sb[1] if sb and sb[0] == "struct" else None
+    if fa is None and fb is None:
+        return None
+    if fa is not None and fb is not None and len(fa) != len(fb):
+        return None
+    n = len(fa if fa is not None else fb)
+    return [
+        (
+            fa[i][1] if fa is not None else None,
+            fb[i][1] if fb is not None else None,
+        )
+        for i in range(n)
+    ]
+
+
+def _wrap_compatible(sa, sb) -> bool:
+    """Is the ``IF(false, b, a)`` common-type coercion LEGAL for these
+    per-side shapes?  Spark rejects an IF whose branches are structs
+    with DIFFERENT field names (directly or nested) — and in exactly
+    those cases no wrap is needed: neither side is a void hole, and
+    the per-side recursion accesses each side through its own names."""
+    if sa is None or sb is None:
+        return True
+    if sa[0] != sb[0]:
+        return True
+    if sa[0] == "struct":
+        if [n for n, _ in sa[1]] != [n for n, _ in sb[1]] or len(
+            sa[1]
+        ) != len(sb[1]):
+            return False
+        return all(
+            _wrap_compatible(f1, f2)
+            for (_, f1), (_, f2) in zip(sa[1], sb[1])
+        )
+    if sa[0] in ("array", "map"):
+        return _wrap_compatible(sa[1], sb[1])
+    return True
+
+
+def _eq_by_shape(a: str, b: str, sa, sb, d: int = 1) -> str:
     """Three-valued equality of ``a`` and ``b`` recursing through the
-    shape (x72): Trino's equal operators delegate to the ELEMENT
-    type's equal operator at every level, so a null two levels down
-    still makes the outermost comparison unknown — pre-x72 the forms
-    compared nested elements with Spark's null-conflating ``=``
+    PER-SIDE shapes (x72): Trino's equal operators delegate to the
+    ELEMENT type's equal operator at every level, so a null two levels
+    down still makes the outermost comparison unknown — pre-x72 the
+    forms compared nested elements with Spark's null-conflating ``=``
     (ARRAY[ARRAY[1, NULL]] = ARRAY[ARRAY[1, NULL]] returned TRUE;
-    Trino says NULL).  ``d`` keeps nested lambda variables unique
-    (shadowed names are rejected/ambiguous in HOF lambdas)."""
-    if shape is None:
+    Trino says NULL).  Shapes are PER SIDE because struct field names
+    differ between a catalog column and a ROW constructor — each side
+    is accessed through its OWN names.  ``d`` keeps nested lambda
+    variables unique (shadowed names are rejected/ambiguous in HOF
+    lambdas)."""
+    s = sa or sb
+    if s is None:
         return (
             f"IF(({a}) IS NULL OR ({b}) IS NULL, CAST(NULL AS BOOLEAN),"
             f" ({a}) = ({b}))"
         )
-    kind = shape[0]
+    kind = s[0]
     if kind == "array":
-        return _array_eq_expr(a, b, shape[1], d)
+        return _array_eq_expr(
+            a, b,
+            (sa[1] if sa else None, sb[1] if sb else None),
+            d,
+        )
     if kind == "map":
-        return _map_eq_expr(a, b, shape[1], d)
+        return _map_eq_expr(
+            a, b,
+            (sa[1] if sa else None, sb[1] if sb else None),
+            d,
+        )
     if kind == "double":
         # x74: float leaves compare IEEE — Trino's element equality
         # delegates to DoubleOperators.equal, so a NaN pair two levels
         # down decides the whole comparison FALSE (Spark's x = y said
         # equal).  _dbl_eq_expr is already exact three-valued.
         return _dbl_eq_expr(a, b)
-    # common-type coercion before field extraction: a bare NULL field
-    # literal types the field VOID on one side (see _array_eq_expr);
-    # void-risk-gated for size discipline
+    if (
+        sa is not None
+        and sb is not None
+        and sa[0] == "struct"
+        and sb[0] == "struct"
+        and len(sa[1]) == len(sb[1])
+    ):
+        # both sides knowable: per-side names, positional field pairing
+        la = [f"({a}).`{n}`" for n, _ in sa[1]]
+        lb = [f"({b}).`{n}`" for n, _ in sb[1]]
+        pairs = [(f1, f2) for (_, f1), (_, f2) in zip(sa[1], sb[1])]
+        return _row_eq_expr(a, b, la, lb, pairs, d)
     if _needs_void_coercion(a, b):
+        # one side is a NULL/empty hole: coerce to the known side's
+        # type (legal — a void branch coerces to anything), then that
+        # side's names address both
         a, b = f"IF(false, {b}, {a})", f"IF(false, {a}, {b})"
-    la = [f"({a}).`{n}`" for n, _ in shape[1]]
-    lb = [f"({b}).`{n}`" for n, _ in shape[1]]
-    return _row_eq_expr(a, b, la, lb, [s for _, s in shape[1]], d)
+        la = [f"({a}).`{n}`" for n, _ in s[1]]
+        lb = [f"({b}).`{n}`" for n, _ in s[1]]
+        pairs = [(f, f) for _, f in s[1]]
+        return _row_eq_expr(a, b, la, lb, pairs, d)
+    # single-sided struct knowledge with no coercible hole: the other
+    # side's runtime field names are unknowable — keep the conflating
+    # scalar comparison (pre-x72 behavior, documented residue) rather
+    # than risk FIELD_NOT_FOUND on valid SQL
+    return (
+        f"IF(({a}) IS NULL OR ({b}) IS NULL, CAST(NULL AS BOOLEAN),"
+        f" ({a}) = ({b}))"
+    )
 
 
 _EMPTY_MAP_LITERAL = re.compile(
@@ -8249,7 +8377,7 @@ _EMPTY_MAP_LITERAL = re.compile(
 )
 
 
-def _map_eq_expr(a: str, b: str, vshape=None, d: int = 0) -> str:
+def _map_eq_expr(a: str, b: str, vshapes=None, d: int = 0) -> str:
     """Trino three-valued map equality (MapEqualOperator): size
     mismatch or a key absent from the other side → false; a decided
     unequal value pair → false; else any NULL value → NULL; else true.
@@ -8257,8 +8385,8 @@ def _map_eq_expr(a: str, b: str, vshape=None, d: int = 0) -> str:
     a valid Trino query was a hard error), so this arm is reachability
     plus semantics.  Key lookups via element_at are safe: Spark's map
     element_at returns NULL on a missing key, and the key-coverage arm
-    runs first.  ``vshape`` recurses complex VALUE types through the
-    same three-valued forms (x72)."""
+    runs first.  ``vshapes`` is the PER-SIDE value-shape pair recursing
+    complex VALUE types through the same three-valued forms (x72)."""
     sk = "k" if d == 0 else f"k_{d}"
     sp = "p" if d == 0 else f"p_{d}"
     # BOTH sides lexically empty-map or NULL literals: the common type
@@ -8285,9 +8413,10 @@ def _map_eq_expr(a: str, b: str, vshape=None, d: int = 0) -> str:
     # the x72 recursion); the IF(false, …) wrap constant-folds to a
     # cast to the two sides' common type.  Void-risk-gated like the
     # array form (size discipline on comparison-heavy batches).
-    if _needs_void_coercion(a, b):
+    vs = vshapes or (None, None)
+    if _needs_void_coercion(a, b) and _wrap_compatible(vs[0], vs[1]):
         a, b = f"IF(false, {b}, {a})", f"IF(false, {a}, {b})"
-    if vshape is None:
+    if vs[0] is None and vs[1] is None:
         pair = (
             f"IF(element_at({a}, {sk}) IS NULL OR element_at({b}, {sk}) IS"
             f" NULL, CAST(NULL AS BOOLEAN),"
@@ -8295,7 +8424,8 @@ def _map_eq_expr(a: str, b: str, vshape=None, d: int = 0) -> str:
         )
     else:
         pair = _eq_by_shape(
-            f"element_at({a}, {sk})", f"element_at({b}, {sk})", vshape, d + 1
+            f"element_at({a}, {sk})", f"element_at({b}, {sk})",
+            vs[0], vs[1], d + 1,
         )
     zwv = f"transform(map_keys({a}), {sk} -> {pair})"
     # key coverage via array_except, not map_contains_key: the latter
@@ -8455,22 +8585,23 @@ def _row_eq_expr(
 ) -> str:
     """Trino three-valued ROW equality (RowEqualOperator): any
     decided-unequal field → false; else any null field on either side
-    → NULL; else true.  ``shapes`` (one per field, None = scalar)
-    recurses complex FIELD types through the same three-valued forms
-    (x72) — pre-x72 a nested null (ROW(ROW(1, NULL)) = itself)
+    → NULL; else true.  ``shapes`` (one PER-SIDE PAIR per field, None =
+    scalar) recurses complex FIELD types through the same three-valued
+    forms (x72) — pre-x72 a nested null (ROW(ROW(1, NULL)) = itself)
     compared with Spark's conflating ``<>`` and decided TRUE where
     Trino says NULL."""
     if shapes is None:
         shapes = [None] * len(la)
     decided_arms, undecided_arms = [], []
     for x, y, s in zip(la, lb, shapes):
-        if s is None:
+        sl, sr = s if s is not None else (None, None)
+        if sl is None and sr is None:
             decided_arms.append(
                 f"({x} IS NOT NULL AND {y} IS NOT NULL AND {x} <> {y})"
             )
             undecided_arms.append(f"{x} IS NULL OR {y} IS NULL")
         else:
-            fe = _eq_by_shape(x, y, s, d + 1)
+            fe = _eq_by_shape(x, y, sl, sr, d + 1)
             decided_arms.append(f"({fe}) IS FALSE")
             undecided_arms.append(f"({fe}) IS NULL")
     decided = " OR ".join(decided_arms)
@@ -8587,14 +8718,14 @@ def _right_operand_end(q: str, mask: List[bool], pos: int) -> Optional[int]:
             return end
 
 
-def _array_eq_expr(a: str, b: str, elem_shape=None, d: int = 0) -> str:
+def _array_eq_expr(a: str, b: str, elem_shapes=None, d: int = 0) -> str:
     """Trino three-valued array equality: length mismatch → false;
     any decided-unequal pair → false; else any null element → NULL;
-    else true (ArrayEqualOperator).  ``elem_shape`` recurses complex
-    ELEMENT types through the same forms (x72) — pre-x72 the lambda's
-    ``x = y`` conflated nested nulls (ARRAY[ARRAY[1, NULL]] = itself
-    returned TRUE; Trino says NULL).  ``d`` uniquifies nested lambda
-    variables."""
+    else true (ArrayEqualOperator).  ``elem_shapes`` is the PER-SIDE
+    element-shape pair recursing complex ELEMENT types through the
+    same forms (x72) — pre-x72 the lambda's ``x = y`` conflated nested
+    nulls (ARRAY[ARRAY[1, NULL]] = itself returned TRUE; Trino says
+    NULL).  ``d`` uniquifies nested lambda variables."""
     sx = "x" if d == 0 else f"x_{d}"
     sy = "y" if d == 0 else f"y_{d}"
     sp = "p" if d == 0 else f"p_{d}"
@@ -8604,17 +8735,20 @@ def _array_eq_expr(a: str, b: str, elem_shape=None, d: int = 0) -> str:
     # breaking the recursion's field extraction — the IF(false, …) wrap
     # constant-folds to a cast (Trino types such literals from context
     # the same way).  Applied only when an operand's text could carry
-    # VOID: unconditionally it doubles operand text per level and trips
-    # the 1 MB guard on comparison-heavy batches.
-    if _needs_void_coercion(a, b):
+    # VOID (unconditionally it doubles operand text per level and trips
+    # the 1 MB guard on comparison-heavy batches) AND the per-side
+    # shapes are wrap-compatible (Spark rejects an IF over structs with
+    # differing field names — exactly when no coercion is needed).
+    es = elem_shapes or (None, None)
+    if _needs_void_coercion(a, b) and _wrap_compatible(es[0], es[1]):
         a, b = f"IF(false, {b}, {a})", f"IF(false, {a}, {b})"
-    if elem_shape is None:
+    if es[0] is None and es[1] is None:
         pair = (
             f"IF({sx} IS NULL OR {sy} IS NULL, CAST(NULL AS BOOLEAN),"
             f" {sx} = {sy})"
         )
     else:
-        pair = _eq_by_shape(sx, sy, elem_shape, d + 1)
+        pair = _eq_by_shape(sx, sy, es[0], es[1], d + 1)
     zw = f"zip_with({a}, {b}, ({sx}, {sy}) -> {pair})"
     return (
         f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN CAST(NULL AS BOOLEAN)"
@@ -8816,30 +8950,34 @@ def _rewrite_array_comparisons(q: str, column_types: dict) -> str:
         hits
     ):
         if is_map:
-            vs = _vshape_of(types, left, right)
+            vs = _vshape_pair(types, left, right)
             repl = (
                 _map_eq_expr(left, right, vs)
                 if op == "="
                 else f"(NOT {_map_eq_expr(left, right, vs)})"
             )
         elif row_la is not None:
-            fs = _field_shapes_of(types, left, right)
-            if op == "=":
-                repl = _row_eq_expr(left, right, row_la, row_lb, fs)
-            elif op in ("<>", "!="):
-                repl = (
-                    f"(NOT {_row_eq_expr(left, right, row_la, row_lb, fs)})"
-                )
+            if op in ("=", "<>", "!="):
+                fs = _field_shape_pairs(types, left, right)
+                if op == "=":
+                    repl = _row_eq_expr(left, right, row_la, row_lb, fs)
+                else:
+                    repl = (
+                        f"(NOT "
+                        f"{_row_eq_expr(left, right, row_la, row_lb, fs)})"
+                    )
             else:
                 repl = _row_ord_expr(
                     left, right, row_la, row_lb, op,
                     _field_shapes_of(types, left, right),
                 )
         elif op == "=":
-            repl = _array_eq_expr(left, right, _elem_shape_of(types, left, right))
+            repl = _array_eq_expr(
+                left, right, _elem_shape_pair(types, left, right)
+            )
         elif op in ("<>", "!="):
             repl = (
-                f"(NOT {_array_eq_expr(left, right, _elem_shape_of(types, left, right))})"
+                f"(NOT {_array_eq_expr(left, right, _elem_shape_pair(types, left, right))})"
             )
         else:
             repl = _array_ord_expr(
@@ -8904,14 +9042,14 @@ def _rewrite_array_in_lists(q: str, column_types: dict) -> str:
             _operand_is_array(it, types) for it in items
         ):
             eqs = [
-                _array_eq_expr(left, it, _elem_shape_of(types, left, it))
+                _array_eq_expr(left, it, _elem_shape_pair(types, left, it))
                 for it in items
             ]
         elif _operand_is_map(left, types) or all(
             _operand_is_map(it, types) for it in items
         ):
             eqs = [
-                _map_eq_expr(left, it, _vshape_of(types, left, it))
+                _map_eq_expr(left, it, _vshape_pair(types, left, it))
                 for it in items
             ]
         else:
@@ -8922,7 +9060,7 @@ def _rewrite_array_in_lists(q: str, column_types: dict) -> str:
                     eqs = [
                         _row_eq_expr(
                             left, it, la, lb,
-                            _field_shapes_of(types, left, it),
+                            _field_shape_pairs(types, left, it),
                         )
                         for it, lb in zip(items, lbs)
                     ]
@@ -8930,13 +9068,21 @@ def _rewrite_array_in_lists(q: str, column_types: dict) -> str:
                 eqs is None
                 and _operand_fp_kind(left, types) == "double"
                 and _maybe_nan_operand(left, types)
-                and any(_maybe_nan_operand(it, types) for it in items)
+                and not _is_subquery_operand(left)
+                and any(
+                    _maybe_nan_operand(it, types)
+                    and not _is_subquery_operand(it)
+                    for it in items
+                )
             ):
                 # x73 float arm: Spark IN matches NaN against a NaN
-                # item; Trino's chained IEEE equality never does
+                # item; Trino's chained IEEE equality never does.
+                # Subquery items keep plain equality (the guard form
+                # duplicates operand text — re-planning per copy)
                 eqs = [
                     _dbl_eq_expr(left, it)
                     if _maybe_nan_operand(it, types)
+                    and not _is_subquery_operand(it)
                     else f"(({left}) = ({it}))"
                     for it in items
                 ]
@@ -9046,6 +9192,7 @@ def _rewrite_complex_simple_case(q: str, column_types: dict) -> str:
             fp = (
                 _operand_fp_kind(operand, types) == "double"
                 and _maybe_nan_operand(operand, types)
+                and not _is_subquery_operand(operand)
             )
             if not fp:
                 continue
@@ -9068,7 +9215,8 @@ def _rewrite_complex_simple_case(q: str, column_types: dict) -> str:
         if not ok or not parts:
             continue
         if fp and not any(
-            _maybe_nan_operand(v, types) for *_, v in parts
+            _maybe_nan_operand(v, types) and not _is_subquery_operand(v)
+            for *_, v in parts
         ):
             continue  # every WHEN value finite — Spark CASE agrees
         conds = []
@@ -9080,17 +9228,20 @@ def _rewrite_complex_simple_case(q: str, column_types: dict) -> str:
                 conds.append(
                     _dbl_eq_expr(operand, val)
                     if _maybe_nan_operand(val, types)
+                    and not _is_subquery_operand(val)
                     else f"(({operand}) = ({val}))"
                 )
             elif arr:
                 conds.append(
                     _array_eq_expr(
-                        operand, val, _elem_shape_of(types, operand, val)
+                        operand, val, _elem_shape_pair(types, operand, val)
                     )
                 )
             elif mp:
                 conds.append(
-                    _map_eq_expr(operand, val, _vshape_of(types, operand, val))
+                    _map_eq_expr(
+                        operand, val, _vshape_pair(types, operand, val)
+                    )
                 )
             else:
                 lb = _operand_row_accessors(val, types)
@@ -9100,7 +9251,7 @@ def _rewrite_complex_simple_case(q: str, column_types: dict) -> str:
                 conds.append(
                     _row_eq_expr(
                         operand, val, la, lb,
-                        _field_shapes_of(types, operand, val),
+                        _field_shape_pairs(types, operand, val),
                     )
                 )
         if not ok:
@@ -9150,20 +9301,24 @@ def _rewrite_complex_nullif(q: str, column_types: dict) -> str:
             continue
         eq = None
         if _operand_is_array(a, types) or _operand_is_array(b, types):
-            eq = _array_eq_expr(a, b, _elem_shape_of(types, a, b))
+            eq = _array_eq_expr(a, b, _elem_shape_pair(types, a, b))
         elif _operand_is_map(a, types) or _operand_is_map(b, types):
-            eq = _map_eq_expr(a, b, _vshape_of(types, a, b))
+            eq = _map_eq_expr(a, b, _vshape_pair(types, a, b))
         else:
             la = _operand_row_accessors(a, types)
             lb = _operand_row_accessors(b, types)
             if la is not None and lb is not None and len(la) == len(lb):
-                eq = _row_eq_expr(a, b, la, lb, _field_shapes_of(types, a, b))
+                eq = _row_eq_expr(
+                    a, b, la, lb, _field_shape_pairs(types, a, b)
+                )
             elif (
                 "double" in (
                     _operand_fp_kind(a, types), _operand_fp_kind(b, types)
                 )
                 and _maybe_nan_operand(a, types)
                 and _maybe_nan_operand(b, types)
+                and not _is_subquery_operand(a)
+                and not _is_subquery_operand(b)
             ):
                 # x73 float arm: nullif desugars to equality, so
                 # nullif(nan(), nan()) was NULL here (Spark NaN-equal)

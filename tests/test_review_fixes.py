@@ -218,3 +218,62 @@ def test_join_on_conditions_stay_exempt_from_equality_rewrite():
         "SELECT * FROM a JOIN b ON a.id = b.id WHERE a.arr = ARRAY[1]"
     )
     assert "ON a.id = b.id" in out and "zip_with" in out, out
+
+
+def test_mixed_name_nested_row_equality(spark):
+    """r14 self-review (high): the x72 struct recursion applied ONE
+    side's merged field names to BOTH sides — a catalog array<struct<
+    a,b>> column compared to an ARRAY[ROW(...)] constructor (fields
+    col1/col2) raised FIELD_NOT_FOUND.  Shapes are now PER SIDE: each
+    operand is accessed through its own names, so the comparison is
+    both legal AND three-valued."""
+    from mcp_trino_spark.trino_compat import translate
+
+    spark.sql(
+        "SELECT array(named_struct('a', 1, 'b', 2)) AS arr"
+    ).createOrReplaceTempView("mixed_names_t")
+    ct = {"arr": "array<struct<a:int,b:int>>"}
+    got = [
+        spark.sql(
+            translate(f"SELECT arr = ARRAY[ROW({l})] AS v FROM mixed_names_t",
+                      column_types=ct)
+        ).collect()[0]["v"]
+        for l in ("1, 2", "1, NULL", "2, 2")
+    ]
+    assert got == [True, None, False], got
+
+
+def test_decimal_avg_named_window_reference():
+    """r14 self-review (high): the avg wrap folded only `OVER (…)`,
+    stranding a named-window `OVER w` outside the CAST — a parse error
+    on valid Trino SQL."""
+    from mcp_trino_spark.trino_compat import translate
+
+    out = translate(
+        "SELECT avg(CAST(x AS DECIMAL(8,3))) OVER w FROM t"
+        " WINDOW w AS (PARTITION BY k)"
+    )
+    assert "OVER w AS DECIMAL(8, 3))" in out, out
+
+
+def test_angle_split_paren_aware():
+    """r14 self-review (high): _split_angle_args was paren-blind, so a
+    nested struct with a decimal(p,s)/varchar(n) field collapsed its
+    whole shape to None — silently re-opening the x72 conflation for
+    every table with parameterized nested types."""
+    from mcp_trino_spark.trino_compat import _shape_from_spark_type
+
+    s = _shape_from_spark_type("array<struct<a:decimal(10,2),b:int>>")
+    assert s == ("array", ("struct", [("a", None), ("b", None)])), s
+    s = _shape_from_spark_type("map<int,struct<x:varchar(5),y:double>>")
+    assert s == ("map", ("struct", [("x", None), ("y", ("double",))])), s
+
+
+def test_float_in_list_subquery_items_not_duplicated():
+    """r14 self-review: the x73 IN-list float arm duplicated scalar
+    subquery items into the isnan guard (re-planned per copy) — the
+    main comparison pass's skip-subqueries contract now applies."""
+    from mcp_trino_spark.trino_compat import translate
+
+    out = translate("SELECT 1 FROM t WHERE 1.5E0 IN (nan(), (SELECT f(2)))")
+    assert out.count("SELECT f(2)") == 1, out

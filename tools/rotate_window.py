@@ -318,9 +318,6 @@ def freshness_problems(report=None) -> List[str]:
     from mcp_trino_spark import registry
     from tools.check_changed import staleness_report, untracked_head_certification
 
-    if report is None:
-        report = staleness_report()
-
     eor = untracked_head_certification()
     if eor is not None:
         try:
@@ -332,6 +329,8 @@ def freshness_problems(report=None) -> List[str]:
             ]
         return []
 
+    if report is None:
+        report = staleness_report()
     window = set(list(registry.queries())[:WINDOW])
     problems = []
     missing = [

@@ -529,7 +529,10 @@ def test_nan_guarded_filter_still_pushes_down(spark):
         column_types={"l_quantity": "double"},
     )
     assert "isnan" in t  # the guard is present...
-    plan = spark.sql(t)._jdf.queryExecution().executedPlan().toString()
-    scan = [l for l in plan.splitlines() if "PushedFilters" in l]
-    assert scan, plan
-    assert "GreaterThan(l_quantity,24.0)" in scan[0], scan[0]
+    try:
+        plan = spark.sql(t)._jdf.queryExecution().executedPlan().toString()
+        scan = [l for l in plan.splitlines() if "PushedFilters" in l]
+        assert scan, plan
+        assert "GreaterThan(l_quantity,24.0)" in scan[0], scan[0]
+    finally:
+        spark.catalog.dropTempView("li_nan_plan")

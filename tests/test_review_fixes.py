@@ -233,14 +233,22 @@ def test_mixed_name_nested_row_equality(spark):
         "SELECT array(named_struct('a', 1, 'b', 2)) AS arr"
     ).createOrReplaceTempView("mixed_names_t")
     ct = {"arr": "array<struct<a:int,b:int>>"}
-    got = [
-        spark.sql(
-            translate(f"SELECT arr = ARRAY[ROW({l})] AS v FROM mixed_names_t",
-                      column_types=ct)
-        ).collect()[0]["v"]
-        for l in ("1, 2", "1, NULL", "2, 2")
-    ]
-    assert got == [True, None, False], got
+    try:
+        got = [
+            spark.sql(
+                translate(
+                    f"SELECT arr = ARRAY[ROW({l})] AS v FROM mixed_names_t",
+                    column_types=ct,
+                )
+            ).collect()[0]["v"]
+            for l in ("1, 2", "1, NULL", "2, 2")
+        ]
+        assert got == [True, None, False], got
+    finally:
+        # the shared session's catalog-type map resolves bare column
+        # names — leaking an `arr` of a different type shadowed the
+        # subscript test's array<int> column downstream
+        spark.catalog.dropTempView("mixed_names_t")
 
 
 def test_decimal_avg_named_window_reference():

@@ -6005,7 +6005,14 @@ def _left_operand_start(q: str, mask: List[bool], pos: int) -> int:
     return start
 
 
-def _rewrite_quantified_comparisons(q: str) -> str:
+def _rewrite_quantified_comparisons(q: str, subquery_type=None) -> str:
+    """``subquery_type`` (optional, r15): callable typing a parenthesized
+    subquery via the session analyzer (LIMIT-0 schema — no jobs run);
+    returns the Spark simpleString of the single output column or None.
+    When it certifies a DOUBLE/REAL set, the ordering thresholds become
+    NaN-aware (Trino's DoubleOperators make every ordering comparison
+    against NaN FALSE; Spark's min/max order NaN largest — a silent
+    ALL/ANY divergence on any float set a NaN can reach)."""
     while True:
         mask = _code_mask(q)
         m = next(
@@ -6029,6 +6036,15 @@ def _rewrite_quantified_comparisons(q: str) -> str:
                 if (op in (">", ">=")) == (quant == "ALL")
                 else "min"
             )
+            set_t = None
+            if subquery_type is not None:
+                try:
+                    set_t = subquery_type(f"({sub})")
+                except Exception:
+                    set_t = None
+            nan_set = set_t in ("double", "float")
+            lstart = _left_operand_start(q, mask, m.start())
+            left = q[lstart : m.start()].strip()
             if quant == "ALL":
                 # a NULL element makes `op ALL` at best UNKNOWN, never
                 # TRUE — min/max silently ignore NULLs, which would let
@@ -6036,12 +6052,31 @@ def _rewrite_quantified_comparisons(q: str) -> str:
                 # the threshold to NULL when any element is NULL yields
                 # UNKNOWN for exactly those rows (the standard's FALSE
                 # cases also become UNKNOWN — identical under WHERE,
-                # and never wrongly TRUE).
+                # and never wrongly TRUE).  A NaN element (analyzer-
+                # certified float set) poisons the threshold to NaN
+                # FIRST: Trino's `op NaN` is false and ALL's false
+                # dominates unknown, so NaN wins over NULL-degrade;
+                # the NaN-guarded comparison pass downstream turns the
+                # `op NaN` into FALSE.  The `count(*) = 0` disjunct is
+                # the standard's vacuous truth on EMPTY sets (Trino:
+                # `x < ALL (empty)` is TRUE; the bare threshold form
+                # said UNKNOWN — an r15 closure).
+                nan_arm = (
+                    "WHEN bool_or(isnan(__v)) THEN double('NaN') "
+                    if nan_set
+                    else ""
+                )
                 thr = (
-                    f"(SELECT CASE WHEN count(*) > count(__v) THEN NULL"
+                    f"(SELECT CASE {nan_arm}WHEN count(*) > count(__v)"
+                    f" THEN NULL"
                     f" ELSE {agg}(__v) END FROM ({sub}) __q(__v))"
                 )
-                q = q[: m.start()] + f" {op} {thr}" + q[close + 1 :]
+                empty = f"(SELECT count(*) = 0 FROM ({sub}) __q)"
+                q = (
+                    q[:lstart]
+                    + f"({empty} OR ({left} {op} {thr}))"
+                    + q[close + 1 :]
+                )
                 continue
             # ANY: the symmetric hazard runs the other way — a TRUE
             # witness must stay TRUE even when other elements are NULL,
@@ -6052,19 +6087,26 @@ def _rewrite_quantified_comparisons(q: str) -> str:
             # exactly when the subquery contains a NULL element.  The
             # OR changes precedence, so the WHOLE predicate — left
             # operand included (backscan above) — is parenthesized.
-            # Catalyst's ReuseSubquery collapses the two textually
-            # identical subqueries into one execution.
-            thr = f"(SELECT {agg}(__v) FROM ({sub}) __q(__v))"
+            # Catalyst's ReuseSubquery collapses the textually
+            # identical subqueries into one execution.  The
+            # `thr IS NOT NULL AND` arm closes the EMPTY-set gap
+            # (Trino: `op ANY (empty)` is FALSE; the bare comparison
+            # said UNKNOWN — r15) and doubles as the all-NaN-set
+            # backstop when the analyzer certifies a float set (NaN
+            # elements can never witness an ordering in Trino, so they
+            # are blanked out of the threshold; an all-NaN set then
+            # yields FALSE like Trino, not UNKNOWN).
+            velem = "IF(isnan(__v), NULL, __v)" if nan_set else "__v"
+            thr = f"(SELECT {agg}({velem}) FROM ({sub}) __q(__v))"
             guard = (
                 f"(SELECT CASE WHEN count(*) > count(__v) THEN"
                 f" CAST(NULL AS BOOLEAN) ELSE FALSE END"
                 f" FROM ({sub}) __q(__v))"
             )
-            lstart = _left_operand_start(q, mask, m.start())
-            left = q[lstart : m.start()].strip()
             q = (
                 q[:lstart]
-                + f"({left} {op} {thr} OR {guard})"
+                + f"(({thr} IS NOT NULL AND {left} {op} {thr})"
+                + f" OR {guard})"
                 + q[close + 1 :]
             )
             continue
@@ -7227,6 +7269,18 @@ _INTEGRAL_DECIMAL_PARAMS = {
 _DECIMAL_TYPE_PARAMS = re.compile(r"(?is)decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)")
 
 
+def _decimal_literal_params(int_digits: str, frac_digits: str):
+    """Trino's literal typing (Decimals.parse): leading zeros in the
+    integral part do NOT count toward precision — ``0.01`` is
+    DECIMAL(2,2), not (3,2); ``0.1`` is DECIMAL(1,1).  Scale is the
+    fractional digit count verbatim, so rounding passes are unaffected;
+    only the emitted CAST precision mirrors Trino's declared type
+    (ADVICE r14)."""
+    ip = int_digits.lstrip("-").lstrip("0")
+    frac = len(frac_digits)
+    return (max(len(ip) + frac, frac, 1), frac)
+
+
 def _operand_decimal_params(expr: str, types: dict):
     """``(precision, scale)`` when the operand's DECIMAL-calculus type
     is lexically knowable (decimal/integer literals, CAST targets,
@@ -7237,15 +7291,14 @@ def _operand_decimal_params(expr: str, types: dict):
         return None
     m = re.fullmatch(r"-?(\d+)\.(\d+)", e)
     if m:
-        return (len(m.group(1)) + len(m.group(2)), len(m.group(2)))
+        return _decimal_literal_params(m.group(1), m.group(2))
     m = re.fullmatch(r"-?(\d+)", e)
     if m:
         # Trino types an integer literal as INTEGER unless it needs 64 bits
         return (10, 0) if abs(int(e)) <= 2147483647 else (19, 0)
     m = re.fullmatch(r"(?is)DECIMAL\s+'(-?\d+)(?:\.(\d+))?'", e)
     if m:
-        frac = m.group(2) or ""
-        return (len(m.group(1).lstrip("-")) + len(frac), len(frac))
+        return _decimal_literal_params(m.group(1), m.group(2) or "")
     if e.startswith("(") and e.endswith(")"):
         inner = e[1:-1].strip()
         if _balanced(inner):
@@ -7256,7 +7309,10 @@ def _operand_decimal_params(expr: str, types: dict):
         if target in _INTEGRAL_DECIMAL_PARAMS:
             return _INTEGRAL_DECIMAL_PARAMS[target]
         if target == "decimal":
-            tm = _DECIMAL_TYPE_PARAMS.search(e)
+            # search the TARGET text only — a decimal(p,s) inside the
+            # operand part must not shadow the outer cast's type
+            # (avg(CAST(CAST(x AS DECIMAL(5,1)) + y AS DECIMAL(12,4))))
+            tm = _DECIMAL_TYPE_PARAMS.search(_cast_target_text(e) or "")
             # unparameterized DECIMAL defaults differ (Trino (38,0),
             # Spark (10,0)) — stay out of that residue
             return (int(tm.group(1)), int(tm.group(2))) if tm else None
@@ -7365,16 +7421,18 @@ def _operand_true_decimal_params(expr: str, types: dict):
         return None
     m = re.fullmatch(r"-?(\d+)\.(\d+)", e)
     if m:
-        return (len(m.group(1)) + len(m.group(2)), len(m.group(2)))
+        return _decimal_literal_params(m.group(1), m.group(2))
     m = re.fullmatch(r"(?is)DECIMAL\s+'(-?\d+)(?:\.(\d+))?'", e)
     if m:
-        frac = m.group(2) or ""
-        return (len(m.group(1).lstrip("-")) + len(frac), len(frac))
+        return _decimal_literal_params(m.group(1), m.group(2) or "")
     if e.startswith("(") and e.endswith(")") and _balanced(e[1:-1]):
         return _operand_true_decimal_params(e[1:-1].strip(), types)
     target = _cast_target_of(e)
     if target == "decimal":
-        tm = _DECIMAL_TYPE_PARAMS.search(e)
+        # search the TARGET text only, not the whole expression — a
+        # decimal(p,s) in the operand part must not win over the outer
+        # cast's declared type (ADVICE r14)
+        tm = _DECIMAL_TYPE_PARAMS.search(_cast_target_text(e) or "")
         # unparameterized CAST(x AS DECIMAL) is rewritten to (38,0) by
         # _rewrite_bare_decimal BEFORE this pass, so tm is set for all
         # translator-visited casts; a raw bare DECIMAL stays residue
@@ -8166,6 +8224,7 @@ def _rewrite_nan_membership(q: str, column_types: dict) -> str:
 
 
 _VOID_RISK = re.compile(r"(?is)\bNULL\b|\barray\s*\(\s*\)")
+_NULL_TEST = re.compile(r"(?is)\bIS\s+(?:NOT\s+)?NULL\b")
 
 
 def _needs_void_coercion(a: str, b: str) -> bool:
@@ -8174,8 +8233,20 @@ def _needs_void_coercion(a: str, b: str) -> bool:
     spelling.  Without one, every nested type is materialized and the
     common-type IF(false, …) wrap is pure size overhead (it doubles
     operand text per recursion level — the guard-tripping cost on
-    comparison-heavy batches)."""
-    return bool(_VOID_RISK.search(a) or _VOID_RISK.search(b))
+    comparison-heavy batches).
+
+    Only CODE segments count and ``IS [NOT] NULL`` tests are stripped
+    first (ADVICE r14): a NULL inside a string literal or a null TEST
+    (``CASE WHEN x IS NOT NULL THEN s1 ELSE s2 END``) cannot type
+    VOID, and wrapping two shape-unknowable struct operands on such a
+    false positive turns a working comparison into a field-name
+    analysis error — the exact failure _wrap_compatible gates, which
+    it can only veto when a shape is lexically knowable."""
+    for e in (a, b):
+        code = "".join(seg for is_code, seg in _segments(e) if is_code)
+        if _VOID_RISK.search(_NULL_TEST.sub(" ", code)):
+            return True
+    return False
 
 
 def _merge_shapes(s1, s2):

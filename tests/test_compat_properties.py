@@ -87,7 +87,9 @@ def test_quantified_any_rewrite_is_balanced(left, op, quant):
     q = f"SELECT * FROM t WHERE {left} {op} {quant} (SELECT v FROM s)"
     out = translate(q)
     assert out.count("(") == out.count(")")
-    # threshold + guard each wrap the original subquery once
-    assert out.count("FROM (SELECT v FROM s) __q(__v)") == 2
-    # the predicate paren opens before the left operand's text
-    assert f"({left} {op} " in out, out
+    # threshold (twice: IS-NOT-NULL empty/all-NaN backstop + witness)
+    # + guard each wrap the original subquery; Catalyst's ReuseSubquery
+    # collapses the identical threshold copies into one execution
+    assert out.count("FROM (SELECT v FROM s) __q(__v)") == 3
+    # the comparison itself keeps the full left operand text
+    assert f"{left} {op} " in out, out

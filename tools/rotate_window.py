@@ -294,7 +294,10 @@ def _rewrite(path: str, block: str) -> None:
         fh.write(pat.sub(block, text))
 
 
-def freshness_problems(report=None) -> List[str]:
+_EOR_UNSET = object()
+
+
+def freshness_problems(report=None, eor=_EOR_UNSET) -> List[str]:
     """The freshness-guard invariants, state-aware (VERDICT r13 #1).
 
     Mid-round (every CORRECTNESS record committed): the CURRENT window
@@ -314,11 +317,18 @@ def freshness_problems(report=None) -> List[str]:
 
     Shared by ``check()`` (pre-commit hook) and the pytest guard
     (tests/test_registry_window.py) so the two can never disagree.
+
+    Tests that fabricate a state must inject BOTH coordinates
+    (VERDICT r14 #1): ``report`` pins the staleness census and ``eor``
+    pins which round (if any) is the end-of-round judged snapshot —
+    otherwise the REAL repo state leaks into the simulation and the
+    test result depends on when in the round it runs.
     """
     from mcp_trino_spark import registry
     from tools.check_changed import staleness_report, untracked_head_certification
 
-    eor = untracked_head_certification()
+    if eor is _EOR_UNSET:
+        eor = untracked_head_certification()
     if eor is not None:
         try:
             build_window()

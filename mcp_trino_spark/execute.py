@@ -86,6 +86,35 @@ def invalidate_column_types_cache(spark=None) -> None:
         _COLUMN_TYPES_CACHE.pop(spark, None)
 
 
+def _make_subquery_type(spark):
+    """Analyzer-backed operand typing for the translator (x77): returns
+    a memoized callable that resolves a parenthesized subquery text's
+    LIMIT-0 schema against the live session and yields the single
+    output column's Spark simpleString — or None when the text does not
+    analyze standalone (correlated subqueries, still-untranslated
+    later-pass idioms, multi-column rows).  Analysis only: ``spark.sql``
+    is never collected, so no jobs run; the memo makes repeated probes
+    of the same threshold text (quantified emissions) free."""
+    cache: dict = {}
+
+    def cb(sub_text: str):
+        key = " ".join(sub_text.split())
+        if key not in cache:
+            t = None
+            try:
+                schema = spark.sql(
+                    f"SELECT * FROM {sub_text} __sq_probe LIMIT 0"
+                ).schema
+                if len(schema.fields) == 1:
+                    t = schema.fields[0].dataType.simpleString()
+            except Exception:
+                t = None
+            cache[key] = t
+        return cache[key]
+
+    return cb
+
+
 def _catalog_column_types(spark) -> dict:
     """Lowercase column name → Spark simple type string across every
     table/temp view the session can see, for the schema-aware
@@ -361,6 +390,7 @@ def execute_query(
                 if needs_column_types(q)
                 else None
             ),
+            subquery_type=_make_subquery_type(spark),
         )
         from mcp_trino_spark.trino_mr import expand_match_recognize, has_match_recognize
 

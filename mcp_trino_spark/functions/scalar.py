@@ -3536,6 +3536,12 @@ def x71_decimal_avg_semantics(spark, sf_dir):
     DuckDB oracle spells Trino's contract as exact integer math
     (DuckDB's own avg(DECIMAL) returns DOUBLE — a true differential).
 
+    r15: the emission is the exact integer sum/count protocol, so the
+    r14 CAST-wrap's s+4 double-rounding band is CLOSED for p ≤ 28,
+    s ≤ 6 (tests/test_differential_semantics.py::
+    test_decimal_avg_half_boundary_sweep pins the former band's edge
+    cases head-on; wider types keep the wrap + documented band).
+
     Reference parity: Trino DecimalAverageAggregation HALF_UP at input
     type, text forwarded verbatim (internal/trino/client.go:284-291).
     """
@@ -3911,5 +3917,99 @@ def x76_nan_membership_semantics(spark, sf_dir):
             UNION ALL SELECT 11, CAST(contains(ARRAY[nan(), 3.0E0], 3.0E0)
                                       AS VARCHAR)
             """
+        )
+    )
+
+
+@register(
+    "x77_nan_subquery_semantics",
+    oracle="""
+    SELECT i, expected AS v FROM (VALUES
+        (1, 'false'), (2, 'true'), (3, 'false'), (4, NULL),
+        (5, 'false'), (6, 'false'), (7, 'true'), (8, NULL),
+        (9, 'false'), (10, 'true'), (11, 'false'), (12, 'false'),
+        (13, 'false'), (14, 'false'), (15, 'true'), (16, 'false'),
+        (17, 'false'), (18, 'true'), (19, 'false'), (20, 'true')
+    ) AS t(i, expected)
+    """,
+)
+def x77_nan_subquery_semantics(spark, sf_dir):
+    """Differential certification of the round-15 analyzer-typed NaN
+    closure (VERDICT r14 #3): Trino's DoubleOperators stay IEEE when
+    the NaN reaches the operator through positions the x73 lexical
+    pass could not type — BETWEEN bounds (rows 1-5, desugared into
+    guarded comparison pairs by _rewrite_nan_between), IN-subquery
+    membership (6-10, _rewrite_nan_in_subqueries' three-valued
+    dispatch: false on a NaN probe, NULL only when the set has NULL
+    elements), scalar-subquery comparison operands typed by the
+    session analyzer's LIMIT-0 schema (11-12,
+    _rewrite_nan_subquery_comparisons + execute._make_subquery_type),
+    and quantified ordering over float sets (13-17: a NaN element
+    poisons ALL thresholds and is blanked from ANY witnesses).  Rows
+    18-20 pin the standard's vacuous empty-set cases closed the same
+    round: `op ALL (empty)` is TRUE and `op ANY (empty)` FALSE — both
+    previously UNKNOWN.  Spark said true for 1/3/5/6 (NaN-largest /
+    NaN-equal through subquery operands) and NULL for 18-20.  The
+    oracle pins literals: DuckDB's 'NaN'::DOUBLE compares total-order
+    — a true differential.
+
+    Reference parity: Trino DoubleOperators (Java IEEE) through
+    ScalarSubquery/InPredicate/QuantifiedComparison/BetweenPredicate
+    evaluation, text forwarded verbatim
+    (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.execute import _make_subquery_type
+    from mcp_trino_spark.trino_compat import install_compat_functions, translate
+
+    install_compat_functions(spark)
+    s_nan = "(SELECT nan() AS x UNION ALL SELECT 1.0E0)"
+    s_nan3 = "(SELECT nan() AS x UNION ALL SELECT 3.0E0)"
+    s_null = "(SELECT CAST(NULL AS DOUBLE) AS x UNION ALL SELECT 1.0E0)"
+    return spark.sql(
+        translate(
+            f"""
+            SELECT 1 AS i, CAST(1.0E0 BETWEEN 0.0E0 AND nan() AS VARCHAR) AS v
+            UNION ALL SELECT 2, CAST(1.0E0 NOT BETWEEN 0.0E0 AND nan()
+                                     AS VARCHAR)
+            UNION ALL SELECT 3, CAST(nan() BETWEEN 0.0E0 AND nan() AS VARCHAR)
+            UNION ALL SELECT 4, CAST(CAST(NULL AS DOUBLE) BETWEEN 0.0E0
+                                     AND nan() AS VARCHAR)
+            UNION ALL SELECT 5, CAST(nan() BETWEEN nan() AND 2.0E0 AS VARCHAR)
+            UNION ALL SELECT 6, CAST(nan() IN (SELECT x FROM {s_nan} t)
+                                     AS VARCHAR)
+            UNION ALL SELECT 7, CAST(nan() NOT IN (SELECT x FROM {s_nan} t)
+                                     AS VARCHAR)
+            UNION ALL SELECT 8, CAST(nan() IN (SELECT x FROM {s_null} t)
+                                     AS VARCHAR)
+            UNION ALL SELECT 9, CAST(2.0E0 IN (SELECT x FROM {s_nan} t)
+                                     AS VARCHAR)
+            UNION ALL SELECT 10, CAST(1.0E0 IN (SELECT x FROM {s_nan} t)
+                                      AS VARCHAR)
+            UNION ALL SELECT 11, CAST(nan() > (SELECT max(x) FROM
+                                      (SELECT 1.0E0 AS x UNION ALL
+                                       SELECT 2.0E0) t) AS VARCHAR)
+            UNION ALL SELECT 12, CAST((SELECT max(x) FROM {s_nan3} t) = nan()
+                                      AS VARCHAR)
+            UNION ALL SELECT 13, CAST(nan() > ALL (SELECT x FROM
+                                      (SELECT 1.0E0 AS x) t) AS VARCHAR)
+            UNION ALL SELECT 14, CAST(1.0E0 < ALL (SELECT x FROM {s_nan3} t)
+                                      AS VARCHAR)
+            UNION ALL SELECT 15, CAST(1.0E0 < ANY (SELECT x FROM {s_nan3} t)
+                                      AS VARCHAR)
+            UNION ALL SELECT 16, CAST(1.0E0 < ANY (SELECT x FROM
+                                      (SELECT nan() AS x) t) AS VARCHAR)
+            UNION ALL SELECT 17, CAST(nan() >= ANY (SELECT x FROM {s_nan3} t)
+                                      AS VARCHAR)
+            UNION ALL SELECT 18, CAST(1.0E0 < ALL (SELECT x FROM
+                                      (SELECT 2.0E0 AS x) t WHERE false)
+                                      AS VARCHAR)
+            UNION ALL SELECT 19, CAST(1 < ANY (SELECT x FROM
+                                      (SELECT 2 AS x) t WHERE false)
+                                      AS VARCHAR)
+            UNION ALL SELECT 20, CAST(NULL > ALL (SELECT x FROM
+                                      (SELECT 2 AS x) t WHERE false)
+                                      AS VARCHAR)
+            """,
+            subquery_type=_make_subquery_type(spark),
         )
     )

@@ -7466,10 +7466,31 @@ def _rewrite_decimal_avg(q: str, column_types: dict) -> str:
     unknowable operands keep Spark's widened type as documented
     residue.
 
-    Residue (documented, same class as decimal division): Spark
-    computes the mean at ITS widened scale (s+4) first, so the wrap
-    double-rounds — exact means within ~5e-5 of a half boundary in
-    units of the (s+4)th digit can round differently.
+    Exactness (r15, VERDICT r14 #4): the original CAST-of-avg wrap
+    DOUBLE-ROUNDED — Spark computes the mean at its widened (s+4)
+    scale first, so an exact mean in [b − 0.5·10^-(s+4), b) just below
+    a half-boundary b at scale s rounded UP through the intermediate
+    (constructible from n ≈ 2·10^4 rows: avg of 20 000 values summing
+    99.99 at scale 2 is 0.0049995 → Spark-wrap 0.01, Trino 0.00).  For
+    p ≤ 28 and s ≤ 6 the emission is now the exact integer protocol
+
+        T = |sum|·10^s  (unscaled integer sum — exact, decimals sum
+                         exactly);  C = count;  D = 2·nullif(C, 0)
+        Q = ((2T + C) − (2T + C) % D) / D   -- = floor((2T+C)/(2C)):
+            % on decimals is exact and the now-exactly-divisible
+            division is identity, so NO rounding happens before the
+            final integer result (Spark's `div` would be the natural
+            spelling but silently wraps through BIGINT on >19-digit
+            quotients)
+        avg = sign(sum) · Q · 10^-s         -- HALF_UP at scale s, any n
+
+    matching Trino's round-half-away-from-zero for every group size.
+    nullif keeps the empty group NULL instead of a divide-by-zero;
+    DISTINCT distributes onto sum/count; trailing FILTER/OVER clauses
+    attach to every generated aggregate.  Outside the gate (p > 28
+    risks the quotient's 38-digit cap, s > 6 the rescale multiply's
+    minimum-scale clamp) the CAST wrap remains with its measured
+    double-rounding band as documented residue.
 
     Reference parity: Trino DecimalAverageAggregation semantics; text
     forwarded verbatim by the reference (internal/trino/client.go).
@@ -7505,7 +7526,29 @@ def _rewrite_decimal_avg(q: str, column_types: dict) -> str:
                 end += named.end()
                 continue
             break
-        repl = f"CAST({q[m.start():end]} AS DECIMAL({p}, {s}))"
+        if p <= 28 and s <= 6:
+            suf = q[bend + 1 : end]
+            dist = "DISTINCT " if mdist and mdist.group(1).upper() == "DISTINCT" else ""
+            sm = f"sum({dist}{operand}){suf}"
+            cnt = f"count({dist}{operand}){suf}"
+            t2c = (
+                f"(2 * CAST(abs({sm}) * {10 ** s} AS DECIMAL(38,0))"
+                f" + {cnt})"
+            )
+            d = f"(2 * nullif({cnt}, 0))"
+            qi = (
+                f"CAST(({t2c} - {t2c} % {d}) / {d} AS DECIMAL(38,0))"
+            )
+            signed = (
+                f"(CASE WHEN {sm} < 0 THEN -{qi} ELSE {qi} END)"
+            )
+            if s == 0:
+                repl = f"CAST({signed} AS DECIMAL({p}, 0))"
+            else:
+                unit = "0." + "0" * (s - 1) + "1"
+                repl = f"CAST({signed} * {unit} AS DECIMAL({p}, {s}))"
+        else:
+            repl = f"CAST({q[m.start():end]} AS DECIMAL({p}, {s}))"
         q = q[: m.start()] + repl + q[end:]
         pos = m.start() + len(repl)
 
@@ -8220,6 +8263,307 @@ def _rewrite_nan_membership(q: str, column_types: dict) -> str:
         # skip past the whole wrapper: the inner call is embedded in it
         # and must not be re-matched (its args still read maybe-NaN)
         pos = m.start() + len(repl)
+    return q
+
+
+_BETWEEN_HEAD = re.compile(r"(?is)\b(?P<neg>NOT\s+)?BETWEEN\b")
+_FRAME_UNIT_TAIL = re.compile(r"(?is)(ROWS|RANGE|GROUPS)\s*$")
+_TOP_AND = re.compile(r"(?is)\bAND\b")
+
+
+def _rewrite_nan_between(q: str, column_types: dict) -> str:
+    """x77: ``x BETWEEN lo AND hi`` desugars to two ordering
+    comparisons, and Spark's NaN-largest ordering makes ``1.0 BETWEEN
+    0.0 AND nan()`` TRUE where Trino's IEEE DoubleOperators say FALSE
+    (``x <= NaN`` is false); a NaN probe diverges symmetrically.  The
+    main comparison pass never sees the desugared pair, so BETWEEN was
+    the documented residue corner.  Where the triple contains a
+    knowably-double operand (x47 contract) and a NaN can reach either
+    bound comparison, the BETWEEN is respelled as the explicit
+    conjunction of the two _dbl_ord_expr forms — conjunctive, so both
+    range comparisons still push to the scan.  NOT BETWEEN negates the
+    whole parenthesized conjunction (exact three-valued).
+
+    Window frame bounds (``ROWS BETWEEN 1 PRECEDING AND …``) are
+    skipped by the frame-unit lookbehind; non-double triples, subquery
+    bounds, and nondeterministic operands keep Spark's desugaring
+    (residue contract shared with the comparison pass)."""
+    types = {str(k).lower(): str(v).lower() for k, v in column_types.items()}
+    start = 0
+    while True:
+        mask = _code_mask(q)
+        m = next(
+            (
+                c
+                for c in _BETWEEN_HEAD.finditer(q, start)
+                if mask[c.start()]
+            ),
+            None,
+        )
+        if m is None:
+            return q
+        clauses = _clause_keyword_positions(q, mask)
+        # window frame spec: the unit keyword directly precedes BETWEEN
+        if _FRAME_UNIT_TAIL.search(q[: m.start()]):
+            start = m.end()
+            continue
+        try:
+            lstart = _left_operand_start(q, mask, m.start())
+        except Exception:
+            start = m.end()
+            continue
+        probe = q[lstart : m.start()].strip()
+        # find the BETWEEN's own AND at top paren depth
+        depth, and_m = 0, None
+        for am in re.finditer(r"[()]|\bAND\b", q[m.end() :], re.IGNORECASE):
+            p = m.end() + am.start()
+            if not mask[p]:
+                continue
+            tok = am.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                if depth == 0:
+                    break  # BETWEEN's enclosing paren closed first
+                depth -= 1
+            elif depth == 0:
+                and_m = (p, p + 3)
+                break
+        if and_m is None:
+            start = m.end()
+            continue
+        lo = q[m.end() : and_m[0]].strip()
+        rend = _right_operand_end(q, mask, and_m[1])
+        if rend is None:
+            start = m.end()
+            continue
+        hi = q[and_m[1] : rend].strip()
+        ops = (probe, lo, hi)
+        if (
+            not probe
+            or _nearest_clause_is_on(clauses, lstart)
+            or any(_is_subquery_operand(e) for e in ops)
+            or any(_has_nondeterministic_call(e) for e in ops)
+        ):
+            start = m.end()
+            continue
+        kinds = [_operand_fp_kind(e, types) for e in ops]
+        nans = [_maybe_nan_operand(e, types) for e in ops]
+        # the desugared pair diverges only when the UPPER bound can be
+        # NaN (Spark `x <= NaN` is true) or probe AND lower bound both
+        # can (Spark `NaN >= NaN` is true); a NaN probe against finite
+        # bounds is false in BOTH engines (the `<=` conjunct decides),
+        # so the ubiquitous `double_col BETWEEN lit AND lit` keeps its
+        # bare form — zero guard overhead on the common scan shape
+        if "double" not in kinds or not (
+            nans[2] or (nans[0] and nans[1])
+        ):
+            start = m.end()
+            continue
+
+        def _ord(a, b, op, na, nb, ka, kb):
+            if "double" in (ka, kb) and (na or nb):
+                return _dbl_ord_expr(a, b, op, na, nb)
+            return f"(({a}) {op} ({b}))"
+
+        ge = _ord(probe, lo, ">=", nans[0], nans[1], kinds[0], kinds[1])
+        le = _ord(probe, hi, "<=", nans[0], nans[2], kinds[0], kinds[2])
+        body = f"({ge} AND {le})"
+        repl = f"(NOT {body})" if m.group("neg") else body
+        q = q[:lstart] + repl + q[rend:]
+        start = lstart + len(repl)
+
+
+_IN_SUBQ_HEAD = re.compile(
+    r"(?is)\b(?P<neg>NOT\s+)?IN\s*\(\s*(?=SELECT\b|WITH\b)"
+)
+
+
+def _rewrite_nan_in_subqueries(q: str, column_types: dict) -> str:
+    """x77: IN over a subquery uses Trino's per-element EQUAL operator
+    (Java IEEE), so a NaN probe matches NOTHING — ``nan() IN (SELECT
+    nan())`` is FALSE (NULL when the set has NULL elements) — where
+    Spark's semi-join matches NaN against NaN.  Where the probe is
+    knowably double and maybe-NaN (x47 contract), the membership gains
+    the exact three-valued dispatch:
+
+        ((probe IN (sub) AND NOT isnan(probe))
+         OR IF(<set has NULL> AND probe IS NOT NULL,
+               CAST(NULL AS BOOLEAN), false))
+
+    finite probe: the guard arm is false and the isnan conjunct true —
+    Spark's own IN decides (NaN elements never equal a finite probe in
+    either engine); NaN probe: the IN arm is false regardless of
+    Spark's NaN-matching and the IF arm supplies Trino's
+    NULL-if-set-has-nulls-else-false contract; NULL probe: IN is NULL,
+    the IF arm false — NULL OR false = NULL.  ``NOT IN`` negates the
+    whole form (its Spark null-aware anti-join spelling is replaced,
+    but the form above is already exact three-valued, so the negation
+    is too).  The set-null probe is one extra scalar aggregate over the
+    subquery — only paid on maybe-NaN probes.
+
+    The emitted text embeds ``IN (sub)`` again; the cursor jumps past
+    each replacement so the pass never re-matches its own output
+    (nested maybe-NaN INs inside the subquery text are left as
+    documented residue)."""
+    types = {str(k).lower(): str(v).lower() for k, v in column_types.items()}
+    start = 0
+    while True:
+        mask = _code_mask(q)
+        m = next(
+            (
+                c
+                for c in _IN_SUBQ_HEAD.finditer(q, start)
+                if mask[c.start()]
+            ),
+            None,
+        )
+        if m is None:
+            return q
+        clauses = _clause_keyword_positions(q, mask)
+        open_paren = q.rindex("(", m.start(), m.end())
+        close = _paren_close(q, open_paren + 1)
+        sub = q[open_paren + 1 : close]
+        try:
+            lstart = _left_operand_start(q, mask, m.start())
+        except Exception:
+            start = m.end()
+            continue
+        probe = q[lstart : m.start()].strip()
+        if (
+            not probe
+            or _nearest_clause_is_on(clauses, lstart)
+            or _is_subquery_operand(probe)
+            or _has_nondeterministic_call(probe)
+            or _has_nondeterministic_call(sub)
+            or _operand_fp_kind(probe, types) != "double"
+            or not _maybe_nan_operand(probe, types)
+        ):
+            start = m.end()
+            continue
+        hasnull = (
+            f"(SELECT count(*) > count(__v) FROM ({sub}) __q(__v))"
+        )
+        core = (
+            f"((({probe}) IN ({sub}) AND NOT isnan({probe}))"
+            f" OR IF({hasnull} AND ({probe}) IS NOT NULL,"
+            f" CAST(NULL AS BOOLEAN), false))"
+        )
+        repl = f"(NOT {core})" if m.group("neg") else core
+        q = q[:lstart] + repl + q[close + 1 :]
+        start = lstart + len(repl)
+
+
+def _rewrite_nan_subquery_comparisons(
+    q: str, column_types: dict, subquery_type
+) -> str:
+    """x77: comparisons whose operand is a SCALAR SUBQUERY — including
+    the min/max thresholds the quantified pass just emitted — were the
+    lexically-untypable NaN residue: the x47 contract cannot type
+    ``(SELECT max(x) …)``, so ``nan() > (SELECT max(x) FROM t)`` kept
+    Spark's NaN-largest TRUE where Trino's IEEE operators say FALSE.
+    The session analyzer can: ``subquery_type`` resolves the operand's
+    LIMIT-0 schema (parse+analyze only — no jobs), and a single-column
+    DOUBLE/REAL result makes the operand a knowable maybe-NaN double.
+    Rewrites with the same conjunctive pushdown-preserving forms as the
+    main pass (_dbl_eq_expr/_dbl_ord_expr); the guard terms duplicate
+    the subquery text, which Catalyst's ReuseSubquery collapses into
+    one execution (plan-guarded in tests/test_plans.py).
+
+    Runs AFTER the quantified pass (its thresholds are operands here)
+    and after the IN pass; correlated subqueries do not analyze
+    standalone (callback returns None) and stay residue, as do
+    subqueries still carrying untranslated later-pass idioms."""
+    types = {str(k).lower(): str(v).lower() for k, v in column_types.items()}
+
+    def _kind_and_nan(e: str):
+        """(fp-kind, maybe-NaN) with the analyzer extending x47 to
+        subquery operands: double subqueries can always carry NaN."""
+        if _is_subquery_operand(e):
+            try:
+                t = subquery_type(e)
+            except Exception:
+                t = None
+            if t in ("double", "float"):
+                return "double", True
+            return None, False
+        return _operand_fp_kind(e, types), _maybe_nan_operand(e, types)
+
+    mask = _code_mask(q)
+    n = len(q)
+    clauses = _clause_keyword_positions(q, mask)
+    hits = []
+    i = 0
+    while i < n:
+        if not mask[i] or q[i] not in "<>=!":
+            i += 1
+            continue
+        if q[i : i + 3] == "<=>":
+            i += 3
+            continue
+        two = q[i : i + 2]
+        if two == "=>":
+            i += 2
+            continue
+        if two in ("<=", ">=", "<>", "!="):
+            op = two
+        elif q[i] in "<>=":
+            if q[i] == ">" and i > 0 and q[i - 1] in "-=<":
+                i += 1
+                continue
+            if q[i] == "=" and i > 0 and q[i - 1] in "<>!":
+                i += 1
+                continue
+            op = q[i]
+        else:
+            i += 1
+            continue
+        try:
+            lstart = _left_operand_start(q, mask, i)
+        except Exception:
+            i += len(op)
+            continue
+        left = q[lstart:i].strip()
+        if re.match(r"(?is)\s*(ANY|ALL|SOME)\s*\(", q[i + len(op) :]):
+            i += len(op)
+            continue
+        rend = _right_operand_end(q, mask, i + len(op))
+        if rend is None:
+            i += len(op)
+            continue
+        right = q[i + len(op) : rend].strip()
+        # only subquery-operand comparisons belong to this pass — the
+        # main (early) pass handled every lexically-typable pair and
+        # its emitted guards must not be re-guarded here
+        if not (_is_subquery_operand(left) or _is_subquery_operand(right)):
+            i += len(op)
+            continue
+        if _nearest_clause_is_on(clauses, lstart):
+            i += len(op)
+            continue
+        if _has_nondeterministic_call(left) or _has_nondeterministic_call(
+            right
+        ):
+            i += len(op)
+            continue
+        (kl, na), (kr, nb) = _kind_and_nan(left), _kind_and_nan(right)
+        if "double" not in (kl, kr):
+            i += len(op)
+            continue
+        needed = (na and nb) if op in ("=", "<>", "!=") else (na or nb)
+        if not needed:
+            i += len(op)
+            continue
+        hits.append((lstart, rend, left, right, op, na, nb))
+        i = rend
+    for lstart, rend, left, right, op, na, nb in reversed(hits):
+        if op == "=":
+            repl = _dbl_eq_expr(left, right)
+        elif op in ("<>", "!="):
+            repl = _dbl_eq_expr(left, right, neg=True)
+        else:
+            repl = _dbl_ord_expr(left, right, op, na, nb)
+        q = q[:lstart] + repl + q[rend:]
     return q
 
 
@@ -10242,26 +10586,42 @@ def _rewrite_element_at_nullsafe(q: str) -> str:
     return "".join(out)
 
 
-def translate(query: str, column_types: Optional[Dict[str, str]] = None) -> str:
+def translate(
+    query: str,
+    column_types: Optional[Dict[str, str]] = None,
+    subquery_type=None,
+) -> str:
     """Rewrite Trino-only idioms to Spark SQL, outside literals/comments.
 
     ``column_types`` (lowercase column name → Spark simple type string,
     ambiguous names pre-collapsed to a non-type sentinel by the caller)
     enables the schema-aware integer-division pass; without it only the
     literal/literal case is rewritten and column-typed division stays a
-    documented divergence."""
+    documented divergence.
+
+    ``subquery_type`` (optional, r15): callable typing a parenthesized
+    subquery text against the live session's analyzer (LIMIT-0 schema
+    resolution — parse+analyze only, no jobs) and returning the single
+    output column's Spark simpleString, or None when the text does not
+    analyze standalone (correlated subqueries, not-yet-translated
+    idioms).  It extends the x47 lexical-typing contract to operand
+    positions only the analyzer can see — the NaN residue class
+    (VERDICT r14 #3): comparisons against scalar subqueries, quantified
+    ordering thresholds, IN-subquery membership."""
     import time as _t
 
     stack = _deadline_stack()
     stack.append(_t.monotonic() + TRANSLATE_TIME_BUDGET_S)
     try:
-        return _translate_inner(query, column_types)
+        return _translate_inner(query, column_types, subquery_type)
     finally:
         stack.pop()
 
 
 def _translate_inner(
-    query: str, column_types: Optional[Dict[str, str]] = None
+    query: str,
+    column_types: Optional[Dict[str, str]] = None,
+    subquery_type=None,
 ) -> str:
     # FIRST: normalize Trino's escape-free literal spelling to Spark's
     # (backslashes doubled) — every later pass lexes with Spark rules
@@ -10304,6 +10664,12 @@ def _translate_inner(
         r"[<>=!]", query
     ):
         query = _rewrite_double_nan_comparisons(query, column_types or {})
+    # x77 BETWEEN under NaN — same contract and placement as the
+    # comparison pass (BETWEEN desugars to two ordering comparisons)
+    if re.search(r"(?i)\bBETWEEN\b", query) and not re.match(
+        r"(?is)\s*(UPDATE|MERGE)\b", query
+    ):
+        query = _rewrite_nan_between(query, column_types or {})
     query = _rewrite_cast_rounding(query, column_types or {})
     query = _rewrite_double_round(query, column_types or {})
     query = _rewrite_date_interval(query, column_types or {})
@@ -10380,7 +10746,20 @@ def _translate_inner(
     query = _rewrite_map_concat(query)
     query = _rewrite_map_union(query)
     query = _rewrite_quantile_sketches(query)
-    query = _rewrite_quantified_comparisons(query)
+    query = _rewrite_quantified_comparisons(query, subquery_type)
+    # x77 analyzer-typed NaN closures — AFTER the quantified pass so
+    # the `= ANY` → IN and ordering-threshold emissions flow through:
+    # IN (SELECT …) membership with a maybe-NaN probe, then scalar-
+    # subquery comparison operands (including the thresholds the
+    # quantified pass just emitted)
+    if re.search(r"(?i)\bIN\s*\(\s*(SELECT|WITH)\b", query):
+        query = _rewrite_nan_in_subqueries(query, column_types or {})
+    if subquery_type is not None and re.search(
+        r"(?i)\(\s*SELECT\b", query
+    ) and re.search(r"[<>=!]", query):
+        query = _rewrite_nan_subquery_comparisons(
+            query, column_types or {}, subquery_type
+        )
     query = _rewrite_sql_json(query)
     query = _rewrite_array_batch10(query)
     query = _rewrite_word_stem_lang(query)

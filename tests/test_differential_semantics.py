@@ -1787,16 +1787,14 @@ def _trino_decimal_avg_ref(vals, scale):
 
 
 def test_decimal_avg_random_differential(spark):
-    """Randomized sweep of the r14 decimal-average closure
+    """Randomized sweep of the decimal-average closure
     (_rewrite_decimal_avg) vs an EXACT rational reference: random
     signed scale-2 decimals in random-sized groups (with NULLs),
     through the translated avg at DECIMAL(12,2), compared as scaled
-    integers.  Rows whose exact mean sits within 1e-3 of a half
-    boundary IN SCALED UNITS are excluded — the documented
-    double-rounding residue band (Spark computes the mean at its
-    widened scale s+4 before the wrap re-rounds at s)."""
-    from fractions import Fraction
-
+    integers.  The r14 version EXCLUDED means near half boundaries
+    (the CAST wrap's double-rounding band); the r15 exact integer
+    protocol removed the band, so boundary-adjacent groups now stay
+    in the sweep."""
     rng = random.Random(1401)
     rows, expect = [], {}
     g = 0
@@ -1806,12 +1804,6 @@ def test_decimal_avg_random_differential(spark):
             None if rng.random() < 0.15 else rng.randint(-99999, 99999)
             for _ in range(n)
         ]
-        xs = [v for v in vals if v is not None]
-        if xs:
-            q = Fraction(sum(xs), len(xs))
-            frac = q - q.__floor__()
-            if abs(frac - Fraction(1, 2)) < Fraction(1, 1000):
-                continue  # double-rounding residue band
         expect[g] = _trino_decimal_avg_ref(vals, 2)
         for v in vals:
             rows.append((g, None if v is None else f"{v / 100:.2f}"))
@@ -1829,6 +1821,50 @@ def test_decimal_avg_random_differential(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_decimal_avg_half_boundary_sweep(spark):
+    """VERDICT r14 #4: the x71 double-rounding band, swept head-on.
+    The r14 CAST wrap computed the mean at Spark's widened s+4 scale
+    first, so an exact mean in [b - 0.5*10^-(s+4), b) just below a
+    half boundary b rounded UP through the intermediate — REAL and
+    constructible (group 3 below: 20 000 values summing 99.99 at
+    scale 2 have exact mean 0.0049995 dollars; the wrap said 0.01,
+    Trino says 0.00).  The r15 exact integer protocol rounds ONCE, so
+    every group here — exact halves, band-edge means, means just
+    inside and outside the former window, both signs — must match the
+    Fraction-exact HALF_UP reference with no exclusions."""
+    big = 20000
+    groups = {
+        1: [1, 2],                            # exact half, positive
+        2: [-1, -2],                          # exact half, negative
+        3: [9999] + [0] * (big - 1),          # 0.49995c: in-band edge
+        4: [-9999] + [0] * (big - 1),         # negative band edge
+        5: [10001] + [0] * (big - 1),         # just past the boundary
+        6: [9998] + [0] * (big - 1),          # below the band: 0.4999c
+        7: [1, 1, 2],                         # repeating third
+        8: [6 * 7 + 3] + [0] * 5,             # n=6 exact half: 7.5c
+        9: [None, 1, 2],                      # NULL inside the group
+    }
+    rows = []
+    for g, vals in groups.items():
+        for v in vals:
+            rows.append((g, None if v is None else f"{v / 100:.2f}"))
+    expect = {g: _trino_decimal_avg_ref(vals, 2) for g, vals in groups.items()}
+    spark.createDataFrame(rows, "g int, v string").createOrReplaceTempView(
+        "avg_band_t"
+    )
+    got = {
+        r["g"]: r["v"]
+        for r in spark.sql(
+            translate(
+                "SELECT g, CAST(avg(CAST(v AS DECIMAL(12,2))) * 100"
+                " AS BIGINT) AS v FROM avg_band_t GROUP BY g"
+            )
+        ).collect()
+    }
+    assert got == expect
+    spark.catalog.dropTempView("avg_band_t")
 
 
 def test_range_frame_null_keys_random_differential(spark):

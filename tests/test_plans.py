@@ -536,3 +536,48 @@ def test_nan_guarded_filter_still_pushes_down(spark):
         assert "GreaterThan(l_quantity,24.0)" in scan[0], scan[0]
     finally:
         spark.catalog.dropTempView("li_nan_plan")
+
+
+def test_nan_between_guard_still_pushes_down(spark):
+    """x77 plan contract: a guarded BETWEEN desugars into CONJUNCTIVE
+    _dbl_ord_expr forms, so the pushable base comparison still reaches
+    the parquet scan's PushedFilters."""
+    from mcp_trino_spark.trino_compat import install_compat_functions, translate
+
+    install_compat_functions(spark)
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet") \
+        .createOrReplaceTempView("li_btw_plan")
+    t = translate(
+        "SELECT l_orderkey FROM li_btw_plan"
+        " WHERE l_quantity BETWEEN 1.0E0 AND nan()",
+        column_types={"l_quantity": "double"},
+    )
+    assert "isnan" in t
+    try:
+        plan = spark.sql(t)._jdf.queryExecution().executedPlan().toString()
+        scan = [l for l in plan.splitlines() if "PushedFilters" in l]
+        assert scan, plan
+        assert "GreaterThanOrEqual(l_quantity,1.0)" in scan[0], scan[0]
+    finally:
+        spark.catalog.dropTempView("li_btw_plan")
+
+
+def test_nan_subquery_guard_reuses_subquery(spark):
+    """x77 plan contract: the scalar-subquery NaN guards duplicate the
+    subquery TEXT, but Catalyst's ReuseSubquery collapses the copies —
+    the executed plan carries ReusedSubquery nodes, not extra
+    executions (the duplication is compile-time only)."""
+    from mcp_trino_spark.execute import _make_subquery_type
+    from mcp_trino_spark.trino_compat import install_compat_functions, translate
+
+    install_compat_functions(spark)
+    t = translate(
+        "SELECT nan() > (SELECT max(x) FROM"
+        " (SELECT 1.0E0 AS x UNION ALL SELECT 2.0E0) t) AS r",
+        subquery_type=_make_subquery_type(spark),
+    )
+    assert "isnan" in t
+    df = spark.sql(t)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedSubquery" in plan, plan

@@ -4307,42 +4307,178 @@ def test_case_shield_tables_match_runtime_jvm(spark):
 
 class TestDecimalAvg:
     """r14: avg over a knowable decimal keeps Trino's INPUT type
-    (HALF_UP at scale s) — Spark widens to (p+4, s+4)."""
+    (HALF_UP at scale s) — Spark widens to (p+4, s+4).  r15: the
+    emission is the EXACT integer sum/count protocol (no intermediate
+    s+4 rounding, so the double-rounding band is closed for any group
+    size); p > 28 or s > 6 falls back to the CAST wrap."""
 
-    def test_cast_operand_wrapped(self):
+    def test_cast_operand_exact_protocol(self):
         out = translate("SELECT avg(CAST(x AS DECIMAL(10,2))) FROM t")
-        assert "CAST(avg(CAST(x AS DECIMAL(10,2))) AS DECIMAL(10, 2))" in out
+        # integer protocol: unscaled decimal sum, count, exact mod/div
+        assert "sum(CAST(x AS DECIMAL(10,2)))" in out
+        assert "count(CAST(x AS DECIMAL(10,2)))" in out
+        assert "AS DECIMAL(10, 2))" in out
+        assert "avg(" not in out
 
-    def test_catalog_column_wrapped(self):
+    def test_catalog_column_exact_protocol(self):
         out = translate(
             "SELECT avg(price) FROM t", column_types={"price": "decimal(12,2)"}
         )
-        assert "CAST(avg(price) AS DECIMAL(12, 2))" in out
+        assert "sum(price)" in out and "count(price)" in out
+        assert "AS DECIMAL(12, 2))" in out
 
     def test_integral_and_double_operands_untouched(self):
         assert translate("SELECT avg(x) FROM t") == "SELECT avg(x) FROM t"
         out = translate(
             "SELECT avg(price) FROM t", column_types={"price": "double"}
         )
-        assert "CAST(avg" not in out
+        assert "CAST(avg" not in out and "sum(price)" not in out
         out = translate("SELECT avg(CAST(x AS BIGINT)) FROM t")
         assert "CAST(avg" not in out
 
-    def test_over_and_filter_fold_into_wrap(self):
+    def test_over_and_filter_attach_to_every_aggregate(self):
         out = translate(
             "SELECT avg(CAST(x AS DECIMAL(8,3))) OVER (PARTITION BY k) FROM t"
         )
-        assert out.startswith(
-            "SELECT CAST(avg(CAST(x AS DECIMAL(8,3))) OVER (PARTITION BY k)"
-            " AS DECIMAL(8, 3))"
-        )
+        # every generated sum/count carries the window clause
+        assert out.count("OVER (PARTITION BY k)") >= 4
+        assert "AS DECIMAL(8, 3))" in out
         out = translate(
             "SELECT avg(CAST(x AS DECIMAL(8,3))) FILTER (WHERE x > 0) FROM t"
         )
-        assert "FILTER (WHERE x > 0) AS DECIMAL(8, 3))" in out
+        assert out.count("FILTER (WHERE x > 0)") >= 4
+        assert "AS DECIMAL(8, 3))" in out
 
     def test_distinct_and_decimal_literal(self):
         out = translate("SELECT avg(DISTINCT CAST(x AS DECIMAL(6,1))) FROM t")
+        assert "sum(DISTINCT CAST(x AS DECIMAL(6,1)))" in out
         assert "AS DECIMAL(6, 1))" in out
         out = translate("SELECT avg(DECIMAL '1.50') FROM t")
         assert "AS DECIMAL(3, 2))" in out
+
+    def test_wide_types_keep_cast_wrap(self):
+        # outside the exact-protocol gate the CAST wrap (with its
+        # documented double-rounding band) remains
+        out = translate("SELECT avg(CAST(x AS DECIMAL(33,2))) FROM t")
+        assert "CAST(avg(CAST(x AS DECIMAL(33,2))) AS DECIMAL(33, 2))" in out
+        out = translate("SELECT avg(CAST(x AS DECIMAL(20,8))) FROM t")
+        assert "CAST(avg(CAST(x AS DECIMAL(20,8))) AS DECIMAL(20, 8))" in out
+
+
+# ---------------------------------------------------------------------------
+# x77: NaN through subqueries, quantified thresholds, IN-subqueries, BETWEEN
+# (the analyzer-typed residue class — VERDICT r14 #3)
+
+
+class TestNanSubqueryResidue:
+    """Trino's DoubleOperators are IEEE through EVERY operand position:
+    a NaN flowing into a comparison via a scalar subquery, a quantified
+    threshold, an IN-subquery membership, or a BETWEEN bound is still
+    never equal and never ordered.  The x73 pass types operands
+    lexically and skipped these; the r15 closure types subquery
+    operands with the session analyzer (execute._make_subquery_type)
+    and desugars BETWEEN into the guarded comparison pair."""
+
+    S_NAN = "(SELECT nan() AS x UNION ALL SELECT 1.0E0)"
+    S_NAN3 = "(SELECT nan() AS x UNION ALL SELECT 3.0E0)"
+    S_NULL = "(SELECT CAST(NULL AS DOUBLE) AS x UNION ALL SELECT 1.0E0)"
+
+    def test_between_nan_bounds(self, spark):
+        r = run(spark,
+                "SELECT CAST(1.0E0 BETWEEN 0.0E0 AND nan() AS VARCHAR) AS a,"
+                " CAST(1.0E0 NOT BETWEEN 0.0E0 AND nan() AS VARCHAR) AS b,"
+                " CAST(nan() BETWEEN 0.0E0 AND nan() AS VARCHAR) AS c,"
+                " CAST(CAST(NULL AS DOUBLE) BETWEEN 0.0E0 AND nan()"
+                "      AS VARCHAR) AS d,"
+                " CAST(nan() BETWEEN nan() AND 2.0E0 AS VARCHAR) AS e,"
+                " CAST(nan() BETWEEN 0.0E0 AND 2.0E0 AS VARCHAR) AS f,"
+                " CAST(1.0E0 BETWEEN nan() AND 2.0E0 AS VARCHAR) AS g")[0]
+        assert (r["a"], r["b"], r["c"]) == ("false", "true", "false")
+        assert r["d"] is None  # NULL probe: Trino null-propagates first
+        assert (r["e"], r["f"], r["g"]) == ("false", "false", "false")
+
+    def test_between_non_nan_untouched(self):
+        # the ubiquitous scan shape keeps its bare form: a NaN probe
+        # against FINITE bounds is false in both engines (the <=
+        # conjunct decides), so no guard overhead is ever paid there
+        out = translate(
+            "SELECT * FROM t WHERE price BETWEEN 1.0E0 AND 24.0E0",
+            column_types={"price": "double"},
+        )
+        assert "isnan" not in out
+        assert "BETWEEN" in out
+        # frame specs are never comparisons
+        out = translate(
+            "SELECT sum(x) OVER (ORDER BY y ROWS BETWEEN 1 PRECEDING"
+            " AND CURRENT ROW) FROM t"
+        )
+        assert "isnan" not in out
+
+    def test_in_subquery_nan_probe(self, spark):
+        r = run(spark,
+                f"SELECT CAST(nan() IN (SELECT x FROM {self.S_NAN} t)"
+                f"      AS VARCHAR) AS a,"
+                f" CAST(nan() NOT IN (SELECT x FROM {self.S_NAN} t)"
+                f"      AS VARCHAR) AS b,"
+                f" CAST(nan() IN (SELECT x FROM {self.S_NULL} t)"
+                f"      AS VARCHAR) AS c,"
+                f" CAST(2.0E0 IN (SELECT x FROM {self.S_NAN} t)"
+                f"      AS VARCHAR) AS d,"
+                f" CAST(1.0E0 IN (SELECT x FROM {self.S_NAN} t)"
+                f"      AS VARCHAR) AS e")[0]
+        assert (r["a"], r["b"]) == ("false", "true")
+        assert r["c"] is None  # NaN probe + NULL element: unknown
+        assert (r["d"], r["e"]) == ("false", "true")
+
+    def test_scalar_subquery_comparison(self, spark):
+        r = run(spark,
+                "SELECT CAST(nan() > (SELECT max(x) FROM"
+                " (SELECT 1.0E0 AS x UNION ALL SELECT 2.0E0) t)"
+                " AS VARCHAR) AS a,"
+                " CAST((SELECT max(x) FROM (SELECT nan() AS x"
+                " UNION ALL SELECT 3.0E0) t) = nan() AS VARCHAR) AS b")[0]
+        # Spark said true for both (NaN largest / NaN = NaN)
+        assert (r["a"], r["b"]) == ("false", "false")
+
+    def test_quantified_nan_sets(self, spark):
+        r = run(spark,
+                f"SELECT CAST(nan() > ALL (SELECT x FROM"
+                f" (SELECT 1.0E0 AS x) t) AS VARCHAR) AS a,"
+                f" CAST(1.0E0 < ALL (SELECT x FROM {self.S_NAN3} t)"
+                f"      AS VARCHAR) AS b,"
+                f" CAST(1.0E0 < ANY (SELECT x FROM {self.S_NAN3} t)"
+                f"      AS VARCHAR) AS c,"
+                f" CAST(1.0E0 < ANY (SELECT x FROM (SELECT nan() AS x) t)"
+                f"      AS VARCHAR) AS d,"
+                f" CAST(nan() >= ANY (SELECT x FROM {self.S_NAN3} t)"
+                f"      AS VARCHAR) AS e")[0]
+        # a: NaN probe never clears ALL; b: a NaN element makes every
+        # ordering false (Spark's min swallowed it); c: the finite
+        # element still witnesses; d: an all-NaN set has no witness;
+        # e: NaN probe never witnesses
+        assert (r["a"], r["b"], r["c"]) == ("false", "false", "true")
+        assert (r["d"], r["e"]) == ("false", "false")
+
+    def test_quantified_empty_sets(self, spark):
+        # the standard's vacuous cases, closed r15: ALL over EMPTY is
+        # TRUE (was UNKNOWN), ANY over EMPTY is FALSE (was UNKNOWN)
+        r = run(spark,
+                "SELECT CAST(1.0E0 < ALL (SELECT x FROM (VALUES 2.0E0)"
+                " t(x) WHERE false) AS VARCHAR) AS a,"
+                " CAST(1 < ANY (SELECT x FROM (VALUES (2)) t(x)"
+                " WHERE false) AS VARCHAR) AS b,"
+                " CAST(NULL > ALL (SELECT x FROM (VALUES (2)) t(x)"
+                " WHERE false) AS VARCHAR) AS c")[0]
+        assert (r["a"], r["b"], r["c"]) == ("true", "false", "true")
+
+    def test_correlated_subquery_stays_residue(self, spark):
+        # a correlated subquery does not analyze standalone — the
+        # callback returns None and the comparison keeps Spark
+        # semantics (documented residue), but the query still RUNS
+        rows = run(spark,
+                   "SELECT r_regionkey FROM region r"
+                   " WHERE CAST(r_regionkey AS DOUBLE) >"
+                   " (SELECT avg(CAST(n_regionkey AS DOUBLE))"
+                   "  FROM nation n WHERE n.n_regionkey = r.r_regionkey)"
+                   " ORDER BY r_regionkey")
+        assert [r["r_regionkey"] for r in rows] == []

@@ -120,7 +120,51 @@ HEADLINERS = [
     # r14: the decimal-average input-type closure (avg(DECIMAL(p,s))
     # kept at Trino's input scale, HALF_UP — grouped lineitem arm)
     "x71_decimal_avg_semantics",
+    # r15: the CC loop ALONE over a pre-materialized pair frame
+    # (VERDICT r14 #5) — l21's headline is ~60% LSH re-derivation by
+    # construction (self-contained grading); this row isolates the
+    # propagation kernel so its trend reads honestly
+    "l21b_cc_propagation",
 ]
+
+
+def _bench_cc_propagation(spark, sf_dir: str, reps: int) -> float:
+    """l21's iterative connected-components kernel with the LSH pair
+    frame derived and localCheckpoint-materialized OUTSIDE the clock
+    (the same isolation tools/scaling_check.py::check_cc_loop uses):
+    each rep times only the label-propagation rounds + noop sink."""
+    from mcp_trino_spark.operators._util import spread
+    from mcp_trino_spark.operators.llm_dedup import (
+        _propagate_clusters,
+        minhash_lsh_pairs_plan,
+    )
+    from mcp_trino_spark.operators.opcache import release_all_operator_caches
+    from mcp_trino_spark.sources.catalog import load_table
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_pairs_plan(docs).localCheckpoint()  # outside clock
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        out = _propagate_clusters(pairs)
+        out.write.mode("overwrite").format("noop").save()
+        elapsed = time.perf_counter() - t0
+        release_all_operator_caches()
+        spark.catalog.clearCache()
+        return elapsed
+
+    try:
+        return min(one() for _ in range(reps))
+    finally:
+        # free the checkpointed pair blocks — later rows must not
+        # measure against a warm executor cache they didn't build
+        pairs.unpersist()
+        spark.catalog.clearCache()
+
+
+#: rows with their own setup/timing protocol (setup excluded from the
+#: clock) — everything else times the registry entry end-to-end
+_SPECIAL_BENCH = {"l21b_cc_propagation": _bench_cc_propagation}
 
 
 def run_one(spark, fn, sf_dir: str) -> float:
@@ -212,7 +256,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINERS:
         reps = 5 if name in _HIGH_VARIANCE else 3
-        timings[name] = round(run_steady(spark, qs[name], sf_dir, reps), 3)
+        if name in _SPECIAL_BENCH:
+            timings[name] = round(_SPECIAL_BENCH[name](spark, sf_dir, reps), 3)
+        else:
+            timings[name] = round(run_steady(spark, qs[name], sf_dir, reps), 3)
 
     # co-tenant noise sometimes spikes a single in-sweep reading well
     # past the query's steady state (r6 recorded 3 false >2× rows that
@@ -228,7 +275,12 @@ def main() -> None:
     for name, t in sorted(timings.items()):
         floor = minima.get(name)
         if floor and t > 1.5 * floor:
-            iso = round(min(run_one(spark, qs[name], sf_dir) for _ in range(4)), 3)
+            if name in _SPECIAL_BENCH:
+                iso = round(_SPECIAL_BENCH[name](spark, sf_dir, 4), 3)
+            else:
+                iso = round(
+                    min(run_one(spark, qs[name], sf_dir) for _ in range(4)), 3
+                )
             retries[name] = {
                 "in_sweep": t,
                 "isolated_min": iso,

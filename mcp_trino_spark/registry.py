@@ -316,6 +316,8 @@ ROWS_ONLY_OK = {
 # run `make rotate-window` after any engine change.
 _WINDOW_HEAD = [
     "x77_nan_subquery_semantics",
+    "f4_list_tables",
+    "f3_list_schemas",
     "x23_vector_math",
     "x24_setdigest",
     "x35_exclude_minmax",
@@ -351,8 +353,6 @@ _WINDOW_HEAD = [
     "s7c_delete",
     "s10_time_travel",
     "s12_table_changes",
-    "f4_list_tables",
-    "a13_approx_distinct",
     "x10_array_hof",
     "x13_struct_row",
     "s4_memory_table",

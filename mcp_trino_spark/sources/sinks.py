@@ -264,19 +264,38 @@ def f2_list_catalogs(spark, sf_dir):
 
 @register("f3_list_schemas")  # rows-only: schema set is engine-specific
 def f3_list_schemas(spark, sf_dir):
+    """Schema listing made deterministic the f2 way (VERDICT r14 #7):
+    the entry creates its own probe schema and projects the listing
+    onto the two names the repo controls — always exactly 2 rows
+    (``default`` + the probe), whatever else the driver's session or a
+    shared warehouse happens to carry.  The UNFILTERED API surface
+    stays unit-tested in tests/test_engine.py; this row grades that
+    SHOW SCHEMAS + allowlist filtering run and see a schema this very
+    entry added."""
     from mcp_trino_spark.catalog_api import list_schemas
 
+    spark.sql("CREATE SCHEMA IF NOT EXISTS f3_schema_probe")
     names = list_schemas(spark, EngineConfig())
-    return spark.createDataFrame([(n,) for n in names], "schema STRING")
+    pinned = sorted(set(names) & {"default", "f3_schema_probe"})
+    return spark.createDataFrame([(n,) for n in pinned], "schema STRING")
 
 
 @register("f4_list_tables")  # rows-only: includes session temp views
 def f4_list_tables(spark, sf_dir):
+    """Table listing made deterministic the f2 way (VERDICT r14 #7):
+    the entry registers the ten testdata views itself and projects the
+    listing onto exactly that set — always 10 rows, independent of
+    leftover warehouse tables from earlier-graded DML entries or other
+    sessions sharing the metastore.  The unfiltered surface (temp
+    views + persistent tables + allowlists) stays unit-tested in
+    tests/test_engine.py."""
     from mcp_trino_spark.catalog_api import list_tables
+    from mcp_trino_spark.sources.catalog import TABLES
 
     register_tables(spark, sf_dir)
     names = list_tables(spark, EngineConfig())
-    return spark.createDataFrame([(n,) for n in names], "table STRING")
+    pinned = sorted(set(names) & set(TABLES))
+    return spark.createDataFrame([(n,) for n in pinned], "table STRING")
 
 
 @register(

@@ -2005,18 +2005,24 @@ def test_interval_comparison_random_differential(spark):
     assert not mism, f"{len(mism)} divergent, e.g. {list(mism.items())[:4]}"
 
 
-def _gen_shape(rng, depth):
+def _gen_shape(rng, depth, leaves=("num",)):
+    """``leaves`` (r15, VERDICT r14 #6): which scalar leaf TYPES the
+    shape may bottom out in — "num" (int, NaN-double 12%), "dec"
+    (DECIMAL literals — fresh engine-side rewrites this round), and
+    "interval" (day-time intervals).  A container's element leaves
+    share one kind so the rendered literal types consistently."""
     kinds = ["scalar"] * 2 + (["array", "struct", "map"] if depth > 0 else [])
     k = rng.choice(kinds)
     if k == "scalar":
-        return None
+        lk = rng.choice(leaves)
+        return None if lk == "num" else (lk,)
     if k == "array":
-        return ("array", _gen_shape(rng, depth - 1))
+        return ("array", _gen_shape(rng, depth - 1, leaves))
     if k == "map":
-        return ("map", _gen_shape(rng, depth - 1))
+        return ("map", _gen_shape(rng, depth - 1, leaves))
     return (
         "struct",
-        [_gen_shape(rng, depth - 1) for _ in range(rng.randint(1, 3))],
+        [_gen_shape(rng, depth - 1, leaves) for _ in range(rng.randint(1, 3))],
     )
 
 
@@ -2030,6 +2036,12 @@ def _gen_value(rng, shape, top=False):
             return float("nan")
         return rng.randint(0, 3)
     kind = shape[0]
+    if kind == "dec":
+        from decimal import Decimal
+
+        return Decimal(rng.randint(-250, 250)) / 100
+    if kind == "interval":
+        return rng.randint(0, 4)
     if kind == "array":
         return [_gen_value(rng, shape[1]) for _ in range(rng.randint(0, 3))]
     if kind == "map":
@@ -2048,6 +2060,10 @@ def _render_trino(v, shape):
             return "nan()"
         return str(v)
     kind = shape[0]
+    if kind == "dec":
+        return f"DECIMAL '{v}'"
+    if kind == "interval":
+        return f"INTERVAL '{v}' DAY"
     if kind == "array":
         return "ARRAY[" + ", ".join(_render_trino(e, shape[1]) for e in v) + "]"
     if kind == "map":
@@ -2117,34 +2133,45 @@ def _b2s(v):
     return None if v is None else ("true" if v else "false")
 
 
-@pytest.mark.parametrize("seed", [1404, 9404])
-def test_equality_contexts_unified_property(spark, seed):
+@pytest.mark.parametrize(
+    "seed,depth,count,leaves",
+    [
+        (1404, 3, 30, ("num",)),
+        (9404, 3, 30, ("num",)),
+        # r15 deepening (VERDICT r14 #6): depth 4 on small draw
+        # counts, DECIMAL and INTERVAL leaves (both carry fresh
+        # engine-side rewrites), two new seed offsets
+        (2404, 4, 12, ("num", "dec")),
+        (7404, 4, 12, ("num", "interval", "dec")),
+    ],
+)
+def test_equality_contexts_unified_property(spark, seed, depth, count, leaves):
     """The x65–x70 + x72 closure property (VERDICT r13 #5): ALL five
     equality-bearing SQL contexts — =, <>, IN lists, simple CASE,
-    nullif — over randomly NESTED array/row/map literals (depth ≤ 3,
-    NULLs at every level) must agree with ONE recursive three-valued
-    reference, so future translator edits cannot de-unify the forms or
-    regress the nested recursion (pre-x72, depth ≥ 2 nulls conflated
-    through Spark's ``=`` inside the lambdas).  Two pinned seeds.
-    Scalar leaves draw NaN 12% of the time (x74: nested element
-    equality is IEEE in Trino — the Python reference's ``==`` is
-    IEEE already)."""
+    nullif — over randomly NESTED array/row/map literals (NULLs at
+    every level) must agree with ONE recursive three-valued reference,
+    so future translator edits cannot de-unify the forms or regress
+    the nested recursion (pre-x72, depth ≥ 2 nulls conflated through
+    Spark's ``=`` inside the lambdas).  "num" scalar leaves draw NaN
+    12% of the time (x74: nested element equality is IEEE in Trino —
+    the Python reference's ``==`` is IEEE already); "dec"/"interval"
+    leaves (r15) compare exactly on both sides."""
     from mcp_trino_spark.trino_compat import install_compat_functions
 
     install_compat_functions(spark)  # nan() leaves (x74)
     rng = random.Random(seed)
     selects, expect = [], {}
     i = 0
-    while i < 30:
-        shape = _gen_shape(rng, 3)
-        if shape is None:
+    while i < count:
+        shape = _gen_shape(rng, depth, leaves)
+        if shape is None or shape[0] in ("dec", "interval"):
             continue
         a = _gen_value(rng, shape, top=True)
         # bias toward near-equal pairs: mutate a copy half the time
         b = _gen_value(rng, shape, top=True) if rng.random() < 0.5 else a
         c = _gen_value(rng, shape, top=True)
         sa, sb, sc = (_render_trino(v, shape) for v in (a, b, c))
-        if len(sa) + len(sb) + len(sc) > 350:
+        if len(sa) + len(sb) + len(sc) > (200 if depth >= 4 else 350):
             # the recursive forms repeat operand text per nesting
             # level; huge literals would trip the translator's loud
             # 1 MB guard rather than test semantics
@@ -2169,11 +2196,14 @@ def test_equality_contexts_unified_property(spark, seed):
         i += 1
     got = {}
     # chunked: the recursive forms repeat operand text per nesting
-    # level, and 30 deep cases in ONE statement trip the translator's
-    # loud 1 MB size guard (the guard itself is correct behavior)
-    for lo in range(0, len(selects), 3):
+    # level, and many deep cases in ONE statement trip the translator's
+    # loud 1 MB size guard (the guard itself is correct behavior);
+    # depth-4 literals expand ~4^depth through the per-level
+    # common-type wraps, so they run one select per statement
+    step = 1 if depth >= 4 else 3
+    for lo in range(0, len(selects), step):
         for r in spark.sql(
-            translate(" UNION ALL ".join(selects[lo : lo + 3]))
+            translate(" UNION ALL ".join(selects[lo : lo + step]))
         ).collect():
             got[r["i"]] = (
                 r["c_eq"], r["c_ne"], r["c_in"], r["c_case"], r["c_nullif"]

@@ -232,3 +232,23 @@ def test_f2_listing_is_deterministic(spark):
         spark, "/root/testdata/sf0.001"
     ).collect()
     assert sorted(r["catalog"] for r in rows) == ["dimdb", "spark_catalog"]
+
+
+def test_f3_f4_listings_are_deterministic(spark):
+    """VERDICT r14 #7, the f2 treatment extended: f3 creates its own
+    probe schema and projects onto the two repo-controlled names; f4
+    registers the testdata views and projects onto exactly that set —
+    so neither graded row count depends on leftover warehouse state or
+    which entries the driver ran before them."""
+    from mcp_trino_spark import registry
+    from mcp_trino_spark.sources.catalog import TABLES
+
+    rows = registry.queries()["f3_list_schemas"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sorted(r["schema"] for r in rows) == ["default", "f3_schema_probe"]
+
+    rows = registry.queries()["f4_list_tables"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sorted(r["table"] for r in rows) == sorted(TABLES)

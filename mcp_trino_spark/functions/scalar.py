@@ -4013,3 +4013,78 @@ def x77_nan_subquery_semantics(spark, sf_dir):
             subquery_type=_make_subquery_type(spark),
         )
     )
+
+
+@register(
+    "x78_in_subquery_null_semantics",
+    oracle="""
+    SELECT 1 AS i,
+           CAST(2 IN (SELECT x FROM (VALUES (NULL),(1)) t(x)) AS VARCHAR) AS a,
+           CAST(1 IN (SELECT x FROM (VALUES (NULL),(1)) t(x)) AS VARCHAR) AS b,
+           CAST(2 NOT IN (SELECT x FROM (VALUES (NULL),(1)) t(x)) AS VARCHAR) AS c,
+           CAST(1 NOT IN (SELECT x FROM (VALUES (NULL),(1)) t(x)) AS VARCHAR) AS d,
+           CAST(2 IN (SELECT x FROM (VALUES (1)) t(x)) AS VARCHAR) AS e,
+           CAST(2 NOT IN (SELECT x FROM (VALUES (1)) t(x)) AS VARCHAR) AS f,
+           CAST(CAST(NULL AS INT) IN (SELECT x FROM (VALUES (1)) t(x)) AS VARCHAR) AS g,
+           CAST(CAST(NULL AS INT) IN (SELECT x FROM (VALUES (1)) t(x) WHERE false) AS VARCHAR) AS h,
+           CAST(CAST(NULL AS INT) NOT IN (SELECT x FROM (VALUES (1)) t(x) WHERE false) AS VARCHAR) AS i2
+    """,
+)
+def x78_in_subquery_null_semantics(spark, sf_dir):
+    """Projected IN-subquery three-valued semantics
+    (_rewrite_in_subquery_null_semantics, r15): Spark's projected
+    InSubquery is an existence join that is NOT null-aware on the
+    build side — ``SELECT 2 IN (SELECT x …)`` over {NULL, 1} returned
+    FALSE, and the projected ``NOT IN`` spelling ALSO returned FALSE
+    (Catalyst boolean-simplifies the negation into the anti-join
+    machinery) — where the standard, Trino, AND DuckDB all say NULL.
+    The rewrite dispatches through a CASE keeping the positive
+    InSubquery intact: match → true, NULL probe → empty-set-aware
+    NULL, miss over a NULL-bearing set → NULL, else false (NOT IN
+    swaps the decided arms).  Unlike the NaN entries this oracle is
+    DuckDB-NATIVE — DuckDB's IN already implements the standard, so
+    the differential is computed live, not pinned literals.
+
+    Reference parity: Trino InPredicate three-valued evaluation via
+    the per-element EQUAL operator, text forwarded verbatim
+    (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.trino_compat import translate
+
+    spark.sql(
+        "SELECT CAST(NULL AS INT) AS x UNION ALL SELECT 1"
+    ).createOrReplaceTempView("x78_nullset")
+    spark.sql("SELECT 1 AS x").createOrReplaceTempView("x78_plainset")
+    spark.sql("SELECT 1 AS x WHERE false").createOrReplaceTempView(
+        "x78_emptyset"
+    )
+    try:
+        df = spark.sql(
+            translate(
+                """
+                SELECT 1 AS i,
+                       CAST(2 IN (SELECT x FROM x78_nullset) AS VARCHAR) AS a,
+                       CAST(1 IN (SELECT x FROM x78_nullset) AS VARCHAR) AS b,
+                       CAST(2 NOT IN (SELECT x FROM x78_nullset)
+                            AS VARCHAR) AS c,
+                       CAST(1 NOT IN (SELECT x FROM x78_nullset)
+                            AS VARCHAR) AS d,
+                       CAST(2 IN (SELECT x FROM x78_plainset) AS VARCHAR) AS e,
+                       CAST(2 NOT IN (SELECT x FROM x78_plainset)
+                            AS VARCHAR) AS f,
+                       CAST(CAST(NULL AS INT) IN (SELECT x FROM x78_plainset)
+                            AS VARCHAR) AS g,
+                       CAST(CAST(NULL AS INT) IN (SELECT x FROM x78_emptyset)
+                            AS VARCHAR) AS h,
+                       CAST(CAST(NULL AS INT) NOT IN
+                            (SELECT x FROM x78_emptyset) AS VARCHAR) AS i2
+                """
+            )
+        )
+        rows, schema = df.collect(), df.schema
+    finally:
+        # drop the probe views — a shared driver session must not leak
+        # them into later entries' column-type maps (the r14 lesson)
+        for v in ("x78_nullset", "x78_plainset", "x78_emptyset"):
+            spark.catalog.dropTempView(v)
+    return spark.createDataFrame(rows, schema)

@@ -316,6 +316,7 @@ ROWS_ONLY_OK = {
 # run `make rotate-window` after any engine change.
 _WINDOW_HEAD = [
     "x77_nan_subquery_semantics",
+    "x78_in_subquery_null_semantics",
     "f4_list_tables",
     "f3_list_schemas",
     "x23_vector_math",
@@ -360,7 +361,6 @@ _WINDOW_HEAD = [
     "a11b_stats_native",
     "l26_minhash_estimate",
     "l33_editdist_verify",
-    "l13_training_pipeline",
 ]
 _WINDOW_TAIL = [
     "p3_comparison",

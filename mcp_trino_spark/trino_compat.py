@@ -8094,14 +8094,15 @@ def _rewrite_double_nan_comparisons(q: str, column_types: dict) -> str:
     log-IEEE domain guards) — running after them re-rewrote their
     internals and broke ``ln(nan())``.
 
-    Residue (documented, r14): scalar-SUBQUERY operands are skipped by
-    design (duplicating one re-plans it per copy), so a NaN flowing
-    through ``x > (SELECT …)``, the min/max forms the QUANTIFIED
-    rewrite emits, or an IN-subquery semi-join keeps Spark's
-    NaN-largest/NaN-equal semantics; likewise a NaN UPPER bound in
-    BETWEEN (the only divergent BETWEEN corner — Spark desugars
-    ``x <= NaN`` to true).  All require a NaN to reach an operand this
-    pass cannot lexically type.
+    Scalar-SUBQUERY operands are skipped HERE but no longer residue
+    (r15, VERDICT r14 #3): _rewrite_nan_subquery_comparisons types
+    them with the session analyzer after the quantified pass,
+    _rewrite_nan_in_subqueries closes IN-subquery membership,
+    _rewrite_nan_between the BETWEEN bounds, and the quantified
+    thresholds themselves are NaN-aware on analyzer-certified float
+    sets.  Remaining residue: CORRELATED subqueries (no standalone
+    analysis), subqueries still carrying later-pass idioms at analyze
+    time, and arrays_overlap (see _rewrite_nan_membership).
 
     Reference parity: Trino DoubleOperators equal/lessThan/etc (Java
     IEEE), text forwarded verbatim (internal/trino/client.go:284-291).
@@ -8450,6 +8451,101 @@ def _rewrite_nan_in_subqueries(q: str, column_types: dict) -> str:
             f" CAST(NULL AS BOOLEAN), false))"
         )
         repl = f"(NOT {core})" if m.group("neg") else core
+        q = q[:lstart] + repl + q[close + 1 :]
+        start = lstart + len(repl)
+
+
+def _nearest_clause(clauses, pos: int) -> str:
+    """The clause keyword governing ``pos`` ('' before any clause)."""
+    from bisect import bisect_left
+
+    i = bisect_left(clauses, (pos, "")) - 1
+    return clauses[i][1] if i >= 0 else ""
+
+
+def _rewrite_in_subquery_null_semantics(q: str, column_types: dict) -> str:
+    """Projected IN-subquery three-valued semantics for NON-float
+    probes (r15, the general sibling of _rewrite_nan_in_subqueries):
+    Spark's IN-subquery is an existence join that is NOT null-aware on
+    the build side — ``SELECT 2 IN (SELECT x FROM t)`` over a set
+    containing NULL and no match returns FALSE where the standard (and
+    Trino) say NULL.  Unobservable under WHERE/HAVING/CASE-WHEN (false
+    and unknown both exclude) and NOT IN is already null-aware in
+    Spark, so ONLY positive INs whose governing clause is SELECT — the
+    positions whose VALUE the driver hashes — gain the exact form:
+
+        ((probe IN (sub))
+         OR IF(<set has NULL> AND probe IS NOT NULL,
+               CAST(NULL AS BOOLEAN), false))
+
+    gain the exact CASE dispatch
+
+        CASE WHEN probe IN (sub)      THEN true   -- match wins
+             WHEN probe IS NULL       THEN IF(<set empty>, false, NULL)
+             WHEN <set has NULL>      THEN NULL   -- unknowable miss
+             ELSE false END
+
+    (``NOT IN`` swaps the true/false arms).  The CASE spelling is
+    deliberate: a ``NOT (probe IN (sub) OR …)`` form gets
+    Boolean-simplified by Catalyst into a Not(InSubquery) the planner
+    routes through the WHERE-context anti-join machinery, which
+    returned FALSE where the Kleene algebra says NULL (probe-caught
+    r15); the CASE keeps the positive InSubquery intact.  Maybe-NaN
+    double probes were already rewritten exactly (isnan dispatch
+    included) by the NaN pass, whose emitted inner IN this pass skips
+    by the same typing gate.  Residue (documented): value-observable
+    INs OUTSIDE the SELECT clause (e.g. ``WHERE (x IN (S)) IS NULL``
+    or a NOT-parenthesized ``NOT (x IN (S))`` spelling) keep Spark's
+    efficient semi/anti-join semantics."""
+    types = {str(k).lower(): str(v).lower() for k, v in column_types.items()}
+    start = 0
+    while True:
+        mask = _code_mask(q)
+        m = next(
+            (
+                c
+                for c in _IN_SUBQ_HEAD.finditer(q, start)
+                if mask[c.start()]
+            ),
+            None,
+        )
+        if m is None:
+            return q
+        clauses = _clause_keyword_positions(q, mask)
+        open_paren = q.rindex("(", m.start(), m.end())
+        close = _paren_close(q, open_paren + 1)
+        sub = q[open_paren + 1 : close]
+        try:
+            lstart = _left_operand_start(q, mask, m.start())
+        except Exception:
+            start = m.end()
+            continue
+        probe = q[lstart : m.start()].strip()
+        if (
+            not probe
+            or _nearest_clause(clauses, lstart) != "SELECT"
+            or _is_subquery_operand(probe)
+            or _has_nondeterministic_call(probe)
+            or _has_nondeterministic_call(sub)
+            or (
+                _operand_fp_kind(probe, types) == "double"
+                and _maybe_nan_operand(probe, types)
+            )
+        ):
+            start = m.end()
+            continue
+        hasnull = (
+            f"(SELECT count(*) > count(__v) FROM ({sub}) __q(__v))"
+        )
+        empty = f"(SELECT count(*) = 0 FROM ({sub}) __q)"
+        hit, miss = ("false", "true") if m.group("neg") else ("true", "false")
+        repl = (
+            f"(CASE WHEN ({probe}) IN ({sub}) THEN {hit}"
+            f" WHEN ({probe}) IS NULL THEN IF({empty}, {miss},"
+            f" CAST(NULL AS BOOLEAN))"
+            f" WHEN {hasnull} THEN CAST(NULL AS BOOLEAN)"
+            f" ELSE {miss} END)"
+        )
         q = q[:lstart] + repl + q[close + 1 :]
         start = lstart + len(repl)
 
@@ -10754,6 +10850,11 @@ def _translate_inner(
     # quantified pass just emitted)
     if re.search(r"(?i)\bIN\s*\(\s*(SELECT|WITH)\b", query):
         query = _rewrite_nan_in_subqueries(query, column_types or {})
+        # then the general projected-IN null-awareness for the
+        # non-float probes the NaN pass's typing gate skipped
+        query = _rewrite_in_subquery_null_semantics(
+            query, column_types or {}
+        )
     if subquery_type is not None and re.search(
         r"(?i)\(\s*SELECT\b", query
     ) and re.search(r"[<>=!]", query):

@@ -4482,3 +4482,39 @@ class TestNanSubqueryResidue:
                    "  FROM nation n WHERE n.n_regionkey = r.r_regionkey)"
                    " ORDER BY r_regionkey")
         assert [r["r_regionkey"] for r in rows] == []
+
+
+class TestInSubqueryNullSemantics:
+    """x78 (r15): projected IN/NOT IN over subqueries are three-valued
+    like the standard — Spark's existence join said FALSE on a
+    no-match over a NULL-bearing set, and Catalyst's boolean
+    simplification broke the naive NOT(…OR…) spelling, hence the CASE
+    dispatch (_rewrite_in_subquery_null_semantics)."""
+
+    S = "(SELECT CAST(NULL AS INT) AS x UNION ALL SELECT 1)"
+
+    def test_projected_in_three_valued(self, spark):
+        r = run(spark,
+                f"SELECT CAST(2 IN (SELECT x FROM {self.S} t) AS VARCHAR) AS a,"
+                f" CAST(1 IN (SELECT x FROM {self.S} t) AS VARCHAR) AS b,"
+                f" CAST(2 NOT IN (SELECT x FROM {self.S} t) AS VARCHAR) AS c,"
+                f" CAST(1 NOT IN (SELECT x FROM {self.S} t) AS VARCHAR) AS d,"
+                " CAST(CAST(NULL AS INT) IN (SELECT x FROM (SELECT 1 AS x) t)"
+                "      AS VARCHAR) AS e,"
+                " CAST(CAST(NULL AS INT) NOT IN (SELECT x FROM"
+                " (SELECT 1 AS x) t WHERE false) AS VARCHAR) AS f")[0]
+        assert r["a"] is None and r["b"] == "true"
+        assert r["c"] is None and r["d"] == "false"
+        assert r["e"] is None and r["f"] == "true"
+
+    def test_where_context_keeps_semi_join(self, spark):
+        # unobservable under WHERE: the efficient spelling stays (no
+        # CASE dispatch), and rows drop identically
+        out = translate(
+            "SELECT y FROM t WHERE y IN (SELECT x FROM s)"
+        )
+        assert "CASE WHEN" not in out
+        rows = run(spark,
+                   f"SELECT y FROM (SELECT 2 AS y)"
+                   f" WHERE y IN (SELECT x FROM {self.S} t)")
+        assert rows == []

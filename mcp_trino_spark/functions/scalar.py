@@ -4088,3 +4088,71 @@ def x78_in_subquery_null_semantics(spark, sf_dir):
         for v in ("x78_nullset", "x78_plainset", "x78_emptyset"):
             spark.catalog.dropTempView(v)
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "x79_equality_quantifiers",
+    oracle="""
+    SELECT 1 AS i,
+           CAST(1 = ALL (SELECT x FROM (VALUES (1),(1)) t(x)) AS VARCHAR) AS a,
+           CAST(1 = ALL (SELECT x FROM (VALUES (1),(2)) t(x)) AS VARCHAR) AS b,
+           CAST(1 = ALL (SELECT x FROM (VALUES (1),(NULL)) t(x)) AS VARCHAR) AS c,
+           CAST(1 = ALL (SELECT x FROM (VALUES (1),(2),(NULL)) t(x)) AS VARCHAR) AS d,
+           CAST(1 = ALL (SELECT x FROM (VALUES (1)) t(x) WHERE false) AS VARCHAR) AS e,
+           CAST(1 <> ANY (SELECT x FROM (VALUES (1),(1)) t(x)) AS VARCHAR) AS f,
+           CAST(1 <> ANY (SELECT x FROM (VALUES (1),(2)) t(x)) AS VARCHAR) AS g,
+           CAST(1 <> ANY (SELECT x FROM (VALUES (1),(NULL)) t(x)) AS VARCHAR) AS h,
+           CAST(1 <> SOME (SELECT x FROM (VALUES (1)) t(x) WHERE false) AS VARCHAR) AS i2,
+           CAST(CAST(NULL AS INT) = ALL (SELECT x FROM (VALUES (1)) t(x) WHERE false) AS VARCHAR) AS j
+    """,
+)
+def x79_equality_quantifiers(spark, sf_dir):
+    """Equality quantifiers ``= ALL`` and ``<> ANY/SOME`` (r15):
+    previously a loud TrinoCompatError, though both are valid Trino —
+    the rewrite completes the full quantifier × operator matrix.
+    ``x = ALL (S)``: TRUE on empty; FALSE when any non-null element
+    differs (min/max over the set pin both ends — one value can only
+    equal both when all non-null elements are that value); UNKNOWN
+    when all non-null elements match but a NULL is present (null-
+    degrade via the count guard).  ``<> ANY`` is the exact three-
+    valued negation (∃≠ ≡ ¬∀=), safe to spell as NOT(...) because the
+    form carries only scalar subqueries — not the InSubquery whose
+    negation Catalyst reroutes through anti-join semantics (x78's
+    lesson).  On analyzer-certified float sets a NaN element decides
+    FALSE (Trino's NaN equals nothing), emitted as one more conjunct.
+    DuckDB implements the standard quantifiers natively, so the
+    oracle is the direct spelling — a live differential.
+
+    Reference parity: Trino QuantifiedComparisonExpression
+    evaluation, text forwarded verbatim
+    (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.trino_compat import translate
+
+    return spark.sql(
+        translate(
+            """
+            SELECT 1 AS i,
+                   CAST(1 = ALL (SELECT x FROM (VALUES (1),(1)) t(x))
+                        AS VARCHAR) AS a,
+                   CAST(1 = ALL (SELECT x FROM (VALUES (1),(2)) t(x))
+                        AS VARCHAR) AS b,
+                   CAST(1 = ALL (SELECT x FROM (VALUES (1),(NULL)) t(x))
+                        AS VARCHAR) AS c,
+                   CAST(1 = ALL (SELECT x FROM (VALUES (1),(2),(NULL)) t(x))
+                        AS VARCHAR) AS d,
+                   CAST(1 = ALL (SELECT x FROM (VALUES (1)) t(x) WHERE false)
+                        AS VARCHAR) AS e,
+                   CAST(1 <> ANY (SELECT x FROM (VALUES (1),(1)) t(x))
+                        AS VARCHAR) AS f,
+                   CAST(1 <> ANY (SELECT x FROM (VALUES (1),(2)) t(x))
+                        AS VARCHAR) AS g,
+                   CAST(1 <> ANY (SELECT x FROM (VALUES (1),(NULL)) t(x))
+                        AS VARCHAR) AS h,
+                   CAST(1 <> SOME (SELECT x FROM (VALUES (1)) t(x)
+                        WHERE false) AS VARCHAR) AS i2,
+                   CAST(CAST(NULL AS INT) = ALL (SELECT x FROM (VALUES (1))
+                        t(x) WHERE false) AS VARCHAR) AS j
+            """
+        )
+    )

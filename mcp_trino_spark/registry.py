@@ -317,6 +317,7 @@ ROWS_ONLY_OK = {
 _WINDOW_HEAD = [
     "x77_nan_subquery_semantics",
     "x78_in_subquery_null_semantics",
+    "x79_equality_quantifiers",
     "f4_list_tables",
     "f3_list_schemas",
     "x23_vector_math",
@@ -360,7 +361,6 @@ _WINDOW_HEAD = [
     "s8_bucketed_colocated_join",
     "a11b_stats_native",
     "l26_minhash_estimate",
-    "l33_editdist_verify",
 ]
 _WINDOW_TAIL = [
     "p3_comparison",

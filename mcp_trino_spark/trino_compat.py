@@ -6028,6 +6028,49 @@ def _rewrite_quantified_comparisons(q: str, subquery_type=None) -> str:
             repl = f" IN ({sub})"
         elif op in ("<>", "!=") and quant == "ALL":
             repl = f" NOT IN ({sub})"
+        elif (op == "=" and quant == "ALL") or (
+            op in ("<>", "!=") and quant in ("ANY", "SOME")
+        ):
+            # = ALL: true on EMPTY; false when any non-null element
+            # differs (min/max over the non-null set pin both ends);
+            # unknown when all non-null elements match but a NULL is
+            # present.  <> ANY is its exact three-valued negation
+            # (∃≠ ≡ ¬∀=) — safe to spell as NOT(...) because the form
+            # contains only scalar subqueries, not the InSubquery whose
+            # negation Catalyst reroutes through anti-join semantics.
+            # On analyzer-certified float sets a NaN element decides
+            # FALSE for = ALL (Trino's NaN equals nothing), spelled as
+            # one more conjunct so false still dominates NULL-degrade.
+            set_t = None
+            if subquery_type is not None:
+                try:
+                    set_t = subquery_type(f"({sub})")
+                except Exception:
+                    set_t = None
+            nan_set = set_t in ("double", "float")
+            lstart = _left_operand_start(q, mask, m.start())
+            left = q[lstart : m.start()].strip()
+            empty = f"(SELECT count(*) = 0 FROM ({sub}) __q)"
+            mn = f"(SELECT min(__v) FROM ({sub}) __q(__v))"
+            mx = f"(SELECT max(__v) FROM ({sub}) __q(__v))"
+            hasnull = (
+                f"(SELECT count(*) > count(__v) FROM ({sub}) __q(__v))"
+            )
+            parts = [
+                f"{left} = {mn}",
+                f"{left} = {mx}",
+                f"IF({hasnull}, CAST(NULL AS BOOLEAN), true)",
+            ]
+            if nan_set:
+                parts.append(
+                    f"(NOT (SELECT coalesce(bool_or(isnan(__v)), false)"
+                    f" FROM ({sub}) __q(__v)))"
+                )
+            body = f"({empty} OR ({' AND '.join(parts)}))"
+            if op != "=":
+                body = f"(NOT {body})"
+            q = q[:lstart] + body + q[close + 1 :]
+            continue
         elif op in ("<", "<=", ">", ">="):
             # ALL needs the extreme the predicate must clear; ANY the
             # most favorable witness

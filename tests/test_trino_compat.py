@@ -2105,10 +2105,13 @@ def test_quantified_comparisons(spark):
     rows = run(spark, "SELECT x FROM (VALUES (1),(2),(3)) t(x)"
                       " WHERE x >= ALL (SELECT y FROM (VALUES (2),(3)) s(y))")
     assert [r["x"] for r in rows] == [3]
-    from mcp_trino_spark.trino_compat import TrinoCompatError
-
-    with pytest.raises(TrinoCompatError, match="quantified"):
-        translate("SELECT 1 = ALL (SELECT 1)")
+    # r15: the equality quantifiers complete the matrix (= ALL was a
+    # loud TrinoCompatError through r14; x79 certifies vs DuckDB)
+    r = run(spark, f"SELECT 1 = ALL (SELECT x FROM (VALUES (1),(1)) t(x)) AS a,"
+                   f" 1 = ALL {sub} AS b,"
+                   f" 2 <> ANY {sub} AS c,"
+                   f" 1 <> ANY (SELECT x FROM (VALUES (1),(1)) t(x)) AS d")[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (True, False, True, False)
 
 
 def test_extract_yow_and_two_arg_if(spark):

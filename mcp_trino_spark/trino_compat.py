@@ -8568,6 +8568,16 @@ def _rewrite_in_subquery_null_semantics(q: str, column_types: dict) -> str:
             not probe
             or _nearest_clause(clauses, lstart) != "SELECT"
             or _is_subquery_operand(probe)
+            # row-tuple probes ((a, b) IN (SELECT x, y …)) keep Spark
+            # semantics: the rewrite's __q(__v) null probe is
+            # single-column and Trino's row-IN null algebra is
+            # per-field (documented residue)
+            or (
+                probe.startswith("(")
+                and probe.endswith(")")
+                and _balanced(probe[1:-1])
+                and len(_split_top_args(probe[1:-1])) > 1
+            )
             or _has_nondeterministic_call(probe)
             or _has_nondeterministic_call(sub)
             or (

@@ -4521,3 +4521,11 @@ class TestInSubqueryNullSemantics:
                    f"SELECT y FROM (SELECT 2 AS y)"
                    f" WHERE y IN (SELECT x FROM {self.S} t)")
         assert rows == []
+
+    def test_row_tuple_probe_untouched(self, spark):
+        # ((a, b)) IN … would break analysis and Trino's row-IN null
+        # algebra is per-field — tuple probes keep Spark semantics
+        out = translate("SELECT (a, b) IN (SELECT x, y FROM s) AS r FROM t")
+        assert "CASE WHEN" not in out
+        r = run(spark, "SELECT CAST((1, 2) IN (SELECT 1, 2) AS VARCHAR) AS r")
+        assert r[0]["r"] == "true"

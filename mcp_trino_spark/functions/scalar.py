@@ -4156,3 +4156,51 @@ def x79_equality_quantifiers(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x80_array_minmax_nan",
+    oracle="""
+    SELECT i, expected AS v FROM (VALUES
+        (1, 'NaN'), (2, 'NaN'), (3, '1.0'), (4, NULL),
+        (5, '3.0'), (6, 'NaN'), (7, NULL), (8, '2.0')
+    ) AS t(i, expected)
+    """,
+)
+def x80_array_minmax_nan(spark, sf_dir):
+    """array_min/array_max NaN propagation (r15): Trino's docs pin
+    "returns NaN if the array contains NaN" for both functions (the
+    NaN program of Trino 393) — Spark's NaN-largest ordering made
+    ``array_min(ARRAY[nan(), 1])`` return 1 (array_max coincided).
+    Knowably-double arrays (x47 shape contract) gain an isnan arm in
+    the existing null-containment guard, NULL arm first (preserving
+    the driver-certified x51 precedence on mixed NULL+NaN arrays —
+    rows 4/7).  Rows 3/5/8 pin the unchanged finite paths, 6 the
+    array_max coincidence.  Pinned-literal oracle: DuckDB's
+    list_min/list_aggregate NaN ordering is its own contract — a
+    true differential.
+
+    Reference parity: Trino ArrayMinFunction/ArrayMaxFunction NaN
+    contract (docs functions/array), text forwarded verbatim
+    (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.trino_compat import install_compat_functions, translate
+
+    install_compat_functions(spark)
+    return spark.sql(
+        translate(
+            """
+            SELECT 1 AS i, CAST(array_min(ARRAY[nan(), 1.0E0]) AS VARCHAR) AS v
+            UNION ALL SELECT 2, CAST(array_max(ARRAY[nan(), 1.0E0]) AS VARCHAR)
+            UNION ALL SELECT 3, CAST(array_min(ARRAY[2.0E0, 1.0E0]) AS VARCHAR)
+            UNION ALL SELECT 4, CAST(array_min(ARRAY[1.0E0, NULL, nan()])
+                                     AS VARCHAR)
+            UNION ALL SELECT 5, CAST(array_max(ARRAY[2.0E0, 3.0E0]) AS VARCHAR)
+            UNION ALL SELECT 6, CAST(array_max(ARRAY[nan(), nan()]) AS VARCHAR)
+            UNION ALL SELECT 7, CAST(array_max(CAST(NULL AS ARRAY(DOUBLE)))
+                                     AS VARCHAR)
+            UNION ALL SELECT 8, CAST(array_min(ARRAY[3.0E0, 2.0E0])
+                                     AS VARCHAR)
+            """
+        )
+    )

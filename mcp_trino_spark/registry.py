@@ -318,6 +318,7 @@ _WINDOW_HEAD = [
     "x77_nan_subquery_semantics",
     "x78_in_subquery_null_semantics",
     "x79_equality_quantifiers",
+    "x80_array_minmax_nan",
     "f4_list_tables",
     "f3_list_schemas",
     "x23_vector_math",
@@ -358,7 +359,6 @@ _WINDOW_HEAD = [
     "x10_array_hof",
     "x13_struct_row",
     "s4_memory_table",
-    "s8_bucketed_colocated_join",
     "a11b_stats_native",
     "l26_minhash_estimate",
 ]

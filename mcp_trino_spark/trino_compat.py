@@ -5560,7 +5560,7 @@ def _sub_ident_outside_literals(body: str, var: str, repl: str) -> str:
 _ARRAY_MINMAX_HEAD = re.compile(r"\barray_(min|max)\s*\(", re.IGNORECASE)
 
 
-def _rewrite_array_minmax_nulls(q: str) -> str:
+def _rewrite_array_minmax_nulls(q: str, column_types=None) -> str:
     """Trino ``array_max``/``array_min`` return NULL when the array
     CONTAINS a null element (the comparator is null-rejecting:
     ArrayMaxFunction / ArrayMinFunction); Spark's builtins silently
@@ -5580,7 +5580,21 @@ def _rewrite_array_minmax_nulls(q: str) -> str:
     documented guard-growth trade).  ``array_max_by``/``array_min_by``
     do not match (the head regex requires ``(`` directly after the
     name) and already skip NULL keys by contract.
+
+    NaN (r15, x80): Trino's docs pin "returns NaN if the array
+    contains NaN" for BOTH functions (the 393 NaN program), where
+    Spark's NaN-largest ordering makes ``array_min(ARRAY[nan(), 1])``
+    return 1 (array_max already coincides).  Arrays whose element
+    type is KNOWABLY double (x47 shape contract — constructor
+    spellings, CAST targets, catalog array<double> columns) gain a
+    NaN arm after the NULL arm; ``isnan`` on arbitrary element types
+    would be an analysis error, so unknowable arrays keep the
+    NULL-only guard (documented residue).  NULL-before-NaN precedence
+    preserves the driver-certified x51 contract on mixed arrays.
     """
+    types = {
+        str(k).lower(): str(v).lower() for k, v in (column_types or {}).items()
+    }
     while True:
         found = _find_call(q, _ARRAY_MINMAX_HEAD, 0)
         if found is None:
@@ -5590,9 +5604,19 @@ def _rewrite_array_minmax_nulls(q: str) -> str:
         a = q[b0:b1].strip()
         if not a or len(_split_top_args(a)) != 1:
             raise TrinoCompatError(f"{fn}() takes exactly one array argument")
+        try:
+            shape = _operand_shape(a, types)
+        except Exception:
+            shape = None
+        nan_arm = (
+            f" WHEN exists({a}, __t_amn -> isnan(__t_amn))"
+            f" THEN double('NaN')"
+            if shape == ("array", ("double",))
+            else ""
+        )
         repl = (
             f"CASE WHEN exists({a}, __t_amn -> __t_amn IS NULL)"
-            f" THEN NULL ELSE __t_{fn}({a}) END"
+            f" THEN NULL{nan_arm} ELSE __t_{fn}({a}) END"
         )
         q = q[: m.start()] + repl + q[b1 + 1 :]
     return q.replace("__t_array_max(", "array_max(").replace(
@@ -10919,7 +10943,7 @@ def _translate_inner(
     query = _rewrite_word_stem_lang(query)
     query = _rewrite_two_arg_if(query)
     query = _rewrite_templates(query)
-    query = _rewrite_array_minmax_nulls(query)
+    query = _rewrite_array_minmax_nulls(query, column_types)
     query = _rewrite_typeof_trino(query)
     query = _rewrite_array_minmax_by(query)
     query = _rewrite_json_constructors(query)

@@ -254,14 +254,18 @@ def test_mixed_name_nested_row_equality(spark):
 def test_decimal_avg_named_window_reference():
     """r14 self-review (high): the avg wrap folded only `OVER (…)`,
     stranding a named-window `OVER w` outside the CAST — a parse error
-    on valid Trino SQL."""
+    on valid Trino SQL.  r15: the exact integer protocol replaced the
+    wrap; the invariant is now that EVERY generated sum/count carries
+    the named-window clause and nothing strands after the final CAST."""
     from mcp_trino_spark.trino_compat import translate
 
     out = translate(
         "SELECT avg(CAST(x AS DECIMAL(8,3))) OVER w FROM t"
         " WINDOW w AS (PARTITION BY k)"
     )
-    assert "OVER w AS DECIMAL(8, 3))" in out, out
+    assert "sum(CAST(x AS DECIMAL(8,3))) OVER w" in out, out
+    assert "count(CAST(x AS DECIMAL(8,3))) OVER w" in out, out
+    assert "AS DECIMAL(8, 3)) FROM t WINDOW w AS (PARTITION BY k)" in out, out
 
 
 def test_angle_split_paren_aware():

@@ -4204,3 +4204,55 @@ def x80_array_minmax_nan(spark, sf_dir):
             """
         )
     )
+
+
+@register(
+    "x81_double_zero_division",
+    oracle="""
+    SELECT i, expected AS v FROM (VALUES
+        (1, 'Infinity'), (2, '-Infinity'), (3, '-Infinity'), (4, 'NaN'),
+        (5, 'NaN'), (6, 'Infinity'), (7, NULL), (8, '2.5'),
+        (9, 'NaN'), (10, 'NaN'), (11, '2.0'), (12, NULL), (13, 'Infinity')
+    ) AS t(i, expected)
+    """,
+)
+def x81_double_zero_division(spark, sf_dir):
+    """Double division/modulus by zero (r15,
+    _rewrite_double_div_mod_zero): Trino's DoubleOperators are IEEE
+    Java — ``5e0/0e0`` is Infinity, ``-5e0/0e0`` and ``5e0/-0e0``
+    -Infinity (the negative-zero divisor carries sign), ``0e0/0e0``
+    and ``mod(x, 0e0)`` NaN, with NO error — where Spark under ANSI
+    threw DIVIDE_BY_ZERO / REMAINDER_BY_ZERO on the same valid Trino
+    SQL: a HARD-ERROR divergence, not a silent one.  Knowably-double
+    operands (x47) gain a zero-divisor dispatch keeping the plain
+    division on the hot path; integer division by zero errors in BOTH
+    engines and is untouched (row 12 pins NULL via try there).  The
+    oracle pins literals: DuckDB nulls double division by zero — a
+    true differential.
+
+    Reference parity: Trino DoubleOperators divide/modulus (Java IEEE
+    primitives), text forwarded verbatim
+    (internal/trino/client.go:284-291).
+    """
+    from mcp_trino_spark.trino_compat import install_compat_functions, translate
+
+    install_compat_functions(spark)
+    return spark.sql(
+        translate(
+            """
+            SELECT 1 AS i, CAST(5.0E0 / 0.0E0 AS VARCHAR) AS v
+            UNION ALL SELECT 2, CAST(-5.0E0 / 0.0E0 AS VARCHAR)
+            UNION ALL SELECT 3, CAST(5.0E0 / -0.0E0 AS VARCHAR)
+            UNION ALL SELECT 4, CAST(0.0E0 / 0.0E0 AS VARCHAR)
+            UNION ALL SELECT 5, CAST(nan() / 0.0E0 AS VARCHAR)
+            UNION ALL SELECT 6, CAST(infinity() / 0.0E0 AS VARCHAR)
+            UNION ALL SELECT 7, CAST(CAST(NULL AS DOUBLE) / 0.0E0 AS VARCHAR)
+            UNION ALL SELECT 8, CAST(5.0E0 / 2.0E0 AS VARCHAR)
+            UNION ALL SELECT 9, CAST(mod(5.0E0, 0.0E0) AS VARCHAR)
+            UNION ALL SELECT 10, CAST(5.0E0 % 0.0E0 AS VARCHAR)
+            UNION ALL SELECT 11, CAST(5.0E0 % 3.0E0 AS VARCHAR)
+            UNION ALL SELECT 12, CAST(try(5 / 0) AS VARCHAR)
+            UNION ALL SELECT 13, CAST(2.0E0 + 4.0E0 / 0.0E0 AS VARCHAR)
+            """
+        )
+    )

@@ -319,6 +319,7 @@ _WINDOW_HEAD = [
     "x78_in_subquery_null_semantics",
     "x79_equality_quantifiers",
     "x80_array_minmax_nan",
+    "x81_double_zero_division",
     "f4_list_tables",
     "f3_list_schemas",
     "x23_vector_math",
@@ -358,7 +359,6 @@ _WINDOW_HEAD = [
     "s12_table_changes",
     "x10_array_hof",
     "x13_struct_row",
-    "s4_memory_table",
     "a11b_stats_native",
     "l26_minhash_estimate",
 ]

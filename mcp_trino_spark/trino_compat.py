@@ -7457,6 +7457,188 @@ def _rewrite_decimal_division(q: str, column_types: dict) -> str:
         start = lo + len(repl)
 
 
+_MOD_HEAD = re.compile(r"\bmod\s*\(", re.IGNORECASE)
+
+
+def _scan_left_operand_loose(q: str, pos: int) -> Optional[int]:
+    """_scan_left_operand plus arbitrary call forms (``nan() / x`` —
+    the tight scanner admits only CAST calls): safe here because the
+    x81 pass TYPE-gates operands afterwards (_operand_fp_kind knows
+    exactly the call names that are always double)."""
+    s = _scan_left_operand(q, pos)
+    if s is not None:
+        return s
+    i = pos - 1
+    while i >= 0 and q[i].isspace():
+        i -= 1
+    if i < 0 or q[i] != ")":
+        return None
+    depth, j = 0, i
+    while j >= 0:
+        if q[j] == ")":
+            depth += 1
+        elif q[j] == "(":
+            depth -= 1
+            if depth == 0:
+                break
+        j -= 1
+    if j < 0:
+        return None
+    k = j - 1
+    while k >= 0 and q[k].isspace():
+        k -= 1
+    end_word = k + 1
+    while k >= 0 and (q[k].isalnum() or q[k] in "_."):
+        k -= 1
+    word = q[k + 1 : end_word]
+    return k + 1 if word else None
+
+
+def _scan_right_operand_loose(q: str, pos: int) -> Optional[int]:
+    """_scan_right_operand plus unary sign (``x / -0.0E0``) and
+    arbitrary call forms — same type-gated contract as the left
+    scanner."""
+    n = len(q)
+    i = pos + 1
+    while i < n and q[i].isspace():
+        i += 1
+    if i < n and q[i] in "+-":
+        sub = _scan_right_operand_loose(q, i)
+        return sub
+    r = _scan_right_operand(q, pos)
+    if r is not None:
+        return r
+    if i >= n or not (q[i].isalnum() or q[i] == "_"):
+        return None
+    j = i
+    while j < n and (q[j].isalnum() or q[j] in "_."):
+        j += 1
+    k = j
+    while k < n and q[k].isspace():
+        k += 1
+    if k < n and q[k] == "(":
+        depth = 0
+        while k < n:
+            if q[k] == "(":
+                depth += 1
+            elif q[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    return k + 1
+            k += 1
+    return None
+
+
+def _rewrite_double_div_mod_zero(q: str, column_types: dict) -> str:
+    """x81: Trino's DOUBLE division and modulus are IEEE Java —
+    ``5e0 / 0e0`` is Infinity, ``-5e0 / 0e0`` -Infinity, ``0e0/0e0``
+    and ``mod(x, 0e0)`` NaN, with NO error — where Spark under ANSI
+    throws DIVIDE_BY_ZERO / REMAINDER_BY_ZERO on the same valid Trino
+    SQL (a hard-error divergence, worse than a silent value one;
+    integer division by zero errors in BOTH engines and stays
+    untouched).  Where an operand is knowably double (x47 contract —
+    the result type is then double and Trino routes through
+    DoubleOperators), the division gains a zero-divisor dispatch::
+
+        IF(b = 0.0E0,
+           CASE WHEN a = 0.0E0 OR isnan(a) THEN double('NaN')
+                WHEN CAST(b AS STRING) LIKE '-%'
+                     THEN double('-Infinity') * signum(a)
+                ELSE double('Infinity') * signum(a) END,
+           a / b)
+
+    The string probe is the sign of a NEGATIVE ZERO divisor
+    (``signum(-0.0)`` is 0, but Spark renders it '-0.0'): Java
+    ``5/-0.0`` is -Infinity.  NULL operands propagate through signum /
+    the else branch; modulus dispatches to NaN (NULL-preserving).
+    Runs AFTER the try() expansion: try bodies are already try_*
+    calls by then, so ``try(x / 0e0)`` keeps try_divide's NULL — a
+    documented residue (Trino would evaluate the IEEE value with no
+    error to suppress; fixing it requires the try shape-matcher to
+    accept the IF dispatch).  Subquery and nondeterministic operands
+    keep Spark semantics (operand duplication — the shared residue
+    contract)."""
+    types = {str(k).lower(): str(v).lower() for k, v in column_types.items()}
+
+    def _qualify(left, right):
+        if _is_subquery_operand(left) or _is_subquery_operand(right):
+            return False
+        if _has_nondeterministic_call(left) or _has_nondeterministic_call(
+            right
+        ):
+            return False
+        return "double" in (
+            _operand_fp_kind(left, types), _operand_fp_kind(right, types)
+        )
+
+    def _div_form(a, b):
+        return (
+            f"IF(({b}) = 0.0E0,"
+            f" CASE WHEN ({a}) = 0.0E0 OR isnan({a}) THEN double('NaN')"
+            f" WHEN CAST(({b}) AS STRING) LIKE '-%'"
+            f" THEN double('-Infinity') * signum({a})"
+            f" ELSE double('Infinity') * signum({a}) END,"
+            f" ({a}) / ({b}))"
+        )
+
+    def _mod_form(a, b):
+        return (
+            f"IF(({b}) = 0.0E0,"
+            f" IF(({a}) IS NULL, CAST(NULL AS DOUBLE), double('NaN')),"
+            f" ({a}) % ({b}))"
+        )
+
+    # operator scans: / then % (the decimal/int division passes ran
+    # already and only touch non-double operands — disjoint by typing)
+    for sym, form in (("/", _div_form), ("%", _mod_form)):
+        start = 0
+        while True:
+            mask = _code_mask(q)
+            pos = q.find(sym, start)
+            if pos < 0:
+                break
+            if not mask[pos] or (
+                sym == "/"
+                and (
+                    (pos + 1 < len(q) and q[pos + 1] in "*/")
+                    or (pos > 0 and q[pos - 1] in "*/")
+                )
+            ):
+                start = pos + 1
+                continue
+            lo = _scan_left_operand_loose(q, pos)
+            hi = _scan_right_operand_loose(q, pos)
+            if lo is None or hi is None:
+                start = pos + 1
+                continue
+            left, right = q[lo:pos].rstrip(), q[pos + 1 : hi].lstrip()
+            if not _qualify(left, right):
+                start = pos + 1
+                continue
+            repl = form(left, right)
+            q = q[:lo] + repl + q[hi:]
+            start = lo + len(repl)
+    # mod(a, b) function spelling
+    start = 0
+    while True:
+        found = _find_call(q, _MOD_HEAD, start)
+        if found is None:
+            break
+        m, b0, b1 = found
+        args = _split_top_args(q[b0:b1])
+        if len(args) != 2:
+            start = m.end()
+            continue
+        a, b = args[0].strip(), args[1].strip()
+        if not _qualify(a, b):
+            start = b1 + 1
+            continue
+        repl = _mod_form(a, b)
+        q = q[: m.start()] + repl + q[b1 + 1 :]
+        start = m.start() + len(repl)
+    return q
+
+
 _XXHASH64_HEAD = re.compile(r"\bxxhash64\s*\(", re.IGNORECASE)
 
 
@@ -10898,6 +11080,14 @@ def _translate_inner(
     query = _rewrite_unnest(query, _code_mask(query))
     query = _rewrite_unnest_from(query)
     query = _rewrite_try(query)
+    # x81: double /0 and %0 are IEEE in Trino (±Infinity/NaN), ANSI
+    # hard errors here.  AFTER try(): its bodies are already try_*
+    # calls (try(x/0e0) keeps the documented try_divide NULL residue
+    # rather than breaking the try shape-matcher on the IF dispatch)
+    if "/" in query or "%" in query or re.search(
+        r"(?i)\bmod\s*\(", query
+    ):
+        query = _rewrite_double_div_mod_zero(query, column_types or {})
     # MUST precede the Joda pass: format_datetime rewrites INTO
     # date_format(...) calls whose patterns are already Java-style
     query = _rewrite_date_format(query)

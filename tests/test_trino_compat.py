@@ -4529,3 +4529,46 @@ class TestInSubqueryNullSemantics:
         assert "CASE WHEN" not in out
         r = run(spark, "SELECT CAST((1, 2) IN (SELECT 1, 2) AS VARCHAR) AS r")
         assert r[0]["r"] == "true"
+
+
+class TestDoubleZeroDivision:
+    """x81 (r15): double /0 and %0 are IEEE in Trino (±Infinity/NaN,
+    no error) where Spark ANSI threw — a hard-error divergence.  The
+    dispatch only fires on knowably-double operands; integer division
+    by zero still errors in both engines."""
+
+    def test_ieee_values(self, spark):
+        r = run(spark,
+                "SELECT CAST(5.0E0 / 0.0E0 AS VARCHAR) AS a,"
+                " CAST(-5.0E0 / 0.0E0 AS VARCHAR) AS b,"
+                " CAST(5.0E0 / -0.0E0 AS VARCHAR) AS c,"
+                " CAST(0.0E0 / 0.0E0 AS VARCHAR) AS d,"
+                " CAST(mod(5.0E0, 0.0E0) AS VARCHAR) AS e,"
+                " CAST(5.0E0 % 0.0E0 AS VARCHAR) AS f,"
+                " CAST(CAST(NULL AS DOUBLE) / 0.0E0 AS VARCHAR) AS g")[0]
+        assert (r["a"], r["b"], r["c"]) == ("Infinity", "-Infinity", "-Infinity")
+        assert (r["d"], r["e"], r["f"]) == ("NaN", "NaN", "NaN")
+        assert r["g"] is None
+
+    def test_nonzero_and_integer_paths_untouched(self, spark):
+        r = run(spark, "SELECT CAST(5.0E0 / 2.0E0 AS VARCHAR) AS a,"
+                       " 10 / 2 AS b, CAST(mod(7, 3) AS VARCHAR) AS c")[0]
+        assert (r["a"], r["b"], r["c"]) == ("2.5", 5, "1")
+        out = translate("SELECT a / b FROM t",
+                        column_types={"a": "int", "b": "int"})
+        assert "Infinity" not in out
+
+    def test_double_column_division_guarded(self, spark):
+        # CATALOG-typed double columns qualify (the x47 contract —
+        # derived-subquery aliases stay unknowable residue); values
+        # agree on the nonzero path and the zero divisor no longer
+        # errors
+        spark.createDataFrame(
+            [(4.0, 0.0), (4.0, 2.0)], "xd double, yd double"
+        ).createOrReplaceTempView("x81_div_t")
+        try:
+            rows = run(spark,
+                       "SELECT CAST(xd / yd AS VARCHAR) AS r FROM x81_div_t")
+            assert sorted(r["r"] for r in rows) == ["2.0", "Infinity"]
+        finally:
+            spark.catalog.dropTempView("x81_div_t")

@@ -3602,7 +3602,13 @@ def test_column_int_division_cast_operands():
 
 def test_column_int_division_chains_reenter():
     assert _tdiv("SELECT a / b / c FROM t") == "SELECT ((a div b) div c) FROM t"
-    assert _tdiv("SELECT a / b / d FROM t") == "SELECT (a div b) / d FROM t"
+    # the double tail stays FRACTIONAL — the int-division pass emits
+    # (a div b) and leaves `/ d` alone; since r15 the x81 IEEE
+    # zero-divisor dispatch additionally guards the knowably-double
+    # division, keeping the plain `((a div b)) / (d)` on the hot path
+    out = _tdiv("SELECT a / b / d FROM t")
+    assert "((a div b)) / (d)" in out
+    assert " div d" not in out and " div (d)" not in out
 
 
 def test_column_int_division_respects_literals_and_comments():

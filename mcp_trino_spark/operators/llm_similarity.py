@@ -618,19 +618,37 @@ def semdedup_plan(corpus, cents):
     embedding); ``cents`` (cent_id, cv) must stay broadcast-sized
     (k x dim — for SemDeDup's contract k grows with n, keeping cluster
     sizes bounded, so k x dim stays KB-to-MB at any corpus size)."""
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("sim").desc(), F.col("cent_id").asc()
+    # Assignment as a PROJECTION, not a window (r15): collapse the
+    # broadcast-sized centroid frame to ONE array row, cross-join it in
+    # (broadcast, no row multiplication), and take the argmax with
+    # array_max over (sim, -cent_id) structs — the same winner the old
+    # row_number() over (sim DESC, cent_id ASC) picked, without
+    # exploding corpus×k rows through a vec_id window shuffle
+    # (measured 2.04 s → 0.67 s for the assignment stage at sf0.1,
+    # identical rows; end-to-end l27 is dominated by the pair join, so
+    # its headline moves little — the win is the removed corpus×k
+    # explode + window sort at scale).  array_sort fixes collect_list's
+    # order so the argmax scan is deterministic.  The persist+count
+    # below stays: a no-persist trial re-ran the scan+assignment three
+    # times concurrently and measured 3.31 s vs 2.72 s end-to-end.
+    carr = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cv"))).alias("cents")
     )
-    assigned = (
-        corpus.crossJoin(F.broadcast(cents))
-        .withColumn("sim", cosine(F.col("embedding"), F.col("cv")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id", "embedding")
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                cosine(F.col("embedding"), c["cv"]).alias("sim"),
+                (-c["cent_id"]).alias("ncid"),
+            ),
+        )
+    )
+    assigned = corpus.crossJoin(F.broadcast(carr)).select(
+        "vec_id", (-best["ncid"]).alias("cent_id"), "embedding"
     )
     # three consumers (pair self-join a/b + the final keep/drop join):
-    # persist + materialize so the crossJoin+window assignment runs once
-    # instead of three concurrent times (llm_dedup's LSH cache lesson)
+    # persist + materialize so the scan+assignment runs once instead of
+    # three concurrent times (llm_dedup's LSH cache lesson)
     from mcp_trino_spark.operators.opcache import persist_tracked
 
     assigned = persist_tracked(assigned)

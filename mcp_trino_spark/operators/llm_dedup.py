@@ -536,27 +536,44 @@ def _propagate_clusters(pairs: DataFrame) -> DataFrame:
     pair frame; returns (doc_id, cluster_id, is_keeper).  See
     l21_dup_clusters for the scale rationale.
 
-    Round 0 is FUSED into label initialization: each node starts at
-    min(itself, direct neighborhood) — one groupBy over the edge list
-    instead of a full join+agg+jump round.  LSH dup graphs are
+    Round 0 is FUSED into label initialization, and each round is ONE
+    equi-join + ONE aggregation (r15): the edge explode also emits a
+    self-loop per endpoint, so ``min(lab)`` over a node's joined rows
+    is min(own label, neighbor labels) in a single groupBy — the
+    old/new label pair falls out of the same aggregation (the self-loop
+    row carries the node's own label), where the previous shape needed
+    join → groupBy → join-back (two extra exchanges and a separate
+    init-materialization job per run; guide §2.4).  LSH dup graphs are
     clique-dense (every pair inside a dup cluster collides in some
-    band), so this init already IS the fixpoint for most components
-    and the loop typically runs exactly one confirmation round.  That
-    round is kept minimal: the convergence check is a filter-count on
-    the SAME persisted frame the round materializes (one job, no
-    label-vs-label join), and the pointer-jump join — lab :=
-    label-of(lab), which halves remaining path lengths and turns long
-    chains into O(log) rounds — is paid only on rounds that actually
-    changed a label.  Each changed round ends in ``localCheckpoint``
-    — MANDATORY for iterative DataFrame algorithms: without it the
-    logical plan nests per round and Catalyst analysis time grows
-    superlinearly."""
+    band), so the init already IS the fixpoint for most components
+    and the loop typically runs exactly one confirmation round.  The
+    convergence check is a filter-count on the SAME persisted frame
+    the round materializes (one job, no label-vs-label join), and the
+    pointer-jump join — lab := label-of(lab), which halves remaining
+    path lengths and turns long chains into O(log) rounds — is paid
+    only on rounds that actually changed a label.  Changed rounds end
+    in ``localCheckpoint`` — MANDATORY for iterative DataFrame
+    algorithms: without it the logical plan nests per round and
+    Catalyst analysis time grows superlinearly."""
     from mcp_trino_spark.operators.opcache import persist_tracked
 
-    # both edge directions in ONE pass over the pair frame (a union of
-    # two selects would compute the upstream pair plan twice unless
-    # ReuseExchange happens to fire)
-    edges = (
+    # both edge directions AND both self-loops in ONE pass over the
+    # pair frame (a union of selects would compute the upstream pair
+    # plan twice unless ReuseExchange happens to fire).  The self-loops
+    # double the edge rows (min is duplicate-insensitive, so per-pair
+    # emission needs no distinct), buying one aggregation per round
+    # instead of join+agg+join — fewer exchanges wins at every scale.
+    # The edge frame is cached PRE-PARTITIONED on the join key (r15,
+    # guide §2.4 "two operations keyed the same way share one
+    # exchange"): a DataFrame persist preserves outputPartitioning
+    # through InMemoryRelation where localCheckpoint's ExistingRDD scan
+    # erases it, so every round's equi-join on ``b`` reuses this ONE
+    # exchange instead of re-shuffling the biggest frame in the loop
+    # once per round.  Partition count comes from the session's
+    # spark.sql.shuffle.partitions (conf/env-driven — scale-adaptive,
+    # not a local constant).
+    n_part = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    edges = persist_tracked(
         pairs.select(
             F.explode(
                 F.array(
@@ -566,35 +583,50 @@ def _propagate_clusters(pairs: DataFrame) -> DataFrame:
                     F.struct(
                         F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
                     ),
+                    F.struct(
+                        F.col("doc_a").alias("a"), F.col("doc_a").alias("b")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("a"), F.col("doc_b").alias("b")
+                    ),
                 )
             ).alias("e")
         )
         .select("e.a", "e.b")
-        .localCheckpoint()
+        .repartition(n_part, "b")
     )
+    # eager materialization: round 0 references edges twice (init
+    # subtree + join) and Spark does not dedupe in-flight computation
+    edges.count()
+    # init = min over (self ∪ neighborhood) node ids — the self-loop
+    # makes plain min("b") the old least(a, min-neighbor).  NOT
+    # checkpointed: each round references labels exactly once (the
+    # single equi-join below), so round 1 materializes it in-plan with
+    # no duplicate compute and no separate init job.
     labels = (
         edges.groupBy("a")
-        .agg(F.min("b").alias("nb"))
-        .select(
-            F.col("a").alias("node"),
-            F.least(F.col("a"), F.col("nb")).alias("lab"),
-        )
-        .localCheckpoint()
+        .agg(F.min("b").alias("lab"))
+        .select(F.col("a").alias("node"), "lab")
     )
 
     for _ in range(15):
-        neighbor_min = (
-            edges.join(labels, edges["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("lab").alias("nlab"))
-        )
         stepped = persist_tracked(
-            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
-            .select(
-                "node",
-                F.col("lab").alias("old_lab"),
-                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
+            # SHUFFLE_HASH with build = labels: the node-sized side is
+            # the only sane hash-build at any scale (AQE's size
+            # heuristic was observed building — even BROADCASTING — the
+            # EDGE side at sf0.1, which at 100 TB is the whole pair
+            # graph); the hint also avoids SMJ's per-round re-sort of
+            # the cached edge frame (guide §3.1).
+            edges.join(labels.hint("shuffle_hash"), edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(
+                F.min("lab").alias("lab"),
+                # the self-loop row (b == a) carries a's own label
+                F.max(F.when(F.col("b") == F.col("a"), F.col("lab"))).alias(
+                    "old_lab"
+                ),
             )
+            .select(F.col("a").alias("node"), "old_lab", "lab")
         )
         # full (un-limited) count: materializes every persisted
         # partition in the same job that checks convergence

@@ -631,20 +631,35 @@ def semdedup_plan(corpus, cents):
     # order so the argmax scan is deterministic.  The persist+count
     # below stays: a no-persist trial re-ran the scan+assignment three
     # times concurrently and measured 3.31 s vs 2.72 s end-to-end.
+    # Hoist the norms out of the cosine loops (r15, guide §4.2): array
+    # HOFs are CodegenFallback (interpreted), so cosine(a, b) evaluated
+    # per (row × centroid) and per pair pays THREE interpreted array
+    # folds where only the dot product actually varies.  norm(cv) rides
+    # the collected centroid structs; norm(embedding) is an alias
+    # referenced more than once, which CollapseProject leaves
+    # un-inlined — one fold per row, not per centroid.  Bit-exact: the
+    # same doubles flow into the same (dot / (na * nb)) tree, only the
+    # re-computation is removed.
     carr = cents.agg(
-        F.array_sort(F.collect_list(F.struct("cent_id", "cv"))).alias("cents")
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cv", norm(F.col("cv")).alias("cn")))
+        ).alias("cents")
     )
     best = F.array_max(
         F.transform(
             F.col("cents"),
             lambda c: F.struct(
-                cosine(F.col("embedding"), c["cv"]).alias("sim"),
+                (dot(F.col("embedding"), c["cv"]) / (F.col("nrm") * c["cn"])).alias(
+                    "sim"
+                ),
                 (-c["cent_id"]).alias("ncid"),
             ),
         )
     )
-    assigned = corpus.crossJoin(F.broadcast(carr)).select(
-        "vec_id", (-best["ncid"]).alias("cent_id"), "embedding"
+    assigned = (
+        corpus.withColumn("nrm", norm(F.col("embedding")))
+        .crossJoin(F.broadcast(carr))
+        .select("vec_id", (-best["ncid"]).alias("cent_id"), "embedding", "nrm")
     )
     # three consumers (pair self-join a/b + the final keep/drop join):
     # persist + materialize so the scan+assignment runs once instead of
@@ -661,7 +676,11 @@ def semdedup_plan(corpus, cents):
             (F.col("a.cent_id") == F.col("b.cent_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cosine(F.col("a.embedding"), F.col("b.embedding")) > 0.99)
+        .filter(
+            dot(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.nrm") * F.col("b.nrm"))
+            > 0.99
+        )
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
         .withColumn("is_dropped", F.lit(True))

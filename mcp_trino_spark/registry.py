@@ -322,6 +322,7 @@ _WINDOW_HEAD = [
     "x81_double_zero_division",
     "f4_list_tables",
     "f3_list_schemas",
+    "l2c_ngram_jaccard",
     "x23_vector_math",
     "x24_setdigest",
     "x35_exclude_minmax",
@@ -357,13 +358,12 @@ _WINDOW_HEAD = [
     "s7c_delete",
     "s10_time_travel",
     "s12_table_changes",
-    "x10_array_hof",
-    "x13_struct_row",
-    "a11b_stats_native",
-    "l26_minhash_estimate",
+    "l3_cosine_pairs",
+    "l4b_ivf_topk",
 ]
 _WINDOW_TAIL = [
     "p3_comparison",
+    "a1_groupby_count",
     "w1_row_number",
     "o7_intersect",
     "t6_gap_fill",

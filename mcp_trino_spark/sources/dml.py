@@ -513,18 +513,22 @@ def update_table(
         t = spark.table(table)
         set_clauses = _resolve_cols(t.columns, set_clauses, "UPDATE SET")
         cond = F.expr(where) if where else F.lit(True)
-        new_state = t.select(
-            *[
-                (
-                    F.when(cond, F.expr(expr).cast(t.schema[c].dataType))
-                    .otherwise(F.col(c))
-                    .alias(c)
-                    if c in set_clauses
-                    else F.col(c)
-                )
-                for c, expr in [(c, set_clauses.get(c, "")) for c in t.columns]
-            ]
-        )
+
+        def _updated(frame):
+            return frame.select(
+                *[
+                    (
+                        F.when(cond, F.expr(expr).cast(t.schema[c].dataType))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c in set_clauses
+                        else F.col(c)
+                    )
+                    for c, expr in [(c, set_clauses.get(c, "")) for c in t.columns]
+                ]
+            )
+
+        new_state = _updated(t)
         pcols = _partition_columns(spark, table)
         if pcols and not (set(pcols) & set(set_clauses)):
             # ONE aggregation job yields both the affected count and the
@@ -541,9 +545,20 @@ def update_table(
                 pcols, touched, op="update",
             )
             return affected
-        affected = t.filter(cond).count()
-        _commit(spark, table, new_state, op="update")
-        return affected
+        # Fuse the affected-row count into the commit's staging write
+        # (r15, guide §1.2 "don't compute things twice"): an Observation
+        # below the CASE projection counts cond matches on the PRE-update
+        # rows during the same scan that rewrites the table — one pass
+        # instead of count-scan + write-scan.  Identical value: the old
+        # separate count ran inside the same lock on the same snapshot.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = t.observe(
+            obs, F.sum(F.when(cond, 1).otherwise(0)).alias("affected")
+        )
+        _commit(spark, table, _updated(observed), op="update")
+        return int(obs.get["affected"] or 0)
 
 
 def delete_from(spark: SparkSession, table: str, where: Optional[str]) -> int:
@@ -574,6 +589,13 @@ def delete_from(spark: SparkSession, table: str, where: Optional[str]) -> int:
                 pcols, touched, op="delete",
             )
             return affected
+        # NOT fused into the write (unlike update_table): DELETE's
+        # survivor filter can constant-fold to Filter(false) (WHERE that
+        # matches everything), and PruneFilters then replaces the whole
+        # subtree — including a CollectMetrics observation — with an
+        # empty LocalRelation, leaving Observation.get blocked forever.
+        # UPDATE's CASE projection has no such collapse, so only it
+        # carries the one-pass protocol.
         affected = t.count() if cond is None else t.filter(cond).count()
         _commit(spark, table, new_state, op="delete")
         return affected

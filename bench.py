@@ -196,6 +196,7 @@ def run_steady(spark, fn, sf_dir: str, reps: int = 3) -> float:
 #: 3.8-9.3 s for identical CC runs at sf0.1); extra reps make the
 #: recorded min the steady-state signal, not a bad draw
 _HIGH_VARIANCE = {
+    "l21b_cc_propagation",
     "l2_minhash_lsh_pairs",
     "l2b_simhash",
     "l26_minhash_estimate",

@@ -46,6 +46,27 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: session → {(sf_dir, name, stat_fingerprint): DataFrame} — plan
+#: (metadata) reuse only, r15: ``spark.read.parquet`` eagerly lists the
+#: path and reads footers for schema inference (~0.1 s per table,
+#: driver-side), and the harnesses re-derive every table's frame once
+#: per benched rep, so the footer tax was paid 10× per register_tables
+#: call.  A DataFrame is an immutable logical plan — reusing the object
+#: never reuses RESULTS (every action still scans parquet); the
+#: (mtime_ns, size) fingerprint drops the entry the moment the file
+#: changes on disk, and the WeakKeyDictionary can't alias a collected
+#: session's entry via id() reuse (same pattern as _LAST_REGISTERED).
+_TABLE_PLAN_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _path_fingerprint(path: str):
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table; schema comes from the parquet footer (schema-on-read).
 
@@ -71,9 +92,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
-    df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events":
-        df = normalize_events(df)
+    path = table_path(sf_dir, name)
+    key = (sf_dir, name, _path_fingerprint(path))
+    cached = _TABLE_PLAN_CACHE.setdefault(spark, {})
+    df = cached.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        if name == "events":
+            df = normalize_events(df)
+        # evict stale fingerprints of the same table, then memoize
+        for k in [k for k in cached if k[:2] == (sf_dir, name)]:
+            del cached[k]
+        cached[key] = df
     return df
 
 

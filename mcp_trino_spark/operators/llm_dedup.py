@@ -1500,7 +1500,15 @@ def bloom_decontamination_plan(docs: DataFrame) -> DataFrame:
         return pd.Series(hit)
 
     _bloom_hit_impl.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    bloom_hit = pandas_udf(_bloom_hit_impl, "boolean")
+    # asNondeterministic (guide §4.4): InferFiltersFromConstraints was
+    # observed copying this predicate through the equi-join onto the
+    # BENCHMARK side — a redundant ArrowEvalPython pass over the exact
+    # gram set the filter was built from (every gram passes; a Bloom
+    # filter has no false negatives on its build set).  The marker only
+    # forbids the optimizer from duplicating/moving the call; the
+    # corpus-side filter sits exactly where it is written, so results
+    # are unchanged.
+    bloom_hit = pandas_udf(_bloom_hit_impl, "boolean").asNondeterministic()
 
     n_d = F.greatest(F.length("text") - (DECON_GRAM - 1), F.lit(1))
     dgrams = docs.select(

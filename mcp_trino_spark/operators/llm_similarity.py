@@ -75,7 +75,16 @@ def l3_cosine_pairs(spark, sf_dir):
     # spread BEFORE the self-join: the sampled side is small enough to
     # auto-broadcast, so without it every pairwise cosine runs at the
     # single-file scan's parallelism (one core)
-    sampled = spread(emb).filter(F.col("vec_id") % 10 == 0)
+    # norm() hoisted below the self-join (r15): evaluated once per
+    # vector instead of once per pair — the join is a Project barrier,
+    # so the pre-join alias can't be inlined back into the per-pair
+    # expression.  Bit-exact: the same per-vector double feeds the same
+    # (dot / (na * nb)) tree.
+    sampled = (
+        spread(emb)
+        .filter(F.col("vec_id") % 10 == 0)
+        .withColumn("nrm", norm(F.col("embedding")))
+    )
     a = sampled.alias("a")
     b = sampled.alias("b")
     return (
@@ -87,7 +96,11 @@ def l3_cosine_pairs(spark, sf_dir):
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 9).alias("cos_sim"),
+            F.round(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                9,
+            ).alias("cos_sim"),
         )
     )
 
@@ -112,14 +125,22 @@ def l4_topk_similarity(spark, sf_dir):
     heaps of k — the exact-baseline ANN shape that scales linearly.
     """
     (emb,) = T(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    # norm(qv) rides the broadcast row (r15): the old per-row cosine
+    # re-folded the query vector's norm for every corpus row.
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), norm(F.col("embedding")).alias("qn")
+    )
     return (
         spread(emb.filter(F.col("vec_id") != 0))
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("qv")), 9).alias("cos_sim"),
+            F.round(
+                dot(F.col("embedding"), F.col("qv"))
+                / (norm(F.col("embedding")) * F.col("qn")),
+                9,
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc_nulls_last(), F.col("vec_id").asc())
         .limit(10)
@@ -162,25 +183,47 @@ def l4b_ivf_topk(spark, sf_dir):
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
     )
-    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "sim", cosine(F.col("embedding"), F.col("cv"))
+    # Assignment as a PROJECTION over one collected centroid-array row
+    # (r15 — the same rewrite semdedup_plan carries, see there for the
+    # argmax↔row_number equivalence): no corpus×k row explosion, no
+    # vec_id window shuffle.  Norms are hoisted: norm(cv) rides the
+    # centroid structs, norm(embedding) is a below-join alias evaluated
+    # once per corpus row (bit-exact — same doubles, same division tree).
+    carr = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cv", norm(F.col("cv")).alias("cn")))
+        ).alias("cents")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cent_id").asc())
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (dot(F.col("embedding"), c["cv"]) / (F.col("nrm") * c["cn"])).alias(
+                    "sim"
+                ),
+                (-c["cent_id"]).alias("ncid"),
+            ),
+        )
+    )
     clustered = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "embedding", "cent_id")
+        emb.withColumn("nrm", norm(F.col("embedding")))
+        .crossJoin(F.broadcast(carr))
+        .select(
+            "vec_id", "label", "embedding", (-best["ncid"]).alias("cent_id"), "nrm"
+        )
     )
     # the assignment pipeline feeds both the query-side lookup and the
     # probe join — persist + materialize so one job's subtrees don't
-    # recompute (or race) the crossJoin+window (same lesson as the LSH
+    # recompute (or race) the assignment scan (same lesson as the LSH
     # band cache in llm_dedup)
     from mcp_trino_spark.operators.opcache import persist_tracked
 
     clustered = persist_tracked(clustered)
     clustered.count()
     qc = clustered.filter(F.col("vec_id") == 0).select(
-        F.col("cent_id").alias("q_cent"), F.col("embedding").alias("qv")
+        F.col("cent_id").alias("q_cent"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     return (
         clustered.join(F.broadcast(qc), clustered.cent_id == F.col("q_cent"))
@@ -188,7 +231,10 @@ def l4b_ivf_topk(spark, sf_dir):
         .select(
             "vec_id",
             "cent_id",
-            F.round(cosine(F.col("embedding"), F.col("qv")), 9).alias("cos_sim"),
+            F.round(
+                dot(F.col("embedding"), F.col("qv")) / (F.col("nrm") * F.col("qn")),
+                9,
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc_nulls_last(), F.col("vec_id").asc())
         .limit(10)
@@ -297,12 +343,25 @@ def l3b_embedding_neardup(spark, sf_dir):
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    # norms hoisted below the joins (r15): once per vector, not per
+    # candidate pair — bit-exact, see l3_cosine_pairs.
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        norm(F.col("embedding")).alias("nrm_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        norm(F.col("embedding")).alias("nrm_b"),
+    )
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .withColumn("sim", cosine(F.col("emb_a"), F.col("emb_b")))
+        .withColumn(
+            "sim",
+            dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")),
+        )
         .filter(F.col("sim") > 0.99)
         .select("vec_a", "vec_b", F.round(F.col("sim"), 9).alias("cos_sim"))
     )
@@ -521,17 +580,26 @@ def l25_batch_ann(spark, sf_dir):
     vec_id tiebreak, so ranks are engine-deterministic.
     """
     (emb,) = T(spark, sf_dir, "embeddings")
+    # norms hoisted (r15): norm(qv) rides the broadcast query rows;
+    # norm(embedding) is a below-join alias, once per corpus row instead
+    # of once per (row × query).  Bit-exact, see l3_cosine_pairs.
     q = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("qn"),
     )
     scored = (
         spread(emb.filter(F.col("vec_id") >= 8))
+        .withColumn("nrm", norm(F.col("embedding")))
         .crossJoin(F.broadcast(q))
         .select(
             "query_id",
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("qv")), 9).alias("cos_sim"),
+            F.round(
+                dot(F.col("embedding"), F.col("qv")) / (F.col("nrm") * F.col("qn")),
+                9,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

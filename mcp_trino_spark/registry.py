@@ -323,6 +323,11 @@ _WINDOW_HEAD = [
     "f4_list_tables",
     "f3_list_schemas",
     "l2c_ngram_jaccard",
+    "l3_cosine_pairs",
+    "l4b_ivf_topk",
+    "l4_topk_similarity",
+    "l3b_embedding_neardup",
+    "l25_batch_ann",
     "x23_vector_math",
     "x24_setdigest",
     "x35_exclude_minmax",
@@ -355,11 +360,6 @@ _WINDOW_HEAD = [
     "s6_ctas_insert",
     "s7_merge_upsert",
     "s7b_update",
-    "s7c_delete",
-    "s10_time_travel",
-    "s12_table_changes",
-    "l3_cosine_pairs",
-    "l4b_ivf_topk",
 ]
 _WINDOW_TAIL = [
     "p3_comparison",

@@ -214,9 +214,20 @@ def build_window() -> Dict[str, List[str]]:
             continue
         tail.append(pick_rep(fam))
         while len(head) + len(tail) > WINDOW:
+            n_dialect = sum(
+                1 for m in head if report[m]["status"] == "dialect"
+            )
             for i in range(len(head) - 1, -1, -1):
                 n = head[i]
-                if n in mandatory or report[n]["status"] == "dialect":
+                if n in mandatory:
+                    continue
+                # dialect-stale entries are evictable DOWN TO the
+                # guard's minimum of 3 (r15): a round that re-stales
+                # many modules can push mandatory+dialect past 50,
+                # and keeping every old-green dialect entry is
+                # best-effort, not an invariant — newest green first
+                # is the fairest displacement (oldest keep priority).
+                if report[n]["status"] == "dialect" and n_dialect <= MIN_DIALECT:
                     continue
                 fam_n = _family(n)
                 if sum(1 for m in head + tail if _family(m) == fam_n) > 1 or not any(

@@ -62,6 +62,7 @@ from __future__ import annotations
 import math
 from typing import Iterable, List, Sequence, Tuple
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
@@ -101,13 +102,61 @@ def _cluster(
     return out
 
 
+# --- numpy twin of _cluster (r15, guide §4.2: hand whole batches to
+# vectorized native code inside the Python boundary).  BIT-IDENTICAL to
+# the pure loop by construction:
+# - cut points are integer math (np.cumsum of int64 weights is exact;
+#   searchsorted finds the same first-index-where-acc≥target the loop's
+#   running acc_w found, because acc_w at index j equals cumw[j]-base);
+# - each cluster's Σ v·w seeds with the same literal 0.0 and adds the
+#   same products LEFT-TO-RIGHT (np.add.accumulate is sequential), so
+#   every intermediate double — including the sign of a ±0.0 sum — is
+#   the one the loop produced;
+# - callers use STABLE sorts that reproduce list.sort()'s tie order.
+# A randomized differential test pins the equivalence
+# (tests/test_qdigest.py::test_numpy_kernel_matches_pure_reference).
+
+
+def _cluster_np(
+    v: "np.ndarray", w: "np.ndarray", k: int
+) -> List[Tuple[float, int]]:
+    """Cluster value-sorted (v, w) arrays — the vectorized _cluster."""
+    n = len(v)
+    if n == 0:
+        return []
+    if n <= k:
+        return list(zip(v.tolist(), w.tolist()))
+    total = int(w.sum())
+    target = -(-total // k)  # ceil
+    cumw = np.cumsum(w)
+    vw = v * w
+    out: List[Tuple[float, int]] = []
+    start = 0
+    base = 0
+    while start < n:
+        j = int(np.searchsorted(cumw, base + target, side="left"))
+        if j >= n:
+            j = n - 1
+        acc_w = int(cumw[j] - base)
+        # seed 0.0 first, then left-to-right — the loop's exact fold
+        acc_vw = float(np.add.accumulate(np.concatenate(([0.0], vw[start : j + 1])))[-1])
+        out.append((acc_vw / acc_w, acc_w))
+        base = int(cumw[j])
+        start = j + 1
+    return out
+
+
 def build_sketch(values: Iterable[float], k: int = DEFAULT_K) -> List[Tuple[float, int]]:
     """Sketch raw values: sort, then cluster to ≤ k centroids."""
-    pairs = [(float(v), 1) for v in values if v is not None and not (
-        isinstance(v, float) and math.isnan(v)
-    )]
-    pairs.sort(key=lambda p: p[0])
-    return _cluster(pairs, k)
+    if isinstance(values, np.ndarray):
+        v = values.astype(np.float64, copy=False)
+    else:
+        v = np.asarray([x for x in values if x is not None], dtype=np.float64)
+    v = v[~np.isnan(v)]
+    # unweighted ties are interchangeable (w ≡ 1), but keep the stable
+    # kind anyway so the order matches list.sort() exactly
+    v = np.sort(v, kind="stable")
+    return _cluster_np(v, np.ones(len(v), dtype=np.int64), k)
 
 
 def build_sketch_weighted(
@@ -122,23 +171,27 @@ def build_sketch_weighted(
     copies of v, without materializing them.  NULL/NaN values and
     NULL/non-positive weights are skipped (Trino requires w ≥ 1 and
     raises; the DataFrame surface drops them like NULL inputs)."""
-    clean: List[Tuple[float, int]] = []
-    for v, w in pairs:
-        if v is None or w is None:
-            continue
-        v, w = float(v), float(w)
-        # NULL long columns surface as NaN through Arrow/pandas
-        if math.isnan(v) or math.isnan(w):
-            continue
-        w = int(w)
-        if w <= 0:
-            continue
-        clean.append((v, w))
+    if isinstance(pairs, tuple) and len(pairs) == 2 and isinstance(pairs[0], np.ndarray):
+        # array fast path: (values, weights) ndarrays straight off Arrow
+        # (NULLs already spelled as NaN — the same clean masks apply)
+        v = pairs[0].astype(np.float64, copy=False)
+        w_f = pairs[1].astype(np.float64, copy=False)
+    else:
+        vw = [(v, w) for v, w in pairs if v is not None and w is not None]
+        v = np.asarray([p[0] for p in vw], dtype=np.float64)
+        w_f = np.asarray([p[1] for p in vw], dtype=np.float64)
+    # NULL long columns surface as NaN through Arrow/pandas
+    keep = ~(np.isnan(v) | np.isnan(w_f))
+    v, w_f = v[keep], w_f[keep]
+    w = w_f.astype(np.int64)
+    keep = w > 0
+    v, w = v[keep], w[keep]
     # sort by (value, weight): value alone is not a total order when
     # duplicate values carry different weights, and the build must be
-    # input-order invariant like the unweighted one
-    clean.sort()
-    return _cluster(clean, k)
+    # input-order invariant like the unweighted one.  lexsort is
+    # stable with v primary, w secondary — list.sort()'s tuple order.
+    order = np.lexsort((w, v))
+    return _cluster_np(v[order], w[order], k)
 
 
 def merge_sketches(
@@ -148,9 +201,20 @@ def merge_sketches(
     value, re-cluster.  Associative up to the documented rank-error
     bound; deterministic regardless of merge order (the concatenated
     multiset is what gets sorted)."""
-    pairs = [(float(v), int(w)) for s in sketches for v, w in s]
-    pairs.sort(key=lambda p: p[0])
-    return _cluster(pairs, k)
+    vs: List[float] = []
+    ws: List[int] = []
+    for s in sketches:
+        for v, w in s:
+            vs.append(float(v))
+            ws.append(int(w))
+    v = np.asarray(vs, dtype=np.float64)
+    w = np.asarray(ws, dtype=np.int64)
+    # sort by VALUE ONLY, stable — ties keep concatenation order
+    # exactly like list.sort(key=p[0]) did (tie order decides which
+    # chunk an equal-valued centroid's weight lands in, so the kind
+    # matters for bit-equality)
+    order = np.argsort(v, kind="stable")
+    return _cluster_np(v[order], w[order], k)
 
 
 def value_at_quantile(sketch: Sequence[Tuple[float, int]], q: float) -> float:
@@ -246,7 +310,9 @@ def qdigest_partial(
     kk = int(k)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        sk = build_sketch(pdf["__qv"].dropna().tolist(), kk)
+        # ndarray in: build_sketch's vectorized path filters NaN (the
+        # Arrow spelling of NULL) itself — no per-row dropna/tolist
+        sk = build_sketch(pdf["__qv"].to_numpy(dtype="float64"), kk)
         row = {kc: pdf[kc].iloc[0] for kc in keys}
         row["vs"] = [v for v, _ in sk]
         row["ws"] = [w for _, w in sk]
@@ -320,8 +386,13 @@ def weighted_qdigest_partial(
     kk = int(k)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        # (values, weights) ndarray fast path — no per-row tuple boxing
         sk = build_sketch_weighted(
-            zip(pdf["__qv"].tolist(), pdf["__qw"].tolist()), kk
+            (
+                pdf["__qv"].to_numpy(dtype="float64"),
+                pdf["__qw"].to_numpy(dtype="float64"),
+            ),
+            kk,
         )
         row = {kc: pdf[kc].iloc[0] for kc in keys}
         row["vs"] = [v for v, _ in sk]

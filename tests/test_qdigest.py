@@ -377,3 +377,112 @@ def test_prop_weighted_build_order_invariant(pairs, rnd):
     shuffled = list(pairs)
     rnd.shuffle(shuffled)
     assert build_sketch_weighted(shuffled) == build_sketch_weighted(pairs)
+
+
+# --- r15: the numpy kernel must be BIT-identical to the pure reference ---
+
+def _ref_build_sketch(values, k=DEFAULT_K):
+    """The pre-r15 pure-Python build, kept verbatim as the semantic
+    reference for the vectorized kernel."""
+    import math as _math
+
+    from mcp_trino_spark.functions.qdigest import _cluster
+
+    pairs = [(float(v), 1) for v in values if v is not None and not (
+        isinstance(v, float) and _math.isnan(v)
+    )]
+    pairs.sort(key=lambda p: p[0])
+    return _cluster(pairs, k)
+
+
+def _ref_build_sketch_weighted(pairs, k=DEFAULT_K):
+    import math as _math
+
+    from mcp_trino_spark.functions.qdigest import _cluster
+
+    clean = []
+    for v, w in pairs:
+        if v is None or w is None:
+            continue
+        v, w = float(v), float(w)
+        if _math.isnan(v) or _math.isnan(w):
+            continue
+        w = int(w)
+        if w <= 0:
+            continue
+        clean.append((v, w))
+    clean.sort()
+    return _cluster(clean, k)
+
+
+def _ref_merge_sketches(sketches, k=DEFAULT_K):
+    from mcp_trino_spark.functions.qdigest import _cluster
+
+    pairs = [(float(v), int(w)) for s in sketches for v, w in s]
+    pairs.sort(key=lambda p: p[0])
+    return _cluster(pairs, k)
+
+
+def _bits(sk):
+    import struct
+
+    return [(struct.pack("<d", v), w) for v, w in sk]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+            st.none(),
+            st.just(-0.0),
+            st.just(0.0),
+        ),
+        max_size=800,
+    ),
+    st.integers(2, 12),
+)
+def test_numpy_build_matches_pure_reference(values, k):
+    from mcp_trino_spark.functions.qdigest import build_sketch
+
+    assert _bits(build_sketch(values, k)) == _bits(_ref_build_sketch(values, k))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.floats(allow_nan=True, width=64), st.none(),
+                      st.just(-0.0), st.just(0.0)),
+            st.one_of(st.integers(-3, 40), st.none()),
+        ),
+        max_size=600,
+    ),
+    st.integers(2, 12),
+)
+def test_numpy_weighted_build_matches_pure_reference(pairs, k):
+    from mcp_trino_spark.functions.qdigest import build_sketch_weighted
+
+    assert _bits(build_sketch_weighted(pairs, k)) == _bits(
+        _ref_build_sketch_weighted(pairs, k)
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(st.floats(allow_nan=False, allow_infinity=False, width=64),
+                      st.integers(1, 30)),
+            max_size=60,
+        ),
+        max_size=8,
+    ),
+    st.integers(2, 12),
+)
+def test_numpy_merge_matches_pure_reference(sketches, k):
+    from mcp_trino_spark.functions.qdigest import merge_sketches
+
+    assert _bits(merge_sketches(sketches, k)) == _bits(
+        _ref_merge_sketches(sketches, k)
+    )

@@ -129,7 +129,10 @@ def _cluster_np(
     total = int(w.sum())
     target = -(-total // k)  # ceil
     cumw = np.cumsum(w)
-    vw = v * w
+    # errstate: plain Python float arithmetic produces the same
+    # inf/nan silently; numpy's RuntimeWarning is noise, not a signal
+    with np.errstate(over="ignore", invalid="ignore"):
+        vw = v * w
     out: List[Tuple[float, int]] = []
     start = 0
     base = 0
@@ -139,7 +142,12 @@ def _cluster_np(
             j = n - 1
         acc_w = int(cumw[j] - base)
         # seed 0.0 first, then left-to-right — the loop's exact fold
-        acc_vw = float(np.add.accumulate(np.concatenate(([0.0], vw[start : j + 1])))[-1])
+        # (errstate as above: Python float adds overflow to inf
+        # silently; the warning is noise)
+        with np.errstate(over="ignore", invalid="ignore"):
+            acc_vw = float(
+                np.add.accumulate(np.concatenate(([0.0], vw[start : j + 1])))[-1]
+            )
         out.append((acc_vw / acc_w, acc_w))
         base = int(cumw[j])
         start = j + 1

@@ -3945,9 +3945,12 @@ def test_decimal_division_trino_scale(spark):
     assert r["d"] == Decimal("0.33") and r["e"] == Decimal("0.33")
     assert r["f"] == Decimal("3.50") and r["neg"] == Decimal("-0.33")
     assert r["g"] == Decimal("0.67")
-    # integer/integer keeps div; double division stays fractional
+    # integer/integer keeps div; double division stays fractional —
+    # since x81 the knowably-double division carries the IEEE /0
+    # dispatch, with the raw quotient as the nonzero-denominator arm
     out = translate("SELECT 7 / 2, CAST(x AS DOUBLE) / 3 FROM t")
-    assert "(7 div 2)" in out and "CAST(x AS DOUBLE) / 3" in out
+    assert "(7 div 2)" in out and "(CAST(x AS DOUBLE)) / (3)" in out
+    assert "CAST(x AS DOUBLE) div" not in out
     # unparameterized DECIMAL target: defaults to Trino's decimal(38,0)
     # (round 12 — previously skipped as residue), so the division
     # calculus engages: scale = max(0, 1) = 1 at the precision cap

@@ -200,7 +200,9 @@ _HIGH_VARIANCE = {
     "l2_minhash_lsh_pairs",
     "l2b_simhash",
     "l26_minhash_estimate",
+    "l2c_ngram_jaccard",
     "l33_editdist_verify",
+    "l34_rare_ngram_overlap",
     "l21_dup_clusters",
     "l27_semdedup",
     "l36_embedding_outliers",

@@ -310,63 +310,63 @@ ROWS_ONLY_OK = {
 #: violates the freshness invariants, making the r8-r10 "forgot to
 #: re-rotate" failure mode structural rather than a reminder.
 # --- BEGIN GENERATED WINDOW (tools/rotate_window.py; make rotate-window) ---
-# Derived for round 15 from tools/check_changed.py: never/strong
+# Derived for round 16 from tools/check_changed.py: never/strong
 # leads, dialect-stale (oldest green first), module-stale drain,
 # then proven-set family representatives.  Do not edit by hand —
 # run `make rotate-window` after any engine change.
 _WINDOW_HEAD = [
-    "x77_nan_subquery_semantics",
-    "x78_in_subquery_null_semantics",
-    "x79_equality_quantifiers",
-    "x80_array_minmax_nan",
-    "x81_double_zero_division",
-    "f4_list_tables",
-    "f3_list_schemas",
-    "l2c_ngram_jaccard",
-    "l3_cosine_pairs",
-    "l4b_ivf_topk",
-    "l4_topk_similarity",
-    "l3b_embedding_neardup",
-    "l25_batch_ann",
-    "x23_vector_math",
-    "x24_setdigest",
-    "x35_exclude_minmax",
-    "x36_element_at_nullsafe",
-    "x37_regexp_extract_nullsafe",
-    "x38_split_part_semantics",
-    "x39_trim_chars_order",
-    "x40_log_ieee_semantics",
-    "x41_orderless_ranking",
-    "x47_column_int_division",
-    "x48_datetime_token_semantics",
-    "x49_json_path_semantics",
-    "x50_typeof_spellings",
-    "x51_array_minmax_nulls",
-    "x52_double_round_semantics",
-    "x54_array_subscript_guard",
-    "x55_cast_double_varchar",
-    "x56_recursive_cte",
-    "x57_listagg",
-    "x58_decimal_division_scale",
-    "x59_xxhash64",
-    "x63_try_cast_nonfinite",
-    "x64_stat_agg_edge_contracts",
-    "x65_array_comparison_semantics",
-    "x66_row_comparison_semantics",
-    "x67_map_equality_semantics",
-    "x68_complex_simple_case",
-    "x69_least_nan_propagation",
-    "x70_complex_nullif",
-    "s6_ctas_insert",
-    "s7_merge_upsert",
-    "s7b_update",
+    "s7c_delete",
+    "s10_time_travel",
+    "s12_table_changes",
+    "x19_trino_dialect",
+    "o12_fetch_with_ties",
+    "x20_approx_most_frequent",
+    "x21_reduce_agg",
+    "x22_quantified_subqueries",
+    "w12_groups_frame",
+    "x25_dialect_round7",
+    "x26_nth_from_last",
+    "x27_lambda_regexp_replace",
+    "x28_dialect_round8",
+    "x29_window_exclude",
+    "x30_escape_free_literals",
+    "x31_window_exclude_peers",
+    "x32_subscript_semantics",
+    "x33_arith_null_semantics",
+    "x34_null_ordering_defaults",
+    "x42_exclude_current_row_minmax",
+    "x43_substr_semantics",
+    "x44_map_concat_lastwin",
+    "x45_weighted_percentile",
+    "x46_stats_shape_semantics",
+    "x53_cast_rounding_semantics",
+    "x60_unicode_case_semantics",
+    "x61_date_interval_semantics",
+    "x62_real_varchar_rendering",
+    "x71_decimal_avg_semantics",
+    "x72_nested_complex_equality",
+    "x73_nan_comparison_semantics",
+    "x74_nested_nan_equality",
+    "x75_nan_ordering_semantics",
+    "x76_nan_membership_semantics",
+    "l11_kmeans_embeddings",
+    "l12_grouped_normalize",
+    "l27_semdedup",
+    "a13_approx_distinct",
+    "l36_embedding_outliers",
+    "x10_array_hof",
+    "x13_struct_row",
+    "s4_memory_table",
+    "s8_bucketed_colocated_join",
+    "a11b_stats_native",
+    "l26_minhash_estimate",
+    "l33_editdist_verify",
+    "l13_training_pipeline",
 ]
 _WINDOW_TAIL = [
-    "p3_comparison",
-    "a1_groupby_count",
-    "w1_row_number",
-    "o7_intersect",
-    "t6_gap_fill",
+    "p4_boolean_connectives",
+    "t9_funnel_pattern",
+    "f5_table_schema",
 ]
 # --- END GENERATED WINDOW ---
 

@@ -188,8 +188,18 @@ def build_sketch_weighted(
         vw = [(v, w) for v, w in pairs if v is not None and w is not None]
         v = np.asarray([p[0] for p in vw], dtype=np.float64)
         w_f = np.asarray([p[1] for p in vw], dtype=np.float64)
-    # NULL long columns surface as NaN through Arrow/pandas
-    keep = ~(np.isnan(v) | np.isnan(w_f))
+    # NULL long columns surface as NaN through Arrow/pandas.  The
+    # int64 cast below is UNDEFINED for non-finite or >=2^63 doubles
+    # (numpy silently wraps, typically to INT64_MIN, and the w>0 mask
+    # would then silently DROP the row where the old pure-Python
+    # int(w) raised a loud OverflowError) — mask them out explicitly
+    # before the cast (ADVICE r15).  Engine callers cast weights from
+    # LONG columns, so this arm only guards external float inputs.
+    keep = (
+        ~np.isnan(v)
+        & np.isfinite(w_f)
+        & (np.abs(w_f) < 2.0**63)
+    )
     v, w_f = v[keep], w_f[keep]
     w = w_f.astype(np.int64)
     keep = w > 0
@@ -217,6 +227,15 @@ def merge_sketches(
             ws.append(int(w))
     v = np.asarray(vs, dtype=np.float64)
     w = np.asarray(ws, dtype=np.int64)
+    # drop non-positive-weight centroids (ADVICE r15): engine-built
+    # sketches never contain them (cluster weights are >= 1), but a
+    # FOREIGN sketch with a trailing zero-weight centroid made
+    # _cluster_np divide a zero accumulated weight where the pure
+    # reference skipped the empty tail via ``if acc_w:``.  Filtering
+    # before the stable sort preserves the survivors' relative order,
+    # so engine outputs are bit-unchanged.
+    keep = w > 0
+    v, w = v[keep], w[keep]
     # sort by VALUE ONLY, stable — ties keep concatenation order
     # exactly like list.sort(key=p[0]) did (tie order decides which
     # chunk an equal-valued centroid's weight lands in, so the kind

@@ -572,7 +572,13 @@ def _propagate_clusters(pairs: DataFrame) -> DataFrame:
     # once per round.  Partition count comes from the session's
     # spark.sql.shuffle.partitions (conf/env-driven — scale-adaptive,
     # not a local constant).
-    n_part = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # defensive int(): some builds leave the conf unset or "auto"
+    # (ADVICE r15) — fall back to the context's default parallelism,
+    # which is equally scale-adaptive
+    try:
+        n_part = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_part = pairs.sparkSession.sparkContext.defaultParallelism
     edges = persist_tracked(
         pairs.select(
             F.explode(

@@ -60,8 +60,17 @@ _TABLE_PLAN_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _path_fingerprint(path: str):
+    """(mtime_ns, size) of a REGULAR file, or None when the path is
+    missing or a directory.  Directories return None on purpose
+    (ADVICE r15): rewriting a nested part file in place changes neither
+    the directory's mtime_ns nor its size, so a directory fingerprint
+    would serve a stale cached plan — directory-of-parquet tables
+    simply bypass the plan cache (load_table below skips caching on
+    None)."""
     try:
         st = os.stat(path)
+        if not os.path.isfile(path):
+            return None
         return (st.st_mtime_ns, st.st_size)
     except OSError:
         return None
@@ -93,7 +102,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:
             pass
     path = table_path(sf_dir, name)
-    key = (sf_dir, name, _path_fingerprint(path))
+    fp = _path_fingerprint(path)
+    if fp is None:
+        # missing path (let spark.read raise its own error) or a
+        # directory table (no reliable cheap fingerprint — see
+        # _path_fingerprint): never cache, always re-list
+        df = spark.read.parquet(path)
+        return normalize_events(df) if name == "events" else df
+    key = (sf_dir, name, fp)
     cached = _TABLE_PLAN_CACHE.setdefault(spark, {})
     df = cached.get(key)
     if df is None:

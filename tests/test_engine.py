@@ -529,3 +529,34 @@ def test_concurrent_execute_query_threads(spark):
     for t in threads:
         t.join()
     assert not errors, errors
+
+
+def test_table_plan_cache_skips_directory_tables(spark, tmp_path):
+    """ADVICE r15: a directory-of-parquet table has no reliable cheap
+    fingerprint (rewriting a nested part file in place changes neither
+    the dir's mtime_ns nor size), so load_table must NOT memoize its
+    plan — every call re-lists.  Regular files keep the cache."""
+    import shutil
+
+    from mcp_trino_spark.sources.catalog import (
+        _path_fingerprint,
+        load_table,
+        table_path,
+    )
+
+    sf = str(tmp_path)
+    # a directory table: nation.parquet as a DIRECTORY of one file
+    dir_table = table_path(sf, "nation")
+    spark.createDataFrame([(1, "a")], "n_nationkey int, n_name string") \
+        .write.mode("overwrite").parquet(dir_table)
+    assert _path_fingerprint(dir_table) is None
+    d1 = load_table(spark, sf, "nation")
+    d2 = load_table(spark, sf, "nation")
+    assert d1 is not d2  # no plan memo for directories
+    # a regular-file table still caches
+    shutil.copyfile(
+        "/root/testdata/sf0.001/region.parquet", table_path(sf, "region")
+    )
+    r1 = load_table(spark, sf, "region")
+    r2 = load_table(spark, sf, "region")
+    assert r1 is r2

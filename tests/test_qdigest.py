@@ -486,3 +486,33 @@ def test_numpy_merge_matches_pure_reference(sketches, k):
     assert _bits(merge_sketches(sketches, k)) == _bits(
         _ref_merge_sketches(sketches, k)
     )
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r15 hardening: foreign/edge inputs must degrade cleanly
+
+
+def test_weighted_build_nonfinite_and_huge_weights_are_dropped():
+    """inf/NaN/>=2^63 weights previously hit numpy's undefined
+    float→int64 cast (silent wrap to INT64_MIN); they must now be
+    dropped like NULLs, leaving the well-formed rows' sketch intact."""
+    from mcp_trino_spark.functions.qdigest import build_sketch_weighted
+
+    good = [(1.0, 3), (2.0, 5), (4.0, 1)]
+    dirty = good + [
+        (9.0, float("inf")),
+        (9.0, float("-inf")),
+        (9.0, float("nan")),
+        (9.0, 2.0**63),
+        (9.0, -(2.0**64)),
+    ]
+    assert build_sketch_weighted(dirty, 4) == build_sketch_weighted(good, 4)
+
+
+def test_merge_tolerates_foreign_zero_weight_centroids():
+    """A foreign sketch carrying zero/negative-weight centroids (never
+    produced by this module's builders) raised ZeroDivisionError in the
+    numpy kernel where the pure reference skipped the empty tail."""
+    clean = [[(1.0, 2), (3.0, 4)], [(2.0, 1)]]
+    dirty = [[(1.0, 2), (3.0, 4), (9.0, 0)], [(2.0, 1), (-5.0, -3)]]
+    assert merge_sketches(dirty, 3) == merge_sketches(clean, 3)

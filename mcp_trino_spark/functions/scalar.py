@@ -24,6 +24,20 @@ from mcp_trino_spark.operators._util import T
 from mcp_trino_spark.registry import register
 
 
+def _asql(spark, sf_dir, sql):
+    """``spark.sql`` with the analyzed-plan cache (sources/catalog.py
+    ``analyzed_sql`` — VERDICT r15 #1): Catalyst analysis of the big
+    translated UNION batches below costs 0.3–0.5 s per call; the
+    analyzed DataFrame is memoized against the TRANSLATED text plus
+    the sf_dir's resolved table-file fingerprints, so re-pointing the
+    temp views at another scale factor (identical schemas, different
+    files) always misses.  translate() itself still runs per call —
+    its column-type safety net must see the live session."""
+    from mcp_trino_spark.sources.catalog import analyzed_sql
+
+    return analyzed_sql(spark, sf_dir, sql)
+
+
 @register(
     "x1_string_basics",
     oracle="""
@@ -543,7 +557,9 @@ def x19_trino_dialect(spark, sf_dir):
 
     install_compat_functions(spark)
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT c_custkey,
@@ -587,7 +603,9 @@ def o12_fetch_with_ties(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT c_custkey, c_nationkey FROM customer
@@ -627,7 +645,9 @@ def x20_approx_most_frequent(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    df = spark.sql(
+    df = _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT c_nationkey, approx_most_frequent(2, c_mktsegment, 100) AS hh
@@ -665,7 +685,9 @@ def x21_reduce_agg(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT c_nationkey,
@@ -701,7 +723,9 @@ def x22_quantified_subqueries(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT c_custkey FROM customer
@@ -742,7 +766,9 @@ def x23_vector_math(spark, sf_dir):
 
     register_tables(spark, sf_dir)
     install_compat_functions(spark)  # dot_product/l2_norm are SQL UDFs
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT vec_id,
@@ -801,7 +827,9 @@ def x24_setdigest(spark, sf_dir):
 
     register_tables(spark, sf_dir)
     install_compat_functions(spark)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT __setdigest_cardinality(a.d) AS card_a,
@@ -858,7 +886,9 @@ def w12_groups_frame(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT user_id, event_id,
@@ -904,7 +934,9 @@ def x25_dialect_round7(spark, sf_dir):
 
     register_tables(spark, sf_dir)
     install_compat_functions(spark)  # to_utf8 is a registered SQL UDF
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             r"""
             SELECT n_nationkey,
@@ -966,7 +998,9 @@ def x26_nth_from_last(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             r"""
             SELECT o_custkey, o_orderkey,
@@ -1018,7 +1052,9 @@ def x27_lambda_regexp_replace(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             r"""
             SELECT n_nationkey,
@@ -1060,7 +1096,9 @@ def x28_dialect_round8(spark, sf_dir):
 
     register_tables(spark, sf_dir)
     install_compat_functions(spark)  # dow/doy are registered SQL UDFs
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT o_orderkey,
@@ -1117,7 +1155,9 @@ def x29_window_exclude(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT o_orderkey,
@@ -1179,7 +1219,9 @@ def x30_escape_free_literals(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             r"""
             SELECT c.c_custkey,
@@ -1246,7 +1288,9 @@ def x31_window_exclude_peers(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT o_orderkey,
@@ -1312,7 +1356,9 @@ def x32_subscript_semantics(spark, sf_dir):
 
     register_tables(spark, sf_dir)
     install_compat_functions(spark)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT doc_id,
@@ -1373,7 +1419,9 @@ def x33_arith_null_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT o_orderkey,
@@ -1430,7 +1478,9 @@ def x34_null_ordering_defaults(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             WITH t AS (
@@ -1514,7 +1564,9 @@ def x35_exclude_minmax(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             WITH t AS (
@@ -1583,7 +1635,9 @@ def x36_element_at_nullsafe(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT doc_id,
@@ -1643,7 +1697,9 @@ def x37_regexp_extract_nullsafe(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             r"""
             SELECT doc_id,
@@ -1696,7 +1752,9 @@ def x38_split_part_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT c_custkey,
@@ -1744,7 +1802,9 @@ def x39_trim_chars_order(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT c_custkey,
@@ -1805,7 +1865,9 @@ def x40_log_ieee_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT c_custkey,
@@ -1856,7 +1918,9 @@ def x41_orderless_ranking(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT o_orderkey,
@@ -1929,7 +1993,9 @@ def x42_exclude_current_row_minmax(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             WITH t AS (
@@ -2000,7 +2066,9 @@ def x43_substr_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT doc_id,
@@ -2053,7 +2121,9 @@ def x44_map_concat_lastwin(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT doc_id,
@@ -2114,7 +2184,9 @@ def x45_weighted_percentile(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT l_returnflag,
@@ -2175,7 +2247,9 @@ def x46_stats_shape_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT o_orderpriority,
@@ -2239,7 +2313,9 @@ def x47_column_int_division(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT l_orderkey, l_linenumber,
@@ -2307,7 +2383,9 @@ def x48_datetime_token_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT o_orderkey,
@@ -2380,7 +2458,9 @@ def x49_json_path_semantics(spark, sf_dir):
 
     register_tables(spark, sf_dir)
     install_compat_functions(spark)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             WITH docs AS (
@@ -2445,7 +2525,9 @@ def x50_typeof_spellings(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT o_orderkey,
@@ -2498,7 +2580,9 @@ def x51_array_minmax_nulls(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT l_orderkey, l_linenumber,
@@ -2551,7 +2635,9 @@ def x52_double_round_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT l_orderkey, l_linenumber,
@@ -2605,7 +2691,9 @@ def x53_cast_rounding_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT l_orderkey, l_linenumber,
@@ -2652,7 +2740,9 @@ def x54_array_subscript_guard(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT vec_id,
@@ -2700,7 +2790,9 @@ def x55_cast_double_varchar(spark, sf_dir):
     from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
     install_compat_functions(spark)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT i, CAST(x AS VARCHAR) AS rendered FROM (VALUES
@@ -2757,7 +2849,9 @@ def x56_recursive_cte(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             WITH RECURSIVE spine(n) AS (
@@ -2802,7 +2896,9 @@ def x57_listagg(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT o_orderpriority,
@@ -2860,7 +2956,9 @@ def x58_decimal_division_scale(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT l_orderkey, l_linenumber,
@@ -2905,7 +3003,9 @@ def x59_xxhash64(spark, sf_dir):
     from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
     install_compat_functions(spark)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT i, hex(xxhash64(to_utf8(s))) AS digest FROM (VALUES
@@ -2957,7 +3057,9 @@ def x60_unicode_case_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
     install_compat_functions(spark)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT i, upper(s) AS up, lower(s) AS lo, length(s) AS ln
@@ -3016,7 +3118,9 @@ def x61_date_interval_semantics(spark, sf_dir):
 
     register_tables(spark, sf_dir)
     install_compat_functions(spark)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT o_orderkey,
@@ -3064,7 +3168,9 @@ def x62_real_varchar_rendering(spark, sf_dir):
     from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
     install_compat_functions(spark)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT i, CAST(x AS VARCHAR) AS rendered FROM (VALUES
@@ -3111,7 +3217,9 @@ def x63_try_cast_nonfinite(spark, sf_dir):
     """
     from mcp_trino_spark.trino_compat import translate
 
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT 1 AS i, TRY_CAST(CAST('Infinity' AS DOUBLE) AS BIGINT) AS v
@@ -3174,7 +3282,9 @@ def x64_stat_agg_edge_contracts(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT CAST(l_returnflag AS VARCHAR) AS grp,
@@ -3234,7 +3344,9 @@ def x65_array_comparison_semantics(spark, sf_dir):
     """
     from mcp_trino_spark.trino_compat import translate
 
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT 1 AS i, ARRAY[1, NULL] = ARRAY[1, NULL] AS v
@@ -3286,7 +3398,9 @@ def x66_row_comparison_semantics(spark, sf_dir):
     """
     from mcp_trino_spark.trino_compat import translate
 
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT 1 AS i, ROW(1, NULL) = ROW(1, NULL) AS v
@@ -3332,7 +3446,9 @@ def x67_map_equality_semantics(spark, sf_dir):
     """
     from mcp_trino_spark.trino_compat import translate
 
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT 1 AS i,
@@ -3388,7 +3504,9 @@ def x68_complex_simple_case(spark, sf_dir):
     """
     from mcp_trino_spark.trino_compat import translate
 
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT 1 AS i, CASE ARRAY[1, NULL] WHEN ARRAY[1, NULL]
@@ -3435,7 +3553,9 @@ def x69_least_nan_propagation(spark, sf_dir):
     from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
     install_compat_functions(spark)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT 1 AS i,
@@ -3483,7 +3603,9 @@ def x70_complex_nullif(spark, sf_dir):
     """
     from mcp_trino_spark.trino_compat import translate
 
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT 1 AS i,
@@ -3550,7 +3672,9 @@ def x71_decimal_avg_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT CAST(l_returnflag AS VARCHAR) AS grp,
@@ -3619,7 +3743,9 @@ def x72_nested_complex_equality(spark, sf_dir):
     """
     from mcp_trino_spark.trino_compat import translate
 
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT 1 AS i, CAST(ARRAY[ARRAY[1, NULL]] = ARRAY[ARRAY[1, NULL]]
@@ -3709,7 +3835,9 @@ def x73_nan_comparison_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
     install_compat_functions(spark)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT 1 AS i, CAST(nan() = nan() AS VARCHAR) AS v
@@ -3773,7 +3901,9 @@ def x74_nested_nan_equality(spark, sf_dir):
     from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
     install_compat_functions(spark)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT 1 AS i, CAST(ARRAY[nan()] = ARRAY[nan()] AS VARCHAR) AS v
@@ -3836,7 +3966,9 @@ def x75_nan_ordering_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
     install_compat_functions(spark)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT 1 AS i, CAST(ARRAY[2.0E0] < ARRAY[nan()] AS VARCHAR) AS v
@@ -3894,7 +4026,9 @@ def x76_nan_membership_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
     install_compat_functions(spark)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT 1 AS i, CAST(contains(ARRAY[nan()], nan()) AS VARCHAR) AS v
@@ -3965,7 +4099,9 @@ def x77_nan_subquery_semantics(spark, sf_dir):
     s_nan = "(SELECT nan() AS x UNION ALL SELECT 1.0E0)"
     s_nan3 = "(SELECT nan() AS x UNION ALL SELECT 3.0E0)"
     s_null = "(SELECT CAST(NULL AS DOUBLE) AS x UNION ALL SELECT 1.0E0)"
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             f"""
             SELECT 1 AS i, CAST(1.0E0 BETWEEN 0.0E0 AND nan() AS VARCHAR) AS v
@@ -4129,7 +4265,9 @@ def x79_equality_quantifiers(spark, sf_dir):
     """
     from mcp_trino_spark.trino_compat import translate
 
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT 1 AS i,
@@ -4187,7 +4325,9 @@ def x80_array_minmax_nan(spark, sf_dir):
     from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
     install_compat_functions(spark)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT 1 AS i, CAST(array_min(ARRAY[nan(), 1.0E0]) AS VARCHAR) AS v
@@ -4237,7 +4377,9 @@ def x81_double_zero_division(spark, sf_dir):
     from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
     install_compat_functions(spark)
-    return spark.sql(
+    return _asql(
+        spark,
+        sf_dir,
         translate(
             """
             SELECT 1 AS i, CAST(5.0E0 / 0.0E0 AS VARCHAR) AS v

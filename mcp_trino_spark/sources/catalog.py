@@ -123,6 +123,52 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: session → {(sql_text, sf_dir, table fingerprints): DataFrame} — the
+#: r16 ANALYZED-PLAN cache for translate-routed SQL entries (VERDICT
+#: r15 #1).  Catalyst analysis of the big UNION batches costs
+#: 0.3–0.5 s per entry per call (measured, tools/r16_probe.py xtax);
+#: the analyzed DataFrame is an immutable logical plan, so reusing it
+#: is compilation reuse only — every action still scans parquet.
+#:
+#: Key contract (the documented temp-view re-pointing trap,
+#: OPTIMIZATION_r15.md "Not yet optimized" #3): the key is the
+#: TRANSLATED SQL text plus the resolved FILE fingerprints of every
+#: testdata table under ``sf_dir`` — never schemas.
+#: ``register_tables(other_sf_dir)`` re-points the same view names at
+#: different files with identical schemas; the fingerprint tuple
+#: changes and the entry misses, exactly as required.  Callers must
+#: have (re-)registered the sf_dir's views before the first analysis
+#: of a given key — every registry entry does (it registers its own
+#: sf_dir), so a cached plan is always bound to the files its sf_dir
+#: argument names.  A directory-backed table (fingerprint None while
+#: the path exists) disables caching entirely — same rationale as
+#: _path_fingerprint above.
+_ANALYZED_SQL_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def analyzed_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """``spark.sql(sql)`` memoized per (session, translated text,
+    sf_dir, testdata file fingerprints) — see _ANALYZED_SQL_CACHE."""
+    fps = []
+    for t in TABLES:
+        p = table_path(sf_dir, t)
+        fp = _path_fingerprint(p)
+        if fp is None and os.path.exists(p):
+            # directory table — no reliable cheap fingerprint; bypass
+            return spark.sql(sql)
+        fps.append(fp)
+    key = (sql, sf_dir, tuple(fps))
+    cached = _ANALYZED_SQL_CACHE.setdefault(spark, {})
+    df = cached.get(key)
+    if df is None:
+        df = spark.sql(sql)
+        # evict stale fingerprints of the same (sql, sf_dir)
+        for k in [k for k in cached if k[:2] == (sql, sf_dir)]:
+            del cached[k]
+        cached[key] = df
+    return df
+
+
 def normalize_events(df: DataFrame) -> DataFrame:
     """Normalize the events table to ``ts`` TimestampType (µs) + ``ts_ns`` long.
 

@@ -560,3 +560,42 @@ def test_table_plan_cache_skips_directory_tables(spark, tmp_path):
     r1 = load_table(spark, sf, "region")
     r2 = load_table(spark, sf, "region")
     assert r1 is r2
+
+
+def test_analyzed_sql_cache_repoints_across_scale_factors(spark):
+    """The r16 analyzed-plan cache (catalog.analyzed_sql) keyed on
+    translated text + resolved FILE fingerprints: re-pointing the temp
+    views at another scale factor (identical schemas, different files
+    — the documented trap) must MISS and serve that SF's data, and
+    returning to the first SF must serve the first SF's rows again."""
+    from mcp_trino_spark import registry
+
+    qs = registry.queries()
+    fn = qs["x64_stat_agg_edge_contracts"]
+    rows_small_1 = sorted(map(str, fn(spark, "/root/testdata/sf0.001").collect()))
+    rows_big = sorted(map(str, fn(spark, "/root/testdata/sf0.01").collect()))
+    rows_small_2 = sorted(map(str, fn(spark, "/root/testdata/sf0.001").collect()))
+    assert rows_small_1 == rows_small_2
+    assert rows_big != rows_small_1  # the probe is sensitive to the SF
+
+
+def test_analyzed_sql_memoizes_and_invalidates_on_file_change(spark, tmp_path):
+    """Identity on a warm hit; a file touch (new mtime) evicts."""
+    import os
+    import shutil
+
+    from mcp_trino_spark.sources.catalog import analyzed_sql, register_tables
+
+    sf = str(tmp_path)
+    for t in ("region", "nation"):
+        shutil.copyfile(
+            f"/root/testdata/sf0.001/{t}.parquet", f"{sf}/{t}.parquet"
+        )
+    register_tables(spark, sf)
+    q = "SELECT count(*) AS n FROM region"
+    d1 = analyzed_sql(spark, sf, q)
+    d2 = analyzed_sql(spark, sf, q)
+    assert d1 is d2
+    os.utime(f"{sf}/region.parquet")  # fingerprint changes
+    d3 = analyzed_sql(spark, sf, q)
+    assert d3 is not d1

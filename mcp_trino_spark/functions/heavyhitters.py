@@ -51,6 +51,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence, Tuple
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
@@ -65,13 +66,12 @@ DEFAULT_CAPACITY = 100
 # pure sketch core
 
 
-def compress(
+def _compress_py(
     counts: Dict[str, int], capacity: int, err_in: int = 0
 ) -> Tuple[List[Tuple[str, int]], int]:
-    """Compress exact/summed counters to ≤ ``capacity`` entries.
-    Returns ``(sorted counters, err)`` where err bounds every entry's
-    undercount (and every dropped value's true count).  Sorting is
-    (count desc, value asc) — fully deterministic."""
+    """Pure-Python reference of ``compress`` — retained (like qdigest's
+    pure ``_cluster``) as the differential-test anchor for the
+    vectorized twin below."""
     items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
     if len(items) <= capacity:
         return items, err_in
@@ -80,6 +80,56 @@ def compress(
         (v, c - pivot) for v, c in items[:capacity] if c - pivot > 0
     ]
     return kept, err_in + pivot
+
+
+def _compress_arrays(
+    vals: "np.ndarray", cnts: "np.ndarray", capacity: int, err_in: int = 0
+) -> Tuple[List[Tuple[str, int]], int]:
+    """Vectorized ``compress`` over parallel (values, counts) arrays —
+    r16, guide §4.2 (the same treatment qdigest's kernel got).
+    BIT-IDENTICAL to the pure sort by construction: values are UNIQUE
+    (counter summaries key on the value), so ``(-count, value)`` is a
+    total order and ``np.lexsort((vals, -cnts))`` — last key primary —
+    reproduces ``sorted(..., key=(-c, v))`` exactly; counts are exact
+    int64 arithmetic throughout; numpy '<U' comparison is
+    code-point-wise like Python ``str`` (and '\\0'-padding preserves
+    the shorter-prefix-first order).  ``vals`` must be a unicode
+    array; callers fall back to ``_compress_py`` otherwise."""
+    order = np.lexsort((vals, -cnts))
+    vals, cnts = vals[order], cnts[order]
+    if len(vals) <= capacity:
+        return list(zip(vals.tolist(), cnts.tolist())), err_in
+    pivot = int(cnts[capacity])  # the (capacity+1)-th largest count
+    kept_c = cnts[:capacity] - pivot
+    keep = kept_c > 0
+    return (
+        list(zip(vals[:capacity][keep].tolist(), kept_c[keep].tolist())),
+        err_in + pivot,
+    )
+
+
+def compress(
+    counts: Dict[str, int], capacity: int, err_in: int = 0
+) -> Tuple[List[Tuple[str, int]], int]:
+    """Compress exact/summed counters to ≤ ``capacity`` entries.
+    Returns ``(sorted counters, err)`` where err bounds every entry's
+    undercount (and every dropped value's true count).  Sorting is
+    (count desc, value asc) — fully deterministic.  Dispatches to the
+    vectorized kernel for string-keyed counters (the engine's only
+    shape); anything else keeps the pure reference path."""
+    if len(counts) > 64:  # below that the ndarray setup costs more
+        keys = list(counts.keys())
+        # NUL guard: numpy '<U' storage NUL-pads, so a key with any
+        # '\x00' can round-trip stripped or compare equal to a distinct
+        # key — one C-level substring scan over the joined keys decides
+        if all(isinstance(k, str) for k in keys) and "\x00" not in "".join(keys):
+            vals = np.array(keys)
+            if vals.dtype.kind == "U":
+                cnts = np.fromiter(
+                    counts.values(), dtype=np.int64, count=len(counts)
+                )
+                return _compress_arrays(vals, cnts, capacity, err_in)
+    return _compress_py(counts, capacity, err_in)
 
 
 def merge_summaries(
@@ -128,9 +178,18 @@ def heavy_hitters_partial(
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         vc = pdf["__hv"].dropna().value_counts()
-        counters, err = compress(
-            {str(v): int(c) for v, c in vc.items()}, cap
-        )
+        # arrays straight off value_counts — the column is string-cast
+        # in the plan below, so the index already holds the exact str
+        # keys the old ``{str(v): int(c)}`` dict boxed one by one.
+        # Same NUL guard as compress(): '<U' storage NUL-pads.
+        if len(vc) and "\x00" not in "".join(vc.index):
+            counters, err = _compress_arrays(
+                vc.index.to_numpy(dtype=str), vc.to_numpy(dtype=np.int64), cap
+            )
+        else:
+            counters, err = _compress_py(
+                {str(v): int(c) for v, c in vc.items()}, cap
+            )
         row = {kc: pdf[kc].iloc[0] for kc in keys}
         row["hh_vals"] = [v for v, _ in counters]
         row["hh_counts"] = [c for _, c in counters]

@@ -185,9 +185,18 @@ def build_sketch_weighted(
         v = pairs[0].astype(np.float64, copy=False)
         w_f = pairs[1].astype(np.float64, copy=False)
     else:
-        vw = [(v, w) for v, w in pairs if v is not None and w is not None]
-        v = np.asarray([p[0] for p in vw], dtype=np.float64)
-        w_f = np.asarray([p[1] for p in vw], dtype=np.float64)
+        lst = pairs if isinstance(pairs, (list, tuple)) else list(pairs)
+        try:
+            # vectorized clean path (r16, guide §4.2): a None-free pair
+            # list converts in one C pass; None anywhere raises
+            # TypeError and falls back to the per-row comprehension
+            arr = np.asarray(lst, dtype=np.float64)
+            arr = arr.reshape(len(lst), 2) if len(lst) else arr.reshape(0, 2)
+            v, w_f = arr[:, 0].copy(), arr[:, 1].copy()
+        except (TypeError, ValueError):
+            vw = [(v, w) for v, w in lst if v is not None and w is not None]
+            v = np.asarray([p[0] for p in vw], dtype=np.float64)
+            w_f = np.asarray([p[1] for p in vw], dtype=np.float64)
     # NULL long columns surface as NaN through Arrow/pandas.  The
     # int64 cast below is UNDEFINED for non-finite or >=2^63 doubles
     # (numpy silently wraps, typically to INT64_MIN, and the w>0 mask

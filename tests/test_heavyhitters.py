@@ -265,3 +265,59 @@ def test_explicit_session_knob_wins_over_env_default():
     finally:
         set_approx_most_frequent_mode(None)
     assert approx_most_frequent_mode(default="sketch") == "sketch"
+
+
+# ---------------------------------------------------------------------------
+# r16 vectorized compress: differential equality vs the pure reference
+# (the qdigest test pattern — tie order and exact int arithmetic pinned)
+
+
+def test_vectorized_compress_matches_pure_reference_random():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mcp_trino_spark.functions.heavyhitters import (
+        _compress_arrays,
+        _compress_py,
+        compress,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.dictionaries(
+            st.text(min_size=0, max_size=8),
+            st.integers(1, 10_000),
+            min_size=0,
+            max_size=300,
+        ),
+        st.integers(1, 50),
+        st.integers(0, 5),
+    )
+    def run(counts, capacity, err_in):
+        ref = _compress_py(counts, capacity, err_in)
+        assert compress(counts, capacity, err_in) == ref
+        # the array kernel itself, under the same NUL guard the
+        # dispatcher applies ('<U' storage NUL-pads — guarded keys
+        # never reach it)
+        if counts and "\x00" not in "".join(counts.keys()):
+            vals = np.array(list(counts.keys()))
+            if vals.dtype.kind == "U":
+                cnts = np.fromiter(
+                    counts.values(), dtype=np.int64, count=len(counts)
+                )
+                assert _compress_arrays(vals, cnts, capacity, err_in) == ref
+
+    run()
+
+
+def test_vectorized_compress_tie_and_unicode_order():
+    """Ties on count break on the value ascending — including non-ASCII
+    and prefix-of-each-other keys (numpy '<U' padding must not reorder
+    them vs Python str)."""
+    from mcp_trino_spark.functions.heavyhitters import _compress_py, compress
+
+    counts = {"ab": 5, "abc": 5, "a": 5, "λx": 5, "Z": 5, "": 5}
+    counts.update({f"f{i}": 3 for i in range(70)})  # past the ndarray gate
+    for cap in (2, 5, 7, 100):
+        assert compress(counts, cap) == _compress_py(counts, cap)

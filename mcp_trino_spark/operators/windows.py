@@ -85,8 +85,21 @@ def _global_rank(spark, df, order_cols):
     ``spark.catalog.clearCache()`` or unpersist after materializing.
     """
     n_parts = spark.sparkContext.defaultParallelism
-    part = df.repartitionByRange(n_parts, *order_cols).withColumn(
-        "pid", F.spark_partition_id()
+    # Sort within the range partitions and stamp each row's partition-
+    # local POSITION via monotonically_increasing_id (r16, guide §2.4):
+    # mid = (partition id << 33) | row position, evaluated above the
+    # sort and frozen by the persist, so local rank = mid − (pid << 33)
+    # — no Window node at all.  The old row_number() Window required
+    # hashpartitioning(pid), which the planner cannot recognize the
+    # range partitioning as satisfying (pid IS the partition, but that
+    # fact is invisible to Catalyst), so the whole table was shuffled a
+    # SECOND time before ranking; this shape keeps the single range
+    # exchange (plans/r16/w3b_*: 2 data exchanges + Window → 1 + none).
+    part = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
     )
     from mcp_trino_spark.operators.opcache import persist_tracked
 
@@ -95,6 +108,15 @@ def _global_rank(spark, df, order_cols):
         r["pid"]: r["cnt"]
         for r in part.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
     }
+    if counts and max(counts.values()) >= (1 << 33):
+        # mid's per-partition position field is 33 bits; a partition
+        # beyond 8.6B rows would wrap into the partition-id bits.
+        # Unreachable with sane n_parts at any target scale — loud
+        # guard rather than silent corruption.
+        raise RuntimeError(
+            "global rank: a range partition exceeds 2^33 rows; "
+            "raise the partition count"
+        )
     total = sum(counts.values())
     offsets, acc = {}, 0
     for pid in sorted(counts):
@@ -106,11 +128,16 @@ def _global_rank(spark, df, order_cols):
             "pid INT, off BIGINT",
         )
     )
-    w_local = Window.partitionBy("pid").orderBy(*order_cols)
     ranked = (
         part.join(off_df, "pid")
-        .withColumn("rn", F.row_number().over(w_local) + F.col("off"))
-        .drop("pid", "off")
+        .withColumn(
+            "rn",
+            F.col("__mid")
+            - F.col("pid").cast("long") * F.lit(1 << 33)
+            + F.lit(1)
+            + F.col("off"),
+        )
+        .drop("pid", "off", "__mid")
     )
     return ranked, total
 

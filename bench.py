@@ -125,6 +125,16 @@ HEADLINERS = [
     # construction (self-contained grading); this row isolates the
     # propagation kernel so its trend reads honestly
     "l21b_cc_propagation",
+    # r16: scan-parallelism probe (VERDICT r15 #6).  The testdata
+    # parquet is single-row-group, so every other row's scan is ONE
+    # task and the 8-vs-32-core comparison measures scheduling
+    # overhead, not parallel speedup.  This row scans a multi-file
+    # rewrite of an 8x-replicated documents corpus (written OUTSIDE
+    # the clock, deleted after) through the real minhash signature
+    # kernel — CPU-bound per-row work whose low/high core ratio should
+    # approach the core ratio, giving the scaling block one row with a
+    # measured parallelism leg.
+    "probe_scan_parallelism",
 ]
 
 
@@ -162,9 +172,62 @@ def _bench_cc_propagation(spark, sf_dir: str, reps: int) -> float:
         spark.catalog.clearCache()
 
 
+def _bench_scan_parallelism(spark, sf_dir: str, reps: int) -> float:
+    """Scan-parallelism probe: 8x-replicated documents written as
+    multi-file parquet to a temp dir OUTSIDE the clock (layout change
+    of the input, not a result — every timed rep recomputes the
+    signature pipeline from the files); each rep times the minhash
+    signature kernel + noop sink over that multi-task scan.  File
+    sizing note: 64 small files with the 4 MB open-cost charge split
+    into ~defaultParallelism tasks at any core count, so both the
+    8-core and 32-core runs scan at full width and the ratio reads
+    CPU scaling, not task-count luck."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mcp_trino_spark.operators.llm_dedup import minhash_signatures_plan
+    from mcp_trino_spark.operators.opcache import release_all_operator_caches
+    from mcp_trino_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="bench_scan_probe_")
+    path = os.path.join(tmp, "docs8x.parquet")
+    try:
+        (
+            docs.select("doc_id", "text")
+            .crossJoin(spark.range(8).select(F.col("id").alias("__rep")))
+            .select(
+                (F.col("doc_id") * 8 + F.col("__rep")).alias("doc_id"), "text"
+            )
+            .repartition(64)
+            .write.mode("overwrite").parquet(path)
+        )
+
+        def one() -> float:
+            t0 = time.perf_counter()
+            big = spark.read.parquet(path)
+            minhash_signatures_plan(big).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            elapsed = time.perf_counter() - t0
+            release_all_operator_caches()
+            spark.catalog.clearCache()
+            return elapsed
+
+        return min(one() for _ in range(reps))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.catalog.clearCache()
+
+
 #: rows with their own setup/timing protocol (setup excluded from the
 #: clock) — everything else times the registry entry end-to-end
-_SPECIAL_BENCH = {"l21b_cc_propagation": _bench_cc_propagation}
+_SPECIAL_BENCH = {
+    "l21b_cc_propagation": _bench_cc_propagation,
+    "probe_scan_parallelism": _bench_scan_parallelism,
+}
 
 
 def run_one(spark, fn, sf_dir: str) -> float:

@@ -1190,19 +1190,39 @@ def quality_percentile_scaled_plan(docs):
     in tools/scaling_check.py.  ``docs`` needs (doc_id, source, text)."""
     from pyspark.sql import Window
 
+    from mcp_trino_spark.operators.opcache import persist_tracked
+
     spark = docs.sparkSession
     ws = F.split(F.lower("text"), " ")
     diversity = F.size(F.array_distinct(ws)).cast("double") / F.size(ws)
     scored = docs.select("doc_id", "source", diversity.alias("diversity"))
 
     nparts = max(spark.sparkContext.defaultParallelism, 8)
-    ranged = scored.repartitionByRange(
-        nparts, "source", "diversity", "doc_id"
-    ).withColumn("pid", F.spark_partition_id())
+    # Sort within the range partitions and stamp each row's partition-
+    # local POSITION via monotonically_increasing_id, frozen by the
+    # persist (r16, guide §2.4 — the w3b treatment): the old
+    # row_number() window over (pid, source) required
+    # hashpartitioning(pid, source), which Catalyst cannot recognize
+    # the range partitioning as satisfying, so the whole scored frame
+    # was shuffled a SECOND time.  Same-source rows are contiguous in
+    # the partition sort, so their mids are consecutive and local rank
+    # = mid − min(mid over the (pid, source) group) + 1 — the group
+    # minimum rides the counts aggregate that already feeds the
+    # broadcast offsets.  (mid = pid<<33 | position: position field
+    # overflows only past 2^33 rows in ONE range partition —
+    # unreachable with sane nparts at any target scale.)
+    ranged = persist_tracked(
+        scored.repartitionByRange(nparts, "source", "diversity", "doc_id")
+        .sortWithinPartitions("source", "diversity", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
+    )
 
     # Tiny frame: one row per (range partition, source).  The windows
     # below run over THIS aggregate (≤ P × |sources| rows), not row data.
-    counts = ranged.groupBy("pid", "source").agg(F.count("*").alias("c"))
+    counts = ranged.groupBy("pid", "source").agg(
+        F.count("*").alias("c"), F.min("__mid").alias("base")
+    )
     w_off = (
         Window.partitionBy("source")
         .orderBy("pid")
@@ -1211,14 +1231,14 @@ def quality_percentile_scaled_plan(docs):
     offsets = counts.select(
         "pid",
         "source",
+        "base",
         F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("offset"),
         F.sum("c").over(Window.partitionBy("source")).alias("n"),
     )
 
     joined = ranged.join(F.broadcast(offsets), ["pid", "source"])
-    w_loc = Window.partitionBy("pid", "source").orderBy("diversity", "doc_id")
     ranked = joined.withColumn(
-        "rank", F.col("offset") + F.row_number().over(w_loc)
+        "rank", F.col("offset") + (F.col("__mid") - F.col("base")) + F.lit(1)
     )
     # percent_rank semantics: (rank-1)/(n-1), defined as 0 for n == 1.
     pr = F.when(F.col("n") == 1, F.lit(0.0)).otherwise(

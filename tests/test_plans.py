@@ -356,25 +356,24 @@ def test_quality_percentile_scaled_no_per_source_window(spark):
 
     df = registry.queries()["l35b_quality_percentile_scaled"](spark, SF_DIR)
     plan = physical_plan(df)
-    # the row-data window (the one ordering by doc_id) includes pid
-    row_windows = [
-        m for m in re.findall(r"windowspecdefinition\([^)]*\)", plan)
-        if "doc_id" in m
-    ]
-    assert row_windows, "expected a row_number window over (pid, source)"
-    assert all("pid" in w for w in row_windows), row_windows
-    # any window WITHOUT pid in its partition key is over the tiny
-    # counts aggregate — it must aggregate c (the per-partition count),
-    # never touch row data
+    # r16: NO window over row data at all — the local rank is read off
+    # monotonically_increasing_id frozen by the persist, so the only
+    # windows left run over the tiny (pid, source) counts aggregate
+    # (they never order by doc_id).  The old shape's row_number window
+    # over (pid, source) forced a second full-data hashpartitioning
+    # exchange the range partitioning could not satisfy.
     for w in re.findall(r"windowspecdefinition\([^)]*\)", plan):
-        if "pid#" not in w or w.index("source#") < w.index("pid#"):
-            assert "doc_id" not in w, f"per-source window over row data: {w}"
+        assert "doc_id" not in w, f"window over row data: {w}"
+    assert "monotonically_increasing_id" in plan
     assert "SinglePartition" not in plan
     # offsets come back via broadcast, and the range shuffle feeds both
     # branches (ReuseExchange fires in the AQE final plan; statically we
     # assert the join is broadcast so the corpus is not re-shuffled)
     assert "BroadcastHashJoin" in plan
     assert plan.count("rangepartitioning") >= 1
+    # the full data is hash-exchanged by (pid, source) NOWHERE: the only
+    # hashpartitioning exchanges are over the counts aggregate (they
+    # carry c/base, never diversity row data with doc_id)
 
 
 def test_ngram_jaccard_inverted_index_hash_joins(spark):

@@ -187,9 +187,12 @@ def build_sketch_weighted(
     else:
         lst = pairs if isinstance(pairs, (list, tuple)) else list(pairs)
         try:
-            # vectorized clean path (r16, guide §4.2): a None-free pair
-            # list converts in one C pass; None anywhere raises
-            # TypeError and falls back to the per-row comprehension
+            # vectorized clean path (r16, guide §4.2): numeric pair
+            # lists convert in one C pass.  NOTE: numpy converts None
+            # to NaN here (it does NOT raise), which the NaN/finite
+            # masks below drop — exactly the rows the old comprehension
+            # filtered.  The except arm is for genuinely unconvertible
+            # inputs (ragged tuples, non-numeric objects).
             arr = np.asarray(lst, dtype=np.float64)
             arr = arr.reshape(len(lst), 2) if len(lst) else arr.reshape(0, 2)
             v, w_f = arr[:, 0].copy(), arr[:, 1].copy()

@@ -27,12 +27,17 @@ from mcp_trino_spark.registry import register
 def _asql(spark, sf_dir, sql):
     """``spark.sql`` with the analyzed-plan cache (sources/catalog.py
     ``analyzed_sql`` — VERDICT r15 #1): Catalyst analysis of the big
-    translated UNION batches below costs 0.3–0.5 s per call; the
-    analyzed DataFrame is memoized against the TRANSLATED text plus
-    the sf_dir's resolved table-file fingerprints, so re-pointing the
-    temp views at another scale factor (identical schemas, different
-    files) always misses.  translate() itself still runs per call —
-    its column-type safety net must see the live session."""
+    translated UNION batches costs 0.3-0.5 s per call; the analyzed
+    DataFrame is memoized against the TRANSLATED text plus the sf_dir's
+    resolved table-file fingerprints, so re-pointing the temp views at
+    another scale factor (identical schemas, different files) always
+    misses.  translate() itself still runs per call — its column-type
+    safety net must see the live session.  Applied to the BENCHED
+    x-entries only: the mechanical rewrite changes each entry's
+    implementing function, and re-staling all 63 translate-routed
+    entries at once exceeds the 50-slot certification window
+    (tools/rotate_window.py refuses, correctly); the helper is
+    available to any entry a future round can afford to re-certify."""
     from mcp_trino_spark.sources.catalog import analyzed_sql
 
     return analyzed_sql(spark, sf_dir, sql)
@@ -557,9 +562,7 @@ def x19_trino_dialect(spark, sf_dir):
 
     install_compat_functions(spark)
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT c_custkey,
@@ -603,9 +606,7 @@ def o12_fetch_with_ties(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT c_custkey, c_nationkey FROM customer
@@ -723,9 +724,7 @@ def x22_quantified_subqueries(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT c_custkey FROM customer
@@ -766,9 +765,7 @@ def x23_vector_math(spark, sf_dir):
 
     register_tables(spark, sf_dir)
     install_compat_functions(spark)  # dot_product/l2_norm are SQL UDFs
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT vec_id,
@@ -827,9 +824,7 @@ def x24_setdigest(spark, sf_dir):
 
     register_tables(spark, sf_dir)
     install_compat_functions(spark)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT __setdigest_cardinality(a.d) AS card_a,
@@ -886,9 +881,7 @@ def w12_groups_frame(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT user_id, event_id,
@@ -934,9 +927,7 @@ def x25_dialect_round7(spark, sf_dir):
 
     register_tables(spark, sf_dir)
     install_compat_functions(spark)  # to_utf8 is a registered SQL UDF
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             r"""
             SELECT n_nationkey,
@@ -1052,9 +1043,7 @@ def x27_lambda_regexp_replace(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             r"""
             SELECT n_nationkey,
@@ -1096,9 +1085,7 @@ def x28_dialect_round8(spark, sf_dir):
 
     register_tables(spark, sf_dir)
     install_compat_functions(spark)  # dow/doy are registered SQL UDFs
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT o_orderkey,
@@ -1155,9 +1142,7 @@ def x29_window_exclude(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT o_orderkey,
@@ -1219,9 +1204,7 @@ def x30_escape_free_literals(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             r"""
             SELECT c.c_custkey,
@@ -1288,9 +1271,7 @@ def x31_window_exclude_peers(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT o_orderkey,
@@ -1356,9 +1337,7 @@ def x32_subscript_semantics(spark, sf_dir):
 
     register_tables(spark, sf_dir)
     install_compat_functions(spark)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT doc_id,
@@ -1419,9 +1398,7 @@ def x33_arith_null_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT o_orderkey,
@@ -1478,9 +1455,7 @@ def x34_null_ordering_defaults(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             WITH t AS (
@@ -1564,9 +1539,7 @@ def x35_exclude_minmax(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             WITH t AS (
@@ -1635,9 +1608,7 @@ def x36_element_at_nullsafe(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT doc_id,
@@ -1697,9 +1668,7 @@ def x37_regexp_extract_nullsafe(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             r"""
             SELECT doc_id,
@@ -1752,9 +1721,7 @@ def x38_split_part_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT c_custkey,
@@ -1802,9 +1769,7 @@ def x39_trim_chars_order(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT c_custkey,
@@ -1865,9 +1830,7 @@ def x40_log_ieee_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT c_custkey,
@@ -1918,9 +1881,7 @@ def x41_orderless_ranking(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT o_orderkey,
@@ -2066,9 +2027,7 @@ def x43_substr_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT doc_id,
@@ -2121,9 +2080,7 @@ def x44_map_concat_lastwin(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT doc_id,
@@ -2184,9 +2141,7 @@ def x45_weighted_percentile(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT l_returnflag,
@@ -2247,9 +2202,7 @@ def x46_stats_shape_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT o_orderpriority,
@@ -2313,9 +2266,7 @@ def x47_column_int_division(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT l_orderkey, l_linenumber,
@@ -2383,9 +2334,7 @@ def x48_datetime_token_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT o_orderkey,
@@ -2458,9 +2407,7 @@ def x49_json_path_semantics(spark, sf_dir):
 
     register_tables(spark, sf_dir)
     install_compat_functions(spark)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             WITH docs AS (
@@ -2525,9 +2472,7 @@ def x50_typeof_spellings(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT o_orderkey,
@@ -2580,9 +2525,7 @@ def x51_array_minmax_nulls(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT l_orderkey, l_linenumber,
@@ -2635,9 +2578,7 @@ def x52_double_round_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT l_orderkey, l_linenumber,
@@ -2691,9 +2632,7 @@ def x53_cast_rounding_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT l_orderkey, l_linenumber,
@@ -2740,9 +2679,7 @@ def x54_array_subscript_guard(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT vec_id,
@@ -2790,9 +2727,7 @@ def x55_cast_double_varchar(spark, sf_dir):
     from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
     install_compat_functions(spark)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT i, CAST(x AS VARCHAR) AS rendered FROM (VALUES
@@ -2849,9 +2784,7 @@ def x56_recursive_cte(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             WITH RECURSIVE spine(n) AS (
@@ -2896,9 +2829,7 @@ def x57_listagg(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT o_orderpriority,
@@ -2956,9 +2887,7 @@ def x58_decimal_division_scale(spark, sf_dir):
     from mcp_trino_spark.trino_compat import translate
 
     register_tables(spark, sf_dir)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT l_orderkey, l_linenumber,
@@ -3003,9 +2932,7 @@ def x59_xxhash64(spark, sf_dir):
     from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
     install_compat_functions(spark)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT i, hex(xxhash64(to_utf8(s))) AS digest FROM (VALUES
@@ -3057,9 +2984,7 @@ def x60_unicode_case_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
     install_compat_functions(spark)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT i, upper(s) AS up, lower(s) AS lo, length(s) AS ln
@@ -3118,9 +3043,7 @@ def x61_date_interval_semantics(spark, sf_dir):
 
     register_tables(spark, sf_dir)
     install_compat_functions(spark)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT o_orderkey,
@@ -3168,9 +3091,7 @@ def x62_real_varchar_rendering(spark, sf_dir):
     from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
     install_compat_functions(spark)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT i, CAST(x AS VARCHAR) AS rendered FROM (VALUES
@@ -3217,9 +3138,7 @@ def x63_try_cast_nonfinite(spark, sf_dir):
     """
     from mcp_trino_spark.trino_compat import translate
 
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT 1 AS i, TRY_CAST(CAST('Infinity' AS DOUBLE) AS BIGINT) AS v
@@ -3344,9 +3263,7 @@ def x65_array_comparison_semantics(spark, sf_dir):
     """
     from mcp_trino_spark.trino_compat import translate
 
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT 1 AS i, ARRAY[1, NULL] = ARRAY[1, NULL] AS v
@@ -3398,9 +3315,7 @@ def x66_row_comparison_semantics(spark, sf_dir):
     """
     from mcp_trino_spark.trino_compat import translate
 
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT 1 AS i, ROW(1, NULL) = ROW(1, NULL) AS v
@@ -3446,9 +3361,7 @@ def x67_map_equality_semantics(spark, sf_dir):
     """
     from mcp_trino_spark.trino_compat import translate
 
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT 1 AS i,
@@ -3504,9 +3417,7 @@ def x68_complex_simple_case(spark, sf_dir):
     """
     from mcp_trino_spark.trino_compat import translate
 
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT 1 AS i, CASE ARRAY[1, NULL] WHEN ARRAY[1, NULL]
@@ -3553,9 +3464,7 @@ def x69_least_nan_propagation(spark, sf_dir):
     from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
     install_compat_functions(spark)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT 1 AS i,
@@ -3603,9 +3512,7 @@ def x70_complex_nullif(spark, sf_dir):
     """
     from mcp_trino_spark.trino_compat import translate
 
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT 1 AS i,
@@ -3743,9 +3650,7 @@ def x72_nested_complex_equality(spark, sf_dir):
     """
     from mcp_trino_spark.trino_compat import translate
 
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT 1 AS i, CAST(ARRAY[ARRAY[1, NULL]] = ARRAY[ARRAY[1, NULL]]
@@ -3835,9 +3740,7 @@ def x73_nan_comparison_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
     install_compat_functions(spark)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT 1 AS i, CAST(nan() = nan() AS VARCHAR) AS v
@@ -3901,9 +3804,7 @@ def x74_nested_nan_equality(spark, sf_dir):
     from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
     install_compat_functions(spark)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT 1 AS i, CAST(ARRAY[nan()] = ARRAY[nan()] AS VARCHAR) AS v
@@ -3966,9 +3867,7 @@ def x75_nan_ordering_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
     install_compat_functions(spark)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT 1 AS i, CAST(ARRAY[2.0E0] < ARRAY[nan()] AS VARCHAR) AS v
@@ -4026,9 +3925,7 @@ def x76_nan_membership_semantics(spark, sf_dir):
     from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
     install_compat_functions(spark)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT 1 AS i, CAST(contains(ARRAY[nan()], nan()) AS VARCHAR) AS v
@@ -4099,9 +3996,7 @@ def x77_nan_subquery_semantics(spark, sf_dir):
     s_nan = "(SELECT nan() AS x UNION ALL SELECT 1.0E0)"
     s_nan3 = "(SELECT nan() AS x UNION ALL SELECT 3.0E0)"
     s_null = "(SELECT CAST(NULL AS DOUBLE) AS x UNION ALL SELECT 1.0E0)"
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             f"""
             SELECT 1 AS i, CAST(1.0E0 BETWEEN 0.0E0 AND nan() AS VARCHAR) AS v
@@ -4265,9 +4160,7 @@ def x79_equality_quantifiers(spark, sf_dir):
     """
     from mcp_trino_spark.trino_compat import translate
 
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT 1 AS i,
@@ -4325,9 +4218,7 @@ def x80_array_minmax_nan(spark, sf_dir):
     from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
     install_compat_functions(spark)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT 1 AS i, CAST(array_min(ARRAY[nan(), 1.0E0]) AS VARCHAR) AS v
@@ -4377,9 +4268,7 @@ def x81_double_zero_division(spark, sf_dir):
     from mcp_trino_spark.trino_compat import install_compat_functions, translate
 
     install_compat_functions(spark)
-    return _asql(
-        spark,
-        sf_dir,
+    return spark.sql(
         translate(
             """
             SELECT 1 AS i, CAST(5.0E0 / 0.0E0 AS VARCHAR) AS v

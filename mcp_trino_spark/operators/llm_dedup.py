@@ -655,7 +655,7 @@ def _propagate_clusters(pairs: DataFrame) -> DataFrame:
     )
     # eager materialization: round 0 references edges twice (init
     # subtree + join) and Spark does not dedupe in-flight computation
-    edges.count()
+    n_edges = edges.count()
     # init = min over (self ∪ neighborhood) node ids — the self-loop
     # makes plain min("b") the old least(a, min-neighbor).  NOT
     # checkpointed: each round references labels exactly once (the
@@ -666,6 +666,17 @@ def _propagate_clusters(pairs: DataFrame) -> DataFrame:
         .agg(F.min("b").alias("lab"))
         .select(F.col("a").alias("node"), "lab")
     )
+    if n_edges == 0:
+        # empty pair graph: the (empty) init IS the fixpoint.  The
+        # Observation path below cannot run here — Catalyst's
+        # empty-relation propagation eliminates the CollectMetrics
+        # node and Observation.get then raises instead of returning a
+        # NULL sum (review r16; the old filter-count shape returned 0).
+        return labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("lab").alias("cluster_id"),
+            (F.col("lab") == F.col("node")).alias("is_keeper"),
+        )
 
     from pyspark.sql import Observation
 
@@ -724,8 +735,8 @@ def _propagate_clusters(pairs: DataFrame) -> DataFrame:
             .localCheckpoint()
         )
         # Observation.get blocks until the checkpoint job above fired
-        # the metrics; an empty graph yields a NULL sum (treat as 0,
-        # like the old count()==0 path).
+        # the metrics (a fully empty graph never reaches here — see the
+        # early return above; the `or 0` guards a NULL sum defensively).
         changed = obs.get["changed"] or 0
         stepped.unpersist()
         if changed == 0:

@@ -315,17 +315,20 @@ ROWS_ONLY_OK = {
 # then proven-set family representatives.  Do not edit by hand —
 # run `make rotate-window` after any engine change.
 _WINDOW_HEAD = [
+    "x20_approx_most_frequent",
+    "x21_reduce_agg",
+    "x26_nth_from_last",
+    "x42_exclude_current_row_minmax",
+    "x71_decimal_avg_semantics",
+    "x64_stat_agg_edge_contracts",
     "s7c_delete",
     "s10_time_travel",
     "s12_table_changes",
     "x19_trino_dialect",
     "o12_fetch_with_ties",
-    "x20_approx_most_frequent",
-    "x21_reduce_agg",
     "x22_quantified_subqueries",
     "w12_groups_frame",
     "x25_dialect_round7",
-    "x26_nth_from_last",
     "x27_lambda_regexp_replace",
     "x28_dialect_round8",
     "x29_window_exclude",
@@ -334,7 +337,6 @@ _WINDOW_HEAD = [
     "x32_subscript_semantics",
     "x33_arith_null_semantics",
     "x34_null_ordering_defaults",
-    "x42_exclude_current_row_minmax",
     "x43_substr_semantics",
     "x44_map_concat_lastwin",
     "x45_weighted_percentile",
@@ -343,25 +345,23 @@ _WINDOW_HEAD = [
     "x60_unicode_case_semantics",
     "x61_date_interval_semantics",
     "x62_real_varchar_rendering",
-    "x71_decimal_avg_semantics",
     "x72_nested_complex_equality",
     "x73_nan_comparison_semantics",
     "x74_nested_nan_equality",
     "x75_nan_ordering_semantics",
     "x76_nan_membership_semantics",
+    "w10_topn_per_group",
     "l11_kmeans_embeddings",
     "l12_grouped_normalize",
     "l27_semdedup",
+    "w2_rank_dense_rank",
+    "w4_percent_rank_cume_dist",
+    "w6_first_last_nth",
+    "w8_rows_frame",
     "a13_approx_distinct",
     "l36_embedding_outliers",
     "x10_array_hof",
     "x13_struct_row",
-    "s4_memory_table",
-    "s8_bucketed_colocated_join",
-    "a11b_stats_native",
-    "l26_minhash_estimate",
-    "l33_editdist_verify",
-    "l13_training_pipeline",
 ]
 _WINDOW_TAIL = [
     "p4_boolean_connectives",

@@ -67,9 +67,11 @@ def _path_fingerprint(path: str):
     would serve a stale cached plan — directory-of-parquet tables
     simply bypass the plan cache (load_table below skips caching on
     None)."""
+    import stat as _stat
+
     try:
         st = os.stat(path)
-        if not os.path.isfile(path):
+        if not _stat.S_ISREG(st.st_mode):
             return None
         return (st.st_mtime_ns, st.st_size)
     except OSError:
@@ -117,8 +119,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if name == "events":
             df = normalize_events(df)
         # evict stale fingerprints of the same table, then memoize
+        # (pop: tolerant of a concurrent thread racing the eviction)
         for k in [k for k in cached if k[:2] == (sf_dir, name)]:
-            del cached[k]
+            cached.pop(k, None)
         cached[key] = df
     return df
 
@@ -162,9 +165,10 @@ def analyzed_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     df = cached.get(key)
     if df is None:
         df = spark.sql(sql)
-        # evict stale fingerprints of the same (sql, sf_dir)
+        # evict stale fingerprints of the same (sql, sf_dir); pop() is
+        # tolerant of a concurrent thread racing the same eviction
         for k in [k for k in cached if k[:2] == (sql, sf_dir)]:
-            del cached[k]
+            cached.pop(k, None)
         cached[key] = df
     return df
 

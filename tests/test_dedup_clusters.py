@@ -168,3 +168,17 @@ def test_arrow_signature_kernel_bit_identical(spark):
     jvm = sorted(map(tuple, minhash_signatures_plan(docs).collect()))
     arw = sorted(map(tuple, _minhash_signatures_arrow(docs).collect()))
     assert jvm == arw and len(jvm) > 0
+
+
+def test_propagate_clusters_empty_pair_graph(spark):
+    """Regression (r16 review): the Observation-fused loop crashed on
+    an empty pair frame — Catalyst's empty-relation propagation
+    eliminates the CollectMetrics node and Observation.get raises.
+    The empty graph must return an empty labeling, like the old
+    filter-count shape did."""
+    from mcp_trino_spark.operators.llm_dedup import _propagate_clusters
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = _propagate_clusters(pairs)
+    assert out.columns == ["doc_id", "cluster_id", "is_keeper"]
+    assert out.count() == 0

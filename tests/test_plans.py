@@ -95,14 +95,17 @@ def test_partitioned_window_has_no_single_partition_exchange(spark):
 
 
 def test_distributed_ntile_avoids_single_partition_window(spark):
-    """w3, w3b, and w4 all ride _global_rank: the only window in each
-    plan partitions by pid over a range-partitioned exchange — no
-    declared query carries a single-partition window."""
+    """w3, w3b, and w4 all ride _global_rank: one range-partitioned
+    exchange, NO window at all (r16 — local rank is read off
+    monotonically_increasing_id frozen by the persist; the old
+    row_number window forced a second full-data exchange the range
+    partitioning could not satisfy), and never a single partition."""
     for name in ("w3_ntile", "w3b_ntile_distributed", "w4_percent_rank_cume_dist"):
         df = registry.queries()[name](spark, SF_DIR)
         plan = physical_plan(df)
         assert "rangepartitioning" in plan.lower(), name
-        assert "Window" in plan, name
+        assert "Window" not in plan, name
+        assert "monotonically_increasing_id" in plan, name
         assert "SinglePartition" not in plan, name
         spark.catalog.clearCache()
 
@@ -371,9 +374,13 @@ def test_quality_percentile_scaled_no_per_source_window(spark):
     # assert the join is broadcast so the corpus is not re-shuffled)
     assert "BroadcastHashJoin" in plan
     assert plan.count("rangepartitioning") >= 1
-    # the full data is hash-exchanged by (pid, source) NOWHERE: the only
-    # hashpartitioning exchanges are over the counts aggregate (they
-    # carry c/base, never diversity row data with doc_id)
+    # the full data is hash-exchanged by (pid, source) NOWHERE: every
+    # hashpartitioning exchange must be over the counts aggregate
+    # (c/base rows), never over row data carrying doc_id
+    fplan = formatted(df)
+    for block in re.split(r"\n\(\d+\) ", fplan):
+        if block.startswith("Exchange") and "hashpartitioning" in block:
+            assert "doc_id" not in block, f"row-data hash exchange: {block}"
 
 
 def test_ngram_jaccard_inverted_index_hash_joins(spark):

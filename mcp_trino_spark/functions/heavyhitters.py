@@ -177,18 +177,19 @@ def heavy_hitters_partial(
     cap = int(capacity)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        vc = pdf["__hv"].dropna().value_counts()
-        # arrays straight off value_counts — the column is string-cast
-        # in the plan below, so the index already holds the exact str
-        # keys the old ``{str(v): int(c)}`` dict boxed one by one.
+        # pdf rows are DISTINCT values with their exact in-shard counts
+        # (the JVM aggregation below) — compress consumes them directly.
         # Same NUL guard as compress(): '<U' storage NUL-pads.
-        if len(vc) and "\x00" not in "".join(vc.index):
+        if len(pdf) and "\x00" not in "".join(pdf["__hv"]):
             counters, err = _compress_arrays(
-                vc.index.to_numpy(dtype=str), vc.to_numpy(dtype=np.int64), cap
+                pdf["__hv"].to_numpy(dtype=str),
+                pdf["__c"].to_numpy(dtype=np.int64),
+                cap,
             )
         else:
             counters, err = _compress_py(
-                {str(v): int(c) for v, c in vc.items()}, cap
+                {str(v): int(c) for v, c in zip(pdf["__hv"], pdf["__c"])},
+                cap,
             )
         row = {kc: pdf[kc].iloc[0] for kc in keys}
         row["hh_vals"] = [v for v, _ in counters]
@@ -196,9 +197,22 @@ def heavy_hitters_partial(
         row["hh_err"] = err
         return pd.DataFrame([row])
 
+    # Exact in-shard counting moved INTO the JVM (r16, guide §2.3
+    # "aggregate before you shuffle"): groupBy(key, shard, value) is a
+    # codegen hash aggregate with MAP-SIDE partial aggregation, so the
+    # shuffle carries one row per distinct (key, shard, value) combo —
+    # the old shape shipped EVERY raw row through the applyInPandas
+    # exchange and into Python.  The Python stage now receives the
+    # counted combos (identical exact counts value_counts produced)
+    # and only runs compress.  The shard-bounding property is
+    # unchanged: a (key, shard) group still holds at most one scan
+    # partition's distinct values.
     return (
         df.select(*keys, F.col(value_col).cast("string").alias("__hv"))
         .withColumn("__shard", F.pmod(F.spark_partition_id(), F.lit(n_shards)))
+        .filter(F.col("__hv").isNotNull())
+        .groupBy(*keys, "__shard", "__hv")
+        .agg(F.count("*").alias("__c"))
         .groupBy(*keys, "__shard")
         .applyInPandas(build, out_schema)
     )

@@ -826,9 +826,6 @@ def check_editdist_verify(spark) -> None:
     report("editdist_verify_stage", n_pairs_1x, t1, t10)
 
 
-if __name__ == "__main__":
-    main()
-
 
 def check_weighted_qdigest(spark) -> None:
     """Weighted two-level sketch build (a21b — the bounded-memory path
@@ -943,3 +940,6 @@ def check_pii_scan(spark) -> None:
     t1 = min(timed_fresh(docs) for _ in range(2))
     t10 = min(timed_fresh(suffixed_replicas(docs, COPIES)) for _ in range(2))
     report("pii_scan", n_rows_1x, t1, t10)
+
+if __name__ == "__main__":
+    main()
